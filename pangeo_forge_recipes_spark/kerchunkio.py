@@ -1,0 +1,358 @@
+"""Kerchunk-style virtual Zarr references: scan, combine, read, write.
+
+Parity layer for the reference's kerchunk branch (``openers.py:137-204``
+scanning, ``transforms.py:428-554`` combining, ``writers.py:132-195``
+writing). The kerchunk package is not available here, so the engine defines
+its own reference model — a dict of Zarr-v3 store keys to either inline
+bytes or ``[url, offset, length]`` byte ranges:
+
+    {"version": 1, "refs": {"zarr.json": "<json>",
+                            "foo/zarr.json": "<json>",
+                            "foo/c/0/0/0": ["file:///path/f.npz", 1234, 8192]}}
+
+Because the keys are genuine Zarr v3 keys, a :class:`ReferenceStore` makes a
+combined reference directly readable through :func:`~.dsio.open_zarr_group`
+— a real "virtual Zarr" exactly like kerchunk's ReferenceFileSystem.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import struct
+import zipfile
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from .zarrio import _DTYPE_TO_ZARR, Store, ZARR_JSON
+
+RefValue = object  # str (inline) | [url, offset, length]
+
+
+def _inline(data: bytes, threshold: int) -> Optional[str]:
+    if len(data) <= threshold:
+        try:
+            return data.decode("ascii")
+        except UnicodeDecodeError:
+            return "base64:" + base64.b64encode(data).decode("ascii")
+    return None
+
+
+def _array_meta(
+    shape, chunk_shape, data_type: str, attributes: dict, dimension_names
+) -> dict:
+    return {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": [int(s) for s in shape],
+        "data_type": data_type,
+        "chunk_grid": {
+            "name": "regular",
+            "configuration": {"chunk_shape": [int(c) for c in chunk_shape]},
+        },
+        "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        "fill_value": 0,
+        "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+        "attributes": attributes,
+        "dimension_names": list(dimension_names),
+    }
+
+
+# ---------------------------------------------------------------------------
+# scanners
+# ---------------------------------------------------------------------------
+
+
+def _zip_data_offset(path: str, info: zipfile.ZipInfo) -> int:
+    """Byte offset of a STORED zip member's payload: local header offset +
+    30-byte fixed header + actual name/extra lengths (which can differ from
+    the central directory's)."""
+    with open(path, "rb") as f:
+        f.seek(info.header_offset)
+        hdr = f.read(30)
+        if hdr[:4] != b"PK\x03\x04":
+            raise ValueError("bad zip local header")
+        name_len, extra_len = struct.unpack("<HH", hdr[26:30])
+        return info.header_offset + 30 + name_len + extra_len
+
+
+def _npy_payload_offset(path: str, data_offset: int) -> int:
+    """Offset of the raw array bytes inside a .npy payload (skip the npy
+    magic + header)."""
+    with open(path, "rb") as f:
+        f.seek(data_offset)
+        magic = f.read(8)
+        if magic[:6] != b"\x93NUMPY":
+            raise ValueError("not an npy payload")
+        major = magic[6]
+        if major == 1:
+            (hlen,) = struct.unpack("<H", f.read(2))
+            return data_offset + 10 + hlen
+        (hlen,) = struct.unpack("<I", f.read(4))
+        return data_offset + 12 + hlen
+
+
+def scan_npz(path: str, inline_threshold: int = 300) -> dict:
+    """Scan an engine-native npz container into a virtual-Zarr reference
+    (analog of kerchunk's ``SingleHdf5ToZarr``, reference
+    ``openers.py:137-204``). Each variable becomes a single-chunk zarr array
+    whose chunk is a byte range into the npz file."""
+    from .dsio import npz_schema
+
+    schema = npz_schema(path)
+    url = f"file://{os.path.abspath(path)}"
+    refs: Dict[str, RefValue] = {}
+    group_meta = {"zarr_format": 3, "node_type": "group", "attributes": dict(schema["attrs"])}
+    non_dim_coords = [
+        n for n, vs in schema["coords"].items() if list(vs["dims"]) != [n]
+    ]
+    if non_dim_coords:
+        group_meta["attributes"]["coordinates"] = " ".join(sorted(non_dim_coords))
+    refs[ZARR_JSON] = json.dumps(group_meta)
+
+    with zipfile.ZipFile(path) as zf:
+        infos = {i.filename: i for i in zf.infolist()}
+    for role in ("coords", "data_vars"):
+        for name, vs in schema[role].items():
+            member = f"{role}::{name}.npy"
+            info = infos[member]
+            if info.compress_type != zipfile.ZIP_STORED:
+                raise ValueError("npz member is compressed; cannot byte-range reference")
+            data_off = _zip_data_offset(path, info)
+            payload_off = _npy_payload_offset(path, data_off)
+            dtype = vs["dtype"]
+            attributes = dict(vs["attrs"])
+            if dtype.startswith("datetime64"):
+                # the npz container stores datetimes as raw int64 nanoseconds
+                # (see dsio.write_npz), so the virtual store must declare
+                # those storage units — not the original CF encoding
+                attributes["units"] = "nanoseconds since 1970-01-01"
+                attributes["calendar"] = "proleptic_gregorian"
+                dtype = "int64"
+            meta = _array_meta(
+                vs["shape"], vs["shape"] or [1], _DTYPE_TO_ZARR[dtype], attributes, vs["dims"]
+            )
+            refs[f"{name}/{ZARR_JSON}"] = json.dumps(meta)
+            nbytes = int(np.prod(vs["shape"] or [1])) * np.dtype(dtype).itemsize
+            chunk_key = "/".join([name, "c"] + ["0"] * len(vs["shape"]))
+            inline = None
+            if nbytes <= inline_threshold:
+                with open(path, "rb") as f:
+                    f.seek(payload_off)
+                    inline = _inline(f.read(nbytes), inline_threshold)
+            refs[chunk_key] = inline if inline is not None else [url, payload_off, nbytes]
+    return {"version": 1, "refs": refs}
+
+
+def scan_zarr(path: str, inline_threshold: int = 300) -> dict:
+    """Scan a (real) Zarr v3 store into a reference: metadata inlined, chunk
+    objects referenced whole-file."""
+    refs: Dict[str, RefValue] = {}
+    root = os.path.abspath(path)
+    for dirpath, _, files in os.walk(root):
+        for fn in files:
+            full = os.path.join(dirpath, fn)
+            key = os.path.relpath(full, root)
+            size = os.path.getsize(full)
+            if fn == ZARR_JSON:
+                with open(full, "rb") as f:
+                    refs[key] = f.read().decode()
+            elif size <= inline_threshold:
+                with open(full, "rb") as f:
+                    refs[key] = _inline(f.read(), inline_threshold)
+            else:
+                refs[key] = [f"file://{full}", 0, size]
+    return {"version": 1, "refs": refs}
+
+
+# ---------------------------------------------------------------------------
+# reference store (read side)
+# ---------------------------------------------------------------------------
+
+
+class ReferenceStore(Store):
+    """Read-only :class:`~.zarrio.Store` over a reference dict — the engine's
+    ReferenceFileSystem."""
+
+    def __init__(self, refs: dict):
+        self.refs = refs["refs"] if "refs" in refs else refs
+
+    def get(self, key: str) -> bytes:
+        val = self.refs[key]
+        if isinstance(val, str):
+            if val.startswith("base64:"):
+                return base64.b64decode(val[7:])
+            return val.encode()
+        url, offset, length = val
+        path = url[len("file://"):] if url.startswith("file://") else url
+        with open(path, "rb") as f:
+            f.seek(int(offset))
+            return f.read(int(length))
+
+    def exists(self, key: str) -> bool:
+        return key in self.refs
+
+    def list_prefix(self, prefix: str) -> Iterator[str]:
+        for key in self.refs:
+            if key.startswith(prefix):
+                yield key
+
+    def put(self, key: str, value: bytes) -> None:
+        raise NotImplementedError("ReferenceStore is read-only")
+
+    def rm_prefix(self, prefix: str) -> None:
+        raise NotImplementedError("ReferenceStore is read-only")
+
+
+def open_reference_dataset(path_or_refs):
+    """Open a reference json file / dict as an NDDataset."""
+    from .dsio import open_zarr_group
+
+    if isinstance(path_or_refs, str):
+        with open(path_or_refs) as f:
+            path_or_refs = json.load(f)
+    return open_zarr_group(ReferenceStore(path_or_refs))
+
+
+# ---------------------------------------------------------------------------
+# combine (MultiZarrToZarr-lite)
+# ---------------------------------------------------------------------------
+
+
+def combine_references(
+    ref_sets: List[dict],
+    concat_dims: List[str],
+    identical_dims: Optional[List[str]] = None,
+) -> dict:
+    """Combine per-file references along one concat dimension into a single
+    virtual store (the engine's ``MultiZarrToZarr.translate()``; reference
+    ``transforms.py:428-554``).
+
+    ``ref_sets`` must be ordered by concat position (the pipeline guarantees
+    this via its range-partitioned ordered reduction). Per-file arrays become
+    consecutive chunks along the concat axis; per-file chunk shapes must be
+    uniform (except the final file) — same regular-grid constraint real
+    kerchunk has.
+    """
+    if len(concat_dims) != 1:
+        raise NotImplementedError("combine_references supports exactly one concat dim")
+    concat_dim = concat_dims[0]
+    if not ref_sets:
+        raise ValueError("no references to combine")
+
+    out: Dict[str, RefValue] = {}
+    var_meta: Dict[str, dict] = {}
+    var_chunk_offset: Dict[str, int] = {}
+
+    for n, rs in enumerate(ref_sets):
+        refs = rs["refs"] if "refs" in rs else rs
+        for key, val in refs.items():
+            if key == ZARR_JSON:
+                out.setdefault(key, val)
+                continue
+            parts = key.split("/")
+            name = parts[0]
+            if parts[-1] == ZARR_JSON:
+                meta = json.loads(val) if isinstance(val, str) else val
+                dims = meta.get("dimension_names") or []
+                if concat_dim not in dims:
+                    out.setdefault(key, json.dumps(meta))
+                    var_meta.setdefault(name, meta)
+                elif name not in var_meta:
+                    var_meta[name] = meta
+                    var_chunk_offset[name] = 0
+                else:
+                    prev = var_meta[name]
+                    axis = dims.index(concat_dim)
+                    prev["shape"][axis] += meta["shape"][axis]
+                continue
+            # chunk key: name/c/i/j/...
+            meta = var_meta.get(name)
+            if meta is None or concat_dim not in (meta.get("dimension_names") or []):
+                out.setdefault(key, val)
+                continue
+            axis = (meta["dimension_names"]).index(concat_dim)
+            idx = [int(p) for p in parts[2:]]
+            idx[axis] += var_chunk_offset[name]
+            out["/".join([name, "c"] + [str(i) for i in idx])] = val
+        # advance chunk offsets by this file's chunk count along the axis
+        for name, meta in var_meta.items():
+            dims = meta.get("dimension_names") or []
+            if concat_dim in dims and name in var_chunk_offset:
+                refs_n = rs["refs"] if "refs" in rs else rs
+                mkey = f"{name}/{ZARR_JSON}"
+                if mkey in refs_n:
+                    this_meta = json.loads(refs_n[mkey]) if isinstance(refs_n[mkey], str) else refs_n[mkey]
+                    axis = dims.index(concat_dim)
+                    csize = this_meta["chunk_grid"]["configuration"]["chunk_shape"][axis]
+                    nchunks = -(-this_meta["shape"][axis] // csize) if csize else 0
+                    var_chunk_offset[name] += nchunks
+
+    for name, meta in var_meta.items():
+        out[f"{name}/{ZARR_JSON}"] = json.dumps(meta)
+    return {"version": 1, "refs": out}
+
+
+# ---------------------------------------------------------------------------
+# writers
+# ---------------------------------------------------------------------------
+
+
+def write_reference_json(refs: dict, outpath: str) -> str:
+    """Serialize combined references to ``reference.json`` (reference
+    ``writers.py:174-179``)."""
+    os.makedirs(os.path.dirname(outpath) or ".", exist_ok=True)
+    with open(outpath, "w") as f:
+        json.dump(refs, f)
+    return outpath
+
+
+def write_reference_parquet(refs: dict, outpath: str, refs_per_component: int = 10000) -> str:
+    """Serialize combined references to a parquet directory (analog of
+    fsspec's ``LazyReferenceMapper``; reference ``writers.py:150-172``):
+    columns (key, inline_value, url, offset, size), ``refs_per_component``
+    rows per row-group."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = refs["refs"] if "refs" in refs else refs
+    keys, inlines, urls, offsets, sizes = [], [], [], [], []
+    for k, v in sorted(table.items()):
+        keys.append(k)
+        if isinstance(v, str):
+            inlines.append(v)
+            urls.append(None)
+            offsets.append(None)
+            sizes.append(None)
+        else:
+            inlines.append(None)
+            urls.append(v[0])
+            offsets.append(int(v[1]))
+            sizes.append(int(v[2]))
+    t = pa.table(
+        {
+            "key": pa.array(keys, pa.string()),
+            "inline_value": pa.array(inlines, pa.string()),
+            "url": pa.array(urls, pa.string()),
+            "offset": pa.array(offsets, pa.int64()),
+            "size": pa.array(sizes, pa.int64()),
+        }
+    )
+    os.makedirs(outpath, exist_ok=True)
+    pq.write_table(t, os.path.join(outpath, "refs.parquet"), row_group_size=refs_per_component)
+    return outpath
+
+
+def read_reference_parquet(path: str) -> dict:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(path, "refs.parquet"))
+    refs: Dict[str, RefValue] = {}
+    for row in t.to_pylist():
+        if row["inline_value"] is not None:
+            refs[row["key"]] = row["inline_value"]
+        else:
+            refs[row["key"]] = [row["url"], row["offset"], row["size"]]
+    return {"version": 1, "refs": refs}

@@ -1,0 +1,366 @@
+"""Minimal labeled N-dimensional dataset — the engine's payload type.
+
+xarray is not a dependency of this engine; fragments that flow through the
+Spark pipeline are instances of :class:`NDDataset`, a deliberately small
+subset of ``xarray.Dataset`` covering exactly what the reference pipeline
+exercises (reference usage: ``pangeo_forge_recipes/openers.py:207-254``,
+``rechunking.py:122`` ``.isel``, ``rechunking.py:240`` ``combine_nested``,
+``aggregation.py:20-37`` ``to_dict(data=False, encoding=True)``).
+
+Payloads cross Spark shuffle boundaries as pickled bytes (protocol 5 —
+numpy buffers are serialized out-of-band efficiently). Memory per fragment
+is bounded by the target chunk size, exactly as in the reference.
+"""
+
+from __future__ import annotations
+
+import pickle
+import re
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["Variable", "NDDataset", "concat", "combine_nested", "assert_equal"]
+
+
+@dataclass
+class Variable:
+    """A named array with dimension labels, attributes and encoding hints
+    (mirrors ``xarray.Variable`` surface used by the reference)."""
+
+    dims: Tuple[str, ...]
+    data: np.ndarray
+    attrs: dict = field(default_factory=dict)
+    encoding: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        self.dims = tuple(self.dims)
+        self.data = np.asarray(self.data)
+        if len(self.dims) != self.data.ndim:
+            raise ValueError(
+                f"dims {self.dims} do not match data ndim {self.data.ndim}"
+            )
+
+    @property
+    def sizes(self) -> Dict[str, int]:
+        return dict(zip(self.dims, self.data.shape))
+
+    @property
+    def dtype(self) -> np.dtype:
+        return self.data.dtype
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return self.data.shape
+
+    def isel(self, indexers: Dict[str, slice]) -> "Variable":
+        key = tuple(indexers.get(d, slice(None)) for d in self.dims)
+        return Variable(self.dims, self.data[key], dict(self.attrs), dict(self.encoding))
+
+    def copy(self) -> "Variable":
+        return Variable(self.dims, self.data.copy(), dict(self.attrs), dict(self.encoding))
+
+    def schema_dict(self) -> dict:
+        """Schema entry in the shape produced by
+        ``xr.Dataset.to_dict(data=False, encoding=True)`` (see reference
+        ``aggregation.py:20-37``)."""
+        return {
+            "dims": list(self.dims),
+            "attrs": dict(self.attrs),
+            "dtype": str(self.data.dtype),
+            "shape": list(self.data.shape),
+            "encoding": {k: v for k, v in self.encoding.items() if k != "source"},
+        }
+
+
+class NDDataset:
+    """Dict-of-variables dataset: ``data_vars`` + ``coords`` + ``attrs``.
+
+    Coordinates whose name equals their sole dimension are *dimension
+    coordinates*; others are non-dimension coordinates (reference fixture
+    F1a). A dimension may exist with no coordinate at all (fixture F1b).
+    """
+
+    def __init__(
+        self,
+        data_vars: Optional[Dict[str, Variable]] = None,
+        coords: Optional[Dict[str, Variable]] = None,
+        attrs: Optional[dict] = None,
+        dims: Optional[Dict[str, int]] = None,
+    ):
+        self.data_vars: Dict[str, Variable] = dict(data_vars or {})
+        self.coords: Dict[str, Variable] = dict(coords or {})
+        self.attrs: dict = dict(attrs or {})
+        self._explicit_dims = dict(dims or {})
+        self._check_consistent()
+
+    # -- shape bookkeeping ----------------------------------------------------
+    def _check_consistent(self) -> None:
+        sizes: Dict[str, int] = dict(self._explicit_dims)
+        for name, var in self.variables.items():
+            for d, s in var.sizes.items():
+                if d in sizes and sizes[d] != s:
+                    raise ValueError(
+                        f"conflicting sizes for dim {d!r}: {sizes[d]} vs {s} (var {name!r})"
+                    )
+                sizes.setdefault(d, s)
+        self._sizes = sizes
+
+    @property
+    def variables(self) -> Dict[str, Variable]:
+        return {**self.coords, **self.data_vars}
+
+    @property
+    def sizes(self) -> Dict[str, int]:
+        return dict(self._sizes)
+
+    dims = sizes
+
+    def __getitem__(self, name: str) -> Variable:
+        return self.variables[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.data_vars or name in self.coords
+
+    # -- selection ------------------------------------------------------------
+    def isel(self, indexers: Optional[Dict[str, slice]] = None, **kw: slice) -> "NDDataset":
+        """Positional slicing over named dims (subset of ``xr.Dataset.isel``
+        used at reference ``rechunking.py:122``)."""
+        indexers = {**(indexers or {}), **kw}
+        dv = {k: v.isel(indexers) for k, v in self.data_vars.items()}
+        co = {k: v.isel(indexers) for k, v in self.coords.items()}
+        new_dims = {}
+        for d, n in self._explicit_dims.items():
+            sl = indexers.get(d)
+            new_dims[d] = len(range(*sl.indices(n))) if sl is not None else n
+        return NDDataset(dv, co, dict(self.attrs), new_dims)
+
+    # -- schema / serialization ----------------------------------------------
+    def to_dict(self) -> dict:
+        """Data-free description matching
+        ``xr.Dataset.to_dict(data=False, encoding=True)``."""
+        return {
+            "attrs": dict(self.attrs),
+            "coords": {k: v.schema_dict() for k, v in self.coords.items()},
+            "data_vars": {k: v.schema_dict() for k, v in self.data_vars.items()},
+            "dims": self.sizes,
+        }
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps(self, protocol=5)
+
+    @staticmethod
+    def from_bytes(b: bytes) -> "NDDataset":
+        return pickle.loads(b)
+
+    # -- convenience mutators (preprocessor surface, SURVEY §2.2) -------------
+    def drop_vars(self, names: Iterable[str]) -> "NDDataset":
+        names = set([names] if isinstance(names, str) else names)
+        return NDDataset(
+            {k: v for k, v in self.data_vars.items() if k not in names},
+            {k: v for k, v in self.coords.items() if k not in names},
+            dict(self.attrs),
+            self._explicit_dims,
+        )
+
+    def rename(self, mapping: Dict[str, str]) -> "NDDataset":
+        def rn(name: str) -> str:
+            return mapping.get(name, name)
+
+        def rn_var(v: Variable) -> Variable:
+            return Variable(tuple(rn(d) for d in v.dims), v.data, dict(v.attrs), dict(v.encoding))
+
+        return NDDataset(
+            {rn(k): rn_var(v) for k, v in self.data_vars.items()},
+            {rn(k): rn_var(v) for k, v in self.coords.items()},
+            dict(self.attrs),
+            {rn(k): n for k, n in self._explicit_dims.items()},
+        )
+
+    def set_coords(self, names: Iterable[str]) -> "NDDataset":
+        """Promote data variables to coordinates (reference usage
+        ``examples/feedstock/narr_opendap.py:44-48``)."""
+        names = set([names] if isinstance(names, str) else names)
+        dv = dict(self.data_vars)
+        co = dict(self.coords)
+        for n in names:
+            co[n] = dv.pop(n)
+        return NDDataset(dv, co, dict(self.attrs), self._explicit_dims)
+
+    def where(self, var: str, predicate) -> "NDDataset":
+        """Mask values of ``var`` where predicate(data) is False → NaN
+        (reference usage ``examples/feedstock/terraclimate.py:64-93``)."""
+        out = NDDataset(
+            {k: (v.copy() if k == var else v) for k, v in self.data_vars.items()},
+            self.coords,
+            dict(self.attrs),
+            self._explicit_dims,
+        )
+        v = out.data_vars[var]
+        data = v.data.astype("float64") if v.data.dtype.kind in "iu" else v.data
+        v.data = np.where(predicate(data), data, np.nan)
+        return out
+
+    def __repr__(self) -> str:
+        return (
+            f"<NDDataset dims={self.sizes} data_vars={list(self.data_vars)} "
+            f"coords={list(self.coords)}>"
+        )
+
+
+# -- combination ----------------------------------------------------------------
+
+
+def _concat_vars(vars_: List[Variable], dim: str) -> Variable:
+    first = vars_[0]
+    if dim not in first.dims:
+        return first
+    axis = first.dims.index(dim)
+    data = np.concatenate([v.data for v in vars_], axis=axis)
+    return Variable(first.dims, data, dict(first.attrs), dict(first.encoding))
+
+
+def concat(datasets: Sequence[NDDataset], dim: str) -> NDDataset:
+    """Concatenate along one named dimension (subset of ``xr.concat``)."""
+    first = datasets[0]
+    if sorted(first.data_vars) != sorted(datasets[-1].data_vars):
+        raise ValueError("concat requires identical data_vars")
+    dv = {
+        k: _concat_vars([ds.data_vars[k] for ds in datasets], dim) for k in first.data_vars
+    }
+    co = {k: _concat_vars([ds.coords[k] for ds in datasets], dim) for k in first.coords}
+    dims = dict(first._explicit_dims)
+    if dim in dims:
+        dims[dim] = sum(ds.sizes.get(dim, 0) for ds in datasets)
+    return NDDataset(dv, co, dict(first.attrs), dims)
+
+
+def combine_nested(nested, concat_dims: List[str]) -> NDDataset:
+    """Concat-only n-dimensional nested combine (the subset of
+    ``xr.combine_nested`` exercised at reference ``rechunking.py:240`` —
+    merge never happens there, see ``rechunking.py:160-162``)."""
+    if len(concat_dims) == 0:
+        if isinstance(nested, NDDataset):
+            return nested
+        raise ValueError("exhausted concat dims with nesting remaining")
+    if isinstance(nested, NDDataset):
+        raise ValueError("nesting shallower than concat_dims")
+    inner = [combine_nested(item, concat_dims[1:]) for item in nested]
+    return concat(inner, concat_dims[0])
+
+
+def merge(datasets: Sequence[NDDataset]) -> NDDataset:
+    """Union distinct data variables over aligned coords (MERGE combine
+    semantics, reference ``patterns.py:51-63``)."""
+    dv: Dict[str, Variable] = {}
+    co: Dict[str, Variable] = {}
+    attrs: dict = {}
+    for i, ds in enumerate(datasets):
+        for k, v in ds.data_vars.items():
+            if k in dv:
+                raise ValueError(f"Can't merge datasets with the same variable {k}")
+            dv[k] = v
+        for k, v in ds.coords.items():
+            co.setdefault(k, v)
+        if i == 0:
+            attrs = dict(ds.attrs)
+        else:
+            attrs = {k: v for k, v in attrs.items() if k in ds.attrs and _attr_eq(v, ds.attrs[k])}
+    return NDDataset(dv, co, attrs)
+
+
+def _attr_eq(a, b) -> bool:
+    try:
+        if (
+            isinstance(a, (float, np.floating))
+            and isinstance(b, (float, np.floating))
+            and np.isnan(a)
+            and np.isnan(b)
+        ):
+            return True
+        return bool(a == b)
+    except Exception:
+        return False
+
+
+def assert_equal(a: NDDataset, b: NDDataset, check_attrs: bool = True) -> None:
+    """Golden-comparison oracle, mirroring ``xr.testing.assert_equal`` as used
+    by the reference e2e suite (``tests/test_end_to_end.py:36-60``)."""
+    assert sorted(a.data_vars) == sorted(b.data_vars), (
+        f"data_vars differ: {sorted(a.data_vars)} vs {sorted(b.data_vars)}"
+    )
+    assert sorted(a.coords) == sorted(b.coords), (
+        f"coords differ: {sorted(a.coords)} vs {sorted(b.coords)}"
+    )
+    assert a.sizes == b.sizes, f"dims differ: {a.sizes} vs {b.sizes}"
+    for name in {**a.variables, **b.variables}:
+        va, vb = a[name], b[name]
+        assert va.dims == vb.dims, f"{name}: dims {va.dims} != {vb.dims}"
+        if va.data.dtype.kind == "f" or vb.data.dtype.kind == "f":
+            assert np.allclose(
+                va.data.astype("f8"), vb.data.astype("f8"), equal_nan=True, rtol=0, atol=0
+            ), f"{name}: values differ"
+        else:
+            assert np.array_equal(va.data, vb.data), f"{name}: values differ"
+    if check_attrs:
+        assert a.attrs == b.attrs, f"attrs differ: {a.attrs} vs {b.attrs}"
+
+
+# -- CF-style time encode/decode -------------------------------------------------
+
+_UNITS_RE = re.compile(
+    r"^(?P<unit>nanoseconds|microseconds|milliseconds|seconds|minutes|hours|days)"
+    r"\s+since\s+(?P<epoch>.+)$"
+)
+_NP_UNIT = {
+    "nanoseconds": "ns",
+    "microseconds": "us",
+    "milliseconds": "ms",
+    "seconds": "s",
+    "minutes": "m",
+    "hours": "h",
+    "days": "D",
+}
+
+
+def encode_cf_datetime(data: np.ndarray, units: str) -> np.ndarray:
+    """datetime64 → int64 offsets in ``units`` ("<unit> since <epoch>").
+
+    Mirrors the CF encoding contract the reference relies on via xarray
+    (``tests/data_generation.py:38-43``; cftime special case at
+    ``aggregation.py:193-197`` — non-standard calendars are out of scope
+    without cftime and raise).
+    """
+    m = _UNITS_RE.match(units.strip())
+    if not m:
+        raise ValueError(f"Unparseable time units: {units!r}")
+    np_unit = _NP_UNIT[m.group("unit")]
+    epoch = np.datetime64(_normalize_epoch(m.group("epoch")))
+    delta = data.astype("datetime64[ns]") - epoch.astype("datetime64[ns]")
+    step = np.timedelta64(1, np_unit).astype("timedelta64[ns]")
+    return (delta / step).astype("int64")
+
+
+def decode_cf_datetime(data: np.ndarray, units: str, calendar: str = "proleptic_gregorian") -> np.ndarray:
+    """Inverse of :func:`encode_cf_datetime` → datetime64[ns]."""
+    if calendar not in ("proleptic_gregorian", "gregorian", "standard"):
+        raise NotImplementedError(
+            f"calendar {calendar!r} requires cftime, which is not available"
+        )
+    m = _UNITS_RE.match(units.strip())
+    if not m:
+        raise ValueError(f"Unparseable time units: {units!r}")
+    np_unit = _NP_UNIT[m.group("unit")]
+    epoch = np.datetime64(_normalize_epoch(m.group("epoch"))).astype("datetime64[ns]")
+    step = np.timedelta64(1, np_unit).astype("timedelta64[ns]")
+    return epoch + data.astype("int64") * step
+
+
+def _normalize_epoch(epoch: str) -> str:
+    epoch = epoch.strip()
+    # np.datetime64 wants ISO "YYYY-MM-DDTHH:MM:SS"; CF allows a space
+    if " " in epoch:
+        date, time = epoch.split(" ", 1)
+        return f"{date}T{time}"
+    return epoch

@@ -1,0 +1,669 @@
+"""The Spark pipeline: manifest → open → schema → rechunk → Zarr/kerchunk.
+
+This module is the engine's rendition of reference ``pangeo_forge_recipes/
+transforms.py`` (the Beam PTransform library), re-expressed Spark-first:
+
+* the file matrix is a **DataFrame manifest** ``(index, url)`` — built
+  distributed for huge patterns (``spark.range`` + unravel);
+* the schema reduction is a **two-pass design**: pass 1 reads *metadata
+  only* (no array payloads) and reduces tiny schema rows; pass 2 streams
+  data. The reference opens lazily once and trusts Beam fusion — at 100 TB
+  on Spark that would force caching opened fragments across stages, so the
+  metadata pre-pass is the scale-correct equivalent (same semantics:
+  the combine kernel errors on any inconsistency either way);
+* the rechunk is the engine's **single data shuffle**:
+  ``groupBy(group_key).applyInPandas`` (reference flags the same GroupByKey
+  as the one perf hazard, ``transforms.py:414``);
+* combine + region-write are **fused in the same task** — a combined chunk
+  is written where it is assembled and never crosses another exchange
+  (Beam gets this via runner fusion; we get it by construction), only tiny
+  status rows come back;
+* writes are **idempotent aligned region puts** of disjoint keys, safe
+  under task retries; speculative execution should stay off for the write
+  stage (see reference non-idempotence warning for append,
+  ``transforms.py:680-684``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple, Union
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .aggregation import (
+    XarraySchema,
+    combine_xarray_schemas,
+    dataset_to_schema,
+    determine_target_chunks,
+    schema_from_json,
+    schema_to_json,
+)
+from .dsio import (
+    consolidate_dimension_coordinates as _consolidate_coords,
+    open_zarr_group,
+    schema_to_zarr,
+    store_dataset_fragment,
+    zarr_group_schema,
+)
+from .ndset import NDDataset
+from .openers import open_url, open_with_ndset, open_with_kerchunk, read_schema
+from .patterns import FilePattern, FileType
+from .rechunking import combine_fragments, group_key_to_json, split_fragment
+from .storage import CacheFSSpecTarget, FSSpecTarget
+from .types import CombineOp, Dimension, Index, augment_index_with_start_stop
+from .zarrio import consolidate_metadata as _consolidate_metadata
+
+MANIFEST_SCHEMA = "index string, url string"
+FRAGMENT_SCHEMA = "index string, payload binary"
+SPLIT_SCHEMA = "group_key string, index string, payload binary"
+STATUS_SCHEMA = "group_key string, index string, n_vars int, nbytes bigint"
+
+# threshold above which the manifest is generated distributed rather than
+# enumerated on the driver
+_DRIVER_MANIFEST_MAX = 100_000
+
+
+# ---------------------------------------------------------------------------
+# manifest (the scan; reference ``patterns.py:214-228`` + beam.Create)
+# ---------------------------------------------------------------------------
+
+
+def manifest_df(spark: SparkSession, pattern: FilePattern) -> DataFrame:
+    """DataFrame of ``(index, url)`` rows — the outer product of the
+    pattern's combine-dim keys. Small patterns materialize driver-side;
+    large ones unravel ``spark.range(N)`` inside executors so a 10^8-file
+    pattern never sits in driver memory."""
+    n = len(pattern)
+    if n <= _DRIVER_MANIFEST_MAX:
+        rows = [(idx.to_json(), url) for idx, url in pattern.items()]
+        return spark.createDataFrame(rows, MANIFEST_SCHEMA)
+
+    bc = spark.sparkContext.broadcast(pattern)
+
+    def unravel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pat: FilePattern = bc.value
+        for pdf in batches:
+            idxs = [pat.index_for_flat_position(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {"index": [i.to_json() for i in idxs], "url": [pat[i] for i in idxs]}
+            )
+
+    return spark.range(n).mapInPandas(unravel, MANIFEST_SCHEMA)
+
+
+def prune_manifest(df: DataFrame, pattern: FilePattern, nkeep: int = 2) -> DataFrame:
+    """Keep the first ``nkeep`` positions of each concat dim — the
+    DataFrame-side equivalent of ``FilePattern.prune`` (reference
+    ``patterns.py:235-260``), as a filter on the manifest."""
+    concat_dims = set(pattern.concat_dims)
+
+    @F.udf("boolean")
+    def keep(index_json: str) -> bool:
+        idx = Index.from_json(index_json)
+        return all(
+            pos.value < nkeep
+            for dim, pos in idx.items()
+            if dim.name in concat_dims
+        )
+
+    return df.filter(keep("index"))
+
+
+# ---------------------------------------------------------------------------
+# url opening / caching (reference ``transforms.py:93-175``)
+# ---------------------------------------------------------------------------
+
+
+def open_urls_with_fsspec(
+    df: DataFrame,
+    cache: Optional[Union[str, CacheFSSpecTarget]] = None,
+    secrets: Optional[dict] = None,
+    open_kwargs: Optional[dict] = None,
+    max_concurrency: Optional[int] = None,
+) -> DataFrame:
+    """Resolve/cache source urls (reference ``OpenURLWithFSSpec``,
+    ``transforms.py:140-175``). ``max_concurrency`` caps simultaneous
+    source-server connections by limiting partitions — Spark's rendition of
+    ``MapWithConcurrencyLimit`` (``transforms.py:93-136``), with better
+    balance than the reference's random-key grouping."""
+    if isinstance(cache, str):
+        cache = CacheFSSpecTarget.from_url(cache)
+    if max_concurrency:
+        df = df.repartition(max_concurrency)
+
+    def resolve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["url"] = [
+                open_url(u, cache=cache, secrets=secrets, open_kwargs=open_kwargs)
+                for u in pdf["url"]
+            ]
+            yield pdf
+
+    return df.mapInPandas(resolve, MANIFEST_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# open stage (reference ``OpenWithXarray``, ``transforms.py:216-246``)
+# ---------------------------------------------------------------------------
+
+
+def open_with_ndset_df(
+    df: DataFrame,
+    file_type: Union[str, FileType] = FileType.npz,
+    load: bool = True,
+    copy_to_local: bool = False,
+    xarray_open_kwargs: Optional[dict] = None,
+    preprocess: Optional[Callable[[Index, NDDataset], Tuple[Index, NDDataset]]] = None,
+) -> DataFrame:
+    """Open each manifest row as an NDDataset fragment → ``(index, payload)``
+    rows with pickled payloads. ``preprocess`` is the user-UDF surface
+    (reference preprocessors, ``docs/composition/transforms.md:47-55``) —
+    an arbitrary ``f(Index, NDDataset) -> (Index, NDDataset)``."""
+    ft = FileType(file_type) if isinstance(file_type, str) else file_type
+
+    def open_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_idx, out_payload = [], []
+            for idx_json, url in zip(pdf["index"], pdf["url"]):
+                ds = open_with_ndset(
+                    url,
+                    file_type=ft,
+                    load=load,
+                    copy_to_local=copy_to_local,
+                    xarray_open_kwargs=xarray_open_kwargs,
+                )
+                index = Index.from_json(idx_json)
+                if preprocess is not None:
+                    index, ds = preprocess(index, ds)
+                out_idx.append(index.to_json())
+                out_payload.append(ds.to_bytes())
+            yield pd.DataFrame({"index": out_idx, "payload": out_payload})
+
+    return df.mapInPandas(open_batch, FRAGMENT_SCHEMA)
+
+
+def map_fragments(
+    df: DataFrame,
+    fn: Callable[[Index, NDDataset], Tuple[Index, NDDataset]],
+) -> DataFrame:
+    """Lift ``f(Index, NDDataset) -> (Index, NDDataset)`` over a fragment
+    DataFrame — the ``@recipe_transform`` preprocessor surface (SURVEY
+    §2.10)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            idx_out, payload_out = [], []
+            for idx_json, payload in zip(pdf["index"], pdf["payload"]):
+                index, ds = fn(Index.from_json(idx_json), NDDataset.from_bytes(payload))
+                idx_out.append(index.to_json())
+                payload_out.append(ds.to_bytes())
+            yield pd.DataFrame({"index": idx_out, "payload": payload_out})
+
+    return df.mapInPandas(run, FRAGMENT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# schema pass (reference ``DetermineSchema``, ``transforms.py:276-301``)
+# ---------------------------------------------------------------------------
+
+
+def read_schemas_df(
+    df: DataFrame, file_type: Union[str, FileType] = FileType.npz
+) -> DataFrame:
+    """Metadata-only per-file schemas: ``(index, schema)`` rows. Reads file
+    headers/zarr.json only — array payloads are never touched."""
+    ft = FileType(file_type) if isinstance(file_type, str) else file_type
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "index": pdf["index"],
+                    "schema": [
+                        schema_to_json(read_schema(u, ft)) for u in pdf["url"]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(scan, "index string, schema string")
+
+
+def schemas_from_fragments(df: DataFrame) -> DataFrame:
+    """``DatasetToSchema`` (reference ``transforms.py:270-273``): schema rows
+    from already-opened fragments."""
+
+    def conv(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "index": pdf["index"],
+                    "schema": [
+                        schema_to_json(dataset_to_schema(NDDataset.from_bytes(p)))
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(conv, "index string, schema string")
+
+
+def _combine_level_fn(dim: Dimension) -> Callable[[pd.DataFrame], pd.DataFrame]:
+    """Combiner for one nesting level: fold a group's schemas along ``dim``,
+    injecting the per-position sequence chunks for concat dims exactly as
+    the reference's ``CombineXarraySchemas.add_input`` does
+    (``combiners.py:36-51``)."""
+    concat_name = dim.name if dim.operation == CombineOp.CONCAT else None
+
+    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc: Optional[XarraySchema] = None
+        outer_json = None
+        for idx_json, schema_json in zip(pdf["index"], pdf["schema"]):
+            index = Index.from_json(idx_json)
+            schema = schema_from_json(schema_json)
+            if concat_name is not None:
+                assert concat_name not in schema["chunks"], (
+                    "Concat dim should be unchunked for new input"
+                )
+                position = index[dim].value
+                schema["chunks"][concat_name] = {
+                    position: schema["dims"][concat_name]
+                }
+            acc = combine_xarray_schemas(acc, schema, concat_dim=concat_name)
+            if outer_json is None:
+                outer = Index({k: v for k, v in index.items() if k != dim})
+                outer_json = outer.to_json()
+        return pd.DataFrame({"index": [outer_json], "schema": [schema_to_json(acc)]})
+
+    return combine
+
+
+def determine_schema(
+    schemas_df: DataFrame, combine_dims: List[Dimension]
+) -> XarraySchema:
+    """Multi-dimensional schema reduction → the single global schema
+    (reference ``DetermineSchema``, ``transforms.py:276-301``): one
+    ``groupBy(outer_index).applyInPandas`` level per combine dim, innermost
+    first — the Spark rendition of ``_NestDim`` + ``CombinePerKey``. Schema
+    rows are tiny (KBs); these shuffles move metadata, never data."""
+    df = schemas_df
+
+    @F.udf("string")
+    def outer_index_json(index_json: str, dim_name: str, dim_op: str) -> str:
+        idx = Index.from_json(index_json)
+        d = Dimension(dim_name, CombineOp[dim_op])
+        return Index({k: v for k, v in idx.items() if k != d}).to_json()
+
+    cdims = list(combine_dims)
+    while cdims:
+        dim = cdims.pop()
+        fn = _combine_level_fn(dim)
+        df = (
+            df.withColumn(
+                "outer", outer_index_json("index", F.lit(dim.name), F.lit(dim.operation.name))
+            )
+            .groupBy("outer")
+            .applyInPandas(
+                lambda pdf, fn=fn: fn(pdf), "index string, schema string"
+            )
+        )
+    rows = df.collect()
+    if len(rows) != 1:
+        raise ValueError(f"schema reduction produced {len(rows)} rows, expected 1")
+    return schema_from_json(rows[0]["schema"])
+
+
+# ---------------------------------------------------------------------------
+# IndexItems (reference ``transforms.py:304-328``)
+# ---------------------------------------------------------------------------
+
+
+def _sequence_lens(schema: XarraySchema) -> Dict[str, List[int]]:
+    out = {}
+    for dim, posmap in schema["chunks"].items():
+        out[dim] = [posmap[i] for i in range(len(posmap))]
+    return out
+
+
+def index_items(df: DataFrame, schema: XarraySchema, append_offset: int = 0) -> DataFrame:
+    """Enrich concat-dim positions with element start offsets + global
+    dimsize via prefix sums over the schema's sequence chunks (reference
+    ``IndexItems`` + ``augment_index_with_start_stop``,
+    ``transforms.py:304-328``, ``patterns.py:66-82``). The (tiny) prefix-sum
+    table is captured in the closure — the broadcast side input of the
+    reference."""
+    seq_lens = _sequence_lens(schema)
+
+    @F.udf("string")
+    def augment(index_json: str) -> str:
+        index = Index.from_json(index_json)
+        new = Index()
+        for dimkey, dimval in index.items():
+            if dimkey.operation == CombineOp.CONCAT:
+                item_lens = seq_lens[dimkey.name]
+                dimval = augment_index_with_start_stop(dimval, item_lens, append_offset)
+            new[dimkey] = dimval
+        return new.to_json()
+
+    return df.withColumn("index", augment("index"))
+
+
+# ---------------------------------------------------------------------------
+# rechunk (reference ``Rechunk``, ``transforms.py:401-417``)
+# ---------------------------------------------------------------------------
+
+
+def split_fragments_df(
+    df: DataFrame,
+    target_chunks: Optional[Dict[str, int]] = None,
+    schema: Optional[XarraySchema] = None,
+) -> DataFrame:
+    """FlatMap each fragment into per-target-chunk sub-fragments keyed by
+    group key (reference ``split_fragment``)."""
+
+    def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for idx_json, payload in zip(pdf["index"], pdf["payload"]):
+                fragment = (Index.from_json(idx_json), NDDataset.from_bytes(payload))
+                keys, idxs, payloads = [], [], []
+                for gk, (sub_idx, sub_ds) in split_fragment(
+                    fragment, target_chunks=target_chunks, schema=schema
+                ):
+                    keys.append(group_key_to_json(gk))
+                    idxs.append(sub_idx.to_json())
+                    payloads.append(sub_ds.to_bytes())
+                yield pd.DataFrame(
+                    {"group_key": keys, "index": idxs, "payload": payloads}
+                )
+
+    return df.mapInPandas(split, SPLIT_SCHEMA)
+
+
+def combine_fragments_df(df_split: DataFrame) -> DataFrame:
+    """THE shuffle: co-locate all sub-fragments of one target chunk and
+    reassemble (reference GroupByKey + ``combine_fragments``,
+    ``transforms.py:406-417``). Returns combined ``(index, payload)``
+    fragments (used in tests; production uses the fused
+    :func:`rechunk_and_store`)."""
+
+    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        frags = [
+            (Index.from_json(i), NDDataset.from_bytes(p))
+            for i, p in zip(pdf["index"], pdf["payload"])
+        ]
+        index, ds = combine_fragments(None, frags)
+        return pd.DataFrame({"index": [index.to_json()], "payload": [ds.to_bytes()]})
+
+    return df_split.groupBy("group_key").applyInPandas(combine, FRAGMENT_SCHEMA)
+
+
+def rechunk_and_store(
+    df_split: DataFrame,
+    target_store_path: str,
+) -> DataFrame:
+    """Fused combine+write: each group assembles its target chunk and writes
+    its aligned region in the same task (reference stages
+    ``transforms.py:414`` + ``StoreDatasetFragments``; Beam fuses them at
+    runtime, we fuse them structurally). Only tiny status rows return."""
+
+    def combine_write(pdf: pd.DataFrame) -> pd.DataFrame:
+        frags = [
+            (Index.from_json(i), NDDataset.from_bytes(p))
+            for i, p in zip(pdf["index"], pdf["payload"])
+        ]
+        index, ds = combine_fragments(None, frags)
+        store_dataset_fragment((index, ds), target_store_path)
+        nbytes = int(sum(v.data.nbytes for v in ds.variables.values()))
+        return pd.DataFrame(
+            {
+                "group_key": [pdf["group_key"].iloc[0]],
+                "index": [index.to_json()],
+                "n_vars": [len(ds.data_vars)],
+                "nbytes": [nbytes],
+            }
+        )
+
+    return df_split.groupBy("group_key").applyInPandas(combine_write, STATUS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# StoreToZarr — the master composite (reference ``transforms.py:638-725``)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class StoreResult:
+    """What a pipeline run returns: the store location + the global schema +
+    write statistics (the reference returns a singleton store handle via
+    ``Sample.FixedSizeGlobally(1)``, ``transforms.py:719-723``)."""
+
+    path: str
+    schema: XarraySchema
+    n_chunks_written: int
+    bytes_written: int
+
+    def open(self) -> NDDataset:
+        return open_zarr_group(self.path)
+
+
+def store_to_zarr(
+    spark: SparkSession,
+    pattern: FilePattern,
+    target_root: Union[str, FSSpecTarget],
+    store_name: str,
+    target_chunks: Optional[Dict[str, int]] = None,
+    attrs: Optional[Dict[str, str]] = None,
+    append_dim: Optional[str] = None,
+    dynamic_chunking_fn: Optional[Callable[[XarraySchema], Dict[str, int]]] = None,
+    cache: Optional[Union[str, CacheFSSpecTarget]] = None,
+    secrets: Optional[dict] = None,
+    open_kwargs: Optional[dict] = None,
+    max_concurrency: Optional[int] = None,
+    preprocess: Optional[Callable[[Index, NDDataset], Tuple[Index, NDDataset]]] = None,
+    consolidate_coords: bool = True,
+    consolidated_metadata: bool = True,
+    compressor: Optional[str] = None,
+    prune: Optional[int] = None,
+) -> StoreResult:
+    """End-to-end Zarr pipeline (reference ``StoreToZarr``,
+    ``transforms.py:638-725``):
+
+    manifest → [cache] → schema pre-pass (metadata only, treeAggregate-style
+    reduce) → driver Zarr template init → IndexItems → open (+user
+    preprocessor) → split → shuffle-combine-write (fused) → post-passes.
+    """
+    if target_chunks and dynamic_chunking_fn:
+        raise ValueError("Passing both `target_chunks` and `dynamic_chunking_fn` not allowed.")
+    target = (
+        FSSpecTarget.from_url(target_root) if isinstance(target_root, str) else target_root
+    )
+    store_path = (target / store_name).root_path
+    file_type = pattern.file_type
+
+    manifest = manifest_df(spark, pattern)
+    if prune:
+        manifest = prune_manifest(manifest, pattern, nkeep=prune)
+    if cache is not None or secrets or max_concurrency:
+        manifest = open_urls_with_fsspec(
+            manifest, cache=cache, secrets=secrets,
+            open_kwargs=open_kwargs, max_concurrency=max_concurrency,
+        )
+
+    # pass 1: metadata-only global schema
+    schemas = read_schemas_df(manifest, file_type)
+    schema = determine_schema(schemas, pattern.combine_dim_keys)
+
+    if dynamic_chunking_fn:
+        target_chunks = dynamic_chunking_fn(schema)
+    target_chunks = target_chunks or {}
+
+    # append support: introspect existing store *at run time* (reference
+    # does it at plan-construction, transforms.py:679-693; explicitly
+    # NOT idempotent)
+    append_offset = 0
+    if append_dim:
+        existing = zarr_group_schema(store_path)
+        append_offset = existing["dims"][append_dim]
+
+    # driver-side, metadata-only target init
+    schema_to_zarr(
+        schema,
+        store_path,
+        target_chunks=target_chunks,
+        attrs=attrs,
+        append_dim=append_dim,
+        compressor=compressor,
+    )
+
+    # pass 2: data
+    indexed = index_items(manifest, schema, append_offset=append_offset)
+    fragments = open_with_ndset_df(indexed, file_type, preprocess=preprocess)
+    split = split_fragments_df(fragments, target_chunks=target_chunks, schema=schema)
+    statuses = rechunk_and_store(split, store_path)
+    agg = statuses.agg(
+        F.count("*").alias("n"), F.coalesce(F.sum("nbytes"), F.lit(0)).alias("b")
+    ).collect()[0]
+
+    if consolidate_coords:
+        _consolidate_coords(store_path)
+    if consolidated_metadata:
+        _consolidate_metadata(store_path)
+
+    return StoreResult(
+        path=store_path,
+        schema=schema,
+        n_chunks_written=int(agg["n"]),
+        bytes_written=int(agg["b"]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# kerchunk branch (reference ``transforms.py:428-635``)
+# ---------------------------------------------------------------------------
+
+
+def open_with_kerchunk_df(
+    df: DataFrame,
+    file_type: Union[str, FileType] = FileType.npz,
+    concat_dim: Optional[str] = None,
+    inline_threshold: int = 300,
+) -> DataFrame:
+    """Scan each file into reference dicts → ``(index, pos, refs)`` rows
+    (reference ``OpenWithKerchunk``, ``transforms.py:178-213``)."""
+    import json as _json
+
+    ft = FileType(file_type) if isinstance(file_type, str) else file_type
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_i, out_p, out_r = [], [], []
+            for idx_json, url in zip(pdf["index"], pdf["url"]):
+                index = Index.from_json(idx_json)
+                pos = 0
+                if concat_dim:
+                    d = index.find_concat_dim(concat_dim)
+                    if d:
+                        pos = index[d].value
+                for ref in open_with_kerchunk(
+                    url, file_type=ft, inline_threshold=inline_threshold
+                ):
+                    out_i.append(idx_json)
+                    out_p.append(pos)
+                    out_r.append(_json.dumps(ref))
+            yield pd.DataFrame({"index": out_i, "pos": out_p, "refs": out_r})
+
+    return df.mapInPandas(scan, "index string, pos long, refs string")
+
+
+def combine_references_df(
+    refs_df: DataFrame,
+    concat_dims: List[str],
+    max_refs_per_merge: int = 5,
+) -> dict:
+    """Order-preserving two-level reduction of per-file references
+    (reference ``CombineReferences``, ``transforms.py:428-554``): global
+    (min,max,count) of positions → range partitioning by position (the
+    built-in rendition of the reference's manual ``bucket_by_position``) →
+    per-partition ordered local combine → driver-side final merge of the
+    few partials."""
+    import json as _json
+
+    stats = refs_df.agg(
+        F.min("pos").alias("mn"), F.max("pos").alias("mx"), F.count("*").alias("ct")
+    ).collect()[0]
+    count = stats["ct"]
+    if count == 0:
+        raise ValueError("no references to combine")
+    nbuckets = max(1, -(-count // max_refs_per_merge))
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .kerchunkio import combine_references
+
+        rows: List[Tuple[int, dict]] = []
+        for pdf in batches:
+            rows.extend(
+                (int(p), _json.loads(r)) for p, r in zip(pdf["pos"], pdf["refs"])
+            )
+        if rows:
+            rows.sort(key=lambda t: t[0])
+            combined = combine_references([r for _, r in rows], concat_dims)
+            yield pd.DataFrame(
+                {"min_pos": [rows[0][0]], "refs": [_json.dumps(combined)]}
+            )
+
+    partials = (
+        refs_df.repartitionByRange(nbuckets, "pos")
+        .sortWithinPartitions("pos")
+        .mapInPandas(partial, "min_pos long, refs string")
+        .collect()
+    )
+    from .kerchunkio import combine_references
+
+    ordered = [
+        _json.loads(r["refs"]) for r in sorted(partials, key=lambda r: r["min_pos"])
+    ]
+    return combine_references(ordered, concat_dims)
+
+
+def write_combined_reference(
+    spark: SparkSession,
+    pattern: FilePattern,
+    target_root: Union[str, FSSpecTarget],
+    store_name: str,
+    concat_dims: Optional[List[str]] = None,
+    output_file_name: str = "reference.json",
+    max_refs_per_merge: int = 5,
+    inline_threshold: int = 300,
+) -> str:
+    """Kerchunk composite (reference ``WriteCombinedReference``,
+    ``transforms.py:589-635``): scan → ordered reduce → write json/parquet.
+    Returns the reference artifact path (readable via
+    ``kerchunkio.open_reference_dataset``)."""
+    from .kerchunkio import write_reference_json, write_reference_parquet
+
+    target = (
+        FSSpecTarget.from_url(target_root) if isinstance(target_root, str) else target_root
+    )
+    concat_dims = concat_dims or pattern.concat_dims
+    if len(concat_dims) != 1:
+        raise NotImplementedError("kerchunk combine supports exactly one concat dim")
+
+    manifest = manifest_df(spark, pattern)
+    refs_df = open_with_kerchunk_df(
+        manifest, pattern.file_type, concat_dim=concat_dims[0],
+        inline_threshold=inline_threshold,
+    )
+    combined = combine_references_df(refs_df, concat_dims, max_refs_per_merge)
+
+    outpath = os.path.join(target.root_path, store_name, output_file_name)
+    ext = os.path.splitext(output_file_name)[-1]
+    if ext == ".json":
+        return write_reference_json(combined, outpath)
+    if ext == ".parquet":
+        return write_reference_parquet(combined, outpath)
+    raise NotImplementedError(f"file_ext={ext!r} not supported.")

@@ -1,0 +1,414 @@
+"""Minimal Zarr v3 store: create / region-write / read / consolidate.
+
+zarr-python is not available in this environment, so the engine carries its
+own implementation of the Zarr v3 core format (JSON ``zarr.json`` metadata
+documents + binary chunk objects under ``c/<i>/<j>/...``), covering exactly
+what the pipeline needs (reference usages: template init
+``aggregation.py:254-281``, region writes ``writers.py:32-54``, coordinate
+consolidation ``rechunking.py:251-283``, metadata consolidation
+``writers.py:72-92``).
+
+Storage goes through the tiny :class:`Store` key/value interface so the same
+writer code targets local disk today and an object store (s3/gcs keys map
+1:1) on a real cluster. All writes are idempotent puts of deterministic
+bytes — safe under Spark task retries; region writes aligned to chunk
+boundaries touch disjoint keys, so concurrent executors never contend
+(the invariant the reference enforces at ``writers.py:43-53``).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import zlib
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+ZARR_JSON = "zarr.json"
+
+# numpy dtype <-> zarr v3 data_type names
+_DTYPE_TO_ZARR = {
+    "bool": "bool",
+    "int8": "int8",
+    "int16": "int16",
+    "int32": "int32",
+    "int64": "int64",
+    "uint8": "uint8",
+    "uint16": "uint16",
+    "uint32": "uint32",
+    "uint64": "uint64",
+    "float16": "float16",
+    "float32": "float32",
+    "float64": "float64",
+}
+_ZARR_TO_DTYPE = {v: k for k, v in _DTYPE_TO_ZARR.items()}
+
+
+class Store:
+    """Key/value storage interface (strings keys, bytes values)."""
+
+    def get(self, key: str) -> bytes:
+        raise NotImplementedError
+
+    def put(self, key: str, value: bytes) -> None:
+        raise NotImplementedError
+
+    def exists(self, key: str) -> bool:
+        raise NotImplementedError
+
+    def list_prefix(self, prefix: str) -> Iterator[str]:
+        raise NotImplementedError
+
+    def rm_prefix(self, prefix: str) -> None:
+        raise NotImplementedError
+
+
+class LocalStore(Store):
+    """Filesystem-backed store rooted at a directory."""
+
+    def __init__(self, root: str):
+        self.root = str(root)
+        os.makedirs(self.root, exist_ok=True)
+
+    def _path(self, key: str) -> str:
+        return os.path.join(self.root, key)
+
+    def get(self, key: str) -> bytes:
+        with open(self._path(key), "rb") as f:
+            return f.read()
+
+    def put(self, key: str, value: bytes) -> None:
+        path = self._path(key)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(value)
+        os.replace(tmp, path)  # atomic on POSIX — idempotent under retries
+
+    def exists(self, key: str) -> bool:
+        return os.path.exists(self._path(key))
+
+    def list_prefix(self, prefix: str) -> Iterator[str]:
+        base = self._path(prefix)
+        if not os.path.isdir(base):
+            return
+        for dirpath, _, files in os.walk(base):
+            for fn in files:
+                full = os.path.join(dirpath, fn)
+                yield os.path.relpath(full, self.root)
+
+    def rm_prefix(self, prefix: str) -> None:
+        import shutil
+
+        base = self._path(prefix)
+        if os.path.isdir(base):
+            shutil.rmtree(base)
+        elif os.path.exists(base):
+            os.remove(base)
+
+
+def _store_for(path_or_store) -> Store:
+    if isinstance(path_or_store, Store):
+        return path_or_store
+    return LocalStore(str(path_or_store))
+
+
+def _encode_fill(value, dtype: np.dtype):
+    if value is None:
+        return 0
+    if dtype.kind == "f":
+        v = float(value)
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "Infinity" if v > 0 else "-Infinity"
+        return v
+    if dtype.kind == "b":
+        return bool(value)
+    return int(value)
+
+
+def _decode_fill(value, dtype: np.dtype):
+    if dtype.kind == "f" and isinstance(value, str):
+        return {"NaN": math.nan, "Infinity": math.inf, "-Infinity": -math.inf}[value]
+    return value
+
+
+class ZarrArray:
+    """One Zarr v3 array node: regular chunk grid, ``bytes`` (little-endian)
+    codec with optional ``gzip`` compression, edge chunks stored full-size
+    and padded with the fill value."""
+
+    def __init__(self, store: Store, path: str, meta: dict):
+        self.store = store
+        self.path = path  # "" for root-level array; else "name" or "a/b"
+        self.meta = meta
+
+    # -- properties -----------------------------------------------------------
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return tuple(self.meta["shape"])
+
+    @property
+    def chunks(self) -> Tuple[int, ...]:
+        return tuple(self.meta["chunk_grid"]["configuration"]["chunk_shape"])
+
+    @property
+    def dtype(self) -> np.dtype:
+        return np.dtype(_ZARR_TO_DTYPE[self.meta["data_type"]])
+
+    @property
+    def fill_value(self):
+        return _decode_fill(self.meta["fill_value"], self.dtype)
+
+    @property
+    def attrs(self) -> dict:
+        return self.meta.setdefault("attributes", {})
+
+    @property
+    def dimension_names(self) -> Optional[List[str]]:
+        return self.meta.get("dimension_names")
+
+    @property
+    def compressed(self) -> bool:
+        return any(c["name"] == "gzip" for c in self.meta["codecs"])
+
+    @property
+    def nchunks(self) -> Tuple[int, ...]:
+        return tuple(
+            -(-s // c) if s else 0 for s, c in zip(self.shape, self.chunks)
+        )
+
+    def _key(self, chunk_idx: Tuple[int, ...]) -> str:
+        sep = self.meta["chunk_key_encoding"]["configuration"].get("separator", "/")
+        parts = ["c"] + [str(i) for i in chunk_idx]
+        name = sep.join(parts) if chunk_idx else "c"
+        return f"{self.path}/{name}" if self.path else name
+
+    # -- codec ----------------------------------------------------------------
+    def _encode_chunk(self, arr: np.ndarray) -> bytes:
+        buf = np.ascontiguousarray(arr, dtype=self.dtype.newbyteorder("<")).tobytes()
+        if self.compressed:
+            buf = zlib.compress(buf, 1)
+        return buf
+
+    def _decode_chunk(self, buf: bytes) -> np.ndarray:
+        if self.compressed:
+            buf = zlib.decompress(buf)
+        arr = np.frombuffer(buf, dtype=self.dtype.newbyteorder("<")).astype(
+            self.dtype, copy=False
+        )
+        return arr.reshape(self.chunks)
+
+    def _full_chunk(self) -> np.ndarray:
+        return np.full(self.chunks, self.fill_value, dtype=self.dtype)
+
+    # -- region IO ------------------------------------------------------------
+    def _normalize_region(self, region) -> Tuple[slice, ...]:
+        if not isinstance(region, tuple):
+            region = (region,)
+        out = []
+        for sl, size in zip(region, self.shape):
+            if isinstance(sl, slice):
+                start, stop, step = sl.indices(size)
+                if step != 1:
+                    raise IndexError("only step-1 regions supported")
+                out.append(slice(start, stop))
+            else:
+                out.append(slice(int(sl), int(sl) + 1))
+        # implicit full slices for trailing dims
+        for size in self.shape[len(out):]:
+            out.append(slice(0, size))
+        return tuple(out)
+
+    def _intersecting_chunks(self, region: Tuple[slice, ...]) -> Iterator[Tuple[int, ...]]:
+        ranges = [
+            range(sl.start // c, -(-sl.stop // c) if sl.stop > sl.start else sl.start // c)
+            for sl, c in zip(region, self.chunks)
+        ]
+        import itertools
+
+        return itertools.product(*ranges)
+
+    def __setitem__(self, region, value) -> None:
+        """Region write. Chunk-aligned regions (the pipeline invariant,
+        reference ``writers.py:43-53``) are pure puts; misaligned interior
+        writes fall back to read-modify-write of the touched chunks (only
+        used by driver-side post-passes, never concurrently)."""
+        region = self._normalize_region(region)
+        value = np.asarray(value, dtype=self.dtype)
+        region_shape = tuple(sl.stop - sl.start for sl in region)
+        value = np.broadcast_to(value, region_shape)
+        for chunk_idx in self._intersecting_chunks(region):
+            c_start = [i * c for i, c in zip(chunk_idx, self.chunks)]
+            c_stop = [min(s + c, dim) for s, c, dim in zip(c_start, self.chunks, self.shape)]
+            # overlap in array space
+            o_start = [max(cs, sl.start) for cs, sl in zip(c_start, region)]
+            o_stop = [min(ce, sl.stop) for ce, sl in zip(c_stop, region)]
+            covers_chunk = o_start == c_start and o_stop == c_stop
+            key = self._key(chunk_idx)
+            if covers_chunk:
+                chunk_data = self._full_chunk()
+            elif self.store.exists(key):
+                chunk_data = self._decode_chunk(self.store.get(key)).copy()
+            else:
+                chunk_data = self._full_chunk()
+            in_chunk = tuple(
+                slice(a - cs, b - cs) for a, b, cs in zip(o_start, o_stop, c_start)
+            )
+            in_value = tuple(
+                slice(a - sl.start, b - sl.start) for a, b, sl in zip(o_start, o_stop, region)
+            )
+            chunk_data[in_chunk] = value[in_value]
+            self.store.put(key, self._encode_chunk(chunk_data))
+
+    def __getitem__(self, region) -> np.ndarray:
+        region = self._normalize_region(region)
+        shape = tuple(sl.stop - sl.start for sl in region)
+        out = np.full(shape, self.fill_value, dtype=self.dtype)
+        for chunk_idx in self._intersecting_chunks(region):
+            key = self._key(chunk_idx)
+            c_start = [i * c for i, c in zip(chunk_idx, self.chunks)]
+            c_stop = [min(s + c, dim) for s, c, dim in zip(c_start, self.chunks, self.shape)]
+            o_start = [max(cs, sl.start) for cs, sl in zip(c_start, region)]
+            o_stop = [min(ce, sl.stop) for ce, sl in zip(c_stop, region)]
+            if self.store.exists(key):
+                chunk_data = self._decode_chunk(self.store.get(key))
+            else:
+                chunk_data = self._full_chunk()
+            in_chunk = tuple(
+                slice(a - cs, b - cs) for a, b, cs in zip(o_start, o_stop, c_start)
+            )
+            in_out = tuple(
+                slice(a - sl.start, b - sl.start) for a, b, sl in zip(o_start, o_stop, region)
+            )
+            out[in_out] = chunk_data[in_chunk]
+        return out
+
+    def read(self) -> np.ndarray:
+        return self[tuple(slice(0, s) for s in self.shape)]
+
+    def flush_meta(self) -> None:
+        key = f"{self.path}/{ZARR_JSON}" if self.path else ZARR_JSON
+        self.store.put(key, json.dumps(self.meta, indent=1).encode())
+
+    def resize(self, new_shape: Sequence[int]) -> None:
+        """Grow the array (append mode, reference ``transforms.py:673-693``)."""
+        self.meta["shape"] = [int(s) for s in new_shape]
+        self.flush_meta()
+
+
+class ZarrGroup:
+    """Zarr v3 group node."""
+
+    def __init__(self, store: Store, meta: Optional[dict] = None):
+        self.store = store
+        self.meta = meta or {
+            "zarr_format": 3,
+            "node_type": "group",
+            "attributes": {},
+        }
+
+    @property
+    def attrs(self) -> dict:
+        return self.meta.setdefault("attributes", {})
+
+    def flush_meta(self) -> None:
+        self.store.put(ZARR_JSON, json.dumps(self.meta, indent=1).encode())
+
+    def array_names(self) -> List[str]:
+        names = set()
+        for key in self.store.list_prefix(""):
+            parts = key.split("/")
+            if len(parts) == 2 and parts[1] == ZARR_JSON:
+                names.add(parts[0])
+        return sorted(names)
+
+    def __contains__(self, name: str) -> bool:
+        return self.store.exists(f"{name}/{ZARR_JSON}")
+
+    def __getitem__(self, name: str) -> ZarrArray:
+        meta = json.loads(self.store.get(f"{name}/{ZARR_JSON}"))
+        if meta.get("node_type") != "array":
+            raise KeyError(f"{name} is not an array")
+        return ZarrArray(self.store, name, meta)
+
+    def __delitem__(self, name: str) -> None:
+        self.store.rm_prefix(name)
+
+    def create_array(
+        self,
+        name: str,
+        shape: Sequence[int],
+        chunks: Sequence[int],
+        dtype,
+        fill_value=0,
+        attributes: Optional[dict] = None,
+        dimension_names: Optional[Sequence[str]] = None,
+        compressor: Optional[str] = None,
+        overwrite: bool = False,
+    ) -> ZarrArray:
+        dtype = np.dtype(dtype)
+        if str(dtype) not in _DTYPE_TO_ZARR:
+            raise TypeError(f"dtype {dtype} has no zarr v3 mapping")
+        if overwrite and name in self:
+            del self[name]
+        codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
+        if compressor == "gzip":
+            codecs.append({"name": "gzip", "configuration": {"level": 1}})
+        meta = {
+            "zarr_format": 3,
+            "node_type": "array",
+            "shape": [int(s) for s in shape],
+            "data_type": _DTYPE_TO_ZARR[str(dtype)],
+            "chunk_grid": {
+                "name": "regular",
+                "configuration": {"chunk_shape": [int(c) for c in chunks]},
+            },
+            "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+            "fill_value": _encode_fill(fill_value, dtype),
+            "codecs": codecs,
+            "attributes": attributes or {},
+        }
+        if dimension_names is not None:
+            meta["dimension_names"] = list(dimension_names)
+        arr = ZarrArray(self.store, name, meta)
+        arr.flush_meta()
+        return arr
+
+
+def create_group(path_or_store, attrs: Optional[dict] = None, overwrite: bool = False) -> ZarrGroup:
+    store = _store_for(path_or_store)
+    if overwrite:
+        store.rm_prefix("")
+    group = ZarrGroup(store)
+    if attrs:
+        group.attrs.update(attrs)
+    group.flush_meta()
+    return group
+
+
+def open_group(path_or_store) -> ZarrGroup:
+    store = _store_for(path_or_store)
+    meta = json.loads(store.get(ZARR_JSON))
+    if meta.get("node_type") != "group":
+        raise ValueError("not a zarr v3 group")
+    return ZarrGroup(store, meta)
+
+
+def consolidate_metadata(path_or_store) -> ZarrGroup:
+    """Inline every child node's metadata into the root ``zarr.json``
+    (zarr v3 consolidated-metadata extension; reference ``writers.py:72-92``)."""
+    group = open_group(path_or_store)
+    consolidated = {}
+    for name in group.array_names():
+        consolidated[name] = json.loads(group.store.get(f"{name}/{ZARR_JSON}"))
+    group.meta["consolidated_metadata"] = {
+        "kind": "inline",
+        "must_understand": False,
+        "metadata": consolidated,
+    }
+    group.flush_meta()
+    return group

@@ -1,0 +1,236 @@
+"""Tests for the engine's own Zarr v3 implementation, the npz container,
+the dataset⇄store bridge, and kerchunk-style references."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pangeo_forge_recipes_spark.aggregation import dataset_to_schema
+from pangeo_forge_recipes_spark.dsio import (
+    consolidate_dimension_coordinates,
+    npz_schema,
+    open_zarr_group,
+    read_npz,
+    schema_to_zarr,
+    store_dataset_fragment,
+    write_npz,
+    zarr_group_schema,
+)
+from pangeo_forge_recipes_spark.kerchunkio import (
+    ReferenceStore,
+    combine_references,
+    open_reference_dataset,
+    read_reference_parquet,
+    scan_npz,
+    scan_zarr,
+    write_reference_json,
+    write_reference_parquet,
+)
+from pangeo_forge_recipes_spark.ndset import assert_equal
+from pangeo_forge_recipes_spark.types import (
+    CombineOp,
+    Dimension,
+    Index,
+    IndexedPosition,
+    Position,
+)
+from pangeo_forge_recipes_spark.zarrio import (
+    consolidate_metadata,
+    create_group,
+    open_group,
+)
+
+from .data_generation import make_ds
+
+
+# ---------------------------------------------------------------- zarrio
+
+
+def test_zarr_array_rw(tmp_path):
+    g = create_group(str(tmp_path / "s.zarr"))
+    a = g.create_array("x", shape=[10, 6], chunks=[4, 6], dtype="float64", fill_value=np.nan)
+    data = np.arange(60, dtype="f8").reshape(10, 6)
+    a[(slice(0, 10), slice(0, 6))] = data
+    g2 = open_group(str(tmp_path / "s.zarr"))
+    np.testing.assert_array_equal(g2["x"].read(), data)
+    # partial region read
+    np.testing.assert_array_equal(g2["x"][(slice(3, 7), slice(2, 4))], data[3:7, 2:4])
+    # unwritten chunks read as fill
+    b = g.create_array("y", shape=[5], chunks=[2], dtype="int64", fill_value=7)
+    np.testing.assert_array_equal(b.read(), np.full(5, 7))
+
+
+def test_zarr_misaligned_rmw(tmp_path):
+    g = create_group(str(tmp_path / "s.zarr"))
+    a = g.create_array("x", shape=[10], chunks=[4], dtype="int32")
+    a[(slice(0, 10),)] = np.zeros(10, "i4")
+    a[(slice(3, 6),)] = np.array([1, 2, 3], "i4")
+    np.testing.assert_array_equal(a.read(), [0, 0, 0, 1, 2, 3, 0, 0, 0, 0])
+
+
+def test_zarr_gzip_and_consolidate(tmp_path):
+    path = str(tmp_path / "s.zarr")
+    g = create_group(path, attrs={"title": "t"})
+    a = g.create_array("x", shape=[8], chunks=[4], dtype="float32", compressor="gzip")
+    a[(slice(0, 8),)] = np.arange(8, dtype="f4")
+    np.testing.assert_array_equal(open_group(path)["x"].read(), np.arange(8, dtype="f4"))
+    consolidate_metadata(path)
+    meta = json.loads(open(os.path.join(path, "zarr.json")).read())
+    assert "x" in meta["consolidated_metadata"]["metadata"]
+
+
+# ---------------------------------------------------------------- npz
+
+
+@pytest.mark.parametrize("non_dim_coords", [False, True])
+def test_npz_roundtrip(tmp_path, non_dim_coords):
+    ds = make_ds(nt=5, non_dim_coords=non_dim_coords)
+    p = str(tmp_path / "d.npz")
+    write_npz(p, ds)
+    rt = read_npz(p)
+    assert_equal(rt, ds)
+    schema = npz_schema(p)
+    assert schema["dims"] == ds.sizes
+    assert schema["coords"]["time"]["dtype"] == "datetime64[ns]"
+    if non_dim_coords:
+        assert "baz" in schema["coords"]
+
+
+# ---------------------------------------------------------------- dsio
+
+
+def test_schema_to_zarr_and_fragment_writes(tmp_path):
+    ds = make_ds(nt=10, non_dim_coords=True)
+    path = str(tmp_path / "t.zarr")
+    schema = dataset_to_schema(ds)
+    schema_to_zarr(schema, path, target_chunks={"time": 2})
+    tdim = Dimension("time", CombineOp.CONCAT)
+    # write every chunk as a fragment
+    for i in range(5):
+        sub = ds.isel(time=slice(2 * i, 2 * i + 2))
+        idx = Index({tdim: IndexedPosition(2 * i, dimsize=10)})
+        store_dataset_fragment((idx, sub), path)
+    rt = open_zarr_group(path)
+    assert_equal(rt, ds)
+    # metadata-only schema reader agrees
+    s2 = zarr_group_schema(path)
+    assert s2["dims"] == ds.sizes
+    assert s2["coords"]["time"]["dtype"] == "datetime64[ns]"
+
+
+def test_misaligned_region_raises(tmp_path):
+    ds = make_ds(nt=10)
+    path = str(tmp_path / "t.zarr")
+    schema_to_zarr(dataset_to_schema(ds), path, target_chunks={"time": 4})
+    tdim = Dimension("time", CombineOp.CONCAT)
+    sub = ds.isel(time=slice(2, 4))
+    idx = Index({tdim: IndexedPosition(2, dimsize=10)})
+    with pytest.raises(ValueError, match="does not align"):
+        store_dataset_fragment((idx, sub), path)
+
+
+def test_coordinate_ownership(tmp_path):
+    """Coords written only by merge-first owners; non-concat coords only by
+    the global first item (reference writers.py:57-69,110-122)."""
+    ds = make_ds(nt=4, non_dim_coords=True)
+    path = str(tmp_path / "t.zarr")
+    schema_to_zarr(dataset_to_schema(ds), path, target_chunks={"time": 2})
+    tdim = Dimension("time", CombineOp.CONCAT)
+    mdim = Dimension("variable", CombineOp.MERGE)
+    # second-in-merge-dim fragment: must not write coords
+    sub = ds.isel(time=slice(2, 4)).drop_vars(["foo"])
+    idx = Index({tdim: IndexedPosition(2, dimsize=4), mdim: Position(1)})
+    store_dataset_fragment((idx, sub), path)
+    g = open_group(path)
+    # bar region written
+    np.testing.assert_array_equal(
+        g["bar"][(slice(2, 4),)], ds.data_vars["bar"].data[2:4]
+    )
+    # but time coord for that region untouched (still fill=0 → epoch)
+    assert not any(
+        k.startswith("time/c") for k in g.store.list_prefix("time/")
+    )
+    # first-in-merge fragment writes its concat-dim coords region only
+    sub0 = ds.isel(time=slice(2, 4)).drop_vars(["bar"])
+    idx0 = Index({tdim: IndexedPosition(2, dimsize=4), mdim: Position(0)})
+    store_dataset_fragment((idx0, sub0), path)
+    g = open_group(path)
+    assert any(k.startswith("time/c") for k in g.store.list_prefix("time/"))
+    # non-concat coords (lat/baz) not yet written (not first item globally)
+    assert not any(k.startswith("baz/c") for k in g.store.list_prefix("baz/"))
+    # global first item writes everything it owns
+    subf = ds.isel(time=slice(0, 2)).drop_vars(["bar"])
+    idxf = Index({tdim: IndexedPosition(0, dimsize=4), mdim: Position(0)})
+    store_dataset_fragment((idxf, subf), path)
+    g = open_group(path)
+    assert any(k.startswith("baz/c") for k in g.store.list_prefix("baz/"))
+    np.testing.assert_array_equal(g["lat"].read(), ds.coords["lat"].data)
+
+
+def test_consolidate_dimension_coordinates(tmp_path):
+    ds = make_ds(nt=10)
+    path = str(tmp_path / "t.zarr")
+    schema_to_zarr(dataset_to_schema(ds), path, target_chunks={"time": 2})
+    tdim = Dimension("time", CombineOp.CONCAT)
+    for i in range(5):
+        sub = ds.isel(time=slice(2 * i, 2 * i + 2))
+        store_dataset_fragment(
+            (Index({tdim: IndexedPosition(2 * i, dimsize=10)}), sub), path
+        )
+    consolidate_dimension_coordinates(path)
+    g = open_group(path)
+    assert g["time"].chunks == (10,)  # single chunk now
+    assert_equal(open_zarr_group(path), ds)
+
+
+# ---------------------------------------------------------------- kerchunk
+
+
+def test_scan_npz_reference_roundtrip(tmp_path):
+    ds = make_ds(nt=3)
+    p = str(tmp_path / "d.npz")
+    write_npz(p, ds)
+    refs = scan_npz(p)
+    rt = open_reference_dataset(refs)
+    assert_equal(rt, ds)
+
+
+def test_scan_zarr_reference_roundtrip(tmp_path):
+    ds = make_ds(nt=4)
+    path = str(tmp_path / "t.zarr")
+    schema_to_zarr(dataset_to_schema(ds), path, target_chunks={"time": 2})
+    tdim = Dimension("time", CombineOp.CONCAT)
+    for i in range(2):
+        store_dataset_fragment(
+            (Index({tdim: IndexedPosition(2 * i, dimsize=4)}), ds.isel(time=slice(2 * i, 2 * i + 2))),
+            path,
+        )
+    refs = scan_zarr(path)
+    rt = open_reference_dataset(refs)
+    assert_equal(rt, ds)
+
+
+def test_combine_references(tmp_path):
+    ds = make_ds(nt=6)
+    ref_sets = []
+    for i in range(3):
+        p = str(tmp_path / f"f{i}.npz")
+        write_npz(p, ds.isel(time=slice(2 * i, 2 * i + 2)))
+        ref_sets.append(scan_npz(p))
+    combined = combine_references(ref_sets, ["time"])
+    rt = open_reference_dataset(combined)
+    assert_equal(rt, ds)
+    # writers round-trip
+    jp = write_reference_json(combined, str(tmp_path / "out" / "reference.json"))
+    assert_equal(open_reference_dataset(jp), ds)
+    pp = write_reference_parquet(combined, str(tmp_path / "out.parquet"))
+    assert_equal(
+        open_zarr_group.__wrapped__(ReferenceStore(read_reference_parquet(pp)))
+        if hasattr(open_zarr_group, "__wrapped__")
+        else open_reference_dataset(read_reference_parquet(pp)),
+        ds,
+    )
