@@ -91,8 +91,8 @@ def schema_to_zarr(
             if append_dim in dim_names:
                 axis = dim_names.index(append_dim)
                 new_shape = list(arr.shape)
-                # schema dims hold the *total* size after IndexItems offsets
-                new_shape[axis] = grow
+                new_shape[axis] += grow  # existing + new — NOT idempotent,
+                # matching the reference's append warning (transforms.py:680-684)
                 arr.resize(new_shape)
         return store
 

@@ -299,6 +299,14 @@ def determine_schema(
         d = Dimension(dim_name, CombineOp[dim_op])
         return Index({k: v for k, v in idx.items() if k != d}).to_json()
 
+    def _single_arg(fn):
+        # applyInPandas passes (key, pdf) to two-parameter functions; force
+        # the single-argument form
+        def wrapper(pdf):
+            return fn(pdf)
+
+        return wrapper
+
     cdims = list(combine_dims)
     while cdims:
         dim = cdims.pop()
@@ -308,9 +316,7 @@ def determine_schema(
                 "outer", outer_index_json("index", F.lit(dim.name), F.lit(dim.operation.name))
             )
             .groupBy("outer")
-            .applyInPandas(
-                lambda pdf, fn=fn: fn(pdf), "index string, schema string"
-            )
+            .applyInPandas(_single_arg(fn), "index string, schema string")
         )
     rows = df.collect()
     if len(rows) != 1:

@@ -50,6 +50,7 @@ def split_ds_into_files(ds: NDDataset, tmpdir: str, items_per_file: int = 1) -> 
 
     from pangeo_forge_recipes_spark.dsio import write_npz
 
+    os.makedirs(tmpdir, exist_ok=True)
     nt = ds.sizes["time"]
     paths = []
     for i, start in enumerate(range(0, nt, items_per_file)):

@@ -1,0 +1,156 @@
+"""End-to-end golden round-trips on Spark — the engine analog of reference
+``tests/test_end_to_end.py:36-134``: synthetic dataset → split into files →
+full pipeline → Zarr → assert equal to the in-memory original."""
+
+from __future__ import annotations
+
+import pytest
+
+from pangeo_forge_recipes_spark import (
+    ConcatDim,
+    FilePattern,
+    MergeDim,
+    assert_equal,
+    pattern_from_file_sequence,
+    store_to_zarr,
+    write_combined_reference,
+)
+from pangeo_forge_recipes_spark.kerchunkio import open_reference_dataset
+from pangeo_forge_recipes_spark.dsio import open_zarr_group, write_npz
+
+from .data_generation import make_ds, split_ds_into_files
+
+
+@pytest.mark.parametrize("target_chunks", [{"time": 1}, {"time": 2}, {"time": 3}])
+@pytest.mark.parametrize("items_per_file", [1, 2])
+def test_roundtrip_sequential(spark, tmp_path, target_chunks, items_per_file):
+    ds = make_ds(nt=10)
+    paths = split_ds_into_files(ds, str(tmp_path), items_per_file=items_per_file)
+    pattern = pattern_from_file_sequence(
+        paths, "time", nitems_per_file=items_per_file, file_type="npz"
+    )
+    result = store_to_zarr(
+        spark, pattern, str(tmp_path / "target"), "store.zarr",
+        target_chunks=target_chunks,
+    )
+    assert_equal(result.open(), ds)
+    assert result.schema["dims"] == {"time": 10, "lat": 18, "lon": 36}
+
+
+def test_roundtrip_multivariable_merge(spark, tmp_path):
+    """ConcatDim × MergeDim (reference multivariable fixtures,
+    conftest.py:98-109): files split by variable AND time."""
+    ds = make_ds(nt=6)
+    for v in ("foo", "bar"):
+        for i in range(3):
+            sub = ds.isel(time=slice(2 * i, 2 * i + 2)).drop_vars(
+                [dv for dv in ds.data_vars if dv != v]
+            )
+            write_npz(str(tmp_path / f"{v}_{i}.npz"), sub)
+
+    pattern = FilePattern(
+        lambda variable, time: str(tmp_path / f"{variable}_{time}.npz"),
+        ConcatDim("time", keys=[0, 1, 2], nitems_per_file=2),
+        MergeDim("variable", keys=["foo", "bar"]),
+        file_type="npz",
+    )
+    result = store_to_zarr(
+        spark, pattern, str(tmp_path / "target"), "store.zarr",
+        target_chunks={"time": 3},
+    )
+    assert_equal(result.open(), ds)
+
+
+def test_roundtrip_non_dim_coords(spark, tmp_path):
+    ds = make_ds(nt=4, non_dim_coords=True)
+    paths = split_ds_into_files(ds, str(tmp_path))
+    pattern = pattern_from_file_sequence(paths, "time", nitems_per_file=1, file_type="npz")
+    result = store_to_zarr(
+        spark, pattern, str(tmp_path / "target"), "store.zarr", target_chunks={"time": 2}
+    )
+    assert_equal(result.open(), ds)
+
+
+def test_append(spark, tmp_path):
+    """Build from pattern 1, then append pattern 2 along time (reference
+    tests/test_end_to_end.py:86-134, fixture F1c)."""
+    from pangeo_forge_recipes_spark.ndset import concat
+
+    ds0 = make_ds(nt=10, start="2010-01-01")
+    ds1 = make_ds(nt=10, start="2010-01-11")
+    p0 = split_ds_into_files(ds0, str(tmp_path / "a"), items_per_file=2)
+    p1 = split_ds_into_files(ds1, str(tmp_path / "b"), items_per_file=2)
+
+    pat0 = pattern_from_file_sequence(p0, "time", nitems_per_file=2, file_type="npz")
+    pat1 = pattern_from_file_sequence(p1, "time", nitems_per_file=2, file_type="npz")
+
+    # consolidated dimension coordinates (single-chunk coords) are
+    # incompatible with later appends — same constraint as the reference,
+    # where Consolidate* are opt-in post-passes outside StoreToZarr
+    store_to_zarr(
+        spark, pat0, str(tmp_path / "t"), "s.zarr",
+        target_chunks={"time": 2}, consolidate_coords=False,
+    )
+    result = store_to_zarr(
+        spark, pat1, str(tmp_path / "t"), "s.zarr",
+        target_chunks={"time": 2}, append_dim="time", consolidate_coords=False,
+    )
+    expected = concat([ds0, ds1], "time")
+    assert_equal(open_zarr_group(result.path), expected, check_attrs=False)
+
+
+def test_rechunk_existing_zarr_store(spark, tmp_path):
+    """Open an existing store as a 1-element pattern and rechunk it
+    (reference examples/feedstock/gpcp_rechunk.py:16-40)."""
+    ds = make_ds(nt=10)
+    paths = split_ds_into_files(ds, str(tmp_path))
+    pattern = pattern_from_file_sequence(paths, "time", nitems_per_file=1, file_type="npz")
+    r1 = store_to_zarr(
+        spark, pattern, str(tmp_path / "t1"), "s.zarr", target_chunks={"time": 1}
+    )
+    pat2 = pattern_from_file_sequence([r1.path], "time", file_type="zarr")
+    r2 = store_to_zarr(
+        spark, pat2, str(tmp_path / "t2"), "s.zarr", target_chunks={"time": 5}
+    )
+    assert_equal(r2.open(), ds)
+    from pangeo_forge_recipes_spark.zarrio import open_group
+
+    assert open_group(r2.path)["foo"].chunks[0] == 5
+
+
+def test_prune(spark, tmp_path):
+    ds = make_ds(nt=10)
+    paths = split_ds_into_files(ds, str(tmp_path))
+    pattern = pattern_from_file_sequence(paths, "time", nitems_per_file=1, file_type="npz")
+    result = store_to_zarr(
+        spark, pattern.prune(2), str(tmp_path / "t"), "s.zarr", target_chunks={"time": 1}
+    )
+    assert_equal(result.open(), ds.isel(time=slice(0, 2)))
+
+
+def test_kerchunk_pipeline(spark, tmp_path):
+    ds = make_ds(nt=10)
+    paths = split_ds_into_files(ds, str(tmp_path), items_per_file=2)
+    pattern = pattern_from_file_sequence(paths, "time", nitems_per_file=2, file_type="npz")
+    out = write_combined_reference(
+        spark, pattern, str(tmp_path / "t"), "ref", output_file_name="reference.json",
+        max_refs_per_merge=2,
+    )
+    assert_equal(open_reference_dataset(out), ds)
+
+
+def test_dynamic_chunking(spark, tmp_path):
+    ds = make_ds(nt=10)
+    paths = split_ds_into_files(ds, str(tmp_path))
+    pattern = pattern_from_file_sequence(paths, "time", nitems_per_file=1, file_type="npz")
+
+    def chunk_fn(schema):
+        return {"time": max(1, schema["dims"]["time"] // 2)}
+
+    result = store_to_zarr(
+        spark, pattern, str(tmp_path / "t"), "s.zarr", dynamic_chunking_fn=chunk_fn
+    )
+    from pangeo_forge_recipes_spark.zarrio import open_group
+
+    assert open_group(result.path)["foo"].chunks[0] == 5
+    assert_equal(result.open(), ds)
