@@ -1,0 +1,89 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Queries execute end-to-end into a noop sink (full materialization, no
+driver collect cost). Each query is timed as best-of-2 to damp JIT/cache
+warmup jitter; the Spark session is built before timing starts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from pangeo_forge_recipes_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_unshipped_revenue",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q10_returned_items",
+    "topk_customers",
+    "window_running_total",
+    "events_hourly_rollup",
+    "events_sessions",
+    "text_token_stats",
+    "text_quality",
+    "text_fingerprints",
+    "dedup_exact",
+    "dedup_ngram_signature",
+    "dedup_minhash_bands",
+    "ann_cosine_topk",
+    "embedding_near_dup",
+    "multimodal_stats",
+]
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    spark = get_spark(app_name="pfrs-bench")
+    queries = entrymod.queries()
+
+    # one warm query to JIT the scan path before any timing
+    entrymod._register(spark, sf_dir)
+    spark.table("lineitem").count()
+
+    timings = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _materialize(fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

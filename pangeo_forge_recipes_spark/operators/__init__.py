@@ -1,0 +1,9 @@
+"""Extension operators for large-scale training-data pipelines.
+
+Beyond reference parity (BASELINE.json north star): deduplication,
+similarity search, text analysis and multimodal-column handling over
+tabular corpora — plain Spark SQL/DataFrame ops (joins, windows, Catalyst)
+on the engine's tabular side.
+"""
+
+from . import dedup, multimodal, similarity, text  # noqa: F401

@@ -1,0 +1,328 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-duplicate.
+
+Scale design notes (100 TB):
+
+* exact dedup is a hash-groupBy — one shuffle on the fingerprint, map-side
+  partial aggregation, AQE handles skewed duplicate clusters;
+* MinHash signatures are computed in one Arrow-vectorized pass (numpy),
+  candidate generation is a self-join on (band, band_hash) buckets — the
+  join key is high-cardinality so it shuffles evenly; verification runs
+  only on bucket collisions, never all pairs;
+* SimHash uses the 4×16-bit band trick: Hamming-distance ≤ 3 candidates
+  must collide on ≥ 1 of 4 bands → equi-join, no quadratic scan;
+* embedding near-dup blocks the corpus with a broadcast normalized matrix
+  (numpy GEMM per partition); at larger-than-broadcast scale swap in the
+  LSH bucketing from ``similarity.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textexprs import TextExprs
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash groupBy)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of every identical (lowercased)
+    document. One shuffle on the md5 fingerprint."""
+    e = TextExprs("spark", col)
+    fp = F.expr(e.fingerprint_md5())
+    return (
+        df.withColumn("fingerprint", fp)
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+    )
+
+
+def ngram_signature_dedup(df: DataFrame, col: str = "text", id_col: str = "doc_id", n: int = 5) -> DataFrame:
+    """Near-dup grouping by the winnowing-style rolling fingerprint (min md5
+    over char n-grams — a 1-permutation minhash). SQL-expressible, so it
+    carries a DuckDB oracle."""
+    e = TextExprs("spark", col)
+    sig = F.expr(e.rolling_min_hash(n))
+    return (
+        df.withColumn("signature", sig)
+        .groupBy("signature")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_members"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _perm_params(num_perm: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    """64-bit FNV-1a over char n-gram shingles, fully deterministic."""
+    s = text.lower().encode("utf-8", "ignore")
+    if len(s) < n:
+        s = s + b" " * (n - len(s))
+    window = np.lib.stride_tricks.sliding_window_view(
+        np.frombuffer(s, dtype=np.uint8), n
+    )
+    h = np.full(window.shape[0], 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for j in range(n):
+        h = (h ^ window[:, j].astype(np.uint64)) * prime
+    return np.unique(h)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    shingle_n: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Arrow-vectorized MinHash signatures: shingle → FNV64 → per-permutation
+    affine min under the Mersenne prime 2^61-1."""
+    a, b = _perm_params(num_perm, seed)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for text in pdf[col]:
+                h = _shingle_hashes(text, shingle_n)
+                # (n_shingles, num_perm) affine permutations mod mersenne
+                vals = (h[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+                sigs.append(vals.min(axis=0).astype("int64"))
+            yield pd.DataFrame({id_col: pdf[id_col], "signature": sigs})
+
+    return df.select(id_col, col).mapInPandas(
+        compute, f"{id_col} long, signature array<long>"
+    )
+
+
+def minhash_band_hashes(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, band, band_hash) rows: the LSH bucketing keys, computed in the
+    same vectorized pass as the signatures."""
+    a, b = _perm_params(num_perm, seed)
+    per_band = num_perm // bands
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_band, out_hash = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[col]):
+                h = _shingle_hashes(text, shingle_n)
+                sig = ((h[:, None] * a[None, :] + b[None, :]) % _MERSENNE).min(axis=0)
+                for band in range(bands):
+                    chunk = sig[band * per_band : (band + 1) * per_band]
+                    # FNV-fold the band's minima into one 63-bit bucket key
+                    acc = np.uint64(0xCBF29CE484222325)
+                    for v in chunk:
+                        acc = (acc ^ v) * np.uint64(0x100000001B3)
+                    out_id.append(doc_id)
+                    out_band.append(band)
+                    out_hash.append(int(acc >> np.uint64(1)))
+            yield pd.DataFrame(
+                {id_col: out_id, "band": out_band, "band_hash": out_hash}
+            )
+
+    return df.select(id_col, col).mapInPandas(
+        compute, f"{id_col} long, band int, band_hash long"
+    )
+
+
+def minhash_lsh_candidates(
+    banded: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Self-join on (band, band_hash) buckets — candidate pairs collide on
+    at least one band."""
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
+    exact-Jaccard verification on candidates only → pairs ≥ threshold."""
+    banded = minhash_band_hashes(df, col, id_col, num_perm, bands, shingle_n)
+    candidates = minhash_lsh_candidates(banded, id_col)
+    texts = df.select(F.col(id_col), F.col(col))
+    pairs = (
+        candidates.join(texts.withColumnRenamed(id_col, "id_a").withColumnRenamed(col, "text_a"), "id_a")
+        .join(texts.withColumnRenamed(id_col, "id_b").withColumnRenamed(col, "text_b"), "id_b")
+    )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            jac = []
+            for ta, tb in zip(pdf["text_a"], pdf["text_b"]):
+                ha, hb = _shingle_hashes(ta, shingle_n), _shingle_hashes(tb, shingle_n)
+                inter = np.intersect1d(ha, hb, assume_unique=True).size
+                union = ha.size + hb.size - inter
+                jac.append(inter / union if union else 1.0)
+            out = pdf[["id_a", "id_b"]].copy()
+            out["jaccard"] = jac
+            yield out
+
+    verified = pairs.mapInPandas(verify, "id_a long, id_b long, jaccard double")
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (FNV-1a token hashes,
+    ±1 bit voting), Arrow-vectorized."""
+
+    def token_hash(tok: bytes) -> int:
+        h = 0xCBF29CE484222325
+        for c in tok:
+            h = ((h ^ c) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for text in pdf[col]:
+                votes = np.zeros(64, dtype=np.int64)
+                for tok in text.lower().split():
+                    h = np.uint64(token_hash(tok.encode("utf-8", "ignore")))
+                    bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                    votes += np.where(bits == 1, 1, -1)
+                sig = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+                out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)  # to signed
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+
+    return df.select(id_col, col).mapInPandas(compute, f"{id_col} long, simhash long")
+
+
+def simhash_dedup(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance ≤ ``max_hamming`` via the 4-band
+    exact-match trick (pigeonhole: distance ≤ 3 ⟹ one 16-bit band equal)."""
+    sigs = simhash_signatures(df, col, id_col)
+    banded = sigs.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    round_to: Optional[int] = 4,
+) -> DataFrame:
+    """All pairs (a<b) with cosine ≥ threshold. Blocked numpy GEMM against a
+    broadcast normalized corpus matrix — O(n²) flops but one scan, no
+    shuffle; swap in LSH buckets (similarity.lsh_buckets) beyond broadcast
+    scale."""
+    spark = df.sparkSession
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat = bc.value
+        order = np.argsort(all_ids)
+        for pdf in batches:
+            q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            qids = pdf[id_col].to_numpy()
+            sims = q @ all_mat.T
+            ia, ib, cs = [], [], []
+            for row_i, qid in enumerate(qids):
+                mask = (sims[row_i] >= threshold) & (all_ids > qid)
+                for j in np.nonzero(mask)[0]:
+                    ia.append(qid)
+                    ib.append(all_ids[j])
+                    cs.append(sims[row_i, j])
+            out = pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cs})
+            if round_to is not None:
+                out["cosine"] = out["cosine"].round(round_to)
+            yield out
+
+    return df.select(id_col, vec_col).mapInPandas(
+        block, "id_a long, id_b long, cosine double"
+    )

@@ -1,0 +1,184 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(baseline) and LSH / IVF bucketed variants (scale path).
+
+Scale design (100 TB / billions of vectors):
+
+* brute-force keeps the corpus as a broadcast normalized matrix and runs
+  one numpy GEMM per Arrow batch — exact, zero shuffle, bounded by
+  broadcast size (~100M 64-d float32 = 25 GB → beyond that, bucket);
+* random-hyperplane LSH assigns each vector a bucket key in one scan;
+  queries probe only their own bucket (+ multiprobe neighbors) via an
+  equi-join on the key — shuffle proportional to candidates, not n²;
+* IVF partitions by nearest centroid; probes the ``nprobe`` closest
+  centroid lists. Centroid assignment is a broadcast join.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str) -> Tuple[np.ndarray, np.ndarray]:
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k for every query vector against the corpus.
+
+    Ties broken by ascending neighbor id; scores rounded for cross-engine
+    reproducibility. Output: (vec_id, neighbor_id, rank, cosine)."""
+    spark = queries.sparkSession
+    ids, mat = _collect_matrix(corpus, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((ids, _normalize(mat)))
+
+    def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_ids, c_mat = bc.value
+        for pdf in batches:
+            q = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+            qids = pdf[id_col].to_numpy()
+            sims = q @ c_mat.T  # (batch, corpus) GEMM
+            out_q, out_n, out_r, out_c = [], [], [], []
+            for i, qid in enumerate(qids):
+                s = sims[i]
+                # order by (-cosine, neighbor_id) — deterministic
+                cand = np.lexsort((c_ids, -s))
+                rank = 0
+                for j in cand:
+                    if exclude_self and c_ids[j] == qid:
+                        continue
+                    rank += 1
+                    if rank > k:
+                        break
+                    out_q.append(qid)
+                    out_n.append(c_ids[j])
+                    out_r.append(rank)
+                    out_c.append(round(float(s[j]), round_to))
+            yield pd.DataFrame(
+                {"vec_id": out_q, "neighbor_id": out_n, "rank": out_r, "cosine": out_c}
+            )
+
+    return queries.select(id_col, vec_col).mapInPandas(
+        topk, "vec_id long, neighbor_id long, rank int, cosine double"
+    )
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((nbits, dim))
+
+
+def lsh_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH: sign pattern of ``nbits`` projections →
+    integer bucket key. One scan, no shuffle."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, nbits, seed)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(planes)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = bc.value
+        weights = (1 << np.arange(p.shape[0])).astype(np.int64)
+        for pdf in batches:
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            bits = (mat @ p.T) > 0
+            buckets = (bits.astype(np.int64) * weights).sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "bucket": buckets})
+
+    return df.select(id_col, vec_col).mapInPandas(assign, f"{id_col} long, bucket long")
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int = 8,
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate top-k restricted to same-bucket candidates: bucket assign
+    → equi-self-join on bucket → exact cosine rank within bucket. The
+    shuffle moves only bucket-mates (ANN scale path)."""
+    buckets = lsh_buckets(df, id_col, vec_col, nbits)
+    vecs = df.select(F.col(id_col), F.col(vec_col)).join(buckets, id_col)
+    l = vecs.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v_a"), "bucket"
+    )
+    r = vecs.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_b"), "bucket"
+    )
+    pairs = l.join(r, "bucket").filter(F.col("vec_id") != F.col("neighbor_id"))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            a = _normalize(np.array(list(pdf["v_a"]), dtype=np.float64))
+            b = _normalize(np.array(list(pdf["v_b"]), dtype=np.float64))
+            cos = np.einsum("ij,ij->i", a, b)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "cosine": np.round(cos, round_to),
+                }
+            )
+
+    scored = pairs.mapInPandas(score, "vec_id long, neighbor_id long, cosine double")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization with deterministic centroids (every
+    ``n/n_centroids``-th vector by id — a seeded sample at scale). Output:
+    (vec_id, centroid) — the partition key for inverted-list search."""
+    spark = df.sparkSession
+    ids, mat = _collect_matrix(df, id_col, vec_col)
+    step = max(1, len(ids) // n_centroids)
+    centroids = _normalize(mat[::step][:n_centroids])
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            q = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+            nearest = (q @ c.T).argmax(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "centroid": nearest.astype("int32")})
+
+    return df.select(id_col, vec_col).mapInPandas(assign, f"{id_col} long, centroid int")
