@@ -1,0 +1,10 @@
+"""Structured Streaming surface: incremental ingestion beyond the
+reference's batch-append model (SURVEY §2.8)."""
+
+from .append import (
+    stream_append_to_zarr,
+    stream_manifest,
+    watermarked_event_rollup,
+)
+
+__all__ = ["stream_manifest", "stream_append_to_zarr", "watermarked_event_rollup"]

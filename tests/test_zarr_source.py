@@ -1,0 +1,66 @@
+"""Tests for the Zarr Python DataSource: long-form reads, chunk-grain
+partitioning, filter-pushdown partition pruning."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pangeo_forge_recipes_spark import pattern_from_file_sequence, store_to_zarr
+from pangeo_forge_recipes_spark.sources import register_zarr_source
+
+from .data_generation import make_ds, split_ds_into_files
+
+
+@pytest.fixture(scope="module")
+def store_path(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("zarr_src")
+    ds = make_ds(nt=10)
+    paths = split_ds_into_files(ds, str(tmp), items_per_file=2)
+    pattern = pattern_from_file_sequence(paths, "time", nitems_per_file=2, file_type="npz")
+    result = store_to_zarr(
+        spark, pattern, str(tmp / "t"), "s.zarr", target_chunks={"time": 2, "lat": 9}
+    )
+    register_zarr_source(spark)
+    return result.path
+
+
+def test_long_form_read(spark, store_path):
+    df = spark.read.format("zarr").load(store_path)
+    assert set(df.columns) == {"time", "lat", "lon", "foo", "bar"}
+    assert df.count() == 10 * 18 * 36
+    ds = make_ds(nt=10)
+    total = df.agg(F.sum("foo")).collect()[0][0]
+    assert abs(total - ds.data_vars["foo"].data.sum()) < 1e-6
+    # values line up at a specific grid point
+    row = df.filter(
+        (F.col("lat") == 5.0) & (F.col("lon") == 5.0)
+    ).orderBy("time").first()
+    assert row["bar"] == int(ds.data_vars["bar"].data[0, 0, 0])
+
+
+def test_partition_count_is_chunk_grain(spark, store_path):
+    df = spark.read.format("zarr").load(store_path)
+    # chunks: time 2→5 slabs, lat 9→2 slabs, lon full→1 → 10 partitions
+    assert df.rdd.getNumPartitions() == 10
+
+
+def test_filter_pushdown_prunes_partitions(spark, store_path):
+    df = spark.read.format("zarr").load(store_path)
+    # lat coord values are 5,15,...,175; the first lat slab (9 rows) spans
+    # 5..85 — lat < 90 keeps exactly that slab
+    pruned = df.filter(F.col("lat") < 90.0)
+    assert pruned.count() == 10 * 9 * 36
+    # observe pruning through the physical plan's partition count at runtime:
+    # count rows per task — only 5 slabs (time) × 1 lat slab remain
+    n_parts = pruned.withColumn("pid", F.spark_partition_id()).select(
+        "pid"
+    ).distinct().count()
+    assert n_parts == 5
+
+
+def test_timestamp_filter(spark, store_path):
+    df = spark.read.format("zarr").load(store_path)
+    sub = df.filter(F.col("time") >= "2010-01-09")
+    assert sub.count() == 2 * 18 * 36
