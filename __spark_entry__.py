@@ -51,6 +51,10 @@ def _register(spark: SparkSession, sf_dir: str) -> None:
                     df = df.withColumn(
                         c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
                     )
+            if t == "documents":
+                # single-row-group parquet → unsplittable scan; the text
+                # operators are CPU-bound per row, so spread them
+                df = df.repartition(spark.sparkContext.defaultParallelism)
             df.createOrReplaceTempView(t)
 
 

@@ -127,26 +127,51 @@ def minhash_band_hashes(
     a, b = _perm_params(num_perm, seed)
     per_band = num_perm // bands
 
+    def _batch_signatures(texts) -> np.ndarray:
+        """(n_docs, num_perm) signature matrix, vectorized across the whole
+        batch: concatenate all shingle hashes, one big affine transform,
+        per-doc minima via ``np.minimum.reduceat``."""
+        hashes = [_shingle_hashes(t, shingle_n) for t in texts]
+        counts = np.array([len(h) for h in hashes])
+        flat = np.concatenate(hashes) if hashes else np.empty(0, dtype=np.uint64)
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.intp)
+        sigs = np.empty((len(texts), num_perm), dtype=np.uint64)
+        # sub-chunk the permutation axis to bound the (n_shingles, P) temp
+        # to ~8M elements (64 MB) — cache-friendlier than one giant block
+        step = max(1, int(8e6 // max(len(flat), 1)))
+        for p0 in range(0, num_perm, step):
+            # multiply-add mod 2^64 (natural uint64 wrap) — a deterministic
+            # universal-enough family for minhash, ~3× cheaper than an
+            # explicit prime modulo over the (n_shingles, P) block
+            block = flat[:, None] * a[None, p0 : p0 + step] + b[None, p0 : p0 + step]
+            sigs[:, p0 : p0 + step] = np.minimum.reduceat(block, offsets, axis=0)
+        return sigs
+
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        prime = np.uint64(0x100000001B3)
         for pdf in batches:
-            out_id, out_band, out_hash = [], [], []
-            for doc_id, text in zip(pdf[id_col], pdf[col]):
-                h = _shingle_hashes(text, shingle_n)
-                sig = ((h[:, None] * a[None, :] + b[None, :]) % _MERSENNE).min(axis=0)
-                for band in range(bands):
-                    chunk = sig[band * per_band : (band + 1) * per_band]
-                    # FNV-fold the band's minima into one 63-bit bucket key
-                    acc = np.uint64(0xCBF29CE484222325)
-                    for v in chunk:
-                        acc = (acc ^ v) * np.uint64(0x100000001B3)
-                    out_id.append(doc_id)
-                    out_band.append(band)
-                    out_hash.append(int(acc >> np.uint64(1)))
+            texts = list(pdf[col])
+            if not texts:
+                continue
+            sigs = _batch_signatures(texts)
+            n = len(texts)
+            # vectorized FNV fold per band: (n_docs, bands, per_band)
+            banded = sigs.reshape(n, bands, per_band)
+            acc = np.full((n, bands), 0xCBF29CE484222325, dtype=np.uint64)
+            for j in range(per_band):
+                acc = (acc ^ banded[:, :, j]) * prime
+            acc >>= np.uint64(1)  # 63-bit → signed-long safe
+            ids = np.repeat(pdf[id_col].to_numpy(), bands)
+            band_idx = np.tile(np.arange(bands, dtype="int32"), n)
             yield pd.DataFrame(
-                {id_col: out_id, "band": out_band, "band_hash": out_hash}
+                {id_col: ids, "band": band_idx, "band_hash": acc.reshape(-1).astype("int64")}
             )
 
-    return df.select(id_col, col).mapInPandas(
+    # source tables often arrive as one parquet file → one input partition;
+    # spread the CPU-bound signature work across the cluster
+    src = df.select(id_col, col)
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return src.repartition(n_parts).mapInPandas(
         compute, f"{id_col} long, band int, band_hash long"
     )
 
@@ -237,7 +262,11 @@ def simhash_signatures(
                 out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)  # to signed
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
 
-    return df.select(id_col, col).mapInPandas(compute, f"{id_col} long, simhash long")
+    src_df = df.select(id_col, col)
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return src_df.repartition(n_parts).mapInPandas(
+        compute, f"{id_col} long, simhash long"
+    )
 
 
 def simhash_dedup(
@@ -323,6 +352,7 @@ def embedding_near_dup(
                 out["cosine"] = out["cosine"].round(round_to)
             yield out
 
-    return df.select(id_col, vec_col).mapInPandas(
+    n_parts = spark.sparkContext.defaultParallelism
+    return df.select(id_col, vec_col).repartition(n_parts).mapInPandas(
         block, "id_a long, id_b long, cosine double"
     )

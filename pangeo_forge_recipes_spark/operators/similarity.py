@@ -78,7 +78,8 @@ def brute_force_topk(
                 {"vec_id": out_q, "neighbor_id": out_n, "rank": out_r, "cosine": out_c}
             )
 
-    return queries.select(id_col, vec_col).mapInPandas(
+    n_parts = spark.sparkContext.defaultParallelism
+    return queries.select(id_col, vec_col).repartition(n_parts).mapInPandas(
         topk, "vec_id long, neighbor_id long, rank int, cosine double"
     )
 

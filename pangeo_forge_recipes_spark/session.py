@@ -38,7 +38,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        # large batches for vectorized tabular operators; the zarr pipeline
+        # (MB-scale binary payload rows) lowers this locally for its run
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.speculation", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -491,6 +491,11 @@ def store_to_zarr(
     store_path = (target / store_name).root_path
     file_type = pattern.file_type
 
+    # fragment rows carry MB-scale binary payloads — keep Arrow batches
+    # small for this pipeline so task memory stays bounded
+    prev_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+
     manifest = manifest_df(spark, pattern)
     if prune:
         manifest = prune_manifest(manifest, pattern, nkeep=prune)
@@ -539,6 +544,9 @@ def store_to_zarr(
         _consolidate_coords(store_path)
     if consolidated_metadata:
         _consolidate_metadata(store_path)
+
+    if prev_batch is not None:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev_batch)
 
     return StoreResult(
         path=store_path,
