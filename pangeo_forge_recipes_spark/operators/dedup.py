@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.textexprs import TextExprs
+from ..parallel import spread
 
 # ---------------------------------------------------------------------------
 # exact dedup (hash groupBy)
@@ -169,9 +170,7 @@ def minhash_band_hashes(
 
     # source tables often arrive as one parquet file → one input partition;
     # spread the CPU-bound signature work across the cluster
-    src = df.select(id_col, col)
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    return src.repartition(n_parts).mapInPandas(
+    return spread(df.select(id_col, col)).mapInPandas(
         compute, f"{id_col} long, band int, band_hash long"
     )
 
@@ -262,9 +261,7 @@ def simhash_signatures(
                 out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)  # to signed
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
 
-    src_df = df.select(id_col, col)
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    return src_df.repartition(n_parts).mapInPandas(
+    return spread(df.select(id_col, col)).mapInPandas(
         compute, f"{id_col} long, simhash long"
     )
 
@@ -352,7 +349,6 @@ def embedding_near_dup(
                 out["cosine"] = out["cosine"].round(round_to)
             yield out
 
-    n_parts = spark.sparkContext.defaultParallelism
-    return df.select(id_col, vec_col).repartition(n_parts).mapInPandas(
+    return spread(df.select(id_col, vec_col)).mapInPandas(
         block, "id_a long, id_b long, cosine double"
     )

@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..parallel import spread
+
 
 def _collect_matrix(df: DataFrame, id_col: str, vec_col: str) -> Tuple[np.ndarray, np.ndarray]:
     rows = df.select(id_col, vec_col).collect()
@@ -53,33 +55,32 @@ def brute_force_topk(
     bc = spark.sparkContext.broadcast((ids, _normalize(mat)))
 
     def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        c_ids, c_mat = bc.value
+        c_ids, c_mat = bc.value  # c_ids ascending (sorted in _collect_matrix)
         for pdf in batches:
             q = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
             qids = pdf[id_col].to_numpy()
             sims = q @ c_mat.T  # (batch, corpus) GEMM
-            out_q, out_n, out_r, out_c = [], [], [], []
-            for i, qid in enumerate(qids):
-                s = sims[i]
-                # order by (-cosine, neighbor_id) — deterministic
-                cand = np.lexsort((c_ids, -s))
-                rank = 0
-                for j in cand:
-                    if exclude_self and c_ids[j] == qid:
-                        continue
-                    rank += 1
-                    if rank > k:
-                        break
-                    out_q.append(qid)
-                    out_n.append(c_ids[j])
-                    out_r.append(rank)
-                    out_c.append(round(float(s[j]), round_to))
+            ranked = sims
+            if exclude_self:
+                ranked = np.where(c_ids[None, :] == qids[:, None], -np.inf, sims)
+            # stable sort on -cosine: equal scores keep corpus order, which
+            # is ascending neighbor_id — the deterministic tie-break. (At
+            # billion-vector corpus width, swap for argpartition + local
+            # stable sort of the k-candidate slab.)
+            idx = np.argsort(-ranked, axis=1, kind="stable")[:, :k]
+            n = len(qids)
             yield pd.DataFrame(
-                {"vec_id": out_q, "neighbor_id": out_n, "rank": out_r, "cosine": out_c}
+                {
+                    "vec_id": np.repeat(qids, k),
+                    "neighbor_id": c_ids[idx].ravel(),
+                    "rank": np.tile(np.arange(1, k + 1, dtype="int32"), n),
+                    "cosine": np.round(
+                        np.take_along_axis(sims, idx, axis=1), round_to
+                    ).ravel(),
+                }
             )
 
-    n_parts = spark.sparkContext.defaultParallelism
-    return queries.select(id_col, vec_col).repartition(n_parts).mapInPandas(
+    return spread(queries.select(id_col, vec_col)).mapInPandas(
         topk, "vec_id long, neighbor_id long, rank int, cosine double"
     )
 
