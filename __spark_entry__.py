@@ -252,6 +252,132 @@ GROUP BY user_id
 ORDER BY user_id
 """.strip()
 
+    # semi-join (EXISTS) — Q4 shape; Catalyst plans a left-semi hash join
+    q["q4_order_priority"] = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""".strip()
+
+    # outer join with join-condition filter + count distribution — Q13 shape
+    q["q13_customer_distribution"] = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""".strip()
+
+    # conditional aggregation over a join — Q14 shape
+    q["q14_promo_revenue"] = """
+SELECT
+  CAST(SUM(CASE WHEN p_type = 'PROMO'
+       THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0
+  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+  AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+""".strip()
+
+    # distinct aggregation — Q16 shape (partsupp absent: suppliers via lineitem)
+    q["q16_supplier_cnt"] = """
+SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_size >= 20
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type
+""".strip()
+
+    # correlated scalar subquery — Q17 shape
+    q["q17_small_quantity_revenue"] = """
+SELECT CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+WHERE p_brand = 'Brand#19'
+  AND l1.l_quantity < (
+    SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+""".strip()
+
+    # IN over a grouped-HAVING subquery — Q18 shape
+    q["q18_large_orders"] = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""".strip()
+
+    # disjunctive multi-range predicates — Q19 shape
+    q["q19_disjunctive_revenue"] = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+""".strip()
+
+    # anti-join (NOT EXISTS) + uncorrelated scalar subquery — Q22 shape
+    q["q22_inactive_customers"] = """
+SELECT SUBSTRING(c_name, 16, 2) AS name_bucket,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+  )
+GROUP BY SUBSTRING(c_name, 16, 2)
+ORDER BY name_bucket
+""".strip()
+
+    # hierarchical aggregation — ROLLUP (subtotals + grand total)
+    q["events_rollup"] = """
+SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR(10)) AS day,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY ROLLUP (event_type, CAST(CAST(ts AS DATE) AS VARCHAR(10)))
+ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST
+""".strip()
+
+    # set operations: INTERSECT / EXCEPT / UNION ALL in one checked result
+    q["set_ops_customers"] = """
+SELECT 'building_with_big_order' AS op, COUNT(*) AS n FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000
+) a
+UNION ALL
+SELECT 'building_without_big_order' AS op, COUNT(*) AS n FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT
+  SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000
+) b
+ORDER BY op
+""".strip()
+
     # scalar extraction from semi-structured props
     q["events_props_extract"] = """
 SELECT
@@ -505,6 +631,13 @@ def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_assign(spark.table("embeddings")).orderBy("vec_id")
 
 
+def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pangeo_forge_recipes_spark.operators.similarity import ivf_topk
+
+    _register(spark, sf_dir)
+    return ivf_topk(spark.table("embeddings"), k=_ANN_K).orderBy("vec_id", "rank")
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pangeo_forge_recipes_spark.operators.multimodal import (
         attach_fake_media,
@@ -631,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_simhash"] = _simhash
     out["ann_lsh_topk"] = _lsh_ann
     out["ann_ivf_assign"] = _ivf_assign
+    out["ann_ivf_topk"] = _ivf_topk
     out["multimodal_features"] = _multimodal_features
     out["pipeline_zarr_roundtrip"] = _zarr_roundtrip
     out["pipeline_kerchunk_roundtrip"] = _kerchunk_roundtrip

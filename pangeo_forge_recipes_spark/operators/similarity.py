@@ -184,3 +184,84 @@ def ivf_assign(
             yield pd.DataFrame({id_col: pdf[id_col], "centroid": nearest.astype("int32")})
 
     return df.select(id_col, vec_col).mapInPandas(assign, f"{id_col} long, centroid int")
+
+
+def ivf_topk(
+    df: DataFrame,
+    k: int = 3,
+    nprobe: int = 4,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate self-search via IVF inverted lists: corpus vectors land in
+    their nearest centroid's list; each query probes its ``nprobe`` closest
+    lists. Candidate generation is an equi-join on ``centroid`` — shuffle
+    volume is corpus + nprobe×queries rows, never n². Exact cosine rank
+    within the candidate set (same window tail as ``lsh_ann_topk``)."""
+    spark = df.sparkSession
+    ids, mat = _collect_matrix(df, id_col, vec_col)
+    step = max(1, len(ids) // n_centroids)
+    centroids = _normalize(mat[::step][:n_centroids])
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def corpus_assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            v = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col],
+                    "v_b": pdf[vec_col],
+                    "centroid": (v @ c.T).argmax(axis=1).astype("int32"),
+                }
+            )
+
+    def query_probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            v = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+            order = np.argsort(-(v @ c.T), axis=1, kind="stable")[:, :nprobe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf[id_col].to_numpy(), nprobe),
+                    "v_a": [v for v in pdf[vec_col] for _ in range(nprobe)],
+                    "centroid": order.astype("int32").ravel(),
+                }
+            )
+
+    src = df.select(id_col, vec_col)
+    vec_t = dict(src.dtypes)[vec_col]
+    corpus = spread(src).mapInPandas(
+        corpus_assign, f"neighbor_id long, v_b {vec_t}, centroid int"
+    )
+    probes = spread(src).mapInPandas(
+        query_probe, f"vec_id long, v_a {vec_t}, centroid int"
+    )
+    pairs = probes.join(corpus, "centroid").filter(
+        F.col("vec_id") != F.col("neighbor_id")
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            a = _normalize(np.array(list(pdf["v_a"]), dtype=np.float64))
+            b = _normalize(np.array(list(pdf["v_b"]), dtype=np.float64))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "cosine": np.round(np.einsum("ij,ij->i", a, b), round_to),
+                }
+            )
+
+    scored = pairs.mapInPandas(score, "vec_id long, neighbor_id long, cosine double")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "rank", "cosine")
+    )

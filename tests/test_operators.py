@@ -114,6 +114,18 @@ def test_ivf_assign(vectors):
     assert cent[0] == cent[100]
 
 
+def test_ivf_topk(vectors):
+    exact = similarity.brute_force_topk(vectors, vectors, k=1).collect()
+    approx = similarity.ivf_topk(vectors, k=1, nprobe=2, n_centroids=4).collect()
+    exact_nn = {r["vec_id"]: r["neighbor_id"] for r in exact}
+    approx_nn = {r["vec_id"]: r["neighbor_id"] for r in approx}
+    # the near-dup pair shares a centroid list → always recalled
+    assert approx_nn.get(0) == exact_nn[0] == 100
+    # probing 2/4 lists must beat the random floor comfortably
+    hits = sum(1 for q, n in approx_nn.items() if exact_nn.get(q) == n)
+    assert hits / max(len(approx_nn), 1) > 0.3
+
+
 def test_multimodal_pipeline(spark, docs):
     media = multimodal.attach_fake_media(docs)
     assert media.columns == ["doc_id", "media", "format", "width", "height", "n_frames"]
