@@ -1,11 +1,12 @@
 """File openers: url → bytes/local path → NDDataset or kerchunk references.
 
 Parity layer for reference ``pangeo_forge_recipes/openers.py:16-254``.
-Engine-native formats (``zarr``, ``npz``) open for real; formats whose
-readers are not installed in this environment (netcdf3/netcdf4 via
-scipy/h5netcdf, grib via cfgrib, opendap via netCDF4) are gated behind
-import-tries and raise with a clear message, keeping the reference's
-engine-selection table (``openers.py:40-47``) intact.
+Engine-native formats (``zarr``, ``npz``, ``netcdf3`` via the engine's own
+pure-numpy classic reader in :mod:`..netcdf3`) open for real; formats whose
+readers are not installed in this environment (netcdf4 via h5netcdf, grib
+via cfgrib, opendap via netCDF4) are gated behind import-tries and raise
+with a clear message, keeping the reference's engine-selection table
+(``openers.py:40-47``) intact.
 """
 
 from __future__ import annotations
@@ -22,7 +23,7 @@ from .storage import CacheFSSpecTarget, _add_query_string_secrets
 
 # engine-per-file-type map, mirroring reference ``openers.py:40-47``
 OPEN_ENGINES = {
-    FileType.netcdf3: "scipy",
+    FileType.netcdf3: "native",  # engine-internal pure-numpy classic reader
     FileType.netcdf4: "h5netcdf",
     FileType.opendap: "netcdf4",
     FileType.grib: "cfgrib",
@@ -78,6 +79,10 @@ def open_with_ndset(
         return read_npz(path, load=load)
     if file_type == FileType.zarr:
         return open_zarr_group(path, load=load)
+    if file_type == FileType.netcdf3:
+        from .netcdf3 import read_netcdf3
+
+        return read_netcdf3(path)
     if file_type == FileType.kerchunk:
         from .kerchunkio import open_reference_dataset
 
@@ -99,6 +104,10 @@ def read_schema(url: str, file_type: FileType = FileType.npz) -> XarraySchema:
         return npz_schema(path)
     if file_type == FileType.zarr:
         return zarr_group_schema(path)
+    if file_type == FileType.netcdf3:
+        from .netcdf3 import netcdf3_schema
+
+        return netcdf3_schema(path)
     # fall back to a full open for formats without a metadata fast path
     return _full_schema(url, file_type)
 
@@ -119,9 +128,10 @@ def open_with_kerchunk(
 ) -> list:
     """Scan one file into kerchunk-style reference dicts (reference
     ``openers.py:137-204``). Natively scans the engine's npz container
-    (byte-range references into the zip) and zarr stores (references to the
-    chunk objects); hdf5/netcdf3/grib scanners require kerchunk, which is
-    unavailable here."""
+    (byte-range references into the zip), zarr stores (references to the
+    chunk objects) and classic netcdf3 (contiguous-variable byte ranges,
+    analog of kerchunk's ``NetCDF3ToZarr``); hdf5/grib scanners require
+    kerchunk, which is unavailable here."""
     from .kerchunkio import scan_npz, scan_zarr
 
     path = _local_path(url)
@@ -129,7 +139,12 @@ def open_with_kerchunk(
         return [scan_npz(path, inline_threshold=inline_threshold)]
     if file_type == FileType.zarr:
         return [scan_zarr(path, inline_threshold=inline_threshold)]
+    if file_type == FileType.netcdf3:
+        from .netcdf3 import scan_netcdf3
+
+        return [scan_netcdf3(path, inline_threshold=inline_threshold)]
     raise NotImplementedError(
         f"kerchunk scanning of file_type={file_type.value!r} requires the "
-        "kerchunk package, which is not installed; supported here: npz, zarr"
+        "kerchunk package, which is not installed; supported here: npz, "
+        "zarr, netcdf3"
     )

@@ -176,6 +176,16 @@ class ZarrArray:
         return any(c["name"] == "gzip" for c in self.meta["codecs"])
 
     @property
+    def _stored_byteorder(self) -> str:
+        """Endianness declared by the ``bytes`` codec ("<" default — but
+        virtual references into big-endian containers, e.g. NetCDF3,
+        declare "big")."""
+        for c in self.meta["codecs"]:
+            if c["name"] == "bytes":
+                return ">" if c.get("configuration", {}).get("endian") == "big" else "<"
+        return "<"
+
+    @property
     def nchunks(self) -> Tuple[int, ...]:
         return tuple(
             -(-s // c) if s else 0 for s, c in zip(self.shape, self.chunks)
@@ -197,9 +207,9 @@ class ZarrArray:
     def _decode_chunk(self, buf: bytes) -> np.ndarray:
         if self.compressed:
             buf = zlib.decompress(buf)
-        arr = np.frombuffer(buf, dtype=self.dtype.newbyteorder("<")).astype(
-            self.dtype, copy=False
-        )
+        arr = np.frombuffer(
+            buf, dtype=self.dtype.newbyteorder(self._stored_byteorder)
+        ).astype(self.dtype, copy=False)
         return arr.reshape(self.chunks)
 
     def _full_chunk(self) -> np.ndarray:

@@ -1,0 +1,135 @@
+"""NetCDF3 classic container: pure-numpy write/read/schema/scan, plus the
+Zarr and kerchunk pipelines running end-to-end from netcdf3 sources
+(reference parity: ``openers.py:40-47`` netcdf3 engine row and the
+netcdf3 cases in ``tests/test_end_to_end.py``)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from pangeo_forge_recipes_spark import (
+    pattern_from_file_sequence,
+    store_to_zarr,
+    write_combined_reference,
+)
+from pangeo_forge_recipes_spark.kerchunkio import open_reference_dataset
+from pangeo_forge_recipes_spark.ndset import NDDataset, Variable, assert_equal
+from pangeo_forge_recipes_spark.netcdf3 import (
+    netcdf3_schema,
+    read_netcdf3,
+    scan_netcdf3,
+    write_netcdf3,
+)
+from pangeo_forge_recipes_spark.openers import open_with_ndset, read_schema
+from pangeo_forge_recipes_spark.patterns import FileType
+
+from .data_generation import make_ds
+
+
+def _int32_expected(ds: NDDataset) -> NDDataset:
+    """NetCDF3 classic has no 64-bit ints: int64 round-trips as int32."""
+    out = ds.isel()
+    for name, var in out.data_vars.items():
+        if var.dtype == np.int64:
+            out.data_vars[name] = Variable(
+                var.dims, var.data.astype("int32"), dict(var.attrs), dict(var.encoding)
+            )
+    return out
+
+
+def test_write_read_roundtrip(tmp_path):
+    ds = make_ds(nt=5)
+    p = str(tmp_path / "t.nc")
+    write_netcdf3(p, ds)
+    rt = read_netcdf3(p)
+    assert_equal(rt, _int32_expected(ds))
+    # CF time encoding survives
+    assert rt["time"].dtype.kind == "M"
+    assert "since" in rt["time"].encoding["units"]
+
+
+def test_header_only_schema_matches_full_open(tmp_path):
+    ds = make_ds(nt=3)
+    p = str(tmp_path / "t.nc")
+    write_netcdf3(p, ds)
+    schema = netcdf3_schema(p)
+    assert schema["dims"] == {"time": 3, "lat": 18, "lon": 36}
+    assert set(schema["data_vars"]) == {"foo", "bar"}
+    assert schema["data_vars"]["foo"]["dtype"] == "float64"
+    assert schema["coords"]["time"]["dtype"] == "datetime64[ns]"
+    # schema pass must not read array payloads: truncate data region, parse ok
+    header_len = min(v["shape"][0] for v in [schema["coords"]["time"]]) or 1
+    with open(p, "rb") as f:
+        head = f.read(2048)
+    clipped = str(tmp_path / "clipped.nc")
+    with open(clipped, "wb") as f:
+        f.write(head)
+    assert netcdf3_schema(clipped)["dims"] == schema["dims"]
+    del header_len
+
+
+def test_int64_overflow_rejected(tmp_path):
+    ds = NDDataset(
+        {"big": Variable(("x",), np.array([2**40, 1], dtype="int64"))},
+        {},
+        {},
+        {"x": 2},
+    )
+    with pytest.raises(ValueError, match="64-bit"):
+        write_netcdf3(str(tmp_path / "t.nc"), ds)
+
+
+def test_openers_route_netcdf3(tmp_path):
+    ds = make_ds(nt=2)
+    p = str(tmp_path / "t.nc")
+    write_netcdf3(p, ds)
+    opened = open_with_ndset(f"file://{p}", FileType.netcdf3)
+    assert_equal(opened, _int32_expected(ds))
+    assert read_schema(p, FileType.netcdf3)["dims"]["time"] == 2
+
+
+def test_scan_references_equal_direct_read(tmp_path):
+    ds = make_ds(nt=4)
+    p = str(tmp_path / "t.nc")
+    write_netcdf3(p, ds)
+    refs = scan_netcdf3(p)
+    via_refs = open_reference_dataset(refs)
+    assert_equal(via_refs, read_netcdf3(p))
+
+
+def _write_split(tmp_path, ds, nt_per_file):
+    paths = []
+    nt = ds.sizes["time"]
+    for i, start in enumerate(range(0, nt, nt_per_file)):
+        p = str(tmp_path / f"f{i}.nc")
+        write_netcdf3(p, ds.isel(time=slice(start, start + nt_per_file)))
+        paths.append(p)
+    return paths
+
+
+def test_store_to_zarr_from_netcdf3(spark, tmp_path):
+    ds = make_ds(nt=6)
+    paths = _write_split(tmp_path, ds, 2)
+    pattern = pattern_from_file_sequence(
+        paths, "time", nitems_per_file=2, file_type="netcdf3"
+    )
+    result = store_to_zarr(
+        spark, pattern, str(tmp_path), "out.zarr", target_chunks={"time": 3}
+    )
+    assert_equal(result.open(), _int32_expected(ds))
+
+
+def test_kerchunk_pipeline_from_netcdf3(spark, tmp_path):
+    ds = make_ds(nt=6)
+    paths = _write_split(tmp_path, ds, 2)
+    pattern = pattern_from_file_sequence(
+        paths, "time", nitems_per_file=2, file_type="netcdf3"
+    )
+    ref_path = write_combined_reference(
+        spark, pattern, str(tmp_path), "ref", max_refs_per_merge=2
+    )
+    assert os.path.exists(ref_path)
+    assert_equal(open_reference_dataset(ref_path), _int32_expected(ds))
