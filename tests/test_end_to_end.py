@@ -61,6 +61,48 @@ def test_roundtrip_multivariable_merge(spark, tmp_path):
     assert_equal(result.open(), ds)
 
 
+def test_roundtrip_inferred_nitems(spark, tmp_path):
+    """Files of UNEVEN length with ``nitems_per_file=None``: per-file sizes
+    are discovered by the schema pass and offsets come from its prefix sums
+    (reference items-per-file-inferred fixtures, conftest.py:286-294)."""
+    ds = make_ds(nt=10)
+    bounds = [(0, 3), (3, 5), (5, 9), (9, 10)]
+    paths = []
+    for i, (a, b) in enumerate(bounds):
+        p = str(tmp_path / f"u{i}.npz")
+        write_npz(p, ds.isel(time=slice(a, b)))
+        paths.append(p)
+    pattern = pattern_from_file_sequence(paths, "time", file_type="npz")
+    assert pattern.nitems_per_input["time"] is None
+    result = store_to_zarr(
+        spark, pattern, str(tmp_path / "target"), "store.zarr",
+        target_chunks={"time": 4},
+    )
+    assert_equal(result.open(), ds)
+
+
+def test_roundtrip_two_concat_dims(spark, tmp_path):
+    """Two ConcatDims (time × lat): fragments tile a 2-d grid and the
+    rechunk shuffle reassembles the hypercube across both axes."""
+    ds = make_ds(nt=6)
+    for t in range(3):
+        for la in range(2):
+            sub = ds.isel(time=slice(2 * t, 2 * t + 2), lat=slice(9 * la, 9 * la + 9))
+            write_npz(str(tmp_path / f"t{t}_l{la}.npz"), sub)
+    pattern = FilePattern(
+        lambda time, lat: str(tmp_path / f"t{time}_l{lat}.npz"),
+        ConcatDim("time", keys=[0, 1, 2], nitems_per_file=2),
+        ConcatDim("lat", keys=[0, 1], nitems_per_file=9),
+        file_type="npz",
+    )
+    result = store_to_zarr(
+        spark, pattern, str(tmp_path / "target"), "store.zarr",
+        target_chunks={"time": 3, "lat": 9},
+    )
+    assert_equal(result.open(), ds)
+    assert result.schema["dims"] == {"time": 6, "lat": 18, "lon": 36}
+
+
 def test_roundtrip_non_dim_coords(spark, tmp_path):
     ds = make_ds(nt=4, non_dim_coords=True)
     paths = split_ds_into_files(ds, str(tmp_path))
