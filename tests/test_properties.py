@@ -1,0 +1,145 @@
+"""Property-based tests (hypothesis) for the pure kernels: randomized
+split→combine identity over arbitrary file layouts and target chunkings,
+chunk-grid index-space inverses, and netcdf3 container round-trips.
+Goes beyond the reference's test strategy (it has no property tests —
+SURVEY §5) to pin the invariants the distributed pipeline relies on."""
+
+from __future__ import annotations
+
+import io
+import math
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from pangeo_forge_recipes_spark.chunk_grid import ChunkGrid
+from pangeo_forge_recipes_spark.ndset import NDDataset, Variable, assert_equal
+from pangeo_forge_recipes_spark.netcdf3 import read_netcdf3, write_netcdf3
+from pangeo_forge_recipes_spark.patterns import augment_index_with_start_stop
+from pangeo_forge_recipes_spark.rechunking import combine_fragments, split_fragment
+from pangeo_forge_recipes_spark.types import (
+    CombineOp,
+    Dimension,
+    Index,
+    Position,
+)
+
+
+def _make_1d_ds(n: int, start: int = 0) -> NDDataset:
+    x = np.arange(start, start + n, dtype="int32")
+    data = (x * 7 + 3).astype("float64")
+    return NDDataset(
+        {"v": Variable(("x",), data)},
+        {"x": Variable(("x",), x)},
+        {},
+        {"x": n},
+    )
+
+
+@st.composite
+def _splits(draw):
+    """Random total length, random file boundaries, random target chunk."""
+    total = draw(st.integers(min_value=1, max_value=40))
+    nfiles = draw(st.integers(min_value=1, max_value=min(total, 6)))
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.integers(min_value=1, max_value=total - 1),
+                max_size=nfiles - 1,
+                unique=True,
+            )
+        )
+    ) if total > 1 else []
+    bounds = list(zip([0] + cuts, cuts + [total]))
+    chunk = draw(st.integers(min_value=1, max_value=total))
+    return total, bounds, chunk
+
+
+@given(_splits())
+@settings(max_examples=60, deadline=None)
+def test_split_combine_identity_1d(layout):
+    """Any file layout × any target chunking reassembles the original."""
+    total, bounds, chunk = layout
+    dim = Dimension("x", CombineOp.CONCAT)
+    item_lens = [b - a for a, b in bounds]
+
+    # split every file fragment by target chunk, bucket by group key
+    groups: dict = {}
+    for pos, (a, b) in enumerate(bounds):
+        index = Index(
+            {dim: augment_index_with_start_stop(Position(pos), item_lens)}
+        )
+        ds = _make_1d_ds(b - a, start=a)
+        for key, sub in split_fragment(
+            (index, ds), target_chunks={"x": chunk}
+        ):
+            groups.setdefault(key, []).append(sub)
+
+    # each group must combine into exactly its target chunk
+    n_chunks = math.ceil(total / chunk)
+    assert len(groups) == n_chunks
+    recombined = {}
+    for key, frags in groups.items():
+        idx, ds = combine_fragments(key, frags)
+        (chunk_idx,) = [i for (_, i) in key]
+        start = chunk_idx * chunk
+        expect_len = min(chunk, total - start)
+        assert ds.sizes["x"] == expect_len
+        np.testing.assert_array_equal(
+            ds.coords["x"].data, np.arange(start, start + expect_len)
+        )
+        recombined[chunk_idx] = ds
+    # full concatenation equals the original sequence
+    full = np.concatenate(
+        [recombined[i].data_vars["v"].data for i in range(n_chunks)]
+    )
+    np.testing.assert_array_equal(full, _make_1d_ds(total).data_vars["v"].data)
+
+
+@given(
+    shape=st.integers(min_value=1, max_value=1000),
+    chunk=st.integers(min_value=1, max_value=1000),
+)
+@settings(max_examples=80, deadline=None)
+def test_chunk_axis_inverse(shape, chunk):
+    """array index → chunk index → chunk slice is a consistent inverse."""
+    chunk = min(chunk, shape)
+    axis = ChunkGrid.from_uniform_grid({"x": (chunk, shape)}).axes["x"]
+    covered = 0
+    for i in range(axis.nchunks):
+        sl = axis.chunk_index_to_array_slice(i)
+        assert sl.start == covered
+        covered = sl.stop
+        # every element of the slice maps back to chunk i
+        for j in (sl.start, sl.stop - 1):
+            assert axis.array_index_to_chunk_index(j) == i
+    assert covered == shape
+
+
+@st.composite
+def _small_datasets(draw):
+    nx = draw(st.integers(min_value=1, max_value=8))
+    ny = draw(st.integers(min_value=1, max_value=8))
+    dtype = draw(st.sampled_from(["float64", "float32", "int32", "int16", "int8"]))
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    rng = np.random.RandomState(seed)
+    if dtype.startswith("float"):
+        data = rng.standard_normal((nx, ny)).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        data = rng.randint(info.min, info.max, size=(nx, ny)).astype(dtype)
+    return NDDataset(
+        {"v": Variable(("x", "y"), data, {"units": "widgets"})},
+        {"x": Variable(("x",), np.arange(nx, dtype="float64"))},
+        {"title": "prop"},
+        {"x": nx, "y": ny},
+    )
+
+
+@given(_small_datasets())
+@settings(max_examples=40, deadline=None)
+def test_netcdf3_roundtrip_property(ds):
+    buf = io.BytesIO()
+    write_netcdf3(buf, ds)
+    buf.seek(0)
+    assert_equal(read_netcdf3(buf), ds)
