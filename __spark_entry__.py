@@ -430,6 +430,17 @@ SELECT doc_id,
        {e.rolling_min_hash(5)} AS rolling_fingerprint
 FROM documents ORDER BY doc_id
 """.strip(),
+        # extension: composed corpus-cleaning pipeline — quality gate then
+        # exact dedup, summarized (filter → hash-groupBy in one plan)
+        "corpus_clean": f"""
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       COUNT(DISTINCT CASE WHEN q >= 0.5 THEN fp END) AS n_unique
+FROM (
+  SELECT doc_id, {e.fingerprint_md5()} AS fp, {e.quality_score()} AS q
+  FROM documents
+) t
+""".strip(),
         # extension: exact dedup (hash groupBy, min-id representative)
         "dedup_exact": f"""
 SELECT {e.fingerprint_md5()} AS fingerprint,

@@ -48,6 +48,70 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _bench_zarr_pipeline(spark) -> dict:
+    """BASELINE.md's reference-parity perf proxy: wall-clock of the full
+    store_to_zarr round (manifest → schema pass → open → split → shuffled
+    combine+write) over a ~50 MB synthetic hypercube in 8 files."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from pangeo_forge_recipes_spark import pattern_from_file_sequence, store_to_zarr
+    from pangeo_forge_recipes_spark.dsio import write_npz
+    from pangeo_forge_recipes_spark.ndset import NDDataset, Variable
+
+    nt, nlat, nlon = 64, 180, 360
+    rng = np.random.RandomState(7)
+    ds = NDDataset(
+        {
+            "foo": Variable(
+                ("time", "lat", "lon"),
+                rng.standard_normal((nt, nlat, nlon)),
+            ),
+            "bar": Variable(
+                ("time", "lat", "lon"),
+                rng.randint(0, 10_000, (nt, nlat, nlon)).astype("int32"),
+            ),
+        },
+        {
+            "time": Variable(("time",), np.arange(nt, dtype="int64")),
+            "lat": Variable(("lat",), np.linspace(-89.5, 89.5, nlat)),
+            "lon": Variable(("lon",), np.linspace(0.5, 359.5, nlon)),
+        },
+        {},
+        {"time": nt, "lat": nlat, "lon": nlon},
+    )
+    tmp = tempfile.mkdtemp(prefix="pfrs_bench_")
+    try:
+        paths = []
+        for i in range(8):
+            p = os.path.join(tmp, f"f{i}.npz")
+            write_npz(p, ds.isel(time=slice(8 * i, 8 * i + 8)))
+            paths.append(p)
+        pattern = pattern_from_file_sequence(
+            paths, "time", nitems_per_file=8, file_type="npz"
+        )
+        # best-of-2 (same policy as the queries): first run pays the python
+        # worker warm-up for this stage shape
+        wall, mb = None, 0.0
+        for run in range(2):
+            t0 = time.perf_counter()
+            result = store_to_zarr(
+                spark, pattern, tmp, f"bench{run}.zarr", target_chunks={"time": 16}
+            )
+            dt = time.perf_counter() - t0
+            wall = dt if wall is None else min(wall, dt)
+            mb = result.bytes_written / 1e6
+        return {
+            "wall": round(wall, 3),
+            "mb_written": round(mb, 1),
+            "mb_per_s": round(mb / wall, 1),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -87,6 +151,8 @@ def main() -> None:
         )
     concurrent_wall = round(time.perf_counter() - t0, 3)
 
+    pipeline = _bench_zarr_pipeline(spark)
+
     print(
         json.dumps(
             {
@@ -95,6 +161,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sequential_total": round(sum(timings.values()), 3),
+                "zarr_pipeline": pipeline,
                 "sf": sf,
             }
         )
