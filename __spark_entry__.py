@@ -561,6 +561,50 @@ def _multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_stats(media)
 
 
+def _events_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.8 Structured Streaming: the hourly rollup computed by an
+    event-time windowed STREAMING aggregation (availableNow micro-batches
+    over the events parquet, watermarked), checked against the same DuckDB
+    oracle as the batch rollup — streaming and batch must agree exactly."""
+    from pangeo_forge_recipes_spark.streaming.append import watermarked_event_rollup
+
+    _register(spark, sf_dir)
+    for q in spark.streams.active:
+        if q.name == "_events_rollup_stream":
+            q.stop()
+    batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    # streaming file source wants a directory: scan sf_dir filtered to the
+    # events file
+    raw = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict((f.name, f.dataType.simpleString()) for f in batch_schema).get("ts") == "bigint":
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    rolled = watermarked_event_rollup(raw)
+    query = (
+        rolled.writeStream.format("memory")
+        .queryName("_events_rollup_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.table("_events_rollup_stream")
+        .select(
+            F.col("window_start").alias("hour"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
 def _manifest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.1: FilePattern outer-product enumeration as a DataFrame."""
     from pangeo_forge_recipes_spark import ConcatDim, FilePattern, MergeDim
@@ -765,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _sql_query(sql)
     for name, sql in _text_sql("spark").items():
         out[name] = _sql_query(sql)
+    out["events_hourly_rollup_stream"] = _events_rollup_stream
     out["ann_cosine_topk"] = _ann_topk
     out["embedding_near_dup"] = _near_dup
     out["multimodal_stats"] = _multimodal_stats
@@ -786,6 +831,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out = dict(_shared_sql())  # identical ANSI text runs on DuckDB
     out.update(_text_sql("duckdb"))
+    # streaming rollup must equal the batch rollup — same oracle text
+    out["events_hourly_rollup_stream"] = out["events_hourly_rollup"]
     out["ann_cosine_topk"] = _ANN_ORACLE
     out["embedding_near_dup"] = _NEAR_DUP_ORACLE
     out["multimodal_stats"] = _MULTIMODAL_ORACLE
