@@ -605,6 +605,46 @@ def _events_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.8 / charter: custom stateful streaming operator
+    (applyInPandasWithState day-gap sessionization) — must hash-match the
+    batch LAG-based events_sessions oracle."""
+    from pangeo_forge_recipes_spark.streaming.stateful import stateful_sessionize
+
+    _register(spark, sf_dir)
+    for q in spark.streams.active:
+        if q.name == "_events_sessions_stream":
+            q.stop()
+    batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    raw = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict((f.name, f.dataType.simpleString()) for f in batch_schema).get("ts") == "bigint":
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    query = (
+        stateful_sessionize(raw)
+        .writeStream.format("memory")
+        .queryName("_events_sessions_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.table("_events_sessions_stream")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_sessions").alias("n_sessions"),
+            F.max("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def _manifest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.1: FilePattern outer-product enumeration as a DataFrame."""
     from pangeo_forge_recipes_spark import ConcatDim, FilePattern, MergeDim
@@ -810,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, sql in _text_sql("spark").items():
         out[name] = _sql_query(sql)
     out["events_hourly_rollup_stream"] = _events_rollup_stream
+    out["events_sessions_stream"] = _events_sessions_stream
     out["ann_cosine_topk"] = _ann_topk
     out["embedding_near_dup"] = _near_dup
     out["multimodal_stats"] = _multimodal_stats
@@ -831,8 +872,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out = dict(_shared_sql())  # identical ANSI text runs on DuckDB
     out.update(_text_sql("duckdb"))
-    # streaming rollup must equal the batch rollup — same oracle text
+    # streaming results must equal their batch twins — same oracle text
     out["events_hourly_rollup_stream"] = out["events_hourly_rollup"]
+    out["events_sessions_stream"] = out["events_sessions"]
     out["ann_cosine_topk"] = _ANN_ORACLE
     out["embedding_near_dup"] = _NEAR_DUP_ORACLE
     out["multimodal_stats"] = _MULTIMODAL_ORACLE

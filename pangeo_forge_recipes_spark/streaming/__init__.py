@@ -6,5 +6,11 @@ from .append import (
     stream_manifest,
     watermarked_event_rollup,
 )
+from .stateful import stateful_sessionize
 
-__all__ = ["stream_manifest", "stream_append_to_zarr", "watermarked_event_rollup"]
+__all__ = [
+    "stream_manifest",
+    "stream_append_to_zarr",
+    "watermarked_event_rollup",
+    "stateful_sessionize",
+]

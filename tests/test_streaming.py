@@ -16,6 +16,7 @@ from pangeo_forge_recipes_spark.streaming import (
     stream_append_to_zarr,
     watermarked_event_rollup,
 )
+from pangeo_forge_recipes_spark.streaming.stateful import stateful_sessionize
 
 from .data_generation import make_ds
 
@@ -104,3 +105,53 @@ def test_watermarked_rollup_stream_equals_batch(spark, tmp_path):
     for r in s_rows:
         key = (r["window_start"], r["event_type"])
         assert b[key] == (r["n"], r["total_value"])
+
+
+def test_stateful_sessionize_carries_state_across_batches(spark, tmp_path):
+    """Two micro-batches split at a date boundary: the per-user
+    (last_date, counts) state must persist between batches so the final
+    update equals the batch LAG-based sessionization over all events."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rows = []
+    eid = 0
+    for user in (1, 2, 3):
+        for day, nev in [("2024-01-01", 3), ("2024-01-02", 2), ("2024-01-04", user)]:
+            for k in range(nev):
+                rows.append((eid, pd.Timestamp(f"{day} 0{k+1}:00:00"), user))
+                eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    events = spark.createDataFrame(pdf)
+
+    src = str(tmp_path / "src")
+    # batch 0: days 1-2; batch 1: day 4 — one file each, one trigger each
+    events.filter(F.col("ts") < "2024-01-03").coalesce(1).write.parquet(
+        src + "/d0"
+    )
+    events.filter(F.col("ts") >= "2024-01-03").coalesce(1).write.parquet(
+        src + "/d1"
+    )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/d*")
+    )
+    q = (
+        stateful_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("_sessions_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode appends one row per user per batch — keep the latest
+    updates = spark.table("_sessions_test").collect()
+    assert len(updates) >= 3
+    final = {}
+    for r in updates:
+        final[r["user_id"]] = (r["n_sessions"], r["n_events"])
+    # 3 distinct days → 3 sessions; events: 3 + 2 + user
+    for user in (1, 2, 3):
+        assert final[user] == (3, 5 + user), (user, final[user])
