@@ -550,8 +550,16 @@ def store_to_zarr(
             open_kwargs=open_kwargs, max_concurrency=max_concurrency,
         )
 
-    # pass 1: metadata-only global schema
-    schemas = read_schemas_df(manifest, file_type)
+    # pass 1: global schema. Header-only when no preprocessor; with one,
+    # the schema must describe the PREPROCESSED fragments (reference order:
+    # Open | Preprocessor | StoreToZarr→DetermineSchema), so open+transform
+    # metadata-deep instead
+    if preprocess is None:
+        schemas = read_schemas_df(manifest, file_type)
+    else:
+        schemas = schemas_from_fragments(
+            open_with_ndset_df(manifest, file_type, preprocess=preprocess)
+        )
     schema = determine_schema(schemas, pattern.combine_dim_keys)
 
     if dynamic_chunking_fn:

@@ -103,6 +103,30 @@ def test_roundtrip_two_concat_dims(spark, tmp_path):
     assert result.schema["dims"] == {"time": 6, "lat": 18, "lon": 36}
 
 
+def test_preprocess_shapes_schema_and_store(spark, tmp_path):
+    """A user preprocessor (drop/rename — reference terraclimate.py shape)
+    must be reflected in the inferred schema and the store layout, because
+    the reference determines schema AFTER preprocessing."""
+    ds = make_ds(nt=4)
+    paths = split_ds_into_files(ds, str(tmp_path), items_per_file=2)
+    pattern = pattern_from_file_sequence(paths, "time", nitems_per_file=2, file_type="npz")
+
+    def pre(index, frag):
+        return index, frag.drop_vars(["bar"]).rename({"foo": "renamed"})
+
+    result = store_to_zarr(
+        spark, pattern, str(tmp_path / "target"), "store.zarr",
+        target_chunks={"time": 2}, preprocess=pre,
+    )
+    assert set(result.schema["data_vars"]) == {"renamed"}
+    out = result.open()
+    assert set(out.data_vars) == {"renamed"}
+    assert_equal(
+        out,
+        ds.drop_vars(["bar"]).rename({"foo": "renamed"}),
+    )
+
+
 def test_roundtrip_non_dim_coords(spark, tmp_path):
     ds = make_ds(nt=4, non_dim_coords=True)
     paths = split_ds_into_files(ds, str(tmp_path))

@@ -9,21 +9,17 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from pangeo_forge_recipes_spark.plans import explain_string, plan_audit
+
 SF_DIR = "/root/testdata/sf0.001"
 
 
 def _formatted_plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    return explain_string(df, "formatted")
 
 
 def _simple_plan(df) -> str:
-    """One line per physical node — safe for node counting (formatted mode
-    lists every node twice: tree + detail)."""
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "simple"
-    )
+    return explain_string(df, "simple")
 
 
 @pytest.fixture(scope="module")
@@ -65,11 +61,11 @@ def test_dim_joins_broadcast_not_shuffle(tables):
         .groupBy("n_name")
         .agg(F.sum("l_extendedprice").alias("rev"))
     )
-    assert _simple_plan(df).count("BroadcastHashJoin") == 3
-    plan = _formatted_plan(df)
-    assert "SortMergeJoin" not in plan
+    audit = plan_audit(df)
+    assert audit["broadcast_hash_joins"] == 3
+    assert audit["sort_merge_joins"] == 0
     # the dim filter is pushed into the region scan, not evaluated post-join
-    assert "EqualTo(r_name,ASIA)" in plan
+    assert "EqualTo(r_name,ASIA)" in audit["pushed_filters"]
 
 
 def test_exists_plans_as_left_semi(tables):
