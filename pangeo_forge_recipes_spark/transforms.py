@@ -435,6 +435,53 @@ def open_split_fragments_df(
     return df.mapInPandas(open_split, SPLIT_SCHEMA)
 
 
+def open_split_store_df(
+    df: DataFrame,
+    store_path: str,
+    file_type: Union[str, FileType] = FileType.npz,
+    target_chunks: Optional[Dict[str, int]] = None,
+    schema: Optional[XarraySchema] = None,
+    preprocess: Optional[Callable[[Index, NDDataset], Tuple[Index, NDDataset]]] = None,
+) -> DataFrame:
+    """Zero-shuffle fast path: open → [preprocess] → split → write, all in
+    one map stage. Valid only when every split sub-fragment is a complete
+    target chunk (``_chunks_aligned_with_files``) — then the groupBy would
+    place exactly one fragment per group and the shuffle would move every
+    byte across the cluster for nothing. ``combine_fragments`` still runs
+    per sub-fragment to keep the validation identical."""
+    ft = FileType(file_type) if isinstance(file_type, str) else file_type
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for idx_json, url in zip(pdf["index"], pdf["url"]):
+                ds = open_with_ndset(url, file_type=ft)
+                index = Index.from_json(idx_json)
+                if preprocess is not None:
+                    index, ds = preprocess(index, ds)
+                keys, idxs, nvars, nbytes = [], [], [], []
+                for gk, sub in split_fragment(
+                    (index, ds), target_chunks=target_chunks, schema=schema
+                ):
+                    out_index, out_ds = combine_fragments(gk, [sub])
+                    store_dataset_fragment((out_index, out_ds), store_path)
+                    keys.append(group_key_to_json(gk))
+                    idxs.append(out_index.to_json())
+                    nvars.append(len(out_ds.data_vars))
+                    nbytes.append(
+                        int(sum(v.data.nbytes for v in out_ds.variables.values()))
+                    )
+                yield pd.DataFrame(
+                    {
+                        "group_key": keys,
+                        "index": idxs,
+                        "n_vars": nvars,
+                        "nbytes": nbytes,
+                    }
+                )
+
+    return df.mapInPandas(run, STATUS_SCHEMA)
+
+
 def combine_fragments_df(df_split: DataFrame) -> DataFrame:
     """THE shuffle: co-locate all sub-fragments of one target chunk and
     reassemble (reference GroupByKey + ``combine_fragments``,
@@ -497,9 +544,36 @@ class StoreResult:
     schema: XarraySchema
     n_chunks_written: int
     bytes_written: int
+    shuffled: bool = True
 
     def open(self) -> NDDataset:
         return open_zarr_group(self.path)
+
+
+def _chunks_aligned_with_files(
+    schema: XarraySchema, target_chunks: Dict[str, int], append_offset: int = 0
+) -> bool:
+    """True when NO target chunk draws data from more than one source file:
+    every interior file boundary along every concat dim falls on a target
+    chunk boundary. In that case each split sub-fragment already IS a
+    complete target chunk and the rechunk shuffle moves bytes for nothing —
+    the reference always shuffles (``transforms.py:406-417``); skipping it
+    here is the cheap win flagged in SURVEY §4. Appends with a non-aligned
+    offset shift every boundary, so they disqualify."""
+    effective = determine_target_chunks(schema, target_chunks)
+    for dim, posmap in schema["chunks"].items():
+        chunk = effective.get(dim)
+        if not chunk:
+            continue
+        if append_offset % chunk != 0:
+            return False
+        lens = [posmap[i] for i in range(len(posmap))]
+        boundary = append_offset
+        for n in lens[:-1]:
+            boundary += n
+            if boundary % chunk != 0:
+                return False
+    return True
 
 
 def store_to_zarr(
@@ -585,16 +659,28 @@ def store_to_zarr(
     )
 
     # pass 2: data — open/preprocess/split fused into one Arrow stage so
-    # fragment bytes cross JVM↔Python once before the shuffle
+    # fragment bytes cross JVM↔Python once before the shuffle; when chunks
+    # align with file boundaries the shuffle is skipped entirely
     indexed = index_items(manifest, schema, append_offset=append_offset)
-    split = open_split_fragments_df(
-        indexed,
-        file_type,
-        target_chunks=target_chunks,
-        schema=schema,
-        preprocess=preprocess,
-    )
-    statuses = rechunk_and_store(split, store_path)
+    shuffled = not _chunks_aligned_with_files(schema, target_chunks, append_offset)
+    if shuffled:
+        split = open_split_fragments_df(
+            indexed,
+            file_type,
+            target_chunks=target_chunks,
+            schema=schema,
+            preprocess=preprocess,
+        )
+        statuses = rechunk_and_store(split, store_path)
+    else:
+        statuses = open_split_store_df(
+            indexed,
+            store_path,
+            file_type,
+            target_chunks=target_chunks,
+            schema=schema,
+            preprocess=preprocess,
+        )
     agg = statuses.agg(
         F.count("*").alias("n"), F.coalesce(F.sum("nbytes"), F.lit(0)).alias("b")
     ).collect()[0]
@@ -612,6 +698,7 @@ def store_to_zarr(
         schema=schema,
         n_chunks_written=int(agg["n"]),
         bytes_written=int(agg["b"]),
+        shuffled=shuffled,
     )
 
 

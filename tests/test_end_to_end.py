@@ -103,6 +103,33 @@ def test_roundtrip_two_concat_dims(spark, tmp_path):
     assert result.schema["dims"] == {"time": 6, "lat": 18, "lon": 36}
 
 
+def test_aligned_chunks_skip_shuffle(spark, tmp_path):
+    """When no target chunk spans a file boundary, the rechunk shuffle is
+    skipped (SURVEY §4 cheap win) — including the file-subdivides case —
+    and results stay identical to the shuffled path."""
+    ds = make_ds(nt=8)
+    paths = split_ds_into_files(ds, str(tmp_path), items_per_file=4)
+    pattern = pattern_from_file_sequence(paths, "time", nitems_per_file=4, file_type="npz")
+
+    # chunk == file length → each fragment is one chunk → no shuffle
+    r1 = store_to_zarr(spark, pattern, str(tmp_path / "t1"), "s.zarr",
+                       target_chunks={"time": 4})
+    assert r1.shuffled is False
+    assert_equal(r1.open(), ds)
+
+    # chunk divides file length → file splits into whole chunks → no shuffle
+    r2 = store_to_zarr(spark, pattern, str(tmp_path / "t2"), "s.zarr",
+                       target_chunks={"time": 2})
+    assert r2.shuffled is False
+    assert_equal(r2.open(), ds)
+
+    # chunk spans files → must shuffle
+    r3 = store_to_zarr(spark, pattern, str(tmp_path / "t3"), "s.zarr",
+                       target_chunks={"time": 3})
+    assert r3.shuffled is True
+    assert_equal(r3.open(), ds)
+
+
 def test_preprocess_shapes_schema_and_store(spark, tmp_path):
     """A user preprocessor (drop/rename — reference terraclimate.py shape)
     must be reflected in the inferred schema and the store layout, because
