@@ -103,6 +103,37 @@ def test_roundtrip_two_concat_dims(spark, tmp_path):
     assert result.schema["dims"] == {"time": 6, "lat": 18, "lon": 36}
 
 
+def test_rerun_is_idempotent(spark, tmp_path):
+    """Task retries re-execute region writes; running the whole pipeline
+    twice into the same target must produce byte-identical chunks (the
+    invariant Spark task retry / re-run safety rests on; reference
+    idempotence contract, storage.py:198-205, aggregation.py:269-279)."""
+    import hashlib
+
+    ds = make_ds(nt=6)
+    paths = split_ds_into_files(ds, str(tmp_path), items_per_file=2)
+    pattern = pattern_from_file_sequence(paths, "time", nitems_per_file=2, file_type="npz")
+
+    def store_digest(root):
+        import os
+
+        h = hashlib.sha256()
+        for dirpath, _, files in sorted(os.walk(root)):
+            for fn in sorted(files):
+                with open(os.path.join(dirpath, fn), "rb") as f:
+                    h.update(fn.encode())
+                    h.update(f.read())
+        return h.hexdigest()
+
+    r1 = store_to_zarr(spark, pattern, str(tmp_path / "t"), "s.zarr",
+                       target_chunks={"time": 3})
+    d1 = store_digest(r1.path)
+    r2 = store_to_zarr(spark, pattern, str(tmp_path / "t"), "s.zarr",
+                       target_chunks={"time": 3})
+    assert store_digest(r2.path) == d1
+    assert_equal(r2.open(), ds)
+
+
 def test_aligned_chunks_skip_shuffle(spark, tmp_path):
     """When no target chunk spans a file boundary, the rechunk shuffle is
     skipped (SURVEY §4 cheap win) — including the file-subdivides case —
