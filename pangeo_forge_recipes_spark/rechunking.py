@@ -164,8 +164,14 @@ def combine_fragments(
             "All concat dimension positions must be indexed in order to combine fragments."
         )
 
+    # variable-sharded groups may carry payloads that lack one of the index's
+    # concat dims (a coord or static var without that dim): nothing to
+    # concatenate along it — the write region comes from the index
+    concat_dims = [d for d in concat_dims if d.name in all_dsets[0].sizes]
+
     if not concat_dims:
-        # single-fragment group (nothing to concatenate)
+        # single-fragment group (nothing to concatenate) — or identical
+        # static payloads shipped by several owners; writes are idempotent
         return first_index, all_dsets[0]
 
     # unstack the flat fragment list into an ND nested structure:

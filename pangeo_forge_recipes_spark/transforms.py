@@ -44,6 +44,7 @@ from .aggregation import (
     schema_to_json,
 )
 from .dsio import (
+    _is_first_in_merge_dim,
     consolidate_dimension_coordinates as _consolidate_coords,
     open_zarr_group,
     schema_to_zarr,
@@ -399,14 +400,49 @@ def open_split_fragments_df(
     copy_to_local: bool = False,
     xarray_open_kwargs: Optional[dict] = None,
     preprocess: Optional[Callable[[Index, NDDataset], Tuple[Index, NDDataset]]] = None,
+    by_variable: bool = True,
 ) -> DataFrame:
     """Fused open → [preprocess] → split in ONE Arrow stage. Functionally
     ``split_fragments_df(open_with_ndset_df(df))``, but the MB-scale
     fragment payload stays inside a single Python worker pass instead of
     round-tripping JVM↔Python between stages — at 100 TB those extra
     crossings are pure wasted bandwidth (Beam gets the same effect from
-    runner fusion; here we fuse structurally)."""
+    runner fusion; here we fuse structurally).
+
+    ``by_variable=True`` additionally shards each sub-fragment per variable
+    (key = chunk ⊕ variable): shuffle groups shrink from one-chunk-×-ALL-vars
+    to one-chunk-×-one-var, so task memory is bounded by a single variable's
+    chunk, parallelism multiplies by the variable count, and coordinate
+    payloads — which the whole-fragment layout ships redundantly with every
+    fragment — travel only from their designated owner (the write-side
+    ownership rules of reference ``writers.py:57-69,110-122`` applied at
+    split time)."""
     ft = FileType(file_type) if isinstance(file_type, str) else file_type
+
+    def _owns(sub_idx: Index, var_dims) -> bool:
+        """A fragment owns a variable iff it sits at the ORIGIN of every
+        concat dim the variable does not span — along spanned dims each
+        fragment owns its own disjoint region, along unspanned dims only
+        the origin fragment ships the (identical) payload. Subsumes the
+        reference's first-item rule for dimensionless coords."""
+        for d, p in sub_idx.items():
+            if (
+                d.operation == CombineOp.CONCAT
+                and d.name not in var_dims
+                and p.value != 0
+            ):
+                return False
+        return True
+
+    def _explode(sub_idx: Index, sub_ds: NDDataset):
+        """Yield (suffix, single-variable dataset) obeying ownership."""
+        for name, var in sub_ds.data_vars.items():
+            if _owns(sub_idx, var.dims):
+                yield f"d:{name}", NDDataset({name: var}, {}, {}, dict(var.sizes))
+        if _is_first_in_merge_dim(sub_idx):
+            for name, var in sub_ds.coords.items():
+                if _owns(sub_idx, var.dims):
+                    yield f"c:{name}", NDDataset({}, {name: var}, {}, dict(var.sizes))
 
     def open_split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -425,9 +461,16 @@ def open_split_fragments_df(
                 for gk, (sub_idx, sub_ds) in split_fragment(
                     (index, ds), target_chunks=target_chunks, schema=schema
                 ):
-                    keys.append(group_key_to_json(gk))
-                    idxs.append(sub_idx.to_json())
-                    payloads.append(sub_ds.to_bytes())
+                    gk_json = group_key_to_json(gk)
+                    if by_variable:
+                        for suffix, single in _explode(sub_idx, sub_ds):
+                            keys.append(f"{gk_json}|{suffix}")
+                            idxs.append(sub_idx.to_json())
+                            payloads.append(single.to_bytes())
+                    else:
+                        keys.append(gk_json)
+                        idxs.append(sub_idx.to_json())
+                        payloads.append(sub_ds.to_bytes())
                 yield pd.DataFrame(
                     {"group_key": keys, "index": idxs, "payload": payloads}
                 )
