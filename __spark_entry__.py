@@ -645,6 +645,43 @@ def _events_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_ORACLE = """
+SELECT e.user_id,
+       COUNT(*) AS n_events,
+       CAST(COUNT(o.o_orderdate) AS BIGINT) AS matched,
+       MAX(o.o_orderdate) AS last_order
+FROM events e ASOF LEFT JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+GROUP BY e.user_id
+ORDER BY e.user_id
+""".strip()
+
+
+def _asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charter custom operator: backward as-of join (union + keyed window,
+    one shuffle) — semantics pinned against DuckDB's native ASOF JOIN."""
+    from pangeo_forge_recipes_spark.operators.asof import asof_join
+
+    _register(spark, sf_dir)
+    events = spark.table("events")
+    orders = spark.table("orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    joined = asof_join(
+        events, orders, by="user_id", left_on="ts", right_on="o_orderdate",
+        right_cols=[],
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("asof_o_orderdate").alias("matched"),
+            F.max("asof_o_orderdate").alias("last_order"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def _manifest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.1: FilePattern outer-product enumeration as a DataFrame."""
     from pangeo_forge_recipes_spark import ConcatDim, FilePattern, MergeDim
@@ -851,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _sql_query(sql)
     out["events_hourly_rollup_stream"] = _events_rollup_stream
     out["events_sessions_stream"] = _events_sessions_stream
+    out["asof_last_order"] = _asof_last_order
     out["ann_cosine_topk"] = _ann_topk
     out["embedding_near_dup"] = _near_dup
     out["multimodal_stats"] = _multimodal_stats
@@ -875,6 +913,7 @@ def oracle_sql() -> dict[str, str]:
     # streaming results must equal their batch twins — same oracle text
     out["events_hourly_rollup_stream"] = out["events_hourly_rollup"]
     out["events_sessions_stream"] = out["events_sessions"]
+    out["asof_last_order"] = _ASOF_ORACLE
     out["ann_cosine_topk"] = _ANN_ORACLE
     out["embedding_near_dup"] = _NEAR_DUP_ORACLE
     out["multimodal_stats"] = _MULTIMODAL_ORACLE

@@ -166,3 +166,34 @@ def test_text_operators(spark, docs):
     r100 = next(r for r in out if r["doc_id"] == 100)
     assert r100["fingerprint"] == r0["fingerprint"]
     assert r100["rolling_fingerprint"] == r0["rolling_fingerprint"]
+
+
+def test_asof_join(spark):
+    from pangeo_forge_recipes_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 10, "d"), (3, 10, "e")],
+        "k long, t long, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 30, 300.0)],
+        "k long, t long, rv double",
+    )
+    out = {
+        (r["k"], r["t"]): (r["rv"], r["asof_t"])
+        for r in asof_join(left, right, by="k", left_on="t", right_on="t").collect()
+    }
+    assert out[(1, 10)] == (100.0, 10)   # equal timestamp matches (backward)
+    assert out[(1, 20)] == (150.0, 15)   # most recent prior
+    assert out[(1, 5)] == (None, None)   # nothing prior
+    assert out[(2, 10)] == (None, None)  # right row is in the future
+    assert out[(3, 10)] == (None, None)  # key has no right rows
+
+    strict = {
+        (r["k"], r["t"]): r["rv"]
+        for r in asof_join(
+            left, right, by="k", left_on="t", right_on="t", strict=True
+        ).collect()
+    }
+    assert strict[(1, 10)] is None       # strict excludes the equal match
+    assert strict[(1, 20)] == 150.0
