@@ -682,6 +682,47 @@ def _asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANGE_JOIN_ORACLE = """
+SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+       COUNT(*) AS n_fast_lines,
+       CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem l JOIN orders o
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+GROUP BY CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT)
+ORDER BY o_year
+""".strip()
+
+
+def _range_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charter custom operator: binned point-in-interval join (equi-join on
+    (key, bin) + residual filter; never a nested loop) — lineitems shipped
+    inside their order's 30-day window, checked against a plain
+    inequality-join oracle."""
+    from pangeo_forge_recipes_spark.operators.ranges import range_join
+
+    _register(spark, sf_dir)
+    lines = spark.table("lineitem").select("l_orderkey", "l_shipdate")
+    windows = spark.table("orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderdate").alias("lo"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("hi"),
+    )
+    joined = range_join(
+        lines, windows, left_on="l_shipdate", right_lo="lo", right_hi="hi",
+        by=["l_orderkey"], bin_size_seconds=30 * 86_400,
+    )
+    return (
+        joined.groupBy(F.year("lo").cast("long").alias("o_year"))
+        .agg(
+            F.count("*").alias("n_fast_lines"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy("o_year")
+    )
+
+
 def _manifest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.1: FilePattern outer-product enumeration as a DataFrame."""
     from pangeo_forge_recipes_spark import ConcatDim, FilePattern, MergeDim
@@ -889,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_hourly_rollup_stream"] = _events_rollup_stream
     out["events_sessions_stream"] = _events_sessions_stream
     out["asof_last_order"] = _asof_last_order
+    out["range_join_orders"] = _range_join_orders
     out["ann_cosine_topk"] = _ann_topk
     out["embedding_near_dup"] = _near_dup
     out["multimodal_stats"] = _multimodal_stats
@@ -914,6 +956,7 @@ def oracle_sql() -> dict[str, str]:
     out["events_hourly_rollup_stream"] = out["events_hourly_rollup"]
     out["events_sessions_stream"] = out["events_sessions"]
     out["asof_last_order"] = _ASOF_ORACLE
+    out["range_join_orders"] = _RANGE_JOIN_ORACLE
     out["ann_cosine_topk"] = _ANN_ORACLE
     out["embedding_near_dup"] = _NEAR_DUP_ORACLE
     out["multimodal_stats"] = _MULTIMODAL_ORACLE

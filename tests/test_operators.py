@@ -197,3 +197,32 @@ def test_asof_join(spark):
     }
     assert strict[(1, 10)] is None       # strict excludes the equal match
     assert strict[(1, 20)] == 150.0
+
+
+def test_range_join_binned(spark):
+    from pangeo_forge_recipes_spark.operators.ranges import range_join
+    from pangeo_forge_recipes_spark.plans import explain_string
+
+    points = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([5, 50, 150, 250, 995])],
+        "pid long, t double",
+    )
+    intervals = spark.createDataFrame(
+        [(0, 0.0, 100.0), (1, 40.0, 60.0), (2, 900.0, 1000.0), (3, 100.0, 150.0)],
+        "iid long, lo double, hi double",
+    )
+    out = range_join(
+        points, intervals, left_on="t", right_lo="lo", right_hi="hi",
+        bin_size_seconds=100,
+    )
+    pairs = {(r["pid"], r["iid"]) for r in out.collect()}
+    # brute-force expectation with half-open [lo, hi)
+    expect = {
+        (p["pid"], i["iid"])
+        for p in points.collect()
+        for i in intervals.collect()
+        if i["lo"] <= p["t"] < i["hi"]
+    }
+    assert pairs == expect
+    # the whole point: an equi-join plan, never a nested loop
+    assert "BroadcastNestedLoopJoin" not in explain_string(out, "simple")
