@@ -362,6 +362,23 @@ GROUP BY ROLLUP (event_type, CAST(CAST(ts AS DATE) AS VARCHAR(10)))
 ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST
 """.strip()
 
+    # hypertable-style multi-resolution rollup: hour + day + type grains
+    # computed in one pass via GROUPING SETS
+    q["events_multi_grain_rollup"] = """
+SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR(10)) AS day,
+       CAST(date_trunc('hour', ts) AS VARCHAR(30)) AS hour,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY GROUPING SETS (
+  (CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR(10))),
+  (CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR(10)), CAST(date_trunc('hour', ts) AS VARCHAR(30))),
+  (event_type)
+)
+ORDER BY day ASC NULLS FIRST, hour ASC NULLS FIRST, event_type ASC NULLS FIRST
+""".strip()
+
     # set operations: INTERSECT / EXCEPT / UNION ALL in one checked result
     q["set_ops_customers"] = """
 SELECT 'building_with_big_order' AS op, COUNT(*) AS n FROM (

@@ -103,6 +103,38 @@ def test_roundtrip_two_concat_dims(spark, tmp_path):
     assert result.schema["dims"] == {"time": 6, "lat": 18, "lon": 36}
 
 
+def test_roundtrip_coordinateless_dimension(spark, tmp_path):
+    """F1b: the lon DIMENSION exists but has no coordinate variable
+    (reference conftest.py:285-294, regression for issue #214)."""
+    ds = make_ds(nt=4).drop_vars(["lon"])
+    assert "lon" not in ds.coords and ds.sizes["lon"] == 36
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"f{i}.npz")
+        write_npz(p, ds.isel(time=slice(2 * i, 2 * i + 2)))
+        paths.append(p)
+    pattern = pattern_from_file_sequence(paths, "time", nitems_per_file=2, file_type="npz")
+    result = store_to_zarr(
+        spark, pattern, str(tmp_path / "t"), "s.zarr", target_chunks={"time": 2}
+    )
+    out = result.open()
+    assert "lon" not in out.coords and out.sizes["lon"] == 36
+    assert_equal(out, ds)
+
+
+@pytest.mark.parametrize("target_chunks", [{"time": 7, "lat": 5}, {"time": 10, "lat": 3}])
+def test_roundtrip_multidim_odd_chunks(spark, tmp_path, target_chunks):
+    """F3 extended grid: simultaneous rechunk of time AND a non-indexed dim
+    with chunk sizes that divide nothing evenly."""
+    ds = make_ds(nt=10)
+    paths = split_ds_into_files(ds, str(tmp_path), items_per_file=2)
+    pattern = pattern_from_file_sequence(paths, "time", nitems_per_file=2, file_type="npz")
+    result = store_to_zarr(
+        spark, pattern, str(tmp_path / "t"), "s.zarr", target_chunks=target_chunks
+    )
+    assert_equal(result.open(), ds)
+
+
 def test_rerun_is_idempotent(spark, tmp_path):
     """Task retries re-execute region writes; running the whole pipeline
     twice into the same target must produce byte-identical chunks (the
