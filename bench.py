@@ -24,17 +24,29 @@ from pangeo_forge_recipes_spark.session import get_spark
 HEADLINE = [
     "q1_pricing_summary",
     "q3_unshipped_revenue",
+    "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q9_product_profit",
     "q10_returned_items",
+    "q13_customer_distribution",
+    "q16_supplier_cnt",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_inactive_customers",
     "topk_customers",
     "window_running_total",
+    "set_ops_customers",
     "events_hourly_rollup",
+    "events_rollup",
     "events_sessions",
+    "asof_last_order",
+    "range_join_orders",
     "text_token_stats",
     "text_quality",
     "text_fingerprints",
+    "corpus_clean",
     "dedup_exact",
     "dedup_ngram_signature",
     "dedup_minhash_bands",
@@ -155,6 +167,24 @@ def main() -> None:
         )
     concurrent_wall = round(time.perf_counter() - t0, 3)
 
+    # apples-to-apples reference: the DuckDB oracle SQL for every headline
+    # query that has one, same parquet inputs, single process
+    import duckdb
+
+    oracles = entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in entrymod.TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    duck_total, duck_n = 0.0, 0
+    for name in HEADLINE:
+        if name in oracles:
+            t0 = time.perf_counter()
+            con.execute(oracles[name]).fetchall()
+            duck_total += time.perf_counter() - t0
+            duck_n += 1
+
     print(
         json.dumps(
             {
@@ -163,6 +193,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sequential_total": round(sum(timings.values()), 3),
+                "duckdb_oracle_wall": round(duck_total, 3),
+                "duckdb_oracle_queries": duck_n,
                 "zarr_pipeline": pipeline,
                 "sf": sf,
             }
