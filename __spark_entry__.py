@@ -49,7 +49,11 @@ _SPREAD_TABLES = {"lineitem", "orders", "events", "customer", "part",
 
 
 def _register(spark: SparkSession, sf_dir: str) -> None:
-    if _REGISTERED.get(id(spark)) == os.path.abspath(sf_dir):
+    # the tableExists probe guards against id() reuse after an old session
+    # is garbage-collected
+    if _REGISTERED.get(id(spark)) == os.path.abspath(sf_dir) and spark.catalog.tableExists(
+        "lineitem"
+    ):
         return
     for old in _CACHED.pop(id(spark), []):
         old.unpersist()
