@@ -904,6 +904,66 @@ def _kerchunk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "variable string, n_elements long")
 
 
+def _append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.8 incremental append: build from half the files, append
+    the rest with append_dim offsets, verify against the full dataset
+    (rows-only check; reference transforms.py:673-693)."""
+    from pangeo_forge_recipes_spark import pattern_from_file_sequence, store_to_zarr
+    from pangeo_forge_recipes_spark.dsio import write_npz
+    from pangeo_forge_recipes_spark.ndset import assert_equal
+    from tests.data_generation import make_ds
+
+    tmp = tempfile.mkdtemp(prefix="pfrs_entry_a_")
+    ds = make_ds(nt=8)
+    paths = []
+    for i in range(4):
+        p = os.path.join(tmp, f"f{i}.npz")
+        write_npz(p, ds.isel(time=slice(2 * i, 2 * i + 2)))
+        paths.append(p)
+    first = pattern_from_file_sequence(paths[:2], "time", nitems_per_file=2, file_type="npz")
+    store_to_zarr(spark, first, tmp, "a.zarr", target_chunks={"time": 2},
+                  consolidate_coords=False)
+    rest = pattern_from_file_sequence(paths[2:], "time", nitems_per_file=2, file_type="npz")
+    result = store_to_zarr(spark, rest, tmp, "a.zarr", target_chunks={"time": 2},
+                           append_dim="time", consolidate_coords=False)
+    rt = result.open()
+    assert_equal(rt, ds, check_attrs=False)
+    rows = sorted((d, int(s)) for d, s in rt.sizes.items())
+    return spark.createDataFrame(rows, "dim string, size long")
+
+
+def _rechunk_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §3.3 entry point C: re-store an existing Zarr store with new
+    target chunks via a 1-element zarr pattern (rows-only check)."""
+    from pangeo_forge_recipes_spark import pattern_from_file_sequence, store_to_zarr
+    from pangeo_forge_recipes_spark.dsio import write_npz
+    from pangeo_forge_recipes_spark.ndset import assert_equal
+    from pangeo_forge_recipes_spark.zarrio import open_group
+    from tests.data_generation import make_ds
+
+    tmp = tempfile.mkdtemp(prefix="pfrs_entry_r_")
+    ds = make_ds(nt=6)
+    paths = []
+    for i in range(6):
+        p = os.path.join(tmp, f"f{i}.npz")
+        write_npz(p, ds.isel(time=slice(i, i + 1)))
+        paths.append(p)
+    fine = store_to_zarr(
+        spark,
+        pattern_from_file_sequence(paths, "time", nitems_per_file=1, file_type="npz"),
+        tmp, "fine.zarr", target_chunks={"time": 1},
+    )
+    coarse = store_to_zarr(
+        spark,
+        pattern_from_file_sequence([fine.path], "time", file_type="zarr"),
+        tmp, "coarse.zarr", target_chunks={"time": 3},
+    )
+    assert_equal(coarse.open(), ds)
+    arr = open_group(coarse.path)["foo"]
+    rows = [("foo_chunk_time", int(arr.chunks[0])), ("time", int(arr.shape[0]))]
+    return spark.createDataFrame(rows, "metric string, value long")
+
+
 def _schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.4 DetermineSchema: distributed multi-dim schema reduction,
     summarized as (dim, size) rows (rows-only check)."""
@@ -966,6 +1026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["multimodal_features"] = _multimodal_features
     out["pipeline_zarr_roundtrip"] = _zarr_roundtrip
     out["pipeline_kerchunk_roundtrip"] = _kerchunk_roundtrip
+    out["pipeline_append_roundtrip"] = _append_roundtrip
+    out["pipeline_rechunk_existing"] = _rechunk_existing
     out["pipeline_schema_inference"] = _schema_inference
     return out
 

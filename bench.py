@@ -105,21 +105,28 @@ def _bench_zarr_pipeline(spark) -> dict:
             paths, "time", nitems_per_file=8, file_type="npz"
         )
         # best-of-2 (same policy as the queries): first run pays the python
-        # worker warm-up for this stage shape
-        wall, mb = None, 0.0
-        for run in range(2):
-            t0 = time.perf_counter()
-            result = store_to_zarr(
-                spark, pattern, tmp, f"bench{run}.zarr", target_chunks={"time": 16}
-            )
-            dt = time.perf_counter() - t0
-            wall = dt if wall is None else min(wall, dt)
-            mb = result.bytes_written / 1e6
-        return {
-            "wall": round(wall, 3),
-            "mb_written": round(mb, 1),
-            "mb_per_s": round(mb / wall, 1),
-        }
+        # worker warm-up for this stage shape. chunks=16 spans two 8-step
+        # files → the true rechunk shuffle; chunks=8 aligns with files →
+        # the zero-shuffle fast path
+        out = {}
+        for label, chunk in (("shuffled", 16), ("aligned", 8)):
+            wall, mb = None, 0.0
+            for run in range(2):
+                t0 = time.perf_counter()
+                result = store_to_zarr(
+                    spark, pattern, tmp, f"bench_{label}{run}.zarr",
+                    target_chunks={"time": chunk},
+                )
+                dt = time.perf_counter() - t0
+                wall = dt if wall is None else min(wall, dt)
+                mb = result.bytes_written / 1e6
+                assert result.shuffled == (label == "shuffled")
+            out[label] = {
+                "wall": round(wall, 3),
+                "mb_written": round(mb, 1),
+                "mb_per_s": round(mb / wall, 1),
+            }
+        return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
