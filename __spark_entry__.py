@@ -483,6 +483,25 @@ ORDER BY doc_id
     }
 
 
+def _props_json_sql(dialect: str) -> str:
+    """Semi-structured JSON extraction from events.props — the one query
+    whose function names genuinely differ per dialect."""
+    extract = (
+        "CAST(get_json_object(props, '$.k') AS BIGINT)"
+        if dialect == "spark"
+        else "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+    )
+    return f"""
+SELECT event_type,
+       CAST(SUM({extract}) AS BIGINT) AS k_total,
+       CAST(MAX({extract}) AS BIGINT) AS k_max,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # embedding similarity oracles (DuckDB list functions)
 # ---------------------------------------------------------------------------
@@ -1008,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _sql_query(sql)
     for name, sql in _text_sql("spark").items():
         out[name] = _sql_query(sql)
+    out["events_props_json"] = _sql_query(_props_json_sql("spark"))
     out["events_hourly_rollup_stream"] = _events_rollup_stream
     out["events_sessions_stream"] = _events_sessions_stream
     out["asof_last_order"] = _asof_last_order
@@ -1035,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out = dict(_shared_sql())  # identical ANSI text runs on DuckDB
     out.update(_text_sql("duckdb"))
+    out["events_props_json"] = _props_json_sql("duckdb")
     # streaming results must equal their batch twins — same oracle text
     out["events_hourly_rollup_stream"] = out["events_hourly_rollup"]
     out["events_sessions_stream"] = out["events_sessions"]
