@@ -107,3 +107,35 @@ def test_global_sort_uses_range_partitioning(tables):
     df = tables["orders"].orderBy("o_orderdate")
     plan = _formatted_plan(df)
     assert "rangepartitioning" in plan.lower()
+
+
+def test_bucketed_join_skips_shuffle(spark, tables):
+    """Pre-bucketed tables on the join key let a big-big join run with NO
+    exchange on either side — the co-location strategy for repeated
+    fact-fact joins at scale (bucket pruning + sorted scans feed the
+    SortMergeJoin directly)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        (tables["lineitem"].write.mode("overwrite")
+         .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+         .saveAsTable("b_lineitem"))
+        (tables["orders"].write.mode("overwrite")
+         .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+         .saveAsTable("b_orders"))
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        audit = plan_audit(joined)
+        assert audit["sort_merge_joins"] == 1
+        assert audit["exchanges"] == 0, audit
+        # contrast: the same join on plain parquet shuffles both sides
+        plain = tables["lineitem"].join(
+            tables["orders"], F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        assert plan_audit(plain)["exchanges"] >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
