@@ -115,13 +115,18 @@ def _encode_var(var: Variable) -> Tuple[np.ndarray, dict]:
     """Return (big-endian payload array, extra attrs) for one variable."""
     data = np.asarray(var.data)
     attrs = dict(var.attrs)
-    if data.dtype.kind == "M":
+    is_time = data.dtype.kind == "M"
+    if is_time:
         units = var.encoding.get("units", _DEFAULT_TIME_UNITS)
         calendar = var.encoding.get("calendar", "proleptic_gregorian")
         offsets = encode_cf_datetime(data, units)
         attrs["units"] = units
         attrs["calendar"] = calendar
         data = offsets
+        # offsets beyond NC_INT (e.g. seconds past 2038) fall back to
+        # NC_DOUBLE, per the module contract
+        if data.size and (data.max() > 2**31 - 1 or data.min() < -(2**31)):
+            data = data.astype("float64")
     if data.dtype.kind == "b":
         data = data.astype("int8")
     if data.dtype.kind == "u":
@@ -177,7 +182,10 @@ def write_netcdf3(path_or_buf, ds: NDDataset) -> None:
                 for d in var.dims:
                     hdr += struct.pack(">I", dim_ids[d])
                 hdr += _att_list_bytes(attrs)
-                vsize = _pad4(enc.nbytes)
+                # vsize is a 32-bit field; the spec stores 2**32-1 as the
+                # "unspecified" sentinel for larger variables (readers use
+                # shape×itemsize, as ours does)
+                vsize = min(_pad4(enc.nbytes), 0xFFFFFFFF)
                 hdr += struct.pack(">II", nc_type, vsize)
                 hdr += struct.pack(off_fmt, begins.get(name, 0))
         else:

@@ -63,17 +63,23 @@ def brute_force_topk(
             ranked = sims
             if exclude_self:
                 ranked = np.where(c_ids[None, :] == qids[:, None], -np.inf, sims)
+            # k can exceed the candidate pool (tiny corpora): cap it so the
+            # output arrays stay consistent and a -inf-masked self entry is
+            # never emitted as a neighbor
+            kk = min(k, len(c_ids) - (1 if exclude_self else 0))
+            if kk <= 0:
+                continue
             # stable sort on -cosine: equal scores keep corpus order, which
             # is ascending neighbor_id — the deterministic tie-break. (At
             # billion-vector corpus width, swap for argpartition + local
             # stable sort of the k-candidate slab.)
-            idx = np.argsort(-ranked, axis=1, kind="stable")[:, :k]
+            idx = np.argsort(-ranked, axis=1, kind="stable")[:, :kk]
             n = len(qids)
             yield pd.DataFrame(
                 {
-                    "vec_id": np.repeat(qids, k),
+                    "vec_id": np.repeat(qids, kk),
                     "neighbor_id": c_ids[idx].ravel(),
-                    "rank": np.tile(np.arange(1, k + 1, dtype="int32"), n),
+                    "rank": np.tile(np.arange(1, kk + 1, dtype="int32"), n),
                     "cosine": np.round(
                         np.take_along_axis(sims, idx, axis=1), round_to
                     ).ravel(),

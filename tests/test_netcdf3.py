@@ -82,6 +82,25 @@ def test_int64_overflow_rejected(tmp_path):
         write_netcdf3(str(tmp_path / "t.nc"), ds)
 
 
+def test_time_beyond_int32_falls_back_to_double(tmp_path):
+    # seconds-since-1970 offsets past 2038 exceed NC_INT: the writer must
+    # fall back to NC_DOUBLE per the module contract, not raise
+    times = np.array(
+        ["2040-01-01T00:00:00", "2040-01-02T00:00:00"], dtype="datetime64[ns]"
+    )
+    ds = NDDataset(
+        {"v": Variable(("time",), np.array([1.0, 2.0]))},
+        {"time": Variable(("time",), times)},
+        {},
+        {"time": 2},
+    )
+    p = str(tmp_path / "t.nc")
+    write_netcdf3(p, ds)
+    rt = read_netcdf3(p)
+    np.testing.assert_array_equal(rt["time"].data, times)
+    assert netcdf3_schema(p)["coords"]["time"]["dtype"] == "datetime64[ns]"
+
+
 def test_openers_route_netcdf3(tmp_path):
     ds = make_ds(nt=2)
     p = str(tmp_path / "t.nc")

@@ -86,6 +86,20 @@ def test_brute_force_topk(vectors):
     assert top[100][0] == 0
 
 
+def test_brute_force_topk_k_exceeds_corpus(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(3)]
+    small = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # k larger than the corpus: results cap at the available candidates
+    out = similarity.brute_force_topk(small, small, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["vec_id"], []).append(r["neighbor_id"])
+    assert set(by_q) == {0, 1, 2}
+    for q, neighbors in by_q.items():
+        assert len(neighbors) == 2  # 3 candidates minus self
+        assert q not in neighbors  # the -inf-masked self never leaks out
+
+
 def test_embedding_near_dup(vectors):
     pairs = dedup.embedding_near_dup(vectors, threshold=0.95).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 100)}
