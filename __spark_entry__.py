@@ -601,20 +601,17 @@ def _multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_stats(media)
 
 
-def _events_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2.8 Structured Streaming: the hourly rollup computed by an
-    event-time windowed STREAMING aggregation (availableNow micro-batches
-    over the events parquet, watermarked), checked against the same DuckDB
-    oracle as the batch rollup — streaming and batch must agree exactly."""
-    from pangeo_forge_recipes_spark.streaming.append import watermarked_event_rollup
-
+def _events_stream_source(spark: SparkSession, sf_dir: str, query_name: str) -> DataFrame:
+    """Shared streaming-source setup: stop a leftover query of the same
+    name, then stream the events parquet with the same bigint-ns → timestamp
+    conversion ``_register`` applies to the batch view (the streaming file
+    source wants a directory, so scan sf_dir glob-filtered to the events
+    file)."""
     _register(spark, sf_dir)
     for q in spark.streams.active:
-        if q.name == "_events_rollup_stream":
+        if q.name == query_name:
             q.stop()
     batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    # streaming file source wants a directory: scan sf_dir filtered to the
-    # events file
     raw = (
         spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -624,6 +621,17 @@ def _events_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw = raw.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
+    return raw
+
+
+def _events_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.8 Structured Streaming: the hourly rollup computed by an
+    event-time windowed STREAMING aggregation (availableNow micro-batches
+    over the events parquet, watermarked), checked against the same DuckDB
+    oracle as the batch rollup — streaming and batch must agree exactly."""
+    from pangeo_forge_recipes_spark.streaming.append import watermarked_event_rollup
+
+    raw = _events_stream_source(spark, sf_dir, "_events_rollup_stream")
     rolled = watermarked_event_rollup(raw)
     query = (
         rolled.writeStream.format("memory")
@@ -651,20 +659,7 @@ def _events_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch LAG-based events_sessions oracle."""
     from pangeo_forge_recipes_spark.streaming.stateful import stateful_sessionize
 
-    _register(spark, sf_dir)
-    for q in spark.streams.active:
-        if q.name == "_events_sessions_stream":
-            q.stop()
-    batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    raw = (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict((f.name, f.dataType.simpleString()) for f in batch_schema).get("ts") == "bigint":
-        raw = raw.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+    raw = _events_stream_source(spark, sf_dir, "_events_sessions_stream")
     query = (
         stateful_sessionize(raw)
         .writeStream.format("memory")

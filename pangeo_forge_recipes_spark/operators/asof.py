@@ -36,9 +36,8 @@ def asof_join(
     ``right_on`` resolve to the last row in ``right_cols`` order of
     occurrence — pass pre-deduplicated input when tie identity matters.
     """
-    right_cols = right_cols or [
-        c for c in right.columns if c not in (by, right_on)
-    ]
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (by, right_on)]
     l_tag = left.withColumn("__t", F.col(left_on)).withColumn(
         "__is_left", F.lit(1)
     )

@@ -62,9 +62,6 @@ def ngram_signature_dedup(df: DataFrame, col: str = "text", id_col: str = "doc_i
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-_MERSENNE = np.uint64((1 << 61) - 1)
-
-
 def _perm_params(num_perm: int, seed: int = 42):
     rng = np.random.RandomState(seed)
     a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64) | np.uint64(1)
@@ -87,6 +84,30 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
     return np.unique(h)
 
 
+def _batch_signatures(texts, a, b, num_perm: int, shingle_n: int) -> np.ndarray:
+    """(n_docs, num_perm) signature matrix, vectorized across the whole
+    batch: concatenate all shingle hashes, one big affine transform,
+    per-doc minima via ``np.minimum.reduceat``. The permutation family is
+    multiply-add mod 2^64 (natural uint64 wrap) — deterministic,
+    universal-enough for minhash, ~3× cheaper than an explicit prime
+    modulo. THE single source of truth for the engine's minhash family:
+    :func:`minhash_signatures` and :func:`minhash_band_hashes` both hash
+    through here, so band-key collisions correspond exactly to equality of
+    the published signature bands."""
+    hashes = [_shingle_hashes(t, shingle_n) for t in texts]
+    counts = np.array([len(h) for h in hashes])
+    flat = np.concatenate(hashes) if hashes else np.empty(0, dtype=np.uint64)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.intp)
+    sigs = np.empty((len(texts), num_perm), dtype=np.uint64)
+    # sub-chunk the permutation axis to bound the (n_shingles, P) temp
+    # to ~8M elements (64 MB) — cache-friendlier than one giant block
+    step = max(1, int(8e6 // max(len(flat), 1)))
+    for p0 in range(0, num_perm, step):
+        block = flat[:, None] * a[None, p0 : p0 + step] + b[None, p0 : p0 + step]
+        sigs[:, p0 : p0 + step] = np.minimum.reduceat(block, offsets, axis=0)
+    return sigs
+
+
 def minhash_signatures(
     df: DataFrame,
     col: str = "text",
@@ -96,18 +117,21 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """Arrow-vectorized MinHash signatures: shingle → FNV64 → per-permutation
-    affine min under the Mersenne prime 2^61-1."""
+    affine min mod 2^64 — the same family :func:`minhash_band_hashes`
+    buckets with, so LSH candidates correspond to signature-band equality.
+    Values are the uint64 minima bit-reinterpreted as int64 (Spark has no
+    unsigned type); only equality between components is meaningful."""
     a, b = _perm_params(num_perm, seed)
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sigs = []
-            for text in pdf[col]:
-                h = _shingle_hashes(text, shingle_n)
-                # (n_shingles, num_perm) affine permutations mod mersenne
-                vals = (h[:, None] * a[None, :] + b[None, :]) % _MERSENNE
-                sigs.append(vals.min(axis=0).astype("int64"))
-            yield pd.DataFrame({id_col: pdf[id_col], "signature": sigs})
+            texts = list(pdf[col])
+            if not texts:
+                continue
+            sigs = _batch_signatures(texts, a, b, num_perm, shingle_n)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "signature": list(sigs.view(np.int64))}
+            )
 
     return df.select(id_col, col).mapInPandas(
         compute, f"{id_col} long, signature array<long>"
@@ -128,33 +152,13 @@ def minhash_band_hashes(
     a, b = _perm_params(num_perm, seed)
     per_band = num_perm // bands
 
-    def _batch_signatures(texts) -> np.ndarray:
-        """(n_docs, num_perm) signature matrix, vectorized across the whole
-        batch: concatenate all shingle hashes, one big affine transform,
-        per-doc minima via ``np.minimum.reduceat``."""
-        hashes = [_shingle_hashes(t, shingle_n) for t in texts]
-        counts = np.array([len(h) for h in hashes])
-        flat = np.concatenate(hashes) if hashes else np.empty(0, dtype=np.uint64)
-        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.intp)
-        sigs = np.empty((len(texts), num_perm), dtype=np.uint64)
-        # sub-chunk the permutation axis to bound the (n_shingles, P) temp
-        # to ~8M elements (64 MB) — cache-friendlier than one giant block
-        step = max(1, int(8e6 // max(len(flat), 1)))
-        for p0 in range(0, num_perm, step):
-            # multiply-add mod 2^64 (natural uint64 wrap) — a deterministic
-            # universal-enough family for minhash, ~3× cheaper than an
-            # explicit prime modulo over the (n_shingles, P) block
-            block = flat[:, None] * a[None, p0 : p0 + step] + b[None, p0 : p0 + step]
-            sigs[:, p0 : p0 + step] = np.minimum.reduceat(block, offsets, axis=0)
-        return sigs
-
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         prime = np.uint64(0x100000001B3)
         for pdf in batches:
             texts = list(pdf[col])
             if not texts:
                 continue
-            sigs = _batch_signatures(texts)
+            sigs = _batch_signatures(texts, a, b, num_perm, shingle_n)
             n = len(texts)
             # vectorized FNV fold per band: (n_docs, bands, per_band)
             banded = sigs.reshape(n, bands, per_band)

@@ -55,7 +55,11 @@ def plan_audit(df: DataFrame) -> dict:
         "broadcast_hash_joins": simple.count("BroadcastHashJoin"),
         "sort_merge_joins": simple.count("SortMergeJoin"),
         "shuffled_hash_joins": simple.count("ShuffledHashJoin"),
-        "exchanges": simple.count("Exchange"),
+        # shuffle exchanges only: BroadcastExchange moves a small relation
+        # to every executor, not a repartition of the data — counting it as
+        # a shuffle would penalize exactly the plans we want
+        "exchanges": len(re.findall(r"(?<!Broadcast)Exchange", simple)),
+        "broadcast_exchanges": simple.count("BroadcastExchange"),
         "parquet_scans": simple.count("Scan parquet"),
         "in_memory_scans": simple.count("InMemoryTableScan"),
         "wholestage_codegen_spans": len(

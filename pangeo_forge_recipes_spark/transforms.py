@@ -254,6 +254,37 @@ def schemas_from_fragments(df: DataFrame) -> DataFrame:
     return df.mapInPandas(conv, "index string, schema string")
 
 
+def preprocessed_schemas_df(
+    df: DataFrame,
+    file_type: Union[str, FileType] = FileType.npz,
+    preprocess: Optional[Callable[[Index, NDDataset], Tuple[Index, NDDataset]]] = None,
+    xarray_open_kwargs: Optional[dict] = None,
+) -> DataFrame:
+    """Schema pass for preprocessed pipelines: open lazily (where the format
+    supports it), apply the user preprocessor, and emit only the KB-scale
+    schema JSON — fragment payloads never serialize or cross Arrow.
+    Reference order Open | Preprocessor | DetermineSchema
+    (``transforms.py:276-301``) without a full-data pass."""
+    ft = FileType(file_type) if isinstance(file_type, str) else file_type
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_idx, out_schema = [], []
+            for idx_json, url in zip(pdf["index"], pdf["url"]):
+                ds = open_with_ndset(
+                    url, file_type=ft, load=False,
+                    xarray_open_kwargs=xarray_open_kwargs,
+                )
+                index = Index.from_json(idx_json)
+                if preprocess is not None:
+                    index, ds = preprocess(index, ds)
+                out_idx.append(index.to_json())
+                out_schema.append(schema_to_json(dataset_to_schema(ds)))
+            yield pd.DataFrame({"index": out_idx, "schema": out_schema})
+
+    return df.mapInPandas(scan, "index string, schema string")
+
+
 def _combine_level_fn(dim: Dimension) -> Callable[[pd.DataFrame], pd.DataFrame]:
     """Combiner for one nesting level: fold a group's schemas along ``dim``,
     injecting the per-position sequence chunks for concat dims exactly as
@@ -365,6 +396,36 @@ def index_items(df: DataFrame, schema: XarraySchema, append_offset: int = 0) -> 
 # ---------------------------------------------------------------------------
 
 
+def _owns_variable(sub_idx: Index, var_dims) -> bool:
+    """A fragment owns a variable iff it sits at the ORIGIN of every
+    concat dim the variable does not span — along spanned dims each
+    fragment owns its own disjoint region, along unspanned dims only
+    the origin fragment ships the (identical) payload. Subsumes the
+    reference's first-item rule for dimensionless coords."""
+    for d, p in sub_idx.items():
+        if (
+            d.operation == CombineOp.CONCAT
+            and d.name not in var_dims
+            and p.value != 0
+        ):
+            return False
+    return True
+
+
+def _explode_by_variable(sub_idx: Index, sub_ds: NDDataset):
+    """Yield (suffix, single-variable dataset) obeying write ownership —
+    the shared sharding rule for BOTH write paths, so ``StoreResult`` stats
+    mean the same thing (one unit = one chunk × one owned variable, each
+    byte counted once) whether or not the rechunk shuffle ran."""
+    for name, var in sub_ds.data_vars.items():
+        if _owns_variable(sub_idx, var.dims):
+            yield f"d:{name}", NDDataset({name: var}, {}, {}, dict(var.sizes))
+    if _is_first_in_merge_dim(sub_idx):
+        for name, var in sub_ds.coords.items():
+            if _owns_variable(sub_idx, var.dims):
+                yield f"c:{name}", NDDataset({}, {name: var}, {}, dict(var.sizes))
+
+
 def split_fragments_df(
     df: DataFrame,
     target_chunks: Optional[Dict[str, int]] = None,
@@ -419,31 +480,6 @@ def open_split_fragments_df(
     split time)."""
     ft = FileType(file_type) if isinstance(file_type, str) else file_type
 
-    def _owns(sub_idx: Index, var_dims) -> bool:
-        """A fragment owns a variable iff it sits at the ORIGIN of every
-        concat dim the variable does not span — along spanned dims each
-        fragment owns its own disjoint region, along unspanned dims only
-        the origin fragment ships the (identical) payload. Subsumes the
-        reference's first-item rule for dimensionless coords."""
-        for d, p in sub_idx.items():
-            if (
-                d.operation == CombineOp.CONCAT
-                and d.name not in var_dims
-                and p.value != 0
-            ):
-                return False
-        return True
-
-    def _explode(sub_idx: Index, sub_ds: NDDataset):
-        """Yield (suffix, single-variable dataset) obeying ownership."""
-        for name, var in sub_ds.data_vars.items():
-            if _owns(sub_idx, var.dims):
-                yield f"d:{name}", NDDataset({name: var}, {}, {}, dict(var.sizes))
-        if _is_first_in_merge_dim(sub_idx):
-            for name, var in sub_ds.coords.items():
-                if _owns(sub_idx, var.dims):
-                    yield f"c:{name}", NDDataset({}, {name: var}, {}, dict(var.sizes))
-
     def open_split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for idx_json, url in zip(pdf["index"], pdf["url"]):
@@ -463,7 +499,7 @@ def open_split_fragments_df(
                 ):
                     gk_json = group_key_to_json(gk)
                     if by_variable:
-                        for suffix, single in _explode(sub_idx, sub_ds):
+                        for suffix, single in _explode_by_variable(sub_idx, sub_ds):
                             keys.append(f"{gk_json}|{suffix}")
                             idxs.append(sub_idx.to_json())
                             payloads.append(single.to_bytes())
@@ -506,13 +542,24 @@ def open_split_store_df(
                     (index, ds), target_chunks=target_chunks, schema=schema
                 ):
                     out_index, out_ds = combine_fragments(gk, [sub])
-                    store_dataset_fragment((out_index, out_ds), store_path)
-                    keys.append(group_key_to_json(gk))
-                    idxs.append(out_index.to_json())
-                    nvars.append(len(out_ds.data_vars))
-                    nbytes.append(
-                        int(sum(v.data.nbytes for v in out_ds.variables.values()))
-                    )
+                    gk_json = group_key_to_json(gk)
+                    # same ownership sharding as the shuffled path: unowned
+                    # variables (coords repeated in every source file) are
+                    # neither re-written nor double-counted, and status rows
+                    # mean chunk × owned-variable on both paths
+                    for suffix, single in _explode_by_variable(out_index, out_ds):
+                        store_dataset_fragment((out_index, single), store_path)
+                        keys.append(f"{gk_json}|{suffix}")
+                        idxs.append(out_index.to_json())
+                        nvars.append(len(single.data_vars))
+                        nbytes.append(
+                            int(
+                                sum(
+                                    v.data.nbytes
+                                    for v in single.variables.values()
+                                )
+                            )
+                        )
                 yield pd.DataFrame(
                     {
                         "group_key": keys,
@@ -654,11 +701,16 @@ def store_to_zarr(
     file_type = pattern.file_type
 
     # fragment rows carry MB-scale binary payloads — keep Arrow batches
-    # small for this pipeline so task memory stays bounded
-    prev_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    # small for this pipeline so task memory stays bounded. Run on a cloned
+    # session (shared SparkContext + table cache, separate SQLConf) so the
+    # lowered batch size never leaks to the caller's session — not on an
+    # exception mid-pipeline, and not to queries running concurrently under
+    # the FAIR scheduler. Builder-time configs are inherited; conf values
+    # the caller set at runtime after session creation are not.
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
 
-    manifest = manifest_df(spark, pattern)
+    manifest = manifest_df(sess, pattern)
     if prune:
         manifest = prune_manifest(manifest, pattern, nkeep=prune)
     if cache is not None or secrets or max_concurrency:
@@ -669,14 +721,12 @@ def store_to_zarr(
 
     # pass 1: global schema. Header-only when no preprocessor; with one,
     # the schema must describe the PREPROCESSED fragments (reference order:
-    # Open | Preprocessor | StoreToZarr→DetermineSchema), so open+transform
-    # metadata-deep instead
+    # Open | Preprocessor | StoreToZarr→DetermineSchema) — opened lazily,
+    # schema-only output, so source bytes are not read twice
     if preprocess is None:
         schemas = read_schemas_df(manifest, file_type)
     else:
-        schemas = schemas_from_fragments(
-            open_with_ndset_df(manifest, file_type, preprocess=preprocess)
-        )
+        schemas = preprocessed_schemas_df(manifest, file_type, preprocess=preprocess)
     schema = determine_schema(schemas, pattern.combine_dim_keys)
 
     if dynamic_chunking_fn:
@@ -732,9 +782,6 @@ def store_to_zarr(
         _consolidate_coords(store_path)
     if consolidated_metadata:
         _consolidate_metadata(store_path)
-
-    if prev_batch is not None:
-        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev_batch)
 
     return StoreResult(
         path=store_path,

@@ -54,6 +54,29 @@ def test_minhash_dedup_finds_near_dups(docs):
     assert 0.5 <= jac[(0, 101)] < 1.0
 
 
+def test_minhash_bands_consistent_with_signatures(docs):
+    # band-hash collisions must correspond exactly to equality of the
+    # published signature bands — one hash family across both functions
+    num_perm, bands = 64, 16
+    per_band = num_perm // bands
+    sigs = {
+        r["doc_id"]: r["signature"]
+        for r in dedup.minhash_signatures(docs, num_perm=num_perm).collect()
+    }
+    bh = {}
+    for r in dedup.minhash_band_hashes(docs, num_perm=num_perm, bands=bands).collect():
+        bh[(r["doc_id"], r["band"])] = r["band_hash"]
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            for band in range(bands):
+                sig_eq = (
+                    sigs[a][band * per_band : (band + 1) * per_band]
+                    == sigs[b][band * per_band : (band + 1) * per_band]
+                )
+                assert (bh[(a, band)] == bh[(b, band)]) == sig_eq, (a, b, band)
+
+
 def test_simhash_dedup(docs):
     pairs = dedup.simhash_dedup(docs, max_hamming=10).collect()
     found = {(r["id_a"], r["id_b"]) for r in pairs}
@@ -211,6 +234,10 @@ def test_asof_join(spark):
     }
     assert strict[(1, 10)] is None       # strict excludes the equal match
     assert strict[(1, 20)] == 150.0
+
+    # explicit right_cols=[] means "attach only asof_<right_on>", not "all"
+    bare = asof_join(left, right, by="k", left_on="t", right_on="t", right_cols=[])
+    assert bare.columns == ["k", "t", "lv", "asof_t"]
 
 
 def test_range_join_binned(spark):
