@@ -462,6 +462,37 @@ FROM (
   FROM documents
 ) t
 """.strip(),
+        # extension: deterministic train/val/test sampling split — md5
+        # bucket of the doc id, stable across engines/runs/partitionings
+        "sample_split_stats": f"""
+SELECT {e.split_label(e._f("str", x="doc_id"))} AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM({e.token_count()}) AS BIGINT) AS total_tokens,
+       ROUND(AVG({e.quality_score()}), 4) AS avg_quality
+FROM documents
+GROUP BY 1
+ORDER BY split
+""".strip(),
+        # extension: exact corpus length quantiles (scale path:
+        # approx_percentile; the oracle pins the exact interpolated values)
+        "text_length_quantiles": f"""
+SELECT COUNT(*) AS n_docs,
+       {e.quantile("length(text)", "0.25")} AS p25_len,
+       {e.quantile("length(text)", "0.5")} AS p50_len,
+       {e.quantile("length(text)", "0.75")} AS p75_len,
+       {e.quantile("length(text)", "0.99")} AS p99_len,
+       {e.quantile(e.token_count(), "0.5")} AS p50_tokens
+FROM documents
+""".strip(),
+        # extension: top token bigrams (explode/unnest + hash groupBy —
+        # the n-gram counting half of corpus analytics)
+        "top_bigrams": f"""
+SELECT bigram, COUNT(*) AS n
+FROM (SELECT {e._f("explode", x=e.token_bigrams())} AS bigram FROM documents) t
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+""".strip(),
         # extension: exact dedup (hash groupBy, min-id representative)
         "dedup_exact": f"""
 SELECT {e.fingerprint_md5()} AS fingerprint,

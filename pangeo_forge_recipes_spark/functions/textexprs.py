@@ -26,6 +26,11 @@ _DIALECT: Dict[str, Dict[str, str]] = {
         "least": "least({a}, {b})",
         "greatest": "greatest({a}, {b})",
         "dbl": "cast({x} as double)",
+        "str": "cast({x} as string)",
+        "instr": "instr({s}, {x})",
+        "arr_get": "element_at({x}, {i})",  # 1-based
+        "explode": "explode({x})",
+        "quantile": "percentile({x}, {q})",  # exact, linear interpolation
     },
     "duckdb": {
         "split_ws": "string_split({col}, ' ')",
@@ -41,6 +46,11 @@ _DIALECT: Dict[str, Dict[str, str]] = {
         "least": "least({a}, {b})",
         "greatest": "greatest({a}, {b})",
         "dbl": "cast({x} as double)",
+        "str": "cast({x} as varchar)",
+        "instr": "instr({s}, {x})",
+        "arr_get": "list_extract({x}, {i})",  # 1-based
+        "explode": "unnest({x})",
+        "quantile": "quantile_cont({x}, {q})",  # exact, linear interpolation
     },
 }
 
@@ -163,6 +173,54 @@ class TextExprs:
             )
             branches.append(f"when {geq} then '{lang}'")
         return "(case " + " ".join(branches) + " else 'und' end)"
+
+    # -- deterministic sampling -----------------------------------------------
+    def sample_bucket(self, id_expr: str, buckets: int = 100) -> str:
+        """Deterministic [0, buckets) bucket from the md5 of ``id_expr`` —
+        the portable train/val/test splitter: same value in every engine,
+        stable across runs and repartitionings (unlike ``rand()``), and
+        uniform because it parses the first 3 hex digits (0..4095) rather
+        than taking ASCII codes of hex characters."""
+        h = self._f("md5", x=id_expr)
+        parts = []
+        for pos, w in ((1, 256), (2, 16), (3, 1)):
+            c = self._f("substr", col=h, i=str(pos), n="1")
+            hexpos = self._f("instr", s="'0123456789abcdef'", x=c)
+            parts.append(f"(({hexpos} - 1) * {w})")
+        return f"(({' + '.join(parts)}) % {buckets})"
+
+    def split_label(self, id_expr: str, train: int = 90, val: int = 5) -> str:
+        """'train' / 'val' / 'test' label from the deterministic bucket
+        (``train`` and ``val`` are percentages; the rest is test)."""
+        b = self.sample_bucket(id_expr, 100)
+        return (
+            f"(case when {b} < {train} then 'train' "
+            f"when {b} < {train + val} then 'val' else 'test' end)"
+        )
+
+    # -- n-grams over tokens --------------------------------------------------
+    def token_bigrams(self) -> str:
+        """Array of space-joined token bigrams; empty for one-token docs.
+        The filter guard keeps every index strictly in range, so the
+        expression is safe under Spark's ANSI ``element_at``."""
+        toks = self.tokens()
+        n = self._f("arr_len", x=toks)
+        seq = self._f(
+            "seq", a="1", b=self._f("greatest", a=f"({n} - 1)", b="1")
+        )
+        in_range = self._f("arr_filter", x=seq, lam=f"i -> i < {n}")
+        gi = self._f("arr_get", x=toks, i="i")
+        gi1 = self._f("arr_get", x=toks, i="(i + 1)")
+        return self._f(
+            "arr_transform", x=in_range, lam=f"i -> concat({gi}, ' ', {gi1})"
+        )
+
+    # -- quantiles ------------------------------------------------------------
+    def quantile(self, x: str, q: str) -> str:
+        """Exact linear-interpolation quantile (Spark ``percentile`` /
+        DuckDB ``quantile_cont`` — same definition, matching values). The
+        scale path is ``approx_percentile``; the oracle pins the exact one."""
+        return self._f("quantile", x=x, q=q)
 
     # -- fingerprinting -------------------------------------------------------
     def fingerprint_md5(self) -> str:

@@ -44,3 +44,28 @@ def with_fingerprints(df: DataFrame, col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.expr(e.fingerprint_md5())).withColumn(
         "rolling_fingerprint", F.expr(e.rolling_min_hash(5))
     )
+
+
+def with_split(
+    df: DataFrame, id_col: str = "doc_id", train: int = 90, val: int = 5
+) -> DataFrame:
+    """Deterministic train/val/test split column from an md5 bucket of the
+    id — stable across runs, engines and partitionings (``rand()`` is
+    none of those), so a 100 TB corpus resplits identically every run."""
+    e = TextExprs("spark")
+    return df.withColumn(
+        "split", F.expr(e.split_label(e._f("str", x=id_col), train, val))
+    )
+
+
+def bigram_counts(df: DataFrame, col: str = "text", k: int = 20) -> DataFrame:
+    """Top-``k`` whitespace-token bigrams: explode → hash groupBy →
+    ordered limit (TakeOrdered — no global sort)."""
+    e = TextExprs("spark", col)
+    return (
+        df.select(F.explode(F.expr(e.token_bigrams())).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(k)
+    )

@@ -205,6 +205,27 @@ def test_text_operators(spark, docs):
     assert r100["rolling_fingerprint"] == r0["rolling_fingerprint"]
 
 
+def test_deterministic_split(spark, docs):
+    out1 = {r["doc_id"]: r["split"] for r in text.with_split(docs).collect()}
+    out2 = {
+        r["doc_id"]: r["split"]
+        for r in text.with_split(docs.repartition(5)).collect()
+    }
+    assert out1 == out2  # stable under repartitioning, unlike rand()
+    assert set(out1.values()) <= {"train", "val", "test"}
+    # identical ids land in identical splits on every run
+    assert out1 == {r["doc_id"]: r["split"] for r in text.with_split(docs).collect()}
+
+
+def test_bigram_counts(spark, docs):
+    out = {r["bigram"]: r["n"] for r in text.bigram_counts(docs, k=50).collect()}
+    # 'the quick' appears in doc 0, its exact copy 100, and near-dup 101
+    assert out["the quick"] == 3
+    assert out["quick brown"] == 3
+    # one-token docs produce no bigrams; none contain a null
+    assert all(b and " " in b for b in out)
+
+
 def test_asof_join(spark):
     from pangeo_forge_recipes_spark.operators.asof import asof_join
 
