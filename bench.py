@@ -46,6 +46,9 @@ HEADLINE = [
     "text_token_stats",
     "text_quality",
     "text_fingerprints",
+    "text_length_quantiles",
+    "sample_split_stats",
+    "top_bigrams",
     "corpus_clean",
     "dedup_exact",
     "dedup_ngram_signature",
