@@ -748,6 +748,39 @@ def _asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SKEW_JOIN_ORACLE = """
+SELECT CAST(c_mktsegment AS VARCHAR) AS c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY CAST(c_mktsegment AS VARCHAR)
+ORDER BY c_mktsegment
+""".strip()
+
+
+def _skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charter scale operator: explicit key salting for skewed equi-joins
+    (the portable fallback where AQE skew-split can't re-plan). Result rows
+    are identical to the plain join, so the oracle runs the unsalted SQL."""
+    from pangeo_forge_recipes_spark.operators.skew import salted_join
+
+    _register(spark, sf_dir)
+    events = spark.table("events")
+    cust = spark.table("customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").cast("string").alias("c_mktsegment"),
+    )
+    joined = salted_join(events, cust, on="user_id", salt=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 _RANGE_JOIN_ORACLE = """
 SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
        COUNT(*) AS n_fast_lines,
@@ -1058,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_sessions_stream"] = _events_sessions_stream
     out["asof_last_order"] = _asof_last_order
     out["range_join_orders"] = _range_join_orders
+    out["skew_salted_join"] = _skew_salted_join
     out["ann_cosine_topk"] = _ann_topk
     out["embedding_near_dup"] = _near_dup
     out["multimodal_stats"] = _multimodal_stats
@@ -1087,6 +1121,7 @@ def oracle_sql() -> dict[str, str]:
     out["events_sessions_stream"] = out["events_sessions"]
     out["asof_last_order"] = _ASOF_ORACLE
     out["range_join_orders"] = _RANGE_JOIN_ORACLE
+    out["skew_salted_join"] = _SKEW_JOIN_ORACLE
     out["ann_cosine_topk"] = _ANN_ORACLE
     out["embedding_near_dup"] = _NEAR_DUP_ORACLE
     out["multimodal_stats"] = _MULTIMODAL_ORACLE

@@ -43,6 +43,7 @@ HEADLINE = [
     "events_sessions",
     "asof_last_order",
     "range_join_orders",
+    "skew_salted_join",
     "text_token_stats",
     "text_quality",
     "text_fingerprints",

@@ -261,6 +261,27 @@ def test_asof_join(spark):
     assert bare.columns == ["k", "t", "lv", "asof_t"]
 
 
+def test_salted_join_matches_plain_join(spark):
+    from pangeo_forge_recipes_spark.operators.skew import salted_join
+
+    # one hot key (90% of rows) + a key with no right match
+    left = spark.createDataFrame(
+        [(1 if i < 90 else i % 7, i) for i in range(100)], "k long, v long"
+    )
+    right = spark.createDataFrame([(i, f"r{i}") for i in range(5)], "k long, rv string")
+    for how in ("inner", "left"):
+        plain = sorted(
+            (r["k"], r["v"], r["rv"]) for r in left.join(right, "k", how).collect()
+        )
+        salted = sorted(
+            (r["k"], r["v"], r["rv"])
+            for r in salted_join(left, right, "k", salt=8, how=how).collect()
+        )
+        assert salted == plain, how
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(left, right, "k", how="full")
+
+
 def test_range_join_binned(spark):
     from pangeo_forge_recipes_spark.operators.ranges import range_join
     from pangeo_forge_recipes_spark.plans import explain_string
