@@ -711,6 +711,39 @@ def _events_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_STREAM_ORACLE = """
+SELECT event_type, COUNT(*) AS n_unique
+FROM (SELECT DISTINCT user_id, event_type, ts FROM events) t
+GROUP BY event_type
+ORDER BY event_type
+""".strip()
+
+
+def _events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.8: streaming exact dedup (watermark-bounded dropDuplicates
+    state) — first-arrival rows stream into the sink, then a batch count
+    per type must equal the batch DISTINCT oracle."""
+    from pangeo_forge_recipes_spark.streaming.append import streaming_dedup
+
+    raw = _events_stream_source(spark, sf_dir, "_events_dedup_stream")
+    query = (
+        streaming_dedup(raw, keys=["user_id", "event_type", "ts"])
+        .select("user_id", "event_type", "ts")
+        .writeStream.format("memory")
+        .queryName("_events_dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.table("_events_dedup_stream")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+        .orderBy("event_type")
+    )
+
+
 _ASOF_ORACLE = """
 SELECT e.user_id,
        COUNT(*) AS n_events,
@@ -1089,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_props_json"] = _sql_query(_props_json_sql("spark"))
     out["events_hourly_rollup_stream"] = _events_rollup_stream
     out["events_sessions_stream"] = _events_sessions_stream
+    out["events_dedup_stream"] = _events_dedup_stream
     out["asof_last_order"] = _asof_last_order
     out["range_join_orders"] = _range_join_orders
     out["skew_salted_join"] = _skew_salted_join
@@ -1119,6 +1153,7 @@ def oracle_sql() -> dict[str, str]:
     # streaming results must equal their batch twins — same oracle text
     out["events_hourly_rollup_stream"] = out["events_hourly_rollup"]
     out["events_sessions_stream"] = out["events_sessions"]
+    out["events_dedup_stream"] = _DEDUP_STREAM_ORACLE
     out["asof_last_order"] = _ASOF_ORACLE
     out["range_join_orders"] = _RANGE_JOIN_ORACLE
     out["skew_salted_join"] = _SKEW_JOIN_ORACLE

@@ -102,6 +102,25 @@ def stream_append_to_zarr(
     return writer.start()
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication: drop repeat (key) arrivals as data
+    streams in, keeping first-arrival rows. State is bounded by the
+    watermark — Spark discards per-key state older than the watermark
+    horizon, so the dedup map never grows unboundedly on an infinite
+    stream (the batch equivalent is a plain ``dropDuplicates``; at 100 TB
+    the streaming form is how dedup-at-ingest actually runs). Works on a
+    streaming or batch DataFrame identically."""
+    keys = keys or ["user_id", ts_col]
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicates(keys)
+    return events.dropDuplicates(keys)
+
+
 def watermarked_event_rollup(
     events: DataFrame,
     window_duration: str = "1 hour",

@@ -107,6 +107,56 @@ def test_watermarked_rollup_stream_equals_batch(spark, tmp_path):
         assert b[key] == (r["n"], r["total_value"])
 
 
+def test_streaming_dedup_drops_repeats_across_batches(spark, tmp_path):
+    """Duplicate keys arriving in a LATER micro-batch must still be
+    dropped: dedup state persists between batches (within the watermark)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pangeo_forge_recipes_spark.streaming.append import streaming_dedup
+
+    rows = [
+        (1, pd.Timestamp("2024-01-01 10:00:00"), "a"),
+        (1, pd.Timestamp("2024-01-01 10:00:00"), "a"),  # dup within batch 0
+        (2, pd.Timestamp("2024-01-01 11:00:00"), "b"),
+    ]
+    later = [
+        (1, pd.Timestamp("2024-01-01 10:00:00"), "a"),  # dup across batches
+        (3, pd.Timestamp("2024-01-01 12:00:00"), "a"),
+    ]
+    cols = ["user_id", "ts", "event_type"]
+    events = spark.createDataFrame(pd.DataFrame(rows, columns=cols))
+    spark.createDataFrame(pd.DataFrame(rows, columns=cols)).coalesce(1).write.parquet(
+        str(tmp_path / "src/d0")
+    )
+    spark.createDataFrame(pd.DataFrame(later, columns=cols)).coalesce(1).write.parquet(
+        str(tmp_path / "src/d1")
+    )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src/d*"))
+    )
+    q = (
+        streaming_dedup(stream, keys=["user_id", "event_type", "ts"])
+        .writeStream.format("memory")
+        .queryName("_dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("_dedup_test").collect()
+    assert sorted((r["user_id"], r["event_type"]) for r in out) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "a"),
+    ]
+    # batch DataFrames take the plain dropDuplicates path, same result
+    batch = streaming_dedup(events, keys=["user_id", "event_type", "ts"])
+    assert batch.count() == 2
+
+
 def test_stateful_sessionize_carries_state_across_batches(spark, tmp_path):
     """Two micro-batches split at a date boundary: the per-user
     (last_date, counts) state must persist between batches so the final
