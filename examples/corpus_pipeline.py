@@ -1,0 +1,81 @@
+"""Training-corpus cleaning pipeline — the engine's LLM-data-pipeline
+operators composed end-to-end on the synthetic ``documents`` table:
+
+quality gate → exact dedup → MinHash near-dup dedup → deterministic
+train/val/test split → per-split token stats.
+
+Every stage is a DataFrame transformation, so the whole pipeline is ONE
+Catalyst plan per action: the quality filter pushes into the parquet
+scan, the dedups are hash-groupBy / band-bucket equi-joins (no
+all-pairs), and the split is an md5 bucket — stable across runs and
+partitionings, which is what makes a 100 TB resplit reproducible.
+
+Run: PYTHONPATH=/root/repo python examples/corpus_pipeline.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from pangeo_forge_recipes_spark.operators import dedup, text
+from pangeo_forge_recipes_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    n_raw = docs.count()
+
+    # 1. quality gate (JVM-side expressions; no Python in the hot path)
+    scored = text.with_quality(text.with_token_counts(docs))
+    kept = scored.filter((F.col("quality_score") >= 0.3) & (F.col("token_count") >= 5))
+
+    # 2. exact dedup: keep the min-id representative per fingerprint
+    reps = dedup.exact_dedup(kept).select("doc_id")
+    exact_unique = kept.join(reps, "doc_id", "left_semi")
+    n_exact = exact_unique.count()
+
+    # 3. near-dup dedup: drop the higher id of each MinHash-verified pair
+    pairs = dedup.minhash_dedup(exact_unique, threshold=0.8)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    cleaned = exact_unique.join(losers, "doc_id", "left_anti")
+    n_clean = cleaned.count()
+
+    # 4. deterministic split + per-split stats
+    stats = (
+        text.with_split(cleaned)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("token_count").alias("total_tokens"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        )
+        .orderBy("split")
+        .collect()
+    )
+
+    print(f"raw={n_raw}  post-quality+exact={n_exact}  post-neardup={n_clean}")
+    for r in stats:
+        print(f"  {r['split']:5s}  docs={r['n_docs']:6d}  tokens={r['total_tokens']:8d}  q={r['avg_quality']}")
+
+    # verify: monotone shrinkage, full partition into splits, determinism
+    assert n_raw >= n_exact >= n_clean > 0
+    assert sum(r["n_docs"] for r in stats) == n_clean
+    again = {
+        r["split"]: r["n_docs"]
+        for r in text.with_split(cleaned).groupBy("split").count()
+        .withColumnRenamed("count", "n_docs").collect()
+    }
+    assert again == {r["split"]: r["n_docs"] for r in stats}
+    print("corpus_pipeline OK")
+
+
+if __name__ == "__main__":
+    main()
