@@ -103,6 +103,53 @@ def test_single_shuffle_for_aggregation(tables):
     assert plan.count("HashAggregate") == 2
 
 
+def test_bigram_counts_uses_take_ordered_not_global_sort(spark):
+    """Top-k over exploded bigrams must plan as TakeOrderedAndProject —
+    a per-partition heap + single driver merge — never a full global sort
+    of every distinct n-gram (unbounded at corpus scale)."""
+    from pangeo_forge_recipes_spark.operators.text import bigram_counts
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _simple_plan(bigram_counts(docs, k=20))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_text_expressions_stay_jvm_side(spark):
+    """The sampling split and quality scores are pure built-in SQL
+    expressions — no Python evaluation node may appear in the plan."""
+    from pangeo_forge_recipes_spark.operators.text import with_quality, with_split
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _simple_plan(with_split(with_quality(docs)))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "mapInPandas" not in plan
+
+
+def test_salted_join_has_no_nested_loop(spark, tables):
+    """With broadcasting disabled (the worst case salting targets), the
+    salted join must still be an equi-join on (key, salt) — never a
+    BroadcastNestedLoopJoin or CartesianProduct."""
+    from pangeo_forge_recipes_spark.operators.skew import salted_join
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = salted_join(
+            tables["orders"].withColumnRenamed("o_custkey", "c_custkey"),
+            tables["customer"].select("c_custkey", "c_mktsegment"),
+            on="c_custkey",
+            salt=8,
+        )
+        plan = _simple_plan(joined)
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+        audit = plan_audit(joined)
+        assert audit["sort_merge_joins"] + audit["shuffled_hash_joins"] == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_global_sort_uses_range_partitioning(tables):
     df = tables["orders"].orderBy("o_orderdate")
     plan = _formatted_plan(df)
