@@ -143,3 +143,34 @@ def test_netcdf3_roundtrip_property(ds):
     write_netcdf3(buf, ds)
     buf.seek(0)
     assert_equal(read_netcdf3(buf), ds)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(10**12), max_value=10**12),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_sample_bucket_matches_reference_impl(ids):
+    """The dialect-rendered md5 sampling bucket must equal an independent
+    hashlib reimplementation for arbitrary ids (DuckDB evaluates the
+    rendered SQL; Spark↔DuckDB equality is pinned separately by the
+    sample_split_stats oracle)."""
+    import hashlib
+
+    import duckdb
+
+    from pangeo_forge_recipes_spark.functions.textexprs import TextExprs
+
+    e = TextExprs("duckdb")
+    expr = e.sample_bucket(e._f("str", x="id"), 100)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(i,) for i in ids])
+    got = dict(con.execute(f"SELECT id, {expr} FROM t").fetchall())
+    for i in ids:
+        expect = int(hashlib.md5(str(i).encode()).hexdigest()[:3], 16) % 100
+        assert got[i] == expect, (i, got[i], expect)
