@@ -6,4 +6,12 @@ tabular corpora — plain Spark SQL/DataFrame ops (joins, windows, Catalyst)
 on the engine's tabular side.
 """
 
-from . import dedup, multimodal, similarity, text  # noqa: F401
+from . import (  # noqa: F401
+    asof,
+    dedup,
+    multimodal,
+    ranges,
+    similarity,
+    skew,
+    text,
+)

@@ -4,6 +4,7 @@ reference's batch-append model (SURVEY §2.8)."""
 from .append import (
     stream_append_to_zarr,
     stream_manifest,
+    streaming_dedup,
     watermarked_event_rollup,
 )
 from .stateful import stateful_sessionize
@@ -11,6 +12,7 @@ from .stateful import stateful_sessionize
 __all__ = [
     "stream_manifest",
     "stream_append_to_zarr",
+    "streaming_dedup",
     "watermarked_event_rollup",
     "stateful_sessionize",
 ]
