@@ -339,7 +339,9 @@ def encode_cf_datetime(data: np.ndarray, units: str) -> np.ndarray:
     epoch = np.datetime64(_normalize_epoch(m.group("epoch")))
     delta = data.astype("datetime64[ns]") - epoch.astype("datetime64[ns]")
     step = np.timedelta64(1, np_unit).astype("timedelta64[ns]")
-    return (delta / step).astype("int64")
+    # exact int64 floor division: timedelta/timedelta yields float64, which
+    # quantizes ns-since-epoch offsets (~1.7e18 > 2^53) to ~256 ns steps
+    return delta.astype("timedelta64[ns]").astype("int64") // step.astype("int64")
 
 
 def decode_cf_datetime(data: np.ndarray, units: str, calendar: str = "proleptic_gregorian") -> np.ndarray:

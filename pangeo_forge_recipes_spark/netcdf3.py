@@ -389,7 +389,20 @@ def read_netcdf3(path_or_buf) -> NDDataset:
         header = _parse_header(f)
         numrecs = header["numrecs"]
         rec_vars = [v for v in header["variables"] if v["record"]]
-        recsize = sum(v["vsize"] for v in rec_vars)
+
+        def _rec_vsize(v) -> int:
+            # vsize is stored as the 0xFFFFFFFF sentinel for variables
+            # >= 4 GiB (classic-format spec) — recompute from shape ×
+            # itemsize, padded to the 4-byte boundary (padding is waived
+            # when there is exactly one record variable)
+            if v["vsize"] != 0xFFFFFFFF:
+                return v["vsize"]
+            entry, _ = _var_entry(v, numrecs)
+            dt = _NC_DTYPE[v["nc_type"]]
+            per_rec = int(np.prod(entry["shape"][1:], dtype=np.int64)) * dt.itemsize
+            return per_rec if len(rec_vars) == 1 else -(-per_rec // 4) * 4
+
+        recsize = sum(_rec_vsize(v) for v in rec_vars)
         coords_names, _ = _split_roles(header)
         coords: Dict[str, Variable] = {}
         data_vars: Dict[str, Variable] = {}

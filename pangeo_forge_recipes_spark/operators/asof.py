@@ -35,9 +35,22 @@ def asof_join(
     back null when no prior right row exists. Right-side ties on
     ``right_on`` resolve to the last row in ``right_cols`` order of
     occurrence — pass pre-deduplicated input when tie identity matters.
+    A right column whose name collides with a left column is emitted as
+    ``asof_<name>`` (the pandas/DuckDB suffix convention).
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (by, right_on)]
+    # a right column sharing a left column's name would duplicate in the
+    # output (ambiguous downstream) — disambiguate like pandas/DuckDB do
+    out_names = {
+        c: f"asof_{c}" if c in left.columns else c for c in right_cols
+    }
+    collisions = [n for n in out_names.values() if n in left.columns]
+    if collisions or len(set(out_names.values())) != len(out_names):
+        raise ValueError(
+            f"asof_join output name collision on {sorted(collisions)}; "
+            "rename the right-side columns or pass explicit right_cols"
+        )
     l_tag = left.withColumn("__t", F.col(left_on)).withColumn(
         "__is_left", F.lit(1)
     )
@@ -71,7 +84,7 @@ def asof_join(
         *left.columns,
         F.col("__is_left"),
         *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c)
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(out_names[c])
             for c in right_cols
         ],
         F.last("__r_on", ignorenulls=True).over(w).alias(f"asof_{right_on}"),

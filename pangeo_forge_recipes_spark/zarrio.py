@@ -210,6 +210,19 @@ class ZarrArray:
         arr = np.frombuffer(
             buf, dtype=self.dtype.newbyteorder(self._stored_byteorder)
         ).astype(self.dtype, copy=False)
+        full = int(np.prod(self.chunks, dtype=np.int64))
+        if arr.size < full:
+            # ragged edge chunk (e.g. a combined-kerchunk final file shorter
+            # than the chunk grid along the concat axis): the bytes cover the
+            # leading rows in C order — pad the tail with the fill value
+            inner = int(np.prod(self.chunks[1:], dtype=np.int64)) if len(self.chunks) > 1 else 1
+            if inner == 0 or arr.size % inner:
+                raise ValueError(
+                    f"chunk buffer holds {arr.size} elements, not a whole number "
+                    f"of rows of the {self.chunks} chunk grid"
+                )
+            pad = np.full(full - arr.size, self.fill_value, dtype=self.dtype)
+            arr = np.concatenate([arr, pad])
         return arr.reshape(self.chunks)
 
     def _full_chunk(self) -> np.ndarray:

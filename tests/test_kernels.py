@@ -348,3 +348,26 @@ def test_split_combine_roundtrip_with_schema():
 
     full = concat([ds_ for _, ds_ in ordered], "time")
     assert_equal(full, ds)
+
+
+# ------------------------------------------------------- CF time precision
+
+
+def test_encode_cf_datetime_ns_precision_exact():
+    """ns-since-epoch offsets exceed 2^53: float64 division would quantize
+    them to ~256 ns (regression — sub-µs times silently corrupted)."""
+    from pangeo_forge_recipes_spark.ndset import decode_cf_datetime, encode_cf_datetime
+
+    t = np.array(
+        ["2026-08-13T01:02:03.000000001", "2026-08-13T01:02:03.000001000"],
+        dtype="datetime64[ns]",
+    )
+    enc = encode_cf_datetime(t, "nanoseconds since 1970-01-01")
+    assert enc.dtype == np.int64
+    assert enc[1] - enc[0] == 999  # exact, not float-rounded
+    rt = decode_cf_datetime(enc, "nanoseconds since 1970-01-01")
+    np.testing.assert_array_equal(rt, t)
+
+    # floor semantics for coarser units (CF encode truncates toward -inf)
+    d = np.array(["2010-01-02T18:00:00"], dtype="datetime64[ns]")
+    assert encode_cf_datetime(d, "days since 2010-01-01")[0] == 1

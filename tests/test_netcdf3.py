@@ -152,3 +152,54 @@ def test_kerchunk_pipeline_from_netcdf3(spark, tmp_path):
     )
     assert os.path.exists(ref_path)
     assert_equal(open_reference_dataset(ref_path), _int32_expected(ds))
+
+
+def test_read_netcdf3_vsize_sentinel(tmp_path):
+    """vsize == 0xFFFFFFFF (the >=4 GiB sentinel) must be recomputed from
+    shape x itemsize instead of poisoning the record stride."""
+    import struct
+
+    def name(s):
+        b = s.encode()
+        pad = (4 - len(b) % 4) % 4
+        return struct.pack(">I", len(b)) + b + b"\x00" * pad
+
+    numrecs = 3
+    # dims: rec (record, stored 0), c=2
+    hdr = b"CDF\x01" + struct.pack(">I", numrecs)
+    hdr += struct.pack(">II", 10, 2)           # NC_DIMENSION, ndims
+    hdr += name("rec") + struct.pack(">I", 0)
+    hdr += name("c") + struct.pack(">I", 2)
+    hdr += struct.pack(">II", 0, 0)            # no global attrs
+    SENT = 0xFFFFFFFF
+    x = np.arange(numrecs * 2, dtype=">i4").reshape(numrecs, 2)
+    y = (np.arange(numrecs) + 100).astype(">i4")
+
+    def var_entry(nm, dimids, vsize, begin):
+        out = name(nm) + struct.pack(">I", len(dimids))
+        for d in dimids:
+            out += struct.pack(">I", d)
+        out += struct.pack(">II", 0, 0)        # no var attrs
+        out += struct.pack(">II", 4, vsize)    # NC_INT, vsize sentinel
+        out += struct.pack(">I", begin)
+        return out
+
+    # compute header size with placeholder begins, then fill
+    def build(beg_x, beg_y):
+        v = struct.pack(">II", 11, 2)          # NC_VARIABLE, nvars
+        v += var_entry("x", [0, 1], SENT, beg_x)
+        v += var_entry("y", [0], SENT, beg_y)
+        return hdr + v
+
+    base = len(build(0, 0))
+    recsize = 8 + 4                            # x row (8B) + y row (4B)
+    body = b""
+    for r in range(numrecs):
+        body += x[r].tobytes() + y[r : r + 1].tobytes()
+    p = str(tmp_path / "sentinel.nc")
+    with open(p, "wb") as f:
+        f.write(build(base, base + 8) + body)
+
+    rt = read_netcdf3(p)
+    np.testing.assert_array_equal(rt.data_vars["x"].data, x.astype("i4"))
+    np.testing.assert_array_equal(rt.data_vars["y"].data, y.astype("i4"))

@@ -234,3 +234,19 @@ def test_combine_references(tmp_path):
         else open_reference_dataset(read_reference_parquet(pp)),
         ds,
     )
+
+
+def test_combine_references_ragged_final_file(tmp_path):
+    """A final file shorter than the chunk grid must still be readable —
+    the ragged edge chunk's missing tail reads as fill (regression:
+    _decode_chunk used to raise 'cannot reshape')."""
+    ds = make_ds(nt=5)
+    ref_sets = []
+    for i, sl in enumerate([slice(0, 2), slice(2, 4), slice(4, 5)]):
+        p = str(tmp_path / f"r{i}.npz")
+        write_npz(p, ds.isel(time=sl))
+        ref_sets.append(scan_npz(p))
+    combined = combine_references(ref_sets, ["time"])
+    rt = open_reference_dataset(combined)
+    assert rt.sizes["time"] == 5
+    assert_equal(rt, ds)
