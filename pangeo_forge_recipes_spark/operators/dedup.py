@@ -180,13 +180,26 @@ def minhash_band_hashes(
 
 
 def minhash_lsh_candidates(
-    banded: DataFrame, id_col: str = "doc_id"
+    banded: DataFrame, id_col: str = "doc_id", bucket_cap: int = 1000
 ) -> DataFrame:
     """Self-join on (band, band_hash) buckets — candidate pairs collide on
-    at least one band."""
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
+    at least one band.
+
+    A degenerate bucket (one huge duplicate cluster) would make the
+    self-join O(N²) inside that bucket, so buckets larger than
+    ``bucket_cap`` take a representative path instead: every member pairs
+    only with the bucket's min-id representative (O(N) star), which
+    preserves the bucket's connectivity for downstream verification /
+    connected-component clustering while bounding candidate volume to
+    ``O(bucket_cap × n)``."""
+    sizes = banded.groupBy("band", "band_hash").agg(
+        F.count("*").alias("__bsize"), F.min(id_col).alias("__rep")
+    )
+    tagged = banded.join(sizes, ["band", "band_hash"])
+    small = tagged.filter(F.col("__bsize") <= bucket_cap)
+    left = small.alias("l")
+    right = small.alias("r")
+    quadratic = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -196,8 +209,16 @@ def minhash_lsh_candidates(
         .select(
             F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
         )
-        .distinct()
     )
+    star = (
+        tagged.filter(
+            (F.col("__bsize") > bucket_cap) & (F.col(id_col) != F.col("__rep"))
+        )
+        .select(
+            F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
+        )
+    )
+    return quadratic.unionByName(star).distinct()
 
 
 def minhash_dedup(
@@ -244,30 +265,63 @@ def simhash_signatures(
     df: DataFrame, col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """64-bit SimHash over whitespace tokens (FNV-1a token hashes,
-    ±1 bit voting), Arrow-vectorized."""
-
-    def token_hash(tok: bytes) -> int:
-        h = 0xCBF29CE484222325
-        for c in tok:
-            h = ((h ^ c) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return h
+    ±1 bit voting), vectorized across the whole Arrow batch: all tokens
+    hash in one padded-byte-matrix sweep, bit votes segment-sum per doc
+    via ``np.add.reduceat`` — no per-token Python loop."""
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bitpos = np.arange(64, dtype=np.uint64)
         for pdf in batches:
-            out = []
-            for text in pdf[col]:
-                votes = np.zeros(64, dtype=np.int64)
-                for tok in text.lower().split():
-                    h = np.uint64(token_hash(tok.encode("utf-8", "ignore")))
-                    bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                    votes += np.where(bits == 1, 1, -1)
-                sig = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-                out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)  # to signed
-            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+            toks_per_doc = [
+                [t.encode("utf-8", "ignore") for t in text.lower().split()]
+                for text in pdf[col]
+            ]
+            counts = np.array([len(t) for t in toks_per_doc], dtype=np.intp)
+            all_toks = [t for doc in toks_per_doc for t in doc]
+            hashes = _fnv1a_batch(all_toks)
+            # (n_tokens, 64) ±1 votes, segment-summed per doc
+            bits = ((hashes[:, None] >> bitpos[None, :]) & np.uint64(1)).astype(
+                np.int64
+            )
+            votes_all = bits * 2 - 1
+            sigs = np.zeros(len(pdf), dtype=np.uint64)
+            nonempty = counts > 0
+            if nonempty.any():
+                offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+                votes = np.add.reduceat(votes_all, offsets[nonempty], axis=0)
+                sigs[nonempty] = ((votes > 0).astype(np.uint64) << bitpos).sum(
+                    axis=1, dtype=np.uint64
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "simhash": sigs.view(np.int64)}
+            )
 
     return spread(df.select(id_col, col)).mapInPandas(
         compute, f"{id_col} long, simhash long"
     )
+
+
+def _fnv1a_batch(toks: list) -> np.ndarray:
+    """FNV-1a of every byte string in one vectorized sweep: pad tokens into
+    a (n_tokens, max_len) byte matrix and fold column-by-column with a
+    validity mask — max_len (~word length) vector ops total."""
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.array([len(t) for t in toks], dtype=np.intp)
+    maxlen = int(lens.max(initial=0))
+    h = np.full(len(toks), 0xCBF29CE484222325, dtype=np.uint64)
+    if maxlen == 0:
+        return h
+    flat = np.frombuffer(b"".join(toks), dtype=np.uint8)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    idx = starts[:, None] + np.arange(maxlen)[None, :]
+    valid = np.arange(maxlen)[None, :] < lens[:, None]
+    chars = flat[np.minimum(idx, len(flat) - 1)]
+    prime = np.uint64(0x100000001B3)
+    for j in range(maxlen):
+        col_j = chars[:, j].astype(np.uint64)
+        h = np.where(valid[:, j], (h ^ col_j) * prime, h)
+    return h
 
 
 def simhash_dedup(

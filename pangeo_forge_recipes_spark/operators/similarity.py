@@ -91,6 +91,26 @@ def brute_force_topk(
     )
 
 
+def _sample_centroids(
+    df: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> np.ndarray:
+    """Deterministic distributed centroid sample: the ``n_centroids`` rows
+    with the smallest ``md5(id)`` — a seeded pseudo-random draw that plans
+    as TakeOrderedAndProject (distributed partial top-k), so the driver
+    ever holds O(n_centroids) rows, never the corpus. (The previous
+    implementation collected the full corpus to slice every n/k-th row —
+    a driver OOM at billion-vector scale.)"""
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    # sort by id so centroid indices are stable/readable
+    rows.sort(key=lambda r: r[0])
+    return _normalize(np.array([r[1] for r in rows], dtype=np.float64))
+
+
 def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((nbits, dim))
@@ -173,13 +193,12 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF coarse quantization with deterministic centroids (every
-    ``n/n_centroids``-th vector by id — a seeded sample at scale). Output:
-    (vec_id, centroid) — the partition key for inverted-list search."""
+    """IVF coarse quantization with deterministic sampled centroids (the
+    ``n_centroids`` smallest-md5(id) vectors — O(n_centroids) driver rows).
+    Output: (vec_id, centroid) — the partition key for inverted-list
+    search."""
     spark = df.sparkSession
-    ids, mat = _collect_matrix(df, id_col, vec_col)
-    step = max(1, len(ids) // n_centroids)
-    centroids = _normalize(mat[::step][:n_centroids])
+    centroids = _sample_centroids(df, n_centroids, id_col, vec_col)
     bc = spark.sparkContext.broadcast(centroids)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -207,9 +226,7 @@ def ivf_topk(
     volume is corpus + nprobe×queries rows, never n². Exact cosine rank
     within the candidate set (same window tail as ``lsh_ann_topk``)."""
     spark = df.sparkSession
-    ids, mat = _collect_matrix(df, id_col, vec_col)
-    step = max(1, len(ids) // n_centroids)
-    centroids = _normalize(mat[::step][:n_centroids])
+    centroids = _sample_centroids(df, n_centroids, id_col, vec_col)
     bc = spark.sparkContext.broadcast(centroids)
 
     def corpus_assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -309,3 +309,74 @@ def test_range_join_binned(spark):
     assert pairs == expect
     # the whole point: an equi-join plan, never a nested loop
     assert "BroadcastNestedLoopJoin" not in explain_string(out, "simple")
+
+
+def test_simhash_vectorized_matches_scalar_reference(docs):
+    """Regression pin: the batched FNV+reduceat implementation must emit
+    bit-identical signatures to the straightforward per-token algorithm."""
+
+    def scalar_simhash(text):
+        votes = np.zeros(64, dtype=np.int64)
+        for tok in text.lower().split():
+            h = 0xCBF29CE484222325
+            for c in tok.encode("utf-8", "ignore"):
+                h = ((h ^ c) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            votes += np.where(bits == 1, 1, -1)
+        sig = int(
+            ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()
+        )
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    rows = docs.collect()
+    expected = {r["doc_id"]: scalar_simhash(r["text"]) for r in rows}
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_signatures(docs).collect()
+    }
+    assert got == expected
+    # empty / whitespace-only docs produce signature 0 (no votes)
+    empty = docs.sparkSession.createDataFrame(
+        [(0, ""), (1, "   "), (2, "one")], "doc_id long, text string"
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(empty).collect()}
+    assert sigs[0] == 0 and sigs[1] == 0 and sigs[2] != 0
+
+
+def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
+    """5000 copies of one document: the capped candidate path must emit a
+    star (O(N) pairs to the min-id representative), not the O(N²)
+    self-join, while normal-size buckets keep exact pair enumeration."""
+    n = 5000
+    rows = [(i, "identical text repeated everywhere in this degenerate corpus") for i in range(n)]
+    rows += [(10_000, "another doc entirely"), (10_001, "another doc entirely")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    banded = dedup.minhash_band_hashes(df, num_perm=16, bands=4)
+    cand = dedup.minhash_lsh_candidates(banded, bucket_cap=100)
+    pairs = cand.collect()
+    # star: every degenerate member pairs with representative 0 only
+    big = [(r["id_a"], r["id_b"]) for r in pairs if r["id_b"] < 10_000]
+    assert len(big) == n - 1
+    assert all(a == 0 for a, _ in big)
+    # the small bucket still enumerates its exact pair
+    assert (10_000, 10_001) in {(r["id_a"], r["id_b"]) for r in pairs}
+
+
+def test_ivf_centroids_sampled_distributed(vectors):
+    """Centroid selection must plan as a distributed partial top-k
+    (TakeOrderedAndProject), never a full-corpus collect."""
+    from pyspark.sql import functions as F
+
+    plan = (
+        vectors.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    # and the sampled-centroid IVF still assigns every vector
+    out = similarity.ivf_assign(vectors, n_centroids=4).collect()
+    assert len(out) == vectors.count()
+    assert {r["centroid"] for r in out} <= set(range(4))
