@@ -38,25 +38,26 @@ HEADLINE = [
     "topk_customers",
     "window_running_total",
     "set_ops_customers",
-    "events_hourly_rollup",
-    "events_rollup",
+    "events_multi_grain_rollup",
     "events_sessions",
     "asof_last_order",
     "range_join_orders",
     "skew_salted_join",
-    "text_token_stats",
-    "text_quality",
+    "text_doc_metrics",
     "text_fingerprints",
-    "text_length_quantiles",
     "sample_split_stats",
     "top_bigrams",
     "corpus_clean",
     "dedup_exact",
     "dedup_ngram_signature",
-    "dedup_minhash_bands",
+    "dedup_minhash_pairs",
     "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "dedup_simhash",
     "embedding_near_dup",
     "multimodal_stats",
+    "multimodal_features",
 ]
 
 
@@ -130,6 +131,42 @@ def _bench_zarr_pipeline(spark) -> dict:
                 "mb_written": round(mb, 1),
                 "mb_per_s": round(mb / wall, 1),
             }
+
+        # kerchunk branch: combined virtual references over the same files
+        from pangeo_forge_recipes_spark import write_combined_reference
+
+        wall = None
+        for run in range(2):
+            t0 = time.perf_counter()
+            write_combined_reference(
+                spark, pattern, tmp, f"bench_ref{run}", max_refs_per_merge=4
+            )
+            dt = time.perf_counter() - t0
+            wall = dt if wall is None else min(wall, dt)
+        out["kerchunk"] = {"wall": round(wall, 3)}
+
+        # incremental append: bootstrap from half the files, append the rest
+        first = pattern_from_file_sequence(
+            paths[:4], "time", nitems_per_file=8, file_type="npz"
+        )
+        rest = pattern_from_file_sequence(
+            paths[4:], "time", nitems_per_file=8, file_type="npz"
+        )
+        wall = None
+        for run in range(2):
+            store_to_zarr(
+                spark, first, tmp, f"bench_app{run}.zarr",
+                target_chunks={"time": 8}, consolidate_coords=False,
+            )
+            t0 = time.perf_counter()
+            store_to_zarr(
+                spark, rest, tmp, f"bench_app{run}.zarr",
+                target_chunks={"time": 8}, append_dim="time",
+                consolidate_coords=False,
+            )
+            dt = time.perf_counter() - t0
+            wall = dt if wall is None else min(wall, dt)
+        out["append"] = {"wall": round(wall, 3)}
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
