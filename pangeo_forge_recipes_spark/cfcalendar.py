@@ -1,0 +1,154 @@
+"""CF non-standard calendar support without the cftime library.
+
+The reference handles non-standard calendars (360_day, noleap, all_leap)
+by decoding to cftime objects (``aggregation.py:193-197`` initializes
+templates with ``cftime.num2date``). This engine follows SURVEY §1.2's
+design instead: times in non-standard calendars stay as **int64 offsets
+plus ``{units, calendar}`` encoding metadata** end-to-end — exact, Spark
+/ Parquet / Zarr friendly, and loss-free (the reference round-trips
+through object arrays to reach the same stored ints).
+
+This module supplies the calendar arithmetic cftime would provide:
+
+* :func:`date2num` — (year, month, day[, h, m, s]) tuples → offsets
+* :func:`num2date_components` — offsets → vectorized component arrays
+  (the analog of a decoded cftime array, but SQL-groupable)
+
+All supported calendars have fixed-length years, so the conversions are
+pure integer arithmetic (vectorized numpy; negative offsets / years
+before the epoch work via floor division). The ``standard`` family keeps
+using numpy datetime64 (:mod:`.ndset`).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Tuple
+
+import numpy as np
+
+from .ndset import _NP_UNIT, _UNITS_RE
+
+STANDARD_CALENDARS = frozenset({"proleptic_gregorian", "gregorian", "standard"})
+
+_MONTH_DAYS = {
+    "360_day": [30] * 12,
+    "noleap": [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31],
+    "365_day": [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31],
+    "all_leap": [31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31],
+    "366_day": [31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31],
+}
+
+_UNIT_SECONDS = {"ns": None, "us": None, "ms": None, "s": 1, "m": 60, "h": 3600, "D": 86400}
+
+
+def is_standard_calendar(calendar: str) -> bool:
+    return calendar in STANDARD_CALENDARS
+
+
+def is_supported_calendar(calendar: str) -> bool:
+    return calendar in STANDARD_CALENDARS or calendar in _MONTH_DAYS
+
+
+def _calendar_tables(calendar: str) -> Tuple[np.ndarray, int]:
+    try:
+        month_days = np.array(_MONTH_DAYS[calendar], dtype=np.int64)
+    except KeyError:
+        raise NotImplementedError(
+            f"calendar {calendar!r} is not supported without cftime "
+            f"(supported: standard family + {sorted(_MONTH_DAYS)})"
+        ) from None
+    return month_days, int(month_days.sum())
+
+
+def _parse_units(units: str) -> Tuple[int, Tuple[int, int, int, int, int, int]]:
+    """→ (seconds per unit, epoch components). Sub-second units are
+    rejected for non-standard calendars (nothing produces them)."""
+    m = _UNITS_RE.match(units.strip())
+    if not m:
+        raise ValueError(f"Unparseable time units: {units!r}")
+    np_unit = _NP_UNIT[m.group("unit")]
+    unit_sec = _UNIT_SECONDS.get(np_unit)
+    if unit_sec is None:
+        raise NotImplementedError(
+            f"sub-second units {units!r} are not supported for "
+            "non-standard calendars"
+        )
+    epoch = m.group("epoch").strip().replace("T", " ")
+    date, _, time = epoch.partition(" ")
+    y, mo, d = (int(p) for p in date.split("-"))
+    h = mi = s = 0
+    if time:
+        parts = time.split(":")
+        h = int(parts[0])
+        mi = int(parts[1]) if len(parts) > 1 else 0
+        s = int(float(parts[2])) if len(parts) > 2 else 0
+    return unit_sec, (y, mo, d, h, mi, s)
+
+
+def _ordinal(
+    year: np.ndarray, month: np.ndarray, day: np.ndarray, calendar: str
+) -> np.ndarray:
+    """Absolute day number of (year, month, day) in the fixed calendar
+    (day 0 = year 0, Jan 1). Vectorized; months are 1-based."""
+    month_days, year_len = _calendar_tables(calendar)
+    cum = np.concatenate([[0], np.cumsum(month_days)[:-1]])
+    return (
+        np.asarray(year, dtype=np.int64) * year_len
+        + cum[np.asarray(month, dtype=np.int64) - 1]
+        + (np.asarray(day, dtype=np.int64) - 1)
+    )
+
+
+def date2num(
+    dates: Iterable[Tuple[int, ...]], units: str, calendar: str
+) -> np.ndarray:
+    """Encode (year, month, day[, hour, minute, second]) tuples as int64
+    offsets in ``units`` of the fixed ``calendar`` (cftime.date2num
+    analog). Offsets that are not whole units raise."""
+    unit_sec, ep = _parse_units(units)
+    rows = [tuple(d) + (0,) * (6 - len(d)) for d in dates]
+    arr = np.array(rows, dtype=np.int64).reshape(-1, 6)
+    day = _ordinal(arr[:, 0], arr[:, 1], arr[:, 2], calendar)
+    secs = (
+        day * 86400
+        + arr[:, 3] * 3600
+        + arr[:, 4] * 60
+        + arr[:, 5]
+        - (_ordinal([ep[0]], [ep[1]], [ep[2]], calendar)[0] * 86400
+           + ep[3] * 3600 + ep[4] * 60 + ep[5])
+    )
+    if np.any(secs % unit_sec):
+        raise ValueError(
+            f"dates are not representable as whole {units.split()[0]}"
+        )
+    return secs // unit_sec
+
+
+def num2date_components(
+    values: np.ndarray, units: str, calendar: str
+) -> Dict[str, np.ndarray]:
+    """Decode int64 offsets into vectorized calendar components
+    ``{year, month, day, hour, minute, second}`` (cftime.num2date analog,
+    but arrays ready for SQL grouping instead of object scalars)."""
+    unit_sec, ep = _parse_units(units)
+    month_days, year_len = _calendar_tables(calendar)
+    cum = np.cumsum(month_days)
+    epoch_secs = (
+        _ordinal([ep[0]], [ep[1]], [ep[2]], calendar)[0] * 86400
+        + ep[3] * 3600 + ep[4] * 60 + ep[5]
+    )
+    total = np.asarray(values, dtype=np.int64) * unit_sec + epoch_secs
+    day, rem = np.divmod(total, 86400)
+    year, doy = np.divmod(day, year_len)
+    month = np.searchsorted(cum, doy, side="right") + 1
+    dom = doy - np.concatenate([[0], cum[:-1]])[month - 1] + 1
+    hour, rem = np.divmod(rem, 3600)
+    minute, second = np.divmod(rem, 60)
+    return {
+        "year": year,
+        "month": month.astype(np.int64),
+        "day": dom,
+        "hour": hour,
+        "minute": minute,
+        "second": second,
+    }

@@ -26,6 +26,7 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 from .aggregation import XarraySchema, determine_target_chunks
+from .cfcalendar import is_standard_calendar, is_supported_calendar
 from .ndset import (
     NDDataset,
     Variable,
@@ -53,11 +54,23 @@ def _zarr_spec_for(var_schema: dict) -> Tuple[str, dict, object]:
         calendar = encoding.get("calendar", "proleptic_gregorian")
         extra_attrs = {"units": units, "calendar": calendar}
         return "int64", extra_attrs, fill
+    if "units" in encoding and "calendar" in encoding:
+        # non-standard-calendar time (SURVEY §1.2 design: int64 offsets +
+        # units/calendar metadata; the reference reaches the same stored
+        # ints through cftime object arrays — aggregation.py:183-201).
+        # "object" dtype appears when such a schema is imported from a
+        # cftime-producing writer.
+        if not is_supported_calendar(encoding["calendar"]):
+            raise NotImplementedError(
+                f"calendar {encoding['calendar']!r} is not supported"
+            )
+        extra_attrs = {"units": encoding["units"], "calendar": encoding["calendar"]}
+        return ("int64" if dtype == "object" else dtype), extra_attrs, fill
     if dtype == "object":
         raise NotImplementedError(
-            "object-dtype (cftime calendar) variables require cftime, "
-            "which is not available in this environment "
-            "(reference aggregation.py:193-197)"
+            "object-dtype variables without units/calendar encoding have "
+            "no Zarr representation (reference aggregation.py:193-197 "
+            "handles only the cftime case)"
         )
     if dtype.startswith("float"):
         fill = 0.0
@@ -220,7 +233,10 @@ def _decode_from_store(arr_data: np.ndarray, attrs: dict) -> Tuple[np.ndarray, d
     encoding: dict = {}
     if "units" in attrs and "calendar" in attrs and arr_data.dtype.kind in "if":
         units, calendar = attrs.pop("units"), attrs.pop("calendar")
-        arr_data = decode_cf_datetime(arr_data, units, calendar)
+        if is_standard_calendar(calendar):
+            arr_data = decode_cf_datetime(arr_data, units, calendar)
+        # non-standard calendars stay as raw int offsets (SURVEY §1.2);
+        # the units/calendar pair rides in encoding either way
         encoding = {"units": units, "calendar": calendar}
     return arr_data, attrs, encoding
 
@@ -270,7 +286,9 @@ def zarr_group_schema(store_or_path) -> XarraySchema:
         dtype = str(arr.dtype)
         if "units" in attrs and "calendar" in attrs:
             encoding = {"units": attrs.pop("units"), "calendar": attrs.pop("calendar")}
-            dtype = "datetime64[ns]"
+            if is_standard_calendar(encoding["calendar"]):
+                dtype = "datetime64[ns]"
+            # non-standard calendars keep the stored integer dtype
         entry = {
             "dims": dim_names,
             "attrs": attrs,

@@ -131,6 +131,11 @@ def scan_npz(path: str, inline_threshold: int = 300) -> dict:
                 attributes["units"] = "nanoseconds since 1970-01-01"
                 attributes["calendar"] = "proleptic_gregorian"
                 dtype = "int64"
+            elif "units" in vs.get("encoding", {}) and "calendar" in vs.get("encoding", {}):
+                # non-standard-calendar time: stored ints ARE the CF
+                # encoding — declare it so readers keep the metadata
+                attributes["units"] = vs["encoding"]["units"]
+                attributes["calendar"] = vs["encoding"]["calendar"]
             meta = _array_meta(
                 vs["shape"], vs["shape"] or [1], _DTYPE_TO_ZARR[dtype], attributes, vs["dims"]
             )

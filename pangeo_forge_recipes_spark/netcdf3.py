@@ -39,6 +39,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from .aggregation import XarraySchema
+from .cfcalendar import is_standard_calendar
 from .ndset import NDDataset, Variable, decode_cf_datetime, encode_cf_datetime
 
 NC_BYTE, NC_CHAR, NC_SHORT, NC_INT, NC_FLOAT, NC_DOUBLE = 1, 2, 3, 4, 5, 6
@@ -331,7 +332,8 @@ def _var_entry(v: dict, numrecs: int) -> Tuple[dict, dict]:
     encoding: dict = {}
     if _is_time_var(attrs):
         encoding = {"units": attrs.pop("units"), "calendar": attrs.pop("calendar")}
-        dtype = "datetime64[ns]"
+        if is_standard_calendar(encoding["calendar"]):
+            dtype = "datetime64[ns]"
     return (
         {
             "dims": v["dims"],
@@ -425,10 +427,12 @@ def read_netcdf3(path_or_buf) -> NDDataset:
                 .astype(dt.newbyteorder("="), copy=False)
                 .reshape(shape)
             )
-            if encoding:
+            if encoding and is_standard_calendar(encoding["calendar"]):
                 data = decode_cf_datetime(
                     data, encoding["units"], encoding["calendar"]
                 )
+            # non-standard calendars keep raw int offsets + encoding
+            # (SURVEY §1.2; see cfcalendar module)
             var = Variable(tuple(entry["dims"]), data, entry["attrs"], encoding)
             (coords if v["name"] in coords_names else data_vars)[v["name"]] = var
     finally:

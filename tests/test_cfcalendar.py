@@ -1,0 +1,151 @@
+"""Non-standard CF calendars without cftime (reference parity:
+``aggregation.py:183-201`` cftime template init and the cftime case in
+``tests/test_aggregation.py:66-108``). SURVEY §1.2 design: times stay
+int64 offsets + {units, calendar} encoding end-to-end."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from pangeo_forge_recipes_spark import pattern_from_file_sequence, store_to_zarr
+from pangeo_forge_recipes_spark.aggregation import dataset_to_schema
+from pangeo_forge_recipes_spark.cfcalendar import (
+    date2num,
+    is_standard_calendar,
+    num2date_components,
+)
+from pangeo_forge_recipes_spark.dsio import (
+    open_zarr_group,
+    schema_to_zarr,
+    write_npz,
+    zarr_group_schema,
+)
+from pangeo_forge_recipes_spark.ndset import NDDataset, Variable, assert_equal
+
+
+def test_date2num_roundtrip_360_day():
+    units = "days since 1850-01-01"
+    dates = [(1850, 1, 1), (1850, 2, 30), (1850, 12, 30), (1851, 1, 1), (1849, 12, 30)]
+    nums = date2num(dates, units, "360_day")
+    # 360_day: every month has 30 days
+    np.testing.assert_array_equal(nums, [0, 59, 359, 360, -1])
+    comp = num2date_components(nums, units, "360_day")
+    got = list(zip(comp["year"], comp["month"], comp["day"]))
+    assert got == [t[:3] for t in dates]
+
+
+def test_date2num_roundtrip_noleap_and_all_leap():
+    units = "days since 2000-01-01"
+    # noleap: Feb has 28 days even in (gregorian-)leap years
+    nums = date2num([(2000, 3, 1)], units, "noleap")
+    np.testing.assert_array_equal(nums, [59])
+    comp = num2date_components(np.array([59]), units, "noleap")
+    assert (comp["year"][0], comp["month"][0], comp["day"][0]) == (2000, 3, 1)
+    # all_leap: Feb always has 29 days
+    nums = date2num([(2000, 3, 1)], units, "all_leap")
+    np.testing.assert_array_equal(nums, [60])
+    # sub-day units + time components
+    units_h = "hours since 2000-01-01 06:00:00"
+    nums = date2num([(2000, 1, 2, 18, 0, 0)], units_h, "noleap")
+    np.testing.assert_array_equal(nums, [36])
+    comp = num2date_components(nums, units_h, "noleap")
+    assert comp["day"][0] == 2 and comp["hour"][0] == 18
+
+
+def test_unsupported_calendar_raises():
+    with pytest.raises(NotImplementedError, match="not supported"):
+        date2num([(2000, 1, 1)], "days since 2000-01-01", "julian")
+    assert is_standard_calendar("proleptic_gregorian")
+    assert not is_standard_calendar("360_day")
+
+
+def _make_360day_ds(nt: int, start_num: int = 0) -> NDDataset:
+    """make_ds analog with a 360_day time coordinate (int64 + encoding)."""
+    rng = np.random.RandomState(7)
+    ny, nx = 4, 5
+    return NDDataset(
+        {
+            "foo": Variable(("time", "lat", "lon"), rng.rand(nt, ny, nx)),
+        },
+        {
+            "time": Variable(
+                ("time",),
+                np.arange(start_num, start_num + nt, dtype="int64"),
+                encoding={"units": "days since 1850-01-01", "calendar": "360_day"},
+            ),
+            "lat": Variable(("lat",), np.arange(ny, dtype="float64")),
+            "lon": Variable(("lon",), np.arange(nx, dtype="float64")),
+        },
+        {},
+    )
+
+
+def test_store_to_zarr_roundtrip_360_day(spark, tmp_path):
+    """End-to-end distributed pipeline with a 360_day calendar: offsets and
+    encoding survive the full store → open round-trip."""
+    ds = _make_360day_ds(nt=6)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"f{i}.npz")
+        write_npz(p, ds.isel(time=slice(2 * i, 2 * i + 2)))
+        paths.append(p)
+    pattern = pattern_from_file_sequence(
+        paths, "time", nitems_per_file=2, file_type="npz"
+    )
+    result = store_to_zarr(
+        spark, pattern, str(tmp_path), "cf.zarr", target_chunks={"time": 3}
+    )
+    rt = result.open()
+    assert rt.coords["time"].data.dtype == np.int64
+    np.testing.assert_array_equal(rt.coords["time"].data, ds.coords["time"].data)
+    assert rt.coords["time"].encoding == {
+        "units": "days since 1850-01-01",
+        "calendar": "360_day",
+    }
+    assert_equal(rt, ds, check_attrs=False)
+    # the stored zarr array advertises the CF metadata for other readers
+    schema = zarr_group_schema(str(tmp_path / "cf.zarr"))
+    assert schema["coords"]["time"]["dtype"] == "int64"
+    assert schema["coords"]["time"]["encoding"]["calendar"] == "360_day"
+
+
+def test_schema_template_preserves_cftime_units(tmp_path):
+    """Reference ``test_schema_to_template_ds_cftime``: an object-dtype
+    (cftime) schema with units+calendar encoding initializes an int64
+    template store carrying the same metadata instead of raising."""
+    ds = _make_360day_ds(nt=3)
+    schema = dataset_to_schema(ds)
+    # imported cftime schemas arrive as object dtype — same template path
+    schema["coords"]["time"]["dtype"] = "object"
+    store = str(tmp_path / "tpl.zarr")
+    schema_to_zarr(schema, store, target_chunks={"time": 3})
+    tpl = zarr_group_schema(store)
+    assert tpl["coords"]["time"]["dtype"] == "int64"
+    assert tpl["coords"]["time"]["encoding"] == {
+        "units": "days since 1850-01-01",
+        "calendar": "360_day",
+    }
+
+
+def test_append_along_360_day_time(spark, tmp_path):
+    """Incremental append keeps extending the non-standard-calendar
+    coordinate (offsets are plain ints — append math is exact)."""
+    ds = _make_360day_ds(nt=4)
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"a{i}.npz")
+        write_npz(p, ds.isel(time=slice(i, i + 1)))
+        paths.append(p)
+    first = pattern_from_file_sequence(paths[:2], "time", nitems_per_file=1, file_type="npz")
+    store_to_zarr(spark, first, str(tmp_path), "ap.zarr",
+                  target_chunks={"time": 2}, consolidate_coords=False)
+    rest = pattern_from_file_sequence(paths[2:], "time", nitems_per_file=1, file_type="npz")
+    result = store_to_zarr(spark, rest, str(tmp_path), "ap.zarr",
+                           target_chunks={"time": 2}, append_dim="time",
+                           consolidate_coords=False)
+    rt = result.open()
+    assert_equal(rt, ds, check_attrs=False)
+    np.testing.assert_array_equal(rt.coords["time"].data, np.arange(4))

@@ -44,7 +44,7 @@ def test_stream_append_equals_batch(spark, tmp_path):
         spark, manifest_dir, str(tmp_path / "t"), "s.zarr",
         concat_dim="time", target_chunks={"time": 2},
     )
-    q.awaitTermination(120)
+    q.awaitTermination()
     assert_equal(open_zarr_group(str(tmp_path / "t" / "s.zarr")), ds0, check_attrs=False)
 
     # batch 2 arrives: the second dataset's files → appended
@@ -54,7 +54,7 @@ def test_stream_append_equals_batch(spark, tmp_path):
         spark, manifest_dir, str(tmp_path / "t"), "s.zarr",
         concat_dim="time", target_chunks={"time": 2},
     )
-    q2.awaitTermination(120)
+    q2.awaitTermination()
 
     expected = concat([ds0, ds1], "time")
     assert_equal(
@@ -91,7 +91,7 @@ def test_watermarked_rollup_stream_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination()
     # append mode only emits windows the watermark has closed; every emitted
     # window must match the batch aggregation exactly
     streamed = spark.read.parquet(out_dir)
@@ -145,7 +145,7 @@ def test_streaming_dedup_drops_repeats_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination()
     out = spark.table("_dedup_test").collect()
     assert sorted((r["user_id"], r["event_type"]) for r in out) == [
         (1, "a"),
@@ -195,7 +195,7 @@ def test_stateful_sessionize_carries_state_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination()
     # update mode appends one row per user per batch — keep the latest
     updates = spark.table("_sessions_test").collect()
     assert len(updates) >= 3
