@@ -1,0 +1,938 @@
+"""Pure-Python HDF5 byte-range scanner (and a minimal writer used to
+generate test fixtures, since no HDF5 library exists in this container).
+
+Reference parity: ``openers.py:137-204`` routes FileType.netcdf4 through
+kerchunk's ``SingleHdf5ToZarr``; this module provides the same
+capability natively — walk the HDF5 superblock / object headers /
+B-trees and emit virtual-Zarr references whose chunks are byte ranges
+into the original file. NetCDF4 files ARE HDF5 files, so this unlocks
+the dominant format of the reference's feedstocks for the kerchunk path
+without h5py.
+
+Supported structure (the subset netCDF4/h5py emit for classic-model
+files):
+
+* superblock v0/v1 and v2/v3 (8-byte offsets/lengths)
+* object headers v1 and v2 (``OHDR``), with continuation blocks
+* old-style groups (symbol-table B-tree v1 + SNOD + local heap) and
+  new-style link messages
+* datatypes: fixed-point, float, fixed strings, vlen strings, object
+  references (for DIMENSION_LIST resolution)
+* layouts: contiguous and chunked (chunk B-tree v1, any depth)
+* filters: deflate (zlib — decodes with the engine's gzip codec);
+  shuffle and others raise a clear error
+* dimension naming: ``_ARRAY_DIMENSIONS`` (xarray/kerchunk convention),
+  netCDF4 ``DIMENSION_LIST`` object references, or dimension-scale
+  ``NAME``/``CLASS`` attributes; falls back to ``phony_dim_<i>``
+
+The writer (`write_hdf5`) emits superblock v0, v1 object headers,
+symbol-table root group, contiguous or chunked(+deflate) layouts and
+``_ARRAY_DIMENSIONS`` attributes — a valid HDF5 file per the public
+format spec, used by the tests to exercise the scanner end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import zlib
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .cfcalendar import is_standard_calendar
+from .ndset import NDDataset, Variable, decode_cf_datetime
+
+_SIGNATURE = b"\x89HDF\r\n\x1a\n"
+_UNDEF = 0xFFFFFFFFFFFFFFFF
+
+
+# ===========================================================================
+# reader
+# ===========================================================================
+
+
+class _Reader:
+    def __init__(self, path: str):
+        self.path = path
+        self.f = open(path, "rb")
+        self._parse_superblock()
+        # address -> dataset info (for DIMENSION_LIST reference resolution)
+        self.datasets: Dict[str, dict] = {}
+        self._addr_to_name: Dict[int, str] = {}
+        self.group_attrs: Dict[str, object] = {}
+        self._walk_group(self.root_addr, prefix="")
+
+    def close(self):
+        self.f.close()
+
+    # -- low-level ---------------------------------------------------------
+    def _read_at(self, addr: int, n: int) -> bytes:
+        self.f.seek(addr)
+        return self.f.read(n)
+
+    def _parse_superblock(self) -> None:
+        # the signature may sit at 0, 512, 1024, ... (userblock)
+        base = 0
+        while True:
+            head = self._read_at(base, 8)
+            if head == _SIGNATURE:
+                break
+            if not head or base > (1 << 26):
+                raise ValueError(f"{self.path}: not an HDF5 file")
+            base = 512 if base == 0 else base * 2
+        self.base = base
+        version = self._read_at(base + 8, 1)[0]
+        if version in (0, 1):
+            raw = self._read_at(base + 8, 96)
+            self.offset_size = raw[5]
+            self.length_size = raw[6]
+            if version == 0:
+                ste_off = base + 24
+            else:  # v1 adds 2+2 bytes of indexed-storage k / reserved
+                ste_off = base + 28
+            ste_off += 4 * self.offset_size  # base/freespace/eof/driver addrs
+            # root group symbol table entry: link name offset, header addr
+            ste = self._read_at(ste_off, 2 * self.offset_size + 24)
+            self.root_addr = self._unpack_addr(ste, self.offset_size)
+        elif version in (2, 3):
+            raw = self._read_at(base + 8, 40)
+            self.offset_size = raw[1]
+            self.length_size = raw[2]
+            # base(8) superblock-ext(8) eof(8) root header addr(8)
+            pos = base + 12 + 3 * self.offset_size
+            self.root_addr = int.from_bytes(
+                self._read_at(pos, self.offset_size), "little"
+            )
+        else:
+            raise ValueError(f"unsupported superblock version {version}")
+        if self.offset_size != 8 or self.length_size != 8:
+            raise NotImplementedError(
+                f"offset/length size {self.offset_size}/{self.length_size} "
+                "not supported (expected 8)"
+            )
+
+    @staticmethod
+    def _unpack_addr(buf: bytes, size: int, at: int = 8) -> int:
+        # symbol table entry: name offset then object header address
+        return int.from_bytes(buf[at : at + size], "little")
+
+    # -- object headers -----------------------------------------------------
+    def _messages(self, addr: int) -> List[Tuple[int, bytes]]:
+        sig = self._read_at(addr, 4)
+        if sig == b"OHDR":
+            return self._messages_v2(addr)
+        return self._messages_v1(addr)
+
+    def _messages_v1(self, addr: int) -> List[Tuple[int, bytes]]:
+        hdr = self._read_at(addr, 16)
+        if hdr[0] != 1:
+            raise ValueError(f"unsupported object header version {hdr[0]}")
+        nmsgs = struct.unpack_from("<H", hdr, 2)[0]
+        header_size = struct.unpack_from("<I", hdr, 8)[0]
+        out: List[Tuple[int, bytes]] = []
+        blocks = [(addr + 16, header_size)]
+        while blocks and len(out) < nmsgs:
+            pos, remaining = blocks.pop(0)
+            while remaining >= 8 and len(out) < nmsgs:
+                mhdr = self._read_at(pos, 8)
+                mtype, msize = struct.unpack_from("<HH", mhdr, 0)
+                body = self._read_at(pos + 8, msize)
+                pos += 8 + msize
+                remaining -= 8 + msize
+                if mtype == 0x0010:  # continuation
+                    c_off = int.from_bytes(body[0:8], "little")
+                    c_len = int.from_bytes(body[8:16], "little")
+                    blocks.append((c_off, c_len))
+                else:
+                    out.append((mtype, body))
+        return out
+
+    def _messages_v2(self, addr: int) -> List[Tuple[int, bytes]]:
+        raw = self._read_at(addr, 16)
+        flags = raw[5]
+        pos = addr + 6
+        if flags & 0x20:
+            pos += 16  # access/mod/change/birth times
+        if flags & 0x10:
+            pos += 4  # max compact / min dense attrs
+        size_bytes = 1 << (flags & 0x3)
+        chunk0 = int.from_bytes(self._read_at(pos, size_bytes), "little")
+        pos += size_bytes
+        tracked = bool(flags & 0x04)
+        out: List[Tuple[int, bytes]] = []
+        blocks = [(pos, chunk0)]
+        while blocks:
+            bpos, blen = blocks.pop(0)
+            end = bpos + blen
+            p = bpos
+            while p + 4 <= end:
+                mtype = self._read_at(p, 1)[0]
+                msize = struct.unpack("<H", self._read_at(p + 1, 2))[0]
+                p += 4
+                if tracked:
+                    p += 2
+                body = self._read_at(p, msize)
+                p += msize
+                if mtype == 0x10:
+                    c_off = int.from_bytes(body[0:8], "little")
+                    c_len = int.from_bytes(body[8:16], "little")
+                    # OCHK continuation: skip 4-byte signature, drop checksum
+                    blocks.append((c_off + 4, c_len - 8))
+                elif mtype != 0:
+                    out.append((mtype, body))
+        return out
+
+    # -- groups -------------------------------------------------------------
+    def _walk_group(self, addr: int, prefix: str) -> None:
+        msgs = self._messages(addr)
+        types = {t for t, _ in msgs}
+        if prefix == "":  # root group: collect global attributes
+            for t, b in msgs:
+                if t == 0x000C:
+                    name, value = self._parse_attribute(b)
+                    self.group_attrs[name] = value
+        if 0x0011 in types:  # symbol table message → old-style group
+            body = next(b for t, b in msgs if t == 0x0011)
+            btree = int.from_bytes(body[0:8], "little")
+            heap = int.from_bytes(body[8:16], "little")
+            for name, child_addr in self._walk_symbol_btree(btree, heap):
+                self._visit(child_addr, prefix + name)
+        elif 0x0006 in types:  # link messages → new-style group
+            for t, b in msgs:
+                if t == 0x0006:
+                    name, child_addr = self._parse_link(b)
+                    if child_addr is not None:
+                        self._visit(child_addr, prefix + name)
+        elif 0x0008 in types:  # a dataset, not a group
+            self._add_dataset(addr, prefix.rstrip("/"), msgs)
+
+    def _visit(self, addr: int, path: str) -> None:
+        msgs = self._messages(addr)
+        types = {t for t, _ in msgs}
+        if 0x0011 in types or 0x0002 in types or (
+            0x0006 in types and 0x0008 not in types and 0x0003 not in types
+        ):
+            self._walk_group(addr, path + "/")
+        elif 0x0008 in types:
+            self._add_dataset(addr, path, msgs)
+        # else: named datatype or unsupported node — skip
+
+    def _walk_symbol_btree(self, btree_addr: int, heap_addr: int):
+        heap_data_addr = self._heap_data_addr(heap_addr)
+        out = []
+
+        def walk(node_addr: int):
+            raw = self._read_at(node_addr, 24)
+            if raw[0:4] != b"TREE":
+                raise ValueError("bad group B-tree node")
+            level = raw[5]
+            entries = struct.unpack_from("<H", raw, 6)[0]
+            pos = node_addr + 24
+            # keys and children alternate: key0 child0 key1 ... childN-1 keyN
+            children = []
+            for i in range(entries):
+                children.append(
+                    int.from_bytes(self._read_at(pos + 8 + i * 16, 8), "little")
+                )
+            for child in children:
+                if level > 0:
+                    walk(child)
+                else:
+                    snod = self._read_at(child, 8)
+                    if snod[0:4] != b"SNOD":
+                        raise ValueError("bad symbol node")
+                    nsyms = struct.unpack_from("<H", snod, 6)[0]
+                    for i in range(nsyms):
+                        ste = self._read_at(child + 8 + i * 40, 40)
+                        name_off = int.from_bytes(ste[0:8], "little")
+                        header = int.from_bytes(ste[8:16], "little")
+                        out.append((self._heap_string(heap_data_addr, name_off), header))
+
+        walk(btree_addr)
+        return out
+
+    def _heap_data_addr(self, heap_addr: int) -> int:
+        raw = self._read_at(heap_addr, 32)
+        if raw[0:4] != b"HEAP":
+            raise ValueError("bad local heap")
+        return int.from_bytes(raw[24:32], "little")
+
+    def _heap_string(self, data_addr: int, offset: int) -> str:
+        buf = self._read_at(data_addr + offset, 256)
+        return buf.split(b"\x00", 1)[0].decode("utf-8")
+
+    def _parse_link(self, body: bytes) -> Tuple[str, Optional[int]]:
+        version, flags = body[0], body[1]
+        pos = 2
+        ltype = 0
+        if flags & 0x08:
+            ltype = body[pos]
+            pos += 1
+        if flags & 0x04:
+            pos += 8  # creation order
+        if flags & 0x10:
+            pos += 1  # charset
+        len_size = 1 << (flags & 0x3)
+        name_len = int.from_bytes(body[pos : pos + len_size], "little")
+        pos += len_size
+        name = body[pos : pos + name_len].decode("utf-8")
+        pos += name_len
+        if ltype == 0:  # hard link → object header address
+            return name, int.from_bytes(body[pos : pos + 8], "little")
+        return name, None
+
+    # -- datasets ------------------------------------------------------------
+    def _add_dataset(self, addr: int, path: str, msgs) -> None:
+        info: dict = {"attrs": {}, "path": path, "addr": addr}
+        for mtype, body in msgs:
+            if mtype == 0x0001:
+                info["shape"], info["maxshape"] = self._parse_dataspace(body)
+            elif mtype == 0x0003:
+                info["dtype"] = self._parse_datatype(body)
+            elif mtype == 0x0005:
+                info["fill"] = self._parse_fill(body)
+            elif mtype == 0x0008:
+                info.update(self._parse_layout(body))
+            elif mtype == 0x000B:
+                info["filters"] = self._parse_filters(body)
+            elif mtype == 0x000C:
+                name, value = self._parse_attribute(body)
+                info["attrs"][name] = value
+        self.datasets[path] = info
+        self._addr_to_name[addr] = path
+
+    def _parse_dataspace(self, body: bytes):
+        version = body[0]
+        rank = body[1]
+        flags = body[2]
+        pos = 8 if version == 1 else 4
+        dims = [
+            int.from_bytes(body[pos + 8 * i : pos + 8 * i + 8], "little")
+            for i in range(rank)
+        ]
+        maxdims = dims
+        if flags & 1:
+            mpos = pos + 8 * rank
+            maxdims = [
+                int.from_bytes(body[mpos + 8 * i : mpos + 8 * i + 8], "little")
+                for i in range(rank)
+            ]
+        return dims, maxdims
+
+    def _parse_datatype(self, body: bytes) -> dict:
+        cls = body[0] & 0x0F
+        bits = body[1] | (body[2] << 8) | (body[3] << 16)
+        size = struct.unpack_from("<I", body, 4)[0]
+        if cls == 0:  # fixed point
+            signed = bool(bits & 0x08)
+            order = ">" if bits & 1 else "<"
+            return {"kind": f"{order}{'i' if signed else 'u'}{size}"}
+        if cls == 1:  # float
+            order = ">" if bits & 1 else "<"
+            return {"kind": f"{order}f{size}"}
+        if cls == 3:  # fixed string
+            return {"kind": "string", "size": size}
+        if cls == 7:  # reference
+            return {"kind": "reference", "size": size}
+        if cls == 9:  # vlen
+            base = self._parse_datatype(body[8:])
+            vtype = bits & 0x0F
+            return {"kind": "vlen_string" if vtype == 1 else "vlen", "base": base}
+        raise NotImplementedError(f"HDF5 datatype class {cls} unsupported")
+
+    def _parse_fill(self, body: bytes):
+        version = body[0]
+        if version in (1, 2):
+            defined = body[3]
+            if version == 1 or defined:
+                size = struct.unpack_from("<I", body, 4)[0]
+                return body[8 : 8 + size] or None
+            return None
+        flags = body[1]
+        if flags & 0x20:
+            size = struct.unpack_from("<I", body, 2)[0]
+            return body[6 : 6 + size] or None
+        return None
+
+    def _parse_layout(self, body: bytes) -> dict:
+        version = body[0]
+        if version == 3:
+            lclass = body[1]
+            if lclass == 1:  # contiguous
+                address = int.from_bytes(body[2:10], "little")
+                size = int.from_bytes(body[10:18], "little")
+                return {"layout": "contiguous", "data_addr": address, "data_size": size}
+            if lclass == 2:  # chunked
+                ndims = body[2]
+                btree = int.from_bytes(body[3:11], "little")
+                dims = [
+                    struct.unpack_from("<I", body, 11 + 4 * i)[0]
+                    for i in range(ndims)
+                ]
+                # last entry is the element size in bytes
+                return {"layout": "chunked", "btree": btree, "chunk": dims[:-1]}
+            if lclass == 0:  # compact
+                size = struct.unpack_from("<H", body, 2)[0]
+                return {"layout": "compact", "data": body[4 : 4 + size]}
+        raise NotImplementedError(f"HDF5 layout version {version} unsupported")
+
+    def _parse_filters(self, body: bytes) -> List[int]:
+        version = body[0]
+        nfilters = body[1]
+        pos = 8 if version == 1 else 2
+        ids = []
+        for _ in range(nfilters):
+            fid = struct.unpack_from("<H", body, pos)[0]
+            if version == 1 or fid >= 256:
+                name_len = struct.unpack_from("<H", body, pos + 2)[0]
+            else:
+                name_len = 0
+            ncv = struct.unpack_from("<H", body, pos + 6)[0]
+            pos += 8 + name_len + 4 * ncv
+            if version == 1 and (ncv % 2):
+                pos += 4  # padding to multiple of 8
+            ids.append(fid)
+        return ids
+
+    def _parse_attribute(self, body: bytes):
+        version = body[0]
+        name_size, dt_size, ds_size = struct.unpack_from("<HHH", body, 2)
+        if version == 1:
+            pos = 8
+
+            def pad(n):
+                return (n + 7) // 8 * 8
+
+        elif version in (2, 3):
+            pos = 8 + (1 if version == 3 else 0)
+
+            def pad(n):
+                return n
+
+        else:
+            raise NotImplementedError(f"attribute message v{version}")
+        name = body[pos : pos + name_size].split(b"\x00")[0].decode("utf-8")
+        pos += pad(name_size)
+        dtype = self._parse_datatype(body[pos : pos + dt_size])
+        pos += pad(dt_size)
+        shape, _ = self._parse_dataspace(body[pos : pos + ds_size])
+        pos += pad(ds_size)
+        data = body[pos:]
+        return name, self._decode_attr(dtype, shape, data)
+
+    def _decode_attr(self, dtype: dict, shape: List[int], data: bytes):
+        n = int(np.prod(shape)) if shape else 1
+        kind = dtype["kind"]
+        if kind == "string":
+            sz = dtype["size"]
+            vals = [
+                data[i * sz : (i + 1) * sz].split(b"\x00")[0].decode("utf-8")
+                for i in range(n)
+            ]
+            return vals if shape else vals[0]
+        if kind == "vlen_string":
+            vals = [self._read_vlen(data, i * 16) for i in range(n)]
+            vals = [v.split(b"\x00")[0].decode("utf-8") for v in vals]
+            return vals if shape else vals[0]
+        if kind == "vlen":
+            # e.g. DIMENSION_LIST: vlen of object references
+            out = []
+            for i in range(n):
+                raw = self._read_vlen(data, i * 16)
+                if dtype["base"]["kind"] == "reference":
+                    out.append(
+                        [
+                            int.from_bytes(raw[j : j + 8], "little")
+                            for j in range(0, len(raw), 8)
+                        ]
+                    )
+                else:
+                    out.append(raw)
+            return out
+        if kind == "reference":
+            refs = [
+                int.from_bytes(data[i * 8 : i * 8 + 8], "little") for i in range(n)
+            ]
+            return refs if shape else refs[0]
+        arr = np.frombuffer(data, dtype=np.dtype(kind), count=n)
+        if not shape:
+            return arr[0].item()
+        return arr.tolist()
+
+    def _read_vlen(self, data: bytes, off: int) -> bytes:
+        length = struct.unpack_from("<I", data, off)[0]
+        gheap = int.from_bytes(data[off + 4 : off + 12], "little")
+        index = struct.unpack_from("<I", data, off + 12)[0]
+        raw = self._read_at(gheap, 16)
+        if raw[0:4] != b"GCOL":
+            raise ValueError("bad global heap collection")
+        total = int.from_bytes(raw[8:16], "little")
+        pos = gheap + 16
+        end = gheap + total
+        while pos < end:
+            hdr = self._read_at(pos, 16)
+            idx = struct.unpack_from("<H", hdr, 0)[0]
+            size = int.from_bytes(hdr[8:16], "little")
+            if idx == index:
+                return self._read_at(pos + 16, length)
+            if idx == 0:
+                break
+            pos += 16 + (size + 7) // 8 * 8
+        raise ValueError(f"global heap object {index} not found")
+
+    # -- chunk index ----------------------------------------------------------
+    def chunks(self, info: dict) -> List[Tuple[Tuple[int, ...], int, int]]:
+        """[(chunk_offset_elements, file_addr, nbytes)] for a chunked
+        dataset (walks the v1 B-tree, any depth)."""
+        rank = len(info["shape"])
+        out: List[Tuple[Tuple[int, ...], int, int]] = []
+
+        def walk(addr: int):
+            if addr == _UNDEF:
+                return
+            raw = self._read_at(addr, 24)
+            if raw[0:4] != b"TREE":
+                raise ValueError("bad chunk B-tree node")
+            level = raw[5]
+            entries = struct.unpack_from("<H", raw, 6)[0]
+            key_size = 8 + 8 * (rank + 1)
+            pos = addr + 24
+            for i in range(entries):
+                kpos = pos + i * (key_size + 8)
+                key = self._read_at(kpos, key_size)
+                child = int.from_bytes(
+                    self._read_at(kpos + key_size, 8), "little"
+                )
+                nbytes = struct.unpack_from("<I", key, 0)[0]
+                offsets = tuple(
+                    int.from_bytes(key[8 + 8 * d : 16 + 8 * d], "little")
+                    for d in range(rank)
+                )
+                if level > 0:
+                    walk(child)
+                else:
+                    out.append((offsets, child, nbytes))
+
+        walk(info["btree"])
+        return out
+
+
+# ---------------------------------------------------------------------------
+# public scanner API
+# ---------------------------------------------------------------------------
+
+_NC_HIDDEN_ATTRS = {
+    "CLASS", "NAME", "DIMENSION_LIST", "REFERENCE_LIST", "_Netcdf4Dimid",
+    "_Netcdf4Coordinates", "_ARRAY_DIMENSIONS", "_NCProperties",
+}
+
+
+def _dims_for(name: str, info: dict, reader: _Reader) -> List[str]:
+    attrs = info["attrs"]
+    if "_ARRAY_DIMENSIONS" in attrs:
+        return list(attrs["_ARRAY_DIMENSIONS"])
+    if "DIMENSION_LIST" in attrs:
+        dims = []
+        for refs in attrs["DIMENSION_LIST"]:
+            dims.append(
+                reader._addr_to_name.get(refs[0], f"phony_dim_{len(dims)}")
+                if refs
+                else f"phony_dim_{len(dims)}"
+            )
+        return dims
+    if attrs.get("CLASS") == "DIMENSION_SCALE":
+        return [name]
+    return [f"phony_dim_{i}" for i in range(len(info["shape"]))]
+
+
+_DEFLATE, _SHUFFLE = 1, 2
+
+
+def scan_hdf5(path: str, inline_threshold: int = 300) -> dict:
+    """Kerchunk-style virtual-Zarr references into an HDF5/netCDF4 file
+    (native analog of kerchunk ``SingleHdf5ToZarr``; reference
+    ``openers.py:137-204``). Header walk only — no array bytes read."""
+    from .kerchunkio import ZARR_JSON, _array_meta, _inline
+
+    reader = _Reader(path)
+    try:
+        url = f"file://{os.path.abspath(path)}"
+        refs: Dict[str, object] = {}
+        entries = {}
+        for name, info in reader.datasets.items():
+            if info["dtype"]["kind"] in ("string", "vlen_string", "reference", "vlen"):
+                continue  # metadata datasets (no array analog)
+            entries[name] = (info, _dims_for(name, info, reader))
+        group_attrs = {
+            k: v
+            for k, v in reader.group_attrs.items()
+            if k not in _NC_HIDDEN_ATTRS
+        }
+        refs[ZARR_JSON] = json.dumps(
+            {"zarr_format": 3, "node_type": "group", "attributes": group_attrs}
+        )
+        for name, (info, dims) in entries.items():
+            np_dtype = np.dtype(info["dtype"]["kind"])
+            attributes = {
+                k: v for k, v in info["attrs"].items() if k not in _NC_HIDDEN_ATTRS
+            }
+            filters = info.get("filters", [])
+            unsupported = [f for f in filters if f not in (_DEFLATE,)]
+            if unsupported:
+                raise NotImplementedError(
+                    f"{path}:{name}: HDF5 filters {unsupported} unsupported "
+                    "(only deflate); rewrite without shuffle/szip"
+                )
+            if info.get("layout") == "chunked":
+                chunk_shape = info["chunk"]
+            else:
+                chunk_shape = info["shape"] or [1]
+            meta = _array_meta(
+                info["shape"], chunk_shape, np_dtype.name, attributes, dims
+            )
+            if np_dtype.byteorder == ">":
+                meta["codecs"] = [
+                    {"name": "bytes", "configuration": {"endian": "big"}}
+                ]
+            if _DEFLATE in filters:
+                meta["codecs"] = meta["codecs"] + [
+                    {"name": "gzip", "configuration": {"level": 1}}
+                ]
+            if info.get("fill"):
+                fill = np.frombuffer(info["fill"], dtype=np_dtype, count=1)[0]
+                meta["fill_value"] = (
+                    float(fill) if np_dtype.kind == "f" else int(fill)
+                )
+            refs[f"{name}/{ZARR_JSON}"] = json.dumps(meta)
+            if info.get("layout") == "contiguous":
+                if info["data_addr"] == _UNDEF:
+                    continue  # never-written data → all fill
+                key = "/".join([name, "c"] + ["0"] * max(len(info["shape"]), 1))
+                refs[key] = [url, info["data_addr"], info["data_size"]]
+            elif info.get("layout") == "chunked":
+                for offsets, addr, nbytes in reader.chunks(info):
+                    idx = [o // c for o, c in zip(offsets, chunk_shape)]
+                    key = "/".join([name, "c"] + [str(i) for i in idx])
+                    refs[key] = [url, addr, nbytes]
+            elif info.get("layout") == "compact":
+                key = "/".join([name, "c"] + ["0"] * max(len(info["shape"]), 1))
+                inline = _inline(info["data"], max(inline_threshold, len(info["data"])))
+                refs[key] = inline
+        return refs
+    finally:
+        reader.close()
+
+
+def hdf5_schema(path: str) -> dict:
+    """Header-only schema of an HDF5/netCDF4 file (engine schema shape —
+    same contract as ``netcdf3_schema``/``npz_schema``)."""
+    reader = _Reader(path)
+    try:
+        schema = {
+            "attrs": {
+                k: v
+                for k, v in reader.group_attrs.items()
+                if k not in _NC_HIDDEN_ATTRS
+            },
+            "coords": {},
+            "data_vars": {},
+            "dims": {},
+            "chunks": {},
+        }
+        for name, info in reader.datasets.items():
+            if info["dtype"]["kind"] in ("string", "vlen_string", "reference", "vlen"):
+                continue
+            dims = _dims_for(name, info, reader)
+            attrs = {
+                k: v for k, v in info["attrs"].items() if k not in _NC_HIDDEN_ATTRS
+            }
+            dtype = str(np.dtype(info["dtype"]["kind"]))
+            encoding = {}
+            if (
+                "units" in attrs
+                and "calendar" in attrs
+                and " since " in str(attrs["units"])
+            ):
+                encoding = {
+                    "units": attrs.pop("units"),
+                    "calendar": attrs.pop("calendar"),
+                }
+                if is_standard_calendar(encoding["calendar"]):
+                    dtype = "datetime64[ns]"
+            entry = {
+                "dims": dims,
+                "attrs": attrs,
+                "dtype": dtype,
+                "shape": list(info["shape"]),
+                "encoding": encoding,
+            }
+            for d, s in zip(dims, info["shape"]):
+                schema["dims"][d] = s
+            role = "coords" if list(dims) == [name] else "data_vars"
+            schema[role][name] = entry
+        return schema
+    finally:
+        reader.close()
+
+
+def read_hdf5(path: str) -> NDDataset:
+    """Full decode of an HDF5/netCDF4 file via its own byte-range
+    references (scan once, then read through the virtual Zarr store)."""
+    from .kerchunkio import open_reference_dataset
+
+    ds = open_reference_dataset(scan_hdf5(path))
+    # CF-decode standard-calendar time coords (virtual store keeps ints)
+    out_coords = {}
+    for name, var in ds.coords.items():
+        attrs = dict(var.attrs)
+        if (
+            "units" in attrs
+            and "calendar" in attrs
+            and " since " in str(attrs["units"])
+            and var.data.dtype.kind in "iu"
+            and is_standard_calendar(attrs["calendar"])
+        ):
+            units, calendar = attrs.pop("units"), attrs.pop("calendar")
+            out_coords[name] = Variable(
+                var.dims,
+                decode_cf_datetime(var.data, units, calendar),
+                attrs,
+                {"units": units, "calendar": calendar},
+            )
+        else:
+            out_coords[name] = var
+    return NDDataset(dict(ds.data_vars), out_coords, dict(ds.attrs), dict(ds.sizes))
+
+
+# ===========================================================================
+# minimal writer (fixture generator — valid HDF5 per the public spec)
+# ===========================================================================
+
+
+def _dt_message(dtype: np.dtype) -> bytes:
+    dtype = dtype.newbyteorder("<") if dtype.byteorder == "=" else dtype
+    if dtype.kind in "iu":
+        bits = 0x08 if dtype.kind == "i" else 0
+        body = bytes([0x10 | 0x0, bits, 0, 0])  # v1, class 0, LE
+        body += struct.pack("<I", dtype.itemsize)
+        body += struct.pack("<HH", 0, dtype.itemsize * 8)
+        return body
+    if dtype.kind == "f":
+        # IEEE LE float: bitfield 0x20 (mantissa normalization msb set)
+        body = bytes([0x11, 0x20, 0x3F, 0])
+        body += struct.pack("<I", dtype.itemsize)
+        if dtype.itemsize == 8:
+            props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+        else:
+            props = struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)
+        return body + props
+    if dtype.kind in "SU":
+        size = dtype.itemsize if dtype.kind == "S" else dtype.itemsize // 4
+        return bytes([0x13, 0, 0, 0]) + struct.pack("<I", size)
+    raise NotImplementedError(f"writer: dtype {dtype} unsupported")
+
+
+def _ds_message(shape: Tuple[int, ...]) -> bytes:
+    body = bytes([1, len(shape), 0, 0, 0, 0, 0, 0])
+    for s in shape:
+        body += struct.pack("<Q", s)
+    return body
+
+
+def _attr_message(name: str, value) -> bytes:
+    if isinstance(value, str):
+        value = [value]
+        shape: Tuple[int, ...] = ()
+        scalar = True
+    elif isinstance(value, (int, float)):
+        shape = ()
+        scalar = True
+        value = [value]
+    else:
+        value = list(value)
+        shape = (len(value),)
+        scalar = False
+    if all(isinstance(v, str) for v in value):
+        size = max(max((len(v.encode()) for v in value), default=0) + 1, 1)
+        dt = bytes([0x13, 0, 0, 0]) + struct.pack("<I", size)
+        data = b"".join(v.encode().ljust(size, b"\x00") for v in value)
+    else:
+        arr = np.asarray(value, dtype="float64" if any(
+            isinstance(v, float) for v in value
+        ) else "int64")
+        dt = _dt_message(arr.dtype)
+        data = arr.astype(arr.dtype.newbyteorder("<")).tobytes()
+    ds = _ds_message(() if scalar else shape)
+
+    def pad8(b: bytes) -> bytes:
+        return b + b"\x00" * ((8 - len(b) % 8) % 8)
+
+    nameb = name.encode() + b"\x00"
+    body = struct.pack("<BBHHH", 1, 0, len(nameb), len(dt), len(ds))
+    body += pad8(nameb) + pad8(dt) + pad8(ds) + data
+    return body
+
+
+def _message(mtype: int, body: bytes) -> bytes:
+    body = body + b"\x00" * ((8 - len(body) % 8) % 8)
+    return struct.pack("<HHBBBB", mtype, len(body), 0, 0, 0, 0) + body
+
+
+def _object_header_v1(messages: List[bytes]) -> bytes:
+    payload = b"".join(messages)
+    hdr = struct.pack("<BBHII", 1, 0, len(messages), 1, len(payload))
+    return hdr + b"\x00" * 4 + payload
+
+
+def write_hdf5(
+    path: str,
+    ds: NDDataset,
+    chunks: Optional[Dict[str, int]] = None,
+    compress: bool = False,
+) -> None:
+    """Write an NDDataset as a flat HDF5 file (superblock v0, v1 object
+    headers, symbol-table root group, ``_ARRAY_DIMENSIONS`` attributes —
+    the xarray/kerchunk convention). Used to generate scanner fixtures;
+    datetimes are CF-encoded like the engine's other containers."""
+    from .dsio import _encode_for_store
+
+    chunks = chunks or {}
+    variables = {**ds.coords, **ds.data_vars}
+    names = sorted(variables)
+
+    blobs: List[bytes] = []
+    cursor = [96]  # superblock size
+
+    def alloc(b: bytes) -> int:
+        addr = cursor[0]
+        blobs.append(b)
+        cursor[0] += len(b)
+        return addr
+
+    header_addrs: Dict[str, int] = {}
+    for name in names:
+        var = variables[name]
+        attrs = dict(var.attrs)
+        data = _encode_for_store(var, attrs)
+        if var.data.dtype.kind == "M":
+            enc = var.encoding or {}
+            attrs["units"] = enc.get("units", "nanoseconds since 1970-01-01")
+            attrs["calendar"] = enc.get("calendar", "proleptic_gregorian")
+        elif var.encoding.get("units") and var.encoding.get("calendar"):
+            attrs["units"] = var.encoding["units"]
+            attrs["calendar"] = var.encoding["calendar"]
+        data = np.ascontiguousarray(data)
+        dt = data.dtype.newbyteorder("<")
+        data = data.astype(dt, copy=False)
+        msgs = [
+            _message(0x0001, _ds_message(data.shape)),
+            _message(0x0003, _dt_message(dt)),
+            _message(
+                0x0005, struct.pack("<BBBB", 2, 2, 0, 0)
+            ),  # fill v2, undefined
+        ]
+        chunk_dims = [chunks.get(d, s) for d, s in zip(var.dims, data.shape)]
+        chunked = compress or list(chunk_dims) != list(data.shape)
+        if not chunked:
+            addr = alloc(data.tobytes())
+            layout = struct.pack("<BB", 3, 1) + struct.pack(
+                "<QQ", addr, data.nbytes
+            )
+            msgs.append(_message(0x0008, layout))
+        else:
+            rank = data.ndim
+            chunk_entries = []
+            grid = [range(0, s, c) for s, c in zip(data.shape, chunk_dims)]
+            import itertools
+
+            for origin in itertools.product(*grid):
+                sl = tuple(
+                    slice(o, min(o + c, s))
+                    for o, c, s in zip(origin, chunk_dims, data.shape)
+                )
+                block = np.zeros(chunk_dims, dtype=dt)
+                block[tuple(slice(0, sp.stop - sp.start) for sp in sl)] = data[sl]
+                raw = block.tobytes()
+                if compress:
+                    raw = zlib.compress(raw, 4)
+                caddr = alloc(raw)
+                chunk_entries.append((origin, caddr, len(raw)))
+            # single level-0 chunk B-tree node
+            key_size = 8 + 8 * (rank + 1)
+            node = b"TREE" + struct.pack(
+                "<BBHQQ", 1, 0, len(chunk_entries), _UNDEF, _UNDEF
+            )
+            for origin, caddr, nbytes in chunk_entries:
+                key = struct.pack("<II", nbytes, 0)
+                for o in origin:
+                    key += struct.pack("<Q", o)
+                key += struct.pack("<Q", 0)
+                node += key + struct.pack("<Q", caddr)
+            # trailing sentinel key
+            key = struct.pack("<II", 0, 0) + b"\x00" * 8 * (rank + 1)
+            node += key
+            btree_addr = alloc(node)
+            layout = struct.pack("<BBB", 3, 2, rank + 1)
+            layout += struct.pack("<Q", btree_addr)
+            for c in chunk_dims:
+                layout += struct.pack("<I", c)
+            layout += struct.pack("<I", dt.itemsize)
+            msgs.append(_message(0x0008, layout))
+            if compress:
+                pipeline = struct.pack("<BB", 1, 1) + b"\x00" * 6
+                fname = b"deflate\x00"
+                pipeline += struct.pack("<HHHH", _DEFLATE, len(fname), 1, 1)
+                pipeline += fname + struct.pack("<I", 4) + struct.pack("<I", 0)
+                msgs.append(_message(0x000B, pipeline))
+        msgs.append(_message(0x000C, _attr_message("_ARRAY_DIMENSIONS", list(var.dims))))
+        for aname, avalue in attrs.items():
+            msgs.append(_message(0x000C, _attr_message(aname, avalue)))
+        header_addrs[name] = alloc(_object_header_v1(msgs))
+
+    # root group: local heap + SNOD + B-tree + object header
+    heap_payload = bytearray(b"\x00" * 8)
+    name_offsets = {}
+    for name in names:
+        name_offsets[name] = len(heap_payload)
+        heap_payload += name.encode() + b"\x00"
+        while len(heap_payload) % 8:
+            heap_payload += b"\x00"
+    heap_data_addr = alloc(bytes(heap_payload))
+    heap_addr = alloc(
+        b"HEAP"
+        + struct.pack("<B3xQQQ", 0, len(heap_payload), _UNDEF, heap_data_addr)
+    )
+    snod = b"SNOD" + struct.pack("<BBH", 1, 0, len(names))
+    for name in names:
+        snod += struct.pack("<QQ", name_offsets[name], header_addrs[name])
+        snod += struct.pack("<II", 0, 0) + b"\x00" * 16
+    snod_addr = alloc(snod)
+    btree = b"TREE" + struct.pack("<BBHQQ", 0, 0, 1, _UNDEF, _UNDEF)
+    btree += struct.pack("<Q", 0) + struct.pack("<Q", snod_addr)
+    btree += struct.pack("<Q", name_offsets[names[-1]] if names else 0)
+    btree_addr = alloc(btree)
+    root_msgs = [
+        _message(0x0011, struct.pack("<QQ", btree_addr, heap_addr)),
+    ]
+    for aname, avalue in ds.attrs.items():
+        root_msgs.append(_message(0x000C, _attr_message(aname, avalue)))
+    root_addr = alloc(_object_header_v1(root_msgs))
+    eof = cursor[0]
+
+    superblock = _SIGNATURE
+    superblock += bytes([0, 0, 0, 0, 0, 8, 8, 0])
+    superblock += struct.pack("<HH", 4, 16)
+    superblock += struct.pack("<I", 0)
+    superblock += struct.pack("<QQQQ", 0, _UNDEF, eof, _UNDEF)
+    # root symbol table entry
+    superblock += struct.pack("<QQ", 0, root_addr)
+    superblock += struct.pack("<II", 1, 0)
+    superblock += struct.pack("<QQ", btree_addr, heap_addr)
+    assert len(superblock) == 96, len(superblock)
+
+    with open(path, "wb") as f:
+        f.write(superblock)
+        for b in blobs:
+            f.write(b)

@@ -292,6 +292,25 @@ def combine_references(
                     this_meta = json.loads(refs_n[mkey]) if isinstance(refs_n[mkey], str) else refs_n[mkey]
                     axis = dims.index(concat_dim)
                     csize = this_meta["chunk_grid"]["configuration"]["chunk_shape"][axis]
+                    grid_csize = meta["chunk_grid"]["configuration"]["chunk_shape"][axis]
+                    if csize != grid_csize:
+                        raise ValueError(
+                            f"combine_references: {name!r} file {n} has chunk "
+                            f"size {csize} along {concat_dim!r} but the grid "
+                            f"(from file 0) uses {grid_csize}; per-file chunk "
+                            "shapes must be uniform. Re-scan with matching "
+                            "chunks or use the Zarr (StoreToZarr) path, which "
+                            "rechunks."
+                        )
+                    if n < len(ref_sets) - 1 and csize and this_meta["shape"][axis] % csize:
+                        raise ValueError(
+                            f"combine_references: {name!r} file {n} spans "
+                            f"{this_meta['shape'][axis]} along {concat_dim!r}, "
+                            f"not a multiple of the chunk size {csize}; only "
+                            "the final file may end mid-chunk (virtual concat "
+                            "cannot re-chunk). Use the Zarr (StoreToZarr) "
+                            "path, which rechunks."
+                        )
                     nchunks = -(-this_meta["shape"][axis] // csize) if csize else 0
                     var_chunk_offset[name] += nchunks
 

@@ -2,10 +2,11 @@
 
 Parity layer for reference ``pangeo_forge_recipes/openers.py:16-254``.
 Engine-native formats (``zarr``, ``npz``, ``netcdf3`` via the engine's own
-pure-numpy classic reader in :mod:`..netcdf3`) open for real; formats whose
-readers are not installed in this environment (netcdf4 via h5netcdf, grib
-via cfgrib, opendap via netCDF4) are gated behind import-tries and raise
-with a clear message, keeping the reference's engine-selection table
+pure-numpy classic reader in :mod:`..netcdf3`, ``netcdf4``/HDF5 via the
+pure-Python byte-range scanner in :mod:`..hdf5io`) open for real; formats
+whose readers are not installed in this environment (grib via cfgrib,
+opendap via netCDF4) are gated behind import-tries and raise with a clear
+message, keeping the reference's engine-selection table
 (``openers.py:40-47``) intact.
 """
 
@@ -24,7 +25,7 @@ from .storage import CacheFSSpecTarget, _add_query_string_secrets
 # engine-per-file-type map, mirroring reference ``openers.py:40-47``
 OPEN_ENGINES = {
     FileType.netcdf3: "native",  # engine-internal pure-numpy classic reader
-    FileType.netcdf4: "h5netcdf",
+    FileType.netcdf4: "native",  # engine-internal pure-Python HDF5 walker
     FileType.opendap: "netcdf4",
     FileType.grib: "cfgrib",
     FileType.zarr: "zarr",
@@ -83,6 +84,10 @@ def open_with_ndset(
         from .netcdf3 import read_netcdf3
 
         return read_netcdf3(path)
+    if file_type == FileType.netcdf4:
+        from .hdf5io import read_hdf5
+
+        return read_hdf5(path)
     if file_type == FileType.kerchunk:
         from .kerchunkio import open_reference_dataset
 
@@ -108,6 +113,10 @@ def read_schema(url: str, file_type: FileType = FileType.npz) -> XarraySchema:
         from .netcdf3 import netcdf3_schema
 
         return netcdf3_schema(path)
+    if file_type == FileType.netcdf4:
+        from .hdf5io import hdf5_schema
+
+        return hdf5_schema(path)
     # fall back to a full open for formats without a metadata fast path
     return _full_schema(url, file_type)
 
@@ -129,9 +138,10 @@ def open_with_kerchunk(
     """Scan one file into kerchunk-style reference dicts (reference
     ``openers.py:137-204``). Natively scans the engine's npz container
     (byte-range references into the zip), zarr stores (references to the
-    chunk objects) and classic netcdf3 (contiguous-variable byte ranges,
-    analog of kerchunk's ``NetCDF3ToZarr``); hdf5/grib scanners require
-    kerchunk, which is unavailable here."""
+    chunk objects), classic netcdf3 (contiguous-variable byte ranges,
+    analog of kerchunk's ``NetCDF3ToZarr``) and netcdf4/HDF5 (object-header
+    + chunk-B-tree walk, analog of kerchunk's ``SingleHdf5ToZarr``); the
+    grib scanner requires cfgrib, which is unavailable here."""
     from .kerchunkio import scan_npz, scan_zarr
 
     path = _local_path(url)
@@ -143,8 +153,12 @@ def open_with_kerchunk(
         from .netcdf3 import scan_netcdf3
 
         return [scan_netcdf3(path, inline_threshold=inline_threshold)]
+    if file_type == FileType.netcdf4:
+        from .hdf5io import scan_hdf5
+
+        return [scan_hdf5(path, inline_threshold=inline_threshold)]
     raise NotImplementedError(
         f"kerchunk scanning of file_type={file_type.value!r} requires the "
         "kerchunk package, which is not installed; supported here: npz, "
-        "zarr, netcdf3"
+        "zarr, netcdf3, netcdf4"
     )
