@@ -230,6 +230,7 @@ def combine_references(
     ref_sets: List[dict],
     concat_dims: List[str],
     identical_dims: Optional[List[str]] = None,
+    preprocess: Optional[callable] = None,
 ) -> dict:
     """Combine per-file references along one concat dimension into a single
     virtual store (the engine's ``MultiZarrToZarr.translate()``; reference
@@ -240,12 +241,24 @@ def combine_references(
     consecutive chunks along the concat axis; per-file chunk shapes must be
     uniform (except the final file) — same regular-grid constraint real
     kerchunk has.
+
+    ``preprocess`` (the ``mzz_kwargs['preprocess']`` hook of reference
+    ``transforms.py:438-447``) rewrites each per-file refs mapping
+    (``{key: value}``) before the merge — e.g. drop a variable or patch
+    metadata. Applied once per input ref set.
     """
     if len(concat_dims) != 1:
         raise NotImplementedError("combine_references supports exactly one concat dim")
     concat_dim = concat_dims[0]
     if not ref_sets:
         raise ValueError("no references to combine")
+    if preprocess is not None:
+        ref_sets = [
+            {**rs, "refs": preprocess(dict(rs["refs"]))}
+            if "refs" in rs
+            else preprocess(dict(rs))
+            for rs in ref_sets
+        ]
 
     out: Dict[str, RefValue] = {}
     var_meta: Dict[str, dict] = {}

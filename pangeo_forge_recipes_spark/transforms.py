@@ -834,13 +834,19 @@ def combine_references_df(
     refs_df: DataFrame,
     concat_dims: List[str],
     max_refs_per_merge: int = 5,
+    preprocess: Optional[Callable[[dict], dict]] = None,
 ) -> dict:
     """Order-preserving two-level reduction of per-file references
     (reference ``CombineReferences``, ``transforms.py:428-554``): global
     (min,max,count) of positions → range partitioning by position (the
     built-in rendition of the reference's manual ``bucket_by_position``) →
     per-partition ordered local combine → driver-side final merge of the
-    few partials."""
+    few partials.
+
+    ``preprocess`` (reference ``mzz_kwargs['preprocess']``,
+    ``transforms.py:438-447``) rewrites each per-file refs mapping before
+    any merging; it runs executor-side on the leaf references exactly
+    once (never re-applied to merged partials) and must be picklable."""
     import json as _json
 
     stats = refs_df.agg(
@@ -861,7 +867,9 @@ def combine_references_df(
             )
         if rows:
             rows.sort(key=lambda t: t[0])
-            combined = combine_references([r for _, r in rows], concat_dims)
+            combined = combine_references(
+                [r for _, r in rows], concat_dims, preprocess=preprocess
+            )
             yield pd.DataFrame(
                 {"min_pos": [rows[0][0]], "refs": [_json.dumps(combined)]}
             )
@@ -889,11 +897,13 @@ def write_combined_reference(
     output_file_name: str = "reference.json",
     max_refs_per_merge: int = 5,
     inline_threshold: int = 300,
+    preprocess: Optional[Callable[[dict], dict]] = None,
 ) -> str:
     """Kerchunk composite (reference ``WriteCombinedReference``,
     ``transforms.py:589-635``): scan → ordered reduce → write json/parquet.
-    Returns the reference artifact path (readable via
-    ``kerchunkio.open_reference_dataset``)."""
+    ``preprocess`` rewrites each per-file refs mapping before the merge
+    (reference ``mzz_kwargs['preprocess']``). Returns the reference
+    artifact path (readable via ``kerchunkio.open_reference_dataset``)."""
     from .kerchunkio import write_reference_json, write_reference_parquet
 
     target = (
@@ -908,7 +918,9 @@ def write_combined_reference(
         manifest, pattern.file_type, concat_dim=concat_dims[0],
         inline_threshold=inline_threshold,
     )
-    combined = combine_references_df(refs_df, concat_dims, max_refs_per_merge)
+    combined = combine_references_df(
+        refs_df, concat_dims, max_refs_per_merge, preprocess=preprocess
+    )
 
     outpath = os.path.join(target.root_path, store_name, output_file_name)
     ext = os.path.splitext(output_file_name)[-1]

@@ -295,6 +295,35 @@ def test_kerchunk_pipeline(spark, tmp_path):
     assert_equal(open_reference_dataset(out), ds)
 
 
+def _drop_bar_and_tag(refs: dict) -> dict:
+    """Per-reference preprocess: drop variable ``bar``, tag group attrs
+    (the reference's ``mzz_kwargs['preprocess']`` use case)."""
+    import json
+
+    out = {k: v for k, v in refs.items() if not k.startswith("bar/")}
+    group = json.loads(out["zarr.json"])
+    group.setdefault("attributes", {})["preprocessed"] = "yes"
+    out["zarr.json"] = json.dumps(group)
+    return out
+
+
+def test_kerchunk_preprocess_callback(spark, tmp_path):
+    ds = make_ds(nt=6)
+    paths = split_ds_into_files(ds, str(tmp_path), items_per_file=2)
+    pattern = pattern_from_file_sequence(paths, "time", nitems_per_file=2, file_type="npz")
+    out = write_combined_reference(
+        spark, pattern, str(tmp_path / "t"), "ref", max_refs_per_merge=2,
+        preprocess=_drop_bar_and_tag,
+    )
+    combined = open_reference_dataset(out)
+    assert "bar" not in combined.data_vars
+    assert combined.attrs.get("preprocessed") == "yes"
+    expected = ds.isel()
+    expected.data_vars.pop("bar")
+    expected.attrs["preprocessed"] = "yes"
+    assert_equal(combined, expected)
+
+
 def test_dynamic_chunking(spark, tmp_path):
     ds = make_ds(nt=10)
     paths = split_ds_into_files(ds, str(tmp_path))
