@@ -248,7 +248,12 @@ def combine_references(
     metadata. Applied once per input ref set.
     """
     if len(concat_dims) != 1:
-        raise NotImplementedError("combine_references supports exactly one concat dim")
+        raise NotImplementedError(
+            "combine_references supports exactly one concat dim (same limit "
+            "as kerchunk MultiZarrToZarr); for multi-dim concatenation use "
+            "the Zarr path (store_to_zarr), which handles any number of "
+            "combine dims"
+        )
     concat_dim = concat_dims[0]
     if not ref_sets:
         raise ValueError("no references to combine")

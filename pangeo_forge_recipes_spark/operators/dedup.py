@@ -389,20 +389,17 @@ def embedding_near_dup(
 
     def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         all_ids, all_mat = bc.value
-        order = np.argsort(all_ids)
         for pdf in batches:
             q = np.array(list(pdf[vec_col]), dtype=np.float64)
             q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
             qids = pdf[id_col].to_numpy()
             sims = q @ all_mat.T
-            ia, ib, cs = [], [], []
-            for row_i, qid in enumerate(qids):
-                mask = (sims[row_i] >= threshold) & (all_ids > qid)
-                for j in np.nonzero(mask)[0]:
-                    ia.append(qid)
-                    ib.append(all_ids[j])
-                    cs.append(sims[row_i, j])
-            out = pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cs})
+            # batch pair emission: one boolean matrix + nonzero, no row loop
+            mask = (sims >= threshold) & (all_ids[None, :] > qids[:, None])
+            ri, cj = np.nonzero(mask)
+            out = pd.DataFrame(
+                {"id_a": qids[ri], "id_b": all_ids[cj], "cosine": sims[ri, cj]}
+            )
             if round_to is not None:
                 out["cosine"] = out["cosine"].round(round_to)
             yield out

@@ -911,7 +911,11 @@ def write_combined_reference(
     )
     concat_dims = concat_dims or pattern.concat_dims
     if len(concat_dims) != 1:
-        raise NotImplementedError("kerchunk combine supports exactly one concat dim")
+        raise NotImplementedError(
+            "kerchunk combine supports exactly one concat dim (same limit as "
+            "kerchunk MultiZarrToZarr); for multi-dim patterns use the Zarr "
+            "path (store_to_zarr), which handles any number of combine dims"
+        )
 
     manifest = manifest_df(spark, pattern)
     refs_df = open_with_kerchunk_df(
