@@ -579,11 +579,11 @@ def scan_hdf5(path: str, inline_threshold: int = 300) -> dict:
                 k: v for k, v in info["attrs"].items() if k not in _NC_HIDDEN_ATTRS
             }
             filters = info.get("filters", [])
-            unsupported = [f for f in filters if f not in (_DEFLATE,)]
+            unsupported = [f for f in filters if f not in (_DEFLATE, _SHUFFLE)]
             if unsupported:
                 raise NotImplementedError(
                     f"{path}:{name}: HDF5 filters {unsupported} unsupported "
-                    "(only deflate); rewrite without shuffle/szip"
+                    "(only deflate and shuffle); rewrite without szip/etc"
                 )
             if info.get("layout") == "chunked":
                 chunk_shape = info["chunk"]
@@ -596,10 +596,21 @@ def scan_hdf5(path: str, inline_threshold: int = 300) -> dict:
                 meta["codecs"] = [
                     {"name": "bytes", "configuration": {"endian": "big"}}
                 ]
-            if _DEFLATE in filters:
-                meta["codecs"] = meta["codecs"] + [
-                    {"name": "gzip", "configuration": {"level": 1}}
-                ]
+            # codecs in HDF5 application order (shuffle before deflate);
+            # the store decodes in reverse
+            extra = []
+            for f in filters:
+                if f == _SHUFFLE:
+                    extra.append(
+                        {
+                            "name": "hdf5-shuffle",
+                            "configuration": {"elementsize": np_dtype.itemsize},
+                        }
+                    )
+                elif f == _DEFLATE:
+                    extra.append({"name": "gzip", "configuration": {"level": 1}})
+            if extra:
+                meta["codecs"] = meta["codecs"] + extra
             if info.get("fill"):
                 fill = np.frombuffer(info["fill"], dtype=np_dtype, count=1)[0]
                 meta["fill_value"] = (
@@ -791,6 +802,7 @@ def write_hdf5(
     ds: NDDataset,
     chunks: Optional[Dict[str, int]] = None,
     compress: bool = False,
+    shuffle: bool = False,
 ) -> None:
     """Write an NDDataset as a flat HDF5 file (superblock v0, v1 object
     headers, symbol-table root group, ``_ARRAY_DIMENSIONS`` attributes —
@@ -834,7 +846,7 @@ def write_hdf5(
             ),  # fill v2, undefined
         ]
         chunk_dims = [chunks.get(d, s) for d, s in zip(var.dims, data.shape)]
-        chunked = compress or list(chunk_dims) != list(data.shape)
+        chunked = compress or shuffle or list(chunk_dims) != list(data.shape)
         if not chunked:
             addr = alloc(data.tobytes())
             layout = struct.pack("<BB", 3, 1) + struct.pack(
@@ -855,6 +867,12 @@ def write_hdf5(
                 block = np.zeros(chunk_dims, dtype=dt)
                 block[tuple(slice(0, sp.stop - sp.start) for sp in sl)] = data[sl]
                 raw = block.tobytes()
+                if shuffle and dt.itemsize > 1:
+                    raw = (
+                        np.frombuffer(raw, dtype=np.uint8)
+                        .reshape(-1, dt.itemsize)
+                        .T.tobytes()
+                    )
                 if compress:
                     raw = zlib.compress(raw, 4)
                 caddr = alloc(raw)
@@ -880,11 +898,26 @@ def write_hdf5(
                 layout += struct.pack("<I", c)
             layout += struct.pack("<I", dt.itemsize)
             msgs.append(_message(0x0008, layout))
-            if compress:
-                pipeline = struct.pack("<BB", 1, 1) + b"\x00" * 6
-                fname = b"deflate\x00"
-                pipeline += struct.pack("<HHHH", _DEFLATE, len(fname), 1, 1)
-                pipeline += fname + struct.pack("<I", 4) + struct.pack("<I", 0)
+            if compress or shuffle:
+                entries = []
+                if shuffle:
+                    fname = b"shuffle\x00"
+                    entries.append(
+                        struct.pack("<HHHH", _SHUFFLE, len(fname), 1, 1)
+                        + fname
+                        + struct.pack("<I", dt.itemsize)
+                        + struct.pack("<I", 0)
+                    )
+                if compress:
+                    fname = b"deflate\x00"
+                    entries.append(
+                        struct.pack("<HHHH", _DEFLATE, len(fname), 1, 1)
+                        + fname
+                        + struct.pack("<I", 4)
+                        + struct.pack("<I", 0)
+                    )
+                pipeline = struct.pack("<BB", 1, len(entries)) + b"\x00" * 6
+                pipeline += b"".join(entries)
                 msgs.append(_message(0x000B, pipeline))
         msgs.append(_message(0x000C, _attr_message("_ARRAY_DIMENSIONS", list(var.dims))))
         for aname, avalue in attrs.items():

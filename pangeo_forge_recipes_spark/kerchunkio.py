@@ -312,14 +312,24 @@ def combine_references(
                     csize = this_meta["chunk_grid"]["configuration"]["chunk_shape"][axis]
                     grid_csize = meta["chunk_grid"]["configuration"]["chunk_shape"][axis]
                     if csize != grid_csize:
-                        raise ValueError(
-                            f"combine_references: {name!r} file {n} has chunk "
-                            f"size {csize} along {concat_dim!r} but the grid "
-                            f"(from file 0) uses {grid_csize}; per-file chunk "
-                            "shapes must be uniform. Re-scan with matching "
-                            "chunks or use the Zarr (StoreToZarr) path, which "
-                            "rechunks."
+                        # a ragged FINAL file may declare its short extent as
+                        # its chunk size (one chunk, padded at decode time);
+                        # anything else cannot tile the grid
+                        final_short_chunk = (
+                            n == len(ref_sets) - 1
+                            and this_meta["shape"][axis] == csize
+                            and csize <= grid_csize
                         )
+                        if not final_short_chunk:
+                            raise ValueError(
+                                f"combine_references: {name!r} file {n} has chunk "
+                                f"size {csize} along {concat_dim!r} but the grid "
+                                f"(from file 0) uses {grid_csize}; per-file chunk "
+                                "shapes must be uniform (only the final file may "
+                                "end with one short chunk). Re-scan with matching "
+                                "chunks or use the Zarr (StoreToZarr) path, which "
+                                "rechunks."
+                            )
                     if n < len(ref_sets) - 1 and csize and this_meta["shape"][axis] % csize:
                         raise ValueError(
                             f"combine_references: {name!r} file {n} spans "

@@ -176,6 +176,17 @@ class ZarrArray:
         return any(c["name"] == "gzip" for c in self.meta["codecs"])
 
     @property
+    def _shuffle_elementsize(self) -> int:
+        """Element size of the byte-transpose (HDF5 shuffle) codec, 0 if
+        absent. Emitted by the HDF5 scanner for shuffle-filtered chunks;
+        encode order is bytes → shuffle → gzip (HDF5 pipeline order), so
+        decode is gunzip → unshuffle → frombuffer."""
+        for c in self.meta["codecs"]:
+            if c["name"] == "hdf5-shuffle":
+                return int(c.get("configuration", {}).get("elementsize", 0))
+        return 0
+
+    @property
     def _stored_byteorder(self) -> str:
         """Endianness declared by the ``bytes`` codec ("<" default — but
         virtual references into big-endian containers, e.g. NetCDF3,
@@ -200,6 +211,11 @@ class ZarrArray:
     # -- codec ----------------------------------------------------------------
     def _encode_chunk(self, arr: np.ndarray) -> bytes:
         buf = np.ascontiguousarray(arr, dtype=self.dtype.newbyteorder("<")).tobytes()
+        es = self._shuffle_elementsize
+        if es > 1:
+            buf = (
+                np.frombuffer(buf, dtype=np.uint8).reshape(-1, es).T.tobytes()
+            )
         if self.compressed:
             buf = zlib.compress(buf, 1)
         return buf
@@ -207,6 +223,11 @@ class ZarrArray:
     def _decode_chunk(self, buf: bytes) -> np.ndarray:
         if self.compressed:
             buf = zlib.decompress(buf)
+        es = self._shuffle_elementsize
+        if es > 1 and len(buf) % es == 0:
+            buf = (
+                np.frombuffer(buf, dtype=np.uint8).reshape(es, -1).T.tobytes()
+            )
         arr = np.frombuffer(
             buf, dtype=self.dtype.newbyteorder(self._stored_byteorder)
         ).astype(self.dtype, copy=False)

@@ -98,19 +98,36 @@ def test_openers_route_netcdf4(tmp_path):
     assert len(refs) == 1 and any(k.endswith("zarr.json") for k in refs[0])
 
 
+def test_write_read_roundtrip_shuffle_deflate(tmp_path):
+    """The HDF5 shuffle filter (byte transpose before deflate — the
+    common netCDF4 compression recipe) must decode through the codec
+    chain, both direct and via byte-range references."""
+    ds = make_ds(nt=10)
+    p = str(tmp_path / "t.h5")
+    write_hdf5(p, ds, chunks={"time": 4}, compress=True, shuffle=True)
+    rt = read_hdf5(p)
+    assert_equal(rt, ds)
+    # shuffle genuinely changes the stored bytes: same data without
+    # shuffle produces a different file payload
+    p2 = str(tmp_path / "t2.h5")
+    write_hdf5(p2, ds, chunks={"time": 4}, compress=True)
+    assert open(p, "rb").read() != open(p2, "rb").read()
+    assert_equal(read_hdf5(p2), rt)
+
+
 def test_unsupported_filter_raises(tmp_path):
-    """A shuffle-filtered dataset must fail loudly, not decode garbage."""
+    """An szip-filtered dataset must fail loudly, not decode garbage."""
     ds = make_ds(nt=2)
     p = str(tmp_path / "t.h5")
     write_hdf5(p, ds, chunks={"time": 1}, compress=True)
-    # splice the shuffle filter id (2) over deflate (1) in the pipeline msg
+    # splice the szip filter id (4) over deflate (1) in the pipeline msg
     with open(p, "rb") as f:
         raw = bytearray(f.read())
     sig = b"deflate\x00"
     idx = raw.find(sig)
     assert idx > 0
-    raw[idx - 8 : idx - 6] = (2).to_bytes(2, "little")
-    raw[idx : idx + 8] = b"shuffle\x00"
+    raw[idx - 8 : idx - 6] = (4).to_bytes(2, "little")
+    raw[idx : idx + 8] = b"szip\x00\x00\x00\x00"
     p2 = str(tmp_path / "t2.h5")
     with open(p2, "wb") as f:
         f.write(bytes(raw))
