@@ -1,0 +1,552 @@
+"""Pure-Python GRIB2 reader/scanner (and a minimal writer used to
+generate test fixtures, since no GRIB library exists in this container).
+
+Reference parity: ``openers.py:40-47`` routes FileType.grib through the
+cfgrib engine and ``openers.py:191-199`` through kerchunk ``scan_grib``;
+this module provides both capabilities natively for the common subset:
+
+* edition 2, one field per message
+* grid definition template 3.0 (regular latitude/longitude)
+* product definition template 4.0 (analysis/forecast at a point in time)
+* data representation template 5.0 (simple packing), no bitmap
+* message-filter pushdown (the reference's ``filter_by_keys``, applied
+  while scanning headers — reader-level predicate pushdown per SURVEY
+  §2's GRIB-filter row; matching messages never have their data bits
+  unpacked)
+
+Messages for the same (shortName, typeOfLevel, level) are stacked along
+``time`` (valid time = reference time + forecast offset), producing
+cfgrib-style datasets with dims ``(time, latitude, longitude)``.
+
+The writer (`write_grib2`) emits one message per variable per time step
+with exact simple packing (it picks a binary scale so values round-trip
+bit-exactly, or raises), used by the tests to exercise the scanner.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .ndset import NDDataset, Variable
+
+# (discipline, parameterCategory, parameterNumber) -> cfgrib-style shortName
+_SHORTNAMES = {
+    (0, 0, 0): "t",
+    (0, 1, 1): "r",
+    (0, 2, 2): "u",
+    (0, 2, 3): "v",
+    (0, 3, 0): "pres",
+    (0, 3, 1): "prmsl",
+    (2, 0, 0): "lsm",
+}
+_PARAM_FOR_NAME = {v: k for k, v in _SHORTNAMES.items()}
+
+_LEVEL_TYPES = {1: "surface", 100: "isobaricInhPa", 103: "heightAboveGround"}
+_LEVEL_CODES = {v: k for k, v in _LEVEL_TYPES.items()}
+
+
+def _sm_decode(v: int, nbytes: int) -> int:
+    """GRIB sign-magnitude integer (MSB = sign bit)."""
+    sign = 1 << (8 * nbytes - 1)
+    return -(v & ~sign) if v & sign else v
+
+
+def _sm_encode(v: int, nbytes: int) -> int:
+    return (abs(v) | (1 << (8 * nbytes - 1))) if v < 0 else v
+
+
+def _unpack_bits(buf: bytes, n: int, nbits: int) -> np.ndarray:
+    """Big-endian bitstream → n unsigned ints of nbits each (vectorized)."""
+    if nbits == 0:
+        return np.zeros(n, dtype=np.int64)
+    bits = np.unpackbits(np.frombuffer(buf, np.uint8))[: n * nbits]
+    weights = (np.int64(1) << np.arange(nbits - 1, -1, -1, dtype=np.int64))
+    return bits.reshape(n, nbits).astype(np.int64) @ weights
+
+
+def _pack_bits(values: np.ndarray, nbits: int) -> bytes:
+    if nbits == 0:
+        return b""
+    n = len(values)
+    bits = np.unpackbits(
+        values.astype(">u4").view(np.uint8).reshape(n, 4), axis=1
+    )[:, 32 - nbits :]
+    stream = bits.ravel()
+    pad = (-len(stream)) % 8
+    if pad:
+        stream = np.concatenate([stream, np.zeros(pad, np.uint8)])
+    return np.packbits(stream).tobytes()
+
+
+# ---------------------------------------------------------------------------
+# message scanning
+# ---------------------------------------------------------------------------
+
+
+def _be(buf: bytes, off: int, n: int) -> int:
+    return int.from_bytes(buf[off : off + n], "big")
+
+
+def scan_grib2_messages(path: str) -> List[dict]:
+    """Walk a GRIB2 file's messages, parsing section headers only (data
+    bits are located, not unpacked). Each entry describes one field."""
+    out: List[dict] = []
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        pos = 0
+        while pos < size:
+            head = f.read(16)
+            if len(head) < 16:
+                break
+            if head[0:4] != b"GRIB":
+                raise ValueError(f"{path}: bad GRIB indicator at offset {pos}")
+            if head[7] != 2:
+                raise NotImplementedError(
+                    f"{path}: GRIB edition {head[7]} unsupported (only 2)"
+                )
+            discipline = head[6]
+            total = _be(head, 8, 8)
+            body = head + f.read(total - 16)
+            msg = _parse_message(body, discipline, pos, total, path)
+            out.append(msg)
+            pos += total
+            f.seek(pos)
+    return out
+
+
+def _parse_message(body: bytes, discipline: int, offset: int, total: int, path: str) -> dict:
+    msg: dict = {"offset": offset, "length": total, "discipline": discipline}
+    p = 16
+    while p < total - 4:
+        sec_len = _be(body, p, 4)
+        sec_num = body[p + 4]
+        sec = body[p : p + sec_len]
+        if sec_num == 1:
+            year = _be(sec, 12, 2)
+            msg["ref_time"] = np.datetime64(
+                f"{year:04d}-{sec[14]:02d}-{sec[15]:02d}"
+                f"T{sec[16]:02d}:{sec[17]:02d}:{sec[18]:02d}",
+                "ns",
+            )
+        elif sec_num == 3:
+            tmpl = _be(sec, 12, 2)
+            if tmpl != 0:
+                raise NotImplementedError(
+                    f"{path}: grid definition template {tmpl} unsupported "
+                    "(only 3.0 regular lat/lon)"
+                )
+            msg["ni"] = _be(sec, 30, 4)
+            msg["nj"] = _be(sec, 34, 4)
+            msg["la1"] = _sm_decode(_be(sec, 46, 4), 4) / 1e6
+            msg["lo1"] = _be(sec, 50, 4) / 1e6
+            msg["la2"] = _sm_decode(_be(sec, 55, 4), 4) / 1e6
+            msg["lo2"] = _be(sec, 59, 4) / 1e6
+            scan_mode = sec[71]
+            if scan_mode & 0xF0:
+                raise NotImplementedError(
+                    f"{path}: scanning mode {scan_mode:#x} unsupported"
+                )
+        elif sec_num == 4:
+            tmpl = _be(sec, 7, 2)
+            if tmpl != 0:
+                raise NotImplementedError(
+                    f"{path}: product definition template {tmpl} unsupported"
+                )
+            cat, num = sec[9], sec[10]
+            msg["parameterCategory"] = cat
+            msg["parameterNumber"] = num
+            msg["shortName"] = _SHORTNAMES.get(
+                (discipline, cat, num), f"p{discipline}_{cat}_{num}"
+            )
+            unit = sec[17]
+            ftime = _be(sec, 18, 4)
+            hours = {0: 1 / 60, 1: 1.0, 2: 24.0, 10: 3.0, 11: 6.0, 12: 12.0}.get(unit)
+            if hours is None:
+                raise NotImplementedError(f"{path}: forecast time unit {unit}")
+            msg["forecast_hours"] = ftime * hours
+            lev_type = sec[22]
+            msg["typeOfLevel"] = _LEVEL_TYPES.get(lev_type, f"level_{lev_type}")
+            scale = sec[23]
+            value = _be(sec, 24, 4)
+            if value == 0xFFFFFFFF:
+                value = 0
+            msg["level"] = (
+                value / (10 ** _sm_decode(scale, 1)) if scale not in (0, 0xFF)
+                else float(value)
+            )
+        elif sec_num == 5:
+            tmpl = _be(sec, 9, 2)
+            if tmpl != 0:
+                raise NotImplementedError(
+                    f"{path}: data representation template {tmpl} unsupported "
+                    "(only 5.0 simple packing)"
+                )
+            msg["n_values"] = _be(sec, 5, 4)
+            msg["R"] = float(
+                np.frombuffer(sec[11:15], dtype=">f4")[0]
+            )
+            msg["E"] = _sm_decode(_be(sec, 15, 2), 2)
+            msg["D"] = _sm_decode(_be(sec, 17, 2), 2)
+            msg["nbits"] = sec[19]
+        elif sec_num == 6:
+            if sec[5] != 255:
+                raise NotImplementedError(f"{path}: bitmaps unsupported")
+        elif sec_num == 7:
+            msg["data_offset"] = offset + p + 5
+            msg["data_nbytes"] = sec_len - 5
+        p += sec_len
+    msg["valid_time"] = msg["ref_time"] + np.timedelta64(
+        int(msg.get("forecast_hours", 0) * 3600), "s"
+    )
+    return msg
+
+
+_FILTER_KEYS = {
+    "shortName", "typeOfLevel", "level", "discipline",
+    "parameterCategory", "parameterNumber",
+}
+
+
+def _match(msg: dict, filter_by_keys: Optional[dict]) -> bool:
+    if not filter_by_keys:
+        return True
+    for k, v in filter_by_keys.items():
+        if k not in _FILTER_KEYS:
+            raise ValueError(
+                f"unsupported filter key {k!r}; supported: {sorted(_FILTER_KEYS)}"
+            )
+        if msg.get(k) != v:
+            return False
+    return True
+
+
+def _decode_values(msg: dict, packed: bytes) -> np.ndarray:
+    x = _unpack_bits(packed, msg["n_values"], msg["nbits"])
+    return (msg["R"] + x * 2.0 ** msg["E"]) / 10.0 ** msg["D"]
+
+
+def decode_grib2_message(buf: bytes) -> np.ndarray:
+    """Decode one complete GRIB2 message (as raw bytes) to its 2D field —
+    the engine's ``grib2-msg`` virtual-store codec (whole messages are the
+    only self-contained byte ranges: packing parameters live in section 5,
+    so a chunk must carry its own header)."""
+    if buf[0:4] != b"GRIB":
+        raise ValueError("grib2-msg codec: buffer is not a GRIB2 message")
+    total = _be(buf, 8, 8)
+    msg = _parse_message(buf[:total], buf[6], 0, total, "<chunk>")
+    packed = buf[msg["data_offset"] : msg["data_offset"] + msg["data_nbytes"]]
+    return _decode_values(msg, packed).reshape(msg["nj"], msg["ni"])
+
+
+# ---------------------------------------------------------------------------
+# reading
+# ---------------------------------------------------------------------------
+
+
+def _grid_coords(msg: dict) -> Tuple[np.ndarray, np.ndarray]:
+    lats = np.linspace(msg["la1"], msg["la2"], msg["nj"])
+    lons = np.linspace(msg["lo1"], msg["lo2"], msg["ni"])
+    return lats, lons
+
+
+def _group_messages(
+    msgs: List[dict], filter_by_keys: Optional[dict]
+) -> Tuple[Dict[str, List[dict]], np.ndarray, dict]:
+    """Group matching messages per variable, validated against a common
+    grid and time axis. Returns (groups, valid_times, grid_msg)."""
+    selected = [m for m in msgs if _match(m, filter_by_keys)]
+    if not selected:
+        raise ValueError(f"no GRIB2 messages match filter {filter_by_keys!r}")
+    groups: Dict[str, List[dict]] = {}
+    for m in selected:
+        name = m["shortName"]
+        if sum(1 for g in groups.get(name, []) if g["valid_time"] == m["valid_time"]):
+            # same var+time twice → distinct levels; disambiguate by level
+            name = f"{m['shortName']}_{m['typeOfLevel']}{m['level']:g}"
+        groups.setdefault(name, []).append(m)
+    first = selected[0]
+    for m in selected:
+        if (m["ni"], m["nj"], m["la1"], m["lo1"]) != (
+            first["ni"], first["nj"], first["la1"], first["lo1"]
+        ):
+            raise NotImplementedError(
+                "heterogeneous grids in one GRIB2 file; filter_by_keys to a "
+                "single grid"
+            )
+    times = np.array(
+        sorted({m["valid_time"] for m in selected}), dtype="datetime64[ns]"
+    )
+    for name, group in groups.items():
+        if len(group) != len(times):
+            raise ValueError(
+                f"variable {name!r} has {len(group)} messages but the file "
+                f"spans {len(times)} valid times"
+            )
+        group.sort(key=lambda m: m["valid_time"])
+    return groups, times, first
+
+
+def read_grib2(path: str, filter_by_keys: Optional[dict] = None) -> NDDataset:
+    """Open a GRIB2 file as an NDDataset with cfgrib-style dims
+    ``(time, latitude, longitude)``. ``filter_by_keys`` selects messages
+    at scan time (reference reader-pushdown, ``openers.py:191-199``) —
+    non-matching messages are skipped without unpacking their data."""
+    msgs = scan_grib2_messages(path)
+    groups, times, grid = _group_messages(msgs, filter_by_keys)
+    lats, lons = _grid_coords(grid)
+    data_vars = {}
+    with open(path, "rb") as f:
+        for name, group in groups.items():
+            planes = []
+            for m in group:
+                f.seek(m["data_offset"])
+                packed = f.read(m["data_nbytes"])
+                planes.append(_decode_values(m, packed).reshape(m["nj"], m["ni"]))
+            attrs = {
+                "shortName": group[0]["shortName"],
+                "typeOfLevel": group[0]["typeOfLevel"],
+                "level": group[0]["level"],
+            }
+            data_vars[name] = Variable(
+                ("time", "latitude", "longitude"), np.stack(planes), attrs
+            )
+    coords = {
+        "time": Variable(("time",), times),
+        "latitude": Variable(("latitude",), lats, {"units": "degrees_north"}),
+        "longitude": Variable(("longitude",), lons, {"units": "degrees_east"}),
+    }
+    sizes = {"time": len(times), "latitude": len(lats), "longitude": len(lons)}
+    return NDDataset(data_vars, coords, {}, sizes)
+
+
+def grib2_schema(path: str, filter_by_keys: Optional[dict] = None) -> dict:
+    """Header-only schema (same contract as ``netcdf3_schema`` /
+    ``hdf5_schema``): section headers are parsed, data bits never read."""
+    msgs = scan_grib2_messages(path)
+    groups, times, grid = _group_messages(msgs, filter_by_keys)
+    lats, lons = _grid_coords(grid)
+    dims = {"time": len(times), "latitude": len(lats), "longitude": len(lons)}
+    schema: dict = {"attrs": {}, "coords": {}, "data_vars": {}, "dims": dims, "chunks": {}}
+    for cname, arr in (("time", times), ("latitude", lats), ("longitude", lons)):
+        schema["coords"][cname] = {
+            "dims": [cname],
+            "attrs": {},
+            "dtype": str(arr.dtype) if arr.dtype.kind != "M" else "datetime64[ns]",
+            "shape": [len(arr)],
+            "encoding": {},
+        }
+    for name, group in groups.items():
+        schema["data_vars"][name] = {
+            "dims": ["time", "latitude", "longitude"],
+            "attrs": {
+                "shortName": group[0]["shortName"],
+                "typeOfLevel": group[0]["typeOfLevel"],
+                "level": group[0]["level"],
+            },
+            "dtype": "float64",
+            "shape": [dims["time"], dims["latitude"], dims["longitude"]],
+            "encoding": {},
+        }
+    return schema
+
+
+def scan_grib2(
+    path: str,
+    inline_threshold: int = 300,
+    filter_by_keys: Optional[dict] = None,
+) -> dict:
+    """Kerchunk-style virtual-Zarr references into a GRIB2 file (native
+    analog of kerchunk ``scan_grib``; reference ``openers.py:191-199``).
+    Each chunk is one whole message decoded by the ``grib2-msg`` codec
+    (packing parameters are per-message, so the message is the smallest
+    self-contained byte range). Coordinates are inlined."""
+    import base64
+    import json
+
+    from .kerchunkio import ZARR_JSON, _array_meta
+
+    msgs = scan_grib2_messages(path)
+    groups, times, grid = _group_messages(msgs, filter_by_keys)
+    lats, lons = _grid_coords(grid)
+    url = f"file://{os.path.abspath(path)}"
+    nt, nj, ni = len(times), grid["nj"], grid["ni"]
+    refs: Dict[str, object] = {
+        ZARR_JSON: json.dumps(
+            {"zarr_format": 3, "node_type": "group", "attributes": {}}
+        )
+    }
+
+    def inline_array(name: str, arr: np.ndarray, attrs: dict) -> None:
+        meta = _array_meta([len(arr)], [len(arr)], str(arr.dtype), attrs, [name])
+        refs[f"{name}/{ZARR_JSON}"] = json.dumps(meta)
+        raw = np.ascontiguousarray(arr, dtype=arr.dtype.newbyteorder("<")).tobytes()
+        refs[f"{name}/c/0"] = "base64:" + base64.b64encode(raw).decode("ascii")
+
+    # time inlined as CF ints so the virtual store stays numeric
+    epoch = np.datetime64("1970-01-01T00:00:00", "s")
+    tvals = ((times.astype("datetime64[s]") - epoch) // np.timedelta64(1, "s")).astype(
+        "int64"
+    )
+    inline_array(
+        "time", tvals,
+        {"units": "seconds since 1970-01-01", "calendar": "proleptic_gregorian"},
+    )
+    inline_array("latitude", lats, {"units": "degrees_north"})
+    inline_array("longitude", lons, {"units": "degrees_east"})
+
+    for name, group in groups.items():
+        attrs = {
+            "shortName": group[0]["shortName"],
+            "typeOfLevel": group[0]["typeOfLevel"],
+            "level": group[0]["level"],
+        }
+        meta = _array_meta(
+            [nt, nj, ni], [1, nj, ni], "float64", attrs,
+            ["time", "latitude", "longitude"],
+        )
+        meta["codecs"] = [{"name": "grib2-msg"}]
+        meta["fill_value"] = "NaN"
+        refs[f"{name}/{ZARR_JSON}"] = json.dumps(meta)
+        for t, m in enumerate(group):
+            refs[f"{name}/c/{t}/0/0"] = [url, m["offset"], m["length"]]
+    return refs
+
+
+# ===========================================================================
+# minimal writer (fixture generator — valid GRIB2 per the public WMO spec)
+# ===========================================================================
+
+
+def _packing_params(field: np.ndarray) -> Tuple[np.float32, int, int, np.ndarray]:
+    """Exact simple-packing parameters: R (float32), E, nbits, X ints.
+    Picks the largest binary scale E that represents every value exactly;
+    raises if the data are not on a 2^E grid (quantize first)."""
+    r32 = np.float32(field.min())
+    resid = field.astype("float64") - np.float64(r32)
+    if np.allclose(resid, 0):
+        return r32, 0, 0, np.zeros(field.size, dtype=np.int64)
+    for e in range(8, -25, -1):
+        scaled = resid * 2.0 ** -e
+        ints = np.round(scaled)
+        if np.max(np.abs(scaled - ints)) == 0.0:
+            if ints.max() >= 2 ** 24:
+                continue
+            nbits = max(1, int(ints.max()).bit_length())
+            return r32, e, nbits, ints.astype(np.int64).ravel()
+    raise ValueError(
+        "GRIB2 simple packing stores values as R + X*2^E; this field is not "
+        "exactly representable on any 2^E grid (E in [-24, 8]). Quantize the "
+        "data (e.g. round to multiples of 2^-10) before writing."
+    )
+
+
+def _section(num: int, payload: bytes) -> bytes:
+    return (len(payload) + 5).to_bytes(4, "big") + bytes([num]) + payload
+
+
+def write_grib2(
+    path: str,
+    ds: NDDataset,
+    levels: Optional[Dict[str, Tuple[str, float]]] = None,
+    param_map: Optional[Dict[str, Tuple[int, int, int]]] = None,
+) -> None:
+    """Write an NDDataset as GRIB2 (one message per variable per time
+    step; grid template 3.0, product template 4.0, simple packing).
+    Variables must have dims ``(time, latitude, longitude)``. Variable
+    names map to GRIB parameters via the built-in shortName table or
+    ``param_map[name] = (discipline, category, number)``; ``levels[name]
+    = (typeOfLevel, value)`` defaults to surface."""
+    levels = levels or {}
+    param_map = param_map or {}
+    lats = ds.coords["latitude"].data.astype("float64")
+    lons = ds.coords["longitude"].data.astype("float64")
+    times = ds.coords["time"].data.astype("datetime64[s]")
+    for arr, what in ((lats, "latitude"), (lons, "longitude")):
+        if len(arr) > 1 and not np.allclose(np.diff(arr), arr[1] - arr[0]):
+            raise ValueError(f"GRIB2 template 3.0 needs a regular {what} grid")
+    nj, ni = len(lats), len(lons)
+
+    def microdeg(v: float) -> int:
+        return int(round(v * 1e6))
+
+    messages = []
+    for name, var in ds.data_vars.items():
+        if tuple(var.dims) != ("time", "latitude", "longitude"):
+            raise ValueError(
+                f"{name}: GRIB2 writer needs dims (time, latitude, longitude)"
+            )
+        if name in param_map:
+            disc, cat, num = param_map[name]
+        elif name in _PARAM_FOR_NAME:
+            disc, cat, num = _PARAM_FOR_NAME[name]
+        else:
+            raise ValueError(
+                f"{name}: unknown shortName; pass param_map={{'{name}': "
+                "(discipline, category, number)}}"
+            )
+        lev_name, lev_value = levels.get(name, ("surface", 0.0))
+        lev_code = _LEVEL_CODES.get(lev_name)
+        if lev_code is None:
+            raise ValueError(f"unknown typeOfLevel {lev_name!r}")
+        for t in range(var.data.shape[0]):
+            field = np.ascontiguousarray(var.data[t], dtype="float64")
+            r32, e, nbits, x = _packing_params(field)
+            ts = times[t].item()  # datetime.datetime
+
+            sec1 = (
+                (0xFFFF).to_bytes(2, "big") + (0xFFFF).to_bytes(2, "big")
+                + bytes([2, 0, 1])
+                + ts.year.to_bytes(2, "big")
+                + bytes([ts.month, ts.day, ts.hour, ts.minute, ts.second, 0, 2])
+            )
+            tmpl3 = (
+                bytes([6, 0xFF]) + b"\xff\xff\xff\xff"
+                + bytes([0xFF]) + b"\xff\xff\xff\xff"
+                + bytes([0xFF]) + b"\xff\xff\xff\xff"
+                + ni.to_bytes(4, "big") + nj.to_bytes(4, "big")
+                + (0).to_bytes(4, "big") + (0xFFFFFFFF).to_bytes(4, "big")
+                + _sm_encode(microdeg(lats[0]), 4).to_bytes(4, "big")
+                + microdeg(lons[0] % 360).to_bytes(4, "big")
+                + bytes([0x30])
+                + _sm_encode(microdeg(lats[-1]), 4).to_bytes(4, "big")
+                + microdeg(lons[-1] % 360).to_bytes(4, "big")
+                + abs(microdeg((lons[-1] - lons[0]) / max(ni - 1, 1))).to_bytes(4, "big")
+                + abs(microdeg((lats[-1] - lats[0]) / max(nj - 1, 1))).to_bytes(4, "big")
+                + bytes([0x00])
+            )
+            sec3 = (
+                bytes([0]) + (nj * ni).to_bytes(4, "big") + bytes([0, 0])
+                + (0).to_bytes(2, "big") + tmpl3
+            )
+            sec4 = (
+                (0).to_bytes(2, "big") + (0).to_bytes(2, "big")
+                + bytes([cat, num, 2, 0xFF, 0xFF]) + (0).to_bytes(2, "big")
+                + bytes([0, 1]) + (0).to_bytes(4, "big")
+                + bytes([lev_code, 0]) + int(lev_value).to_bytes(4, "big")
+                + bytes([0xFF, 0xFF]) + (0xFFFFFFFF).to_bytes(4, "big")
+            )
+            sec5 = (
+                (nj * ni).to_bytes(4, "big") + (0).to_bytes(2, "big")
+                + np.array(r32, dtype=">f4").tobytes()
+                + _sm_encode(e, 2).to_bytes(2, "big")
+                + _sm_encode(0, 2).to_bytes(2, "big")
+                + bytes([nbits, 0])
+            )
+            sec6 = bytes([255])
+            sec7 = _pack_bits(x, nbits)
+
+            payload = (
+                _section(1, sec1) + _section(3, sec3) + _section(4, sec4)
+                + _section(5, sec5) + _section(6, sec6) + _section(7, sec7)
+                + b"7777"
+            )
+            total = 16 + len(payload)
+            sec0 = b"GRIB" + b"\x00\x00" + bytes([disc, 2]) + total.to_bytes(8, "big")
+            messages.append(sec0 + payload)
+
+    with open(path, "wb") as f:
+        for m in messages:
+            f.write(m)

@@ -3,10 +3,10 @@
 Parity layer for reference ``pangeo_forge_recipes/openers.py:16-254``.
 Engine-native formats (``zarr``, ``npz``, ``netcdf3`` via the engine's own
 pure-numpy classic reader in :mod:`..netcdf3`, ``netcdf4``/HDF5 via the
-pure-Python byte-range scanner in :mod:`..hdf5io`) open for real; formats
-whose readers are not installed in this environment (grib via cfgrib,
-opendap via netCDF4) are gated behind import-tries and raise with a clear
-message, keeping the reference's engine-selection table
+pure-Python byte-range scanner in :mod:`..hdf5io`, ``grib`` via the
+pure-Python GRIB2 reader in :mod:`..grib2io`) open for real; opendap
+(which requires a netCDF-C DAP client) is gated behind a clear
+``NotImplementedError``, keeping the reference's engine-selection table
 (``openers.py:40-47``) intact.
 """
 
@@ -27,7 +27,7 @@ OPEN_ENGINES = {
     FileType.netcdf3: "native",  # engine-internal pure-numpy classic reader
     FileType.netcdf4: "native",  # engine-internal pure-Python HDF5 walker
     FileType.opendap: "netcdf4",
-    FileType.grib: "cfgrib",
+    FileType.grib: "native",  # engine-internal pure-Python GRIB2 reader
     FileType.zarr: "zarr",
     FileType.npz: "npz",
     FileType.kerchunk: "kerchunk",
@@ -53,6 +53,16 @@ def open_url(
 
 def _local_path(url: str) -> str:
     return url[len("file://"):] if url.startswith("file://") else url
+
+
+def _grib_filter(kw: dict) -> Optional[dict]:
+    """GRIB message filter from opener kwargs — accepts the cfgrib
+    convention (``backend_kwargs={'filter_by_keys': ...}``) and the flat
+    form (reference pushes this into the reader at ``openers.py:191-199``
+    via ``kerchunk_open_kwargs``)."""
+    return kw.get("filter_by_keys") or kw.get("backend_kwargs", {}).get(
+        "filter_by_keys"
+    ) or kw.get("filter")
 
 
 def open_with_ndset(
@@ -88,6 +98,10 @@ def open_with_ndset(
         from .hdf5io import read_hdf5
 
         return read_hdf5(path)
+    if file_type == FileType.grib:
+        from .grib2io import read_grib2
+
+        return read_grib2(path, filter_by_keys=_grib_filter(kw))
     if file_type == FileType.kerchunk:
         from .kerchunkio import open_reference_dataset
 
@@ -100,10 +114,16 @@ def open_with_ndset(
     )
 
 
-def read_schema(url: str, file_type: FileType = FileType.npz) -> XarraySchema:
+def read_schema(
+    url: str,
+    file_type: FileType = FileType.npz,
+    xarray_open_kwargs: Optional[dict] = None,
+) -> XarraySchema:
     """Metadata-only schema of one source file — the cheap first pass of the
     pipeline (the Spark rendition of the reference's lazy ``load=False``
-    open at ``transforms.py:230``: here we never touch array payloads)."""
+    open at ``transforms.py:230``: here we never touch array payloads).
+    Reader options that change the visible dataset (e.g. the GRIB message
+    filter) apply to the schema too."""
     path = _local_path(url)
     if file_type == FileType.npz:
         return npz_schema(path)
@@ -117,14 +137,24 @@ def read_schema(url: str, file_type: FileType = FileType.npz) -> XarraySchema:
         from .hdf5io import hdf5_schema
 
         return hdf5_schema(path)
+    if file_type == FileType.grib:
+        from .grib2io import grib2_schema
+
+        return grib2_schema(
+            path, filter_by_keys=_grib_filter(xarray_open_kwargs or {})
+        )
     # fall back to a full open for formats without a metadata fast path
-    return _full_schema(url, file_type)
+    return _full_schema(url, file_type, xarray_open_kwargs)
 
 
-def _full_schema(url: str, file_type: FileType) -> XarraySchema:
+def _full_schema(
+    url: str, file_type: FileType, xarray_open_kwargs: Optional[dict] = None
+) -> XarraySchema:
     from .aggregation import dataset_to_schema
 
-    return dataset_to_schema(open_with_ndset(url, file_type))
+    return dataset_to_schema(
+        open_with_ndset(url, file_type, xarray_open_kwargs=xarray_open_kwargs)
+    )
 
 
 def open_with_kerchunk(
@@ -139,9 +169,11 @@ def open_with_kerchunk(
     ``openers.py:137-204``). Natively scans the engine's npz container
     (byte-range references into the zip), zarr stores (references to the
     chunk objects), classic netcdf3 (contiguous-variable byte ranges,
-    analog of kerchunk's ``NetCDF3ToZarr``) and netcdf4/HDF5 (object-header
-    + chunk-B-tree walk, analog of kerchunk's ``SingleHdf5ToZarr``); the
-    grib scanner requires cfgrib, which is unavailable here."""
+    analog of kerchunk's ``NetCDF3ToZarr``), netcdf4/HDF5 (object-header
+    + chunk-B-tree walk, analog of kerchunk's ``SingleHdf5ToZarr``) and
+    grib2 (whole-message chunks via the ``grib2-msg`` codec, analog of
+    kerchunk's ``scan_grib``; ``kerchunk_open_kwargs['filter_by_keys']``
+    pushes the message filter into the scan)."""
     from .kerchunkio import scan_npz, scan_zarr
 
     path = _local_path(url)
@@ -157,8 +189,17 @@ def open_with_kerchunk(
         from .hdf5io import scan_hdf5
 
         return [scan_hdf5(path, inline_threshold=inline_threshold)]
+    if file_type == FileType.grib:
+        from .grib2io import scan_grib2
+
+        return [
+            scan_grib2(
+                path,
+                inline_threshold=inline_threshold,
+                filter_by_keys=_grib_filter(kerchunk_open_kwargs or {}),
+            )
+        ]
     raise NotImplementedError(
-        f"kerchunk scanning of file_type={file_type.value!r} requires the "
-        "kerchunk package, which is not installed; supported here: npz, "
-        "zarr, netcdf3, netcdf4"
+        f"kerchunk scanning of file_type={file_type.value!r} is not "
+        "supported; supported here: npz, zarr, netcdf3, netcdf4, grib"
     )

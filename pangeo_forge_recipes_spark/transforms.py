@@ -215,7 +215,9 @@ def map_fragments(
 
 
 def read_schemas_df(
-    df: DataFrame, file_type: Union[str, FileType] = FileType.npz
+    df: DataFrame,
+    file_type: Union[str, FileType] = FileType.npz,
+    xarray_open_kwargs: Optional[dict] = None,
 ) -> DataFrame:
     """Metadata-only per-file schemas: ``(index, schema)`` rows. Reads file
     headers/zarr.json only — array payloads are never touched."""
@@ -227,7 +229,10 @@ def read_schemas_df(
                 {
                     "index": pdf["index"],
                     "schema": [
-                        schema_to_json(read_schema(u, ft)) for u in pdf["url"]
+                        schema_to_json(
+                            read_schema(u, ft, xarray_open_kwargs=xarray_open_kwargs)
+                        )
+                        for u in pdf["url"]
                     ],
                 }
             )
@@ -521,6 +526,7 @@ def open_split_store_df(
     target_chunks: Optional[Dict[str, int]] = None,
     schema: Optional[XarraySchema] = None,
     preprocess: Optional[Callable[[Index, NDDataset], Tuple[Index, NDDataset]]] = None,
+    xarray_open_kwargs: Optional[dict] = None,
 ) -> DataFrame:
     """Zero-shuffle fast path: open → [preprocess] → split → write, all in
     one map stage. Valid only when every split sub-fragment is a complete
@@ -533,7 +539,9 @@ def open_split_store_df(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for idx_json, url in zip(pdf["index"], pdf["url"]):
-                ds = open_with_ndset(url, file_type=ft)
+                ds = open_with_ndset(
+                    url, file_type=ft, xarray_open_kwargs=xarray_open_kwargs
+                )
                 index = Index.from_json(idx_json)
                 if preprocess is not None:
                     index, ds = preprocess(index, ds)
@@ -678,6 +686,7 @@ def store_to_zarr(
     cache: Optional[Union[str, CacheFSSpecTarget]] = None,
     secrets: Optional[dict] = None,
     open_kwargs: Optional[dict] = None,
+    xarray_open_kwargs: Optional[dict] = None,
     max_concurrency: Optional[int] = None,
     preprocess: Optional[Callable[[Index, NDDataset], Tuple[Index, NDDataset]]] = None,
     consolidate_coords: bool = True,
@@ -724,9 +733,14 @@ def store_to_zarr(
     # Open | Preprocessor | StoreToZarr→DetermineSchema) — opened lazily,
     # schema-only output, so source bytes are not read twice
     if preprocess is None:
-        schemas = read_schemas_df(manifest, file_type)
+        schemas = read_schemas_df(
+            manifest, file_type, xarray_open_kwargs=xarray_open_kwargs
+        )
     else:
-        schemas = preprocessed_schemas_df(manifest, file_type, preprocess=preprocess)
+        schemas = preprocessed_schemas_df(
+            manifest, file_type, preprocess=preprocess,
+            xarray_open_kwargs=xarray_open_kwargs,
+        )
     schema = determine_schema(schemas, pattern.combine_dim_keys)
 
     if dynamic_chunking_fn:
@@ -763,6 +777,7 @@ def store_to_zarr(
             target_chunks=target_chunks,
             schema=schema,
             preprocess=preprocess,
+            xarray_open_kwargs=xarray_open_kwargs,
         )
         statuses = rechunk_and_store(split, store_path)
     else:
@@ -773,6 +788,7 @@ def store_to_zarr(
             target_chunks=target_chunks,
             schema=schema,
             preprocess=preprocess,
+            xarray_open_kwargs=xarray_open_kwargs,
         )
     agg = statuses.agg(
         F.count("*").alias("n"), F.coalesce(F.sum("nbytes"), F.lit(0)).alias("b")
@@ -802,6 +818,7 @@ def open_with_kerchunk_df(
     file_type: Union[str, FileType] = FileType.npz,
     concat_dim: Optional[str] = None,
     inline_threshold: int = 300,
+    kerchunk_open_kwargs: Optional[dict] = None,
 ) -> DataFrame:
     """Scan each file into reference dicts → ``(index, pos, refs)`` rows
     (reference ``OpenWithKerchunk``, ``transforms.py:178-213``)."""
@@ -820,7 +837,8 @@ def open_with_kerchunk_df(
                     if d:
                         pos = index[d].value
                 for ref in open_with_kerchunk(
-                    url, file_type=ft, inline_threshold=inline_threshold
+                    url, file_type=ft, inline_threshold=inline_threshold,
+                    kerchunk_open_kwargs=kerchunk_open_kwargs,
                 ):
                     out_i.append(idx_json)
                     out_p.append(pos)
@@ -898,6 +916,7 @@ def write_combined_reference(
     max_refs_per_merge: int = 5,
     inline_threshold: int = 300,
     preprocess: Optional[Callable[[dict], dict]] = None,
+    kerchunk_open_kwargs: Optional[dict] = None,
 ) -> str:
     """Kerchunk composite (reference ``WriteCombinedReference``,
     ``transforms.py:589-635``): scan → ordered reduce → write json/parquet.
@@ -921,6 +940,7 @@ def write_combined_reference(
     refs_df = open_with_kerchunk_df(
         manifest, pattern.file_type, concat_dim=concat_dims[0],
         inline_threshold=inline_threshold,
+        kerchunk_open_kwargs=kerchunk_open_kwargs,
     )
     combined = combine_references_df(
         refs_df, concat_dims, max_refs_per_merge, preprocess=preprocess

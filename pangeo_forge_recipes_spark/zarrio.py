@@ -209,7 +209,18 @@ class ZarrArray:
         return f"{self.path}/{name}" if self.path else name
 
     # -- codec ----------------------------------------------------------------
+    @property
+    def _is_grib_msg(self) -> bool:
+        """Whole-GRIB2-message codec (virtual references only): each chunk
+        is a complete message carrying its own packing parameters."""
+        return any(c["name"] == "grib2-msg" for c in self.meta["codecs"])
+
     def _encode_chunk(self, arr: np.ndarray) -> bytes:
+        if self._is_grib_msg:
+            raise NotImplementedError(
+                "grib2-msg arrays are read-only virtual references; write "
+                "through the Zarr path instead"
+            )
         buf = np.ascontiguousarray(arr, dtype=self.dtype.newbyteorder("<")).tobytes()
         es = self._shuffle_elementsize
         if es > 1:
@@ -221,6 +232,11 @@ class ZarrArray:
         return buf
 
     def _decode_chunk(self, buf: bytes) -> np.ndarray:
+        if self._is_grib_msg:
+            from .grib2io import decode_grib2_message
+
+            arr = decode_grib2_message(buf).astype(self.dtype, copy=False).ravel()
+            return self._pad_reshape(arr)
         if self.compressed:
             buf = zlib.decompress(buf)
         es = self._shuffle_elementsize
@@ -231,6 +247,9 @@ class ZarrArray:
         arr = np.frombuffer(
             buf, dtype=self.dtype.newbyteorder(self._stored_byteorder)
         ).astype(self.dtype, copy=False)
+        return self._pad_reshape(arr)
+
+    def _pad_reshape(self, arr: np.ndarray) -> np.ndarray:
         full = int(np.prod(self.chunks, dtype=np.int64))
         if arr.size < full:
             # ragged edge chunk (e.g. a combined-kerchunk final file shorter
