@@ -4,10 +4,10 @@ Parity layer for reference ``pangeo_forge_recipes/openers.py:16-254``.
 Engine-native formats (``zarr``, ``npz``, ``netcdf3`` via the engine's own
 pure-numpy classic reader in :mod:`..netcdf3`, ``netcdf4``/HDF5 via the
 pure-Python byte-range scanner in :mod:`..hdf5io`, ``grib`` via the
-pure-Python GRIB2 reader in :mod:`..grib2io`) open for real; opendap
-(which requires a netCDF-C DAP client) is gated behind a clear
-``NotImplementedError``, keeping the reference's engine-selection table
-(``openers.py:40-47``) intact.
+pure-Python GRIB2 reader in :mod:`..grib2io`, ``opendap`` via the
+pure-Python DAP2 wire client in :mod:`..dap2io`) open for real,
+keeping the reference's engine-selection table (``openers.py:40-47``)
+intact with every row live.
 """
 
 from __future__ import annotations
@@ -26,7 +26,7 @@ from .storage import CacheFSSpecTarget, _add_query_string_secrets
 OPEN_ENGINES = {
     FileType.netcdf3: "native",  # engine-internal pure-numpy classic reader
     FileType.netcdf4: "native",  # engine-internal pure-Python HDF5 walker
-    FileType.opendap: "netcdf4",
+    FileType.opendap: "native",  # engine-internal pure-Python DAP2 client
     FileType.grib: "native",  # engine-internal pure-Python GRIB2 reader
     FileType.zarr: "zarr",
     FileType.npz: "npz",
@@ -106,6 +106,12 @@ def open_with_ndset(
         from .kerchunkio import open_reference_dataset
 
         return open_reference_dataset(path)
+    if file_type == FileType.opendap:
+        from .dap2io import read_dap2
+
+        # opendap is remote-by-definition: no cache/copy_to_local step
+        # (reference skips fsspec for it too, ``openers.py:230``)
+        return read_dap2(url, projection=kw.get("projection"))
     engine = OPEN_ENGINES.get(file_type)
     raise NotImplementedError(
         f"file_type={file_type.value!r} needs the {engine!r} engine, which is "
@@ -143,6 +149,10 @@ def read_schema(
         return grib2_schema(
             path, filter_by_keys=_grib_filter(xarray_open_kwargs or {})
         )
+    if file_type == FileType.opendap:
+        from .dap2io import dap2_schema
+
+        return dap2_schema(url)
     # fall back to a full open for formats without a metadata fast path
     return _full_schema(url, file_type, xarray_open_kwargs)
 
