@@ -1123,6 +1123,51 @@ def _minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash pairs resolved into duplicate clusters via large-star/
+    small-star connected components (``operators/components.py``) — the
+    pair→cluster→canonical stage of a fuzzy-dedup pipeline. Oracle:
+    recursive-CTE min-label reachability over the same ground-truth
+    Jaccard pair set."""
+    from pangeo_forge_recipes_spark.operators.components import dedup_clusters
+    from pangeo_forge_recipes_spark.operators.dedup import minhash_dedup
+
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    pairs = minhash_dedup(docs, threshold=_MINHASH_THRESHOLD)
+    return dedup_clusters(docs, pairs).orderBy("doc_id")
+
+
+# min-label propagation: the component minimum reaches every member along
+# any path because it is smaller than every id it crosses (lbl < v prunes
+# non-minimal labels early and bounds the recursion)
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(lower(text))-3, 2)),
+                                      i -> hash(substring(lower(text), i, 5)))) AS grams,
+         len(list_distinct(list_transform(range(1, greatest(length(lower(text))-3, 2)),
+                                      i -> hash(substring(lower(text), i, 5))))) AS ng
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.grams, b.grams)) AS i, a.ng AS na, b.ng AS nb
+  FROM sh a JOIN sh b
+    ON a.doc_id < b.doc_id AND a.ng * 2 >= b.ng AND b.ng * 2 >= a.ng
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs WHERE i * 2 >= (na + nb - i)
+  UNION ALL
+  SELECT id_b, id_a FROM pairs WHERE i * 2 >= (na + nb - i)
+), cc(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, cc.lbl FROM cc JOIN edges e ON e.u = cc.id WHERE cc.lbl < e.v
+)
+SELECT id AS doc_id, MIN(lbl) AS cluster_id
+FROM cc GROUP BY id ORDER BY doc_id
+""".strip()
+
+
 def _lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed LSH-ANN — oracle replicates the hyperplane bucketing from
     the same seeded planes embedded as SQL literals."""
@@ -1397,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["multimodal_features"] = _multimodal_features
     out["multimodal_stats"] = _multimodal_stats
     out["dedup_minhash_pairs"] = _minhash_dedup_pairs
+    out["dedup_clusters"] = _dedup_clusters
     out["dedup_simhash"] = _simhash
     out["ann_lsh_topk"] = _lsh_ann
     out["ann_ivf_topk"] = _ivf_topk
@@ -1406,8 +1452,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # shared-SQL battery (identical ANSI text on both engines); the
     # hourly-rollup text grades via its streaming twin below, so the
     # batch copy is skipped to stay inside the 50-query budget
+    # q17 (single-row conditional agg, a shape q6/q14/q19 already cover)
+    # yields its slot to dedup_clusters inside the 50-query budget
     for name, sql in shared.items():
-        if name != "events_hourly_rollup":
+        if name not in ("events_hourly_rollup", "q17_small_quantity_revenue"):
             out[name] = _sql_query(sql)
     for name, sql in _text_sql("spark").items():
         out[name] = _sql_query(sql)
@@ -1440,7 +1488,9 @@ def oracle_sql() -> dict[str, str]:
     out["multimodal_stats"] = _MULTIMODAL_ORACLE
     out["manifest_outer_product"] = _MANIFEST_ORACLE
     # hash-family replications + pinned pipeline constants
+    out.pop("q17_small_quantity_revenue")  # slot swapped for dedup_clusters
     out["dedup_minhash_pairs"] = _MINHASH_ORACLE
+    out["dedup_clusters"] = _CLUSTERS_ORACLE
     out["dedup_simhash"] = _SIMHASH_ORACLE
     out["ann_lsh_topk"] = _lsh_oracle_sql()
     out["ann_ivf_topk"] = _IVF_ORACLE
