@@ -31,7 +31,6 @@ HEADLINE = [
     "q10_returned_items",
     "q13_customer_distribution",
     "q16_supplier_cnt",
-    "q17_small_quantity_revenue",
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "q22_inactive_customers",
@@ -58,6 +57,7 @@ HEADLINE = [
     "embedding_near_dup",
     "multimodal_stats",
     "multimodal_features",
+    "dedup_clusters",
 ]
 
 
@@ -225,9 +225,22 @@ def main() -> None:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    # the hash-family replication oracles (minhash/simhash/clusters/lsh/ivf/
+    # multimodal sha) are correctness artifacts written for the sf0.01 gate:
+    # they deliberately do O(n²) all-pairs work that the Spark operators
+    # avoid, so at sf0.1 they measure the oracle, not the engine. The
+    # apples-to-apples baseline is the shared-ANSI + cheap-oracle set.
+    replication_oracles = {
+        "dedup_minhash_pairs",
+        "dedup_clusters",
+        "dedup_simhash",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "multimodal_features",
+    }
     duck_total, duck_n = 0.0, 0
     for name in HEADLINE:
-        if name in oracles:
+        if name in oracles and name not in replication_oracles:
             t0 = time.perf_counter()
             con.execute(oracles[name]).fetchall()
             duck_total += time.perf_counter() - t0

@@ -1,7 +1,8 @@
 """Training-corpus cleaning pipeline — the engine's LLM-data-pipeline
 operators composed end-to-end on the synthetic ``documents`` table:
 
-quality gate → exact dedup → MinHash near-dup dedup → deterministic
+quality gate → exact dedup → MinHash near-dup pairs → connected-component
+cluster resolution → canonical-doc selection → deterministic
 train/val/test split → per-split token stats.
 
 Every stage is a DataFrame transformation, so the whole pipeline is ONE
@@ -23,6 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from pangeo_forge_recipes_spark.operators import dedup, text
+from pangeo_forge_recipes_spark.operators.components import (
+    canonical_docs,
+    dedup_clusters,
+)
 from pangeo_forge_recipes_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
@@ -42,10 +47,18 @@ def main() -> None:
     exact_unique = kept.join(reps, "doc_id", "left_semi")
     n_exact = exact_unique.count()
 
-    # 3. near-dup dedup: drop the higher id of each MinHash-verified pair
+    # 3. near-dup dedup: MinHash-verified pairs → connected-component
+    # clusters → keep ONE canonical doc per cluster (highest quality).
+    # Cluster resolution matters: with pairs (a,b),(b,c) but no (a,c)
+    # edge, naive drop-the-higher-id would delete the whole chain except
+    # a; components keep exactly one representative per transitive group.
     pairs = dedup.minhash_dedup(exact_unique, threshold=0.8)
-    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    cleaned = exact_unique.join(losers, "doc_id", "left_anti")
+    clusters = dedup_clusters(exact_unique, pairs)
+    cleaned = (
+        canonical_docs(exact_unique, clusters, order_col="quality_score")
+        .where("is_canonical")
+        .drop("cluster_id", "is_canonical")
+    )
     n_clean = cleaned.count()
 
     # 4. deterministic split + per-split stats

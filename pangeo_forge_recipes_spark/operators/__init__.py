@@ -8,6 +8,8 @@ on the engine's tabular side.
 
 from . import (  # noqa: F401
     asof,
+    clustering,
+    components,
     dedup,
     multimodal,
     ranges,
