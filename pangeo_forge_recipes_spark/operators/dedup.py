@@ -191,7 +191,14 @@ def minhash_lsh_candidates(
     only with the bucket's min-id representative (O(N) star), which
     preserves the bucket's connectivity for downstream verification /
     connected-component clustering while bounding candidate volume to
-    ``O(bucket_cap × n)``."""
+    ``O(bucket_cap × n)``.
+
+    The banded input feeds THREE plan branches (bucket sizing, the
+    self-join's two sides, the star path); without materialization Spark
+    recomputes the CPU-bound signature ``mapInPandas`` once per branch, so
+    the signatures are persisted (memory-and-disk — at scale this is the
+    (id, band, hash) table, tiny next to the text corpus)."""
+    banded = banded.persist()
     sizes = banded.groupBy("band", "band_hash").agg(
         F.count("*").alias("__bsize"), F.min(id_col).alias("__rep")
     )
@@ -235,16 +242,33 @@ def minhash_dedup(
     banded = minhash_band_hashes(df, col, id_col, num_perm, bands, shingle_n)
     candidates = minhash_lsh_candidates(banded, id_col)
     texts = df.select(F.col(id_col), F.col(col))
+    # the candidate set is tiny in bytes, so AQE coalesces the post-join
+    # stage down to ~1 partition — but verification cost is per-PAIR Python
+    # work, not per-byte. Force a full-width repartition so the verify
+    # stage uses the whole cluster.
     pairs = (
         candidates.join(texts.withColumnRenamed(id_col, "id_a").withColumnRenamed(col, "text_a"), "id_a")
         .join(texts.withColumnRenamed(id_col, "id_b").withColumnRenamed(col, "text_b"), "id_b")
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "id_a")
     )
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # docs recur across pairs (a bucket of m members yields m-1..m²/2
+        # pairs), so memoize shingle sets per doc id within the partition
+        cache: dict = {}
+
+        def sh(doc_id, text):
+            r = cache.get(doc_id)
+            if r is None:
+                r = cache[doc_id] = _shingle_hashes(text, shingle_n)
+            return r
+
         for pdf in batches:
             jac = []
-            for ta, tb in zip(pdf["text_a"], pdf["text_b"]):
-                ha, hb = _shingle_hashes(ta, shingle_n), _shingle_hashes(tb, shingle_n)
+            for ia, ib, ta, tb in zip(
+                pdf["id_a"], pdf["id_b"], pdf["text_a"], pdf["text_b"]
+            ):
+                ha, hb = sh(ia, ta), sh(ib, tb)
                 inter = np.intersect1d(ha, hb, assume_unique=True).size
                 union = ha.size + hb.size - inter
                 jac.append(inter / union if union else 1.0)
