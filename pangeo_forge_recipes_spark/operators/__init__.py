@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     clustering,
     components,
     dedup,
+    filters,
     multimodal,
     ranges,
     similarity,

@@ -1,0 +1,274 @@
+"""Corpus-hygiene filters for LLM training-data pipelines.
+
+The standard web-corpus cleaning stages from the public literature,
+re-expressed as Spark DataFrame transformations:
+
+- repetition metrics (duplicate-line fractions, top-n-gram token
+  fraction) as used by Gopher's quality heuristics,
+- line-level document cleaning in the style of C4 (terminal
+  punctuation, minimum words per line, boilerplate markers),
+- PII scrubbing (emails / IPv4 / phone-shaped spans) via JVM-side
+  ``regexp_replace`` chains,
+- benchmark-contamination detection by word-n-gram overlap against an
+  evaluation set (broadcast semi-join — the corpus never shuffles),
+- URL/domain blocklist filtering (broadcast anti-join).
+
+Everything scalar stays in built-in Spark SQL expressions (whole-stage
+codegen, no Python in the hot path); the two operators that need
+per-document aggregation beyond a scalar expression
+(:func:`top_ngram_fraction`, :func:`contamination`) use the
+explode → hash-aggregate shape, which scales linearly and partially
+aggregates map-side.
+
+100 TB notes: every function here is a narrow map or a single hash
+aggregate over exploded n-grams; the only joins are against *small*
+sides (an eval benchmark, a blocklist) that are broadcast explicitly,
+so nothing in this module shuffles the corpus itself except the
+n-gram aggregates, which combine map-side first.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics (Gopher-style)
+# ---------------------------------------------------------------------------
+
+def with_repetition_metrics(df: DataFrame, col: str = "text") -> DataFrame:
+    """Add duplicate-line repetition signals (all pure SQL, per-document):
+
+    - ``n_lines`` — number of newline-separated lines,
+    - ``dup_line_frac`` — fraction of lines that are duplicates of an
+      earlier line (``1 - distinct/total``),
+    - ``dup_line_char_frac`` — fraction of characters living in lines
+      that occur more than once.
+
+    The char fraction compares each line against the doc's own line
+    array (``filter`` inside ``aggregate``), which is O(L²) in the
+    *line count of one document* — bounded by document size, not corpus
+    size, so it parallelizes embarrassingly. Documents with pathological
+    line counts (>10k) should be length-truncated upstream first.
+    """
+    lines = f"split({col}, '\\n')"
+    n_lines = f"size({lines})"
+    dup_line_frac = (
+        f"(1.0 - cast(size(array_distinct({lines})) as double)"
+        f" / cast(greatest({n_lines}, 1) as double))"
+    )
+    total_chars = f"greatest(length(replace({col}, '\\n', '')), 1)"
+    dup_chars = (
+        f"aggregate({lines}, 0, (acc, x) -> acc + "
+        f"if(size(filter({lines}, y -> y = x)) > 1, length(x), 0))"
+    )
+    dup_line_char_frac = (
+        f"(cast({dup_chars} as double) / cast({total_chars} as double))"
+    )
+    return (
+        df.withColumn("n_lines", F.expr(n_lines))
+        .withColumn("dup_line_frac", F.expr(dup_line_frac))
+        .withColumn("dup_line_char_frac", F.expr(dup_line_char_frac))
+    )
+
+
+def _word_ngrams(col: str, n: int) -> str:
+    """SQL expression: array of space-joined word ``n``-grams of ``col``.
+    Empty array when the document has fewer than ``n`` tokens (the
+    ``filter`` guard keeps every ``slice`` strictly in range under ANSI
+    mode)."""
+    toks = f"split({col}, ' ')"
+    n_tok = f"size({toks})"
+    upper = f"greatest({n_tok} - {n - 1}, 1)"
+    idx = f"filter(sequence(1, {upper}), i -> i + {n - 1} <= {n_tok})"
+    return f"transform({idx}, i -> concat_ws(' ', slice({toks}, i, {n})))"
+
+
+def top_ngram_fraction(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text", n: int = 2
+) -> DataFrame:
+    """Fraction of a document's tokens covered by its single most
+    frequent word ``n``-gram (Gopher's ``top_n_gram_fraction`` family).
+
+    Distributed shape: explode n-grams → hash-aggregate per (doc,
+    gram) → max per doc → broadcast-free join back on the doc id. Both
+    aggregates combine map-side; nothing is quadratic, unlike the naive
+    per-doc ``filter``-count which degrades on long documents.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.expr(f"size(split({col}, ' '))").alias("__n_tokens"),
+        F.explode(F.expr(_word_ngrams(col, n))).alias("__gram"),
+    )
+    top = (
+        grams.groupBy(id_col, "__n_tokens", "__gram")
+        .agg(F.count("*").alias("__cnt"))
+        .groupBy(id_col, "__n_tokens")
+        .agg(F.max("__cnt").alias("__top_cnt"))
+        .select(
+            id_col,
+            (
+                F.col("__top_cnt") * n / F.greatest(F.col("__n_tokens"), F.lit(1))
+            ).alias("top_ngram_frac"),
+        )
+    )
+    return df.join(top, id_col, "left").fillna({"top_ngram_frac": 0.0})
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level cleaning
+# ---------------------------------------------------------------------------
+
+_BOILERPLATE_MARKERS = ("lorem ipsum", "javascript must be enabled")
+
+
+def c4_clean(
+    df: DataFrame,
+    col: str = "text",
+    min_words_per_line: int = 3,
+    min_lines: int = 1,
+    drop_braces: bool = True,
+) -> DataFrame:
+    """C4-style cleaning: keep only lines that end in terminal
+    punctuation and have at least ``min_words_per_line`` words; drop
+    documents that contain boilerplate markers, curly braces (code), or
+    end up with fewer than ``min_lines`` surviving lines.
+
+    One narrow map + one filter — both push into the scan; no shuffle.
+    The cleaned text replaces ``col``; ``n_kept_lines`` is added.
+    """
+    lines = f"split({col}, '\\n')"
+    keep = (
+        f"filter({lines}, l -> size(split(trim(l), ' +')) >= {min_words_per_line}"
+        f" and trim(l) rlike '[.!?\"]$')"
+    )
+    cleaned = df.withColumn("__kept", F.expr(keep)).withColumn(
+        "n_kept_lines", F.expr("size(__kept)")
+    )
+    cond = F.col("n_kept_lines") >= min_lines
+    low = F.lower(F.col(col))
+    for marker in _BOILERPLATE_MARKERS:
+        cond = cond & ~low.contains(marker)
+    if drop_braces:
+        cond = cond & ~F.col(col).contains("{")
+    return (
+        cleaned.where(cond)
+        .withColumn(col, F.expr("array_join(__kept, '\\n')"))
+        .drop("__kept")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+_PII_PATTERNS = (
+    # order matters: emails before phone-shaped digit runs
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\(?\b\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+)
+
+
+def scrub_pii(df: DataFrame, col: str = "text") -> DataFrame:
+    """Replace email / IPv4 / phone-shaped spans with placeholder tokens
+    via a chain of JVM ``regexp_replace`` calls (C4/RefinedWeb-style
+    conservative patterns — shaped spans only, no dictionary lookup).
+    Pure map, codegen'd, zero shuffle."""
+    out = F.col(col)
+    for pat, repl in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return df.withColumn(col, out)
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination
+# ---------------------------------------------------------------------------
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    bench_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Flag documents sharing any word ``n``-gram with an evaluation
+    benchmark (the standard 13-gram decontamination check from the
+    GPT-3/PaLM appendices).
+
+    Scale shape: the benchmark side (eval sets are MBs) is distinct'd,
+    hashed to 64-bit, and **broadcast**; the corpus explodes its
+    n-grams to hashes and map-side semi-joins — the 100 TB corpus is
+    never shuffled. Returns ``id_col, n_contaminated_grams`` for
+    matching docs (join back / anti-join to drop them).
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.expr(_word_ngrams(bench_col, n))).alias("__gram")
+        )
+        .select(F.xxhash64(F.lower(F.col("__gram"))).alias("__gh"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(F.expr(_word_ngrams(col, n))).alias("__gram"),
+    ).select(id_col, F.xxhash64(F.lower(F.col("__gram"))).alias("__gh"))
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "__gh")
+        .groupBy(id_col)
+        .agg(F.count_distinct("__gh").alias("n_contaminated_grams"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    bench_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Drop contaminated documents: broadcast-hash anti-join against
+    :func:`contamination`'s hit list."""
+    hits = contamination(docs, benchmark, id_col, col, bench_col, n)
+    return docs.join(hits.select(id_col), id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# URL / domain blocklist
+# ---------------------------------------------------------------------------
+
+def _domain_expr(url_col: str):
+    host = F.expr(f"parse_url({url_col}, 'HOST')")
+    bare = F.coalesce(host, F.col(url_col))
+    return F.lower(F.regexp_replace(bare, r"^www\.", ""))
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    url_col: str,
+    blocked: Optional[Iterable[str]] = None,
+    blocked_df: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Drop rows whose URL's registered host (``www.``-stripped,
+    lowercased) appears in a blocklist — pass either an in-memory
+    iterable or a DataFrame with a ``domain`` column.
+
+    Blocklists are small (≤ millions of rows): broadcast anti-join, so
+    the corpus side stays a map-only stage with no shuffle.
+    """
+    if (blocked is None) == (blocked_df is None):
+        raise ValueError("pass exactly one of `blocked` or `blocked_df`")
+    if blocked_df is None:
+        blocked_df = df.sparkSession.createDataFrame(
+            [(d,) for d in blocked], "domain string"
+        )
+    bl = blocked_df.select(F.lower(F.col("domain")).alias("__bldom")).distinct()
+    return (
+        df.withColumn("__dom", _domain_expr(url_col))
+        .join(F.broadcast(bl), F.col("__dom") == F.col("__bldom"), "left_anti")
+        .drop("__dom")
+    )

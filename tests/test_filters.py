@@ -1,0 +1,166 @@
+"""Corpus-hygiene filter operators: repetition metrics, C4 line
+cleaning, PII scrubbing, contamination, blocklists — with independent
+Python reimplementations as oracles and plan-shape gates (no Python
+eval nodes in scalar paths, broadcast joins where promised)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pangeo_forge_recipes_spark.operators import filters
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "The cat sat here.\nThe cat sat here.\nUnique closing line."),
+        (2, "One line only without terminal punct"),
+        (3, "Good long sentence number one.\nGood long sentence number two!"),
+        (4, "short.\njs {code} here.\nLorem ipsum dolor sit amet."),
+        (5, "a b a b a b a b a b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_repetition_metrics_match_python(docs):
+    got = {
+        r["doc_id"]: r
+        for r in filters.with_repetition_metrics(docs).collect()
+    }
+    for row in docs.collect():
+        lines = row["text"].split("\n")
+        n = len(lines)
+        dup_frac = 1.0 - len(set(lines)) / n
+        from collections import Counter
+
+        c = Counter(lines)
+        dup_chars = sum(len(l) for l in lines if c[l] > 1)
+        total = max(sum(len(l) for l in lines), 1)
+        g = got[row["doc_id"]]
+        assert g["n_lines"] == n
+        assert g["dup_line_frac"] == pytest.approx(dup_frac)
+        assert g["dup_line_char_frac"] == pytest.approx(dup_chars / total)
+
+
+def test_top_ngram_fraction_matches_python(docs):
+    got = {
+        r["doc_id"]: r["top_ngram_frac"]
+        for r in filters.top_ngram_fraction(docs, n=2).collect()
+    }
+    from collections import Counter
+
+    for row in docs.collect():
+        toks = row["text"].split(" ")
+        bigrams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        expect = (
+            Counter(bigrams).most_common(1)[0][1] * 2 / max(len(toks), 1)
+            if bigrams
+            else 0.0
+        )
+        assert got[row["doc_id"]] == pytest.approx(expect), row["doc_id"]
+
+
+def test_top_ngram_fraction_is_distributed_aggregate(docs):
+    plan = filters.top_ngram_fraction(docs, n=2)._jdf.queryExecution().toString()
+    # explode → hash aggregate, not a per-doc quadratic expression
+    assert "Generate explode" in plan
+
+
+def test_c4_clean_keeps_and_drops(docs):
+    out = {
+        r["doc_id"]: r["text"] for r in filters.c4_clean(docs).collect()
+    }
+    # doc 1: all three lines ≥3 words with terminal punct → kept intact
+    assert out[1].count("\n") == 2
+    # doc 2: no terminal punctuation → zero kept lines → dropped
+    assert 2 not in out
+    # doc 3: both lines survive
+    assert out[3] == "Good long sentence number one.\nGood long sentence number two!"
+    # doc 4: contains '{' and lorem ipsum → dropped
+    assert 4 not in out
+    # doc 5: no punct → dropped
+    assert 5 not in out
+
+
+def test_scrub_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk ok"),
+            (2, "server 192.168.001.1 port"),
+            (3, "call (555) 867-5309 or 555-867-5309 now"),
+            (4, "clean text stays clean"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in filters.scrub_pii(df).collect()}
+    assert got[1] == "mail me at <EMAIL> ok"
+    assert got[2] == "server <IP> port"
+    assert got[3] == "call <PHONE> or <PHONE> now"
+    assert got[4] == "clean text stays clean"
+
+
+def test_contamination_and_decontaminate(spark):
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima mike"
+    docs = spark.createDataFrame(
+        [
+            (1, f"prefix words {base} suffix words"),  # contains the 13-gram
+            (2, "totally different content with no overlap at all whatsoever here today"),
+            (3, base.upper()),  # case-insensitive match
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame([(base,)], "text string")
+    hits = {
+        r["doc_id"]: r["n_contaminated_grams"]
+        for r in filters.contamination(docs, bench, n=13).collect()
+    }
+    assert set(hits) == {1, 3}
+    assert hits[1] >= 1 and hits[3] == 1
+    clean = filters.decontaminate(docs, bench, n=13)
+    assert {r["doc_id"] for r in clean.collect()} == {2}
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m n")], "doc_id bigint, text string"
+    )
+    bench = spark.createDataFrame([("a b c",)], "text string")
+    plan = (
+        filters.contamination(docs, bench, n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_domain_blocklist(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.spam.example/path?q=1"),
+            (2, "https://good.example/else"),
+            (3, "spam.example"),  # bare domain, no scheme
+            (4, "https://SPAM.example/other"),  # case-insensitive host
+        ],
+        "doc_id bigint, url string",
+    )
+    kept = filters.domain_blocklist_filter(df, "url", blocked=["spam.example"])
+    assert {r["doc_id"] for r in kept.collect()} == {2}
+    assert kept.columns == ["doc_id", "url"]
+
+    with pytest.raises(ValueError):
+        filters.domain_blocklist_filter(df, "url")
+
+
+def test_scalar_filters_have_no_python_nodes(docs):
+    """Repetition metrics, C4 cleaning and PII scrub must stay JVM-side
+    (no BatchEvalPython / ArrowEvalPython in the physical plan)."""
+    for fn in (
+        filters.with_repetition_metrics,
+        filters.c4_clean,
+        filters.scrub_pii,
+    ):
+        plan = fn(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, fn.__name__
