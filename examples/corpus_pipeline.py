@@ -1,9 +1,10 @@
 """Training-corpus cleaning pipeline — the engine's LLM-data-pipeline
 operators composed end-to-end on the synthetic ``documents`` table:
 
-quality gate → exact dedup → MinHash near-dup pairs → connected-component
-cluster resolution → canonical-doc selection → deterministic
-train/val/test split → per-split token stats.
+PII scrub → quality gate → repetition gate → exact dedup → MinHash
+near-dup pairs → connected-component cluster resolution → canonical-doc
+selection → benchmark decontamination → deterministic train/val/test
+split → per-split token stats.
 
 Every stage is a DataFrame transformation, so the whole pipeline is ONE
 Catalyst plan per action: the quality filter pushes into the parquet
@@ -23,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from pangeo_forge_recipes_spark.operators import dedup, text
+from pangeo_forge_recipes_spark.operators import dedup, filters, text
 from pangeo_forge_recipes_spark.operators.components import (
     canonical_docs,
     dedup_clusters,
@@ -38,9 +39,20 @@ def main() -> None:
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     n_raw = docs.count()
 
-    # 1. quality gate (JVM-side expressions; no Python in the hot path)
-    scored = text.with_quality(text.with_token_counts(docs))
-    kept = scored.filter((F.col("quality_score") >= 0.3) & (F.col("token_count") >= 5))
+    # 0. PII scrub (codegen'd regexp_replace chain — pure map, no shuffle)
+    docs = filters.scrub_pii(docs)
+
+    # 1. quality + repetition gates (JVM-side expressions; no Python in
+    # the hot path). The repetition gate is Gopher-style: drop documents
+    # dominated by duplicated lines.
+    scored = filters.with_repetition_metrics(
+        text.with_quality(text.with_token_counts(docs))
+    )
+    kept = scored.filter(
+        (F.col("quality_score") >= 0.3)
+        & (F.col("token_count") >= 5)
+        & (F.col("dup_line_char_frac") <= 0.6)
+    )
 
     # 2. exact dedup: keep the min-id representative per fingerprint
     reps = dedup.exact_dedup(kept).select("doc_id")
@@ -61,6 +73,13 @@ def main() -> None:
     )
     n_clean = cleaned.count()
 
+    # 3b. benchmark decontamination: drop any doc sharing a 13-gram with
+    # the "eval set" (here: a held-out slice of the corpus itself). The
+    # benchmark side is hashed and broadcast; the corpus never shuffles.
+    bench = docs.orderBy("doc_id").limit(5).select("text")
+    cleaned = filters.decontaminate(cleaned, bench, n=13)
+    n_decon = cleaned.count()
+
     # 4. deterministic split + per-split stats
     stats = (
         text.with_split(cleaned)
@@ -74,13 +93,16 @@ def main() -> None:
         .collect()
     )
 
-    print(f"raw={n_raw}  post-quality+exact={n_exact}  post-neardup={n_clean}")
+    print(
+        f"raw={n_raw}  post-quality+exact={n_exact}  post-neardup={n_clean}"
+        f"  post-decontam={n_decon}"
+    )
     for r in stats:
         print(f"  {r['split']:5s}  docs={r['n_docs']:6d}  tokens={r['total_tokens']:8d}  q={r['avg_quality']}")
 
     # verify: monotone shrinkage, full partition into splits, determinism
-    assert n_raw >= n_exact >= n_clean > 0
-    assert sum(r["n_docs"] for r in stats) == n_clean
+    assert n_raw >= n_exact >= n_clean >= n_decon > 0
+    assert sum(r["n_docs"] for r in stats) == n_decon
     again = {
         r["split"]: r["n_docs"]
         for r in text.with_split(cleaned).groupBy("split").count()
