@@ -117,8 +117,27 @@ def streaming_dedup(
     streaming or batch DataFrame identically."""
     keys = keys or ["user_id", ts_col]
     if events.isStreaming:
-        return events.withWatermark(ts_col, watermark).dropDuplicates(keys)
+        events, restore = _ltz_event_time(events, ts_col)
+        return restore(events.withWatermark(ts_col, watermark).dropDuplicates(keys))
     return events.dropDuplicates(keys)
+
+
+def _ltz_event_time(events: DataFrame, ts_col: str):
+    """Watermarks only accept TIMESTAMP (LTZ) event time; parquet sources
+    read under ``spark.sql.timestampType=TIMESTAMP_NTZ`` surface NTZ
+    columns. Cast NTZ → LTZ for the watermark and hand back a restorer that
+    casts the column back, so the operator is type-preserving. Lossless
+    because the session timezone is pinned to UTC (session.py)."""
+    if dict(events.dtypes).get(ts_col) != "timestamp_ntz":
+        return events, lambda df: df
+    cast = events.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
+
+    def restore(df: DataFrame) -> DataFrame:
+        if ts_col in df.columns:
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp_ntz"))
+        return df
+
+    return cast, restore
 
 
 def watermarked_event_rollup(
@@ -130,6 +149,11 @@ def watermarked_event_rollup(
     """Event-time tumbling-window rollup with late-data watermarking —
     works on a streaming or batch events DataFrame identically (run it on
     ``spark.readStream`` parquet over the events table)."""
+    was_ntz = dict(events.dtypes).get(ts_col) == "timestamp_ntz"
+    events, _ = _ltz_event_time(events, ts_col)
+    start = F.col("win.start")
+    if was_ntz:
+        start = start.cast("timestamp_ntz")
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window_duration).alias("win"), "event_type")
@@ -138,7 +162,7 @@ def watermarked_event_rollup(
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
         .select(
-            F.col("win.start").alias("window_start"),
+            start.alias("window_start"),
             "event_type",
             "n",
             "total_value",
