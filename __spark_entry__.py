@@ -1191,6 +1191,131 @@ FROM cc GROUP BY id ORDER BY doc_id
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# training-data assembly: span dedup, sequence packing, shard layout
+# (operators/packing.py)
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 8  # word n-gram width for cross-doc span dedup
+_SPAN_THRESHOLD = 0.5
+_SEQ_LEN = 256  # tokens per packed training sequence
+_N_SHARDS = 8
+
+
+def _ngram_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span fraction (word 8-grams shared with
+    any other doc) + the keep/drop gate — the n-gram-granular
+    approximation of suffix-array substring dedup. Pure explode →
+    hash-agg → equi-join plan; oracle is the same n-gram definition in
+    DuckDB list functions."""
+    from pangeo_forge_recipes_spark.operators.packing import crossdoc_ngram_dup
+
+    _register(spark, sf_dir)
+    return crossdoc_ngram_dup(
+        spark.table("documents"), n=_SPAN_N, threshold=_SPAN_THRESHOLD
+    ).orderBy("doc_id")
+
+
+def _pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: docs in deterministic
+    md5 order, the concatenated token stream cut into fixed 256-token
+    sequences; per-sequence packing stats. The Spark side is a
+    distributed prefix sum (range partition + partial sums + broadcast
+    offsets — never a single-task global window); the oracle is the
+    equivalent single window in DuckDB."""
+    from pangeo_forge_recipes_spark.operators.packing import (
+        pack_sequences,
+        pack_summary,
+    )
+
+    _register(spark, sf_dir)
+    e = TextExprs("spark", "text")
+    counted = spark.table("documents").withColumn(
+        "token_count", F.expr(e.token_count()).cast("long")
+    )
+    return pack_summary(pack_sequences(counted, seq_len=_SEQ_LEN))
+
+
+def _corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic balanced shard layout for a multi-host loader:
+    portable md5 bucket of the doc id (the train/val/test splitter's hash
+    family), per-shard doc/token/language stats."""
+    from pangeo_forge_recipes_spark.operators.packing import shard_assign
+
+    _register(spark, sf_dir)
+    e = TextExprs("spark", "text")
+    docs = shard_assign(spark.table("documents"), n_shards=_N_SHARDS)
+    return (
+        docs.withColumn("token_count", F.expr(e.token_count()).cast("long"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("token_count").alias("total_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _span_dedup_oracle() -> str:
+    e = TextExprs("duckdb", "text")
+    return f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest({e.token_ngrams(_SPAN_N)}) AS gram FROM documents) t
+), freq AS (
+  SELECT gram, COUNT(*) AS nd FROM grams GROUP BY gram
+), per_doc AS (
+  SELECT g.doc_id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS dup_grams
+  FROM grams g JOIN freq f USING (gram) GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.dup_grams, 0) AS BIGINT) AS dup_grams,
+       ROUND(CAST(COALESCE(p.dup_grams, 0) AS DOUBLE)
+             / GREATEST(COALESCE(p.n_grams, 0), 1), 4) AS dup_frac,
+       (ROUND(CAST(COALESCE(p.dup_grams, 0) AS DOUBLE)
+              / GREATEST(COALESCE(p.n_grams, 0), 1), 4)
+        <= {_SPAN_THRESHOLD}) AS keep
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+""".strip()
+
+
+def _pack_oracle() -> str:
+    e = TextExprs("duckdb", "text")
+    tok = f"CAST({e.token_count()} AS BIGINT)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {tok} AS n,
+         SUM({tok}) OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents
+)
+SELECT CAST((cum - n) // {_SEQ_LEN} AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM toks GROUP BY 1 ORDER BY 1
+""".strip()
+
+
+def _shards_oracle() -> str:
+    e = TextExprs("duckdb", "text")
+    bucket = e.sample_bucket("CAST(doc_id AS VARCHAR)", _N_SHARDS)
+    return f"""
+SELECT CAST({bucket} AS INT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST({e.token_count()} AS BIGINT)) AS BIGINT) AS total_tokens,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY 1 ORDER BY 1
+""".strip()
+
+
 def _lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed LSH-ANN — oracle replicates the hyperplane bucketing from
     the same seeded planes embedded as SQL literals."""
@@ -1472,13 +1597,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ann_cosine_topk"] = _ann_topk
     out["embedding_near_dup"] = _near_dup
     out["manifest_outer_product"] = _manifest_query
+    # training-data assembly: span dedup, sequence packing, shard layout
+    out["dedup_ngram_spans"] = _ngram_span_dedup
+    out["pack_sequences"] = _pack_sequences_q
+    out["corpus_shards"] = _corpus_shards
     # shared-SQL battery (identical ANSI text on both engines); the
     # hourly-rollup text grades via its streaming twin below, so the
-    # batch copy is skipped to stay inside the 50-query budget
-    # q17 (single-row conditional agg, a shape q6/q14/q19 already cover)
-    # yields its slot to dedup_clusters inside the 50-query budget
+    # batch copy is skipped to stay inside the 50-query budget.
+    # q17/q6/q14/q10 (single-row or join+topk conditional-agg shapes that
+    # q1/q4/q13/q19/q3 already cover) yield their slots to dedup_clusters
+    # and the three training-data assembly queries
+    _SWAPPED_OUT = (
+        "events_hourly_rollup",
+        "q17_small_quantity_revenue",
+        "q6_forecast_revenue",
+        "q14_promo_revenue",
+        "q10_returned_items",
+    )
     for name, sql in shared.items():
-        if name not in ("events_hourly_rollup", "q17_small_quantity_revenue"):
+        if name not in _SWAPPED_OUT:
             out[name] = _sql_query(sql)
     for name, sql in _text_sql("spark").items():
         out[name] = _sql_query(sql)
@@ -1511,7 +1648,16 @@ def oracle_sql() -> dict[str, str]:
     out["multimodal_stats"] = _MULTIMODAL_ORACLE
     out["manifest_outer_product"] = _MANIFEST_ORACLE
     # hash-family replications + pinned pipeline constants
-    out.pop("q17_small_quantity_revenue")  # slot swapped for dedup_clusters
+    for swapped in (
+        "q17_small_quantity_revenue",
+        "q6_forecast_revenue",
+        "q14_promo_revenue",
+        "q10_returned_items",
+    ):
+        out.pop(swapped)  # slots swapped for dedup_clusters + assembly queries
+    out["dedup_ngram_spans"] = _span_dedup_oracle()
+    out["pack_sequences"] = _pack_oracle()
+    out["corpus_shards"] = _shards_oracle()
     out["dedup_minhash_pairs"] = _MINHASH_ORACLE
     out["dedup_clusters"] = _CLUSTERS_ORACLE
     out["dedup_simhash"] = _SIMHASH_ORACLE

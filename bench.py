@@ -26,9 +26,7 @@ HEADLINE = [
     "q3_unshipped_revenue",
     "q4_order_priority",
     "q5_local_supplier_volume",
-    "q6_forecast_revenue",
     "q9_product_profit",
-    "q10_returned_items",
     "q13_customer_distribution",
     "q16_supplier_cnt",
     "q18_large_orders",
@@ -58,6 +56,9 @@ HEADLINE = [
     "multimodal_stats",
     "multimodal_features",
     "dedup_clusters",
+    "dedup_ngram_spans",
+    "pack_sequences",
+    "corpus_shards",
 ]
 
 

@@ -199,21 +199,31 @@ class TextExprs:
         )
 
     # -- n-grams over tokens --------------------------------------------------
-    def token_bigrams(self) -> str:
-        """Array of space-joined token bigrams; empty for one-token docs.
-        The filter guard keeps every index strictly in range, so the
-        expression is safe under Spark's ANSI ``element_at``."""
+    def token_ngrams(self, n: int = 2) -> str:
+        """Array of space-joined token ``n``-grams; empty for docs shorter
+        than ``n`` tokens. The filter guard keeps every index strictly in
+        range, so the expression is safe under Spark's ANSI
+        ``element_at``."""
         toks = self.tokens()
-        n = self._f("arr_len", x=toks)
+        cnt = self._f("arr_len", x=toks)
         seq = self._f(
-            "seq", a="1", b=self._f("greatest", a=f"({n} - 1)", b="1")
+            "seq", a="1", b=self._f("greatest", a=f"({cnt} - {n - 1})", b="1")
         )
-        in_range = self._f("arr_filter", x=seq, lam=f"i -> i < {n}")
-        gi = self._f("arr_get", x=toks, i="i")
-        gi1 = self._f("arr_get", x=toks, i="(i + 1)")
-        return self._f(
-            "arr_transform", x=in_range, lam=f"i -> concat({gi}, ' ', {gi1})"
+        in_range = self._f(
+            "arr_filter", x=seq, lam=f"i -> i <= ({cnt} - {n - 1})"
         )
+        parts = []
+        for j in range(n):
+            i = "i" if j == 0 else f"(i + {j})"
+            parts.append(self._f("arr_get", x=toks, i=i))
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = f"concat({joined}, ' ', {p})"
+        return self._f("arr_transform", x=in_range, lam=f"i -> {joined}")
+
+    def token_bigrams(self) -> str:
+        """Array of space-joined token bigrams; empty for one-token docs."""
+        return self.token_ngrams(2)
 
     # -- quantiles ------------------------------------------------------------
     def quantile(self, x: str, q: str) -> str:

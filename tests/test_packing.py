@@ -1,0 +1,123 @@
+"""Training-data assembly operators: packing, sharding, stratified
+sampling, cross-doc n-gram dedup (operators/packing.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pangeo_forge_recipes_spark.operators.packing import (
+    crossdoc_ngram_dup,
+    pack_sequences,
+    pack_summary,
+    shard_assign,
+    stratified_sample,
+    with_global_order,
+    write_shards,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(10 + i % 5)), ["en", "de", "fr"][i % 3])
+        for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_pack_sequences_is_exact_prefix_sum(spark, docs):
+    counted = docs.withColumn("token_count", F.size(F.split("text", " ")))
+    packed = pack_sequences(counted, seq_len=64, num_partitions=5).toPandas()
+    # independent reference: sort by (md5, id), running sum
+    ref = counted.select("doc_id", "token_count").toPandas()
+    ref["key"] = ref["doc_id"].map(lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    ref = ref.sort_values(["key", "doc_id"]).reset_index(drop=True)
+    ref["offset"] = ref["token_count"].cumsum() - ref["token_count"]
+    got = packed.set_index("doc_id")
+    for _, r in ref.iterrows():
+        assert got.loc[r["doc_id"], "token_offset"] == r["offset"]
+        assert got.loc[r["doc_id"], "seq_id"] == r["offset"] // 64
+    # summary partitions the corpus
+    summ = pack_summary(packed_df := pack_sequences(counted, seq_len=64, num_partitions=5)).toPandas()
+    assert summ["n_docs"].sum() == 60
+    assert summ["n_tokens"].sum() == ref["token_count"].sum()
+
+
+def test_pack_sequences_partitioning_invariant(spark, docs):
+    counted = docs.withColumn("token_count", F.size(F.split("text", " ")))
+    a = pack_sequences(counted, seq_len=32, num_partitions=2).toPandas()
+    b = pack_sequences(counted.repartition(7), seq_len=32, num_partitions=9).toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert (a["token_offset"] == b["token_offset"]).all()
+    assert (a["seq_id"] == b["seq_id"]).all()
+
+
+def test_shard_assign_deterministic_and_uniformish(spark, docs):
+    out = shard_assign(docs, n_shards=4).toPandas()
+    again = shard_assign(docs.repartition(3), n_shards=4).toPandas()
+    m = out.set_index("doc_id")["shard"]
+    m2 = again.set_index("doc_id")["shard"]
+    assert (m.sort_index() == m2.sort_index()).all()
+    assert set(m.unique()) <= set(range(4))
+    # no empty shard on 60 docs / 4 shards
+    assert m.nunique() == 4
+
+
+def test_write_shards_layout(spark, docs, tmp_path):
+    path = str(tmp_path / "shards")
+    write_shards(docs, path, n_shards=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 60
+    assert set(r["shard"] for r in back.select("shard").distinct().collect()) == set(range(4))
+    # shard column round-trips as the assignment function
+    expect = shard_assign(docs, 4).select("doc_id", "shard").toPandas().set_index("doc_id")["shard"]
+    got = back.select("doc_id", "shard").toPandas().set_index("doc_id")["shard"].astype(int)
+    assert (got.sort_index() == expect.sort_index()).all()
+
+
+def test_stratified_sample_exact_quota(spark, docs):
+    out = stratified_sample(docs, "lang", n_per_stratum=5).toPandas()
+    assert (out.groupby("lang").size() == 5).all()
+    # deterministic under repartitioning
+    out2 = stratified_sample(docs.repartition(8), "lang", n_per_stratum=5).toPandas()
+    assert set(out["doc_id"]) == set(out2["doc_id"])
+    # quota larger than a stratum returns the whole stratum
+    small = stratified_sample(docs.filter(F.col("doc_id") < 4), "lang", 10).toPandas()
+    assert len(small) == 4
+
+
+def test_crossdoc_ngram_dup(spark):
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d x y"),  # shares the 3-grams "a b c", "b c d" with doc 1
+        (3, "p q r s t u"),  # unique
+        (4, "zz"),  # shorter than n: zero grams, kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = crossdoc_ngram_dup(df, n=3, threshold=0.4).toPandas().set_index("doc_id")
+    assert out.loc[1, "n_grams"] == 4 and out.loc[1, "dup_grams"] == 2
+    assert out.loc[2, "n_grams"] == 4 and out.loc[2, "dup_grams"] == 2
+    assert out.loc[3, "dup_grams"] == 0 and bool(out.loc[3, "keep"])
+    assert out.loc[4, "n_grams"] == 0 and bool(out.loc[4, "keep"])
+    assert out.loc[1, "dup_frac"] == 0.5 and not bool(out.loc[1, "keep"])
+
+
+def test_crossdoc_ngram_dup_within_doc_repetition_not_counted(spark):
+    # a gram repeated inside ONE doc is repetition, not cross-doc dup
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    out = crossdoc_ngram_dup(df, n=3).toPandas().set_index("doc_id")
+    assert out.loc[1, "dup_grams"] == 0
+    assert out.loc[2, "dup_grams"] == 0
+
+
+def test_global_order_is_md5(spark, docs):
+    out = with_global_order(docs).select("doc_id", "ord_key").toPandas()
+    for _, r in out.iterrows():
+        assert r["ord_key"] == hashlib.md5(str(r["doc_id"]).encode()).hexdigest()
