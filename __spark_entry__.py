@@ -1270,16 +1270,21 @@ WITH grams AS (
          SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS dup_grams
   FROM grams g JOIN freq f USING (gram) GROUP BY g.doc_id
 )
-SELECT d.doc_id,
-       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
-       CAST(COALESCE(p.dup_grams, 0) AS BIGINT) AS dup_grams,
-       ROUND(CAST(COALESCE(p.dup_grams, 0) AS DOUBLE)
-             / GREATEST(COALESCE(p.n_grams, 0), 1), 4) AS dup_frac,
-       (ROUND(CAST(COALESCE(p.dup_grams, 0) AS DOUBLE)
-              / GREATEST(COALESCE(p.n_grams, 0), 1), 4)
-        <= {_SPAN_THRESHOLD}) AS keep
-FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
-ORDER BY d.doc_id
+SELECT doc_id, n_grams, dup_grams, dup_frac,
+       (dup_frac <= {_SPAN_THRESHOLD}) AS keep
+FROM (
+  SELECT d.doc_id,
+         CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+         CAST(COALESCE(p.dup_grams, 0) AS BIGINT) AS dup_grams,
+         -- integer-exact 4dp half-up rounding, matching the Spark side's
+         -- (dup*20000 + n) div (2n) / 10000.0 — bit-identical doubles
+         (((COALESCE(p.dup_grams, 0) * 20000
+            + GREATEST(COALESCE(p.n_grams, 0), 1))
+           // (2 * GREATEST(COALESCE(p.n_grams, 0), 1))) / 10000.0
+         ) AS dup_frac
+  FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+)
+ORDER BY doc_id
 """.strip()
 
 

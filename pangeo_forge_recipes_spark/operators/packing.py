@@ -77,54 +77,69 @@ def pack_sequences(
     its first token falls in (``seq_id``) plus its global token offset.
 
     The global running sum is a distributed scan, not a single-partition
-    window: range-partition by the order key, per-partition partial sums,
-    one O(partitions) driver collect, broadcast offsets. Output columns:
+    window: bucket by the order key, per-bucket partial sums, one
+    O(buckets) driver collect, broadcast offsets. Output columns:
     input columns + ``ord_key``, ``token_offset``, ``seq_id``.
+
+    The range bucket is a *pure column expression* — the 32-bit prefix of
+    the (uniform) md5 order key scaled to ``num_partitions`` — never
+    ``repartitionByRange``, whose per-job boundary *sampling* could place
+    boundary rows in different buckets across the two jobs (partial-sum
+    pass vs. scan pass) and silently corrupt offsets at scale. A pure
+    expression is identical in every job by construction, and bucket
+    ordering equals ``ord_key`` ordering because the bucket is a monotone
+    function of the key prefix.
     """
     if num_partitions is None:
         num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 4)
-    keyed = with_global_order(df, id_col).repartitionByRange(
-        num_partitions, "ord_key", id_col
-    )
-    # pass 1: per-partition token totals (tiny driver collect, O(partitions))
-    pid = F.spark_partition_id()
-    totals = (
-        keyed.select(pid.alias("pid"), F.col(count_col))
-        .groupBy("pid")
-        .agg(F.sum(count_col).alias("tot"))
-        .collect()
-    )
+    keyed = with_global_order(df, id_col)
+    # deterministic range bucket: md5 hex is uniform, so bucket
+    # (prefix32 * num_partitions) >> 32 is balanced without sampling
+    prefix32 = F.conv(F.substring("ord_key", 1, 8), 16, 10).cast("long")
+    keyed = keyed.withColumn(
+        "__bucket", F.shiftright(prefix32 * num_partitions, 32).cast("int")
+    ).repartition(num_partitions, "__bucket")
+    # pass 1: per-bucket token totals (tiny driver collect, O(buckets))
+    totals = keyed.groupBy("__bucket").agg(F.sum(count_col).alias("tot")).collect()
     offsets = {}
     acc = 0
-    for row in sorted(totals, key=lambda r: r["pid"]):
-        offsets[row["pid"]] = acc
+    for row in sorted(totals, key=lambda r: r["__bucket"]):
+        offsets[row["__bucket"]] = acc
         acc += row["tot"] or 0
     bc = df.sparkSession.sparkContext.broadcast(offsets)
 
     from pyspark.sql.types import LongType, StructField, StructType
 
-    out_fields = keyed.schema.fieldNames() + ["token_offset", "seq_id"]
+    out_fields = [f for f in keyed.schema.fieldNames() if f != "__bucket"] + [
+        "token_offset",
+        "seq_id",
+    ]
     schema = StructType(
-        list(keyed.schema.fields)
+        [f for f in keyed.schema.fields if f.name != "__bucket"]
         + [StructField("token_offset", LongType()), StructField("seq_id", LongType())]
     )
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # one partition per task: local cumsum + broadcast global offset.
-        # rows inside a range partition still need the canonical sort —
-        # repartitionByRange places, but does not order within.
-        rows = pd.concat(list(batches)) if batches else None
-        if rows is None or not len(rows):
+        # local cumsum per bucket + broadcast global bucket offset. A
+        # physical partition may hold several buckets (hash placement) or
+        # none (empty partitions are normal when buckets hash-collide).
+        chunks = list(batches)
+        if not chunks:
             return
-        rows = rows.sort_values(["ord_key", id_col], kind="mergesort")
-        import pyspark
-
-        part = pyspark.TaskContext.get().partitionId()
-        start = bc.value.get(part, 0)
-        cum = rows[count_col].cumsum() - rows[count_col]
-        rows["token_offset"] = (cum + start).astype("int64")
-        rows["seq_id"] = (rows["token_offset"] // seq_len).astype("int64")
-        yield rows[out_fields]
+        rows = pd.concat(chunks)
+        if not len(rows):
+            return
+        rows = rows.sort_values(["__bucket", "ord_key", id_col], kind="mergesort")
+        out = []
+        for bucket, grp in rows.groupby("__bucket", sort=True):
+            start = bc.value.get(int(bucket), 0)
+            cum = grp[count_col].cumsum() - grp[count_col]
+            grp = grp.assign(
+                token_offset=(cum + start).astype("int64"),
+            )
+            grp["seq_id"] = (grp["token_offset"] // seq_len).astype("int64")
+            out.append(grp[out_fields])
+        yield pd.concat(out)
 
     return keyed.mapInPandas(scan, schema)
 
@@ -248,7 +263,14 @@ def crossdoc_ngram_dup(
     )
     n_g = F.coalesce("n_grams", F.lit(0))
     dup_g = F.coalesce("dup_grams", F.lit(0))
-    frac = F.round(dup_g / F.greatest(n_g, F.lit(1)).cast("double"), 4)
+    # 4-decimal half-up rounding done in exact integer arithmetic —
+    # floor((dup*10000 + n/2) / n) as (dup*20000 + n) div (2n) — so Spark
+    # and any SQL oracle produce bit-identical doubles (F.round on a
+    # binary double vs another engine's ROUND can differ by 1 ulp at ties)
+    safe = F.greatest(n_g, F.lit(1)).cast("long")
+    num = dup_g.cast("long") * F.lit(20000) + safe
+    den = safe * F.lit(2)
+    frac = ((num - num % den) / den) / F.lit(10000.0)
     return df.select(id_col).join(per_doc, id_col, "left").select(
         F.col(id_col),
         n_g.alias("n_grams"),

@@ -41,7 +41,7 @@ def test_pack_sequences_is_exact_prefix_sum(spark, docs):
         assert got.loc[r["doc_id"], "token_offset"] == r["offset"]
         assert got.loc[r["doc_id"], "seq_id"] == r["offset"] // 64
     # summary partitions the corpus
-    summ = pack_summary(packed_df := pack_sequences(counted, seq_len=64, num_partitions=5)).toPandas()
+    summ = pack_summary(pack_sequences(counted, seq_len=64, num_partitions=5)).toPandas()
     assert summ["n_docs"].sum() == 60
     assert summ["n_tokens"].sum() == ref["token_count"].sum()
 
