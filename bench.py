@@ -173,6 +173,141 @@ def _bench_zarr_pipeline(spark) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _bench_scale_stress(spark, sf_dir: str, factor: int = 10) -> dict:
+    """Subquadratic-growth check (round-2 ask): run the designated scale
+    paths of the dedup/ANN family at 1x and ``factor``x the documents /
+    embeddings corpus and report wall-time growth.
+
+    The scaled corpus is ``factor`` disjoint replicas — texts get a
+    per-replica token suffix (disjoint shingle spaces), embeddings get a
+    per-replica cyclic shift (cosine structure preserved within a replica,
+    decorrelated across replicas) — so the TRUE near-dup structure grows
+    exactly linearly and any superlinear wall growth is the engine's.
+    """
+    from pyspark.sql import functions as F
+
+    from pangeo_forge_recipes_spark.operators.clustering import semantic_dedup
+    from pangeo_forge_recipes_spark.operators.components import dedup_clusters
+    from pangeo_forge_recipes_spark.operators.dedup import minhash_dedup
+    from pangeo_forge_recipes_spark.operators.similarity import ivf_topk
+
+    docs0 = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    embs0 = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+
+    def scaled_docs(f: int):
+        # per-replica alphabet rotation: bijective on chars, so each
+        # replica's internal near-dup structure (shingle-set Jaccard) is
+        # EXACTLY the original's, while char-shingle sets across replicas
+        # are disjoint — no cross-replica LSH collisions, true pair count
+        # scales exactly linearly
+        import string
+
+        lo, up = string.ascii_lowercase, string.ascii_uppercase
+        reps = spark.range(f).withColumnRenamed("id", "rep")
+        text = F.col("text")
+        for r in range(1, f):
+            text = F.when(
+                F.col("rep") == r,
+                F.translate(
+                    F.col("text"), lo + up, lo[r:] + lo[:r] + up[r:] + up[:r]
+                ),
+            ).otherwise(text)
+        return docs0.crossJoin(F.broadcast(reps)).select(
+            (F.col("doc_id") * f + F.col("rep")).alias("doc_id"),
+            text.alias("text"),
+        )
+
+    def scaled_embs(f: int):
+        reps = spark.range(f).withColumnRenamed("id", "rep")
+        dim = F.size("embedding")
+        rolled = F.concat(
+            F.slice(F.col("embedding"), F.col("rep") + 1, dim - F.col("rep")),
+            F.slice(F.col("embedding"), F.lit(1), F.col("rep")),
+        )
+        return embs0.crossJoin(F.broadcast(reps)).select(
+            (F.col("vec_id") * f + F.col("rep")).alias("vec_id"),
+            rolled.alias("embedding"),
+        )
+
+    out = {}
+    width = spark.sparkContext.defaultParallelism
+    for f in (1, factor):
+        # repartition to cluster width: the scaled frame otherwise inherits
+        # the source parquet's handful of partitions and starves the
+        # signature/GEMM stages
+        d = scaled_docs(f).repartition(width).persist()
+        e = scaled_embs(f).repartition(width).persist()
+        n_docs, n_vecs = d.count(), e.count()  # untimed: materialize inputs
+        row = {"n_docs": n_docs, "n_vecs": n_vecs}
+
+        def best2(thunk) -> float:
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                thunk()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            return round(best, 3)
+
+        pairs_holder = {}
+
+        def run_minhash():
+            if "pairs" in pairs_holder:
+                pairs_holder.pop("pairs").unpersist()
+            p = minhash_dedup(d, num_perm=64, bands=16, threshold=0.8).persist()
+            pairs_holder["n"] = p.count()
+            pairs_holder["pairs"] = p
+
+        row["minhash_dedup"] = best2(run_minhash)
+        pairs = pairs_holder["pairs"]
+        row["n_pairs"] = pairs_holder["n"]
+
+        row["dedup_clusters"] = best2(
+            lambda: dedup_clusters(d, pairs)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+        row["semantic_dedup"] = best2(
+            lambda: semantic_dedup(e, k=16, threshold=0.99)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+        # IVF practice: nlist grows with the corpus so inverted-list length
+        # (and so candidates per query) stays constant — self-search with a
+        # FIXED nlist is inherently quadratic in corpus size
+        nlist = max(16, n_vecs // 125)
+        row["ann_ivf_topk"] = best2(
+            lambda: ivf_topk(e, k=3, nprobe=4, n_centroids=nlist)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        row["ivf_nlist"] = nlist
+
+        pairs_holder["pairs"].unpersist()
+        d.unpersist()
+        e.unpersist()
+        out[f"x{f}"] = row
+    base, big = out["x1"], out[f"x{factor}"]
+    out["growth"] = {
+        op: round(big[op] / base[op], 2) if base[op] else None
+        for op in ("minhash_dedup", "dedup_clusters", "semantic_dedup", "ann_ivf_topk")
+    }
+    out["note"] = (
+        f"growth = wall ratio at {factor}x corpus; linear scaling = "
+        f"{factor}.0, sublinear < {factor}.0"
+    )
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -181,9 +316,22 @@ def main() -> None:
     spark = get_spark(app_name="pfrs-bench")
     queries = entrymod.queries()
 
-    # one warm query to JIT the scan path before any timing
+    # Warm-up BEFORE any timing: materialize every cached table (so no
+    # measured query absorbs cache-fill cost) and run one trivial noop
+    # write (so no measured query absorbs the sink's first-use cost).
+    # Round-2 lesson: q1, as the first-timed query, recorded 4.4x its
+    # round-1 time purely because both its runs paid cache/codegen
+    # warm-up after the zarr pipeline churned the executor state.
     entrymod._register(spark, sf_dir)
-    spark.table("lineitem").count()
+    for t in entrymod.TABLES:
+        try:
+            spark.table(t).count()
+        except Exception:
+            pass
+    _materialize(spark.range(8))
+    # fork the python-worker pool before any timing (mapInPandas queries
+    # otherwise pay the 32-worker spawn on their first measured run)
+    _materialize(spark.range(64).repartition(32).mapInPandas(lambda it: it, "id long"))
 
     # pipeline proxy first: measured before the query storm churns the
     # python worker pool (box shows 2-3x wall variance under load)
@@ -216,6 +364,16 @@ def main() -> None:
         )
     concurrent_wall = round(time.perf_counter() - t0, 3)
 
+    # 10x corpus growth check for the subquadratic dedup/ANN paths.
+    # Drop the query storm's cached tables first: the stress section
+    # persists 10x frames of its own, and running it against a block
+    # manager already full of sf0.1 caches measures GC, not growth.
+    if os.environ.get("SPARK_GRAFT_SCALE_STRESS", "1") != "0":
+        spark.catalog.clearCache()
+        scale_stress = _bench_scale_stress(spark, sf_dir)
+    else:
+        scale_stress = None
+
     # apples-to-apples reference: the DuckDB oracle SQL for every headline
     # query that has one, same parquet inputs, single process
     import duckdb
@@ -240,12 +398,18 @@ def main() -> None:
         "multimodal_features",
     }
     duck_total, duck_n = 0.0, 0
-    for name in HEADLINE:
-        if name in oracles and name not in replication_oracles:
-            t0 = time.perf_counter()
-            con.execute(oracles[name]).fetchall()
-            duck_total += time.perf_counter() - t0
-            duck_n += 1
+    matched = [
+        n for n in HEADLINE if n in oracles and n not in replication_oracles
+    ]
+    for name in matched:
+        t0 = time.perf_counter()
+        con.execute(oracles[name]).fetchall()
+        duck_total += time.perf_counter() - t0
+        duck_n += 1
+    # apples-to-apples: Spark sequential time summed over exactly the
+    # queries the oracle wall covers (round-2 ask: the headline ratio
+    # compared 37 Spark queries to 31 oracle queries)
+    spark_matched = sum(timings[n] for n in matched)
 
     print(
         json.dumps(
@@ -254,10 +418,16 @@ def main() -> None:
                 "value": concurrent_wall,
                 "unit": "sec",
                 "queries": timings,
+                "queries_mode": "sequential_best_of_2",
                 "sequential_total": round(sum(timings.values()), 3),
                 "duckdb_oracle_wall": round(duck_total, 3),
                 "duckdb_oracle_queries": duck_n,
+                "spark_matched_subset_total": round(spark_matched, 3),
+                "matched_subset_ratio": round(spark_matched / duck_total, 3)
+                if duck_total
+                else None,
                 "zarr_pipeline": pipeline,
+                "scale_stress": scale_stress,
                 "sf": sf,
             }
         )

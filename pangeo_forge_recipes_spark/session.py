@@ -43,7 +43,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.speculation", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode driver IS the executor: on the target box (32 threads /
+        # 128 GiB) an 8g heap puts cached tables + 32 concurrent task
+        # buffers under constant old-gen GC; size the heap to the box
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.python.filterPushdown.enabled", "true")
         # pin a timezone so NTZ↔LTZ casts (needed because watermarks only
