@@ -743,6 +743,17 @@ FROM s ORDER BY doc_id
 """.strip()
 
 
+def _pos_checksum(var) -> float:
+    """Order-SENSITIVE content checksum: values weighted by their flat
+    position (mod-101 ramp). A combine that permutes, zeroes, or shifts
+    elements changes it; identical arrays produce bit-identical doubles,
+    so the Spark-side store round-trip and the pure-numpy oracle agree
+    exactly."""
+    flat = np.asarray(var.data, dtype="float64").ravel()
+    w = (np.arange(flat.size) % 101 + 1).astype("float64")
+    return float(np.round((flat * w).sum(), 4))
+
+
 def _pipeline_oracle_sql() -> dict[str, str]:
     """Pinned-constant oracles for the Zarr/kerchunk pipeline queries: the
     queries run on the seeded deterministic fixture (make_ds), so the
@@ -770,20 +781,27 @@ def _pipeline_oracle_sql() -> dict[str, str]:
             name,
             int(np.prod(var.data.shape)),
             float(np.round(np.asarray(var.data, dtype="float64").mean(), 6)),
+            _pos_checksum(var),
         )
         for name, var in sorted(ds6.variables.items())
         if var.data.dtype.kind in "if"
     ]
     out["pipeline_zarr_roundtrip"] = rows_sql(
         zarr_rows,
-        [("variable", "VARCHAR"), ("n_elements", "BIGINT"), ("mean_value", "DOUBLE")],
+        [
+            ("variable", "VARCHAR"),
+            ("n_elements", "BIGINT"),
+            ("mean_value", "DOUBLE"),
+            ("pos_checksum", "DOUBLE"),
+        ],
     )
     kerchunk_rows = [
-        (name, int(np.prod(var.data.shape)))
+        (name, int(np.prod(var.data.shape)), _pos_checksum(var))
         for name, var in sorted(ds6.variables.items())
     ]
     out["pipeline_kerchunk_roundtrip"] = rows_sql(
-        kerchunk_rows, [("variable", "VARCHAR"), ("n_elements", "BIGINT")]
+        kerchunk_rows,
+        [("variable", "VARCHAR"), ("n_elements", "BIGINT"), ("pos_checksum", "DOUBLE")],
     )
     ds8 = make_ds(nt=8)
     dim_rows = sorted((d, int(s)) for d, s in ds8.sizes.items())
@@ -1388,9 +1406,13 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 core pipeline smoke: StoreToZarr on deterministic synthetic
-    data, summarized as per-variable checksums (rows-only check)."""
+    data, verified in-query with full element equality (assert_equal) and
+    summarized with an order-sensitive position-weighted checksum the
+    numpy oracle recomputes independently — a permuting/zeroing combine
+    cannot pass."""
     from pangeo_forge_recipes_spark import pattern_from_file_sequence, store_to_zarr
     from pangeo_forge_recipes_spark.dsio import write_npz
+    from pangeo_forge_recipes_spark.ndset import assert_equal
     from tests.data_generation import make_ds
 
     tmp = tempfile.mkdtemp(prefix="pfrs_entry_")
@@ -1403,24 +1425,31 @@ def _zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern = pattern_from_file_sequence(paths, "time", nitems_per_file=2, file_type="npz")
     result = store_to_zarr(spark, pattern, tmp, "out.zarr", target_chunks={"time": 3})
     rt = result.open()
+    assert_equal(rt, ds, check_attrs=False)
     rows = [
         (
             name,
             int(np.prod(var.data.shape)),
-            float(np.round(np.asarray(var.data, dtype="float64").mean(), 6))
-            if var.data.dtype.kind in "if"
-            else 0.0,
+            float(np.round(np.asarray(var.data, dtype="float64").mean(), 6)),
+            _pos_checksum(var),
         )
         for name, var in sorted(rt.variables.items())
         if var.data.dtype.kind in "if"
     ]
-    return spark.createDataFrame(rows, "variable string, n_elements long, mean_value double")
+    return spark.createDataFrame(
+        rows, "variable string, n_elements long, mean_value double, pos_checksum double"
+    )
 
 
 def _kerchunk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.7 kerchunk combine: full element equality asserted
+    in-query plus order-sensitive per-variable checksums recomputed by
+    the numpy oracle (round-2 ask: the count-only summary could not
+    catch a scrambling combine)."""
     from pangeo_forge_recipes_spark import pattern_from_file_sequence, write_combined_reference
     from pangeo_forge_recipes_spark.dsio import write_npz
     from pangeo_forge_recipes_spark.kerchunkio import open_reference_dataset
+    from pangeo_forge_recipes_spark.ndset import assert_equal
     from tests.data_generation import make_ds
 
     tmp = tempfile.mkdtemp(prefix="pfrs_entry_k_")
@@ -1433,11 +1462,14 @@ def _kerchunk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern = pattern_from_file_sequence(paths, "time", nitems_per_file=2, file_type="npz")
     ref = write_combined_reference(spark, pattern, tmp, "ref", max_refs_per_merge=2)
     rt = open_reference_dataset(ref)
+    assert_equal(rt, ds, check_attrs=False)
     rows = [
-        (name, int(np.prod(var.data.shape)))
+        (name, int(np.prod(var.data.shape)), _pos_checksum(var))
         for name, var in sorted(rt.variables.items())
     ]
-    return spark.createDataFrame(rows, "variable string, n_elements long")
+    return spark.createDataFrame(
+        rows, "variable string, n_elements long, pos_checksum double"
+    )
 
 
 def _append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
