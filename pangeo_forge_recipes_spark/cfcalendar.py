@@ -14,9 +14,11 @@ This module supplies the calendar arithmetic cftime would provide:
 * :func:`num2date_components` — offsets → vectorized component arrays
   (the analog of a decoded cftime array, but SQL-groupable)
 
-All supported calendars have fixed-length years, so the conversions are
-pure integer arithmetic (vectorized numpy; negative offsets / years
-before the epoch work via floor division). The ``standard`` family keeps
+The fixed-year calendars (360_day, noleap, all_leap) are pure modular
+integer arithmetic; ``julian`` adds the 4-year leap cycle (every year
+divisible by 4 is leap, no century exception) via 1461-day cycle
+arithmetic. All paths are vectorized numpy; negative offsets / years
+before the epoch work via floor division. The ``standard`` family keeps
 using numpy datetime64 (:mod:`.ndset`).
 """
 
@@ -46,7 +48,11 @@ def is_standard_calendar(calendar: str) -> bool:
 
 
 def is_supported_calendar(calendar: str) -> bool:
-    return calendar in STANDARD_CALENDARS or calendar in _MONTH_DAYS
+    return (
+        calendar in STANDARD_CALENDARS
+        or calendar in _MONTH_DAYS
+        or calendar == "julian"
+    )
 
 
 def _calendar_tables(calendar: str) -> Tuple[np.ndarray, int]:
@@ -55,7 +61,7 @@ def _calendar_tables(calendar: str) -> Tuple[np.ndarray, int]:
     except KeyError:
         raise NotImplementedError(
             f"calendar {calendar!r} is not supported without cftime "
-            f"(supported: standard family + {sorted(_MONTH_DAYS)})"
+            f"(supported: standard family + julian + {sorted(_MONTH_DAYS)})"
         ) from None
     return month_days, int(month_days.sum())
 
@@ -88,15 +94,30 @@ def _parse_units(units: str) -> Tuple[int, Tuple[int, int, int, int, int, int]]:
 def _ordinal(
     year: np.ndarray, month: np.ndarray, day: np.ndarray, calendar: str
 ) -> np.ndarray:
-    """Absolute day number of (year, month, day) in the fixed calendar
-    (day 0 = year 0, Jan 1). Vectorized; months are 1-based."""
+    """Absolute day number of (year, month, day) in the calendar (day 0 =
+    year 0, Jan 1). Vectorized; months are 1-based; negative years work
+    via floor division."""
+    year = np.asarray(year, dtype=np.int64)
+    month = np.asarray(month, dtype=np.int64)
+    day = np.asarray(day, dtype=np.int64)
+    if calendar == "julian":
+        # julian leap rule: every year % 4 == 0 (year 0 included, no
+        # century exception). Leap days fully before year y: ceil(y/4)
+        # == floor((y+3)/4), valid for negative y with floor division.
+        leap = (year % 4) == 0
+        cum = np.concatenate(
+            [[0], np.cumsum(_MONTH_DAYS["noleap"])[:-1]]
+        )
+        return (
+            365 * year
+            + (year + 3) // 4
+            + cum[month - 1]
+            + (leap & (month > 2)).astype(np.int64)
+            + (day - 1)
+        )
     month_days, year_len = _calendar_tables(calendar)
     cum = np.concatenate([[0], np.cumsum(month_days)[:-1]])
-    return (
-        np.asarray(year, dtype=np.int64) * year_len
-        + cum[np.asarray(month, dtype=np.int64) - 1]
-        + (np.asarray(day, dtype=np.int64) - 1)
-    )
+    return year * year_len + cum[month - 1] + (day - 1)
 
 
 def date2num(
@@ -131,17 +152,38 @@ def num2date_components(
     ``{year, month, day, hour, minute, second}`` (cftime.num2date analog,
     but arrays ready for SQL grouping instead of object scalars)."""
     unit_sec, ep = _parse_units(units)
-    month_days, year_len = _calendar_tables(calendar)
-    cum = np.cumsum(month_days)
     epoch_secs = (
         _ordinal([ep[0]], [ep[1]], [ep[2]], calendar)[0] * 86400
         + ep[3] * 3600 + ep[4] * 60 + ep[5]
     )
     total = np.asarray(values, dtype=np.int64) * unit_sec + epoch_secs
     day, rem = np.divmod(total, 86400)
-    year, doy = np.divmod(day, year_len)
-    month = np.searchsorted(cum, doy, side="right") + 1
-    dom = doy - np.concatenate([[0], cum[:-1]])[month - 1] + 1
+    if calendar == "julian":
+        # 1461-day cycle starting at a leap year: [366, 365, 365, 365]
+        cyc, dic = np.divmod(day, 1461)
+        yic = np.where(dic < 366, 0, (dic - 366) // 365 + 1)
+        doy = dic - np.where(yic == 0, 0, 366 + 365 * (yic - 1))
+        year = 4 * cyc + yic
+        leap = yic == 0
+        cum_n = np.cumsum(_MONTH_DAYS["noleap"])
+        cum_l = np.cumsum(_MONTH_DAYS["all_leap"])
+        month = (
+            np.where(
+                leap,
+                np.searchsorted(cum_l, doy, side="right"),
+                np.searchsorted(cum_n, doy, side="right"),
+            )
+            + 1
+        )
+        start_n = np.concatenate([[0], cum_n[:-1]])
+        start_l = np.concatenate([[0], cum_l[:-1]])
+        dom = doy - np.where(leap, start_l[month - 1], start_n[month - 1]) + 1
+    else:
+        month_days, year_len = _calendar_tables(calendar)
+        cum = np.cumsum(month_days)
+        year, doy = np.divmod(day, year_len)
+        month = np.searchsorted(cum, doy, side="right") + 1
+        dom = doy - np.concatenate([[0], cum[:-1]])[month - 1] + 1
     hour, rem = np.divmod(rem, 3600)
     minute, second = np.divmod(rem, 60)
     return {

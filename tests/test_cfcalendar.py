@@ -57,9 +57,50 @@ def test_date2num_roundtrip_noleap_and_all_leap():
 
 def test_unsupported_calendar_raises():
     with pytest.raises(NotImplementedError, match="not supported"):
-        date2num([(2000, 1, 1)], "days since 2000-01-01", "julian")
+        date2num([(2000, 1, 1)], "days since 2000-01-01", "mixed")
     assert is_standard_calendar("proleptic_gregorian")
     assert not is_standard_calendar("360_day")
+    assert not is_standard_calendar("julian")
+
+
+def test_julian_calendar_known_offsets():
+    """Julian leap rule: every year % 4 == 0, INCLUDING century years
+    (1900 and 2100 have a Feb 29, unlike gregorian). Reference decodes
+    julian via cftime (aggregation.py:193-197); offsets here are
+    hand-computed from the leap rule."""
+    units = "days since 2000-01-01"
+    dates = [
+        (2000, 1, 1),
+        (2000, 2, 29),  # 2000 % 4 == 0 → leap
+        (2000, 3, 1),
+        (2001, 3, 1),
+        (1900, 2, 29),  # julian century leap day (not in gregorian)
+        (2100, 2, 29),
+        (1996, 2, 29),
+        (1999, 12, 31),
+    ]
+    nums = date2num(dates, units, "julian")
+    np.testing.assert_array_equal(
+        nums, [0, 59, 60, 425, -36466, 36584, -1402, -1]
+    )
+    comp = num2date_components(nums, units, "julian")
+    got = list(zip(comp["year"], comp["month"], comp["day"]))
+    assert got == [t[:3] for t in dates]
+
+
+def test_julian_calendar_subday_units_and_negative_years():
+    units_h = "hours since 2000-01-01 06:00:00"
+    nums = date2num([(2000, 1, 2, 18, 0, 0)], units_h, "julian")
+    np.testing.assert_array_equal(nums, [36])
+    comp = num2date_components(nums, units_h, "julian")
+    assert comp["day"][0] == 2 and comp["hour"][0] == 18
+    # negative years: year 0 and year -4 are leap (0 % 4 == -4 % 4 == 0)
+    units0 = "days since 0000-01-01"
+    nums = date2num([(0, 3, 1), (-1, 12, 31), (-4, 2, 29)], units0, "julian")
+    np.testing.assert_array_equal(nums, [60, -1, -1402])
+    comp = num2date_components(nums, units0, "julian")
+    got = list(zip(comp["year"], comp["month"], comp["day"]))
+    assert got == [(0, 3, 1), (-1, 12, 31), (-4, 2, 29)]
 
 
 def _make_360day_ds(nt: int, start_num: int = 0) -> NDDataset:
@@ -110,6 +151,47 @@ def test_store_to_zarr_roundtrip_360_day(spark, tmp_path):
     schema = zarr_group_schema(str(tmp_path / "cf.zarr"))
     assert schema["coords"]["time"]["dtype"] == "int64"
     assert schema["coords"]["time"]["encoding"]["calendar"] == "360_day"
+
+
+def test_store_to_zarr_roundtrip_julian(spark, tmp_path):
+    """End-to-end distributed pipeline with the julian calendar."""
+    rng = np.random.RandomState(3)
+    ds = NDDataset(
+        {"foo": Variable(("time", "x"), rng.rand(4, 3))},
+        {
+            "time": Variable(
+                ("time",),
+                np.arange(4, dtype="int64"),
+                encoding={"units": "days since 1900-02-27", "calendar": "julian"},
+            ),
+            "x": Variable(("x",), np.arange(3, dtype="float64")),
+        },
+        {},
+    )
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"j{i}.npz")
+        write_npz(p, ds.isel(time=slice(2 * i, 2 * i + 2)))
+        paths.append(p)
+    pattern = pattern_from_file_sequence(
+        paths, "time", nitems_per_file=2, file_type="npz"
+    )
+    result = store_to_zarr(
+        spark, pattern, str(tmp_path), "jul.zarr", target_chunks={"time": 2}
+    )
+    rt = result.open()
+    assert_equal(rt, ds, check_attrs=False)
+    assert rt.coords["time"].encoding["calendar"] == "julian"
+    # the offsets span the julian century leap day 1900-02-29
+    comp = num2date_components(
+        rt.coords["time"].data, "days since 1900-02-27", "julian"
+    )
+    assert list(zip(comp["month"], comp["day"])) == [
+        (2, 27),
+        (2, 28),
+        (2, 29),
+        (3, 1),
+    ]
 
 
 def test_schema_template_preserves_cftime_units(tmp_path):
