@@ -8,7 +8,10 @@ this module provides both capabilities natively for the common subset:
 * edition 2, one field per message
 * grid definition template 3.0 (regular latitude/longitude)
 * product definition template 4.0 (analysis/forecast at a point in time)
-* data representation template 5.0 (simple packing), no bitmap
+* data representation templates 5.0 (simple packing), 5.2 (complex
+  packing with group splitting) and 5.3 (complex packing + first/second
+  order spatial differencing — the encoding real NWP archives like HRRR
+  use heavily); no bitmap
 * message-filter pushdown (the reference's ``filter_by_keys``, applied
   while scanning headers — reader-level predicate pushdown per SURVEY
   §2's GRIB-filter row; matching messages never have their data bits
@@ -179,11 +182,13 @@ def _parse_message(body: bytes, discipline: int, offset: int, total: int, path: 
             )
         elif sec_num == 5:
             tmpl = _be(sec, 9, 2)
-            if tmpl != 0:
+            if tmpl not in (0, 2, 3):
                 raise NotImplementedError(
                     f"{path}: data representation template {tmpl} unsupported "
-                    "(only 5.0 simple packing)"
+                    "(supported: 5.0 simple, 5.2 complex, 5.3 complex + "
+                    "spatial differencing)"
                 )
+            msg["drs_template"] = tmpl
             msg["n_values"] = _be(sec, 5, 4)
             msg["R"] = float(
                 np.frombuffer(sec[11:15], dtype=">f4")[0]
@@ -191,6 +196,32 @@ def _parse_message(body: bytes, discipline: int, offset: int, total: int, path: 
             msg["E"] = _sm_decode(_be(sec, 15, 2), 2)
             msg["D"] = _sm_decode(_be(sec, 17, 2), 2)
             msg["nbits"] = sec[19]
+            if tmpl in (2, 3):
+                if sec[21] != 1:
+                    raise NotImplementedError(
+                        f"{path}: group splitting method {sec[21]} "
+                        "(only 1, general group splitting)"
+                    )
+                if sec[22] != 0:
+                    raise NotImplementedError(
+                        f"{path}: missing-value management {sec[22]} "
+                        "(only 0, no embedded missing values)"
+                    )
+                msg["NG"] = _be(sec, 31, 4)
+                msg["group_width_ref"] = sec[35]
+                msg["group_width_bits"] = sec[36]
+                msg["group_len_ref"] = _be(sec, 37, 4)
+                msg["group_len_inc"] = sec[41]
+                msg["last_group_len"] = _be(sec, 42, 4)
+                msg["group_len_bits"] = sec[46]
+            if tmpl == 3:
+                msg["spatial_order"] = sec[47]
+                msg["extra_octets"] = sec[48]
+                if msg["spatial_order"] not in (1, 2):
+                    raise NotImplementedError(
+                        f"{path}: spatial differencing order "
+                        f"{msg['spatial_order']} (only 1 or 2)"
+                    )
         elif sec_num == 6:
             if sec[5] != 255:
                 raise NotImplementedError(f"{path}: bitmaps unsupported")
@@ -223,7 +254,93 @@ def _match(msg: dict, filter_by_keys: Optional[dict]) -> bool:
     return True
 
 
+def _decode_complex(msg: dict, packed: bytes) -> np.ndarray:
+    """Decode data section templates 7.2 / 7.3 (complex packing with
+    group splitting, optional spatial differencing). Fully vectorized:
+    the three group-descriptor arrays unpack in one shot each, and the
+    ragged per-group value stream unpacks in one gather per distinct
+    group width (≤ 32 iterations), never per group."""
+    n = msg["n_values"]
+    ng = msg["NG"]
+    pos = 0
+    ivals: List[int] = []
+    gmin = 0
+    if msg["drs_template"] == 3:
+        eo = msg["extra_octets"]
+        order = msg["spatial_order"]
+        for _ in range(order + 1):
+            ivals.append(_sm_decode(_be(packed, pos, eo), eo))
+            pos += eo
+        gmin = ivals.pop()
+    bits = np.unpackbits(np.frombuffer(packed[pos:], np.uint8))
+    bp = 0
+
+    def take(count: int, width: int) -> np.ndarray:
+        """One octet-aligned descriptor array (spec: each of the group
+        reference / width / length arrays starts on a byte boundary)."""
+        nonlocal bp
+        if width == 0:
+            out = np.zeros(count, dtype=np.int64)
+        else:
+            seg = bits[bp : bp + count * width].reshape(count, width)
+            w = np.int64(1) << np.arange(width - 1, -1, -1, dtype=np.int64)
+            out = seg.astype(np.int64) @ w
+            bp += count * width
+        bp = (bp + 7) & ~7
+        return out
+
+    refs = take(ng, msg["nbits"])
+    widths = msg["group_width_ref"] + take(ng, msg["group_width_bits"])
+    lengths = (
+        msg["group_len_ref"]
+        + take(ng, msg["group_len_bits"]) * msg["group_len_inc"]
+    )
+    if ng:
+        lengths[-1] = msg["last_group_len"]
+    if int(lengths.sum()) != n:
+        raise ValueError(
+            f"complex packing: group lengths sum to {int(lengths.sum())}, "
+            f"expected {n} values"
+        )
+    # expand groups: value i in group g starts at
+    # group_bit_start(g) + (i - first_index(g)) * width(g)
+    rep_w = np.repeat(widths, lengths)
+    rep_ref = np.repeat(refs, lengths)
+    group_bit_start = np.concatenate(
+        [[0], np.cumsum(widths * lengths)[:-1]]
+    ) + bp
+    first_idx = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    val_start = (
+        np.repeat(group_bit_start - widths * first_idx, lengths)
+        + np.arange(n, dtype=np.int64) * rep_w
+    )
+    x = np.zeros(n, dtype=np.int64)
+    for w in np.unique(rep_w):
+        if w == 0:
+            continue
+        m = rep_w == w
+        idx = val_start[m][:, None] + np.arange(w)[None, :]
+        wt = np.int64(1) << np.arange(w - 1, -1, -1, dtype=np.int64)
+        x[m] = bits[idx].astype(np.int64) @ wt
+    x = x + rep_ref
+    if msg["drs_template"] == 3:
+        # the unpacked ints are spatial differences (plus the overall
+        # minimum); reconstruct by iterated prefix sums (g2lib recurrence
+        # f(j) = d(j) + gmin + 2 f(j-1) - f(j-2) for order 2)
+        if msg["spatial_order"] == 1:
+            x[0] = ivals[0]
+            x[1:] = x[1:] + gmin
+            x = np.cumsum(x)
+        else:
+            d = x[2:] + gmin
+            u = np.cumsum(np.concatenate([[ivals[1] - ivals[0]], d]))
+            x = np.cumsum(np.concatenate([[ivals[0]], u]))
+    return (msg["R"] + x * 2.0 ** msg["E"]) / 10.0 ** msg["D"]
+
+
 def _decode_values(msg: dict, packed: bytes) -> np.ndarray:
+    if msg.get("drs_template", 0) in (2, 3):
+        return _decode_complex(msg, packed)
     x = _unpack_bits(packed, msg["n_values"], msg["nbits"])
     return (msg["R"] + x * 2.0 ** msg["E"]) / 10.0 ** msg["D"]
 
@@ -447,20 +564,99 @@ def _section(num: int, payload: bytes) -> bytes:
     return (len(payload) + 5).to_bytes(4, "big") + bytes([num]) + payload
 
 
+def _complex_sections(
+    x: np.ndarray, r32: np.float32, e: int, order: int, group_len: int = 20
+) -> Tuple[bytes, bytes]:
+    """Build section 5 (template 5.2 / 5.3) + section 7 (7.2 / 7.3)
+    payloads for the simple-packing ints ``x``. ``order`` 0 → 5.2;
+    1 or 2 → 5.3 with spatial differencing of that order."""
+    extra = b""
+    if order:
+        ivals = [int(v) for v in x[:order]]
+        d = np.diff(x, n=order).astype(np.int64)
+        gmin = int(d.min()) if len(d) else 0
+        arr = np.concatenate([np.zeros(order, dtype=np.int64), d - gmin])
+        eo = 4
+        for v in ivals + [gmin]:
+            extra += _sm_encode(int(v), eo).to_bytes(eo, "big")
+    else:
+        arr = x.astype(np.int64)
+    n = len(arr)
+    ng = max(1, (n + group_len - 1) // group_len)
+    refs = np.empty(ng, dtype=np.int64)
+    widths = np.empty(ng, dtype=np.int64)
+    data_bits = []
+    for g in range(ng):
+        seg = arr[g * group_len : (g + 1) * group_len]
+        refs[g] = seg.min()
+        rel = seg - refs[g]
+        widths[g] = int(rel.max()).bit_length()
+        if widths[g]:
+            b = np.unpackbits(
+                rel.astype(">u4").view(np.uint8).reshape(len(seg), 4), axis=1
+            )[:, 32 - widths[g] :]
+            data_bits.append(b.ravel())
+    nbits_ref = int(refs.max()).bit_length() if ng else 0
+    wbits = int(widths.max()).bit_length() if ng else 0
+    last_len = n - (ng - 1) * group_len
+
+    stream = (
+        np.concatenate(data_bits) if data_bits else np.zeros(0, dtype=np.uint8)
+    )
+    pad = (-len(stream)) % 8
+    if pad:
+        stream = np.concatenate([stream, np.zeros(pad, np.uint8)])
+    sec7 = (
+        extra
+        + _pack_bits(refs, nbits_ref)
+        + _pack_bits(widths, wbits)
+        + b""  # group lengths: 0 bits each (all equal the reference length)
+        + np.packbits(stream).tobytes()
+    )
+    tmpl = 3 if order else 2
+    sec5 = (
+        n.to_bytes(4, "big")
+        + tmpl.to_bytes(2, "big")
+        + np.array(r32, dtype=">f4").tobytes()
+        + _sm_encode(e, 2).to_bytes(2, "big")
+        + _sm_encode(0, 2).to_bytes(2, "big")
+        + bytes([nbits_ref, 0])  # bits per group ref; field type 0 (float)
+        + bytes([1, 0])  # general group splitting; no missing values
+        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+        + ng.to_bytes(4, "big")
+        + bytes([0, wbits])  # group width reference 0; bits per width
+        + group_len.to_bytes(4, "big")  # group length reference
+        + bytes([1])  # length increment
+        + last_len.to_bytes(4, "big")
+        + bytes([0])  # bits per scaled group length (all zero)
+    )
+    if order:
+        sec5 += bytes([order, 4])
+    return sec5, sec7
+
+
 def write_grib2(
     path: str,
     ds: NDDataset,
     levels: Optional[Dict[str, Tuple[str, float]]] = None,
     param_map: Optional[Dict[str, Tuple[int, int, int]]] = None,
+    packing: str = "simple",
 ) -> None:
     """Write an NDDataset as GRIB2 (one message per variable per time
-    step; grid template 3.0, product template 4.0, simple packing).
-    Variables must have dims ``(time, latitude, longitude)``. Variable
-    names map to GRIB parameters via the built-in shortName table or
-    ``param_map[name] = (discipline, category, number)``; ``levels[name]
-    = (typeOfLevel, value)`` defaults to surface."""
+    step; grid template 3.0, product template 4.0). Variables must have
+    dims ``(time, latitude, longitude)``. Variable names map to GRIB
+    parameters via the built-in shortName table or ``param_map[name] =
+    (discipline, category, number)``; ``levels[name] = (typeOfLevel,
+    value)`` defaults to surface. ``packing`` selects the data
+    representation: ``simple`` (5.0), ``complex`` (5.2), or
+    ``complex-diff1`` / ``complex-diff2`` (5.3 with first/second order
+    spatial differencing)."""
     levels = levels or {}
     param_map = param_map or {}
+    pack_modes = {"simple": None, "complex": 0, "complex-diff1": 1, "complex-diff2": 2}
+    if packing not in pack_modes:
+        raise ValueError(f"packing {packing!r}; choose from {sorted(pack_modes)}")
+    complex_order = pack_modes[packing]
     lats = ds.coords["latitude"].data.astype("float64")
     lons = ds.coords["longitude"].data.astype("float64")
     times = ds.coords["time"].data.astype("datetime64[s]")
@@ -528,15 +724,18 @@ def write_grib2(
                 + bytes([lev_code, 0]) + int(lev_value).to_bytes(4, "big")
                 + bytes([0xFF, 0xFF]) + (0xFFFFFFFF).to_bytes(4, "big")
             )
-            sec5 = (
-                (nj * ni).to_bytes(4, "big") + (0).to_bytes(2, "big")
-                + np.array(r32, dtype=">f4").tobytes()
-                + _sm_encode(e, 2).to_bytes(2, "big")
-                + _sm_encode(0, 2).to_bytes(2, "big")
-                + bytes([nbits, 0])
-            )
+            if complex_order is None:
+                sec5 = (
+                    (nj * ni).to_bytes(4, "big") + (0).to_bytes(2, "big")
+                    + np.array(r32, dtype=">f4").tobytes()
+                    + _sm_encode(e, 2).to_bytes(2, "big")
+                    + _sm_encode(0, 2).to_bytes(2, "big")
+                    + bytes([nbits, 0])
+                )
+                sec7 = _pack_bits(x, nbits)
+            else:
+                sec5, sec7 = _complex_sections(x, r32, e, complex_order)
             sec6 = bytes([255])
-            sec7 = _pack_bits(x, nbits)
 
             payload = (
                 _section(1, sec1) + _section(3, sec3) + _section(4, sec4)
