@@ -720,26 +720,25 @@ FROM ranked WHERE rank <= {_ANN_K}
 ORDER BY vec_id, rank
 """.strip()
 
-# operators.multimodal: the deterministic fake decoder derives pixels from
-# sha256(payload) — pixel/feature checksums recover the digest byte sum
-# exactly (integers, no float-rounding risk), which DuckDB recomputes from
-# its own sha256 via hex-digit arithmetic.
+# operators.multimodal: payloads are REAL PNG bytes (pngio.py encode —
+# zlib + per-row filters) whose pixel i is the closed form
+# (doc_id*31 + i*7) % 256. The engine must genuinely inflate+unfilter to
+# recover the pixels; the oracle recomputes the position-weighted
+# checksums straight from the formula (integers, no float-rounding risk;
+# feature blocks are 8 pixels, so round(mean * 2040) is the exact block
+# byte sum).
 _MULTIMODAL_FEATURES_ORACLE = """
-WITH h AS (SELECT doc_id, lower(sha256(text)) AS hx FROM documents),
-s AS (
-  SELECT doc_id,
-         2*( 16*list_sum(list_transform(range(1, 65, 2),
-                 i -> strpos('0123456789abcdef', substring(hx, i, 1)) - 1))
-           +    list_sum(list_transform(range(2, 66, 2),
-                 i -> strpos('0123456789abcdef', substring(hx, i, 1)) - 1)) ) AS checksum
-  FROM h
-)
 SELECT doc_id,
-       CAST(64 AS INT) AS n_pixels,
-       CAST(checksum AS BIGINT) AS pixel_checksum,
+       CAST(128 AS INT) AS n_pixels,
+       CAST(list_sum(list_transform(range(0, 128),
+            i -> ((doc_id*31 + i*7) % 256) * (1 + i % 13))) AS BIGINT)
+         AS pixel_checksum,
        CAST(16 AS INT) AS feat_dim,
-       CAST(checksum AS BIGINT) AS feature_checksum
-FROM s ORDER BY doc_id
+       CAST(list_sum(list_transform(range(0, 16),
+            j -> list_sum(list_transform(range(j*8, j*8 + 8),
+                 i -> (doc_id*31 + i*7) % 256)) * (1 + j % 7))) AS BIGINT)
+         AS feature_checksum
+FROM documents ORDER BY doc_id
 """.strip()
 
 
@@ -1366,26 +1365,34 @@ def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """decode → feature-extract plumbing with integer checksums that
-    recover the sha256 digest byte sum exactly (no float-rounding risk);
-    the oracle recomputes them from DuckDB's sha256."""
+    """REAL image decode through the engine: media payloads are genuine
+    zlib-compressed, per-row-filtered PNG bytes (pngio.py) whose pixel i
+    is the closed form (doc_id*31 + i*7) % 256 — decode_image must
+    actually inflate + unfilter to recover them. Position-weighted
+    (order-sensitive) integer checksums; the oracle recomputes both from
+    the formula. Feature blocks are 8 pixels so round(mean*2040) is the
+    exact block byte sum."""
     from pangeo_forge_recipes_spark.operators.multimodal import (
-        attach_fake_media,
+        attach_png_media,
         decode_image,
         extract_features,
     )
 
     _register(spark, sf_dir)
-    media = attach_fake_media(spark.table("documents"))
+    media = attach_png_media(spark.table("documents"), width=16, height=8)
     dec = decode_image(media)
     feats = extract_features(dec)
     px = dec.select(
         "doc_id",
         F.size("pixels").alias("n_pixels"),
         F.aggregate(
-            "pixels",
+            F.transform(
+                "pixels",
+                lambda x, i: F.round(x.cast("double") * 255, 0)
+                * (F.lit(1) + i % 13),
+            ),
             F.lit(0.0),
-            lambda a, x: a + F.round(x.cast("double") * 255, 0),
+            lambda a, x: a + x,
         )
         .cast("long")
         .alias("pixel_checksum"),
@@ -1394,9 +1401,13 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("features").alias("feat_dim"),
         F.aggregate(
-            "features",
+            F.transform(
+                "features",
+                lambda x, j: F.round(x.cast("double") * 2040, 0)
+                * (F.lit(1) + j % 7),
+            ),
             F.lit(0.0),
-            lambda a, x: a + F.round(x.cast("double") * 1020, 0),
+            lambda a, x: a + x,
         )
         .cast("long")
         .alias("feature_checksum"),

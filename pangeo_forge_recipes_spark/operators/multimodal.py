@@ -2,10 +2,13 @@
 decode / feature-extract / resize / frame-sample stages as Arrow-batched
 ``mapInPandas`` transforms.
 
-The container environment has no image/audio codecs, so the *decode*
-kernels are stubbed exactly as the charter requires: attempting a real
-decode raises ``NotImplementedError`` unless a library is importable, and
-a clearly-marked deterministic fake decoder exercises the real Spark-side
+PNG payloads decode for REAL — :mod:`..pngio` is a pure stdlib+numpy
+codec (zlib inflate + per-row unfilter), so ``decode_image`` does actual
+image decoding with no external library. The container has no JPEG/audio
+codecs, so those decode kernels remain stubbed exactly as the charter
+requires: attempting a real JPEG/audio decode raises
+``NotImplementedError`` unless a library is importable, and a
+clearly-marked deterministic fake decoder exercises the Spark-side
 plumbing (schemas, batching, partitioning) end-to-end.
 
 Scale notes: binary payloads stay opaque to Catalyst (no row explosion
@@ -43,7 +46,45 @@ def attach_fake_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
-def _try_real_decoder():
+def attach_png_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 16,
+    height: int = 8,
+) -> DataFrame:
+    """Synthesize REAL PNG payloads (encoded by :mod:`..pngio`): pixel
+    ``i`` of doc ``d`` is ``(d*31 + i*7) % 256`` — a closed form a SQL
+    oracle can recompute — but the bytes on the wire are genuine
+    zlib-compressed, per-row-filtered PNG that ``decode_image`` must
+    really decode. Filter types cycle with the row and doc so all five
+    unfilter paths are exercised across a corpus."""
+    from ..pngio import encode_png
+
+    n = width * height
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(n, dtype=np.int64)
+        for pdf in batches:
+            blobs = []
+            for d in pdf[id_col]:
+                px = ((int(d) * 31 + idx * 7) % 256).astype(np.uint8)
+                filters = [(int(d) + r) % 5 for r in range(height)]
+                blobs.append(encode_png(px.reshape(height, width), filters))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "media": blobs,
+                    "format": ["image/png"] * len(pdf),
+                    "width": np.full(len(pdf), width, dtype="int32"),
+                    "height": np.full(len(pdf), height, dtype="int32"),
+                    "n_frames": np.ones(len(pdf), dtype="int32"),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(build, MEDIA_SCHEMA)
+
+
+def _try_jpeg_decoder():
     try:
         import PIL.Image  # noqa: F401
 
@@ -55,25 +96,37 @@ def _try_real_decoder():
 def decode_image(df: DataFrame, use_stub: bool = True) -> DataFrame:
     """Decode binary → (doc_id, pixels array<float>) via mapInPandas.
 
-    STUB: no codec libraries exist in this container. With
-    ``use_stub=False`` this raises ``NotImplementedError`` unless PIL is
-    importable; the stub path derives a deterministic 8×8 'thumbnail' from
-    the payload bytes so the Spark plumbing (schema, batch shape,
-    partition flow) is real and testable.
+    PNG blobs (signature-sniffed) decode for REAL through
+    :mod:`..pngio` — zlib inflate + unfilter, grayscale-averaged to
+    normalized floats. JPEG remains a gated stub: no codec library
+    exists in this container, so with ``use_stub=False`` a JPEG blob
+    raises ``NotImplementedError`` unless PIL is importable; other
+    formats take the deterministic sha256 fake so the Spark plumbing
+    (schema, batch shape, partition flow) stays testable end-to-end.
     """
-    real = _try_real_decoder()
-    if not use_stub and real is None:
-        raise NotImplementedError(
-            "image decoding requires PIL/pillow, which is not installed; "
-            "pass use_stub=True for the deterministic fake decoder"
-        )
+    jpeg = _try_jpeg_decoder()
+    from ..pngio import PNG_SIGNATURE, decode_png
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pixels = []
             for blob in pdf["media"]:
+                blob = bytes(blob)
+                if blob[:8] == PNG_SIGNATURE:
+                    arr = decode_png(blob).astype("float32")
+                    if arr.ndim == 3:  # channel-average to grayscale
+                        arr = arr.mean(axis=2)
+                    pixels.append(arr.ravel() / 255.0)
+                    continue
+                if blob[:2] == b"\xff\xd8" and not use_stub:
+                    if jpeg is None:
+                        raise NotImplementedError(
+                            "JPEG decoding requires PIL/pillow, which is "
+                            "not installed; pass use_stub=True for the "
+                            "deterministic fake decoder"
+                        )
                 # deterministic fake decode: sha256-seeded 8x8 grayscale
-                digest = hashlib.sha256(bytes(blob)).digest()
+                digest = hashlib.sha256(blob).digest()
                 arr = np.frombuffer((digest * 2)[:64], dtype=np.uint8).astype("float32")
                 pixels.append(arr / 255.0)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "pixels": pixels})

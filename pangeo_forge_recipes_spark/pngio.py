@@ -1,0 +1,200 @@
+"""Pure stdlib+numpy PNG codec (no PIL/pillow in this container).
+
+Implements the public PNG spec subset that covers real-world thumbnails
+and ML-pipeline image payloads:
+
+* decode: 8/16-bit; color types 0 (gray), 2 (RGB), 3 (palette), 4
+  (gray+alpha), 6 (RGBA); all five filter types (None/Sub/Up/Average/
+  Paeth); interlace 0 (Adam7 raises); ancillary chunks skipped; IDAT
+  spans concatenated; chunk CRCs verified.
+* encode: 8-bit gray/RGB/RGBA with a per-row filter choice (default
+  None; pass ``filters`` to exercise specific filter paths) — used by
+  the multimodal operators and tests to synthesize real PNG payloads.
+
+The decode hot path is row-vectorized: None/Up/Sub are full-numpy (Sub
+via a mod-256 prefix sum along the row); Average and Paeth keep the
+spec's sequential left-dependency per row.
+
+Reference parity note: the reference delegates image IO to external
+codecs; this engine treats images as opaque ``binary`` columns and
+decodes them in Arrow-batched stages (operators/multimodal.py).
+"""
+
+from __future__ import annotations
+
+import binascii
+import struct
+import zlib
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", binascii.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_predict(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a.astype(np.int32) + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out
+
+
+def encode_png(
+    arr: np.ndarray, filters: Optional[Sequence[int]] = None
+) -> bytes:
+    """Encode a uint8 array as PNG: (h, w) gray, (h, w, 3) RGB, or
+    (h, w, 4) RGBA. ``filters`` gives the per-row filter type (0-4,
+    cycled if shorter than the image); default all rows type 0."""
+    arr = np.asarray(arr)
+    if arr.dtype != np.uint8:
+        raise ValueError(f"encode_png needs uint8 input, got {arr.dtype}")
+    if arr.ndim == 2:
+        color_type, channels = 0, 1
+        arr = arr[:, :, None]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        color_type, channels = 2, 3
+    elif arr.ndim == 3 and arr.shape[2] == 4:
+        color_type, channels = 6, 4
+    else:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    h, w = arr.shape[:2]
+    bpp = channels
+    rows = arr.reshape(h, w * channels).astype(np.int32)
+    filt = list(filters) if filters else [0]
+    out_rows: List[bytes] = []
+    prev = np.zeros(w * channels, dtype=np.int32)
+    for r in range(h):
+        line = rows[r]
+        ft = filt[r % len(filt)]
+        left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if ft == 0:
+            enc = line
+        elif ft == 1:
+            enc = line - left
+        elif ft == 2:
+            enc = line - prev
+        elif ft == 3:
+            enc = line - (left + prev) // 2
+        elif ft == 4:
+            enc = line - _paeth_predict(left, prev, upleft)
+        else:
+            raise ValueError(f"filter type {ft} (PNG defines 0-4)")
+        out_rows.append(bytes([ft]) + (enc & 255).astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(b"".join(out_rows), 6)
+    return (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode PNG bytes → uint8/uint16 array of shape (h, w) for
+    grayscale or (h, w, channels) otherwise. Palette images return
+    expanded (h, w, 3) RGB."""
+    data = bytes(data)
+    if data[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    ihdr = None
+    idat: List[bytes] = []
+    plte = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if binascii.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, compression, filter_method, interlace = ihdr
+    if compression != 0 or filter_method != 0:
+        raise ValueError("PNG: nonzero compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("PNG Adam7 interlacing is not supported")
+    if color_type not in _CHANNELS:
+        raise ValueError(f"PNG color type {color_type}")
+    if depth not in (8, 16) or (color_type == 3 and depth != 8):
+        raise NotImplementedError(
+            f"PNG bit depth {depth} for color type {color_type} "
+            "(supported: 8 and 16; palette only 8)"
+        )
+    channels = _CHANNELS[color_type]
+    bytes_per = depth // 8
+    bpp = channels * bytes_per
+    stride = w * bpp
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError(
+            f"PNG data size {raw.size} != expected {h * (stride + 1)}"
+        )
+    raw = raw.reshape(h, stride + 1)
+    recon = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for r in range(h):
+        ft = raw[r, 0]
+        line = raw[r, 1:].astype(np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 1:
+            # Sub: recon(x) = raw(x) + recon(x - bpp) → per-lane mod-256
+            # prefix sum (vectorized)
+            cur = np.cumsum(line.reshape(w, bpp), axis=0).reshape(stride) & 255
+        elif ft == 2:
+            cur = (line + prev) & 255
+        elif ft == 3:
+            cur = line.copy()
+            cur[:bpp] = (cur[:bpp] + prev[:bpp] // 2) & 255
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + (cur[i - bpp] + prev[i]) // 2) & 255
+        elif ft == 4:
+            cur = line.copy()
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 255
+        else:
+            raise ValueError(f"PNG filter type {ft}")
+        recon[r] = cur
+        prev = cur
+    if depth == 16:
+        arr = recon.reshape(h, w, channels, 2).astype(np.uint16)
+        arr = (arr[..., 0] << 8) | arr[..., 1]
+    else:
+        arr = recon.reshape(h, w, channels)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("PNG palette image missing PLTE chunk")
+        arr = plte[arr[:, :, 0]]
+    if arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    return arr

@@ -180,16 +180,33 @@ def test_multimodal_pipeline(spark, docs):
 
 
 def test_decode_image_stub_gate(spark, docs):
-    media = multimodal.attach_fake_media(docs)
+    # JPEG is the gated stub: real decode without PIL raises (in the
+    # task, so it surfaces wrapped in the Spark PythonException)
     try:
         import PIL  # noqa: F401
 
         has_pil = True
     except ImportError:
         has_pil = False
+    jpeg = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff\xe0 not really a jpeg"))],
+        "doc_id long, media binary",
+    )
     if not has_pil:
-        with pytest.raises(NotImplementedError, match="PIL"):
-            multimodal.decode_image(media, use_stub=False)
+        with pytest.raises(Exception, match="PIL"):
+            multimodal.decode_image(jpeg, use_stub=False).collect()
+
+
+def test_decode_image_real_png(spark, docs):
+    """PNG payloads decode for REAL (pngio zlib+unfilter), not via the
+    sha stub: decoded pixels equal the closed-form pixel formula."""
+    media = multimodal.attach_png_media(docs, width=16, height=8)
+    rows = multimodal.decode_image(media).collect()
+    assert len(rows) == 7
+    idx = np.arange(128, dtype=np.int64)
+    for r in rows:
+        want = ((r["doc_id"] * 31 + idx * 7) % 256) / 255.0
+        np.testing.assert_allclose(np.array(r["pixels"]), want, rtol=1e-6)
 
 
 def test_text_operators(spark, docs):

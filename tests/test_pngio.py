@@ -1,0 +1,146 @@
+"""Pure-python PNG codec (pngio.py): spec-subset encode/decode with all
+five filter types, verified against an independent scalar unfilter
+reference and hand-built fixture bytes (no PIL in this container)."""
+
+from __future__ import annotations
+
+import binascii
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from pangeo_forge_recipes_spark.pngio import (
+    PNG_SIGNATURE,
+    decode_png,
+    encode_png,
+)
+
+
+def _scalar_unfilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    """Independent spec-literal unfilter: straight from the PNG RFC
+    pseudocode, one byte at a time (no numpy tricks shared with the
+    implementation under test)."""
+    stride = w * bpp
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.int32)
+    for r in range(h):
+        ft = rows[r, 0]
+        for i in range(stride):
+            x = int(rows[r, 1 + i])
+            a = int(out[r, i - bpp]) if i >= bpp else 0
+            b = int(out[r - 1, i]) if r > 0 else 0
+            c = int(out[r - 1, i - bpp]) if (r > 0 and i >= bpp) else 0
+            if ft == 0:
+                v = x
+            elif ft == 1:
+                v = x + a
+            elif ft == 2:
+                v = x + b
+            elif ft == 3:
+                v = x + (a + b) // 2
+            elif ft == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = x + pred
+            out[r, i] = v % 256
+    return out.astype(np.uint8)
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", binascii.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+@pytest.mark.parametrize("channels", [1, 3, 4])
+@pytest.mark.parametrize("filters", [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_roundtrip_all_filters(channels, filters):
+    rng = np.random.default_rng(7)
+    shape = (11, 13) if channels == 1 else (11, 13, channels)
+    arr = rng.integers(0, 256, shape, dtype=np.uint8)
+    blob = encode_png(arr, filters=filters)
+    assert blob[:8] == PNG_SIGNATURE
+    out = decode_png(blob)
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_decode_matches_scalar_reference():
+    """Cross-check the vectorized unfilter against the spec-literal
+    scalar implementation on every filter type."""
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, (10, 9, 3), dtype=np.uint8)
+    blob = encode_png(arr, filters=[4, 3, 1, 2, 0])
+    # pull the raw filtered stream back out of the IDAT chunk
+    pos = 8
+    idat = b""
+    while pos < len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        tag = blob[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat += blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+    ref = _scalar_unfilter(zlib.decompress(idat), 9, 10, 3)
+    np.testing.assert_array_equal(
+        decode_png(blob).reshape(10, 27), ref
+    )
+
+
+def test_decode_16bit_and_palette_fixtures():
+    # hand-built 16-bit grayscale 2x3, filter 0
+    vals = np.array([[1000, 2000, 3000], [40000, 50000, 65535]], dtype=np.uint16)
+    scan = b"".join(b"\x00" + row.astype(">u2").tobytes() for row in vals)
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 16, 0, 0, 0, 0)
+    blob = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(scan))
+        + _chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(decode_png(blob), vals)
+
+    # hand-built palette 2x2: indices into a 3-entry palette
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    scan = b"\x00\x00\x01" + b"\x00\x02\x01"
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    blob = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", plte)
+        + _chunk(b"IDAT", zlib.compress(scan))
+        + _chunk(b"IEND", b"")
+    )
+    out = decode_png(blob)
+    np.testing.assert_array_equal(
+        out,
+        np.array(
+            [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [0, 255, 0]]],
+            dtype=np.uint8,
+        ),
+    )
+
+
+def test_corrupt_crc_and_bad_signature_raise():
+    arr = np.zeros((2, 2), dtype=np.uint8)
+    blob = bytearray(encode_png(arr))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"JUNK" + bytes(blob[4:]))
+    blob[20] ^= 0xFF  # flip a byte inside IHDR payload → CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(blob))
+
+
+def test_interlace_and_exotic_depth_gated():
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)  # Adam7
+    blob = PNG_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        decode_png(blob)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)  # 4-bit
+    blob = PNG_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="depth"):
+        decode_png(blob)
