@@ -19,8 +19,9 @@ files):
 * datatypes: fixed-point, float, fixed strings, vlen strings, object
   references (for DIMENSION_LIST resolution)
 * layouts: contiguous and chunked (chunk B-tree v1, any depth)
-* filters: deflate (zlib — decodes with the engine's gzip codec);
-  shuffle and others raise a clear error
+* filters: deflate (zlib — decodes with the engine's gzip codec),
+  shuffle (byte transpose), and lzf (pure-python decode of h5py's
+  filter 32000); szip and others raise a clear error
 * dimension naming: ``_ARRAY_DIMENSIONS`` (xarray/kerchunk convention),
   netCDF4 ``DIMENSION_LIST`` object references, or dimension-scale
   ``NAME``/``CLASS`` attributes; falls back to ``phony_dim_<i>``
@@ -548,6 +549,86 @@ def _dims_for(name: str, info: dict, reader: _Reader) -> List[str]:
 
 
 _DEFLATE, _SHUFFLE = 1, 2
+_LZF = 32000  # h5py's registered LZF filter id
+
+
+def lzf_decompress(data: bytes) -> bytes:
+    """Decompress the LZF format (Marc Lehmann's libzf, the public
+    algorithm behind h5py's LZF filter): control byte < 32 → literal run
+    of (ctrl+1) bytes; otherwise a back-reference of length
+    (ctrl>>5)+2 (+extension byte when the 3-bit length saturates) at
+    distance ((ctrl&0x1f)<<8 | next)+1, copied byte-wise (overlap OK)."""
+    data = bytes(data)
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        ctrl = data[i]
+        i += 1
+        if ctrl < 32:
+            cnt = ctrl + 1
+            if i + cnt > n:
+                raise ValueError("lzf: truncated literal run")
+            out += data[i : i + cnt]
+            i += cnt
+        else:
+            ln = ctrl >> 5
+            if ln == 7:
+                ln += data[i]
+                i += 1
+            ln += 2
+            ref = len(out) - (((ctrl & 0x1F) << 8) | data[i]) - 1
+            i += 1
+            if ref < 0:
+                raise ValueError("lzf: back-reference before stream start")
+            for _ in range(ln):
+                out.append(out[ref])
+                ref += 1
+    return bytes(out)
+
+
+def lzf_compress(data: bytes) -> bytes:
+    """Greedy LZF compressor (3-byte hash chain, distances ≤ 8191,
+    match length ≤ 264, literal runs ≤ 32) — enough to generate real
+    compressed fixtures; always produces a valid LZF stream."""
+    data = bytes(data)
+    n = len(data)
+    out = bytearray()
+    table: Dict[bytes, int] = {}
+    lit_start = 0
+    i = 0
+
+    def flush(upto: int) -> None:
+        j = lit_start
+        while j < upto:
+            cnt = min(32, upto - j)
+            out.append(cnt - 1)
+            out.extend(data[j : j + cnt])
+            j += cnt
+
+    while i < n - 2:
+        key = data[i : i + 3]
+        cand = table.get(key)
+        table[key] = i
+        if cand is not None and 0 < i - cand <= 8191:
+            maxlen = min(n - i, 264)
+            ln = 3
+            while ln < maxlen and data[cand + ln] == data[i + ln]:
+                ln += 1
+            flush(i)
+            dist = i - cand - 1
+            enc_len = ln - 2
+            if enc_len < 7:
+                out.append((enc_len << 5) | (dist >> 8))
+            else:
+                out.append((7 << 5) | (dist >> 8))
+                out.append(enc_len - 7)
+            out.append(dist & 0xFF)
+            i += ln
+            lit_start = i
+        else:
+            i += 1
+    flush(n)
+    return bytes(out)
 
 
 def scan_hdf5(path: str, inline_threshold: int = 300) -> dict:
@@ -579,11 +660,14 @@ def scan_hdf5(path: str, inline_threshold: int = 300) -> dict:
                 k: v for k, v in info["attrs"].items() if k not in _NC_HIDDEN_ATTRS
             }
             filters = info.get("filters", [])
-            unsupported = [f for f in filters if f not in (_DEFLATE, _SHUFFLE)]
+            unsupported = [
+                f for f in filters if f not in (_DEFLATE, _SHUFFLE, _LZF)
+            ]
             if unsupported:
                 raise NotImplementedError(
                     f"{path}:{name}: HDF5 filters {unsupported} unsupported "
-                    "(only deflate and shuffle); rewrite without szip/etc"
+                    "(only deflate, shuffle, and lzf); rewrite without "
+                    "szip/etc"
                 )
             if info.get("layout") == "chunked":
                 chunk_shape = info["chunk"]
@@ -609,6 +693,8 @@ def scan_hdf5(path: str, inline_threshold: int = 300) -> dict:
                     )
                 elif f == _DEFLATE:
                     extra.append({"name": "gzip", "configuration": {"level": 1}})
+                elif f == _LZF:
+                    extra.append({"name": "hdf5-lzf"})
             if extra:
                 meta["codecs"] = meta["codecs"] + extra
             if info.get("fill"):
@@ -801,15 +887,20 @@ def write_hdf5(
     path: str,
     ds: NDDataset,
     chunks: Optional[Dict[str, int]] = None,
-    compress: bool = False,
+    compress=False,
     shuffle: bool = False,
 ) -> None:
     """Write an NDDataset as a flat HDF5 file (superblock v0, v1 object
     headers, symbol-table root group, ``_ARRAY_DIMENSIONS`` attributes —
     the xarray/kerchunk convention). Used to generate scanner fixtures;
-    datetimes are CF-encoded like the engine's other containers."""
+    datetimes are CF-encoded like the engine's other containers.
+    ``compress``: False, True/'deflate' (zlib), or 'lzf' (h5py's filter
+    32000)."""
     from .dsio import _encode_for_store
 
+    if compress not in (False, None, True, "deflate", "gzip", "lzf"):
+        raise ValueError(f"compress={compress!r}; use False, 'deflate' or 'lzf'")
+    use_lzf = compress == "lzf"
     chunks = chunks or {}
     variables = {**ds.coords, **ds.data_vars}
     names = sorted(variables)
@@ -873,7 +964,9 @@ def write_hdf5(
                         .reshape(-1, dt.itemsize)
                         .T.tobytes()
                     )
-                if compress:
+                if use_lzf:
+                    raw = lzf_compress(raw)
+                elif compress:
                     raw = zlib.compress(raw, 4)
                 caddr = alloc(raw)
                 chunk_entries.append((origin, caddr, len(raw)))
@@ -908,7 +1001,18 @@ def write_hdf5(
                         + struct.pack("<I", dt.itemsize)
                         + struct.pack("<I", 0)
                     )
-                if compress:
+                if use_lzf:
+                    fname = b"lzf\x00\x00\x00\x00\x00"
+                    # h5py's three client values: (filter version, lzf
+                    # version, uncompressed chunk bytes); odd count → one
+                    # 4-byte pad per the v1 pipeline message layout
+                    entries.append(
+                        struct.pack("<HHHH", _LZF, len(fname), 1, 3)
+                        + fname
+                        + struct.pack("<III", 4, 261, int(np.prod(chunk_dims)) * dt.itemsize)
+                        + struct.pack("<I", 0)
+                    )
+                elif compress:
                     fname = b"deflate\x00"
                     entries.append(
                         struct.pack("<HHHH", _DEFLATE, len(fname), 1, 1)

@@ -176,6 +176,11 @@ class ZarrArray:
         return any(c["name"] == "gzip" for c in self.meta["codecs"])
 
     @property
+    def _has_lzf(self) -> bool:
+        """HDF5 LZF filter (virtual references into h5py-written files)."""
+        return any(c["name"] == "hdf5-lzf" for c in self.meta["codecs"])
+
+    @property
     def _shuffle_elementsize(self) -> int:
         """Element size of the byte-transpose (HDF5 shuffle) codec, 0 if
         absent. Emitted by the HDF5 scanner for shuffle-filtered chunks;
@@ -229,6 +234,10 @@ class ZarrArray:
             )
         if self.compressed:
             buf = zlib.compress(buf, 1)
+        if self._has_lzf:
+            from .hdf5io import lzf_compress
+
+            buf = lzf_compress(buf)
         return buf
 
     def _decode_chunk(self, buf: bytes) -> np.ndarray:
@@ -237,6 +246,10 @@ class ZarrArray:
 
             arr = decode_grib2_message(buf).astype(self.dtype, copy=False).ravel()
             return self._pad_reshape(arr)
+        if self._has_lzf:
+            from .hdf5io import lzf_decompress
+
+            buf = lzf_decompress(buf)
         if self.compressed:
             buf = zlib.decompress(buf)
         es = self._shuffle_elementsize

@@ -183,3 +183,57 @@ def test_kerchunk_pipeline_from_netcdf4(spark, tmp_path):
     )
     assert os.path.exists(ref_path)
     assert_equal(open_reference_dataset(ref_path), ds)
+
+
+def test_lzf_stream_roundtrip_and_known_vectors():
+    from pangeo_forge_recipes_spark.hdf5io import lzf_compress, lzf_decompress
+
+    rng = np.random.default_rng(9)
+    for blob in (
+        b"",
+        b"a",
+        b"abcabcabcabcabcabc",      # short-distance back-references
+        b"x" * 1000,                 # max-length matches
+        rng.integers(0, 256, 5000, dtype=np.uint8).tobytes(),  # incompressible
+        (b"0123456789" * 40) + rng.integers(0, 4, 500, dtype=np.uint8).tobytes(),
+    ):
+        assert lzf_decompress(lzf_compress(blob)) == blob
+    # hand-built streams straight from the public format spec
+    assert lzf_decompress(b"\x02abc") == b"abc"              # literal run
+    assert lzf_decompress(b"\x02abc\x20\x02") == b"abcabc"  # len 3, dist 3
+    assert lzf_decompress(b"\x00a\x20\x00") == b"aaaa"      # overlapping copy
+    with pytest.raises(ValueError, match="back-reference"):
+        lzf_decompress(b"\x00a\x20\x05")
+
+
+def test_write_read_roundtrip_lzf(tmp_path):
+    """h5py's LZF filter (id 32000) decodes through the pure-python
+    codec, with and without the shuffle stage in front."""
+    ds = make_ds(nt=6)
+    for shuffle in (False, True):
+        p = str(tmp_path / f"lzf{int(shuffle)}.h5")
+        write_hdf5(p, ds, chunks={"time": 2}, compress="lzf", shuffle=shuffle)
+        assert_equal(read_hdf5(p), ds, check_attrs=False)
+        refs = scan_hdf5(p)
+        assert_equal(open_reference_dataset(refs), ds, check_attrs=False)
+        import json
+
+        meta = json.loads(refs["foo/zarr.json"])
+        assert {"name": "hdf5-lzf"} in meta["codecs"]
+
+
+def test_store_to_zarr_from_lzf_netcdf4(spark, tmp_path):
+    """The distributed pipeline reads lzf-compressed netcdf4 sources."""
+    ds = make_ds(nt=4)
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"z{i}.h5")
+        write_hdf5(p, ds.isel(time=slice(2 * i, 2 * i + 2)), chunks={"time": 2},
+                   compress="lzf")
+        paths.append(p)
+    pattern = pattern_from_file_sequence(
+        paths, "time", nitems_per_file=2, file_type="netcdf4"
+    )
+    result = store_to_zarr(spark, pattern, str(tmp_path), "lz.zarr",
+                           target_chunks={"time": 2})
+    assert_equal(result.open(), ds, check_attrs=False)
