@@ -720,6 +720,95 @@ FROM ranked WHERE rank <= {_ANN_K}
 ORDER BY vec_id, rank
 """.strip()
 
+# operators.clustering: SemDeDup (k-means then within-cluster pair
+# search). The oracle REPLICATES the whole deterministic pipeline in
+# DuckDB SQL — md5-sampled candidate pool, farthest-point greedy init
+# (recursive CTE carrying the chosen set), five unrolled Lloyd
+# iterations (assign → per-dim per-cluster mean → renormalize, empty
+# clusters keep their centroid), final assignment, exact within-cluster
+# pairs ≥ threshold. Matching hashes prove the distributed
+# broadcast-GEMM/partial-sum implementation computes the same model a
+# single-node engine derives from the math.
+_SEMDEDUP_K = 16
+_SEMDEDUP_T = 0.4
+_SEMDEDUP_ITERS = 5
+_SEMDEDUP_DIM = 64  # embeddings.embedding is FLOAT[64] at every sf
+
+
+def _semdedup_oracle() -> str:
+    k, t, iters = _SEMDEDUP_K, _SEMDEDUP_T, _SEMDEDUP_ITERS
+    cand_n, dim = k * 8, _SEMDEDUP_DIM
+
+    def norm(v: str) -> str:
+        return (
+            f"list_transform({v}, x -> x / greatest(sqrt("
+            f"list_dot_product({v}, {v})), 1e-12))"
+        )
+
+    sql = f"""
+WITH RECURSIVE cand AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS ci,
+         {norm('CAST(embedding AS DOUBLE[])')} AS v
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {cand_n})
+), candmat AS (
+  SELECT list(v ORDER BY ci) AS m FROM cand
+), greedy AS (
+  SELECT 1 AS it, [CAST(0 AS BIGINT)] AS chosen,
+         list_transform(m, u -> list_dot_product(u, m[1])) AS minsim, m
+  FROM candmat
+  UNION ALL
+  SELECT it + 1, list_append(chosen, nxt),
+         list_transform(range(1, len(m) + 1),
+             i -> greatest(minsim[CAST(i AS INT)],
+                           list_dot_product(m[CAST(i AS INT)],
+                                            m[CAST(nxt AS INT) + 1]))),
+         m
+  FROM (SELECT it, chosen, minsim, m,
+               CAST(list_indexof(minsim, list_min(minsim)) - 1 AS BIGINT) AS nxt
+        FROM greedy WHERE it < {k})
+), vecs AS (
+  SELECT vec_id, {norm('CAST(embedding AS DOUBLE[])')} AS vn FROM embeddings
+), c0 AS (
+  SELECT list_transform(list_sort(chosen), c -> m[CAST(c AS INT) + 1]) AS cents
+  FROM greedy WHERE it = {k}
+)"""
+    for j in range(1, iters + 1):
+        sql += f""", a{j} AS (
+  SELECT vec_id, vn, list_indexof(sims, list_max(sims)) - 1 AS cl
+  FROM (SELECT vec_id, vn,
+               list_transform(cents, u -> list_dot_product(vn, u)) AS sims
+        FROM vecs CROSS JOIN c{j - 1})
+), g{j} AS (
+  SELECT cl, list(mv ORDER BY pos) AS mvec
+  FROM (SELECT cl, i AS pos, avg(vn[CAST(i AS INT) + 1]) AS mv
+        FROM a{j} CROSS JOIN range(0, {dim}) t(i)
+        GROUP BY cl, i)
+  GROUP BY cl
+), c{j} AS (
+  SELECT list(cent ORDER BY c) AS cents FROM (
+    SELECT t.c AS c,
+           CASE WHEN g.cl IS NULL THEN p.cents[CAST(t.c AS INT) + 1]
+                ELSE {norm('g.mvec')}
+           END AS cent
+    FROM range(0, {k}) t(c)
+    CROSS JOIN c{j - 1} p
+    LEFT JOIN g{j} g ON g.cl = t.c)
+)"""
+    sql += f""", af AS (
+  SELECT vec_id, vn, list_indexof(sims, list_max(sims)) - 1 AS cl
+  FROM (SELECT vec_id, vn,
+               list_transform(cents, u -> list_dot_product(vn, u)) AS sims
+        FROM vecs CROSS JOIN c{iters})
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.vn, b.vn), 4) AS cosine
+FROM af a JOIN af b ON a.cl = b.cl AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.vn, b.vn) >= {t}
+ORDER BY id_a, id_b"""
+    return sql.strip()
+
+
 # operators.multimodal: payloads are REAL PNG bytes (pngio.py encode —
 # zlib + per-row filters) whose pixel i is the closed form
 # (doc_id*31 + i*7) % 256. The engine must genuinely inflate+unfilter to
@@ -1364,6 +1453,19 @@ def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id", "rank")
 
 
+def _semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SemDeDup pipeline (kmeans_fit farthest-point init + 5 Lloyd
+    iterations + within-cluster exact pair search) — the designated
+    100 TB dedup path past the broadcast bound. Oracle replicates the
+    entire deterministic pipeline in SQL (_semdedup_oracle)."""
+    from pangeo_forge_recipes_spark.operators.clustering import semantic_dedup
+
+    _register(spark, sf_dir)
+    return semantic_dedup(
+        spark.table("embeddings"), k=_SEMDEDUP_K, threshold=_SEMDEDUP_T
+    ).orderBy("id_a", "id_b")
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode through the engine: media payloads are genuine
     zlib-compressed, per-row-filtered PNG bytes (pngio.py) whose pixel i
@@ -1644,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ann_ivf_topk"] = _ivf_topk
     out["ann_cosine_topk"] = _ann_topk
     out["embedding_near_dup"] = _near_dup
+    out["semantic_dedup_pairs"] = _semantic_dedup_q
     out["manifest_outer_product"] = _manifest_query
     # training-data assembly: span dedup, sequence packing, shard layout
     out["dedup_ngram_spans"] = _ngram_span_dedup
@@ -1665,8 +1768,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, sql in shared.items():
         if name not in _SWAPPED_OUT:
             out[name] = _sql_query(sql)
+    # dedup_ngram_signature (GROUP BY of the rolling_min_hash expression
+    # text_fingerprints already grades per-row) yields its slot to
+    # semantic_dedup_pairs — the k-means scale path was the last ungraded
+    # 100 TB operator; the signature text stays warm in the parity pytest
     for name, sql in _text_sql("spark").items():
-        out[name] = _sql_query(sql)
+        if name != "dedup_ngram_signature":
+            out[name] = _sql_query(sql)
     out["events_props_json"] = _sql_query(_props_json_sql("spark"))
     # streaming twins + bespoke joins
     out["events_hourly_rollup_stream"] = _events_rollup_stream
@@ -1703,6 +1811,8 @@ def oracle_sql() -> dict[str, str]:
         "q10_returned_items",
     ):
         out.pop(swapped)  # slots swapped for dedup_clusters + assembly queries
+    out.pop("dedup_ngram_signature")  # slot swapped for semantic_dedup_pairs
+    out["semantic_dedup_pairs"] = _semdedup_oracle()
     out["dedup_ngram_spans"] = _span_dedup_oracle()
     out["pack_sequences"] = _pack_oracle()
     out["corpus_shards"] = _shards_oracle()

@@ -46,7 +46,7 @@ HEADLINE = [
     "top_bigrams",
     "corpus_clean",
     "dedup_exact",
-    "dedup_ngram_signature",
+    "semantic_dedup_pairs",
     "dedup_minhash_pairs",
     "ann_cosine_topk",
     "ann_lsh_topk",
@@ -396,6 +396,7 @@ def main() -> None:
         "ann_lsh_topk",
         "ann_ivf_topk",
         "multimodal_features",
+        "semantic_dedup_pairs",  # oracle runs 5 Lloyd iterations in SQL
     }
     duck_total, duck_n = 0.0, 0
     matched = [

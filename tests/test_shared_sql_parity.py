@@ -69,3 +69,16 @@ def test_rotated_out_sql_still_matches(spark, duck, name):
     got = _summary(spark.sql(sql).toPandas())
     want = _summary(duck.execute(sql).df())
     assert got == want, f"{name}: spark {got} != duckdb {want}"
+
+
+def test_rotated_out_ngram_signature_still_matches(spark, duck):
+    """dedup_ngram_signature yielded its driver slot to
+    semantic_dedup_pairs; its dialect-pair text stays warm here."""
+    entrymod._register(spark, SF_DIR)
+    got = _summary(
+        spark.sql(entrymod._text_sql("spark")["dedup_ngram_signature"]).toPandas()
+    )
+    want = _summary(
+        duck.execute(entrymod._text_sql("duckdb")["dedup_ngram_signature"]).df()
+    )
+    assert got == want
