@@ -6,7 +6,9 @@ cfgrib engine and ``openers.py:191-199`` through kerchunk ``scan_grib``;
 this module provides both capabilities natively for the common subset:
 
 * edition 2, one field per message
-* grid definition template 3.0 (regular latitude/longitude)
+* grid definition templates 3.0 (regular latitude/longitude) and 3.30
+  (Lambert conformal conic — the HRRR/NAM projection; spherical earth,
+  x/y grid coords in meters plus derived 2-D latitude/longitude)
 * product definition template 4.0 (analysis/forecast at a point in time)
 * data representation templates 5.0 (simple packing), 5.2 (complex
   packing with group splitting) and 5.3 (complex packing + first/second
@@ -136,22 +138,51 @@ def _parse_message(body: bytes, discipline: int, offset: int, total: int, path: 
             )
         elif sec_num == 3:
             tmpl = _be(sec, 12, 2)
-            if tmpl != 0:
+            if tmpl not in (0, 30):
                 raise NotImplementedError(
                     f"{path}: grid definition template {tmpl} unsupported "
-                    "(only 3.0 regular lat/lon)"
+                    "(supported: 3.0 regular lat/lon, 3.30 Lambert conformal)"
                 )
+            msg["grid_template"] = tmpl
             msg["ni"] = _be(sec, 30, 4)
             msg["nj"] = _be(sec, 34, 4)
-            msg["la1"] = _sm_decode(_be(sec, 46, 4), 4) / 1e6
-            msg["lo1"] = _be(sec, 50, 4) / 1e6
-            msg["la2"] = _sm_decode(_be(sec, 55, 4), 4) / 1e6
-            msg["lo2"] = _be(sec, 59, 4) / 1e6
-            scan_mode = sec[71]
-            if scan_mode & 0xF0:
-                raise NotImplementedError(
-                    f"{path}: scanning mode {scan_mode:#x} unsupported"
-                )
+            if tmpl == 0:
+                msg["la1"] = _sm_decode(_be(sec, 46, 4), 4) / 1e6
+                msg["lo1"] = _be(sec, 50, 4) / 1e6
+                msg["la2"] = _sm_decode(_be(sec, 55, 4), 4) / 1e6
+                msg["lo2"] = _be(sec, 59, 4) / 1e6
+                scan_mode = sec[71]
+                if scan_mode & 0xF0:
+                    raise NotImplementedError(
+                        f"{path}: scanning mode {scan_mode:#x} unsupported"
+                    )
+            else:  # 3.30 Lambert conformal conic
+                shape = sec[14]
+                if shape == 6:
+                    msg["earth_radius"] = 6371229.0
+                elif shape == 0:
+                    msg["earth_radius"] = 6367470.0
+                elif shape == 1:
+                    msg["earth_radius"] = _be(sec, 16, 4) / 10.0 ** sec[15]
+                else:
+                    raise NotImplementedError(
+                        f"{path}: shape of earth {shape} (spherical only)"
+                    )
+                msg["la1"] = _sm_decode(_be(sec, 38, 4), 4) / 1e6
+                msg["lo1"] = _be(sec, 42, 4) / 1e6
+                msg["lad"] = _sm_decode(_be(sec, 47, 4), 4) / 1e6
+                msg["lov"] = _be(sec, 51, 4) / 1e6
+                msg["dx"] = _be(sec, 55, 4) / 1e3  # mm → m
+                msg["dy"] = _be(sec, 59, 4) / 1e3
+                scan_mode = sec[64]
+                if scan_mode not in (0x40, 0x00):
+                    raise NotImplementedError(
+                        f"{path}: Lambert scanning mode {scan_mode:#x} "
+                        "(supported: +x/+y 0x40 and +x/-y 0x00)"
+                    )
+                msg["j_positive"] = bool(scan_mode & 0x40)
+                msg["latin1"] = _sm_decode(_be(sec, 65, 4), 4) / 1e6
+                msg["latin2"] = _sm_decode(_be(sec, 69, 4), 4) / 1e6
         elif sec_num == 4:
             tmpl = _be(sec, 7, 2)
             if tmpl != 0:
@@ -369,6 +400,83 @@ def _grid_coords(msg: dict) -> Tuple[np.ndarray, np.ndarray]:
     return lats, lons
 
 
+# -- Lambert conformal conic (grid template 3.30; public map projection
+#    formulas, spherical earth) ----------------------------------------------
+
+
+def _lambert_params(msg: dict) -> Tuple[float, float, float, float]:
+    R = msg["earth_radius"]
+    p1, p2 = np.radians(msg["latin1"]), np.radians(msg["latin2"])
+    if abs(p1 - p2) < 1e-12:
+        n = float(np.sin(p1))
+    else:
+        n = float(
+            np.log(np.cos(p1) / np.cos(p2))
+            / np.log(np.tan(np.pi / 4 + p2 / 2) / np.tan(np.pi / 4 + p1 / 2))
+        )
+    F = float(np.cos(p1) * np.tan(np.pi / 4 + p1 / 2) ** n / n)
+    rho0 = R * F / np.tan(np.pi / 4 + np.radians(msg["lad"]) / 2) ** n
+    return R, n, F, float(rho0)
+
+
+def _lambert_forward(msg: dict, lat_deg, lon_deg):
+    """(lat, lon) degrees → projection-plane (x, y) meters."""
+    R, n, F, rho0 = _lambert_params(msg)
+    lam0 = np.radians(msg["lov"])
+    phi = np.radians(np.asarray(lat_deg, dtype="float64"))
+    dlam = (np.radians(np.asarray(lon_deg, dtype="float64")) - lam0 + np.pi) % (
+        2 * np.pi
+    ) - np.pi
+    rho = R * F / np.tan(np.pi / 4 + phi / 2) ** n
+    return rho * np.sin(n * dlam), rho0 - rho * np.cos(n * dlam)
+
+
+def _lambert_inverse(msg: dict, x, y):
+    """Projection-plane (x, y) meters → (lat, lon) degrees (lon in
+    [0, 360), GRIB convention)."""
+    R, n, F, rho0 = _lambert_params(msg)
+    lam0 = np.radians(msg["lov"])
+    x = np.asarray(x, dtype="float64")
+    y = np.asarray(y, dtype="float64")
+    sgn = 1.0 if n >= 0 else -1.0
+    rho = sgn * np.hypot(x, rho0 - y)
+    theta = np.arctan2(sgn * x, sgn * (rho0 - y))
+    phi = 2 * np.arctan((R * F / rho) ** (1.0 / n)) - np.pi / 2
+    lon = (np.degrees(lam0 + theta / n)) % 360.0
+    return np.degrees(phi), lon
+
+
+def _lambert_grid(msg: dict):
+    """1-D x/y coords (meters) + 2-D lat/lon of a 3.30 grid."""
+    x1, y1 = _lambert_forward(msg, msg["la1"], msg["lo1"])
+    x = float(x1) + np.arange(msg["ni"], dtype="float64") * msg["dx"]
+    step = msg["dy"] if msg.get("j_positive", True) else -msg["dy"]
+    y = float(y1) + np.arange(msg["nj"], dtype="float64") * step
+    xx, yy = np.meshgrid(x, y)
+    lat, lon = _lambert_inverse(msg, xx, yy)
+    return x, y, lat, lon
+
+
+def _grid_parts(grid: dict) -> Tuple[Tuple[str, str], Dict[str, "Variable"]]:
+    """((ydim, xdim), coords) for either grid template — the spatial half
+    of the dataset; callers prepend the time axis."""
+    if grid.get("grid_template", 0) == 30:
+        x, y, lat, lon = _lambert_grid(grid)
+        coords = {
+            "y": Variable(("y",), y, {"units": "m", "axis": "Y"}),
+            "x": Variable(("x",), x, {"units": "m", "axis": "X"}),
+            "latitude": Variable(("y", "x"), lat, {"units": "degrees_north"}),
+            "longitude": Variable(("y", "x"), lon, {"units": "degrees_east"}),
+        }
+        return ("y", "x"), coords
+    lats, lons = _grid_coords(grid)
+    coords = {
+        "latitude": Variable(("latitude",), lats, {"units": "degrees_north"}),
+        "longitude": Variable(("longitude",), lons, {"units": "degrees_east"}),
+    }
+    return ("latitude", "longitude"), coords
+
+
 def _group_messages(
     msgs: List[dict], filter_by_keys: Optional[dict]
 ) -> Tuple[Dict[str, List[dict]], np.ndarray, dict]:
@@ -413,7 +521,7 @@ def read_grib2(path: str, filter_by_keys: Optional[dict] = None) -> NDDataset:
     non-matching messages are skipped without unpacking their data."""
     msgs = scan_grib2_messages(path)
     groups, times, grid = _group_messages(msgs, filter_by_keys)
-    lats, lons = _grid_coords(grid)
+    (ydim, xdim), space_coords = _grid_parts(grid)
     data_vars = {}
     with open(path, "rb") as f:
         for name, group in groups.items():
@@ -428,14 +536,10 @@ def read_grib2(path: str, filter_by_keys: Optional[dict] = None) -> NDDataset:
                 "level": group[0]["level"],
             }
             data_vars[name] = Variable(
-                ("time", "latitude", "longitude"), np.stack(planes), attrs
+                ("time", ydim, xdim), np.stack(planes), attrs
             )
-    coords = {
-        "time": Variable(("time",), times),
-        "latitude": Variable(("latitude",), lats, {"units": "degrees_north"}),
-        "longitude": Variable(("longitude",), lons, {"units": "degrees_east"}),
-    }
-    sizes = {"time": len(times), "latitude": len(lats), "longitude": len(lons)}
+    coords = {"time": Variable(("time",), times), **space_coords}
+    sizes = {"time": len(times), ydim: grid["nj"], xdim: grid["ni"]}
     return NDDataset(data_vars, coords, {}, sizes)
 
 
@@ -444,27 +548,34 @@ def grib2_schema(path: str, filter_by_keys: Optional[dict] = None) -> dict:
     ``hdf5_schema``): section headers are parsed, data bits never read."""
     msgs = scan_grib2_messages(path)
     groups, times, grid = _group_messages(msgs, filter_by_keys)
-    lats, lons = _grid_coords(grid)
-    dims = {"time": len(times), "latitude": len(lats), "longitude": len(lons)}
+    (ydim, xdim), space_coords = _grid_parts(grid)
+    dims = {"time": len(times), ydim: grid["nj"], xdim: grid["ni"]}
     schema: dict = {"attrs": {}, "coords": {}, "data_vars": {}, "dims": dims, "chunks": {}}
-    for cname, arr in (("time", times), ("latitude", lats), ("longitude", lons)):
+    schema["coords"]["time"] = {
+        "dims": ["time"],
+        "attrs": {},
+        "dtype": "datetime64[ns]",
+        "shape": [len(times)],
+        "encoding": {},
+    }
+    for cname, var in space_coords.items():
         schema["coords"][cname] = {
-            "dims": [cname],
-            "attrs": {},
-            "dtype": str(arr.dtype) if arr.dtype.kind != "M" else "datetime64[ns]",
-            "shape": [len(arr)],
+            "dims": list(var.dims),
+            "attrs": dict(var.attrs),
+            "dtype": str(var.data.dtype),
+            "shape": list(var.data.shape),
             "encoding": {},
         }
     for name, group in groups.items():
         schema["data_vars"][name] = {
-            "dims": ["time", "latitude", "longitude"],
+            "dims": ["time", ydim, xdim],
             "attrs": {
                 "shortName": group[0]["shortName"],
                 "typeOfLevel": group[0]["typeOfLevel"],
                 "level": group[0]["level"],
             },
             "dtype": "float64",
-            "shape": [dims["time"], dims["latitude"], dims["longitude"]],
+            "shape": [dims["time"], dims[ydim], dims[xdim]],
             "encoding": {},
         }
     return schema
@@ -487,20 +598,31 @@ def scan_grib2(
 
     msgs = scan_grib2_messages(path)
     groups, times, grid = _group_messages(msgs, filter_by_keys)
-    lats, lons = _grid_coords(grid)
+    (ydim, xdim), space_coords = _grid_parts(grid)
     url = f"file://{os.path.abspath(path)}"
     nt, nj, ni = len(times), grid["nj"], grid["ni"]
+    # non-dim coords (the 2-D lat/lon of a projected grid) are declared
+    # via the group 'coordinates' attribute, the engine's convention for
+    # coord-vs-data classification on reopen
+    group_attrs: Dict[str, str] = {}
+    non_dim = sorted(
+        n for n, v in space_coords.items() if list(v.dims) != [n]
+    )
+    if non_dim:
+        group_attrs["coordinates"] = " ".join(non_dim)
     refs: Dict[str, object] = {
         ZARR_JSON: json.dumps(
-            {"zarr_format": 3, "node_type": "group", "attributes": {}}
+            {"zarr_format": 3, "node_type": "group", "attributes": group_attrs}
         )
     }
 
-    def inline_array(name: str, arr: np.ndarray, attrs: dict) -> None:
-        meta = _array_meta([len(arr)], [len(arr)], str(arr.dtype), attrs, [name])
+    def inline_array(name: str, arr: np.ndarray, attrs: dict, dims: List[str]) -> None:
+        shape = list(arr.shape)
+        meta = _array_meta(shape, shape, str(arr.dtype), attrs, dims)
         refs[f"{name}/{ZARR_JSON}"] = json.dumps(meta)
         raw = np.ascontiguousarray(arr, dtype=arr.dtype.newbyteorder("<")).tobytes()
-        refs[f"{name}/c/0"] = "base64:" + base64.b64encode(raw).decode("ascii")
+        key = "/".join([name, "c"] + ["0"] * max(arr.ndim, 1))
+        refs[key] = "base64:" + base64.b64encode(raw).decode("ascii")
 
     # time inlined as CF ints so the virtual store stays numeric
     epoch = np.datetime64("1970-01-01T00:00:00", "s")
@@ -510,9 +632,10 @@ def scan_grib2(
     inline_array(
         "time", tvals,
         {"units": "seconds since 1970-01-01", "calendar": "proleptic_gregorian"},
+        ["time"],
     )
-    inline_array("latitude", lats, {"units": "degrees_north"})
-    inline_array("longitude", lons, {"units": "degrees_east"})
+    for cname, var in space_coords.items():
+        inline_array(cname, var.data, dict(var.attrs), list(var.dims))
 
     for name, group in groups.items():
         attrs = {
@@ -522,7 +645,7 @@ def scan_grib2(
         }
         meta = _array_meta(
             [nt, nj, ni], [1, nj, ni], "float64", attrs,
-            ["time", "latitude", "longitude"],
+            ["time", ydim, xdim],
         )
         meta["codecs"] = [{"name": "grib2-msg"}]
         meta["fill_value"] = "NaN"
@@ -641,6 +764,7 @@ def write_grib2(
     levels: Optional[Dict[str, Tuple[str, float]]] = None,
     param_map: Optional[Dict[str, Tuple[int, int, int]]] = None,
     packing: str = "simple",
+    projection: Optional[dict] = None,
 ) -> None:
     """Write an NDDataset as GRIB2 (one message per variable per time
     step; grid template 3.0, product template 4.0). Variables must have
@@ -650,30 +774,71 @@ def write_grib2(
     value)`` defaults to surface. ``packing`` selects the data
     representation: ``simple`` (5.0), ``complex`` (5.2), or
     ``complex-diff1`` / ``complex-diff2`` (5.3 with first/second order
-    spatial differencing)."""
+    spatial differencing). ``projection`` switches the grid to Lambert
+    conformal (template 3.30): pass ``{"latin1", "latin2", "lov", "lad",
+    "earth_radius"(opt)}`` with variables on dims ``(time, y, x)`` and
+    x/y coords in meters."""
     levels = levels or {}
     param_map = param_map or {}
     pack_modes = {"simple": None, "complex": 0, "complex-diff1": 1, "complex-diff2": 2}
     if packing not in pack_modes:
         raise ValueError(f"packing {packing!r}; choose from {sorted(pack_modes)}")
     complex_order = pack_modes[packing]
-    lats = ds.coords["latitude"].data.astype("float64")
-    lons = ds.coords["longitude"].data.astype("float64")
     times = ds.coords["time"].data.astype("datetime64[s]")
-    for arr, what in ((lats, "latitude"), (lons, "longitude")):
-        if len(arr) > 1 and not np.allclose(np.diff(arr), arr[1] - arr[0]):
-            raise ValueError(f"GRIB2 template 3.0 needs a regular {what} grid")
-    nj, ni = len(lats), len(lons)
 
     def microdeg(v: float) -> int:
         return int(round(v * 1e6))
 
+    if projection is not None:
+        xs = ds.coords["x"].data.astype("float64")
+        ys = ds.coords["y"].data.astype("float64")
+        for arr, what in ((xs, "x"), (ys, "y")):
+            if len(arr) < 2 or not np.allclose(np.diff(arr), arr[1] - arr[0]):
+                raise ValueError(f"template 3.30 needs a regular {what} grid")
+            if arr[1] <= arr[0]:
+                raise ValueError(f"template 3.30 writer needs increasing {what}")
+        nj, ni = len(ys), len(xs)
+        var_dims = ("time", "y", "x")
+        pmsg = {
+            "earth_radius": projection.get("earth_radius", 6371229.0),
+            "latin1": projection["latin1"],
+            "latin2": projection["latin2"],
+            "lov": projection["lov"],
+            "lad": projection["lad"],
+        }
+        la1, lo1 = _lambert_inverse(pmsg, xs[0], ys[0])
+        tmpl_grid = (30).to_bytes(2, "big") + (
+            bytes([6, 0xFF]) + b"\xff\xff\xff\xff"
+            + bytes([0xFF]) + b"\xff\xff\xff\xff"
+            + bytes([0xFF]) + b"\xff\xff\xff\xff"
+            + ni.to_bytes(4, "big") + nj.to_bytes(4, "big")
+            + _sm_encode(microdeg(float(la1)), 4).to_bytes(4, "big")
+            + microdeg(float(lo1) % 360).to_bytes(4, "big")
+            + bytes([0x08])
+            + _sm_encode(microdeg(pmsg["lad"]), 4).to_bytes(4, "big")
+            + microdeg(pmsg["lov"] % 360).to_bytes(4, "big")
+            + int(round((xs[1] - xs[0]) * 1e3)).to_bytes(4, "big")
+            + int(round((ys[1] - ys[0]) * 1e3)).to_bytes(4, "big")
+            + bytes([0x00, 0x40])  # north-pole projection; +x +y scan
+            + _sm_encode(microdeg(pmsg["latin1"]), 4).to_bytes(4, "big")
+            + _sm_encode(microdeg(pmsg["latin2"]), 4).to_bytes(4, "big")
+            + _sm_encode(microdeg(-90.0), 4).to_bytes(4, "big")
+            + (0).to_bytes(4, "big")
+        )
+    else:
+        lats = ds.coords["latitude"].data.astype("float64")
+        lons = ds.coords["longitude"].data.astype("float64")
+        for arr, what in ((lats, "latitude"), (lons, "longitude")):
+            if len(arr) > 1 and not np.allclose(np.diff(arr), arr[1] - arr[0]):
+                raise ValueError(f"GRIB2 template 3.0 needs a regular {what} grid")
+        nj, ni = len(lats), len(lons)
+        var_dims = ("time", "latitude", "longitude")
+        tmpl_grid = None  # built per message below (template 3.0)
+
     messages = []
     for name, var in ds.data_vars.items():
-        if tuple(var.dims) != ("time", "latitude", "longitude"):
-            raise ValueError(
-                f"{name}: GRIB2 writer needs dims (time, latitude, longitude)"
-            )
+        if tuple(var.dims) != var_dims:
+            raise ValueError(f"{name}: GRIB2 writer needs dims {var_dims}")
         if name in param_map:
             disc, cat, num = param_map[name]
         elif name in _PARAM_FOR_NAME:
@@ -698,24 +863,28 @@ def write_grib2(
                 + ts.year.to_bytes(2, "big")
                 + bytes([ts.month, ts.day, ts.hour, ts.minute, ts.second, 0, 2])
             )
-            tmpl3 = (
-                bytes([6, 0xFF]) + b"\xff\xff\xff\xff"
-                + bytes([0xFF]) + b"\xff\xff\xff\xff"
-                + bytes([0xFF]) + b"\xff\xff\xff\xff"
-                + ni.to_bytes(4, "big") + nj.to_bytes(4, "big")
-                + (0).to_bytes(4, "big") + (0xFFFFFFFF).to_bytes(4, "big")
-                + _sm_encode(microdeg(lats[0]), 4).to_bytes(4, "big")
-                + microdeg(lons[0] % 360).to_bytes(4, "big")
-                + bytes([0x30])
-                + _sm_encode(microdeg(lats[-1]), 4).to_bytes(4, "big")
-                + microdeg(lons[-1] % 360).to_bytes(4, "big")
-                + abs(microdeg((lons[-1] - lons[0]) / max(ni - 1, 1))).to_bytes(4, "big")
-                + abs(microdeg((lats[-1] - lats[0]) / max(nj - 1, 1))).to_bytes(4, "big")
-                + bytes([0x00])
-            )
+            if tmpl_grid is not None:
+                grid_body = tmpl_grid
+            else:
+                tmpl3 = (
+                    bytes([6, 0xFF]) + b"\xff\xff\xff\xff"
+                    + bytes([0xFF]) + b"\xff\xff\xff\xff"
+                    + bytes([0xFF]) + b"\xff\xff\xff\xff"
+                    + ni.to_bytes(4, "big") + nj.to_bytes(4, "big")
+                    + (0).to_bytes(4, "big") + (0xFFFFFFFF).to_bytes(4, "big")
+                    + _sm_encode(microdeg(lats[0]), 4).to_bytes(4, "big")
+                    + microdeg(lons[0] % 360).to_bytes(4, "big")
+                    + bytes([0x30])
+                    + _sm_encode(microdeg(lats[-1]), 4).to_bytes(4, "big")
+                    + microdeg(lons[-1] % 360).to_bytes(4, "big")
+                    + abs(microdeg((lons[-1] - lons[0]) / max(ni - 1, 1))).to_bytes(4, "big")
+                    + abs(microdeg((lats[-1] - lats[0]) / max(nj - 1, 1))).to_bytes(4, "big")
+                    + bytes([0x00])
+                )
+                grid_body = (0).to_bytes(2, "big") + tmpl3
             sec3 = (
                 bytes([0]) + (nj * ni).to_bytes(4, "big") + bytes([0, 0])
-                + (0).to_bytes(2, "big") + tmpl3
+                + grid_body
             )
             sec4 = (
                 (0).to_bytes(2, "big") + (0).to_bytes(2, "big")

@@ -268,3 +268,89 @@ def test_complex_packing_filter_pushdown_and_kerchunk(tmp_path):
     refs = scan_grib2(path, filter_by_keys={"shortName": "u"})
     rt = open_reference_dataset(refs)
     np.testing.assert_array_equal(rt.data_vars["u"].data, ds.data_vars["u"].data)
+
+
+def _hrrr_like_proj():
+    return {"latin1": 38.5, "latin2": 38.5, "lov": 262.5, "lad": 38.5}
+
+
+def make_lambert_ds(nt: int = 3, nj: int = 7, ni: int = 9) -> NDDataset:
+    rng = np.random.default_rng(21)
+    time = np.datetime64("2024-03-01T00", "ns") + np.arange(nt) * np.timedelta64(1, "h")
+    # 3 km HRRR-like spacing, grid offset from projection origin
+    x = -120_000.0 + np.arange(ni) * 3000.0
+    y = -90_000.0 + np.arange(nj) * 3000.0
+    t = np.round(rng.uniform(250, 310, (nt, nj, ni)) * 128) / 128
+    return NDDataset(
+        {"t": Variable(("time", "y", "x"), t)},
+        {
+            "time": Variable(("time",), time),
+            "y": Variable(("y",), y, {"units": "m"}),
+            "x": Variable(("x",), x, {"units": "m"}),
+        },
+        {},
+        {"time": nt, "y": nj, "x": ni},
+    )
+
+
+def test_lambert_projection_math_self_consistent():
+    from pangeo_forge_recipes_spark.grib2io import (
+        _lambert_forward,
+        _lambert_inverse,
+    )
+
+    pmsg = {"earth_radius": 6371229.0, **_hrrr_like_proj()}
+    # the projection origin (lad, lov) maps to (0, 0) by construction
+    x0, y0 = _lambert_forward(pmsg, 38.5, 262.5)
+    assert abs(x0) < 1e-6 and abs(y0) < 1e-6
+    # forward/inverse are inverses over a wide swath
+    lat = np.linspace(25, 50, 7)[:, None] + np.zeros((1, 9))
+    lon = np.linspace(235, 285, 9)[None, :] + np.zeros((7, 1))
+    x, y = _lambert_forward(pmsg, lat, lon)
+    lat2, lon2 = _lambert_inverse(pmsg, x, y)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    # secant cone (latin1 != latin2) too
+    pmsg2 = {"earth_radius": 6371229.0, "latin1": 30.0, "latin2": 60.0,
+             "lov": 255.0, "lad": 45.0}
+    x, y = _lambert_forward(pmsg2, lat, lon)
+    lat2, lon2 = _lambert_inverse(pmsg2, x, y)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+
+
+@pytest.mark.parametrize("packing", ["simple", "complex-diff2"])
+def test_lambert_write_read_roundtrip(tmp_path, packing):
+    ds = make_lambert_ds()
+    path = str(tmp_path / "lcc.grib2")
+    write_grib2(path, ds, packing=packing, projection=_hrrr_like_proj())
+    rt = read_grib2(path)
+    assert tuple(rt.data_vars["t"].dims) == ("time", "y", "x")
+    np.testing.assert_array_equal(rt.data_vars["t"].data, ds.data_vars["t"].data)
+    # x/y survive the microdegree quantization of La1/Lo1 to ~meter level
+    np.testing.assert_allclose(rt.coords["x"].data, ds.coords["x"].data, atol=1.0)
+    np.testing.assert_allclose(rt.coords["y"].data, ds.coords["y"].data, atol=1.0)
+    # 2-D lat/lon are the inverse projection of the grid
+    from pangeo_forge_recipes_spark.grib2io import _lambert_forward
+
+    pmsg = {"earth_radius": 6371229.0, **_hrrr_like_proj()}
+    lat, lon = rt.coords["latitude"].data, rt.coords["longitude"].data
+    assert lat.shape == (7, 9) and lon.shape == (7, 9)
+    px, py = _lambert_forward(pmsg, lat, lon)
+    np.testing.assert_allclose(px, np.broadcast_to(rt.coords["x"].data, (7, 9)), atol=1e-3)
+    np.testing.assert_allclose(py, np.broadcast_to(rt.coords["y"].data[:, None], (7, 9)), atol=1e-3)
+    msgs = scan_grib2_messages(path)
+    assert all(m["grid_template"] == 30 for m in msgs)
+
+
+def test_lambert_kerchunk_scan(tmp_path):
+    ds = make_lambert_ds(nt=2)
+    path = str(tmp_path / "lcc2.grib2")
+    write_grib2(path, ds, projection=_hrrr_like_proj())
+    rt = open_reference_dataset(scan_grib2(path))
+    np.testing.assert_array_equal(rt.data_vars["t"].data, ds.data_vars["t"].data)
+    assert rt.coords["latitude"].data.shape == (7, 9)
+    direct = read_grib2(path)
+    np.testing.assert_allclose(
+        rt.coords["latitude"].data, direct.coords["latitude"].data, atol=1e-12
+    )
