@@ -13,7 +13,9 @@ this module provides both capabilities natively for the common subset:
 * data representation templates 5.0 (simple packing), 5.2 (complex
   packing with group splitting) and 5.3 (complex packing + first/second
   order spatial differencing — the encoding real NWP archives like HRRR
-  use heavily); no bitmap
+  use heavily)
+* bitmaps (section 6 indicator 0): missing grid points decode to NaN,
+  and the writer emits a bitmap automatically for non-finite values
 * message-filter pushdown (the reference's ``filter_by_keys``, applied
   while scanning headers — reader-level predicate pushdown per SURVEY
   §2's GRIB-filter row; matching messages never have their data bits
@@ -254,8 +256,16 @@ def _parse_message(body: bytes, discipline: int, offset: int, total: int, path: 
                         f"{msg['spatial_order']} (only 1 or 2)"
                     )
         elif sec_num == 6:
-            if sec[5] != 255:
-                raise NotImplementedError(f"{path}: bitmaps unsupported")
+            if sec[5] == 0:
+                # bitmap applies: one bit per grid point, 1 = data present;
+                # section 7 stores only the present points' values
+                msg["bitmap"] = sec[6:]
+            elif sec[5] != 255:
+                raise NotImplementedError(
+                    f"{path}: bitmap indicator {sec[5]} unsupported "
+                    "(0 = bitmap present and 255 = none are handled; "
+                    "predefined/reused bitmaps are not)"
+                )
         elif sec_num == 7:
             msg["data_offset"] = offset + p + 5
             msg["data_nbytes"] = sec_len - 5
@@ -369,11 +379,29 @@ def _decode_complex(msg: dict, packed: bytes) -> np.ndarray:
     return (msg["R"] + x * 2.0 ** msg["E"]) / 10.0 ** msg["D"]
 
 
+def _apply_bitmap(msg: dict, values: np.ndarray) -> np.ndarray:
+    """Scatter the packed (present-only) values into the full grid; bitmap
+    gaps become NaN (cfgrib's missing-value convention)."""
+    bitmap = msg.get("bitmap")
+    if bitmap is None:
+        return values
+    npoints = msg["ni"] * msg["nj"]
+    mask = np.unpackbits(np.frombuffer(bitmap, np.uint8))[:npoints].astype(bool)
+    if int(mask.sum()) != len(values):
+        raise ValueError(
+            f"GRIB2 bitmap marks {int(mask.sum())} present points but the "
+            f"data section holds {len(values)} values"
+        )
+    full = np.full(npoints, np.nan)
+    full[mask] = values
+    return full
+
+
 def _decode_values(msg: dict, packed: bytes) -> np.ndarray:
     if msg.get("drs_template", 0) in (2, 3):
-        return _decode_complex(msg, packed)
+        return _apply_bitmap(msg, _decode_complex(msg, packed))
     x = _unpack_bits(packed, msg["n_values"], msg["nbits"])
-    return (msg["R"] + x * 2.0 ** msg["E"]) / 10.0 ** msg["D"]
+    return _apply_bitmap(msg, (msg["R"] + x * 2.0 ** msg["E"]) / 10.0 ** msg["D"])
 
 
 def decode_grib2_message(buf: bytes) -> np.ndarray:
@@ -854,7 +882,22 @@ def write_grib2(
             raise ValueError(f"unknown typeOfLevel {lev_name!r}")
         for t in range(var.data.shape[0]):
             field = np.ascontiguousarray(var.data[t], dtype="float64")
-            r32, e, nbits, x = _packing_params(field)
+            finite = np.isfinite(field.ravel())
+            if finite.all():
+                bitmap_sec6 = bytes([255])
+                pack_src = field
+            else:
+                # NaN points → bitmap (one bit per grid point, 1 = present);
+                # section 7 then stores only present values
+                bitmap_sec6 = bytes([0]) + np.packbits(
+                    finite.astype(np.uint8)
+                ).tobytes()
+                pack_src = field.ravel()[finite]
+            if pack_src.size:
+                r32, e, nbits, x = _packing_params(pack_src)
+            else:
+                r32, e, nbits, x = np.float32(0), 0, 0, np.zeros(0, np.int64)
+            npacked = int(x.size)
             ts = times[t].item()  # datetime.datetime
 
             sec1 = (
@@ -895,7 +938,7 @@ def write_grib2(
             )
             if complex_order is None:
                 sec5 = (
-                    (nj * ni).to_bytes(4, "big") + (0).to_bytes(2, "big")
+                    npacked.to_bytes(4, "big") + (0).to_bytes(2, "big")
                     + np.array(r32, dtype=">f4").tobytes()
                     + _sm_encode(e, 2).to_bytes(2, "big")
                     + _sm_encode(0, 2).to_bytes(2, "big")
@@ -904,7 +947,7 @@ def write_grib2(
                 sec7 = _pack_bits(x, nbits)
             else:
                 sec5, sec7 = _complex_sections(x, r32, e, complex_order)
-            sec6 = bytes([255])
+            sec6 = bitmap_sec6
 
             payload = (
                 _section(1, sec1) + _section(3, sec3) + _section(4, sec4)

@@ -354,3 +354,33 @@ def test_lambert_kerchunk_scan(tmp_path):
     np.testing.assert_allclose(
         rt.coords["latitude"].data, direct.coords["latitude"].data, atol=1e-12
     )
+
+
+@pytest.mark.parametrize("packing", ["simple", "complex-diff2"])
+def test_bitmap_nan_roundtrip(tmp_path, packing):
+    """Fields with missing points (NaN) write a section-6 bitmap and
+    decode back with NaN exactly at the missing positions."""
+    ds = make_grib_ds(nt=2)
+    t = ds.data_vars["t"].data.copy()
+    rng = np.random.default_rng(17)
+    mask = rng.random(t.shape) < 0.3
+    t[mask] = np.nan
+    ds.data_vars["t"] = Variable(ds.data_vars["t"].dims, t)
+    path = str(tmp_path / "bm.grib2")
+    write_grib2(path, ds, packing=packing)
+    rt = read_grib2(path)
+    np.testing.assert_array_equal(
+        np.isnan(rt.data_vars["t"].data), np.isnan(t)
+    )
+    np.testing.assert_array_equal(
+        rt.data_vars["t"].data[~np.isnan(t)], t[~np.isnan(t)]
+    )
+    # u (no NaNs) still round-trips without a bitmap
+    np.testing.assert_array_equal(rt.data_vars["u"].data, ds.data_vars["u"].data)
+    msgs = scan_grib2_messages(path)
+    assert any("bitmap" in m for m in msgs)
+    # kerchunk refs decode the bitmapped message too
+    rk = open_reference_dataset(scan_grib2(path))
+    np.testing.assert_array_equal(
+        np.isnan(rk.data_vars["t"].data), np.isnan(t)
+    )
