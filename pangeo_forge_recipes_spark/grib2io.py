@@ -9,7 +9,10 @@ this module provides both capabilities natively for the common subset:
 * grid definition templates 3.0 (regular latitude/longitude) and 3.30
   (Lambert conformal conic — the HRRR/NAM projection; spherical earth,
   x/y grid coords in meters plus derived 2-D latitude/longitude)
-* product definition template 4.0 (analysis/forecast at a point in time)
+* product definition templates 4.0 (analysis/forecast at a point in
+  time) and 4.8 (statistically processed over an interval — the
+  accumulation/average encoding of precipitation-style fields; valid
+  time = end of the interval, ``stepType`` attr carries the process)
 * data representation templates 5.0 (simple packing), 5.2 (complex
   packing with group splitting) and 5.3 (complex packing + first/second
   order spatial differencing — the encoding real NWP archives like HRRR
@@ -187,9 +190,11 @@ def _parse_message(body: bytes, discipline: int, offset: int, total: int, path: 
                 msg["latin2"] = _sm_decode(_be(sec, 69, 4), 4) / 1e6
         elif sec_num == 4:
             tmpl = _be(sec, 7, 2)
-            if tmpl != 0:
+            if tmpl not in (0, 8):
                 raise NotImplementedError(
-                    f"{path}: product definition template {tmpl} unsupported"
+                    f"{path}: product definition template {tmpl} unsupported "
+                    "(supported: 4.0 instantaneous, 4.8 statistically "
+                    "processed / accumulated)"
                 )
             cat, num = sec[9], sec[10]
             msg["parameterCategory"] = cat
@@ -213,6 +218,20 @@ def _parse_message(body: bytes, discipline: int, offset: int, total: int, path: 
                 value / (10 ** _sm_decode(scale, 1)) if scale not in (0, 0xFF)
                 else float(value)
             )
+            if tmpl == 8:
+                # statistical processing over a time interval: octets
+                # 35-41 give the END of the overall interval (= the valid
+                # time for accumulations), octet 47 the process code
+                year = _be(sec, 34, 2)
+                msg["interval_end"] = np.datetime64(
+                    f"{year:04d}-{sec[36]:02d}-{sec[37]:02d}"
+                    f"T{sec[38]:02d}:{sec[39]:02d}:{sec[40]:02d}",
+                    "ns",
+                )
+                stat = sec[46]
+                msg["stepType"] = {
+                    0: "avg", 1: "accum", 2: "max", 3: "min",
+                }.get(stat, f"stat_{stat}")
         elif sec_num == 5:
             tmpl = _be(sec, 9, 2)
             if tmpl not in (0, 2, 3):
@@ -270,9 +289,12 @@ def _parse_message(body: bytes, discipline: int, offset: int, total: int, path: 
             msg["data_offset"] = offset + p + 5
             msg["data_nbytes"] = sec_len - 5
         p += sec_len
-    msg["valid_time"] = msg["ref_time"] + np.timedelta64(
-        int(msg.get("forecast_hours", 0) * 3600), "s"
-    )
+    if "interval_end" in msg:
+        msg["valid_time"] = msg["interval_end"]
+    else:
+        msg["valid_time"] = msg["ref_time"] + np.timedelta64(
+            int(msg.get("forecast_hours", 0) * 3600), "s"
+        )
     return msg
 
 
@@ -485,6 +507,18 @@ def _lambert_grid(msg: dict):
     return x, y, lat, lon
 
 
+def _var_attrs(group: List[dict]) -> dict:
+    """cfgrib-style variable attributes for one message group."""
+    attrs = {
+        "shortName": group[0]["shortName"],
+        "typeOfLevel": group[0]["typeOfLevel"],
+        "level": group[0]["level"],
+    }
+    if "stepType" in group[0]:
+        attrs["stepType"] = group[0]["stepType"]
+    return attrs
+
+
 def _grid_parts(grid: dict) -> Tuple[Tuple[str, str], Dict[str, "Variable"]]:
     """((ydim, xdim), coords) for either grid template — the spatial half
     of the dataset; callers prepend the time axis."""
@@ -558,11 +592,7 @@ def read_grib2(path: str, filter_by_keys: Optional[dict] = None) -> NDDataset:
                 f.seek(m["data_offset"])
                 packed = f.read(m["data_nbytes"])
                 planes.append(_decode_values(m, packed).reshape(m["nj"], m["ni"]))
-            attrs = {
-                "shortName": group[0]["shortName"],
-                "typeOfLevel": group[0]["typeOfLevel"],
-                "level": group[0]["level"],
-            }
+            attrs = _var_attrs(group)
             data_vars[name] = Variable(
                 ("time", ydim, xdim), np.stack(planes), attrs
             )
@@ -597,11 +627,7 @@ def grib2_schema(path: str, filter_by_keys: Optional[dict] = None) -> dict:
     for name, group in groups.items():
         schema["data_vars"][name] = {
             "dims": ["time", ydim, xdim],
-            "attrs": {
-                "shortName": group[0]["shortName"],
-                "typeOfLevel": group[0]["typeOfLevel"],
-                "level": group[0]["level"],
-            },
+            "attrs": _var_attrs(group),
             "dtype": "float64",
             "shape": [dims["time"], dims[ydim], dims[xdim]],
             "encoding": {},
@@ -666,11 +692,7 @@ def scan_grib2(
         inline_array(cname, var.data, dict(var.attrs), list(var.dims))
 
     for name, group in groups.items():
-        attrs = {
-            "shortName": group[0]["shortName"],
-            "typeOfLevel": group[0]["typeOfLevel"],
-            "level": group[0]["level"],
-        }
+        attrs = _var_attrs(group)
         meta = _array_meta(
             [nt, nj, ni], [1, nj, ni], "float64", attrs,
             ["time", ydim, xdim],
@@ -793,6 +815,7 @@ def write_grib2(
     param_map: Optional[Dict[str, Tuple[int, int, int]]] = None,
     packing: str = "simple",
     projection: Optional[dict] = None,
+    statistics: Optional[Dict[str, Tuple[str, float]]] = None,
 ) -> None:
     """Write an NDDataset as GRIB2 (one message per variable per time
     step; grid template 3.0, product template 4.0). Variables must have
@@ -802,12 +825,24 @@ def write_grib2(
     value)`` defaults to surface. ``packing`` selects the data
     representation: ``simple`` (5.0), ``complex`` (5.2), or
     ``complex-diff1`` / ``complex-diff2`` (5.3 with first/second order
-    spatial differencing). ``projection`` switches the grid to Lambert
+    spatial differencing). ``statistics[name] = (stepType,
+    interval_hours)`` writes that variable with product template 4.8
+    (accumulated/averaged over the interval ending at each time step;
+    stepType one of avg/accum/max/min). ``projection`` switches the grid
+    to Lambert
     conformal (template 3.30): pass ``{"latin1", "latin2", "lov", "lad",
     "earth_radius"(opt)}`` with variables on dims ``(time, y, x)`` and
     x/y coords in meters."""
     levels = levels or {}
     param_map = param_map or {}
+    statistics = statistics or {}
+    _STAT_CODES = {"avg": 0, "accum": 1, "max": 2, "min": 3}
+    for sname, (stype, _hrs) in statistics.items():
+        if stype not in _STAT_CODES:
+            raise ValueError(
+                f"statistics[{sname!r}]: stepType {stype!r} "
+                f"(choose from {sorted(_STAT_CODES)})"
+            )
     pack_modes = {"simple": None, "complex": 0, "complex-diff1": 1, "complex-diff2": 2}
     if packing not in pack_modes:
         raise ValueError(f"packing {packing!r}; choose from {sorted(pack_modes)}")
@@ -899,12 +934,21 @@ def write_grib2(
                 r32, e, nbits, x = np.float32(0), 0, 0, np.zeros(0, np.int64)
             npacked = int(x.size)
             ts = times[t].item()  # datetime.datetime
+            stat = statistics.get(name)
+            if stat is not None:
+                # accumulation interval [ts - hours, ts]; reference time
+                # is the interval start, valid time its end
+                import datetime as _dt
+
+                ref = ts - _dt.timedelta(hours=stat[1])
+            else:
+                ref = ts
 
             sec1 = (
                 (0xFFFF).to_bytes(2, "big") + (0xFFFF).to_bytes(2, "big")
                 + bytes([2, 0, 1])
-                + ts.year.to_bytes(2, "big")
-                + bytes([ts.month, ts.day, ts.hour, ts.minute, ts.second, 0, 2])
+                + ref.year.to_bytes(2, "big")
+                + bytes([ref.month, ref.day, ref.hour, ref.minute, ref.second, 0, 2])
             )
             if tmpl_grid is not None:
                 grid_body = tmpl_grid
@@ -929,13 +973,30 @@ def write_grib2(
                 bytes([0]) + (nj * ni).to_bytes(4, "big") + bytes([0, 0])
                 + grid_body
             )
-            sec4 = (
-                (0).to_bytes(2, "big") + (0).to_bytes(2, "big")
-                + bytes([cat, num, 2, 0xFF, 0xFF]) + (0).to_bytes(2, "big")
+            sec4_common = (
+                bytes([cat, num, 2, 0xFF, 0xFF]) + (0).to_bytes(2, "big")
                 + bytes([0, 1]) + (0).to_bytes(4, "big")
                 + bytes([lev_code, 0]) + int(lev_value).to_bytes(4, "big")
                 + bytes([0xFF, 0xFF]) + (0xFFFFFFFF).to_bytes(4, "big")
             )
+            if stat is None:
+                sec4 = (
+                    (0).to_bytes(2, "big") + (0).to_bytes(2, "big")
+                    + sec4_common
+                )
+            else:
+                stype, hrs = stat
+                sec4 = (
+                    (0).to_bytes(2, "big") + (8).to_bytes(2, "big")
+                    + sec4_common
+                    # end of overall interval = the time-coordinate value
+                    + ts.year.to_bytes(2, "big")
+                    + bytes([ts.month, ts.day, ts.hour, ts.minute, ts.second])
+                    + bytes([1]) + (0).to_bytes(4, "big")  # 1 range, 0 missing
+                    + bytes([_STAT_CODES[stype], 2, 1])  # process, incr type, unit h
+                    + int(round(hrs)).to_bytes(4, "big")
+                    + bytes([1]) + (0).to_bytes(4, "big")  # incr unit h, incr 0
+                )
             if complex_order is None:
                 sec5 = (
                     npacked.to_bytes(4, "big") + (0).to_bytes(2, "big")

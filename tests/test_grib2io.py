@@ -384,3 +384,35 @@ def test_bitmap_nan_roundtrip(tmp_path, packing):
     np.testing.assert_array_equal(
         np.isnan(rk.data_vars["t"].data), np.isnan(t)
     )
+
+
+def test_statistical_template_48_roundtrip(tmp_path):
+    """Product template 4.8 (accumulated/averaged fields — the encoding
+    of precipitation accumulations): valid time is the interval END,
+    stepType rides the variable attrs, instantaneous vars coexist."""
+    ds = make_grib_ds(nt=3)
+    path = str(tmp_path / "acc.grib2")
+    write_grib2(path, ds, statistics={"t": ("accum", 6.0)})
+    msgs = scan_grib2_messages(path)
+    t_msgs = [m for m in msgs if m["shortName"] == "t"]
+    u_msgs = [m for m in msgs if m["shortName"] == "u"]
+    assert all(m["stepType"] == "accum" for m in t_msgs)
+    assert all("stepType" not in m for m in u_msgs)
+    # reference time moved back by the interval; valid time unchanged
+    assert all(
+        m["valid_time"] - m["ref_time"] == np.timedelta64(6, "h") for m in t_msgs
+    )
+    rt = read_grib2(path)
+    # both vars land on the same time axis and round-trip exactly
+    np.testing.assert_array_equal(
+        rt.coords["time"].data, ds.coords["time"].data
+    )
+    np.testing.assert_array_equal(rt.data_vars["t"].data, ds.data_vars["t"].data)
+    np.testing.assert_array_equal(rt.data_vars["u"].data, ds.data_vars["u"].data)
+    assert rt.data_vars["t"].attrs["stepType"] == "accum"
+    assert "stepType" not in rt.data_vars["u"].attrs
+    # filter pushdown + kerchunk still work on 4.8 messages
+    only_t = read_grib2(path, filter_by_keys={"shortName": "t"})
+    assert set(only_t.data_vars) == {"t"}
+    rk = open_reference_dataset(scan_grib2(path))
+    np.testing.assert_array_equal(rk.data_vars["t"].data, ds.data_vars["t"].data)
