@@ -300,7 +300,7 @@ def _parse_message(body: bytes, discipline: int, offset: int, total: int, path: 
 
 _FILTER_KEYS = {
     "shortName", "typeOfLevel", "level", "discipline",
-    "parameterCategory", "parameterNumber",
+    "parameterCategory", "parameterNumber", "stepType",
 }
 
 
@@ -541,19 +541,19 @@ def _grid_parts(grid: dict) -> Tuple[Tuple[str, str], Dict[str, "Variable"]]:
 
 def _group_messages(
     msgs: List[dict], filter_by_keys: Optional[dict]
-) -> Tuple[Dict[str, List[dict]], np.ndarray, dict]:
+) -> Tuple[Dict[str, dict], np.ndarray, dict]:
     """Group matching messages per variable, validated against a common
-    grid and time axis. Returns (groups, valid_times, grid_msg)."""
+    grid and time axis. Returns (groups, valid_times, grid_msg).
+
+    Each group value is a dict: ``msgs`` is a ``[time]`` list for
+    single-level variables, or a ``[level][time]`` nested list plus
+    ``levels`` (coordinate values) and ``level_dim`` (= typeOfLevel,
+    the cfgrib convention) when the same shortName appears on several
+    levels forming a complete level × time grid. Incomplete level grids
+    fall back to per-level suffixed variable names."""
     selected = [m for m in msgs if _match(m, filter_by_keys)]
     if not selected:
         raise ValueError(f"no GRIB2 messages match filter {filter_by_keys!r}")
-    groups: Dict[str, List[dict]] = {}
-    for m in selected:
-        name = m["shortName"]
-        if sum(1 for g in groups.get(name, []) if g["valid_time"] == m["valid_time"]):
-            # same var+time twice → distinct levels; disambiguate by level
-            name = f"{m['shortName']}_{m['typeOfLevel']}{m['level']:g}"
-        groups.setdefault(name, []).append(m)
     first = selected[0]
     for m in selected:
         if (m["ni"], m["nj"], m["la1"], m["lo1"]) != (
@@ -566,14 +566,76 @@ def _group_messages(
     times = np.array(
         sorted({m["valid_time"] for m in selected}), dtype="datetime64[ns]"
     )
-    for name, group in groups.items():
-        if len(group) != len(times):
+    nt = len(times)
+    t_index = {t: i for i, t in enumerate(times)}
+
+    # bucket by (shortName, typeOfLevel) → {level → [time] list}
+    buckets: Dict[Tuple[str, str], Dict[float, List[Optional[dict]]]] = {}
+    for m in selected:
+        per_level = buckets.setdefault((m["shortName"], m["typeOfLevel"]), {})
+        slots = per_level.setdefault(m["level"], [None] * nt)
+        i = t_index[m["valid_time"]]
+        if slots[i] is not None:
             raise ValueError(
-                f"variable {name!r} has {len(group)} messages but the file "
-                f"spans {len(times)} valid times"
+                f"duplicate GRIB2 message for {m['shortName']!r} at "
+                f"level {m['level']:g}, time {m['valid_time']}"
             )
-        group.sort(key=lambda m: m["valid_time"])
+        slots[i] = m
+
+    short_counts: Dict[str, int] = {}
+    for sn, _ in buckets:
+        short_counts[sn] = short_counts.get(sn, 0) + 1
+
+    groups: Dict[str, dict] = {}
+
+    def emit(name: str, entry: dict) -> None:
+        if name in groups:
+            raise ValueError(f"GRIB2 variable name collision on {name!r}")
+        groups[name] = entry
+
+    for (sn, lev_type), per_level in sorted(buckets.items()):
+        base = sn if short_counts[sn] == 1 else f"{sn}_{lev_type}"
+        complete = all(
+            all(s is not None for s in slots) for slots in per_level.values()
+        )
+        if len(per_level) == 1 and complete:
+            (slots,) = per_level.values()
+            emit(base, {"msgs": slots, "levels": None, "level_dim": None})
+        elif complete:
+            # full level × time grid → one variable with a level dim
+            # (descending for pressure levels, the conventional order)
+            levels = sorted(per_level, reverse=(lev_type == "isobaricInhPa"))
+            emit(
+                base,
+                {
+                    "msgs": [per_level[lv] for lv in levels],
+                    "levels": np.array(levels, dtype="float64"),
+                    "level_dim": lev_type,
+                },
+            )
+        else:
+            for lv, slots in sorted(per_level.items()):
+                present = [s for s in slots if s is not None]
+                if len(present) != nt:
+                    raise ValueError(
+                        f"variable {sn!r} level {lv:g} has {len(present)} "
+                        f"messages but the file spans {nt} valid times"
+                    )
+                emit(
+                    f"{sn}_{lev_type}{lv:g}",
+                    {"msgs": slots, "levels": None, "level_dim": None},
+                )
     return groups, times, first
+
+
+def _group_attrs(entry: dict) -> dict:
+    """Variable attrs from a group entry's first message."""
+    m = entry["msgs"][0][0] if entry["levels"] is not None else entry["msgs"][0]
+    group = [m]
+    attrs = _var_attrs(group)
+    if entry["levels"] is not None:
+        attrs.pop("level", None)  # the level dim carries the values
+    return attrs
 
 
 def read_grib2(path: str, filter_by_keys: Optional[dict] = None) -> NDDataset:
@@ -585,19 +647,41 @@ def read_grib2(path: str, filter_by_keys: Optional[dict] = None) -> NDDataset:
     groups, times, grid = _group_messages(msgs, filter_by_keys)
     (ydim, xdim), space_coords = _grid_parts(grid)
     data_vars = {}
+    level_coords: Dict[str, np.ndarray] = {}
+
     with open(path, "rb") as f:
-        for name, group in groups.items():
-            planes = []
-            for m in group:
-                f.seek(m["data_offset"])
-                packed = f.read(m["data_nbytes"])
-                planes.append(_decode_values(m, packed).reshape(m["nj"], m["ni"]))
-            attrs = _var_attrs(group)
-            data_vars[name] = Variable(
-                ("time", ydim, xdim), np.stack(planes), attrs
-            )
+
+        def decode(m: dict) -> np.ndarray:
+            f.seek(m["data_offset"])
+            packed = f.read(m["data_nbytes"])
+            return _decode_values(m, packed).reshape(m["nj"], m["ni"])
+
+        for name, entry in groups.items():
+            attrs = _group_attrs(entry)
+            if entry["levels"] is None:
+                planes = [decode(m) for m in entry["msgs"]]
+                data_vars[name] = Variable(
+                    ("time", ydim, xdim), np.stack(planes), attrs
+                )
+            else:
+                ld = entry["level_dim"]
+                prev = level_coords.get(ld)
+                if prev is not None and not np.array_equal(prev, entry["levels"]):
+                    raise NotImplementedError(
+                        f"variables share level dim {ld!r} with different "
+                        "level sets; filter_by_keys to one variable"
+                    )
+                level_coords[ld] = entry["levels"]
+                cube = np.stack(
+                    [[decode(m) for m in row] for row in entry["msgs"]]
+                ).swapaxes(0, 1)  # (time, level, y, x)
+                data_vars[name] = Variable(("time", ld, ydim, xdim), cube, attrs)
+
     coords = {"time": Variable(("time",), times), **space_coords}
     sizes = {"time": len(times), ydim: grid["nj"], xdim: grid["ni"]}
+    for ld, levels in level_coords.items():
+        coords[ld] = Variable((ld,), levels, {"typeOfLevel": ld})
+        sizes[ld] = len(levels)
     return NDDataset(data_vars, coords, {}, sizes)
 
 
@@ -624,12 +708,25 @@ def grib2_schema(path: str, filter_by_keys: Optional[dict] = None) -> dict:
             "shape": list(var.data.shape),
             "encoding": {},
         }
-    for name, group in groups.items():
+    for name, entry in groups.items():
+        if entry["levels"] is None:
+            vdims = ["time", ydim, xdim]
+        else:
+            ld = entry["level_dim"]
+            dims[ld] = len(entry["levels"])
+            schema["coords"][ld] = {
+                "dims": [ld],
+                "attrs": {"typeOfLevel": ld},
+                "dtype": "float64",
+                "shape": [len(entry["levels"])],
+                "encoding": {},
+            }
+            vdims = ["time", ld, ydim, xdim]
         schema["data_vars"][name] = {
-            "dims": ["time", ydim, xdim],
-            "attrs": _var_attrs(group),
+            "dims": vdims,
+            "attrs": _group_attrs(entry),
             "dtype": "float64",
-            "shape": [dims["time"], dims[ydim], dims[xdim]],
+            "shape": [dims[d] for d in vdims],
             "encoding": {},
         }
     return schema
@@ -691,17 +788,41 @@ def scan_grib2(
     for cname, var in space_coords.items():
         inline_array(cname, var.data, dict(var.attrs), list(var.dims))
 
-    for name, group in groups.items():
-        attrs = _var_attrs(group)
-        meta = _array_meta(
-            [nt, nj, ni], [1, nj, ni], "float64", attrs,
-            ["time", ydim, xdim],
-        )
-        meta["codecs"] = [{"name": "grib2-msg"}]
-        meta["fill_value"] = "NaN"
-        refs[f"{name}/{ZARR_JSON}"] = json.dumps(meta)
-        for t, m in enumerate(group):
-            refs[f"{name}/c/{t}/0/0"] = [url, m["offset"], m["length"]]
+    level_inlined: Dict[str, np.ndarray] = {}
+    for name, entry in groups.items():
+        attrs = _group_attrs(entry)
+        if entry["levels"] is None:
+            meta = _array_meta(
+                [nt, nj, ni], [1, nj, ni], "float64", attrs,
+                ["time", ydim, xdim],
+            )
+            meta["codecs"] = [{"name": "grib2-msg"}]
+            meta["fill_value"] = "NaN"
+            refs[f"{name}/{ZARR_JSON}"] = json.dumps(meta)
+            for t, m in enumerate(entry["msgs"]):
+                refs[f"{name}/c/{t}/0/0"] = [url, m["offset"], m["length"]]
+        else:
+            ld = entry["level_dim"]
+            prev = level_inlined.get(ld)
+            if prev is not None and not np.array_equal(prev, entry["levels"]):
+                raise NotImplementedError(
+                    f"variables share level dim {ld!r} with different "
+                    "level sets; filter_by_keys to one variable"
+                )
+            if prev is None:
+                level_inlined[ld] = entry["levels"]
+                inline_array(ld, entry["levels"], {"typeOfLevel": ld}, [ld])
+            nl = len(entry["levels"])
+            meta = _array_meta(
+                [nt, nl, nj, ni], [1, 1, nj, ni], "float64", attrs,
+                ["time", ld, ydim, xdim],
+            )
+            meta["codecs"] = [{"name": "grib2-msg"}]
+            meta["fill_value"] = "NaN"
+            refs[f"{name}/{ZARR_JSON}"] = json.dumps(meta)
+            for li, row in enumerate(entry["msgs"]):
+                for t, m in enumerate(row):
+                    refs[f"{name}/c/{t}/{li}/0/0"] = [url, m["offset"], m["length"]]
     return refs
 
 

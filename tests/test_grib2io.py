@@ -416,3 +416,44 @@ def test_statistical_template_48_roundtrip(tmp_path):
     assert set(only_t.data_vars) == {"t"}
     rk = open_reference_dataset(scan_grib2(path))
     np.testing.assert_array_equal(rk.data_vars["t"].data, ds.data_vars["t"].data)
+
+
+def test_multi_level_stacking(tmp_path):
+    """Messages for one shortName on several isobaric levels stack into a
+    single 4-D variable with an isobaricInhPa dim (descending pressure,
+    cfgrib convention) in read, schema, and kerchunk scan."""
+    base = make_grib_ds(nt=2)
+    t = base.data_vars["t"]
+    ds = NDDataset(
+        {"t500": t, "t850": Variable(t.dims, t.data + 8.0), "u": base.data_vars["u"]},
+        dict(base.coords), {}, dict(base.sizes),
+    )
+    path = str(tmp_path / "lev.grib2")
+    write_grib2(
+        path, ds,
+        param_map={"t500": (0, 0, 0), "t850": (0, 0, 0)},
+        levels={"t500": ("isobaricInhPa", 500), "t850": ("isobaricInhPa", 850)},
+    )
+    rt = read_grib2(path)
+    assert set(rt.data_vars) == {"t", "u"}
+    tv = rt.data_vars["t"]
+    assert tuple(tv.dims) == ("time", "isobaricInhPa", "latitude", "longitude")
+    np.testing.assert_array_equal(
+        rt.coords["isobaricInhPa"].data, [850.0, 500.0]
+    )
+    np.testing.assert_array_equal(tv.data[:, 1], t.data)        # 500 hPa
+    np.testing.assert_array_equal(tv.data[:, 0], t.data + 8.0)  # 850 hPa
+    assert "level" not in tv.attrs
+    # u stays 3-D
+    assert tuple(rt.data_vars["u"].dims) == ("time", "latitude", "longitude")
+    # schema agrees
+    sch = grib2_schema(path)
+    assert sch["data_vars"]["t"]["dims"] == ["time", "isobaricInhPa", "latitude", "longitude"]
+    assert sch["dims"]["isobaricInhPa"] == 2
+    # kerchunk scan round-trips the stack
+    rk = open_reference_dataset(scan_grib2(path))
+    np.testing.assert_array_equal(rk.data_vars["t"].data, tv.data)
+    np.testing.assert_array_equal(rk.coords["isobaricInhPa"].data, [850.0, 500.0])
+    # level filter selects a single level → back to 3-D
+    one = read_grib2(path, filter_by_keys={"level": 500.0})
+    assert tuple(one.data_vars["t"].dims) == ("time", "latitude", "longitude")
