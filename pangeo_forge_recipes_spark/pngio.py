@@ -5,8 +5,9 @@ and ML-pipeline image payloads:
 
 * decode: 8/16-bit; color types 0 (gray), 2 (RGB), 3 (palette), 4
   (gray+alpha), 6 (RGBA); all five filter types (None/Sub/Up/Average/
-  Paeth); interlace 0 (Adam7 raises); ancillary chunks skipped; IDAT
-  spans concatenated; chunk CRCs verified.
+  Paeth); both interlace methods (none and Adam7 — seven
+  independently-filtered passes scattered back into the image);
+  ancillary chunks skipped; IDAT spans concatenated; CRCs verified.
 * encode: 8-bit gray/RGB/RGBA with a per-row filter choice (default
   None; pass ``filters`` to exercise specific filter paths) — used by
   the multimodal operators and tests to synthesize real PNG payloads.
@@ -103,57 +104,12 @@ def encode_png(
     )
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """Decode PNG bytes → uint8/uint16 array of shape (h, w) for
-    grayscale or (h, w, channels) otherwise. Palette images return
-    expanded (h, w, 3) RGB."""
-    data = bytes(data)
-    if data[:8] != PNG_SIGNATURE:
-        raise ValueError("not a PNG (bad signature)")
-    pos = 8
-    ihdr = None
-    idat: List[bytes] = []
-    plte = None
-    while pos < len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        payload = data[pos + 8 : pos + 8 + length]
-        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
-        if binascii.crc32(tag + payload) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
-        if tag == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", payload)
-        elif tag == b"IDAT":
-            idat.append(payload)
-        elif tag == b"PLTE":
-            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
-        elif tag == b"IEND":
-            break
-        pos += 12 + length
-    if ihdr is None:
-        raise ValueError("PNG missing IHDR")
-    w, h, depth, color_type, compression, filter_method, interlace = ihdr
-    if compression != 0 or filter_method != 0:
-        raise ValueError("PNG: nonzero compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("PNG Adam7 interlacing is not supported")
-    if color_type not in _CHANNELS:
-        raise ValueError(f"PNG color type {color_type}")
-    if depth not in (8, 16) or (color_type == 3 and depth != 8):
-        raise NotImplementedError(
-            f"PNG bit depth {depth} for color type {color_type} "
-            "(supported: 8 and 16; palette only 8)"
-        )
-    channels = _CHANNELS[color_type]
-    bytes_per = depth // 8
-    bpp = channels * bytes_per
-    stride = w * bpp
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
-    if raw.size != h * (stride + 1):
-        raise ValueError(
-            f"PNG data size {raw.size} != expected {h * (stride + 1)}"
-        )
-    raw = raw.reshape(h, stride + 1)
+def _unfilter(raw: np.ndarray, bpp: int) -> np.ndarray:
+    """Reverse the per-row filters of one (sub)image. ``raw`` is
+    (h, stride+1) uint8 — filter byte + filtered scanline per row."""
+    h, stride1 = raw.shape
+    stride = stride1 - 1
+    w = stride // bpp
     recon = np.empty((h, stride), np.uint8)
     prev = np.zeros(stride, np.int32)
     for r in range(h):
@@ -186,6 +142,93 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"PNG filter type {ft}")
         recon[r] = cur
         prev = cur
+    return recon
+
+
+# Adam7: (x0, y0, dx, dy) per pass (spec starting_col/starting_row tables)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _deinterlace_adam7(decomp: np.ndarray, w: int, h: int, bpp: int) -> np.ndarray:
+    """Seven independently-filtered Adam7 passes → full (h, w*bpp) image."""
+    out = np.zeros((h, w * bpp), np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = -(-(w - x0) // dx) if w > x0 else 0
+        ph = -(-(h - y0) // dy) if h > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        stride = pw * bpp
+        need = ph * (stride + 1)
+        if pos + need > decomp.size:
+            raise ValueError("PNG Adam7 data truncated")
+        sub = _unfilter(decomp[pos : pos + need].reshape(ph, stride + 1), bpp)
+        pos += need
+        cols = (x0 + np.arange(pw) * dx) * bpp
+        col_idx = (cols[:, None] + np.arange(bpp)[None, :]).ravel()
+        out[y0::dy][:ph][:, col_idx] = sub
+    if pos != decomp.size:
+        raise ValueError("PNG Adam7 data has trailing bytes")
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode PNG bytes → uint8/uint16 array of shape (h, w) for
+    grayscale or (h, w, channels) otherwise. Palette images return
+    expanded (h, w, 3) RGB."""
+    data = bytes(data)
+    if data[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    ihdr = None
+    idat: List[bytes] = []
+    plte = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if binascii.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, compression, filter_method, interlace = ihdr
+    if compression != 0 or filter_method != 0:
+        raise ValueError("PNG: nonzero compression/filter method")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace}")
+    if color_type not in _CHANNELS:
+        raise ValueError(f"PNG color type {color_type}")
+    if depth not in (8, 16) or (color_type == 3 and depth != 8):
+        raise NotImplementedError(
+            f"PNG bit depth {depth} for color type {color_type} "
+            "(supported: 8 and 16; palette only 8)"
+        )
+    channels = _CHANNELS[color_type]
+    bytes_per = depth // 8
+    bpp = channels * bytes_per
+    stride = w * bpp
+    decomp = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if interlace == 1:
+        recon = _deinterlace_adam7(decomp, w, h, bpp)
+    else:
+        if decomp.size != h * (stride + 1):
+            raise ValueError(
+                f"PNG data size {decomp.size} != expected {h * (stride + 1)}"
+            )
+        recon = _unfilter(decomp.reshape(h, stride + 1), bpp)
     if depth == 16:
         arr = recon.reshape(h, w, channels, 2).astype(np.uint16)
         arr = (arr[..., 0] << 8) | arr[..., 1]

@@ -135,12 +135,56 @@ def test_corrupt_crc_and_bad_signature_raise():
         decode_png(bytes(blob))
 
 
-def test_interlace_and_exotic_depth_gated():
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)  # Adam7
-    blob = PNG_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="Adam7"):
-        decode_png(blob)
+def test_exotic_depth_gated():
     ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)  # 4-bit
     blob = PNG_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError, match="depth"):
         decode_png(blob)
+
+
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _interlaced_png(arr: np.ndarray) -> bytes:
+    """Independent Adam7 encoder for fixtures: slice the passes straight
+    from the spec's pass table, filter type 0 rows."""
+    if arr.ndim == 2:
+        arr3, color = arr[:, :, None], 0
+    else:
+        arr3, color = arr, {3: 2, 4: 6}[arr.shape[2]]
+    h, w, ch = arr3.shape
+    scan = b""
+    for x0, y0, dx, dy in _ADAM7:
+        sub = arr3[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            scan += b"\x00" + row.tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+    return (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(scan))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_adam7_pass_table_partitions_grid():
+    """The seven passes must tile every pixel exactly once (catches a
+    wrong starting-row/col table that a self-consistent encoder/decoder
+    pair would otherwise hide)."""
+    for h, w in ((16, 16), (13, 11), (9, 3), (1, 1)):
+        cover = np.zeros((h, w), dtype=int)
+        for x0, y0, dx, dy in _ADAM7:
+            cover[y0::dy, x0::dx] += 1
+        assert (cover == 1).all(), (h, w)
+
+
+@pytest.mark.parametrize("shape", [(16, 16), (13, 11), (7, 5, 3), (3, 2)])
+def test_adam7_interlace_decode(shape):
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, shape, dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(_interlaced_png(arr)), arr)
