@@ -3,10 +3,11 @@
 Implements the public PNG spec subset that covers real-world thumbnails
 and ML-pipeline image payloads:
 
-* decode: 8/16-bit; color types 0 (gray), 2 (RGB), 3 (palette), 4
-  (gray+alpha), 6 (RGBA); all five filter types (None/Sub/Up/Average/
-  Paeth); both interlace methods (none and Adam7 — seven
-  independently-filtered passes scattered back into the image);
+* decode: every legal depth/color combination — 1/2/4/8/16-bit gray,
+  1/2/4/8-bit palette, 8/16-bit RGB/gray+alpha/RGBA (sub-byte samples
+  return their raw 0..2^depth-1 values); all five filter types
+  (None/Sub/Up/Average/Paeth); both interlace methods (none and Adam7 —
+  seven independently-filtered passes scattered back into the image);
   ancillary chunks skipped; IDAT spans concatenated; CRCs verified.
 * encode: 8-bit gray/RGB/RGBA with a per-row filter choice (default
   None; pass ``filters`` to exercise specific filter paths) — used by
@@ -211,29 +212,61 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(f"PNG interlace method {interlace}")
     if color_type not in _CHANNELS:
         raise ValueError(f"PNG color type {color_type}")
-    if depth not in (8, 16) or (color_type == 3 and depth != 8):
-        raise NotImplementedError(
-            f"PNG bit depth {depth} for color type {color_type} "
-            "(supported: 8 and 16; palette only 8)"
+    valid_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                    4: (8, 16), 6: (8, 16)}
+    if depth not in valid_depths[color_type]:
+        raise ValueError(
+            f"PNG bit depth {depth} invalid for color type {color_type}"
         )
     channels = _CHANNELS[color_type]
-    bytes_per = depth // 8
-    bpp = channels * bytes_per
-    stride = w * bpp
     decomp = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
-    if interlace == 1:
-        recon = _deinterlace_adam7(decomp, w, h, bpp)
+    if depth < 8:
+        # sub-byte gray/palette samples: filters operate on BYTES with
+        # bpp = 1 (spec), then each row's bit stream expands to pixels
+        def expand(rows: np.ndarray, width: int) -> np.ndarray:
+            bits = np.unpackbits(rows, axis=1)[:, : width * depth]
+            vals = bits.reshape(len(rows), width, depth).astype(np.uint8)
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+            return (vals * weights).sum(axis=2).astype(np.uint8)
+
+        if interlace == 1:
+            px = np.zeros((h, w), np.uint8)
+            pos = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = -(-(w - x0) // dx) if w > x0 else 0
+                ph = -(-(h - y0) // dy) if h > y0 else 0
+                if pw == 0 or ph == 0:
+                    continue
+                stride = (pw * depth + 7) // 8
+                need = ph * (stride + 1)
+                sub = _unfilter(decomp[pos : pos + need].reshape(ph, stride + 1), 1)
+                pos += need
+                px[y0::dy][:ph][:, x0::dx] = expand(sub, pw)
+        else:
+            stride = (w * depth + 7) // 8
+            if decomp.size != h * (stride + 1):
+                raise ValueError(
+                    f"PNG data size {decomp.size} != expected {h * (stride + 1)}"
+                )
+            px = expand(_unfilter(decomp.reshape(h, stride + 1), 1), w)
+        arr = px[:, :, None]
     else:
-        if decomp.size != h * (stride + 1):
-            raise ValueError(
-                f"PNG data size {decomp.size} != expected {h * (stride + 1)}"
-            )
-        recon = _unfilter(decomp.reshape(h, stride + 1), bpp)
-    if depth == 16:
-        arr = recon.reshape(h, w, channels, 2).astype(np.uint16)
-        arr = (arr[..., 0] << 8) | arr[..., 1]
-    else:
-        arr = recon.reshape(h, w, channels)
+        bytes_per = depth // 8
+        bpp = channels * bytes_per
+        stride = w * bpp
+        if interlace == 1:
+            recon = _deinterlace_adam7(decomp, w, h, bpp)
+        else:
+            if decomp.size != h * (stride + 1):
+                raise ValueError(
+                    f"PNG data size {decomp.size} != expected {h * (stride + 1)}"
+                )
+            recon = _unfilter(decomp.reshape(h, stride + 1), bpp)
+        if depth == 16:
+            arr = recon.reshape(h, w, channels, 2).astype(np.uint16)
+            arr = (arr[..., 0] << 8) | arr[..., 1]
+        else:
+            arr = recon.reshape(h, w, channels)
     if color_type == 3:
         if plte is None:
             raise ValueError("PNG palette image missing PLTE chunk")

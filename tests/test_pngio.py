@@ -135,11 +135,79 @@ def test_corrupt_crc_and_bad_signature_raise():
         decode_png(bytes(blob))
 
 
-def test_exotic_depth_gated():
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)  # 4-bit
+def test_illegal_depth_color_combo_rejected():
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)  # 4-bit RGB: illegal
     blob = PNG_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="depth"):
+    with pytest.raises(ValueError, match="depth"):
         decode_png(blob)
+
+
+def _pack_rows(px: np.ndarray, depth: int) -> bytes:
+    """Hand-pack sub-byte samples row by row, MSB-first (spec order)."""
+    out = b""
+    for row in px:
+        bits = np.unpackbits(row[:, None].astype(np.uint8), axis=1)[:, 8 - depth :]
+        out += np.packbits(bits.ravel()).tobytes()
+    return out
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_subbyte_gray_decode(depth):
+    rng = np.random.default_rng(depth)
+    h, w = 6, 11  # width not a byte multiple at any sub-byte depth
+    px = rng.integers(0, 1 << depth, (h, w), dtype=np.uint8)
+    stride = (w * depth + 7) // 8
+    packed = _pack_rows(px, depth)
+    # filter 0 rows, then the same image with Up (filter 2) rows after
+    # the first — byte-level filtering per spec
+    rows = [packed[i * stride : (i + 1) * stride] for i in range(h)]
+    scan0 = b"".join(b"\x00" + r for r in rows)
+    up_rows = [b"\x00" + rows[0]]
+    for i in range(1, h):
+        cur = np.frombuffer(rows[i], np.uint8).astype(int)
+        prev = np.frombuffer(rows[i - 1], np.uint8).astype(int)
+        up_rows.append(b"\x02" + ((cur - prev) & 255).astype(np.uint8).tobytes())
+    scan2 = b"".join(up_rows)
+    for scan in (scan0, scan2):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+        blob = (
+            PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(scan)))
+            + _chunk(b"IEND", b"")
+        )
+        np.testing.assert_array_equal(decode_png(blob), px)
+
+
+def test_subbyte_palette_and_interlaced_1bit():
+    # 4-bit palette 2x3
+    plte = bytes(range(48))  # 16 RGB entries
+    px = np.array([[0, 5, 15], [7, 1, 2]], dtype=np.uint8)
+    scan = b"".join(b"\x00" + _pack_rows(px[i : i + 1], 4) for i in range(2))
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 4, 3, 0, 0, 0)
+    blob = (
+        PNG_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", plte)
+        + _chunk(b"IDAT", zlib.compress(scan)) + _chunk(b"IEND", b"")
+    )
+    out = decode_png(blob)
+    expect = np.frombuffer(plte, np.uint8).reshape(16, 3)[px]
+    np.testing.assert_array_equal(out, expect)
+
+    # 1-bit interlaced checkerboard
+    h, w = 9, 13
+    px = ((np.arange(h)[:, None] + np.arange(w)[None, :]) % 2).astype(np.uint8)
+    scan = b""
+    for x0, y0, dx, dy in _ADAM7:
+        sub = px[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            scan += b"\x00" + _pack_rows(row[None, :], 1)
+    ihdr = struct.pack(">IIBBBBB", w, h, 1, 0, 0, 0, 1)
+    blob = (
+        PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(scan)) + _chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(decode_png(blob), px)
 
 
 _ADAM7 = [
