@@ -208,9 +208,14 @@ class ZarrArray:
         )
 
     def _key(self, chunk_idx: Tuple[int, ...]) -> str:
-        sep = self.meta["chunk_key_encoding"]["configuration"].get("separator", "/")
-        parts = ["c"] + [str(i) for i in chunk_idx]
-        name = sep.join(parts) if chunk_idx else "c"
+        enc = self.meta["chunk_key_encoding"]
+        sep = enc["configuration"].get("separator", "/")
+        if enc.get("name") == "v2":
+            # zarr v2 layout: bare dotted/slashed indices, no "c" prefix
+            name = sep.join(str(i) for i in chunk_idx) if chunk_idx else "0"
+        else:
+            parts = ["c"] + [str(i) for i in chunk_idx]
+            name = sep.join(parts) if chunk_idx else "c"
         return f"{self.path}/{name}" if self.path else name
 
     # -- codec ----------------------------------------------------------------
@@ -376,8 +381,78 @@ class ZarrArray:
         self.flush_meta()
 
 
+def _v2_to_v3_array_meta(zarray: dict, zattrs: dict) -> dict:
+    """Translate a zarr v2 ``.zarray``/``.zattrs`` pair into this engine's
+    v3 meta shape, so :class:`ZarrArray` reads v2 stores unchanged.
+    Covered: C-order arrays of the numeric dtypes, raw or zlib-compressed
+    chunks, any dimension_separator, ``_ARRAY_DIMENSIONS`` → dimension
+    names (the xarray convention). blosc/zstd compressors, filters, and
+    F-order raise — those need codec libraries this container lacks."""
+    dt = np.dtype(zarray["dtype"])
+    base = dt.newbyteorder("=").name
+    if base not in _DTYPE_TO_ZARR:
+        raise NotImplementedError(
+            f"zarr v2 dtype {zarray['dtype']!r} unsupported"
+        )
+    if zarray.get("order", "C") != "C":
+        raise NotImplementedError("zarr v2 F-order arrays unsupported")
+    if zarray.get("filters"):
+        raise NotImplementedError(
+            f"zarr v2 filters {zarray['filters']!r} unsupported"
+        )
+    comp = zarray.get("compressor")
+    codecs: List[dict] = [
+        {
+            "name": "bytes",
+            "configuration": {
+                "endian": "big" if dt.byteorder == ">" else "little"
+            },
+        }
+    ]
+    if comp is not None:
+        if comp.get("id") != "zlib":
+            raise NotImplementedError(
+                f"zarr v2 compressor {comp.get('id')!r} unsupported "
+                "(zlib only; blosc/zstd need external codec libraries)"
+            )
+        codecs.append(
+            {"name": "gzip", "configuration": {"level": comp.get("level", 1)}}
+        )
+    attrs = dict(zattrs)
+    dims = attrs.pop("_ARRAY_DIMENSIONS", None)
+    fill = zarray.get("fill_value")
+    if fill is None:
+        fill = "NaN" if dt.kind == "f" else 0
+    meta = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(zarray["shape"]),
+        "data_type": _DTYPE_TO_ZARR[base],
+        "chunk_grid": {
+            "name": "regular",
+            "configuration": {"chunk_shape": list(zarray["chunks"])},
+        },
+        "chunk_key_encoding": {
+            "name": "v2",
+            "configuration": {
+                "separator": zarray.get("dimension_separator", ".")
+            },
+        },
+        "fill_value": fill,
+        "codecs": codecs,
+        "attributes": attrs,
+    }
+    if dims:
+        meta["dimension_names"] = dims
+    return meta
+
+
 class ZarrGroup:
-    """Zarr v3 group node."""
+    """Zarr v3 group node (or a read-only view of a zarr v2 group — see
+    :func:`open_group`, which detects ``.zgroup`` stores and serves their
+    arrays through the v2→v3 meta translation)."""
+
+    v2 = False
 
     def __init__(self, store: Store, meta: Optional[dict] = None):
         self.store = store
@@ -395,17 +470,27 @@ class ZarrGroup:
         self.store.put(ZARR_JSON, json.dumps(self.meta, indent=1).encode())
 
     def array_names(self) -> List[str]:
+        marker = ".zarray" if self.v2 else ZARR_JSON
         names = set()
         for key in self.store.list_prefix(""):
             parts = key.split("/")
-            if len(parts) == 2 and parts[1] == ZARR_JSON:
+            if len(parts) == 2 and parts[1] == marker:
                 names.add(parts[0])
         return sorted(names)
 
     def __contains__(self, name: str) -> bool:
-        return self.store.exists(f"{name}/{ZARR_JSON}")
+        marker = ".zarray" if self.v2 else ZARR_JSON
+        return self.store.exists(f"{name}/{marker}")
 
     def __getitem__(self, name: str) -> ZarrArray:
+        if self.v2:
+            zarray = json.loads(self.store.get(f"{name}/.zarray"))
+            zattrs = (
+                json.loads(self.store.get(f"{name}/.zattrs"))
+                if self.store.exists(f"{name}/.zattrs")
+                else {}
+            )
+            return ZarrArray(self.store, name, _v2_to_v3_array_meta(zarray, zattrs))
         meta = json.loads(self.store.get(f"{name}/{ZARR_JSON}"))
         if meta.get("node_type") != "array":
             raise KeyError(f"{name} is not an array")
@@ -468,10 +553,24 @@ def create_group(path_or_store, attrs: Optional[dict] = None, overwrite: bool = 
 
 def open_group(path_or_store) -> ZarrGroup:
     store = _store_for(path_or_store)
-    meta = json.loads(store.get(ZARR_JSON))
-    if meta.get("node_type") != "group":
-        raise ValueError("not a zarr v3 group")
-    return ZarrGroup(store, meta)
+    if store.exists(ZARR_JSON):
+        meta = json.loads(store.get(ZARR_JSON))
+        if meta.get("node_type") != "group":
+            raise ValueError("not a zarr v3 group")
+        return ZarrGroup(store, meta)
+    if store.exists(".zgroup"):
+        zg = json.loads(store.get(".zgroup"))
+        if zg.get("zarr_format") != 2:
+            raise ValueError(f"unexpected .zgroup zarr_format {zg!r}")
+        attrs = (
+            json.loads(store.get(".zattrs")) if store.exists(".zattrs") else {}
+        )
+        group = ZarrGroup(
+            store, {"zarr_format": 2, "node_type": "group", "attributes": attrs}
+        )
+        group.v2 = True
+        return group
+    raise ValueError("neither a zarr v3 (zarr.json) nor v2 (.zgroup) store")
 
 
 def consolidate_metadata(path_or_store) -> ZarrGroup:

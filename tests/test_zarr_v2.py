@@ -1,0 +1,130 @@
+"""Zarr v2 read support: the wild is full of v2 stores (.zgroup/.zarray,
+dotted chunk keys, zlib compressor, _ARRAY_DIMENSIONS attrs); the engine
+opens them through the v2→v3 meta translation and can re-store them as
+v3 through the distributed pipeline."""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pytest
+
+from pangeo_forge_recipes_spark import pattern_from_file_sequence, store_to_zarr
+from pangeo_forge_recipes_spark.dsio import open_zarr_group
+from pangeo_forge_recipes_spark.zarrio import open_group
+
+
+def _write_v2_store(
+    root: str,
+    arrays: dict,
+    compress: bool = True,
+    separator: str = ".",
+) -> None:
+    """Hand-write a zarr v2 store: arrays = {name: (ndarray, dims, chunks)}."""
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    with open(os.path.join(root, ".zattrs"), "w") as f:
+        json.dump({"title": "v2 fixture"}, f)
+    for name, (arr, dims, chunks) in arrays.items():
+        adir = os.path.join(root, name)
+        os.makedirs(adir, exist_ok=True)
+        zarray = {
+            "zarr_format": 2,
+            "shape": list(arr.shape),
+            "chunks": list(chunks),
+            "dtype": arr.dtype.str,
+            "compressor": {"id": "zlib", "level": 4} if compress else None,
+            "fill_value": None,
+            "order": "C",
+            "filters": None,
+        }
+        if separator != ".":
+            zarray["dimension_separator"] = separator
+        with open(os.path.join(adir, ".zarray"), "w") as f:
+            json.dump(zarray, f)
+        with open(os.path.join(adir, ".zattrs"), "w") as f:
+            json.dump({"_ARRAY_DIMENSIONS": list(dims), "units": "K"}, f)
+        grid = [range(0, s, c) for s, c in zip(arr.shape, chunks)]
+        import itertools
+
+        for origin in itertools.product(*grid):
+            idx = [o // c for o, c in zip(origin, chunks)]
+            block = np.zeros(chunks, dtype=arr.dtype)
+            sl = tuple(
+                slice(o, min(o + c, s))
+                for o, c, s in zip(origin, chunks, arr.shape)
+            )
+            block[tuple(slice(0, sp.stop - sp.start) for sp in sl)] = arr[sl]
+            raw = block.tobytes()
+            if compress:
+                raw = zlib.compress(raw, 4)
+            key = separator.join(str(i) for i in idx)
+            path = os.path.join(adir, key.replace("/", os.sep))
+            os.makedirs(os.path.dirname(path), exist_ok=True) if "/" in key else None
+            with open(path, "wb") as f:
+                f.write(raw)
+
+
+@pytest.mark.parametrize("compress", [True, False])
+@pytest.mark.parametrize("separator", [".", "/"])
+def test_open_v2_store(tmp_path, compress, separator):
+    rng = np.random.RandomState(5)
+    foo = rng.standard_normal((5, 7))  # edge chunks on both dims
+    time = np.arange(5, dtype=">i8")  # big-endian, like netCDF-derived stores
+    root = str(tmp_path / "v2.zarr")
+    _write_v2_store(
+        root,
+        {
+            "foo": (foo, ("time", "x"), (2, 4)),
+            "time": (time, ("time",), (5,)),
+        },
+        compress=compress,
+        separator=separator,
+    )
+    ds = open_zarr_group(root)
+    np.testing.assert_array_equal(ds.data_vars["foo"].data, foo)
+    np.testing.assert_array_equal(ds.coords["time"].data, np.arange(5))
+    assert tuple(ds.data_vars["foo"].dims) == ("time", "x")
+    assert ds.data_vars["foo"].attrs["units"] == "K"
+    assert ds.attrs["title"] == "v2 fixture"
+
+
+def test_v2_store_through_distributed_pipeline(spark, tmp_path):
+    """A v2 store re-chunks into a v3 store through store_to_zarr —
+    the 'switch an existing archive to this engine' path."""
+    rng = np.random.RandomState(6)
+    foo = rng.standard_normal((6, 4))
+    root = str(tmp_path / "old.zarr")
+    _write_v2_store(
+        root,
+        {
+            "foo": (foo, ("time", "x"), (1, 4)),
+            "time": (np.arange(6, dtype="i8"), ("time",), (6,)),
+        },
+    )
+    pattern = pattern_from_file_sequence([root], "time", file_type="zarr")
+    result = store_to_zarr(
+        spark, pattern, str(tmp_path), "new.zarr", target_chunks={"time": 3}
+    )
+    out = result.open()
+    np.testing.assert_array_equal(out.data_vars["foo"].data, foo)
+    # the restored store is v3
+    assert os.path.exists(os.path.join(tmp_path, "new.zarr", "zarr.json"))
+
+
+def test_v2_gates(tmp_path):
+    root = str(tmp_path / "g.zarr")
+    _write_v2_store(root, {"a": (np.zeros((2, 2)), ("y", "x"), (2, 2))})
+    # unsupported compressor must raise clearly, not decode garbage
+    za = json.load(open(os.path.join(root, "a", ".zarray")))
+    za["compressor"] = {"id": "blosc", "cname": "lz4"}
+    json.dump(za, open(os.path.join(root, "a", ".zarray"), "w"))
+    with pytest.raises(NotImplementedError, match="blosc"):
+        open_group(root)["a"].read()
+    # not-a-store path
+    with pytest.raises(ValueError, match="neither"):
+        open_group(str(tmp_path / "empty"))
