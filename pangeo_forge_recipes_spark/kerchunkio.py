@@ -212,12 +212,23 @@ class ReferenceStore(Store):
 
 
 def open_reference_dataset(path_or_refs):
-    """Open a reference json file / dict as an NDDataset."""
+    """Open a reference json file / dict as an NDDataset. Accepts both the
+    engine's own v3-style references and real-world kerchunk version-1
+    files (``{"version": 1, "refs": {".zgroup": ..., "var/.zarray": ...,
+    "var/0.0": [url, off, len]}}``) — the zarr-v2 metadata inside rides
+    the same v2→v3 translation as on-disk v2 stores."""
     from .dsio import open_zarr_group
 
     if isinstance(path_or_refs, str):
         with open(path_or_refs) as f:
             path_or_refs = json.load(f)
+    if isinstance(path_or_refs, dict) and (
+        path_or_refs.get("templates") or path_or_refs.get("gen")
+    ):
+        raise NotImplementedError(
+            "kerchunk 'templates'/'gen' URL substitution is not supported; "
+            "expand the references to plain [url, offset, length] entries"
+        )
     return open_zarr_group(ReferenceStore(path_or_refs))
 
 

@@ -128,3 +128,48 @@ def test_v2_gates(tmp_path):
     # not-a-store path
     with pytest.raises(ValueError, match="neither"):
         open_group(str(tmp_path / "empty"))
+
+
+def test_kerchunk_v1_reference_file_interop(tmp_path):
+    """A real-world kerchunk version-1 reference file (zarr-v2 metadata,
+    dotted chunk keys, byte ranges into a raw binary) opens directly."""
+    from pangeo_forge_recipes_spark.kerchunkio import open_reference_dataset
+
+    arr = np.arange(24, dtype="<f8").reshape(4, 6)
+    bin_path = str(tmp_path / "data.bin")
+    with open(bin_path, "wb") as f:
+        f.write(b"HDR!")  # offset the payload so ranges matter
+        f.write(arr[:2].tobytes())
+        f.write(arr[2:].tobytes())
+    half = 2 * 6 * 8
+    refs = {
+        "version": 1,
+        "refs": {
+            ".zgroup": json.dumps({"zarr_format": 2}),
+            ".zattrs": json.dumps({"source": "kerchunk"}),
+            "foo/.zarray": json.dumps({
+                "zarr_format": 2, "shape": [4, 6], "chunks": [2, 6],
+                "dtype": "<f8", "compressor": None, "fill_value": None,
+                "order": "C", "filters": None,
+            }),
+            "foo/.zattrs": json.dumps({"_ARRAY_DIMENSIONS": ["t", "x"]}),
+            "foo/0.0": [f"file://{bin_path}", 4, half],
+            "foo/1.0": [f"file://{bin_path}", 4 + half, half],
+            "t/.zarray": json.dumps({
+                "zarr_format": 2, "shape": [4], "chunks": [4],
+                "dtype": "<i8", "compressor": None, "fill_value": None,
+                "order": "C", "filters": None,
+            }),
+            "t/.zattrs": json.dumps({"_ARRAY_DIMENSIONS": ["t"]}),
+            "t/0": "base64:" + __import__("base64").b64encode(
+                np.arange(4, dtype="<i8").tobytes()).decode(),
+        },
+    }
+    ds = open_reference_dataset(refs)
+    np.testing.assert_array_equal(ds.data_vars["foo"].data, arr)
+    np.testing.assert_array_equal(ds.coords["t"].data, np.arange(4))
+    assert tuple(ds.data_vars["foo"].dims) == ("t", "x")
+    assert ds.attrs["source"] == "kerchunk"
+    # templates need expansion, not silent garbage
+    with pytest.raises(NotImplementedError, match="templates"):
+        open_reference_dataset({"version": 1, "templates": {"u": "x"}, "refs": {}})
