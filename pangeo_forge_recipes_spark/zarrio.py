@@ -181,6 +181,16 @@ class ZarrArray:
         return any(c["name"] == "hdf5-lzf" for c in self.meta["codecs"])
 
     @property
+    def _compression(self):
+        """(name, configuration) of the non-zlib compression codec, if any
+        — blosc / zstd / lz4 / snappy / gzip-frame, from zarr v2 stores
+        or v3 codec chains (decoded via :mod:`.codecs`)."""
+        for c in self.meta["codecs"]:
+            if c["name"] in ("blosc", "zstd", "lz4", "snappy", "gzip-frame"):
+                return c["name"], c.get("configuration", {})
+        return None
+
+    @property
     def _shuffle_elementsize(self) -> int:
         """Element size of the byte-transpose (HDF5 shuffle) codec, 0 if
         absent. Emitted by the HDF5 scanner for shuffle-filtered chunks;
@@ -243,6 +253,28 @@ class ZarrArray:
             from .hdf5io import lzf_compress
 
             buf = lzf_compress(buf)
+        comp = self._compression
+        if comp is not None:
+            from . import codecs as _codecs
+
+            name, conf = comp
+            if name == "blosc":
+                buf = _codecs.blosc_compress(
+                    buf,
+                    typesize=self.dtype.itemsize,
+                    cname=conf.get("cname", "lz4"),
+                    shuffle=conf.get("shuffle", 1) == 1,
+                    blocksize=int(conf.get("blocksize", 0)),
+                )
+            elif name == "zstd":
+                buf = _codecs.zstd_compress(buf, int(conf.get("level", 1)))
+            elif name == "lz4":
+                buf = _codecs.numcodecs_lz4_compress(buf)
+            elif name == "snappy":
+                buf = _codecs._stream_compress("snappy", buf)
+            elif name == "gzip-frame":
+                co = zlib.compressobj(1, zlib.DEFLATED, 31)
+                buf = co.compress(buf) + co.flush()
         return buf
 
     def _decode_chunk(self, buf: bytes) -> np.ndarray:
@@ -255,6 +287,24 @@ class ZarrArray:
             from .hdf5io import lzf_decompress
 
             buf = lzf_decompress(buf)
+        comp = self._compression
+        if comp is not None:
+            from . import codecs as _codecs
+
+            name, conf = comp
+            nbytes = int(
+                np.prod(self.chunks, dtype=np.int64)
+            ) * self.dtype.itemsize
+            if name == "blosc":
+                buf = _codecs.blosc_decompress(buf)
+            elif name == "zstd":
+                buf = _codecs.zstd_decompress(buf, nbytes)
+            elif name == "lz4":
+                buf = _codecs.numcodecs_lz4_decompress(buf)
+            elif name == "snappy":
+                buf = _codecs.snappy_decompress(buf, nbytes)
+            elif name == "gzip-frame":
+                buf = zlib.decompress(buf, 31)
         if self.compressed:
             buf = zlib.decompress(buf)
         es = self._shuffle_elementsize
@@ -384,10 +434,12 @@ class ZarrArray:
 def _v2_to_v3_array_meta(zarray: dict, zattrs: dict) -> dict:
     """Translate a zarr v2 ``.zarray``/``.zattrs`` pair into this engine's
     v3 meta shape, so :class:`ZarrArray` reads v2 stores unchanged.
-    Covered: C-order arrays of the numeric dtypes, raw or zlib-compressed
-    chunks, any dimension_separator, ``_ARRAY_DIMENSIONS`` → dimension
-    names (the xarray convention). blosc/zstd compressors, filters, and
-    F-order raise — those need codec libraries this container lacks."""
+    Covered: C-order arrays of the numeric dtypes; raw, zlib, gzip,
+    blosc (lz4/zlib/zstd/snappy internal codecs via :mod:`.codecs`),
+    lz4, zstd, and snappy compressed chunks; the shuffle filter; any
+    dimension_separator; ``_ARRAY_DIMENSIONS`` → dimension names (the
+    xarray convention). blosclz-coded blosc frames, bit-shuffle, other
+    filters, and F-order raise with a clear message."""
     dt = np.dtype(zarray["dtype"])
     base = dt.newbyteorder("=").name
     if base not in _DTYPE_TO_ZARR:
@@ -396,11 +448,6 @@ def _v2_to_v3_array_meta(zarray: dict, zattrs: dict) -> dict:
         )
     if zarray.get("order", "C") != "C":
         raise NotImplementedError("zarr v2 F-order arrays unsupported")
-    if zarray.get("filters"):
-        raise NotImplementedError(
-            f"zarr v2 filters {zarray['filters']!r} unsupported"
-        )
-    comp = zarray.get("compressor")
     codecs: List[dict] = [
         {
             "name": "bytes",
@@ -409,15 +456,53 @@ def _v2_to_v3_array_meta(zarray: dict, zattrs: dict) -> dict:
             },
         }
     ]
-    if comp is not None:
-        if comp.get("id") != "zlib":
-            raise NotImplementedError(
-                f"zarr v2 compressor {comp.get('id')!r} unsupported "
-                "(zlib only; blosc/zstd need external codec libraries)"
+    for filt in zarray.get("filters") or []:
+        if filt.get("id") == "shuffle":
+            codecs.append(
+                {
+                    "name": "hdf5-shuffle",
+                    "configuration": {
+                        "elementsize": int(
+                            filt.get("elementsize", dt.itemsize)
+                        )
+                    },
+                }
             )
-        codecs.append(
-            {"name": "gzip", "configuration": {"level": comp.get("level", 1)}}
-        )
+        else:
+            raise NotImplementedError(
+                f"zarr v2 filter {filt.get('id')!r} unsupported "
+                "(shuffle is; delta/fixedscaleoffset/quantize are not)"
+            )
+    comp = zarray.get("compressor")
+    if comp is not None:
+        cid = comp.get("id")
+        if cid == "zlib":
+            codecs.append(
+                {"name": "gzip", "configuration": {"level": comp.get("level", 1)}}
+            )
+        elif cid == "gzip":
+            codecs.append(
+                {"name": "gzip-frame", "configuration": {"level": comp.get("level", 1)}}
+            )
+        elif cid == "blosc":
+            codecs.append(
+                {
+                    "name": "blosc",
+                    "configuration": {
+                        "cname": comp.get("cname", "lz4"),
+                        "clevel": comp.get("clevel", 5),
+                        "shuffle": comp.get("shuffle", 1),
+                        "blocksize": comp.get("blocksize", 0),
+                    },
+                }
+            )
+        elif cid in ("lz4", "zstd", "snappy"):
+            codecs.append({"name": cid, "configuration": dict(comp)})
+        else:
+            raise NotImplementedError(
+                f"zarr v2 compressor {cid!r} unsupported "
+                "(zlib/gzip/blosc/lz4/zstd/snappy are)"
+            )
     attrs = dict(zattrs)
     dims = attrs.pop("_ARRAY_DIMENSIONS", None)
     fill = zarray.get("fill_value")
@@ -519,6 +604,19 @@ class ZarrGroup:
         codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
         if compressor == "gzip":
             codecs.append({"name": "gzip", "configuration": {"level": 1}})
+        elif compressor == "zstd":
+            codecs.append({"name": "zstd", "configuration": {"level": 1}})
+        elif compressor == "blosc":
+            codecs.append(
+                {
+                    "name": "blosc",
+                    "configuration": {"cname": "lz4", "clevel": 5, "shuffle": 1},
+                }
+            )
+        elif compressor is not None and compressor != "none":
+            raise NotImplementedError(
+                f"compressor {compressor!r} unsupported (gzip/zstd/blosc)"
+            )
         meta = {
             "zarr_format": 3,
             "node_type": "array",

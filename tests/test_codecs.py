@@ -1,0 +1,278 @@
+"""Codec layer: Blosc1 container, LZ4 block (pure-Python decoder
+cross-checked against pyarrow's independent lz4_raw implementation),
+numcodecs LZ4/Zstd frames, byte-shuffle — and zarr v2 stores compressed
+with each of them opening end-to-end."""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from pangeo_forge_recipes_spark import codecs as C
+from pangeo_forge_recipes_spark.dsio import open_zarr_group
+from pangeo_forge_recipes_spark.zarrio import open_group
+
+
+def _patterned(n: int, seed: int = 0) -> bytes:
+    """Compressible-but-not-trivial payload."""
+    rng = np.random.RandomState(seed)
+    base = np.arange(n, dtype=np.int64) // 7
+    noise = rng.randint(0, 3, size=n)
+    return (base + noise).astype(np.uint8).tobytes()
+
+
+# ---------------------------------------------------------------------------
+# LZ4 block: two independent implementations must agree
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n", [0, 1, 13, 300, 5000])
+def test_lz4_pure_python_matches_pyarrow(n):
+    data = _patterned(n, seed=n)
+    comp = C.lz4_block_compress(data)  # pyarrow encoder
+    assert C._lz4_block_decompress_py(comp, n) == data  # own decoder
+    assert C.lz4_block_decompress(comp, n) == data  # pyarrow decoder
+
+
+def test_lz4_pure_python_incompressible():
+    rng = np.random.RandomState(3)
+    data = rng.bytes(1024)
+    comp = C.lz4_block_compress(data)
+    assert C._lz4_block_decompress_py(comp, len(data)) == data
+
+
+def test_lz4_overlapping_match():
+    # RLE-ish: long run forces offset-1 overlapping copies
+    data = b"a" * 1000 + b"b" * 7
+    comp = C.lz4_block_compress(data)
+    assert C._lz4_block_decompress_py(comp, len(data)) == data
+
+
+def test_numcodecs_lz4_frame_roundtrip():
+    data = _patterned(777)
+    assert C.numcodecs_lz4_decompress(C.numcodecs_lz4_compress(data)) == data
+
+
+def test_zstd_roundtrip():
+    data = _patterned(4096, seed=9)
+    assert C.zstd_decompress(C.zstd_compress(data, 3), len(data)) == data
+
+
+# ---------------------------------------------------------------------------
+# byte-shuffle
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("typesize", [1, 2, 4, 8])
+def test_shuffle_inverse(typesize):
+    data = _patterned(typesize * 50, seed=typesize)
+    assert C.unshuffle_bytes(C.shuffle_bytes(data, typesize), typesize) == data
+
+
+def test_shuffle_remainder_tail_verbatim():
+    # c-blosc generic shuffle: len % typesize tail is copied unshuffled
+    data = bytes(range(10))
+    out = C.shuffle_bytes(data, 4)
+    assert out[-2:] == data[-2:]
+    assert C.unshuffle_bytes(out, 4) == data
+
+
+def test_shuffle_matches_hdf5io():
+    """Same byte-transpose the HDF5 shuffle filter uses (independent impl)."""
+    data = np.arange(64, dtype="<i4").tobytes()
+    lanes = np.frombuffer(data, dtype=np.uint8).reshape(-1, 4).T.tobytes()
+    assert C.shuffle_bytes(data, 4) == lanes
+
+
+# ---------------------------------------------------------------------------
+# Blosc1 container
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "cname,typesize,shuffle",
+    list(itertools.product(["lz4", "zlib", "zstd"], [1, 4, 8], [True, False])),
+)
+def test_blosc_roundtrip(cname, typesize, shuffle):
+    data = np.arange(1000, dtype=f"<i{max(typesize,1)}" if typesize in (1, 4, 8) else "<i4")
+    raw = data.astype(f"<i{typesize}" if typesize != 1 else "<i1").tobytes()
+    frame = C.blosc_compress(raw, typesize=typesize, cname=cname, shuffle=shuffle)
+    assert C.blosc_decompress(frame) == raw
+    # header sanity: nbytes field == payload size
+    assert struct.unpack("<I", frame[4:8])[0] == len(raw)
+
+
+def test_blosc_multi_block_with_partial_tail():
+    # blocksize forces several blocks; last block is a partial (unsplit) one
+    raw = _patterned(10_000, seed=1)
+    frame = C.blosc_compress(raw, typesize=4, cname="lz4", shuffle=True, blocksize=4096)
+    nblocks = (10_000 + 4095) // 4096
+    assert nblocks == 3
+    assert C.blosc_decompress(frame) == raw
+
+
+def test_blosc_incompressible_stores_verbatim():
+    rng = np.random.RandomState(11)
+    raw = rng.bytes(2048)
+    frame = C.blosc_compress(raw, typesize=8, cname="lz4", shuffle=True)
+    assert C.blosc_decompress(frame) == raw
+
+
+def test_blosc_memcpy_flag():
+    raw = np.random.RandomState(2).bytes(100)
+    # hand-build a memcpy frame
+    header = struct.pack("<BBBB III", 2, 1, 0x2, 1, len(raw), len(raw), 16 + len(raw))
+    assert C.blosc_decompress(header + raw) == raw
+
+
+def test_blosc_empty():
+    frame = C.blosc_compress(b"", typesize=4)
+    assert C.blosc_decompress(frame) == b""
+
+
+def test_blosc_gates():
+    raw = b"x" * 64
+    # bit-shuffle flag
+    frame = bytearray(C.blosc_compress(raw, typesize=1, cname="lz4"))
+    frame[2] |= 0x4
+    with pytest.raises(NotImplementedError, match="bit-shuffle"):
+        C.blosc_decompress(bytes(frame))
+    # blosclz codec id (bits 5-7 == 0) on a non-stored stream
+    comp = zlib.compress(b"y" * 256, 5)
+    body = struct.pack("<i", len(comp)) + comp
+    header = struct.pack("<BBBB III", 2, 1, 0x0, 1, 256, 256, 16 + 4 + len(body))
+    frame2 = header + struct.pack("<I", 20) + body
+    with pytest.raises(NotImplementedError, match="blosclz"):
+        C.blosc_decompress(frame2)
+    # truncation
+    with pytest.raises(ValueError, match="truncated"):
+        good = C.blosc_compress(b"z" * 500, typesize=1)
+        C.blosc_decompress(good[: len(good) // 2])
+
+
+# ---------------------------------------------------------------------------
+# zarr v2 stores with real-world compressors open end-to-end
+# ---------------------------------------------------------------------------
+
+
+def _write_v2_array(root: str, name: str, arr: np.ndarray, chunks, compressor, filters=None):
+    adir = os.path.join(root, name)
+    os.makedirs(adir, exist_ok=True)
+    zarray = {
+        "zarr_format": 2,
+        "shape": list(arr.shape),
+        "chunks": list(chunks),
+        "dtype": arr.dtype.str,
+        "compressor": compressor,
+        "fill_value": None,
+        "order": "C",
+        "filters": filters,
+    }
+    json.dump(zarray, open(os.path.join(adir, ".zarray"), "w"))
+    json.dump(
+        {"_ARRAY_DIMENSIONS": [f"d{i}" for i in range(arr.ndim)]},
+        open(os.path.join(adir, ".zattrs"), "w"),
+    )
+    grid = [range(0, s, c) for s, c in zip(arr.shape, chunks)]
+    for origin in itertools.product(*grid):
+        idx = [o // c for o, c in zip(origin, chunks)]
+        block = np.zeros(chunks, dtype=arr.dtype)
+        sl = tuple(slice(o, min(o + c, s)) for o, c, s in zip(origin, chunks, arr.shape))
+        block[tuple(slice(0, sp.stop - sp.start) for sp in sl)] = arr[sl]
+        raw = block.tobytes()
+        if filters:
+            for filt in filters:
+                assert filt["id"] == "shuffle"
+                raw = C.shuffle_bytes(raw, filt["elementsize"])
+        cid = (compressor or {}).get("id")
+        if cid == "blosc":
+            raw = C.blosc_compress(
+                raw,
+                typesize=arr.dtype.itemsize,
+                cname=compressor.get("cname", "lz4"),
+                shuffle=compressor.get("shuffle", 1) == 1,
+            )
+        elif cid == "lz4":
+            raw = C.numcodecs_lz4_compress(raw)
+        elif cid == "zstd":
+            raw = C.zstd_compress(raw)
+        elif cid == "gzip":
+            co = zlib.compressobj(5, zlib.DEFLATED, 31)
+            raw = co.compress(raw) + co.flush()
+        elif cid == "zlib":
+            raw = zlib.compress(raw, 5)
+        with open(os.path.join(adir, ".".join(str(i) for i in idx)), "wb") as f:
+            f.write(raw)
+
+
+@pytest.mark.parametrize(
+    "compressor",
+    [
+        {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1},
+        {"id": "blosc", "cname": "zstd", "clevel": 3, "shuffle": 0},
+        {"id": "lz4"},
+        {"id": "zstd", "level": 3},
+        {"id": "gzip", "level": 5},
+    ],
+)
+def test_v2_store_with_real_world_compressor(tmp_path, compressor):
+    root = str(tmp_path / "v2c.zarr")
+    os.makedirs(root)
+    json.dump({"zarr_format": 2}, open(os.path.join(root, ".zgroup"), "w"))
+    rng = np.random.RandomState(7)
+    foo = (rng.standard_normal((5, 6)) * 10).round(2)
+    _write_v2_array(root, "foo", foo, (2, 6), compressor)
+    _write_v2_array(root, "d0", np.arange(5, dtype="<i8"), (5,), compressor)
+    ds = open_zarr_group(root)
+    np.testing.assert_array_equal(ds.data_vars["foo"].data, foo)
+    np.testing.assert_array_equal(ds.coords["d0"].data, np.arange(5))
+
+
+def test_v2_store_with_shuffle_filter(tmp_path):
+    root = str(tmp_path / "v2s.zarr")
+    os.makedirs(root)
+    json.dump({"zarr_format": 2}, open(os.path.join(root, ".zgroup"), "w"))
+    arr = np.arange(40, dtype="<f8").reshape(8, 5) * 1.5
+    _write_v2_array(
+        root,
+        "bar",
+        arr,
+        (4, 5),
+        {"id": "zlib", "level": 4},
+        filters=[{"id": "shuffle", "elementsize": 8}],
+    )
+    ds = open_zarr_group(root)
+    np.testing.assert_array_equal(ds.data_vars["bar"].data, arr)
+
+
+def test_v2_unknown_compressor_still_gates(tmp_path):
+    root = str(tmp_path / "v2g.zarr")
+    os.makedirs(root)
+    json.dump({"zarr_format": 2}, open(os.path.join(root, ".zgroup"), "w"))
+    _write_v2_array(root, "a", np.zeros((2, 2)), (2, 2), None)
+    za_path = os.path.join(root, "a", ".zarray")
+    za = json.load(open(za_path))
+    za["compressor"] = {"id": "bz2", "level": 9}
+    json.dump(za, open(za_path, "w"))
+    with pytest.raises(NotImplementedError, match="bz2"):
+        open_group(root)["a"].read()
+
+
+def test_v3_array_with_zstd_codec_roundtrip(tmp_path):
+    """Our own v3 writer/reader with a zstd codec chain."""
+    from pangeo_forge_recipes_spark.zarrio import create_group
+
+    grp = create_group(str(tmp_path / "z3.zarr"))
+    arr = grp.create_array(
+        "v", shape=(6, 4), chunks=(3, 4), dtype="<f4", compressor="zstd"
+    )
+    data = np.arange(24, dtype="<f4").reshape(6, 4)
+    arr[:, :] = data
+    back = open_group(str(tmp_path / "z3.zarr"))["v"].read()
+    np.testing.assert_array_equal(back, data)

@@ -120,10 +120,11 @@ def test_v2_gates(tmp_path):
     root = str(tmp_path / "g.zarr")
     _write_v2_store(root, {"a": (np.zeros((2, 2)), ("y", "x"), (2, 2))})
     # unsupported compressor must raise clearly, not decode garbage
+    # (blosc/lz4/zstd are supported now — see test_codecs.py)
     za = json.load(open(os.path.join(root, "a", ".zarray")))
-    za["compressor"] = {"id": "blosc", "cname": "lz4"}
+    za["compressor"] = {"id": "bz2", "level": 9}
     json.dump(za, open(os.path.join(root, "a", ".zarray"), "w"))
-    with pytest.raises(NotImplementedError, match="blosc"):
+    with pytest.raises(NotImplementedError, match="bz2"):
         open_group(root)["a"].read()
     # not-a-store path
     with pytest.raises(ValueError, match="neither"):
