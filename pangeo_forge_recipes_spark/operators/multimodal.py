@@ -3,10 +3,11 @@ decode / feature-extract / resize / frame-sample stages as Arrow-batched
 ``mapInPandas`` transforms.
 
 PNG payloads decode for REAL — :mod:`..pngio` is a pure stdlib+numpy
-codec (zlib inflate + per-row unfilter), so ``decode_image`` does actual
-image decoding with no external library. The container has no JPEG/audio
-codecs, so those decode kernels remain stubbed exactly as the charter
-requires: attempting a real JPEG/audio decode raises
+codec (zlib inflate + per-row unfilter) — and so does WAV audio via
+:mod:`..audioio` (pure RIFF/PCM/float parser), so ``decode_image`` and
+``decode_audio`` do actual media decoding with no external library.
+The container has no JPEG codec, so that kernel remains stubbed exactly
+as the charter requires: attempting a real JPEG decode raises
 ``NotImplementedError`` unless a library is importable, and a
 clearly-marked deterministic fake decoder exercises the Spark-side
 plumbing (schemas, batching, partitioning) end-to-end.
@@ -82,6 +83,111 @@ def attach_png_media(
             )
 
     return df.select(id_col).mapInPandas(build, MEDIA_SCHEMA)
+
+
+def attach_wav_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_samples: int = 256,
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Synthesize REAL 16-bit PCM WAV payloads (encoded by
+    :mod:`..audioio`): sample ``i`` of doc ``d`` is a triangle wave with
+    doc-dependent period — a closed form tests can recompute — but the
+    bytes on the wire are genuine RIFF/WAVE that ``decode_audio`` must
+    really parse."""
+    from ..audioio import encode_wav
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(n_samples, dtype=np.int64)
+        for pdf in batches:
+            blobs = []
+            for d in pdf[id_col]:
+                period = 8 + int(d) % 23
+                tri = np.abs((idx % period) * 2.0 / period - 1.0) * 2.0 - 1.0
+                blobs.append(encode_wav(tri * 0.5, sample_rate, bits=16))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "media": blobs,
+                    "format": ["audio/wav"] * len(pdf),
+                    "width": np.full(len(pdf), n_samples, dtype="int32"),
+                    "height": np.ones(len(pdf), dtype="int32"),
+                    "n_frames": np.full(len(pdf), n_samples, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(build, MEDIA_SCHEMA)
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """Decode binary → (doc_id, samples array<float>, sample_rate, channels)
+    via mapInPandas. RIFF/WAVE blobs (signature-sniffed) decode for REAL
+    through :mod:`..audioio`; other payloads take the deterministic
+    sha256 fake (keeping non-audio rows flowing through the same plan)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..audioio import decode_wav
+
+        for pdf in batches:
+            samples, rates, chans = [], [], []
+            for blob in pdf["media"]:
+                blob = bytes(blob)
+                if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+                    arr, rate = decode_wav(blob)
+                    samples.append(arr.mean(axis=1))  # downmix to mono
+                    rates.append(rate)
+                    chans.append(arr.shape[1])
+                else:
+                    digest = hashlib.sha256(blob).digest()
+                    fake = np.frombuffer((digest * 2)[:64], dtype=np.uint8)
+                    samples.append(fake.astype("float32") / 255.0 - 0.5)
+                    rates.append(0)
+                    chans.append(0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "samples": samples,
+                    "sample_rate": np.array(rates, dtype="int32"),
+                    "channels": np.array(chans, dtype="int32"),
+                }
+            )
+
+    return df.select("doc_id", "media").mapInPandas(
+        decode, "doc_id long, samples array<float>, sample_rate int, channels int"
+    )
+
+
+def audio_features(decoded: DataFrame) -> DataFrame:
+    """Per-clip features over decoded samples: duration, RMS energy,
+    zero-crossing rate, peak amplitude — the audio analogue of
+    :func:`extract_features`."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dur, rms, zcr, peak = [], [], [], []
+            for px, rate in zip(pdf["samples"], pdf["sample_rate"]):
+                arr = np.asarray(px, dtype="float64")
+                n = max(arr.size, 1)
+                dur.append(arr.size / rate if rate else 0.0)
+                rms.append(float(np.sqrt(np.mean(arr**2))) if arr.size else 0.0)
+                zcr.append(float(np.count_nonzero(np.diff(np.signbit(arr)))) / n)
+                peak.append(float(np.max(np.abs(arr))) if arr.size else 0.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "duration_s": np.array(dur, dtype="float64"),
+                    "rms": np.array(rms, dtype="float64"),
+                    "zero_crossing_rate": np.array(zcr, dtype="float64"),
+                    "peak": np.array(peak, dtype="float64"),
+                }
+            )
+
+    return decoded.mapInPandas(
+        feats,
+        "doc_id long, duration_s double, rms double, "
+        "zero_crossing_rate double, peak double",
+    )
 
 
 def _try_jpeg_decoder():
