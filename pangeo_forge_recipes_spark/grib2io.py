@@ -14,9 +14,11 @@ this module provides both capabilities natively for the common subset:
   accumulation/average encoding of precipitation-style fields; valid
   time = end of the interval, ``stepType`` attr carries the process)
 * data representation templates 5.0 (simple packing), 5.2 (complex
-  packing with group splitting) and 5.3 (complex packing + first/second
+  packing with group splitting), 5.3 (complex packing + first/second
   order spatial differencing — the encoding real NWP archives like HRRR
-  use heavily)
+  use heavily), 5.4 (IEEE floating point — exact, no quantization) and
+  5.41 (PNG code stream, decoded by the engine's own :mod:`.pngio`);
+  5.40 JPEG2000 still raises (no JPEG2000 codec in pure Python)
 * bitmaps (section 6 indicator 0): missing grid points decode to NaN,
   and the writer emits a bitmap automatically for non-finite values
 * message-filter pushdown (the reference's ``filter_by_keys``, applied
@@ -234,14 +236,24 @@ def _parse_message(body: bytes, discipline: int, offset: int, total: int, path: 
                 }.get(stat, f"stat_{stat}")
         elif sec_num == 5:
             tmpl = _be(sec, 9, 2)
-            if tmpl not in (0, 2, 3):
+            if tmpl not in (0, 2, 3, 4, 41):
                 raise NotImplementedError(
                     f"{path}: data representation template {tmpl} unsupported "
                     "(supported: 5.0 simple, 5.2 complex, 5.3 complex + "
-                    "spatial differencing)"
+                    "spatial differencing, 5.4 IEEE float, 5.41 PNG)"
                 )
             msg["drs_template"] = tmpl
             msg["n_values"] = _be(sec, 5, 4)
+            if tmpl == 4:
+                # IEEE floating point: octet 12 = precision code
+                msg["ieee_precision"] = sec[11]
+                if sec[11] not in (1, 2):
+                    raise NotImplementedError(
+                        f"{path}: IEEE packing precision code {sec[11]} "
+                        "(1 = 32-bit and 2 = 64-bit are supported)"
+                    )
+                p += sec_len
+                continue
             msg["R"] = float(
                 np.frombuffer(sec[11:15], dtype=">f4")[0]
             )
@@ -419,10 +431,41 @@ def _apply_bitmap(msg: dict, values: np.ndarray) -> np.ndarray:
     return full
 
 
+def _decode_png_ints(msg: dict, packed: bytes) -> np.ndarray:
+    """Decode data template 7.41: the scaled ints are a PNG code stream
+    (grayscale for depth ≤ 16; RGB/RGBA carry 24/32-bit ints across
+    channels, most significant first)."""
+    from .pngio import decode_png
+
+    img = decode_png(bytes(packed))
+    if img.ndim == 3:
+        c = img.shape[2]
+        x = np.zeros(img.shape[:2], dtype=np.int64)
+        for ch in range(c):
+            x = (x << 8) | img[:, :, ch].astype(np.int64)
+    else:
+        x = img.astype(np.int64)
+    x = x.ravel()
+    if x.size != msg["n_values"]:
+        raise ValueError(
+            f"PNG-packed field holds {x.size} values, section 5 says "
+            f"{msg['n_values']}"
+        )
+    return x
+
+
 def _decode_values(msg: dict, packed: bytes) -> np.ndarray:
-    if msg.get("drs_template", 0) in (2, 3):
+    tmpl = msg.get("drs_template", 0)
+    if tmpl in (2, 3):
         return _apply_bitmap(msg, _decode_complex(msg, packed))
-    x = _unpack_bits(packed, msg["n_values"], msg["nbits"])
+    if tmpl == 4:
+        dt = ">f4" if msg["ieee_precision"] == 1 else ">f8"
+        vals = np.frombuffer(packed, dtype=dt, count=msg["n_values"]).astype("float64")
+        return _apply_bitmap(msg, vals)
+    if tmpl == 41:
+        x = _decode_png_ints(msg, packed)
+    else:
+        x = _unpack_bits(packed, msg["n_values"], msg["nbits"])
     return _apply_bitmap(msg, (msg["R"] + x * 2.0 ** msg["E"]) / 10.0 ** msg["D"])
 
 
@@ -944,9 +987,10 @@ def write_grib2(
     parameters via the built-in shortName table or ``param_map[name] =
     (discipline, category, number)``; ``levels[name] = (typeOfLevel,
     value)`` defaults to surface. ``packing`` selects the data
-    representation: ``simple`` (5.0), ``complex`` (5.2), or
+    representation: ``simple`` (5.0), ``complex`` (5.2),
     ``complex-diff1`` / ``complex-diff2`` (5.3 with first/second order
-    spatial differencing). ``statistics[name] = (stepType,
+    spatial differencing), ``ieee`` (5.4 raw IEEE float32 — exact for
+    data no 2^E grid represents), or ``png`` (5.41 PNG code stream). ``statistics[name] = (stepType,
     interval_hours)`` writes that variable with product template 4.8
     (accumulated/averaged over the interval ending at each time step;
     stepType one of avg/accum/max/min). ``projection`` switches the grid
@@ -964,7 +1008,10 @@ def write_grib2(
                 f"statistics[{sname!r}]: stepType {stype!r} "
                 f"(choose from {sorted(_STAT_CODES)})"
             )
-    pack_modes = {"simple": None, "complex": 0, "complex-diff1": 1, "complex-diff2": 2}
+    pack_modes = {
+        "simple": None, "complex": 0, "complex-diff1": 1, "complex-diff2": 2,
+        "ieee": None, "png": None,
+    }
     if packing not in pack_modes:
         raise ValueError(f"packing {packing!r}; choose from {sorted(pack_modes)}")
     complex_order = pack_modes[packing]
@@ -1049,11 +1096,16 @@ def write_grib2(
                     finite.astype(np.uint8)
                 ).tobytes()
                 pack_src = field.ravel()[finite]
-            if pack_src.size:
+            if packing == "ieee":
+                # no scaled-int representation needed — floats go verbatim
+                r32, e, nbits, x = np.float32(0), 0, 0, np.zeros(0, np.int64)
+                npacked = int(pack_src.size)
+            elif pack_src.size:
                 r32, e, nbits, x = _packing_params(pack_src)
+                npacked = int(x.size)
             else:
                 r32, e, nbits, x = np.float32(0), 0, 0, np.zeros(0, np.int64)
-            npacked = int(x.size)
+                npacked = 0
             ts = times[t].item()  # datetime.datetime
             stat = statistics.get(name)
             if stat is not None:
@@ -1118,7 +1170,41 @@ def write_grib2(
                     + int(round(hrs)).to_bytes(4, "big")
                     + bytes([1]) + (0).to_bytes(4, "big")  # incr unit h, incr 0
                 )
-            if complex_order is None:
+            if packing == "ieee":
+                # template 5.4/7.4: raw IEEE floats, no scaling
+                sec5 = (
+                    npacked.to_bytes(4, "big") + (4).to_bytes(2, "big")
+                    + bytes([1])  # precision 1 = 32-bit
+                )
+                sec7 = np.ascontiguousarray(pack_src, dtype=">f4").tobytes()
+            elif packing == "png":
+                # template 5.41/7.41: scaled ints as a PNG code stream
+                from .pngio import encode_png
+
+                if nbits <= 8:
+                    depth = 8
+                    img = x.astype(np.uint8)
+                elif nbits <= 24:
+                    depth = 24
+                    img = np.stack(
+                        [(x >> 16) & 0xFF, (x >> 8) & 0xFF, x & 0xFF], axis=-1
+                    ).astype(np.uint8)
+                else:
+                    depth = 32
+                    img = np.stack(
+                        [(x >> s) & 0xFF for s in (24, 16, 8, 0)], axis=-1
+                    ).astype(np.uint8)
+                shape = (nj, ni) if npacked == nj * ni else (1, npacked)
+                img = img.reshape(shape + img.shape[1:])
+                sec5 = (
+                    npacked.to_bytes(4, "big") + (41).to_bytes(2, "big")
+                    + np.array(r32, dtype=">f4").tobytes()
+                    + _sm_encode(e, 2).to_bytes(2, "big")
+                    + _sm_encode(0, 2).to_bytes(2, "big")
+                    + bytes([depth, 0])
+                )
+                sec7 = encode_png(img, filters=[0, 1, 2, 3, 4])
+            elif complex_order is None:
                 sec5 = (
                     npacked.to_bytes(4, "big") + (0).to_bytes(2, "big")
                     + np.array(r32, dtype=">f4").tobytes()

@@ -230,6 +230,67 @@ def test_complex_packing_roundtrip(tmp_path, packing):
         assert all(m["spatial_order"] == order for m in msgs)
 
 
+def test_ieee_packing_roundtrip(tmp_path):
+    """Template 5.4/7.4: raw IEEE floats — exact for any float32 field,
+    including ones no 2^E grid can represent."""
+    ds = make_grib_ds(nt=2)
+    # make the field non-quantized: raw float64 noise sits on no 2^E grid,
+    # so simple packing would raise on it
+    rng = np.random.default_rng(99)
+    ds.data_vars["t"].data[:] = rng.uniform(250, 310, ds.data_vars["t"].data.shape)
+    path = str(tmp_path / "ieee.grib2")
+    write_grib2(path, ds, packing="ieee")
+    rt = read_grib2(path)
+    for v in ("t", "u"):
+        np.testing.assert_array_equal(
+            rt.data_vars[v].data,
+            ds.data_vars[v].data.astype("float32").astype("float64"),
+        )
+    msgs = scan_grib2_messages(path)
+    assert all(m["drs_template"] == 4 for m in msgs)
+    # simple packing really would have rejected this field
+    with pytest.raises(ValueError, match="2\\^E"):
+        write_grib2(str(tmp_path / "no.grib2"), ds, packing="simple")
+
+
+@pytest.mark.parametrize("scale", [1.0, 300.0])
+def test_png_packing_roundtrip(tmp_path, scale):
+    """Template 5.41/7.41: scaled ints ride a PNG code stream (8-bit gray
+    for small ranges, 24-bit RGB for wide ones)."""
+    ds = make_grib_ds(nt=2)
+    for v in ("t", "u"):
+        ds.data_vars[v].data[:] = (
+            np.round(ds.data_vars[v].data * 128) / 128 * scale
+        )
+    path = str(tmp_path / "png.grib2")
+    write_grib2(path, ds, packing="png")
+    rt = read_grib2(path)
+    for v in ("t", "u"):
+        np.testing.assert_array_equal(rt.data_vars[v].data, ds.data_vars[v].data)
+    msgs = scan_grib2_messages(path)
+    assert all(m["drs_template"] == 41 for m in msgs)
+    # payload is a genuine PNG stream
+    with open(path, "rb") as f:
+        raw = f.read()
+    assert b"\x89PNG\r\n\x1a\n" in raw
+
+
+def test_png_packing_with_bitmap_and_kerchunk(tmp_path):
+    """PNG packing composes with section-6 bitmaps (NaN points) and the
+    grib2-msg kerchunk codec."""
+    ds = make_grib_ds(nt=2)
+    ds.data_vars["t"].data[:, 2, 3] = np.nan
+    path = str(tmp_path / "pb.grib2")
+    write_grib2(path, ds, packing="png")
+    rt = read_grib2(path)
+    np.testing.assert_array_equal(rt.data_vars["t"].data, ds.data_vars["t"].data)
+    refs = scan_grib2(path, filter_by_keys={"shortName": "t"})
+    rt2 = open_reference_dataset(refs)
+    np.testing.assert_array_equal(
+        np.asarray(rt2.data_vars["t"].data), ds.data_vars["t"].data
+    )
+
+
 def test_complex_packing_smooth_field_compresses(tmp_path):
     """Spatial differencing exists because smooth fields have small
     differences: a ramp field should pack into far fewer bytes under
