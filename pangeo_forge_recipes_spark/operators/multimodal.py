@@ -2,15 +2,13 @@
 decode / feature-extract / resize / frame-sample stages as Arrow-batched
 ``mapInPandas`` transforms.
 
-PNG payloads decode for REAL — :mod:`..pngio` is a pure stdlib+numpy
-codec (zlib inflate + per-row unfilter) — and so does WAV audio via
-:mod:`..audioio` (pure RIFF/PCM/float parser), so ``decode_image`` and
-``decode_audio`` do actual media decoding with no external library.
-The container has no JPEG codec, so that kernel remains stubbed exactly
-as the charter requires: attempting a real JPEG decode raises
-``NotImplementedError`` unless a library is importable, and a
-clearly-marked deterministic fake decoder exercises the Spark-side
-plumbing (schemas, batching, partitioning) end-to-end.
+PNG, JPEG and WAV payloads all decode for REAL with no external
+library: :mod:`..pngio` (zlib inflate + per-row unfilter),
+:mod:`..jpegio` (baseline Huffman-DCT decode), and :mod:`..audioio`
+(RIFF/PCM/float parse). Unknown payload formats fall through to a
+clearly-marked deterministic sha256 fake decoder so the Spark-side
+plumbing (schemas, batching, partitioning) stays exercised end-to-end
+for any corpus.
 
 Scale notes: binary payloads stay opaque to Catalyst (no row explosion
 until feature extraction); per-batch memory is bounded by
@@ -190,27 +188,52 @@ def audio_features(decoded: DataFrame) -> DataFrame:
     )
 
 
-def _try_jpeg_decoder():
-    try:
-        import PIL.Image  # noqa: F401
+def attach_jpeg_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 16,
+    height: int = 16,
+    subsample: bool = False,
+) -> DataFrame:
+    """Synthesize REAL baseline JPEG payloads (encoded by
+    :mod:`..jpegio`): a smooth doc-dependent luminance ramp, so decode
+    error stays within quantization bounds tests can assert."""
+    from ..jpegio import encode_jpeg
 
-        return PIL.Image
-    except ImportError:
-        return None
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yy, xx = np.mgrid[0:height, 0:width]
+        for pdf in batches:
+            blobs = []
+            for d in pdf[id_col]:
+                img = (128 + 60 * np.sin((xx + int(d)) / 5.0) * np.cos(yy / 4.0)).astype(
+                    np.uint8
+                )
+                blobs.append(encode_jpeg(img, quality=95, subsample=subsample))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "media": blobs,
+                    "format": ["image/jpeg"] * len(pdf),
+                    "width": np.full(len(pdf), width, dtype="int32"),
+                    "height": np.full(len(pdf), height, dtype="int32"),
+                    "n_frames": np.ones(len(pdf), dtype="int32"),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(build, MEDIA_SCHEMA)
 
 
-def decode_image(df: DataFrame, use_stub: bool = True) -> DataFrame:
+def decode_image(df: DataFrame) -> DataFrame:
     """Decode binary → (doc_id, pixels array<float>) via mapInPandas.
 
     PNG blobs (signature-sniffed) decode for REAL through
-    :mod:`..pngio` — zlib inflate + unfilter, grayscale-averaged to
-    normalized floats. JPEG remains a gated stub: no codec library
-    exists in this container, so with ``use_stub=False`` a JPEG blob
-    raises ``NotImplementedError`` unless PIL is importable; other
-    formats take the deterministic sha256 fake so the Spark plumbing
-    (schema, batch shape, partition flow) stays testable end-to-end.
+    :mod:`..pngio` — zlib inflate + unfilter — and JPEG blobs through
+    :mod:`..jpegio` (baseline Huffman DCT), both grayscale-averaged to
+    normalized floats. Other formats take the deterministic sha256 fake
+    so the Spark plumbing (schema, batch shape, partition flow) stays
+    testable end-to-end regardless of payload type.
     """
-    jpeg = _try_jpeg_decoder()
+    from ..jpegio import decode_jpeg
     from ..pngio import PNG_SIGNATURE, decode_png
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -220,21 +243,19 @@ def decode_image(df: DataFrame, use_stub: bool = True) -> DataFrame:
                 blob = bytes(blob)
                 if blob[:8] == PNG_SIGNATURE:
                     arr = decode_png(blob).astype("float32")
-                    if arr.ndim == 3:  # channel-average to grayscale
-                        arr = arr.mean(axis=2)
-                    pixels.append(arr.ravel() / 255.0)
+                elif blob[:2] == b"\xff\xd8":
+                    arr = decode_jpeg(blob).astype("float32")
+                else:
+                    # deterministic fake decode: sha256-seeded 8x8 grayscale
+                    digest = hashlib.sha256(blob).digest()
+                    arr = np.frombuffer((digest * 2)[:64], dtype=np.uint8).astype(
+                        "float32"
+                    )
+                    pixels.append(arr / 255.0)
                     continue
-                if blob[:2] == b"\xff\xd8" and not use_stub:
-                    if jpeg is None:
-                        raise NotImplementedError(
-                            "JPEG decoding requires PIL/pillow, which is "
-                            "not installed; pass use_stub=True for the "
-                            "deterministic fake decoder"
-                        )
-                # deterministic fake decode: sha256-seeded 8x8 grayscale
-                digest = hashlib.sha256(blob).digest()
-                arr = np.frombuffer((digest * 2)[:64], dtype=np.uint8).astype("float32")
-                pixels.append(arr / 255.0)
+                if arr.ndim == 3:  # channel-average to grayscale
+                    arr = arr.mean(axis=2)
+                pixels.append(arr.ravel() / 255.0)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "pixels": pixels})
 
     return df.select("doc_id", "media").mapInPandas(

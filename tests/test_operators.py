@@ -179,22 +179,31 @@ def test_multimodal_pipeline(spark, docs):
     assert stats[0]["n_blobs"] == 7 and stats[0]["distinct_blobs"] == 6
 
 
-def test_decode_image_stub_gate(spark, docs):
-    # JPEG is the gated stub: real decode without PIL raises (in the
-    # task, so it surfaces wrapped in the Spark PythonException)
-    try:
-        import PIL  # noqa: F401
-
-        has_pil = True
-    except ImportError:
-        has_pil = False
+def test_decode_image_corrupt_jpeg_raises(spark, docs):
+    # JPEG decodes for real now — a truncated/corrupt payload must fail
+    # loudly (wrapped in the Spark PythonException), not fall to the stub
     jpeg = spark.createDataFrame(
         [(1, bytearray(b"\xff\xd8\xff\xe0 not really a jpeg"))],
         "doc_id long, media binary",
     )
-    if not has_pil:
-        with pytest.raises(Exception, match="PIL"):
-            multimodal.decode_image(jpeg, use_stub=False).collect()
+    with pytest.raises(Exception, match="corrupt JPEG|marker"):
+        multimodal.decode_image(jpeg).collect()
+
+
+def test_decode_image_real_jpeg(spark, docs):
+    """JPEG payloads decode for REAL (jpegio baseline DCT): decoded
+    pixels match the closed-form source image within quantization
+    error."""
+    media = multimodal.attach_jpeg_media(docs, width=16, height=16)
+    rows = multimodal.decode_image(media).collect()
+    assert len(rows) == 7
+    yy, xx = np.mgrid[0:16, 0:16]
+    for r in rows:
+        want = (128 + 60 * np.sin((xx + r["doc_id"]) / 5.0) * np.cos(yy / 4.0)).astype(
+            np.uint8
+        )
+        got = np.array(r["pixels"]).reshape(16, 16) * 255.0
+        assert np.abs(got - want).max() <= 6.0
 
 
 def test_decode_image_real_png(spark, docs):
