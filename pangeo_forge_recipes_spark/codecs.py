@@ -190,6 +190,59 @@ def unshuffle_bytes(buf: bytes, typesize: int) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# numcodecs array filters (zarr v2 ``filters`` list)
+# ---------------------------------------------------------------------------
+
+
+def decode_v2_filter(buf: bytes, conf: dict, out_dtype: np.dtype) -> np.ndarray:
+    """Invert one numcodecs array filter. ``buf`` holds the filter's
+    encoded form; returns the decoded array in ``out_dtype`` (the
+    filter's declared ``dtype``, i.e. its input side)."""
+    fid = conf.get("id")
+    if fid == "delta":
+        astype = np.dtype(conf.get("astype") or conf.get("dtype") or out_dtype)
+        enc = np.frombuffer(buf, dtype=astype)
+        return np.cumsum(enc.astype(np.dtype(conf.get("dtype", out_dtype)), copy=False)).astype(
+            np.dtype(conf.get("dtype", out_dtype)), copy=False
+        )
+    if fid == "fixedscaleoffset":
+        astype = np.dtype(conf.get("astype") or conf.get("dtype") or out_dtype)
+        dtype = np.dtype(conf.get("dtype", out_dtype))
+        enc = np.frombuffer(buf, dtype=astype).astype("float64")
+        return (enc / conf["scale"] + conf["offset"]).astype(dtype, copy=False)
+    if fid == "quantize":
+        # lossy rounding applied at encode; decode is a pass-through
+        return np.frombuffer(buf, dtype=np.dtype(conf.get("dtype", out_dtype)))
+    raise NotImplementedError(
+        f"numcodecs filter {fid!r} unsupported (delta / fixedscaleoffset / "
+        "quantize / shuffle are)"
+    )
+
+
+def encode_v2_filter(arr: np.ndarray, conf: dict) -> bytes:
+    fid = conf.get("id")
+    if fid == "delta":
+        astype = np.dtype(conf.get("astype") or conf.get("dtype") or arr.dtype)
+        enc = np.empty(arr.shape, dtype=astype)
+        flat = arr.ravel()
+        enc = np.concatenate([flat[:1], np.diff(flat)]).astype(astype)
+        return enc.tobytes()
+    if fid == "fixedscaleoffset":
+        astype = np.dtype(conf.get("astype") or conf.get("dtype") or arr.dtype)
+        enc = np.round((arr.ravel().astype("float64") - conf["offset"]) * conf["scale"])
+        return enc.astype(astype).tobytes()
+    if fid == "quantize":
+        digits = conf["digits"]
+        dtype = np.dtype(conf.get("dtype", arr.dtype))
+        precision = 10.0 ** -digits
+        exp = np.log10(precision)
+        bits = np.ceil(np.log2(10.0 ** -np.floor(exp)))
+        scale = 2.0 ** bits
+        return (np.around(scale * arr.ravel()) / scale).astype(dtype).tobytes()
+    raise NotImplementedError(f"numcodecs filter {fid!r} unsupported")
+
+
+# ---------------------------------------------------------------------------
 # Blosc1 container
 # ---------------------------------------------------------------------------
 

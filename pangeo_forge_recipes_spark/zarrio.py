@@ -241,6 +241,16 @@ class ZarrArray:
                 "grib2-msg arrays are read-only virtual references; write "
                 "through the Zarr path instead"
             )
+        if any(c["name"].startswith("numcodecs-") for c in self.meta["codecs"]):
+            raise NotImplementedError(
+                "arrays with numcodecs filter chains are read-only; re-store "
+                "through the Zarr pipeline instead"
+            )
+        tr = next(
+            (c for c in self.meta["codecs"] if c["name"] == "transpose"), None
+        )
+        if tr is not None:
+            arr = np.transpose(arr, list(tr["configuration"]["order"]))
         buf = np.ascontiguousarray(arr, dtype=self.dtype.newbyteorder("<")).tobytes()
         es = self._shuffle_elementsize
         if es > 1:
@@ -312,9 +322,35 @@ class ZarrArray:
             buf = (
                 np.frombuffer(buf, dtype=np.uint8).reshape(es, -1).T.tobytes()
             )
-        arr = np.frombuffer(
-            buf, dtype=self.dtype.newbyteorder(self._stored_byteorder)
-        ).astype(self.dtype, copy=False)
+        filts = [
+            c for c in self.meta["codecs"] if c["name"].startswith("numcodecs-")
+        ]
+        if filts:
+            from . import codecs as _codecs
+
+            arr = None
+            for c in reversed(filts):
+                arr = _codecs.decode_v2_filter(
+                    buf, c["configuration"], self.dtype
+                )
+                buf = arr.tobytes()
+            arr = arr.astype(self.dtype, copy=False)
+        else:
+            arr = np.frombuffer(
+                buf, dtype=self.dtype.newbyteorder(self._stored_byteorder)
+            ).astype(self.dtype, copy=False)
+        tr = next(
+            (c for c in self.meta["codecs"] if c["name"] == "transpose"), None
+        )
+        if tr is not None:
+            order = list(tr["configuration"]["order"])
+            full = int(np.prod(self.chunks, dtype=np.int64))
+            if arr.size != full:
+                raise NotImplementedError(
+                    "ragged (short) chunk under a transpose codec"
+                )
+            shape = [self.chunks[i] for i in order]
+            return arr.reshape(shape).transpose(np.argsort(order))
         return self._pad_reshape(arr)
 
     def _pad_reshape(self, arr: np.ndarray) -> np.ndarray:
@@ -446,8 +482,6 @@ def _v2_to_v3_array_meta(zarray: dict, zattrs: dict) -> dict:
         raise NotImplementedError(
             f"zarr v2 dtype {zarray['dtype']!r} unsupported"
         )
-    if zarray.get("order", "C") != "C":
-        raise NotImplementedError("zarr v2 F-order arrays unsupported")
     codecs: List[dict] = [
         {
             "name": "bytes",
@@ -456,6 +490,15 @@ def _v2_to_v3_array_meta(zarray: dict, zattrs: dict) -> dict:
             },
         }
     ]
+    if zarray.get("order", "C") == "F":
+        # column-major chunks = the v3 transpose codec with reversed axes
+        ndim = len(zarray["shape"])
+        codecs.append(
+            {
+                "name": "transpose",
+                "configuration": {"order": list(range(ndim - 1, -1, -1))},
+            }
+        )
     for filt in zarray.get("filters") or []:
         if filt.get("id") == "shuffle":
             codecs.append(
@@ -468,10 +511,19 @@ def _v2_to_v3_array_meta(zarray: dict, zattrs: dict) -> dict:
                     },
                 }
             )
+        elif filt.get("id") in ("delta", "fixedscaleoffset", "quantize"):
+            if any(c["name"] == "hdf5-shuffle" for c in codecs):
+                raise NotImplementedError(
+                    "zarr v2 filter chain with shuffle BEFORE an array "
+                    "filter unsupported (shuffle must be last)"
+                )
+            codecs.append(
+                {"name": f"numcodecs-{filt['id']}", "configuration": dict(filt)}
+            )
         else:
             raise NotImplementedError(
                 f"zarr v2 filter {filt.get('id')!r} unsupported "
-                "(shuffle is; delta/fixedscaleoffset/quantize are not)"
+                "(shuffle / delta / fixedscaleoffset / quantize are)"
             )
     comp = zarray.get("compressor")
     if comp is not None:

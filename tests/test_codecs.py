@@ -161,7 +161,9 @@ def test_blosc_gates():
 # ---------------------------------------------------------------------------
 
 
-def _write_v2_array(root: str, name: str, arr: np.ndarray, chunks, compressor, filters=None):
+def _write_v2_array(
+    root: str, name: str, arr: np.ndarray, chunks, compressor, filters=None, order="C"
+):
     adir = os.path.join(root, name)
     os.makedirs(adir, exist_ok=True)
     zarray = {
@@ -171,7 +173,7 @@ def _write_v2_array(root: str, name: str, arr: np.ndarray, chunks, compressor, f
         "dtype": arr.dtype.str,
         "compressor": compressor,
         "fill_value": None,
-        "order": "C",
+        "order": order,
         "filters": filters,
     }
     json.dump(zarray, open(os.path.join(adir, ".zarray"), "w"))
@@ -185,11 +187,13 @@ def _write_v2_array(root: str, name: str, arr: np.ndarray, chunks, compressor, f
         block = np.zeros(chunks, dtype=arr.dtype)
         sl = tuple(slice(o, min(o + c, s)) for o, c, s in zip(origin, chunks, arr.shape))
         block[tuple(slice(0, sp.stop - sp.start) for sp in sl)] = arr[sl]
-        raw = block.tobytes()
-        if filters:
-            for filt in filters:
-                assert filt["id"] == "shuffle"
+        raw = block.tobytes(order="F" if order == "F" else "C")
+        for filt in filters or []:
+            if filt["id"] == "shuffle":
                 raw = C.shuffle_bytes(raw, filt["elementsize"])
+            else:
+                flat = np.frombuffer(raw, dtype=np.dtype(filt.get("dtype", arr.dtype.str)))
+                raw = C.encode_v2_filter(flat, filt)
         cid = (compressor or {}).get("id")
         if cid == "blosc":
             raw = C.blosc_compress(
@@ -249,6 +253,53 @@ def test_v2_store_with_shuffle_filter(tmp_path):
     )
     ds = open_zarr_group(root)
     np.testing.assert_array_equal(ds.data_vars["bar"].data, arr)
+
+
+def test_v2_f_order_store(tmp_path):
+    """Column-major v2 arrays read through the v3 transpose codec."""
+    root = str(tmp_path / "v2f.zarr")
+    os.makedirs(root)
+    json.dump({"zarr_format": 2}, open(os.path.join(root, ".zgroup"), "w"))
+    arr = np.arange(24, dtype="<f8").reshape(4, 6) * 1.25
+    _write_v2_array(root, "foo", arr, (2, 3), {"id": "zlib", "level": 4}, order="F")
+    ds = open_zarr_group(root)
+    np.testing.assert_array_equal(ds.data_vars["foo"].data, arr)
+
+
+@pytest.mark.parametrize(
+    "filt",
+    [
+        {"id": "delta", "dtype": "<i8"},
+        {"id": "delta", "dtype": "<i8", "astype": "<i4"},
+        {"id": "fixedscaleoffset", "offset": 100.0, "scale": 10.0, "dtype": "<f8", "astype": "<i2"},
+    ],
+)
+def test_v2_array_filters(tmp_path, filt):
+    """numcodecs delta / fixedscaleoffset filter chains decode exactly."""
+    root = str(tmp_path / "v2filt.zarr")
+    os.makedirs(root)
+    json.dump({"zarr_format": 2}, open(os.path.join(root, ".zgroup"), "w"))
+    if filt["id"] == "delta":
+        arr = (np.arange(30, dtype="<i8") * 3 + 7).reshape(5, 6)
+    else:
+        arr = (100.0 + np.arange(30).reshape(5, 6) / 10.0).astype("<f8")
+    _write_v2_array(root, "v", arr, (5, 6), {"id": "zlib", "level": 4}, filters=[filt])
+    ds = open_zarr_group(root)
+    np.testing.assert_allclose(ds.data_vars["v"].data, arr, rtol=1e-12)
+
+
+def test_v2_quantize_filter_passthrough(tmp_path):
+    root = str(tmp_path / "v2q.zarr")
+    os.makedirs(root)
+    json.dump({"zarr_format": 2}, open(os.path.join(root, ".zgroup"), "w"))
+    arr = np.round(np.linspace(0, 1, 20), 3).reshape(4, 5)
+    _write_v2_array(
+        root, "v", arr, (4, 5), None,
+        filters=[{"id": "quantize", "digits": 3, "dtype": "<f8"}],
+    )
+    ds = open_zarr_group(root)
+    # quantize is lossy at write; read-back equals the quantized values
+    np.testing.assert_allclose(ds.data_vars["v"].data, arr, atol=10**-3)
 
 
 def test_v2_unknown_compressor_still_gates(tmp_path):
