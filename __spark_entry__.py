@@ -945,6 +945,60 @@ def _multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_stats(media)
 
 
+def _multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the engine: media payloads are genuine
+    16-bit PCM RIFF/WAVE bytes (audioio.py) carrying a doc-dependent
+    triangle wave — decode_audio must actually parse the container and
+    dequantize the PCM. Summaries are exact integer quantities (the
+    decoded samples are multiples of 1/32768, so round(s*32768) recovers
+    the stored int exactly); the oracle recomputes them from the
+    closed-form wave. The triangle values never land on a .5 rounding
+    tie (checked for every period used), so HALF_UP vs half-even is
+    moot."""
+    from pangeo_forge_recipes_spark.operators.multimodal import (
+        attach_wav_media,
+        decode_audio,
+    )
+
+    _register(spark, sf_dir)
+    media = attach_wav_media(
+        spark.table("documents"), n_samples=64, sample_rate=8000
+    )
+    dec = decode_audio(media)
+    q = F.transform("samples", lambda x: F.round(x.cast("double") * 32768, 0))
+    return dec.select(
+        "doc_id",
+        "sample_rate",
+        "channels",
+        F.size("samples").alias("n_samples"),
+        F.aggregate(q, F.lit(0.0), lambda a, x: a + x)
+        .cast("long")
+        .alias("sum_q"),
+        F.aggregate(q, F.lit(0.0), lambda a, x: a + F.abs(x))
+        .cast("long")
+        .alias("abs_q"),
+        F.array_max(F.transform(q, lambda x: F.abs(x)))
+        .cast("long")
+        .alias("peak_q"),
+    ).orderBy("doc_id")
+
+
+_AUDIO_TRI = "(abs((i % (8 + doc_id % 23)) * 2.0 / (8 + doc_id % 23) - 1.0) * 2.0 - 1.0) * 16384"
+_AUDIO_ORACLE = f"""
+SELECT doc_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS channels,
+       CAST(64 AS INT) AS n_samples,
+       CAST(list_sum(list_transform(range(0, 64), i ->
+            round({_AUDIO_TRI}))) AS BIGINT) AS sum_q,
+       CAST(list_sum(list_transform(range(0, 64), i ->
+            abs(round({_AUDIO_TRI})))) AS BIGINT) AS abs_q,
+       CAST(list_max(list_transform(range(0, 64), i ->
+            abs(round({_AUDIO_TRI})))) AS BIGINT) AS peak_q
+FROM documents ORDER BY doc_id
+""".strip()
+
+
 def _events_stream_source(spark: SparkSession, sf_dir: str, query_name: str) -> DataFrame:
     """Shared streaming-source setup: stop a leftover query of the same
     name, then stream the events parquet with the same bigint-ns → timestamp
@@ -1739,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # multimodal + hash-family extension operators
     out["multimodal_features"] = _multimodal_features
     out["multimodal_stats"] = _multimodal_stats
+    out["multimodal_audio"] = _multimodal_audio
     out["dedup_minhash_pairs"] = _minhash_dedup_pairs
     out["dedup_clusters"] = _dedup_clusters
     out["dedup_simhash"] = _simhash
@@ -1757,13 +1812,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # batch copy is skipped to stay inside the 50-query budget.
     # q17/q6/q14/q10 (single-row or join+topk conditional-agg shapes that
     # q1/q4/q13/q19/q3 already cover) yield their slots to dedup_clusters
-    # and the three training-data assembly queries
+    # and the three training-data assembly queries; q16 (distinct-agg +
+    # NOT-IN anti-join, shapes q13/q22/set_ops_customers also exercise)
+    # yields its slot to multimodal_audio — the real WAV decode path
     _SWAPPED_OUT = (
         "events_hourly_rollup",
         "q17_small_quantity_revenue",
         "q6_forecast_revenue",
         "q14_promo_revenue",
         "q10_returned_items",
+        "q16_supplier_cnt",
     )
     for name, sql in shared.items():
         if name not in _SWAPPED_OUT:
@@ -1809,6 +1867,7 @@ def oracle_sql() -> dict[str, str]:
         "q6_forecast_revenue",
         "q14_promo_revenue",
         "q10_returned_items",
+        "q16_supplier_cnt",  # slot swapped for multimodal_audio
     ):
         out.pop(swapped)  # slots swapped for dedup_clusters + assembly queries
     out.pop("dedup_ngram_signature")  # slot swapped for semantic_dedup_pairs
@@ -1822,5 +1881,6 @@ def oracle_sql() -> dict[str, str]:
     out["ann_lsh_topk"] = _lsh_oracle_sql()
     out["ann_ivf_topk"] = _IVF_ORACLE
     out["multimodal_features"] = _MULTIMODAL_FEATURES_ORACLE
+    out["multimodal_audio"] = _AUDIO_ORACLE
     out.update(_pipeline_oracle_sql())
     return out

@@ -29,6 +29,7 @@ ROTATED_OUT = [
     "q6_forecast_revenue",
     "q10_returned_items",
     "q14_promo_revenue",
+    "q16_supplier_cnt",
     "q17_small_quantity_revenue",
     "events_hourly_rollup",
 ]
