@@ -8,8 +8,13 @@ encoder produces spec-conformant baseline files (canonical Huffman
 tables built per image, so no reliance on remembering the Annex K
 defaults; the DHT segment carries whatever we build).
 
-Progressive (SOF2), arithmetic coding, 12-bit precision, and
-hierarchical modes raise ``NotImplementedError`` with a clear message.
+Progressive Huffman JPEGs (SOF2 — the dominant web encoding) decode
+too: all scans accumulate into per-component coefficient stores
+(spectral selection, successive approximation with the libjpeg-
+compatible refinement algorithm, EOB runs), and the encoder can emit a
+progressive scan script that decodes bit-identically to its baseline
+output. Arithmetic coding, 12-bit precision, lossless and hierarchical
+modes raise ``NotImplementedError`` with a clear message.
 
 Reference parity: the reference delegates image decoding to external
 libraries; this engine decodes JPEG natively so ``decode_image``
@@ -118,92 +123,12 @@ class _BitReader:
         return v
 
 
-def _parse_segments(buf: bytes):
-    """Yield (marker, payload) for each segment up to SOS; then return
-    (scan_header, entropy_bytes)."""
-    if buf[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG (missing SOI)")
-    pos = 2
-    while pos + 4 <= len(buf):
-        if buf[pos] != 0xFF:
-            raise ValueError(f"corrupt JPEG: expected marker at {pos}")
-        marker = buf[pos + 1]
-        if marker == 0xD9:  # EOI
-            return
-        (size,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
-        payload = buf[pos + 4 : pos + 2 + size]
-        yield marker, payload, pos + 2 + size
-        pos += 2 + size
-
-
-def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Decode a baseline JPEG → uint8 array (h, w) gray or (h, w, 3) RGB."""
-    buf = bytes(buf)
-    qtables: Dict[int, np.ndarray] = {}
-    huff_dc: Dict[int, _Huff] = {}
-    huff_ac: Dict[int, _Huff] = {}
-    frame = None
-    restart_interval = 0
-    scan = None
-    entropy_start = None
-
-    for marker, payload, end in _parse_segments(buf):
-        if marker == 0xDB:  # DQT
-            p = 0
-            while p < len(payload):
-                pq, tq = payload[p] >> 4, payload[p] & 0xF
-                p += 1
-                if pq == 0:
-                    q = np.frombuffer(payload[p : p + 64], np.uint8).astype(np.int32)
-                    p += 64
-                else:
-                    q = np.frombuffer(payload[p : p + 128], ">u2").astype(np.int32)
-                    p += 128
-                qtables[tq] = q  # kept in zigzag order, matching zz
-        elif marker == 0xC4:  # DHT
-            p = 0
-            while p < len(payload):
-                tc, th = payload[p] >> 4, payload[p] & 0xF
-                bits = list(payload[p + 1 : p + 17])
-                n = sum(bits)
-                vals = list(payload[p + 17 : p + 17 + n])
-                (huff_dc if tc == 0 else huff_ac)[th] = _Huff(bits, vals)
-                p += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended seq.
-            precision = payload[0]
-            if precision != 8:
-                raise NotImplementedError(f"JPEG precision {precision} (only 8-bit)")
-            h, w = struct.unpack(">HH", payload[1:5])
-            ncomp = payload[5]
-            comps = []
-            for c in range(ncomp):
-                cid, hv, tq = payload[6 + 3 * c : 9 + 3 * c]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2) unsupported; baseline only")
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(
-                f"JPEG frame type SOF{marker - 0xC0} unsupported; baseline only"
-            )
-        elif marker == 0xDD:  # DRI
-            (restart_interval,) = struct.unpack(">H", payload[:2])
-        elif marker == 0xDA:  # SOS
-            ns = payload[0]
-            scan = []
-            for c in range(ns):
-                cs, tdta = payload[1 + 2 * c : 3 + 2 * c]
-                scan.append({"id": cs, "td": tdta >> 4, "ta": tdta & 0xF})
-            entropy_start = end
-            break
-
-    if frame is None or scan is None:
-        raise ValueError("corrupt JPEG: missing SOF/SOS")
-
-    # de-stuff entropy data, splitting at restart markers
+def _read_entropy(buf: bytes, start: int) -> Tuple[List[bytes], int]:
+    """De-stuff one scan's entropy data from ``start``; split at RSTn.
+    Returns (segments, position of the next marker)."""
     segments: List[bytes] = []
     cur = bytearray()
-    p = entropy_start
+    p = start
     n = len(buf)
     while p < n:
         b = buf[p]
@@ -222,68 +147,258 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         cur.append(b)
         p += 1
     segments.append(bytes(cur))
+    return segments, p
 
+
+def _decode_scan(
+    frame: dict,
+    coef: List[np.ndarray],
+    scan: List[dict],
+    band: Tuple[int, int, int, int],
+    segments: List[bytes],
+    restart_interval: int,
+    huff_dc: Dict[int, _Huff],
+    huff_ac: Dict[int, _Huff],
+) -> None:
+    """Decode one scan (baseline or progressive) into the per-component
+    zigzag coefficient stores (T.81 F.2 / G.2; successive-approximation
+    refinement follows the bit-exact libjpeg-compatible algorithm)."""
+    ss, se, ah, al = band
     comps = frame["comps"]
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = -(-frame["w"] // mcu_w)
-    mcus_y = -(-frame["h"] // mcu_h)
-
-    planes = []
-    for c in comps:
-        planes.append(
-            np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
-        )
-    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    interleaved = len(scan) > 1
+    if interleaved:
+        if ss != 0:
+            raise ValueError("corrupt JPEG: interleaved AC scan")
+        total_units = mcus_x * mcus_y
+    else:
+        c = comps[by_id[scan[0]["id"]]]
+        nbw = -(-(-(-frame["w"] * c["h"] // hmax)) // 8)
+        nbh = -(-(-(-frame["h"] * c["v"] // vmax)) // 8)
+        total_units = nbw * nbh
 
     seg_idx = 0
     reader = _BitReader(segments[0])
     preds = [0] * len(comps)
-    n_mcus = mcus_x * mcus_y
-    for mcu in range(n_mcus):
-        if restart_interval and mcu and mcu % restart_interval == 0:
+    eobrun = 0
+
+    def decode_block(blk: np.ndarray, ci: int, dc_tbl, ac_tbl) -> None:
+        nonlocal eobrun
+        if ss == 0:
+            if ah == 0:  # DC first (or full baseline scan)
+                t = dc_tbl.decode(reader)
+                preds[ci] += _extend(reader.receive(t), t)
+                blk[0] = preds[ci] << al
+            else:  # DC refinement: one bit
+                if reader.bit():
+                    blk[0] |= 1 << al
+            if se == 0:
+                return
+        k = max(ss, 1)
+        if ah == 0:  # AC first pass (baseline reaches here with eobrun=0)
+            if eobrun:
+                eobrun -= 1
+                return
+            while k <= se:
+                rs = ac_tbl.decode(reader)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                k += r
+                if k > 63:
+                    raise ValueError("corrupt JPEG: AC index past 63")
+                blk[k] = _extend(reader.receive(s), s) << al
+                k += 1
+            return
+        # AC successive-approximation refinement
+        p1 = 1 << al
+        m1 = -p1
+        if eobrun == 0:
+            while k <= se:
+                rs = ac_tbl.decode(reader)
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.receive(r)
+                        break
+                    # r == 15: ZRL — skip 16 zero-history coefficients
+                else:
+                    val = p1 if reader.bit() else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        if reader.bit() and (int(blk[k]) & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.bit() and (int(blk[k]) & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+
+    for unit in range(total_units):
+        if restart_interval and unit and unit % restart_interval == 0:
             seg_idx += 1
             if seg_idx >= len(segments):
                 raise ValueError("corrupt JPEG: fewer restart segments than expected")
             reader = _BitReader(segments[seg_idx])
             preds = [0] * len(comps)
-        my, mx = divmod(mcu, mcus_x)
-        for sc in scan:
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(unit, mcus_x)
+            for sc in scan:
+                ci = by_id[sc["id"]]
+                comp = comps[ci]
+                dc_tbl = huff_dc.get(sc["td"])
+                ac_tbl = huff_ac.get(sc["ta"])
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        blk = coef[ci][my * comp["v"] + by, mx * comp["h"] + bx]
+                        decode_block(blk, ci, dc_tbl, ac_tbl)
+        else:
+            sc = scan[0]
             ci = by_id[sc["id"]]
-            comp = comps[ci]
-            dc_tbl, ac_tbl = huff_dc[sc["td"]], huff_ac[sc["ta"]]
-            q = qtables[comp["tq"]]
-            for by in range(comp["v"]):
-                for bx in range(comp["h"]):
-                    zz = np.zeros(64, dtype=np.int64)
-                    t = dc_tbl.decode(reader)
-                    diff = _extend(reader.receive(t), t)
-                    preds[ci] += diff
-                    zz[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        rs = ac_tbl.decode(reader)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("corrupt JPEG: AC index past 63")
-                        zz[k] = _extend(reader.receive(s), s)
-                        k += 1
-                    block = (zz * q)[UNZIGZAG].reshape(8, 8)
-                    spatial = idct_8x8(block) + 128.0
-                    y0 = (my * comp["v"] + by) * 8
-                    x0 = (mx * comp["h"] + bx) * 8
-                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
+            by, bx = divmod(unit, nbw)
+            decode_block(
+                coef[ci][by, bx], ci, huff_dc.get(sc["td"]), huff_ac.get(sc["ta"])
+            )
 
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """Decode a baseline or progressive JPEG → uint8 (h, w) gray or
+    (h, w, 3) RGB. All scans accumulate into per-component coefficient
+    stores; dequantization + IDCT run vectorized at the end."""
+    buf = bytes(buf)
+    qtables: Dict[int, np.ndarray] = {}
+    huff_dc: Dict[int, _Huff] = {}
+    huff_ac: Dict[int, _Huff] = {}
+    frame = None
+    restart_interval = 0
+    coef: List[np.ndarray] = []
+
+    pos = 2
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    n = len(buf)
+    while pos + 2 <= n:
+        if buf[pos] != 0xFF:
+            raise ValueError(f"corrupt JPEG: expected marker at {pos}")
+        marker = buf[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RST
+            pos += 2
+            continue
+        (size,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
+        payload = buf[pos + 4 : pos + 2 + size]
+        end = pos + 2 + size
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                p += 1
+                if pq == 0:
+                    q = np.frombuffer(payload[p : p + 64], np.uint8).astype(np.int32)
+                    p += 64
+                else:
+                    q = np.frombuffer(payload[p : p + 128], ">u2").astype(np.int32)
+                    p += 128
+                qtables[tq] = q  # kept in zigzag order, matching the stores
+        elif marker == 0xC4:  # DHT (tables may be redefined between scans)
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1 : p + 17])
+                cnt = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + cnt])
+                (huff_dc if tc == 0 else huff_ac)[th] = _Huff(bits, vals)
+                p += 17 + cnt
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            precision = payload[0]
+            if precision != 8:
+                raise NotImplementedError(f"JPEG precision {precision} (only 8-bit)")
+            h, w = struct.unpack(">HH", payload[1:5])
+            ncomp = payload[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = payload[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            coef = [
+                np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
+                for c in comps
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG frame type SOF{marker - 0xC0} unsupported "
+                "(baseline and progressive Huffman are)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("corrupt JPEG: SOS before SOF")
+            ns = payload[0]
+            scan = []
+            for c in range(ns):
+                cs, tdta = payload[1 + 2 * c : 3 + 2 * c]
+                scan.append({"id": cs, "td": tdta >> 4, "ta": tdta & 0xF})
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ahal = payload[3 + 2 * ns]
+            if not frame["progressive"]:
+                ss, se, ahal = 0, 63, 0  # baseline ignores the band fields
+            segments, end = _read_entropy(buf, end)
+            _decode_scan(
+                frame,
+                coef,
+                scan,
+                (ss, se, ahal >> 4, ahal & 0xF),
+                segments,
+                restart_interval,
+                huff_dc,
+                huff_ac,
+            )
+        pos = end
+
+    if frame is None or not coef:
+        raise ValueError("corrupt JPEG: missing SOF/SOS")
+
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     h, w = frame["h"], frame["w"]
     out_planes = []
-    for c, plane in zip(comps, planes):
+    for c, blocks in zip(comps, coef):
+        q = qtables[c["tq"]]
+        deq = (blocks.astype(np.int64) * q[None, None, :])[..., UNZIGZAG]
+        bh, bw = blocks.shape[:2]
+        spatial = _M.T @ deq.reshape(bh, bw, 8, 8).astype(np.float64) @ _M
+        plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
         if c["h"] != hmax or c["v"] != vmax:
             plane = np.repeat(
                 np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
@@ -356,7 +471,8 @@ class _HuffEncoder:
 
 
 _DC_SYMS = list(range(12))
-_AC_SYMS = [0x00, 0xF0] + [
+# s=0 column covers EOB/EOB0 (0x00), EOBn (0x10..0xE0) and ZRL (0xF0)
+_AC_SYMS = [r << 4 for r in range(16)] + [
     (r << 4) | s for r in range(16) for s in range(1, 11)
 ]
 
@@ -430,16 +546,192 @@ def _encode_block(
     return int(zz[0])
 
 
+def _encode_ac_first_block(
+    writer: _BitWriter, zz: np.ndarray, ss: int, se: int, al: int, ac: _HuffEncoder,
+    eobrun: int,
+) -> int:
+    """Progressive AC first pass for one block (T.81 G.1.2.2 /
+    libjpeg encode_mcu_AC_first). Returns the updated EOB run."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = (abs(v) >> al) * (1 if v >= 0 else -1)
+        if t == 0:
+            r += 1
+            continue
+        if eobrun > 0:
+            eobrun = _emit_eobrun(writer, ac, eobrun, [])
+        while r > 15:
+            code, ln = ac.codes[0xF0]
+            writer.write(code, ln)
+            r -= 16
+        s = _csize(t)
+        code, ln = ac.codes[(r << 4) | s]
+        writer.write(code, ln)
+        writer.write(t if t >= 0 else t + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        eobrun += 1
+        if eobrun == 0x7FFF:
+            eobrun = _emit_eobrun(writer, ac, eobrun, [])
+    return eobrun
+
+
+def _emit_eobrun(
+    writer: _BitWriter, ac: _HuffEncoder, eobrun: int, corr_bits: List[int]
+) -> int:
+    """Emit a pending EOBn symbol (+ extension bits), then any buffered
+    refinement correction bits; returns 0 (the cleared run)."""
+    if eobrun > 0:
+        nbits = eobrun.bit_length() - 1
+        code, ln = ac.codes[nbits << 4]
+        writer.write(code, ln)
+        if nbits:
+            writer.write(eobrun & ((1 << nbits) - 1), nbits)
+    for b in corr_bits:
+        writer.write(b, 1)
+    corr_bits.clear()
+    return 0
+
+
+def _encode_ac_refine_block(
+    writer: _BitWriter, zz: np.ndarray, ss: int, se: int, al: int, ac: _HuffEncoder,
+    eobrun: int, corr_bits: List[int],
+) -> int:
+    """Progressive AC refinement for one block (T.81 G.1.2.3 /
+    libjpeg encode_mcu_AC_refine): newly-significant coefficients emit
+    (run,1)+sign, history coefficients buffer correction bits flushed
+    after the covering symbol. Returns the updated EOB run."""
+    absval = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = 0  # band-relative index just past the last newly-significant coef
+    for i, a in enumerate(absval):
+        if a == 1:
+            eob = i + 1
+    r = 0
+    pending: List[int] = []
+    for i, a in enumerate(absval):
+        if a == 0:
+            r += 1
+            continue
+        while r > 15 and i < eob:
+            eobrun = _emit_eobrun(writer, ac, eobrun, corr_bits)
+            code, ln = ac.codes[0xF0]
+            writer.write(code, ln)
+            r -= 16
+            for b in pending:
+                writer.write(b, 1)
+            pending = []
+        if a > 1:  # already significant: buffer its correction bit
+            pending.append(a & 1)
+            continue
+        # newly significant
+        eobrun = _emit_eobrun(writer, ac, eobrun, corr_bits)
+        code, ln = ac.codes[(r << 4) | 1]
+        writer.write(code, ln)
+        writer.write(1 if int(zz[ss + i]) >= 0 else 0, 1)
+        for b in pending:
+            writer.write(b, 1)
+        pending = []
+        r = 0
+    if r > 0 or pending:
+        eobrun += 1
+        corr_bits.extend(pending)
+        if eobrun == 0x7FFF or len(corr_bits) > 937:
+            eobrun = _emit_eobrun(writer, ac, eobrun, corr_bits)
+    return eobrun
+
+
+def _encode_progressive_scans(
+    coefs: List[np.ndarray],
+    sampling: List[Tuple[int, int]],
+    mcus_x: int,
+    mcus_y: int,
+    dc_enc: _HuffEncoder,
+    ac_enc: _HuffEncoder,
+    h: int,
+    w: int,
+) -> List[Tuple[List[int], Tuple[int, int, int, int], bytes]]:
+    """Successive-approximation scan script (libjpeg-style): interleaved
+    DC first at Al=1 + DC refine, then per-component AC first at Al=1 +
+    AC refine. Returns [(component_indices, (Ss,Se,Ah,Al), entropy)]."""
+    ncomp = len(coefs)
+    scans: List[Tuple[List[int], Tuple[int, int, int, int], bytes]] = []
+
+    # scan 1: DC first, all components interleaved, Al=1
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    for mcu in range(mcus_x * mcus_y):
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (sh, sv) in enumerate(sampling):
+            for by in range(sv):
+                for bx in range(sh):
+                    dc = int(coefs[ci][my * sv + by, mx * sh + bx, 0]) >> 1
+                    diff = dc - preds[ci]
+                    preds[ci] = dc
+                    t = _csize(diff)
+                    code, ln = dc_enc.codes[t]
+                    writer.write(code, ln)
+                    if t:
+                        writer.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    scans.append((list(range(ncomp)), (0, 0, 0, 1), writer.flush()))
+
+    # scan 2: DC refinement (bit 0), all components interleaved
+    writer = _BitWriter()
+    for mcu in range(mcus_x * mcus_y):
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (sh, sv) in enumerate(sampling):
+            for by in range(sv):
+                for bx in range(sh):
+                    writer.write(int(coefs[ci][my * sv + by, mx * sh + bx, 0]) & 1, 1)
+    scans.append((list(range(ncomp)), (0, 0, 1, 0), writer.flush()))
+
+    # per component: AC first (Al=1) then AC refinement (Ah=1, Al=0).
+    # Non-interleaved scans walk the component's OWN block grid
+    # (ceil(scaled size / 8)), not the MCU-padded grid — T.81 A.2.2.
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    for ci, (sh, sv) in enumerate(sampling):
+        blocks = coefs[ci]
+        nbw = -(-(-(-w * sh // hmax)) // 8)
+        nbh = -(-(-(-h * sv // vmax)) // 8)
+        writer = _BitWriter()
+        eobrun = 0
+        for by in range(nbh):
+            for bx in range(nbw):
+                eobrun = _encode_ac_first_block(
+                    writer, blocks[by, bx], 1, 63, 1, ac_enc, eobrun
+                )
+        eobrun = _emit_eobrun(writer, ac_enc, eobrun, [])
+        scans.append(([ci], (1, 63, 0, 1), writer.flush()))
+
+        writer = _BitWriter()
+        eobrun = 0
+        corr: List[int] = []
+        for by in range(nbh):
+            for bx in range(nbw):
+                eobrun = _encode_ac_refine_block(
+                    writer, blocks[by, bx], 1, 63, 0, ac_enc, eobrun, corr
+                )
+        eobrun = _emit_eobrun(writer, ac_enc, eobrun, corr)
+        scans.append(([ci], (1, 63, 1, 0), writer.flush()))
+    return scans
+
+
 def encode_jpeg(
     arr: np.ndarray,
     quality: int = 90,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode uint8 (h, w) gray or (h, w, 3) RGB as baseline JPEG.
     ``subsample=True`` uses 4:2:0 chroma subsampling (exercises the
     decoder's upsampling path); default 4:4:4. ``restart_interval`` > 0
-    emits a DRI segment and RSTn markers every that many MCUs."""
+    emits a DRI segment and RSTn markers every that many MCUs (baseline
+    only). ``progressive=True`` emits SOF2 with a successive-
+    approximation scan script (DC first/refine, per-component AC
+    first/refine) — same coefficients, so it decodes bit-identically to
+    the baseline encoding."""
     arr = np.asarray(arr)
     if arr.dtype != np.uint8:
         raise ValueError(f"encode_jpeg needs uint8, got {arr.dtype}")
@@ -485,33 +777,42 @@ def encode_jpeg(
             np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
         )
 
-    writer = _BitWriter()
-    preds = [0] * len(planes)
     # _QUANT_* are raster order; the FDCT output is raster order too
     qz_lum = qlum.reshape(8, 8)
     qz_chrom = qchrom.reshape(8, 8)
-    entropy_parts: List[bytes] = []
-    for mcu in range(mcus_x * mcus_y):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            entropy_parts.append(writer.flush())
-            entropy_parts.append(
-                bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)])
-            )
-            writer = _BitWriter()
-            preds = [0] * len(planes)
-        my, mx = divmod(mcu, mcus_x)
-        for ci, (p, (sh, sv)) in enumerate(zip(padded, sampling)):
-            qz = qz_lum if ci == 0 else qz_chrom
-            for by in range(sv):
-                for bx in range(sh):
-                    y0 = (my * sv + by) * 8
-                    x0 = (mx * sh + bx) * 8
-                    block = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                    coeff = np.round(fdct_8x8(block) / qz).astype(np.int64)
-                    zz = coeff.reshape(64)[ZIGZAG]
-                    preds[ci] = _encode_block(writer, zz, preds[ci], dc_enc, ac_enc)
-    entropy_parts.append(writer.flush())
-    entropy = b"".join(entropy_parts)
+    # per-component zigzag coefficient stores on the MCU-padded grid
+    coefs: List[np.ndarray] = []
+    for ci, (p, (sh, sv)) in enumerate(zip(padded, sampling)):
+        qz = qz_lum if ci == 0 else qz_chrom
+        bh, bw = p.shape[0] // 8, p.shape[1] // 8
+        blocks = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+        cf = np.round((_M @ blocks @ _M.T) / qz).astype(np.int64)
+        coefs.append(cf.reshape(bh, bw, 64)[:, :, ZIGZAG])
+
+    if progressive:
+        scans = _encode_progressive_scans(
+            coefs, sampling, mcus_x, mcus_y, dc_enc, ac_enc, h, w
+        )
+    else:
+        writer = _BitWriter()
+        preds = [0] * len(planes)
+        entropy_parts: List[bytes] = []
+        for mcu in range(mcus_x * mcus_y):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                entropy_parts.append(writer.flush())
+                entropy_parts.append(
+                    bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)])
+                )
+                writer = _BitWriter()
+                preds = [0] * len(planes)
+            my, mx = divmod(mcu, mcus_x)
+            for ci, (sh, sv) in enumerate(sampling):
+                for by in range(sv):
+                    for bx in range(sh):
+                        zz = coefs[ci][my * sv + by, mx * sh + bx]
+                        preds[ci] = _encode_block(writer, zz, preds[ci], dc_enc, ac_enc)
+        entropy_parts.append(writer.flush())
+        entropy = b"".join(entropy_parts)
 
     # assemble segments
     def seg(marker: int, payload: bytes) -> bytes:
@@ -526,17 +827,27 @@ def encode_jpeg(
     for ci in range(ncomp):
         sh, sv = sampling[ci]
         sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
-    out += seg(0xC0, sof)
-    if restart_interval:
+    out += seg(0xC2 if progressive else 0xC0, sof)
+    if restart_interval and not progressive:
         out += seg(0xDD, struct.pack(">H", restart_interval))
     for tc, enc in ((0, dc_enc), (1, ac_enc)):
         payload = bytes([tc << 4]) + bytes(enc.bits) + bytes(enc.huffval)
         out += seg(0xC4, payload)
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
-    out += entropy
+    if progressive:
+        for scan_comps, band, scan_entropy in scans:
+            sos = bytes([len(scan_comps)])
+            for ci in scan_comps:
+                sos += bytes([ci + 1, 0x00])
+            ss, se, ah, al = band
+            sos += bytes([ss, se, (ah << 4) | al])
+            out += seg(0xDA, sos)
+            out += scan_entropy
+    else:
+        sos = bytes([ncomp])
+        for ci in range(ncomp):
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([0, 63, 0])
+        out += seg(0xDA, sos)
+        out += entropy
     out += b"\xff\xd9"
     return bytes(out)

@@ -115,14 +115,50 @@ def test_byte_stuffing_roundtrip():
     assert np.abs(out2.astype(int) - out.astype(int)).mean() < 20
 
 
+@pytest.mark.parametrize("subsample", [False, True])
+def test_progressive_decodes_identically_to_baseline(subsample):
+    """The strongest entropy-layer check: a progressive encoding of the
+    same coefficients must decode bit-identically to the baseline one —
+    any DC/AC first-pass, refinement, EOB-run, or ZRL bug breaks it."""
+    rng = np.random.RandomState(3)
+    y, x = np.mgrid[0:40, 0:56]
+    rgb = np.stack(
+        [
+            128 + 60 * np.sin(x / 6.0),
+            128 + 60 * np.cos(y / 8.0),
+            rng.randint(0, 256, (40, 56)),  # noisy channel → dense AC
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(rgb, quality=85, subsample=subsample))
+    prog = decode_jpeg(encode_jpeg(rgb, quality=85, subsample=subsample, progressive=True))
+    np.testing.assert_array_equal(base, prog)
+
+
+def test_progressive_structure():
+    blob = encode_jpeg(np.arange(64, dtype=np.uint8).reshape(8, 8), progressive=True)
+    assert b"\xff\xc2" in blob  # SOF2
+    assert blob.count(b"\xff\xda") == 4  # DC first + DC refine + AC first + AC refine
+    assert b"\xff\xc0" not in blob
+
+
+def test_progressive_noise_and_odd_sizes():
+    rng = np.random.RandomState(9)
+    for shape in [(8, 8), (17, 13), (24, 33)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        b = decode_jpeg(encode_jpeg(img, quality=50))
+        p = decode_jpeg(encode_jpeg(img, quality=50, progressive=True))
+        np.testing.assert_array_equal(b, p)
+
+
 def test_gates():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
-    # progressive: splice SOF2 marker into a valid stream
+    # lossless (SOF3): splice the marker into a valid stream
     blob = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
     idx = blob.find(b"\xff\xc0")
-    blob[idx + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    blob[idx + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="SOF3"):
         decode_jpeg(bytes(blob))
 
 
