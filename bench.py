@@ -28,7 +28,6 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q9_product_profit",
     "q13_customer_distribution",
-    "q16_supplier_cnt",
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "q22_inactive_customers",
@@ -55,6 +54,7 @@ HEADLINE = [
     "embedding_near_dup",
     "multimodal_stats",
     "multimodal_features",
+    "multimodal_audio",
     "dedup_clusters",
     "dedup_ngram_spans",
     "pack_sequences",

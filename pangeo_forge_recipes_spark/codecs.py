@@ -8,9 +8,10 @@ header, block starts, per-block split streams, byte-shuffle) is parsed
 in pure Python from the public format description
 (c-blosc ``README_HEADER.rst`` / ``blosc.c``); the *internal* codec of
 each stream is delegated to :mod:`pyarrow`'s bundled compressors
-(``lz4_raw``, ``zstd``, ``snappy``) or stdlib ``zlib``. The ``blosclz``
-internal codec and bit-shuffle are gated with clear errors (rare in
-archives: numcodecs' default cname is lz4).
+(``lz4_raw``, ``zstd``, ``snappy``) or stdlib ``zlib``; ``blosclz``
+(the FastLZ-derived default codec of early c-blosc) and the
+``bitshuffle`` filter are decoded by pure-Python/numpy implementations
+of their public formats below.
 
 A pure-Python LZ4 *block* decoder is included and cross-checked against
 pyarrow's ``lz4_raw`` in tests — two independent implementations — and
@@ -117,6 +118,178 @@ def lz4_block_compress(buf: bytes) -> bytes:
         )
     out = codec.compress(buf)
     return out.to_pybytes() if hasattr(out, "to_pybytes") else bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# BloscLZ block format (FastLZ level-1/2 derivative; public format per
+# c-blosc blosclz.c). Tokens: ctrl < 32 -> literal run of ctrl+1 bytes;
+# else a match of length ((ctrl>>5)-1 [+255-terminated extension] +3)
+# at distance ((ctrl&31)<<8) + code + 1, with the reserved pattern
+# code==255 && ofs==31<<8 escaping to a 16-bit far distance offset by
+# MAX_DISTANCE+1.
+# ---------------------------------------------------------------------------
+
+_BLZ_MAX_DISTANCE = 8191
+_BLZ_MAX_FARDISTANCE = 65535 + _BLZ_MAX_DISTANCE - 32
+
+
+def blosclz_decompress(buf: bytes, dst_size: int) -> bytes:
+    """Decode a BloscLZ stream of known output size (pure Python)."""
+    src = memoryview(buf)
+    n = len(src)
+    if n == 0:
+        if dst_size:
+            raise ValueError("empty blosclz stream with nonzero dst_size")
+        return b""
+    dst = bytearray()
+    i = 0
+    ctrl = src[i] & 31
+    i += 1
+    while True:
+        if ctrl >= 32:
+            mlen = (ctrl >> 5) - 1
+            ofs = (ctrl & 31) << 8
+            if mlen == 6:  # 7 - 1: 255-terminated length extension
+                while True:
+                    code = src[i]
+                    i += 1
+                    mlen += code
+                    if code != 255:
+                        break
+            code = src[i]
+            i += 1
+            mlen += 3
+            ref = len(dst) - ofs - 1 - code
+            if code == 255 and ofs == (31 << 8):
+                ofs = (src[i] << 8) | src[i + 1]
+                i += 2
+                ref = len(dst) - ofs - _BLZ_MAX_DISTANCE - 1
+            if ref < 0:
+                raise ValueError("corrupt blosclz stream: match before start")
+            for j in range(mlen):  # overlapping copy front-to-back
+                dst.append(dst[ref + j])
+        else:
+            lit = ctrl + 1
+            dst += src[i : i + lit]
+            i += lit
+        if i < n:
+            ctrl = src[i]
+            i += 1
+        else:
+            break
+    if len(dst) != dst_size:
+        raise ValueError(
+            f"blosclz decoded to {len(dst)} bytes, expected {dst_size}"
+        )
+    return bytes(dst)
+
+
+def _blz_emit_match(out: bytearray, mlen: int, dist: int) -> None:
+    """Append one match token: ``mlen`` copied bytes (>=3) at 1-based
+    back-distance ``dist``."""
+    if dist <= _BLZ_MAX_DISTANCE:
+        store = dist - 1
+        hi, lo = store >> 8, store & 0xFF
+        far = False
+    else:
+        hi, lo = 31, 255
+        far = True
+    if mlen <= 8:
+        out.append(((mlen - 2) << 5) | hi)
+    else:
+        out.append((7 << 5) | hi)
+        ext = mlen - 9
+        while ext >= 255:
+            out.append(255)
+            ext -= 255
+        out.append(ext)
+    out.append(lo)
+    if far:
+        fofs = dist - _BLZ_MAX_DISTANCE - 1
+        out.append(fofs >> 8)
+        out.append(fofs & 0xFF)
+
+
+def blosclz_compress(data: bytes) -> bytes:
+    """Greedy hash-table BloscLZ encoder producing streams readable by
+    :func:`blosclz_decompress` (and by c-blosc's decoder — same public
+    token format). Used for the write path and round-trip tests."""
+    data = bytes(data)
+    n = len(data)
+    out = bytearray()
+    table: dict = {}
+    lit_start = 0
+    i = 0
+
+    def flush_literals(upto: int) -> None:
+        nonlocal lit_start
+        pos = lit_start
+        while pos < upto:
+            run = min(32, upto - pos)
+            out.append(run - 1)
+            out.extend(data[pos : pos + run])
+            pos += run
+        lit_start = upto
+
+    while i + 3 <= n:
+        key = data[i : i + 3]
+        cand = table.get(key)
+        table[key] = i
+        if cand is not None and i - cand <= _BLZ_MAX_FARDISTANCE:
+            dist = i - cand
+            # reserved short pattern dist==MAX_DISTANCE+1 must take the
+            # far form; _blz_emit_match handles it via the dist threshold
+            if dist == _BLZ_MAX_DISTANCE + 1:
+                pass  # far form encodes fofs == 0 correctly
+            mlen = 3
+            while i + mlen < n and data[cand + mlen] == data[i + mlen]:
+                mlen += 1
+            flush_literals(i)
+            _blz_emit_match(out, mlen, dist)
+            i += mlen
+            lit_start = i
+        else:
+            i += 1
+    flush_literals(n)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# bitshuffle (public format per kiyo-masui/bitshuffle + c-blosc's
+# bitshuffle-generic.c): transpose the (nelem, typesize*8) bit matrix so
+# each bit plane is contiguous; elements beyond the largest multiple of
+# 8 are copied verbatim at the tail, as are bytes beyond whole elements.
+# ---------------------------------------------------------------------------
+
+
+def bitshuffle_bytes(buf: bytes, typesize: int) -> bytes:
+    buf = bytes(buf)
+    if typesize <= 0:
+        typesize = 1
+    nelem = len(buf) // typesize
+    nkeep = nelem - nelem % 8
+    head = nkeep * typesize
+    if nkeep == 0:
+        return buf
+    arr = np.frombuffer(buf, np.uint8, count=head).reshape(nkeep, typesize)
+    bits = np.unpackbits(arr, axis=1)  # (nkeep, typesize*8), MSB-first
+    out = np.packbits(np.ascontiguousarray(bits.T))
+    return out.tobytes() + buf[head:]
+
+
+def bitunshuffle_bytes(buf: bytes, typesize: int) -> bytes:
+    buf = bytes(buf)
+    if typesize <= 0:
+        typesize = 1
+    nelem = len(buf) // typesize
+    nkeep = nelem - nelem % 8
+    head = nkeep * typesize
+    if nkeep == 0:
+        return buf
+    arr = np.frombuffer(buf, np.uint8, count=head)
+    bits = np.unpackbits(arr).reshape(typesize * 8, nkeep)
+    out = np.packbits(np.ascontiguousarray(bits.T))
+    return out.tobytes() + buf[head:]
 
 
 # ---------------------------------------------------------------------------
@@ -264,9 +437,11 @@ def _stream_decompress(cname: str, buf: bytes, dst_size: int) -> bytes:
         return zstd_decompress(bytes(buf), dst_size)
     if cname == "snappy":
         return snappy_decompress(bytes(buf), dst_size)
+    if cname == "blosclz":
+        return blosclz_decompress(bytes(buf), dst_size)
     raise NotImplementedError(
-        f"blosc internal codec {cname!r} unsupported (lz4/zlib/zstd/snappy "
-        "are supported; blosclz needs the blosc library)"
+        f"blosc internal codec {cname!r} unsupported "
+        "(blosclz/lz4/zlib/zstd/snappy are)"
     )
 
 
@@ -283,6 +458,8 @@ def _stream_compress(cname: str, buf: bytes) -> bytes:
             raise NotImplementedError("snappy needs pyarrow")
         out = codec.compress(buf)
         return out.to_pybytes() if hasattr(out, "to_pybytes") else bytes(out)
+    if cname == "blosclz":
+        return blosclz_compress(buf)
     raise NotImplementedError(f"blosc internal codec {cname!r} unsupported")
 
 
@@ -308,10 +485,7 @@ def blosc_decompress(frame: bytes) -> bytes:
         )
     if flags & _MEMCPYED:
         return frame[16 : 16 + nbytes]
-    if flags & _DOBITSHUFFLE:
-        raise NotImplementedError(
-            "blosc bit-shuffle unsupported (byte-shuffle and no-shuffle are)"
-        )
+    bitshuffled = bool(flags & _DOBITSHUFFLE) and typesize >= 1
     cname = _BLOSC_CODECS.get((flags >> 5) & 0x7, "?")
     if nbytes == 0:
         return b""
@@ -347,6 +521,8 @@ def blosc_decompress(frame: bytes) -> bytes:
             )
         if shuffled:
             block = unshuffle_bytes(bytes(block), typesize)
+        elif bitshuffled:
+            block = bitunshuffle_bytes(bytes(block), typesize)
         out += block
     if len(out) != nbytes:
         raise ValueError(f"blosc frame decoded to {len(out)}, expected {nbytes}")
@@ -357,12 +533,13 @@ def blosc_compress(
     data: bytes,
     typesize: int = 1,
     cname: str = "lz4",
-    shuffle: bool = True,
+    shuffle=True,
     blocksize: int = 0,
 ) -> bytes:
     """Encode a Blosc1 frame readable by :func:`blosc_decompress` (and by
-    c-blosc/numcodecs — same public layout). Used for the engine's zarr
-    write path and for test fixtures."""
+    c-blosc/numcodecs — same public layout). ``shuffle`` accepts
+    False/None, True/"byte" (byte-shuffle), or "bit" (bitshuffle).
+    Used for the engine's zarr write path and for test fixtures."""
     data = bytes(data)
     nbytes = len(data)
     if blocksize <= 0:
@@ -370,9 +547,12 @@ def blosc_compress(
     if typesize > 1:
         blocksize = max(blocksize - blocksize % typesize, typesize)
     flags = _BLOSC_CODES[cname] << 5
-    shuffled = shuffle and typesize > 1
+    bitshuffled = shuffle == "bit"
+    shuffled = bool(shuffle) and not bitshuffled and typesize > 1
     if shuffled:
         flags |= _DOSHUFFLE
+    if bitshuffled:
+        flags |= _DOBITSHUFFLE
     if nbytes == 0:
         header = struct.pack("<BBBB III", 2, 1, flags | _MEMCPYED, max(typesize, 1), 0, blocksize, 16)
         return header
@@ -387,6 +567,8 @@ def blosc_compress(
         block = data[j * blocksize : j * blocksize + bsize]
         if shuffled:
             block = shuffle_bytes(block, typesize)
+        elif bitshuffled:
+            block = bitshuffle_bytes(block, typesize)
         nstreams = typesize if (shuffled and not last_partial) else 1
         neblock = bsize // nstreams
         bstarts.append(body_base + len(body))
@@ -406,7 +588,7 @@ def blosc_compress(
     cbytes = body_base + len(body)
     if cbytes >= nbytes + 16:
         header = struct.pack(
-            "<BBBB III", 2, 1, (flags & ~_DOSHUFFLE) | _MEMCPYED, max(typesize, 1), nbytes, blocksize, 16 + nbytes
+            "<BBBB III", 2, 1, (flags & ~(_DOSHUFFLE | _DOBITSHUFFLE)) | _MEMCPYED, max(typesize, 1), nbytes, blocksize, 16 + nbytes
         )
         return header + data
     header = struct.pack(

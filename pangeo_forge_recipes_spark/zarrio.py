@@ -273,7 +273,9 @@ class ZarrArray:
                     buf,
                     typesize=self.dtype.itemsize,
                     cname=conf.get("cname", "lz4"),
-                    shuffle=conf.get("shuffle", 1) == 1,
+                    shuffle={0: False, 1: True, 2: "bit"}.get(
+                        int(conf.get("shuffle", 1)), True
+                    ),
                     blocksize=int(conf.get("blocksize", 0)),
                 )
             elif name == "zstd":
@@ -470,12 +472,12 @@ class ZarrArray:
 def _v2_to_v3_array_meta(zarray: dict, zattrs: dict) -> dict:
     """Translate a zarr v2 ``.zarray``/``.zattrs`` pair into this engine's
     v3 meta shape, so :class:`ZarrArray` reads v2 stores unchanged.
-    Covered: C-order arrays of the numeric dtypes; raw, zlib, gzip,
-    blosc (lz4/zlib/zstd/snappy internal codecs via :mod:`.codecs`),
-    lz4, zstd, and snappy compressed chunks; the shuffle filter; any
-    dimension_separator; ``_ARRAY_DIMENSIONS`` → dimension names (the
-    xarray convention). blosclz-coded blosc frames, bit-shuffle, other
-    filters, and F-order raise with a clear message."""
+    Covered: C- and F-order arrays of the numeric dtypes; raw, zlib,
+    gzip, blosc (blosclz/lz4/zlib/zstd/snappy internal codecs, byte- and
+    bit-shuffle, via :mod:`.codecs`), lz4, zstd, and snappy compressed
+    chunks; the shuffle filter; any dimension_separator;
+    ``_ARRAY_DIMENSIONS`` → dimension names (the xarray convention).
+    Unknown filters raise with a clear message."""
     dt = np.dtype(zarray["dtype"])
     base = dt.newbyteorder("=").name
     if base not in _DTYPE_TO_ZARR:

@@ -137,23 +137,105 @@ def test_blosc_empty():
 
 
 def test_blosc_gates():
-    raw = b"x" * 64
-    # bit-shuffle flag
-    frame = bytearray(C.blosc_compress(raw, typesize=1, cname="lz4"))
-    frame[2] |= 0x4
-    with pytest.raises(NotImplementedError, match="bit-shuffle"):
-        C.blosc_decompress(bytes(frame))
-    # blosclz codec id (bits 5-7 == 0) on a non-stored stream
-    comp = zlib.compress(b"y" * 256, 5)
-    body = struct.pack("<i", len(comp)) + comp
-    header = struct.pack("<BBBB III", 2, 1, 0x0, 1, 256, 256, 16 + 4 + len(body))
-    frame2 = header + struct.pack("<I", 20) + body
-    with pytest.raises(NotImplementedError, match="blosclz"):
-        C.blosc_decompress(frame2)
     # truncation
     with pytest.raises(ValueError, match="truncated"):
         good = C.blosc_compress(b"z" * 500, typesize=1)
         C.blosc_decompress(good[: len(good) // 2])
+
+
+# ---------------------------------------------------------------------------
+# blosclz block codec
+# ---------------------------------------------------------------------------
+
+
+def test_blosclz_handbuilt_tokens_decode():
+    """Decode hand-assembled token streams against the public format
+    description (independent of our own encoder)."""
+    # pure literal run: ctrl = len-1 (< 32), then bytes
+    assert C.blosclz_decompress(bytes([4]) + b"hello", 5) == b"hello"
+    # literal 'abc' then match len=3 dist=3 (copy 'abc' again):
+    # match ctrl byte: ((3-2)<<5) | hi(dist-1=2 -> 0), code byte = 2
+    stream = bytes([2]) + b"abc" + bytes([(1 << 5) | 0, 2])
+    assert C.blosclz_decompress(stream, 6) == b"abcabc"
+    # overlapping RLE-style match: literal 'a', match len=7 dist=1
+    stream = bytes([0]) + b"a" + bytes([(5 << 5) | 0, 0])
+    assert C.blosclz_decompress(stream, 8) == b"a" * 8
+    # long match with 255-terminated length extension: len = 9+255+5 = 269
+    lit = b"q"
+    stream = bytes([0]) + lit + bytes([(7 << 5) | 0, 255, 5, 0])
+    assert C.blosclz_decompress(stream, 270) == b"q" * 270
+
+
+def test_blosclz_far_distance_roundtrip():
+    # layout: 16 unique bytes, > 8191 bytes of filler, repeat of the 16 —
+    # the repeat is beyond MAX_DISTANCE so the encoder must use far form
+    rng = np.random.RandomState(7)
+    uniq = rng.bytes(16)
+    filler = rng.bytes(9000)
+    raw = uniq + filler + uniq
+    enc = C.blosclz_compress(raw)
+    assert C.blosclz_decompress(enc, len(raw)) == raw
+
+
+@pytest.mark.parametrize("n", [0, 1, 63, 1000, 5000])
+def test_blosclz_roundtrip_patterned(n):
+    raw = _patterned(n, seed=n or 1)
+    enc = C.blosclz_compress(raw)
+    assert C.blosclz_decompress(enc, n) == raw
+    if n >= 1000:
+        assert len(enc) < n  # patterned data must actually compress
+
+
+def test_blosclz_roundtrip_incompressible():
+    raw = np.random.RandomState(3).bytes(4096)
+    enc = C.blosclz_compress(raw)
+    assert C.blosclz_decompress(enc, len(raw)) == raw
+
+
+# ---------------------------------------------------------------------------
+# bitshuffle
+# ---------------------------------------------------------------------------
+
+
+def _bitshuffle_oracle(buf: bytes, typesize: int) -> bytes:
+    """Independent per-bit loop implementation of the bitshuffle
+    transpose (kiyo-masui/bitshuffle reference semantics)."""
+    nelem = len(buf) // typesize
+    nkeep = nelem - nelem % 8
+    head = buf[: nkeep * typesize]
+    out = bytearray()
+    # output order: for byte b in 0..typesize-1, for bit i (MSB first),
+    # pack that bit of every element
+    bits = []
+    for b in range(typesize):
+        for i in range(8):
+            for e in range(nkeep):
+                bits.append((head[e * typesize + b] >> (7 - i)) & 1)
+    for k in range(0, len(bits), 8):
+        out.append(sum(bit << (7 - j) for j, bit in enumerate(bits[k : k + 8])))
+    return bytes(out) + buf[nkeep * typesize :]
+
+
+@pytest.mark.parametrize("typesize", [1, 2, 4, 8])
+def test_bitshuffle_matches_independent_oracle(typesize):
+    raw = _patterned(typesize * 24 + 3, seed=typesize)  # odd tail bytes
+    assert C.bitshuffle_bytes(raw, typesize) == _bitshuffle_oracle(raw, typesize)
+
+
+@pytest.mark.parametrize("typesize,n", [(1, 100), (2, 130), (4, 1000), (8, 333)])
+def test_bitshuffle_inverse(typesize, n):
+    raw = _patterned(n, seed=n)
+    assert C.bitunshuffle_bytes(C.bitshuffle_bytes(raw, typesize), typesize) == raw
+
+
+def test_blosc_container_blosclz_and_bitshuffle():
+    data = np.arange(3000, dtype="<i4").tobytes()
+    for shuffle in (False, True, "bit"):
+        frame = C.blosc_compress(data, typesize=4, cname="blosclz", shuffle=shuffle)
+        assert C.blosc_decompress(frame) == data
+    # bitshuffle with a non-blosclz codec too
+    frame = C.blosc_compress(data, typesize=8, cname="zlib", shuffle="bit", blocksize=1024)
+    assert C.blosc_decompress(frame) == data
 
 
 # ---------------------------------------------------------------------------
@@ -200,7 +282,9 @@ def _write_v2_array(
                 raw,
                 typesize=arr.dtype.itemsize,
                 cname=compressor.get("cname", "lz4"),
-                shuffle=compressor.get("shuffle", 1) == 1,
+                shuffle={0: False, 1: True, 2: "bit"}.get(
+                    int(compressor.get("shuffle", 1)), True
+                ),
             )
         elif cid == "lz4":
             raw = C.numcodecs_lz4_compress(raw)
@@ -220,6 +304,8 @@ def _write_v2_array(
     [
         {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1},
         {"id": "blosc", "cname": "zstd", "clevel": 3, "shuffle": 0},
+        {"id": "blosc", "cname": "blosclz", "clevel": 5, "shuffle": 1},
+        {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 2},
         {"id": "lz4"},
         {"id": "zstd", "level": 3},
         {"id": "gzip", "level": 5},
