@@ -6,9 +6,12 @@ cfgrib engine and ``openers.py:191-199`` through kerchunk ``scan_grib``;
 this module provides both capabilities natively for the common subset:
 
 * edition 2, one field per message
-* grid definition templates 3.0 (regular latitude/longitude) and 3.30
+* grid definition templates 3.0 (regular latitude/longitude), 3.10
+  (Mercator), 3.20 (polar stereographic — the NCEP polar grids), 3.30
   (Lambert conformal conic — the HRRR/NAM projection; spherical earth,
-  x/y grid coords in meters plus derived 2-D latitude/longitude)
+  x/y grid coords in meters plus derived 2-D latitude/longitude) and
+  3.40 (Gaussian latitude/longitude — the ECMWF/NCEP spectral grid,
+  latitudes computed from Legendre-polynomial roots)
 * product definition templates 4.0 (analysis/forecast at a point in
   time) and 4.8 (statistically processed over an interval — the
   accumulation/average encoding of precipitation-style fields; valid
@@ -145,36 +148,76 @@ def _parse_message(body: bytes, discipline: int, offset: int, total: int, path: 
             )
         elif sec_num == 3:
             tmpl = _be(sec, 12, 2)
-            if tmpl not in (0, 30):
+            if tmpl not in (0, 10, 20, 30, 40):
                 raise NotImplementedError(
                     f"{path}: grid definition template {tmpl} unsupported "
-                    "(supported: 3.0 regular lat/lon, 3.30 Lambert conformal)"
+                    "(supported: 3.0 regular lat/lon, 3.10 Mercator, 3.20 "
+                    "polar stereographic, 3.30 Lambert conformal, 3.40 "
+                    "Gaussian lat/lon)"
                 )
             msg["grid_template"] = tmpl
             msg["ni"] = _be(sec, 30, 4)
             msg["nj"] = _be(sec, 34, 4)
-            if tmpl == 0:
+
+            def _earth_radius() -> float:
+                shape = sec[14]
+                if shape == 6:
+                    return 6371229.0
+                if shape == 0:
+                    return 6367470.0
+                if shape == 1:
+                    return _be(sec, 16, 4) / 10.0 ** sec[15]
+                raise NotImplementedError(
+                    f"{path}: shape of earth {shape} (spherical only)"
+                )
+
+            if tmpl in (0, 40):
                 msg["la1"] = _sm_decode(_be(sec, 46, 4), 4) / 1e6
                 msg["lo1"] = _be(sec, 50, 4) / 1e6
                 msg["la2"] = _sm_decode(_be(sec, 55, 4), 4) / 1e6
                 msg["lo2"] = _be(sec, 59, 4) / 1e6
+                if tmpl == 40:
+                    # octets 68-71: N = parallels between pole and equator
+                    msg["gauss_n"] = _be(sec, 67, 4)
                 scan_mode = sec[71]
                 if scan_mode & 0xF0:
                     raise NotImplementedError(
                         f"{path}: scanning mode {scan_mode:#x} unsupported"
                     )
-            else:  # 3.30 Lambert conformal conic
-                shape = sec[14]
-                if shape == 6:
-                    msg["earth_radius"] = 6371229.0
-                elif shape == 0:
-                    msg["earth_radius"] = 6367470.0
-                elif shape == 1:
-                    msg["earth_radius"] = _be(sec, 16, 4) / 10.0 ** sec[15]
-                else:
+            elif tmpl == 10:  # Mercator
+                msg["earth_radius"] = _earth_radius()
+                msg["la1"] = _sm_decode(_be(sec, 38, 4), 4) / 1e6
+                msg["lo1"] = _be(sec, 42, 4) / 1e6
+                msg["lad"] = _sm_decode(_be(sec, 47, 4), 4) / 1e6
+                msg["la2"] = _sm_decode(_be(sec, 51, 4), 4) / 1e6
+                msg["lo2"] = _be(sec, 55, 4) / 1e6
+                scan_mode = sec[59]
+                if scan_mode not in (0x40, 0x00):
                     raise NotImplementedError(
-                        f"{path}: shape of earth {shape} (spherical only)"
+                        f"{path}: Mercator scanning mode {scan_mode:#x} "
+                        "(supported: +i/+j 0x40 and +i/-j 0x00)"
                     )
+                msg["j_positive"] = bool(scan_mode & 0x40)
+                msg["dx"] = _be(sec, 64, 4) / 1e3  # mm → m
+                msg["dy"] = _be(sec, 68, 4) / 1e3
+            elif tmpl == 20:  # polar stereographic
+                msg["earth_radius"] = _earth_radius()
+                msg["la1"] = _sm_decode(_be(sec, 38, 4), 4) / 1e6
+                msg["lo1"] = _be(sec, 42, 4) / 1e6
+                msg["lad"] = _sm_decode(_be(sec, 47, 4), 4) / 1e6
+                msg["lov"] = _be(sec, 51, 4) / 1e6
+                msg["dx"] = _be(sec, 55, 4) / 1e3
+                msg["dy"] = _be(sec, 59, 4) / 1e3
+                msg["south_pole_proj"] = bool(sec[63] & 0x80)
+                scan_mode = sec[64]
+                if scan_mode not in (0x40, 0x00):
+                    raise NotImplementedError(
+                        f"{path}: polar-stereo scanning mode {scan_mode:#x} "
+                        "(supported: +x/+y 0x40 and +x/-y 0x00)"
+                    )
+                msg["j_positive"] = bool(scan_mode & 0x40)
+            else:  # 3.30 Lambert conformal conic
+                msg["earth_radius"] = _earth_radius()
                 msg["la1"] = _sm_decode(_be(sec, 38, 4), 4) / 1e6
                 msg["lo1"] = _be(sec, 42, 4) / 1e6
                 msg["lad"] = _sm_decode(_be(sec, 47, 4), 4) / 1e6
@@ -550,6 +593,105 @@ def _lambert_grid(msg: dict):
     return x, y, lat, lon
 
 
+# -- polar stereographic (grid template 3.20; public spherical formulas,
+#    NCEP w3fb05/w3fb06 convention: scale true at LaD, y axis along
+#    LoV+180 for the north-pole case) ----------------------------------------
+
+
+def _pstereo_params(msg: dict) -> Tuple[float, float]:
+    s = -1.0 if msg.get("south_pole_proj") else 1.0
+    de = (1.0 + np.sin(np.radians(abs(msg["lad"])))) * msg["earth_radius"]
+    return s, float(de)
+
+
+def _pstereo_forward(msg: dict, lat_deg, lon_deg):
+    """(lat, lon) degrees → projection-plane (x, y) meters from the pole."""
+    s, de = _pstereo_params(msg)
+    lam0 = np.radians(msg["lov"])
+    phi = np.radians(np.asarray(lat_deg, dtype="float64"))
+    dlam = np.radians(np.asarray(lon_deg, dtype="float64")) - lam0
+    dr = de * np.cos(phi) / (1.0 + s * np.sin(phi))
+    return dr * np.sin(dlam), -s * dr * np.cos(dlam)
+
+
+def _pstereo_inverse(msg: dict, x, y):
+    s, de = _pstereo_params(msg)
+    lam0 = np.radians(msg["lov"])
+    x = np.asarray(x, dtype="float64")
+    y = np.asarray(y, dtype="float64")
+    r2 = x * x + y * y
+    lat = s * np.degrees(np.arcsin((de * de - r2) / (de * de + r2)))
+    lon = np.degrees(lam0 + np.arctan2(x, -s * y)) % 360.0
+    return lat, lon
+
+
+def _pstereo_grid(msg: dict):
+    """1-D x/y coords (meters) + 2-D lat/lon of a 3.20 grid."""
+    x1, y1 = _pstereo_forward(msg, msg["la1"], msg["lo1"])
+    x = float(x1) + np.arange(msg["ni"], dtype="float64") * msg["dx"]
+    step = msg["dy"] if msg.get("j_positive", True) else -msg["dy"]
+    y = float(y1) + np.arange(msg["nj"], dtype="float64") * step
+    xx, yy = np.meshgrid(x, y)
+    lat, lon = _pstereo_inverse(msg, xx, yy)
+    return x, y, lat, lon
+
+
+# -- Mercator (grid template 3.10; spherical, scale true at LaD) -------------
+
+
+def _mercator_y(msg: dict, lat_deg) -> np.ndarray:
+    k = msg["earth_radius"] * np.cos(np.radians(msg["lad"]))
+    phi = np.radians(np.asarray(lat_deg, dtype="float64"))
+    return k * np.log(np.tan(np.pi / 4 + phi / 2))
+
+
+def _mercator_lat(msg: dict, y) -> np.ndarray:
+    k = msg["earth_radius"] * np.cos(np.radians(msg["lad"]))
+    y = np.asarray(y, dtype="float64")
+    return np.degrees(2.0 * np.arctan(np.exp(y / k)) - np.pi / 2)
+
+
+def _mercator_lats(msg: dict) -> np.ndarray:
+    """1-D latitudes of a 3.10 grid from La1 and the Dj step in meters."""
+    y1 = float(_mercator_y(msg, msg["la1"]))
+    step = msg["dy"] if msg.get("j_positive", True) else -msg["dy"]
+    return _mercator_lat(msg, y1 + np.arange(msg["nj"], dtype="float64") * step)
+
+
+# -- Gaussian latitudes (grid template 3.40) ---------------------------------
+
+
+def gaussian_latitudes(n: int) -> np.ndarray:
+    """Latitudes (degrees, north→south) of the global Gaussian grid with
+    ``n`` parallels between pole and equator: arcsines of the roots of
+    the Legendre polynomial of degree 2n (the public definition; cf. the
+    quadrature grids of ECMWF/NCEP spectral models)."""
+    if n < 1:
+        raise ValueError("gaussian grid needs n >= 1")
+    nodes, _ = np.polynomial.legendre.leggauss(2 * n)
+    return np.degrees(np.arcsin(np.sort(nodes)[::-1]))
+
+
+def _gaussian_grid_lats(msg: dict) -> np.ndarray:
+    """Latitudes of a 3.40 message: the global set for nj == 2N, else the
+    contiguous run of global Gaussian latitudes starting nearest La1
+    (regional subset), oriented La1 → La2."""
+    full = gaussian_latitudes(msg["gauss_n"])  # north → south
+    nj = msg["nj"]
+    if msg["la1"] < msg["la2"]:  # south → north scan
+        full = full[::-1]
+    if nj == len(full):
+        return full
+    if nj > len(full):
+        raise ValueError(
+            f"gaussian grid claims nj={nj} > 2N={len(full)} latitudes"
+        )
+    start = int(np.argmin(np.abs(full - msg["la1"])))
+    if start + nj > len(full):
+        start = len(full) - nj
+    return full[start : start + nj]
+
+
 def _var_attrs(group: List[dict]) -> dict:
     """cfgrib-style variable attributes for one message group."""
     attrs = {
@@ -565,8 +707,11 @@ def _var_attrs(group: List[dict]) -> dict:
 def _grid_parts(grid: dict) -> Tuple[Tuple[str, str], Dict[str, "Variable"]]:
     """((ydim, xdim), coords) for either grid template — the spatial half
     of the dataset; callers prepend the time axis."""
-    if grid.get("grid_template", 0) == 30:
-        x, y, lat, lon = _lambert_grid(grid)
+    tmpl = grid.get("grid_template", 0)
+    if tmpl in (20, 30):
+        x, y, lat, lon = (
+            _lambert_grid(grid) if tmpl == 30 else _pstereo_grid(grid)
+        )
         coords = {
             "y": Variable(("y",), y, {"units": "m", "axis": "Y"}),
             "x": Variable(("x",), x, {"units": "m", "axis": "X"}),
@@ -574,6 +719,26 @@ def _grid_parts(grid: dict) -> Tuple[Tuple[str, str], Dict[str, "Variable"]]:
             "longitude": Variable(("y", "x"), lon, {"units": "degrees_east"}),
         }
         return ("y", "x"), coords
+    if tmpl == 10:
+        lats = _mercator_lats(grid)
+        lons = np.linspace(
+            grid["lo1"],
+            grid["lo2"] + (360.0 if grid["lo2"] < grid["lo1"] else 0.0),
+            grid["ni"],
+        )
+        coords = {
+            "latitude": Variable(("latitude",), lats, {"units": "degrees_north"}),
+            "longitude": Variable(("longitude",), lons, {"units": "degrees_east"}),
+        }
+        return ("latitude", "longitude"), coords
+    if tmpl == 40:
+        lats = _gaussian_grid_lats(grid)
+        lons = np.linspace(grid["lo1"], grid["lo2"], grid["ni"])
+        coords = {
+            "latitude": Variable(("latitude",), lats, {"units": "degrees_north"}),
+            "longitude": Variable(("longitude",), lons, {"units": "degrees_east"}),
+        }
+        return ("latitude", "longitude"), coords
     lats, lons = _grid_coords(grid)
     coords = {
         "latitude": Variable(("latitude",), lats, {"units": "degrees_north"}),
@@ -980,6 +1145,7 @@ def write_grib2(
     packing: str = "simple",
     projection: Optional[dict] = None,
     statistics: Optional[Dict[str, Tuple[str, float]]] = None,
+    grid: str = "latlon",
 ) -> None:
     """Write an NDDataset as GRIB2 (one message per variable per time
     step; grid template 3.0, product template 4.0). Variables must have
@@ -994,10 +1160,13 @@ def write_grib2(
     interval_hours)`` writes that variable with product template 4.8
     (accumulated/averaged over the interval ending at each time step;
     stepType one of avg/accum/max/min). ``projection`` switches the grid
-    to Lambert
-    conformal (template 3.30): pass ``{"latin1", "latin2", "lov", "lad",
-    "earth_radius"(opt)}`` with variables on dims ``(time, y, x)`` and
-    x/y coords in meters."""
+    template: ``{"kind": "lambert", "latin1", "latin2", "lov", "lad"}``
+    (3.30) or ``{"kind": "polar_stereo", "lad", "lov", "south"(opt)}``
+    (3.20) with variables on dims ``(time, y, x)`` and x/y coords in
+    meters, or ``{"kind": "mercator", "lad"}`` (3.10) with dims
+    ``(time, latitude, longitude)`` and Mercator-spaced latitudes.
+    ``grid="gaussian"`` writes template 3.40 from latitudes equal to
+    :func:`gaussian_latitudes` of the global grid."""
     levels = levels or {}
     param_map = param_map or {}
     statistics = statistics or {}
@@ -1020,41 +1189,136 @@ def write_grib2(
     def microdeg(v: float) -> int:
         return int(round(v * 1e6))
 
-    if projection is not None:
+    shape_block = (
+        bytes([6, 0xFF]) + b"\xff\xff\xff\xff"
+        + bytes([0xFF]) + b"\xff\xff\xff\xff"
+        + bytes([0xFF]) + b"\xff\xff\xff\xff"
+    )
+    kind = (projection or {}).get("kind", "lambert")
+    if projection is not None and kind in ("lambert", "polar_stereo"):
         xs = ds.coords["x"].data.astype("float64")
         ys = ds.coords["y"].data.astype("float64")
         for arr, what in ((xs, "x"), (ys, "y")):
             if len(arr) < 2 or not np.allclose(np.diff(arr), arr[1] - arr[0]):
-                raise ValueError(f"template 3.30 needs a regular {what} grid")
+                raise ValueError(f"projected grids need a regular {what} grid")
             if arr[1] <= arr[0]:
-                raise ValueError(f"template 3.30 writer needs increasing {what}")
+                raise ValueError(f"projected-grid writer needs increasing {what}")
         nj, ni = len(ys), len(xs)
         var_dims = ("time", "y", "x")
+        if kind == "lambert":
+            pmsg = {
+                "earth_radius": projection.get("earth_radius", 6371229.0),
+                "latin1": projection["latin1"],
+                "latin2": projection["latin2"],
+                "lov": projection["lov"],
+                "lad": projection["lad"],
+            }
+            la1, lo1 = _lambert_inverse(pmsg, xs[0], ys[0])
+            tmpl_grid = (30).to_bytes(2, "big") + (
+                shape_block
+                + ni.to_bytes(4, "big") + nj.to_bytes(4, "big")
+                + _sm_encode(microdeg(float(la1)), 4).to_bytes(4, "big")
+                + microdeg(float(lo1) % 360).to_bytes(4, "big")
+                + bytes([0x08])
+                + _sm_encode(microdeg(pmsg["lad"]), 4).to_bytes(4, "big")
+                + microdeg(pmsg["lov"] % 360).to_bytes(4, "big")
+                + int(round((xs[1] - xs[0]) * 1e3)).to_bytes(4, "big")
+                + int(round((ys[1] - ys[0]) * 1e3)).to_bytes(4, "big")
+                + bytes([0x00, 0x40])  # north-pole projection; +x +y scan
+                + _sm_encode(microdeg(pmsg["latin1"]), 4).to_bytes(4, "big")
+                + _sm_encode(microdeg(pmsg["latin2"]), 4).to_bytes(4, "big")
+                + _sm_encode(microdeg(-90.0), 4).to_bytes(4, "big")
+                + (0).to_bytes(4, "big")
+            )
+        else:  # polar_stereo (template 3.20)
+            south = bool(projection.get("south", False))
+            pmsg = {
+                "earth_radius": projection.get("earth_radius", 6371229.0),
+                "lad": projection["lad"],
+                "lov": projection["lov"],
+                "south_pole_proj": south,
+            }
+            la1, lo1 = _pstereo_inverse(pmsg, xs[0], ys[0])
+            tmpl_grid = (20).to_bytes(2, "big") + (
+                shape_block
+                + ni.to_bytes(4, "big") + nj.to_bytes(4, "big")
+                + _sm_encode(microdeg(float(la1)), 4).to_bytes(4, "big")
+                + microdeg(float(lo1) % 360).to_bytes(4, "big")
+                + bytes([0x08])
+                + _sm_encode(microdeg(pmsg["lad"]), 4).to_bytes(4, "big")
+                + microdeg(pmsg["lov"] % 360).to_bytes(4, "big")
+                + int(round((xs[1] - xs[0]) * 1e3)).to_bytes(4, "big")
+                + int(round((ys[1] - ys[0]) * 1e3)).to_bytes(4, "big")
+                + bytes([0x80 if south else 0x00, 0x40])
+            )
+    elif projection is not None and kind == "mercator":
+        lats = ds.coords["latitude"].data.astype("float64")
+        lons = ds.coords["longitude"].data.astype("float64")
+        nj, ni = len(lats), len(lons)
+        var_dims = ("time", "latitude", "longitude")
         pmsg = {
             "earth_radius": projection.get("earth_radius", 6371229.0),
-            "latin1": projection["latin1"],
-            "latin2": projection["latin2"],
-            "lov": projection["lov"],
             "lad": projection["lad"],
         }
-        la1, lo1 = _lambert_inverse(pmsg, xs[0], ys[0])
-        tmpl_grid = (30).to_bytes(2, "big") + (
-            bytes([6, 0xFF]) + b"\xff\xff\xff\xff"
-            + bytes([0xFF]) + b"\xff\xff\xff\xff"
-            + bytes([0xFF]) + b"\xff\xff\xff\xff"
+        ys = np.asarray(_mercator_y(pmsg, lats))
+        if len(ys) < 2 or not np.allclose(
+            np.diff(ys), ys[1] - ys[0], rtol=1e-6
+        ):
+            raise ValueError(
+                "template 3.10 needs Mercator-spaced latitudes (uniform "
+                "projected y); build them with mercator latitudes from dy"
+            )
+        if len(lons) < 2 or not np.allclose(np.diff(lons), lons[1] - lons[0]):
+            raise ValueError("template 3.10 needs uniform longitudes")
+        dy = ys[1] - ys[0]
+        k = pmsg["earth_radius"] * np.cos(np.radians(pmsg["lad"]))
+        dx = np.radians(lons[1] - lons[0]) * k
+        if dx <= 0 or dy == 0:
+            raise ValueError("template 3.10 writer needs increasing coords")
+        scan = 0x40 if dy > 0 else 0x00
+        tmpl_grid = (10).to_bytes(2, "big") + (
+            shape_block
             + ni.to_bytes(4, "big") + nj.to_bytes(4, "big")
-            + _sm_encode(microdeg(float(la1)), 4).to_bytes(4, "big")
-            + microdeg(float(lo1) % 360).to_bytes(4, "big")
+            + _sm_encode(microdeg(float(lats[0])), 4).to_bytes(4, "big")
+            + microdeg(float(lons[0]) % 360).to_bytes(4, "big")
             + bytes([0x08])
             + _sm_encode(microdeg(pmsg["lad"]), 4).to_bytes(4, "big")
-            + microdeg(pmsg["lov"] % 360).to_bytes(4, "big")
-            + int(round((xs[1] - xs[0]) * 1e3)).to_bytes(4, "big")
-            + int(round((ys[1] - ys[0]) * 1e3)).to_bytes(4, "big")
-            + bytes([0x00, 0x40])  # north-pole projection; +x +y scan
-            + _sm_encode(microdeg(pmsg["latin1"]), 4).to_bytes(4, "big")
-            + _sm_encode(microdeg(pmsg["latin2"]), 4).to_bytes(4, "big")
-            + _sm_encode(microdeg(-90.0), 4).to_bytes(4, "big")
-            + (0).to_bytes(4, "big")
+            + _sm_encode(microdeg(float(lats[-1])), 4).to_bytes(4, "big")
+            + microdeg(float(lons[-1]) % 360).to_bytes(4, "big")
+            + bytes([scan])
+            + (0).to_bytes(4, "big")  # orientation
+            + int(round(dx * 1e3)).to_bytes(4, "big")
+            + int(round(abs(dy) * 1e3)).to_bytes(4, "big")
+        )
+    elif grid == "gaussian":
+        lats = ds.coords["latitude"].data.astype("float64")
+        lons = ds.coords["longitude"].data.astype("float64")
+        nj, ni = len(lats), len(lons)
+        var_dims = ("time", "latitude", "longitude")
+        if nj % 2:
+            raise ValueError("global gaussian grid needs an even latitude count")
+        gn = nj // 2
+        want = gaussian_latitudes(gn)
+        descending = lats[0] > lats[-1]
+        if not np.allclose(lats, want if descending else want[::-1], atol=1e-3):
+            raise ValueError(
+                "gaussian writer: latitudes must equal gaussian_latitudes"
+                f"({gn}) (global grid)"
+            )
+        if len(lons) > 1 and not np.allclose(np.diff(lons), lons[1] - lons[0]):
+            raise ValueError("template 3.40 needs uniform longitudes")
+        tmpl_grid = (40).to_bytes(2, "big") + (
+            shape_block
+            + ni.to_bytes(4, "big") + nj.to_bytes(4, "big")
+            + (0).to_bytes(4, "big") + (0xFFFFFFFF).to_bytes(4, "big")
+            + _sm_encode(microdeg(float(lats[0])), 4).to_bytes(4, "big")
+            + microdeg(float(lons[0]) % 360).to_bytes(4, "big")
+            + bytes([0x30])
+            + _sm_encode(microdeg(float(lats[-1])), 4).to_bytes(4, "big")
+            + microdeg(float(lons[-1]) % 360).to_bytes(4, "big")
+            + abs(microdeg((lons[-1] - lons[0]) / max(ni - 1, 1))).to_bytes(4, "big")
+            + gn.to_bytes(4, "big")
+            + bytes([0x00])
         )
     else:
         lats = ds.coords["latitude"].data.astype("float64")

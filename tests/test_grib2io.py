@@ -518,3 +518,189 @@ def test_multi_level_stacking(tmp_path):
     # level filter selects a single level → back to 3-D
     one = read_grib2(path, filter_by_keys={"level": 500.0})
     assert tuple(one.data_vars["t"].dims) == ("time", "latitude", "longitude")
+
+
+# ---------------------------------------------------------------------------
+# grid templates 3.10 / 3.20 / 3.40
+# ---------------------------------------------------------------------------
+
+
+def test_gaussian_latitudes_known_values():
+    from pangeo_forge_recipes_spark.grib2io import gaussian_latitudes
+
+    # N=2 global grid: published F2 Gaussian latitudes (arcsin of the
+    # roots of P4: +-0.8611363, +-0.3399810)
+    lats = gaussian_latitudes(2)
+    np.testing.assert_allclose(
+        lats, [59.44440, 19.87572, -19.87572, -59.44440], atol=2e-5
+    )
+    # descending north->south, symmetric about the equator
+    lats8 = gaussian_latitudes(8)
+    assert (np.diff(lats8) < 0).all()
+    np.testing.assert_allclose(lats8, -lats8[::-1], atol=1e-12)
+
+
+def make_gaussian_ds(nt: int = 2, gn: int = 4, ni: int = 12) -> NDDataset:
+    from pangeo_forge_recipes_spark.grib2io import gaussian_latitudes
+
+    rng = np.random.default_rng(5)
+    time = np.datetime64("2024-04-01T00", "ns") + np.arange(nt) * np.timedelta64(6, "h")
+    lats = gaussian_latitudes(gn)
+    lons = np.arange(ni) * (360.0 / ni)
+    t = np.round(rng.uniform(200, 320, (nt, 2 * gn, ni)) * 64) / 64
+    return NDDataset(
+        {"t": Variable(("time", "latitude", "longitude"), t)},
+        {
+            "time": Variable(("time",), time),
+            "latitude": Variable(("latitude",), lats),
+            "longitude": Variable(("longitude",), lons),
+        },
+        {},
+        {"time": nt, "latitude": 2 * gn, "longitude": ni},
+    )
+
+
+@pytest.mark.parametrize("packing", ["simple", "complex"])
+def test_gaussian_write_read_roundtrip(tmp_path, packing):
+    ds = make_gaussian_ds()
+    path = str(tmp_path / "gau.grib2")
+    write_grib2(path, ds, packing=packing, grid="gaussian")
+    msgs = scan_grib2_messages(path)
+    assert all(m["grid_template"] == 40 for m in msgs)
+    assert all(m["gauss_n"] == 4 for m in msgs)
+    rt = read_grib2(path)
+    assert tuple(rt.data_vars["t"].dims) == ("time", "latitude", "longitude")
+    np.testing.assert_array_equal(rt.data_vars["t"].data, ds.data_vars["t"].data)
+    # latitudes are recomputed from N, not read from La1/La2 microdegrees:
+    # they match the exact quadrature values
+    np.testing.assert_allclose(
+        rt.coords["latitude"].data, ds.coords["latitude"].data, atol=1e-12
+    )
+    # kerchunk scan agrees
+    rk = open_reference_dataset(scan_grib2(path))
+    np.testing.assert_array_equal(rk.data_vars["t"].data, ds.data_vars["t"].data)
+    np.testing.assert_allclose(
+        rk.coords["latitude"].data, ds.coords["latitude"].data, atol=1e-12
+    )
+
+
+def test_pstereo_projection_math_self_consistent():
+    from pangeo_forge_recipes_spark.grib2io import (
+        _pstereo_forward,
+        _pstereo_inverse,
+    )
+
+    for south in (False, True):
+        pmsg = {
+            "earth_radius": 6371229.0,
+            "lad": -60.0 if south else 60.0,
+            "lov": 255.0 if not south else 100.0,
+            "south_pole_proj": south,
+        }
+        # the pole maps to the origin
+        x0, y0 = _pstereo_forward(pmsg, -90.0 if south else 90.0, 0.0)
+        assert abs(x0) < 1e-6 and abs(y0) < 1e-6
+        sign = -1 if south else 1
+        lat = sign * (np.linspace(30, 89, 8)[:, None] + np.zeros((1, 9)))
+        lon = np.linspace(0, 350, 9)[None, :] + np.zeros((8, 1))
+        x, y = _pstereo_forward(pmsg, lat, lon)
+        lat2, lon2 = _pstereo_inverse(pmsg, x, y)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+        np.testing.assert_allclose(lon2 % 360, lon % 360, atol=1e-9)
+    # known value: north stereo true at 60N, LoV=0: the (60N, 0E) point
+    # sits at distance R/2 from the pole along -y
+    pmsg = {"earth_radius": 6371229.0, "lad": 60.0, "lov": 0.0,
+            "south_pole_proj": False}
+    x, y = _pstereo_forward(pmsg, 60.0, 0.0)
+    np.testing.assert_allclose(x, 0.0, atol=1e-6)
+    np.testing.assert_allclose(y, -6371229.0 / 2, rtol=1e-12)
+
+
+@pytest.mark.parametrize("south", [False, True])
+def test_pstereo_write_read_roundtrip(tmp_path, south):
+    rng = np.random.default_rng(9)
+    nt, nj, ni = 2, 6, 8
+    time = np.datetime64("2024-01-10T00", "ns") + np.arange(nt) * np.timedelta64(1, "h")
+    x = -300_000.0 + np.arange(ni) * 25_000.0
+    y = -200_000.0 + np.arange(nj) * 25_000.0
+    t = np.round(rng.uniform(230, 280, (nt, nj, ni)) * 128) / 128
+    ds = NDDataset(
+        {"t": Variable(("time", "y", "x"), t)},
+        {
+            "time": Variable(("time",), time),
+            "y": Variable(("y",), y, {"units": "m"}),
+            "x": Variable(("x",), x, {"units": "m"}),
+        },
+        {},
+        {"time": nt, "y": nj, "x": ni},
+    )
+    proj = {"kind": "polar_stereo", "lad": -60.0 if south else 60.0,
+            "lov": 210.0, "south": south}
+    path = str(tmp_path / "ps.grib2")
+    write_grib2(path, ds, projection=proj)
+    msgs = scan_grib2_messages(path)
+    assert all(m["grid_template"] == 20 for m in msgs)
+    assert all(m["south_pole_proj"] == south for m in msgs)
+    rt = read_grib2(path)
+    assert tuple(rt.data_vars["t"].dims) == ("time", "y", "x")
+    np.testing.assert_array_equal(rt.data_vars["t"].data, t)
+    np.testing.assert_allclose(rt.coords["x"].data, x, atol=1.0)
+    np.testing.assert_allclose(rt.coords["y"].data, y, atol=1.0)
+    # 2-D lat/lon invert back onto the x/y grid
+    from pangeo_forge_recipes_spark.grib2io import _pstereo_forward
+
+    pmsg = {"earth_radius": 6371229.0, "lad": proj["lad"], "lov": proj["lov"],
+            "south_pole_proj": south}
+    px, py = _pstereo_forward(
+        pmsg, rt.coords["latitude"].data, rt.coords["longitude"].data
+    )
+    np.testing.assert_allclose(px, np.broadcast_to(rt.coords["x"].data, (nj, ni)), atol=1e-3)
+    np.testing.assert_allclose(py, np.broadcast_to(rt.coords["y"].data[:, None], (nj, ni)), atol=1e-3)
+
+
+def test_mercator_write_read_roundtrip(tmp_path):
+    from pangeo_forge_recipes_spark.grib2io import _mercator_lat, _mercator_y
+
+    rng = np.random.default_rng(13)
+    nt, nj, ni = 2, 7, 9
+    pmsg = {"earth_radius": 6371229.0, "lad": 20.0}
+    # build Mercator-spaced latitudes: uniform projected y from 5S
+    y1 = float(_mercator_y(pmsg, -5.0))
+    lats = _mercator_lat(pmsg, y1 + np.arange(nj) * 150_000.0)
+    lons = 10.0 + np.arange(ni) * 2.0
+    time = np.datetime64("2024-06-01T00", "ns") + np.arange(nt) * np.timedelta64(1, "h")
+    t = np.round(rng.uniform(290, 305, (nt, nj, ni)) * 128) / 128
+    ds = NDDataset(
+        {"t": Variable(("time", "latitude", "longitude"), t)},
+        {
+            "time": Variable(("time",), time),
+            "latitude": Variable(("latitude",), lats),
+            "longitude": Variable(("longitude",), lons),
+        },
+        {},
+        {"time": nt, "latitude": nj, "longitude": ni},
+    )
+    path = str(tmp_path / "merc.grib2")
+    write_grib2(path, ds, projection={"kind": "mercator", "lad": 20.0})
+    msgs = scan_grib2_messages(path)
+    assert all(m["grid_template"] == 10 for m in msgs)
+    rt = read_grib2(path)
+    assert tuple(rt.data_vars["t"].dims) == ("time", "latitude", "longitude")
+    np.testing.assert_array_equal(rt.data_vars["t"].data, t)
+    # latitudes survive the La1-microdegree + Dj-mm quantization
+    np.testing.assert_allclose(rt.coords["latitude"].data, lats, atol=1e-4)
+    np.testing.assert_allclose(rt.coords["longitude"].data, lons, atol=1e-5)
+    # non-Mercator latitudes are rejected with a clear message
+    bad = NDDataset(
+        ds.data_vars,
+        {
+            "time": ds.coords["time"],
+            "latitude": Variable(("latitude",), np.linspace(-5, 10, nj)),
+            "longitude": ds.coords["longitude"],
+        },
+        {},
+        ds.dims,
+    )
+    with pytest.raises(ValueError, match="Mercator-spaced"):
+        write_grib2(str(tmp_path / "bad.grib2"), bad,
+                    projection={"kind": "mercator", "lad": 20.0})
