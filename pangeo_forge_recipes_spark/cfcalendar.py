@@ -17,9 +17,15 @@ This module supplies the calendar arithmetic cftime would provide:
 The fixed-year calendars (360_day, noleap, all_leap) are pure modular
 integer arithmetic; ``julian`` adds the 4-year leap cycle (every year
 divisible by 4 is leap, no century exception) via 1461-day cycle
-arithmetic. All paths are vectorized numpy; negative offsets / years
-before the epoch work via floor division. The ``standard`` family keeps
-using numpy datetime64 (:mod:`.ndset`).
+arithmetic; ``standard``/``gregorian`` use the true CF **mixed
+Julian/Gregorian** calendar (Julian through 1582-10-04, Gregorian from
+1582-10-15, the ten dropped days raise — cftime's udunits semantics);
+``proleptic_gregorian`` is the pure Gregorian rule. All paths are
+vectorized numpy; negative offsets / years before the epoch work via
+floor division. In the array-IO fast path the ``standard`` family still
+decodes through numpy datetime64 (:mod:`.ndset`) — exact for the
+post-1582 dates datetime64 itself implies; datasets reaching pre-1582
+use these component APIs with exact mixed arithmetic.
 """
 
 from __future__ import annotations
@@ -91,6 +97,90 @@ def _parse_units(units: str) -> Tuple[int, Tuple[int, int, int, int, int, int]]:
     return unit_sec, (y, mo, d, h, mi, s)
 
 
+_CUM_NOLEAP = np.concatenate(
+    [[0], np.cumsum(_MONTH_DAYS["noleap"])[:-1]]
+)
+
+
+def _greg_ordinal(
+    year: np.ndarray, month: np.ndarray, day: np.ndarray
+) -> np.ndarray:
+    """Proleptic-Gregorian absolute day (day 0 = year 0, Jan 1)."""
+    leap = ((year % 4 == 0) & (year % 100 != 0)) | (year % 400 == 0)
+    return (
+        365 * year
+        + (year + 3) // 4
+        - (year + 99) // 100
+        + (year + 399) // 400
+        + _CUM_NOLEAP[month - 1]
+        + (leap & (month > 2)).astype(np.int64)
+        + (day - 1)
+    )
+
+
+def _greg_inverse(day: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of :func:`_greg_ordinal` (Hinnant's public civil_from_days
+    era algorithm, vectorized; 146097-day 400-year eras)."""
+    z = np.asarray(day, dtype=np.int64) - 719528 + 719468  # days since 0000-03-01
+    era = z // 146097
+    doe = z - era * 146097
+    yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+    mp = (5 * doy + 2) // 153
+    dom = doy - (153 * mp + 2) // 5 + 1
+    month = np.where(mp < 10, mp + 3, mp - 9).astype(np.int64)
+    return y + (month <= 2), month, dom
+
+
+def _julian_ordinal(
+    year: np.ndarray, month: np.ndarray, day: np.ndarray
+) -> np.ndarray:
+    leap = (year % 4) == 0
+    return (
+        365 * year
+        + (year + 3) // 4
+        + _CUM_NOLEAP[month - 1]
+        + (leap & (month > 2)).astype(np.int64)
+        + (day - 1)
+    )
+
+
+# mixed Julian/Gregorian cutover: 1582-10-04 (Julian) is followed by
+# 1582-10-15 (Gregorian). The mixed timeline equals the Julian ordinal
+# before the cutover and the Gregorian ordinal plus _MIXED_K after it.
+_JULIAN_END = int(_julian_ordinal(np.array([1582]), np.array([10]), np.array([4]))[0])
+_GREG_START = int(_greg_ordinal(np.array([1582]), np.array([10]), np.array([15]))[0])
+_MIXED_K = _JULIAN_END + 1 - _GREG_START
+
+
+def _julian_inverse(
+    day: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of :func:`_julian_ordinal` via 1461-day cycles starting at
+    a leap year: [366, 365, 365, 365]."""
+    day = np.asarray(day, dtype=np.int64)
+    cyc, dic = np.divmod(day, 1461)
+    yic = np.where(dic < 366, 0, (dic - 366) // 365 + 1)
+    doy = dic - np.where(yic == 0, 0, 366 + 365 * (yic - 1))
+    year = 4 * cyc + yic
+    leap = yic == 0
+    cum_n = np.cumsum(_MONTH_DAYS["noleap"])
+    cum_l = np.cumsum(_MONTH_DAYS["all_leap"])
+    month = (
+        np.where(
+            leap,
+            np.searchsorted(cum_l, doy, side="right"),
+            np.searchsorted(cum_n, doy, side="right"),
+        )
+        + 1
+    ).astype(np.int64)
+    start_n = np.concatenate([[0], cum_n[:-1]])
+    start_l = np.concatenate([[0], cum_l[:-1]])
+    dom = doy - np.where(leap, start_l[month - 1], start_n[month - 1]) + 1
+    return year, month, dom
+
+
 def _ordinal(
     year: np.ndarray, month: np.ndarray, day: np.ndarray, calendar: str
 ) -> np.ndarray:
@@ -100,21 +190,26 @@ def _ordinal(
     year = np.asarray(year, dtype=np.int64)
     month = np.asarray(month, dtype=np.int64)
     day = np.asarray(day, dtype=np.int64)
+    if calendar == "proleptic_gregorian":
+        return _greg_ordinal(year, month, day)
+    if calendar in ("standard", "gregorian"):
+        jord = _julian_ordinal(year, month, day)
+        gord = _greg_ordinal(year, month, day) + _MIXED_K
+        is_greg = gord >= _JULIAN_END + 1
+        # dates in the dropped window decode as neither side: Julian says
+        # >= cutover, Gregorian says < cutover
+        dropped = (~is_greg) & (jord > _JULIAN_END)
+        if np.any(dropped):
+            raise ValueError(
+                "dates 1582-10-05 .. 1582-10-14 do not exist in the mixed "
+                "standard calendar"
+            )
+        return np.where(is_greg, gord, jord)
     if calendar == "julian":
         # julian leap rule: every year % 4 == 0 (year 0 included, no
         # century exception). Leap days fully before year y: ceil(y/4)
         # == floor((y+3)/4), valid for negative y with floor division.
-        leap = (year % 4) == 0
-        cum = np.concatenate(
-            [[0], np.cumsum(_MONTH_DAYS["noleap"])[:-1]]
-        )
-        return (
-            365 * year
-            + (year + 3) // 4
-            + cum[month - 1]
-            + (leap & (month > 2)).astype(np.int64)
-            + (day - 1)
-        )
+        return _julian_ordinal(year, month, day)
     month_days, year_len = _calendar_tables(calendar)
     cum = np.concatenate([[0], np.cumsum(month_days)[:-1]])
     return year * year_len + cum[month - 1] + (day - 1)
@@ -158,26 +253,17 @@ def num2date_components(
     )
     total = np.asarray(values, dtype=np.int64) * unit_sec + epoch_secs
     day, rem = np.divmod(total, 86400)
-    if calendar == "julian":
-        # 1461-day cycle starting at a leap year: [366, 365, 365, 365]
-        cyc, dic = np.divmod(day, 1461)
-        yic = np.where(dic < 366, 0, (dic - 366) // 365 + 1)
-        doy = dic - np.where(yic == 0, 0, 366 + 365 * (yic - 1))
-        year = 4 * cyc + yic
-        leap = yic == 0
-        cum_n = np.cumsum(_MONTH_DAYS["noleap"])
-        cum_l = np.cumsum(_MONTH_DAYS["all_leap"])
-        month = (
-            np.where(
-                leap,
-                np.searchsorted(cum_l, doy, side="right"),
-                np.searchsorted(cum_n, doy, side="right"),
-            )
-            + 1
-        )
-        start_n = np.concatenate([[0], cum_n[:-1]])
-        start_l = np.concatenate([[0], cum_l[:-1]])
-        dom = doy - np.where(leap, start_l[month - 1], start_n[month - 1]) + 1
+    if calendar == "proleptic_gregorian":
+        year, month, dom = _greg_inverse(day)
+    elif calendar in ("standard", "gregorian"):
+        in_julian = day <= _JULIAN_END
+        jy, jm, jd = _julian_inverse(day)
+        gy, gm, gd = _greg_inverse(day - _MIXED_K)
+        year = np.where(in_julian, jy, gy)
+        month = np.where(in_julian, jm, gm)
+        dom = np.where(in_julian, jd, gd)
+    elif calendar == "julian":
+        year, month, dom = _julian_inverse(day)
     else:
         month_days, year_len = _calendar_tables(calendar)
         cum = np.cumsum(month_days)

@@ -231,3 +231,124 @@ def test_append_along_360_day_time(spark, tmp_path):
     rt = result.open()
     assert_equal(rt, ds, check_attrs=False)
     np.testing.assert_array_equal(rt.coords["time"].data, np.arange(4))
+
+
+# ---------------------------------------------------------------------------
+# mixed standard Gregorian/Julian + proleptic_gregorian component APIs
+# ---------------------------------------------------------------------------
+
+
+def test_mixed_standard_cutover():
+    from pangeo_forge_recipes_spark.cfcalendar import date2num
+
+    # 1582-10-04 (Julian) is immediately followed by 1582-10-15
+    vals = date2num(
+        [(1582, 10, 4), (1582, 10, 15)], "days since 1582-01-01", "standard"
+    )
+    assert vals[1] - vals[0] == 1
+    # the dropped days do not exist
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="do not exist"):
+        date2num([(1582, 10, 10)], "days since 1582-01-01", "standard")
+
+
+def test_mixed_standard_julian_day_number_anchor():
+    from pangeo_forge_recipes_spark.cfcalendar import date2num
+
+    # public anchor: the astronomical Julian Day count has JDN 0 =
+    # -4712-01-01 (Julian), JDN 2299160 = 1582-10-04 (Julian, the last
+    # Julian day), JDN 2299161 = 1582-10-15 (Gregorian)
+    vals = date2num(
+        [(-4712, 1, 1), (1582, 10, 4), (1582, 10, 15)],
+        "days since 1582-10-15",
+        "standard",
+    )
+    assert vals[1] - vals[0] == 2299160
+    assert vals[2] - vals[0] == 2299161
+
+
+def test_mixed_standard_matches_datetime64_post_cutover():
+    from pangeo_forge_recipes_spark.cfcalendar import date2num
+
+    # modern dates: mixed == proleptic == datetime64 arithmetic
+    import numpy as np
+
+    got = date2num(
+        [(2000, 1, 1), (2024, 3, 1, 12, 0, 0)],
+        "hours since 2000-01-01",
+        "standard",
+    )
+    want = (
+        np.array(["2000-01-01", "2024-03-01T12:00"], dtype="datetime64[s]")
+        - np.datetime64("2000-01-01", "s")
+    ) // np.timedelta64(3600, "s")
+    np.testing.assert_array_equal(got, want.astype("int64"))
+
+
+def test_mixed_standard_roundtrip_across_cutover():
+    import numpy as np
+
+    from pangeo_forge_recipes_spark.cfcalendar import (
+        date2num,
+        num2date_components,
+    )
+
+    dates = [
+        (-500, 2, 29),   # julian leap year
+        (300, 2, 28),
+        (1500, 2, 29),   # leap in julian, not in gregorian
+        (1582, 10, 4),
+        (1582, 10, 15),
+        (1700, 2, 28),   # 1700 not leap in gregorian
+        (1600, 2, 29),   # 1600 leap in both
+        (2024, 2, 29),
+    ]
+    vals = date2num(dates, "days since 1-01-01", "standard")
+    comp = num2date_components(vals, "days since 1-01-01", "standard")
+    got = list(zip(comp["year"], comp["month"], comp["day"]))
+    assert [tuple(int(x) for x in g) for g in got] == dates
+    # consecutive offsets around the cutover decode to consecutive dates
+    around = num2date_components(
+        np.arange(vals[3], vals[3] + 3), "days since 1-01-01", "standard"
+    )
+    assert [tuple(int(x) for x in t) for t in zip(
+        around["year"], around["month"], around["day"]
+    )] == [(1582, 10, 4), (1582, 10, 15), (1582, 10, 16)]
+
+
+def test_proleptic_gregorian_components_match_numpy():
+    import numpy as np
+
+    from pangeo_forge_recipes_spark.cfcalendar import (
+        date2num,
+        num2date_components,
+    )
+
+    rng = np.random.RandomState(3)
+    offs = rng.randint(-800_000, 800_000, size=200)
+    comp = num2date_components(offs, "days since 1970-01-01", "proleptic_gregorian")
+    want = np.datetime64("1970-01-01", "D") + offs.astype("timedelta64[D]")
+    ys = want.astype("datetime64[Y]").astype("int64") + 1970
+    ms = want.astype("datetime64[M]").astype("int64") % 12 + 1
+    ds = (want - want.astype("datetime64[M]")).astype("int64") + 1
+    np.testing.assert_array_equal(comp["year"], ys)
+    np.testing.assert_array_equal(comp["month"], ms)
+    np.testing.assert_array_equal(comp["day"], ds)
+    # and date2num inverts
+    back = date2num(
+        list(zip(ys, ms, ds)), "days since 1970-01-01", "proleptic_gregorian"
+    )
+    np.testing.assert_array_equal(back, offs)
+
+
+def test_julian_gregorian_agreement_window():
+    from pangeo_forge_recipes_spark.cfcalendar import date2num
+
+    # the Julian and Gregorian calendars named the same days from
+    # 200-03-01 through 300-02-28 — the mixed (Julian-side) and pure
+    # proleptic ordinals of those dates coincide
+    for d in [(200, 3, 1), (250, 7, 4), (300, 2, 28)]:
+        a = date2num([d], "days since 2000-01-01", "standard")[0]
+        b = date2num([d], "days since 2000-01-01", "proleptic_gregorian")[0]
+        assert a == b, d
