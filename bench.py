@@ -337,6 +337,17 @@ def main() -> None:
     # python worker pool (box shows 2-3x wall variance under load)
     pipeline = _bench_zarr_pipeline(spark)
 
+    # re-warm after the pipeline: its mapInPandas stages spawn/retire
+    # dozens of python workers whose import cost otherwise lands on the
+    # first few timed queries (both best-of-2 runs execute back-to-back,
+    # inside the same churn window)
+    for t in entrymod.TABLES:
+        try:
+            spark.table(t).count()
+        except Exception:
+            pass
+    _materialize(spark.range(64).repartition(32).mapInPandas(lambda it: it, "id long"))
+
     # per-query latency: sequential, best-of-2
     timings = {}
     for name in HEADLINE:

@@ -19,9 +19,10 @@ this module provides both capabilities natively for the common subset:
 * data representation templates 5.0 (simple packing), 5.2 (complex
   packing with group splitting), 5.3 (complex packing + first/second
   order spatial differencing — the encoding real NWP archives like HRRR
-  use heavily), 5.4 (IEEE floating point — exact, no quantization) and
-  5.41 (PNG code stream, decoded by the engine's own :mod:`.pngio`);
-  5.40 JPEG2000 still raises (no JPEG2000 codec in pure Python)
+  use heavily), 5.4 (IEEE floating point — exact, no quantization),
+  5.40 (JPEG2000 code stream — decoded by the engine's own
+  :mod:`.jp2kio` T.800 codec; the ECMWF/NCEP "ccsds/jpeg" packing) and
+  5.41 (PNG code stream, decoded by the engine's own :mod:`.pngio`)
 * bitmaps (section 6 indicator 0): missing grid points decode to NaN,
   and the writer emits a bitmap automatically for non-finite values
 * message-filter pushdown (the reference's ``filter_by_keys``, applied
@@ -279,11 +280,12 @@ def _parse_message(body: bytes, discipline: int, offset: int, total: int, path: 
                 }.get(stat, f"stat_{stat}")
         elif sec_num == 5:
             tmpl = _be(sec, 9, 2)
-            if tmpl not in (0, 2, 3, 4, 41):
+            if tmpl not in (0, 2, 3, 4, 40, 41):
                 raise NotImplementedError(
                     f"{path}: data representation template {tmpl} unsupported "
                     "(supported: 5.0 simple, 5.2 complex, 5.3 complex + "
-                    "spatial differencing, 5.4 IEEE float, 5.41 PNG)"
+                    "spatial differencing, 5.4 IEEE float, 5.40 JPEG2000, "
+                    "5.41 PNG)"
                 )
             msg["drs_template"] = tmpl
             msg["n_values"] = _be(sec, 5, 4)
@@ -303,6 +305,10 @@ def _parse_message(body: bytes, discipline: int, offset: int, total: int, path: 
             msg["E"] = _sm_decode(_be(sec, 15, 2), 2)
             msg["D"] = _sm_decode(_be(sec, 17, 2), 2)
             msg["nbits"] = sec[19]
+            if tmpl == 40:
+                # octet 22: compression type (0 = lossless); octet 23:
+                # target compression ratio (255 = lossless/unspecified)
+                msg["j2k_lossless"] = sec[21] == 0
             if tmpl in (2, 3):
                 if sec[21] != 1:
                     raise NotImplementedError(
@@ -507,6 +513,18 @@ def _decode_values(msg: dict, packed: bytes) -> np.ndarray:
         return _apply_bitmap(msg, vals)
     if tmpl == 41:
         x = _decode_png_ints(msg, packed)
+    elif tmpl == 40:
+        from .jp2kio import decode_j2k
+
+        if msg["n_values"] == 0:
+            x = np.zeros(0, dtype=np.int64)
+        else:
+            x = decode_j2k(bytes(packed))[0].ravel()
+        if x.size != msg["n_values"]:
+            raise ValueError(
+                f"JPEG2000-packed field holds {x.size} values, section 5 "
+                f"says {msg['n_values']}"
+            )
     else:
         x = _unpack_bits(packed, msg["n_values"], msg["nbits"])
     return _apply_bitmap(msg, (msg["R"] + x * 2.0 ** msg["E"]) / 10.0 ** msg["D"])
@@ -1156,7 +1174,9 @@ def write_grib2(
     representation: ``simple`` (5.0), ``complex`` (5.2),
     ``complex-diff1`` / ``complex-diff2`` (5.3 with first/second order
     spatial differencing), ``ieee`` (5.4 raw IEEE float32 — exact for
-    data no 2^E grid represents), or ``png`` (5.41 PNG code stream). ``statistics[name] = (stepType,
+    data no 2^E grid represents), ``png`` (5.41 PNG code stream), or
+    ``jpeg2000`` (5.40 lossless JPEG2000 code stream via
+    :mod:`.jp2kio`). ``statistics[name] = (stepType,
     interval_hours)`` writes that variable with product template 4.8
     (accumulated/averaged over the interval ending at each time step;
     stepType one of avg/accum/max/min). ``projection`` switches the grid
@@ -1179,7 +1199,7 @@ def write_grib2(
             )
     pack_modes = {
         "simple": None, "complex": 0, "complex-diff1": 1, "complex-diff2": 2,
-        "ieee": None, "png": None,
+        "ieee": None, "png": None, "jpeg2000": None,
     }
     if packing not in pack_modes:
         raise ValueError(f"packing {packing!r}; choose from {sorted(pack_modes)}")
@@ -1468,6 +1488,21 @@ def write_grib2(
                     + bytes([depth, 0])
                 )
                 sec7 = encode_png(img, filters=[0, 1, 2, 3, 4])
+            elif packing == "jpeg2000":
+                # template 5.40/7.40: scaled ints as a lossless J2K stream
+                from .jp2kio import encode_j2k
+
+                depth = max(int(nbits), 1)
+                shape = (nj, ni) if npacked == nj * ni else (1, npacked)
+                img = x.reshape(shape)
+                sec5 = (
+                    npacked.to_bytes(4, "big") + (40).to_bytes(2, "big")
+                    + np.array(r32, dtype=">f4").tobytes()
+                    + _sm_encode(e, 2).to_bytes(2, "big")
+                    + _sm_encode(0, 2).to_bytes(2, "big")
+                    + bytes([depth, 0, 0, 255])  # lossless, ratio n/a
+                )
+                sec7 = encode_j2k(img, depth=depth) if npacked else b""
             elif complex_order is None:
                 sec5 = (
                     npacked.to_bytes(4, "big") + (0).to_bytes(2, "big")

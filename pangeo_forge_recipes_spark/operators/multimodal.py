@@ -227,12 +227,15 @@ def decode_image(df: DataFrame) -> DataFrame:
     """Decode binary → (doc_id, pixels array<float>) via mapInPandas.
 
     PNG blobs (signature-sniffed) decode for REAL through
-    :mod:`..pngio` — zlib inflate + unfilter — and JPEG blobs through
-    :mod:`..jpegio` (baseline Huffman DCT), both grayscale-averaged to
-    normalized floats. Other formats take the deterministic sha256 fake
-    so the Spark plumbing (schema, batch shape, partition flow) stays
-    testable end-to-end regardless of payload type.
+    :mod:`..pngio` — zlib inflate + unfilter — JPEG blobs through
+    :mod:`..jpegio` (baseline Huffman DCT), and raw JPEG2000
+    codestreams through :mod:`..jp2kio` (T.800 subset), all
+    grayscale-averaged to normalized floats. Other formats take the
+    deterministic sha256 fake so the Spark plumbing (schema, batch
+    shape, partition flow) stays testable end-to-end regardless of
+    payload type.
     """
+    from ..jp2kio import decode_j2k
     from ..jpegio import decode_jpeg
     from ..pngio import PNG_SIGNATURE, decode_png
 
@@ -245,6 +248,9 @@ def decode_image(df: DataFrame) -> DataFrame:
                     arr = decode_png(blob).astype("float32")
                 elif blob[:2] == b"\xff\xd8":
                     arr = decode_jpeg(blob).astype("float32")
+                elif blob[:4] == b"\xff\x4f\xff\x51":
+                    img, depth, _ = decode_j2k(blob)
+                    arr = img.astype("float32") * (255.0 / ((1 << depth) - 1))
                 else:
                     # deterministic fake decode: sha256-seeded 8x8 grayscale
                     digest = hashlib.sha256(blob).digest()

@@ -6,6 +6,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+_DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+
 
 def get_spark(
     app_name: str = "pangeo-forge-recipes-spark",
@@ -43,10 +45,19 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.speculation", "false")
-        # local-mode driver IS the executor: on the target box (32 threads /
-        # 128 GiB) an 8g heap puts cached tables + 32 concurrent task
-        # buffers under constant old-gen GC; size the heap to the box
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # local-mode driver IS the executor. Two measured pitfalls on the
+        # target box (32 threads / 128 GiB): an oversized, growable heap
+        # (48g, default Xms) makes G1 commit/uncommit pages continuously
+        # after a heavy mapInPandas phase — identical SQL queries then
+        # oscillate 0.6s..3.4s run to run; pinning the heap (Xms == Xmx +
+        # AlwaysPreTouch) removes the jitter at any size. 16g holds the
+        # cached sf-scale tables plus 32 concurrent task buffers without
+        # old-gen churn, and pre-touches in ~2s at startup.
+        .config("spark.driver.memory", _DRIVER_MEM)
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{_DRIVER_MEM} -XX:+AlwaysPreTouch",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.python.filterPushdown.enabled", "true")
         # pin a timezone so NTZ↔LTZ casts (needed because watermarks only

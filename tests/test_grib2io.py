@@ -704,3 +704,74 @@ def test_mercator_write_read_roundtrip(tmp_path):
     with pytest.raises(ValueError, match="Mercator-spaced"):
         write_grib2(str(tmp_path / "bad.grib2"), bad,
                     projection={"kind": "mercator", "lad": 20.0})
+
+
+# ---------------------------------------------------------------------------
+# data representation template 5.40 (JPEG2000)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("scale", [1.0, 300.0])
+def test_jpeg2000_packing_roundtrip(tmp_path, scale):
+    """Template 5.40/7.40: scaled ints ride a lossless J2K code stream
+    (the ECMWF/NCEP grid_jpeg encoding)."""
+    ds = make_grib_ds(nt=2)
+    for v in ("t", "u"):
+        ds.data_vars[v].data[:] = (
+            np.round(ds.data_vars[v].data * 128) / 128 * scale
+        )
+    path = str(tmp_path / "j2k.grib2")
+    write_grib2(path, ds, packing="jpeg2000")
+    rt = read_grib2(path)
+    for v in ("t", "u"):
+        np.testing.assert_array_equal(rt.data_vars[v].data, ds.data_vars[v].data)
+    msgs = scan_grib2_messages(path)
+    assert all(m["drs_template"] == 40 for m in msgs)
+    assert all(m["j2k_lossless"] for m in msgs)
+    # payload is a genuine raw J2K codestream (SOC + SIZ markers)
+    with open(path, "rb") as f:
+        raw = f.read()
+    assert b"\xff\x4f\xff\x51" in raw
+
+
+def test_jpeg2000_packing_with_bitmap_and_kerchunk(tmp_path):
+    """J2K packing composes with section-6 bitmaps (NaN points) and the
+    grib2-msg kerchunk codec."""
+    ds = make_grib_ds(nt=2)
+    ds.data_vars["t"].data[:, 2, 3] = np.nan
+    path = str(tmp_path / "jb.grib2")
+    write_grib2(path, ds, packing="jpeg2000")
+    rt = read_grib2(path)
+    np.testing.assert_array_equal(rt.data_vars["t"].data, ds.data_vars["t"].data)
+    refs = scan_grib2(path, filter_by_keys={"shortName": "t"})
+    rt2 = open_reference_dataset(refs)
+    np.testing.assert_array_equal(
+        np.asarray(rt2.data_vars["t"].data), ds.data_vars["t"].data
+    )
+
+
+def test_jpeg2000_smooth_field_compresses(tmp_path):
+    """The wavelet coder should beat simple packing handily on a smooth
+    NWP-style field."""
+    nj, ni, nt = 40, 60, 1
+    time = np.datetime64("2024-03-01T00", "ns") + np.arange(nt) * np.timedelta64(6, "h")
+    yy, xx = np.mgrid[0:nj, 0:ni]
+    smooth = (280 + 15 * np.sin(xx / 9.0) * np.cos(yy / 7.0))[None]
+    smooth = np.round(smooth * 128) / 128
+    ds = NDDataset(
+        {"t": Variable(("time", "latitude", "longitude"), smooth)},
+        {
+            "time": Variable(("time",), time),
+            "latitude": Variable(("latitude",), np.linspace(60, 20, nj)),
+            "longitude": Variable(("longitude",), np.linspace(0, 59, ni)),
+        },
+        {},
+        {"time": nt, "latitude": nj, "longitude": ni},
+    )
+    p_simple = str(tmp_path / "s.grib2")
+    p_j2k = str(tmp_path / "j.grib2")
+    write_grib2(p_simple, ds, packing="simple")
+    write_grib2(p_j2k, ds, packing="jpeg2000")
+    assert os.path.getsize(p_j2k) < os.path.getsize(p_simple)
+    rt = read_grib2(p_j2k)
+    np.testing.assert_array_equal(rt.data_vars["t"].data, ds.data_vars["t"].data)

@@ -1,0 +1,206 @@
+"""JPEG2000 codec (jp2kio) tests: MQ coder, 5/3 DWT, tag trees, full
+codestream round-trips, and the GRIB2 5.40 integration."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pangeo_forge_recipes_spark import jp2kio as J
+
+
+# ---------------------------------------------------------------------------
+# MQ coder
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_mq_roundtrip_random(seed):
+    rng = np.random.RandomState(seed)
+    n = 5000
+    ctxs = rng.randint(0, J.N_CTX, size=n)
+    # biased bits exercise both MPS and LPS paths
+    bits = (rng.rand(n) < 0.2).astype(int)
+    enc = J.MQEncoder()
+    for b, cx in zip(bits, ctxs):
+        enc.encode(int(b), int(cx))
+    data = enc.flush()
+    dec = J.MQDecoder(data)
+    out = [dec.decode(int(cx)) for cx in ctxs]
+    assert out == list(bits)
+
+
+def test_mq_roundtrip_constant_and_alternating():
+    for pattern in ([0] * 200, [1] * 200, [0, 1] * 100):
+        enc = J.MQEncoder()
+        for b in pattern:
+            enc.encode(b, 0)
+        dec = J.MQDecoder(enc.flush())
+        assert [dec.decode(0) for _ in pattern] == pattern
+
+
+def test_mq_table_invariants():
+    assert len(J._MQ_TABLE) == 47
+    for i, (qe, nmps, nlps, switch) in enumerate(J._MQ_TABLE):
+        assert 0 < qe <= 0x5601
+        assert 0 <= nmps < 47 and 0 <= nlps < 47
+        assert switch in (0, 1)
+    # switch only on the four entry states of each chain
+    assert [i for i, r in enumerate(J._MQ_TABLE) if r[3]] == [0, 6, 14]
+
+
+# ---------------------------------------------------------------------------
+# 5/3 DWT
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n", list(range(1, 18)) + [33, 64, 65])
+def test_dwt53_1d_perfect_reconstruction(n):
+    rng = np.random.RandomState(n)
+    x = rng.randint(-1000, 1000, size=n).astype(np.int64)
+    lo, hi = J._fwd53_1d(x, 0)
+    assert lo.shape[0] == (n + 1) // 2 and hi.shape[0] == n // 2
+    back = J._inv53_1d(lo, hi, 0)
+    np.testing.assert_array_equal(back, x)
+
+
+def test_dwt53_known_values():
+    # constant signal: high band exactly zero, low band equals signal
+    x = np.full(10, 7, dtype=np.int64)
+    lo, hi = J._fwd53_1d(x, 0)
+    np.testing.assert_array_equal(hi, 0)
+    np.testing.assert_array_equal(lo, 7)
+    # linear ramp: 5/3 high-pass annihilates linears (interior)
+    x = np.arange(0, 40, 2, dtype=np.int64)
+    lo, hi = J._fwd53_1d(x, 0)
+    np.testing.assert_array_equal(hi[:-1], 0)
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (1, 7), (7, 1), (5, 6), (16, 16), (13, 17)])
+def test_dwt53_2d_perfect_reconstruction(shape):
+    rng = np.random.RandomState(shape[0] * 100 + shape[1])
+    x = rng.randint(-5000, 5000, size=shape).astype(np.int64)
+    ll, hl, lh, hh = J._fwd53_2d(x)
+    back = J._inv53_2d(ll, hl, lh, hh)
+    np.testing.assert_array_equal(back, x)
+
+
+# ---------------------------------------------------------------------------
+# tag trees
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("w,h,seed", [(1, 1, 0), (3, 2, 1), (4, 4, 2), (7, 5, 3)])
+def test_tagtree_roundtrip(w, h, seed):
+    rng = np.random.RandomState(seed)
+    vals = rng.randint(0, 6, size=(h, w))
+    enc = J._TagTree(w, h)
+    enc.set_values(vals)
+    bw = J._HdrWriter()
+    # encode each leaf fully (thresholds up to value+1, like the zero-
+    # bitplane tree in a packet header)
+    for i in range(h):
+        for j in range(w):
+            enc.encode(bw, i, j, int(vals[i, j]) + 1)
+    data = bw.flush()
+    dec = J._TagTree(w, h)
+    br = J._HdrReader(data, 0)
+    for i in range(h):
+        for j in range(w):
+            t = 1
+            while True:
+                got = dec.decode(br, i, j, t)
+                if got is not None:
+                    break
+                t += 1
+            assert got == vals[i, j]
+
+
+def test_hdr_bit_stuffing():
+    # a run of 1-bits creating 0xFF bytes must round-trip through the
+    # 7-bit post-FF rule
+    bits = [1] * 30 + [0, 1, 0] + [1] * 16
+    bw = J._HdrWriter()
+    for b in bits:
+        bw.bit(b)
+    data = bw.flush()
+    assert 0xFF in data  # the stuffing path actually triggered
+    br = J._HdrReader(data, 0)
+    assert [br.bit() for _ in bits] == bits
+
+
+# ---------------------------------------------------------------------------
+# full codestream round-trips
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "shape,depth,levels",
+    [
+        ((8, 8), 8, 1),
+        ((16, 16), 8, 2),
+        ((13, 17), 10, 3),
+        ((1, 40), 8, 2),
+        ((40, 1), 8, 2),
+        ((5, 5), 4, 0),
+        ((70, 70), 12, 5),
+        ((3, 3), 16, 1),
+    ],
+)
+def test_j2k_roundtrip_random(shape, depth, levels):
+    rng = np.random.RandomState(depth * 100 + shape[0])
+    img = rng.randint(0, 1 << depth, size=shape).astype(np.int64)
+    data = J.encode_j2k(img, depth=depth, levels=levels)
+    assert data[:2] == b"\xff\x4f" and data[-2:] == b"\xff\xd9"
+    out, d, signed = J.decode_j2k(data)
+    assert d == depth and not signed
+    np.testing.assert_array_equal(out, img)
+
+
+def test_j2k_roundtrip_smooth_field():
+    # NWP-like smooth field: compresses well and must stay bit-exact
+    y, x = np.mgrid[0:50, 0:60]
+    img = (1000 + 400 * np.sin(x / 9.0) * np.cos(y / 7.0)).astype(np.int64)
+    data = J.encode_j2k(img, depth=11, levels=4)
+    out, _, _ = J.decode_j2k(data)
+    np.testing.assert_array_equal(out, img)
+    assert len(data) < img.size * 2  # actually compresses vs 11-bit raw
+
+
+def test_j2k_roundtrip_constant_and_zero():
+    img = np.zeros((20, 20), dtype=np.int64)
+    out, _, _ = J.decode_j2k(J.encode_j2k(img, depth=8, levels=2))
+    np.testing.assert_array_equal(out, img)
+    img = np.full((20, 20), 255, dtype=np.int64)
+    out, _, _ = J.decode_j2k(J.encode_j2k(img, depth=8, levels=2))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_j2k_multiple_codeblocks():
+    # force several code-blocks per subband with a small cblk size
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 4096, size=(70, 90)).astype(np.int64)
+    data = J.encode_j2k(img, depth=12, levels=2, cblk_exp=4)
+    out, _, _ = J.decode_j2k(data)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_j2k_rejects_unsupported():
+    with pytest.raises(ValueError, match="SOC"):
+        J.decode_j2k(b"\x00\x01\x02\x03")
+
+
+def test_multimodal_decode_image_j2k(spark):
+    """decode_image sniffs raw J2K codestreams and really decodes them."""
+    from pangeo_forge_recipes_spark.jp2kio import encode_j2k
+    from pangeo_forge_recipes_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(8)
+    imgs = {i: rng.randint(0, 256, size=(6, 5)).astype(np.int64) for i in range(3)}
+    rows = [(i, bytearray(encode_j2k(im, depth=8, levels=1))) for i, im in imgs.items()]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = {r["doc_id"]: r["pixels"] for r in decode_image(df).collect()}
+    for i, im in imgs.items():
+        np.testing.assert_allclose(
+            np.array(out[i]), im.ravel() / 255.0, atol=1e-6
+        )

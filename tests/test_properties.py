@@ -174,3 +174,64 @@ def test_sample_bucket_matches_reference_impl(ids):
     for i in ids:
         expect = int(hashlib.md5(str(i).encode()).hexdigest()[:3], 16) % 100
         assert got[i] == expect, (i, got[i], expect)
+
+
+# ---------------------------------------------------------------------------
+# JPEG2000 codec (jp2kio): lossless round-trip over randomized images
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    depth=st.integers(1, 16),
+    levels=st.integers(0, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_j2k_lossless_roundtrip_property(w, h, depth, levels, seed):
+    import numpy as np
+
+    from pangeo_forge_recipes_spark.jp2kio import decode_j2k, encode_j2k
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 1 << depth, size=(h, w)).astype(np.int64)
+    out, d, signed = decode_j2k(encode_j2k(img, depth=depth, levels=levels))
+    assert d == depth and not signed
+    np.testing.assert_array_equal(out, img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 200),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_dwt53_perfect_reconstruction_property(n, seed):
+    import numpy as np
+
+    from pangeo_forge_recipes_spark.jp2kio import _fwd53_1d, _inv53_1d
+
+    rng = np.random.RandomState(seed)
+    x = rng.randint(-(2**20), 2**20, size=n).astype(np.int64)
+    lo, hi = _fwd53_1d(x, 0)
+    np.testing.assert_array_equal(_inv53_1d(lo, hi, 0), x)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    nbits=st.integers(1, 500),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_mq_coder_roundtrip_property(nbits, seed):
+    import numpy as np
+
+    from pangeo_forge_recipes_spark.jp2kio import MQDecoder, MQEncoder, N_CTX
+
+    rng = np.random.RandomState(seed)
+    bits = (rng.rand(nbits) < rng.uniform(0.05, 0.95)).astype(int)
+    ctxs = rng.randint(0, N_CTX, size=nbits)
+    enc = MQEncoder()
+    for b, cx in zip(bits, ctxs):
+        enc.encode(int(b), int(cx))
+    dec = MQDecoder(enc.flush())
+    assert [dec.decode(int(c)) for c in ctxs] == list(bits)
