@@ -1,0 +1,140 @@
+"""Broadcast Bloom-filter membership: incremental dedup of a corpus
+against a reference snapshot WITHOUT a join.
+
+The 100 TB problem this solves: each ingestion run must drop documents
+already present in the accumulated corpus. An anti-join shuffles the
+full new corpus against the (much larger) reference on every run. A
+Bloom filter of the reference's content hashes is built in ONE scan
+with a per-partition numpy bitmap OR-reduce — no shuffle on either
+side — then broadcast (m/8 bytes; 1 GiB handles ~5.7 B documents at
+1% FPP), and the new corpus is filtered map-side.
+
+Semantics: membership is approximate with false-positive rate ``fpp``
+— a survivor is definitely new; a dropped document is a duplicate with
+probability ≥ 1 - fpp. That asymmetry (never keep a duplicate, rarely
+drop an original) is the accepted trade in training-data dedup; set
+``fpp`` per corpus value.
+
+Hashing: k positions via standard double hashing (Kirsch-Mitzenmacher)
+over the two 64-bit halves of the content's md5 — deterministic across
+runs/sessions, no Python hash randomization.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bloom_params(expected_items: int, fpp: float) -> Tuple[int, int]:
+    """Optimal (m bits, k hashes) for ``expected_items`` at ``fpp``."""
+    if expected_items <= 0:
+        raise ValueError("expected_items must be positive")
+    if not (0.0 < fpp < 1.0):
+        raise ValueError("fpp must be in (0, 1)")
+    m = int(math.ceil(-expected_items * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, (m + 63) // 64 * 64)  # whole 64-bit words
+    k = max(1, int(round(m / expected_items * math.log(2))))
+    return m, k
+
+
+def _hash_pair(text: str) -> Tuple[int, int]:
+    d = hashlib.md5(text.encode("utf-8", "surrogatepass")).digest()
+    return int.from_bytes(d[:8], "little"), int.from_bytes(d[8:], "little")
+
+
+_W64 = np.uint64(64)
+_ONE = np.uint64(1)
+
+
+def _positions(text: str, m: int, k: int) -> np.ndarray:
+    h1, h2 = _hash_pair(text)
+    # double hashing; force h2 odd so strides cycle the full table.
+    # all-uint64 arithmetic (python-int operands would upcast to float64)
+    h2 |= 1
+    return (
+        np.uint64(h1) + np.arange(k, dtype=np.uint64) * np.uint64(h2)
+    ) % np.uint64(m)
+
+
+def build_bloom(
+    df: DataFrame,
+    col: str = "text",
+    expected_items: int = 1_000_000,
+    fpp: float = 0.01,
+) -> Tuple[np.ndarray, int, int]:
+    """One-pass distributed build: per-partition uint64 bitmaps OR-merged
+    on the driver (driver state = m/8 bytes regardless of row count).
+    Returns (bitmap words, m, k)."""
+    m, k = bloom_params(expected_items, fpp)
+    nwords = m // 64
+
+    def partition_bitmap(rows: Iterator) -> Iterator[bytes]:
+        bits = np.zeros(nwords, dtype=np.uint64)
+        for row in rows:
+            text = row[0]
+            if text is None:
+                continue
+            pos = _positions(text, m, k)
+            np.bitwise_or.at(bits, pos // _W64, _ONE << (pos % _W64))
+        yield bits.tobytes()
+
+    merged = np.zeros(nwords, dtype=np.uint64)
+    for chunk in (
+        df.select(col).rdd.mapPartitions(partition_bitmap).collect()
+    ):
+        merged |= np.frombuffer(chunk, dtype=np.uint64)
+    return merged, m, k
+
+
+def bloom_contains(bits: np.ndarray, m: int, k: int, text: str) -> bool:
+    pos = _positions(text, m, k)
+    word = bits[pos // _W64]
+    return bool(np.all((word >> (pos % _W64)) & _ONE))
+
+
+def dedup_against_reference(
+    corpus: DataFrame,
+    reference: DataFrame,
+    col: str = "text",
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Drop corpus rows whose ``col`` already appears in ``reference``
+    (approximately: originals survive except with probability ``fpp``).
+    The reference is scanned once (no shuffle); the corpus is filtered
+    map-side against the broadcast bitmap (no shuffle, no join)."""
+    if expected_items is None:
+        expected_items = max(int(reference.count()), 1)
+    bits, m, k = build_bloom(reference, col=col, expected_items=expected_items, fpp=fpp)
+    bc = corpus.sparkSession.sparkContext.broadcast(bits.tobytes())
+    fields = corpus.schema.fieldNames()
+
+    def keep_new(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        table = np.frombuffer(bc.value, dtype=np.uint64)
+        for pdf in batches:
+            mask = np.fromiter(
+                (
+                    not bloom_contains(table, m, k, t)
+                    for t in pdf[col].astype(str)
+                ),
+                dtype=bool,
+                count=len(pdf),
+            )
+            yield pdf[mask]
+
+    return corpus.mapInPandas(keep_new, corpus.schema)
+
+
+__all__ = [
+    "bloom_params",
+    "build_bloom",
+    "bloom_contains",
+    "dedup_against_reference",
+]

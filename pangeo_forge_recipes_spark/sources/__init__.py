@@ -1,5 +1,12 @@
 """Spark data sources for the engine's storage formats."""
 
 from .zarr_source import ZarrDataSource, register_zarr_source
+from .warc import html_payload_text, read_warc, write_warc
 
-__all__ = ["ZarrDataSource", "register_zarr_source"]
+__all__ = [
+    "ZarrDataSource",
+    "register_zarr_source",
+    "read_warc",
+    "html_payload_text",
+    "write_warc",
+]

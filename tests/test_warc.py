@@ -1,0 +1,116 @@
+"""WARC source (sources/warc): parse, read, HTTP split, text extract."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from pangeo_forge_recipes_spark.sources.warc import (
+    extract_text,
+    html_payload_text,
+    parse_warc_records,
+    read_warc,
+    write_warc,
+)
+
+_HTML = (
+    b"<html><head><title>T</title><style>p{color:red}</style>"
+    b"<script>var x=1;</script></head>"
+    b"<body><h1>Heading &amp; more</h1><p>First  para.</p>\n"
+    b"<p>Second para.</p></body></html>"
+)
+
+
+def _records():
+    return [
+        {
+            "warc_type": "warcinfo",
+            "content_type": "application/warc-fields",
+            "body": b"software: test\r\n",
+        },
+        {
+            "warc_type": "response",
+            "target_uri": "http://example.com/a",
+            "http": {"status": 200, "content_type": "text/html", "payload": _HTML},
+        },
+        {
+            "warc_type": "response",
+            "target_uri": "http://example.com/b",
+            "http": {"status": 404, "content_type": "text/plain", "payload": b"gone"},
+        },
+        {
+            "warc_type": "request",
+            "target_uri": "http://example.com/a",
+            "content_type": "application/http;msgtype=request",
+            "body": b"GET /a HTTP/1.1\r\n\r\n",
+        },
+    ]
+
+
+@pytest.mark.parametrize("compress", [True, False])
+def test_parse_warc_records_roundtrip(tmp_path, compress):
+    path = str(tmp_path / ("t.warc.gz" if compress else "t.warc"))
+    write_warc(path, _records(), compress=compress)
+    with open(path, "rb") as f:
+        raw = f.read()
+    if compress:
+        # per-record gzip members: more than one member magic
+        assert raw.count(b"\x1f\x8b\x08") >= 4
+    recs = list(parse_warc_records(raw))
+    assert [r["warc-type"] for r in recs] == [
+        "warcinfo", "response", "response", "request",
+    ]
+    assert recs[1]["warc-target-uri"] == "http://example.com/a"
+    assert recs[1]["body"].startswith(b"HTTP/1.1 200")
+    assert int(recs[1]["content-length"]) == len(recs[1]["body"])
+
+
+def test_read_warc_dataframe(spark, tmp_path):
+    p1 = str(tmp_path / "a.warc.gz")
+    p2 = str(tmp_path / "b.warc.gz")
+    write_warc(p1, _records())
+    write_warc(p2, [_records()[1]])
+    df = read_warc(spark, str(tmp_path) + "/*.warc.gz")
+    rows = df.collect()
+    # default record_types: responses only (3 across the two files)
+    assert len(rows) == 3
+    by_uri = {}
+    for r in rows:
+        by_uri.setdefault(r["target_uri"], []).append(r)
+    assert set(by_uri) == {"http://example.com/a", "http://example.com/b"}
+    a = by_uri["http://example.com/a"][0]
+    assert a["http_status"] == 200
+    assert a["http_content_type"] == "text/html"
+    assert bytes(a["payload"]) == _HTML
+    assert by_uri["http://example.com/b"][0]["http_status"] == 404
+    # all record types when asked
+    every = read_warc(spark, p1, record_types=None)
+    assert every.count() == 4
+
+
+def test_read_warc_plan_is_map_only(spark, tmp_path):
+    path = str(tmp_path / "c.warc.gz")
+    write_warc(path, _records())
+    df = read_warc(spark, path)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # parse is map-side, no shuffle
+
+
+def test_extract_text_heuristic():
+    text = extract_text(_HTML)
+    assert "Heading & more" in text
+    assert "First para." in text and "Second para." in text
+    assert "var x=1" not in text and "color:red" not in text
+    assert "<p>" not in text
+
+
+def test_html_payload_text_stage(spark, tmp_path):
+    path = str(tmp_path / "d.warc.gz")
+    write_warc(path, _records())
+    df = read_warc(spark, path)
+    out = html_payload_text(df)
+    assert "payload" not in out.columns and "text" in out.columns
+    texts = {r["target_uri"]: r["text"] for r in out.collect()}
+    assert "Heading & more" in texts["http://example.com/a"]
+    assert texts["http://example.com/b"] == "gone"
