@@ -595,3 +595,30 @@ def blosc_compress(
         "<BBBB III", 2, 1, flags, max(typesize, 1), nbytes, blocksize, cbytes
     )
     return header + struct.pack(f"<{nblocks}I", *bstarts) + bytes(body)
+
+
+# ---------------------------------------------------------------------------
+# CRC-32C (Castagnoli, reflected poly 0x82F63B78) — the zarr v3
+# ``crc32c`` codec used by sharding index chains.
+# ---------------------------------------------------------------------------
+
+
+def _crc32c_table() -> np.ndarray:
+    table = np.zeros(256, dtype=np.uint32)
+    for i in range(256):
+        crc = i
+        for _ in range(8):
+            crc = (crc >> 1) ^ (0x82F63B78 if crc & 1 else 0)
+        table[i] = crc
+    return table
+
+
+_CRC32C_TABLE = _crc32c_table()
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    crc = ~crc & 0xFFFFFFFF
+    table = _CRC32C_TABLE
+    for b in bytes(data):
+        crc = (crc >> 8) ^ int(table[(crc ^ b) & 0xFF])
+    return ~crc & 0xFFFFFFFF

@@ -84,10 +84,15 @@ def schema_to_zarr(
     attrs: Optional[Dict[str, str]] = None,
     append_dim: Optional[str] = None,
     compressor: Optional[str] = None,
+    target_shards: Optional[Dict[str, int]] = None,
 ) -> Store:
     """Initialize a Zarr group from the combined schema — metadata only, no
     data chunks; idempotent when not appending (reference
     ``aggregation.py:254-281``). Driver-side single call.
+
+    ``target_shards`` (elements per stored object along the named dims,
+    each a multiple of the corresponding ``target_chunks`` entry) writes
+    data variables in the zarr v3 ``sharding_indexed`` layout.
     """
     store = _store_for(target_store)
     chunks = determine_target_chunks(schema, target_chunks)
@@ -127,19 +132,37 @@ def schema_to_zarr(
     for name, var_schema in {**schema["coords"], **schema["data_vars"]}.items():
         dtype, extra_attrs, fill = _zarr_spec_for(var_schema)
         var_chunks = [
-            min(chunks.get(d, s), s) if s else chunks.get(d, 1)
+            max(min(chunks.get(d, s), s) if s else chunks.get(d, 1), 1)
             for d, s in zip(var_schema["dims"], var_schema["shape"])
         ]
+        var_shards = None
+        if target_shards and name in schema["data_vars"] and any(
+            d in target_shards for d in var_schema["dims"]
+        ):
+            var_shards = []
+            for d, s, c in zip(
+                var_schema["dims"], var_schema["shape"], var_chunks
+            ):
+                want = target_shards.get(d, c)
+                if want % c:
+                    raise ValueError(
+                        f"target_shards[{d!r}]={want} is not a multiple of "
+                        f"the chunk size {c}"
+                    )
+                # cap at the chunk-grid extent so edge shards stay bounded
+                want = min(want, -(-max(s, 1) // c) * c)
+                var_shards.append(want)
         group.create_array(
             name,
             shape=var_schema["shape"],
-            chunks=[max(c, 1) for c in var_chunks],
+            chunks=var_chunks,
             dtype=dtype,
             fill_value=fill,
             attributes={**var_schema["attrs"], **extra_attrs},
             dimension_names=list(var_schema["dims"]),
             compressor=compressor,
             overwrite=True,
+            shards=var_shards,
         )
     return store
 

@@ -693,6 +693,7 @@ def store_to_zarr(
     consolidated_metadata: bool = True,
     compressor: Optional[str] = None,
     prune: Optional[int] = None,
+    target_shards: Optional[Dict[str, int]] = None,
 ) -> StoreResult:
     """End-to-end Zarr pipeline (reference ``StoreToZarr``,
     ``transforms.py:638-725``):
@@ -700,9 +701,26 @@ def store_to_zarr(
     manifest → [cache] → schema pre-pass (metadata only, treeAggregate-style
     reduce) → driver Zarr template init → IndexItems → open (+user
     preprocessor) → split → shuffle-combine-write (fused) → post-passes.
+
+    ``target_shards`` (elements per stored object along the named dims,
+    multiples of ``target_chunks``) writes data variables in the zarr v3
+    ``sharding_indexed`` layout AND raises the pipeline's write
+    granularity to whole shards: fragments are split and shuffled on the
+    shard grid, so each task writes complete shard objects — region
+    writes stay disjoint per task (the same no-read-modify-write
+    invariant as chunk-grain writes, now at prod(shards/chunks) fewer
+    object-store requests).
     """
     if target_chunks and dynamic_chunking_fn:
         raise ValueError("Passing both `target_chunks` and `dynamic_chunking_fn` not allowed.")
+    if target_shards:
+        for d, s in target_shards.items():
+            c = (target_chunks or {}).get(d)
+            if c and s % c:
+                raise ValueError(
+                    f"target_shards[{d!r}]={s} must be a multiple of "
+                    f"target_chunks[{d!r}]={c}"
+                )
     target = (
         FSSpecTarget.from_url(target_root) if isinstance(target_root, str) else target_root
     )
@@ -746,6 +764,12 @@ def store_to_zarr(
     if dynamic_chunking_fn:
         target_chunks = dynamic_chunking_fn(schema)
     target_chunks = target_chunks or {}
+    # with sharding, the pipeline's split/shuffle/write granularity is the
+    # shard grid (tasks own whole shards; inner chunking is intra-object
+    # layout applied at encode time)
+    write_chunks = (
+        {**target_chunks, **target_shards} if target_shards else target_chunks
+    )
 
     # append support: introspect existing store *at run time* (reference
     # does it at plan-construction, transforms.py:679-693; explicitly
@@ -763,18 +787,19 @@ def store_to_zarr(
         attrs=attrs,
         append_dim=append_dim,
         compressor=compressor,
+        target_shards=target_shards,
     )
 
     # pass 2: data — open/preprocess/split fused into one Arrow stage so
     # fragment bytes cross JVM↔Python once before the shuffle; when chunks
     # align with file boundaries the shuffle is skipped entirely
     indexed = index_items(manifest, schema, append_offset=append_offset)
-    shuffled = not _chunks_aligned_with_files(schema, target_chunks, append_offset)
+    shuffled = not _chunks_aligned_with_files(schema, write_chunks, append_offset)
     if shuffled:
         split = open_split_fragments_df(
             indexed,
             file_type,
-            target_chunks=target_chunks,
+            target_chunks=write_chunks,
             schema=schema,
             preprocess=preprocess,
             xarray_open_kwargs=xarray_open_kwargs,
@@ -785,7 +810,7 @@ def store_to_zarr(
             indexed,
             store_path,
             file_type,
-            target_chunks=target_chunks,
+            target_chunks=write_chunks,
             schema=schema,
             preprocess=preprocess,
             xarray_open_kwargs=xarray_open_kwargs,

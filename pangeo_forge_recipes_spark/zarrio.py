@@ -18,6 +18,7 @@ boundaries touch disjoint keys, so concurrent executors never contend
 
 from __future__ import annotations
 
+import itertools
 import json
 import math
 import os
@@ -136,10 +137,20 @@ def _decode_fill(value, dtype: np.dtype):
     return value
 
 
+def _all_fill(block: np.ndarray, fill) -> bool:
+    """True when every element equals the fill value (NaN-aware)."""
+    f = np.asarray(fill)
+    if block.dtype.kind == "f" and np.isnan(f):
+        return bool(np.all(np.isnan(block)))
+    return bool(np.all(block == f))
+
+
 class ZarrArray:
     """One Zarr v3 array node: regular chunk grid, ``bytes`` (little-endian)
-    codec with optional ``gzip`` compression, edge chunks stored full-size
-    and padded with the fill value."""
+    codec with optional ``gzip`` compression (or the ``sharding_indexed``
+    container codec: many inner chunks per stored object plus a
+    crc32c-protected offset index), edge chunks stored full-size and
+    padded with the fill value."""
 
     def __init__(self, store: Store, path: str, meta: dict):
         self.store = store
@@ -235,7 +246,122 @@ class ZarrArray:
         is a complete message carrying its own packing parameters."""
         return any(c["name"] == "grib2-msg" for c in self.meta["codecs"])
 
+    # -- sharding (zarr v3 ``sharding_indexed`` codec, ZEP 2) ------------------
+    @property
+    def _sharding(self) -> Optional[dict]:
+        for c in self.meta["codecs"]:
+            if c["name"] == "sharding_indexed":
+                return c["configuration"]
+        return None
+
+    def _inner_array(self) -> "ZarrArray":
+        """A virtual array whose "chunks" are the shard's inner chunks and
+        whose codecs are the sharding config's inner chain — reuses the
+        whole single-chunk encode/decode machinery for shard members."""
+        cfg = self._sharding
+        meta = dict(self.meta)
+        meta["codecs"] = cfg["codecs"]
+        meta["chunk_grid"] = {
+            "name": "regular",
+            "configuration": {"chunk_shape": list(cfg["chunk_shape"])},
+        }
+        return ZarrArray(self.store, self.path, meta)
+
+    def _shard_layout(self) -> Tuple[Tuple[int, ...], int, bool]:
+        """(inner-chunk grid within a shard, index nbytes, crc32c?)."""
+        cfg = self._sharding
+        inner = tuple(int(c) for c in cfg["chunk_shape"])
+        grid = tuple(
+            -(-s // i) for s, i in zip(self.chunks, inner)
+        )
+        n = int(np.prod(grid, dtype=np.int64))
+        has_crc = any(
+            c.get("name") == "crc32c" for c in cfg.get("index_codecs", [])
+        )
+        return grid, 16 * n + (4 if has_crc else 0), has_crc
+
+    _SHARD_MISSING = (1 << 64) - 1
+
+    def _encode_shard(self, arr: np.ndarray) -> bytes:
+        from .codecs import crc32c as _crc32c
+
+        cfg = self._sharding
+        inner_shape = tuple(int(c) for c in cfg["chunk_shape"])
+        grid, _, has_crc = self._shard_layout()
+        inner = self._inner_array()
+        fill = self.fill_value
+        body = bytearray()
+        entries = []
+        for idx in itertools.product(*[range(g) for g in grid]):
+            sl = tuple(
+                slice(i * c, min((i + 1) * c, s))
+                for i, c, s in zip(idx, inner_shape, arr.shape)
+            )
+            block = arr[sl]
+            if block.shape != inner_shape:  # edge: stored full-size, padded
+                padded = np.full(inner_shape, fill, dtype=self.dtype)
+                padded[tuple(slice(0, e) for e in block.shape)] = block
+                block = padded
+            if _all_fill(block, fill):
+                entries.append((self._SHARD_MISSING, self._SHARD_MISSING))
+                continue
+            enc = inner._encode_chunk(block)
+            entries.append((len(body), len(enc)))
+            body += enc
+        index = np.array(entries, dtype="<u8").tobytes()
+        if has_crc:
+            index += int(_crc32c(index)).to_bytes(4, "little")
+        if cfg.get("index_location", "end") == "start":
+            # offsets are absolute within the shard object
+            shift = len(index)
+            entries = [
+                (o + shift, n) if o != self._SHARD_MISSING else (o, n)
+                for o, n in entries
+            ]
+            index = np.array(entries, dtype="<u8").tobytes()
+            if has_crc:
+                index += int(_crc32c(index)).to_bytes(4, "little")
+            return bytes(index) + bytes(body)
+        return bytes(body) + bytes(index)
+
+    def _decode_shard(self, buf: bytes) -> np.ndarray:
+        from .codecs import crc32c as _crc32c
+
+        cfg = self._sharding
+        inner_shape = tuple(int(c) for c in cfg["chunk_shape"])
+        grid, index_nbytes, has_crc = self._shard_layout()
+        if len(buf) < index_nbytes:
+            raise ValueError(
+                f"shard object shorter ({len(buf)}) than its index "
+                f"({index_nbytes} bytes)"
+            )
+        at_start = cfg.get("index_location", "end") == "start"
+        index_buf = buf[:index_nbytes] if at_start else buf[-index_nbytes:]
+        if has_crc:
+            stored = int.from_bytes(index_buf[-4:], "little")
+            if _crc32c(index_buf[:-4]) != stored:
+                raise ValueError("shard index crc32c mismatch")
+            index_buf = index_buf[:-4]
+        entries = np.frombuffer(index_buf, dtype="<u8").reshape(-1, 2)
+        inner = self._inner_array()
+        out = np.full(self.chunks, self.fill_value, dtype=self.dtype)
+        for flat, idx in enumerate(
+            itertools.product(*[range(g) for g in grid])
+        ):
+            off, nb = int(entries[flat, 0]), int(entries[flat, 1])
+            if off == self._SHARD_MISSING:
+                continue
+            block = inner._decode_chunk(buf[off : off + nb])
+            sl = tuple(
+                slice(i * c, min((i + 1) * c, s))
+                for i, c, s in zip(idx, inner_shape, self.chunks)
+            )
+            out[sl] = block[tuple(slice(0, s.stop - s.start) for s in sl)]
+        return out
+
     def _encode_chunk(self, arr: np.ndarray) -> bytes:
+        if self._sharding is not None:
+            return self._encode_shard(np.asarray(arr, dtype=self.dtype))
         if self._is_grib_msg:
             raise NotImplementedError(
                 "grib2-msg arrays are read-only virtual references; write "
@@ -290,6 +416,8 @@ class ZarrArray:
         return buf
 
     def _decode_chunk(self, buf: bytes) -> np.ndarray:
+        if self._sharding is not None:
+            return self._decode_shard(buf)
         if self._is_grib_msg:
             from .grib2io import decode_grib2_message
 
@@ -649,7 +777,14 @@ class ZarrGroup:
         dimension_names: Optional[Sequence[str]] = None,
         compressor: Optional[str] = None,
         overwrite: bool = False,
+        shards: Optional[Sequence[int]] = None,
     ) -> ZarrArray:
+        """``shards`` (zarr-python convention) switches the array to the
+        ``sharding_indexed`` layout: ``shards`` is the per-dim size of one
+        stored object, ``chunks`` the inner chunk inside it; each shard
+        carries a crc32c-protected uint64 (offset, nbytes) index. The
+        object count drops by prod(shards/chunks) — the request-count
+        lever for 100 TB object-store targets."""
         dtype = np.dtype(dtype)
         if str(dtype) not in _DTYPE_TO_ZARR:
             raise TypeError(f"dtype {dtype} has no zarr v3 mapping")
@@ -671,6 +806,32 @@ class ZarrGroup:
             raise NotImplementedError(
                 f"compressor {compressor!r} unsupported (gzip/zstd/blosc)"
             )
+        outer = [int(c) for c in chunks]
+        if shards is not None:
+            shards = [int(s) for s in shards]
+            if len(shards) != len(outer):
+                raise ValueError("shards and chunks must have equal rank")
+            for s, c in zip(shards, outer):
+                if s % c:
+                    raise ValueError(
+                        f"shard shape {shards} must be a multiple of the "
+                        f"inner chunk shape {outer} along every dim"
+                    )
+            codecs = [
+                {
+                    "name": "sharding_indexed",
+                    "configuration": {
+                        "chunk_shape": outer,
+                        "codecs": codecs,
+                        "index_codecs": [
+                            {"name": "bytes", "configuration": {"endian": "little"}},
+                            {"name": "crc32c"},
+                        ],
+                        "index_location": "end",
+                    },
+                }
+            ]
+            outer = shards
         meta = {
             "zarr_format": 3,
             "node_type": "array",
@@ -678,7 +839,7 @@ class ZarrGroup:
             "data_type": _DTYPE_TO_ZARR[str(dtype)],
             "chunk_grid": {
                 "name": "regular",
-                "configuration": {"chunk_shape": [int(c) for c in chunks]},
+                "configuration": {"chunk_shape": outer},
             },
             "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
             "fill_value": _encode_fill(fill_value, dtype),

@@ -250,3 +250,125 @@ def test_combine_references_ragged_final_file(tmp_path):
     rt = open_reference_dataset(combined)
     assert rt.sizes["time"] == 5
     assert_equal(rt, ds)
+
+
+# ---------------------------------------------------------------------------
+# zarr v3 sharding (sharding_indexed)
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_array_roundtrip_and_layout(tmp_path):
+    import glob
+
+    import numpy as np
+
+    from pangeo_forge_recipes_spark.zarrio import create_group, open_group
+
+    root = str(tmp_path / "sh.zarr")
+    g = create_group(root)
+    arr = g.create_array(
+        "x", shape=(10, 12), chunks=[2, 3], shards=[4, 6],
+        dtype="float64", fill_value=float("nan"),
+        dimension_names=["a", "b"], compressor="gzip",
+    )
+    data = np.arange(120, dtype="float64").reshape(10, 12)
+    arr[:, :] = data
+    # one object per 4x6 shard: ceil(10/4) x ceil(12/6) = 6, not 20 chunks
+    objs = [p for p in glob.glob(root + "/x/c/**", recursive=True)
+            if not p.endswith("zarr.json") and __import__("os").path.isfile(p)]
+    assert len(objs) == 6
+    a2 = open_group(root)["x"]
+    assert a2.chunks == (4, 6)  # outer grid
+    np.testing.assert_array_equal(a2.read(), data)
+    np.testing.assert_array_equal(a2[3:9, 2:11], data[3:9, 2:11])
+    # metadata follows the spec shape
+    cfg = a2.meta["codecs"][0]
+    assert cfg["name"] == "sharding_indexed"
+    assert cfg["configuration"]["chunk_shape"] == [2, 3]
+    assert {c["name"] for c in cfg["configuration"]["index_codecs"]} == {"bytes", "crc32c"}
+
+
+def test_sharded_index_crc_detects_corruption(tmp_path):
+    import glob
+    import os
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pangeo_forge_recipes_spark.zarrio import create_group, open_group
+
+    root = str(tmp_path / "shc.zarr")
+    g = create_group(root)
+    arr = g.create_array("x", shape=(4, 4), chunks=[2, 2], shards=[4, 4],
+                         dtype="int64", fill_value=0)
+    arr[:, :] = np.arange(16).reshape(4, 4)
+    (obj,) = [p for p in glob.glob(root + "/x/c/**", recursive=True)
+              if os.path.isfile(p)]
+    raw = bytearray(open(obj, "rb").read())
+    raw[-5] ^= 0xFF  # flip a bit inside the index
+    open(obj, "wb").write(bytes(raw))
+    with _pytest.raises(ValueError, match="crc32c"):
+        open_group(root)["x"].read()
+
+
+def test_sharded_fill_chunks_omitted(tmp_path):
+    import numpy as np
+
+    from pangeo_forge_recipes_spark.zarrio import create_group, open_group
+
+    root = str(tmp_path / "shf.zarr")
+    g = create_group(root)
+    arr = g.create_array("x", shape=(4, 8), chunks=[2, 2], shards=[4, 8],
+                         dtype="float64", fill_value=float("nan"))
+    data = np.full((4, 8), np.nan)
+    data[:2, :2] = 7.0  # only one inner chunk non-fill
+    arr[:, :] = data
+    a2 = open_group(root)["x"]
+    got = a2.read()
+    np.testing.assert_array_equal(got[:2, :2], 7.0)
+    assert np.isnan(got[2:, :]).all()
+    # the shard body holds exactly one encoded inner chunk: the object is
+    # much smaller than a dense shard would be
+    import glob, os
+    (obj,) = [p for p in glob.glob(root + "/x/c/**", recursive=True)
+              if os.path.isfile(p)]
+    dense = 4 * 8 * 8
+    assert os.path.getsize(obj) < dense
+
+
+def test_store_to_zarr_with_shards(spark, tmp_path):
+    import glob
+    import os
+
+    import numpy as np
+
+    from pangeo_forge_recipes_spark import pattern_from_file_sequence, store_to_zarr
+    from pangeo_forge_recipes_spark.dsio import write_npz
+    from tests.data_generation import make_ds
+
+    ds = make_ds(nt=12)
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"f{i}.npz")
+        write_npz(p, ds.isel(time=slice(3 * i, 3 * i + 3)))
+        paths.append(p)
+    pattern = pattern_from_file_sequence(paths, "time", nitems_per_file=3, file_type="npz")
+    result = store_to_zarr(
+        spark, pattern, str(tmp_path), "sharded.zarr",
+        target_chunks={"time": 2}, target_shards={"time": 6},
+    )
+    from pangeo_forge_recipes_spark.ndset import assert_equal
+
+    assert_equal(result.open(), ds, check_attrs=False)
+    # data vars laid out as 2 shard objects (12/6), not 6 chunk objects
+    foo_objs = [p for p in glob.glob(str(tmp_path / "sharded.zarr" / "foo" / "c" / "**"), recursive=True)
+                if os.path.isfile(p)]
+    assert len(foo_objs) == 2
+    # misaligned shards raise up front
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple"):
+        store_to_zarr(
+            spark, pattern, str(tmp_path), "bad.zarr",
+            target_chunks={"time": 4}, target_shards={"time": 6},
+        )
