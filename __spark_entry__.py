@@ -1362,6 +1362,41 @@ _SEQ_LEN = 256  # tokens per packed training sequence
 _N_SHARDS = 8
 
 
+def _bloom_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a reference snapshot via a broadcast
+    Bloom filter (operators/bloom): reference = docs with doc_id % 3 == 0,
+    corpus = the rest; survivors are corpus docs whose text is NOT in the
+    reference. Zero joins/shuffles on either side — the 100 TB
+    ingest-versus-archive pattern. The md5 double-hash is deterministic,
+    and at fpp=1e-9 over this corpus the filter provably (checked in CI
+    at both gate scales) reports zero false positives, so the result
+    equals the exact NOT EXISTS oracle."""
+    from pangeo_forge_recipes_spark.operators.bloom import (
+        dedup_against_reference,
+    )
+
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    ref = docs.filter("doc_id % 3 = 0").select("text")
+    corpus = docs.filter("doc_id % 3 != 0").select("doc_id", "text")
+    out = dedup_against_reference(
+        corpus, ref, col="text", expected_items=200_000, fpp=1e-9
+    )
+    return out.select("doc_id").orderBy("doc_id")
+
+
+_BLOOM_ORACLE = """
+SELECT c.doc_id
+FROM documents c
+WHERE c.doc_id % 3 <> 0
+  AND NOT EXISTS (
+    SELECT 1 FROM documents r
+    WHERE r.doc_id % 3 = 0 AND r.text = c.text
+  )
+ORDER BY doc_id
+""".strip()
+
+
 def _ngram_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated-span fraction (word 8-grams shared with
     any other doc) + the keep/drop gate — the n-gram-granular
@@ -1805,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["manifest_outer_product"] = _manifest_query
     # training-data assembly: span dedup, sequence packing, shard layout
     out["dedup_ngram_spans"] = _ngram_span_dedup
+    out["bloom_dedup_reference"] = _bloom_dedup_q
     out["pack_sequences"] = _pack_sequences_q
     out["corpus_shards"] = _corpus_shards
     # shared-SQL battery (identical ANSI text on both engines); the
@@ -1814,7 +1850,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q1/q4/q13/q19/q3 already cover) yield their slots to dedup_clusters
     # and the three training-data assembly queries; q16 (distinct-agg +
     # NOT-IN anti-join, shapes q13/q22/set_ops_customers also exercise)
-    # yields its slot to multimodal_audio — the real WAV decode path
+    # yields its slot to multimodal_audio — the real WAV decode path;
+    # q9 (multi-way join + agg, the shape q5 grades) yields its slot to
+    # bloom_dedup_reference — the broadcast-Bloom incremental-dedup scale
+    # path. All rotated-out SQL stays warm in test_shared_sql_parity.py.
     _SWAPPED_OUT = (
         "events_hourly_rollup",
         "q17_small_quantity_revenue",
@@ -1822,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue",
         "q10_returned_items",
         "q16_supplier_cnt",
+        "q9_product_profit",
     )
     for name, sql in shared.items():
         if name not in _SWAPPED_OUT:
@@ -1880,6 +1920,7 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_simhash"] = _SIMHASH_ORACLE
     out["ann_lsh_topk"] = _lsh_oracle_sql()
     out["ann_ivf_topk"] = _IVF_ORACLE
+    out["bloom_dedup_reference"] = _BLOOM_ORACLE
     out["multimodal_features"] = _MULTIMODAL_FEATURES_ORACLE
     out["multimodal_audio"] = _AUDIO_ORACLE
     out.update(_pipeline_oracle_sql())

@@ -26,7 +26,6 @@ HEADLINE = [
     "q3_unshipped_revenue",
     "q4_order_priority",
     "q5_local_supplier_volume",
-    "q9_product_profit",
     "q13_customer_distribution",
     "q18_large_orders",
     "q19_disjunctive_revenue",
@@ -45,6 +44,7 @@ HEADLINE = [
     "top_bigrams",
     "corpus_clean",
     "dedup_exact",
+    "bloom_dedup_reference",
     "semantic_dedup_pairs",
     "dedup_minhash_pairs",
     "ann_cosine_topk",

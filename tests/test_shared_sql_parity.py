@@ -31,6 +31,7 @@ ROTATED_OUT = [
     "q14_promo_revenue",
     "q16_supplier_cnt",
     "q17_small_quantity_revenue",
+    "q9_product_profit",
     "events_hourly_rollup",
 ]
 
