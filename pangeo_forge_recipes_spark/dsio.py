@@ -85,6 +85,7 @@ def schema_to_zarr(
     append_dim: Optional[str] = None,
     compressor: Optional[str] = None,
     target_shards: Optional[Dict[str, int]] = None,
+    zarr_format: int = 3,
 ) -> Store:
     """Initialize a Zarr group from the combined schema — metadata only, no
     data chunks; idempotent when not appending (reference
@@ -93,7 +94,12 @@ def schema_to_zarr(
     ``target_shards`` (elements per stored object along the named dims,
     each a multiple of the corresponding ``target_chunks`` entry) writes
     data variables in the zarr v3 ``sharding_indexed`` layout.
+    ``zarr_format=2`` emits the classic v2 on-disk layout
+    (``.zgroup``/``.zarray``/``.zattrs`` + numcodecs compressor configs)
+    for consumers still on zarr-python 2.x.
     """
+    if zarr_format == 2 and target_shards:
+        raise ValueError("sharding is a zarr v3 layout; use zarr_format=3")
     store = _store_for(target_store)
     chunks = determine_target_chunks(schema, target_chunks)
 
@@ -117,7 +123,9 @@ def schema_to_zarr(
     dataset_attrs = dict(schema["attrs"])
     for k, v in (attrs or {}).items():
         dataset_attrs[f"pangeo-forge:{k}"] = v
-    group = create_group(store, attrs=dataset_attrs, overwrite=True)
+    group = create_group(
+        store, attrs=dataset_attrs, overwrite=True, zarr_format=zarr_format
+    )
 
     non_dim_coords = [
         name

@@ -694,6 +694,7 @@ def store_to_zarr(
     compressor: Optional[str] = None,
     prune: Optional[int] = None,
     target_shards: Optional[Dict[str, int]] = None,
+    zarr_format: int = 3,
 ) -> StoreResult:
     """End-to-end Zarr pipeline (reference ``StoreToZarr``,
     ``transforms.py:638-725``):
@@ -788,6 +789,7 @@ def store_to_zarr(
         append_dim=append_dim,
         compressor=compressor,
         target_shards=target_shards,
+        zarr_format=zarr_format,
     )
 
     # pass 2: data — open/preprocess/split fused into one Arrow stage so

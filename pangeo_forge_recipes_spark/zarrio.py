@@ -588,6 +588,18 @@ class ZarrArray:
         return self[tuple(slice(0, s) for s in self.shape)]
 
     def flush_meta(self) -> None:
+        if "_v2_zarray" in self.meta:
+            zarray = dict(self.meta["_v2_zarray"])
+            zarray["shape"] = [int(s) for s in self.meta["shape"]]
+            prefix = f"{self.path}/" if self.path else ""
+            self.store.put(
+                f"{prefix}.zarray", json.dumps(zarray, indent=1).encode()
+            )
+            self.store.put(
+                f"{prefix}.zattrs",
+                json.dumps(self.meta["_v2_zattrs"], indent=1).encode(),
+            )
+            return
         key = f"{self.path}/{ZARR_JSON}" if self.path else ZARR_JSON
         self.store.put(key, json.dumps(self.meta, indent=1).encode())
 
@@ -708,6 +720,10 @@ def _v2_to_v3_array_meta(zarray: dict, zattrs: dict) -> dict:
         "fill_value": fill,
         "codecs": codecs,
         "attributes": attrs,
+        # source documents kept for write-back (flush_meta/resize on v2
+        # arrays rewrite .zarray/.zattrs, not a v3 zarr.json)
+        "_v2_zarray": zarray,
+        "_v2_zattrs": zattrs,
     }
     if dims:
         meta["dimension_names"] = dims
@@ -734,6 +750,12 @@ class ZarrGroup:
         return self.meta.setdefault("attributes", {})
 
     def flush_meta(self) -> None:
+        if self.v2:
+            self.store.put(".zgroup", json.dumps({"zarr_format": 2}).encode())
+            self.store.put(
+                ".zattrs", json.dumps(self.attrs, indent=1).encode()
+            )
+            return
         self.store.put(ZARR_JSON, json.dumps(self.meta, indent=1).encode())
 
     def array_names(self) -> List[str]:
@@ -790,6 +812,11 @@ class ZarrGroup:
             raise TypeError(f"dtype {dtype} has no zarr v3 mapping")
         if overwrite and name in self:
             del self[name]
+        if self.v2:
+            return self._create_array_v2(
+                name, shape, chunks, dtype, fill_value, attributes,
+                dimension_names, compressor, shards,
+            )
         codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
         if compressor == "gzip":
             codecs.append({"name": "gzip", "configuration": {"level": 1}})
@@ -852,11 +879,70 @@ class ZarrGroup:
         arr.flush_meta()
         return arr
 
+    def _create_array_v2(
+        self, name, shape, chunks, dtype, fill_value, attributes,
+        dimension_names, compressor, shards,
+    ) -> ZarrArray:
+        """Write ``.zarray``/``.zattrs`` in the zarr v2 on-disk format
+        (numcodecs-style compressor configs, ``_ARRAY_DIMENSIONS`` attr)
+        and serve the array through the v2→v3 meta translation — so the
+        same region-write machinery produces stores any zarr v2 reader
+        (zarr-python 2.x, old xarray) consumes directly."""
+        if shards is not None:
+            raise NotImplementedError(
+                "sharding is a zarr v3 layout; write v3 for target_shards"
+            )
+        if compressor in (None, "none"):
+            comp = None
+        elif compressor == "gzip":
+            comp = {"id": "gzip", "level": 1}
+        elif compressor == "zstd":
+            comp = {"id": "zstd", "level": 1}
+        elif compressor == "blosc":
+            comp = {
+                "id": "blosc", "cname": "lz4", "clevel": 5,
+                "shuffle": 1, "blocksize": 0,
+            }
+        else:
+            raise NotImplementedError(
+                f"v2 compressor {compressor!r} unsupported (gzip/zstd/blosc)"
+            )
+        zarray = {
+            "zarr_format": 2,
+            "shape": [int(s) for s in shape],
+            "chunks": [int(c) for c in chunks],
+            "dtype": np.dtype(dtype).newbyteorder("<").str,
+            "order": "C",
+            "fill_value": _encode_fill(fill_value, np.dtype(dtype)),
+            "filters": None,
+            "compressor": comp,
+            "dimension_separator": ".",
+        }
+        zattrs = dict(attributes or {})
+        if dimension_names is not None:
+            zattrs["_ARRAY_DIMENSIONS"] = list(dimension_names)
+        self.store.put(f"{name}/.zarray", json.dumps(zarray, indent=1).encode())
+        self.store.put(f"{name}/.zattrs", json.dumps(zattrs, indent=1).encode())
+        return self[name]
 
-def create_group(path_or_store, attrs: Optional[dict] = None, overwrite: bool = False) -> ZarrGroup:
+
+def create_group(
+    path_or_store,
+    attrs: Optional[dict] = None,
+    overwrite: bool = False,
+    zarr_format: int = 3,
+) -> ZarrGroup:
     store = _store_for(path_or_store)
     if overwrite:
         store.rm_prefix("")
+    if zarr_format == 2:
+        group = ZarrGroup(
+            store,
+            {"zarr_format": 2, "node_type": "group", "attributes": dict(attrs or {})},
+        )
+        group.v2 = True
+        group.flush_meta()
+        return group
     group = ZarrGroup(store)
     if attrs:
         group.attrs.update(attrs)
@@ -888,8 +974,31 @@ def open_group(path_or_store) -> ZarrGroup:
 
 def consolidate_metadata(path_or_store) -> ZarrGroup:
     """Inline every child node's metadata into the root ``zarr.json``
-    (zarr v3 consolidated-metadata extension; reference ``writers.py:72-92``)."""
+    (zarr v3 consolidated-metadata extension; reference ``writers.py:72-92``)
+    — or, for v2 stores, write the classic ``.zmetadata`` document
+    (``zarr_consolidated_format`` 1, what xarray's ``consolidated=True``
+    readers expect)."""
     group = open_group(path_or_store)
+    if group.v2:
+        metadata: dict = {".zgroup": {"zarr_format": 2}}
+        if group.store.exists(".zattrs"):
+            metadata[".zattrs"] = json.loads(group.store.get(".zattrs"))
+        for name in group.array_names():
+            metadata[f"{name}/.zarray"] = json.loads(
+                group.store.get(f"{name}/.zarray")
+            )
+            if group.store.exists(f"{name}/.zattrs"):
+                metadata[f"{name}/.zattrs"] = json.loads(
+                    group.store.get(f"{name}/.zattrs")
+                )
+        group.store.put(
+            ".zmetadata",
+            json.dumps(
+                {"zarr_consolidated_format": 1, "metadata": metadata},
+                indent=1,
+            ).encode(),
+        )
+        return group
     consolidated = {}
     for name in group.array_names():
         consolidated[name] = json.loads(group.store.get(f"{name}/{ZARR_JSON}"))

@@ -174,3 +174,88 @@ def test_kerchunk_v1_reference_file_interop(tmp_path):
     # templates need expansion, not silent garbage
     with pytest.raises(NotImplementedError, match="templates"):
         open_reference_dataset({"version": 1, "templates": {"u": "x"}, "refs": {}})
+
+
+# ---------------------------------------------------------------------------
+# zarr v2 WRITE (zarr_format=2)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("compressor", [None, "gzip", "zstd", "blosc"])
+def test_v2_write_read_roundtrip(tmp_path, compressor):
+    import json
+
+    from pangeo_forge_recipes_spark.zarrio import create_group, open_group
+
+    root = str(tmp_path / "w2.zarr")
+    g = create_group(root, attrs={"title": "t"}, zarr_format=2)
+    data = (np.arange(60, dtype="float64") * 1.5).reshape(6, 10)
+    arr = g.create_array(
+        "foo", shape=(6, 10), chunks=[2, 10], dtype="float64",
+        fill_value=float("nan"), dimension_names=["y", "x"],
+        compressor=compressor,
+    )
+    arr[:, :] = data
+    # classic v2 layout on disk
+    assert (tmp_path / "w2.zarr" / ".zgroup").exists()
+    za = json.load(open(tmp_path / "w2.zarr" / "foo" / ".zarray"))
+    assert za["zarr_format"] == 2 and za["dtype"] == "<f8"
+    if compressor is None:
+        assert za["compressor"] is None
+    else:
+        assert za["compressor"]["id"] in ("gzip", "zstd", "blosc")
+    assert (tmp_path / "w2.zarr" / "foo" / "0.0").exists()
+    # reads back through the v2 reader
+    g2 = open_group(root)
+    assert g2.v2
+    np.testing.assert_array_equal(g2["foo"].read(), data)
+
+
+def test_store_to_zarr_v2_end_to_end(spark, tmp_path):
+    import json
+
+    from pangeo_forge_recipes_spark import pattern_from_file_sequence, store_to_zarr
+    from pangeo_forge_recipes_spark.dsio import open_zarr_group, write_npz
+    from pangeo_forge_recipes_spark.ndset import assert_equal
+    from tests.data_generation import make_ds
+
+    ds = make_ds(nt=6)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"f{i}.npz")
+        write_npz(p, ds.isel(time=slice(2 * i, 2 * i + 2)))
+        paths.append(p)
+    pattern = pattern_from_file_sequence(paths, "time", nitems_per_file=2, file_type="npz")
+    result = store_to_zarr(
+        spark, pattern, str(tmp_path), "v2out.zarr",
+        target_chunks={"time": 3}, zarr_format=2,
+        consolidate_coords=False,  # appended below
+    )
+    # classic layout + .zmetadata consolidation
+    root = tmp_path / "v2out.zarr"
+    assert (root / ".zgroup").exists() and not (root / "zarr.json").exists()
+    zm = json.load(open(root / ".zmetadata"))
+    assert zm["zarr_consolidated_format"] == 1
+    assert "foo/.zarray" in zm["metadata"]
+    assert_equal(result.open(), ds, check_attrs=False)
+    assert_equal(open_zarr_group(str(root)), ds, check_attrs=False)
+    # appends work against the v2 store too
+    more = make_ds(nt=10).isel(time=slice(6, 10))
+    p = str(tmp_path / "f3.npz")
+    write_npz(p, more)
+    pat2 = pattern_from_file_sequence([p], "time", nitems_per_file=4, file_type="npz")
+    store_to_zarr(
+        spark, pat2, str(tmp_path), "v2out.zarr",
+        target_chunks={"time": 3}, append_dim="time", zarr_format=2,
+        consolidate_coords=False,
+    )
+    grown = open_zarr_group(str(root))
+    assert grown.dims["time"] == 10
+
+
+def test_v2_write_rejects_shards(tmp_path):
+    from pangeo_forge_recipes_spark.zarrio import create_group
+
+    g = create_group(str(tmp_path / "s2.zarr"), zarr_format=2)
+    with pytest.raises(NotImplementedError, match="v3"):
+        g.create_array("x", shape=(4,), chunks=[2], shards=[4], dtype="int64")
