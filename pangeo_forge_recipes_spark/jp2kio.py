@@ -20,6 +20,12 @@ are provided; the encoder exists for the GRIB writer and fixtures, and
 emits conforming streams of the same subset. Everything is written from
 the published algorithm descriptions (T.800 annexes B/C/D, T.88) — no
 code is taken from openjpeg or any other implementation.
+
+Performance note: EBCOT Tier-1 is context-adaptive and inherently
+bit-serial — this pure-Python implementation is correctness-grade
+(fixtures, small NWP tiles, tests); at production GRIB field sizes the
+Spark pipeline amortizes decode across executors and messages, and a
+native codec would slot in behind the same decode_j2k signature.
 """
 
 from __future__ import annotations

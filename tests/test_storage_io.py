@@ -372,3 +372,27 @@ def test_store_to_zarr_with_shards(spark, tmp_path):
             spark, pattern, str(tmp_path), "bad.zarr",
             target_chunks={"time": 4}, target_shards={"time": 6},
         )
+
+
+def test_sharded_index_location_start(tmp_path):
+    """Decoder handles ZEP-2 ``index_location: start`` shards (other
+    writers may emit them; our writer uses ``end``)."""
+    import json
+
+    import numpy as np
+
+    from pangeo_forge_recipes_spark.zarrio import create_group, open_group
+
+    root = str(tmp_path / "shs.zarr")
+    g = create_group(root)
+    arr = g.create_array("x", shape=(4, 4), chunks=[2, 2], shards=[4, 4],
+                         dtype="int64", fill_value=0)
+    data = np.arange(16, dtype="int64").reshape(4, 4)
+    # flip the metadata to index_location=start and re-encode through the
+    # writer's start branch
+    arr.meta["codecs"][0]["configuration"]["index_location"] = "start"
+    arr.flush_meta()
+    arr[:, :] = data
+    a2 = open_group(root)["x"]
+    assert a2.meta["codecs"][0]["configuration"]["index_location"] == "start"
+    np.testing.assert_array_equal(a2.read(), data)
