@@ -236,11 +236,11 @@ def _parse_message(body: bytes, discipline: int, offset: int, total: int, path: 
                 msg["latin2"] = _sm_decode(_be(sec, 69, 4), 4) / 1e6
         elif sec_num == 4:
             tmpl = _be(sec, 7, 2)
-            if tmpl not in (0, 8):
+            if tmpl not in (0, 1, 8):
                 raise NotImplementedError(
                     f"{path}: product definition template {tmpl} unsupported "
-                    "(supported: 4.0 instantaneous, 4.8 statistically "
-                    "processed / accumulated)"
+                    "(supported: 4.0 instantaneous, 4.1 ensemble member, "
+                    "4.8 statistically processed / accumulated)"
                 )
             cat, num = sec[9], sec[10]
             msg["parameterCategory"] = cat
@@ -264,6 +264,11 @@ def _parse_message(body: bytes, discipline: int, offset: int, total: int, path: 
                 value / (10 ** _sm_decode(scale, 1)) if scale not in (0, 0xFF)
                 else float(value)
             )
+            if tmpl == 1:
+                # ensemble: octet 35 = type of ensemble forecast, 36 =
+                # perturbation (member) number, 37 = ensemble size
+                msg["number"] = sec[35]
+                msg["n_ens"] = sec[36]
             if tmpl == 8:
                 # statistical processing over a time interval: octets
                 # 35-41 give the END of the overall interval (= the valid
@@ -361,7 +366,7 @@ def _parse_message(body: bytes, discipline: int, offset: int, total: int, path: 
 
 _FILTER_KEYS = {
     "shortName", "typeOfLevel", "level", "discipline",
-    "parameterCategory", "parameterNumber", "stepType",
+    "parameterCategory", "parameterNumber", "stepType", "number",
 }
 
 
@@ -795,11 +800,13 @@ def _group_messages(
     nt = len(times)
     t_index = {t: i for i, t in enumerate(times)}
 
-    # bucket by (shortName, typeOfLevel) → {level → [time] list}
-    buckets: Dict[Tuple[str, str], Dict[float, List[Optional[dict]]]] = {}
+    # bucket by (shortName, typeOfLevel) → {(level, member) → [time] list}
+    buckets: Dict[
+        Tuple[str, str], Dict[Tuple[float, Optional[int]], List[Optional[dict]]]
+    ] = {}
     for m in selected:
-        per_level = buckets.setdefault((m["shortName"], m["typeOfLevel"]), {})
-        slots = per_level.setdefault(m["level"], [None] * nt)
+        per_key = buckets.setdefault((m["shortName"], m["typeOfLevel"]), {})
+        slots = per_key.setdefault((m["level"], m.get("number")), [None] * nt)
         i = t_index[m["valid_time"]]
         if slots[i] is not None:
             raise ValueError(
@@ -819,11 +826,45 @@ def _group_messages(
             raise ValueError(f"GRIB2 variable name collision on {name!r}")
         groups[name] = entry
 
-    for (sn, lev_type), per_level in sorted(buckets.items()):
+    for (sn, lev_type), per_key in sorted(buckets.items()):
         base = sn if short_counts[sn] == 1 else f"{sn}_{lev_type}"
         complete = all(
-            all(s is not None for s in slots) for slots in per_level.values()
+            all(s is not None for s in slots) for slots in per_key.values()
         )
+        lev_set = sorted({lv for lv, _ in per_key})
+        mem_set = sorted(
+            {mb for _, mb in per_key}, key=lambda v: (v is None, v)
+        )
+        if len(mem_set) > 1:
+            # ensemble stacking (cfgrib "number" dim). Mixed member /
+            # no-member messages or member x multi-level crossing exceed
+            # the supported shape — filter to a single level first.
+            if None in mem_set:
+                raise NotImplementedError(
+                    f"variable {sn!r} mixes ensemble (template 4.1) and "
+                    "deterministic messages; filter_by_keys to one kind"
+                )
+            if len(lev_set) > 1:
+                raise NotImplementedError(
+                    f"variable {sn!r} spans both ensemble members and "
+                    "multiple levels; filter_by_keys={'level': ...} to "
+                    "stack the member dimension"
+                )
+            if not complete:
+                raise ValueError(
+                    f"variable {sn!r} has an incomplete member x time grid"
+                )
+            (lv,) = lev_set
+            emit(
+                base,
+                {
+                    "msgs": [per_key[(lv, mb)] for mb in mem_set],
+                    "levels": np.array(mem_set, dtype="int64"),
+                    "level_dim": "number",
+                },
+            )
+            continue
+        per_level = {lv: slots for (lv, _), slots in per_key.items()}
         if len(per_level) == 1 and complete:
             (slots,) = per_level.values()
             emit(base, {"msgs": slots, "levels": None, "level_dim": None})
@@ -906,7 +947,12 @@ def read_grib2(path: str, filter_by_keys: Optional[dict] = None) -> NDDataset:
     coords = {"time": Variable(("time",), times), **space_coords}
     sizes = {"time": len(times), ydim: grid["nj"], xdim: grid["ni"]}
     for ld, levels in level_coords.items():
-        coords[ld] = Variable((ld,), levels, {"typeOfLevel": ld})
+        attrs_ld = (
+            {"long_name": "ensemble member"}
+            if ld == "number"
+            else {"typeOfLevel": ld}
+        )
+        coords[ld] = Variable((ld,), levels, attrs_ld)
         sizes[ld] = len(levels)
     return NDDataset(data_vars, coords, {}, sizes)
 
@@ -942,7 +988,11 @@ def grib2_schema(path: str, filter_by_keys: Optional[dict] = None) -> dict:
             dims[ld] = len(entry["levels"])
             schema["coords"][ld] = {
                 "dims": [ld],
-                "attrs": {"typeOfLevel": ld},
+                "attrs": (
+                    {"long_name": "ensemble member"}
+                    if ld == "number"
+                    else {"typeOfLevel": ld}
+                ),
                 "dtype": "float64",
                 "shape": [len(entry["levels"])],
                 "encoding": {},
@@ -1037,7 +1087,14 @@ def scan_grib2(
                 )
             if prev is None:
                 level_inlined[ld] = entry["levels"]
-                inline_array(ld, entry["levels"], {"typeOfLevel": ld}, [ld])
+                inline_array(
+                    ld,
+                    entry["levels"],
+                    {"long_name": "ensemble member"}
+                    if ld == "number"
+                    else {"typeOfLevel": ld},
+                    [ld],
+                )
             nl = len(entry["levels"])
             meta = _array_meta(
                 [nt, nl, nj, ni], [1, 1, nj, ni], "float64", attrs,
@@ -1352,8 +1409,24 @@ def write_grib2(
 
     messages = []
     for name, var in ds.data_vars.items():
-        if tuple(var.dims) != var_dims:
-            raise ValueError(f"{name}: GRIB2 writer needs dims {var_dims}")
+        vdims = tuple(var.dims)
+        ens_dims = var_dims[:1] + ("number",) + var_dims[1:]
+        if vdims == ens_dims:
+            # ensemble variable: one template-4.1 message per member/time
+            # (dims (time, number, y, x) — the reader's stacking order)
+            ens_members = [int(v) for v in ds.coords["number"].data]
+            if name in statistics:
+                raise NotImplementedError(
+                    f"{name}: ensemble + statistical interval (template "
+                    "4.11) unsupported; drop one of the two"
+                )
+        elif vdims == var_dims:
+            ens_members = None
+        else:
+            raise ValueError(
+                f"{name}: GRIB2 writer needs dims {var_dims} "
+                f"(or {ens_dims} for ensembles)"
+            )
         if name in param_map:
             disc, cat, num = param_map[name]
         elif name in _PARAM_FOR_NAME:
@@ -1367,8 +1440,18 @@ def write_grib2(
         lev_code = _LEVEL_CODES.get(lev_name)
         if lev_code is None:
             raise ValueError(f"unknown typeOfLevel {lev_name!r}")
-        for t in range(var.data.shape[0]):
-            field = np.ascontiguousarray(var.data[t], dtype="float64")
+        steps = [
+            (None, t) for t in range(times.shape[0])
+        ] if ens_members is None else [
+            (mi, t)
+            for mi in range(len(ens_members))
+            for t in range(times.shape[0])
+        ]
+        for mi, t in steps:
+            field = np.ascontiguousarray(
+                var.data[t] if mi is None else var.data[t, mi],
+                dtype="float64",
+            )
             finite = np.isfinite(field.ravel())
             if finite.all():
                 bitmap_sec6 = bytes([255])
@@ -1436,7 +1519,15 @@ def write_grib2(
                 + bytes([lev_code, 0]) + int(lev_value).to_bytes(4, "big")
                 + bytes([0xFF, 0xFF]) + (0xFFFFFFFF).to_bytes(4, "big")
             )
-            if stat is None:
+            if mi is not None:
+                # template 4.1: 4.0 fields + (ens type 3 = perturbed,
+                # perturbation number, ensemble size)
+                sec4 = (
+                    (0).to_bytes(2, "big") + (1).to_bytes(2, "big")
+                    + sec4_common
+                    + bytes([3, ens_members[mi], len(ens_members)])
+                )
+            elif stat is None:
                 sec4 = (
                     (0).to_bytes(2, "big") + (0).to_bytes(2, "big")
                     + sec4_common

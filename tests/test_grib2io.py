@@ -775,3 +775,78 @@ def test_jpeg2000_smooth_field_compresses(tmp_path):
     assert os.path.getsize(p_j2k) < os.path.getsize(p_simple)
     rt = read_grib2(p_j2k)
     np.testing.assert_array_equal(rt.data_vars["t"].data, ds.data_vars["t"].data)
+
+
+# ---------------------------------------------------------------------------
+# product template 4.1 (ensemble members -> "number" dimension)
+# ---------------------------------------------------------------------------
+
+
+def make_ensemble_ds(nt: int = 2, nm: int = 4, nj: int = 5, ni: int = 6) -> NDDataset:
+    rng = np.random.default_rng(17)
+    time = np.datetime64("2024-07-01T00", "ns") + np.arange(nt) * np.timedelta64(6, "h")
+    t = np.round(rng.uniform(250, 310, (nt, nm, nj, ni)) * 128) / 128
+    return NDDataset(
+        {"t": Variable(("time", "number", "latitude", "longitude"), t)},
+        {
+            "time": Variable(("time",), time),
+            "number": Variable(("number",), np.arange(1, nm + 1, dtype="int64")),
+            "latitude": Variable(("latitude",), np.linspace(50, 30, nj)),
+            "longitude": Variable(("longitude",), np.linspace(0, 10, ni)),
+        },
+        {},
+        {"time": nt, "number": nm, "latitude": nj, "longitude": ni},
+    )
+
+
+@pytest.mark.parametrize("packing", ["simple", "complex"])
+def test_ensemble_write_read_roundtrip(tmp_path, packing):
+    ds = make_ensemble_ds()
+    path = str(tmp_path / "ens.grib2")
+    write_grib2(path, ds, packing=packing)
+    msgs = scan_grib2_messages(path)
+    assert len(msgs) == 2 * 4
+    assert sorted({m["number"] for m in msgs}) == [1, 2, 3, 4]
+    assert all(m["n_ens"] == 4 for m in msgs)
+    rt = read_grib2(path)
+    tv = rt.data_vars["t"]
+    assert tuple(tv.dims) == ("time", "number", "latitude", "longitude")
+    np.testing.assert_array_equal(tv.data, ds.data_vars["t"].data)
+    np.testing.assert_array_equal(rt.coords["number"].data, [1, 2, 3, 4])
+    assert rt.coords["number"].data.dtype == np.int64
+    # member filter pushdown selects one member -> plain 3-D variable
+    one = read_grib2(path, filter_by_keys={"number": 3})
+    assert tuple(one.data_vars["t"].dims) == ("time", "latitude", "longitude")
+    np.testing.assert_array_equal(
+        one.data_vars["t"].data, ds.data_vars["t"].data[:, 2]
+    )
+
+
+def test_ensemble_schema_and_kerchunk(tmp_path):
+    ds = make_ensemble_ds(nt=2, nm=3)
+    path = str(tmp_path / "ens2.grib2")
+    write_grib2(path, ds)
+    sch = grib2_schema(path)
+    assert sch["data_vars"]["t"]["dims"] == ["time", "number", "latitude", "longitude"]
+    assert sch["dims"]["number"] == 3
+    rk = open_reference_dataset(scan_grib2(path))
+    np.testing.assert_array_equal(
+        np.asarray(rk.data_vars["t"].data), ds.data_vars["t"].data
+    )
+    np.testing.assert_array_equal(np.asarray(rk.coords["number"].data), [1, 2, 3])
+
+
+def test_ensemble_level_cross_raises(tmp_path):
+    ds = make_ensemble_ds(nt=1, nm=2)
+    p1 = str(tmp_path / "m500.grib2")
+    p2 = str(tmp_path / "m850.grib2")
+    write_grib2(p1, ds, levels={"t": ("isobaricInhPa", 500)})
+    write_grib2(p2, ds, levels={"t": ("isobaricInhPa", 850)})
+    both = str(tmp_path / "both.grib2")
+    with open(both, "wb") as f:
+        f.write(open(p1, "rb").read() + open(p2, "rb").read())
+    with pytest.raises(NotImplementedError, match="members and"):
+        read_grib2(both)
+    # but filtering to one level stacks members fine
+    one = read_grib2(both, filter_by_keys={"level": 500.0})
+    assert tuple(one.data_vars["t"].dims) == ("time", "number", "latitude", "longitude")
