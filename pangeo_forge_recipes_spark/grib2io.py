@@ -236,11 +236,11 @@ def _parse_message(body: bytes, discipline: int, offset: int, total: int, path: 
                 msg["latin2"] = _sm_decode(_be(sec, 69, 4), 4) / 1e6
         elif sec_num == 4:
             tmpl = _be(sec, 7, 2)
-            if tmpl not in (0, 1, 8):
+            if tmpl not in (0, 1, 8, 11):
                 raise NotImplementedError(
                     f"{path}: product definition template {tmpl} unsupported "
                     "(supported: 4.0 instantaneous, 4.1 ensemble member, "
-                    "4.8 statistically processed / accumulated)"
+                    "4.8 statistical interval, 4.11 ensemble + interval)"
                 )
             cat, num = sec[9], sec[10]
             msg["parameterCategory"] = cat
@@ -264,22 +264,24 @@ def _parse_message(body: bytes, discipline: int, offset: int, total: int, path: 
                 value / (10 ** _sm_decode(scale, 1)) if scale not in (0, 0xFF)
                 else float(value)
             )
-            if tmpl == 1:
+            if tmpl in (1, 11):
                 # ensemble: octet 35 = type of ensemble forecast, 36 =
                 # perturbation (member) number, 37 = ensemble size
                 msg["number"] = sec[35]
                 msg["n_ens"] = sec[36]
-            if tmpl == 8:
-                # statistical processing over a time interval: octets
-                # 35-41 give the END of the overall interval (= the valid
-                # time for accumulations), octet 47 the process code
-                year = _be(sec, 34, 2)
+            if tmpl in (8, 11):
+                # statistical processing over a time interval (octets
+                # shifted +3 for 4.11's ensemble block): the interval END
+                # (= the valid time for accumulations) + the process code
+                off = 3 if tmpl == 11 else 0
+                year = _be(sec, 34 + off, 2)
                 msg["interval_end"] = np.datetime64(
-                    f"{year:04d}-{sec[36]:02d}-{sec[37]:02d}"
-                    f"T{sec[38]:02d}:{sec[39]:02d}:{sec[40]:02d}",
+                    f"{year:04d}-{sec[36 + off]:02d}-{sec[37 + off]:02d}"
+                    f"T{sec[38 + off]:02d}:{sec[39 + off]:02d}"
+                    f":{sec[40 + off]:02d}",
                     "ns",
                 )
-                stat = sec[46]
+                stat = sec[46 + off]
                 msg["stepType"] = {
                     0: "avg", 1: "accum", 2: "max", 3: "min",
                 }.get(stat, f"stat_{stat}")
@@ -1415,11 +1417,6 @@ def write_grib2(
             # ensemble variable: one template-4.1 message per member/time
             # (dims (time, number, y, x) — the reader's stacking order)
             ens_members = [int(v) for v in ds.coords["number"].data]
-            if name in statistics:
-                raise NotImplementedError(
-                    f"{name}: ensemble + statistical interval (template "
-                    "4.11) unsupported; drop one of the two"
-                )
         elif vdims == var_dims:
             ens_members = None
         else:
@@ -1519,7 +1516,21 @@ def write_grib2(
                 + bytes([lev_code, 0]) + int(lev_value).to_bytes(4, "big")
                 + bytes([0xFF, 0xFF]) + (0xFFFFFFFF).to_bytes(4, "big")
             )
-            if mi is not None:
+            if mi is not None and stat is not None:
+                # template 4.11: ensemble block then the interval block
+                stype, hrs = stat
+                sec4 = (
+                    (0).to_bytes(2, "big") + (11).to_bytes(2, "big")
+                    + sec4_common
+                    + bytes([3, ens_members[mi], len(ens_members)])
+                    + ts.year.to_bytes(2, "big")
+                    + bytes([ts.month, ts.day, ts.hour, ts.minute, ts.second])
+                    + bytes([1]) + (0).to_bytes(4, "big")
+                    + bytes([_STAT_CODES[stype], 2, 1])
+                    + int(round(hrs)).to_bytes(4, "big")
+                    + bytes([1]) + (0).to_bytes(4, "big")
+                )
+            elif mi is not None:
                 # template 4.1: 4.0 fields + (ens type 3 = perturbed,
                 # perturbation number, ensemble size)
                 sec4 = (

@@ -850,3 +850,24 @@ def test_ensemble_level_cross_raises(tmp_path):
     # but filtering to one level stacks members fine
     one = read_grib2(both, filter_by_keys={"level": 500.0})
     assert tuple(one.data_vars["t"].dims) == ("time", "number", "latitude", "longitude")
+
+
+def test_ensemble_statistical_template_411(tmp_path):
+    """Template 4.11: ensemble member + statistical interval (ensemble
+    precipitation accumulations, the GEFS precip shape)."""
+    ds = make_ensemble_ds(nt=2, nm=3)
+    path = str(tmp_path / "ens_acc.grib2")
+    write_grib2(
+        path, ds,
+        param_map={"t": (0, 1, 8)},  # total precipitation
+        statistics={"t": ("accum", 6.0)},
+    )
+    msgs = scan_grib2_messages(path)
+    assert all(m["number"] in (1, 2, 3) for m in msgs)
+    assert all(m["stepType"] == "accum" for m in msgs)
+    rt = read_grib2(path)
+    tv = rt.data_vars["tp"] if "tp" in rt.data_vars else rt.data_vars[list(rt.data_vars)[0]]
+    assert tuple(tv.dims) == ("time", "number", "latitude", "longitude")
+    np.testing.assert_array_equal(tv.data, ds.data_vars["t"].data)
+    assert tv.attrs["stepType"] == "accum"
+    np.testing.assert_array_equal(rt.coords["time"].data, ds.coords["time"].data)
