@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     clustering,
     components,
     dedup,
+    dsir,
     filters,
     multimodal,
     ranges,

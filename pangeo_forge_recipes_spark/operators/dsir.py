@@ -1,0 +1,164 @@
+"""Data selection via importance resampling (DSIR-style): score raw
+documents by how target-like their hashed n-gram distribution is, then
+resample proportionally.
+
+The public method (Xie et al. 2023, "Data Selection for Language Models
+via Importance Resampling"): fit bag-of-hashed-n-gram unigram+bigram
+distributions p (target corpus) and q (raw corpus) over B buckets, score
+every raw document with log w = Σ_ngrams log(p_b / q_b), and sample with
+Gumbel-top-k on the log-weights.
+
+Spark-first shape at 100 TB:
+
+* the two histograms are ONE aggregation each — explode n-grams, hash to
+  a bucket, map-side-combining count; driver/broadcast state is O(B)
+  (default 8192 buckets ≈ 64 KB), never corpus-sized;
+* per-document scoring is an explode → broadcast-join against the B-row
+  log-ratio table → sum — all JVM-side, no Python in the hot path;
+* the n-gram bucket hash is md5-prefix based (the repo's deterministic
+  cross-engine convention), so weights are reproducible across runs,
+  partitionings, and engines;
+* Gumbel keys derive from md5(doc_id) — the "random" resample is a
+  deterministic function of the data, re-runnable at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TOKENIZE = (
+    "filter(split(lower(regexp_replace({col}, '[^A-Za-z0-9]+', ' ')), ' '), "
+    "x -> x != '')"
+)
+
+
+def _ngrams_expr(col: str) -> str:
+    """SQL array of unigram + bigram strings for text column ``col``."""
+    toks = _TOKENIZE.format(col=col)
+    bigrams = (
+        f"CASE WHEN size({toks}) < 2 THEN array() ELSE "
+        f"transform(slice({toks}, 1, size({toks}) - 1), "
+        f"(x, i) -> concat(x, ' ', element_at({toks}, i + 2))) END"
+    )
+    return f"concat({toks}, {bigrams})"
+
+
+def _bucket(col: Column, buckets: int) -> Column:
+    """Deterministic md5-prefix bucket hash (cross-engine reproducible)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % buckets
+    )
+
+
+def hashed_ngram_counts(
+    df: DataFrame, col: str = "text", buckets: int = 8192
+) -> DataFrame:
+    """(bucket, cnt) histogram of hashed unigrams+bigrams — one
+    map-side-combining aggregation, output ≤ ``buckets`` rows."""
+    grams = df.select(
+        F.explode(F.expr(_ngrams_expr(col))).alias("gram")
+    )
+    return (
+        grams.select(_bucket(F.col("gram"), buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _log_ratio_table(
+    raw: DataFrame,
+    target: DataFrame,
+    col: str,
+    buckets: int,
+    alpha: float,
+) -> DataFrame:
+    """B-row (bucket, log_ratio) table: log((p_b + α̂)/(q_b + α̂)) with
+    add-α smoothing on both normalized distributions."""
+    spark = raw.sparkSession
+    p = hashed_ngram_counts(target, col, buckets).withColumnRenamed("cnt", "p_cnt")
+    q = hashed_ngram_counts(raw, col, buckets).withColumnRenamed("cnt", "q_cnt")
+    all_b = spark.range(buckets).withColumnRenamed("id", "bucket")
+    j = (
+        all_b.join(p, "bucket", "left")
+        .join(q, "bucket", "left")
+        .fillna(0, ["p_cnt", "q_cnt"])
+    )
+    # normalize with smoothing inside one projection; totals via window-free
+    # scalar subqueries would re-scan, so carry them as literals
+    p_tot = p.agg(F.sum("p_cnt")).collect()[0][0] or 0
+    q_tot = q.agg(F.sum("q_cnt")).collect()[0][0] or 0
+    return j.select(
+        "bucket",
+        (
+            F.log(
+                (F.col("p_cnt") + F.lit(alpha)) / F.lit(p_tot + alpha * buckets)
+            )
+            - F.log(
+                (F.col("q_cnt") + F.lit(alpha)) / F.lit(q_tot + alpha * buckets)
+            )
+        ).alias("log_ratio"),
+    )
+
+
+def importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 8192,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Attach ``log_weight`` (Σ log p/q over the doc's hashed n-grams) to
+    every raw document. Two histogram aggregations + one broadcast join;
+    documents with no n-grams get log_weight 0."""
+    ratios = F.broadcast(_log_ratio_table(raw, target, col, buckets, alpha))
+    grams = raw.select(
+        id_col, F.explode(F.expr(_ngrams_expr(col))).alias("gram")
+    ).select(id_col, _bucket(F.col("gram"), buckets).alias("bucket"))
+    sums = (
+        grams.join(ratios, "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("log_ratio").alias("log_weight"))
+    )
+    return raw.join(sums, id_col, "left").fillna(0.0, ["log_weight"])
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    n: int,
+    col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 8192,
+    alpha: float = 1.0,
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Gumbel-top-k resample of ``n`` raw documents proportional to their
+    importance weights (the DSIR selection step). The Gumbel key is a
+    deterministic function of md5(doc_id) — reproducible across runs and
+    partitionings; plans as a distributed TakeOrdered, never a full
+    sort."""
+    weighted = importance_weights(raw, target, col, id_col, buckets, alpha)
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 32))
+    )
+    # clamp away from {0,1} so the double log stays finite
+    u = F.least(F.greatest(u, F.lit(1e-12)), F.lit(1.0 - 1e-12))
+    gumbel = -F.log(-F.log(u))
+    key = F.col("log_weight") / F.lit(float(temperature)) + gumbel
+    return (
+        weighted.withColumn("__key", key)
+        .orderBy(F.desc("__key"))
+        .limit(n)
+        .drop("__key")
+    )
+
+
+__all__ = [
+    "hashed_ngram_counts",
+    "importance_weights",
+    "dsir_sample",
+]
