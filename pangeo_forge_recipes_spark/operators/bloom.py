@@ -85,12 +85,18 @@ def build_bloom(
             np.bitwise_or.at(bits, pos // _W64, _ONE << (pos % _W64))
         yield bits.tobytes()
 
-    merged = np.zeros(nwords, dtype=np.uint64)
-    for chunk in (
-        df.select(col).rdd.mapPartitions(partition_bitmap).collect()
-    ):
-        merged |= np.frombuffer(chunk, dtype=np.uint64)
-    return merged, m, k
+    def _or(a: bytes, b: bytes) -> bytes:
+        return np.bitwise_or(
+            np.frombuffer(a, dtype=np.uint64), np.frombuffer(b, dtype=np.uint64)
+        ).tobytes()
+
+    # executor-side tree OR-reduce: the driver receives ONE m/8-byte
+    # bitmap, not one per partition (a 1 GiB filter over 10^3 partitions
+    # would otherwise funnel a terabyte through the driver)
+    merged = (
+        df.select(col).rdd.mapPartitions(partition_bitmap).treeReduce(_or, depth=2)
+    )
+    return np.frombuffer(merged, dtype=np.uint64).copy(), m, k
 
 
 def bloom_contains(bits: np.ndarray, m: int, k: int, text: str) -> bool:

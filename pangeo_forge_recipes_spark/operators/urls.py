@@ -91,13 +91,16 @@ def with_canonical_url(
 
 def url_dedup(df: DataFrame, col: str = "url", id_col: str = "doc_id") -> DataFrame:
     """Keep the smallest ``id_col`` row per canonical URL — the
-    crawl-level exact-URL dedup (one hash shuffle on the canonical key)."""
-    key = canonical_url(col).alias("__canon")
-    w = df.select("*", key)
-    keep = w.groupBy("__canon").agg(F.min(id_col).alias(id_col))
+    crawl-level exact-URL dedup. ONE shuffle (a window on the canonical
+    key), not a groupBy + join pair."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__canon").orderBy(F.asc(id_col))
     return (
-        w.join(keep, ["__canon", id_col], "left_semi")
-        .drop("__canon")
+        df.select("*", canonical_url(col).alias("__canon"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__canon", "__rn")
     )
 
 
