@@ -278,3 +278,46 @@ def crossdoc_ngram_dup(
         frac.alias("dup_frac"),
         (frac <= threshold).alias("keep"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 512,
+    stride: int = 384,
+    col: str = "text",
+    id_col: str = "doc_id",
+    min_tail: int = 1,
+) -> DataFrame:
+    """Split long documents into overlapping fixed-size word windows —
+    the per-document context-window chunking that precedes tokenization
+    (windows of ``window`` words every ``stride`` words; a final partial
+    window survives if it holds >= ``min_tail`` NEW words).
+
+    Pure SQL (sequence → transform → explode over word-array slices): no
+    Python, no shuffle — chunking is embarrassingly parallel per doc.
+    Output: input columns (minus ``col``) + ``chunk_id``, ``chunk_text``,
+    ``n_words``.
+    """
+    if stride <= 0 or window <= 0 or stride > window:
+        raise ValueError("need 0 < stride <= window")
+    toks = f"filter(split({col}, '\\\\s+'), x -> x != '')"
+    # keep window start s when it is the first, or when it contributes at
+    # least min_tail words beyond the PREVIOUS window's end
+    # (prev_end = s - stride + window)
+    starts = (
+        f"CASE WHEN size({toks}) <= {window} THEN array(0) ELSE "
+        f"filter(sequence(0, size({toks}) - 1, {stride}), "
+        f"s -> s = 0 OR s - {stride} + {window} + {min_tail} <= size({toks})) "
+        "END"
+    )
+    chunks = (
+        f"transform({starts}, s -> array_join(slice({toks}, s + 1, {window}), ' '))"
+    )
+    out_cols = [c for c in df.columns if c != col]
+    exploded = df.selectExpr(
+        *out_cols, f"posexplode({chunks}) AS (chunk_id, chunk_text)"
+    )
+    return exploded.withColumn(
+        "n_words",
+        F.expr("size(filter(split(chunk_text, '\\\\s+'), x -> x != ''))"),
+    )

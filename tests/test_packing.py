@@ -121,3 +121,59 @@ def test_global_order_is_md5(spark, docs):
     out = with_global_order(docs).select("doc_id", "ord_key").toPandas()
     for _, r in out.iterrows():
         assert r["ord_key"] == hashlib.md5(str(r["doc_id"]).encode()).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# per-document overlapping window chunking
+# ---------------------------------------------------------------------------
+
+
+def _py_chunks(text, window, stride, min_tail=1):
+    toks = [t for t in text.split() if t]
+    if len(toks) <= window:
+        return [" ".join(toks)]
+    out = []
+    for s in range(0, len(toks), stride):
+        if s and s - stride + window + min_tail > len(toks):
+            break
+        out.append(" ".join(toks[s : s + window]))
+    return out
+
+
+def test_chunk_documents_matches_python_oracle(spark):
+    from pangeo_forge_recipes_spark.operators.packing import chunk_documents
+
+    docs = {
+        1: " ".join(f"w{i}" for i in range(25)),   # 25 words
+        2: " ".join(f"x{i}" for i in range(10)),   # fits in one window
+        3: " ".join(f"y{i}" for i in range(16)),   # exact multiple edges
+        4: "single",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    out = chunk_documents(df, window=16, stride=8)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_id"]] = (r["chunk_text"], r["n_words"])
+    for i, text in docs.items():
+        want = _py_chunks(text, 16, 8)
+        chunks = [got[i][j][0] for j in range(len(got[i]))]
+        assert chunks == want, (i, chunks, want)
+        for j, c in enumerate(want):
+            assert got[i][j][1] == len(c.split())
+    # overlap property: consecutive windows share window - stride words
+    c0, c1 = got[1][0][0].split(), got[1][1][0].split()
+    assert c0[8:] == c1[:8]
+
+
+def test_chunk_documents_plan_is_map_only(spark):
+    from pangeo_forge_recipes_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        chunk_documents(df, window=2, stride=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
