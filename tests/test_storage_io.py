@@ -396,3 +396,36 @@ def test_sharded_index_location_start(tmp_path):
     a2 = open_group(root)["x"]
     assert a2.meta["codecs"][0]["configuration"]["index_location"] == "start"
     np.testing.assert_array_equal(a2.read(), data)
+
+
+def test_verify_zarr_distributed_scrub(spark, tmp_path):
+    import numpy as np
+
+    from pangeo_forge_recipes_spark.dsio import verify_zarr
+    from pangeo_forge_recipes_spark.zarrio import create_group
+
+    root = str(tmp_path / "vz.zarr")
+    g = create_group(root)
+    arr = g.create_array("x", shape=(8, 6), chunks=[4, 3], dtype="float64",
+                         fill_value=0.0, compressor="gzip")
+    arr[:, :] = np.arange(48, dtype="float64").reshape(8, 6)
+    g.create_array("empty", shape=(4,), chunks=[2], dtype="int64")  # no chunks stored
+    rep = verify_zarr(spark, root).toPandas()
+    x = rep[rep["array"] == "x"]
+    assert len(x) == 4 and x["exists"].all() and x["ok"].all()
+    assert (x["nbytes"] > 0).all()
+    e = rep[rep["array"] == "empty"]
+    assert len(e) == 2 and (~e["exists"]).all() and e["ok"].all()
+    # corrupt one chunk -> the scrub reports exactly that object
+    victim = x.iloc[0]["chunk_key"]
+    import os
+    p = os.path.join(root, victim)
+    raw = open(p, "rb").read()
+    open(p, "wb").write(raw[: len(raw) // 2])
+    rep2 = verify_zarr(spark, root).toPandas()
+    bad = rep2[~rep2["ok"]]
+    assert len(bad) == 1 and bad.iloc[0]["chunk_key"] == victim
+    assert "Error" in bad.iloc[0]["error"] or "error" in bad.iloc[0]["error"].lower()
+    # cheap scrub skips decoding -> corruption not seen, existence is
+    rep3 = verify_zarr(spark, root, check_values=False).toPandas()
+    assert rep3["ok"].all()
