@@ -69,3 +69,52 @@ def bigram_counts(df: DataFrame, col: str = "text", k: int = 20) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(k)
     )
+
+
+def mix_corpora(
+    sources,
+    n_total: int,
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Deterministic domain-mixture sampling: draw ``n_total`` documents
+    from ``sources`` = [(name, df, weight), ...] in proportion to the
+    weights — the corpus-mixing step of multi-domain training sets
+    (Pile/DoReMi-style domain weights).
+
+    Per-source draws use the md5-bucket order (stable across runs,
+    engines, partitionings — never ``rand()``), so the same weights
+    always produce the same mixture; each per-source take plans as a
+    distributed TakeOrdered, never a global sort. Output: each source's
+    rows (id and any shared columns) + a ``source`` column. Rounding
+    remainders go to the heaviest sources (largest-remainder rule)."""
+    if not sources:
+        raise ValueError("mix_corpora needs at least one source")
+    total_w = sum(w for _, _, w in sources)
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    exact = [(name, df, n_total * w / total_w) for name, df, w in sources]
+    takes = {name: int(x) for name, _, x in exact}
+    leftover = n_total - sum(takes.values())
+    for name, _, x in sorted(exact, key=lambda t: -(t[2] - int(t[2]))):
+        if leftover <= 0:
+            break
+        takes[name] += 1
+        leftover -= 1
+    parts = []
+    for name, df, _ in sources:
+        k = takes[name]
+        if k <= 0:
+            continue
+        key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+        parts.append(
+            df.withColumn("__key", key)
+            .orderBy("__key")
+            .limit(k)
+            .drop("__key")
+            .withColumn("source", F.lit(name))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -406,3 +406,27 @@ def test_ivf_centroids_sampled_distributed(vectors):
     out = similarity.ivf_assign(vectors, n_centroids=4).collect()
     assert len(out) == vectors.count()
     assert {r["centroid"] for r in out} <= set(range(4))
+
+
+def test_mix_corpora_deterministic_proportions(spark):
+    from pangeo_forge_recipes_spark.operators.text import mix_corpora
+
+    a = spark.createDataFrame([(i, f"a{i}") for i in range(200)], "doc_id long, text string")
+    b = spark.createDataFrame([(1000 + i, f"b{i}") for i in range(200)], "doc_id long, text string")
+    c = spark.createDataFrame([(2000 + i, f"c{i}") for i in range(50)], "doc_id long, text string")
+    mix = mix_corpora([("web", a, 0.6), ("code", b, 0.3), ("papers", c, 0.1)], 100)
+    rows = mix.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(rows) == 100
+    assert len(by_src["web"]) == 60 and len(by_src["code"]) == 30 and len(by_src["papers"]) == 10
+    # deterministic across invocations
+    again = mix_corpora([("web", a, 0.6), ("code", b, 0.3), ("papers", c, 0.1)], 100)
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(r["doc_id"] for r in rows)
+    # largest-remainder rounding: weights that do not divide n_total
+    odd = mix_corpora([("x", a, 1), ("y", b, 1), ("z", c, 1)], 100)
+    counts = sorted(
+        len([r for r in odd.collect() if r["source"] == s]) for s in ("x", "y", "z")
+    )
+    assert sum(counts) == 100 and counts == [33, 33, 34]
