@@ -838,33 +838,45 @@ def _group_messages(
             {mb for _, mb in per_key}, key=lambda v: (v is None, v)
         )
         if len(mem_set) > 1:
-            # ensemble stacking (cfgrib "number" dim). Mixed member /
-            # no-member messages or member x multi-level crossing exceed
-            # the supported shape — filter to a single level first.
+            # ensemble stacking (cfgrib "number" dim); with several
+            # levels too, the full member x level x time cross-product
+            # stacks into (time, number, level, y, x)
             if None in mem_set:
                 raise NotImplementedError(
                     f"variable {sn!r} mixes ensemble (template 4.1) and "
                     "deterministic messages; filter_by_keys to one kind"
                 )
-            if len(lev_set) > 1:
-                raise NotImplementedError(
-                    f"variable {sn!r} spans both ensemble members and "
-                    "multiple levels; filter_by_keys={'level': ...} to "
-                    "stack the member dimension"
-                )
-            if not complete:
+            if not complete or len(per_key) != len(lev_set) * len(mem_set):
                 raise ValueError(
-                    f"variable {sn!r} has an incomplete member x time grid"
+                    f"variable {sn!r} has an incomplete "
+                    "member x level x time grid"
                 )
-            (lv,) = lev_set
-            emit(
-                base,
-                {
-                    "msgs": [per_key[(lv, mb)] for mb in mem_set],
-                    "levels": np.array(mem_set, dtype="int64"),
-                    "level_dim": "number",
-                },
-            )
+            if len(lev_set) > 1:
+                levels = sorted(
+                    lev_set, reverse=(lev_type == "isobaricInhPa")
+                )
+                emit(
+                    base,
+                    {
+                        "msgs": [
+                            [per_key[(lv, mb)] for lv in levels]
+                            for mb in mem_set
+                        ],
+                        "levels": np.array(levels, dtype="float64"),
+                        "level_dim": lev_type,
+                        "members": np.array(mem_set, dtype="int64"),
+                    },
+                )
+            else:
+                (lv,) = lev_set
+                emit(
+                    base,
+                    {
+                        "msgs": [per_key[(lv, mb)] for mb in mem_set],
+                        "levels": np.array(mem_set, dtype="int64"),
+                        "level_dim": "number",
+                    },
+                )
             continue
         per_level = {lv: slots for (lv, _), slots in per_key.items()}
         if len(per_level) == 1 and complete:
@@ -899,7 +911,9 @@ def _group_messages(
 
 def _group_attrs(entry: dict) -> dict:
     """Variable attrs from a group entry's first message."""
-    m = entry["msgs"][0][0] if entry["levels"] is not None else entry["msgs"][0]
+    m = entry["msgs"]
+    while isinstance(m, list):  # descend [member][level][time] nesting
+        m = m[0]
     group = [m]
     attrs = _var_attrs(group)
     if entry["levels"] is not None:
@@ -932,15 +946,28 @@ def read_grib2(path: str, filter_by_keys: Optional[dict] = None) -> NDDataset:
                 data_vars[name] = Variable(
                     ("time", ydim, xdim), np.stack(planes), attrs
                 )
+                continue
+            ld = entry["level_dim"]
+            prev = level_coords.get(ld)
+            if prev is not None and not np.array_equal(prev, entry["levels"]):
+                raise NotImplementedError(
+                    f"variables share level dim {ld!r} with different "
+                    "level sets; filter_by_keys to one variable"
+                )
+            level_coords[ld] = entry["levels"]
+            if entry.get("members") is not None:
+                # (member, level, time, y, x) -> (time, number, level, y, x)
+                cube = np.stack(
+                    [
+                        [[decode(m) for m in trow] for trow in memblock]
+                        for memblock in entry["msgs"]
+                    ]
+                ).transpose(2, 0, 1, 3, 4)
+                level_coords["number"] = entry["members"]
+                data_vars[name] = Variable(
+                    ("time", "number", ld, ydim, xdim), cube, attrs
+                )
             else:
-                ld = entry["level_dim"]
-                prev = level_coords.get(ld)
-                if prev is not None and not np.array_equal(prev, entry["levels"]):
-                    raise NotImplementedError(
-                        f"variables share level dim {ld!r} with different "
-                        "level sets; filter_by_keys to one variable"
-                    )
-                level_coords[ld] = entry["levels"]
                 cube = np.stack(
                     [[decode(m) for m in row] for row in entry["msgs"]]
                 ).swapaxes(0, 1)  # (time, level, y, x)
@@ -982,23 +1009,31 @@ def grib2_schema(path: str, filter_by_keys: Optional[dict] = None) -> dict:
             "shape": list(var.data.shape),
             "encoding": {},
         }
+    def _level_coord(ld: str, values: np.ndarray) -> None:
+        dims[ld] = len(values)
+        schema["coords"][ld] = {
+            "dims": [ld],
+            "attrs": (
+                {"long_name": "ensemble member"}
+                if ld == "number"
+                else {"typeOfLevel": ld}
+            ),
+            "dtype": "int64" if ld == "number" else "float64",
+            "shape": [len(values)],
+            "encoding": {},
+        }
+
     for name, entry in groups.items():
         if entry["levels"] is None:
             vdims = ["time", ydim, xdim]
+        elif entry.get("members") is not None:
+            ld = entry["level_dim"]
+            _level_coord("number", entry["members"])
+            _level_coord(ld, entry["levels"])
+            vdims = ["time", "number", ld, ydim, xdim]
         else:
             ld = entry["level_dim"]
-            dims[ld] = len(entry["levels"])
-            schema["coords"][ld] = {
-                "dims": [ld],
-                "attrs": (
-                    {"long_name": "ensemble member"}
-                    if ld == "number"
-                    else {"typeOfLevel": ld}
-                ),
-                "dtype": "float64",
-                "shape": [len(entry["levels"])],
-                "encoding": {},
-            }
+            _level_coord(ld, entry["levels"])
             vdims = ["time", ld, ydim, xdim]
         schema["data_vars"][name] = {
             "dims": vdims,
@@ -1098,6 +1133,28 @@ def scan_grib2(
                     [ld],
                 )
             nl = len(entry["levels"])
+            if entry.get("members") is not None:
+                if "number" not in level_inlined:
+                    level_inlined["number"] = entry["members"]
+                    inline_array(
+                        "number", entry["members"],
+                        {"long_name": "ensemble member"}, ["number"],
+                    )
+                nm = len(entry["members"])
+                meta = _array_meta(
+                    [nt, nm, nl, nj, ni], [1, 1, 1, nj, ni], "float64",
+                    attrs, ["time", "number", ld, ydim, xdim],
+                )
+                meta["codecs"] = [{"name": "grib2-msg"}]
+                meta["fill_value"] = "NaN"
+                refs[f"{name}/{ZARR_JSON}"] = json.dumps(meta)
+                for mi, memblock in enumerate(entry["msgs"]):
+                    for li, row in enumerate(memblock):
+                        for t, m in enumerate(row):
+                            refs[f"{name}/c/{t}/{mi}/{li}/0/0"] = [
+                                url, m["offset"], m["length"],
+                            ]
+                continue
             meta = _array_meta(
                 [nt, nl, nj, ni], [1, 1, nj, ni], "float64", attrs,
                 ["time", ld, ydim, xdim],

@@ -836,18 +836,42 @@ def test_ensemble_schema_and_kerchunk(tmp_path):
     np.testing.assert_array_equal(np.asarray(rk.coords["number"].data), [1, 2, 3])
 
 
-def test_ensemble_level_cross_raises(tmp_path):
-    ds = make_ensemble_ds(nt=1, nm=2)
+def test_ensemble_level_cross_product_stacks_5d(tmp_path):
+    """member x level x time cross: dims (time, number, level, y, x) —
+    the full GEFS pressure-level shape."""
+    ds500 = make_ensemble_ds(nt=2, nm=2)
+    ds850 = NDDataset(
+        {"t": Variable(ds500.data_vars["t"].dims, ds500.data_vars["t"].data + 5.0)},
+        ds500.coords, {}, ds500.dims,
+    )
     p1 = str(tmp_path / "m500.grib2")
     p2 = str(tmp_path / "m850.grib2")
-    write_grib2(p1, ds, levels={"t": ("isobaricInhPa", 500)})
-    write_grib2(p2, ds, levels={"t": ("isobaricInhPa", 850)})
+    write_grib2(p1, ds500, levels={"t": ("isobaricInhPa", 500)})
+    write_grib2(p2, ds850, levels={"t": ("isobaricInhPa", 850)})
     both = str(tmp_path / "both.grib2")
     with open(both, "wb") as f:
         f.write(open(p1, "rb").read() + open(p2, "rb").read())
-    with pytest.raises(NotImplementedError, match="members and"):
-        read_grib2(both)
-    # but filtering to one level stacks members fine
+    rt = read_grib2(both)
+    tv = rt.data_vars["t"]
+    assert tuple(tv.dims) == (
+        "time", "number", "isobaricInhPa", "latitude", "longitude"
+    )
+    # pressure levels descend (850 before 500)
+    np.testing.assert_array_equal(rt.coords["isobaricInhPa"].data, [850.0, 500.0])
+    np.testing.assert_array_equal(rt.coords["number"].data, [1, 2])
+    np.testing.assert_array_equal(tv.data[:, :, 1], ds500.data_vars["t"].data)
+    np.testing.assert_array_equal(tv.data[:, :, 0], ds850.data_vars["t"].data)
+    # header-only schema agrees
+    sch = grib2_schema(both)
+    assert sch["data_vars"]["t"]["dims"] == [
+        "time", "number", "isobaricInhPa", "latitude", "longitude"
+    ]
+    assert sch["coords"]["number"]["dtype"] == "int64"
+    # kerchunk scan round-trips the 5-D cube
+    rk = open_reference_dataset(scan_grib2(both))
+    np.testing.assert_array_equal(np.asarray(rk.data_vars["t"].data), tv.data)
+    np.testing.assert_array_equal(np.asarray(rk.coords["number"].data), [1, 2])
+    # filtering to one level still gives the 4-D member stack
     one = read_grib2(both, filter_by_keys={"level": 500.0})
     assert tuple(one.data_vars["t"].dims) == ("time", "number", "latitude", "longitude")
 
