@@ -133,6 +133,25 @@ def _bench_zarr_pipeline(spark) -> dict:
                 "mb_per_s": round(mb / wall, 1),
             }
 
+        # sharded layout: same shuffled write, 4 chunks per stored object
+        # (the object-store request-count lever; wall should track the
+        # shuffled path, bytes land in 4x fewer objects)
+        wall, mb = None, 0.0
+        for run in range(2):
+            t0 = time.perf_counter()
+            result = store_to_zarr(
+                spark, pattern, tmp, f"bench_shard{run}.zarr",
+                target_chunks={"time": 16}, target_shards={"time": 64},
+            )
+            dt = time.perf_counter() - t0
+            wall = dt if wall is None else min(wall, dt)
+            mb = result.bytes_written / 1e6
+        out["sharded"] = {
+            "wall": round(wall, 3),
+            "mb_written": round(mb, 1),
+            "mb_per_s": round(mb / wall, 1),
+        }
+
         # kerchunk branch: combined virtual references over the same files
         from pangeo_forge_recipes_spark import write_combined_reference
 
