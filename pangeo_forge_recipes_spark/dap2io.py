@@ -249,16 +249,44 @@ def read_dap2(
     url: str,
     projection: Optional[List[str]] = None,
     timeout: float = 60.0,
+    isel: Optional[Dict[str, slice]] = None,
 ) -> NDDataset:
     """Open a DAP2 endpoint as an :class:`NDDataset` (one ``.dds`` + one
-    ``.das`` + one ``.dods`` request; ``projection`` restricts the
-    ``.dods`` transfer to the named variables server-side — the DAP
-    rendition of column pruning)."""
+    ``.das`` + one ``.dods`` request). ``projection`` restricts the
+    ``.dods`` transfer to the named variables server-side (DAP column
+    pruning) and may carry hyperslabs (``"t[0:1:3][2:5]"``, stop
+    inclusive per the DAP2 spec); ``isel`` builds those hyperslabs from
+    dim slices (``{"time": slice(0, 4)}``) for every projected variable
+    — server-side row pruning, so only the subset crosses the wire."""
     dds = parse_dds(_fetch(url + ".dds", timeout).decode())
     das = parse_das(_fetch(url + ".das", timeout).decode())
     dods_url = url + ".dods"
+    if isel:
+        names = (
+            [parse_constraint(p)[0] for p in projection]
+            if projection
+            else [v["name"] for v in dds["vars"]]
+        )
+        projection = []
+        by_name = {v["name"]: v for v in dds["vars"]}
+        for n in names:
+            decl = by_name.get(n)
+            if decl is None:
+                projection.append(n)
+                continue
+            slabs = []
+            for dname, size in decl["dims"]:
+                sl = isel.get(dname or n)
+                if sl is None:
+                    slabs.append(f"[0:1:{size - 1}]")
+                else:
+                    start, stop, step = sl.indices(size)
+                    if stop <= start:
+                        raise ValueError(f"empty isel slice for dim {dname!r}")
+                    slabs.append(f"[{start}:{step}:{stop - 1}]")
+            projection.append(n + "".join(slabs))
     if projection:
-        keep = set(projection)
+        keep = {parse_constraint(p)[0] for p in projection}
         dds["vars"] = [v for v in dds["vars"] if v["name"] in keep]
         dods_url += "?" + ",".join(urllib.parse.quote(p) for p in projection)
     ddx, data = _split_dods(_fetch(dods_url, timeout))
@@ -493,15 +521,27 @@ class Dap2Server:
                     return
                 proj = None
                 if parsed.query:
-                    proj = [
+                    exprs = [
                         urllib.parse.unquote(p)
                         for p in parsed.query.split(",")
                         if p
                     ]
                     known = set(ds.coords) | set(ds.data_vars)
-                    bad = [p for p in proj if p not in known]
+                    try:
+                        bad = [
+                            e for e in exprs
+                            if parse_constraint(e)[0] not in known
+                        ]
+                    except ValueError as e:
+                        self.send_error(400, str(e))
+                        return
                     if bad:
                         self.send_error(400, f"unknown variables {bad}")
+                        return
+                    try:
+                        ds, proj = _apply_constraints(ds, exprs)
+                    except (ValueError, KeyError) as e:
+                        self.send_error(400, str(e))
                         return
                 if ext == "dds":
                     body = _dds_text(ds, name, proj).encode()
@@ -544,3 +584,84 @@ def serve_ndsets(datasets: Dict[str, NDDataset]) -> Dap2Server:
     """Publish ``{name: dataset}`` over DAP2 (start with ``with`` or
     ``__enter__``)."""
     return Dap2Server(datasets)
+
+
+# ---------------------------------------------------------------------------
+# hyperslab constraints (DAP2 "projection with array subsetting":
+# var[start:stride:stop] per dim, stop INCLUSIVE per the DAP2 spec)
+# ---------------------------------------------------------------------------
+
+_SLAB_RE = re.compile(r"^(?P<name>[A-Za-z_][\w.-]*)(?P<slabs>(\[[^\]]*\])*)$")
+_SLAB_PART = re.compile(r"\[([^\]]*)\]")
+
+
+def parse_constraint(expr: str) -> Tuple[str, Optional[List[Tuple[int, int, int]]]]:
+    """``"t[0:1:3][2:5]"`` → ("t", [(0,1,3), (2,1,5)]); bare names give
+    (name, None). Each slab is (start, stride, stop-inclusive)."""
+    m = _SLAB_RE.match(expr.strip())
+    if not m:
+        raise ValueError(f"malformed DAP2 projection {expr!r}")
+    slabs_txt = m.group("slabs")
+    if not slabs_txt:
+        return m.group("name"), None
+    out = []
+    for part in _SLAB_PART.findall(slabs_txt):
+        bits = part.split(":")
+        if len(bits) == 1:
+            s = int(bits[0])
+            out.append((s, 1, s))
+        elif len(bits) == 2:
+            out.append((int(bits[0]), 1, int(bits[1])))
+        elif len(bits) == 3:
+            out.append((int(bits[0]), int(bits[1]), int(bits[2])))
+        else:
+            raise ValueError(f"malformed hyperslab {part!r} in {expr!r}")
+    return m.group("name"), out
+
+
+def _apply_constraints(
+    ds: NDDataset, exprs: List[str]
+) -> Tuple[NDDataset, List[str]]:
+    """Server side: slice the dataset per hyperslab projections; returns
+    (subset dataset, bare projected names). Dim coords follow their
+    dim's slab so Grid maps stay aligned."""
+    names: List[str] = []
+    dim_slices: Dict[str, slice] = {}
+    wanted: Dict[str, Optional[List[Tuple[int, int, int]]]] = {}
+    for e in exprs:
+        name, slabs = parse_constraint(e)
+        names.append(name)
+        wanted[name] = slabs
+        var = ds.data_vars.get(name) or ds.coords.get(name)
+        if var is None:
+            raise KeyError(name)
+        if slabs is not None:
+            if len(slabs) != len(var.dims):
+                raise ValueError(
+                    f"{name}: {len(slabs)} hyperslabs for "
+                    f"{len(var.dims)} dims"
+                )
+            for d, (a, st, b) in zip(var.dims, slabs):
+                sl = slice(a, b + 1, st)
+                prev = dim_slices.get(d)
+                if prev is not None and prev != sl:
+                    raise ValueError(
+                        f"conflicting hyperslabs for dim {d!r}"
+                    )
+                dim_slices[d] = sl
+    if not dim_slices:
+        return ds, names
+    data_vars = {}
+    for n, v in ds.data_vars.items():
+        if n not in wanted:
+            continue
+        key = tuple(dim_slices.get(d, slice(None)) for d in v.dims)
+        data_vars[n] = Variable(v.dims, v.data[key], dict(v.attrs))
+    coords = {}
+    for n, v in ds.coords.items():
+        key = tuple(dim_slices.get(d, slice(None)) for d in v.dims)
+        coords[n] = Variable(v.dims, v.data[key], dict(v.attrs))
+    dims = {}
+    for v in list(data_vars.values()) + list(coords.values()):
+        dims.update(zip(v.dims, v.data.shape))
+    return NDDataset(data_vars, coords, dict(ds.attrs), dims), names

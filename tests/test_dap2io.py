@@ -139,3 +139,53 @@ def test_store_to_zarr_from_opendap(spark, served, tmp_path):
     got = result.open()
     # served ints come back as Float64 (DAP2 wire limit); values exact
     assert_equal(got, ds)
+
+
+# ---------------------------------------------------------------------------
+# hyperslab constraints (server-side subsetting)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_constraint_forms():
+    from pangeo_forge_recipes_spark.dap2io import parse_constraint
+
+    assert parse_constraint("t") == ("t", None)
+    assert parse_constraint("t[0:1:3]") == ("t", [(0, 1, 3)])
+    assert parse_constraint("t[2:5]") == ("t", [(2, 1, 5)])
+    assert parse_constraint("t[4]") == ("t", [(4, 1, 4)])
+    assert parse_constraint("t[0:2:8][1:3]") == ("t", [(0, 2, 8), (1, 1, 3)])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_constraint("t[0:1:2:3]")
+
+
+def test_dap2_hyperslab_subset_roundtrip():
+    import numpy as np
+
+    from pangeo_forge_recipes_spark.dap2io import read_dap2, serve_ndsets
+    from pangeo_forge_recipes_spark.ndset import NDDataset, Variable
+
+    nt, ny = 8, 5
+    data = np.arange(nt * ny, dtype="float64").reshape(nt, ny)
+    ds = NDDataset(
+        {"t": Variable(("time", "y"), data)},
+        {"time": Variable(("time",), np.arange(nt, dtype="int64")),
+         "y": Variable(("y",), np.arange(ny, dtype="int64"))},
+        {}, {"time": nt, "y": ny},
+    )
+    with serve_ndsets({"d": ds}) as srv:
+        url = srv.url_for("d")
+        # explicit hyperslab (stop inclusive)
+        sub = read_dap2(url, projection=["t[2:1:5][1:1:3]"])
+        np.testing.assert_array_equal(sub.data_vars["t"].data, data[2:6, 1:4])
+        # grid maps slice with the array
+        np.testing.assert_array_equal(sub.coords["time"].data, np.arange(2, 6))
+        np.testing.assert_array_equal(sub.coords["y"].data, np.arange(1, 4))
+        # strided
+        s2 = read_dap2(url, projection=["t[0:2:6][0:1:4]"])
+        np.testing.assert_array_equal(s2.data_vars["t"].data, data[0:7:2, :])
+        # isel builds the same constraint from dim slices
+        s3 = read_dap2(url, isel={"time": slice(2, 6), "y": slice(1, 4)})
+        np.testing.assert_array_equal(s3.data_vars["t"].data, data[2:6, 1:4])
+        np.testing.assert_array_equal(s3.coords["time"].data, np.arange(2, 6))
