@@ -110,8 +110,12 @@ def open_with_ndset(
         from .dap2io import read_dap2
 
         # opendap is remote-by-definition: no cache/copy_to_local step
-        # (reference skips fsspec for it too, ``openers.py:230``)
-        return read_dap2(url, projection=kw.get("projection"))
+        # (reference skips fsspec for it too, ``openers.py:230``).
+        # projection + isel push column/row pruning to the server: only
+        # the subset crosses the wire
+        return read_dap2(
+            url, projection=kw.get("projection"), isel=kw.get("isel")
+        )
     engine = OPEN_ENGINES.get(file_type)
     raise NotImplementedError(
         f"file_type={file_type.value!r} needs the {engine!r} engine, which is "
