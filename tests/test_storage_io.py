@@ -429,3 +429,33 @@ def test_verify_zarr_distributed_scrub(spark, tmp_path):
     # cheap scrub skips decoding -> corruption not seen, existence is
     rep3 = verify_zarr(spark, root, check_values=False).toPandas()
     assert rep3["ok"].all()
+
+
+def test_store_to_zarr_sharded_append(spark, tmp_path):
+    import numpy as np
+
+    from pangeo_forge_recipes_spark import pattern_from_file_sequence, store_to_zarr
+    from pangeo_forge_recipes_spark.dsio import open_zarr_group, write_npz
+    from pangeo_forge_recipes_spark.ndset import assert_equal
+    from tests.data_generation import make_ds
+
+    ds = make_ds(nt=12)
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"s{i}.npz")
+        write_npz(p, ds.isel(time=slice(3 * i, 3 * i + 3)))
+        paths.append(p)
+    first = pattern_from_file_sequence(paths[:2], "time", nitems_per_file=3, file_type="npz")
+    rest = pattern_from_file_sequence(paths[2:], "time", nitems_per_file=3, file_type="npz")
+    store_to_zarr(
+        spark, first, str(tmp_path), "sa.zarr",
+        target_chunks={"time": 3}, target_shards={"time": 6},
+        consolidate_coords=False,
+    )
+    store_to_zarr(
+        spark, rest, str(tmp_path), "sa.zarr",
+        target_chunks={"time": 3}, target_shards={"time": 6},
+        append_dim="time", consolidate_coords=False,
+    )
+    got = open_zarr_group(str(tmp_path / "sa.zarr"))
+    assert_equal(got, ds, check_attrs=False)
