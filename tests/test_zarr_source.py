@@ -64,3 +64,24 @@ def test_timestamp_filter(spark, store_path):
     df = spark.read.format("zarr").load(store_path)
     sub = df.filter(F.col("time") >= "2010-01-09")
     assert sub.count() == 2 * 18 * 36
+
+
+def test_zarr_source_reads_sharded_store(spark, tmp_path):
+    """The DataFrame source consumes sharding_indexed stores untouched:
+    partitions land at the shard grain (the store's outer chunk grid),
+    and values decode through the shard index."""
+    ds = make_ds(nt=8)
+    paths = split_ds_into_files(ds, str(tmp_path), items_per_file=2)
+    pattern = pattern_from_file_sequence(paths, "time", nitems_per_file=2, file_type="npz")
+    result = store_to_zarr(
+        spark, pattern, str(tmp_path / "t"), "sh.zarr",
+        target_chunks={"time": 2}, target_shards={"time": 4},
+    )
+    register_zarr_source(spark)
+    df = spark.read.format("zarr").load(result.path)
+    assert df.count() == 8 * 18 * 36
+    total = df.agg(F.sum("foo")).collect()[0][0]
+    assert abs(total - ds.data_vars["foo"].data.sum()) < 1e-6
+    # partition grain follows the outer (shard) grid: 8/4 = 2 along time
+    n_parts = df.rdd.getNumPartitions()
+    assert n_parts == 2
