@@ -235,3 +235,103 @@ def test_mq_coder_roundtrip_property(nbits, seed):
         enc.encode(int(b), int(cx))
     dec = MQDecoder(enc.flush())
     assert [dec.decode(int(c)) for c in ctxs] == list(bits)
+
+
+# ---------------------------------------------------------------------------
+# WARC record round-trip over randomized records
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 8),
+    compress=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_warc_roundtrip_property(tmp_path_factory, n, compress, seed):
+    import os
+
+    import numpy as np
+
+    from pangeo_forge_recipes_spark.sources.warc import (
+        parse_warc_records,
+        write_warc,
+    )
+
+    rng = np.random.RandomState(seed)
+    recs = []
+    for i in range(n):
+        body = rng.bytes(int(rng.randint(0, 2000)))
+        if rng.rand() < 0.5:
+            recs.append(
+                {
+                    "warc_type": "response",
+                    "target_uri": f"http://h{i}.test/p{i}",
+                    "http": {
+                        "status": int(rng.choice([200, 301, 404])),
+                        "content_type": "text/html",
+                        "payload": body,
+                    },
+                }
+            )
+        else:
+            recs.append(
+                {
+                    "warc_type": str(rng.choice(["resource", "metadata"])),
+                    "content_type": "application/octet-stream",
+                    "body": body,
+                }
+            )
+    tmp = tmp_path_factory.mktemp("warcp")
+    path = os.path.join(str(tmp), "t.warc.gz" if compress else "t.warc")
+    write_warc(path, recs, compress=compress)
+    parsed = list(parse_warc_records(open(path, "rb").read()))
+    assert len(parsed) == n
+    for rec, want in zip(parsed, recs):
+        assert rec["warc-type"] == want["warc_type"]
+        if "http" in want:
+            assert rec["body"].endswith(want["http"]["payload"])
+            assert rec["body"].startswith(b"HTTP/1.1")
+        else:
+            assert rec["body"] == want["body"]
+        assert int(rec["content-length"]) == len(rec["body"])
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: no false negatives, bounded false positives (randomized)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(1, 300),
+    fpp=st.sampled_from([0.1, 0.01, 0.001]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bloom_membership_property(n, fpp, seed):
+    import numpy as np
+
+    from pangeo_forge_recipes_spark.operators.bloom import (
+        _positions,
+        bloom_contains,
+        bloom_params,
+    )
+
+    rng = np.random.RandomState(seed)
+    m, k = bloom_params(n, fpp)
+    words = np.zeros(m // 64, dtype=np.uint64)
+    items = [f"item-{seed}-{i}" for i in range(n)]
+    for it in items:
+        pos = _positions(it, m, k)
+        np.bitwise_or.at(
+            words, pos // np.uint64(64),
+            np.uint64(1) << (pos % np.uint64(64)),
+        )
+    # zero false negatives, always
+    assert all(bloom_contains(words, m, k, it) for it in items)
+    # false-positive rate within a generous margin of the design point
+    probes = 2000
+    fp = sum(
+        bloom_contains(words, m, k, f"absent-{seed}-{j}") for j in range(probes)
+    )
+    assert fp / probes <= max(5 * fpp, 0.01)
