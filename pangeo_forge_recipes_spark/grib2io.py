@@ -236,11 +236,12 @@ def _parse_message(body: bytes, discipline: int, offset: int, total: int, path: 
                 msg["latin2"] = _sm_decode(_be(sec, 69, 4), 4) / 1e6
         elif sec_num == 4:
             tmpl = _be(sec, 7, 2)
-            if tmpl not in (0, 1, 8, 11):
+            if tmpl not in (0, 1, 2, 8, 11):
                 raise NotImplementedError(
                     f"{path}: product definition template {tmpl} unsupported "
                     "(supported: 4.0 instantaneous, 4.1 ensemble member, "
-                    "4.8 statistical interval, 4.11 ensemble + interval)"
+                    "4.2 derived ensemble, 4.8 statistical interval, "
+                    "4.11 ensemble + interval)"
                 )
             cat, num = sec[9], sec[10]
             msg["parameterCategory"] = cat
@@ -269,6 +270,16 @@ def _parse_message(body: bytes, discipline: int, offset: int, total: int, path: 
                 # perturbation (member) number, 37 = ensemble size
                 msg["number"] = sec[35]
                 msg["n_ens"] = sec[36]
+            if tmpl == 2:
+                # derived ensemble product: octet 35 = derived type
+                # (0 unweighted mean, 2/4 spread/stddev families),
+                # 36 = ensemble size
+                code = sec[34]
+                msg["derived_type"] = {
+                    0: "mean", 1: "wmean", 2: "spread", 3: "spread_norm",
+                    4: "spread",
+                }.get(code, f"derived_{code}")
+                msg["n_ens"] = sec[35]
             if tmpl in (8, 11):
                 # statistical processing over a time interval (octets
                 # shifted +3 for 4.11's ensemble block): the interval END
@@ -807,7 +818,12 @@ def _group_messages(
         Tuple[str, str], Dict[Tuple[float, Optional[int]], List[Optional[dict]]]
     ] = {}
     for m in selected:
-        per_key = buckets.setdefault((m["shortName"], m["typeOfLevel"]), {})
+        # derived ensemble products (template 4.2) become distinct
+        # variables: t_mean / t_spread next to the per-member t
+        sn = m["shortName"] + (
+            f"_{m['derived_type']}" if "derived_type" in m else ""
+        )
+        per_key = buckets.setdefault((sn, m["typeOfLevel"]), {})
         slots = per_key.setdefault((m["level"], m.get("number")), [None] * nt)
         i = t_index[m["valid_time"]]
         if slots[i] is not None:
@@ -1280,6 +1296,7 @@ def write_grib2(
     projection: Optional[dict] = None,
     statistics: Optional[Dict[str, Tuple[str, float]]] = None,
     grid: str = "latlon",
+    derived: Optional[Dict[str, Tuple[str, int]]] = None,
 ) -> None:
     """Write an NDDataset as GRIB2 (one message per variable per time
     step; grid template 3.0, product template 4.0). Variables must have
@@ -1306,6 +1323,8 @@ def write_grib2(
     levels = levels or {}
     param_map = param_map or {}
     statistics = statistics or {}
+    derived = derived or {}
+    _DERIVED_CODES = {"mean": 0, "wmean": 1, "spread": 4}
     _STAT_CODES = {"avg": 0, "accum": 1, "max": 2, "min": 3}
     for sname, (stype, _hrs) in statistics.items():
         if stype not in _STAT_CODES:
@@ -1573,7 +1592,20 @@ def write_grib2(
                 + bytes([lev_code, 0]) + int(lev_value).to_bytes(4, "big")
                 + bytes([0xFF, 0xFF]) + (0xFFFFFFFF).to_bytes(4, "big")
             )
-            if mi is not None and stat is not None:
+            if mi is None and name in derived:
+                dtype_name, n_in_ens = derived[name]
+                code = _DERIVED_CODES.get(dtype_name)
+                if code is None:
+                    raise ValueError(
+                        f"derived[{name!r}]: type {dtype_name!r} "
+                        f"(choose from {sorted(_DERIVED_CODES)})"
+                    )
+                sec4 = (
+                    (0).to_bytes(2, "big") + (2).to_bytes(2, "big")
+                    + sec4_common
+                    + bytes([code, int(n_in_ens)])
+                )
+            elif mi is not None and stat is not None:
                 # template 4.11: ensemble block then the interval block
                 stype, hrs = stat
                 sec4 = (

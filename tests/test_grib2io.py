@@ -895,3 +895,34 @@ def test_ensemble_statistical_template_411(tmp_path):
     np.testing.assert_array_equal(tv.data, ds.data_vars["t"].data)
     assert tv.attrs["stepType"] == "accum"
     np.testing.assert_array_equal(rt.coords["time"].data, ds.coords["time"].data)
+
+
+def test_derived_ensemble_template_42(tmp_path):
+    """Template 4.2: ensemble mean/spread as distinct variables next to
+    the per-member field."""
+    ds = make_ensemble_ds(nt=2, nm=3)
+    members = ds.data_vars["t"].data
+    mean = members.mean(axis=1)
+    mean = np.round(mean * 128) / 128
+    dds = NDDataset(
+        {"t_stat": Variable(("time", "latitude", "longitude"), mean)},
+        {k: v for k, v in ds.coords.items() if k != "number"},
+        {},
+        {k: v for k, v in ds.dims.items() if k != "number"},
+    )
+    p1 = str(tmp_path / "mem.grib2")
+    p2 = str(tmp_path / "mean.grib2")
+    write_grib2(p1, ds)
+    write_grib2(p2, dds, param_map={"t_stat": (0, 0, 0)},
+                derived={"t_stat": ("mean", 3)})
+    both = str(tmp_path / "all.grib2")
+    with open(both, "wb") as f:
+        f.write(open(p1, "rb").read() + open(p2, "rb").read())
+    msgs = scan_grib2_messages(both)
+    assert sum(1 for m in msgs if m.get("derived_type") == "mean") == 2
+    rt = read_grib2(both)
+    assert set(rt.data_vars) == {"t", "t_mean"}
+    assert tuple(rt.data_vars["t"].dims) == ("time", "number", "latitude", "longitude")
+    assert tuple(rt.data_vars["t_mean"].dims) == ("time", "latitude", "longitude")
+    np.testing.assert_array_equal(rt.data_vars["t_mean"].data, mean)
+    np.testing.assert_array_equal(rt.data_vars["t"].data, members)
