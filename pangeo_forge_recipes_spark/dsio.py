@@ -118,6 +118,14 @@ def schema_to_zarr(
                 new_shape[axis] += grow  # existing + new — NOT idempotent,
                 # matching the reference's append warning (transforms.py:680-684)
                 arr.resize(new_shape)
+        # resizes make any consolidated metadata stale — drop it so readers
+        # fall back to per-array documents until the post-pass rebuilds it
+        if group.v2:
+            if store.exists(".zmetadata"):
+                store.rm_prefix(".zmetadata")
+            group._consolidated = None
+        elif group.meta.pop("consolidated_metadata", None) is not None:
+            group.flush_meta()
         return store
 
     dataset_attrs = dict(schema["attrs"])

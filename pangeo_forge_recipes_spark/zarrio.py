@@ -758,7 +758,28 @@ class ZarrGroup:
             return
         self.store.put(ZARR_JSON, json.dumps(self.meta, indent=1).encode())
 
+    _consolidated: Optional[dict] = None  # v2 .zmetadata cache
+
+    def _consolidated_v3(self) -> Optional[dict]:
+        cm = self.meta.get("consolidated_metadata")
+        if cm and cm.get("metadata"):
+            return cm["metadata"]
+        return None
+
     def array_names(self) -> List[str]:
+        # consolidated metadata (either format) answers without a listing
+        # — the object-store fast path (one GET vs N)
+        con = self._consolidated_v3()
+        if con is not None:
+            return sorted(
+                n for n, m in con.items() if m.get("node_type") == "array"
+            )
+        if self.v2 and self._consolidated is not None:
+            return sorted(
+                k.split("/")[0]
+                for k in self._consolidated
+                if k.endswith("/.zarray")
+            )
         marker = ".zarray" if self.v2 else ZARR_JSON
         names = set()
         for key in self.store.list_prefix(""):
@@ -773,14 +794,23 @@ class ZarrGroup:
 
     def __getitem__(self, name: str) -> ZarrArray:
         if self.v2:
-            zarray = json.loads(self.store.get(f"{name}/.zarray"))
-            zattrs = (
-                json.loads(self.store.get(f"{name}/.zattrs"))
-                if self.store.exists(f"{name}/.zattrs")
-                else {}
-            )
+            con = self._consolidated or {}
+            zarray = con.get(f"{name}/.zarray")
+            if zarray is None:
+                zarray = json.loads(self.store.get(f"{name}/.zarray"))
+                zattrs = (
+                    json.loads(self.store.get(f"{name}/.zattrs"))
+                    if self.store.exists(f"{name}/.zattrs")
+                    else {}
+                )
+            else:
+                zattrs = con.get(f"{name}/.zattrs", {})
             return ZarrArray(self.store, name, _v2_to_v3_array_meta(zarray, zattrs))
-        meta = json.loads(self.store.get(f"{name}/{ZARR_JSON}"))
+        con3 = self._consolidated_v3()
+        if con3 is not None and name in con3:
+            meta = con3[name]
+        else:
+            meta = json.loads(self.store.get(f"{name}/{ZARR_JSON}"))
         if meta.get("node_type") != "array":
             raise KeyError(f"{name} is not an array")
         return ZarrArray(self.store, name, meta)
@@ -961,13 +991,22 @@ def open_group(path_or_store) -> ZarrGroup:
         zg = json.loads(store.get(".zgroup"))
         if zg.get("zarr_format") != 2:
             raise ValueError(f"unexpected .zgroup zarr_format {zg!r}")
-        attrs = (
-            json.loads(store.get(".zattrs")) if store.exists(".zattrs") else {}
-        )
+        consolidated = None
+        if store.exists(".zmetadata"):
+            zm = json.loads(store.get(".zmetadata"))
+            if zm.get("zarr_consolidated_format") == 1:
+                consolidated = zm.get("metadata", {})
+        if consolidated is not None and ".zattrs" in consolidated:
+            attrs = consolidated[".zattrs"]
+        else:
+            attrs = (
+                json.loads(store.get(".zattrs")) if store.exists(".zattrs") else {}
+            )
         group = ZarrGroup(
             store, {"zarr_format": 2, "node_type": "group", "attributes": attrs}
         )
         group.v2 = True
+        group._consolidated = consolidated
         return group
     raise ValueError("neither a zarr v3 (zarr.json) nor v2 (.zgroup) store")
 

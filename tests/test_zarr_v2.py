@@ -259,3 +259,68 @@ def test_v2_write_rejects_shards(tmp_path):
     g = create_group(str(tmp_path / "s2.zarr"), zarr_format=2)
     with pytest.raises(NotImplementedError, match="v3"):
         g.create_array("x", shape=(4,), chunks=[2], shards=[4], dtype="int64")
+
+
+def test_consolidated_metadata_read_paths(tmp_path):
+    """Both formats serve group/array metadata from the consolidated
+    document when present — no per-array GETs, no listing."""
+    import json
+
+    import numpy as np
+
+    from pangeo_forge_recipes_spark.zarrio import (
+        consolidate_metadata,
+        create_group,
+        open_group,
+    )
+
+    for fmt in (2, 3):
+        root = str(tmp_path / f"c{fmt}.zarr")
+        g = create_group(root, attrs={"title": "x"}, zarr_format=fmt)
+        arr = g.create_array("foo", shape=(4, 3), chunks=[2, 3],
+                             dtype="float64", fill_value=0.0,
+                             dimension_names=["a", "b"])
+        data = np.arange(12, dtype="float64").reshape(4, 3)
+        arr[:, :] = data
+        consolidate_metadata(root)
+        g2 = open_group(root)
+        # break the per-array metadata on disk: a consolidated read must
+        # not touch it
+        import os
+        child = os.path.join(
+            root, "foo", ".zarray" if fmt == 2 else "zarr.json"
+        )
+        os.rename(child, child + ".hidden")
+        assert g2.array_names() == ["foo"]
+        np.testing.assert_array_equal(g2["foo"].read(), data)
+        os.rename(child + ".hidden", child)
+
+
+def test_append_invalidates_consolidated_metadata(spark, tmp_path):
+    import json
+
+    from pangeo_forge_recipes_spark import pattern_from_file_sequence, store_to_zarr
+    from pangeo_forge_recipes_spark.dsio import open_zarr_group, write_npz
+    from tests.data_generation import make_ds
+
+    ds = make_ds(nt=8)
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"a{i}.npz")
+        write_npz(p, ds.isel(time=slice(2 * i, 2 * i + 2)))
+        paths.append(p)
+    first = pattern_from_file_sequence(paths[:2], "time", nitems_per_file=2, file_type="npz")
+    rest = pattern_from_file_sequence(paths[2:], "time", nitems_per_file=2, file_type="npz")
+    store_to_zarr(spark, first, str(tmp_path), "ac.zarr",
+                  target_chunks={"time": 2}, zarr_format=2,
+                  consolidate_coords=False)
+    # .zmetadata written by the first run must not poison the append
+    assert (tmp_path / "ac.zarr" / ".zmetadata").exists()
+    store_to_zarr(spark, rest, str(tmp_path), "ac.zarr",
+                  target_chunks={"time": 2}, append_dim="time",
+                  zarr_format=2, consolidate_coords=False)
+    got = open_zarr_group(str(tmp_path / "ac.zarr"))
+    assert got.dims["time"] == 8
+    # the post-pass rebuilt it with the grown shape
+    zm = json.load(open(tmp_path / "ac.zarr" / ".zmetadata"))
+    assert zm["metadata"]["foo/.zarray"]["shape"][0] == 8
