@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     dedup,
     dsir,
     filters,
+    lmscore,
     multimodal,
     ranges,
     similarity,
