@@ -65,6 +65,17 @@ class Store:
     def rm_prefix(self, prefix: str) -> None:
         raise NotImplementedError
 
+    # range access — the object-store byte-range GET. Subclasses should
+    # override both for real partial reads; the defaults are correct but
+    # fetch the whole value.
+    def size(self, key: str) -> int:
+        return len(self.get(key))
+
+    def get_range(self, key: str, offset: int, length: int) -> bytes:
+        if offset < 0:  # suffix range, à la HTTP "bytes=-N"
+            return self.get(key)[offset:]
+        return self.get(key)[offset : offset + length]
+
 
 class LocalStore(Store):
     """Filesystem-backed store rooted at a directory."""
@@ -108,6 +119,17 @@ class LocalStore(Store):
             shutil.rmtree(base)
         elif os.path.exists(base):
             os.remove(base)
+
+    def size(self, key: str) -> int:
+        return os.path.getsize(self._path(key))
+
+    def get_range(self, key: str, offset: int, length: int) -> bytes:
+        with open(self._path(key), "rb") as f:
+            if offset < 0:
+                f.seek(offset, os.SEEK_END)
+                return f.read()
+            f.seek(offset)
+            return f.read(length)
 
 
 def _store_for(path_or_store) -> Store:
@@ -415,6 +437,61 @@ class ZarrArray:
                 buf = co.compress(buf) + co.flush()
         return buf
 
+    def _read_shard_selected(
+        self, key: str, needed: set
+    ) -> np.ndarray:
+        """Partial shard read: byte-range GET of the index plus ONLY the
+        needed inner chunks — on an object store a region read touches
+        O(index + requested chunks) bytes, not the whole shard object."""
+        from .codecs import crc32c as _crc32c
+
+        cfg = self._sharding
+        inner_shape = tuple(int(c) for c in cfg["chunk_shape"])
+        grid, index_nbytes, has_crc = self._shard_layout()
+        if cfg.get("index_location", "end") == "start":
+            index_buf = self.store.get_range(key, 0, index_nbytes)
+        else:
+            index_buf = self.store.get_range(key, -index_nbytes, index_nbytes)
+        if has_crc:
+            stored = int.from_bytes(index_buf[-4:], "little")
+            if _crc32c(index_buf[:-4]) != stored:
+                raise ValueError("shard index crc32c mismatch")
+            index_buf = index_buf[:-4]
+        entries = np.frombuffer(index_buf, dtype="<u8").reshape(-1, 2)
+        inner = self._inner_array()
+        out = np.full(self.chunks, self.fill_value, dtype=self.dtype)
+        for flat, idx in enumerate(
+            itertools.product(*[range(g) for g in grid])
+        ):
+            if idx not in needed:
+                continue
+            off, nb = int(entries[flat, 0]), int(entries[flat, 1])
+            if off == self._SHARD_MISSING:
+                continue
+            block = inner._decode_chunk(self.store.get_range(key, off, nb))
+            sl = tuple(
+                slice(i * c, min((i + 1) * c, s))
+                for i, c, s in zip(idx, inner_shape, self.chunks)
+            )
+            out[sl] = block[tuple(slice(0, s.stop - s.start) for s in sl)]
+        return out
+
+    def _shard_chunks_for(
+        self, rel_start: Sequence[int], rel_stop: Sequence[int]
+    ) -> Tuple[set, int]:
+        """(inner-chunk indices intersecting the within-shard region,
+        total inner chunks in the shard)."""
+        cfg = self._sharding
+        inner_shape = tuple(int(c) for c in cfg["chunk_shape"])
+        grid, _, _ = self._shard_layout()
+        ranges = [
+            range(a // c, -(-b // c))
+            for a, b, c in zip(rel_start, rel_stop, inner_shape)
+        ]
+        return set(itertools.product(*ranges)), int(
+            np.prod(grid, dtype=np.int64)
+        )
+
     def _decode_chunk(self, buf: bytes) -> np.ndarray:
         if self._sharding is not None:
             return self._decode_shard(buf)
@@ -572,7 +649,17 @@ class ZarrArray:
             o_start = [max(cs, sl.start) for cs, sl in zip(c_start, region)]
             o_stop = [min(ce, sl.stop) for ce, sl in zip(c_stop, region)]
             if self.store.exists(key):
-                chunk_data = self._decode_chunk(self.store.get(key))
+                if self._sharding is not None:
+                    needed, total = self._shard_chunks_for(
+                        [a - cs for a, cs in zip(o_start, c_start)],
+                        [b - cs for b, cs in zip(o_stop, c_start)],
+                    )
+                    if len(needed) < total:
+                        chunk_data = self._read_shard_selected(key, needed)
+                    else:
+                        chunk_data = self._decode_chunk(self.store.get(key))
+                else:
+                    chunk_data = self._decode_chunk(self.store.get(key))
             else:
                 chunk_data = self._full_chunk()
             in_chunk = tuple(

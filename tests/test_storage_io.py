@@ -459,3 +459,48 @@ def test_store_to_zarr_sharded_append(spark, tmp_path):
     )
     got = open_zarr_group(str(tmp_path / "sa.zarr"))
     assert_equal(got, ds, check_attrs=False)
+
+
+def test_sharded_partial_reads_touch_only_needed_bytes(tmp_path):
+    """Region reads over a sharded array range-read the index plus ONLY
+    the intersecting inner chunks — never the whole shard object."""
+    import numpy as np
+
+    from pangeo_forge_recipes_spark import zarrio
+    from pangeo_forge_recipes_spark.zarrio import LocalStore, create_group, open_group
+
+    root = str(tmp_path / "pr.zarr")
+    g = create_group(root)
+    arr = g.create_array("x", shape=(16, 16), chunks=[2, 2], shards=[16, 16],
+                         dtype="float64", fill_value=0.0, compressor="gzip")
+    data = np.arange(256, dtype="float64").reshape(16, 16)
+    arr[:, :] = data
+
+    calls = {"get": 0, "range": 0, "range_bytes": 0}
+
+    class SpyStore(LocalStore):
+        def get(self, key):
+            if "/c" in key:
+                calls["get"] += 1
+            return super().get(key)
+
+        def get_range(self, key, offset, length):
+            calls["range"] += 1
+            out = super().get_range(key, offset, length)
+            calls["range_bytes"] += len(out)
+            return out
+
+    a = open_group(SpyStore(root))["x"]
+    sub = a[3:5, 3:5]  # touches 4 of 64 inner chunks
+    np.testing.assert_array_equal(sub, data[3:5, 3:5])
+    assert calls["get"] == 0  # whole-object GET never issued
+    # index read + 4 inner-chunk reads
+    assert calls["range"] == 5
+    obj_size = a.store.size(a._key((0, 0)))
+    # bytes touched = index (64 entries x 16 B + crc) + 4 tiny chunks —
+    # strictly less than the whole object despite the index floor
+    assert calls["range_bytes"] < obj_size * 0.6
+    # full-coverage reads still use the single whole-object GET
+    calls.update(get=0, range=0, range_bytes=0)
+    np.testing.assert_array_equal(a[:, :], data)
+    assert calls["get"] == 1 and calls["range"] == 0
