@@ -236,12 +236,12 @@ def _parse_message(body: bytes, discipline: int, offset: int, total: int, path: 
                 msg["latin2"] = _sm_decode(_be(sec, 69, 4), 4) / 1e6
         elif sec_num == 4:
             tmpl = _be(sec, 7, 2)
-            if tmpl not in (0, 1, 2, 8, 11):
+            if tmpl not in (0, 1, 2, 5, 8, 9, 11):
                 raise NotImplementedError(
                     f"{path}: product definition template {tmpl} unsupported "
                     "(supported: 4.0 instantaneous, 4.1 ensemble member, "
-                    "4.2 derived ensemble, 4.8 statistical interval, "
-                    "4.11 ensemble + interval)"
+                    "4.2 derived ensemble, 4.5/4.9 probability forecasts, "
+                    "4.8 statistical interval, 4.11 ensemble + interval)"
                 )
             cat, num = sec[9], sec[10]
             msg["parameterCategory"] = cat
@@ -280,11 +280,41 @@ def _parse_message(body: bytes, discipline: int, offset: int, total: int, path: 
                     4: "spread",
                 }.get(code, f"derived_{code}")
                 msg["n_ens"] = sec[35]
-            if tmpl in (8, 11):
+            if tmpl in (5, 9):
+                # probability forecast: octets 35/36 = forecast/total
+                # number, 37 = probability type (0 below lower, 1 above
+                # lower, 2 between, 3 above upper, 4 below upper),
+                # 38-42 lower (scale + scaled value), 43-47 upper
+                ptype = sec[36]
+
+                def _thresh(scale_off: int) -> Optional[float]:
+                    scale, val = sec[scale_off], _be(sec, scale_off + 1, 4)
+                    if val == 0xFFFFFFFF:
+                        return None
+                    return _sm_decode(val, 4) / 10 ** _sm_decode(scale, 1)
+
+                lower, upper = _thresh(37), _thresh(42)
+                msg["probability_type"] = ptype
+                if lower is not None:
+                    msg["prob_lower"] = lower
+                if upper is not None:
+                    msg["prob_upper"] = upper
+                # distinct variable per threshold definition, cfgrib-style
+                lim = (
+                    f"gt{lower:g}" if ptype in (1, 3) and lower is not None
+                    else f"lt{upper if upper is not None else lower:g}"
+                    if ptype in (0, 4)
+                    else f"{lower:g}-{upper:g}"
+                    if lower is not None and upper is not None
+                    else "p"
+                )
+                msg["derived_type"] = f"prob_{lim}"
+            if tmpl in (8, 9, 11):
                 # statistical processing over a time interval (octets
-                # shifted +3 for 4.11's ensemble block): the interval END
-                # (= the valid time for accumulations) + the process code
-                off = 3 if tmpl == 11 else 0
+                # shifted +3 for 4.11's ensemble block, +13 for 4.9's
+                # probability block): the interval END (= the valid time
+                # for accumulations) + the process code
+                off = {8: 0, 9: 13, 11: 3}[tmpl]
                 year = _be(sec, 34 + off, 2)
                 msg["interval_end"] = np.datetime64(
                     f"{year:04d}-{sec[36 + off]:02d}-{sec[37 + off]:02d}"
@@ -1297,6 +1327,7 @@ def write_grib2(
     statistics: Optional[Dict[str, Tuple[str, float]]] = None,
     grid: str = "latlon",
     derived: Optional[Dict[str, Tuple[str, int]]] = None,
+    probability: Optional[Dict[str, Tuple[int, Optional[float], Optional[float], int]]] = None,
 ) -> None:
     """Write an NDDataset as GRIB2 (one message per variable per time
     step; grid template 3.0, product template 4.0). Variables must have
@@ -1324,7 +1355,16 @@ def write_grib2(
     param_map = param_map or {}
     statistics = statistics or {}
     derived = derived or {}
+    probability = probability or {}
     _DERIVED_CODES = {"mean": 0, "wmean": 1, "spread": 4}
+
+    def _thresh_bytes(v: Optional[float]) -> bytes:
+        if v is None:
+            return bytes([0xFF]) + (0xFFFFFFFF).to_bytes(4, "big")
+        scale = 6
+        return bytes([_sm_encode(scale, 1)]) + _sm_encode(
+            int(round(v * 10 ** scale)), 4
+        ).to_bytes(4, "big")
     _STAT_CODES = {"avg": 0, "accum": 1, "max": 2, "min": 3}
     for sname, (stype, _hrs) in statistics.items():
         if stype not in _STAT_CODES:
@@ -1592,7 +1632,16 @@ def write_grib2(
                 + bytes([lev_code, 0]) + int(lev_value).to_bytes(4, "big")
                 + bytes([0xFF, 0xFF]) + (0xFFFFFFFF).to_bytes(4, "big")
             )
-            if mi is None and name in derived:
+            if mi is None and name in probability:
+                ptype, lo, hi, n_in_ens = probability[name]
+                sec4 = (
+                    (0).to_bytes(2, "big") + (5).to_bytes(2, "big")
+                    + sec4_common
+                    + bytes([0, int(n_in_ens), int(ptype)])
+                    + _thresh_bytes(lo)
+                    + _thresh_bytes(hi)
+                )
+            elif mi is None and name in derived:
                 dtype_name, n_in_ens = derived[name]
                 code = _DERIVED_CODES.get(dtype_name)
                 if code is None:

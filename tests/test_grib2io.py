@@ -926,3 +926,30 @@ def test_derived_ensemble_template_42(tmp_path):
     assert tuple(rt.data_vars["t_mean"].dims) == ("time", "latitude", "longitude")
     np.testing.assert_array_equal(rt.data_vars["t_mean"].data, mean)
     np.testing.assert_array_equal(rt.data_vars["t"].data, members)
+
+
+def test_probability_template_45(tmp_path):
+    """Template 4.5: probability-of-exceedance fields become distinct
+    threshold-suffixed variables (GEFS PQPF shape)."""
+    ds = make_grib_ds(nt=2)
+    prob = np.round(np.clip(ds.data_vars["t"].data / 400.0, 0, 1) * 128) / 128
+    pds = NDDataset(
+        {"p": Variable(("time", "latitude", "longitude"), prob)},
+        ds.coords, {}, ds.dims,
+    )
+    path = str(tmp_path / "prob.grib2")
+    write_grib2(
+        path, pds,
+        param_map={"p": (0, 1, 8)},
+        probability={"p": (1, 25.0, None, 30)},  # P(x > 25mm), 30 members
+    )
+    msgs = scan_grib2_messages(path)
+    assert all(m["probability_type"] == 1 for m in msgs)
+    assert all(m["prob_lower"] == 25.0 for m in msgs)
+    rt = read_grib2(path)
+    (name,) = rt.data_vars
+    assert name.endswith("_prob_gt25")
+    np.testing.assert_array_equal(rt.data_vars[name].data, prob)
+    # filter on the probability family via shortName still works
+    sch = grib2_schema(path)
+    assert list(sch["data_vars"]) == [name]
