@@ -28,6 +28,7 @@ from .patterns import (
     FileType,
     MergeDim,
     pattern_from_file_sequence,
+    pattern_from_glob,
 )
 from .rechunking import combine_fragments, split_fragment
 from .session import get_spark

@@ -254,3 +254,29 @@ def pattern_from_file_sequence(
         return file_list[kw[concat_dim]]
 
     return FilePattern(format_function, concat, **kwargs)
+
+
+def pattern_from_glob(
+    pathname: str,
+    concat_dim: str,
+    nitems_per_file: Optional[int] = None,
+    **kwargs,
+) -> FilePattern:
+    """1-D concat pattern over a local glob, in natural sort order (file
+    sequences like ``f2`` / ``f10`` order numerically, not
+    lexicographically — the archival-file-naming convention)."""
+    import glob as _glob
+    import re as _re
+
+    def natural(key: str):
+        return [
+            int(part) if part.isdigit() else part
+            for part in _re.split(r"(\d+)", key)
+        ]
+
+    files = sorted(_glob.glob(pathname), key=natural)
+    if not files:
+        raise FileNotFoundError(f"glob {pathname!r} matched no files")
+    return pattern_from_file_sequence(
+        files, concat_dim, nitems_per_file=nitems_per_file, **kwargs
+    )

@@ -339,3 +339,34 @@ def test_dynamic_chunking(spark, tmp_path):
 
     assert open_group(result.path)["foo"].chunks[0] == 5
     assert_equal(result.open(), ds)
+
+
+def test_pattern_from_glob_natural_order(tmp_path, spark):
+    import numpy as np
+
+    from pangeo_forge_recipes_spark import store_to_zarr
+    from pangeo_forge_recipes_spark.dsio import write_npz
+    from pangeo_forge_recipes_spark.ndset import assert_equal
+    from pangeo_forge_recipes_spark.patterns import pattern_from_glob
+
+    from .data_generation import make_ds
+
+    ds = make_ds(nt=12)
+    # file names whose lexicographic order differs from numeric order
+    for i in range(6):
+        write_npz(str(tmp_path / f"f{i * 2}.npz"), ds.isel(time=slice(2 * i, 2 * i + 2)))
+    pattern = pattern_from_glob(
+        str(tmp_path / "f*.npz"), "time", nitems_per_file=2, file_type="npz"
+    )
+    urls = [url for _, url in pattern.items()]
+    assert [u.rsplit("/", 1)[-1] for u in urls] == [
+        "f0.npz", "f2.npz", "f4.npz", "f6.npz", "f8.npz", "f10.npz"
+    ]
+    result = store_to_zarr(
+        spark, pattern, str(tmp_path), "g.zarr", target_chunks={"time": 4}
+    )
+    assert_equal(result.open(), ds, check_attrs=False)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        pattern_from_glob(str(tmp_path / "none*.npz"), "time")
