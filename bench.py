@@ -110,10 +110,15 @@ def _bench_zarr_pipeline(spark) -> dict:
         pattern = pattern_from_file_sequence(
             paths, "time", nitems_per_file=8, file_type="npz"
         )
-        # best-of-2 (same policy as the queries): first run pays the python
-        # worker warm-up for this stage shape. chunks=16 spans two 8-step
-        # files → the true rechunk shuffle; chunks=8 aligns with files →
-        # the zero-shuffle fast path
+        # untimed warm run first: absorbs python-worker spawn for this
+        # stage shape AND any adjacent-process churn (a JVM shutting down
+        # next door was measured to 3-5x all three timed runs)
+        store_to_zarr(
+            spark, pattern, tmp, "bench_warm.zarr", target_chunks={"time": 16}
+        )
+        # best-of-3 (same policy as the queries). chunks=16 spans two
+        # 8-step files → the true rechunk shuffle; chunks=8 aligns with
+        # files → the zero-shuffle fast path
         out = {}
         for label, chunk in (("shuffled", 16), ("aligned", 8)):
             wall, mb = None, 0.0
