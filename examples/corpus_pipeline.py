@@ -13,6 +13,13 @@ all-pairs), and the split is an md5 bucket — stable across runs and
 partitionings, which is what makes a 100 TB resplit reproducible.
 
 Run: PYTHONPATH=/root/repo python examples/corpus_pipeline.py
+
+See also examples/warc_ingest.py (WARC -> text -> broadcast-Bloom
+incremental dedup) and the further selection operators this pipeline
+composes with: operators/lmscore.py (CCNet-shaped LM quality filter),
+operators/dsir.py (target-distribution importance resampling),
+operators/urls.py (URL-level dedup), operators/packing.py
+(context-window chunking + sequence packing).
 """
 
 from __future__ import annotations
