@@ -941,10 +941,38 @@ def encode_j2k(
     return bytes(out)
 
 
+_JP2_SIG = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+
+
+def _unwrap_jp2(data: bytes) -> bytes:
+    """Extract the raw codestream from a JP2 box container (ISO 15444-1
+    annex I): walk the box sequence to the ``jp2c`` box."""
+    pos = 0
+    n = len(data)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        btype = data[pos + 4 : pos + 8]
+        header = 8
+        if length == 1:  # 64-bit extended length
+            (length,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            header = 16
+        elif length == 0:  # box runs to end of file
+            length = n - pos
+        if btype == b"jp2c":
+            return data[pos + header : pos + length]
+        if length < header:
+            break
+        pos += length
+    raise ValueError("JP2 container holds no jp2c codestream box")
+
+
 def decode_j2k(data: bytes) -> Tuple[np.ndarray, int, bool]:
     """Decode a J2K codestream of the supported subset; returns
-    (2-D int64 array, bit depth, signed)."""
+    (2-D int64 array, bit depth, signed). Accepts both raw codestreams
+    (SOC-first — what GRIB carries) and JP2 box containers."""
     data = bytes(data)
+    if data.startswith(_JP2_SIG):
+        data = bytes(_unwrap_jp2(data))
     if len(data) < 4 or struct.unpack(">H", data[:2])[0] != _SOC:
         raise ValueError("not a J2K codestream (missing SOC)")
     pos = 2

@@ -136,6 +136,70 @@ class NDDataset:
             new_dims[d] = len(range(*sl.indices(n))) if sl is not None else n
         return NDDataset(dv, co, dict(self.attrs), new_dims)
 
+    def sel(
+        self,
+        indexers: Optional[Dict[str, object]] = None,
+        method: Optional[str] = None,
+        **kw,
+    ) -> "NDDataset":
+        """Label-based selection over dimension coordinates (the
+        ``xr.Dataset.sel`` subset users reach for after ``isel``): values
+        or slices of coordinate LABELS, resolved to positions against the
+        1-D dimension coordinate. ``method=None`` requires exact matches;
+        ``method="nearest"`` snaps scalars to the closest label. Label
+        slices are inclusive on both ends, following xarray."""
+        indexers = {**(indexers or {}), **kw}
+        positional: Dict[str, slice] = {}
+        for dim, sel in indexers.items():
+            coord = self.coords.get(dim)
+            if coord is None or list(coord.dims) != [dim]:
+                raise KeyError(
+                    f"sel needs a 1-D dimension coordinate for {dim!r}"
+                )
+            labels = np.asarray(coord.data)
+            def _locate(value) -> int:
+                v = np.asarray(value, dtype=labels.dtype)
+                if method == "nearest":
+                    if labels[0] <= labels[-1]:
+                        i = int(np.searchsorted(labels, v))
+                    else:  # descending coordinate (lat N->S)
+                        i = len(labels) - int(
+                            np.searchsorted(labels[::-1], v, side="right")
+                        )
+                    cands = [j for j in (i - 1, i) if 0 <= j < len(labels)]
+                    return min(
+                        cands, key=lambda j: abs(
+                            (labels[j] - v).astype("timedelta64[ns]").astype(np.int64)
+                            if labels.dtype.kind == "M"
+                            else labels[j] - v
+                        )
+                    )
+                hits = np.nonzero(labels == v)[0]
+                if not len(hits):
+                    raise KeyError(f"{value!r} not found in coordinate {dim!r}")
+                return int(hits[0])
+
+            if isinstance(sel, slice):
+                if sel.step is not None:
+                    raise NotImplementedError("stepped label slices unsupported")
+                lo = 0 if sel.start is None else None
+                hi = len(labels) if sel.stop is None else None
+                asc = len(labels) < 2 or labels[0] <= labels[-1]
+                arr = labels if asc else labels[::-1]
+                if lo is None:
+                    p = int(np.searchsorted(arr, np.asarray(sel.start, dtype=labels.dtype), side="left"))
+                    lo = p if asc else len(labels) - int(np.searchsorted(arr, np.asarray(sel.start, dtype=labels.dtype), side="right"))
+                if hi is None:
+                    if asc:
+                        hi = int(np.searchsorted(arr, np.asarray(sel.stop, dtype=labels.dtype), side="right"))
+                    else:
+                        hi = len(labels) - int(np.searchsorted(arr, np.asarray(sel.stop, dtype=labels.dtype), side="left"))
+                positional[dim] = slice(lo, hi)
+            else:
+                i = _locate(sel)
+                positional[dim] = slice(i, i + 1)
+        return self.isel(positional)
+
     # -- schema / serialization ----------------------------------------------
     def to_dict(self) -> dict:
         """Data-free description matching

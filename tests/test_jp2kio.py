@@ -204,3 +204,29 @@ def test_multimodal_decode_image_j2k(spark):
         np.testing.assert_allclose(
             np.array(out[i]), im.ravel() / 255.0, atol=1e-6
         )
+
+
+def test_jp2_container_unwrap():
+    """decode_j2k accepts JP2 box containers (signature + ftyp + jp2h +
+    jp2c) as well as raw codestreams."""
+    import struct as _struct
+
+    rng = np.random.RandomState(6)
+    img = rng.randint(0, 256, size=(9, 7)).astype(np.int64)
+    stream = J.encode_j2k(img, depth=8, levels=1)
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return _struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    jp2 = (
+        b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+        + box(b"ftyp", b"jp2 \x00\x00\x00\x00jp2 ")
+        + box(b"jp2h", box(b"ihdr", b"\x00" * 14))
+        + box(b"jp2c", stream)
+    )
+    out, depth, signed = J.decode_j2k(jp2)
+    assert depth == 8 and not signed
+    np.testing.assert_array_equal(out, img)
+    # container with no codestream box
+    with pytest.raises(ValueError, match="jp2c"):
+        J.decode_j2k(b"\x00\x00\x00\x0cjP  \r\n\x87\n" + box(b"ftyp", b"x"))

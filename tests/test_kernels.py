@@ -371,3 +371,67 @@ def test_encode_cf_datetime_ns_precision_exact():
     # floor semantics for coarser units (CF encode truncates toward -inf)
     d = np.array(["2010-01-02T18:00:00"], dtype="datetime64[ns]")
     assert encode_cf_datetime(d, "days since 2010-01-01")[0] == 1
+
+
+# ---------------------------------------------------------------------------
+# label-based selection (NDDataset.sel)
+# ---------------------------------------------------------------------------
+
+
+def _sel_ds():
+    import numpy as np
+
+    from pangeo_forge_recipes_spark.ndset import NDDataset, Variable
+
+    nt, nlat = 6, 5
+    time = np.datetime64("2024-01-01", "ns") + np.arange(nt) * np.timedelta64(1, "D")
+    lat = np.linspace(60.0, 20.0, nlat)  # descending, GRIB-style
+    data = np.arange(nt * nlat, dtype="float64").reshape(nt, nlat)
+    return NDDataset(
+        {"t": Variable(("time", "lat"), data)},
+        {"time": Variable(("time",), time), "lat": Variable(("lat",), lat)},
+        {}, {"time": nt, "lat": nlat},
+    ), data, time, lat
+
+
+def test_sel_exact_scalar_and_slice():
+    import numpy as np
+
+    ds, data, time, lat = _sel_ds()
+    one = ds.sel({"time": time[2]})
+    np.testing.assert_array_equal(one.data_vars["t"].data, data[2:3])
+    # inclusive label slice on ascending time
+    sub = ds.sel(time=slice(time[1], time[3]))
+    np.testing.assert_array_equal(sub.data_vars["t"].data, data[1:4])
+    np.testing.assert_array_equal(sub.coords["time"].data, time[1:4])
+    # open-ended
+    np.testing.assert_array_equal(
+        ds.sel(time=slice(time[4], None)).data_vars["t"].data, data[4:]
+    )
+
+
+def test_sel_descending_coordinate():
+    import numpy as np
+
+    ds, data, time, lat = _sel_ds()
+    # xarray convention on a descending coord: slice(high, low)
+    sub = ds.sel(lat=slice(50.0, 30.0))
+    np.testing.assert_array_equal(sub.coords["lat"].data, lat[1:4])
+    np.testing.assert_array_equal(sub.data_vars["t"].data, data[:, 1:4])
+    one = ds.sel(lat=40.0)
+    np.testing.assert_array_equal(one.coords["lat"].data, [40.0])
+
+
+def test_sel_nearest_and_errors():
+    import numpy as np
+    import pytest as _pytest
+
+    ds, data, time, lat = _sel_ds()
+    near = ds.sel({"lat": 42.0}, method="nearest")
+    np.testing.assert_array_equal(near.coords["lat"].data, [40.0])
+    tnear = ds.sel({"time": time[1] + np.timedelta64(5, "h")}, method="nearest")
+    np.testing.assert_array_equal(tnear.coords["time"].data, time[1:2])
+    with _pytest.raises(KeyError, match="not found"):
+        ds.sel(lat=41.0)
+    with _pytest.raises(KeyError, match="dimension coordinate"):
+        ds.sel(bogus=1)
