@@ -545,3 +545,44 @@ def verify_zarr(spark, store_or_path, check_values: bool = True):
         "array string, chunk_key string, exists boolean, ok boolean, "
         "nbytes long, error string",
     )
+
+
+def store_summary(store_or_path) -> dict:
+    """Operational description of a Zarr store: per-array shape, chunk
+    and shard grids, codecs, stored-object count and bytes, compression
+    ratio. Metadata + listing only — no chunk is decoded."""
+    group = open_group(_store_for(store_or_path))
+    out: dict = {"zarr_format": 2 if group.v2 else 3, "arrays": {}}
+    total_stored = 0
+    total_logical = 0
+    for name in group.array_names():
+        arr = group[name]
+        keys = [
+            k
+            for k in group.store.list_prefix(f"{name}/")
+            if not k.endswith((".zarray", ".zattrs", "zarr.json"))
+        ]
+        stored = sum(group.store.size(k) for k in keys)
+        logical = int(np.prod(arr.shape, dtype=np.int64)) * arr.dtype.itemsize
+        sharding = arr._sharding
+        entry = {
+            "shape": list(arr.shape),
+            "dtype": str(arr.dtype),
+            "chunks": list(
+                sharding["chunk_shape"] if sharding else arr.chunks
+            ),
+            "codecs": [c["name"] for c in arr.meta["codecs"]],
+            "n_objects": len(keys),
+            "stored_bytes": stored,
+            "logical_bytes": logical,
+            "ratio": round(logical / stored, 2) if stored else None,
+        }
+        if sharding:
+            entry["shards"] = list(arr.chunks)
+        out["arrays"][name] = entry
+        total_stored += stored
+        total_logical += logical
+    out["stored_bytes"] = total_stored
+    out["logical_bytes"] = total_logical
+    out["n_objects"] = sum(a["n_objects"] for a in out["arrays"].values())
+    return out

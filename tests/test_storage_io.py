@@ -522,3 +522,26 @@ def test_memory_store_contract(tmp_path):
     assert store.get_range("x/c/0/0", 0, 4) == store.get("x/c/0/0")[:4]
     store.rm_prefix("x")
     assert not store.exists("x/zarr.json")
+
+
+def test_store_summary(tmp_path):
+    from pangeo_forge_recipes_spark.dsio import store_summary
+    from pangeo_forge_recipes_spark.zarrio import create_group
+
+    root = str(tmp_path / "sum.zarr")
+    g = create_group(root)
+    a = g.create_array("x", shape=(8, 8), chunks=[2, 2], shards=[4, 4],
+                       dtype="float64", fill_value=0.0, compressor="gzip")
+    a[:, :] = np.arange(64, dtype="float64").reshape(8, 8)
+    b = g.create_array("y", shape=(10,), chunks=[5], dtype="int64")
+    b[:] = np.arange(10)
+    s = store_summary(root)
+    assert s["zarr_format"] == 3
+    x = s["arrays"]["x"]
+    assert x["shape"] == [8, 8] and x["chunks"] == [2, 2] and x["shards"] == [4, 4]
+    assert x["n_objects"] == 4  # shards, not 16 chunks
+    assert x["codecs"] == ["sharding_indexed"]
+    assert x["logical_bytes"] == 64 * 8 and x["stored_bytes"] > 0
+    y = s["arrays"]["y"]
+    assert y["n_objects"] == 2 and "shards" not in y
+    assert s["n_objects"] == 6
