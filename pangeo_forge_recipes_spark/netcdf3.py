@@ -268,6 +268,11 @@ class _Parser:
 def _parse_header(f) -> dict:
     p = _Parser(f)
     magic = p.read(4)
+    if magic[:3] == b"CDF" and magic[3] == 5:
+        raise NotImplementedError(
+            "CDF-5 (64-bit data, pnetcdf lineage) unsupported; CDF-1 and "
+            "CDF-2 (64-bit offsets) are — or convert to netCDF4/HDF5"
+        )
     if magic[:3] != b"CDF" or magic[3] not in (1, 2):
         raise ValueError("not a classic NetCDF3 file")
     version = magic[3]
