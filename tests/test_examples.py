@@ -17,6 +17,9 @@ _EXAMPLES = [
     ("corpus_pipeline.py", "corpus_pipeline OK"),
     ("kerchunk_reference.py", None),
     ("rechunk_existing.py", None),
+    ("append_daily.py", "verified"),
+    ("gpcp_like.py", "verified"),
+    ("terraclimate_like.py", "verified"),
 ]
 
 
