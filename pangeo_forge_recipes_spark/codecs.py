@@ -259,6 +259,12 @@ def blosclz_compress(data: bytes) -> bytes:
 # bitshuffle-generic.c): transpose the (nelem, typesize*8) bit matrix so
 # each bit plane is contiguous; elements beyond the largest multiple of
 # 8 are copied verbatim at the tail, as are bytes beyond whole elements.
+#
+# Bit ordering is LSB-first on BOTH axes (TRANS_BIT_8X8 semantics): for
+# byte-plane b, plane index b*8+k holds bit k counting from the LSB of
+# each element's byte b, and within a plane byte, element 8*i+j lands in
+# bit j (LSB) of plane byte i.  numpy's default bitorder is "big", so
+# both unpackbits and packbits must be called with bitorder="little".
 # ---------------------------------------------------------------------------
 
 
@@ -272,8 +278,9 @@ def bitshuffle_bytes(buf: bytes, typesize: int) -> bytes:
     if nkeep == 0:
         return buf
     arr = np.frombuffer(buf, np.uint8, count=head).reshape(nkeep, typesize)
-    bits = np.unpackbits(arr, axis=1)  # (nkeep, typesize*8), MSB-first
-    out = np.packbits(np.ascontiguousarray(bits.T))
+    # (nkeep, typesize*8): column b*8+k = bit k (LSB-first) of byte b
+    bits = np.unpackbits(arr, axis=1, bitorder="little")
+    out = np.packbits(np.ascontiguousarray(bits.T), bitorder="little")
     return out.tobytes() + buf[head:]
 
 
@@ -287,8 +294,8 @@ def bitunshuffle_bytes(buf: bytes, typesize: int) -> bytes:
     if nkeep == 0:
         return buf
     arr = np.frombuffer(buf, np.uint8, count=head)
-    bits = np.unpackbits(arr).reshape(typesize * 8, nkeep)
-    out = np.packbits(np.ascontiguousarray(bits.T))
+    bits = np.unpackbits(arr, bitorder="little").reshape(typesize * 8, nkeep)
+    out = np.packbits(np.ascontiguousarray(bits.T), bitorder="little")
     return out.tobytes() + buf[head:]
 
 

@@ -199,20 +199,21 @@ def test_blosclz_roundtrip_incompressible():
 
 def _bitshuffle_oracle(buf: bytes, typesize: int) -> bytes:
     """Independent per-bit loop implementation of the bitshuffle
-    transpose (kiyo-masui/bitshuffle reference semantics)."""
+    transpose (kiyo-masui/bitshuffle TRANS_BIT_8X8 semantics):
+    LSB-first on both axes — plane b*8+k holds bit k (from the LSB) of
+    byte b of each element, and element 8*i+j lands in bit j (LSB) of
+    plane byte i."""
     nelem = len(buf) // typesize
     nkeep = nelem - nelem % 8
     head = buf[: nkeep * typesize]
     out = bytearray()
-    # output order: for byte b in 0..typesize-1, for bit i (MSB first),
-    # pack that bit of every element
     bits = []
     for b in range(typesize):
-        for i in range(8):
+        for i in range(8):  # bit i counted from the LSB
             for e in range(nkeep):
-                bits.append((head[e * typesize + b] >> (7 - i)) & 1)
+                bits.append((head[e * typesize + b] >> i) & 1)
     for k in range(0, len(bits), 8):
-        out.append(sum(bit << (7 - j) for j, bit in enumerate(bits[k : k + 8])))
+        out.append(sum(bit << j for j, bit in enumerate(bits[k : k + 8])))
     return bytes(out) + buf[nkeep * typesize :]
 
 
@@ -220,6 +221,33 @@ def _bitshuffle_oracle(buf: bytes, typesize: int) -> bytes:
 def test_bitshuffle_matches_independent_oracle(typesize):
     raw = _patterned(typesize * 24 + 3, seed=typesize)  # odd tail bytes
     assert C.bitshuffle_bytes(raw, typesize) == _bitshuffle_oracle(raw, typesize)
+
+
+def test_bitshuffle_hand_built_vectors():
+    # Hand-derived from the public TRANS_BIT_8X8 macro semantics
+    # (kiyo-masui/bitshuffle src/bitshuffle_core.c), independent of any
+    # Python implementation:
+    #
+    # 8 one-byte elements, element0 = 0x02 (bit 1 set), rest zero.
+    # Bit 1 lives in plane index 1 (LSB-first plane order); element 0
+    # contributes bit 0 (LSB) of that plane's byte.
+    raw = bytes([0x02, 0, 0, 0, 0, 0, 0, 0])
+    assert C.bitshuffle_bytes(raw, 1) == bytes([0x00, 0x01, 0, 0, 0, 0, 0, 0])
+    # element3 = 0x80 (bit 7): plane 7, bit 3 of the plane byte -> 0x08.
+    raw = bytes([0, 0, 0, 0x80, 0, 0, 0, 0])
+    assert C.bitshuffle_bytes(raw, 1) == bytes([0, 0, 0, 0, 0, 0, 0, 0x08])
+    # typesize=2, 8 elements: element0 = 0x0001 LE (byte0 bit0) and
+    # element5 = 0x4000 LE (byte1 bit6).  Byte-plane 0's planes come
+    # first (indices 0..7), then byte-plane 1's (8..15).
+    raw = bytearray(16)
+    raw[0] = 0x01  # element 0, byte 0, bit 0 -> plane 0, bit 0
+    raw[11] = 0x40  # element 5, byte 1, bit 6 -> plane 8+6=14, bit 5
+    exp = bytearray(16)
+    exp[0] = 0x01
+    exp[14] = 0x20
+    assert C.bitshuffle_bytes(bytes(raw), 2) == bytes(exp)
+    # all-ones stays all-ones under any transpose
+    assert C.bitshuffle_bytes(b"\xff" * 32, 4) == b"\xff" * 32
 
 
 @pytest.mark.parametrize("typesize,n", [(1, 100), (2, 130), (4, 1000), (8, 333)])
