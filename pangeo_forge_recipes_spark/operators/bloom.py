@@ -17,7 +17,10 @@ drop an original) is the accepted trade in training-data dedup; set
 
 Hashing: k positions via standard double hashing (Kirsch-Mitzenmacher)
 over the two 64-bit halves of the content's md5 — deterministic across
-runs/sessions, no Python hash randomization.
+runs/sessions, no Python hash randomization. The md5 itself is computed
+JVM-side (``F.md5`` inside whole-stage codegen); Python only sees the
+16-byte digests in Arrow batches and derives bit positions with
+vectorized numpy — no per-row Python hashing anywhere on the hot path.
 """
 
 from __future__ import annotations
@@ -44,23 +47,44 @@ def bloom_params(expected_items: int, fpp: float) -> Tuple[int, int]:
     return m, k
 
 
-def _hash_pair(text: str) -> Tuple[int, int]:
-    d = hashlib.md5(text.encode("utf-8", "surrogatepass")).digest()
-    return int.from_bytes(d[:8], "little"), int.from_bytes(d[8:], "little")
-
-
 _W64 = np.uint64(64)
 _ONE = np.uint64(1)
 
 
+def _digest_halves(digests: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(n, 16) uint8 md5 digests -> (h1, h2) uint64 arrays, little-endian
+    halves with h2 forced odd (full-cycle double-hashing strides)."""
+    h1 = np.ascontiguousarray(digests[:, :8]).view("<u8").ravel()
+    h2 = np.ascontiguousarray(digests[:, 8:]).view("<u8").ravel() | _ONE
+    return h1, h2
+
+
+def _batch_positions(digests: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(n, 16) uint8 digests -> (n, k) uint64 bit positions, all-numpy.
+    uint64 arithmetic wraps, matching the scalar definition."""
+    h1, h2 = _digest_halves(digests)
+    strides = np.arange(k, dtype=np.uint64)
+    return (h1[:, None] + strides[None, :] * h2[:, None]) % np.uint64(m)
+
+
+def _digest_matrix(col: pd.Series) -> np.ndarray:
+    """pandas Series of 16-byte digest values -> (n, 16) uint8 matrix."""
+    if len(col) == 0:
+        return np.empty((0, 16), dtype=np.uint8)
+    return np.frombuffer(b"".join(col), dtype=np.uint8).reshape(-1, 16)
+
+
 def _positions(text: str, m: int, k: int) -> np.ndarray:
-    h1, h2 = _hash_pair(text)
-    # double hashing; force h2 odd so strides cycle the full table.
-    # all-uint64 arithmetic (python-int operands would upcast to float64)
-    h2 |= 1
-    return (
-        np.uint64(h1) + np.arange(k, dtype=np.uint64) * np.uint64(h2)
-    ) % np.uint64(m)
+    """Scalar reference path (tests / `bloom_contains`)."""
+    d = hashlib.md5(text.encode("utf-8", "surrogatepass")).digest()
+    return _batch_positions(
+        np.frombuffer(d, dtype=np.uint8).reshape(1, 16), m, k
+    ).ravel()
+
+
+def _md5_digest(col: str):
+    """JVM-side 16-byte md5 digest of a string column (UTF-8 bytes)."""
+    return F.unhex(F.md5(F.col(col).cast("binary")))
 
 
 def build_bloom(
@@ -69,32 +93,36 @@ def build_bloom(
     expected_items: int = 1_000_000,
     fpp: float = 0.01,
 ) -> Tuple[np.ndarray, int, int]:
-    """One-pass distributed build: per-partition uint64 bitmaps OR-merged
-    on the driver (driver state = m/8 bytes regardless of row count).
+    """One-pass distributed build: md5 runs JVM-side, each partition
+    folds its Arrow digest batches into a local uint64 bitmap, and the
+    per-partition bitmaps are OR-merged executor-side (treeReduce) so
+    the driver receives ONE m/8-byte bitmap regardless of row count.
     Returns (bitmap words, m, k)."""
     m, k = bloom_params(expected_items, fpp)
     nwords = m // 64
 
-    def partition_bitmap(rows: Iterator) -> Iterator[bytes]:
+    hashed = df.select(_md5_digest(col).alias("h")).filter(F.col("h").isNotNull())
+
+    def partition_bitmap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bits = np.zeros(nwords, dtype=np.uint64)
-        for row in rows:
-            text = row[0]
-            if text is None:
-                continue
-            pos = _positions(text, m, k)
+        for pdf in batches:
+            pos = _batch_positions(_digest_matrix(pdf["h"]), m, k)
             np.bitwise_or.at(bits, pos // _W64, _ONE << (pos % _W64))
-        yield bits.tobytes()
+        yield pd.DataFrame({"bitmap": [bits.tobytes()]})
 
     def _or(a: bytes, b: bytes) -> bytes:
         return np.bitwise_or(
             np.frombuffer(a, dtype=np.uint64), np.frombuffer(b, dtype=np.uint64)
         ).tobytes()
 
-    # executor-side tree OR-reduce: the driver receives ONE m/8-byte
-    # bitmap, not one per partition (a 1 GiB filter over 10^3 partitions
-    # would otherwise funnel a terabyte through the driver)
+    # one bitmap row per partition; the tree reduce over those few rows
+    # keeps the driver's inbound traffic at a single bitmap even with
+    # thousands of partitions (a 1 GiB filter over 10^3 partitions would
+    # otherwise funnel a terabyte through the driver)
     merged = (
-        df.select(col).rdd.mapPartitions(partition_bitmap).treeReduce(_or, depth=2)
+        hashed.mapInPandas(partition_bitmap, "bitmap binary")
+        .rdd.map(lambda r: bytes(r[0]))
+        .treeReduce(_or, depth=2)
     )
     return np.frombuffer(merged, dtype=np.uint64).copy(), m, k
 
@@ -115,27 +143,33 @@ def dedup_against_reference(
     """Drop corpus rows whose ``col`` already appears in ``reference``
     (approximately: originals survive except with probability ``fpp``).
     The reference is scanned once (no shuffle); the corpus is filtered
-    map-side against the broadcast bitmap (no shuffle, no join)."""
+    map-side against the broadcast bitmap (no shuffle, no join). Rows
+    with a NULL ``col`` are kept (they cannot duplicate anything).
+
+    Probe-side hashing is JVM ``F.md5``; Python receives the digests in
+    Arrow batches and tests membership with vectorized numpy."""
     if expected_items is None:
         expected_items = max(int(reference.count()), 1)
     bits, m, k = build_bloom(reference, col=col, expected_items=expected_items, fpp=fpp)
     bc = corpus.sparkSession.sparkContext.broadcast(bits.tobytes())
     fields = corpus.schema.fieldNames()
+    probe = corpus.withColumn("__pf_bloom_h", _md5_digest(col))
 
     def keep_new(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         table = np.frombuffer(bc.value, dtype=np.uint64)
         for pdf in batches:
-            mask = np.fromiter(
-                (
-                    not bloom_contains(table, m, k, t)
-                    for t in pdf[col].astype(str)
-                ),
-                dtype=bool,
-                count=len(pdf),
-            )
-            yield pdf[mask]
+            hashed_mask = pdf["__pf_bloom_h"].notna().to_numpy()
+            keep = np.ones(len(pdf), dtype=bool)
+            if hashed_mask.any():
+                pos = _batch_positions(
+                    _digest_matrix(pdf.loc[hashed_mask, "__pf_bloom_h"]), m, k
+                )
+                words = table[pos // _W64]
+                present = ((words >> (pos % _W64)) & _ONE).all(axis=1)
+                keep[hashed_mask] = ~present
+            yield pdf.loc[keep, fields]
 
-    return corpus.mapInPandas(keep_new, corpus.schema)
+    return probe.mapInPandas(keep_new, corpus.schema)
 
 
 __all__ = [

@@ -149,17 +149,35 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     nbits: int = 8,
     round_to: int = 4,
+    bucket_cap: int = 1000,
 ) -> DataFrame:
     """Approximate top-k restricted to same-bucket candidates: bucket assign
     → equi-self-join on bucket → exact cosine rank within bucket. The
-    shuffle moves only bucket-mates (ANN scale path)."""
+    shuffle moves only bucket-mates (ANN scale path).
+
+    A degenerate bucket (e.g. near-zero vectors all hashing together)
+    would make the self-join O(N²) inside that bucket, so the candidate
+    (right) side is capped: a per-bucket ``row_number`` ordered by id
+    keeps only the first ``bucket_cap`` members as candidates. Buckets
+    at or under the cap are untouched (rn ≤ size ≤ cap); hot buckets
+    degrade to ranking against a deterministic bounded subset, bounding
+    candidate volume to O(bucket_cap × n). Same guard as
+    ``dedup.minhash_lsh_candidates``; the window shuffles on ``bucket``,
+    the same key the join needs, so no extra exchange is introduced."""
+    from pyspark.sql.window import Window
+
     buckets = lsh_buckets(df, id_col, vec_col, nbits)
     vecs = df.select(F.col(id_col), F.col(vec_col)).join(buckets, id_col)
     l = vecs.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v_a"), "bucket"
     )
-    r = vecs.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_b"), "bucket"
+    wcap = Window.partitionBy("bucket").orderBy(F.col(id_col))
+    r = (
+        vecs.withColumn("__rn", F.row_number().over(wcap))
+        .filter(F.col("__rn") <= bucket_cap)
+        .select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_b"), "bucket"
+        )
     )
     pairs = l.join(r, "bucket").filter(F.col("vec_id") != F.col("neighbor_id"))
 
@@ -222,64 +240,91 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate self-search via IVF inverted lists: corpus vectors land in
     their nearest centroid's list; each query probes its ``nprobe`` closest
-    lists. Candidate generation is an equi-join on ``centroid`` — shuffle
-    volume is corpus + nprobe×queries rows, never n². Exact cosine rank
-    within the candidate set (same window tail as ``lsh_ann_topk``)."""
+    lists.
+
+    Plan shape (one Python scan, one shuffle):
+
+    1. ONE fused ``mapInPandas`` over the corpus emits, per vector, its
+       corpus row (argmax list) AND its ``nprobe`` probe rows — halving
+       Arrow traffic vs separate corpus-assign / query-probe scans.
+    2. ``groupBy(centroid).applyInPandas`` meets each inverted list with
+       its probes and runs ONE numpy GEMM per list, emitting only each
+       query's per-list top-k (ordered by rounded cosine desc, neighbor
+       id asc — a correct partial under the final total order).
+    3. A global window merges the ≤ nprobe×k partials per query.
+
+    Shuffle volume is corpus + nprobe×queries rows, never n²; the window
+    input is nprobe×k rows per query instead of the full candidate set.
+    A pathologically hot centroid list concentrates its GEMM in one task
+    — re-run with larger ``n_centroids`` if a list exceeds executor
+    memory (IVF's standard knob)."""
     spark = df.sparkSession
     centroids = _sample_centroids(df, n_centroids, id_col, vec_col)
     bc = spark.sparkContext.broadcast(centroids)
+    npb = min(nprobe, len(centroids))
 
-    def corpus_assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def assign_both(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c = bc.value
         for pdf in batches:
             v = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
-            yield pd.DataFrame(
-                {
-                    "neighbor_id": pdf[id_col],
-                    "v_b": pdf[vec_col],
-                    "centroid": (v @ c.T).argmax(axis=1).astype("int32"),
-                }
-            )
-
-    def query_probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        c = bc.value
-        for pdf in batches:
-            v = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
-            order = np.argsort(-(v @ c.T), axis=1, kind="stable")[:, :nprobe]
+            order = np.argsort(-(v @ c.T), axis=1, kind="stable")[:, :npb]
             n = len(pdf)
+            ids = pdf[id_col].to_numpy()
+            vecs = list(pdf[vec_col])
             yield pd.DataFrame(
                 {
-                    "vec_id": np.repeat(pdf[id_col].to_numpy(), nprobe),
-                    "v_a": [v for v in pdf[vec_col] for _ in range(nprobe)],
-                    "centroid": order.astype("int32").ravel(),
+                    "id": np.concatenate([ids, np.repeat(ids, npb)]),
+                    "vec": vecs + [vv for vv in vecs for _ in range(npb)],
+                    # order[:, 0] is the argmax (stable sort) = corpus list
+                    "centroid": np.concatenate(
+                        [order[:, 0], order.ravel()]
+                    ).astype("int32"),
+                    "is_probe": np.concatenate(
+                        [np.zeros(n, bool), np.ones(n * npb, bool)]
+                    ),
                 }
             )
 
     src = df.select(id_col, vec_col)
     vec_t = dict(src.dtypes)[vec_col]
-    corpus = spread(src).mapInPandas(
-        corpus_assign, f"neighbor_id long, v_b {vec_t}, centroid int"
-    )
-    probes = spread(src).mapInPandas(
-        query_probe, f"vec_id long, v_a {vec_t}, centroid int"
-    )
-    pairs = probes.join(corpus, "centroid").filter(
-        F.col("vec_id") != F.col("neighbor_id")
+    fused = spread(src).mapInPandas(
+        assign_both, f"id long, vec {vec_t}, centroid int, is_probe boolean"
     )
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            a = _normalize(np.array(list(pdf["v_a"]), dtype=np.float64))
-            b = _normalize(np.array(list(pdf["v_b"]), dtype=np.float64))
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "neighbor_id": pdf["neighbor_id"],
-                    "cosine": np.round(np.einsum("ij,ij->i", a, b), round_to),
-                }
-            )
+    empty = pd.DataFrame(
+        {
+            "vec_id": pd.Series(dtype="int64"),
+            "neighbor_id": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        }
+    )
 
-    scored = pairs.mapInPandas(score, "vec_id long, neighbor_id long, cosine double")
+    def score_list(pdf: pd.DataFrame) -> pd.DataFrame:
+        probes = pdf[pdf["is_probe"]]
+        corpus = pdf[~pdf["is_probe"]].sort_values("id")  # asc-id tie-break
+        if len(probes) == 0 or len(corpus) == 0:
+            return empty
+        q = _normalize(np.array(list(probes["vec"]), dtype=np.float64))
+        c = _normalize(np.array(list(corpus["vec"]), dtype=np.float64))
+        qids = probes["id"].to_numpy()
+        cids = corpus["id"].to_numpy()
+        sims = np.round(q @ c.T, round_to)
+        sims = np.where(cids[None, :] == qids[:, None], -np.inf, sims)
+        kk = min(k, sims.shape[1])
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        top = np.take_along_axis(sims, idx, axis=1)
+        valid = np.isfinite(top).ravel()
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(qids, kk)[valid],
+                "neighbor_id": cids[idx].ravel()[valid],
+                "cosine": top.ravel()[valid],
+            }
+        )
+
+    scored = fused.groupBy("centroid").applyInPandas(
+        score_list, "vec_id long, neighbor_id long, cosine double"
+    )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

@@ -142,6 +142,36 @@ def test_lsh_ann_recall(vectors):
     assert hits / max(len(approx_nn), 1) > 0.1
 
 
+def test_lsh_ann_hot_bucket_cap(spark):
+    # 60 identical (same-bucket-by-construction) vectors + 2 distinct ones:
+    # with bucket_cap=10 the degenerate bucket's candidate side is capped at
+    # the 10 smallest ids, so candidate volume is O(cap × n), not O(n²)
+    rows = [(i, [1.0, 0.0, 0.0]) for i in range(60)]
+    rows += [(100, [0.0, 1.0, 0.0]), (101, [0.0, 1.0, 0.01])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.lsh_ann_topk(df, k=5, nbits=4, bucket_cap=10).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    # every hot-bucket member still gets results, drawn only from the
+    # 10 smallest-id representatives (minus self)
+    for q in range(60):
+        assert by_q[q] <= set(range(10)) - {q}
+        assert len(by_q[q]) == 5
+    # total candidate volume is bounded: ≤ cap neighbors per query
+    assert all(len(v) <= 10 for v in by_q.values())
+    # the small bucket is untouched by the cap
+    assert 101 in by_q.get(100, set()) or 100 in by_q.get(101, set())
+
+
+def test_lsh_ann_cap_default_no_effect(vectors):
+    # default cap (1000) must not change results on a normal corpus
+    a = similarity.lsh_ann_topk(vectors, k=2, nbits=4).collect()
+    b = similarity.lsh_ann_topk(vectors, k=2, nbits=4, bucket_cap=10**6).collect()
+    key = lambda r: (r["vec_id"], r["rank"])
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_ivf_assign(vectors):
     out = similarity.ivf_assign(vectors, n_centroids=4).collect()
     assert len(out) == 41
