@@ -1,7 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+stdout carries two JSON lines: a full detail record first, then a SHORT
+headline line LAST — {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...} — sized to survive tail-only log
+capture. The full detail (per-run times, zarr pipeline, scale stress,
+fresh-vs-in-suite attribution) is also written to BENCH_DETAIL.json.
 
 Queries execute end-to-end into a noop sink (full materialization, no
 driver collect cost). Each query is timed as best-of-2 to damp JIT/cache
@@ -358,6 +362,28 @@ def main() -> None:
     # otherwise pay the 32-worker spawn on their first measured run)
     _materialize(spark.range(64).repartition(32).mapInPandas(lambda it: it, "id long"))
 
+    # attribution probe (round-3 ask): time a sample of cheap SQL queries
+    # NOW — fresh session, before the zarr pipeline / query storm — and
+    # again in suite order below. A systematic fresh-vs-in-suite delta
+    # attributes sequential slowdown to accumulated session state /
+    # worker churn rather than the queries themselves.
+    PROBES = [
+        "q13_customer_distribution",
+        "q18_large_orders",
+        "q22_inactive_customers",
+        "set_ops_customers",
+        "asof_last_order",
+    ]
+    fresh_probe = {}
+    for name in PROBES:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _materialize(queries[name](spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        fresh_probe[name] = round(best, 3)
+
     # pipeline proxy first: measured before the query storm churns the
     # python worker pool (box shows 2-3x wall variance under load)
     pipeline = _bench_zarr_pipeline(spark)
@@ -373,17 +399,20 @@ def main() -> None:
             pass
     _materialize(spark.range(64).repartition(32).mapInPandas(lambda it: it, "id long"))
 
-    # per-query latency: sequential, best-of-2
+    # per-query latency: sequential, best-of-2 (both runs recorded so
+    # run-to-run variance — the worker-churn signature — is visible in
+    # the detail artifact)
     timings = {}
+    runs = {}
     for name in HEADLINE:
         fn = queries[name]
-        best = None
+        pair = []
         for _ in range(2):
             t0 = time.perf_counter()
             _materialize(fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            pair.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(pair)
+        runs[name] = pair
 
     # suite throughput: all headline queries submitted concurrently (FAIR
     # scheduler) — the engine-level wall-clock for the whole workload;
@@ -452,25 +481,74 @@ def main() -> None:
     # compared 37 Spark queries to 31 oracle queries)
     spark_matched = sum(timings[n] for n in matched)
 
+    # fresh-vs-in-suite attribution summary
+    attribution = {
+        name: {
+            "fresh": fresh_probe[name],
+            "in_suite": timings[name],
+            "ratio": round(timings[name] / fresh_probe[name], 2)
+            if fresh_probe[name]
+            else None,
+        }
+        for name in fresh_probe
+    }
+
+    detail = {
+        "metric": "headline_suite_wall_concurrent",
+        "value": concurrent_wall,
+        "unit": "sec",
+        "queries": timings,
+        "query_runs": runs,
+        "queries_mode": "sequential_best_of_2",
+        "sequential_total": round(sum(timings.values()), 3),
+        "duckdb_oracle_wall": round(duck_total, 3),
+        "duckdb_oracle_queries": duck_n,
+        "spark_matched_subset_total": round(spark_matched, 3),
+        "matched_subset_ratio": round(spark_matched / duck_total, 3)
+        if duck_total
+        else None,
+        "fresh_vs_in_suite": attribution,
+        "zarr_pipeline": pipeline,
+        "scale_stress": scale_stress,
+        "sf": sf,
+    }
+
+    # full detail: to a file (survives any log truncation) and an early
+    # stdout line (for humans reading the whole log)
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        detail_path = None
+    print(json.dumps(detail))
+
+    # the LAST stdout line is a SHORT headline record — the driver
+    # captures only the tail of stdout, and round 3's single long line
+    # was truncated past parseability (BENCH_r03 `parsed: null`). Keep
+    # this line well under the ~1.9 KB tail window.
     print(
         json.dumps(
             {
                 "metric": "headline_suite_wall_concurrent",
                 "value": concurrent_wall,
                 "unit": "sec",
-                "queries": timings,
-                "queries_mode": "sequential_best_of_2",
-                "sequential_total": round(sum(timings.values()), 3),
-                "duckdb_oracle_wall": round(duck_total, 3),
-                "duckdb_oracle_queries": duck_n,
-                "spark_matched_subset_total": round(spark_matched, 3),
+                "queries": {k: round(v, 2) for k, v in timings.items()},
+                "sequential_total": round(sum(timings.values()), 2),
                 "matched_subset_ratio": round(spark_matched / duck_total, 3)
                 if duck_total
                 else None,
-                "zarr_pipeline": pipeline,
-                "scale_stress": scale_stress,
+                "zarr_mb_s": {
+                    k: pipeline[k].get("mb_per_s")
+                    for k in ("shuffled", "aligned", "sharded")
+                    if k in pipeline and "mb_per_s" in pipeline[k]
+                },
+                "stress_growth": (scale_stress or {}).get("growth"),
+                "detail": "BENCH_DETAIL.json",
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 
