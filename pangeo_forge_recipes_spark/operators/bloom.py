@@ -95,36 +95,49 @@ def build_bloom(
 ) -> Tuple[np.ndarray, int, int]:
     """One-pass distributed build: md5 runs JVM-side, each partition
     folds its Arrow digest batches into a local uint64 bitmap, and the
-    per-partition bitmaps are OR-merged executor-side (treeReduce) so
-    the driver receives ONE m/8-byte bitmap regardless of row count.
+    per-partition bitmaps are OR-merged in two levels — an executor-side
+    ``applyInPandas`` over ~sqrt(P) groups, then a driver OR of the
+    ~sqrt(P) partials — so the driver's inbound traffic stays at
+    O(sqrt(P)) bitmaps even with thousands of partitions (a 1 GiB filter
+    over 10^3 partitions would otherwise funnel a terabyte through the
+    driver). The whole build stays on the Arrow worker pool: an RDD
+    ``treeReduce`` here was measured to cold-spawn the separate
+    pickle-mode worker pool on its first use, tripling the build wall.
     Returns (bitmap words, m, k)."""
+    from pyspark import TaskContext
+
     m, k = bloom_params(expected_items, fpp)
     nwords = m // 64
 
     hashed = df.select(_md5_digest(col).alias("h")).filter(F.col("h").isNotNull())
+    nparts = max(1, df.rdd.getNumPartitions())
+    fanout = max(1, min(64, int(math.isqrt(nparts))))
 
     def partition_bitmap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bits = np.zeros(nwords, dtype=np.uint64)
         for pdf in batches:
             pos = _batch_positions(_digest_matrix(pdf["h"]), m, k)
             np.bitwise_or.at(bits, pos // _W64, _ONE << (pos % _W64))
-        yield pd.DataFrame({"bitmap": [bits.tobytes()]})
+        ctx = TaskContext.get()
+        g = (ctx.partitionId() if ctx is not None else 0) % fanout
+        yield pd.DataFrame({"g": [g], "bitmap": [bits.tobytes()]})
 
-    def _or(a: bytes, b: bytes) -> bytes:
-        return np.bitwise_or(
-            np.frombuffer(a, dtype=np.uint64), np.frombuffer(b, dtype=np.uint64)
-        ).tobytes()
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(nwords, dtype=np.uint64)
+        for b in pdf["bitmap"]:
+            np.bitwise_or(acc, np.frombuffer(b, dtype=np.uint64), out=acc)
+        return pd.DataFrame({"bitmap": [acc.tobytes()]})
 
-    # one bitmap row per partition; the tree reduce over those few rows
-    # keeps the driver's inbound traffic at a single bitmap even with
-    # thousands of partitions (a 1 GiB filter over 10^3 partitions would
-    # otherwise funnel a terabyte through the driver)
-    merged = (
-        hashed.mapInPandas(partition_bitmap, "bitmap binary")
-        .rdd.map(lambda r: bytes(r[0]))
-        .treeReduce(_or, depth=2)
+    partials = (
+        hashed.mapInPandas(partition_bitmap, "g int, bitmap binary")
+        .groupBy("g")
+        .applyInPandas(merge_group, "bitmap binary")
+        .collect()
     )
-    return np.frombuffer(merged, dtype=np.uint64).copy(), m, k
+    bits = np.zeros(nwords, dtype=np.uint64)
+    for row in partials:
+        np.bitwise_or(bits, np.frombuffer(bytes(row[0]), dtype=np.uint64), out=bits)
+    return bits, m, k
 
 
 def bloom_contains(bits: np.ndarray, m: int, k: int, text: str) -> bool:
