@@ -19,9 +19,14 @@ parser:
 * :func:`write_warc` — conforming writer used for fixtures and tests.
 
 At 100 TB: archives >> executors, so ``binaryFile``'s one-file-one-row
-layout parallelizes across the fleet; per-record gzip members mean a
-task never holds more than one decompressed record plus the compressed
-file. No shuffle anywhere — parse and extract are map-only.
+layout parallelizes across the fleet. Decompression and parsing are
+fully incremental: gzip members are inflated one bounded feed at a
+time, complete records are yielded as soon as the rolling buffer holds
+them, and ``read_warc`` emits pandas batches every
+``records_per_batch`` records — so a task's peak memory is the
+compressed file plus a bounded parse window (one record / member and
+the current output batch), never the decompressed archive. No shuffle
+anywhere — parse and extract are map-only.
 """
 
 from __future__ import annotations
@@ -44,50 +49,97 @@ _WARC_SCHEMA = (
 )
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress a (possibly multi-member) gzip stream; plain bytes pass
-    through."""
-    if data[:2] != b"\x1f\x8b":
-        return data
-    out = bytearray()
-    buf = data
-    while buf[:2] == b"\x1f\x8b":
-        obj = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out += obj.decompress(buf)
-        out += obj.flush()
-        buf = obj.unused_data
-    return bytes(out)
+_GZIP_FEED = 1 << 20  # compressed bytes per inflate call
+
+
+def _iter_gzip_chunks(data: bytes, feed: int = _GZIP_FEED) -> Iterator[bytes]:
+    """Incrementally inflate a (possibly multi-member) gzip stream,
+    yielding decompressed chunks member by member. Peak memory per step
+    is one ``feed`` window's inflation (≈ the gzip ratio × ``feed``, or
+    one member if smaller) — never the whole decompressed archive."""
+    view = memoryview(data)
+    n = len(data)
+    pos = 0
+    obj = zlib.decompressobj(16 + zlib.MAX_WBITS)
+    while pos < n:
+        fed = view[pos : pos + feed]
+        pos += len(fed)
+        out = obj.decompress(fed)
+        if out:
+            yield out
+        while obj.eof:
+            tail = obj.unused_data
+            pos -= len(tail)
+            if pos >= n:
+                return
+            if bytes(view[pos : pos + 2]) != b"\x1f\x8b":
+                # trailing non-gzip bytes after the last member
+                raise ValueError(
+                    f"malformed gzip stream: junk at byte {pos}"
+                )
+            obj = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            out = obj.decompress(view[pos : pos + feed])
+            pos += min(feed, n - pos)
+            if out:
+                yield out
+
+
+def _records_from_stream(chunks: Iterator[bytes]) -> Iterator[Dict]:
+    """Incremental WARC record parser over a stream of decompressed
+    chunks: a rolling buffer holds at most one incomplete record; each
+    complete record is yielded and dropped from the buffer."""
+    buf = bytearray()
+    for chunk in chunks:
+        buf += chunk
+        while True:
+            # skip inter-record blank lines
+            start = 0
+            while buf[start : start + 2] in (b"\r\n", b"\n\n"):
+                start += 2
+            if start:
+                del buf[:start]
+            if len(buf) < 5:
+                break
+            if not buf.startswith(b"WARC/"):
+                raise ValueError(
+                    "malformed WARC: expected version line"
+                )
+            hdr_end = buf.find(b"\r\n\r\n")
+            if hdr_end < 0:
+                break  # header incomplete: wait for more data
+            header_block = bytes(buf[:hdr_end]).decode("utf-8", "replace")
+            lines = header_block.split("\r\n")
+            headers: Dict[str, str] = {}
+            for line in lines[1:]:
+                if ":" in line:
+                    k, _, v = line.partition(":")
+                    headers[k.strip().lower()] = v.strip()
+            length = int(headers.get("content-length", "0"))
+            body_start = hdr_end + 4
+            if len(buf) < body_start + length:
+                break  # body incomplete: wait for more data
+            body = bytes(buf[body_start : body_start + length])
+            del buf[: body_start + length]
+            yield {**headers, "warc_version": lines[0], "body": body}
+    if bytes(buf).strip(b"\r\n"):
+        if buf.startswith(b"WARC/"):
+            raise ValueError("truncated WARC record at end of stream")
+        raise ValueError("malformed WARC: expected version line")
 
 
 def parse_warc_records(data: bytes) -> Iterator[Dict]:
     """Yield records from raw WARC bytes (gzipped or not): dicts with
-    the WARC headers (lower-cased keys) plus ``body``."""
-    data = _gunzip_members(data)
-    pos = 0
-    n = len(data)
-    while pos < n:
-        # skip inter-record blank lines
-        while pos < n and data[pos : pos + 2] in (b"\r\n", b"\n\n"):
-            pos += 2
-        if pos >= n:
-            break
-        if not data[pos : pos + 5] == b"WARC/":
-            raise ValueError(
-                f"malformed WARC: expected version line at byte {pos}"
-            )
-        hdr_end = data.index(b"\r\n\r\n", pos)
-        header_block = data[pos : hdr_end].decode("utf-8", "replace")
-        lines = header_block.split("\r\n")
-        headers: Dict[str, str] = {}
-        for line in lines[1:]:
-            if ":" in line:
-                k, _, v = line.partition(":")
-                headers[k.strip().lower()] = v.strip()
-        length = int(headers.get("content-length", "0"))
-        body_start = hdr_end + 4
-        body = data[body_start : body_start + length]
-        yield {**headers, "warc_version": lines[0], "body": body}
-        pos = body_start + length
+    the WARC headers (lower-cased keys) plus ``body``. Lazy end to end:
+    gzip members are inflated incrementally and each record is parsed
+    and yielded as soon as its bytes are available, so peak memory is
+    one record plus a bounded inflate window — a later corrupt member
+    is only ever reached (and raises) after the records before it have
+    been consumed."""
+    if data[:2] == b"\x1f\x8b":
+        chunks: Iterator[bytes] = _iter_gzip_chunks(data)
+    else:
+        chunks = iter((data,))
+    return _records_from_stream(chunks)
 
 
 def _split_http_response(body: bytes) -> Tuple[Optional[int], Optional[str], bytes]:
@@ -112,23 +164,36 @@ def _split_http_response(body: bytes) -> Tuple[Optional[int], Optional[str], byt
     return status, ctype, body[sep + 4 :]
 
 
+_COLUMNS = [
+    "warc_id", "warc_type", "target_uri", "warc_date",
+    "content_type", "http_status", "http_content_type",
+    "payload", "source_file",
+]
+
+
 def read_warc(
     spark: SparkSession,
     paths,
     record_types: Tuple[str, ...] = ("response",),
     parse_http: bool = True,
+    records_per_batch: int = 256,
 ) -> DataFrame:
     """Scan WARC archives into a DataFrame of records.
 
     Columns: warc_id, warc_type, target_uri, warc_date, content_type,
     http_status, http_content_type, payload (binary), source_file.
-    ``record_types=None`` keeps every record type."""
+    ``record_types=None`` keeps every record type.
+
+    A pandas batch is emitted every ``records_per_batch`` records, so a
+    task's live set is the compressed file plus one output batch — a
+    1 GB ``.warc.gz`` (several GB decompressed) never materializes its
+    decompressed records all at once."""
     files = spark.read.format("binaryFile").load(paths).select("path", "content")
     wanted = tuple(record_types) if record_types else None
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: List[tuple] = []
         for pdf in batches:
-            rows: List[tuple] = []
             for path, blob in zip(pdf["path"], pdf["content"]):
                 for rec in parse_warc_records(bytes(blob)):
                     wtype = rec.get("warc-type", "")
@@ -151,14 +216,10 @@ def read_warc(
                             path,
                         )
                     )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "warc_id", "warc_type", "target_uri", "warc_date",
-                    "content_type", "http_status", "http_content_type",
-                    "payload", "source_file",
-                ],
-            )
+                    if len(rows) >= records_per_batch:
+                        yield pd.DataFrame(rows, columns=_COLUMNS)
+                        rows = []
+        yield pd.DataFrame(rows, columns=_COLUMNS)
 
     return files.mapInPandas(parse, _WARC_SCHEMA)
 

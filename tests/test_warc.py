@@ -89,6 +89,85 @@ def test_read_warc_dataframe(spark, tmp_path):
     assert every.count() == 4
 
 
+def test_parse_is_lazy_iterator(tmp_path):
+    """Bounded-memory contract: the parser yields records incrementally
+    and never inflates the whole archive up front. Proof: an archive
+    whose LAST gzip member is corrupt still yields every earlier record;
+    the corruption only raises when the stream reaches it."""
+    import io
+
+    path = str(tmp_path / "lazy.warc.gz")
+    write_warc(path, _records())
+    with open(path, "rb") as f:
+        good = f.read()
+    # append a member that starts with the gzip magic but is garbage
+    corrupt = good + b"\x1f\x8b\x08" + b"\x00" * 40
+    it = parse_warc_records(corrupt)
+    assert iter(it) is it  # a generator, not a materialized list
+    got = [next(it)["warc-type"] for _ in range(4)]
+    assert got == ["warcinfo", "response", "response", "request"]
+    import zlib
+
+    with pytest.raises((zlib.error, ValueError, EOFError)):
+        next(it)
+
+
+def test_parse_many_members_small_feed(tmp_path):
+    """Multi-member archives parse identically when the inflate feed is
+    tiny (every member/record boundary lands mid-feed)."""
+    from pangeo_forge_recipes_spark.sources import warc as W
+
+    path = str(tmp_path / "many.warc.gz")
+    recs = [
+        {
+            "warc_type": "response",
+            "target_uri": f"http://example.com/{i}",
+            "http": {
+                "status": 200,
+                "content_type": "text/plain",
+                "payload": bytes([65 + i % 26]) * (50 + 17 * i),
+            },
+        }
+        for i in range(40)
+    ]
+    write_warc(path, recs)
+    with open(path, "rb") as f:
+        raw = f.read()
+    expect = [r["warc-target-uri"] for r in parse_warc_records(raw)]
+    tiny = W._records_from_stream(W._iter_gzip_chunks(raw, feed=7))
+    assert [r["warc-target-uri"] for r in tiny] == expect
+    assert len(expect) == 40
+
+
+def test_read_warc_chunked_batches(spark, tmp_path):
+    """records_per_batch only changes batch boundaries, not results."""
+    path = str(tmp_path / "chunked.warc.gz")
+    recs = [
+        {
+            "warc_type": "response",
+            "target_uri": f"http://example.com/{i}",
+            "http": {"status": 200, "content_type": "text/plain",
+                     "payload": b"x" * (10 + i)},
+        }
+        for i in range(17)
+    ]
+    write_warc(path, recs)
+    big = read_warc(spark, path).collect()
+    small = read_warc(spark, path, records_per_batch=3).collect()
+    key = lambda r: r["target_uri"]
+    assert sorted(map(tuple, big)) == sorted(map(tuple, small))
+    assert len(big) == 17
+
+
+def test_truncated_archive_raises(tmp_path):
+    path = str(tmp_path / "trunc.warc")
+    write_warc(path, _records()[:2], compress=False)
+    with open(path, "rb") as f:
+        raw = f.read()
+    with pytest.raises(ValueError, match="truncated"):
+        list(parse_warc_records(raw[:-30]))
+
+
 def test_read_warc_plan_is_map_only(spark, tmp_path):
     path = str(tmp_path / "c.warc.gz")
     write_warc(path, _records())
