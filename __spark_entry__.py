@@ -1516,6 +1516,158 @@ GROUP BY 1 ORDER BY 1
 """.strip()
 
 
+_DSIR_B = 512  # hashed n-gram buckets
+_DSIR_ALPHA = 1.0
+_DSIR_N = 100  # documents selected
+
+
+def _dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/dsir): target = docs with
+    doc_id % 3 == 0, raw = the rest; hashed unigram+bigram histograms →
+    broadcast log-ratio table → per-doc weight → deterministic
+    Gumbel-top-k selection of _DSIR_N docs. Everything is JVM SQL (two
+    hash aggregations + one broadcast join + TakeOrdered); the oracle
+    replicates the full method — tokenization, md5-prefix buckets,
+    smoothing, Gumbel keys — in DuckDB SQL."""
+    from pangeo_forge_recipes_spark.operators.dsir import dsir_sample
+
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    raw = docs.filter("doc_id % 3 != 0").select("doc_id", "text")
+    tgt = docs.filter("doc_id % 3 = 0").select("doc_id", "text")
+    sel = dsir_sample(raw, tgt, n=_DSIR_N, buckets=_DSIR_B, alpha=_DSIR_ALPHA)
+    return sel.select(
+        "doc_id", F.round("log_weight", 4).alias("log_weight")
+    ).orderBy("doc_id")
+
+
+def _dsir_oracle() -> str:
+    B, ALPHA, N = _DSIR_B, _DSIR_ALPHA, _DSIR_N
+    return f"""
+WITH raw AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+tgt AS (SELECT text FROM documents WHERE doc_id % 3 = 0),
+raw_tok AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')), ' '),
+                     x -> x <> '') AS toks
+  FROM raw),
+tgt_tok AS (
+  SELECT list_filter(string_split(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')), ' '),
+                     x -> x <> '') AS toks
+  FROM tgt),
+raw_grams AS (
+  SELECT doc_id, unnest(list_concat(toks,
+           CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) END
+         )) AS gram
+  FROM raw_tok),
+tgt_grams AS (
+  SELECT unnest(list_concat(toks,
+           CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) END
+         )) AS gram
+  FROM tgt_tok),
+q_hist AS (
+  SELECT ('0x' || substr(md5(gram), 1, 8))::BIGINT % {B} AS bucket, COUNT(*) AS q_cnt
+  FROM raw_grams GROUP BY 1),
+p_hist AS (
+  SELECT ('0x' || substr(md5(gram), 1, 8))::BIGINT % {B} AS bucket, COUNT(*) AS p_cnt
+  FROM tgt_grams GROUP BY 1),
+tots AS (
+  SELECT (SELECT COALESCE(SUM(p_cnt), 0) FROM p_hist) AS p_tot,
+         (SELECT COALESCE(SUM(q_cnt), 0) FROM q_hist) AS q_tot),
+ratios AS (
+  SELECT b.range AS bucket,
+         ln((COALESCE(p.p_cnt, 0) + {ALPHA}) / (t.p_tot + {ALPHA} * {B}))
+         - ln((COALESCE(q.q_cnt, 0) + {ALPHA}) / (t.q_tot + {ALPHA} * {B})) AS log_ratio
+  FROM range({B}) b LEFT JOIN p_hist p ON b.range = p.bucket
+                    LEFT JOIN q_hist q ON b.range = q.bucket, tots t),
+weights AS (
+  SELECT r.doc_id, COALESCE(w.log_weight, 0.0) AS log_weight
+  FROM raw r LEFT JOIN (
+    SELECT g.doc_id, SUM(rt.log_ratio) AS log_weight
+    FROM raw_grams g
+    JOIN ratios rt ON rt.bucket = ('0x' || substr(md5(g.gram), 1, 8))::BIGINT % {B}
+    GROUP BY g.doc_id) w ON r.doc_id = w.doc_id),
+keyed AS (
+  SELECT doc_id, log_weight,
+         log_weight + (-ln(-ln(
+           least(greatest((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)::DOUBLE
+                          / 4294967296.0, 1e-12), 1.0 - 1e-12)))) AS gkey
+  FROM weights)
+SELECT doc_id, round(log_weight, 4) AS log_weight
+FROM (SELECT * FROM keyed ORDER BY gkey DESC LIMIT {N})
+ORDER BY doc_id
+""".strip()
+
+
+_GOPHER_MIN_TOKENS = 20
+_GOPHER_TOP_NGRAM_MAX = 0.10
+_GOPHER_STOPWORD_MIN = 0.02
+_GOPHER_MWL_RANGE = (3, 10)
+
+
+def _gopher_c4_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style corpus-hygiene composite (operators/filters +
+    functions/textexprs): per-document top-bigram fraction (the real
+    explode → hash-agg operator), token count, mean word length and
+    stopword ratio, plus the Gopher-rule keep decision from the
+    unrounded values. All JVM SQL — explode/hash-agg + scalar
+    expressions; the oracle replicates every metric in DuckDB."""
+    from pangeo_forge_recipes_spark.operators.filters import top_ngram_fraction
+
+    _register(spark, sf_dir)
+    e = TextExprs("spark", "text")
+    base = top_ngram_fraction(
+        spark.table("documents").select("doc_id", "text"), n=2
+    )
+    lo, hi = _GOPHER_MWL_RANGE
+    keep = (
+        (F.expr(e.token_count()) >= _GOPHER_MIN_TOKENS)
+        & (F.col("top_ngram_frac") <= _GOPHER_TOP_NGRAM_MAX)
+        & (F.expr(e.stopword_ratio()) >= _GOPHER_STOPWORD_MIN)
+        & F.expr(e.mean_word_len()).between(lo, hi)
+    )
+    return base.select(
+        "doc_id",
+        F.expr(e.token_count()).cast("long").alias("n_tokens"),
+        F.round("top_ngram_frac", 4).alias("top_ngram_frac"),
+        F.round(F.expr(e.mean_word_len()), 4).alias("mean_word_len"),
+        F.round(F.expr(e.stopword_ratio()), 4).alias("stopword_ratio"),
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
+def _gopher_oracle() -> str:
+    d = TextExprs("duckdb", "text")
+    lo, hi = _GOPHER_MWL_RANGE
+    return f"""
+WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, len(t) AS ntok_s,
+         unnest(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+                ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) END) AS g
+  FROM toks),
+cnt AS (SELECT doc_id, ntok_s, g, COUNT(*) AS c FROM grams GROUP BY doc_id, ntok_s, g),
+top AS (SELECT doc_id, MAX(c) AS topc, ANY_VALUE(ntok_s) AS ntok_s FROM cnt GROUP BY doc_id),
+m AS (
+  SELECT d.doc_id,
+         CAST({d.token_count()} AS BIGINT) AS n_tokens,
+         COALESCE(t.topc * 2 / GREATEST(t.ntok_s, 1), 0.0) AS top_raw,
+         {d.mean_word_len()} AS mwl_raw,
+         {d.stopword_ratio()} AS swr_raw
+  FROM documents d LEFT JOIN top t USING (doc_id))
+SELECT doc_id, n_tokens,
+       round(top_raw, 4) AS top_ngram_frac,
+       round(mwl_raw, 4) AS mean_word_len,
+       round(swr_raw, 4) AS stopword_ratio,
+       (n_tokens >= {_GOPHER_MIN_TOKENS} AND top_raw <= {_GOPHER_TOP_NGRAM_MAX}
+        AND swr_raw >= {_GOPHER_STOPWORD_MIN}
+        AND mwl_raw BETWEEN {lo} AND {hi}) AS keep
+FROM m ORDER BY doc_id
+""".strip()
+
+
 def _lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed LSH-ANN — oracle replicates the hyperplane bucketing from
     the same seeded planes embedded as SQL literals."""
@@ -1843,6 +1995,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bloom_dedup_reference"] = _bloom_dedup_q
     out["pack_sequences"] = _pack_sequences_q
     out["corpus_shards"] = _corpus_shards
+    # data-selection + hygiene composites (round-3 rotation: these were
+    # pytest-only; events_minmax_count (trivial single-row agg) and the
+    # batch events_sessions (its oracle still grades via the streaming
+    # twin) yield their slots)
+    out["dsir_select"] = _dsir_select_q
+    out["gopher_c4_filter"] = _gopher_c4_q
     # shared-SQL battery (identical ANSI text on both engines); the
     # hourly-rollup text grades via its streaming twin below, so the
     # batch copy is skipped to stay inside the 50-query budget.
@@ -1862,6 +2020,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items",
         "q16_supplier_cnt",
         "q9_product_profit",
+        # round-4 rotation for dsir_select + gopher_c4_filter:
+        "events_minmax_count",
+        "events_sessions",
     )
     for name, sql in shared.items():
         if name not in _SWAPPED_OUT:
@@ -1892,7 +2053,12 @@ def oracle_sql() -> dict[str, str]:
     # streaming results must equal their batch twins — the hourly rollup
     # text grades ONLY via its streaming twin (50-query budget)
     out["events_hourly_rollup_stream"] = out.pop("events_hourly_rollup")
-    out["events_sessions_stream"] = out["events_sessions"]
+    # round-4 rotation: the batch events_sessions slot moved to
+    # dsir_select; its SQL still grades the streaming twin
+    out["events_sessions_stream"] = out.pop("events_sessions")
+    out.pop("events_minmax_count")  # slot moved to gopher_c4_filter
+    out["dsir_select"] = _dsir_oracle()
+    out["gopher_c4_filter"] = _gopher_oracle()
     out["events_dedup_stream"] = _DEDUP_STREAM_ORACLE
     out["asof_last_order"] = _ASOF_ORACLE
     out["range_join_orders"] = _RANGE_JOIN_ORACLE

@@ -38,7 +38,8 @@ HEADLINE = [
     "window_running_total",
     "set_ops_customers",
     "events_multi_grain_rollup",
-    "events_sessions",
+    "dsir_select",
+    "gopher_c4_filter",
     "asof_last_order",
     "range_join_orders",
     "skew_salted_join",

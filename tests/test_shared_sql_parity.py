@@ -33,6 +33,11 @@ ROTATED_OUT = [
     "q17_small_quantity_revenue",
     "q9_product_profit",
     "events_hourly_rollup",
+    # round-4 rotation (slots moved to dsir_select + gopher_c4_filter);
+    # events_sessions' text still grades via the streaming twin, but the
+    # batch execution path stays warm here
+    "events_minmax_count",
+    "events_sessions",
 ]
 
 
