@@ -262,17 +262,40 @@ def read_dap2(
     das = parse_das(_fetch(url + ".das", timeout).decode())
     dods_url = url + ".dods"
     if isel:
-        names = (
-            [parse_constraint(p)[0] for p in projection]
+        parsed = (
+            [parse_constraint(p) for p in projection]
             if projection
-            else [v["name"] for v in dds["vars"]]
+            else [(v["name"], None) for v in dds["vars"]]
         )
         projection = []
         by_name = {v["name"]: v for v in dds["vars"]}
-        for n in names:
+        for n, explicit in parsed:
             decl = by_name.get(n)
             if decl is None:
                 projection.append(n)
+                continue
+            if explicit is not None:
+                # the caller already constrained this variable; isel must
+                # not silently override or be dropped — keep the explicit
+                # hyperslab verbatim, but refuse a genuinely ambiguous
+                # double constraint on the same dimension
+                overlap = [
+                    dname or n
+                    for dname, _ in decl["dims"]
+                    if (dname or n) in isel
+                ]
+                if overlap:
+                    raise ValueError(
+                        f"projection {n!r} carries explicit hyperslabs and "
+                        f"isel also constrains {overlap}: drop one of the "
+                        "two constraints"
+                    )
+                projection.append(
+                    n
+                    + "".join(
+                        f"[{s}:{st}:{e}]" for (s, st, e) in explicit
+                    )
+                )
                 continue
             slabs = []
             for dname, size in decl["dims"]:

@@ -715,6 +715,19 @@ class ZarrArray:
                 f"{prefix}.zattrs",
                 json.dumps(self.meta["_v2_zattrs"], indent=1).encode(),
             )
+            # keep a consolidated store consistent: open_group/__getitem__
+            # prefer .zmetadata, so a resize through this API would
+            # otherwise reopen with the stale shape and hide appended
+            # data (schema_to_zarr's append path invalidates it the same
+            # way)
+            if self.store.exists(".zmetadata"):
+                zm = json.loads(self.store.get(".zmetadata"))
+                md = zm.get("metadata", {})
+                md[f"{prefix}.zarray"] = zarray
+                md[f"{prefix}.zattrs"] = self.meta["_v2_zattrs"]
+                self.store.put(
+                    ".zmetadata", json.dumps(zm, indent=1).encode()
+                )
             return
         key = f"{self.path}/{ZARR_JSON}" if self.path else ZARR_JSON
         self.store.put(key, json.dumps(self.meta, indent=1).encode())

