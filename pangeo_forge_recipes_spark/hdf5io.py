@@ -20,8 +20,9 @@ files):
   references (for DIMENSION_LIST resolution)
 * layouts: contiguous and chunked (chunk B-tree v1, any depth)
 * filters: deflate (zlib — decodes with the engine's gzip codec),
-  shuffle (byte transpose), and lzf (pure-python decode of h5py's
-  filter 32000); szip and others raise a clear error
+  shuffle (byte transpose), lzf (pure-python decode of h5py's filter
+  32000), and szip (pure-python CCSDS 121 extended-Rice decode, module
+  :mod:`.szip`); others raise a clear error
 * dimension naming: ``_ARRAY_DIMENSIONS`` (xarray/kerchunk convention),
   netCDF4 ``DIMENSION_LIST`` object references, or dimension-scale
   ``NAME``/``CLASS`` attributes; falls back to ``phony_dim_<i>``
@@ -379,11 +380,14 @@ class _Reader:
                 return {"layout": "compact", "data": body[4 : 4 + size]}
         raise NotImplementedError(f"HDF5 layout version {version} unsupported")
 
-    def _parse_filters(self, body: bytes) -> List[int]:
+    def _parse_filters(self, body: bytes) -> List[Tuple[int, Tuple[int, ...]]]:
+        """[(filter id, client data values)] — client data carries e.g.
+        szip's (options_mask, bits_per_pixel, pixels_per_block,
+        pixels_per_scanline)."""
         version = body[0]
         nfilters = body[1]
         pos = 8 if version == 1 else 2
-        ids = []
+        filters = []
         for _ in range(nfilters):
             fid = struct.unpack_from("<H", body, pos)[0]
             if version == 1 or fid >= 256:
@@ -391,11 +395,12 @@ class _Reader:
             else:
                 name_len = 0
             ncv = struct.unpack_from("<H", body, pos + 6)[0]
+            cd = struct.unpack_from(f"<{ncv}I", body, pos + 8 + name_len)
             pos += 8 + name_len + 4 * ncv
             if version == 1 and (ncv % 2):
                 pos += 4  # padding to multiple of 8
-            ids.append(fid)
-        return ids
+            filters.append((fid, tuple(cd)))
+        return filters
 
     def _parse_attribute(self, body: bytes):
         version = body[0]
@@ -548,7 +553,7 @@ def _dims_for(name: str, info: dict, reader: _Reader) -> List[str]:
     return [f"phony_dim_{i}" for i in range(len(info["shape"]))]
 
 
-_DEFLATE, _SHUFFLE = 1, 2
+_DEFLATE, _SHUFFLE, _SZIP = 1, 2, 4
 _LZF = 32000  # h5py's registered LZF filter id
 
 
@@ -661,13 +666,14 @@ def scan_hdf5(path: str, inline_threshold: int = 300) -> dict:
             }
             filters = info.get("filters", [])
             unsupported = [
-                f for f in filters if f not in (_DEFLATE, _SHUFFLE, _LZF)
+                fid
+                for fid, _ in filters
+                if fid not in (_DEFLATE, _SHUFFLE, _LZF, _SZIP)
             ]
             if unsupported:
                 raise NotImplementedError(
                     f"{path}:{name}: HDF5 filters {unsupported} unsupported "
-                    "(only deflate, shuffle, and lzf); rewrite without "
-                    "szip/etc"
+                    "(only deflate, shuffle, szip, and lzf)"
                 )
             if info.get("layout") == "chunked":
                 chunk_shape = info["chunk"]
@@ -683,18 +689,31 @@ def scan_hdf5(path: str, inline_threshold: int = 300) -> dict:
             # codecs in HDF5 application order (shuffle before deflate);
             # the store decodes in reverse
             extra = []
-            for f in filters:
-                if f == _SHUFFLE:
+            for fid, cd in filters:
+                if fid == _SHUFFLE:
                     extra.append(
                         {
                             "name": "hdf5-shuffle",
                             "configuration": {"elementsize": np_dtype.itemsize},
                         }
                     )
-                elif f == _DEFLATE:
+                elif fid == _DEFLATE:
                     extra.append({"name": "gzip", "configuration": {"level": 1}})
-                elif f == _LZF:
+                elif fid == _LZF:
                     extra.append({"name": "hdf5-lzf"})
+                elif fid == _SZIP:
+                    om, bpp, ppb, pps = (tuple(cd) + (0, 0, 0, 0))[:4]
+                    extra.append(
+                        {
+                            "name": "hdf5-szip",
+                            "configuration": {
+                                "options_mask": int(om),
+                                "bits_per_pixel": int(bpp),
+                                "pixels_per_block": int(ppb),
+                                "pixels_per_scanline": int(pps),
+                            },
+                        }
+                    )
             if extra:
                 meta["codecs"] = meta["codecs"] + extra
             if info.get("fill"):
@@ -894,13 +913,16 @@ def write_hdf5(
     headers, symbol-table root group, ``_ARRAY_DIMENSIONS`` attributes —
     the xarray/kerchunk convention). Used to generate scanner fixtures;
     datetimes are CF-encoded like the engine's other containers.
-    ``compress``: False, True/'deflate' (zlib), or 'lzf' (h5py's filter
-    32000)."""
+    ``compress``: False, True/'deflate' (zlib), 'lzf' (h5py's filter
+    32000), or 'szip' (CCSDS 121 extended-Rice NN mode, filter 4)."""
     from .dsio import _encode_for_store
 
-    if compress not in (False, None, True, "deflate", "gzip", "lzf"):
-        raise ValueError(f"compress={compress!r}; use False, 'deflate' or 'lzf'")
+    if compress not in (False, None, True, "deflate", "gzip", "lzf", "szip"):
+        raise ValueError(
+            f"compress={compress!r}; use False, 'deflate', 'lzf' or 'szip'"
+        )
     use_lzf = compress == "lzf"
+    use_szip = compress == "szip"
     chunks = chunks or {}
     variables = {**ds.coords, **ds.data_vars}
     names = sorted(variables)
@@ -938,6 +960,24 @@ def write_hdf5(
         ]
         chunk_dims = [chunks.get(d, s) for d, s in zip(var.dims, data.shape)]
         chunked = compress or shuffle or list(chunk_dims) != list(data.shape)
+        if use_szip:
+            from .szip import (
+                SZ_ALLOW_K13_OPTION_MASK,
+                SZ_LSB_OPTION_MASK,
+                SZ_NN_OPTION_MASK,
+                szip_compress,
+            )
+
+            sz_bpp = dt.itemsize * 8
+            sz_ppb = 16
+            # H5Zszip-style scanline: the fastest-changing chunk dim,
+            # floored at one block, capped at 128 blocks
+            sz_pps = min(max(int(chunk_dims[-1]), sz_ppb), 128 * sz_ppb)
+            sz_mask = (
+                SZ_NN_OPTION_MASK
+                | SZ_LSB_OPTION_MASK
+                | SZ_ALLOW_K13_OPTION_MASK
+            )
         if not chunked:
             addr = alloc(data.tobytes())
             layout = struct.pack("<BB", 3, 1) + struct.pack(
@@ -966,6 +1006,8 @@ def write_hdf5(
                     )
                 if use_lzf:
                     raw = lzf_compress(raw)
+                elif use_szip:
+                    raw = szip_compress(raw, sz_mask, sz_bpp, sz_ppb, sz_pps)
                 elif compress:
                     raw = zlib.compress(raw, 4)
                 caddr = alloc(raw)
@@ -1011,6 +1053,15 @@ def write_hdf5(
                         + fname
                         + struct.pack("<III", 4, 261, int(np.prod(chunk_dims)) * dt.itemsize)
                         + struct.pack("<I", 0)
+                    )
+                elif use_szip:
+                    fname = b"szip\x00\x00\x00\x00"
+                    # H5Zszip's four client values: (options_mask,
+                    # bits_per_pixel, pixels_per_block, pixels_per_scanline)
+                    entries.append(
+                        struct.pack("<HHHH", _SZIP, len(fname), 1, 4)
+                        + fname
+                        + struct.pack("<IIII", sz_mask, sz_bpp, sz_ppb, sz_pps)
                     )
                 elif compress:
                     fname = b"deflate\x00"

@@ -1,0 +1,412 @@
+"""Pure-Python szip codec (HDF5 filter id 4) — the extended-Rice /
+CCSDS 121.0-B lossless entropy coder used by the szip library that
+h5netcdf/h5py delegate to (reference reads szip archives through
+h5netcdf, ``/root/reference/pangeo_forge_recipes/openers.py:40-47``).
+
+Format implemented (the szip/libaec "headerless" stream the HDF5 filter
+stores — parameters travel in the filter's client data, not the stream):
+
+* samples of ``bits_per_pixel`` n (1..32) stored in 1/2/4-byte cells,
+  interpreted big-endian (``SZ_MSB_OPTION_MASK``) or little-endian
+  (``SZ_LSB_OPTION_MASK``);
+* data is coded scanline by scanline (``pixels_per_scanline`` samples),
+  each scanline split into blocks of ``pixels_per_block`` (J) samples,
+  the last block of a scanline padded by repeating its final sample;
+* with ``SZ_NN_OPTION_MASK`` the unit-delay predictor + standard CCSDS
+  mapper turn samples into non-negative residuals; the first sample of
+  every scanline is a reference coded by value. ``SZ_EC_OPTION_MASK``
+  codes raw samples with no prediction and no references;
+* per block, a ``(n>16 ? 5 : n>8 ? 4 : 3)``-bit option ID selects:
+  all-ones = uncompressed (J raw n-bit samples); ``id>=1`` = k-split
+  with ``k = id - 1`` (J fundamental-sequence prefixes — value v is v
+  zeros then a one — followed by J k-bit remainders); ``id==0`` + one
+  bit = zero-block run (0) or second extension (1);
+* zero-block runs are fundamental-sequence coded within 64-block
+  segments (aligned to the scanline): fs 0..3 → 1..4 blocks, fs 4 =
+  remainder-of-segment, fs >= 5 → fs blocks;
+* the second extension codes consecutive pairs (d0, d1) as one FS value
+  γ = (d0+d1)(d0+d1+1)/2 + d1; a reference sample participates as d0 of
+  the first pair;
+* bits are packed MSB-first; the stream is zero-padded to a whole byte.
+
+The encoder restricts itself to choices every conforming decoder
+accepts (it never emits a second-extension block containing a reference
+sample) and picks the cheapest option per block, as real szip does.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+SZ_ALLOW_K13_OPTION_MASK = 1
+SZ_CHIP_OPTION_MASK = 2
+SZ_EC_OPTION_MASK = 4
+SZ_LSB_OPTION_MASK = 8
+SZ_MSB_OPTION_MASK = 16
+SZ_NN_OPTION_MASK = 32
+SZ_RAW_OPTION_MASK = 128
+
+_SEGMENT_BLOCKS = 64
+_ROS_FS = 4
+
+
+def _storage_bytes(bpp: int) -> int:
+    if bpp <= 0:
+        raise ValueError(f"bits_per_pixel must be positive, got {bpp}")
+    if bpp <= 8:
+        return 1
+    if bpp <= 16:
+        return 2
+    if bpp <= 32:
+        return 4
+    raise NotImplementedError(
+        f"szip bits_per_pixel {bpp} > 32 unsupported (CCSDS 121 codes "
+        "up to 32-bit samples; 64-bit szip data is not produced by the "
+        "HDF5 filter)"
+    )
+
+
+def _id_len(bpp: int) -> int:
+    if bpp > 16:
+        return 5
+    if bpp > 8:
+        return 4
+    return 3
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_fs(self, value: int) -> None:
+        """Fundamental sequence: ``value`` zeros then a one."""
+        while value >= 32:
+            self.write(0, 32)
+            value -= 32
+        self.write(1, value + 1)
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.out.append((self.acc << (8 - self.nbits)) & 0xFF)
+            self.acc = self.nbits = 0
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit cursor
+
+    def read(self, nbits: int) -> int:
+        if nbits == 0:
+            return 0
+        end = self.pos + nbits
+        if (end + 7) // 8 > len(self.data):
+            raise ValueError("szip stream truncated")
+        value = 0
+        pos = self.pos
+        while nbits > 0:
+            byte = self.data[pos >> 3]
+            avail = 8 - (pos & 7)
+            take = min(avail, nbits)
+            shift = avail - take
+            value = (value << take) | ((byte >> shift) & ((1 << take) - 1))
+            pos += take
+            nbits -= take
+        self.pos = pos
+        return value
+
+    def read_fs(self) -> int:
+        count = 0
+        data, pos = self.data, self.pos
+        nbytes = len(data)
+        while True:
+            if pos >> 3 >= nbytes:
+                raise ValueError("szip stream truncated inside FS codeword")
+            byte = data[pos >> 3]
+            avail = 8 - (pos & 7)
+            window = byte & ((1 << avail) - 1)
+            if window == 0:
+                count += avail
+                pos += avail
+                continue
+            lead = avail - window.bit_length()
+            count += lead
+            pos += lead + 1
+            break
+        self.pos = pos
+        return count
+
+
+# ---------------------------------------------------------------------------
+# preprocessing (NN mode): unit-delay predictor + CCSDS mapper
+# ---------------------------------------------------------------------------
+
+
+def _map_residual(x: int, pred: int, xmax: int) -> int:
+    d = x - pred
+    theta = min(pred, xmax - pred)
+    if 0 <= d <= theta:
+        return 2 * d
+    if -theta <= d < 0:
+        return -2 * d - 1
+    return theta + abs(d)
+
+
+def _unmap_residual(m: int, pred: int, xmax: int) -> int:
+    theta = min(pred, xmax - pred)
+    if m <= 2 * theta:
+        d = m // 2 if m % 2 == 0 else -((m + 1) // 2)
+    else:
+        mag = m - theta
+        # only one direction can exceed theta
+        d = mag if pred <= xmax - pred else -mag
+    return pred + d
+
+
+def _preprocess(samples: List[int], xmax: int) -> List[int]:
+    """Scanline samples -> deltas; deltas[0] is the raw reference."""
+    out = [samples[0]]
+    for i in range(1, len(samples)):
+        out.append(_map_residual(samples[i], samples[i - 1], xmax))
+    return out
+
+
+def _postprocess(deltas: List[int], xmax: int) -> List[int]:
+    out = [deltas[0]]
+    for i in range(1, len(deltas)):
+        out.append(_unmap_residual(deltas[i], out[i - 1], xmax))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# per-scanline entropy coding
+# ---------------------------------------------------------------------------
+
+
+def _se_gammas(block: List[int]) -> List[int]:
+    return [
+        (a + b) * (a + b + 1) // 2 + b
+        for a, b in zip(block[0::2], block[1::2])
+    ]
+
+
+def _encode_scanline(
+    w: _BitWriter,
+    deltas: List[int],
+    bpp: int,
+    ppb: int,
+    allow_k13: bool,
+    has_ref: bool,
+) -> None:
+    idl = _id_len(bpp)
+    uncmp_id = (1 << idl) - 1
+    max_k = uncmp_id - 2  # ids 1..max_k+1
+    if idl == 4 and not allow_k13:
+        max_k = min(max_k, 12)
+    max_k = min(max_k, bpp - 1) if bpp > 1 else 0
+    nblocks = -(-len(deltas) // ppb)
+    blocks = []
+    for b in range(nblocks):
+        blk = deltas[b * ppb : (b + 1) * ppb]
+        if len(blk) < ppb:
+            blk = blk + [blk[-1]] * (ppb - len(blk))  # encoder pre-pads
+        blocks.append(blk)
+
+    b = 0
+    while b < nblocks:
+        seg_start = (b // _SEGMENT_BLOCKS) * _SEGMENT_BLOCKS
+        seg_end = min(seg_start + _SEGMENT_BLOCKS, nblocks)
+        blk = blocks[b]
+        if not any(blk):
+            run = 1
+            while b + run < seg_end and not any(blocks[b + run]):
+                run += 1
+            w.write(0, idl)  # low-entropy escape
+            w.write(0, 1)  # zero-block
+            if b + run == seg_end and run >= 5:
+                w.write_fs(_ROS_FS)
+            elif run <= 4:
+                w.write_fs(run - 1)
+            else:
+                w.write_fs(run)
+            b += run
+            continue
+        ref_here = has_ref and b == 0
+        # candidate costs
+        best_id, best_cost = uncmp_id, ppb * bpp
+        for k in range(0, max_k + 1):
+            cost = sum((d >> k) + 1 for d in blk) + ppb * k
+            if cost < best_cost:
+                best_id, best_cost = k + 1, cost
+        se_cost = None
+        if not ref_here and ppb % 2 == 0:
+            gammas = _se_gammas(blk)
+            se_cost = sum(g + 1 for g in gammas) + 1
+            if se_cost < best_cost:
+                best_id, best_cost = -1, se_cost  # -1 marks SE
+        if best_id == -1:
+            w.write(0, idl)
+            w.write(1, 1)  # second extension
+            for g in _se_gammas(blk):
+                w.write_fs(g)
+        elif best_id == uncmp_id:
+            w.write(uncmp_id, idl)
+            for d in blk:
+                w.write(d, bpp)
+        else:
+            k = best_id - 1
+            w.write(best_id, idl)
+            for d in blk:
+                w.write_fs(d >> k)
+            if k:
+                for d in blk:
+                    w.write(d, k)
+        b += 1
+
+
+def _decode_scanline(
+    r: _BitReader, nsamples: int, bpp: int, ppb: int
+) -> List[int]:
+    idl = _id_len(bpp)
+    uncmp_id = (1 << idl) - 1
+    nblocks = -(-nsamples // ppb)
+    deltas: List[int] = []
+    b = 0
+    while b < nblocks:
+        seg_start = (b // _SEGMENT_BLOCKS) * _SEGMENT_BLOCKS
+        seg_end = min(seg_start + _SEGMENT_BLOCKS, nblocks)
+        bid = r.read(idl)
+        if bid == uncmp_id:
+            deltas.extend(r.read(bpp) for _ in range(ppb))
+            b += 1
+        elif bid == 0:
+            if r.read(1):  # second extension
+                vals: List[int] = []
+                for _ in range(ppb // 2):
+                    g = r.read_fs()
+                    beta = int((np.sqrt(8 * g + 1) - 1) // 2)
+                    # guard float edges
+                    while (beta + 1) * (beta + 2) // 2 <= g:
+                        beta += 1
+                    while beta * (beta + 1) // 2 > g:
+                        beta -= 1
+                    d1 = g - beta * (beta + 1) // 2
+                    vals.extend((beta - d1, d1))
+                deltas.extend(vals)
+                b += 1
+            else:  # zero-block run
+                fs = r.read_fs()
+                if fs == _ROS_FS:
+                    run = seg_end - b
+                elif fs < _ROS_FS:
+                    run = fs + 1
+                else:
+                    run = fs
+                deltas.extend([0] * (run * ppb))
+                b += run
+        else:
+            k = bid - 1
+            msbs = [r.read_fs() for _ in range(ppb)]
+            if k:
+                deltas.extend((m << k) | r.read(k) for m in msbs)
+            else:
+                deltas.extend(msbs)
+            b += 1
+    return deltas[:nsamples]
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def _samples_from_bytes(data: bytes, bpp: int, msb: bool) -> np.ndarray:
+    size = _storage_bytes(bpp)
+    dt = np.dtype(f"{'>' if msb else '<'}u{size}")
+    if len(data) % size:
+        raise ValueError(
+            f"szip input of {len(data)} bytes is not a multiple of the "
+            f"{size}-byte sample storage size"
+        )
+    return np.frombuffer(data, dtype=dt)
+
+
+def szip_compress(
+    data: bytes,
+    options_mask: int,
+    bits_per_pixel: int,
+    pixels_per_block: int,
+    pixels_per_scanline: int,
+) -> bytes:
+    msb = not (options_mask & SZ_LSB_OPTION_MASK)
+    nn = bool(options_mask & SZ_NN_OPTION_MASK)
+    allow_k13 = bool(options_mask & SZ_ALLOW_K13_OPTION_MASK)
+    samples = _samples_from_bytes(data, bits_per_pixel, msb)
+    xmax = (1 << bits_per_pixel) - 1
+    if samples.size and int(samples.max()) > xmax:
+        raise ValueError(
+            f"sample exceeds {bits_per_pixel}-bit range"
+        )
+    w = _BitWriter()
+    for start in range(0, len(samples), pixels_per_scanline):
+        line = [int(v) for v in samples[start : start + pixels_per_scanline]]
+        if not line:
+            break
+        deltas = _preprocess(line, xmax) if nn else line
+        _encode_scanline(
+            w, deltas, bits_per_pixel, pixels_per_block, allow_k13, has_ref=nn
+        )
+    return w.done()
+
+
+def szip_decompress(
+    data: bytes,
+    nelems: int,
+    options_mask: int,
+    bits_per_pixel: int,
+    pixels_per_block: int,
+    pixels_per_scanline: int,
+) -> bytes:
+    """Decode ``nelems`` samples; returns the raw sample buffer in the
+    original 1/2/4-byte storage (byte order per the MSB/LSB option)."""
+    msb = not (options_mask & SZ_LSB_OPTION_MASK)
+    nn = bool(options_mask & SZ_NN_OPTION_MASK)
+    size = _storage_bytes(bits_per_pixel)
+    xmax = (1 << bits_per_pixel) - 1
+    r = _BitReader(data)
+    out = np.empty(nelems, dtype=np.dtype(f"{'>' if msb else '<'}u{size}"))
+    done = 0
+    while done < nelems:
+        nsamp = min(pixels_per_scanline, nelems - done)
+        deltas = _decode_scanline(r, nsamp, bits_per_pixel, pixels_per_block)
+        line = _postprocess(deltas, xmax) if nn else deltas
+        out[done : done + nsamp] = line
+        done += nsamp
+    return out.tobytes()
+
+
+__all__ = [
+    "szip_compress",
+    "szip_decompress",
+    "SZ_ALLOW_K13_OPTION_MASK",
+    "SZ_EC_OPTION_MASK",
+    "SZ_LSB_OPTION_MASK",
+    "SZ_MSB_OPTION_MASK",
+    "SZ_NN_OPTION_MASK",
+    "SZ_RAW_OPTION_MASK",
+]

@@ -243,6 +243,15 @@ class ZarrArray:
         return any(c["name"] == "hdf5-lzf" for c in self.meta["codecs"])
 
     @property
+    def _szip_config(self) -> Optional[dict]:
+        """HDF5 szip filter parameters (virtual references into
+        szip-compressed files; decoded by :mod:`.szip`)."""
+        for c in self.meta["codecs"]:
+            if c["name"] == "hdf5-szip":
+                return c.get("configuration", {})
+        return None
+
+    @property
     def _compression(self):
         """(name, configuration) of the non-zlib compression codec, if any
         — blosc / zstd / lz4 / snappy / gzip-frame, from zarr v2 stores
@@ -440,6 +449,17 @@ class ZarrArray:
             from .hdf5io import lzf_compress
 
             buf = lzf_compress(buf)
+        szp = self._szip_config
+        if szp is not None:
+            from .szip import szip_compress
+
+            buf = szip_compress(
+                buf,
+                szp["options_mask"],
+                szp["bits_per_pixel"],
+                szp["pixels_per_block"],
+                szp["pixels_per_scanline"],
+            )
         comp = self._compression
         if comp is not None:
             from . import codecs as _codecs
@@ -533,6 +553,18 @@ class ZarrArray:
             from .hdf5io import lzf_decompress
 
             buf = lzf_decompress(buf)
+        szp = self._szip_config
+        if szp is not None:
+            from .szip import szip_decompress
+
+            buf = szip_decompress(
+                buf,
+                int(np.prod(self.chunks, dtype=np.int64)),
+                szp["options_mask"],
+                szp["bits_per_pixel"],
+                szp["pixels_per_block"],
+                szp["pixels_per_scanline"],
+            )
         comp = self._compression
         if comp is not None:
             from . import codecs as _codecs

@@ -116,18 +116,20 @@ def test_write_read_roundtrip_shuffle_deflate(tmp_path):
 
 
 def test_unsupported_filter_raises(tmp_path):
-    """An szip-filtered dataset must fail loudly, not decode garbage."""
+    """A dataset using an unimplemented filter (bzip2, registered id
+    307) must fail loudly, not decode garbage. (szip, formerly the
+    example here, is now decoded natively — see test_szip.py.)"""
     ds = make_ds(nt=2)
     p = str(tmp_path / "t.h5")
     write_hdf5(p, ds, chunks={"time": 1}, compress=True)
-    # splice the szip filter id (4) over deflate (1) in the pipeline msg
+    # splice the bzip2 filter id (307) over deflate (1) in the pipeline
     with open(p, "rb") as f:
         raw = bytearray(f.read())
     sig = b"deflate\x00"
     idx = raw.find(sig)
     assert idx > 0
-    raw[idx - 8 : idx - 6] = (4).to_bytes(2, "little")
-    raw[idx : idx + 8] = b"szip\x00\x00\x00\x00"
+    raw[idx - 8 : idx - 6] = (307).to_bytes(2, "little")
+    raw[idx : idx + 8] = b"bzip2\x00\x00\x00"
     p2 = str(tmp_path / "t2.h5")
     with open(p2, "wb") as f:
         f.write(bytes(raw))
