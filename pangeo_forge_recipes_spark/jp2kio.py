@@ -741,6 +741,97 @@ def _inv53_2d(
     return _inv53_1d(lo_v, hi_v, 0)
 
 
+# 9/7 irreversible (CDF) lifting constants, ITU-T T.800 Annex F; the
+# scaling convention (lowpass x 1/K, highpass x K) is pinned against the
+# normative Table F.4 analysis taps in tests/test_jp2kio.py.
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _lift97(y: np.ndarray, coef: float, parity: int) -> None:
+    """One lifting step in place: y[i] += coef*(y[i-1]+y[i+1]) for all i
+    of the given parity, with whole-sample symmetric extension."""
+    n = y.shape[0]
+    idx = np.arange(parity, n, 2)
+    left = np.abs(idx - 1)
+    right = idx + 1
+    right = np.where(right >= n, 2 * (n - 1) - right, right)
+    y[idx] += coef * (y[left] + y[right])
+
+
+def _fwd97_1d(x: np.ndarray, axis: int) -> Tuple[np.ndarray, np.ndarray]:
+    x = np.moveaxis(x, axis, 0).astype(np.float64)
+    n = x.shape[0]
+    if n == 1:
+        return np.moveaxis(x, 0, axis), np.moveaxis(x[:0], 0, axis)
+    y = x.copy()
+    _lift97(y, _A97, 1)
+    _lift97(y, _B97, 0)
+    _lift97(y, _G97, 1)
+    _lift97(y, _D97, 0)
+    lo = y[0::2] / _K97
+    hi = y[1::2] * _K97
+    return np.moveaxis(lo, 0, axis), np.moveaxis(hi, 0, axis)
+
+
+def _inv97_1d(lo: np.ndarray, hi: np.ndarray, axis: int) -> np.ndarray:
+    lo = np.moveaxis(lo, axis, 0).astype(np.float64)
+    hi = np.moveaxis(hi, axis, 0).astype(np.float64)
+    nl, nh = lo.shape[0], hi.shape[0]
+    n = nl + nh
+    if nh == 0:
+        return np.moveaxis(lo, 0, axis)
+    y = np.empty((n,) + lo.shape[1:], dtype=np.float64)
+    y[0::2] = lo * _K97
+    y[1::2] = hi / _K97
+    _lift97(y, -_D97, 0)
+    _lift97(y, -_G97, 1)
+    _lift97(y, -_B97, 0)
+    _lift97(y, -_A97, 1)
+    return np.moveaxis(y, 0, axis)
+
+
+def _fwd97_2d(a: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    lo_v, hi_v = _fwd97_1d(a, 0)
+    ll, hl = _fwd97_1d(lo_v, 1)
+    lh, hh = _fwd97_1d(hi_v, 1)
+    return ll, hl, lh, hh
+
+
+def _inv97_2d(
+    ll: np.ndarray, hl: np.ndarray, lh: np.ndarray, hh: np.ndarray
+) -> np.ndarray:
+    lo_v = _inv97_1d(ll, hl, 1)
+    hi_v = _inv97_1d(lh, hh, 1)
+    return _inv97_1d(lo_v, hi_v, 0)
+
+
+def _quant_step(depth: int, band: str, eps: int, mant: int) -> float:
+    """T.800 Eq E-3: Δ_b = 2^(R_b − ε_b) · (1 + μ_b / 2^11), with
+    R_b = component depth + band gain."""
+    rb = depth + _BAND_GAIN[band]
+    return float(2.0 ** (rb - eps) * (1.0 + mant / 2048.0))
+
+
+def _step_to_eps_mant(step: float, depth: int, band: str) -> Tuple[int, int]:
+    """Quantization step -> (ε_b, μ_b), the closest representable Δ."""
+    import math as _math
+
+    rb = depth + _BAND_GAIN[band]
+    e2 = _math.floor(_math.log2(step))
+    mant = int(round((step / 2.0**e2 - 1.0) * 2048.0))
+    if mant >= 2048:
+        mant = 0
+        e2 += 1
+    eps = rb - e2
+    if not (0 <= eps <= 31):
+        raise ValueError(f"quantization step {step} out of range for {band}")
+    return eps, mant
+
+
 # ---------------------------------------------------------------------------
 # structure helpers
 # ---------------------------------------------------------------------------
@@ -823,9 +914,14 @@ def encode_j2k(
     levels: int = 5,
     signed: bool = False,
     cblk_exp: int = 6,
+    irreversible: bool = False,
+    qstep: float = 1.0 / 512,
 ) -> bytes:
-    """Encode a 2-D integer array as a lossless (reversible 5/3) J2K
-    codestream: one component, one tile, one layer, LRCP."""
+    """Encode a 2-D integer array as a J2K codestream: one component,
+    one tile, one layer, LRCP. Reversible 5/3 by default; with
+    ``irreversible=True`` the 9/7 wavelet + scalar quantization at
+    ``qstep`` (expounded style, same Δ target for every band) is used —
+    the lossy path of GRIB template 5.40 ECMWF products."""
     img = np.asarray(img)
     if img.ndim != 2:
         raise ValueError("encode_j2k needs a 2-D array")
@@ -842,11 +938,29 @@ def encode_j2k(
     # forward DWT -> bands[r] aligned with _resolution_bands order
     bands_per_res = _resolution_bands(h, w, levels)
     coeffs: List[List[np.ndarray]] = [[] for _ in range(levels + 1)]
-    ll = x
-    for r in range(levels, 0, -1):
-        ll, hl, lh, hh = _fwd53_2d(ll)
-        coeffs[r] = [hl, lh, hh]
-    coeffs[0] = [ll]
+    band_eps_mant: List[List[Tuple[int, int]]] = [[] for _ in range(levels + 1)]
+    if irreversible:
+        ll_f = x.astype(np.float64)
+        fcoeffs: List[List[np.ndarray]] = [[] for _ in range(levels + 1)]
+        for r in range(levels, 0, -1):
+            ll_f, hl, lh, hh = _fwd97_2d(ll_f)
+            fcoeffs[r] = [hl, lh, hh]
+        fcoeffs[0] = [ll_f]
+        for r in range(levels + 1):
+            for b_idx, (bname, _, _) in enumerate(bands_per_res[r]):
+                eps_b, mant_b = _step_to_eps_mant(qstep, depth, bname)
+                band_eps_mant[r].append((eps_b, mant_b))
+                delta = _quant_step(depth, bname, eps_b, mant_b)
+                v = fcoeffs[r][b_idx]
+                coeffs[r].append(
+                    (np.sign(v) * np.floor(np.abs(v) / delta)).astype(np.int64)
+                )
+    else:
+        ll = x
+        for r in range(levels, 0, -1):
+            ll, hl, lh, hh = _fwd53_2d(ll)
+            coeffs[r] = [hl, lh, hh]
+        coeffs[0] = [ll]
 
     # Tier-1 per codeblock, then Tier-2 packets (one per resolution)
     body = bytearray()
@@ -854,7 +968,10 @@ def encode_j2k(
         blocks = []  # (band_idx, cb_idx, data, npasses, zb)
         trees = []
         for b_idx, (bname, bh, bw) in enumerate(bands_per_res[r]):
-            eps = depth + _BAND_GAIN[bname]
+            if irreversible:
+                eps = band_eps_mant[r][b_idx][0]
+            else:
+                eps = depth + _BAND_GAIN[bname]
             mb = eps + guard - 1
             cbs = _codeblocks(bh, bw, cb) if bh and bw else []
             ncx = (bw + cb - 1) // cb if bw else 0
@@ -921,18 +1038,29 @@ def encode_j2k(
         ">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, 1
     ) + bytes([(0x80 if signed else 0) | (depth - 1), 1, 1])
     out += struct.pack(">HH", _SIZ, len(siz) + 2) + siz
-    spcod = bytes([levels, cblk_exp - 2, cblk_exp - 2, 0, 1])
+    spcod = bytes(
+        [levels, cblk_exp - 2, cblk_exp - 2, 0, 0 if irreversible else 1]
+    )
     cod = bytes([0]) + bytes([0, 0, 1, 0]) + spcod  # Scod, SGcod(prog,layers,mct)
     out += struct.pack(">HH", _COD, len(cod) + 2) + cod
     nsub = 3 * levels + 1
-    exps = bytearray([(guard << 5) | 0x00])
-    # subband order for QCD: LL, then per level (coarse..fine) HL, LH, HH
-    exps.append((depth + 0) << 3)
-    for r in range(1, levels + 1):
-        for g in (1, 1, 2):
-            exps.append((depth + g) << 3)
-    assert len(exps) == nsub + 1
-    out += struct.pack(">HH", _QCD, len(exps) + 2) + bytes(exps)
+    if irreversible:
+        # scalar expounded (style 2): one 16-bit (ε, μ) entry per subband
+        qcd = bytearray([(guard << 5) | 0x02])
+        for r in range(levels + 1):
+            for eps_b, mant_b in band_eps_mant[r]:
+                qcd += struct.pack(">H", (eps_b << 11) | mant_b)
+        assert len(qcd) == 1 + 2 * nsub
+        out += struct.pack(">HH", _QCD, len(qcd) + 2) + bytes(qcd)
+    else:
+        exps = bytearray([(guard << 5) | 0x00])
+        # subband order for QCD: LL, then per level (coarse..fine) HL, LH, HH
+        exps.append((depth + 0) << 3)
+        for r in range(1, levels + 1):
+            for g in (1, 1, 2):
+                exps.append((depth + g) << 3)
+        assert len(exps) == nsub + 1
+        out += struct.pack(">HH", _QCD, len(exps) + 2) + bytes(exps)
     psot = 12 + 2 + len(body)
     out += struct.pack(">HHHIBB", _SOT, 10, 0, psot, 0, 1)
     out += struct.pack(">H", _SOD)
@@ -978,8 +1106,9 @@ def decode_j2k(data: bytes) -> Tuple[np.ndarray, int, bool]:
     pos = 2
     w = h = depth = None
     signed = False
+    irreversible = False
     levels = cblk_exp = None
-    guard = eps = None
+    guard = qentries = qstyle = None
     body_start = body_end = None
     while pos < len(data):
         (marker,) = struct.unpack(">H", data[pos : pos + 2])
@@ -1029,18 +1158,27 @@ def decode_j2k(data: bytes) -> Tuple[np.ndarray, int, bool]:
                 raise NotImplementedError(
                     f"J2K code-block style {seg[8]:#x} unsupported"
                 )
-            if seg[9] != 1:
+            if seg[9] == 1:
+                irreversible = False
+            elif seg[9] == 0:
+                irreversible = True
+            else:
                 raise NotImplementedError(
-                    "J2K 9/7 irreversible transform unsupported (5/3 only)"
+                    f"J2K transform {seg[9]} unsupported (5/3 or 9/7)"
                 )
         elif marker == _QCD:
             sqcd = seg[0]
-            if sqcd & 0x1F:
-                raise NotImplementedError(
-                    "J2K quantization style unsupported (reversible only)"
-                )
+            qstyle = sqcd & 0x1F
             guard = sqcd >> 5
-            eps = [b >> 3 for b in seg[1:]]
+            if qstyle == 0:  # no quantization: 8-bit exponents
+                qentries = [(b >> 3, 0) for b in seg[1:]]
+            elif qstyle in (1, 2):  # scalar derived / expounded: 16-bit
+                vals = struct.unpack(f">{(len(seg) - 1) // 2}H", seg[1:])
+                qentries = [(v >> 11, v & 0x7FF) for v in vals]
+            else:
+                raise NotImplementedError(
+                    f"J2K quantization style {qstyle} unsupported"
+                )
         elif marker == _SOT:
             lsot, isot, psot, tpsot, tnsot = struct.unpack(">HHIBB", data[pos : pos + 10])
             if isot != 0 or tpsot != 0:
@@ -1059,12 +1197,24 @@ def decode_j2k(data: bytes) -> Tuple[np.ndarray, int, bool]:
         else:
             raise NotImplementedError(f"J2K marker {marker:#x} unsupported")
         pos += ln
-    if None in (w, h, levels, guard) or body_start is None:
+    if None in (w, h, levels, guard) or qentries is None or body_start is None:
         raise ValueError("incomplete J2K codestream")
 
     cb = 1 << cblk_exp
     bands_per_res = _resolution_bands(h, w, levels)
+
+    def band_quant(flat_idx: int, rlevel: int, bname: str) -> Tuple[int, int]:
+        """(ε_b, μ_b) for the subband: sequential entries for the
+        no-quant / expounded styles, T.800 Eq E-5 derivation from the
+        single LL entry for the derived style."""
+        if qstyle == 1:
+            eps0, mant0 = qentries[0]
+            nb = levels if rlevel == 0 else levels - rlevel + 1
+            return eps0 - levels + nb, mant0
+        return qentries[flat_idx]
+
     coeffs: List[List[np.ndarray]] = [[] for _ in range(levels + 1)]
+    band_q: List[List[Tuple[int, int]]] = [[] for _ in range(levels + 1)]
     pos = body_start
     eps_idx = 0
     for r in range(levels + 1):
@@ -1072,7 +1222,9 @@ def decode_j2k(data: bytes) -> Tuple[np.ndarray, int, bool]:
         nonempty = br.bit()
         pending = []  # (band_idx, slot, y0, x0, ch, cw, npasses, zb, length)
         for b_idx, (bname, bh, bw) in enumerate(bands_per_res[r]):
-            mb = eps[eps_idx] + guard - 1
+            b_eps, b_mant = band_quant(eps_idx, r, bname)
+            band_q[r].append((b_eps, b_mant))
+            mb = b_eps + guard - 1
             eps_idx += 1
             coeffs[r].append(np.zeros((bh, bw), dtype=np.int64))
             cbs = _codeblocks(bh, bw, cb) if bh and bw else []
@@ -1116,7 +1268,26 @@ def decode_j2k(data: bytes) -> Tuple[np.ndarray, int, bool]:
                 npasses, max_plane
             )
 
-    # inverse DWT
+    if irreversible:
+        # dequantize: x = sign(q) * (|q| + 0.5) * Δ_b for q != 0
+        # (midpoint reconstruction, T.800 Annex E)
+        for r in range(levels + 1):
+            for b_idx, (bname, _, _) in enumerate(bands_per_res[r]):
+                b_eps, b_mant = band_q[r][b_idx]
+                delta = _quant_step(depth, bname, b_eps, b_mant)
+                q = coeffs[r][b_idx]
+                coeffs[r][b_idx] = np.where(
+                    q != 0, np.sign(q) * (np.abs(q) + 0.5) * delta, 0.0
+                )
+        ll = coeffs[0][0]
+        for r in range(1, levels + 1):
+            hl, lh, hh = coeffs[r]
+            ll = _inv97_2d(ll, hl, lh, hh)
+        if not signed:
+            ll = ll + float(1 << (depth - 1))
+        return np.rint(ll).astype(np.int64), depth, signed
+
+    # inverse DWT (reversible 5/3)
     ll = coeffs[0][0]
     for r in range(1, levels + 1):
         hl, lh, hh = coeffs[r]

@@ -230,3 +230,123 @@ def test_jp2_container_unwrap():
     # container with no codestream box
     with pytest.raises(ValueError, match="jp2c"):
         J.decode_j2k(b"\x00\x00\x00\x0cjP  \r\n\x87\n" + box(b"ftyp", b"x"))
+
+
+# ---------------------------------------------------------------------------
+# 9/7 irreversible (lossy) path
+# ---------------------------------------------------------------------------
+
+# ITU-T T.800 Table F.4 normative 9/7 analysis filter taps — the ground
+# truth that pins the lifting constants AND the scaling convention
+# (lowpass x 1/K, highpass x K) independently of the implementation.
+_T800_LO = {0: 0.602949018236, 1: 0.266864118443, 2: -0.078223266529,
+            3: -0.016864118443, 4: 0.026748757411}
+_T800_HI = {0: 1.115087052457, 1: -0.591271763114, 2: -0.057543526229,
+            3: 0.091271763114}
+
+
+def _sym(x, i):
+    n = len(x)
+    while i < 0 or i >= n:
+        if i < 0:
+            i = -i
+        if i >= n:
+            i = 2 * (n - 1) - i
+    return x[i]
+
+
+@pytest.mark.parametrize("n", [2, 3, 7, 16, 33])
+def test_97_lifting_matches_published_taps(n):
+    rng = np.random.RandomState(n)
+    x = rng.standard_normal(n)
+    conv_lo = np.array(
+        [sum(_T800_LO[abs(k)] * _sym(x, 2 * m + k) for k in range(-4, 5))
+         for m in range((n + 1) // 2)])
+    conv_hi = np.array(
+        [sum(_T800_HI[abs(k)] * _sym(x, 2 * m + 1 + k) for k in range(-3, 4))
+         for m in range(n // 2)])
+    lo, hi = J._fwd97_1d(x, 0)
+    np.testing.assert_allclose(lo, conv_lo, atol=1e-10)
+    np.testing.assert_allclose(hi, conv_hi, atol=1e-10)
+    np.testing.assert_allclose(J._inv97_1d(lo, hi, 0), x, atol=1e-10)
+
+
+def _smooth_img(shape, depth, seed):
+    rng = np.random.RandomState(seed)
+    img = np.cumsum(np.cumsum(rng.randint(-2, 3, shape), 0), 1)
+    return (img + (1 << (depth - 1))).clip(0, (1 << depth) - 1).astype(np.int64)
+
+
+def test_lossy_round_trip_fine_step():
+    img = _smooth_img((37, 53), 10, 2)
+    enc = J.encode_j2k(img, depth=10, levels=3, irreversible=True, qstep=1 / 512)
+    dec, depth, signed = J.decode_j2k(enc)
+    assert depth == 10 and not signed
+    assert np.abs(dec - img).max() <= 1  # within quantization tolerance
+
+
+def test_lossy_round_trip_coarse_step_compresses():
+    img = _smooth_img((64, 64), 10, 3)
+    fine = J.encode_j2k(img, depth=10, levels=3, irreversible=True, qstep=1 / 512)
+    coarse = J.encode_j2k(img, depth=10, levels=3, irreversible=True, qstep=0.5)
+    dec, _, _ = J.decode_j2k(coarse)
+    assert np.abs(dec - img).max() <= 4
+    assert len(coarse) < 0.6 * len(fine)  # coarser step buys real size
+
+
+def test_lossy_signed_component():
+    img = _smooth_img((20, 31), 9, 4) - 256
+    enc = J.encode_j2k(img, depth=9, levels=2, signed=True,
+                       irreversible=True, qstep=1 / 256)
+    dec, depth, signed = J.decode_j2k(enc)
+    assert signed
+    assert np.abs(dec - img).max() <= 1
+
+
+def test_qcd_derived_style_decodes():
+    """Scalar-derived quantization (QCD style 1): single (ε0, μ0) entry,
+    per-band ε derived via T.800 Eq E-5.  Built by encoding with the
+    derived ε pattern forced per band, then splicing the QCD marker down
+    to its single-entry style-1 form — decode must be identical."""
+    import struct as _struct
+
+    img = _smooth_img((24, 24), 8, 5)
+    levels = 2
+    # derived pattern: ε_b = ε0 − NL + n_b, μ identical
+    eps0, mant0 = 13, 512
+    order = []  # encode-time iteration order: r asc, bands in band order
+    for r in range(levels + 1):
+        nb = levels if r == 0 else levels - r + 1
+        nbands = 1 if r == 0 else 3
+        order += [(eps0 - levels + nb, mant0)] * nbands
+    seq = iter(order)
+    real = J._step_to_eps_mant
+    try:
+        J._step_to_eps_mant = lambda step, depth, band: next(seq)
+        enc = J.encode_j2k(img, depth=8, levels=levels, irreversible=True)
+    finally:
+        J._step_to_eps_mant = real
+    base, _, _ = J.decode_j2k(enc)
+
+    # splice: replace the expounded QCD with a style-1 single entry
+    qcd_at = enc.find(b"\xff\x5c")
+    assert qcd_at > 0
+    (ln,) = _struct.unpack(">H", enc[qcd_at + 2 : qcd_at + 4])
+    sqcd = enc[qcd_at + 4]
+    guard = sqcd >> 5
+    new_qcd = (
+        b"\xff\x5c"
+        + _struct.pack(">H", 2 + 1 + 2)
+        + bytes([(guard << 5) | 0x01])
+        + _struct.pack(">H", (eps0 << 11) | mant0)
+    )
+    spliced = enc[:qcd_at] + new_qcd + enc[qcd_at + 2 + ln :]
+    derived, depth, signed = J.decode_j2k(spliced)
+    np.testing.assert_array_equal(derived, base)
+
+
+def test_lossless_path_unchanged_by_lossy_support():
+    img = _smooth_img((18, 25), 12, 6)
+    enc = J.encode_j2k(img, depth=12, levels=2)
+    dec, _, _ = J.decode_j2k(enc)
+    np.testing.assert_array_equal(dec, img)
