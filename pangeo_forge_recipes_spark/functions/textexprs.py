@@ -29,6 +29,7 @@ _DIALECT: Dict[str, Dict[str, str]] = {
         "str": "cast({x} as string)",
         "instr": "instr({s}, {x})",
         "arr_get": "element_at({x}, {i})",  # 1-based
+        "arr1": "array({x})",  # single-element array (bind-once trick)
         "explode": "explode({x})",
         "quantile": "percentile({x}, {q})",  # exact, linear interpolation
     },
@@ -49,6 +50,7 @@ _DIALECT: Dict[str, Dict[str, str]] = {
         "str": "cast({x} as varchar)",
         "instr": "instr({s}, {x})",
         "arr_get": "list_extract({x}, {i})",  # 1-based
+        "arr1": "[{x}]",  # single-element list (bind-once trick)
         "explode": "unnest({x})",
         "quantile": "quantile_cont({x}, {q})",  # exact, linear interpolation
     },
@@ -203,9 +205,14 @@ class TextExprs:
         """Array of space-joined token ``n``-grams; empty for docs shorter
         than ``n`` tokens. The filter guard keeps every index strictly in
         range, so the expression is safe under Spark's ANSI
-        ``element_at``."""
-        toks = self.tokens()
-        cnt = self._f("arr_len", x=toks)
+        ``element_at``.
+
+        The token array is bound ONCE via a single-element-array
+        ``transform`` whose lambda variable ``t`` carries it into the
+        nested lambdas — inlining the tokenize expression inside the
+        per-element ``element_at`` would re-split the text per n-gram,
+        O(tokens²) per document."""
+        cnt = self._f("arr_len", x="t")
         seq = self._f(
             "seq", a="1", b=self._f("greatest", a=f"({cnt} - {n - 1})", b="1")
         )
@@ -215,11 +222,17 @@ class TextExprs:
         parts = []
         for j in range(n):
             i = "i" if j == 0 else f"(i + {j})"
-            parts.append(self._f("arr_get", x=toks, i=i))
+            parts.append(self._f("arr_get", x="t", i=i))
         joined = parts[0]
         for p in parts[1:]:
             joined = f"concat({joined}, ' ', {p})"
-        return self._f("arr_transform", x=in_range, lam=f"i -> {joined}")
+        body = self._f("arr_transform", x=in_range, lam=f"i -> {joined}")
+        once = self._f(
+            "arr_transform",
+            x=self._f("arr1", x=self.tokens()),
+            lam=f"t -> {body}",
+        )
+        return self._f("arr_get", x=once, i="1")
 
     def token_bigrams(self) -> str:
         """Array of space-joined token bigrams; empty for one-token docs."""

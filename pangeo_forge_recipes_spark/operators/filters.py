@@ -78,12 +78,16 @@ def _word_ngrams(col: str, n: int) -> str:
     """SQL expression: array of space-joined word ``n``-grams of ``col``.
     Empty array when the document has fewer than ``n`` tokens (the
     ``filter`` guard keeps every ``slice`` strictly in range under ANSI
-    mode)."""
-    toks = f"split({col}, ' ')"
-    n_tok = f"size({toks})"
+    mode). The split array is bound once via a single-element-array
+    ``transform`` — inlining it in the per-element ``slice`` would
+    re-split the text per n-gram, O(tokens²) per document."""
+    n_tok = "size(t)"
     upper = f"greatest({n_tok} - {n - 1}, 1)"
     idx = f"filter(sequence(1, {upper}), i -> i + {n - 1} <= {n_tok})"
-    return f"transform({idx}, i -> concat_ws(' ', slice({toks}, i, {n})))"
+    body = f"transform({idx}, i -> concat_ws(' ', slice(t, i, {n})))"
+    return (
+        f"element_at(transform(array(split({col}, ' ')), t -> {body}), 1)"
+    )
 
 
 def top_ngram_fraction(
