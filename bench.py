@@ -480,6 +480,9 @@ def main() -> None:
         "ann_ivf_topk",
         "multimodal_features",
         "semantic_dedup_pairs",  # oracle runs 5 Lloyd iterations in SQL
+        "dsir_select",  # oracle replicates hashed-ngram histograms +
+        # Gumbel selection (per-gram md5 in SQL) — a correctness
+        # artifact, not an analytics query
     }
     duck_total, duck_n = 0.0, 0
     matched = [

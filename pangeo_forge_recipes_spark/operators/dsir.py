@@ -83,8 +83,21 @@ def _log_ratio_table(
     """B-row (bucket, log_ratio) table: log((p_b + α̂)/(q_b + α̂)) with
     add-α smoothing on both normalized distributions."""
     spark = raw.sparkSession
-    p = hashed_ngram_counts(target, col, buckets).withColumnRenamed("cnt", "p_cnt")
-    q = hashed_ngram_counts(raw, col, buckets).withColumnRenamed("cnt", "q_cnt")
+    # persist the two B-row histograms: they feed both the totals and
+    # the ratio join, and without materialization each branch re-runs
+    # the corpus-wide tokenize/explode/md5 scan (measured: 5 corpus
+    # passes instead of the minimal 3). At most ``buckets`` rows each —
+    # trivially cacheable at any corpus size.
+    p = (
+        hashed_ngram_counts(target, col, buckets)
+        .withColumnRenamed("cnt", "p_cnt")
+        .persist()
+    )
+    q = (
+        hashed_ngram_counts(raw, col, buckets)
+        .withColumnRenamed("cnt", "q_cnt")
+        .persist()
+    )
     all_b = spark.range(buckets).withColumnRenamed("id", "bucket")
     j = (
         all_b.join(p, "bucket", "left")
