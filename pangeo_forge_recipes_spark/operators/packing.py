@@ -246,15 +246,20 @@ def crossdoc_ngram_dup(
     grams). No driver state, no windows.
     """
     e = TextExprs("spark", text_col)
+    # hash each gram to 64 bits at the scan: every downstream shuffle
+    # (distinct, frequency agg, equi-join) then moves 8-byte longs
+    # instead of ~n-word strings — a ~7x shuffle-volume cut. xxhash64
+    # collisions at corpus scale are ~(grams²/2^65): vanishing, and the
+    # result stays deterministic for a given corpus.
     grams = df.select(
         F.col(id_col), F.explode(F.expr(e.token_ngrams(n))).alias("gram")
-    )
+    ).select(F.col(id_col), F.xxhash64("gram").alias("gram_h"))
     # distinct per (doc, gram): a gram repeated inside ONE doc is
     # repetition (filters.top_ngram_fraction), not cross-doc duplication
     doc_grams = grams.distinct()
-    freq = doc_grams.groupBy("gram").agg(F.count("*").alias("nd"))
+    freq = doc_grams.groupBy("gram_h").agg(F.count("*").alias("nd"))
     per_doc = (
-        doc_grams.join(freq, "gram")
+        doc_grams.join(freq, "gram_h")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_grams"),
