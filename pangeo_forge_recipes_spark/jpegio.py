@@ -13,7 +13,11 @@ too: all scans accumulate into per-component coefficient stores
 (spectral selection, successive approximation with the libjpeg-
 compatible refinement algorithm, EOB runs), and the encoder can emit a
 progressive scan script that decodes bit-identically to its baseline
-output. Arithmetic coding, 12-bit precision, lossless and hierarchical
+output. 12-bit precision (extended-sequential SOF1 and 12-bit SOF2,
+16-bit quantization tables, wider Huffman alphabets) and lossless SOF3
+(T.81 Annex H: predictors 1-7, point transform, modulo-2^16
+differences, SSSS=16, 2..16-bit samples — the DNG/medical mode) are
+implemented in both directions. Arithmetic coding and hierarchical
 modes raise ``NotImplementedError`` with a clear message.
 
 Reference parity: the reference delegates image decoding to external
@@ -336,15 +340,25 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 p += 17 + cnt
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             precision = payload[0]
-            if precision != 8:
-                raise NotImplementedError(f"JPEG precision {precision} (only 8-bit)")
+            if precision == 12 and marker == 0xC0:
+                raise ValueError("baseline SOF0 is 8-bit only (T.81)")
+            if precision not in (8, 12):
+                raise NotImplementedError(
+                    f"JPEG precision {precision} (8- and 12-bit supported)"
+                )
             h, w = struct.unpack(">HH", payload[1:5])
             ncomp = payload[5]
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = payload[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+            frame = {
+                "h": h,
+                "w": w,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+                "precision": precision,
+            }
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
             mcus_x = -(-w // (8 * hmax))
@@ -353,10 +367,35 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
                 for c in comps
             ]
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC3:  # SOF3 lossless sequential Huffman
+            precision = payload[0]
+            if not (2 <= precision <= 16):
+                raise ValueError(f"lossless JPEG precision {precision}")
+            h, w = struct.unpack(">HH", payload[1:5])
+            ncomp = payload[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = payload[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "lossless JPEG with subsampling unsupported"
+                    )
+                comps.append({"id": cid, "h": 1, "v": 1, "tq": tq})
+            frame = {
+                "h": h,
+                "w": w,
+                "comps": comps,
+                "progressive": False,
+                "lossless": True,
+                "precision": precision,
+            }
+            coef = [
+                np.zeros((h, w), dtype=np.int64) for _ in comps
+            ]  # sample planes, not DCT stores
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG frame type SOF{marker - 0xC0} unsupported "
-                "(baseline and progressive Huffman are)"
+                "(baseline, progressive and lossless Huffman are)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", payload[:2])
@@ -370,6 +409,15 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 scan.append({"id": cs, "td": tdta >> 4, "ta": tdta & 0xF})
             ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
             ahal = payload[3 + 2 * ns]
+            if frame.get("lossless"):
+                # ss = predictor selection, al = point transform
+                segments, end = _read_entropy(buf, end)
+                _decode_lossless_scan(
+                    frame, coef, scan, ss, ahal & 0xF, segments,
+                    restart_interval, huff_dc,
+                )
+                pos = end
+                continue
             if not frame["progressive"]:
                 ss, se, ahal = 0, 63, 0  # baseline ignores the band fields
             segments, end = _read_entropy(buf, end)
@@ -388,32 +436,201 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     if frame is None or not coef:
         raise ValueError("corrupt JPEG: missing SOF/SOS")
 
+    if frame.get("lossless"):
+        precision = frame["precision"]
+        out_dtype = np.uint8 if precision <= 8 else np.uint16
+        planes = [p.astype(out_dtype) for p in coef]
+        if len(planes) == 1:
+            return planes[0]
+        return np.stack(planes, axis=-1)
+
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     h, w = frame["h"], frame["w"]
+    precision = frame.get("precision", 8)
+    center = float(1 << (precision - 1))
+    vmaxval = (1 << precision) - 1
+    out_dtype = np.uint8 if precision == 8 else np.uint16
     out_planes = []
     for c, blocks in zip(comps, coef):
         q = qtables[c["tq"]]
         deq = (blocks.astype(np.int64) * q[None, None, :])[..., UNZIGZAG]
         bh, bw = blocks.shape[:2]
         spatial = _M.T @ deq.reshape(bh, bw, 8, 8).astype(np.float64) @ _M
-        plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + center
         if c["h"] != hmax or c["v"] != vmax:
             plane = np.repeat(
                 np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
             )
         out_planes.append(plane[:h, :w])
     if len(out_planes) == 1:
-        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return np.clip(np.round(out_planes[0]), 0, vmaxval).astype(out_dtype)
     if len(out_planes) != 3:
         raise NotImplementedError(f"{len(out_planes)}-component JPEG unsupported")
     y, cb, cr = out_planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+    r = y + 1.402 * (cr - center)
+    g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+    b = y + 1.772 * (cb - center)
     rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb), 0, vmaxval).astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# lossless (SOF3) mode — T.81 Annex H
+# ---------------------------------------------------------------------------
+
+
+def _lossless_predict(
+    plane: np.ndarray, y: int, x: int, sel: int, default: int
+) -> int:
+    """T.81 H.1.2.2 prediction with the Annex H boundary rules."""
+    if y == 0 and x == 0:
+        return default
+    if y == 0:
+        return int(plane[0, x - 1])  # first line: always Ra
+    if x == 0:
+        return int(plane[y - 1, 0])  # first column: always Rb
+    ra = int(plane[y, x - 1])
+    rb = int(plane[y - 1, x])
+    rc = int(plane[y - 1, x - 1])
+    if sel == 1:
+        return ra
+    if sel == 2:
+        return rb
+    if sel == 3:
+        return rc
+    if sel == 4:
+        return ra + rb - rc
+    if sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if sel == 6:
+        return rb + ((ra - rc) >> 1)
+    if sel == 7:
+        return (ra + rb) >> 1
+    raise ValueError(f"lossless JPEG predictor {sel} invalid (1..7)")
+
+
+def _decode_lossless_scan(
+    frame: dict,
+    planes: List[np.ndarray],
+    scan: List[dict],
+    predictor: int,
+    pt: int,
+    segments: List[bytes],
+    restart_interval: int,
+    huff_dc: Dict[int, _Huff],
+) -> None:
+    """Decode a lossless scan (interleaved sample-MCUs or single
+    component) into the sample planes. Differences are Huffman category
+    + extend, SSSS=16 means +32768, arithmetic is modulo 2^16, and the
+    point transform shifts the reconstructed samples left at the end
+    (T.81 H.1/H.2)."""
+    h, w = frame["h"], frame["w"]
+    precision = frame["precision"]
+    by_id = {c["id"]: i for i, c in enumerate(frame["comps"])}
+    idxs = [by_id[s["id"]] for s in scan]
+    tbls = [huff_dc[s["td"]] for s in scan]
+    default = 1 << (precision - pt - 1)
+    # decoded (pre-point-transform) sample planes for prediction
+    work = [np.zeros((h, w), dtype=np.int64) for _ in scan]
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    samples_per_rst = restart_interval  # restart counts sample-MCUs
+    count = 0
+    fresh = True  # prediction reset pending (start of scan / after RST)
+    for y in range(h):
+        for x in range(w):
+            if samples_per_rst and count and count % samples_per_rst == 0:
+                seg_idx += 1
+                reader = _BitReader(segments[seg_idx])
+                fresh = True  # T.81 H.2.2: prediction re-initializes
+            for si, (ci, tbl) in enumerate(zip(idxs, tbls)):
+                t = tbl.decode(reader)
+                if t == 16:
+                    d = 32768
+                elif t:
+                    d = _extend(reader.receive(t), t)
+                else:
+                    d = 0
+                if fresh:
+                    px = default
+                else:
+                    px = _lossless_predict(work[si], y, x, predictor, default)
+                work[si][y, x] = (px + d) & 0xFFFF
+            fresh = False
+            count += 1
+    for si, ci in enumerate(idxs):
+        planes[ci][:, :] = work[si] << pt
+
+
+def encode_jpeg_lossless(
+    arr: np.ndarray,
+    precision: Optional[int] = None,
+    predictor: int = 1,
+    point_transform: int = 0,
+) -> bytes:
+    """Encode a 2-D (gray) or (h, w, c) integer array as lossless JPEG
+    (SOF3, Huffman). ``precision`` defaults to 8 for uint8 input, 16 for
+    uint16. Decoding the result reproduces the input exactly (up to the
+    point transform's low bits)."""
+    arr = np.asarray(arr)
+    if precision is None:
+        precision = 8 if arr.dtype == np.uint8 else 16
+    if not (2 <= precision <= 16):
+        raise ValueError(f"precision {precision} out of range 2..16")
+    if arr.ndim == 2:
+        planes = [arr.astype(np.int64)]
+    elif arr.ndim == 3:
+        planes = [arr[..., c].astype(np.int64) for c in range(arr.shape[-1])]
+    else:
+        raise ValueError("encode_jpeg_lossless needs 2-D or (h, w, c)")
+    if int(max(int(p.max(initial=0)) for p in planes)) >= (1 << precision):
+        raise ValueError(f"samples exceed {precision}-bit range")
+    h, w = planes[0].shape
+    pt = point_transform
+    shifted = [p >> pt for p in planes]
+    default = 1 << (precision - pt - 1)
+
+    dc_enc = _HuffEncoder(list(range(17)), 5)
+    writer = _BitWriter()
+    for y in range(h):
+        for x in range(w):
+            for p in shifted:
+                if y == 0 and x == 0:
+                    px = default
+                else:
+                    px = _lossless_predict(p, y, x, predictor, default)
+                d = (int(p[y, x]) - px) & 0xFFFF
+                if d > 32768:
+                    d -= 65536
+                t = 16 if d == 32768 else int(abs(d)).bit_length()
+                code, ln = dc_enc.codes[t]
+                writer.write(code, ln)
+                if 0 < t < 16:
+                    writer.write(d if d >= 0 else d + (1 << t) - 1, t)
+    entropy = writer.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += seg(0xC3, sof)
+    out += seg(
+        0xC4, bytes([0x00]) + bytes(dc_enc.bits) + bytes(dc_enc.huffval)
+    )
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, pt])
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
@@ -723,6 +940,7 @@ def encode_jpeg(
     subsample: bool = False,
     restart_interval: int = 0,
     progressive: bool = False,
+    precision: int = 8,
 ) -> bytes:
     """Encode uint8 (h, w) gray or (h, w, 3) RGB as baseline JPEG.
     ``subsample=True`` uses 4:2:0 chroma subsampling (exercises the
@@ -731,10 +949,21 @@ def encode_jpeg(
     only). ``progressive=True`` emits SOF2 with a successive-
     approximation scan script (DC first/refine, per-component AC
     first/refine) — same coefficients, so it decodes bit-identically to
-    the baseline encoding."""
+    the baseline encoding. ``precision=12`` takes uint16 samples
+    (0..4095), emits extended-sequential SOF1 (or 12-bit SOF2), 16-bit
+    quantization tables scaled x16, and wider Huffman alphabets."""
     arr = np.asarray(arr)
-    if arr.dtype != np.uint8:
-        raise ValueError(f"encode_jpeg needs uint8, got {arr.dtype}")
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
+    want = np.uint8 if precision == 8 else np.uint16
+    if arr.dtype != want:
+        raise ValueError(
+            f"encode_jpeg needs {np.dtype(want).name} for {precision}-bit, "
+            f"got {arr.dtype}"
+        )
+    if precision == 12 and int(arr.max(initial=0)) > 4095:
+        raise ValueError("12-bit samples must be in 0..4095")
+    center = float(1 << (precision - 1))
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
     if gray:
@@ -744,8 +973,8 @@ def encode_jpeg(
         rgb = arr.astype(np.float64)
         r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + center
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + center
         if subsample:
             # pad to even, then 2x2 mean
             ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
@@ -760,9 +989,22 @@ def encode_jpeg(
 
     qlum = _scaled_quant(_QUANT_LUM, quality)
     qchrom = _scaled_quant(_QUANT_CHROM, quality)
+    if precision == 12:
+        # scale the 8-bit-tuned base tables x16 so relative quantization
+        # (and coefficient magnitudes) match the 8-bit case
+        qlum = np.clip(qlum * 16, 1, 65535).astype(np.int32)
+        qchrom = np.clip(qchrom * 16, 1, 65535).astype(np.int32)
     qts = [qlum] + ([qchrom] if not gray else [])
-    dc_enc = _HuffEncoder(_DC_SYMS, 4)
-    ac_enc = _HuffEncoder(_AC_SYMS, 8)
+    if precision == 12:
+        dc_enc = _HuffEncoder(list(range(16)), 5)
+        ac_enc = _HuffEncoder(
+            [r << 4 for r in range(16)]
+            + [(r << 4) | s for r in range(16) for s in range(1, 15)],
+            8,
+        )
+    else:
+        dc_enc = _HuffEncoder(_DC_SYMS, 4)
+        ac_enc = _HuffEncoder(_AC_SYMS, 8)
 
     hmax = max(s[0] for s in sampling)
     vmax = max(s[1] for s in sampling)
@@ -785,7 +1027,7 @@ def encode_jpeg(
     for ci, (p, (sh, sv)) in enumerate(zip(padded, sampling)):
         qz = qz_lum if ci == 0 else qz_chrom
         bh, bw = p.shape[0] // 8, p.shape[1] // 8
-        blocks = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+        blocks = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - center
         cf = np.round((_M @ blocks @ _M.T) / qz).astype(np.int64)
         coefs.append(cf.reshape(bh, bw, 64)[:, :, ZIGZAG])
 
@@ -821,13 +1063,20 @@ def encode_jpeg(
     out = bytearray(b"\xff\xd8")
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for i, q in enumerate(qts):
-        out += seg(0xDB, bytes([i]) + q[ZIGZAG].astype(np.uint8).tobytes())
+        if precision == 12:
+            out += seg(0xDB, bytes([0x10 | i]) + q[ZIGZAG].astype(">u2").tobytes())
+        else:
+            out += seg(0xDB, bytes([i]) + q[ZIGZAG].astype(np.uint8).tobytes())
     ncomp = 1 if gray else 3
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
     for ci in range(ncomp):
         sh, sv = sampling[ci]
         sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
-    out += seg(0xC2 if progressive else 0xC0, sof)
+    if progressive:
+        sof_marker = 0xC2
+    else:
+        sof_marker = 0xC1 if precision == 12 else 0xC0
+    out += seg(sof_marker, sof)
     if restart_interval and not progressive:
         out += seg(0xDD, struct.pack(">H", restart_interval))
     for tc, enc in ((0, dc_enc), (1, ac_enc)):

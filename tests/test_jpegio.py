@@ -8,6 +8,7 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from pangeo_forge_recipes_spark import jpegio as J
 from pangeo_forge_recipes_spark.jpegio import (
     ZIGZAG,
     _M,
@@ -154,11 +155,12 @@ def test_progressive_noise_and_odd_sizes():
 def test_gates():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
-    # lossless (SOF3): splice the marker into a valid stream
+    # hierarchical (SOF5): splice the marker into a valid stream
+    # (SOF3 lossless, formerly the example here, now decodes natively)
     blob = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
     idx = blob.find(b"\xff\xc0")
-    blob[idx + 1] = 0xC3
-    with pytest.raises(NotImplementedError, match="SOF3"):
+    blob[idx + 1] = 0xC5
+    with pytest.raises(NotImplementedError, match="SOF5"):
         decode_jpeg(bytes(blob))
 
 
@@ -167,3 +169,113 @@ def test_odd_sizes():
         img = np.arange(np.prod(shape), dtype=np.uint8).reshape(shape) % 200
         out = decode_jpeg(encode_jpeg(img, quality=95))
         assert out.shape == shape
+
+
+# ---------------------------------------------------------------------------
+# 12-bit precision + lossless (SOF3)
+# ---------------------------------------------------------------------------
+
+
+def test_12bit_sequential_round_trip():
+    rng = np.random.RandomState(0)
+    img = (np.cumsum(np.cumsum(rng.randint(-9, 10, (33, 41)), 0), 1) + 2048
+           ).clip(0, 4095).astype(np.uint16)
+    enc = J.encode_jpeg(img, quality=95, precision=12)
+    dec = J.decode_jpeg(enc)
+    assert dec.dtype == np.uint16 and dec.shape == img.shape
+    # quantization-bounded error, scaled like the 8-bit case
+    assert np.abs(dec.astype(int) - img.astype(int)).max() < 64
+    # the stream is extended-sequential SOF1
+    assert b"\xff\xc1" in enc and b"\xff\xc0" not in enc
+
+
+def test_12bit_progressive_equals_sequential():
+    rng = np.random.RandomState(1)
+    img = (np.cumsum(rng.randint(-5, 6, (16, 24)), 1) + 2048
+           ).clip(0, 4095).astype(np.uint16)
+    seq = J.decode_jpeg(J.encode_jpeg(img, quality=90, precision=12))
+    prog = J.decode_jpeg(
+        J.encode_jpeg(img, quality=90, precision=12, progressive=True)
+    )
+    np.testing.assert_array_equal(seq, prog)
+
+
+def test_12bit_color_round_trip():
+    rng = np.random.RandomState(2)
+    base = (np.cumsum(rng.randint(-4, 5, (20, 20)), 0) + 2048
+            ).clip(0, 4095).astype(np.uint16)
+    rgb = np.stack([base, 4095 - base, base // 2], axis=-1).astype(np.uint16)
+    dec = J.decode_jpeg(J.encode_jpeg(rgb, quality=95, precision=12))
+    assert dec.dtype == np.uint16 and dec.shape == rgb.shape
+    assert np.abs(dec.astype(int) - rgb.astype(int)).mean() < 64
+
+
+def test_baseline_rejects_12bit():
+    with pytest.raises(ValueError, match="12-bit|uint16"):
+        J.encode_jpeg(np.zeros((8, 8), np.uint8), precision=12)
+
+
+@pytest.mark.parametrize("pred", list(range(1, 8)))
+def test_lossless_every_predictor_exact(pred):
+    rng = np.random.RandomState(pred)
+    img = rng.randint(0, 256, (21, 17), dtype=np.uint8)
+    dec = J.decode_jpeg(J.encode_jpeg_lossless(img, predictor=pred))
+    np.testing.assert_array_equal(dec, img)
+
+
+def test_lossless_16bit_and_12bit():
+    rng = np.random.RandomState(9)
+    img16 = rng.randint(0, 65536, (15, 23), dtype=np.uint16)
+    np.testing.assert_array_equal(
+        J.decode_jpeg(J.encode_jpeg_lossless(img16, predictor=4)), img16
+    )
+    img12 = rng.randint(0, 4096, (9, 9)).astype(np.uint16)
+    np.testing.assert_array_equal(
+        J.decode_jpeg(J.encode_jpeg_lossless(img12, precision=12, predictor=7)),
+        img12,
+    )
+
+
+def test_lossless_multi_component_and_point_transform():
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 256, (11, 13, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        J.decode_jpeg(J.encode_jpeg_lossless(rgb)), rgb
+    )
+    img = rng.randint(0, 256, (8, 8), dtype=np.uint8)
+    dec = J.decode_jpeg(J.encode_jpeg_lossless(img, point_transform=2))
+    np.testing.assert_array_equal(dec, (img >> 2) << 2)
+
+
+def test_lossless_hand_built_stream():
+    """Hand-assembled SOF3 stream (T.81 Annex H semantics, independent
+    of the encoder): 2x2 8-bit plane, predictor 1, Huffman DC table with
+    1-bit code for category 0 and 2-bit codes up to category 2.
+
+    Samples [[130, 131], [128, 130]]:
+      (0,0): default pred 128, diff +2  -> cat 2, bits '10'
+      (0,1): first line, pred Ra=130, diff +1 -> cat 1, bit '1'
+      (1,0): first column, pred Rb=130, diff -2 -> cat 2, bits '01'
+      (1,1): pred Ra=128, diff +2 -> cat 2, bits '10'
+    """
+    import struct as _struct
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(payload) + 2) + payload
+
+    # canonical table: bits=[1,2,0,...] huffval=[0,1,2]
+    # -> cat0='0', cat1='10', cat2='11'
+    dht = bytes([0x00]) + bytes([1, 2] + [0] * 14) + bytes([0, 1, 2])
+    sof = _struct.pack(">BHHB", 8, 2, 2, 1) + bytes([1, 0x11, 0])
+    sos = bytes([1, 1, 0x00, 1, 0, 0])  # 1 comp, predictor 1, pt 0
+    # entropy bits: cat2 '11' + '10', cat1 '10' + '1', cat2 '11'+'01',
+    # cat2 '11'+'10' -> 1110 1011 1011 110(pad 1)
+    entropy = bytes([0b11101011, 0b10111101])
+    stream = (
+        b"\xff\xd8" + seg(0xC3, sof) + seg(0xC4, dht) + seg(0xDA, sos)
+        + entropy + b"\xff\xd9"
+    )
+    dec = J.decode_jpeg(stream)
+    np.testing.assert_array_equal(
+        dec, np.array([[130, 131], [128, 130]], dtype=np.uint8)
+    )
