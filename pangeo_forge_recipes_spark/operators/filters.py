@@ -242,6 +242,106 @@ def decontaminate(
 
 
 # ---------------------------------------------------------------------------
+# corpus-wide line-level dedup (CCNet-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+# CCNet normalizes lines before hashing: lowercase, strip digits and
+# punctuation, collapse whitespace — so "Posted on 2021-03-04." and
+# "posted on 2022-11-30" hash identically.
+_LINE_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({line}), "
+    "'[0-9\\\\p{{Punct}}]+', ''), '\\\\s+', ' '))"
+)
+
+
+def line_frequencies(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(line_hash, n_docs) over the whole corpus: posexplode lines,
+    CCNet-normalize, xxhash64, count DISTINCT documents per hash — one
+    explode + one map-side-combining aggregation; every shuffle moves
+    8-byte hashes."""
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(col), "\n")).alias("__line"),
+    ).select(
+        id_col,
+        F.xxhash64(F.expr(_LINE_NORM_SQL.format(line="__line"))).alias("__lh"),
+    )
+    return (
+        lines.distinct()
+        .groupBy("__lh")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumnRenamed("__lh", "line_hash")
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    drop_empty_docs: bool = True,
+) -> DataFrame:
+    """CCNet-style corpus-level line dedup: drop every line whose
+    normalized form appears in at least ``min_docs`` distinct documents
+    (headers, navigation, cookie banners — the boilerplate that survives
+    per-document cleaning because it is *cross*-document repetition).
+
+    Scale shape: the frequent-line set is tiny next to the corpus
+    (boilerplate is heavy-tailed), so it broadcasts and the line stream
+    anti-joins map-side; reassembly is one groupBy(id) with
+    ``sort_array(collect_list(struct(pos, line)))`` — task memory is one
+    document. Returns the input columns with ``col`` rewritten plus
+    ``n_lines_kept`` / ``n_lines_dropped``.
+    """
+    spark = df.sparkSession
+    freq = line_frequencies(df, col, id_col).filter(
+        F.col("n_docs") >= min_docs
+    )
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(col), "\n")).alias("__pos", "__line"),
+    ).withColumn(
+        "__lh", F.xxhash64(F.expr(_LINE_NORM_SQL.format(line="__line")))
+    )
+    kept = lines.join(
+        F.broadcast(freq.select(F.col("line_hash").alias("__lh"))),
+        "__lh",
+        "left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("__pos", "__line"))
+                ),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("__new_text"),
+        F.count("*").alias("n_lines_kept"),
+    )
+    total = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(col), "\n")).alias("__n_total"),
+        *[F.col(c) for c in df.columns if c not in (id_col, col)],
+    )
+    out = (
+        total.join(rebuilt, id_col, "left")
+        .withColumn("n_lines_kept", F.coalesce("n_lines_kept", F.lit(0)))
+        .withColumn(
+            "n_lines_dropped", F.col("__n_total") - F.col("n_lines_kept")
+        )
+        .withColumn(col, F.coalesce("__new_text", F.lit("")))
+        .drop("__new_text", "__n_total")
+    )
+    if drop_empty_docs:
+        out = out.filter(F.col("n_lines_kept") > 0)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # URL / domain blocklist
 # ---------------------------------------------------------------------------
 

@@ -164,3 +164,87 @@ def test_scalar_filters_have_no_python_nodes(docs):
     ):
         plan = fn(docs)._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan, fn.__name__
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style corpus-level line dedup
+# ---------------------------------------------------------------------------
+
+
+def _py_norm_line(line: str) -> str:
+    import re as _re
+    import string as _string
+
+    s = _re.sub(f"[0-9{_re.escape(_string.punctuation)}]+", "", line.lower())
+    return _re.sub(r"\s+", " ", s).strip()
+
+
+_LINE_DOCS = [
+    (1, "Cookie Policy\nUnique thought one.\nCopyright 2021 Acme Inc."),
+    (2, "Cookie Policy\nAnother unique insight!\nCopyright 2019 Acme Inc."),
+    (3, "cookie policy!!!\nCompletely different text.\nFooter menu"),
+    (4, "Only original lines here.\nNothing shared at all."),
+    (5, "Footer menu\nFooter menu\nFresh content line."),
+]
+
+
+def test_line_frequencies_normalized_counts(spark):
+    from pangeo_forge_recipes_spark.operators.filters import line_frequencies
+
+    df = spark.createDataFrame(_LINE_DOCS, "doc_id long, text string")
+    freq = {r["line_hash"]: r["n_docs"] for r in line_frequencies(df).collect()}
+    # python oracle: normalized line -> distinct doc count
+    from collections import defaultdict
+
+    by_line = defaultdict(set)
+    for i, t in _LINE_DOCS:
+        for ln in t.split("\n"):
+            by_line[_py_norm_line(ln)].add(i)
+    # "cookie policy" appears in docs 1,2,3 (normalization folds case and
+    # punctuation); "copyright acme inc" in 1,2 (years stripped);
+    # "footer menu" in 3,5 (distinct per doc)
+    counts = sorted(len(v) for v in by_line.values())
+    assert sorted(freq.values()) == counts
+    assert max(freq.values()) == 3
+
+
+def test_dedup_lines_drops_boilerplate_keeps_unique(spark):
+    from pangeo_forge_recipes_spark.operators.filters import dedup_lines
+
+    df = spark.createDataFrame(_LINE_DOCS, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_lines(df, min_docs=2).collect()}
+    # boilerplate gone everywhere
+    assert out[1]["text"] == "Unique thought one."
+    assert out[2]["text"] == "Another unique insight!"
+    assert out[3]["text"] == "Completely different text."
+    # untouched doc keeps both lines in order
+    assert out[4]["text"] == "Only original lines here.\nNothing shared at all."
+    assert out[4]["n_lines_dropped"] == 0
+    # doc 5: both "Footer menu" copies drop (same normalized hash)
+    assert out[5]["text"] == "Fresh content line."
+    assert out[5]["n_lines_dropped"] == 2
+    # stats add up
+    for i, t in _LINE_DOCS:
+        assert out[i]["n_lines_kept"] + out[i]["n_lines_dropped"] == len(
+            t.split("\n")
+        )
+
+
+def test_dedup_lines_drop_empty_docs(spark):
+    from pangeo_forge_recipes_spark.operators.filters import dedup_lines
+
+    rows = [(1, "same line"), (2, "same line"), (3, "same line\nextra")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_lines(df, min_docs=2).collect()
+    assert {r["doc_id"] for r in out} == {3}
+    kept_all = dedup_lines(df, min_docs=2, drop_empty_docs=False).collect()
+    assert {r["doc_id"] for r in kept_all} == {1, 2, 3}
+    assert {r["text"] for r in kept_all if r["doc_id"] != 3} == {""}
+
+
+def test_dedup_lines_plan_broadcasts_frequent_set(spark):
+    from pangeo_forge_recipes_spark.operators.filters import dedup_lines
+
+    df = spark.createDataFrame(_LINE_DOCS, "doc_id long, text string")
+    plan = dedup_lines(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # corpus lines never shuffle for the anti-join
