@@ -31,7 +31,7 @@ native codec would slot in behind the same decode_j2k signature.
 from __future__ import annotations
 
 import struct
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -908,64 +908,21 @@ _SOT, _SOD, _EOC = 0xFF90, 0xFF93, 0xFFD9
 _SKIPPABLE = {0xFF64, 0xFF55, 0xFF57, 0xFF58, 0xFF63}
 
 
-def encode_j2k(
-    img: np.ndarray,
+def _encode_tile_packets(
+    coeffs: List[List[np.ndarray]],
+    bands_per_res: List[List[Tuple[str, int, int]]],
+    levels: int,
+    cb: int,
+    guard: int,
     depth: int,
-    levels: int = 5,
-    signed: bool = False,
-    cblk_exp: int = 6,
-    irreversible: bool = False,
-    qstep: float = 1.0 / 512,
+    irreversible: bool,
+    band_eps_mant: List[List[Tuple[int, int]]],
 ) -> bytes:
-    """Encode a 2-D integer array as a J2K codestream: one component,
-    one tile, one layer, LRCP. Reversible 5/3 by default; with
-    ``irreversible=True`` the 9/7 wavelet + scalar quantization at
-    ``qstep`` (expounded style, same Δ target for every band) is used —
-    the lossy path of GRIB template 5.40 ECMWF products."""
-    img = np.asarray(img)
-    if img.ndim != 2:
-        raise ValueError("encode_j2k needs a 2-D array")
-    h, w = img.shape
-    if h == 0 or w == 0:
-        raise ValueError("cannot encode an empty image")
-    levels = max(0, min(levels, max(int(np.ceil(np.log2(max(h, w)))), 0)))
-    cb = 1 << cblk_exp
-    guard = 2
-    x = img.astype(np.int64)
-    if not signed:
-        x = x - (1 << (depth - 1))
-
-    # forward DWT -> bands[r] aligned with _resolution_bands order
-    bands_per_res = _resolution_bands(h, w, levels)
-    coeffs: List[List[np.ndarray]] = [[] for _ in range(levels + 1)]
-    band_eps_mant: List[List[Tuple[int, int]]] = [[] for _ in range(levels + 1)]
-    if irreversible:
-        ll_f = x.astype(np.float64)
-        fcoeffs: List[List[np.ndarray]] = [[] for _ in range(levels + 1)]
-        for r in range(levels, 0, -1):
-            ll_f, hl, lh, hh = _fwd97_2d(ll_f)
-            fcoeffs[r] = [hl, lh, hh]
-        fcoeffs[0] = [ll_f]
-        for r in range(levels + 1):
-            for b_idx, (bname, _, _) in enumerate(bands_per_res[r]):
-                eps_b, mant_b = _step_to_eps_mant(qstep, depth, bname)
-                band_eps_mant[r].append((eps_b, mant_b))
-                delta = _quant_step(depth, bname, eps_b, mant_b)
-                v = fcoeffs[r][b_idx]
-                coeffs[r].append(
-                    (np.sign(v) * np.floor(np.abs(v) / delta)).astype(np.int64)
-                )
-    else:
-        ll = x
-        for r in range(levels, 0, -1):
-            ll, hl, lh, hh = _fwd53_2d(ll)
-            coeffs[r] = [hl, lh, hh]
-        coeffs[0] = [ll]
-
-    # Tier-1 per codeblock, then Tier-2 packets (one per resolution)
+    """Tier-1 each codeblock and assemble the tile's Tier-2 packets
+    (one LRCP packet per resolution)."""
     body = bytearray()
     for r in range(levels + 1):
-        blocks = []  # (band_idx, cb_idx, data, npasses, zb)
+        blocks = []  # per band: [(data, npasses, zb)]
         trees = []
         for b_idx, (bname, bh, bw) in enumerate(bands_per_res[r]):
             if irreversible:
@@ -1030,12 +987,87 @@ def encode_j2k(
                         hw.bits(len(data), nb)
                         bodies += data
         body += hw.flush() + bodies
+    return bytes(body)
+
+
+def encode_j2k(
+    img: np.ndarray,
+    depth: int,
+    levels: int = 5,
+    signed: bool = False,
+    cblk_exp: int = 6,
+    irreversible: bool = False,
+    qstep: float = 1.0 / 512,
+    tile_size: Optional[Tuple[int, int]] = None,
+) -> bytes:
+    """Encode a 2-D integer array as a J2K codestream: one component,
+    one layer, LRCP. Reversible 5/3 by default; with
+    ``irreversible=True`` the 9/7 wavelet + scalar quantization at
+    ``qstep`` (expounded style, same Δ target for every band) is used —
+    the lossy path of GRIB template 5.40 ECMWF products.
+    ``tile_size=(th, tw)`` splits the image into independently coded
+    tiles (one tile-part per tile, raster order)."""
+    img = np.asarray(img)
+    if img.ndim != 2:
+        raise ValueError("encode_j2k needs a 2-D array")
+    h, w = img.shape
+    if h == 0 or w == 0:
+        raise ValueError("cannot encode an empty image")
+    levels = max(0, min(levels, max(int(np.ceil(np.log2(max(h, w)))), 0)))
+    cb = 1 << cblk_exp
+    guard = 2
+    x = img.astype(np.int64)
+    if not signed:
+        x = x - (1 << (depth - 1))
+    t_h, t_w = tile_size if tile_size is not None else (h, w)
+    if t_h <= 0 or t_w <= 0:
+        raise ValueError(f"invalid tile_size {tile_size}")
+
+    # QCD entries depend only on band name/gain, not tile dims
+    band_eps_mant: List[List[Tuple[int, int]]] = [[] for _ in range(levels + 1)]
+    if irreversible:
+        band_eps_mant[0].append(_step_to_eps_mant(qstep, depth, "LL"))
+        for r in range(1, levels + 1):
+            for bname in ("HL", "LH", "HH"):
+                band_eps_mant[r].append(
+                    _step_to_eps_mant(qstep, depth, bname)
+                )
+
+    def tile_body(xt: np.ndarray) -> bytes:
+        th_, tw_ = xt.shape
+        bands_per_res = _resolution_bands(th_, tw_, levels)
+        coeffs: List[List[np.ndarray]] = [[] for _ in range(levels + 1)]
+        if irreversible:
+            ll_f = xt.astype(np.float64)
+            fcoeffs: List[List[np.ndarray]] = [[] for _ in range(levels + 1)]
+            for r in range(levels, 0, -1):
+                ll_f, hl, lh, hh = _fwd97_2d(ll_f)
+                fcoeffs[r] = [hl, lh, hh]
+            fcoeffs[0] = [ll_f]
+            for r in range(levels + 1):
+                for b_idx, (bname, _, _) in enumerate(bands_per_res[r]):
+                    eps_b, mant_b = band_eps_mant[r][b_idx]
+                    delta = _quant_step(depth, bname, eps_b, mant_b)
+                    v = fcoeffs[r][b_idx]
+                    coeffs[r].append(
+                        (np.sign(v) * np.floor(np.abs(v) / delta)).astype(np.int64)
+                    )
+        else:
+            ll = xt
+            for r in range(levels, 0, -1):
+                ll, hl, lh, hh = _fwd53_2d(ll)
+                coeffs[r] = [hl, lh, hh]
+            coeffs[0] = [ll]
+        return _encode_tile_packets(
+            coeffs, bands_per_res, levels, cb, guard, depth,
+            irreversible, band_eps_mant,
+        )
 
     # markers
     out = bytearray()
     out += struct.pack(">H", _SOC)
     siz = struct.pack(
-        ">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, 1
+        ">HIIIIIIIIH", 0, w, h, 0, 0, t_w, t_h, 0, 0, 1
     ) + bytes([(0x80 if signed else 0) | (depth - 1), 1, 1])
     out += struct.pack(">HH", _SIZ, len(siz) + 2) + siz
     spcod = bytes(
@@ -1061,10 +1093,17 @@ def encode_j2k(
                 exps.append((depth + g) << 3)
         assert len(exps) == nsub + 1
         out += struct.pack(">HH", _QCD, len(exps) + 2) + bytes(exps)
-    psot = 12 + 2 + len(body)
-    out += struct.pack(">HHHIBB", _SOT, 10, 0, psot, 0, 1)
-    out += struct.pack(">H", _SOD)
-    out += body
+    isot = 0
+    for ty0 in range(0, h, t_h):
+        for tx0 in range(0, w, t_w):
+            body = tile_body(
+                x[ty0 : ty0 + min(t_h, h - ty0), tx0 : tx0 + min(t_w, w - tx0)]
+            )
+            psot = 12 + 2 + len(body)
+            out += struct.pack(">HHHIBB", _SOT, 10, isot, psot, 0, 1)
+            out += struct.pack(">H", _SOD)
+            out += body
+            isot += 1
     out += struct.pack(">H", _EOC)
     return bytes(out)
 
@@ -1105,11 +1144,12 @@ def decode_j2k(data: bytes) -> Tuple[np.ndarray, int, bool]:
         raise ValueError("not a J2K codestream (missing SOC)")
     pos = 2
     w = h = depth = None
+    tile_w = tile_h = None
     signed = False
     irreversible = False
     levels = cblk_exp = None
     guard = qentries = qstyle = None
-    body_start = body_end = None
+    tile_bodies: Dict[int, Tuple[int, int]] = {}
     while pos < len(data):
         (marker,) = struct.unpack(">H", data[pos : pos + 2])
         pos += 2
@@ -1127,12 +1167,13 @@ def decode_j2k(data: bytes) -> Tuple[np.ndarray, int, bool]:
                 raise NotImplementedError(
                     f"J2K with {ncomp} components unsupported (1 only)"
                 )
-            if (xo, yo, xto, yto) != (0, 0, 0, 0) or (xt, yt) != (xs, ys):
-                raise NotImplementedError("J2K tiling/offsets unsupported")
+            if (xo, yo, xto, yto) != (0, 0, 0, 0):
+                raise NotImplementedError("J2K image/tile offsets unsupported")
             ssiz, xr, yr = seg[36], seg[37], seg[38]
             if (xr, yr) != (1, 1):
                 raise NotImplementedError("J2K subsampling unsupported")
             w, h = xs, ys
+            tile_w, tile_h = xt, yt
             depth = (ssiz & 0x7F) + 1
             signed = bool(ssiz & 0x80)
         elif marker == _COD:
@@ -1181,27 +1222,34 @@ def decode_j2k(data: bytes) -> Tuple[np.ndarray, int, bool]:
                 )
         elif marker == _SOT:
             lsot, isot, psot, tpsot, tnsot = struct.unpack(">HHIBB", data[pos : pos + 10])
-            if isot != 0 or tpsot != 0:
-                raise NotImplementedError("multiple J2K tiles/tile-parts unsupported")
+            if tpsot != 0 or tnsot not in (0, 1):
+                raise NotImplementedError(
+                    "multiple J2K tile-parts per tile unsupported"
+                )
             # find SOD
             p2 = pos + lsot
             (m2,) = struct.unpack(">H", data[p2 : p2 + 2])
             if m2 != _SOD:
                 raise NotImplementedError("markers between SOT and SOD unsupported")
-            body_start = p2 + 2
-            body_end = pos - 2 + psot if psot else len(data) - 2
-            pos = body_end
+            if isot in tile_bodies:
+                raise NotImplementedError(
+                    "multiple J2K tile-parts per tile unsupported"
+                )
+            tile_bodies[isot] = (
+                p2 + 2,
+                pos - 2 + psot if psot else len(data) - 2,
+            )
+            pos = tile_bodies[isot][1]
             continue
         elif marker in _SKIPPABLE:
             pass
         else:
             raise NotImplementedError(f"J2K marker {marker:#x} unsupported")
         pos += ln
-    if None in (w, h, levels, guard) or qentries is None or body_start is None:
+    if None in (w, h, levels, guard) or qentries is None or not tile_bodies:
         raise ValueError("incomplete J2K codestream")
 
     cb = 1 << cblk_exp
-    bands_per_res = _resolution_bands(h, w, levels)
 
     def band_quant(flat_idx: int, rlevel: int, bname: str) -> Tuple[int, int]:
         """(ε_b, μ_b) for the subband: sequential entries for the
@@ -1213,85 +1261,108 @@ def decode_j2k(data: bytes) -> Tuple[np.ndarray, int, bool]:
             return eps0 - levels + nb, mant0
         return qentries[flat_idx]
 
-    coeffs: List[List[np.ndarray]] = [[] for _ in range(levels + 1)]
-    band_q: List[List[Tuple[int, int]]] = [[] for _ in range(levels + 1)]
-    pos = body_start
-    eps_idx = 0
-    for r in range(levels + 1):
-        br = _HdrReader(data, pos)
-        nonempty = br.bit()
-        pending = []  # (band_idx, slot, y0, x0, ch, cw, npasses, zb, length)
-        for b_idx, (bname, bh, bw) in enumerate(bands_per_res[r]):
-            b_eps, b_mant = band_quant(eps_idx, r, bname)
-            band_q[r].append((b_eps, b_mant))
-            mb = b_eps + guard - 1
-            eps_idx += 1
-            coeffs[r].append(np.zeros((bh, bw), dtype=np.int64))
-            cbs = _codeblocks(bh, bw, cb) if bh and bw else []
-            if not cbs:
-                continue
-            ncx = (bw + cb - 1) // cb
-            ncy = (bh + cb - 1) // cb
-            if not nonempty:
-                continue
-            incl = _TagTree(ncx, ncy)
-            zbt = _TagTree(ncx, ncy)
-            for cy in range(ncy):
-                for cx in range(ncx):
-                    y0, x0, ch, cw = cbs[cy * ncx + cx]
-                    if incl.decode(br, cy, cx, 1) is None:
-                        continue
-                    t = 1
-                    while True:
-                        zb = zbt.decode(br, cy, cx, t)
-                        if zb is not None:
-                            break
-                        t += 1
-                    npasses = _read_npasses(br)
-                    lblock = 3
-                    k = 0
-                    while br.bit():
-                        k += 1
-                    lblock += k
-                    nb = lblock + int(np.floor(np.log2(npasses)))
-                    length = br.bits(nb)
-                    pending.append((b_idx, y0, x0, ch, cw, npasses, mb - 1 - zb, length))
-        pos = br.align()
-        for b_idx, y0, x0, ch, cw, npasses, max_plane, length in pending:
-            if max_plane < 0:
-                raise ValueError("J2K zero-bitplanes exceed Mb")
-            seg = data[pos : pos + length]
-            pos += length
-            bname = bands_per_res[r][b_idx][0]
-            dec = T1Decoder(cw, ch, bname, MQDecoder(seg))
-            coeffs[r][b_idx][y0 : y0 + ch, x0 : x0 + cw] = dec.decode(
-                npasses, max_plane
-            )
-
-    if irreversible:
-        # dequantize: x = sign(q) * (|q| + 0.5) * Δ_b for q != 0
-        # (midpoint reconstruction, T.800 Annex E)
+    def decode_tile(body_start: int, th: int, tw: int) -> np.ndarray:
+        """Packet-decode one tile body and inverse-DWT it; returns the
+        (th, tw) plane BEFORE the DC level shift."""
+        bands_per_res = _resolution_bands(th, tw, levels)
+        coeffs: List[List[np.ndarray]] = [[] for _ in range(levels + 1)]
+        band_q: List[List[Tuple[int, int]]] = [[] for _ in range(levels + 1)]
+        pos = body_start
+        eps_idx = 0
         for r in range(levels + 1):
-            for b_idx, (bname, _, _) in enumerate(bands_per_res[r]):
-                b_eps, b_mant = band_q[r][b_idx]
-                delta = _quant_step(depth, bname, b_eps, b_mant)
-                q = coeffs[r][b_idx]
-                coeffs[r][b_idx] = np.where(
-                    q != 0, np.sign(q) * (np.abs(q) + 0.5) * delta, 0.0
+            br = _HdrReader(data, pos)
+            nonempty = br.bit()
+            pending = []  # (band_idx, y0, x0, ch, cw, npasses, max_plane, length)
+            for b_idx, (bname, bh, bw) in enumerate(bands_per_res[r]):
+                b_eps, b_mant = band_quant(eps_idx, r, bname)
+                band_q[r].append((b_eps, b_mant))
+                mb = b_eps + guard - 1
+                eps_idx += 1
+                coeffs[r].append(np.zeros((bh, bw), dtype=np.int64))
+                cbs = _codeblocks(bh, bw, cb) if bh and bw else []
+                if not cbs:
+                    continue
+                ncx = (bw + cb - 1) // cb
+                ncy = (bh + cb - 1) // cb
+                if not nonempty:
+                    continue
+                incl = _TagTree(ncx, ncy)
+                zbt = _TagTree(ncx, ncy)
+                for cy in range(ncy):
+                    for cx in range(ncx):
+                        y0, x0, ch, cw = cbs[cy * ncx + cx]
+                        if incl.decode(br, cy, cx, 1) is None:
+                            continue
+                        t = 1
+                        while True:
+                            zb = zbt.decode(br, cy, cx, t)
+                            if zb is not None:
+                                break
+                            t += 1
+                        npasses = _read_npasses(br)
+                        lblock = 3
+                        k = 0
+                        while br.bit():
+                            k += 1
+                        lblock += k
+                        nb = lblock + int(np.floor(np.log2(npasses)))
+                        length = br.bits(nb)
+                        pending.append(
+                            (b_idx, y0, x0, ch, cw, npasses, mb - 1 - zb, length)
+                        )
+            pos = br.align()
+            for b_idx, y0, x0, ch, cw, npasses, max_plane, length in pending:
+                if max_plane < 0:
+                    raise ValueError("J2K zero-bitplanes exceed Mb")
+                seg = data[pos : pos + length]
+                pos += length
+                bname = bands_per_res[r][b_idx][0]
+                dec = T1Decoder(cw, ch, bname, MQDecoder(seg))
+                coeffs[r][b_idx][y0 : y0 + ch, x0 : x0 + cw] = dec.decode(
+                    npasses, max_plane
                 )
+
+        if irreversible:
+            # dequantize: x = sign(q) * (|q| + 0.5) * Δ_b for q != 0
+            # (midpoint reconstruction, T.800 Annex E)
+            for r in range(levels + 1):
+                for b_idx, (bname, _, _) in enumerate(bands_per_res[r]):
+                    b_eps, b_mant = band_q[r][b_idx]
+                    delta = _quant_step(depth, bname, b_eps, b_mant)
+                    q = coeffs[r][b_idx]
+                    coeffs[r][b_idx] = np.where(
+                        q != 0, np.sign(q) * (np.abs(q) + 0.5) * delta, 0.0
+                    )
+            ll = coeffs[0][0]
+            for r in range(1, levels + 1):
+                hl, lh, hh = coeffs[r]
+                ll = _inv97_2d(ll, hl, lh, hh)
+            return ll
         ll = coeffs[0][0]
         for r in range(1, levels + 1):
             hl, lh, hh = coeffs[r]
-            ll = _inv97_2d(ll, hl, lh, hh)
-        if not signed:
-            ll = ll + float(1 << (depth - 1))
-        return np.rint(ll).astype(np.int64), depth, signed
+            ll = _inv53_2d(ll, hl, lh, hh)
+        return ll
 
-    # inverse DWT (reversible 5/3)
-    ll = coeffs[0][0]
-    for r in range(1, levels + 1):
-        hl, lh, hh = coeffs[r]
-        ll = _inv53_2d(ll, hl, lh, hh)
+    ntx = -(-w // tile_w)
+    nty = -(-h // tile_h)
+    out = np.zeros(
+        (h, w), dtype=np.float64 if irreversible else np.int64
+    )
+    for isot, (body_start, _) in sorted(tile_bodies.items()):
+        tj, ti = divmod(isot, ntx)
+        if tj >= nty:
+            raise ValueError(f"J2K tile index {isot} outside the tile grid")
+        y0, x0 = tj * tile_h, ti * tile_w
+        th = min(tile_h, h - y0)
+        tw = min(tile_w, w - x0)
+        out[y0 : y0 + th, x0 : x0 + tw] = decode_tile(body_start, th, tw)
+    if len(tile_bodies) != ntx * nty:
+        raise ValueError(
+            f"J2K codestream has {len(tile_bodies)} tiles, grid needs {ntx * nty}"
+        )
     if not signed:
-        ll = ll + (1 << (depth - 1))
-    return ll, depth, signed
+        out = out + (float(1 << (depth - 1)) if irreversible else (1 << (depth - 1)))
+    if irreversible:
+        return np.rint(out).astype(np.int64), depth, signed
+    return out, depth, signed

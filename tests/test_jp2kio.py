@@ -350,3 +350,42 @@ def test_lossless_path_unchanged_by_lossy_support():
     enc = J.encode_j2k(img, depth=12, levels=2)
     dec, _, _ = J.decode_j2k(enc)
     np.testing.assert_array_equal(dec, img)
+
+
+# ---------------------------------------------------------------------------
+# multi-tile codestreams
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("tile", [(16, 32), (13, 17), (45, 61)])
+def test_tiled_lossless_round_trip(tile):
+    img = _smooth_img((45, 61), 10, 7)
+    enc = J.encode_j2k(img, depth=10, levels=3, tile_size=tile)
+    dec, depth, signed = J.decode_j2k(enc)
+    np.testing.assert_array_equal(dec, img)
+    # the SIZ really declares the tile grid: SOC(2) + marker(2) + Lsiz(2)
+    # + Rsiz(2) + Xsiz/Ysiz/XOsiz/YOsiz(16) -> XTsiz at byte 24
+    import struct as _struct
+    xt, yt = _struct.unpack(">II", enc[24:32])
+    assert (yt, xt) == tile
+
+
+def test_tiled_lossy_round_trip():
+    img = _smooth_img((40, 40), 10, 8)
+    enc = J.encode_j2k(img, depth=10, levels=2, irreversible=True,
+                       qstep=1 / 512, tile_size=(20, 20))
+    dec, _, _ = J.decode_j2k(enc)
+    assert np.abs(dec - img).max() <= 1
+
+
+def test_tiled_stream_missing_tile_raises():
+    img = _smooth_img((32, 32), 8, 9)
+    enc = J.encode_j2k(img, depth=8, levels=1, tile_size=(16, 16))
+    # truncate after the second tile's body: drop the last SOT onward
+    import struct as _struct
+    pos = len(enc)
+    # find the last SOT marker
+    last_sot = enc.rfind(b"\xff\x90")
+    trunc = enc[:last_sot] + _struct.pack(">H", 0xFFD9)
+    with pytest.raises(ValueError):
+        J.decode_j2k(trunc)
