@@ -32,6 +32,12 @@ stores — parameters travel in the filter's client data, not the stream):
 The encoder restricts itself to choices every conforming decoder
 accepts (it never emits a second-extension block containing a reference
 sample) and picks the cheapest option per block, as real szip does.
+
+Performance note: entropy decoding is inherently bit-serial; this
+pure-Python implementation is correctness-grade (reading szip-filtered
+archives, fixtures, tests). At production scale the Spark pipeline
+amortizes chunk decodes across executors, and a native codec would slot
+in behind the same szip_decompress signature.
 """
 
 from __future__ import annotations
