@@ -1,10 +1,11 @@
 """Training-corpus cleaning pipeline — the engine's LLM-data-pipeline
 operators composed end-to-end on the synthetic ``documents`` table:
 
-PII scrub → quality gate → repetition gate → exact dedup → MinHash
-near-dup pairs → connected-component cluster resolution → canonical-doc
-selection → benchmark decontamination → deterministic train/val/test
-split → per-split token stats.
+PII scrub → corpus-level line dedup (CCNet) → quality gate →
+repetition gate → exact dedup → MinHash near-dup pairs →
+connected-component cluster resolution → canonical-doc selection →
+benchmark decontamination → deterministic train/val/test split →
+per-split token stats.
 
 Every stage is a DataFrame transformation, so the whole pipeline is ONE
 Catalyst plan per action: the quality filter pushes into the parquet
@@ -48,6 +49,15 @@ def main() -> None:
 
     # 0. PII scrub (codegen'd regexp_replace chain — pure map, no shuffle)
     docs = filters.scrub_pii(docs)
+
+    # 0b. corpus-level line dedup (CCNet-style): drop lines whose
+    # normalized form appears in >= min_docs distinct documents — the
+    # cross-document boilerplate per-document cleaning can't see. The
+    # synthetic corpus is single-line, so this is a structural no-op
+    # here, but the stage composes exactly like this on real web text.
+    docs = filters.dedup_lines(docs, min_docs=50).drop(
+        "n_lines_kept", "n_lines_dropped"
+    )
 
     # 1. quality + repetition gates (JVM-side expressions; no Python in
     # the hot path). The repetition gate is Gopher-style: drop documents
