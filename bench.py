@@ -560,6 +560,9 @@ def main() -> None:
         "dsir_select",  # oracle replicates hashed-ngram histograms +
         # Gumbel selection (per-gram md5 in SQL) — a correctness
         # artifact, not an analytics query
+        "multimodal_audio",  # oracle regenerates the synthetic waveform
+        # closed-form in SQL while Spark decodes real WAV bytes — the
+        # two sides do different work by construction
     }
     duck_total, duck_n = 0.0, 0
     matched = [

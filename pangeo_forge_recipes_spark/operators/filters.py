@@ -105,9 +105,11 @@ def top_ngram_fraction(
         F.col(id_col),
         F.expr(f"size(split({col}, ' '))").alias("__n_tokens"),
         F.explode(F.expr(_word_ngrams(col, n))).alias("__gram"),
-    )
+    ).withColumn("__gh", F.xxhash64("__gram"))
+    # group on the 64-bit gram hash: the shuffle moves longs, not
+    # n-word strings; within-doc collisions are ~(grams²/2^65)
     top = (
-        grams.groupBy(id_col, "__n_tokens", "__gram")
+        grams.groupBy(id_col, "__n_tokens", "__gh")
         .agg(F.count("*").alias("__cnt"))
         .groupBy(id_col, "__n_tokens")
         .agg(F.max("__cnt").alias("__top_cnt"))
