@@ -958,9 +958,25 @@ def write_hdf5(
                 0x0005, struct.pack("<BBBB", 2, 2, 0, 0)
             ),  # fill v2, undefined
         ]
-        chunk_dims = [chunks.get(d, s) for d, s in zip(var.dims, data.shape)]
-        chunked = compress or shuffle or list(chunk_dims) != list(data.shape)
-        if use_szip:
+        # encoded data can gain a dimension over var.dims (0-d scalars
+        # store as shape (1,)); zip over var.dims alone then yields an
+        # EMPTY chunk grid and a corrupt chunked layout, so fall back to
+        # the data's own shape for any unmatched trailing axes
+        dim_names = list(var.dims) + [None] * (data.ndim - len(var.dims))
+        chunk_dims = [
+            chunks.get(d, s) if d is not None else s
+            for d, s in zip(dim_names, data.shape)
+        ]
+        # szip cannot code fewer points than one block (H5Zszip refuses
+        # too); scalar / tiny variables fall back to contiguous storage
+        var_szip = (
+            use_szip
+            and data.ndim >= 1
+            and int(np.prod(chunk_dims, dtype=np.int64)) >= 16
+        )
+        eff_compress = False if (use_szip and not var_szip) else compress
+        chunked = eff_compress or shuffle or list(chunk_dims) != list(data.shape)
+        if var_szip:
             from .szip import (
                 SZ_ALLOW_K13_OPTION_MASK,
                 SZ_LSB_OPTION_MASK,
@@ -1006,9 +1022,9 @@ def write_hdf5(
                     )
                 if use_lzf:
                     raw = lzf_compress(raw)
-                elif use_szip:
+                elif var_szip:
                     raw = szip_compress(raw, sz_mask, sz_bpp, sz_ppb, sz_pps)
-                elif compress:
+                elif eff_compress:
                     raw = zlib.compress(raw, 4)
                 caddr = alloc(raw)
                 chunk_entries.append((origin, caddr, len(raw)))
@@ -1033,7 +1049,7 @@ def write_hdf5(
                 layout += struct.pack("<I", c)
             layout += struct.pack("<I", dt.itemsize)
             msgs.append(_message(0x0008, layout))
-            if compress or shuffle:
+            if eff_compress or shuffle:
                 entries = []
                 if shuffle:
                     fname = b"shuffle\x00"
@@ -1054,7 +1070,7 @@ def write_hdf5(
                         + struct.pack("<III", 4, 261, int(np.prod(chunk_dims)) * dt.itemsize)
                         + struct.pack("<I", 0)
                     )
-                elif use_szip:
+                elif var_szip:
                     fname = b"szip\x00\x00\x00\x00"
                     # H5Zszip's four client values: (options_mask,
                     # bits_per_pixel, pixels_per_block, pixels_per_scanline)
@@ -1063,7 +1079,7 @@ def write_hdf5(
                         + fname
                         + struct.pack("<IIII", sz_mask, sz_bpp, sz_ppb, sz_pps)
                     )
-                elif compress:
+                elif eff_compress:
                     fname = b"deflate\x00"
                     entries.append(
                         struct.pack("<HHHH", _DEFLATE, len(fname), 1, 1)

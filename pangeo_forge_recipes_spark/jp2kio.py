@@ -1364,5 +1364,12 @@ def decode_j2k(data: bytes) -> Tuple[np.ndarray, int, bool]:
     if not signed:
         out = out + (float(1 << (depth - 1)) if irreversible else (1 << (depth - 1)))
     if irreversible:
-        return np.rint(out).astype(np.int64), depth, signed
+        # quantization error can push reconstructed values past the
+        # declared sample range; conformant decoders clamp (T.800 G.1)
+        lo, hi = (
+            (-(1 << (depth - 1)), (1 << (depth - 1)) - 1)
+            if signed
+            else (0, (1 << depth) - 1)
+        )
+        return np.clip(np.rint(out), lo, hi).astype(np.int64), depth, signed
     return out, depth, signed

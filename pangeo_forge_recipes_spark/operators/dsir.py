@@ -81,48 +81,37 @@ def _log_ratio_table(
     alpha: float,
 ) -> DataFrame:
     """B-row (bucket, log_ratio) table: log((p_b + α̂)/(q_b + α̂)) with
-    add-α smoothing on both normalized distributions."""
+    add-α smoothing on both normalized distributions.
+
+    The two histograms are collected to the driver (≤ ``buckets`` rows
+    each — O(buckets) driver state, the module's documented contract)
+    and the ratio table is built as a literal DataFrame. Each corpus
+    scan therefore runs exactly once per call, with no persisted state
+    left behind (a lazy multi-branch plan re-ran the scans — measured 5
+    corpus passes instead of the minimal 3 — and a persist-based fix
+    leaked CacheManager entries on every call)."""
+    import math
+
     spark = raw.sparkSession
-    # persist the two B-row histograms: they feed both the totals and
-    # the ratio join, and without materialization each branch re-runs
-    # the corpus-wide tokenize/explode/md5 scan (measured: 5 corpus
-    # passes instead of the minimal 3). At most ``buckets`` rows each —
-    # trivially cacheable at any corpus size.
-    p = (
-        hashed_ngram_counts(target, col, buckets)
-        .withColumnRenamed("cnt", "p_cnt")
-        .persist()
-    )
-    q = (
-        hashed_ngram_counts(raw, col, buckets)
-        .withColumnRenamed("cnt", "q_cnt")
-        .persist()
-    )
-    all_b = spark.range(buckets).withColumnRenamed("id", "bucket")
-    j = (
-        all_b.join(p, "bucket", "left")
-        .join(q, "bucket", "left")
-        .fillna(0, ["p_cnt", "q_cnt"])
-    )
-    # totals via a broadcast cross join of the B-row table's own
-    # aggregate — fully lazy, no driver collect, and the corpus scans
-    # stay single-execution inside one plan
-    tots = j.agg(
-        F.sum("p_cnt").alias("__pt"), F.sum("q_cnt").alias("__qt")
-    )
-    return j.crossJoin(F.broadcast(tots)).select(
-        "bucket",
+    p_counts = {
+        int(r[0]): int(r[1])
+        for r in hashed_ngram_counts(target, col, buckets).collect()
+    }
+    q_counts = {
+        int(r[0]): int(r[1])
+        for r in hashed_ngram_counts(raw, col, buckets).collect()
+    }
+    p_tot = sum(p_counts.values())
+    q_tot = sum(q_counts.values())
+    rows = [
         (
-            F.log(
-                (F.col("p_cnt") + F.lit(alpha))
-                / (F.col("__pt") + F.lit(alpha * buckets))
-            )
-            - F.log(
-                (F.col("q_cnt") + F.lit(alpha))
-                / (F.col("__qt") + F.lit(alpha * buckets))
-            )
-        ).alias("log_ratio"),
-    )
+            b,
+            math.log((p_counts.get(b, 0) + alpha) / (p_tot + alpha * buckets))
+            - math.log((q_counts.get(b, 0) + alpha) / (q_tot + alpha * buckets)),
+        )
+        for b in range(buckets)
+    ]
+    return spark.createDataFrame(rows, "bucket long, log_ratio double")
 
 
 def importance_weights(

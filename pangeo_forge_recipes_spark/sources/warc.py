@@ -73,10 +73,11 @@ def _iter_gzip_chunks(data: bytes, feed: int = _GZIP_FEED) -> Iterator[bytes]:
             if pos >= n:
                 return
             if bytes(view[pos : pos + 2]) != b"\x1f\x8b":
-                # trailing non-gzip bytes after the last member
-                raise ValueError(
-                    f"malformed gzip stream: junk at byte {pos}"
-                )
+                # trailing non-gzip bytes after the last member: some
+                # record-aligned WARC writers pad archives; ignore the
+                # tail (matching common gunzip tooling) instead of
+                # failing the whole file
+                return
             obj = zlib.decompressobj(16 + zlib.MAX_WBITS)
             out = obj.decompress(view[pos : pos + feed])
             pos += min(feed, n - pos)

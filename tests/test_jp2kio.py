@@ -389,3 +389,18 @@ def test_tiled_stream_missing_tile_raises():
     trunc = enc[:last_sot] + _struct.pack(">H", 0xFFD9)
     with pytest.raises(ValueError):
         J.decode_j2k(trunc)
+
+
+def test_lossy_decode_clamps_to_sample_range():
+    """Quantization error on hard edges can overshoot the sample range;
+    the decoder must clamp (conformant-codec behavior)."""
+    rng = np.random.RandomState(0)
+    img = (rng.randint(0, 2, (16, 16)) * 255).astype(np.int64)
+    enc = J.encode_j2k(img, depth=8, levels=2, irreversible=True, qstep=2.0)
+    dec, _, _ = J.decode_j2k(enc)
+    assert dec.min() >= 0 and dec.max() <= 255
+    simg = img - 128
+    encs = J.encode_j2k(simg, depth=8, levels=2, signed=True,
+                        irreversible=True, qstep=2.0)
+    decs, _, signed = J.decode_j2k(encs)
+    assert signed and decs.min() >= -128 and decs.max() <= 127

@@ -138,3 +138,32 @@ def test_hdf5_szip_float32(tmp_path):
     write_hdf5(path, ds, chunks={"a": 2}, compress="szip")
     got = read_hdf5(path)
     assert_equal(got, ds)
+
+
+def test_hdf5_szip_scalar_and_tiny_vars_fall_back(tmp_path):
+    """szip cannot code fewer points than one block; scalar / tiny
+    variables must fall back to contiguous storage instead of crashing
+    (and the encoded-scalar chunk grid must stay valid — a 0-d variable
+    stores as shape (1,))."""
+    from pangeo_forge_recipes_spark.hdf5io import read_hdf5, write_hdf5
+    from pangeo_forge_recipes_spark.ndset import NDDataset, Variable
+
+    ds = NDDataset(
+        {
+            "v": Variable(("x",), np.cumsum(np.arange(40)).astype("int32")),
+            "tiny": Variable(("y",), np.arange(3, dtype="int32")),
+            "s": Variable((), np.int32(7)),
+        },
+        {},
+        {},
+        {"x": 40, "y": 3},
+    )
+    for comp in (False, True, "lzf", "szip"):
+        path = str(tmp_path / f"sc_{comp}.h5")
+        write_hdf5(path, ds, compress=comp)
+        got = read_hdf5(path)
+        np.testing.assert_array_equal(
+            got.data_vars["v"].data, ds.data_vars["v"].data
+        )
+        np.testing.assert_array_equal(got.data_vars["tiny"].data, [0, 1, 2])
+        assert int(np.ravel(got.data_vars["s"].data)[0]) == 7

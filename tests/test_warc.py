@@ -193,3 +193,14 @@ def test_html_payload_text_stage(spark, tmp_path):
     texts = {r["target_uri"]: r["text"] for r in out.collect()}
     assert "Heading & more" in texts["http://example.com/a"]
     assert texts["http://example.com/b"] == "gone"
+
+
+def test_trailing_padding_after_last_member_tolerated(tmp_path):
+    """Record-aligned WARC writers pad archives; trailing non-gzip bytes
+    after the last member must not fail the file."""
+    path = str(tmp_path / "pad.warc.gz")
+    write_warc(path, _records()[:2])
+    with open(path, "rb") as f:
+        raw = f.read()
+    recs = list(parse_warc_records(raw + b"\x00" * 512))
+    assert [r["warc-type"] for r in recs] == ["warcinfo", "response"]
