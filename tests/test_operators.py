@@ -460,3 +460,34 @@ def test_mix_corpora_deterministic_proportions(spark):
         len([r for r in odd.collect() if r["source"] == s]) for s in ("x", "y", "z")
     )
     assert sum(counts) == 100 and counts == [33, 33, 34]
+
+
+def test_ivf_plan_single_scan_no_join(vectors):
+    """The fused IVF plan: ONE mapInPandas over the corpus (corpus +
+    probe roles in a single Arrow crossing), one applyInPandas per
+    centroid list, and NO join — the candidate pairing happens inside
+    the grouped GEMM, so the only exchanges are the groupBy and the
+    final per-query window."""
+    plan = (
+        similarity.ivf_topk(vectors, k=2, nprobe=2, n_centroids=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "Join" not in plan
+
+
+def test_bloom_probe_plan_no_join_no_shuffle(spark, docs):
+    """The Bloom probe side stays map-only: JVM md5 + broadcast bitmap
+    membership — no join, no exchange on the corpus."""
+    from pangeo_forge_recipes_spark.operators.bloom import (
+        dedup_against_reference,
+    )
+
+    ref = docs.select(F.col("text"))
+    out = dedup_against_reference(docs, ref, expected_items=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Exchange" not in plan
