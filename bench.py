@@ -590,10 +590,21 @@ def main() -> None:
         for name in fresh_probe
     }
 
+    try:
+        loadavg = [round(v, 1) for v in os.getloadavg()]
+    except OSError:
+        loadavg = None
+
     detail = {
         "metric": "headline_suite_wall_concurrent",
         "value": concurrent_wall,
         "unit": "sec",
+        # co-tenant load context: Spark walls on this box swing 1.5-2x
+        # between quiet (load < 3) and loaded (load > 12) conditions;
+        # the single-process DuckDB baseline is far less affected, so
+        # the matched-subset ratio inherits the swing (measured 1.78
+        # quiet vs 2.6-2.9 under load for the same code)
+        "loadavg_1_5_15": loadavg,
         "queries": timings,
         "query_runs": runs,
         "queries_mode": "sequential_best_of_2",
@@ -647,6 +658,7 @@ def main() -> None:
                 }
                 or None,
                 "stress_growth": (scale_stress or {}).get("growth"),
+                "loadavg": loadavg,
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf,
             },
