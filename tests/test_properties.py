@@ -335,3 +335,72 @@ def test_bloom_membership_property(n, fpp, seed):
         bloom_contains(words, m, k, f"absent-{seed}-{j}") for j in range(probes)
     )
     assert fp / probes <= max(5 * fpp, 0.01)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(1, 400),
+    bpp=st.sampled_from([8, 16, 32]),
+    ppb=st.sampled_from([2, 8, 16, 32]),
+    nn=st.booleans(),
+    msb=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_szip_round_trip_property(n, bpp, ppb, nn, msb, seed):
+    import numpy as np
+
+    from pangeo_forge_recipes_spark import szip as S
+
+    rng = np.random.RandomState(seed)
+    mask = (S.SZ_NN_OPTION_MASK if nn else S.SZ_EC_OPTION_MASK) | (
+        S.SZ_MSB_OPTION_MASK if msb else S.SZ_LSB_OPTION_MASK
+    )
+    dt = {8: "u1", 16: "u2", 32: "u4"}[bpp]
+    order = ">" if msb else "<"
+    data = rng.randint(0, 1 << min(bpp, 31), n).astype(
+        np.dtype(f"{order}{dt}") if bpp > 8 else np.uint8
+    ).tobytes()
+    pps = min(128 * ppb, max(ppb, 4 * ppb))
+    enc = S.szip_compress(data, mask, bpp, ppb, pps)
+    assert S.szip_decompress(enc, n, mask, bpp, ppb, pps) == data
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    depth=st.sampled_from([8, 12, 16]),
+    pred=st.integers(1, 7),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_lossless_property(h, w, depth, pred, seed):
+    import numpy as np
+
+    from pangeo_forge_recipes_spark import jpegio as J
+
+    rng = np.random.RandomState(seed)
+    dt = np.uint8 if depth == 8 else np.uint16
+    img = rng.randint(0, 1 << depth, (h, w)).astype(dt)
+    enc = J.encode_jpeg_lossless(img, precision=depth, predictor=pred)
+    np.testing.assert_array_equal(J.decode_jpeg(enc), img)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(4, 40),
+    w=st.integers(4, 40),
+    th=st.integers(2, 40),
+    tw=st.integers(2, 40),
+    levels=st.integers(0, 3),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_j2k_tiled_lossless_property(h, w, th, tw, levels, seed):
+    import numpy as np
+
+    from pangeo_forge_recipes_spark import jp2kio as J
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 1 << 10, (h, w)).astype(np.int64)
+    enc = J.encode_j2k(img, depth=10, levels=levels, tile_size=(th, tw))
+    dec, depth, signed = J.decode_j2k(enc)
+    np.testing.assert_array_equal(dec, img)
