@@ -1375,6 +1375,7 @@ def write_grib2(
     pack_modes = {
         "simple": None, "complex": 0, "complex-diff1": 1, "complex-diff2": 2,
         "ieee": None, "png": None, "jpeg2000": None,
+        "jpeg2000-lossy": None,
     }
     if packing not in pack_modes:
         raise ValueError(f"packing {packing!r}; choose from {sorted(pack_modes)}")
@@ -1728,10 +1729,14 @@ def write_grib2(
                     + bytes([depth, 0])
                 )
                 sec7 = encode_png(img, filters=[0, 1, 2, 3, 4])
-            elif packing == "jpeg2000":
-                # template 5.40/7.40: scaled ints as a lossless J2K stream
+            elif packing in ("jpeg2000", "jpeg2000-lossy"):
+                # template 5.40/7.40: scaled ints as a J2K stream —
+                # lossless 5/3 by default, or the ECMWF-style lossy 9/7
+                # path (compression-type octet 1) quantizing at one
+                # integer level (±0.5 · 2^E · 10^-D in physical units)
                 from .jp2kio import encode_j2k
 
+                lossy = packing == "jpeg2000-lossy"
                 depth = max(int(nbits), 1)
                 shape = (nj, ni) if npacked == nj * ni else (1, npacked)
                 img = x.reshape(shape)
@@ -1740,9 +1745,13 @@ def write_grib2(
                     + np.array(r32, dtype=">f4").tobytes()
                     + _sm_encode(e, 2).to_bytes(2, "big")
                     + _sm_encode(0, 2).to_bytes(2, "big")
-                    + bytes([depth, 0, 0, 255])  # lossless, ratio n/a
+                    + bytes([depth, 0, 1 if lossy else 0, 255])
                 )
-                sec7 = encode_j2k(img, depth=depth) if npacked else b""
+                sec7 = (
+                    encode_j2k(img, depth=depth, irreversible=lossy, qstep=1.0)
+                    if npacked
+                    else b""
+                )
             elif complex_order is None:
                 sec5 = (
                     npacked.to_bytes(4, "big") + (0).to_bytes(2, "big")

