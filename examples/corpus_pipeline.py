@@ -110,9 +110,23 @@ def main() -> None:
         .collect()
     )
 
+    # 5. subword tokenization: train a BPE merge table on the cleaned
+    # corpus (one word-count pass + driver merge loop) and tokenize
+    # map-only — the token stream real packing/loader stages consume.
+    from pangeo_forge_recipes_spark.operators.bpe import (
+        tokenize_bpe,
+        train_bpe,
+    )
+
+    merges = train_bpe(cleaned, num_merges=64)
+    bpe = tokenize_bpe(cleaned, merges)
+    n_bpe_tokens = bpe.agg(F.sum("n_tokens")).collect()[0][0]
+    assert len(merges) > 0 and n_bpe_tokens > 0
+
     print(
         f"raw={n_raw}  post-quality+exact={n_exact}  post-neardup={n_clean}"
-        f"  post-decontam={n_decon}"
+        f"  post-decontam={n_decon}  bpe_merges={len(merges)}"
+        f"  bpe_tokens={n_bpe_tokens}"
     )
     for r in stats:
         print(f"  {r['split']:5s}  docs={r['n_docs']:6d}  tokens={r['total_tokens']:8d}  q={r['avg_quality']}")
