@@ -355,8 +355,10 @@ def _parse_message(body: bytes, discipline: int, offset: int, total: int, path: 
             msg["nbits"] = sec[19]
             if tmpl == 40:
                 # octet 22: compression type (0 = lossless); octet 23:
-                # target compression ratio (255 = lossless/unspecified)
+                # target compression ratio M:1 (255 = missing; the spec
+                # expects a real ratio when octet 22 signals lossy)
                 msg["j2k_lossless"] = sec[21] == 0
+                msg["j2k_target_ratio"] = sec[22]
             if tmpl in (2, 3):
                 if sec[21] != 1:
                     raise NotImplementedError(
@@ -1740,17 +1742,26 @@ def write_grib2(
                 depth = max(int(nbits), 1)
                 shape = (nj, ni) if npacked == nj * ni else (1, npacked)
                 img = x.reshape(shape)
+                sec7 = (
+                    encode_j2k(img, depth=depth, irreversible=lossy, qstep=1.0)
+                    if npacked
+                    else b""
+                )
+                # octet 23: target compression ratio M:1 — the spec expects
+                # a real ratio when octet 22 signals lossy; report the
+                # achieved ratio vs the depth-bit packed size (255 = missing
+                # stays for lossless, where the octet does not apply)
+                if lossy and sec7:
+                    ratio = round(npacked * depth / 8 / len(sec7))
+                    ratio = max(1, min(254, ratio))
+                else:
+                    ratio = 255
                 sec5 = (
                     npacked.to_bytes(4, "big") + (40).to_bytes(2, "big")
                     + np.array(r32, dtype=">f4").tobytes()
                     + _sm_encode(e, 2).to_bytes(2, "big")
                     + _sm_encode(0, 2).to_bytes(2, "big")
-                    + bytes([depth, 0, 1 if lossy else 0, 255])
-                )
-                sec7 = (
-                    encode_j2k(img, depth=depth, irreversible=lossy, qstep=1.0)
-                    if npacked
-                    else b""
+                    + bytes([depth, 0, 1 if lossy else 0, ratio])
                 )
             elif complex_order is None:
                 sec5 = (

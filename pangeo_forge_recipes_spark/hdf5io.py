@@ -968,11 +968,14 @@ def write_hdf5(
             for d, s in zip(dim_names, data.shape)
         ]
         # szip cannot code fewer points than one block (H5Zszip refuses
-        # too); scalar / tiny variables fall back to contiguous storage
+        # too), and the extended-aperture coder tops out at 32 bits per
+        # pixel (H5Zszip's can_apply rejects wider types); scalar / tiny /
+        # 64-bit variables fall back to contiguous or deflate storage
         var_szip = (
             use_szip
             and data.ndim >= 1
             and int(np.prod(chunk_dims, dtype=np.int64)) >= 16
+            and dt.itemsize <= 4
         )
         eff_compress = False if (use_szip and not var_szip) else compress
         chunked = eff_compress or shuffle or list(chunk_dims) != list(data.shape)

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import re
 from typing import Iterator, Tuple
 
 import numpy as np
@@ -74,9 +75,17 @@ def _digest_matrix(col: pd.Series) -> np.ndarray:
     return np.frombuffer(b"".join(col), dtype=np.uint8).reshape(-1, 16)
 
 
+_SURROGATES = re.compile("[\ud800-\udfff]")
+
+
 def _positions(text: str, m: int, k: int) -> np.ndarray:
-    """Scalar reference path (tests / `bloom_contains`)."""
-    d = hashlib.md5(text.encode("utf-8", "surrogatepass")).digest()
+    """Scalar reference path (tests / `bloom_contains`). Matches the
+    JVM bytes exactly: strings cross Python→JVM through Arrow, which
+    maps any surrogate codepoint to U+FFFD before ``F.md5`` sees it, so
+    the scalar path applies the same replacement (a raw
+    ``surrogatepass`` encode would diverge from the filter actually
+    built and probed JVM-side)."""
+    d = hashlib.md5(_SURROGATES.sub("�", text).encode("utf-8")).digest()
     return _batch_positions(
         np.frombuffer(d, dtype=np.uint8).reshape(1, 16), m, k
     ).ravel()

@@ -56,15 +56,22 @@ def train_bpe(
     col: str = "text",
     num_merges: int = 100,
     min_freq: int = 1,
-    max_words: Optional[int] = None,
+    max_words: Optional[int] = 1_000_000,
 ) -> List[Tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from the corpus.
 
     One distributed pass builds the word-frequency dictionary
-    (``min_freq`` floor; optional ``max_words`` keeps the top words by
+    (``min_freq`` floor; ``max_words`` keeps the top words by
     (count desc, word) — both standard dictionary caps); the merge loop
     is driver-side over that bounded table with an incrementally
-    updated pair index. Returns the ordered merge list."""
+    updated pair index. Returns the ordered merge list.
+
+    ``max_words`` bounds the driver's collected dictionary and defaults
+    to 1,000,000 (standard BPE trainer practice): on web-scale text the
+    distinct-"word" count is effectively unbounded (URLs, typos, unicode
+    junk), so an uncapped collect would be a driver OOM. Pass ``None``
+    explicitly only for corpora whose vocabulary is known to be small.
+    The cap plans as a TakeOrdered (top-k, no global sort)."""
     wc = word_counts(df, col).filter(F.col("cnt") >= min_freq)
     if max_words is not None:
         wc = wc.orderBy(F.desc("cnt"), F.asc("word")).limit(max_words)
@@ -133,15 +140,22 @@ def _segment(word: str, ranks: Dict[Tuple[str, str], int]) -> List[str]:
     return syms
 
 
+_TOKENIZE_CACHE_CAP = 262_144  # distinct words cached per task
+
+
 def tokenize_bpe(
     df: DataFrame,
     merges: List[Tuple[str, str]],
     col: str = "text",
     id_col: str = "doc_id",
+    cache_cap: int = _TOKENIZE_CACHE_CAP,
 ) -> DataFrame:
     """(id, tokens array<string>, n_tokens) — map-only: the merge ranks
-    broadcast, each Arrow batch segments its words with a per-batch
-    word cache (types repeat across tokens)."""
+    broadcast, each Arrow batch segments its words with a per-task
+    word cache (types repeat across tokens). The cache is bounded at
+    ``cache_cap`` distinct words (it is cleared when full — the Zipfian
+    head that carries the hit rate repopulates in one batch, so the
+    reset costs little while keeping task memory O(cache_cap))."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast({p: i for i, p in enumerate(merges)})
     tokenized = df.select(
@@ -159,6 +173,8 @@ def tokenize_bpe(
                     got = cache.get(w)
                     if got is None:
                         got = _segment(w, ranks)
+                        if len(cache) >= cache_cap:
+                            cache.clear()
                         cache[w] = got
                     toks.extend(got)
                 toks_out.append(toks)

@@ -268,7 +268,14 @@ def line_frequencies(
         F.explode(F.split(F.col(col), "\n")).alias("__line"),
     ).select(
         id_col,
-        F.xxhash64(F.expr(_LINE_NORM_SQL.format(line="__line"))).alias("__lh"),
+        F.expr(_LINE_NORM_SQL.format(line="__line")).alias("__norm"),
+    )
+    # blank / digits-only / punctuation-only lines all normalize to ''
+    # and would share ONE hash bucket; counting them would eventually
+    # strip every structural blank line corpus-wide, so they are exempt
+    # from frequency counting (and thus from dedup_lines' anti-join)
+    lines = lines.filter(F.col("__norm") != "").select(
+        id_col, F.xxhash64(F.col("__norm")).alias("__lh")
     )
     return (
         lines.distinct()
@@ -296,6 +303,11 @@ def dedup_lines(
     ``sort_array(collect_list(struct(pos, line)))`` — task memory is one
     document. Returns the input columns with ``col`` rewritten plus
     ``n_lines_kept`` / ``n_lines_dropped``.
+
+    Lines whose normalized form is empty (blank lines, digits- or
+    punctuation-only separators) are never treated as boilerplate:
+    :func:`line_frequencies` exempts them, so paragraph structure
+    survives even when blank lines are corpus-universal.
     """
     spark = df.sparkSession
     freq = line_frequencies(df, col, id_col).filter(

@@ -83,6 +83,11 @@ def _iter_gzip_chunks(data: bytes, feed: int = _GZIP_FEED) -> Iterator[bytes]:
             pos += min(feed, n - pos)
             if out:
                 yield out
+    if not obj.eof:
+        # the archive ended mid-member: without this the partial plaintext
+        # can happen to end at a record boundary and silently drop the
+        # trailing records
+        raise ValueError("truncated gzip member at end of archive")
 
 
 def _records_from_stream(chunks: Iterator[bytes]) -> Iterator[Dict]:

@@ -39,6 +39,24 @@ def test_build_and_contains(spark):
     assert fp <= 20
 
 
+def test_scalar_path_matches_jvm_for_surrogates(spark):
+    """Strings holding surrogate codepoints cross Python→JVM through
+    Arrow as U+FFFD; the scalar `bloom_contains` path must hash the same
+    bytes as the JVM-built filter — no false negatives even for junk
+    unicode."""
+    texts = [
+        "ab\ud800cd",            # lone high surrogate
+        "x\udfff",               # lone low surrogate
+        "pair\ud83d\ude00end",  # surrogate pair written as two codepoints
+        "astral 😀 direct",      # true astral codepoint (no surrogates)
+        "clean ascii",
+    ]
+    ref = spark.createDataFrame([(t,) for t in texts], "text string")
+    bits, m, k = build_bloom(ref, expected_items=10, fpp=0.001)
+    for t in texts:
+        assert bloom_contains(bits, m, k, t), repr(t)
+
+
 def test_dedup_against_reference_end_to_end(spark):
     ref = spark.createDataFrame(
         [(i, f"shared text {i}") for i in range(300)], "doc_id long, text string"

@@ -139,6 +139,56 @@ def test_tokenize_plan_is_map_only(spark):
     assert "Exchange" not in plan
 
 
+def test_train_dictionary_is_bounded(spark):
+    """The driver-collected dictionary never exceeds max_words no matter
+    how many distinct words the corpus holds — and the DEFAULT is a
+    bounded cap (web-scale vocabularies are effectively unbounded, so an
+    uncapped collect is a driver OOM)."""
+    import inspect
+
+    assert (
+        inspect.signature(train_bpe).parameters["max_words"].default
+        == 1_000_000
+    )
+    # heavy head uses one alphabet, the distinct-word tail another: with
+    # max_words=2 only head words may contribute merge symbols
+    rows = [(1, " ".join(["aaaa"] * 50 + ["aabb"] * 40))] + [
+        (i + 2, f"xy{chr(0x7A - i % 26)}q{i}") for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(df, num_merges=8, max_words=2)
+    syms = {s for p in merges for s in p}
+    assert syms  # head words do produce merges
+    assert not any(c in s for s in syms for c in "xyq0123456789")
+    # the cap plans as a TakeOrdered top-k, not a global sort
+    capped = (
+        word_counts(df)
+        .orderBy("cnt", ascending=False)
+        .limit(2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in capped
+
+
+def test_tokenize_cache_cap_preserves_output(spark):
+    """A tiny cache_cap (forcing repeated clears) yields identical
+    tokens — the cache is a bounded accelerator, never semantics."""
+    rows = [(i, f"w{i}a w{i}b shared low lower") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(df, num_merges=6)
+    base = {
+        r["doc_id"]: list(r["tokens"])
+        for r in tokenize_bpe(df, merges).collect()
+    }
+    tiny = {
+        r["doc_id"]: list(r["tokens"])
+        for r in tokenize_bpe(df, merges, cache_cap=2).collect()
+    }
+    assert base == tiny
+
+
 def test_determinism_across_partitionings(spark):
     df = spark.createDataFrame(_ROWS, "doc_id long, text string")
     a = train_bpe(df.repartition(1), num_merges=8)

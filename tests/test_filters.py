@@ -242,6 +242,33 @@ def test_dedup_lines_drop_empty_docs(spark):
     assert {r["text"] for r in kept_all if r["doc_id"] != 3} == {""}
 
 
+def test_dedup_lines_preserves_blank_and_separator_lines(spark):
+    """Blank / digits-only / punctuation-only lines ALL normalize to ''
+    and share one hash; without the exemption, that bucket crosses
+    min_docs and every structural blank line is stripped corpus-wide."""
+    from pangeo_forge_recipes_spark.operators.filters import (
+        dedup_lines,
+        line_frequencies,
+    )
+
+    rows = [
+        (1, "Para one.\n\nPara two.\n---\nShared footer"),
+        (2, "Other text.\n\n12345\nShared footer"),
+        (3, "Third doc.\n\n...\nmore"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # empty-normalized lines never enter the frequency table
+    freq = line_frequencies(df).collect()
+    assert all(r["n_docs"] <= 2 for r in freq)
+    out = {r["doc_id"]: r for r in dedup_lines(df, min_docs=2).collect()}
+    # paragraph structure (blank lines, separators) survives; only the
+    # genuinely shared footer drops
+    assert out[1]["text"] == "Para one.\n\nPara two.\n---"
+    assert out[2]["text"] == "Other text.\n\n12345"
+    assert out[3]["text"] == "Third doc.\n\n...\nmore"
+    assert out[1]["n_lines_dropped"] == 1
+
+
 def test_dedup_lines_plan_broadcasts_frequent_set(spark):
     from pangeo_forge_recipes_spark.operators.filters import dedup_lines
 

@@ -728,6 +728,7 @@ def test_jpeg2000_packing_roundtrip(tmp_path, scale):
     msgs = scan_grib2_messages(path)
     assert all(m["drs_template"] == 40 for m in msgs)
     assert all(m["j2k_lossless"] for m in msgs)
+    assert all(m["j2k_target_ratio"] == 255 for m in msgs)  # missing
     # payload is a genuine raw J2K codestream (SOC + SIZ markers)
     with open(path, "rb") as f:
         raw = f.read()
@@ -966,6 +967,9 @@ def test_jpeg2000_lossy_packing_roundtrip(tmp_path):
     msgs = scan_grib2_messages(path)
     assert all(m["drs_template"] == 40 for m in msgs)
     assert not any(m["j2k_lossless"] for m in msgs)
+    # octet 23 must carry a REAL target ratio when octet 22 signals
+    # lossy (255 = missing is only valid for lossless)
+    assert all(1 <= m["j2k_target_ratio"] <= 254 for m in msgs)
     for v in ("t", "u"):
         a, b = rt.data_vars[v].data, ds.data_vars[v].data
         # per-message quantization bound: 1 integer level in the packed

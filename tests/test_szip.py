@@ -167,3 +167,37 @@ def test_hdf5_szip_scalar_and_tiny_vars_fall_back(tmp_path):
         )
         np.testing.assert_array_equal(got.data_vars["tiny"].data, [0, 1, 2])
         assert int(np.ravel(got.data_vars["s"].data)[0]) == 7
+
+
+def test_hdf5_szip_64bit_vars_fall_back(tmp_path):
+    """szip tops out at 32 bits per pixel (H5Zszip's can_apply); a
+    typical dataset — float64 variable + int64 coord (the engine's
+    default dtypes and CF-encoded datetimes) — must write via fallback
+    storage instead of raising."""
+    from pangeo_forge_recipes_spark.hdf5io import read_hdf5, write_hdf5
+    from pangeo_forge_recipes_spark.ndset import NDDataset, Variable, assert_equal
+
+    rng = np.random.RandomState(3)
+    ds = NDDataset(
+        {"v": Variable(("t", "x"), rng.standard_normal((6, 40)))},  # f8
+        {"t": Variable(("t",), np.arange(6, dtype="int64")),
+         "x": Variable(("x",), np.arange(40, dtype="int64"))},
+        {},
+        {"t": 6, "x": 40},
+    )
+    path = str(tmp_path / "sz64.h5")
+    write_hdf5(path, ds, chunks={"t": 3}, compress="szip")
+    got = read_hdf5(path)
+    assert_equal(got, ds)
+    # 32-bit data in the same file still szip-compresses (filter id 4)
+    ds32 = NDDataset(
+        {"w": Variable(("x",), np.cumsum(np.arange(64)).astype("int32"))},
+        {},
+        {},
+        {"x": 64},
+    )
+    p32 = str(tmp_path / "sz32.h5")
+    write_hdf5(p32, ds32, compress="szip")
+    np.testing.assert_array_equal(
+        read_hdf5(p32).data_vars["w"].data, ds32.data_vars["w"].data
+    )

@@ -168,6 +168,21 @@ def test_truncated_archive_raises(tmp_path):
         list(parse_warc_records(raw[:-30]))
 
 
+def test_truncated_gzip_member_raises(tmp_path):
+    """An archive that ends mid-gzip-member must raise even when the
+    partial plaintext happens to end exactly at a record boundary —
+    silently losing trailing records is the failure mode."""
+    path = str(tmp_path / "trunc.warc.gz")
+    write_warc(path, _records(), compress=True)
+    with open(path, "rb") as f:
+        raw = f.read()
+    # cut inside the LAST member: earlier members inflate cleanly, so any
+    # complete records they carry parse fine — then the truncation raises
+    for cut in (1, 5, 30):
+        with pytest.raises(ValueError, match="truncated gzip"):
+            list(parse_warc_records(raw[:-cut]))
+
+
 def test_read_warc_plan_is_map_only(spark, tmp_path):
     path = str(tmp_path / "c.warc.gz")
     write_warc(path, _records())
