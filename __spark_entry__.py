@@ -85,7 +85,15 @@ def _register(spark: SparkSession, sf_dir: str) -> None:
                         c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
                     )
             if t in _SPREAD_TABLES:
-                df = df.repartition(spark.sparkContext.defaultParallelism).cache()
+                # cache width tracks the shuffle-partition conf (capped at
+                # cluster width): partition count should be sized to the
+                # data, and at bench SF a 32-way spread of a 600k-row table
+                # just multiplies task-scheduling overhead per stage
+                width = min(
+                    spark.sparkContext.defaultParallelism,
+                    int(spark.conf.get("spark.sql.shuffle.partitions")),
+                )
+                df = df.repartition(width).cache()
                 _CACHED.setdefault(id(spark), []).append(df)
             df.createOrReplaceTempView(t)
     _REGISTERED[id(spark)] = os.path.abspath(sf_dir)
@@ -1617,10 +1625,14 @@ def _gopher_c4_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pangeo_forge_recipes_spark.operators.filters import top_ngram_fraction
 
     _register(spark, sf_dir)
-    e = TextExprs("spark", "text")
+    # bind the token split ONCE per row (tokens_col): the three scalar
+    # metrics otherwise each re-split the text. No trailing orderBy —
+    # the driver's value hash is row-order-insensitive (it sorts both
+    # sides), so a global sort for presentation is pure shuffle cost.
+    e = TextExprs("spark", "text", tokens_col="__t")
     base = top_ngram_fraction(
         spark.table("documents").select("doc_id", "text"), n=2
-    )
+    ).withColumn("__t", F.expr("split(text, ' ')"))
     lo, hi = _GOPHER_MWL_RANGE
     keep = (
         (F.expr(e.token_count()) >= _GOPHER_MIN_TOKENS)
@@ -1635,7 +1647,7 @@ def _gopher_c4_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(e.mean_word_len()), 4).alias("mean_word_len"),
         F.round(F.expr(e.stopword_ratio()), 4).alias("stopword_ratio"),
         keep.alias("keep"),
-    ).orderBy("doc_id")
+    )
 
 
 def _gopher_oracle() -> str:
@@ -1665,6 +1677,117 @@ SELECT doc_id, n_tokens,
         AND swr_raw >= {_GOPHER_STOPWORD_MIN}
         AND mwl_raw BETWEEN {lo} AND {hi}) AS keep
 FROM m ORDER BY doc_id
+""".strip()
+
+
+def _messy_url_expr(dialect: str) -> str:
+    """Deterministic messy-URL generator over the documents table —
+    identical values on both engines. The variants (case-shifted scheme/
+    host, default :80 port, unsorted query params, fragments) are the
+    syntactic noise the canonicalizer must fold; doc_id % 50 guarantees
+    genuine canonical collisions for the dedup to resolve."""
+    num = "cast(doc_id % 50 as {})".format(
+        "string" if dialect == "spark" else "varchar"
+    )
+    return (
+        "concat("
+        "CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END, '://', "
+        "CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM' ELSE 'cdn.example.com' END, "
+        "CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END, "
+        f"'/', source, '/page', {num}, "
+        "CASE WHEN doc_id % 4 = 0 THEN '?b=2&a=1' "
+        "WHEN doc_id % 4 = 1 THEN '?a=1&b=2' ELSE '' END, "
+        "CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)"
+    )
+
+
+def _url_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-level exact-URL dedup (operators/urls): canonicalize the
+    syntactic variants, keep the smallest doc_id per canonical form —
+    ONE shuffle (a window on the canonical key). The oracle runs the
+    dual-dialect canonicalizer text natively on DuckDB."""
+    from pangeo_forge_recipes_spark.operators.urls import (
+        canonical_url_sql,
+        url_dedup,
+    )
+
+    _register(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", F.expr(_messy_url_expr("spark")).alias("url")
+    )
+    kept = url_dedup(docs, col="url", id_col="doc_id")
+    return kept.select(
+        "doc_id",
+        F.expr(canonical_url_sql("url", "spark")).alias("canonical_url"),
+    )
+
+
+def _url_dedup_oracle() -> str:
+    from pangeo_forge_recipes_spark.operators.urls import canonical_url_sql
+
+    canon = canonical_url_sql("url", "duckdb")
+    return f"""
+WITH u AS (SELECT doc_id, {_messy_url_expr("duckdb")} AS url FROM documents),
+c AS (SELECT doc_id, url, {canon} AS canon FROM u),
+r AS (SELECT doc_id, canon,
+             ROW_NUMBER() OVER (PARTITION BY canon ORDER BY doc_id) AS rn
+      FROM c)
+SELECT doc_id, canon AS canonical_url FROM r WHERE rn = 1
+""".strip()
+
+
+# pinned BPE merge fixture: trained once with train_bpe(num_merges=12) on
+# the sf0.01 documents corpus (deterministic — count desc, pair lexicographic
+# tie-break), embedded as a constant so the query is sf-independent, same
+# precedent as the LSH hyperplane literals in _lsh_oracle_sql()
+_BPE_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"),
+    ("h", "</w>"), ("a", "t"), ("l", "u"), ("i", "n"),
+]
+
+
+def _bpe_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization (operators/bpe) with the pinned merge table:
+    map-only — broadcast ranks, Arrow-batched greedy segmentation. The
+    oracle replays the same merges in rank order with a replace() chain
+    (sequential merge replay ≡ greedy lowest-rank-leftmost application,
+    the standard BPE equivalence)."""
+    from pangeo_forge_recipes_spark.operators.bpe import tokenize_bpe
+
+    _register(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    out = tokenize_bpe(docs, _BPE_MERGES)
+    return out.select(
+        "doc_id",
+        F.array_join("tokens", " ").alias("tokens_joined"),
+        "n_tokens",
+    )
+
+
+def _bpe_oracle() -> str:
+    # per word: ' c h a r s </w> ' sentinel-spaced symbols, then one
+    # replace() per merge in rank order (leftmost, non-overlapping — the
+    # same application order as greedy-by-rank)
+    chain = (
+        "concat(' ', array_to_string(list_transform("
+        "range(1, length(w) + 1), i -> substr(w, i, 1)), ' '), ' </w> ')"
+    )
+    for a, b in _BPE_MERGES:
+        chain = f"replace({chain}, ' {a} {b} ', ' {a}{b} ')"
+    seg = f"string_split(trim({chain}), ' ')"
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')), ' '),
+                     x -> x != '') AS ws
+  FROM documents),
+seg AS (
+  SELECT doc_id, flatten(list_transform(ws, w -> {seg})) AS toks FROM tok)
+SELECT doc_id,
+       array_to_string(toks, ' ') AS tokens_joined,
+       len(toks) AS n_tokens
+FROM seg
 """.strip()
 
 
@@ -2001,6 +2124,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # twin) yield their slots)
     out["dsir_select"] = _dsir_select_q
     out["gopher_c4_filter"] = _gopher_c4_q
+    # round-5 rotation: url_dedup (canonicalize + window dedup) and
+    # bpe_tokenize (pinned-merge segmentation) take the q4/q13 slots —
+    # those shapes stay covered by q18/q22/the rollup and warm in
+    # test_shared_sql_parity.py
+    out["url_dedup"] = _url_dedup_q
+    out["bpe_tokenize"] = _bpe_tokenize_q
     # shared-SQL battery (identical ANSI text on both engines); the
     # hourly-rollup text grades via its streaming twin below, so the
     # batch copy is skipped to stay inside the 50-query budget.
@@ -2023,6 +2152,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 rotation for dsir_select + gopher_c4_filter:
         "events_minmax_count",
         "events_sessions",
+        # round-5 rotation for url_dedup + bpe_tokenize (q4's exists-agg
+        # shape is covered by q18/q22; q13's outer-join distribution by
+        # q22/the rollup):
+        "q4_order_priority",
+        "q13_customer_distribution",
     )
     for name, sql in shared.items():
         if name not in _SWAPPED_OUT:
@@ -2057,8 +2191,13 @@ def oracle_sql() -> dict[str, str]:
     # dsir_select; its SQL still grades the streaming twin
     out["events_sessions_stream"] = out.pop("events_sessions")
     out.pop("events_minmax_count")  # slot moved to gopher_c4_filter
+    # round-5 rotation: slots moved to url_dedup + bpe_tokenize
+    out.pop("q4_order_priority")
+    out.pop("q13_customer_distribution")
     out["dsir_select"] = _dsir_oracle()
     out["gopher_c4_filter"] = _gopher_oracle()
+    out["url_dedup"] = _url_dedup_oracle()
+    out["bpe_tokenize"] = _bpe_oracle()
     out["events_dedup_stream"] = _DEDUP_STREAM_ORACLE
     out["asof_last_order"] = _ASOF_ORACLE
     out["range_join_orders"] = _RANGE_JOIN_ORACLE

@@ -79,17 +79,26 @@ def render(template: str, dialect: str, **kw) -> str:
 
 class TextExprs:
     """Render text-metric expressions for one dialect. All expressions
-    operate on a column named ``{col}`` (default ``text``)."""
+    operate on a column named ``{col}`` (default ``text``).
 
-    def __init__(self, dialect: str, col: str = "text"):
+    ``tokens_col`` (optional) names a column already holding the split
+    token array: expressions then reference it instead of re-rendering
+    ``split(col, ' ')`` — bind the array ONCE via ``withColumn`` when a
+    query evaluates several token metrics per row, instead of paying
+    the split per metric."""
+
+    def __init__(self, dialect: str, col: str = "text", tokens_col: str | None = None):
         self.d = _DIALECT[dialect]
         self.col = col
+        self.tokens_col = tokens_col
 
     def _f(self, name: str, **kw) -> str:
         return self.d[name].format(**kw)
 
     # -- tokens ---------------------------------------------------------------
     def tokens(self) -> str:
+        if self.tokens_col is not None:
+            return self.tokens_col
         return self._f("split_ws", col=self.col)
 
     def token_count(self) -> str:

@@ -38,6 +38,9 @@ ROTATED_OUT = [
     # batch execution path stays warm here
     "events_minmax_count",
     "events_sessions",
+    # round-5 rotation (slots moved to url_dedup + bpe_tokenize)
+    "q4_order_priority",
+    "q13_customer_distribution",
 ]
 
 
