@@ -931,7 +931,7 @@ def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir)
     emb = spark.table("embeddings")
     out = brute_force_topk(emb, emb, k=_ANN_K)
-    return out.orderBy("vec_id", "rank")
+    return out
 
 
 def _near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -939,7 +939,7 @@ def _near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir)
     emb = spark.table("embeddings")
-    return embedding_near_dup(emb, threshold=_NEAR_DUP_T).orderBy("id_a", "id_b")
+    return embedding_near_dup(emb, threshold=_NEAR_DUP_T)
 
 
 def _multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -988,7 +988,7 @@ def _multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(F.transform(q, lambda x: F.abs(x)))
         .cast("long")
         .alias("peak_q"),
-    ).orderBy("doc_id")
+    )
 
 
 _AUDIO_TRI = "(abs((i % (8 + doc_id % 23)) * 2.0 / (8 + doc_id % 23) - 1.0) * 2.0 - 1.0) * 16384"
@@ -1055,7 +1055,6 @@ def _events_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "total_value",
         )
-        .orderBy("hour", "event_type")
     )
 
 
@@ -1082,7 +1081,6 @@ def _events_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_sessions").alias("n_sessions"),
             F.max("n_events").alias("n_events"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -1115,7 +1113,6 @@ def _events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("_events_dedup_stream")
         .groupBy("event_type")
         .agg(F.count("*").alias("n_unique"))
-        .orderBy("event_type")
     )
 
 
@@ -1152,7 +1149,6 @@ def _asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("asof_o_orderdate").alias("matched"),
             F.max("asof_o_orderdate").alias("last_order"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -1185,7 +1181,6 @@ def _skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
         )
-        .orderBy("c_mktsegment")
     )
 
 
@@ -1226,7 +1221,6 @@ def _range_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_fast_lines"),
             F.countDistinct("l_orderkey").alias("n_orders"),
         )
-        .orderBy("o_year")
     )
 
 
@@ -1279,7 +1273,7 @@ def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir)
     return simhash_dedup(
         spark.table("documents"), max_hamming=_SIMHASH_MAX_HAMMING
-    ).orderBy("id_a", "id_b")
+    )
 
 
 # the verified MinHash pair set feeds two graded queries (pairs + cluster
@@ -1312,7 +1306,7 @@ def _minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash-LSH pipeline (signatures → bands → candidates → exact
     verify) — oracle is ground-truth all-pairs Jaccard, so this row also
     proves LSH recall 1.0 on the graded corpus."""
-    return _minhash_pairs_for(spark, sf_dir).orderBy("id_a", "id_b")
+    return _minhash_pairs_for(spark, sf_dir)
 
 
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1326,7 +1320,7 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir)
     docs = spark.table("documents")
     pairs = _minhash_pairs_for(spark, sf_dir)
-    return dedup_clusters(docs, pairs).orderBy("doc_id")
+    return dedup_clusters(docs, pairs)
 
 
 # min-label propagation: the component minimum reaches every member along
@@ -1390,7 +1384,9 @@ def _bloom_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup_against_reference(
         corpus, ref, col="text", expected_items=200_000, fpp=1e-9
     )
-    return out.select("doc_id").orderBy("doc_id")
+    # no trailing orderBy: the driver's value hash is order-insensitive,
+    # and a global sort of the survivors adds a shuffle for presentation
+    return out.select("doc_id")
 
 
 _BLOOM_ORACLE = """
@@ -1416,7 +1412,7 @@ def _ngram_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir)
     return crossdoc_ngram_dup(
         spark.table("documents"), n=_SPAN_N, threshold=_SPAN_THRESHOLD
-    ).orderBy("doc_id")
+    )
 
 
 def _pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1456,7 +1452,6 @@ def _corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("token_count").alias("total_tokens"),
             F.countDistinct("lang").alias("n_langs"),
         )
-        .orderBy("shard")
     )
 
 
@@ -1546,7 +1541,7 @@ def _dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = dsir_sample(raw, tgt, n=_DSIR_N, buckets=_DSIR_B, alpha=_DSIR_ALPHA)
     return sel.select(
         "doc_id", F.round("log_weight", 4).alias("log_weight")
-    ).orderBy("doc_id")
+    )
 
 
 def _dsir_oracle() -> str:
@@ -1797,9 +1792,7 @@ def _lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pangeo_forge_recipes_spark.operators.similarity import lsh_ann_topk
 
     _register(spark, sf_dir)
-    return lsh_ann_topk(spark.table("embeddings"), k=_ANN_K).orderBy(
-        "vec_id", "rank"
-    )
+    return lsh_ann_topk(spark.table("embeddings"), k=_ANN_K)
 
 
 def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1814,7 +1807,7 @@ def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_ANN_K,
         nprobe=_IVF_NPROBE,
         n_centroids=_IVF_NCENTROIDS,
-    ).orderBy("vec_id", "rank")
+    )
 
 
 def _semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1827,7 +1820,7 @@ def _semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir)
     return semantic_dedup(
         spark.table("embeddings"), k=_SEMDEDUP_K, threshold=_SEMDEDUP_T
-    ).orderBy("id_a", "id_b")
+    )
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1878,7 +1871,7 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("feature_checksum"),
     )
-    return px.join(ft, "doc_id").orderBy("doc_id")
+    return px.join(ft, "doc_id")
 
 
 def _zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

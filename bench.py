@@ -218,11 +218,16 @@ def _bench_zarr_pipeline(spark) -> dict:
 
 def _bench_zarr_throughput(spark) -> dict:
     """Asymptotic write throughput at ~800 MB — ten times the pipeline
-    proxy's payload, where per-job fixed costs stop dominating. One
-    timed run per path (the payload is big enough to be stable):
-    measured 155 MB/s aligned / 61 MB/s shuffled on the 32-core box vs
-    27 / 21 at the 50 MB proxy size — the small-payload numbers are
-    job-overhead readings, not the engine's throughput."""
+    proxy's payload, where per-job fixed costs stop dominating.
+
+    Round-5 methodology fix: the paths are timed INTERLEAVED, best-of-2
+    (round 4 ran one single shot each, shuffled first — order effects
+    and JVM/worker churn produced an apparent 3.4-4.7x aligned-over-
+    shuffled gap; interleaved best-of-N on the same box measures ~1.3x).
+    A stage breakdown of the shuffled path (split -> +exchange ->
+    +combine) is recorded so the tax is attributed, not guessed: the
+    exchange itself is ~4% of wall; the real cost is the combine-side
+    Python<->JVM crossing of the fragment payloads."""
     import shutil
     import tempfile
 
@@ -265,22 +270,87 @@ def _bench_zarr_throughput(spark) -> dict:
         pattern = pattern_from_file_sequence(
             paths, "time", nitems_per_file=per, file_type="npz"
         )
+        # untimed warm run (python-worker spawn for this stage shape)
+        store_to_zarr(
+            spark, pattern, tmp, "tput_warm.zarr", target_chunks={"time": 32}
+        )
+        variants = (("shuffled", {"time": 32}), ("aligned", {"time": per}))
+        walls = {label: [] for label, _ in variants}
+        nbytes = {}
+        for rep in range(2):  # interleaved best-of-2
+            for label, chunks in variants:
+                t0 = time.perf_counter()
+                res = store_to_zarr(
+                    spark, pattern, tmp, f"tput_{label}{rep}.zarr",
+                    target_chunks=chunks,
+                )
+                walls[label].append(time.perf_counter() - t0)
+                nbytes[label] = res.bytes_written
+                assert res.shuffled == (label == "shuffled")
         out = {}
-        for label, chunks in (
-            ("shuffled", {"time": 32}),
-            ("aligned", {"time": per}),
-        ):
-            t0 = time.perf_counter()
-            res = store_to_zarr(
-                spark, pattern, tmp, f"tput_{label}.zarr", target_chunks=chunks
-            )
-            dt = time.perf_counter() - t0
+        for label, _ in variants:
+            wall = min(walls[label])
             out[label] = {
-                "wall": round(dt, 2),
-                "mb_written": round(res.bytes_written / 1e6, 0),
-                "mb_per_s": round(res.bytes_written / 1e6 / dt, 1),
+                "wall": round(wall, 2),
+                "runs": [round(w, 2) for w in walls[label]],
+                "mb_written": round(nbytes[label] / 1e6, 0),
+                "mb_per_s": round(nbytes[label] / 1e6 / wall, 1),
             }
-            assert res.shuffled == (label == "shuffled")
+
+        # stage attribution of the shuffled path (one shot each, warm):
+        # split_only = decode+split+serialize+Arrow-out; +exchange adds
+        # the shuffle write/read (JVM-side agg, payloads never return to
+        # Python); +combine adds the Arrow return + deserialize + concat
+        from pyspark.sql import functions as F
+
+        from pangeo_forge_recipes_spark.transforms import (
+            combine_fragments_df,
+            determine_schema,
+            index_items,
+            manifest_df,
+            open_split_fragments_df,
+            read_schemas_df,
+        )
+
+        sess = spark.newSession()
+        sess.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+        manifest = manifest_df(sess, pattern)
+        schema = determine_schema(
+            read_schemas_df(manifest, "npz"), pattern.combine_dim_keys
+        )
+        indexed = index_items(manifest, schema)
+        chunks = {"time": 32}
+
+        def _noop(df):
+            df.write.format("noop").mode("overwrite").save()
+
+        stages = {}
+        t0 = time.perf_counter()
+        _noop(
+            open_split_fragments_df(
+                indexed, "npz", target_chunks=chunks, schema=schema
+            )
+        )
+        stages["split_only"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        _noop(
+            open_split_fragments_df(
+                indexed, "npz", target_chunks=chunks, schema=schema
+            )
+            .groupBy("group_key")
+            .agg(F.count("*").alias("n"), F.sum(F.length("payload")).alias("b"))
+        )
+        stages["split_plus_exchange"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        _noop(
+            combine_fragments_df(
+                open_split_fragments_df(
+                    indexed, "npz", target_chunks=chunks, schema=schema
+                )
+            )
+        )
+        stages["split_exchange_combine"] = round(time.perf_counter() - t0, 2)
+        out["shuffled_stage_breakdown"] = stages
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -708,16 +778,46 @@ def main() -> None:
     duck_total = sum(per_query[n]["duckdb"] for n in matched)
     duck_n = len(matched)
     spark_matched = sum(timings[n] for n in matched)
-    ratios = sorted(
-        r["ratio"] for r in per_query.values() if r["ratio"] is not None
+
+    def _median(vals):
+        vals = sorted(vals)
+        if not vals:
+            return None
+        return round((vals[len(vals) // 2] + vals[(len(vals) - 1) // 2]) / 2, 3)
+
+    median_ratio = _median(
+        [r["ratio"] for r in per_query.values() if r["ratio"] is not None]
     )
-    median_ratio = (
-        round(
-            (ratios[len(ratios) // 2] + ratios[(len(ratios) - 1) // 2]) / 2, 3
-        )
-        if ratios
-        else None
+    # the subset where DuckDB does >=0.25s of real work: on the rest the
+    # "ratio" compares Spark's per-job scheduling floor (~0.12s, measured
+    # below) to DuckDB's sub-ms parse floor — a fixed-cost artifact of
+    # tiny data, not engine throughput; it vanishes as data grows
+    median_ratio_heavy = _median(
+        [
+            r["ratio"]
+            for r in per_query.values()
+            if r["ratio"] is not None and r["duckdb"] >= 0.25
+        ]
     )
+
+    # per-engine fixed-cost floors, measured in-run: the smallest
+    # materializable unit on each engine (warm)
+    floor_spark = None
+    for _ in range(4):
+        t0 = time.perf_counter()
+        _materialize(spark.range(1))
+        dt = time.perf_counter() - t0
+        floor_spark = dt if floor_spark is None else min(floor_spark, dt)
+    floor_duck = None
+    for _ in range(4):
+        t0 = time.perf_counter()
+        con.execute("SELECT 1").fetchall()
+        dt = time.perf_counter() - t0
+        floor_duck = dt if floor_duck is None else min(floor_duck, dt)
+    fixed_cost_floor = {
+        "spark_min_job": round(floor_spark, 4),
+        "duckdb_min_query": round(floor_duck, 5),
+    }
 
     # fresh-vs-in-suite attribution summary
     attribution = {
@@ -760,6 +860,8 @@ def main() -> None:
         # back-to-back with its Spark timing, per-query load recorded
         "per_query_vs_duckdb": per_query,
         "median_query_ratio": median_ratio,
+        "median_query_ratio_duck_ge_250ms": median_ratio_heavy,
+        "fixed_cost_floor": fixed_cost_floor,
         "fresh_vs_in_suite": attribution,
         "zarr_pipeline": pipeline,
         "zarr_throughput_800mb": zarr_throughput,
@@ -795,13 +897,16 @@ def main() -> None:
                 if duck_total
                 else None,
                 "median_query_ratio": median_ratio,
+                "median_ratio_heavy": median_ratio_heavy,
                 "zarr_mb_s": {
                     k: pipeline[k].get("mb_per_s")
                     for k in ("shuffled", "aligned", "sharded")
                     if k in pipeline and "mb_per_s" in pipeline[k]
                 },
                 "zarr_800mb_mb_s": {
-                    k: v["mb_per_s"] for k, v in (zarr_throughput or {}).items()
+                    k: v["mb_per_s"]
+                    for k, v in (zarr_throughput or {}).items()
+                    if isinstance(v, dict) and "mb_per_s" in v
                 }
                 or None,
                 "sharded_sat_ratio": (sharded_saturation or {}).get(
