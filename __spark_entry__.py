@@ -1675,6 +1675,69 @@ FROM m ORDER BY doc_id
 """.strip()
 
 
+_LINES_PER = 4  # words per synthesized line for the dedup_lines query
+
+
+def _dedup_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet corpus-level line dedup (operators/filters.dedup_lines):
+    documents are single-line, so lines are synthesized deterministically
+    (a newline after every 4th word — identical regex in both engines);
+    lines whose normalized form appears in ≥2 distinct documents drop
+    corpus-wide, the rest rebuild in order. The oracle replicates the
+    whole pipeline with DuckDB list functions, grouping on the
+    normalized STRING itself (the operator's xxhash64 is an
+    optimization, not semantics)."""
+    from pangeo_forge_recipes_spark.operators.filters import dedup_lines
+
+    _register(spark, sf_dir)
+    pat = r"((?:\S+ ){%d}\S+) " % (_LINES_PER - 1)
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.regexp_replace("text", pat, "$1\n").alias("text"),
+    )
+    out = dedup_lines(docs, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "n_lines_kept",
+        "n_lines_dropped",
+    )
+
+
+def _dedup_lines_oracle() -> str:
+    # Java \p{Punct} (the operator's normalization class) is exactly the
+    # ASCII ranges !-/ :-@ [-` {-~ ; spelled out so RE2 matches Java
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower({x}), "
+        "'[0-9!-/:-@\\[-`{{-~]+', '', 'g'), '\\s+', ' ', 'g'))"
+    )
+    nx = norm.format(x="x")
+    nl = norm.format(x="line")
+    split_pat = r"((?:\S+ ){%d}\S+) " % (_LINES_PER - 1)
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(text, '{split_pat}', '\\1' || chr(10), 'g') AS text
+  FROM documents),
+lx AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+ln AS (SELECT doc_id, unnest(ls) AS line FROM lx),
+freqs AS (
+  SELECT norm FROM (
+    SELECT DISTINCT doc_id, {nl} AS norm FROM ln
+  ) WHERE norm != '' GROUP BY norm HAVING COUNT(*) >= 2),
+f AS (SELECT coalesce(list(norm), []) AS fl FROM freqs),
+kept AS (
+  SELECT doc_id, ls,
+         list_filter(ls, x -> {nx} = '' OR NOT list_contains(f.fl, {nx})) AS ks
+  FROM lx, f)
+SELECT doc_id,
+       md5(array_to_string(ks, chr(10))) AS text_md5,
+       len(ks) AS n_lines_kept,
+       len(ls) - len(ks) AS n_lines_dropped
+FROM kept WHERE len(ks) > 0
+""".strip()
+
+
 def _messy_url_expr(dialect: str) -> str:
     """Deterministic messy-URL generator over the documents table —
     identical values on both engines. The variants (case-shifted scheme/
@@ -2123,6 +2186,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # test_shared_sql_parity.py
     out["url_dedup"] = _url_dedup_q
     out["bpe_tokenize"] = _bpe_tokenize_q
+    # text_fingerprints (per-row fingerprint exprs that text_doc_metrics'
+    # shape already exercises) yields its slot to dedup_lines — the CCNet
+    # corpus-level boilerplate removal; its dialect-pair text stays warm
+    # in test_shared_sql_parity.py
+    out["dedup_lines"] = _dedup_lines_q
     # shared-SQL battery (identical ANSI text on both engines); the
     # hourly-rollup text grades via its streaming twin below, so the
     # batch copy is skipped to stay inside the 50-query budget.
@@ -2159,7 +2227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # semantic_dedup_pairs — the k-means scale path was the last ungraded
     # 100 TB operator; the signature text stays warm in the parity pytest
     for name, sql in _text_sql("spark").items():
-        if name != "dedup_ngram_signature":
+        if name not in ("dedup_ngram_signature", "text_fingerprints"):
             out[name] = _sql_query(sql)
     out["events_props_json"] = _sql_query(_props_json_sql("spark"))
     # streaming twins + bespoke joins
@@ -2191,6 +2259,8 @@ def oracle_sql() -> dict[str, str]:
     out["gopher_c4_filter"] = _gopher_oracle()
     out["url_dedup"] = _url_dedup_oracle()
     out["bpe_tokenize"] = _bpe_oracle()
+    out.pop("text_fingerprints")  # slot moved to dedup_lines
+    out["dedup_lines"] = _dedup_lines_oracle()
     out["events_dedup_stream"] = _DEDUP_STREAM_ORACLE
     out["asof_last_order"] = _ASOF_ORACLE
     out["range_join_orders"] = _RANGE_JOIN_ORACLE

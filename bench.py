@@ -44,7 +44,7 @@ HEADLINE = [
     "range_join_orders",
     "skew_salted_join",
     "text_doc_metrics",
-    "text_fingerprints",
+    "dedup_lines",
     "sample_split_stats",
     "top_bigrams",
     "corpus_clean",

@@ -21,8 +21,9 @@ files):
 * layouts: contiguous and chunked (chunk B-tree v1, any depth)
 * filters: deflate (zlib — decodes with the engine's gzip codec),
   shuffle (byte transpose), lzf (pure-python decode of h5py's filter
-  32000), and szip (pure-python CCSDS 121 extended-Rice decode, module
-  :mod:`.szip`); others raise a clear error
+  32000), szip (pure-python CCSDS 121 extended-Rice decode, module
+  :mod:`.szip`), and bzip2 (hdf5plugin's registered filter 307 —
+  stdlib ``bz2``); others raise a clear error
 * dimension naming: ``_ARRAY_DIMENSIONS`` (xarray/kerchunk convention),
   netCDF4 ``DIMENSION_LIST`` object references, or dimension-scale
   ``NAME``/``CLASS`` attributes; falls back to ``phony_dim_<i>``
@@ -555,6 +556,7 @@ def _dims_for(name: str, info: dict, reader: _Reader) -> List[str]:
 
 _DEFLATE, _SHUFFLE, _SZIP = 1, 2, 4
 _LZF = 32000  # h5py's registered LZF filter id
+_BZIP2 = 307  # hdf5plugin's registered bzip2 filter id (stdlib bz2 stream)
 
 
 def lzf_decompress(data: bytes) -> bytes:
@@ -668,12 +670,12 @@ def scan_hdf5(path: str, inline_threshold: int = 300) -> dict:
             unsupported = [
                 fid
                 for fid, _ in filters
-                if fid not in (_DEFLATE, _SHUFFLE, _LZF, _SZIP)
+                if fid not in (_DEFLATE, _SHUFFLE, _LZF, _SZIP, _BZIP2)
             ]
             if unsupported:
                 raise NotImplementedError(
                     f"{path}:{name}: HDF5 filters {unsupported} unsupported "
-                    "(only deflate, shuffle, szip, and lzf)"
+                    "(only deflate, shuffle, szip, bzip2, and lzf)"
                 )
             if info.get("layout") == "chunked":
                 chunk_shape = info["chunk"]
@@ -701,6 +703,8 @@ def scan_hdf5(path: str, inline_threshold: int = 300) -> dict:
                     extra.append({"name": "gzip", "configuration": {"level": 1}})
                 elif fid == _LZF:
                     extra.append({"name": "hdf5-lzf"})
+                elif fid == _BZIP2:
+                    extra.append({"name": "hdf5-bzip2"})
                 elif fid == _SZIP:
                     om, bpp, ppb, pps = (tuple(cd) + (0, 0, 0, 0))[:4]
                     extra.append(
@@ -914,15 +918,20 @@ def write_hdf5(
     the xarray/kerchunk convention). Used to generate scanner fixtures;
     datetimes are CF-encoded like the engine's other containers.
     ``compress``: False, True/'deflate' (zlib), 'lzf' (h5py's filter
-    32000), or 'szip' (CCSDS 121 extended-Rice NN mode, filter 4)."""
+    32000), 'szip' (CCSDS 121 extended-Rice NN mode, filter 4), or
+    'bzip2' (hdf5plugin's registered filter 307, stdlib ``bz2``)."""
     from .dsio import _encode_for_store
 
-    if compress not in (False, None, True, "deflate", "gzip", "lzf", "szip"):
+    if compress not in (
+        False, None, True, "deflate", "gzip", "lzf", "szip", "bzip2"
+    ):
         raise ValueError(
-            f"compress={compress!r}; use False, 'deflate', 'lzf' or 'szip'"
+            f"compress={compress!r}; use False, 'deflate', 'lzf', 'szip' "
+            "or 'bzip2'"
         )
     use_lzf = compress == "lzf"
     use_szip = compress == "szip"
+    use_bzip2 = compress == "bzip2"
     chunks = chunks or {}
     variables = {**ds.coords, **ds.data_vars}
     names = sorted(variables)
@@ -1027,6 +1036,10 @@ def write_hdf5(
                     raw = lzf_compress(raw)
                 elif var_szip:
                     raw = szip_compress(raw, sz_mask, sz_bpp, sz_ppb, sz_pps)
+                elif use_bzip2:
+                    import bz2
+
+                    raw = bz2.compress(raw, 9)
                 elif eff_compress:
                     raw = zlib.compress(raw, 4)
                 caddr = alloc(raw)
@@ -1081,6 +1094,16 @@ def write_hdf5(
                         struct.pack("<HHHH", _SZIP, len(fname), 1, 4)
                         + fname
                         + struct.pack("<IIII", sz_mask, sz_bpp, sz_ppb, sz_pps)
+                    )
+                elif use_bzip2:
+                    fname = b"bzip2\x00\x00\x00"
+                    # hdf5plugin's one client value: the bzip2 block size
+                    # (1-9); odd count → one 4-byte pad (v1 layout)
+                    entries.append(
+                        struct.pack("<HHHH", _BZIP2, len(fname), 1, 1)
+                        + fname
+                        + struct.pack("<I", 9)
+                        + struct.pack("<I", 0)
                     )
                 elif eff_compress:
                     fname = b"deflate\x00"

@@ -252,6 +252,12 @@ class ZarrArray:
         return any(c["name"] == "hdf5-lzf" for c in self.meta["codecs"])
 
     @property
+    def _has_hdf5_bzip2(self) -> bool:
+        """HDF5 bzip2 filter id 307 (hdf5plugin-written files; the chunk
+        payload is a plain bzip2 stream — stdlib ``bz2``)."""
+        return any(c["name"] == "hdf5-bzip2" for c in self.meta["codecs"])
+
+    @property
     def _szip_config(self) -> Optional[dict]:
         """HDF5 szip filter parameters (virtual references into
         szip-compressed files; decoded by :mod:`.szip`)."""
@@ -567,6 +573,10 @@ class ZarrArray:
             from .hdf5io import lzf_decompress
 
             buf = lzf_decompress(buf)
+        if self._has_hdf5_bzip2:
+            import bz2
+
+            buf = bz2.decompress(buf)
         szp = self._szip_config
         if szp is not None:
             from .szip import szip_decompress

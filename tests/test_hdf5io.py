@@ -116,25 +116,46 @@ def test_write_read_roundtrip_shuffle_deflate(tmp_path):
 
 
 def test_unsupported_filter_raises(tmp_path):
-    """A dataset using an unimplemented filter (bzip2, registered id
-    307) must fail loudly, not decode garbage. (szip, formerly the
-    example here, is now decoded natively — see test_szip.py.)"""
+    """A dataset using an unimplemented filter (LZ4, registered id 32004)
+    must fail loudly, not decode garbage. (szip and bzip2, former
+    examples here, are now decoded natively — see test_szip.py and
+    test_hdf5_bzip2_round_trip.)"""
     ds = make_ds(nt=2)
     p = str(tmp_path / "t.h5")
     write_hdf5(p, ds, chunks={"time": 1}, compress=True)
-    # splice the bzip2 filter id (307) over deflate (1) in the pipeline
+    # splice the HDF5-LZ4 filter id (32004) over deflate (1)
     with open(p, "rb") as f:
         raw = bytearray(f.read())
     sig = b"deflate\x00"
     idx = raw.find(sig)
     assert idx > 0
-    raw[idx - 8 : idx - 6] = (307).to_bytes(2, "little")
-    raw[idx : idx + 8] = b"bzip2\x00\x00\x00"
+    raw[idx - 8 : idx - 6] = (32004).to_bytes(2, "little")
+    raw[idx : idx + 8] = b"lz4\x00\x00\x00\x00\x00"
     p2 = str(tmp_path / "t2.h5")
     with open(p2, "wb") as f:
         f.write(bytes(raw))
     with pytest.raises(NotImplementedError, match="filters"):
         scan_hdf5(p2)
+
+
+def test_hdf5_bzip2_round_trip(tmp_path):
+    """write_hdf5(compress='bzip2') emits the registered filter-307
+    pipeline (hdf5plugin convention, plain bz2 stream per chunk) and the
+    scanner + virtual store read it back exactly."""
+    import bz2
+
+    from pangeo_forge_recipes_spark.hdf5io import read_hdf5, write_hdf5
+    from pangeo_forge_recipes_spark.ndset import assert_equal
+
+    ds = make_ds(nt=6)
+    p = str(tmp_path / "bz.h5")
+    write_hdf5(p, ds, chunks={"time": 3}, compress="bzip2")
+    with open(p, "rb") as f:
+        raw = f.read()
+    assert b"bzip2\x00" in raw  # filter name in the pipeline message
+    assert b"BZh9" in raw  # a chunk payload is a real bzip2 stream
+    got = read_hdf5(p)
+    assert_equal(got, ds)
 
 
 def _write_split(tmp_path, ds, nt_per_file, **kw):

@@ -81,14 +81,14 @@ def test_rotated_out_sql_still_matches(spark, duck, name):
     assert got == want, f"{name}: spark {got} != duckdb {want}"
 
 
-def test_rotated_out_ngram_signature_still_matches(spark, duck):
+@pytest.mark.parametrize(
+    "name", ["dedup_ngram_signature", "text_fingerprints"]
+)
+def test_rotated_out_text_sql_still_matches(spark, duck, name):
     """dedup_ngram_signature yielded its driver slot to
-    semantic_dedup_pairs; its dialect-pair text stays warm here."""
+    semantic_dedup_pairs (r3); text_fingerprints yielded its slot to
+    dedup_lines (r5); the dialect-pair texts stay warm here."""
     entrymod._register(spark, SF_DIR)
-    got = _summary(
-        spark.sql(entrymod._text_sql("spark")["dedup_ngram_signature"]).toPandas()
-    )
-    want = _summary(
-        duck.execute(entrymod._text_sql("duckdb")["dedup_ngram_signature"]).df()
-    )
+    got = _summary(spark.sql(entrymod._text_sql("spark")[name]).toPandas())
+    want = _summary(duck.execute(entrymod._text_sql("duckdb")[name]).df())
     assert got == want

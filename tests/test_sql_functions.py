@@ -38,6 +38,48 @@ def test_sql_functions_match_expression_library(spark, funcs):
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
 
 
+def test_tokens_col_binding_matches_inline_split(spark):
+    """TextExprs(tokens_col=...) references a pre-bound token array and
+    must produce values identical to the inline-split form — binding is
+    a cost optimization (one split per row instead of one per metric),
+    never semantics. The bound plan must not re-split."""
+    rows = [
+        (1, "The quick brown fox and the dog"),
+        (2, "  leading and  double  spaces "),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    inline = TextExprs("spark", col="text")
+    bound = TextExprs("spark", col="text", tokens_col="__t")
+    dfb = df.withColumn("__t", F.expr(inline.tokens()))
+    got = dfb.selectExpr(
+        "id",
+        f"{bound.token_count()} a",
+        f"{bound.stopword_ratio()} b",
+        f"{bound.mean_word_len()} c",
+        f"{bound.lang_id()} d",
+    ).collect()
+    want = df.selectExpr(
+        "id",
+        f"{inline.token_count()} a",
+        f"{inline.stopword_ratio()} b",
+        f"{inline.mean_word_len()} c",
+        f"{inline.lang_id()} d",
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # the bound projection splits once: the final select's plan text
+    # carries no split() of the raw text column (only the __t reference)
+    proj = dfb.selectExpr(
+        f"{bound.token_count()} a",
+        f"{bound.stopword_ratio()} b",
+        f"{bound.mean_word_len()} c",
+    )
+    import re as _re
+
+    top = proj._jdf.queryExecution().optimizedPlan().toString().split("\n")[0]
+    assert not _re.search(r"split\(text", top)
+
+
 def test_sql_functions_split_is_engine_deterministic(spark, funcs):
     df = spark.range(1000).selectExpr(
         "pf_split_label(cast(id as string)) AS split"
