@@ -418,22 +418,33 @@ def _bench_sharded_saturation(spark) -> dict:
         store_to_zarr(
             spark, pattern, tmp, "sat_warm.zarr", target_chunks={"time": 16}
         )
-        out = {}
-        for label, kwargs in (
+        variants = (
             ("chunked", {"target_chunks": {"time": 16}}),
             (
                 "sharded",
                 {"target_chunks": {"time": 8}, "target_shards": {"time": 16}},
             ),
-        ):
-            t0 = time.perf_counter()
-            res = store_to_zarr(spark, pattern, tmp, f"sat_{label}.zarr", **kwargs)
-            dt = time.perf_counter() - t0
-            assert res.shuffled, label  # extent 16 straddles 12-step files
+        )
+        walls = {label: [] for label, _ in variants}
+        nbytes = {}
+        for rep in range(2):  # interleaved best-of-2 (single shots swing
+            # with worker churn; the ratio is the gated number)
+            for label, kwargs in variants:
+                t0 = time.perf_counter()
+                res = store_to_zarr(
+                    spark, pattern, tmp, f"sat_{label}{rep}.zarr", **kwargs
+                )
+                walls[label].append(time.perf_counter() - t0)
+                nbytes[label] = res.bytes_written
+                assert res.shuffled, label  # extent 16 straddles files
+        out = {}
+        for label, _ in variants:
+            wall = min(walls[label])
             out[label] = {
-                "wall": round(dt, 2),
-                "mb_written": round(res.bytes_written / 1e6, 0),
-                "mb_per_s": round(res.bytes_written / 1e6 / dt, 1),
+                "wall": round(wall, 2),
+                "runs": [round(w, 2) for w in walls[label]],
+                "mb_written": round(nbytes[label] / 1e6, 0),
+                "mb_per_s": round(nbytes[label] / 1e6 / wall, 1),
             }
         out["sharded_over_chunked"] = round(
             out["sharded"]["mb_per_s"] / out["chunked"]["mb_per_s"], 2

@@ -188,6 +188,36 @@ def test_bucketed_join_skips_shuffle(spark, tables):
         spark.sql("DROP TABLE IF EXISTS b_orders")
 
 
+def test_round5_driver_query_plan_shapes(spark):
+    """Plan gates for the round-5 rotated driver queries: url_dedup is
+    ONE shuffle (the window on the canonical key — no groupBy+join
+    pair), bpe_tokenize is map-only (broadcast merge ranks), and
+    dedup_lines' corpus side anti-joins the frequent set as a broadcast
+    (the corpus never shuffles for the join)."""
+    import __spark_entry__ as entrymod
+
+    entrymod._register(spark, SF_DIR)
+
+    url_plan = _simple_plan(entrymod._url_dedup_q(spark, SF_DIR))
+    # ONE row_number window on the canonical key; Spark's WindowGroupLimit
+    # keeps only the per-key top-1 BEFORE the shuffle (partial+final), so
+    # the exchange moves one row per canonical URL — no groupBy+join pair
+    assert url_plan.count("Window [row_number()") == 1
+    assert "WindowGroupLimit" in url_plan
+    assert "HashAggregate" not in url_plan
+    assert "SortMergeJoin" not in url_plan
+    # at most the cache-spread repartition + the window shuffle
+    assert url_plan.count("Exchange") <= 2
+
+    # map-only modulo the cache-spread repartition (REPARTITION_BY_NUM);
+    # the computation itself requires no shuffle
+    bpe_plan = _simple_plan(entrymod._bpe_tokenize_q(spark, SF_DIR))
+    assert "ENSURE_REQUIREMENTS" not in bpe_plan
+
+    lines_plan = _simple_plan(entrymod._dedup_lines_q(spark, SF_DIR))
+    assert "BroadcastHashJoin" in lines_plan
+
+
 def test_rollup_hierarchy_matches_duckdb(spark):
     """ROLLUP (subtotals + grand total) value-parity against DuckDB — kept
     here since the graded battery covers hierarchies via GROUPING SETS."""
