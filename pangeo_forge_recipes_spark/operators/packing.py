@@ -43,6 +43,7 @@ __all__ = [
     "pack_summary",
     "shard_assign",
     "write_shards",
+    "write_webdataset_shards",
     "stratified_sample",
     "crossdoc_ngram_dup",
 ]
@@ -195,6 +196,118 @@ def write_shards(
         .write.partitionBy("shard")
         .mode("overwrite")
         .parquet(path)
+    )
+
+
+def write_webdataset_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    meta_cols: Optional[List[str]] = None,
+) -> DataFrame:
+    """Materialize the corpus as WebDataset-style tar shards — the
+    public sequential-loader convention: ``shard-00000.tar`` holds one
+    ``{key}.txt`` entry per document (plus ``{key}.json`` metadata when
+    ``meta_cols`` is given), keys in the canonical md5 order, tar
+    headers normalized (mtime 0, uid/gid 0) so a shard's bytes are a
+    pure function of its contents.
+
+    Returns the shard manifest ``(shard, n_docs, n_bytes, sha256)`` —
+    the loader-side integrity record.
+
+    100 TB shape: assignment is a JVM-side md5 expression; ONE shuffle
+    partitions by shard; each task streams its Arrow batches straight
+    into the open tar (memory = one batch, not one shard — the sort
+    within partitions makes shards contiguous, so the writer just
+    rolls to a new tar when the shard id changes). Shard count should
+    be sized well above the executor count; one tar is written by one
+    task, so no coordination or driver data path exists.
+    """
+    import hashlib
+    import os
+    import tarfile
+
+    meta_cols = list(meta_cols or [])
+    os.makedirs(path, exist_ok=True)
+    assigned = (
+        shard_assign(df, n_shards, id_col)
+        .withColumn("__ord", _order_key(id_col))
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "__ord", id_col)
+        .select("shard", id_col, text_col, *meta_cols)
+    )
+
+    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json as _json
+
+        state = {"shard": None, "tar": None, "n": 0}
+        out_rows = []
+
+        def close_current():
+            if state["tar"] is not None:
+                state["tar"].close()
+                p = os.path.join(path, f"shard-{state['shard']:05d}.tar")
+                with open(p, "rb") as f:
+                    data = f.read()
+                out_rows.append(
+                    {
+                        "shard": state["shard"],
+                        "n_docs": state["n"],
+                        "n_bytes": len(data),
+                        "sha256": hashlib.sha256(data).hexdigest(),
+                    }
+                )
+                state["tar"] = None
+                state["n"] = 0
+
+        def add(tar, name: str, payload: bytes) -> None:
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            info.uname = info.gname = ""
+            import io
+
+            tar.addfile(info, io.BytesIO(payload))
+
+        for pdf in batches:
+            cols = list(pdf.columns)
+            for row in pdf.itertuples(index=False, name=None):
+                d = dict(zip(cols, row))
+                shard = int(d["shard"])
+                if shard != state["shard"]:
+                    close_current()
+                    state["shard"] = shard
+                    state["tar"] = tarfile.open(
+                        os.path.join(path, f"shard-{shard:05d}.tar"), "w"
+                    )
+                key = str(d[id_col])
+                add(state["tar"], f"{key}.txt",
+                    str(d[text_col] or "").encode("utf-8"))
+                if meta_cols:
+                    meta = {c: d[c] for c in meta_cols}
+                    add(
+                        state["tar"], f"{key}.json",
+                        _json.dumps(meta, sort_keys=True, default=str).encode(),
+                    )
+                state["n"] += 1
+        close_current()
+        yield pd.DataFrame(
+            out_rows,
+            columns=["shard", "n_docs", "n_bytes", "sha256"],
+        )
+
+    manifest = assigned.mapInPandas(
+        write_partition,
+        "shard int, n_docs long, n_bytes long, sha256 string",
+    )
+    # materialize the writes; the manifest is tiny (one row per shard)
+    rows = manifest.collect()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows, "shard int, n_docs long, n_bytes long, sha256 string"
     )
 
 
