@@ -123,6 +123,107 @@ def top_ngram_fraction(
     return df.join(top, id_col, "left").fillna({"top_ngram_frac": 0.0})
 
 
+def with_gopher_quality_metrics(df: DataFrame, col: str = "text") -> DataFrame:
+    """Add the remaining published Gopher quality signals (all pure SQL,
+    per-document, map-only):
+
+    - ``symbol_word_ratio`` — occurrences of '#' or '...'/'…' per word,
+    - ``bullet_line_frac`` — fraction of lines starting with a bullet
+      marker (-, *, •),
+    - ``ellipsis_line_frac`` — fraction of lines ending in an ellipsis,
+    - ``alpha_word_frac`` — fraction of words containing at least one
+      alphabetic character.
+
+    Combined with :func:`with_repetition_metrics`,
+    :func:`top_ngram_fraction` and the token/word-length/stopword
+    expressions in :mod:`..functions.textexprs`, this completes the
+    published Gopher rule family."""
+    words = f"filter(split({col}, ' '), w -> w != '')"
+    n_words = f"greatest(size({words}), 1)"
+    hashes = f"(length({col}) - length(replace({col}, '#', '')))"
+    # '...' counted via length delta / 3; '…' counted directly
+    dots = f"cast((length({col}) - length(replace({col}, '...', ''))) / 3 as int)"
+    uni = f"(length({col}) - length(replace({col}, '…', '')))"
+    lines = f"filter(transform(split({col}, '\\n'), l -> trim(l)), l -> l != '')"
+    n_lines = f"greatest(size({lines}), 1)"
+    bullet = (
+        f"size(filter({lines}, l -> l rlike '^[-*\\u2022]'))"
+    )
+    ellipsis = f"size(filter({lines}, l -> l rlike '(\\\\.\\\\.\\\\.|\\u2026)$'))"
+    alpha = f"size(filter({words}, w -> w rlike '[A-Za-z]'))"
+    return (
+        df.withColumn(
+            "symbol_word_ratio",
+            F.expr(f"cast({hashes} + {dots} + {uni} as double) / {n_words}"),
+        )
+        .withColumn(
+            "bullet_line_frac", F.expr(f"cast({bullet} as double) / {n_lines}")
+        )
+        .withColumn(
+            "ellipsis_line_frac",
+            F.expr(f"cast({ellipsis} as double) / {n_lines}"),
+        )
+        .withColumn(
+            "alpha_word_frac", F.expr(f"cast({alpha} as double) / {n_words}")
+        )
+    )
+
+
+def dup_ngram_char_frac(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text", n: int = 5
+) -> DataFrame:
+    """Fraction of a document's tokens covered by word ``n``-grams that
+    occur MORE THAN ONCE within the document (Gopher's duplicated
+    n-gram character-fraction family, token-granular: covered positions
+    are the union of every duplicated gram's [i, i+n) span, so
+    overlapping repeats are not double-counted).
+
+    Shape: explode grams with positions → per-(doc, gram) counts →
+    re-explode the spans of duplicated grams → countDistinct(position).
+    Two map-side-combining aggregations; shuffle keys are 8-byte gram
+    hashes. Linear in corpus size."""
+    from ..functions.textexprs import TextExprs
+
+    # token_ngrams binds the split array ONCE (single-element-array
+    # transform trick) and guards short documents — inlining the split
+    # in a per-element lambda would re-tokenize per gram, O(tokens²)/doc
+    e = TextExprs("spark", col)
+    grams = df.select(
+        F.col(id_col),
+        F.expr(f"greatest(size(split({col}, ' ')), 1)").alias("__n_tokens"),
+        F.posexplode(F.expr(e.token_ngrams(n))).alias("__pos", "__gram"),
+    ).withColumn("__gh", F.xxhash64("__gram"))
+    dup_spans = (
+        grams.groupBy(id_col, "__n_tokens", "__gh")
+        .agg(
+            F.count("*").alias("__cnt"),
+            F.collect_list("__pos").alias("__starts"),
+        )
+        .filter(F.col("__cnt") > 1)
+        .select(
+            id_col,
+            "__n_tokens",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(__starts,"
+                    f" s -> sequence(s, s + {n - 1})))"
+                )
+            ).alias("__covered"),
+        )
+        .groupBy(id_col, "__n_tokens")
+        .agg(F.countDistinct("__covered").alias("__n_covered"))
+        .select(
+            id_col,
+            (F.col("__n_covered") / F.col("__n_tokens")).alias(
+                f"dup_{n}gram_char_frac"
+            ),
+        )
+    )
+    return df.join(dup_spans, id_col, "left").fillna(
+        {f"dup_{n}gram_char_frac": 0.0}
+    )
+
+
 # ---------------------------------------------------------------------------
 # C4-style line-level cleaning
 # ---------------------------------------------------------------------------
