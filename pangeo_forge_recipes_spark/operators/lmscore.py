@@ -154,8 +154,40 @@ def quality_filter(
     return scored.where(F.col("bits_per_char") <= float(cut))
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    reference: DataFrame,
+    col: str = "text",
+    cuts: Tuple[float, float] = (1 / 3, 2 / 3),
+    k_smooth: float = 0.5,
+) -> DataFrame:
+    """CCNet's head/middle/tail split: score the corpus against the
+    reference LM and label each document by its cross-entropy tercile
+    (``head`` = lowest perplexity, most reference-like; CCNet trains on
+    head+middle and discards or down-weights tail).
+
+    One extra driver-side quantile pass over the scored corpus (exact
+    ``percentile`` here; swap ``approx_percentile`` at 100 TB — the
+    label assignment itself is a broadcast of two cut points, map-only).
+    Adds ``bits_per_char`` and ``ppl_bucket`` columns."""
+    lo_q, hi_q = cuts
+    model = train_char_lm(reference, col)
+    scored = score_cross_entropy(df, model, col, k_smooth)
+    lo, hi = scored.agg(
+        F.expr(f"percentile(bits_per_char, {float(lo_q)})"),
+        F.expr(f"percentile(bits_per_char, {float(hi_q)})"),
+    ).collect()[0]
+    return scored.withColumn(
+        "ppl_bucket",
+        F.when(F.col("bits_per_char") <= float(lo), F.lit("head"))
+        .when(F.col("bits_per_char") <= float(hi), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+
+
 __all__ = [
     "train_char_lm",
     "score_cross_entropy",
     "quality_filter",
+    "perplexity_buckets",
 ]

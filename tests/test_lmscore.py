@@ -99,3 +99,43 @@ def test_quality_filter_keeps_target_like(spark):
     kept = [r["doc_id"] for r in quality_filter(df, ref, keep_fraction=0.5).collect()]
     assert len(kept) >= 45  # ~half survive the median cut
     assert all(i % 2 == 0 for i in kept)  # only the target-like half
+
+
+def test_perplexity_buckets_head_middle_tail(spark):
+    """CCNet bucketing: reference-like docs land in head, junk in tail;
+    labels partition the corpus at the requested terciles and agree with
+    a Python recomputation from the scored bits_per_char."""
+    from pangeo_forge_recipes_spark.operators.lmscore import (
+        perplexity_buckets,
+        score_cross_entropy,
+        train_char_lm,
+    )
+
+    ref_rows = [(i, "the quick brown fox jumps over the lazy dog " * 3)
+                for i in range(8)]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    corpus_rows = (
+        [(i, "the quick brown fox jumps over the dog") for i in range(4)]
+        + [(10 + i, "a quick brown dog walks past the lazy fox") for i in range(4)]
+        + [(20 + i, "zxq wvu tsr qpo nml kji hgf edc") for i in range(4)]
+    )
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    out = perplexity_buckets(corpus, ref).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # junk must be tail, reference-like must be head
+    assert all(by_id[20 + i]["ppl_bucket"] == "tail" for i in range(4))
+    assert all(by_id[i]["ppl_bucket"] == "head" for i in range(4))
+    # labels agree with a recomputation from the same scores
+    import numpy as np
+
+    model = train_char_lm(ref)
+    scored = {
+        r["doc_id"]: r["bits_per_char"]
+        for r in score_cross_entropy(corpus, model).collect()
+    }
+    vals = sorted(scored.values())
+    lo = float(np.percentile(vals, 100 / 3, method="linear"))
+    hi = float(np.percentile(vals, 200 / 3, method="linear"))
+    for i, b in scored.items():
+        want = "head" if b <= lo else ("middle" if b <= hi else "tail")
+        assert by_id[i]["ppl_bucket"] == want, (i, b, lo, hi)
