@@ -123,6 +123,20 @@ def main() -> None:
     n_bpe_tokens = bpe.agg(F.sum("n_tokens")).collect()[0][0]
     assert len(merges) > 0 and n_bpe_tokens > 0
 
+    # 6. loader-ready shards: WebDataset tars in deterministic md5
+    # order (one task streams per tar; manifest = integrity record)
+    import tempfile
+
+    from pangeo_forge_recipes_spark.operators.packing import (
+        write_webdataset_shards,
+    )
+
+    shard_dir = tempfile.mkdtemp(prefix="corpus_wds_")
+    manifest = write_webdataset_shards(
+        cleaned.select("doc_id", "text"), shard_dir, n_shards=4
+    ).collect()
+    assert sum(r["n_docs"] for r in manifest) == n_decon
+
     print(
         f"raw={n_raw}  post-quality+exact={n_exact}  post-neardup={n_clean}"
         f"  post-decontam={n_decon}  bpe_merges={len(merges)}"
