@@ -266,6 +266,57 @@ class NDDataset:
         v.data = np.where(predicate(data), data, np.nan)
         return out
 
+    def coarsen(
+        self, factors: Optional[Dict[str, int]] = None, how: str = "mean", **kw: int
+    ) -> "NDDataset":
+        """Block-aggregate along named dimensions (subset of
+        ``xr.Dataset.coarsen(...).mean()`` with ``boundary='exact'`` —
+        the common pangeo downsampling preprocessor, e.g. hourly→daily
+        or 0.25°→1° regridding by block mean). ``how`` is ``mean``,
+        ``sum``, ``min`` or ``max``; every coarsened dimension's size
+        must be divisible by its factor (exact blocks; trim/pad
+        boundaries upstream with ``isel``). Coordinates always coarsen
+        by block MEAN (the block's center label — xarray's default
+        ``coord_func='mean'``), regardless of ``how``."""
+        factors = {**(factors or {}), **kw}
+        if how not in ("mean", "sum", "min", "max"):
+            raise ValueError(f"how={how!r}; use mean, sum, min or max")
+        for d, f in factors.items():
+            size = self.sizes.get(d)
+            if size is None:
+                raise KeyError(f"coarsen: no dimension {d!r}")
+            if f <= 0 or size % f:
+                raise ValueError(
+                    f"coarsen: size {size} of {d!r} not divisible by {f}"
+                )
+
+        def reduce_var(v: Variable, agg: str) -> Variable:
+            data = v.data
+            for d, f in factors.items():
+                if d not in v.dims or f == 1:
+                    continue
+                ax = v.dims.index(d)
+                shape = (
+                    data.shape[:ax]
+                    + (data.shape[ax] // f, f)
+                    + data.shape[ax + 1 :]
+                )
+                blocks = data.reshape(shape)
+                if agg == "mean" and data.dtype.kind in "iu":
+                    blocks = blocks.astype("float64")
+                data = getattr(blocks, agg)(axis=ax + 1)
+            return Variable(v.dims, data, dict(v.attrs), dict(v.encoding))
+
+        return NDDataset(
+            {k: reduce_var(v, how) for k, v in self.data_vars.items()},
+            {k: reduce_var(v, "mean") for k, v in self.coords.items()},
+            dict(self.attrs),
+            {
+                d: (n // factors.get(d, 1))
+                for d, n in self._explicit_dims.items()
+            },
+        )
+
     def __repr__(self) -> str:
         return (
             f"<NDDataset dims={self.sizes} data_vars={list(self.data_vars)} "

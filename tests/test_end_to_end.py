@@ -217,6 +217,61 @@ def test_preprocess_shapes_schema_and_store(spark, tmp_path):
     )
 
 
+def test_coarsen_kernel_and_preprocessor(spark, tmp_path):
+    """NDDataset.coarsen: block reductions match numpy, coordinates take
+    block-center means, and a coarsening preprocessor flows through
+    store_to_zarr's schema inference (spatial downsampling — the common
+    pangeo regrid-by-block-mean recipe step)."""
+    import numpy as np
+
+    ds = make_ds(nt=4)
+    nlat = ds.sizes["lat"]
+    assert nlat % 3 == 0 or nlat % 2 == 0
+    f = 3 if nlat % 3 == 0 else 2
+
+    c = ds.coarsen(lat=f)
+    foo, cfoo = ds.data_vars["foo"].data, c.data_vars["foo"].data
+    assert cfoo.shape[1] == foo.shape[1] // f
+    np.testing.assert_allclose(
+        cfoo, foo.reshape(foo.shape[0], -1, f, foo.shape[2]).mean(axis=2)
+    )
+    np.testing.assert_allclose(
+        c.coords["lat"].data,
+        ds.coords["lat"].data.reshape(-1, f).mean(axis=1),
+    )
+    # sum/min/max reduce data but coords stay block centers
+    cmax = ds.coarsen({"lat": f}, how="max")
+    np.testing.assert_allclose(
+        cmax.data_vars["foo"].data,
+        foo.reshape(foo.shape[0], -1, f, foo.shape[2]).max(axis=2),
+    )
+    np.testing.assert_allclose(cmax.coords["lat"].data, c.coords["lat"].data)
+    # exact-boundary + unknown-dim errors
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ds.coarsen(lat=nlat - 1)
+    with _pytest.raises(KeyError):
+        ds.coarsen(nope=2)
+
+    # as a preprocessor: the inferred schema and store carry the
+    # coarsened grid (schema is determined AFTER preprocessing)
+    paths = split_ds_into_files(ds, str(tmp_path), items_per_file=2)
+    pattern = pattern_from_file_sequence(
+        paths, "time", nitems_per_file=2, file_type="npz"
+    )
+
+    def pre(index, frag):
+        return index, frag.coarsen(lat=f)
+
+    result = store_to_zarr(
+        spark, pattern, str(tmp_path / "target"), "store.zarr",
+        target_chunks={"time": 2}, preprocess=pre,
+    )
+    assert result.schema["dims"]["lat"] == nlat // f
+    assert_equal(result.open(), ds.coarsen(lat=f))
+
+
 def test_roundtrip_non_dim_coords(spark, tmp_path):
     ds = make_ds(nt=4, non_dim_coords=True)
     paths = split_ds_into_files(ds, str(tmp_path))
