@@ -266,6 +266,50 @@ class NDDataset:
         v.data = np.where(predicate(data), data, np.nan)
         return out
 
+    def expand_dims(self, dim: str, axis: int = 0) -> "NDDataset":
+        """Insert a new length-1 dimension into every data variable
+        (subset of ``xr.Dataset.expand_dims`` — the preprocessor step
+        for sources whose files lack the concat dimension, e.g. one
+        forecast step per file; see reference
+        ``examples/feedstock/hrrr_kerchunk_concat_step.py:33``).
+        Coordinates are untouched; attach a label afterwards with
+        :meth:`assign_coords` if the pattern does not already index the
+        dimension."""
+        if dim in self.sizes:
+            raise ValueError(f"expand_dims: dimension {dim!r} already exists")
+
+        def grow(v: Variable) -> Variable:
+            dims = list(v.dims)
+            dims.insert(axis, dim)
+            return Variable(
+                tuple(dims),
+                np.expand_dims(v.data, axis),
+                dict(v.attrs),
+                dict(v.encoding),
+            )
+
+        return NDDataset(
+            {k: grow(v) for k, v in self.data_vars.items()},
+            self.coords,
+            dict(self.attrs),
+            {**self._explicit_dims, dim: 1},
+        )
+
+    def assign_coords(self, coords: Optional[Dict[str, "Variable"]] = None, **kw) -> "NDDataset":
+        """Attach or replace coordinates. Values may be ``Variable``s or
+        1-D arrays (labeled with the like-named dimension)."""
+        new = dict(self.coords)
+        for name, val in {**(coords or {}), **kw}.items():
+            if not isinstance(val, Variable):
+                arr = np.asarray(val)
+                if arr.ndim == 0:
+                    arr = arr.reshape(1)
+                val = Variable((name,), arr)
+            new[name] = val
+        return NDDataset(
+            self.data_vars, new, dict(self.attrs), self._explicit_dims
+        )
+
     def coarsen(
         self, factors: Optional[Dict[str, int]] = None, how: str = "mean", **kw: int
     ) -> "NDDataset":

@@ -217,6 +217,59 @@ def test_preprocess_shapes_schema_and_store(spark, tmp_path):
     )
 
 
+def test_expand_dims_preprocessor_builds_concat_dim(spark, tmp_path):
+    """Sources whose files LACK the concat dimension (one step per file,
+    reference hrrr_kerchunk_concat_step.py shape): the preprocessor
+    expand_dims + assign_coords manufactures the dimension from the
+    pattern index, and the store concatenates along it."""
+    import numpy as np
+
+    from pangeo_forge_recipes_spark.dsio import write_npz
+    from pangeo_forge_recipes_spark.ndset import NDDataset, Variable, concat
+
+    rng = np.random.RandomState(3)
+    steps = []
+    paths = []
+    for i in range(4):
+        step = NDDataset(
+            {"t2m": Variable(("lat", "lon"), rng.standard_normal((5, 6)))},
+            {"lat": Variable(("lat",), np.arange(5.0)),
+             "lon": Variable(("lon",), np.arange(6.0))},
+            {},
+            {"lat": 5, "lon": 6},
+        )
+        steps.append(step)
+        p = str(tmp_path / f"step{i}.npz")
+        write_npz(p, step)
+        paths.append(p)
+    pattern = pattern_from_file_sequence(
+        paths, "time", nitems_per_file=1, file_type="npz"
+    )
+
+    def pre(index, frag):
+        d = index.find_concat_dim("time")
+        pos = index[d].value
+        return index, frag.expand_dims("time").assign_coords(
+            time=np.array([pos], dtype="int64")
+        )
+
+    result = store_to_zarr(
+        spark, pattern, str(tmp_path / "target"), "store.zarr",
+        target_chunks={"time": 2}, preprocess=pre,
+    )
+    assert result.schema["dims"]["time"] == 4
+    expect = concat(
+        [
+            s.expand_dims("time").assign_coords(
+                time=np.array([i], dtype="int64")
+            )
+            for i, s in enumerate(steps)
+        ],
+        "time",
+    )
+    assert_equal(result.open(), expect)
+
+
 def test_coarsen_kernel_and_preprocessor(spark, tmp_path):
     """NDDataset.coarsen: block reductions match numpy, coordinates take
     block-center means, and a coarsening preprocessor flows through
