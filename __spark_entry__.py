@@ -1824,15 +1824,22 @@ def _bpe_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_oracle() -> str:
-    # per word: ' c h a r s </w> ' sentinel-spaced symbols, then one
-    # replace() per merge in rank order (leftmost, non-overlapping — the
-    # same application order as greedy-by-rank)
+    # per word: ' c h a r s </w> ' sentinel-spaced symbols, then replace()
+    # per merge in rank order. Each merge is applied TWICE: a single
+    # left-to-right non-overlapping pass consumes the shared delimiter
+    # space between back-to-back occurrences (word 'dining', merge
+    # (i, n): ' d i n i n g ' matches only the first ' i n '), so pass
+    # one merges the alternating occurrences and pass two the skipped
+    # ones — after which greedy-by-rank and the chain agree exactly
+    # (merging never creates a new site for the SAME pair: the merged
+    # symbol differs from both halves).
     chain = (
         "concat(' ', array_to_string(list_transform("
         "range(1, length(w) + 1), i -> substr(w, i, 1)), ' '), ' </w> ')"
     )
     for a, b in _BPE_MERGES:
-        chain = f"replace({chain}, ' {a} {b} ', ' {a}{b} ')"
+        for _ in range(2):
+            chain = f"replace({chain}, ' {a} {b} ', ' {a}{b} ')"
     seg = f"string_split(trim({chain}), ' ')"
     return f"""
 WITH tok AS (

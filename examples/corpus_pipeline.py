@@ -125,6 +125,7 @@ def main() -> None:
 
     # 6. loader-ready shards: WebDataset tars in deterministic md5
     # order (one task streams per tar; manifest = integrity record)
+    import shutil
     import tempfile
 
     from pangeo_forge_recipes_spark.operators.packing import (
@@ -132,10 +133,13 @@ def main() -> None:
     )
 
     shard_dir = tempfile.mkdtemp(prefix="corpus_wds_")
-    manifest = write_webdataset_shards(
-        cleaned.select("doc_id", "text"), shard_dir, n_shards=4
-    ).collect()
-    assert sum(r["n_docs"] for r in manifest) == n_decon
+    try:
+        manifest = write_webdataset_shards(
+            cleaned.select("doc_id", "text"), shard_dir, n_shards=4
+        ).collect()
+        assert sum(r["n_docs"] for r in manifest) == n_decon
+    finally:
+        shutil.rmtree(shard_dir, ignore_errors=True)
 
     print(
         f"raw={n_raw}  post-quality+exact={n_exact}  post-neardup={n_clean}"

@@ -279,11 +279,15 @@ class NDDataset:
             raise ValueError(f"expand_dims: dimension {dim!r} already exists")
 
         def grow(v: Variable) -> Variable:
+            # normalize a negative axis per variable the way numpy does
+            # (-1 APPENDS): list.insert(-1, ...) would insert BEFORE the
+            # last dim while np.expand_dims appends, mislabeling axes
+            ax = axis if axis >= 0 else axis + len(v.dims) + 1
             dims = list(v.dims)
-            dims.insert(axis, dim)
+            dims.insert(ax, dim)
             return Variable(
                 tuple(dims),
-                np.expand_dims(v.data, axis),
+                np.expand_dims(v.data, ax),
                 dict(v.attrs),
                 dict(v.encoding),
             )

@@ -138,21 +138,29 @@ def with_gopher_quality_metrics(df: DataFrame, col: str = "text") -> DataFrame:
     :func:`top_ngram_fraction` and the token/word-length/stopword
     expressions in :mod:`..functions.textexprs`, this completes the
     published Gopher rule family."""
-    words = f"filter(split({col}, ' '), w -> w != '')"
-    n_words = f"greatest(size({words}), 1)"
+    # bind the word and line arrays ONCE per row — the four metrics
+    # otherwise each re-split the document (the cost tokens_col binding
+    # fixed in the gopher driver query)
+    bound = df.withColumn(
+        "__gq_w", F.expr(f"filter(split({col}, ' '), w -> w != '')")
+    ).withColumn(
+        "__gq_l",
+        F.expr(
+            f"filter(transform(split({col}, '\\n'), l -> trim(l)),"
+            " l -> l != '')"
+        ),
+    )
+    n_words = "greatest(size(__gq_w), 1)"
     hashes = f"(length({col}) - length(replace({col}, '#', '')))"
     # '...' counted via length delta / 3; '…' counted directly
     dots = f"cast((length({col}) - length(replace({col}, '...', ''))) / 3 as int)"
     uni = f"(length({col}) - length(replace({col}, '…', '')))"
-    lines = f"filter(transform(split({col}, '\\n'), l -> trim(l)), l -> l != '')"
-    n_lines = f"greatest(size({lines}), 1)"
-    bullet = (
-        f"size(filter({lines}, l -> l rlike '^[-*\\u2022]'))"
-    )
-    ellipsis = f"size(filter({lines}, l -> l rlike '(\\\\.\\\\.\\\\.|\\u2026)$'))"
-    alpha = f"size(filter({words}, w -> w rlike '[A-Za-z]'))"
+    n_lines = "greatest(size(__gq_l), 1)"
+    bullet = "size(filter(__gq_l, l -> l rlike '^[-*\\u2022]'))"
+    ellipsis = "size(filter(__gq_l, l -> l rlike '(\\\\.\\\\.\\\\.|\\u2026)$'))"
+    alpha = "size(filter(__gq_w, w -> w rlike '[A-Za-z]'))"
     return (
-        df.withColumn(
+        bound.withColumn(
             "symbol_word_ratio",
             F.expr(f"cast({hashes} + {dots} + {uni} as double) / {n_words}"),
         )
@@ -166,6 +174,7 @@ def with_gopher_quality_metrics(df: DataFrame, col: str = "text") -> DataFrame:
         .withColumn(
             "alpha_word_frac", F.expr(f"cast({alpha} as double) / {n_words}")
         )
+        .drop("__gq_w", "__gq_l")
     )
 
 

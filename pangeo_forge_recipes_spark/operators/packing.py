@@ -239,27 +239,45 @@ def write_webdataset_shards(
         .select("shard", id_col, text_col, *meta_cols)
     )
 
+    class _HashingWriter:
+        """Tees tar writes into sha256 + byte count so the manifest is
+        computed as the shard streams — the task never buffers or
+        re-reads a whole shard (tar opens in stream mode 'w|', which
+        only ever calls write())."""
+
+        def __init__(self, f):
+            self.f = f
+            self.h = hashlib.sha256()
+            self.n = 0
+
+        def write(self, b):
+            self.h.update(b)
+            self.n += len(b)
+            return self.f.write(b)
+
+        def close(self):
+            self.f.close()
+
     def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import json as _json
 
-        state = {"shard": None, "tar": None, "n": 0}
+        state = {"shard": None, "tar": None, "w": None, "n": 0}
         out_rows = []
 
         def close_current():
             if state["tar"] is not None:
                 state["tar"].close()
-                p = os.path.join(path, f"shard-{state['shard']:05d}.tar")
-                with open(p, "rb") as f:
-                    data = f.read()
+                state["w"].close()
                 out_rows.append(
                     {
                         "shard": state["shard"],
                         "n_docs": state["n"],
-                        "n_bytes": len(data),
-                        "sha256": hashlib.sha256(data).hexdigest(),
+                        "n_bytes": state["w"].n,
+                        "sha256": state["w"].h.hexdigest(),
                     }
                 )
                 state["tar"] = None
+                state["w"] = None
                 state["n"] = 0
 
         def add(tar, name: str, payload: bytes) -> None:
@@ -280,8 +298,14 @@ def write_webdataset_shards(
                 if shard != state["shard"]:
                     close_current()
                     state["shard"] = shard
+                    state["w"] = _HashingWriter(
+                        open(
+                            os.path.join(path, f"shard-{shard:05d}.tar"),
+                            "wb",
+                        )
+                    )
                     state["tar"] = tarfile.open(
-                        os.path.join(path, f"shard-{shard:05d}.tar"), "w"
+                        fileobj=state["w"], mode="w|"
                     )
                 key = str(d[id_col])
                 add(state["tar"], f"{key}.txt",

@@ -59,6 +59,8 @@ def _iter_gzip_chunks(data: bytes, feed: int = _GZIP_FEED) -> Iterator[bytes]:
     one member if smaller) — never the whole decompressed archive."""
     view = memoryview(data)
     n = len(data)
+    if n == 0:
+        return  # an empty archive has no members — not a truncation
     pos = 0
     obj = zlib.decompressobj(16 + zlib.MAX_WBITS)
     while pos < n:

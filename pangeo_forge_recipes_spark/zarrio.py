@@ -465,6 +465,10 @@ class ZarrArray:
             )
         if self.compressed:
             buf = zlib.compress(buf, 1)
+        if self._has_hdf5_bzip2:
+            import bz2
+
+            buf = bz2.compress(buf, 9)
         if self._has_lzf:
             from .hdf5io import lzf_compress
 

@@ -160,10 +160,13 @@ def test_train_dictionary_is_bounded(spark):
     syms = {s for p in merges for s in p}
     assert syms  # head words do produce merges
     assert not any(c in s for s in syms for c in "xyq0123456789")
-    # the cap plans as a TakeOrdered top-k, not a global sort
+    # the cap plans as a TakeOrdered top-k, not a global sort — the
+    # EXACT expression train_bpe builds ((desc cnt, asc word) tie-break)
+    from pyspark.sql import functions as F
+
     capped = (
         word_counts(df)
-        .orderBy("cnt", ascending=False)
+        .orderBy(F.desc("cnt"), F.asc("word"))
         .limit(2)
         ._jdf.queryExecution()
         .executedPlan()
@@ -194,3 +197,44 @@ def test_determinism_across_partitionings(spark):
     a = train_bpe(df.repartition(1), num_merges=8)
     b = train_bpe(df.repartition(7), num_merges=8)
     assert a == b
+
+
+def test_driver_oracle_replace_chain_equals_greedy_segmentation():
+    """The driver oracle's replace-chain replay (each merge applied
+    twice — one pass misses back-to-back occurrences whose delimiter
+    space the previous match consumed, e.g. 'dining' with merge (i,n))
+    must equal greedy-by-rank segmentation on an adversarial battery:
+    repeated pairs, runs, and the full short-word space over the pinned
+    merge alphabet. No Spark needed — DuckDB executes the oracle text."""
+    import itertools
+
+    import duckdb
+
+    import __spark_entry__ as em
+    from pangeo_forge_recipes_spark.operators.bpe import _segment
+
+    ranks = {p: i for i, p in enumerate(em._BPE_MERGES)}
+    words = [
+        "dining", "mining", "wanderer", "ininining", "aaaaa", "ererer",
+        "nnnnn", "lulu", "owowow", "ststst", "atatat", "inin", "erer",
+        "stinower", "lowering", "flowerer", "ratatat", "inn", "eer",
+    ]
+    alpha = "inerowstalu"
+    words += ["".join(c) for c in itertools.product(alpha, repeat=3)][:400]
+
+    chain = (
+        "concat(' ', array_to_string(list_transform("
+        "range(1, length(w) + 1), i -> substr(w, i, 1)), ' '), ' </w> ')"
+    )
+    for a, b in em._BPE_MERGES:
+        for _ in range(2):
+            chain = f"replace({chain}, ' {a} {b} ', ' {a}{b} ')"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE words(w VARCHAR)")
+    con.executemany("INSERT INTO words VALUES (?)", [(w,) for w in words])
+    rows = con.execute(
+        f"SELECT w, string_split(trim({chain}), ' ') FROM words"
+    ).fetchall()
+    assert len(rows) == len(words)
+    for w, got in rows:
+        assert got == _segment(w, ranks), w

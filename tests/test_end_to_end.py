@@ -253,6 +253,11 @@ def test_expand_dims_preprocessor_builds_concat_dim(spark, tmp_path):
             time=np.array([pos], dtype="int64")
         )
 
+    # negative axis appends (numpy semantics), labels stay aligned
+    neg = steps[0].expand_dims("step", axis=-1)
+    assert neg.data_vars["t2m"].dims == ("lat", "lon", "step")
+    assert neg.data_vars["t2m"].data.shape == (5, 6, 1)
+
     result = store_to_zarr(
         spark, pattern, str(tmp_path / "target"), "store.zarr",
         target_chunks={"time": 2}, preprocess=pre,

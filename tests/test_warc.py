@@ -168,6 +168,15 @@ def test_truncated_archive_raises(tmp_path):
         list(parse_warc_records(raw[:-30]))
 
 
+def test_empty_input_yields_no_records(tmp_path):
+    """Zero-byte input (an empty shard / zero-length ranged read) parses
+    as an archive with no records, both raw and via the gzip path."""
+    from pangeo_forge_recipes_spark.sources.warc import _iter_gzip_chunks
+
+    assert list(parse_warc_records(b"")) == []
+    assert list(_iter_gzip_chunks(b"")) == []
+
+
 def test_truncated_gzip_member_raises(tmp_path):
     """An archive that ends mid-gzip-member must raise even when the
     partial plaintext happens to end exactly at a record boundary —
