@@ -5,6 +5,8 @@ structurally (markers, stuffing, restart cadence) and numerically
 
 from __future__ import annotations
 
+import base64
+
 import numpy as np
 import pytest
 
@@ -279,3 +281,231 @@ def test_lossless_hand_built_stream():
     np.testing.assert_array_equal(
         dec, np.array([[130, 131], [128, 130]], dtype=np.uint8)
     )
+
+
+# ---------------------------------------------------------------------------
+# arithmetic coding (SOF9/SOF10, T.81 Annex D QM-coder)
+# ---------------------------------------------------------------------------
+#
+# The fixture pairs below were produced with libjpeg (jpeg_mem_dest with
+# arith_code=TRUE, then a lossless jpeg_read_coefficients /
+# jpeg_write_coefficients transcode to Huffman), so each arithmetic file
+# carries EXACTLY the same DCT coefficients as its Huffman twin: decoding
+# both through this module must give pixel-identical output. This pins the
+# arithmetic entropy layer against an independent, interoperable encoder.
+
+_GRAY_ARITH = base64.b64decode(
+    "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAMCAgMCAgMDAwMEAwMEBQgFBQQEBQoHBwYIDAoMDAsK"
+    "CwsNDhIQDQ4RDgsLEBYQERMUFRUVDA8XGBYUGBIUFRT/yQALCAAdACUBAREA/8wABgAQEAX/2gAI"
+    "AQEAAD8A/wDdsYKqKAzV8R7cMIi3G0o1fd2pefZQNkIhFtr0ev8Azf5NA4/9Z2TyRfJ0p4kUv4dp"
+    "s1+vYHLt8GcWBSaRamsjT8syTfO15LoY2geLpomLSpOUuTyl+DFz+q8xsZ92o3cmFVRzZ/QyIQb0"
+    "8SpHSAWcZTMq3WSVaQrOGajgZF/zhW/ZVQIdVxuHJXSecJZCserTQm5+EQjjm8mXqQ+iOutxBdI7"
+    "gPgAdWRwNjEAP6Ls5r5R+Fq/hFgcdvdd9xpnbiZEH7QlplcVByThyU221q8jMyvCqzm72JMEX5sP"
+    "gl/PVFnoZJ1O0vX5YPYi1Np2Dc6EJ7BPN/6/D797XSD2TJimSOXza5xJAejfAIGjq/rpCPUdTvux"
+    "lLQQvhKkxJjyrCkopNmM1GM/w9bPG1JG+q8/glAafxr7jAAGjcy7cN0Mkj0cyYj9yq5GwbNTok8t"
+    "AOqlwlWGAmKkD30qMsR+3umfiCKK9O8vO7iwnfV6VicuhiDqcZVvYCq7gvm0aRG6vEw/VIz6V0Dc"
+    "/mfAl2cusZpdelwXe9iRCtrISc/nplhrO1SG3iZTHYN7gMSNVYE429t1O34nPOrOYXSIo1+iFh+5"
+    "0gjMLYvwZuFNp2P9nXIIvSHCcMK5omJFuDjx/g2wUzK29nY9D5dubmyzhp7o0eojZgau3b/9KJsz"
+    "LSJe0mZicPgguL+Db91TyEi4skiRKeWQv67Qjc9t6tuwelnLTqJKviqLmcKpCc08/rdVN1IDF8jX"
+    "mlgHTzqDX6IO69/EMsdHtCPernpXW1lvQHXU3CjFb5WTNafJIzajuhnjnb9gX3GiFHpfS22sQquo"
+    "+ONCljWbF1K7U1w1axYoWT/dhWtvDfnRq2hrSEO9JPVsJyTbc+SOjvpjlk0bu9b8PQ45GeGcjThV"
+    "aP2N2B8noOzBAsKy8K021aLEA543RO4zU1Zl+3HEdt8pmbTw/9k="
+)
+
+_GRAY_HUFF = base64.b64decode(
+    "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAMCAgMCAgMDAwMEAwMEBQgFBQQEBQoHBwYIDAoMDAsK"
+    "CwsNDhIQDQ4RDgsLEBYQERMUFRUVDA8XGBYUGBIUFRT/wAALCAAdACUBAREA/8QAHwAAAQUBAQEB"
+    "AQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQAAAF9AQIDAAQRBRIhMUEGE1Fh"
+    "ByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3ODk6Q0RFRkdISUpTVFVWV1hZ"
+    "WmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWmp6ipqrKztLW2t7i5usLDxMXG"
+    "x8jJytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/9oACAEBAAA/APljwD4GVJ7Ypb+aHKtg"
+    "gDCk/dwOTySfwB57fSXw58CxI6KsK/KUaMDgHrnkc9QBxgAgfj9N+AfAkdgUjb5MMFba5BIAJGOf"
+    "oAT2HSqn7Tn7S/hT9mfwbdaZPqU8Hja/itobCxtIIZZ9NS48+NdQENwVSdYTbzkxZ+Z1hSQokwkH"
+    "5Wape+L/AItiSfxXr99qZjvbu/jilum+zxT3cpnuXhhA8uLzJDuYRqqk9uK+xPh54BDT2qgAIrkk"
+    "4CsDwBjGCRwRgenboPpHwB8NYDLGIYW2qCTztCAHknv35AxkMO4zVv8Aah+M+j/AX4N6heWPiVNN"
+    "8Uvex6eh0ebTZb6wJ8h5ZhZ3TYuCkMsLtCoLslxH80SP58f5ZeK9d8WfHLx7qPi/xhf3Gp3t/M/l"
+    "28k0skNnE8zypbwK7OyQI0jbEzhQGGCTk+q+GfAcKWsjXVuI2yEVd20AD0BI457E/hX3n8Pfh8ZY"
+    "rWFYFZ4gu5tgc9Mkc+hB4H681sfGv9pHwV+y9o+nw61eWEniW7tLm+s9CM06zTRpDII1UxQTCNZZ"
+    "wkQaUxoAZXDEwlG/KvxVr8/xc+JfjDX4LGXw5p3irWTrUmg2dzLNAlxmQrKzOx8yX99Md+AAZpNi"
+    "oh8seq/Dn4clrqNmhfa6EmdRu6DAyMnsQfxJ9MfRXhf4fxw6coljCPgH5XYkjnrtYdTk/ia+rPEm"
+    "pt8NPhd4v8X6fa2t1caDpz6t9lukYpNFBEZ5IAQwKM8aPGr8hGZXKOFMbfjP47+Kus/H7xvq3iHV"
+    "J5bbSLnULy+0vw+XV7XSUuHMkiQqqogZsL5kgRWlcGSTc7MT6l4I8IWkyHBOIVDYcbt3yh/X2x+J"
+    "r6W8B6DbzsRIAxBVSdo7uFbHpnrnr7njH0N4R8M2UmjJJErwjOzaGzwAD/U/ma//2Q=="
+)
+
+_RGB_ARITH = base64.b64decode(
+    "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAUDBAQEAwUEBAQFBQUGBwwIBwcHBw8LCwkMEQ8SEhEP"
+    "ERETFhwXExQaFRERGCEYGh0dHx8fExciJCIeJBweHx7/2wBDAQUFBQcGBw4ICA4eFBEUHh4eHh4e"
+    "Hh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh7/yQARCAAiAC0DASIA"
+    "AhEBAxEB/8wACgAQEAUBEBEF/90ABAAC/9oADAMBAAIRAxEAPwD/ANtSoJ7rHHaeBJhJpBmsWcwp"
+    "2Z4Sf+jg7wvLDg2UKFOqCbJ8HF9FCJjrnCjsDMkbETCrlh++cVNGTDleV0B5LdDAlM+h+iN0Q70c"
+    "u6pS+mf8uczGD67T3lXzXyNPG12SCjDVRitII/XX/wBWRxQvzvEZVFW4hQtK3Zf8dnReYwy1cE7U"
+    "RkqHreQDO3u4J+dKf4tMMHzfXTdqi+9Igg26cFjwygmWpi9sSKiUYztUUt5lA9Sm9n4mdYDhOuw5"
+    "oBUpKU2X4zj/0P8AoagL3C5cz5cE/wAmCK/0nXOqEPsVHcO9grg7nEThH9SbKJGn21gSMZ8MnJpu"
+    "zqIWzJ6ffEqmIS9c3J/HncFx6tBRDJnK6rWD7si26Q0N1x0IRZoYssMxouz25cl594bShh3iDpXh"
+    "dgxwQ9muWmWM32SOkrTvRbOT4azNdiuESbNTNgCi6RIRhzXA3NJw3a8g+ydMoV0FF0d1vQIwnUSv"
+    "z4jf3riVyzKVHd9Caq1Qf6wy4KndPk76DLYU56CTkYoHgP/R0Mh2IRgZ7UpRpfGTtMdpXqDcrG5q"
+    "qK0Swxd/iXcVaPkzNgRBHFPYMAHAbePL7LWtEcizCzIbxkbpT97XIc/ZKpGLHhOUA3koPRK+SUqe"
+    "mF57sf8Aq5r7tPeqdk73h32V13Be4aWqYYrSYMcK5ZbOa/Zk/c4PnOlGeNHUlBcwo1fBK51SV3jd"
+    "m/3RKcmEkayHgDB/sykqmZKCW+cLcDmsL5ySQtRbh4TOn7EBDyPvvgfAQek3i0DBzOA+1py2NVzc"
+    "2EFpTlNCKZ6R4g7ED6jCTED/0tKCWdYfU9bxre8s3s5sIU5ihGZ4gbevKrxp/Wze+ehs4Mq6XPEI"
+    "OH1oKKOid7BR5lX3VDgkiZawU0hZgzVUBT4xXVJqI5/0YJpCp673tZJbgcB0IkmYsP/T0svEL847"
+    "q3KeW5SY8N6L8Rpb5rdPELMiVESR3Ay7rnRgxqiFnS2K5AzWttnWqP/Z"
+)
+
+_RGB_HUFF = base64.b64decode(
+    "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAUDBAQEAwUEBAQFBQUGBwwIBwcHBw8LCwkMEQ8SEhEP"
+    "ERETFhwXExQaFRERGCEYGh0dHx8fExciJCIeJBweHx7/2wBDAQUFBQcGBw4ICA4eFBEUHh4eHh4e"
+    "Hh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh7/wAARCAAiAC0DASIA"
+    "AhEBAxEB/8QAHwAAAQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQA"
+    "AAF9AQIDAAQRBRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3"
+    "ODk6Q0RFRkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWm"
+    "p6ipqrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/8QAHwEA"
+    "AwEBAQEBAQEBAQAAAAAAAAECAwQFBgcICQoL/8QAtREAAgECBAQDBAcFBAQAAQJ3AAECAxEEBSEx"
+    "BhJBUQdhcRMiMoEIFEKRobHBCSMzUvAVYnLRChYkNOEl8RcYGRomJygpKjU2Nzg5OkNERUZHSElK"
+    "U1RVVldYWVpjZGVmZ2hpanN0dXZ3eHl6goOEhYaHiImKkpOUlZaXmJmaoqOkpaanqKmqsrO0tba3"
+    "uLm6wsPExcbHyMnK0tPU1dbX2Nna4uPk5ebn6Onq8vP09fb3+Pn6/9oADAMBAAIRAxEAPwD5rtdJ"
+    "LkEhXVDnGONvUZ+nP5+9a9lpKucIdxbLAKDwR7966e10pCpwqg7MqBzjj+Yz/wDrrVstKQyH5GDf"
+    "KCqrtxnnBHpz16/1/QK+MSkrtO+7v62S1v8ACtmmre93PJyrOdtTl4dLG6MCJiGY4G3sRx/+r2rX"
+    "s9IZnIdD94jaQWIH+e+feupg0uQ8ABDk7QRgjr1PYf4GtSDR9pVBlm4GdoOTnHP45xXh4vE2lKer"
+    "V9tF0Wm9+l916J2P0vKc52VznINJjmfeqsAcEHIx14OQeue5rWsdMPlHeTGMnHzAZ5//AFV0VtpL"
+    "GPdhjggnf1UZzg+/HWtSHTNkS7Vgyckl168/jXmzzlUq3tnppdvRXu7beu2tl66H6RlubXja5xcG"
+    "kDywgQKc4UELhjg49efyrZsdIAkdcglsYCkZPU59P8j8eitNJUzAKB8oLKU53njr3rXs9KXAOF+V"
+    "SQCM7eh5z6c8fX8PJnmCVTm7ab9lZ22XV9LPR2abP4ayrONFqcxYaYQoXKLGvXJycEdsfT0HUd62"
+    "rXTmC7mVR0HTPPGMLnIPT9K6W30oBVeKNsZ+Zs9c/wAyD25rRs9NQtub74zkFenHPGMdvTvXi4nM"
+    "3hkqTnq7eSt5N222SVtnqkfpeVZvezOct9IVxjgBgMkdMAZx3xz/ADrattL2RtiMDLkkc4HA6EA5"
+    "H5V0ljpOduw7Sy5wBggkAE59OhrRtdFBUljuYYHERbp0PHrXk1MxqUZc1NK7e90lbfq/NtLTdtq+"
+    "36RlucJx1Z5vp6r5sRwMs75OOvBrR0/ny2PLYc5PXof8B+VFFctb+FH/AK+L/wBsP5Byrf5HQqiL"
+    "91VHDdB6EY/ma1IFUwSkgEqFAyOny5oornx38Or6fpI/R8p3RrWoG25bA3LjB7jpVy8RA6gKoG0d"
+    "vYUUV8nxH/uFT/G//SpH6Zk+69D/2Q=="
+)
+
+_RGB_PARITH = base64.b64decode(
+    "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAUDBAQEAwUEBAQFBQUGBwwIBwcHBw8LCwkMEQ8SEhEP"
+    "ERETFhwXExQaFRERGCEYGh0dHx8fExciJCIeJBweHx7/2wBDAQUFBQcGBw4ICA4eFBEUHh4eHh4e"
+    "Hh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh7/ygARCAAiAC0DASIA"
+    "AhEBAxEB/8wABgAQARD/2gAMAwEAAhADEAAAAf8Aton5CuKiIZroGf3i5JCNeHArkwaeu4advYFm"
+    "jsrRxMTtiXKq4YU1prxHt/mlL8OwSNoQ/8wABBAF/9oACAEBAAEFAh6N0Eufa0iZbiTiX89D08UQ"
+    "77rqNLMsyd/W6CspfB3ebmk4jdC/vcF+/8wABBEF/9oACAEDAQE/ARWYfppW3DH4Lh5KPHN+/8wA"
+    "BBEF/9oACAECAQE/AT3VS31AAABDldoSE5rvO9pi18JP3Evigo5izHakMnelxgbSPpT+ZtbXiODG"
+    "/8wABBAF/9oACAEBAAY/At9PYsHcOUUPuWLFzv8AIMD/zAAEEAX/2gAIAQEAAT8h2Jyc9lI83MKb"
+    "DYUCl/T5uOUWj9ZXAgIn/wDVK8POsDPZ4sOeNrvXWmFVpuVoh8TdlOjTJijXt/q3t4JmtbyQJWeA"
+    "Xapvm9eVd2Aoj68zc3BKWiomnDHPniU18ZdkbZOU4lliygyoajIlBg/Q/9oADAMBAAIAAwAAABA5"
+    "NQNS3KfM/8wABBEF/9oACAEDAQE/ENUeh7XOaA7WQ1exahj651lp/8wABBEF/9oACAECAQE/ENFN"
+    "mpIW6Vtfayv98Ioi/Yh9z1lr3ZvCr28rIxi3pQI3v5gE5DG+6bnzggXgQY8OkgKNL3FC/WJHnxDO"
+    "qXbVbrz5ZTMHkL+iTopPpWuqYtHFW12g4z38cPkhu59ZTX5Y/8wABBAF/9oACAEBAAE/EIxQsDHI"
+    "Hm3d/JUuvnu3x9JHcQ7tgmr2mS96zv2QirdQngqSlMl3ESh0jPzWQpoqnzlEkqhTFswG9+i2yf25"
+    "X83kRHQ64G5ORbL02giRBfMUDxmei0cyj3MVSkaKD0AQMKT0WfFVC1abiUbH9SSU1YUy6p9U3GYo"
+    "OPXhSpUR8rAzE1qt1hrgR76WyjV8sVryim4sf07ktVWG7a0p/Jr73PNULgCPrlfksGsoWraCX7qk"
+    "RKZL1SfENKuz3Q84BMBPyDtX396f+vhPPXGXusyGzSTn3Rj9K3cf2slwGjXywnC6SSiHnozwfuwm"
+    "9STPPGV0ltJY4UufytfZoP/Z"
+)
+
+_RGB_PARITH_HUFF = base64.b64decode(
+    "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAUDBAQEAwUEBAQFBQUGBwwIBwcHBw8LCwkMEQ8SEhEP"
+    "ERETFhwXExQaFRERGCEYGh0dHx8fExciJCIeJBweHx7/2wBDAQUFBQcGBw4ICA4eFBEUHh4eHh4e"
+    "Hh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh7/wAARCAAiAC0DASIA"
+    "AhEBAxEB/8QAHwAAAQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQA"
+    "AAF9AQIDAAQRBRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3"
+    "ODk6Q0RFRkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWm"
+    "p6ipqrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/8QAHwEA"
+    "AwEBAQEBAQEBAQAAAAAAAAECAwQFBgcICQoL/8QAtREAAgECBAQDBAcFBAQAAQJ3AAECAxEEBSEx"
+    "BhJBUQdhcRMiMoEIFEKRobHBCSMzUvAVYnLRChYkNOEl8RcYGRomJygpKjU2Nzg5OkNERUZHSElK"
+    "U1RVVldYWVpjZGVmZ2hpanN0dXZ3eHl6goOEhYaHiImKkpOUlZaXmJmaoqOkpaanqKmqsrO0tba3"
+    "uLm6wsPExcbHyMnK0tPU1dbX2Nna4uPk5ebn6Onq8vP09fb3+Pn6/9oADAMBAAIRAxEAPwD5rtdJ"
+    "LkEhXVDnGONvUZ+nP5+9a9lpKucIdxbLAKDwR7966e10pCpwqg7MqBzjj+Yz/wDrrVstKQyH5GDf"
+    "KCqrtxnnBHpz16/1/QK+MSkrtO+7v62S1v8ACtmmre93PJyrOdtTl4dLG6MCJiGY4G3sRx/+r2rX"
+    "s9IZnIdD94jaQWIH+e+feupg0uQ8ABDk7QRgjr1PYf4GtSDR9pVBlm4GdoOTnHP45xXh4vE2lKer"
+    "V9tF0Wm9+l916J2P0vKc52VznINJjmfeqsAcEHIx14OQeue5rWsdMPlHeTGMnHzAZ5//AFV0VtpL"
+    "GPdhjggnf1UZzg+/HWtSHTNkS7Vgyckl168/jXmzzlUq3tnppdvRXu7beu2tl66H6RlubXja5xcG"
+    "kDywgQKc4UELhjg49efyrZsdIAkdcglsYCkZPU59P8j8eitNJUzAKB8oLKU53njr3rXs9KXAOF+V"
+    "SQCM7eh5z6c8fX8PJnmCVTm7ab9lZ22XV9LPR2abP4ayrONFqcxYaYQoXKLGvXJycEdsfT0HUd62"
+    "rXTmC7mVR0HTPPGMLnIPT9K6W30oBVeKNsZ+Zs9c/wAyD25rRs9NQtub74zkFenHPGMdvTvXi4nM"
+    "3hkqTnq7eSt5N222SVtnqkfpeVZvezOct9IVxjgBgMkdMAZx3xz/ADrattL2RtiMDLkkc4HA6EA5"
+    "H5V0ljpOduw7Sy5wBggkAE59OhrRtdFBUljuYYHERbp0PHrXk1MxqUZc1NK7e90lbfq/NtLTdtq+"
+    "36RlucJx1Z5vp6r5sRwMs75OOvBrR0/ny2PLYc5PXof8B+VFFctb+FH/AK+L/wBsP5Byrf5HQqiL"
+    "91VHDdB6EY/ma1IFUwSkgEqFAyOny5oornx38Or6fpI/R8p3RrWoG25bA3LjB7jpVy8RA6gKoG0d"
+    "vYUUV8nxH/uFT/G//SpH6Zk+69D/2Q=="
+)
+
+
+def test_arith_sequential_gray_matches_huffman_twin():
+    a = decode_jpeg(_GRAY_ARITH)
+    h = decode_jpeg(_GRAY_HUFF)
+    assert a.shape == (29, 37)
+    np.testing.assert_array_equal(a, h)
+
+
+def test_arith_sequential_color_restart_matches_huffman_twin():
+    # 3-component 4:2:0 with DRI=2 and RST markers in the arithmetic scan
+    assert b"\xff\xdd" in _RGB_ARITH.split(b"\xff\xda")[0]
+    a = decode_jpeg(_RGB_ARITH)
+    h = decode_jpeg(_RGB_HUFF)
+    assert a.shape == (34, 45, 3)
+    np.testing.assert_array_equal(a, h)
+
+
+def test_arith_progressive_matches_huffman_twin():
+    # SOF10: multi-scan progressive arithmetic (DC first/refine, AC
+    # first/refine with per-scan DAC segments)
+    assert _RGB_PARITH[_RGB_PARITH.find(b"\xff\xca") + 1] == 0xCA
+    a = decode_jpeg(_RGB_PARITH)
+    h = decode_jpeg(_RGB_PARITH_HUFF)
+    np.testing.assert_array_equal(a, h)
+
+
+@pytest.mark.parametrize(
+    "shape,kwargs",
+    [
+        ((41, 53), {}),
+        ((35, 47, 3), {}),
+        ((40, 48, 3), {"subsample": True}),
+        ((33, 70), {"restart_interval": 3}),
+    ],
+)
+def test_arith_encode_decodes_identically_to_huffman(shape, kwargs):
+    """encode_jpeg(arithmetic=True) writes the same coefficients through
+    the QM-coder; decoding must match the Huffman encoding bit-exactly.
+    (The encoder was additionally cross-validated against libjpeg's
+    decoder: jpeg_read_coefficients on our SOF9 output returns the same
+    coefficients as on our Huffman output.)"""
+    rng = np.random.RandomState(3)
+    img = (rng.rand(*shape) * 255).astype(np.uint8)
+    a = encode_jpeg(img, quality=85, arithmetic=True, **kwargs)
+    hf = encode_jpeg(img, quality=85, **kwargs)
+    assert a[3] == 0xC9 or b"\xff\xc9" in a  # SOF9 frame
+    assert b"\xff\xcc" in a  # DAC conditioning
+    assert b"\xff\xc4" not in a.split(b"\xff\xda")[0]  # no DHT
+    np.testing.assert_array_equal(decode_jpeg(a), decode_jpeg(hf))
+    assert len(a) < len(hf)  # adaptive coding beats our canonical Huffman
+
+
+def test_arith_entropy_is_byte_stuffed():
+    rng = np.random.RandomState(9)
+    img = (rng.rand(64, 64) * 255).astype(np.uint8)
+    blob = encode_jpeg(img, quality=95, arithmetic=True)
+    body = blob.split(b"\xff\xda", 1)[1][8:]
+    i = 0
+    while i < len(body) - 2:
+        if body[i] == 0xFF:
+            assert body[i + 1] in (0x00,) or body[i + 1] == 0xD9
+            i += 2
+        else:
+            i += 1
+
+
+def test_arith_progressive_encode_gated():
+    img = np.zeros((8, 8), np.uint8)
+    with pytest.raises(NotImplementedError):
+        encode_jpeg(img, arithmetic=True, progressive=True)
+
+
+def test_qm_table_invariants():
+    # 113 adaptive states + the fixed ~0.5 bin; transitions stay in range;
+    # the fixed bin never escapes itself (AC signs / DC refinement bits)
+    assert len(J._QM_TABLE) == 114
+    for qe, nmps, nlps, switch in J._QM_TABLE:
+        assert 0 < qe <= 0x5B12
+        assert 0 <= nmps < 114 and 0 <= nlps < 114
+    assert J._QM_TABLE[113][1:] == (113, 113, 0)
+    assert J._QM_TABLE[0][:2] == (0x5A1D, 1)
