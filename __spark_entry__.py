@@ -1738,6 +1738,80 @@ FROM kept WHERE len(ks) > 0
 """.strip()
 
 
+def _mix_corpora_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling (operators/text.mix_corpora): three
+    deterministic sub-corpora of documents weighted 3/2/1, 120 docs
+    total. Each per-source draw plans as a distributed TakeOrdered on
+    the md5-bucket key (never ``rand()``, never a global sort); the
+    oracle repeats the same md5-ordered LIMITs natively in DuckDB."""
+    from pangeo_forge_recipes_spark.operators.text import mix_corpora
+
+    _register(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id")
+    srcs = [
+        ("web", docs.where(F.expr("doc_id % 6 < 3")), 3.0),
+        ("books", docs.where(F.expr("doc_id % 6 IN (3, 4)")), 2.0),
+        ("code", docs.where(F.expr("doc_id % 6 = 5")), 1.0),
+    ]
+    out = mix_corpora(srcs, n_total=120, id_col="doc_id")
+    return out.select("doc_id", F.col("source").alias("corpus"))
+
+
+def _mix_corpora_oracle() -> str:
+    # weights 3/2/1 over n_total=120 divide exactly (60/40/20), so the
+    # largest-remainder step is a no-op and each branch is one md5-ordered
+    # LIMIT — the same per-source TakeOrdered the Spark plan runs
+    parts = []
+    for corpus, pred, k in (
+        ("web", "doc_id % 6 < 3", 60),
+        ("books", "doc_id % 6 IN (3, 4)", 40),
+        ("code", "doc_id % 6 = 5", 20),
+    ):
+        parts.append(
+            f"SELECT doc_id, '{corpus}' AS corpus FROM ("
+            f"SELECT doc_id FROM documents WHERE {pred} "
+            f"ORDER BY md5('mix' || CAST(doc_id AS VARCHAR)) LIMIT {k})"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def _chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/packing.chunk_documents):
+    overlapping 24-word windows every 16 words, partial tails kept at
+    >= 4 new words — map-only SQL (sequence/transform/posexplode), no
+    shuffle. The oracle rebuilds the same windows with DuckDB list
+    functions; chunk_id = start/stride because the tail filter only
+    drops a suffix of the stride sequence."""
+    from pangeo_forge_recipes_spark.operators.packing import chunk_documents
+
+    _register(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    out = chunk_documents(docs, window=24, stride=16, min_tail=4)
+    return out.select("doc_id", "chunk_id", "chunk_text", "n_words")
+
+
+def _chunk_documents_oracle() -> str:
+    return r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) <= 24 THEN [CAST(0 AS BIGINT)]
+              ELSE list_filter(range(0, len(toks), 16),
+                               st -> st = 0 OR st - 16 + 24 + 4 <= len(toks))
+         END AS starts
+  FROM t),
+u AS (SELECT doc_id, toks, unnest(starts) AS st FROM s)
+SELECT doc_id,
+       CAST(st // 16 AS INT) AS chunk_id,
+       array_to_string(list_slice(toks, st + 1, st + 24), ' ') AS chunk_text,
+       CAST(len(list_slice(toks, st + 1, st + 24)) AS INT) AS n_words
+FROM u
+""".strip()
+
+
 def _messy_url_expr(dialect: str) -> str:
     """Deterministic messy-URL generator over the documents table —
     identical values on both engines. The variants (case-shifted scheme/
@@ -2198,6 +2272,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # corpus-level boilerplate removal; its dialect-pair text stays warm
     # in test_shared_sql_parity.py
     out["dedup_lines"] = _dedup_lines_q
+    # round-5 rotation (second pass): mix_corpora (domain-mixture
+    # sampling) and chunk_documents (context-window chunking) take the
+    # topk_customers / q19_disjunctive_revenue slots — plain top-k stays
+    # graded through mix_corpora's TakeOrdered draws and q3/q18's
+    # orderBy+limit; disjunctive filter-agg through q1/corpus_clean. Both
+    # rotated-out texts stay warm in test_shared_sql_parity.py
+    out["mix_corpora"] = _mix_corpora_q
+    out["chunk_documents"] = _chunk_documents_q
     # shared-SQL battery (identical ANSI text on both engines); the
     # hourly-rollup text grades via its streaming twin below, so the
     # batch copy is skipped to stay inside the 50-query budget.
@@ -2225,6 +2307,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q22/the rollup):
         "q4_order_priority",
         "q13_customer_distribution",
+        # round-5 rotation for mix_corpora + chunk_documents:
+        "topk_customers",
+        "q19_disjunctive_revenue",
     )
     for name, sql in shared.items():
         if name not in _SWAPPED_OUT:
@@ -2268,6 +2353,11 @@ def oracle_sql() -> dict[str, str]:
     out["bpe_tokenize"] = _bpe_oracle()
     out.pop("text_fingerprints")  # slot moved to dedup_lines
     out["dedup_lines"] = _dedup_lines_oracle()
+    # round-5 rotation: slots moved to mix_corpora + chunk_documents
+    out.pop("topk_customers")
+    out.pop("q19_disjunctive_revenue")
+    out["mix_corpora"] = _mix_corpora_oracle()
+    out["chunk_documents"] = _chunk_documents_oracle()
     out["events_dedup_stream"] = _DEDUP_STREAM_ORACLE
     out["asof_last_order"] = _ASOF_ORACLE
     out["range_join_orders"] = _RANGE_JOIN_ORACLE

@@ -30,9 +30,9 @@ HEADLINE = [
     "q3_unshipped_revenue",
     "q5_local_supplier_volume",
     "q18_large_orders",
-    "q19_disjunctive_revenue",
+    "mix_corpora",
     "q22_inactive_customers",
-    "topk_customers",
+    "chunk_documents",
     "window_running_total",
     "set_ops_customers",
     "events_multi_grain_rollup",

@@ -41,6 +41,9 @@ ROTATED_OUT = [
     # round-5 rotation (slots moved to url_dedup + bpe_tokenize)
     "q4_order_priority",
     "q13_customer_distribution",
+    # round-5 rotation (slots moved to mix_corpora + chunk_documents)
+    "topk_customers",
+    "q19_disjunctive_revenue",
 ]
 
 
