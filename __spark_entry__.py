@@ -1812,6 +1812,54 @@ FROM u
 """.strip()
 
 
+def _quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped LM quality filter (operators/lmscore): train a byte-
+    trigram model on the reference slice (doc_id % 4 = 0), score the
+    rest, keep documents under a fixed cross-entropy ceiling. Train is
+    ONE map-side-combining hash-agg; scoring is map-only against the
+    broadcast model. The oracle replicates train+score in DuckDB with
+    character trigrams — exact because the corpus is pure ASCII (byte
+    trigrams ≡ char trigrams; asserted by the n_chars column) — and the
+    count arithmetic is integer-exact, so only the final mean is
+    floating point (both sides round to 6 digits; the nearest document
+    sits 4e-5 from the 1.6 ceiling, 10 orders above cross-engine ulp)."""
+    from pangeo_forge_recipes_spark.operators.lmscore import quality_filter
+
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    ref = docs.where("doc_id % 4 = 0").select("text")
+    raw = docs.where("doc_id % 4 <> 0").select("doc_id", "text")
+    kept = quality_filter(raw, ref, max_bits_per_char=1.6, keep_fraction=None)
+    return kept.select(
+        "doc_id", F.round("bits_per_char", 6).alias("bits_per_char")
+    )
+
+
+def _quality_filter_oracle() -> str:
+    return """
+WITH ref AS (SELECT text FROM documents WHERE doc_id % 4 = 0),
+raw AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+tri AS (
+  SELECT substring(text, CAST(i AS BIGINT), 3) AS tg,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM ref, unnest(range(1, length(text) - 1)) AS t(i)
+  GROUP BY tg),
+ctx AS (SELECT substring(tg, 1, 2) AS cg, sum(c) AS ct FROM tri GROUP BY cg),
+pos AS (
+  SELECT doc_id, substring(text, CAST(i AS BIGINT), 3) AS tg
+  FROM raw, unnest(range(1, length(text) - 1)) AS t(i)),
+scored AS (
+  SELECT p.doc_id,
+         -avg(log2(coalesce(t.c, 0) + 0.5)
+              - log2(coalesce(x.ct, 0) + 128.0)) AS bits
+  FROM pos p
+  LEFT JOIN tri t ON p.tg = t.tg
+  LEFT JOIN ctx x ON substring(p.tg, 1, 2) = x.cg
+  GROUP BY p.doc_id)
+SELECT doc_id, round(bits, 6) AS bits_per_char FROM scored WHERE bits <= 1.6
+""".strip()
+
+
 def _messy_url_expr(dialect: str) -> str:
     """Deterministic messy-URL generator over the documents table —
     identical values on both engines. The variants (case-shifted scheme/
@@ -2280,6 +2328,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotated-out texts stay warm in test_shared_sql_parity.py
     out["mix_corpora"] = _mix_corpora_q
     out["chunk_documents"] = _chunk_documents_q
+    # round-5 rotation (third pass): quality_filter — the last ungraded
+    # LLM-pipeline operator family — takes sample_split_stats' slot (its
+    # md5-bucket determinism is graded through mix_corpora's draws and
+    # stays warm in the parity suite)
+    out["quality_filter"] = _quality_filter_q
     # shared-SQL battery (identical ANSI text on both engines); the
     # hourly-rollup text grades via its streaming twin below, so the
     # batch copy is skipped to stay inside the 50-query budget.
@@ -2319,7 +2372,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # semantic_dedup_pairs — the k-means scale path was the last ungraded
     # 100 TB operator; the signature text stays warm in the parity pytest
     for name, sql in _text_sql("spark").items():
-        if name not in ("dedup_ngram_signature", "text_fingerprints"):
+        if name not in (
+            "dedup_ngram_signature", "text_fingerprints", "sample_split_stats"
+        ):
             out[name] = _sql_query(sql)
     out["events_props_json"] = _sql_query(_props_json_sql("spark"))
     # streaming twins + bespoke joins
@@ -2358,6 +2413,9 @@ def oracle_sql() -> dict[str, str]:
     out.pop("q19_disjunctive_revenue")
     out["mix_corpora"] = _mix_corpora_oracle()
     out["chunk_documents"] = _chunk_documents_oracle()
+    # round-5 rotation: slot moved to quality_filter
+    out.pop("sample_split_stats")
+    out["quality_filter"] = _quality_filter_oracle()
     out["events_dedup_stream"] = _DEDUP_STREAM_ORACLE
     out["asof_last_order"] = _ASOF_ORACLE
     out["range_join_orders"] = _RANGE_JOIN_ORACLE

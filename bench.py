@@ -45,7 +45,7 @@ HEADLINE = [
     "skew_salted_join",
     "text_doc_metrics",
     "dedup_lines",
-    "sample_split_stats",
+    "quality_filter",
     "top_bigrams",
     "corpus_clean",
     "dedup_exact",
@@ -726,6 +726,9 @@ def main() -> None:
         "multimodal_audio",  # oracle regenerates the synthetic waveform
         # closed-form in SQL while Spark decodes real WAV bytes — the
         # two sides do different work by construction
+        "quality_filter",  # oracle replicates the trigram LM train+score
+        # as an O(total-bytes) three-way join — a correctness artifact;
+        # the engine side is hash-agg + broadcast map-only scoring
     }
     matched = [
         n for n in HEADLINE if n in oracles and n not in replication_oracles

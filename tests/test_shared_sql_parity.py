@@ -85,12 +85,15 @@ def test_rotated_out_sql_still_matches(spark, duck, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["dedup_ngram_signature", "text_fingerprints"]
+    "name",
+    ["dedup_ngram_signature", "text_fingerprints", "sample_split_stats"],
 )
 def test_rotated_out_text_sql_still_matches(spark, duck, name):
     """dedup_ngram_signature yielded its driver slot to
     semantic_dedup_pairs (r3); text_fingerprints yielded its slot to
-    dedup_lines (r5); the dialect-pair texts stay warm here."""
+    dedup_lines (r5); sample_split_stats yielded its slot to
+    quality_filter (r5, md5-bucket shape graded via mix_corpora); the
+    dialect-pair texts stay warm here."""
     entrymod._register(spark, SF_DIR)
     got = _summary(spark.sql(entrymod._text_sql("spark")[name]).toPandas())
     want = _summary(duck.execute(entrymod._text_sql("duckdb")[name]).df())
