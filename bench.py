@@ -274,19 +274,28 @@ def _bench_zarr_throughput(spark) -> dict:
         store_to_zarr(
             spark, pattern, tmp, "tput_warm.zarr", target_chunks={"time": 32}
         )
-        variants = (("shuffled", {"time": 32}), ("aligned", {"time": per}))
+        variants = (
+            ("shuffled", {"target_chunks": {"time": 32}}),
+            ("aligned", {"target_chunks": {"time": per}}),
+            (
+                "shuffled_refs",
+                {
+                    "target_chunks": {"time": 32},
+                    "rechunk_shuffle": "reference",
+                },
+            ),
+        )
         walls = {label: [] for label, _ in variants}
         nbytes = {}
         for rep in range(2):  # interleaved best-of-2
-            for label, chunks in variants:
+            for label, kwargs in variants:
                 t0 = time.perf_counter()
                 res = store_to_zarr(
-                    spark, pattern, tmp, f"tput_{label}{rep}.zarr",
-                    target_chunks=chunks,
+                    spark, pattern, tmp, f"tput_{label}{rep}.zarr", **kwargs
                 )
                 walls[label].append(time.perf_counter() - t0)
                 nbytes[label] = res.bytes_written
-                assert res.shuffled == (label == "shuffled")
+                assert res.shuffled == label.startswith("shuffled")
         out = {}
         for label, _ in variants:
             wall = min(walls[label])

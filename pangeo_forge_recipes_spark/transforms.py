@@ -27,6 +27,7 @@ transforms.py`` (the Beam PTransform library), re-expressed Spark-first:
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple, Union
 
@@ -62,6 +63,7 @@ from .zarrio import consolidate_metadata as _consolidate_metadata
 MANIFEST_SCHEMA = "index string, url string"
 FRAGMENT_SCHEMA = "index string, payload binary"
 SPLIT_SCHEMA = "group_key string, index string, payload binary"
+REFS_SCHEMA = "group_key string, index string, url string"
 STATUS_SCHEMA = "group_key string, index string, n_vars int, nbytes bigint"
 
 # threshold above which the manifest is generated distributed rather than
@@ -627,6 +629,151 @@ def rechunk_and_store(
     return df_split.groupBy("group_key").applyInPandas(combine_write, STATUS_SCHEMA)
 
 
+def open_split_refs_df(
+    df: DataFrame,
+    file_type: Union[str, FileType] = FileType.npz,
+    target_chunks: Optional[Dict[str, int]] = None,
+    schema: Optional[XarraySchema] = None,
+    xarray_open_kwargs: Optional[dict] = None,
+    preprocess: Optional[Callable[[Index, NDDataset], Tuple[Index, NDDataset]]] = None,
+) -> DataFrame:
+    """Reference split: the SAME group keys as
+    :func:`open_split_fragments_df`, but each row carries only
+    ``(group_key, file_index, url)`` — ~200 bytes — instead of the MB-scale
+    fragment payload. Sources are opened ``load=False`` so chunk-lazy
+    formats (zarr, kerchunk) pay metadata cost only; eager formats read
+    once without shipping. The write side (:func:`rechunk_refs_and_store`)
+    re-opens each source and extracts its pieces directly, so the
+    exchange moves O(#fragments) metadata instead of O(data) bytes — at
+    100 TB that removes the double shuffle-disk write/read of the whole
+    corpus and both Python↔JVM payload crossings, trading them for a
+    second targeted read of each source file."""
+    ft = FileType(file_type) if isinstance(file_type, str) else file_type
+
+    def split_keys(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, idxs, urls = [], [], []
+            for idx_json, url in zip(pdf["index"], pdf["url"]):
+                ds = open_with_ndset(
+                    url, file_type=ft, load=False,
+                    xarray_open_kwargs=xarray_open_kwargs,
+                )
+                index = Index.from_json(idx_json)
+                if preprocess is not None:
+                    index, ds = preprocess(index, ds)
+                for gk, (sub_idx, sub_ds) in split_fragment(
+                    (index, ds), target_chunks=target_chunks, schema=schema
+                ):
+                    gk_json = group_key_to_json(gk)
+                    for suffix, _single in _explode_by_variable(sub_idx, sub_ds):
+                        keys.append(f"{gk_json}|{suffix}")
+                        idxs.append(idx_json)
+                        urls.append(url)
+            yield pd.DataFrame({"group_key": keys, "index": idxs, "url": urls})
+
+    return df.mapInPandas(split_keys, REFS_SCHEMA)
+
+
+# per-worker-process LRU of opened+preprocessed sources for the reference
+# write path: groups land on workers in key-hash order, so consecutive
+# tasks frequently revisit the same file. Two entries bound memory at two
+# source files per worker; Spark Python workers are single-threaded.
+_REFS_OPEN_CACHE: "OrderedDict[Tuple[str, str], Tuple[Index, NDDataset]]" = (
+    OrderedDict()
+)
+_REFS_OPEN_CACHE_CAP = 2
+
+
+def rechunk_refs_and_store(
+    df_refs: DataFrame,
+    target_store_path: str,
+    file_type: Union[str, FileType] = FileType.npz,
+    target_chunks: Optional[Dict[str, int]] = None,
+    schema: Optional[XarraySchema] = None,
+    xarray_open_kwargs: Optional[dict] = None,
+    preprocess: Optional[Callable[[Index, NDDataset], Tuple[Index, NDDataset]]] = None,
+) -> DataFrame:
+    """Combine+write for the reference shuffle: each group re-opens its
+    source files (process-level LRU), re-runs the deterministic
+    :func:`split_fragment`, keeps only its own pieces, then assembles and
+    writes exactly like :func:`rechunk_and_store`. Determinism of the
+    split (pure function of index ⊕ chunk grid) is what makes shuffling
+    references instead of payloads sound."""
+    ft = FileType(file_type) if isinstance(file_type, str) else file_type
+
+    def open_cached(url: str, idx_json: str) -> Tuple[Index, NDDataset]:
+        key = (url, idx_json)
+        hit = _REFS_OPEN_CACHE.get(key)
+        if hit is not None:
+            _REFS_OPEN_CACHE.move_to_end(key)
+            return hit
+        ds = open_with_ndset(
+            url, file_type=ft, xarray_open_kwargs=xarray_open_kwargs
+        )
+        index = Index.from_json(idx_json)
+        if preprocess is not None:
+            index, ds = preprocess(index, ds)
+        _REFS_OPEN_CACHE[key] = (index, ds)
+        while len(_REFS_OPEN_CACHE) > _REFS_OPEN_CACHE_CAP:
+            _REFS_OPEN_CACHE.popitem(last=False)
+        return index, ds
+
+    def combine_write(gk_full: str, rows: List[Tuple[str, str]]) -> dict:
+        gk_json, _, suffix = gk_full.rpartition("|")
+        frags = []
+        for idx_json, url in rows:
+            index, ds = open_cached(url, idx_json)
+            for gk, (sub_idx, sub_ds) in split_fragment(
+                (index, ds), target_chunks=target_chunks, schema=schema
+            ):
+                if group_key_to_json(gk) != gk_json:
+                    continue
+                for suf, single in _explode_by_variable(sub_idx, sub_ds):
+                    if suf == suffix:
+                        frags.append((sub_idx, single))
+        index, ds = combine_fragments(None, frags)
+        store_dataset_fragment((index, ds), target_store_path)
+        nbytes = int(sum(v.data.nbytes for v in ds.variables.values()))
+        return {
+            "group_key": gk_full,
+            "index": index.to_json(),
+            "n_vars": len(ds.data_vars),
+            "nbytes": nbytes,
+        }
+
+    # range-partition + in-partition sort instead of a hash groupBy: all
+    # suffixes of one chunk — and lexicographically adjacent chunks, which
+    # are the ones straddling the same source files — run CONSECUTIVELY on
+    # the same worker, so the per-process open cache turns the "one open
+    # per group" cost into ~one open per file per partition. Groups stay
+    # whole because repartitionByRange keys each group to one partition.
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_key: Optional[str] = None
+        cur_rows: List[Tuple[str, str]] = []
+        done: List[dict] = []
+        for pdf in batches:
+            for gk, idx_json, url in zip(
+                pdf["group_key"], pdf["index"], pdf["url"]
+            ):
+                if gk != cur_key:
+                    if cur_key is not None:
+                        done.append(combine_write(cur_key, cur_rows))
+                    cur_key, cur_rows = gk, []
+                cur_rows.append((idx_json, url))
+        if cur_key is not None:
+            done.append(combine_write(cur_key, cur_rows))
+        if done:
+            yield pd.DataFrame(done)
+
+    nparts = int(
+        df_refs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    part = df_refs.repartitionByRange(nparts, "group_key").sortWithinPartitions(
+        "group_key"
+    )
+    return part.mapInPandas(run, STATUS_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # StoreToZarr — the master composite (reference ``transforms.py:638-725``)
 # ---------------------------------------------------------------------------
@@ -695,6 +842,7 @@ def store_to_zarr(
     prune: Optional[int] = None,
     target_shards: Optional[Dict[str, int]] = None,
     zarr_format: int = 3,
+    rechunk_shuffle: str = "payload",
 ) -> StoreResult:
     """End-to-end Zarr pipeline (reference ``StoreToZarr``,
     ``transforms.py:638-725``):
@@ -711,9 +859,26 @@ def store_to_zarr(
     writes stay disjoint per task (the same no-read-modify-write
     invariant as chunk-grain writes, now at prod(shards/chunks) fewer
     object-store requests).
+
+    ``rechunk_shuffle`` picks what THE shuffle moves when source and
+    target chunking misalign: ``"payload"`` (default) ships fragment
+    bytes through the exchange (one source read; data crosses
+    shuffle disk + Python↔JVM twice); ``"reference"`` ships only
+    ``(group_key, file_index, url)`` rows and the write tasks re-open
+    their source files directly (exchange volume drops from O(data) to
+    O(#fragments); sources are read a second time, but only the needed
+    pieces for chunk-lazy formats). At 100 TB the reference mode is the
+    one that scales: the payload exchange writes+reads the entire
+    corpus through shuffle storage, while references keep the shuffle
+    in the megabytes regardless of data size.
     """
     if target_chunks and dynamic_chunking_fn:
         raise ValueError("Passing both `target_chunks` and `dynamic_chunking_fn` not allowed.")
+    if rechunk_shuffle not in ("payload", "reference"):
+        raise ValueError(
+            f"rechunk_shuffle must be 'payload' or 'reference', got "
+            f"{rechunk_shuffle!r}"
+        )
     if target_shards:
         for d, s in target_shards.items():
             c = (target_chunks or {}).get(d)
@@ -797,7 +962,25 @@ def store_to_zarr(
     # align with file boundaries the shuffle is skipped entirely
     indexed = index_items(manifest, schema, append_offset=append_offset)
     shuffled = not _chunks_aligned_with_files(schema, write_chunks, append_offset)
-    if shuffled:
+    if shuffled and rechunk_shuffle == "reference":
+        refs = open_split_refs_df(
+            indexed,
+            file_type,
+            target_chunks=write_chunks,
+            schema=schema,
+            preprocess=preprocess,
+            xarray_open_kwargs=xarray_open_kwargs,
+        )
+        statuses = rechunk_refs_and_store(
+            refs,
+            store_path,
+            file_type=file_type,
+            target_chunks=write_chunks,
+            schema=schema,
+            preprocess=preprocess,
+            xarray_open_kwargs=xarray_open_kwargs,
+        )
+    elif shuffled:
         split = open_split_fragments_df(
             indexed,
             file_type,

@@ -483,3 +483,64 @@ def test_pattern_from_glob_natural_order(tmp_path, spark):
 
     with _pytest.raises(FileNotFoundError):
         pattern_from_glob(str(tmp_path / "none*.npz"), "time")
+
+
+@pytest.mark.parametrize("target_chunks", [{"time": 3}, {"time": 4}])
+def test_reference_shuffle_equals_payload_shuffle(spark, tmp_path, target_chunks):
+    """rechunk_shuffle='reference' moves (group_key, index, url) rows
+    through THE shuffle and re-reads sources on the write side — the
+    store must be byte-equal in content to the payload-shuffle store."""
+    ds = make_ds(nt=10)
+    paths = split_ds_into_files(ds, str(tmp_path), items_per_file=2)
+    pattern = pattern_from_file_sequence(
+        paths, "time", nitems_per_file=2, file_type="npz"
+    )
+    ref = store_to_zarr(
+        spark, pattern, str(tmp_path / "t1"), "store.zarr",
+        target_chunks=target_chunks, rechunk_shuffle="reference",
+    )
+    pay = store_to_zarr(
+        spark, pattern, str(tmp_path / "t2"), "store.zarr",
+        target_chunks=target_chunks,
+    )
+    assert ref.shuffled and pay.shuffled
+    assert_equal(ref.open(), ds)
+    assert ref.n_chunks_written == pay.n_chunks_written
+    assert ref.bytes_written == pay.bytes_written
+
+
+def test_reference_shuffle_with_preprocess_and_shards(spark, tmp_path):
+    """The reference shuffle re-applies the user preprocessor on the
+    write side; shard-grain grouping composes with it."""
+    ds = make_ds(nt=12)
+    paths = split_ds_into_files(ds, str(tmp_path), items_per_file=3)
+    pattern = pattern_from_file_sequence(
+        paths, "time", nitems_per_file=3, file_type="npz"
+    )
+
+    def pre(index, frag):
+        frag.attrs["marked"] = "yes"
+        return index, frag
+
+    result = store_to_zarr(
+        spark, pattern, str(tmp_path / "t"), "store.zarr",
+        target_chunks={"time": 2}, target_shards={"time": 4},
+        preprocess=pre, rechunk_shuffle="reference",
+    )
+    out = result.open()
+    assert out.attrs.get("marked") == "yes"
+    ds.attrs["marked"] = "yes"
+    assert_equal(out, ds)
+
+
+def test_reference_shuffle_rejects_unknown_mode(spark, tmp_path):
+    ds = make_ds(nt=4)
+    paths = split_ds_into_files(ds, str(tmp_path), items_per_file=2)
+    pattern = pattern_from_file_sequence(
+        paths, "time", nitems_per_file=2, file_type="npz"
+    )
+    with pytest.raises(ValueError, match="rechunk_shuffle"):
+        store_to_zarr(
+            spark, pattern, str(tmp_path / "t"), "s.zarr",
+            target_chunks={"time": 2}, rechunk_shuffle="bogus",
+        )
