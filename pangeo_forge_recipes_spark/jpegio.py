@@ -20,9 +20,11 @@ differences, SSSS=16, 2..16-bit samples — the DNG/medical mode) are
 implemented in both directions. Arithmetic coding (T.81 Annex D
 QM-coder) decodes in both sequential (SOF9) and progressive (SOF10)
 modes — DAC conditioning, restart markers, the full DC/AC statistical
-models of F.2.2 and G.2 — and encodes sequentially
-(``encode_jpeg(arithmetic=True)``: SOF9 + DAC, typically smaller than
-the Huffman output); the entropy layer is pinned against libjpeg in
+models of F.2.2 and G.2 — and encodes BOTH sequentially
+(``encode_jpeg(arithmetic=True)``: SOF9 + DAC) and progressively
+(``arithmetic=True, progressive=True``: SOF10 with the same
+successive-approximation scan script as the Huffman path), typically
+smaller than the Huffman output; the entropy layer is pinned against libjpeg in
 both directions (fixture pairs carrying identical coefficients, plus
 an exhaustive randomized-stream equivalence run against libjpeg's
 decoder during development). Hierarchical mode raises
@@ -541,34 +543,27 @@ class _ArithEncoder:
         return data
 
 
-def _encode_block_arith(
-    enc: "_ArithEncoder",
-    blk: np.ndarray,
-    ci: int,
-    dc_stats: bytearray,
-    ac_stats: bytearray,
-    fixed: bytearray,
-    preds: List[int],
-    dc_ctx: List[int],
-    kx: int = 5,
-) -> None:
-    """Encode one block's DC+AC coefficients (mirror of the decode
-    procedures in ``_decode_scan_arith``; T.81 F.1.4)."""
-    def magnitude(stats, st, m, sz):
-        top = 1 << (sz.bit_length() - 1)
-        while m < top:
-            enc.encode(stats, st, 1)
-            st += 1
-            m <<= 1
-        enc.encode(stats, st, 0)
-        st += 14
-        bit = m >> 1
-        while bit:
-            enc.encode(stats, st, 1 if sz & bit else 0)
-            bit >>= 1
+def _arith_enc_magnitude(enc, stats, st, m, sz):
+    """Encode the magnitude-category run + mantissa of ``sz`` (mirror of
+    ``_arith_decode_magnitude``)."""
+    top = 1 << (sz.bit_length() - 1)
+    while m < top:
+        enc.encode(stats, st, 1)
+        st += 1
+        m <<= 1
+    enc.encode(stats, st, 0)
+    st += 14
+    bit = m >> 1
+    while bit:
+        enc.encode(stats, st, 1 if sz & bit else 0)
+        bit >>= 1
 
-    diff = int(blk[0]) - preds[ci]
-    preds[ci] = int(blk[0])
+
+def _arith_encode_dc(enc, dc_stats, dc_val, ci, preds, dc_ctx):
+    """Encode one DC value (already point-transformed for progressive
+    scans); mirrors ``decode_dc`` in ``_decode_scan_arith``."""
+    diff = dc_val - preds[ci]
+    preds[ci] = dc_val
     s0 = dc_ctx[ci]
     if diff == 0:
         enc.encode(dc_stats, s0, 0)
@@ -583,23 +578,27 @@ def _encode_block_arith(
             m = 0
         else:
             enc.encode(dc_stats, s0 + 2 + sign, 1)
-            magnitude(dc_stats, 20, 1, sz)
+            _arith_enc_magnitude(enc, dc_stats, 20, 1, sz)
             m = 1 << (sz.bit_length() - 1)
         dc_ctx[ci] = 12 + 4 * sign if m > 1 else 4 + 4 * sign
 
-    k = 1
-    while k <= 63:
+
+def _arith_encode_ac_band(enc, ac_stats, fixed, vals, ss, se, kx=5):
+    """Encode one block's AC band (values already point-transformed);
+    mirrors ``decode_ac`` in ``_decode_scan_arith``."""
+    k = max(ss, 1)
+    while k <= se:
         base = 3 * (k - 1)
-        if not blk[k:].any():
+        if not any(vals[k : se + 1]):
             enc.encode(ac_stats, base, 1)  # end-of-block
             return
         enc.encode(ac_stats, base, 0)
-        while blk[k] == 0:
+        while vals[k] == 0:
             enc.encode(ac_stats, base + 1, 0)
             k += 1
             base += 3
         enc.encode(ac_stats, base + 1, 1)
-        v = int(blk[k])
+        v = vals[k]
         sign = 1 if v < 0 else 0
         enc.encode(fixed, 0, sign)
         sz = abs(v) - 1
@@ -611,8 +610,136 @@ def _encode_block_arith(
                 enc.encode(ac_stats, base + 2, 0)
             else:
                 enc.encode(ac_stats, base + 2, 1)
-                magnitude(ac_stats, _AC_XLO if k <= kx else _AC_XHI, 2, sz)
+                _arith_enc_magnitude(
+                    enc, ac_stats, _AC_XLO if k <= kx else _AC_XHI, 2, sz
+                )
         k += 1
+
+
+def _arith_encode_ac_refine(enc, ac_stats, fixed, vals, ss, se, al):
+    """Encode one block's AC successive-approximation refinement scan;
+    mirrors ``decode_ac_refine`` in ``_decode_scan_arith``. ``vals`` are
+    the FULL coefficient values: previously-significant means nonzero at
+    ``al + 1`` precision, newly-significant means magnitude 1 at ``al``."""
+    def at(k, shift):
+        return abs(vals[k]) >> shift
+
+    kex = se
+    while kex > 0:
+        if at(kex, al + 1):
+            break
+        kex -= 1
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if k > kex:
+            any_new = any(at(j, al) for j in range(k, se + 1))
+            enc.encode(ac_stats, base, 0 if any_new else 1)
+            if not any_new:
+                return
+        while True:
+            if at(k, al + 1):  # previously significant: correction bit
+                enc.encode(ac_stats, base + 2, at(k, al) & 1)
+                break
+            if at(k, al) == 1:  # newly significant: flag + sign
+                enc.encode(ac_stats, base + 1, 1)
+                enc.encode(fixed, 0, 1 if vals[k] < 0 else 0)
+                break
+            enc.encode(ac_stats, base + 1, 0)
+            k += 1
+            base += 3
+        k += 1
+
+
+def _encode_block_arith(
+    enc: "_ArithEncoder",
+    blk: np.ndarray,
+    ci: int,
+    dc_stats: bytearray,
+    ac_stats: bytearray,
+    fixed: bytearray,
+    preds: List[int],
+    dc_ctx: List[int],
+    kx: int = 5,
+) -> None:
+    """Encode one block's DC+AC coefficients sequentially (mirror of the
+    decode procedures in ``_decode_scan_arith``; T.81 F.1.4)."""
+    vals = [int(v) for v in blk]
+    _arith_encode_dc(enc, dc_stats, vals[0], ci, preds, dc_ctx)
+    _arith_encode_ac_band(enc, ac_stats, fixed, vals, 1, 63, kx)
+
+
+def _encode_progressive_scans_arith(
+    coefs: List[np.ndarray],
+    sampling: List[Tuple[int, int]],
+    mcus_x: int,
+    mcus_y: int,
+    h: int,
+    w: int,
+) -> List[Tuple[List[int], Tuple[int, int, int, int], bytes]]:
+    """Arithmetic twin of ``_encode_progressive_scans``: the same
+    libjpeg-style scan script (interleaved DC first at Al=1 + DC refine,
+    per-component AC first at Al=1 + AC refine) entropy-coded with the
+    QM-coder (T.81 G.1.3); statistics are fresh per scan."""
+    ncomp = len(coefs)
+    scans: List[Tuple[List[int], Tuple[int, int, int, int], bytes]] = []
+
+    # scan 1: DC first, all components interleaved, Al=1
+    enc = _ArithEncoder()
+    dc_stats = bytearray(_DC_NBINS)
+    preds = [0] * ncomp
+    dc_ctx = [0] * ncomp
+    for mcu in range(mcus_x * mcus_y):
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (sh, sv) in enumerate(sampling):
+            for by in range(sv):
+                for bx in range(sh):
+                    dc = int(coefs[ci][my * sv + by, mx * sh + bx, 0]) >> 1
+                    _arith_encode_dc(enc, dc_stats, dc, ci, preds, dc_ctx)
+    scans.append((list(range(ncomp)), (0, 0, 0, 1), enc.flush()))
+
+    # scan 2: DC refinement (bit 0), fixed non-adaptive bin
+    enc = _ArithEncoder()
+    fixed = bytearray([113])
+    for mcu in range(mcus_x * mcus_y):
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (sh, sv) in enumerate(sampling):
+            for by in range(sv):
+                for bx in range(sh):
+                    bit = int(coefs[ci][my * sv + by, mx * sh + bx, 0]) & 1
+                    enc.encode(fixed, 0, bit)
+    scans.append((list(range(ncomp)), (0, 0, 1, 0), enc.flush()))
+
+    # per component: AC first (Al=1) then AC refinement (Ah=1, Al=0),
+    # walking the component's own block grid (T.81 A.2.2)
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    for ci, (sh, sv) in enumerate(sampling):
+        blocks = coefs[ci]
+        nbw = -(-(-(-w * sh // hmax)) // 8)
+        nbh = -(-(-(-h * sv // vmax)) // 8)
+
+        enc = _ArithEncoder()
+        ac_stats = bytearray(_AC_NBINS)
+        fixed = bytearray([113])
+        for by in range(nbh):
+            for bx in range(nbw):
+                vals = [int(v) for v in blocks[by, bx]]
+                shifted = [
+                    (abs(v) >> 1) * (1 if v >= 0 else -1) for v in vals
+                ]
+                _arith_encode_ac_band(enc, ac_stats, fixed, shifted, 1, 63)
+        scans.append(([ci], (1, 63, 0, 1), enc.flush()))
+
+        enc = _ArithEncoder()
+        ac_stats = bytearray(_AC_NBINS)
+        fixed = bytearray([113])
+        for by in range(nbh):
+            for bx in range(nbw):
+                vals = [int(v) for v in blocks[by, bx]]
+                _arith_encode_ac_refine(enc, ac_stats, fixed, vals, 1, 63, 0)
+        scans.append(([ci], (1, 63, 1, 0), enc.flush()))
+    return scans
 
 
 def _decode_scan_arith(
@@ -1479,12 +1606,13 @@ def encode_jpeg(
     (0..4095), emits extended-sequential SOF1 (or 12-bit SOF2), 16-bit
     quantization tables scaled x16, and wider Huffman alphabets.
     ``arithmetic=True`` entropy-codes the same coefficients with the T.81
-    QM-coder (SOF9, DAC conditioning, no DHT) — typically 5-10% smaller
-    than Huffman; sequential only."""
+    QM-coder (DAC conditioning, no DHT) — SOF9 sequentially, SOF10 with
+    ``progressive=True`` — typically well smaller than our canonical-table
+    Huffman output."""
     arr = np.asarray(arr)
-    if arithmetic and progressive:
+    if arithmetic and progressive and restart_interval:
         raise NotImplementedError(
-            "progressive arithmetic encoding unsupported (decoding is)"
+            "restart intervals in progressive arithmetic scans unsupported"
         )
     if precision not in (8, 12):
         raise ValueError(f"precision must be 8 or 12, got {precision}")
@@ -1564,7 +1692,11 @@ def encode_jpeg(
         cf = np.round((_M @ blocks @ _M.T) / qz).astype(np.int64)
         coefs.append(cf.reshape(bh, bw, 64)[:, :, ZIGZAG])
 
-    if progressive:
+    if progressive and arithmetic:
+        scans = _encode_progressive_scans_arith(
+            coefs, sampling, mcus_x, mcus_y, h, w
+        )
+    elif progressive:
         scans = _encode_progressive_scans(
             coefs, sampling, mcus_x, mcus_y, dc_enc, ac_enc, h, w
         )
@@ -1636,7 +1768,7 @@ def encode_jpeg(
         sh, sv = sampling[ci]
         sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
     if arithmetic:
-        sof_marker = 0xC9
+        sof_marker = 0xCA if progressive else 0xC9
     elif progressive:
         sof_marker = 0xC2
     else:

@@ -494,10 +494,31 @@ def test_arith_entropy_is_byte_stuffed():
             i += 1
 
 
-def test_arith_progressive_encode_gated():
+@pytest.mark.parametrize(
+    "shape,kwargs",
+    [((41, 53), {}), ((35, 47, 3), {}), ((40, 48, 3), {"subsample": True})],
+)
+def test_arith_progressive_encode_decodes_identically(shape, kwargs):
+    """Progressive arithmetic encoding (SOF10 scan script: DC first/
+    refine + per-component AC first/refine through the QM-coder) carries
+    the same coefficients as the baseline encoding. (Cross-validated
+    against libjpeg during development: jpeg_read_coefficients on our
+    SOF10 output equals our baseline output, all three shapes.)"""
+    rng = np.random.RandomState(5)
+    img = (rng.rand(*shape) * 255).astype(np.uint8)
+    pa = encode_jpeg(img, quality=85, arithmetic=True, progressive=True, **kwargs)
+    assert b"\xff\xca" in pa.split(b"\xff\xda")[0]  # SOF10
+    base = encode_jpeg(img, quality=85, **kwargs)
+    np.testing.assert_array_equal(decode_jpeg(pa), decode_jpeg(base))
+    assert len(pa) < len(
+        encode_jpeg(img, quality=85, progressive=True, **kwargs)
+    )
+
+
+def test_arith_progressive_restart_gated():
     img = np.zeros((8, 8), np.uint8)
     with pytest.raises(NotImplementedError):
-        encode_jpeg(img, arithmetic=True, progressive=True)
+        encode_jpeg(img, arithmetic=True, progressive=True, restart_interval=2)
 
 
 def test_qm_table_invariants():
