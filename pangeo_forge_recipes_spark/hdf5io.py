@@ -22,8 +22,10 @@ files):
 * filters: deflate (zlib — decodes with the engine's gzip codec),
   shuffle (byte transpose), lzf (pure-python decode of h5py's filter
   32000), szip (pure-python CCSDS 121 extended-Rice decode, module
-  :mod:`.szip`), and bzip2 (hdf5plugin's registered filter 307 —
-  stdlib ``bz2``); others raise a clear error
+  :mod:`.szip`), bzip2 (hdf5plugin's registered filter 307 — stdlib
+  ``bz2``), lz4 (registered filter 32004, public block framing over
+  LZ4 blocks) and zstd (registered filter 32015, one plain zstd
+  frame); others raise a clear error
 * dimension naming: ``_ARRAY_DIMENSIONS`` (xarray/kerchunk convention),
   netCDF4 ``DIMENSION_LIST`` object references, or dimension-scale
   ``NAME``/``CLASS`` attributes; falls back to ``phony_dim_<i>``
@@ -557,6 +559,57 @@ def _dims_for(name: str, info: dict, reader: _Reader) -> List[str]:
 _DEFLATE, _SHUFFLE, _SZIP = 1, 2, 4
 _LZF = 32000  # h5py's registered LZF filter id
 _BZIP2 = 307  # hdf5plugin's registered bzip2 filter id (stdlib bz2 stream)
+_LZ4 = 32004  # registered HDF5 LZ4 filter (nexusformat/hdf5plugin)
+_ZSTD = 32015  # registered HDF5 Zstandard filter (one plain zstd frame)
+
+
+def hdf5_lz4_decompress(data: bytes) -> bytes:
+    """Decode the registered HDF5 LZ4 filter framing (public spec from
+    the filter registration: 8-byte BE total decompressed size, 4-byte BE
+    block size, then per block a 4-byte BE compressed size + an LZ4
+    *block*-format payload; a block whose compressed size equals its
+    decompressed size is stored raw)."""
+    from .codecs import lz4_block_decompress
+
+    data = bytes(data)
+    total = int.from_bytes(data[:8], "big")
+    bsize = int.from_bytes(data[8:12], "big")
+    if bsize <= 0 or bsize > total:
+        bsize = total
+    out = bytearray()
+    p = 12
+    while len(out) < total:
+        csize = int.from_bytes(data[p : p + 4], "big")
+        p += 4
+        dsize = min(bsize, total - len(out))
+        if csize == dsize:
+            out += data[p : p + dsize]
+        else:
+            out += lz4_block_decompress(data[p : p + csize], dsize)
+        p += csize
+    return bytes(out)
+
+
+def hdf5_lz4_compress(data: bytes, block_size: int = 1 << 30) -> bytes:
+    """Encode the HDF5 LZ4 filter framing (the inverse of
+    :func:`hdf5_lz4_decompress`; blocks fall back to stored-raw when LZ4
+    does not shrink them, per the registered filter's convention)."""
+    from .codecs import lz4_block_compress
+
+    data = bytes(data)
+    total = len(data)
+    bsize = min(block_size, total) if total else block_size
+    out = bytearray()
+    out += total.to_bytes(8, "big")
+    out += bsize.to_bytes(4, "big")
+    for off in range(0, total, max(bsize, 1)):
+        block = data[off : off + bsize]
+        comp = lz4_block_compress(block)
+        if len(comp) >= len(block):
+            comp = block  # stored raw; csize == dsize signals it
+        out += len(comp).to_bytes(4, "big")
+        out += comp
+    return bytes(out)
 
 
 def lzf_decompress(data: bytes) -> bytes:
@@ -670,12 +723,14 @@ def scan_hdf5(path: str, inline_threshold: int = 300) -> dict:
             unsupported = [
                 fid
                 for fid, _ in filters
-                if fid not in (_DEFLATE, _SHUFFLE, _LZF, _SZIP, _BZIP2)
+                if fid not in (
+                    _DEFLATE, _SHUFFLE, _LZF, _SZIP, _BZIP2, _LZ4, _ZSTD
+                )
             ]
             if unsupported:
                 raise NotImplementedError(
                     f"{path}:{name}: HDF5 filters {unsupported} unsupported "
-                    "(only deflate, shuffle, szip, bzip2, and lzf)"
+                    "(only deflate, shuffle, szip, bzip2, lzf, lz4, zstd)"
                 )
             if info.get("layout") == "chunked":
                 chunk_shape = info["chunk"]
@@ -705,6 +760,10 @@ def scan_hdf5(path: str, inline_threshold: int = 300) -> dict:
                     extra.append({"name": "hdf5-lzf"})
                 elif fid == _BZIP2:
                     extra.append({"name": "hdf5-bzip2"})
+                elif fid == _LZ4:
+                    extra.append({"name": "hdf5-lz4"})
+                elif fid == _ZSTD:
+                    extra.append({"name": "hdf5-zstd"})
                 elif fid == _SZIP:
                     om, bpp, ppb, pps = (tuple(cd) + (0, 0, 0, 0))[:4]
                     extra.append(
@@ -918,20 +977,25 @@ def write_hdf5(
     the xarray/kerchunk convention). Used to generate scanner fixtures;
     datetimes are CF-encoded like the engine's other containers.
     ``compress``: False, True/'deflate' (zlib), 'lzf' (h5py's filter
-    32000), 'szip' (CCSDS 121 extended-Rice NN mode, filter 4), or
-    'bzip2' (hdf5plugin's registered filter 307, stdlib ``bz2``)."""
+    32000), 'szip' (CCSDS 121 extended-Rice NN mode, filter 4),
+    'bzip2' (hdf5plugin's registered filter 307, stdlib ``bz2``),
+    'lz4' (registered filter 32004, block framing + LZ4 blocks), or
+    'zstd' (registered filter 32015, one plain zstd frame)."""
     from .dsio import _encode_for_store
 
     if compress not in (
-        False, None, True, "deflate", "gzip", "lzf", "szip", "bzip2"
+        False, None, True, "deflate", "gzip", "lzf", "szip", "bzip2",
+        "lz4", "zstd",
     ):
         raise ValueError(
-            f"compress={compress!r}; use False, 'deflate', 'lzf', 'szip' "
-            "or 'bzip2'"
+            f"compress={compress!r}; use False, 'deflate', 'lzf', 'szip', "
+            "'bzip2', 'lz4' or 'zstd'"
         )
     use_lzf = compress == "lzf"
     use_szip = compress == "szip"
     use_bzip2 = compress == "bzip2"
+    use_lz4 = compress == "lz4"
+    use_zstd = compress == "zstd"
     chunks = chunks or {}
     variables = {**ds.coords, **ds.data_vars}
     names = sorted(variables)
@@ -1040,6 +1104,12 @@ def write_hdf5(
                     import bz2
 
                     raw = bz2.compress(raw, 9)
+                elif use_lz4:
+                    raw = hdf5_lz4_compress(raw)
+                elif use_zstd:
+                    from .codecs import zstd_compress
+
+                    raw = zstd_compress(raw)
                 elif eff_compress:
                     raw = zlib.compress(raw, 4)
                 caddr = alloc(raw)
@@ -1103,6 +1173,25 @@ def write_hdf5(
                         struct.pack("<HHHH", _BZIP2, len(fname), 1, 1)
                         + fname
                         + struct.pack("<I", 9)
+                        + struct.pack("<I", 0)
+                    )
+                elif use_lz4:
+                    fname = b"lz4\x00\x00\x00\x00\x00"
+                    # one client value: the framing block size (0 =
+                    # filter default); odd count → one 4-byte pad
+                    entries.append(
+                        struct.pack("<HHHH", _LZ4, len(fname), 1, 1)
+                        + fname
+                        + struct.pack("<I", 0)
+                        + struct.pack("<I", 0)
+                    )
+                elif use_zstd:
+                    fname = b"zstd\x00\x00\x00\x00"
+                    # one client value: the compression aggression level
+                    entries.append(
+                        struct.pack("<HHHH", _ZSTD, len(fname), 1, 1)
+                        + fname
+                        + struct.pack("<I", 1)
                         + struct.pack("<I", 0)
                     )
                 elif eff_compress:

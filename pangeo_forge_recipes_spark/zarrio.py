@@ -258,6 +258,16 @@ class ZarrArray:
         return any(c["name"] == "hdf5-bzip2" for c in self.meta["codecs"])
 
     @property
+    def _has_hdf5_lz4(self) -> bool:
+        """HDF5 LZ4 filter id 32004 (block framing + LZ4 blocks)."""
+        return any(c["name"] == "hdf5-lz4" for c in self.meta["codecs"])
+
+    @property
+    def _has_hdf5_zstd(self) -> bool:
+        """HDF5 Zstandard filter id 32015 (one plain zstd frame)."""
+        return any(c["name"] == "hdf5-zstd" for c in self.meta["codecs"])
+
+    @property
     def _szip_config(self) -> Optional[dict]:
         """HDF5 szip filter parameters (virtual references into
         szip-compressed files; decoded by :mod:`.szip`)."""
@@ -469,6 +479,14 @@ class ZarrArray:
             import bz2
 
             buf = bz2.compress(buf, 9)
+        if self._has_hdf5_zstd:
+            from .codecs import zstd_compress
+
+            buf = zstd_compress(buf)
+        if self._has_hdf5_lz4:
+            from .hdf5io import hdf5_lz4_compress
+
+            buf = hdf5_lz4_compress(buf)
         if self._has_lzf:
             from .hdf5io import lzf_compress
 
@@ -581,6 +599,18 @@ class ZarrArray:
             import bz2
 
             buf = bz2.decompress(buf)
+        if self._has_hdf5_lz4:
+            from .hdf5io import hdf5_lz4_decompress
+
+            buf = hdf5_lz4_decompress(buf)
+        if self._has_hdf5_zstd:
+            from .codecs import zstd_decompress
+
+            buf = zstd_decompress(
+                buf,
+                int(np.prod(self.chunks, dtype=np.int64))
+                * self.dtype.itemsize,
+            )
         szp = self._szip_config
         if szp is not None:
             from .szip import szip_decompress

@@ -116,21 +116,21 @@ def test_write_read_roundtrip_shuffle_deflate(tmp_path):
 
 
 def test_unsupported_filter_raises(tmp_path):
-    """A dataset using an unimplemented filter (LZ4, registered id 32004)
-    must fail loudly, not decode garbage. (szip and bzip2, former
-    examples here, are now decoded natively — see test_szip.py and
-    test_hdf5_bzip2_round_trip.)"""
+    """A dataset using an unimplemented filter (blosc's HDF5 filter,
+    registered id 32001) must fail loudly, not decode garbage. (szip,
+    bzip2, lz4 and zstd, former examples here, are now decoded
+    natively.)"""
     ds = make_ds(nt=2)
     p = str(tmp_path / "t.h5")
     write_hdf5(p, ds, chunks={"time": 1}, compress=True)
-    # splice the HDF5-LZ4 filter id (32004) over deflate (1)
+    # splice the HDF5-blosc filter id (32001) over deflate (1)
     with open(p, "rb") as f:
         raw = bytearray(f.read())
     sig = b"deflate\x00"
     idx = raw.find(sig)
     assert idx > 0
-    raw[idx - 8 : idx - 6] = (32004).to_bytes(2, "little")
-    raw[idx : idx + 8] = b"lz4\x00\x00\x00\x00\x00"
+    raw[idx - 8 : idx - 6] = (32001).to_bytes(2, "little")
+    raw[idx : idx + 8] = b"blosc\x00\x00\x00"
     p2 = str(tmp_path / "t2.h5")
     with open(p2, "wb") as f:
         f.write(bytes(raw))
@@ -290,3 +290,65 @@ def test_store_to_zarr_from_lzf_netcdf4(spark, tmp_path):
     result = store_to_zarr(spark, pattern, str(tmp_path), "lz.zarr",
                            target_chunks={"time": 2})
     assert_equal(result.open(), ds, check_attrs=False)
+
+
+@pytest.mark.parametrize("comp,codec", [("lz4", "hdf5-lz4"), ("zstd", "hdf5-zstd")])
+def test_hdf5_lz4_zstd_round_trip_and_write_through(tmp_path, comp, codec):
+    """write_hdf5(compress='lz4'/'zstd') emits the registered filter
+    (32004 / 32015) pipelines; the scanner maps them to virtual-store
+    codecs, reads decode exactly, and chunk write-through encodes
+    symmetrically."""
+    import json
+
+    import numpy as np
+
+    from pangeo_forge_recipes_spark.hdf5io import read_hdf5, write_hdf5
+    from pangeo_forge_recipes_spark.ndset import assert_equal
+    from pangeo_forge_recipes_spark.zarrio import ZarrArray
+
+    ds = make_ds(nt=6)
+    p = str(tmp_path / f"{comp}.h5")
+    write_hdf5(p, ds, chunks={"time": 3}, compress=comp)
+    with open(p, "rb") as f:
+        raw = f.read()
+    assert comp.encode() + b"\x00" in raw  # filter name in the pipeline
+    assert_equal(read_hdf5(p), ds)
+    refs = scan_hdf5(p)
+    meta = json.loads(refs["foo/zarr.json"])
+    assert {"name": codec} in meta["codecs"]
+    assert_equal(open_reference_dataset(refs), ds, check_attrs=False)
+    arr = ZarrArray(None, "foo", meta)
+    block = np.arange(
+        np.prod(arr.chunks), dtype=arr.dtype
+    ).reshape(tuple(arr.chunks))
+    enc = arr._encode_chunk(block)
+    np.testing.assert_array_equal(arr._decode_chunk(enc), block)
+    if comp == "zstd":
+        assert enc[:4] == b"\x28\xb5\x2f\xfd"  # zstd frame magic
+
+
+def test_hdf5_lz4_framing_hand_built():
+    """Pin the registered LZ4 filter framing against a hand-assembled
+    stream: 8-byte BE total, 4-byte BE block size, then per block a
+    4-byte BE compressed size + payload (csize == dsize -> stored raw)."""
+    from pangeo_forge_recipes_spark.codecs import lz4_block_compress
+    from pangeo_forge_recipes_spark.hdf5io import (
+        hdf5_lz4_compress,
+        hdf5_lz4_decompress,
+    )
+
+    payload = (b"abcd" * 300) + b"tail"
+    half = len(payload) // 2
+    b1 = lz4_block_compress(payload[:half])
+    b2 = payload[half:]  # stored raw: csize == dsize
+    stream = (
+        len(payload).to_bytes(8, "big")
+        + half.to_bytes(4, "big")
+        + len(b1).to_bytes(4, "big") + b1
+        + len(b2).to_bytes(4, "big") + b2
+    )
+    assert hdf5_lz4_decompress(stream) == payload
+    # our encoder's output decodes through our decoder (and uses the
+    # raw-block fallback for incompressible tails)
+    assert hdf5_lz4_decompress(hdf5_lz4_compress(payload, block_size=512)) == payload
+    assert hdf5_lz4_decompress(hdf5_lz4_compress(b"")) == b""
