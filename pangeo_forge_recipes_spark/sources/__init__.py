@@ -2,6 +2,7 @@
 
 from .zarr_source import ZarrDataSource, register_zarr_source
 from .warc import html_payload_text, read_warc, write_warc
+from .webdataset import decode_webdataset_text, read_webdataset
 
 __all__ = [
     "ZarrDataSource",
@@ -9,4 +10,6 @@ __all__ = [
     "read_warc",
     "html_payload_text",
     "write_warc",
+    "read_webdataset",
+    "decode_webdataset_text",
 ]
