@@ -587,9 +587,12 @@ def _arith_encode_ac_band(enc, ac_stats, fixed, vals, ss, se, kx=5):
     """Encode one block's AC band (values already point-transformed);
     mirrors ``decode_ac`` in ``_decode_scan_arith``."""
     k = max(ss, 1)
+    last = se  # last nonzero position, computed once (EOB iff k > last)
+    while last >= k and vals[last] == 0:
+        last -= 1
     while k <= se:
         base = 3 * (k - 1)
-        if not any(vals[k : se + 1]):
+        if k > last:
             enc.encode(ac_stats, base, 1)  # end-of-block
             return
         enc.encode(ac_stats, base, 0)
@@ -629,13 +632,18 @@ def _arith_encode_ac_refine(enc, ac_stats, fixed, vals, ss, se, al):
         if at(kex, al + 1):
             break
         kex -= 1
+    # last position with ANY content at this precision (past kex that is
+    # exactly the newly-significant ones); computed once — the EOB bit
+    # at k is 1 iff k > last_any
+    last_any = se
+    while last_any > 0 and at(last_any, al) == 0:
+        last_any -= 1
     k = ss
     while k <= se:
         base = 3 * (k - 1)
         if k > kex:
-            any_new = any(at(j, al) for j in range(k, se + 1))
-            enc.encode(ac_stats, base, 0 if any_new else 1)
-            if not any_new:
+            enc.encode(ac_stats, base, 0 if k <= last_any else 1)
+            if k > last_any:
                 return
         while True:
             if at(k, al + 1):  # previously significant: correction bit

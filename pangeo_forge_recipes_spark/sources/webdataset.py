@@ -58,9 +58,13 @@ def read_webdataset(
     paths = _shard_paths(path_or_paths)
     if not paths:
         raise ValueError(f"no WebDataset shards match {path_or_paths!r}")
-    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
-    # one shard per task: shards are the parallelism grain
-    pdf = pdf.repartition(len(paths), "path")
+    pdf = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(paths)], "ord int, path string"
+    )
+    # one shard per task: range-partition on a sequential ordinal (a
+    # hash repartition would collide ~1/e of the shards into shared
+    # tasks and leave others empty)
+    pdf = pdf.repartitionByRange(len(paths), "ord").drop("ord")
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows: List[tuple] = []

@@ -700,9 +700,19 @@ def rechunk_refs_and_store(
     split (pure function of index ⊕ chunk grid) is what makes shuffling
     references instead of payloads sound."""
     ft = FileType(file_type) if isinstance(file_type, str) else file_type
+    # distinct token per pipeline run: reused Python workers keep the
+    # module-level cache alive across jobs, and (url, idx_json) alone
+    # would serve a STALE dataset to a later run with a different
+    # preprocessor/reader config or regenerated source files
+    run_token = os.urandom(8).hex()
 
-    def open_cached(url: str, idx_json: str) -> Tuple[Index, NDDataset]:
-        key = (url, idx_json)
+    def open_pieces(url: str, idx_json: str) -> Dict[str, tuple]:
+        """Open + preprocess + split + explode ONCE per source file,
+        cached as ``{full_group_key: (sub_index, single_var_dataset)}``
+        — each group takes its piece by exact key lookup, so there is
+        no group-key re-parsing (variable names may contain '|') and
+        the per-file split work is O(pieces), not O(groups × pieces)."""
+        key = (run_token, url, idx_json)
         hit = _REFS_OPEN_CACHE.get(key)
         if hit is not None:
             _REFS_OPEN_CACHE.move_to_end(key)
@@ -713,24 +723,23 @@ def rechunk_refs_and_store(
         index = Index.from_json(idx_json)
         if preprocess is not None:
             index, ds = preprocess(index, ds)
-        _REFS_OPEN_CACHE[key] = (index, ds)
+        pieces: Dict[str, tuple] = {}
+        for gk, (sub_idx, sub_ds) in split_fragment(
+            (index, ds), target_chunks=target_chunks, schema=schema
+        ):
+            gk_json = group_key_to_json(gk)
+            for suffix, single in _explode_by_variable(sub_idx, sub_ds):
+                pieces[f"{gk_json}|{suffix}"] = (sub_idx, single)
+        _REFS_OPEN_CACHE[key] = pieces
         while len(_REFS_OPEN_CACHE) > _REFS_OPEN_CACHE_CAP:
             _REFS_OPEN_CACHE.popitem(last=False)
-        return index, ds
+        return pieces
 
     def combine_write(gk_full: str, rows: List[Tuple[str, str]]) -> dict:
-        gk_json, _, suffix = gk_full.rpartition("|")
-        frags = []
-        for idx_json, url in rows:
-            index, ds = open_cached(url, idx_json)
-            for gk, (sub_idx, sub_ds) in split_fragment(
-                (index, ds), target_chunks=target_chunks, schema=schema
-            ):
-                if group_key_to_json(gk) != gk_json:
-                    continue
-                for suf, single in _explode_by_variable(sub_idx, sub_ds):
-                    if suf == suffix:
-                        frags.append((sub_idx, single))
+        # the split is deterministic, so every shuffled reference MUST
+        # resolve to a piece — a KeyError here means source files changed
+        # between the split and write stages
+        frags = [open_pieces(url, idx_json)[gk_full] for idx_json, url in rows]
         index, ds = combine_fragments(None, frags)
         store_dataset_fragment((index, ds), target_store_path)
         nbytes = int(sum(v.data.nbytes for v in ds.variables.values()))
