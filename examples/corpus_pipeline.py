@@ -138,6 +138,15 @@ def main() -> None:
             cleaned.select("doc_id", "text"), shard_dir, n_shards=4
         ).collect()
         assert sum(r["n_docs"] for r in manifest) == n_decon
+        # ... and close the loop: the loader side streams the shards
+        # back (one task per tar, one sample per row)
+        from pangeo_forge_recipes_spark.sources import (
+            decode_webdataset_text,
+            read_webdataset,
+        )
+
+        reread = decode_webdataset_text(read_webdataset(spark, shard_dir))
+        assert reread.count() == n_decon
     finally:
         shutil.rmtree(shard_dir, ignore_errors=True)
 
