@@ -394,15 +394,24 @@ def crossdoc_ngram_dup(
     # distinct per (doc, gram): a gram repeated inside ONE doc is
     # repetition (filters.top_ngram_fraction), not cross-doc duplication
     doc_grams = grams.distinct()
-    freq = doc_grams.groupBy("gram_h").agg(F.count("*").alias("nd"))
-    per_doc = (
-        doc_grams.join(freq, "gram_h")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("dup_grams"),
-        )
+    # only DUPLICATED grams (nd > 1) matter downstream — in a mostly
+    # deduplicated corpus that set is far smaller than the full gram
+    # table, so the per-doc attribution runs as a semi-join against it
+    # (AQE broadcasts it when it fits) instead of reshuffling every
+    # doc-gram row through a full equi-join with the frequency table
+    dup_grams_set = (
+        doc_grams.groupBy("gram_h")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("gram_h")
     )
+    totals = doc_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    dups = (
+        doc_grams.join(dup_grams_set, "gram_h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("dup_grams"))
+    )
+    per_doc = totals.join(dups, id_col, "left")
     n_g = F.coalesce("n_grams", F.lit(0))
     dup_g = F.coalesce("dup_grams", F.lit(0))
     # 4-decimal half-up rounding done in exact integer arithmetic —
