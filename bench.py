@@ -223,11 +223,13 @@ def _bench_zarr_throughput(spark) -> dict:
     Round-5 methodology fix: the paths are timed INTERLEAVED, best-of-2
     (round 4 ran one single shot each, shuffled first — order effects
     and JVM/worker churn produced an apparent 3.4-4.7x aligned-over-
-    shuffled gap; interleaved best-of-N on the same box measures ~1.3x).
-    A stage breakdown of the shuffled path (split -> +exchange ->
-    +combine) is recorded so the tax is attributed, not guessed: the
-    exchange itself is ~4% of wall; the real cost is the combine-side
-    Python<->JVM crossing of the fragment payloads."""
+    shuffled gap; interleaved best-of-N on the same box measures
+    ~1.3-1.7x). A stage breakdown of the shuffled path (split ->
+    +exchange -> +combine) is recorded so the tax is attributed, not
+    guessed: the exchange itself is a few percent of wall; the real
+    cost is the combine-side Python<->JVM crossing of the fragment
+    payloads. A third variant times rechunk_shuffle='reference' (the
+    metadata-only exchange) at the same shape."""
     import shutil
     import tempfile
 
