@@ -634,6 +634,14 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.0
 
+    # sampled BEFORE the SparkSession exists: everything local[32] adds
+    # to the box's load after this point is the bench's own self-load,
+    # so start-vs-end loadavg separates co-tenant noise from self-load
+    try:
+        loadavg_at_start = [round(v, 1) for v in os.getloadavg()]
+    except OSError:
+        loadavg_at_start = None
+
     spark = get_spark(app_name="pfrs-bench")
     queries = entrymod.queries()
 
@@ -888,6 +896,7 @@ def main() -> None:
         # the matched-subset ratio inherits the swing (measured 1.78
         # quiet vs 2.6-2.9 under load for the same code)
         "loadavg_1_5_15": loadavg,
+        "loadavg_at_start": loadavg_at_start,
         "queries": timings,
         "query_runs": runs,
         "queries_mode": "sequential_best_of_2_interleaved_oracle",
