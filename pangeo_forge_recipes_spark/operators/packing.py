@@ -403,15 +403,24 @@ def crossdoc_ngram_dup(
         doc_grams.groupBy("gram_h")
         .agg(F.count("*").alias("nd"))
         .where(F.col("nd") > 1)
-        .select("gram_h")
+        .select("gram_h", F.lit(True).alias("__dup"))
     )
-    totals = doc_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
-    dups = (
-        doc_grams.join(dup_grams_set, "gram_h", "left_semi")
+    # ONE aggregation computes both counts: a left join tags each
+    # doc-gram row with the dup flag (broadcast when the dup set fits —
+    # AQE decides, same as the former semi-join), then count(*) and
+    # count(__dup) (non-null only) fall out of a single groupBy. This
+    # keeps doc_grams at two consumers instead of three — Catalyst
+    # compiles a plain per-doc count to a different (cheaper) subplan
+    # than the distinct feeding the gram-frequency branch, which defeats
+    # ReuseExchange and re-ran the corpus explode a third time.
+    per_doc = (
+        doc_grams.join(dup_grams_set, "gram_h", "left")
         .groupBy(id_col)
-        .agg(F.count("*").alias("dup_grams"))
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("__dup").alias("dup_grams"),
+        )
     )
-    per_doc = totals.join(dups, id_col, "left")
     n_g = F.coalesce("n_grams", F.lit(0))
     dup_g = F.coalesce("dup_grams", F.lit(0))
     # 4-decimal half-up rounding done in exact integer arithmetic —

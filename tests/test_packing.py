@@ -106,6 +106,25 @@ def test_crossdoc_ngram_dup(spark):
     assert out.loc[1, "dup_frac"] == 0.5 and not bool(out.loc[1, "keep"])
 
 
+def test_crossdoc_ngram_dup_explodes_corpus_at_most_twice(spark):
+    # the gram explode is the dominant cost; doc_grams must keep at most
+    # TWO consumers (gram-frequency branch + flag-join branch) — a third
+    # (the old separate per-doc totals agg) compiles to a subplan shape
+    # ReuseExchange can't dedupe, re-running the corpus explode
+    from pangeo_forge_recipes_spark.plans import explain_string
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d x y")], "doc_id long, text string"
+    )
+    import re
+
+    plan = explain_string(crossdoc_ngram_dup(df, n=3), "formatted")
+    # count physical nodes via their "(N) Generate" detail headers (the
+    # formatted dump mentions each node twice: tree line + detail block)
+    n_explodes = len(re.findall(r"^\(\d+\) Generate", plan, re.MULTILINE))
+    assert n_explodes <= 2, plan
+
+
 def test_crossdoc_ngram_dup_within_doc_repetition_not_counted(spark):
     # a gram repeated inside ONE doc is repetition, not cross-doc dup
     df = spark.createDataFrame(
