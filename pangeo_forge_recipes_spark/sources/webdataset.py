@@ -3,12 +3,16 @@
 
 WebDataset (the public sequential-loader convention used for
 large-scale training corpora) stores one sample per *key*: all tar
-entries whose basename shares the prefix before the first dot belong to
-one sample, and entries of a sample are contiguous in the archive. The
-reader keeps that contract:
+entries whose path shares the prefix before the first dot of the
+basename — INCLUDING any directory prefix, so ``a/0001.txt`` and
+``b/0001.txt`` are distinct samples — belong to one sample, and entries
+of a sample are contiguous in the archive. The reader keeps that
+contract:
 
 * one Spark task streams one shard tar (``tarfile`` stream mode — the
-  task holds ONE sample in memory, never a shard);
+  task holds at most ``batch_rows`` completed samples plus the
+  in-flight one in memory before emitting an Arrow batch, never a
+  whole shard);
 * rows are ``(shard, key, fields map<extension, binary>)`` — one per
   sample, extensions untyped so image/audio/text payloads all ride the
   same column (decode with :mod:`..operators.multimodal` or
@@ -88,8 +92,13 @@ def read_webdataset(
                     for member in tar:
                         if not member.isfile():
                             continue
-                        base = member.name.rsplit("/", 1)[-1]
-                        key, _, ext = base.partition(".")
+                        # sample key = full member path up to the first
+                        # dot of the BASENAME (WebDataset convention):
+                        # directory prefixes distinguish samples, so
+                        # a/0001.txt and b/0001.txt never merge
+                        prefix, _, base = member.name.rpartition("/")
+                        stem, _, ext = base.partition(".")
+                        key = prefix + "/" + stem if prefix else stem
                         payload = tar.extractfile(member).read()
                         if key != cur_key:
                             if cur_key is not None:

@@ -247,25 +247,48 @@ class ZarrArray:
         return any(c["name"] == "gzip" for c in self.meta["codecs"])
 
     @property
-    def _has_lzf(self) -> bool:
-        """HDF5 LZF filter (virtual references into h5py-written files)."""
-        return any(c["name"] == "hdf5-lzf" for c in self.meta["codecs"])
+    def _hdf5_comp_chain(self) -> List[str]:
+        """HDF5 compression filters (lzf / bzip2 id 307 / lz4 id 32004 /
+        zstd id 32015) in the file's recorded pipeline order — the order
+        ``scan_hdf5`` found them in the filter pipeline message. Encode
+        walks this forward, decode reversed; a fixed application order
+        would corrupt files that stack two compressors the other way."""
+        family = ("hdf5-lzf", "hdf5-bzip2", "hdf5-lz4", "hdf5-zstd")
+        return [c["name"] for c in self.meta["codecs"] if c["name"] in family]
 
-    @property
-    def _has_hdf5_bzip2(self) -> bool:
-        """HDF5 bzip2 filter id 307 (hdf5plugin-written files; the chunk
-        payload is a plain bzip2 stream — stdlib ``bz2``)."""
-        return any(c["name"] == "hdf5-bzip2" for c in self.meta["codecs"])
+    def _hdf5_comp_apply(self, name: str, buf: bytes, encode: bool) -> bytes:
+        """Apply one HDF5 compression filter in the given direction."""
+        if name == "hdf5-lzf":
+            from .hdf5io import lzf_compress, lzf_decompress
 
-    @property
-    def _has_hdf5_lz4(self) -> bool:
-        """HDF5 LZ4 filter id 32004 (block framing + LZ4 blocks)."""
-        return any(c["name"] == "hdf5-lz4" for c in self.meta["codecs"])
+            return lzf_compress(buf) if encode else lzf_decompress(buf)
+        if name == "hdf5-bzip2":
+            import bz2
 
-    @property
-    def _has_hdf5_zstd(self) -> bool:
-        """HDF5 Zstandard filter id 32015 (one plain zstd frame)."""
-        return any(c["name"] == "hdf5-zstd" for c in self.meta["codecs"])
+            return bz2.compress(buf, 9) if encode else bz2.decompress(buf)
+        if name == "hdf5-lz4":
+            from .hdf5io import hdf5_lz4_compress, hdf5_lz4_decompress
+
+            return hdf5_lz4_compress(buf) if encode else hdf5_lz4_decompress(buf)
+        # hdf5-zstd: the HDF5 filter stores no size header and pyarrow's
+        # one-shot decoder demands the destination size, so decode is
+        # only possible where that size is knowable — innermost filter
+        # (output = raw chunk stream of chunk-nbytes)
+        from .codecs import zstd_compress, zstd_decompress
+
+        if encode:
+            return zstd_compress(buf)
+        chain = self._hdf5_comp_chain
+        if chain and chain[0] != "hdf5-zstd":
+            raise NotImplementedError(
+                "hdf5-zstd stacked above another compression filter: the "
+                "intermediate stream size is not recorded in the file and "
+                "zstd one-shot decode requires it"
+            )
+        return zstd_decompress(
+            buf,
+            int(np.prod(self.chunks, dtype=np.int64)) * self.dtype.itemsize,
+        )
 
     @property
     def _szip_config(self) -> Optional[dict]:
@@ -475,22 +498,10 @@ class ZarrArray:
             )
         if self.compressed:
             buf = zlib.compress(buf, 1)
-        if self._has_hdf5_bzip2:
-            import bz2
-
-            buf = bz2.compress(buf, 9)
-        if self._has_hdf5_zstd:
-            from .codecs import zstd_compress
-
-            buf = zstd_compress(buf)
-        if self._has_hdf5_lz4:
-            from .hdf5io import hdf5_lz4_compress
-
-            buf = hdf5_lz4_compress(buf)
-        if self._has_lzf:
-            from .hdf5io import lzf_compress
-
-            buf = lzf_compress(buf)
+        # HDF5 compression filters in the file's recorded pipeline
+        # (application) order — a real file may declare them in any order
+        for name in self._hdf5_comp_chain:
+            buf = self._hdf5_comp_apply(name, buf, encode=True)
         szp = self._szip_config
         if szp is not None:
             from .szip import szip_compress
@@ -591,26 +602,12 @@ class ZarrArray:
 
             arr = decode_grib2_message(buf).astype(self.dtype, copy=False).ravel()
             return self._pad_reshape(arr)
-        if self._has_lzf:
-            from .hdf5io import lzf_decompress
-
-            buf = lzf_decompress(buf)
-        if self._has_hdf5_bzip2:
-            import bz2
-
-            buf = bz2.decompress(buf)
-        if self._has_hdf5_lz4:
-            from .hdf5io import hdf5_lz4_decompress
-
-            buf = hdf5_lz4_decompress(buf)
-        if self._has_hdf5_zstd:
-            from .codecs import zstd_decompress
-
-            buf = zstd_decompress(
-                buf,
-                int(np.prod(self.chunks, dtype=np.int64))
-                * self.dtype.itemsize,
-            )
+        # HDF5 compression filters decode in REVERSE of the file's
+        # recorded pipeline (application) order — the order-insensitive
+        # membership checks this replaces would decode stacked filters
+        # declared in the opposite order to garbage
+        for name in reversed(self._hdf5_comp_chain):
+            buf = self._hdf5_comp_apply(name, buf, encode=False)
         szp = self._szip_config
         if szp is not None:
             from .szip import szip_decompress

@@ -352,3 +352,47 @@ def test_hdf5_lz4_framing_hand_built():
     # raw-block fallback for incompressible tails)
     assert hdf5_lz4_decompress(hdf5_lz4_compress(payload, block_size=512)) == payload
     assert hdf5_lz4_decompress(hdf5_lz4_compress(b"")) == b""
+
+
+def test_hdf5_stacked_filters_decode_in_recorded_order(tmp_path):
+    """A file may declare TWO compression filters in either pipeline
+    order; encode walks the recorded order, decode its reverse. The
+    former fixed-order membership checks decoded one of the two orders
+    to garbage."""
+    import json
+
+    import numpy as np
+
+    from pangeo_forge_recipes_spark.hdf5io import write_hdf5
+    from pangeo_forge_recipes_spark.zarrio import ZarrArray
+
+    ds = make_ds(nt=6)
+    p = str(tmp_path / "base.h5")
+    write_hdf5(p, ds, chunks={"time": 3}, compress="lz4")
+    base = json.loads(scan_hdf5(p)["foo/zarr.json"])
+
+    def roundtrip(chain):
+        meta = dict(base)
+        meta["codecs"] = [
+            c for c in base["codecs"] if not c["name"].startswith("hdf5-")
+        ] + [{"name": n} for n in chain]
+        arr = ZarrArray(None, "foo", meta)
+        block = np.arange(np.prod(arr.chunks), dtype=arr.dtype).reshape(
+            tuple(arr.chunks)
+        )
+        enc = arr._encode_chunk(block)
+        np.testing.assert_array_equal(arr._decode_chunk(enc), block)
+        return enc
+
+    # both bzip2+lz4 orders round-trip, and the OUTER layer is the
+    # last-recorded filter (proof encode followed the recorded order)
+    assert roundtrip(["hdf5-lz4", "hdf5-bzip2"])[:3] == b"BZh"
+    assert roundtrip(["hdf5-bzip2", "hdf5-lz4"])[:3] != b"BZh"
+    # zstd innermost is decodable (its output size = chunk nbytes)
+    roundtrip(["hdf5-zstd", "hdf5-lz4"])
+    # zstd stacked ABOVE another compressor: intermediate size unknown →
+    # declared gate, not garbage
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="hdf5-zstd stacked"):
+        roundtrip(["hdf5-lz4", "hdf5-zstd"])

@@ -94,3 +94,26 @@ def test_webdataset_multi_extension_grouping(spark, tmp_path):
 def test_webdataset_missing_path_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="no WebDataset shards"):
         read_webdataset(spark, str(tmp_path / "nothing" / "*.tar"))
+
+
+def test_webdataset_directory_prefixed_keys_stay_distinct(spark, tmp_path):
+    """Foreign shards that nest samples under directories key on the
+    FULL path before the first dot of the basename — a/0001 and b/0001
+    are different samples even when adjacent in the archive."""
+    p = str(tmp_path / "shard-00000.tar")
+    with tarfile.open(p, "w") as tar:
+        for name, payload in (
+            ("a/0001.txt", b"alpha"),
+            ("a/0001.json", b"{}"),
+            ("b/0001.txt", b"bravo"),
+            ("b/0001.json", b"{}"),
+        ):
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            tar.addfile(info, io.BytesIO(payload))
+    out = read_webdataset(spark, [p]).collect()
+    by_key = {r["key"]: dict(r["fields"]) for r in out}
+    assert set(by_key) == {"a/0001", "b/0001"}
+    assert bytes(by_key["a/0001"]["txt"]) == b"alpha"
+    assert bytes(by_key["b/0001"]["txt"]) == b"bravo"
+    assert set(by_key["a/0001"]) == {"txt", "json"}
