@@ -377,50 +377,51 @@ def crossdoc_ngram_dup(
     the ``dup_frac <= threshold`` gate. Docs shorter than ``n`` tokens
     have no grams and are kept.
 
-    Scale shape: grams explode to ~tokens rows; the frequency table
-    aggregates map-side before its shuffle; the join back is an
-    equi-join on the gram string (AQE handles the skewed empty-ish
-    grams). No driver state, no windows.
+    Scale shape: per-doc distinct + per-doc totals are MAP-SIDE array
+    ops (no distinct shuffle, no groupBy(doc) over the full gram
+    table); the explode feeds only the gram-frequency aggregation
+    (map-side combine) and a semi-join against the nd>1 set (AQE
+    broadcasts it; only duplicated rows reach the per-doc count
+    shuffle). No driver state, no windows.
     """
     e = TextExprs("spark", text_col)
-    # hash each gram to 64 bits at the scan: every downstream shuffle
-    # (distinct, frequency agg, equi-join) then moves 8-byte longs
-    # instead of ~n-word strings — a ~7x shuffle-volume cut. xxhash64
-    # collisions at corpus scale are ~(grams²/2^65): vanishing, and the
-    # result stays deterministic for a given corpus.
-    grams = df.select(
-        F.col(id_col), F.explode(F.expr(e.token_ngrams(n))).alias("gram")
-    ).select(F.col(id_col), F.xxhash64("gram").alias("gram_h"))
-    # distinct per (doc, gram): a gram repeated inside ONE doc is
-    # repetition (filters.top_ngram_fraction), not cross-doc duplication
-    doc_grams = grams.distinct()
-    # only DUPLICATED grams (nd > 1) matter downstream — in a mostly
-    # deduplicated corpus that set is far smaller than the full gram
-    # table, so the per-doc attribution runs as a semi-join against it
-    # (AQE broadcasts it when it fits) instead of reshuffling every
-    # doc-gram row through a full equi-join with the frequency table
+    # per-doc DISTINCT gram hashes computed MAP-SIDE: a document's grams
+    # all live in one row before any explode, so
+    # array_distinct(transform(grams, xxhash64)) replaces what used to
+    # be a corpus-wide distinct SHUFFLE, and the per-doc total
+    # n_grams = size(...) never touches a shuffle at all (a gram
+    # repeated inside ONE doc is repetition — filters.top_ngram_fraction
+    # — not cross-doc duplication, hence distinct-per-doc). Hashing to
+    # 64 bits at the scan keeps every remaining shuffle moving 8-byte
+    # longs instead of ~n-word strings; xxhash64 collisions at corpus
+    # scale are ~(grams²/2^65): vanishing, and deterministic per corpus.
+    base = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(F.expr(e.token_ngrams(n)), lambda g: F.xxhash64(g))
+        ).alias("grams"),
+    ).select(F.col(id_col), "grams", F.size("grams").alias("n_grams"))
+    doc_grams = base.select(F.col(id_col), F.explode("grams").alias("gram_h"))
+    # the exploded table feeds ONLY the gram-frequency aggregation (one
+    # shuffle, map-side partial combine) ...
     dup_grams_set = (
         doc_grams.groupBy("gram_h")
         .agg(F.count("*").alias("nd"))
         .where(F.col("nd") > 1)
-        .select("gram_h", F.lit(True).alias("__dup"))
+        .select("gram_h")
     )
-    # ONE aggregation computes both counts: a left join tags each
-    # doc-gram row with the dup flag (broadcast when the dup set fits —
-    # AQE decides, same as the former semi-join), then count(*) and
-    # count(__dup) (non-null only) fall out of a single groupBy. This
-    # keeps doc_grams at two consumers instead of three — Catalyst
-    # compiles a plain per-doc count to a different (cheaper) subplan
-    # than the distinct feeding the gram-frequency branch, which defeats
-    # ReuseExchange and re-ran the corpus explode a third time.
-    per_doc = (
-        doc_grams.join(dup_grams_set, "gram_h", "left")
+    # ... and a semi-join attribution: only DUPLICATED grams (nd > 1)
+    # matter downstream — in a mostly deduplicated corpus that set is
+    # far smaller than the full gram table, so AQE broadcasts it and the
+    # only rows that ever shuffle into groupBy(doc) are the dup rows
+    # themselves (half-width: no flag column). The full doc-gram table
+    # stops shuffling into groupBy(doc_id) entirely.
+    per_doc_dup = (
+        doc_grams.join(dup_grams_set, "gram_h", "semi")
         .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.count("__dup").alias("dup_grams"),
-        )
+        .agg(F.count("*").alias("dup_grams"))
     )
+    per_doc = base.select(id_col, "n_grams").join(per_doc_dup, id_col, "left")
     n_g = F.coalesce("n_grams", F.lit(0))
     dup_g = F.coalesce("dup_grams", F.lit(0))
     # 4-decimal half-up rounding done in exact integer arithmetic —
@@ -431,7 +432,8 @@ def crossdoc_ngram_dup(
     num = dup_g.cast("long") * F.lit(20000) + safe
     den = safe * F.lit(2)
     frac = ((num - num % den) / den) / F.lit(10000.0)
-    return df.select(id_col).join(per_doc, id_col, "left").select(
+    # base carries every input doc, so no join back against df is needed
+    return per_doc.select(
         F.col(id_col),
         n_g.alias("n_grams"),
         dup_g.alias("dup_grams"),
