@@ -28,6 +28,7 @@ import numpy as np
 from .aggregation import XarraySchema, determine_target_chunks
 from .cfcalendar import is_standard_calendar, is_supported_calendar
 from .ndset import (
+    LazyArray,
     NDDataset,
     Variable,
     decode_cf_datetime,
@@ -282,7 +283,15 @@ def _decode_from_store(arr_data: np.ndarray, attrs: dict) -> Tuple[np.ndarray, d
 
 def open_zarr_group(store_or_path, load: bool = True) -> NDDataset:
     """Open a Zarr store as an NDDataset (engine analog of
-    ``xr.open_dataset(..., engine="zarr")``)."""
+    ``xr.open_dataset(..., engine="zarr")``).
+
+    ``load=False`` wraps each DATA variable in a :class:`LazyArray` over
+    the store's chunk-granular region reader — opening costs metadata
+    only, and a later ``isel``+materialize reads exactly the selected
+    chunk ranges (kerchunk reference stores included: their gets are
+    byte-range reads into the source files). Coordinates stay eager —
+    they are 1-D and the combine logic inspects their values.
+    """
     group = open_group(_store_for(store_or_path))
     group_attrs = dict(group.attrs)
     non_dim_coords = set((group_attrs.pop("coordinates", "") or "").split())
@@ -295,9 +304,35 @@ def open_zarr_group(store_or_path, load: bool = True) -> NDDataset:
         dim_names = arr.dimension_names or [f"dim_{i}" for i in range(len(arr.shape))]
         for d, s in zip(dim_names, arr.shape):
             dims_seen[d] = s
-        data, attrs, encoding = _decode_from_store(arr.read(), arr.attrs)
-        var = Variable(tuple(dim_names), data, attrs, encoding)
-        if name in non_dim_coords or list(dim_names) == [name]:
+        is_coord = name in non_dim_coords or list(dim_names) == [name]
+        if load or is_coord:
+            data, attrs, encoding = _decode_from_store(arr.read(), arr.attrs)
+            var = Variable(tuple(dim_names), data, attrs, encoding)
+        else:
+            attrs = dict(arr.attrs)
+            encoding: dict = {}
+            post = None
+            out_dtype = arr.dtype
+            if (
+                "units" in attrs
+                and "calendar" in attrs
+                and np.dtype(arr.dtype).kind in "if"
+            ):
+                units, calendar = attrs.pop("units"), attrs.pop("calendar")
+                encoding = {"units": units, "calendar": calendar}
+                if is_standard_calendar(calendar):
+                    out_dtype = np.dtype("datetime64[ns]")
+                    post = (
+                        lambda d, u=units, c=calendar: decode_cf_datetime(d, u, c)
+                    )
+                # non-standard calendars stay as raw int offsets
+            var = Variable(
+                tuple(dim_names),
+                LazyArray(arr, dtype=out_dtype, post=post),
+                attrs,
+                encoding,
+            )
+        if is_coord:
             coords[name] = var
         else:
             data_vars[name] = var

@@ -211,7 +211,7 @@ class ReferenceStore(Store):
         raise NotImplementedError("ReferenceStore is read-only")
 
 
-def open_reference_dataset(path_or_refs):
+def open_reference_dataset(path_or_refs, load: bool = True):
     """Open a reference json file / dict as an NDDataset. Accepts both the
     engine's own v3-style references and real-world kerchunk version-1
     files (``{"version": 1, "refs": {".zgroup": ..., "var/.zarray": ...,
@@ -229,7 +229,10 @@ def open_reference_dataset(path_or_refs):
             "kerchunk 'templates'/'gen' URL substitution is not supported; "
             "expand the references to plain [url, offset, length] entries"
         )
-    return open_zarr_group(ReferenceStore(path_or_refs))
+    # load=False: data vars become LazyArray views whose materialization
+    # is a byte-range read of exactly the needed chunks of the SOURCE
+    # files — the chunk-lazy open the reference-shuffle write path uses
+    return open_zarr_group(ReferenceStore(path_or_refs), load=load)
 
 
 # ---------------------------------------------------------------------------

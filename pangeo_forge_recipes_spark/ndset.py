@@ -21,7 +21,108 @@ from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["Variable", "NDDataset", "concat", "combine_nested", "assert_equal"]
+__all__ = [
+    "LazyArray",
+    "Variable",
+    "NDDataset",
+    "concat",
+    "combine_nested",
+    "assert_equal",
+]
+
+
+class LazyArray:
+    """Chunk-lazy view over a region of a chunk-addressable reader — any
+    object whose ``__getitem__`` accepts a tuple of slices and returns an
+    ``np.ndarray`` (``zarrio.ZarrArray``, including kerchunk reference
+    stores whose gets are byte-range reads).
+
+    Slicing composes window offsets WITHOUT touching storage; consuming
+    the array (``np.asarray`` / ``np.concatenate`` / any ``__array__``
+    caller) materializes with ONE chunk-granular region read. This is
+    what makes the reference-shuffle rechunk scale on chunk-lazy
+    sources: a write task range-reads exactly its group's piece of each
+    source instead of decoding whole files. An optional ``post``
+    transform (CF datetime decode) applies at materialization; ``dtype``
+    is the POST-transform dtype so schema logic never materializes.
+
+    Views are read-only: ``copy()`` returns ``self`` (no consumer on the
+    lazy path mutates payload buffers in place — writers materialize
+    first via ``np.asarray``).
+    """
+
+    def __init__(self, reader, region=None, dtype=None, post=None):
+        self._reader = reader
+        self._region = (
+            tuple(region)
+            if region is not None
+            else tuple(slice(0, int(s)) for s in reader.shape)
+        )
+        self.dtype = np.dtype(dtype if dtype is not None else reader.dtype)
+        self._post = post
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return tuple(sl.stop - sl.start for sl in self._region)
+
+    @property
+    def ndim(self) -> int:
+        return len(self._region)
+
+    @property
+    def size(self) -> int:
+        return int(np.prod(self.shape, dtype=np.int64))
+
+    @property
+    def nbytes(self) -> int:
+        return self.size * self.dtype.itemsize
+
+    def __len__(self) -> int:
+        if not self._region:
+            raise TypeError("len() of unsized object")
+        return self.shape[0]
+
+    def __getitem__(self, key) -> "LazyArray":
+        if not isinstance(key, tuple):
+            key = (key,)
+        if len(key) == len(self._region) and all(
+            isinstance(k, slice) for k in key
+        ):
+            new = []
+            for sl, cur in zip(key, self._region):
+                start, stop, step = sl.indices(cur.stop - cur.start)
+                if step != 1:
+                    break
+                new.append(slice(cur.start + start, cur.start + max(stop, start)))
+            else:
+                return LazyArray(self._reader, new, self.dtype, self._post)
+        # anything beyond pure unit-step slicing (fancy indexing, int
+        # axes, steps) materializes — not used on the pipeline hot path
+        return self.materialize()[key]
+
+    def materialize(self) -> np.ndarray:
+        data = self._reader[self._region]
+        if self._post is not None:
+            data = self._post(data)
+        return np.asarray(data)
+
+    def __array__(self, dtype=None, copy=None):
+        data = self.materialize()
+        if dtype is not None:
+            data = data.astype(dtype, copy=False)
+        return data
+
+    def copy(self) -> "LazyArray":
+        return self
+
+    def astype(self, dtype, copy: bool = True) -> np.ndarray:
+        return self.materialize().astype(dtype, copy=copy)
+
+    def __repr__(self) -> str:
+        return (
+            f"<LazyArray shape={self.shape} dtype={self.dtype} "
+            f"region={self._region}>"
+        )
 
 
 @dataclass
@@ -36,7 +137,8 @@ class Variable:
 
     def __post_init__(self):
         self.dims = tuple(self.dims)
-        self.data = np.asarray(self.data)
+        if not isinstance(self.data, (np.ndarray, LazyArray)):
+            self.data = np.asarray(self.data)
         if len(self.dims) != self.data.ndim:
             raise ValueError(
                 f"dims {self.dims} do not match data ndim {self.data.ndim}"

@@ -105,7 +105,7 @@ def open_with_ndset(
     if file_type == FileType.kerchunk:
         from .kerchunkio import open_reference_dataset
 
-        return open_reference_dataset(path)
+        return open_reference_dataset(path, load=load)
     if file_type == FileType.opendap:
         from .dap2io import read_dap2
 

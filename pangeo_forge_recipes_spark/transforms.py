@@ -717,8 +717,13 @@ def rechunk_refs_and_store(
         if hit is not None:
             _REFS_OPEN_CACHE.move_to_end(key)
             return hit
+        # load=False: chunk-lazy formats (zarr, kerchunk) open metadata
+        # only and each group's combine materializes a chunk-granular
+        # range read of EXACTLY its piece — the whole point of the
+        # reference shuffle at 100 TB. Eager formats (npz, netcdf3, ...)
+        # ignore the flag and read once per file as before.
         ds = open_with_ndset(
-            url, file_type=ft, xarray_open_kwargs=xarray_open_kwargs
+            url, file_type=ft, load=False, xarray_open_kwargs=xarray_open_kwargs
         )
         index = Index.from_json(idx_json)
         if preprocess is not None:
