@@ -1860,6 +1860,86 @@ SELECT doc_id, round(bits, 6) AS bits_per_char FROM scored WHERE bits <= 1.6
 """.strip()
 
 
+_WDS_SHARDS = 8
+
+
+def _webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard round-trip (operators/packing
+    ``write_webdataset_shards`` → sources/webdataset ``read_webdataset``):
+    the corpus is materialized as tar shards and read back; the result
+    must be the identity over documents (doc_id, text, lang, source via
+    the json sidecar). Grades the full loader loop — md5 shard
+    assignment, canonical in-shard order, normalized tar headers, the
+    stream-mode one-task-per-shard scan, and key/extension grouping."""
+    from pangeo_forge_recipes_spark.operators.packing import (
+        write_webdataset_shards,
+    )
+    from pangeo_forge_recipes_spark.sources import (
+        decode_webdataset_text,
+        read_webdataset,
+    )
+
+    _register(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="pfrs_wds_")
+    docs = spark.table("documents")
+    write_webdataset_shards(
+        docs, tmp, n_shards=_WDS_SHARDS, meta_cols=["lang", "source"]
+    )
+    wds = decode_webdataset_text(read_webdataset(spark, tmp))
+    return wds.select(
+        F.col("key").cast("long").alias("doc_id"),
+        "text",
+        F.get_json_object("meta_json", "$.lang").alias("lang"),
+        F.get_json_object("meta_json", "$.source").alias("source"),
+    )
+
+
+_WDS_ORACLE = "SELECT doc_id, text, lang, source FROM documents"
+
+_DECON_MOD = 5  # doc_id % 5 == 0 -> held-out "benchmark" split
+_DECON_N = 13  # the standard 13-gram decontamination window
+
+
+def _decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3/PaLM-style benchmark decontamination (operators/filters
+    ``decontaminate``): docs sharing any lowercased word 13-gram with the
+    held-out split (doc_id % 5 == 0) are dropped from the rest. The
+    benchmark gram set is distinct'd, hashed and BROADCAST; the corpus
+    explodes to hashes and semi-joins map-side — the corpus itself never
+    shuffles. The oracle replicates the gram definition in DuckDB list
+    functions and joins on the gram STRING (same membership semantics
+    as the engine's xxhash64 join)."""
+    from pangeo_forge_recipes_spark.operators.filters import decontaminate
+
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    bench = docs.filter(F.col("doc_id") % _DECON_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _DECON_MOD != 0)
+    return decontaminate(corpus, bench, n=_DECON_N).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def _decontaminate_oracle() -> str:
+    w = _DECON_N - 1
+    return f"""
+WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         lower(array_to_string(list_slice(t, i, i + {w}), ' ')) AS gram
+  FROM toks,
+       unnest(list_filter(range(1, greatest(len(t) - {w}, 1) + 1),
+                          i -> i + {w} <= len(t))) AS u(i)),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {_DECON_MOD} = 0),
+hits AS (
+  SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram)
+  WHERE g.doc_id % {_DECON_MOD} != 0)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id % {_DECON_MOD} != 0
+  AND doc_id NOT IN (SELECT doc_id FROM hits)
+""".strip()
+
+
 def _messy_url_expr(dialect: str) -> str:
     """Deterministic messy-URL generator over the documents table —
     identical values on both engines. The variants (case-shifted scheme/
@@ -2333,6 +2413,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # md5-bucket determinism is graded through mix_corpora's draws and
     # stays warm in the parity suite)
     out["quality_filter"] = _quality_filter_q
+    # round-6 rotation: webdataset_roundtrip (the shard writer+reader
+    # loop, last pytest-only training-data component) and decontaminate
+    # (benchmark 13-gram hygiene) take the q5_local_supplier_volume /
+    # window_running_total slots — the multi-join shape stays graded via
+    # q3/q18, the window shape via events_multi_grain_rollup and the
+    # parity suite; both rotated-out texts stay warm in
+    # test_shared_sql_parity.py
+    out["webdataset_roundtrip"] = _webdataset_roundtrip
+    out["decontaminate"] = _decontaminate_q
     # shared-SQL battery (identical ANSI text on both engines); the
     # hourly-rollup text grades via its streaming twin below, so the
     # batch copy is skipped to stay inside the 50-query budget.
@@ -2363,6 +2452,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 rotation for mix_corpora + chunk_documents:
         "topk_customers",
         "q19_disjunctive_revenue",
+        # round-6 rotation for webdataset_roundtrip + decontaminate:
+        "q5_local_supplier_volume",
+        "window_running_total",
     )
     for name, sql in shared.items():
         if name not in _SWAPPED_OUT:
@@ -2416,6 +2508,8 @@ def oracle_sql() -> dict[str, str]:
     # round-5 rotation: slot moved to quality_filter
     out.pop("sample_split_stats")
     out["quality_filter"] = _quality_filter_oracle()
+    out["webdataset_roundtrip"] = _WDS_ORACLE
+    out["decontaminate"] = _decontaminate_oracle()
     out["events_dedup_stream"] = _DEDUP_STREAM_ORACLE
     out["asof_last_order"] = _ASOF_ORACLE
     out["range_join_orders"] = _RANGE_JOIN_ORACLE
