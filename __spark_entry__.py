@@ -2112,8 +2112,11 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir)
     media = attach_png_media(spark.table("documents"), width=16, height=8)
     dec = decode_image(media)
-    feats = extract_features(dec)
-    px = dec.select(
+    # keep_pixels=True: both representations come out of ONE
+    # encode+decode pass — the former two-subtree px/ft self-join
+    # re-ran the whole codec chain twice for a 5000-row equi-join
+    both = extract_features(dec, keep_pixels=True)
+    return both.select(
         "doc_id",
         F.size("pixels").alias("n_pixels"),
         F.aggregate(
@@ -2127,9 +2130,6 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("pixel_checksum"),
-    )
-    ft = feats.select(
-        "doc_id",
         F.size("features").alias("feat_dim"),
         F.aggregate(
             F.transform(
@@ -2143,7 +2143,6 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("feature_checksum"),
     )
-    return px.join(ft, "doc_id")
 
 
 def _zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -57,18 +57,25 @@ def attach_png_media(
     zlib-compressed, per-row-filtered PNG that ``decode_image`` must
     really decode. Filter types cycle with the row and doc so all five
     unfilter paths are exercised across a corpus."""
-    from ..pngio import encode_png
+    from ..pngio import encode_png_batch
 
     n = width * height
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = np.arange(n, dtype=np.int64)
+        rows_r = np.arange(height, dtype=np.int64)
         for pdf in batches:
-            blobs = []
-            for d in pdf[id_col]:
-                px = ((int(d) * 31 + idx * 7) % 256).astype(np.uint8)
-                filters = [(int(d) + r) % 5 for r in range(height)]
-                blobs.append(encode_png(px.reshape(height, width), filters))
+            # whole-batch pixel + filter synthesis, whole-batch filter
+            # prediction (encode_png_batch): per image only the deflate
+            # + chunk assembly remain Python-side
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            px = ((ids[:, None] * 31 + idx[None, :] * 7) % 256).astype(
+                np.uint8
+            )
+            filters = ((ids[:, None] + rows_r[None, :]) % 5).astype(np.uint8)
+            blobs = encode_png_batch(
+                px.reshape(-1, height, width), filters
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -237,13 +244,30 @@ def decode_image(df: DataFrame) -> DataFrame:
     """
     from ..jp2kio import decode_j2k
     from ..jpegio import decode_jpeg
-    from ..pngio import PNG_SIGNATURE, decode_png
+    from ..pngio import PNG_SIGNATURE, decode_png, decode_png_batch
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pixels = []
-            for blob in pdf["media"]:
-                blob = bytes(blob)
+            blobs = [bytes(b) for b in pdf["media"]]
+            pixels: list = [None] * len(blobs)
+            # same-shape plain-8-bit PNGs (the common corpus case) decode
+            # as ONE batched unfilter pass; anything else falls through
+            # to the scalar decoders below
+            png_idx = [
+                i for i, b in enumerate(blobs) if b[:8] == PNG_SIGNATURE
+            ]
+            if png_idx:
+                batch = decode_png_batch([blobs[i] for i in png_idx])
+                if batch is not None:
+                    fb = batch.astype("float32")
+                    if fb.ndim == 4:  # channel-average to grayscale
+                        fb = fb.mean(axis=3)
+                    flat = fb.reshape(len(png_idx), -1) / 255.0
+                    for j, i in enumerate(png_idx):
+                        pixels[i] = flat[j]
+            for i, blob in enumerate(blobs):
+                if pixels[i] is not None:
+                    continue
                 if blob[:8] == PNG_SIGNATURE:
                     arr = decode_png(blob).astype("float32")
                 elif blob[:2] == b"\xff\xd8":
@@ -257,11 +281,11 @@ def decode_image(df: DataFrame) -> DataFrame:
                     arr = np.frombuffer((digest * 2)[:64], dtype=np.uint8).astype(
                         "float32"
                     )
-                    pixels.append(arr / 255.0)
+                    pixels[i] = arr / 255.0
                     continue
                 if arr.ndim == 3:  # channel-average to grayscale
                     arr = arr.mean(axis=2)
-                pixels.append(arr.ravel() / 255.0)
+                pixels[i] = arr.ravel() / 255.0
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "pixels": pixels})
 
     return df.select("doc_id", "media").mapInPandas(
@@ -269,20 +293,45 @@ def decode_image(df: DataFrame) -> DataFrame:
     )
 
 
-def extract_features(decoded: DataFrame, dim: int = 16) -> DataFrame:
+def extract_features(
+    decoded: DataFrame, dim: int = 16, keep_pixels: bool = False
+) -> DataFrame:
     """Feature extraction: fold pixels to a fixed-dim embedding (mean-pool
-    blocks). Deterministic; output ready for operators.similarity."""
+    blocks). Deterministic; output ready for operators.similarity.
+    ``keep_pixels=True`` passes the pixel array through so a consumer
+    needing both representations gets them from ONE decode pass instead
+    of two subtrees re-running the decode."""
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for px in pdf["pixels"]:
-                arr = np.asarray(px, dtype="float32")
-                blocks = np.array_split(arr, dim)
-                out.append(np.array([b.mean() for b in blocks], dtype="float32"))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": out})
+            px_list = [np.asarray(p, dtype="float32") for p in pdf["pixels"]]
+            lens = {p.shape[0] for p in px_list}
+            if len(lens) == 1 and next(iter(lens)) % dim == 0:
+                # equal-length, evenly divisible: ONE stacked reshape-mean
+                # for the whole batch (bit-identical to the per-image
+                # array_split path — same float32 8-ish-element sums)
+                mat = np.stack(px_list).reshape(len(px_list), dim, -1)
+                out = list(mat.mean(axis=2))
+            else:
+                out = [
+                    np.array(
+                        [b.mean() for b in np.array_split(arr, dim)],
+                        dtype="float32",
+                    )
+                    for arr in px_list
+                ]
+            cols = {"doc_id": pdf["doc_id"]}
+            if keep_pixels:
+                cols["pixels"] = pdf["pixels"]
+            cols["features"] = out
+            yield pd.DataFrame(cols)
 
-    return decoded.mapInPandas(feats, "doc_id long, features array<float>")
+    schema = (
+        "doc_id long, pixels array<float>, features array<float>"
+        if keep_pixels
+        else "doc_id long, features array<float>"
+    )
+    return decoded.mapInPandas(feats, schema)
 
 
 def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:

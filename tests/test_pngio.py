@@ -256,3 +256,57 @@ def test_adam7_interlace_decode(shape):
     rng = np.random.default_rng(11)
     arr = rng.integers(0, 256, shape, dtype=np.uint8)
     np.testing.assert_array_equal(decode_png(_interlaced_png(arr)), arr)
+
+
+def test_encode_png_batch_bit_identical_to_scalar():
+    import numpy as np
+
+    from pangeo_forge_recipes_spark.pngio import encode_png, encode_png_batch
+
+    rng = np.random.RandomState(3)
+    for shape, _ct in (((6, 8), 0), ((6, 8, 3), 2), ((6, 8, 4), 6)):
+        arrs = rng.randint(0, 256, (7,) + shape).astype(np.uint8)
+        filters = rng.randint(0, 5, (7, shape[0])).astype(np.uint8)
+        batch = encode_png_batch(arrs, filters)
+        for i in range(7):
+            single = encode_png(arrs[i], list(filters[i]))
+            assert batch[i] == single, (shape, i)
+
+
+def test_decode_png_batch_bit_identical_and_fallback():
+    import numpy as np
+
+    from pangeo_forge_recipes_spark.pngio import (
+        decode_png,
+        decode_png_batch,
+        encode_png,
+        encode_png_batch,
+    )
+
+    rng = np.random.RandomState(4)
+    arrs = rng.randint(0, 256, (9, 5, 11, 3)).astype(np.uint8)
+    filters = rng.randint(0, 5, (9, 5)).astype(np.uint8)
+    blobs = encode_png_batch(arrs, filters)
+    out = decode_png_batch(blobs)
+    assert out is not None and out.shape == (9, 5, 11, 3)
+    for i in range(9):
+        np.testing.assert_array_equal(out[i], decode_png(blobs[i]))
+        np.testing.assert_array_equal(out[i], arrs[i])
+    # mixed shapes are not batchable -> None (caller falls back)
+    other = encode_png(rng.randint(0, 256, (4, 4)).astype(np.uint8))
+    assert decode_png_batch([blobs[0], other]) is None
+
+
+def test_unfilter_batch_matches_scalar_per_image():
+    import numpy as np
+
+    from pangeo_forge_recipes_spark.pngio import _unfilter, _unfilter_batch
+
+    rng = np.random.RandomState(5)
+    for bpp in (1, 3):
+        stride = 8 * bpp
+        raw = rng.randint(0, 256, (6, 4, stride + 1)).astype(np.uint8)
+        raw[:, :, 0] = rng.randint(0, 5, (6, 4))
+        batch = _unfilter_batch(raw, bpp)
+        for i in range(6):
+            np.testing.assert_array_equal(batch[i], _unfilter(raw[i], bpp))
