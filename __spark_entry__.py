@@ -1860,6 +1860,65 @@ SELECT doc_id, round(bits, 6) AS bits_per_char FROM scored WHERE bits <= 1.6
 """.strip()
 
 
+def _perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity split (operators/lmscore
+    ``perplexity_buckets``): score the corpus against the reference LM
+    (same byte-trigram model/split as quality_filter) and label each doc
+    by its cross-entropy tercile. The cuts are ONE exact-percentile
+    driver pass; the labels are a broadcast of two floats, map-only.
+    Oracle: the same trigram replication + ``quantile_cont`` terciles —
+    both engines interpolate at (n-1)q, and with 375/3750 corpus docs
+    the cut always lands BETWEEN data points, so a sub-ulp score
+    difference cannot flip a label."""
+    from pangeo_forge_recipes_spark.operators.lmscore import (
+        perplexity_buckets,
+    )
+
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    ref = docs.where("doc_id % 4 = 0").select("text")
+    raw = docs.where("doc_id % 4 <> 0").select("doc_id", "text")
+    out = perplexity_buckets(raw, ref)
+    return out.select(
+        "doc_id",
+        F.round("bits_per_char", 6).alias("bits_per_char"),
+        "ppl_bucket",
+    )
+
+
+def _perplexity_buckets_oracle() -> str:
+    return """
+WITH ref AS (SELECT text FROM documents WHERE doc_id % 4 = 0),
+raw AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+tri AS (
+  SELECT substring(text, CAST(i AS BIGINT), 3) AS tg,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM ref, unnest(range(1, length(text) - 1)) AS t(i)
+  GROUP BY tg),
+ctx AS (SELECT substring(tg, 1, 2) AS cg, sum(c) AS ct FROM tri GROUP BY cg),
+pos AS (
+  SELECT doc_id, substring(text, CAST(i AS BIGINT), 3) AS tg
+  FROM raw, unnest(range(1, length(text) - 1)) AS t(i)),
+scored AS (
+  SELECT p.doc_id,
+         -avg(log2(coalesce(t.c, 0) + 0.5)
+              - log2(coalesce(x.ct, 0) + 128.0)) AS bits
+  FROM pos p
+  LEFT JOIN tri t ON p.tg = t.tg
+  LEFT JOIN ctx x ON substring(p.tg, 1, 2) = x.cg
+  GROUP BY p.doc_id),
+cuts AS (
+  SELECT quantile_cont(bits, CAST(1 AS DOUBLE)/3) AS lo,
+         quantile_cont(bits, CAST(2 AS DOUBLE)/3) AS hi
+  FROM scored)
+SELECT doc_id, round(bits, 6) AS bits_per_char,
+       CASE WHEN bits <= lo THEN 'head'
+            WHEN bits <= hi THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM scored, cuts
+""".strip()
+
+
 _WDS_SHARDS = 8
 
 
@@ -2461,12 +2520,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dedup_ngram_signature (GROUP BY of the rolling_min_hash expression
     # text_fingerprints already grades per-row) yields its slot to
     # semantic_dedup_pairs — the k-means scale path was the last ungraded
-    # 100 TB operator; the signature text stays warm in the parity pytest
+    # 100 TB operator; the signature text stays warm in the parity pytest.
+    # Round-6: top_bigrams yields its slot to perplexity_buckets — the
+    # n-gram+agg+topk shapes it graded stay covered by dedup_ngram_spans
+    # / decontaminate (grams) and q3/q18/mix_corpora (top-k); its text
+    # stays warm in the parity suite.
     for name, sql in _text_sql("spark").items():
         if name not in (
-            "dedup_ngram_signature", "text_fingerprints", "sample_split_stats"
+            "dedup_ngram_signature",
+            "text_fingerprints",
+            "sample_split_stats",
+            "top_bigrams",
         ):
             out[name] = _sql_query(sql)
+    out["perplexity_buckets"] = _perplexity_buckets_q
     out["events_props_json"] = _sql_query(_props_json_sql("spark"))
     # streaming twins + bespoke joins
     out["events_hourly_rollup_stream"] = _events_rollup_stream
@@ -2509,6 +2576,7 @@ def oracle_sql() -> dict[str, str]:
     out["quality_filter"] = _quality_filter_oracle()
     out["webdataset_roundtrip"] = _WDS_ORACLE
     out["decontaminate"] = _decontaminate_oracle()
+    out["perplexity_buckets"] = _perplexity_buckets_oracle()
     out["events_dedup_stream"] = _DEDUP_STREAM_ORACLE
     out["asof_last_order"] = _ASOF_ORACLE
     out["range_join_orders"] = _RANGE_JOIN_ORACLE

@@ -45,7 +45,7 @@ HEADLINE = [
     "text_doc_metrics",
     "dedup_lines",
     "quality_filter",
-    "top_bigrams",
+    "perplexity_buckets",
     "corpus_clean",
     "dedup_exact",
     "bloom_dedup_reference",
@@ -876,6 +876,8 @@ def main() -> None:
         "quality_filter",  # oracle replicates the trigram LM train+score
         # as an O(total-bytes) three-way join — a correctness artifact;
         # the engine side is hash-agg + broadcast map-only scoring
+        "perplexity_buckets",  # same trigram-LM replication oracle as
+        # quality_filter, plus exact quantile_cont terciles
     }
     matched = [
         n for n in HEADLINE if n in oracles and n not in replication_oracles
