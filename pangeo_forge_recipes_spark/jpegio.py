@@ -82,6 +82,30 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
+def _hier_upsample(plane: np.ndarray, eh: int, ev: int) -> np.ndarray:
+    """T.81 J.1.1.2 reference upsampling for the EXP marker: x2 along the
+    flagged dims with the spec's interpolation — even outputs copy the
+    input sample, odd outputs are the rounded mean of the two neighbors
+    ((a + b + 1) >> 1), last column/row replicated. Horizontal first,
+    then vertical (the separable order the annex prescribes)."""
+    p = plane
+    if eh:
+        h, w = p.shape
+        out = np.empty((h, 2 * w), p.dtype)
+        out[:, 0::2] = p
+        right = np.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+        out[:, 1::2] = (p + right + 1) >> 1
+        p = out
+    if ev:
+        h, w = p.shape
+        out = np.empty((2 * h, w), p.dtype)
+        out[0::2] = p
+        down = np.concatenate([p[1:], p[-1:]], axis=0)
+        out[1::2] = (p + down + 1) >> 1
+        p = out
+    return p
+
+
 class _Huff:
     """Canonical Huffman decode table (T.81 annex C/F)."""
 
@@ -200,13 +224,20 @@ def _decode_scan(
     preds = [0] * len(comps)
     eobrun = 0
 
+    differential = bool(frame.get("differential"))
+
     def decode_block(blk: np.ndarray, ci: int, dc_tbl, ac_tbl) -> None:
         nonlocal eobrun
         if ss == 0:
             if ah == 0:  # DC first (or full baseline scan)
                 t = dc_tbl.decode(reader)
-                preds[ci] += _extend(reader.receive(t), t)
-                blk[0] = preds[ci] << al
+                if differential:
+                    # differential frames: DC coded without prediction
+                    # (T.81 F.1.1.5.1 sets PRED = 0 throughout)
+                    blk[0] = _extend(reader.receive(t), t) << al
+                else:
+                    preds[ci] += _extend(reader.receive(t), t)
+                    blk[0] = preds[ci] << al
             else:  # DC refinement: one bit
                 if reader.bit():
                     blk[0] |= 1 << al
@@ -934,6 +965,56 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     frame = None
     restart_interval = 0
     coef: List[np.ndarray] = []
+    # hierarchical mode (T.81 Annex J): DHP declares the full-image
+    # frame header; each subsequent frame is non-differential (becomes
+    # the reference) or differential (added to the — possibly
+    # EXP-upsampled — reference)
+    hier: Optional[dict] = None
+    hier_refs: List[np.ndarray] = []
+
+    def _finish_hier_frame() -> None:
+        """Fold the just-decoded frame into the hierarchical reference
+        planes (integer, per component, pre-color-transform)."""
+        nonlocal frame, coef, hier_refs
+        if hier is None or frame is None or not coef:
+            return
+        precision = frame.get("precision", 8)
+        maxval = (1 << precision) - 1
+        fh, fw = frame["h"], frame["w"]
+        if frame.get("differential") and len(hier_refs) != len(coef):
+            raise ValueError(
+                "corrupt JPEG: differential frame before any reference"
+            )
+        if frame.get("lossless"):
+            if frame.get("differential"):
+                # lossless differential: modulo-2^16 addition (T.81 J/H)
+                hier_refs = [
+                    (ref[:fh, :fw] + d) & 0xFFFF
+                    for ref, d in zip(hier_refs, coef)
+                ]
+            else:
+                hier_refs = [p.astype(np.int64) for p in coef]
+        else:
+            planes = _materialize_dct_planes(frame, coef, qtables)
+            if frame.get("differential"):
+                # differential DCT: shift-free spatial differences added
+                # to the reference, clamped to the sample range
+                hier_refs = [
+                    np.clip(
+                        np.round(ref[:fh, :fw].astype(np.float64) + d),
+                        0,
+                        maxval,
+                    ).astype(np.int64)
+                    for ref, d in zip(hier_refs, planes)
+                ]
+            else:
+                center = float(1 << (precision - 1))
+                hier_refs = [
+                    np.clip(np.round(p + center), 0, maxval).astype(np.int64)
+                    for p in planes
+                ]
+        frame = None
+        coef = []
 
     pos = 2
     if buf[:2] != b"\xff\xd8":
@@ -972,9 +1053,16 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 vals = list(payload[p + 17 : p + 17 + cnt])
                 (huff_dc if tc == 0 else huff_ac)[th] = _Huff(bits, vals)
                 p += 17 + cnt
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC9, 0xCA):
             # SOF0/1 sequential, SOF2 progressive (Huffman);
+            # SOF5 differential sequential (hierarchical, Huffman);
             # SOF9 sequential, SOF10 progressive (arithmetic)
+            if marker == 0xC5 and hier is None:
+                raise ValueError(
+                    "corrupt JPEG: differential frame (SOF5) outside "
+                    "hierarchical mode (no DHP)"
+                )
+            _finish_hier_frame()
             precision = payload[0]
             if precision == 12 and marker == 0xC0:
                 raise ValueError("baseline SOF0 is 8-bit only (T.81)")
@@ -994,6 +1082,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 "comps": comps,
                 "progressive": marker in (0xC2, 0xCA),
                 "arith": marker in (0xC9, 0xCA),
+                "differential": marker == 0xC5,
                 "precision": precision,
             }
             hmax = max(c["h"] for c in comps)
@@ -1004,7 +1093,14 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
                 for c in comps
             ]
-        elif marker == 0xC3:  # SOF3 lossless sequential Huffman
+        elif marker in (0xC3, 0xC7):  # SOF3 lossless / SOF7 differential
+            # lossless (both Huffman; SOF7 only inside hierarchical)
+            if marker == 0xC7 and hier is None:
+                raise ValueError(
+                    "corrupt JPEG: differential frame (SOF7) outside "
+                    "hierarchical mode (no DHP)"
+                )
+            _finish_hier_frame()
             precision = payload[0]
             if not (2 <= precision <= 16):
                 raise ValueError(f"lossless JPEG precision {precision}")
@@ -1024,17 +1120,33 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 "comps": comps,
                 "progressive": False,
                 "lossless": True,
+                "differential": marker == 0xC7,
                 "precision": precision,
             }
             coef = [
                 np.zeros((h, w), dtype=np.int64) for _ in comps
             ]  # sample planes, not DCT stores
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC6, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG frame type SOF{marker - 0xC0} unsupported (baseline, "
-                "progressive and lossless Huffman, and sequential/"
-                "progressive arithmetic are)"
+                "progressive and lossless Huffman, sequential/progressive "
+                "arithmetic, and hierarchical with Huffman differential "
+                "sequential/lossless frames are)"
             )
+        elif marker == 0xDE:  # DHP — hierarchical frame header (Annex J)
+            if hier is not None:
+                raise ValueError("corrupt JPEG: second DHP segment")
+            precision = payload[0]
+            h, w = struct.unpack(">HH", payload[1:5])
+            hier = {"precision": precision, "h": h, "w": w, "ncomp": payload[5]}
+        elif marker == 0xDF:  # EXP — expand reference (Annex J.1.1.2)
+            if hier is None:
+                raise ValueError("corrupt JPEG: EXP outside hierarchical mode")
+            _finish_hier_frame()
+            if not hier_refs:
+                raise ValueError("corrupt JPEG: EXP before any reference frame")
+            eh, ev = payload[0] >> 4, payload[0] & 0xF
+            hier_refs = [_hier_upsample(p, eh, ev) for p in hier_refs]
         elif marker == 0xCC:  # DAC — arithmetic conditioning (T.81 B.2.4.3)
             p = 0
             while p + 1 < len(payload):
@@ -1093,6 +1205,15 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 )
         pos = end
 
+    if hier is not None:
+        _finish_hier_frame()
+        if not hier_refs:
+            raise ValueError("corrupt JPEG: hierarchical stream with no frames")
+        return _ycbcr_planes_to_image(
+            [p[: hier["h"], : hier["w"]].astype(np.float64) for p in hier_refs],
+            hier["precision"],
+        )
+
     if frame is None or not coef:
         raise ValueError("corrupt JPEG: missing SOF/SOS")
 
@@ -1104,26 +1225,44 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             return planes[0]
         return np.stack(planes, axis=-1)
 
+    return _finalize_dct_image(frame, coef, qtables)
+
+
+def _materialize_dct_planes(
+    frame: dict, coef: List[np.ndarray], qtables: Dict[int, np.ndarray]
+) -> List[np.ndarray]:
+    """Dequantize + IDCT the per-component coefficient stores into
+    UNSHIFTED float sample planes at full frame resolution (subsampled
+    components nearest-upsampled, all cropped to h x w). The level shift
+    (+2^(P-1)) is NOT applied — differential hierarchical frames code
+    shift-free differences."""
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     h, w = frame["h"], frame["w"]
-    precision = frame.get("precision", 8)
-    center = float(1 << (precision - 1))
-    vmaxval = (1 << precision) - 1
-    out_dtype = np.uint8 if precision == 8 else np.uint16
     out_planes = []
     for c, blocks in zip(comps, coef):
         q = qtables[c["tq"]]
         deq = (blocks.astype(np.int64) * q[None, None, :])[..., UNZIGZAG]
         bh, bw = blocks.shape[:2]
         spatial = _M.T @ deq.reshape(bh, bw, 8, 8).astype(np.float64) @ _M
-        plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + center
+        plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         if c["h"] != hmax or c["v"] != vmax:
             plane = np.repeat(
                 np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
             )
         out_planes.append(plane[:h, :w])
+    return out_planes
+
+
+def _ycbcr_planes_to_image(
+    out_planes: List[np.ndarray], precision: int
+) -> np.ndarray:
+    """Level-shifted float planes → final uint image (gray passthrough,
+    3 components through the T.871 YCbCr → RGB transform)."""
+    center = float(1 << (precision - 1))
+    vmaxval = (1 << precision) - 1
+    out_dtype = np.uint8 if precision == 8 else np.uint16
     if len(out_planes) == 1:
         return np.clip(np.round(out_planes[0]), 0, vmaxval).astype(out_dtype)
     if len(out_planes) != 3:
@@ -1134,6 +1273,17 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - center)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, vmaxval).astype(out_dtype)
+
+
+def _finalize_dct_image(
+    frame: dict, coef: List[np.ndarray], qtables: Dict[int, np.ndarray]
+) -> np.ndarray:
+    precision = frame.get("precision", 8)
+    center = float(1 << (precision - 1))
+    planes = [
+        p + center for p in _materialize_dct_planes(frame, coef, qtables)
+    ]
+    return _ycbcr_planes_to_image(planes, precision)
 
 
 # ---------------------------------------------------------------------------
@@ -1191,6 +1341,7 @@ def _decode_lossless_scan(
     by_id = {c["id"]: i for i, c in enumerate(frame["comps"])}
     idxs = [by_id[s["id"]] for s in scan]
     tbls = [huff_dc[s["td"]] for s in scan]
+    differential = bool(frame.get("differential"))
     default = 1 << (precision - pt - 1)
     # decoded (pre-point-transform) sample planes for prediction
     work = [np.zeros((h, w), dtype=np.int64) for _ in scan]
@@ -1213,7 +1364,12 @@ def _decode_lossless_scan(
                     d = _extend(reader.receive(t), t)
                 else:
                     d = 0
-                if fresh:
+                if differential:
+                    # differential lossless: the coded value IS the
+                    # (mod-2^16) difference to the reference — no
+                    # spatial prediction (T.81 Annex J)
+                    px = 0
+                elif fresh:
                     px = default
                 else:
                     px = _lossless_predict(work[si], y, x, predictor, default)
@@ -1247,6 +1403,28 @@ def encode_jpeg_lossless(
         raise ValueError("encode_jpeg_lossless needs 2-D or (h, w, c)")
     if int(max(int(p.max(initial=0)) for p in planes)) >= (1 << precision):
         raise ValueError(f"samples exceed {precision}-bit range")
+    out = bytearray(b"\xff\xd8")
+    out += _lossless_frame_bytes(planes, precision, predictor, point_transform)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _lossless_frame_bytes(
+    planes: List[np.ndarray],
+    precision: int,
+    predictor: int,
+    point_transform: int,
+    differential: bool = False,
+) -> bytes:
+    """One lossless frame (SOF3, or SOF7 differential) as bytes from the
+    frame header through its entropy data — the unit hierarchical
+    streams splice between DHP/EXP markers. For ``differential`` the
+    planes hold mod-2^16 differences and no spatial prediction is used
+    (T.81 Annex J)."""
     h, w = planes[0].shape
     pt = point_transform
     shifted = [p >> pt for p in planes]
@@ -1257,7 +1435,9 @@ def encode_jpeg_lossless(
     for y in range(h):
         for x in range(w):
             for p in shifted:
-                if y == 0 and x == 0:
+                if differential:
+                    px = 0
+                elif y == 0 and x == 0:
                     px = default
                 else:
                     px = _lossless_predict(p, y, x, predictor, default)
@@ -1271,24 +1451,125 @@ def encode_jpeg_lossless(
                     writer.write(d if d >= 0 else d + (1 << t) - 1, t)
     entropy = writer.flush()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
-
-    out = bytearray(b"\xff\xd8")
+    out = bytearray()
     ncomp = len(planes)
     sof = struct.pack(">BHHB", precision, h, w, ncomp)
     for ci in range(ncomp):
         sof += bytes([ci + 1, 0x11, 0])
-    out += seg(0xC3, sof)
-    out += seg(
+    out += _seg(0xC7 if differential else 0xC3, sof)
+    out += _seg(
         0xC4, bytes([0x00]) + bytes(dc_enc.bits) + bytes(dc_enc.huffval)
     )
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00])
     sos += bytes([predictor, 0, pt])
-    out += seg(0xDA, sos)
+    out += _seg(0xDA, sos)
     out += entropy
+    return bytes(out)
+
+
+def _downsample2(p: np.ndarray) -> np.ndarray:
+    """Encoder-side pyramid reduction: 2x2 mean with edge padding and
+    round-half-up — the downsampling filter is the encoder's choice in
+    T.81 Annex J; only the EXP upsampling filter is normative."""
+    h, w = p.shape
+    ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+    q = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.int64)
+    s = q.reshape(ph // 2, 2, pw // 2, 2).sum(axis=(1, 3))
+    return (s + 2) >> 2
+
+
+def _dct_diff_frame_bytes(
+    diff: np.ndarray, quality: int
+) -> Tuple[bytes, np.ndarray]:
+    """One differential sequential-DCT frame (SOF5, gray): FDCT of the
+    shift-free spatial differences, Annex-K-scaled quantization, Huffman
+    entropy with the baseline alphabets and DC coded without prediction.
+    Returns (frame bytes, the decoder's reconstruction of the coded
+    differences) so the encoder can track the exact reference."""
+    h, w = diff.shape
+    q = _scaled_quant(_QUANT_LUM, quality)
+    th, tw = -(-h // 8) * 8, -(-w // 8) * 8
+    p = np.pad(
+        diff.astype(np.float64), ((0, th - h), (0, tw - w)), mode="edge"
+    )
+    bh, bw = th // 8, tw // 8
+    blocks = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    qz = q.reshape(8, 8)
+    cf = np.round((_M @ blocks @ _M.T) / qz).astype(np.int64)
+    zz = cf.reshape(bh, bw, 64)[:, :, ZIGZAG]
+
+    dc_enc = _HuffEncoder(_DC_SYMS, 4)
+    ac_enc = _HuffEncoder(_AC_SYMS, 8)
+    writer = _BitWriter()
+    for by in range(bh):
+        for bx in range(bw):
+            # pred = 0: differential frames code DC without prediction
+            _encode_block(writer, zz[by, bx], 0, dc_enc, ac_enc)
+    entropy = writer.flush()
+
+    out = bytearray()
+    out += _seg(0xDB, bytes([0]) + q[ZIGZAG].astype(np.uint8).tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += _seg(0xC5, sof)
+    for tc, enc in ((0, dc_enc), (1, ac_enc)):
+        out += _seg(0xC4, bytes([tc << 4]) + bytes(enc.bits) + bytes(enc.huffval))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += entropy
+
+    spatial = _M.T @ (cf.reshape(bh, bw, 8, 8) * qz) @ _M
+    recon = spatial.transpose(0, 2, 1, 3).reshape(th, tw)[:h, :w]
+    return bytes(out), recon
+
+
+def encode_jpeg_hierarchical(
+    arr: np.ndarray,
+    levels: int = 3,
+    dct_quality: Optional[int] = None,
+) -> bytes:
+    """Encode uint8 grayscale as a hierarchical JPEG (T.81 Annex J):
+    DHP, a reduced-resolution first frame, then one EXP + differential
+    frame per pyramid level. ``dct_quality=None`` emits an all-lossless
+    pyramid (SOF3 first frame, SOF7 differential refinements);
+    with ``dct_quality`` set, the first frame and intermediate
+    refinements are DCT-coded (SOF0 / SOF5) and the FINAL refinement is
+    lossless differential (SOF7) — the classic progressive-to-lossless
+    transmission — so decoding reproduces the input exactly either way."""
+    arr = np.asarray(arr)
+    if arr.dtype != np.uint8 or arr.ndim != 2:
+        raise ValueError("encode_jpeg_hierarchical needs uint8 (h, w) gray")
+    if levels < 2:
+        raise ValueError("hierarchical needs >= 2 levels")
+    pyramid = [arr.astype(np.int64)]
+    for _ in range(levels - 1):
+        pyramid.append(_downsample2(pyramid[-1]))
+
+    out = bytearray(b"\xff\xd8")
+    h, w = arr.shape
+    out += _seg(
+        0xDE, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    )
+    small = pyramid[-1]
+    if dct_quality is None:
+        out += _lossless_frame_bytes([small], 8, 1, 0)
+        ref = small
+    else:
+        first = encode_jpeg(small.astype(np.uint8), quality=dct_quality)
+        out += first[2:-2]  # splice tables + SOF0 + SOS + entropy
+        ref = decode_jpeg(first).astype(np.int64)
+    for li in range(levels - 2, -1, -1):
+        img = pyramid[li]
+        out += _seg(0xDF, bytes([0x11]))  # EXP: expand reference x2 both dims
+        ref = _hier_upsample(ref, 1, 1)[: img.shape[0], : img.shape[1]]
+        if dct_quality is not None and li > 0:
+            frame, recon = _dct_diff_frame_bytes(img - ref, dct_quality)
+            out += frame
+            ref = np.clip(np.round(ref + recon), 0, 255).astype(np.int64)
+        else:
+            diff = (img - ref) & 0xFFFF
+            out += _lossless_frame_bytes([diff], 8, 1, 0, differential=True)
+            ref = img
     out += b"\xff\xd9"
     return bytes(out)
 

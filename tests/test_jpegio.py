@@ -157,12 +157,16 @@ def test_progressive_noise_and_odd_sizes():
 def test_gates():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
-    # hierarchical (SOF5): splice the marker into a valid stream
-    # (SOF3 lossless, formerly the example here, now decodes natively)
+    # a differential frame OUTSIDE hierarchical mode (no DHP) is a
+    # stream error, not a missing feature (SOF5 decodes natively now)
     blob = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
     idx = blob.find(b"\xff\xc0")
     blob[idx + 1] = 0xC5
-    with pytest.raises(NotImplementedError, match="SOF5"):
+    with pytest.raises(ValueError, match="SOF5.*no DHP"):
+        decode_jpeg(bytes(blob))
+    # differential progressive (SOF6) keeps a declared gate
+    blob[idx + 1] = 0xC6
+    with pytest.raises(NotImplementedError, match="SOF6"):
         decode_jpeg(bytes(blob))
 
 
@@ -530,3 +534,45 @@ def test_qm_table_invariants():
         assert 0 <= nmps < 114 and 0 <= nlps < 114
     assert J._QM_TABLE[113][1:] == (113, 113, 0)
     assert J._QM_TABLE[0][:2] == (0x5A1D, 1)
+
+
+def test_hierarchical_lossless_pyramid_exact():
+    """T.81 Annex J: DHP + SOF3 first frame + EXP + SOF7 differential
+    refinements decode to the EXACT input (all-lossless pyramid),
+    including odd dimensions where the expanded reference is trimmed."""
+    from pangeo_forge_recipes_spark.jpegio import encode_jpeg_hierarchical
+
+    rng = np.random.RandomState(6)
+    for shape in [(16, 16), (17, 13), (8, 8), (33, 9)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        blob = encode_jpeg_hierarchical(img, levels=3)
+        assert b"\xff\xde" in blob  # DHP present
+        assert b"\xff\xc7" in blob  # differential lossless frames
+        np.testing.assert_array_equal(decode_jpeg(blob), img)
+
+
+def test_hierarchical_dct_to_lossless_exact():
+    """The classic progressive-to-lossless use: SOF0 first frame, SOF5
+    differential-DCT refinement, final SOF7 lossless refinement — lossy
+    intermediate stages, exact final reconstruction."""
+    from pangeo_forge_recipes_spark.jpegio import encode_jpeg_hierarchical
+
+    rng = np.random.RandomState(7)
+    for shape in [(32, 32), (24, 17)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        blob = encode_jpeg_hierarchical(img, levels=3, dct_quality=75)
+        assert b"\xff\xc5" in blob  # differential sequential DCT frame
+        assert b"\xff\xc7" in blob  # final lossless differential frame
+        np.testing.assert_array_equal(decode_jpeg(blob), img)
+
+
+def test_hierarchical_stream_errors():
+    from pangeo_forge_recipes_spark.jpegio import encode_jpeg_hierarchical
+
+    img = np.zeros((8, 8), np.uint8)
+    blob = bytearray(encode_jpeg_hierarchical(img, levels=2))
+    # EXP before any reference frame
+    dhp_end = blob.find(b"\xff\xc3")
+    bad = bytes(blob[:dhp_end]) + b"\xff\xdf\x00\x03\x11" + bytes(blob[dhp_end:])
+    with pytest.raises(ValueError, match="EXP before any reference"):
+        decode_jpeg(bad)
