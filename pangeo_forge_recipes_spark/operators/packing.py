@@ -377,51 +377,71 @@ def crossdoc_ngram_dup(
     the ``dup_frac <= threshold`` gate. Docs shorter than ``n`` tokens
     have no grams and are kept.
 
-    Scale shape: per-doc distinct + per-doc totals are MAP-SIDE array
-    ops (no distinct shuffle, no groupBy(doc) over the full gram
-    table); the explode feeds only the gram-frequency aggregation
-    (map-side combine) and a semi-join against the nd>1 set (AQE
-    broadcasts it; only duplicated rows reach the per-doc count
-    shuffle). No driver state, no windows.
+    Scale shape: per-doc dedup of grams is a MAP-SIDE array_distinct
+    (no corpus-wide distinct shuffle), window hashes are built with
+    multi-arg xxhash64 over the token slots (no gram string is ever
+    concatenated), and the corpus is decoded + tokenized ONCE: the one
+    full shuffle moves (gram_h, doc_id) 16-byte rows, cross-doc
+    frequency is a count window over that exchange, and the per-doc
+    aggregation runs straight off the windowed rows (its exchange
+    carries at most docs x partitions rows after partial combine). No
+    driver state, no broadcast-size cliff.
     """
     e = TextExprs("spark", text_col)
     # per-doc DISTINCT gram hashes computed MAP-SIDE: a document's grams
-    # all live in one row before any explode, so
-    # array_distinct(transform(grams, xxhash64)) replaces what used to
-    # be a corpus-wide distinct SHUFFLE, and the per-doc total
-    # n_grams = size(...) never touches a shuffle at all (a gram
+    # all live in one row before any explode, so array_distinct replaces
+    # what used to be a corpus-wide distinct SHUFFLE, and the per-doc
+    # total n_grams = size(...) never touches a shuffle at all (a gram
     # repeated inside ONE doc is repetition — filters.top_ngram_fraction
-    # — not cross-doc duplication, hence distinct-per-doc). Hashing to
-    # 64 bits at the scan keeps every remaining shuffle moving 8-byte
-    # longs instead of ~n-word strings; xxhash64 collisions at corpus
-    # scale are ~(grams²/2^65): vanishing, and deterministic per corpus.
-    base = df.select(
+    # — not cross-doc duplication, hence distinct-per-doc). Each window
+    # hashes via MULTI-ARG xxhash64 over the n token strings directly —
+    # no space-joined gram string is ever built (the concat was ~half
+    # the map cost), and equal grams still hash equal because the hash
+    # chains per-argument. 64-bit hashes keep every remaining shuffle
+    # moving 8-byte longs; collisions at corpus scale are
+    # ~(grams²/2^65): vanishing, and deterministic per corpus. The
+    # token array binds ONCE via the single-element-array transform
+    # trick (inlining tokens() in the per-window element_at would
+    # re-split the text per window, O(tokens²)/doc).
+    window_args = ", ".join(
+        f"element_at(t, i + {j})" if j else "element_at(t, i)"
+        for j in range(n)
+    )
+    hashes = (
+        "element_at(transform(array("
+        + e.tokens()
+        + f"), t -> if(size(t) >= {n}, "
+        + f"transform(sequence(1, size(t) - {n - 1}), "
+        + f"i -> xxhash64({window_args})), array())), 1)"
+    )
+    from pyspark.sql.window import Window
+
+    doc_grams = df.select(
         F.col(id_col),
-        F.array_distinct(
-            F.transform(F.expr(e.token_ngrams(n)), lambda g: F.xxhash64(g))
-        ).alias("grams"),
-    ).select(F.col(id_col), "grams", F.size("grams").alias("n_grams"))
-    doc_grams = base.select(F.col(id_col), F.explode("grams").alias("gram_h"))
-    # the exploded table feeds ONLY the gram-frequency aggregation (one
-    # shuffle, map-side partial combine) ...
-    dup_grams_set = (
-        doc_grams.groupBy("gram_h")
-        .agg(F.count("*").alias("nd"))
-        .where(F.col("nd") > 1)
-        .select("gram_h")
+        F.explode(F.array_distinct(F.expr(hashes))).alias("gram_h"),
     )
-    # ... and a semi-join attribution: only DUPLICATED grams (nd > 1)
-    # matter downstream — in a mostly deduplicated corpus that set is
-    # far smaller than the full gram table, so AQE broadcasts it and the
-    # only rows that ever shuffle into groupBy(doc) are the dup rows
-    # themselves (half-width: no flag column). The full doc-gram table
-    # stops shuffling into groupBy(doc_id) entirely.
-    per_doc_dup = (
-        doc_grams.join(dup_grams_set, "gram_h", "semi")
+    # ONE corpus pass, ONE full shuffle: the cross-doc frequency of each
+    # gram comes from a count window over the gram_h exchange, and the
+    # per-doc counts aggregate straight off the windowed rows. The
+    # former two-consumer shape (frequency agg feeding a broadcast
+    # flag-join) tokenized the corpus twice and materialized an extra
+    # broadcast stage for the same exchange volume (mostly-unique grams
+    # defeat the map-side combine, so the freq agg shuffled ~the full
+    # gram table anyway). The window's in-partition sort of 16-byte
+    # rows costs less than re-decoding and re-tokenizing the corpus,
+    # and — unlike the broadcast flag set — has no size cliff when the
+    # duplicated-gram set is huge. count(*) is exact for n_grams
+    # because the explode input is array_distinct'd per doc.
+    per_doc = (
+        doc_grams.withColumn(
+            "nd", F.count("*").over(Window.partitionBy("gram_h"))
+        )
         .groupBy(id_col)
-        .agg(F.count("*").alias("dup_grams"))
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count(F.when(F.col("nd") > 1, 1)).alias("dup_grams"),
+        )
     )
-    per_doc = base.select(id_col, "n_grams").join(per_doc_dup, id_col, "left")
     n_g = F.coalesce("n_grams", F.lit(0))
     dup_g = F.coalesce("dup_grams", F.lit(0))
     # 4-decimal half-up rounding done in exact integer arithmetic —
@@ -432,8 +452,9 @@ def crossdoc_ngram_dup(
     num = dup_g.cast("long") * F.lit(20000) + safe
     den = safe * F.lit(2)
     frac = ((num - num % den) / den) / F.lit(10000.0)
-    # base carries every input doc, so no join back against df is needed
-    return per_doc.select(
+    # restore docs with zero grams (shorter than n tokens): the id-only
+    # scan re-reads no text and AQE broadcasts the per-doc counts
+    return df.select(id_col).join(per_doc, id_col, "left").select(
         F.col(id_col),
         n_g.alias("n_grams"),
         dup_g.alias("dup_grams"),
