@@ -321,17 +321,33 @@ def contamination(
     never shuffled. Returns ``id_col, n_contaminated_grams`` for
     matching docs (join back / anti-join to drop them).
     """
-    bench_grams = (
-        benchmark.select(
-            F.explode(F.expr(_word_ngrams(bench_col, n))).alias("__gram")
+    # window hashes via multi-arg xxhash64 over the token slots of the
+    # ONCE-lowered text: no space-joined gram string is ever
+    # concatenated (the concat was ~half the map cost of the corpus
+    # pass) and the text lowers once per doc instead of once per
+    # window-slot. lower() maps codepoints independently (space stays
+    # space), so lower-then-split ≡ split-then-lower-each and two grams
+    # equal as lowercased strings hash equal here too; only membership
+    # is used downstream, never the hash value.
+    def _gram_hashes(column: str) -> str:
+        args = ", ".join(
+            f"element_at(t, i + {j})" if j else "element_at(t, i)"
+            for j in range(n)
         )
-        .select(F.xxhash64(F.lower(F.col("__gram"))).alias("__gh"))
+        return (
+            f"element_at(transform(array(split(lower({column}), ' ')), "
+            f"t -> if(size(t) >= {n}, transform(sequence(1, size(t) - {n - 1}), "
+            f"i -> xxhash64({args})), array())), 1)"
+        )
+
+    bench_grams = (
+        benchmark.select(F.explode(F.expr(_gram_hashes(bench_col))).alias("__gh"))
         .distinct()
     )
     doc_grams = docs.select(
         F.col(id_col),
-        F.explode(F.expr(_word_ngrams(col, n))).alias("__gram"),
-    ).select(id_col, F.xxhash64(F.lower(F.col("__gram"))).alias("__gh"))
+        F.explode(F.expr(_gram_hashes(col))).alias("__gh"),
+    )
     return (
         doc_grams.join(F.broadcast(bench_grams), "__gh")
         .groupBy(id_col)

@@ -358,6 +358,116 @@ def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
     )
 
 
+def _resize_plane_batch(
+    arr: np.ndarray, out_h: int, out_w: int, method: str
+) -> np.ndarray:
+    """Resize a (n, h, w) float batch to (n, out_h, out_w) with pure
+    numpy — one vectorized gather (nearest) or four gathers + lerp
+    (bilinear, the standard align_corners=False pixel-center
+    convention). No per-image Python."""
+    n, h, w = arr.shape
+    if method == "nearest":
+        ys = np.minimum(
+            ((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1
+        )
+        xs = np.minimum(
+            ((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1
+        )
+        return arr[:, ys[:, None], xs[None, :]]
+    if method != "bilinear":
+        raise ValueError(f"resize method {method!r} (nearest | bilinear)")
+    fy = np.clip((np.arange(out_h) + 0.5) * h / out_h - 0.5, 0, h - 1)
+    fx = np.clip((np.arange(out_w) + 0.5) * w / out_w - 0.5, 0, w - 1)
+    y0 = fy.astype(np.int64)
+    x0 = fx.astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (fy - y0)[None, :, None]
+    wx = (fx - x0)[None, None, :]
+    top = arr[:, y0[:, None], x0[None, :]] * (1 - wx) + arr[
+        :, y0[:, None], x1[None, :]
+    ] * wx
+    bot = arr[:, y1[:, None], x0[None, :]] * (1 - wx) + arr[
+        :, y1[:, None], x1[None, :]
+    ] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int = 8,
+    out_h: int = 8,
+    method: str = "bilinear",
+) -> DataFrame:
+    """Resize decoded media to a fixed (out_h, out_w) grid — the
+    standard pre-embedding normalization stage. Input is the media
+    frame (``attach_*_media`` schema); PNG payloads decode through the
+    batched codec path and every same-shape group resizes as ONE numpy
+    gather/lerp (no per-image Python in the common case); other
+    decodable payloads take the scalar decoders. Output:
+    ``(doc_id, pixels array<float>, width, height)`` with pixels the
+    row-major flattened resized grayscale in [0, 1]."""
+    from ..jp2kio import decode_j2k
+    from ..jpegio import decode_jpeg
+    from ..pngio import PNG_SIGNATURE, decode_png, decode_png_batch
+
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(f"resize method {method!r} (nearest | bilinear)")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [bytes(b) for b in pdf["media"]]
+            planes: list = [None] * len(blobs)
+            png_idx = [
+                i for i, b in enumerate(blobs) if b[:8] == PNG_SIGNATURE
+            ]
+            if png_idx:
+                batch = decode_png_batch([blobs[i] for i in png_idx])
+                if batch is not None:
+                    fb = batch.astype("float64")
+                    if fb.ndim == 4:
+                        fb = fb.mean(axis=3)
+                    rs = _resize_plane_batch(fb, out_h, out_w, method)
+                    flat = (rs / 255.0).astype("float32").reshape(
+                        len(png_idx), -1
+                    )
+                    for j, i in enumerate(png_idx):
+                        planes[i] = flat[j]
+            for i, blob in enumerate(blobs):
+                if planes[i] is not None:
+                    continue
+                if blob[:8] == PNG_SIGNATURE:
+                    arr = decode_png(blob).astype("float64")
+                elif blob[:2] == b"\xff\xd8":
+                    arr = decode_jpeg(blob).astype("float64")
+                elif blob[:4] == b"\xff\x4f\xff\x51":
+                    img, depth, _ = decode_j2k(blob)
+                    arr = img.astype("float64") * (255.0 / ((1 << depth) - 1))
+                else:
+                    digest = hashlib.sha256(blob).digest()
+                    arr = np.frombuffer((digest * 2)[:64], np.uint8).astype(
+                        "float64"
+                    ).reshape(8, 8)
+                if arr.ndim == 3:
+                    arr = arr.mean(axis=2)
+                rs = _resize_plane_batch(
+                    arr[None, :, :], out_h, out_w, method
+                )[0]
+                planes[i] = (rs / 255.0).astype("float32").ravel()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "pixels": planes,
+                    "width": np.full(len(blobs), out_w, dtype="int32"),
+                    "height": np.full(len(blobs), out_h, dtype="int32"),
+                }
+            )
+
+    return df.select("doc_id", "media").mapInPandas(
+        run, "doc_id long, pixels array<float>, width int, height int"
+    )
+
+
 def media_stats(df: DataFrame) -> DataFrame:
     """Per-source binary column statistics — pure built-in functions (the
     SQL-oracle-checkable face of the multimodal surface)."""

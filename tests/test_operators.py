@@ -491,3 +491,68 @@ def test_bloom_probe_plan_no_join_no_shuffle(spark, docs):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_resize_images_bilinear_and_nearest(spark, docs):
+    """resize_images: batched PNG path, numpy-oracle parity for both
+    methods, identity resize returns the input grid."""
+    import numpy as np
+
+    from pangeo_forge_recipes_spark.operators import multimodal
+    from pangeo_forge_recipes_spark.operators.multimodal import (
+        _resize_plane_batch,
+    )
+
+    media = multimodal.attach_png_media(docs, width=16, height=8)
+    # identity resize reproduces the decoded pixels exactly
+    same = multimodal.resize_images(media, out_w=16, out_h=8).collect()
+    dec = {r["doc_id"]: np.asarray(r["pixels"]) for r in
+           multimodal.decode_image(media).collect()}
+    for r in same:
+        np.testing.assert_allclose(
+            np.asarray(r["pixels"]), dec[r["doc_id"]], atol=1e-6
+        )
+        assert (r["width"], r["height"]) == (16, 8)
+    # numpy-oracle parity on the known closed-form pixels
+    for method in ("nearest", "bilinear"):
+        out = {
+            r["doc_id"]: np.asarray(r["pixels"], dtype="float64")
+            for r in multimodal.resize_images(
+                media, out_w=5, out_h=3, method=method
+            ).collect()
+        }
+        for doc_id, got in out.items():
+            i = np.arange(16 * 8)
+            plane = ((doc_id * 31 + i * 7) % 256).reshape(8, 16).astype("float64")
+            want = _resize_plane_batch(plane[None], 3, 5, method)[0] / 255.0
+            np.testing.assert_allclose(got.reshape(3, 5), want, atol=1e-6)
+
+
+def test_resize_plane_batch_properties():
+    """The resize kernel itself: nearest integer upscale is a kron
+    expansion; bilinear 2x midpoint interpolates neighbor means;
+    constant images stay constant under both methods."""
+    import numpy as np
+
+    from pangeo_forge_recipes_spark.operators.multimodal import (
+        _resize_plane_batch,
+    )
+
+    rng = np.random.RandomState(8)
+    a = rng.uniform(0, 255, (3, 4, 6))
+    up = _resize_plane_batch(a, 8, 12, "nearest")
+    np.testing.assert_array_equal(up, np.kron(a, np.ones((1, 2, 2))))
+    const = np.full((2, 5, 7), 42.0)
+    for m in ("nearest", "bilinear"):
+        np.testing.assert_allclose(
+            _resize_plane_batch(const, 9, 11, m), np.full((2, 9, 11), 42.0)
+        )
+    # bilinear 1-D sanity: doubling a 2-px row puts the inner samples
+    # 25/75% between the endpoints (align_corners=False convention)
+    row = np.array([[[0.0, 100.0]]])
+    out = _resize_plane_batch(row, 1, 4, "bilinear")[0, 0]
+    np.testing.assert_allclose(out, [0.0, 25.0, 75.0, 100.0])
+    import pytest as _p
+
+    with _p.raises(ValueError, match="resize method"):
+        _resize_plane_batch(const, 4, 4, "cubic")
