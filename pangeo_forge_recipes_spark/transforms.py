@@ -278,8 +278,12 @@ def preprocessed_schemas_df(
         for pdf in batches:
             out_idx, out_schema = [], []
             for idx_json, url in zip(pdf["index"], pdf["url"]):
+                # a user preprocessor may touch array DATA (where,
+                # coarsen, ...), which the chunk-lazy views (r6:
+                # load=False is now REAL for zarr/kerchunk) don't
+                # support — open eagerly when one is present
                 ds = open_with_ndset(
-                    url, file_type=ft, load=False,
+                    url, file_type=ft, load=preprocess is not None,
                     xarray_open_kwargs=xarray_open_kwargs,
                 )
                 index = Index.from_json(idx_json)
@@ -654,8 +658,11 @@ def open_split_refs_df(
         for pdf in batches:
             keys, idxs, urls = [], [], []
             for idx_json, url in zip(pdf["index"], pdf["url"]):
+                # a user preprocessor may touch array DATA (where,
+                # coarsen, ...), which lazy views don't support — open
+                # eagerly when one is present; metadata-only otherwise
                 ds = open_with_ndset(
-                    url, file_type=ft, load=False,
+                    url, file_type=ft, load=preprocess is not None,
                     xarray_open_kwargs=xarray_open_kwargs,
                 )
                 index = Index.from_json(idx_json)
@@ -721,9 +728,14 @@ def rechunk_refs_and_store(
         # only and each group's combine materializes a chunk-granular
         # range read of EXACTLY its piece — the whole point of the
         # reference shuffle at 100 TB. Eager formats (npz, netcdf3, ...)
-        # ignore the flag and read once per file as before.
+        # ignore the flag and read once per file as before. A user
+        # preprocessor may touch array DATA, which lazy views don't
+        # support — open eagerly when one is present.
         ds = open_with_ndset(
-            url, file_type=ft, load=False, xarray_open_kwargs=xarray_open_kwargs
+            url,
+            file_type=ft,
+            load=preprocess is not None,
+            xarray_open_kwargs=xarray_open_kwargs,
         )
         index = Index.from_json(idx_json)
         if preprocess is not None:

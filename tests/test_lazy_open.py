@@ -171,3 +171,39 @@ def test_lazy_array_slicing_composition():
     )
     # non-slice access falls back to materialization
     assert float(la[0, 0]) == 0.0
+
+
+def test_reference_mode_with_data_touching_preprocess(spark, tmp_path):
+    """A preprocessor that touches array DATA (coarsen) forces eager
+    opens on the reference-shuffle path — lazy views don't support
+    reshape-style data ops, and the guard must kick in on BOTH the
+    split and write sides."""
+    from pangeo_forge_recipes_spark.dsio import open_zarr_group
+
+    ds = make_ds(nt=8)
+    tmp = str(tmp_path)
+    npz_paths = split_ds_into_files(ds, tmp, items_per_file=4)
+    stores = []
+    for i, p in enumerate(npz_paths):
+        r = store_to_zarr(
+            spark,
+            pattern_from_file_sequence(
+                [p], "time", nitems_per_file=4, file_type="npz"
+            ),
+            tmp,
+            f"csrc{i}.zarr",
+            target_chunks={"time": 4},
+        )
+        stores.append(r.path)
+
+    def coarsen_lat(index, d):
+        return index, d.coarsen({"lat": 3}, how="mean")
+
+    pattern = pattern_from_file_sequence(
+        stores, "time", nitems_per_file=4, file_type="zarr"
+    )
+    res = store_to_zarr(
+        spark, pattern, tmp, "out_pp.zarr", target_chunks={"time": 8},
+        rechunk_shuffle="reference", preprocess=coarsen_lat,
+    )
+    assert_equal(res.open(), ds.coarsen({"lat": 3}, how="mean"), check_attrs=False)
