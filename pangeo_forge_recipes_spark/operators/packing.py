@@ -93,15 +93,24 @@ def pack_sequences(
     """
     if num_partitions is None:
         num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 4)
-    keyed = with_global_order(df, id_col)
+    keyed0 = with_global_order(df, id_col)
     # deterministic range bucket: md5 hex is uniform, so bucket
     # (prefix32 * num_partitions) >> 32 is balanced without sampling
     prefix32 = F.conv(F.substring("ord_key", 1, 8), 16, 10).cast("long")
-    keyed = keyed.withColumn(
+    keyed0 = keyed0.withColumn(
         "__bucket", F.shiftright(prefix32 * num_partitions, 32).cast("int")
-    ).repartition(num_partitions, "__bucket")
-    # pass 1: per-bucket token totals (tiny driver collect, O(buckets))
-    totals = keyed.groupBy("__bucket").agg(F.sum(count_col).alias("tot")).collect()
+    )
+    # pass 1: per-bucket token totals (tiny driver collect, O(buckets)).
+    # Computed from a NARROW projection BEFORE the bucket repartition —
+    # the groupBy's own map-side-combined exchange moves O(buckets)
+    # rows, so shuffling the full-width rows for this pass was pure cost
+    totals = (
+        keyed0.select("__bucket", count_col)
+        .groupBy("__bucket")
+        .agg(F.sum(count_col).alias("tot"))
+        .collect()
+    )
+    keyed = keyed0.repartition(num_partitions, "__bucket")
     offsets = {}
     acc = 0
     for row in sorted(totals, key=lambda r: r["__bucket"]):
@@ -148,16 +157,15 @@ def pack_sequences(
 def pack_summary(
     packed: DataFrame, count_col: str = "token_count", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Per-sequence packing stats over :func:`pack_sequences` output."""
-    return (
-        packed.groupBy("seq_id")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(count_col).alias("n_tokens"),
-            F.min(id_col).alias("first_doc"),
-            F.max(id_col).alias("last_doc"),
-        )
-        .orderBy("seq_id")
+    """Per-sequence packing stats over :func:`pack_sequences` output.
+    Unordered — a trailing global orderBy is one pure shuffle of the
+    result; callers that need presentation order sort the (tiny) output
+    themselves."""
+    return packed.groupBy("seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(count_col).alias("n_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
     )
 
 
