@@ -7,7 +7,7 @@ from .append import (
     streaming_dedup,
     watermarked_event_rollup,
 )
-from .stateful import stateful_sessionize
+from .stateful import stateful_sessionize, streaming_minhash_dedup
 
 __all__ = [
     "stream_manifest",
@@ -15,4 +15,5 @@ __all__ = [
     "streaming_dedup",
     "watermarked_event_rollup",
     "stateful_sessionize",
+    "streaming_minhash_dedup",
 ]

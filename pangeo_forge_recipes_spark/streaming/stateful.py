@@ -70,3 +70,74 @@ def stateful_sessionize(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_minhash_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Streaming NEAR-duplicate flagging — the LSH analog of
+    :func:`..streaming.append.streaming_dedup`'s exact dedup, for
+    dedup-at-ingest against everything already seen.
+
+    Each document's MinHash band buckets (same vectorized signature
+    family as the batch ``operators.dedup.minhash_dedup``, so candidate
+    semantics match) stream into a per-bucket stateful operator whose
+    entire state is ONE long: the bucket's first-seen document id.
+    Every later arrival that lands in an already-claimed bucket emits a
+    ``(doc_id, first_doc_id, band)`` candidate row — cross-micro-batch,
+    O(1) state per bucket, never the bucket's membership list (state is
+    bounded by distinct buckets, i.e. ~corpus distinct-signature count,
+    not corpus x bands arrivals; add a timeout policy upstream if the
+    key space must age out).
+
+    Within one micro-batch, arrivals are ordered by id so the chosen
+    representative is deterministic given the batch boundaries. A
+    near-dup pair colliding in several bands emits several rows —
+    ``dropDuplicates([id, first_id])`` downstream if one row per pair is
+    wanted. Exactness: candidates are exactly the pairs sharing >= 1
+    band bucket with the bucket's FIRST representative (the streaming
+    subset of the batch LSH candidate graph — later-vs-later pairs in
+    the same bucket are already represented through the shared
+    representative for dedup purposes)."""
+    from ..operators.dedup import minhash_band_hashes
+
+    buckets = minhash_band_hashes(
+        docs, text_col, id_col, num_perm, bands, shingle_n, seed
+    )
+    out_schema = f"{id_col} long, first_{id_col} long, band int"
+
+    def flag(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        first = int(state.get[0]) if state.exists else None
+        dups = []
+        for pdf in pdfs:
+            for d in sorted(int(x) for x in pdf[id_col]):
+                if first is None:
+                    first = d
+                elif d != first:
+                    dups.append(d)
+        if first is not None:
+            state.update((first,))
+        if dups:
+            yield pd.DataFrame(
+                {
+                    id_col: dups,
+                    f"first_{id_col}": [first] * len(dups),
+                    "band": [int(key[0])] * len(dups),
+                }
+            )
+
+    return buckets.groupBy("band", "band_hash").applyInPandasWithState(
+        flag,
+        out_schema,
+        "first long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

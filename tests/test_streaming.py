@@ -205,3 +205,61 @@ def test_stateful_sessionize_carries_state_across_batches(spark, tmp_path):
     # 3 distinct days → 3 sessions; events: 3 + 2 + user
     for user in (1, 2, 3):
         assert final[user] == (3, 5 + user), (user, final[user])
+
+
+def test_streaming_minhash_dedup_flags_cross_batch_near_dups(spark, tmp_path):
+    """Near-dup docs split ACROSS micro-batches: the per-bucket first-seen
+    state must persist so a batch-2 arrival collides with its batch-1
+    twin; unrelated docs are never flagged."""
+    import pandas as pd
+
+    from pangeo_forge_recipes_spark.streaming import streaming_minhash_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the river runs quietly beneath the old stone bridge"
+    )
+    other = (
+        "completely different material about fourier transforms and "
+        "spectral methods for partial differential equations in physics"
+    )
+    rows = [
+        (1, base),
+        (2, other),
+        # batch 2 arrivals: 3 is a near-dup of 1, 4 unrelated
+        (3, base + " extra tail words"),
+        (4, "unrelated text on medieval trade routes and salt taxation in europe"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs = spark.createDataFrame(pdf)
+    src = str(tmp_path / "docs")
+    docs.filter("doc_id <= 2").coalesce(1).write.parquet(src + "/b0")
+    docs.filter("doc_id > 2").coalesce(1).write.parquet(src + "/b1")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    q = (
+        streaming_minhash_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("_minhash_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("_minhash_stream_test").collect()
+    pairs = {(r["doc_id"], r["first_doc_id"]) for r in out}
+    assert (3, 1) in pairs, pairs  # cross-batch collision caught
+    flagged = {r["doc_id"] for r in out}
+    assert 2 not in flagged and 4 not in flagged  # no false flags
+    # batch parity: the streamed pair shares a batch LSH bucket, i.e. it
+    # is exactly a batch candidate pair
+    from pangeo_forge_recipes_spark.operators.dedup import minhash_band_hashes
+
+    bh = minhash_band_hashes(spark.createDataFrame(pdf)).collect()
+    by_doc = {}
+    for r in bh:
+        by_doc.setdefault(r["doc_id"], set()).add((r["band"], r["band_hash"]))
+    assert by_doc[1] & by_doc[3], "streamed pair must share a batch LSH bucket"
