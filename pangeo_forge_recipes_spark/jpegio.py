@@ -106,59 +106,105 @@ def _hier_upsample(plane: np.ndarray, eh: int, ev: int) -> np.ndarray:
     return p
 
 
+# corpus decode re-reads the same canonical tables for every image —
+# memoize built LUTs by their DHT payload (bounded: real corpora use a
+# handful of distinct tables; clear-on-full guards adversarial streams)
+_HUFF_CACHE: Dict[tuple, "_Huff"] = {}
+_HUFF_CACHE_CAP = 64
+
+
+def _make_huff(bits: List[int], vals: List[int]) -> "_Huff":
+    key = (tuple(bits), tuple(vals))
+    h = _HUFF_CACHE.get(key)
+    if h is None:
+        if len(_HUFF_CACHE) >= _HUFF_CACHE_CAP:
+            _HUFF_CACHE.clear()
+        h = _Huff(bits, vals)
+        _HUFF_CACHE[key] = h
+    return h
+
+
 class _Huff:
-    """Canonical Huffman decode table (T.81 annex C/F)."""
+    """Canonical Huffman decode table (T.81 annex C/F) with a full
+    16-bit lookup: decode peeks 16 bits and resolves (symbol, length)
+    in one table read instead of walking the code bit by bit — the
+    classic libjpeg-style fast path, here sized to the maximum code
+    length so there is no slow fallback."""
 
     def __init__(self, bits: List[int], vals: List[int]):
         self.vals = vals
-        self.mincode = [0] * 17
-        self.maxcode = [-1] * 17
-        self.valptr = [0] * 17
+        sym = np.zeros(65536, np.int16)
+        ln = np.zeros(65536, np.uint8)
         code = 0
         k = 0
         for l in range(1, 17):
-            if bits[l - 1]:
-                self.valptr[l] = k
-                self.mincode[l] = code
-                code += bits[l - 1]
-                k += bits[l - 1]
-                self.maxcode[l] = code - 1
+            span = 1 << (16 - l)
+            for _ in range(bits[l - 1]):
+                start = code << (16 - l)
+                sym[start : start + span] = vals[k]
+                ln[start : start + span] = l
+                code += 1
+                k += 1
             code <<= 1
+        self.lut_sym = sym.tolist()
+        self.lut_len = ln.tolist()
 
     def decode(self, reader: "_BitReader") -> int:
-        code = 0
-        for l in range(1, 17):
-            code = (code << 1) | reader.bit()
-            if self.maxcode[l] >= code >= self.mincode[l]:
-                return self.vals[self.valptr[l] + code - self.mincode[l]]
-        raise ValueError("corrupt JPEG: no Huffman code matched in 16 bits")
+        p = reader.peek16()
+        l = self.lut_len[p]
+        if not l:
+            raise ValueError("corrupt JPEG: no Huffman code matched in 16 bits")
+        reader.nbits -= l
+        return self.lut_sym[p]
 
 
 class _BitReader:
-    """MSB-first bit reader over a de-stuffed entropy segment."""
+    """MSB-first bit reader over a de-stuffed entropy segment —
+    accumulator-based so Huffman decode is one 16-bit peek + length
+    subtract and RECEIVE is one shift/mask, never per-bit Python."""
 
     def __init__(self, data: bytes):
         self.data = data
+        self.n = len(data)
         self.pos = 0
         self.nbits = 0
         self.acc = 0
 
-    def bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
-                # past the end: T.81 pads with 1-bits
-                return 1
-            self.acc = self.data[self.pos]
+    def _fill16(self) -> None:
+        # bulk path: 3 bytes per refill (nbits <= 15 here, so acc stays
+        # under 40 bits); past the end T.81 pads with 1-bits (0xFF)
+        pos = self.pos
+        if pos + 3 <= self.n:
+            self.acc = (
+                (self.acc << 24) | int.from_bytes(self.data[pos : pos + 3], "big")
+            ) & 0xFFFFFFFFFF
+            self.pos = pos + 3
+            self.nbits += 24
+            return
+        while self.nbits < 16:
+            b = self.data[self.pos] if self.pos < self.n else 0xFF
             self.pos += 1
-            self.nbits = 8
+            self.acc = ((self.acc << 8) | b) & 0xFFFFFFFFFF
+            self.nbits += 8
+
+    def peek16(self) -> int:
+        if self.nbits < 16:
+            self._fill16()
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def bit(self) -> int:
+        if self.nbits < 1:
+            self._fill16()
         self.nbits -= 1
         return (self.acc >> self.nbits) & 1
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill16()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
 
 def _read_entropy(buf: bytes, start: int) -> Tuple[List[bytes], int]:
@@ -1051,7 +1097,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 bits = list(payload[p + 1 : p + 17])
                 cnt = sum(bits)
                 vals = list(payload[p + 17 : p + 17 + cnt])
-                (huff_dc if tc == 0 else huff_ac)[th] = _Huff(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = _make_huff(bits, vals)
                 p += 17 + cnt
         elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC9, 0xCA):
             # SOF0/1 sequential, SOF2 progressive (Huffman);
