@@ -561,6 +561,7 @@ _LZF = 32000  # h5py's registered LZF filter id
 _BZIP2 = 307  # hdf5plugin's registered bzip2 filter id (stdlib bz2 stream)
 _LZ4 = 32004  # registered HDF5 LZ4 filter (nexusformat/hdf5plugin)
 _ZSTD = 32015  # registered HDF5 Zstandard filter (one plain zstd frame)
+_BLOSC = 32001  # registered HDF5 Blosc filter (one self-describing Blosc1 frame)
 
 
 def hdf5_lz4_decompress(data: bytes) -> bytes:
@@ -724,13 +725,15 @@ def scan_hdf5(path: str, inline_threshold: int = 300) -> dict:
                 fid
                 for fid, _ in filters
                 if fid not in (
-                    _DEFLATE, _SHUFFLE, _LZF, _SZIP, _BZIP2, _LZ4, _ZSTD
+                    _DEFLATE, _SHUFFLE, _LZF, _SZIP, _BZIP2, _LZ4, _ZSTD,
+                    _BLOSC,
                 )
             ]
             if unsupported:
                 raise NotImplementedError(
                     f"{path}:{name}: HDF5 filters {unsupported} unsupported "
-                    "(only deflate, shuffle, szip, bzip2, lzf, lz4, zstd)"
+                    "(only deflate, shuffle, szip, bzip2, lzf, lz4, zstd, "
+                    "blosc)"
                 )
             if info.get("layout") == "chunked":
                 chunk_shape = info["chunk"]
@@ -764,6 +767,11 @@ def scan_hdf5(path: str, inline_threshold: int = 300) -> dict:
                     extra.append({"name": "hdf5-lz4"})
                 elif fid == _ZSTD:
                     extra.append({"name": "hdf5-zstd"})
+                elif fid == _BLOSC:
+                    # the chunk payload is one self-describing Blosc1
+                    # frame — the client values (versions, typesize,
+                    # clevel, shuffle, compressor) are advisory
+                    extra.append({"name": "hdf5-blosc"})
                 elif fid == _SZIP:
                     om, bpp, ppb, pps = (tuple(cd) + (0, 0, 0, 0))[:4]
                     extra.append(
@@ -979,23 +987,25 @@ def write_hdf5(
     ``compress``: False, True/'deflate' (zlib), 'lzf' (h5py's filter
     32000), 'szip' (CCSDS 121 extended-Rice NN mode, filter 4),
     'bzip2' (hdf5plugin's registered filter 307, stdlib ``bz2``),
-    'lz4' (registered filter 32004, block framing + LZ4 blocks), or
-    'zstd' (registered filter 32015, one plain zstd frame)."""
+    'lz4' (registered filter 32004, block framing + LZ4 blocks),
+    'zstd' (registered filter 32015, one plain zstd frame), or 'blosc'
+    (registered filter 32001, one self-describing Blosc1 frame)."""
     from .dsio import _encode_for_store
 
     if compress not in (
         False, None, True, "deflate", "gzip", "lzf", "szip", "bzip2",
-        "lz4", "zstd",
+        "lz4", "zstd", "blosc",
     ):
         raise ValueError(
             f"compress={compress!r}; use False, 'deflate', 'lzf', 'szip', "
-            "'bzip2', 'lz4' or 'zstd'"
+            "'bzip2', 'lz4', 'zstd' or 'blosc'"
         )
     use_lzf = compress == "lzf"
     use_szip = compress == "szip"
     use_bzip2 = compress == "bzip2"
     use_lz4 = compress == "lz4"
     use_zstd = compress == "zstd"
+    use_blosc = compress == "blosc"
     chunks = chunks or {}
     variables = {**ds.coords, **ds.data_vars}
     names = sorted(variables)
@@ -1110,6 +1120,10 @@ def write_hdf5(
                     from .codecs import zstd_compress
 
                     raw = zstd_compress(raw)
+                elif use_blosc:
+                    from .codecs import blosc_compress
+
+                    raw = blosc_compress(raw, typesize=dt.itemsize)
                 elif eff_compress:
                     raw = zlib.compress(raw, 4)
                 caddr = alloc(raw)
@@ -1192,6 +1206,21 @@ def write_hdf5(
                         struct.pack("<HHHH", _ZSTD, len(fname), 1, 1)
                         + fname
                         + struct.pack("<I", 1)
+                        + struct.pack("<I", 0)
+                    )
+                elif use_blosc:
+                    fname = b"blosc\x00\x00\x00"
+                    # hdf5plugin's seven client values: (filter version,
+                    # blosc version, typesize, chunk bytes, clevel,
+                    # doshuffle, compcode 1=lz4) — advisory (the frame
+                    # self-describes); odd count -> one 4-byte pad
+                    entries.append(
+                        struct.pack("<HHHH", _BLOSC, len(fname), 1, 7)
+                        + fname
+                        + struct.pack(
+                            "<7I", 2, 2, dt.itemsize,
+                            int(np.prod(chunk_dims)) * dt.itemsize, 5, 1, 1,
+                        )
                         + struct.pack("<I", 0)
                     )
                 elif eff_compress:

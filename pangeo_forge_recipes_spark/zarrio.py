@@ -253,7 +253,7 @@ class ZarrArray:
         ``scan_hdf5`` found them in the filter pipeline message. Encode
         walks this forward, decode reversed; a fixed application order
         would corrupt files that stack two compressors the other way."""
-        family = ("hdf5-lzf", "hdf5-bzip2", "hdf5-lz4", "hdf5-zstd")
+        family = ("hdf5-lzf", "hdf5-bzip2", "hdf5-lz4", "hdf5-zstd", "hdf5-blosc")
         return [c["name"] for c in self.meta["codecs"] if c["name"] in family]
 
     def _hdf5_comp_apply(self, name: str, buf: bytes, encode: bool) -> bytes:
@@ -270,6 +270,13 @@ class ZarrArray:
             from .hdf5io import hdf5_lz4_compress, hdf5_lz4_decompress
 
             return hdf5_lz4_compress(buf) if encode else hdf5_lz4_decompress(buf)
+        if name == "hdf5-blosc":
+            # one self-describing Blosc1 frame either way
+            from .codecs import blosc_compress, blosc_decompress
+
+            if encode:
+                return blosc_compress(buf, typesize=self.dtype.itemsize)
+            return blosc_decompress(buf)
         # hdf5-zstd: the HDF5 filter stores no size header and pyarrow's
         # one-shot decoder demands the destination size, so decode is
         # only possible where that size is knowable — innermost filter

@@ -116,21 +116,22 @@ def test_write_read_roundtrip_shuffle_deflate(tmp_path):
 
 
 def test_unsupported_filter_raises(tmp_path):
-    """A dataset using an unimplemented filter (blosc's HDF5 filter,
-    registered id 32001) must fail loudly, not decode garbage. (szip,
-    bzip2, lz4 and zstd, former examples here, are now decoded
-    natively.)"""
+    """A dataset using an unimplemented filter (bitshuffle's HDF5
+    filter, registered id 32008 — its per-block container framing has
+    no authoritative in-container oracle here) must fail loudly, not
+    decode garbage. (szip, bzip2, lz4, zstd and blosc, former examples
+    here, are now decoded natively.)"""
     ds = make_ds(nt=2)
     p = str(tmp_path / "t.h5")
     write_hdf5(p, ds, chunks={"time": 1}, compress=True)
-    # splice the HDF5-blosc filter id (32001) over deflate (1)
+    # splice the HDF5-bitshuffle filter id (32008) over deflate (1)
     with open(p, "rb") as f:
         raw = bytearray(f.read())
     sig = b"deflate\x00"
     idx = raw.find(sig)
     assert idx > 0
-    raw[idx - 8 : idx - 6] = (32001).to_bytes(2, "little")
-    raw[idx : idx + 8] = b"blosc\x00\x00\x00"
+    raw[idx - 8 : idx - 6] = (32008).to_bytes(2, "little")
+    raw[idx : idx + 8] = b"bitshuf\x00"
     p2 = str(tmp_path / "t2.h5")
     with open(p2, "wb") as f:
         f.write(bytes(raw))
@@ -292,7 +293,7 @@ def test_store_to_zarr_from_lzf_netcdf4(spark, tmp_path):
     assert_equal(result.open(), ds, check_attrs=False)
 
 
-@pytest.mark.parametrize("comp,codec", [("lz4", "hdf5-lz4"), ("zstd", "hdf5-zstd")])
+@pytest.mark.parametrize("comp,codec", [("lz4", "hdf5-lz4"), ("zstd", "hdf5-zstd"), ("blosc", "hdf5-blosc")])
 def test_hdf5_lz4_zstd_round_trip_and_write_through(tmp_path, comp, codec):
     """write_hdf5(compress='lz4'/'zstd') emits the registered filter
     (32004 / 32015) pipelines; the scanner maps them to virtual-store
