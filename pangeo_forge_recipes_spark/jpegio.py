@@ -311,9 +311,12 @@ def _decode_scan(
                 blk[k] = _extend(reader.receive(s), s) << al
                 k += 1
             return
-        # AC successive-approximation refinement
+        # AC successive-approximation refinement — the band runs as a
+        # plain Python list (numpy scalar indexing in this per-
+        # coefficient loop costs ~5x a list access), written back once
         p1 = 1 << al
         m1 = -p1
+        bl = blk.tolist()
         if eobrun == 0:
             while k <= se:
                 rs = ac_tbl.decode(reader)
@@ -329,24 +332,27 @@ def _decode_scan(
                 else:
                     val = p1 if reader.bit() else m1
                 while k <= se:
-                    if blk[k] != 0:
-                        if reader.bit() and (int(blk[k]) & p1) == 0:
-                            blk[k] += p1 if blk[k] >= 0 else m1
+                    v = bl[k]
+                    if v != 0:
+                        if reader.bit() and (v & p1) == 0:
+                            bl[k] = v + (p1 if v >= 0 else m1)
                     else:
                         if r == 0:
                             break
                         r -= 1
                     k += 1
                 if val and k <= se:
-                    blk[k] = val
+                    bl[k] = val
                 k += 1
         if eobrun > 0:
             while k <= se:
-                if blk[k] != 0:
-                    if reader.bit() and (int(blk[k]) & p1) == 0:
-                        blk[k] += p1 if blk[k] >= 0 else m1
+                v = bl[k]
+                if v != 0:
+                    if reader.bit() and (v & p1) == 0:
+                        bl[k] = v + (p1 if v >= 0 else m1)
                 k += 1
             eobrun -= 1
+        blk[:] = bl
 
     for unit in range(total_units):
         if restart_interval and unit and unit % restart_interval == 0:
