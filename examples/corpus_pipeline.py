@@ -150,6 +150,16 @@ def main() -> None:
     finally:
         shutil.rmtree(shard_dir, ignore_errors=True)
 
+    # semantic retrieval over the embeddings table through the PQ tier:
+    # codebooks from an md5 sample, map-only encode, LUT-based
+    # asymmetric-distance self-search (the compressed-broadcast path)
+    from pangeo_forge_recipes_spark.operators import similarity
+
+    embs = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    pq_nn = similarity.pq_topk(embs, k=2, m=8, nbits=4)
+    n_pq = pq_nn.count()
+    assert n_pq == 2 * embs.count()
+
     print(
         f"raw={n_raw}  post-quality+exact={n_exact}  post-neardup={n_clean}"
         f"  post-decontam={n_decon}  bpe_merges={len(merges)}"
