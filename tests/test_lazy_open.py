@@ -5,9 +5,6 @@ range-reads exactly its group's piece of each source."""
 
 from __future__ import annotations
 
-import json
-import os
-
 import numpy as np
 import pytest
 
