@@ -562,6 +562,123 @@ _BZIP2 = 307  # hdf5plugin's registered bzip2 filter id (stdlib bz2 stream)
 _LZ4 = 32004  # registered HDF5 LZ4 filter (nexusformat/hdf5plugin)
 _ZSTD = 32015  # registered HDF5 Zstandard filter (one plain zstd frame)
 _BLOSC = 32001  # registered HDF5 Blosc filter (one self-describing Blosc1 frame)
+_BITSHUFFLE = 32008  # kiyo-masui/bitshuffle's registered filter
+
+
+def _bshuf_default_block_elems(elem_size: int) -> int:
+    """bitshuffle's ``bshuf_default_block_size``: target 8192 bytes per
+    block, rounded down to the required multiple of 8 elements (the
+    library pins this formula as stable across versions)."""
+    block = (8192 // max(elem_size, 1)) // 8 * 8
+    return max(block, 8)
+
+
+def _bshuf_spans(n_elem: int, block_elems: int):
+    """Block spans of bitshuffle's ``bshuf_blocked_wrap_fun``: full
+    blocks of ``block_elems``, then one last partial block of
+    ``n_elem % block_elems`` rounded DOWN to a multiple of 8 (processed
+    like a full block), then a raw tail of ``n_elem % 8`` elements that
+    is copied verbatim (bit-transpose needs 8-element groups)."""
+    spans = []
+    pos = 0
+    for _ in range(n_elem // block_elems):
+        spans.append((pos, block_elems))
+        pos += block_elems
+    last = (n_elem % block_elems) // 8 * 8
+    if last:
+        spans.append((pos, last))
+        pos += last
+    return spans, pos  # pos = first raw-tail element
+
+
+def hdf5_bitshuffle_decompress(
+    data: bytes,
+    elem_size: int,
+    compression: str = "lz4",
+    block_elems: int = 0,
+) -> bytes:
+    """Decode the registered HDF5 bitshuffle filter (id 32008; public
+    format per kiyo-masui/bitshuffle ``bshuf_h5filter.c``).
+
+    With internal compression (cd[4] = 2 → LZ4, 3 → zstd) the chunk
+    stream is: 8-byte BE total uncompressed size, 4-byte BE block size
+    in BYTES, then per block a 4-byte BE compressed size + the
+    compressed payload of that block's bitshuffled bytes (LZ4 *block*
+    format / one zstd frame), and finally the raw unshuffled tail of
+    ``n_elem % 8`` elements. Without compression the chunk is the
+    blocked bitshuffle of the raw bytes at the cd-value block size
+    (0 → the library's default-block formula), same size as the input.
+    """
+    from .codecs import bitunshuffle_bytes, lz4_block_decompress, zstd_decompress
+
+    data = bytes(data)
+    if compression == "none":
+        block_elems = block_elems or _bshuf_default_block_elems(elem_size)
+        n_elem = len(data) // elem_size
+        spans, tail_elem = _bshuf_spans(n_elem, block_elems)
+        out = bytearray()
+        for start, nel in spans:
+            off = start * elem_size
+            out += bitunshuffle_bytes(data[off : off + nel * elem_size], elem_size)
+        out += data[tail_elem * elem_size :]
+        return bytes(out)
+    total = int.from_bytes(data[:8], "big")
+    block_bytes = int.from_bytes(data[8:12], "big")
+    block_elems = max(block_bytes // max(elem_size, 1), 8)
+    n_elem = total // elem_size
+    spans, tail_elem = _bshuf_spans(n_elem, block_elems)
+    out = bytearray()
+    p = 12
+    for _, nel in spans:
+        dsize = nel * elem_size
+        csize = int.from_bytes(data[p : p + 4], "big")
+        p += 4
+        payload = data[p : p + csize]
+        p += csize
+        if compression == "zstd":
+            sh = zstd_decompress(payload, dsize)
+        else:
+            sh = lz4_block_decompress(payload, dsize)
+        out += bitunshuffle_bytes(sh, elem_size)
+    out += data[p : p + (total - tail_elem * elem_size)]
+    return bytes(out)
+
+
+def hdf5_bitshuffle_compress(
+    data: bytes,
+    elem_size: int,
+    compression: str = "lz4",
+    block_elems: int = 0,
+) -> bytes:
+    """Encode the HDF5 bitshuffle filter stream (the inverse of
+    :func:`hdf5_bitshuffle_decompress`; every block is compressed — the
+    32008 framing has no stored-raw escape, unlike filter 32004)."""
+    from .codecs import bitshuffle_bytes, lz4_block_compress, zstd_compress
+
+    data = bytes(data)
+    block_elems = block_elems or _bshuf_default_block_elems(elem_size)
+    if block_elems % 8:
+        raise ValueError("bitshuffle block size must be a multiple of 8 elements")
+    n_elem = len(data) // elem_size
+    spans, tail_elem = _bshuf_spans(n_elem, block_elems)
+    if compression == "none":
+        out = bytearray()
+        for start, nel in spans:
+            off = start * elem_size
+            out += bitshuffle_bytes(data[off : off + nel * elem_size], elem_size)
+        out += data[tail_elem * elem_size :]
+        return bytes(out)
+    out = bytearray()
+    out += len(data).to_bytes(8, "big")
+    out += (block_elems * elem_size).to_bytes(4, "big")
+    for start, nel in spans:
+        off = start * elem_size
+        sh = bitshuffle_bytes(data[off : off + nel * elem_size], elem_size)
+        comp = zstd_compress(sh) if compression == "zstd" else lz4_block_compress(sh)
+        out += len(comp).to_bytes(4, "big")
+        out += comp
+    out += data[tail_elem * elem_size :]
+    return bytes(out)
 
 
 def hdf5_lz4_decompress(data: bytes) -> bytes:
@@ -726,14 +843,14 @@ def scan_hdf5(path: str, inline_threshold: int = 300) -> dict:
                 for fid, _ in filters
                 if fid not in (
                     _DEFLATE, _SHUFFLE, _LZF, _SZIP, _BZIP2, _LZ4, _ZSTD,
-                    _BLOSC,
+                    _BLOSC, _BITSHUFFLE,
                 )
             ]
             if unsupported:
                 raise NotImplementedError(
                     f"{path}:{name}: HDF5 filters {unsupported} unsupported "
                     "(only deflate, shuffle, szip, bzip2, lzf, lz4, zstd, "
-                    "blosc)"
+                    "blosc, bitshuffle)"
                 )
             if info.get("layout") == "chunked":
                 chunk_shape = info["chunk"]
@@ -772,6 +889,27 @@ def scan_hdf5(path: str, inline_threshold: int = 300) -> dict:
                     # frame — the client values (versions, typesize,
                     # clevel, shuffle, compressor) are advisory
                     extra.append({"name": "hdf5-blosc"})
+                elif fid == _BITSHUFFLE:
+                    # bshuf_h5filter cd values: (major, minor, elem_size,
+                    # block_size_elems [0 = library default], compression
+                    # [0 none / 2 LZ4 / 3 zstd], level)
+                    cdt = tuple(cd) + (0, 0, 0, 0, 0)
+                    comp = {0: "none", 2: "lz4", 3: "zstd"}.get(int(cdt[4]))
+                    if comp is None:
+                        raise NotImplementedError(
+                            f"{path}:{name}: bitshuffle internal "
+                            f"compression code {cdt[4]} unsupported"
+                        )
+                    extra.append(
+                        {
+                            "name": "hdf5-bitshuffle",
+                            "configuration": {
+                                "elementsize": np_dtype.itemsize,
+                                "blockelems": int(cdt[3]),
+                                "compression": comp,
+                            },
+                        }
+                    )
                 elif fid == _SZIP:
                     om, bpp, ppb, pps = (tuple(cd) + (0, 0, 0, 0))[:4]
                     extra.append(
@@ -988,17 +1126,19 @@ def write_hdf5(
     32000), 'szip' (CCSDS 121 extended-Rice NN mode, filter 4),
     'bzip2' (hdf5plugin's registered filter 307, stdlib ``bz2``),
     'lz4' (registered filter 32004, block framing + LZ4 blocks),
-    'zstd' (registered filter 32015, one plain zstd frame), or 'blosc'
-    (registered filter 32001, one self-describing Blosc1 frame)."""
+    'zstd' (registered filter 32015, one plain zstd frame), 'blosc'
+    (registered filter 32001, one self-describing Blosc1 frame), or
+    'bitshuffle' (kiyo-masui's registered filter 32008, blocked
+    bit-transpose + per-block LZ4)."""
     from .dsio import _encode_for_store
 
     if compress not in (
         False, None, True, "deflate", "gzip", "lzf", "szip", "bzip2",
-        "lz4", "zstd", "blosc",
+        "lz4", "zstd", "blosc", "bitshuffle",
     ):
         raise ValueError(
             f"compress={compress!r}; use False, 'deflate', 'lzf', 'szip', "
-            "'bzip2', 'lz4', 'zstd' or 'blosc'"
+            "'bzip2', 'lz4', 'zstd', 'blosc' or 'bitshuffle'"
         )
     use_lzf = compress == "lzf"
     use_szip = compress == "szip"
@@ -1006,6 +1146,7 @@ def write_hdf5(
     use_lz4 = compress == "lz4"
     use_zstd = compress == "zstd"
     use_blosc = compress == "blosc"
+    use_bshuf = compress == "bitshuffle"
     chunks = chunks or {}
     variables = {**ds.coords, **ds.data_vars}
     names = sorted(variables)
@@ -1124,6 +1265,8 @@ def write_hdf5(
                     from .codecs import blosc_compress
 
                     raw = blosc_compress(raw, typesize=dt.itemsize)
+                elif use_bshuf:
+                    raw = hdf5_bitshuffle_compress(raw, dt.itemsize)
                 elif eff_compress:
                     raw = zlib.compress(raw, 4)
                 caddr = alloc(raw)
@@ -1206,6 +1349,17 @@ def write_hdf5(
                         struct.pack("<HHHH", _ZSTD, len(fname), 1, 1)
                         + fname
                         + struct.pack("<I", 1)
+                        + struct.pack("<I", 0)
+                    )
+                elif use_bshuf:
+                    fname = b"bitshuffle\x00\x00\x00\x00\x00\x00"
+                    # bshuf_h5filter's client values: (major, minor,
+                    # elem_size, block_size_elems [0 = library default],
+                    # compression [2 = LZ4]); odd count → one 4-byte pad
+                    entries.append(
+                        struct.pack("<HHHH", _BITSHUFFLE, len(fname), 1, 5)
+                        + fname
+                        + struct.pack("<5I", 0, 4, dt.itemsize, 0, 2)
                         + struct.pack("<I", 0)
                     )
                 elif use_blosc:

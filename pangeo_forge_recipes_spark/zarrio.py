@@ -253,7 +253,10 @@ class ZarrArray:
         ``scan_hdf5`` found them in the filter pipeline message. Encode
         walks this forward, decode reversed; a fixed application order
         would corrupt files that stack two compressors the other way."""
-        family = ("hdf5-lzf", "hdf5-bzip2", "hdf5-lz4", "hdf5-zstd", "hdf5-blosc")
+        family = (
+            "hdf5-lzf", "hdf5-bzip2", "hdf5-lz4", "hdf5-zstd", "hdf5-blosc",
+            "hdf5-bitshuffle",
+        )
         return [c["name"] for c in self.meta["codecs"] if c["name"] in family]
 
     def _hdf5_comp_apply(self, name: str, buf: bytes, encode: bool) -> bytes:
@@ -277,6 +280,23 @@ class ZarrArray:
             if encode:
                 return blosc_compress(buf, typesize=self.dtype.itemsize)
             return blosc_decompress(buf)
+        if name == "hdf5-bitshuffle":
+            from .hdf5io import (
+                hdf5_bitshuffle_compress,
+                hdf5_bitshuffle_decompress,
+            )
+
+            cfg = next(
+                c.get("configuration", {})
+                for c in self.meta["codecs"]
+                if c["name"] == "hdf5-bitshuffle"
+            )
+            elem = int(cfg.get("elementsize", self.dtype.itemsize))
+            comp = cfg.get("compression", "lz4")
+            blk = int(cfg.get("blockelems", 0))
+            if encode:
+                return hdf5_bitshuffle_compress(buf, elem, comp, blk)
+            return hdf5_bitshuffle_decompress(buf, elem, comp, blk)
         # hdf5-zstd: the HDF5 filter stores no size header and pyarrow's
         # one-shot decoder demands the destination size, so decode is
         # only possible where that size is knowable — innermost filter

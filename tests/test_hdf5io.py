@@ -116,22 +116,22 @@ def test_write_read_roundtrip_shuffle_deflate(tmp_path):
 
 
 def test_unsupported_filter_raises(tmp_path):
-    """A dataset using an unimplemented filter (bitshuffle's HDF5
-    filter, registered id 32008 — its per-block container framing has
-    no authoritative in-container oracle here) must fail loudly, not
-    decode garbage. (szip, bzip2, lz4, zstd and blosc, former examples
-    here, are now decoded natively.)"""
+    """A dataset using an unimplemented filter (zfp's registered id
+    32013 — a lossy floating-point codec with no in-container oracle)
+    must fail loudly, not decode garbage. (szip, bzip2, lz4, zstd,
+    blosc and bitshuffle, former examples here, are now decoded
+    natively.)"""
     ds = make_ds(nt=2)
     p = str(tmp_path / "t.h5")
     write_hdf5(p, ds, chunks={"time": 1}, compress=True)
-    # splice the HDF5-bitshuffle filter id (32008) over deflate (1)
+    # splice the HDF5-zfp filter id (32013) over deflate (1)
     with open(p, "rb") as f:
         raw = bytearray(f.read())
     sig = b"deflate\x00"
     idx = raw.find(sig)
     assert idx > 0
-    raw[idx - 8 : idx - 6] = (32008).to_bytes(2, "little")
-    raw[idx : idx + 8] = b"bitshuf\x00"
+    raw[idx - 8 : idx - 6] = (32013).to_bytes(2, "little")
+    raw[idx : idx + 8] = b"zfp\x00\x00\x00\x00\x00"
     p2 = str(tmp_path / "t2.h5")
     with open(p2, "wb") as f:
         f.write(bytes(raw))
@@ -397,3 +397,106 @@ def test_hdf5_stacked_filters_decode_in_recorded_order(tmp_path):
 
     with _pytest.raises(NotImplementedError, match="hdf5-zstd stacked"):
         roundtrip(["hdf5-lz4", "hdf5-zstd"])
+
+
+def scalar_bitshuffle_block(block: bytes, elem_size: int) -> bytes:
+    """Independent scalar re-derivation of one bitshuffle block
+    (TRANS_BIT_8X8 semantics, LSB-first on both axes): plane b*8+k holds
+    bit k of byte b of every element; within a plane byte, element 8i+j
+    lands in bit j. Written as explicit bit loops so it shares no code
+    with the vectorized codec it pins."""
+    n = len(block) // elem_size
+    out = bytearray()
+    for b in range(elem_size):
+        for k in range(8):
+            for i in range(n // 8):
+                byte = 0
+                for j in range(8):
+                    byte |= ((block[(8 * i + j) * elem_size + b] >> k) & 1) << j
+                out.append(byte)
+    return bytes(out)
+
+
+def test_hdf5_bitshuffle_framing_hand_built():
+    """Pin the registered bitshuffle filter (id 32008) stream against a
+    hand-assembled one per the public format (bshuf_h5filter.c +
+    bshuf_blocked_wrap_fun): 8-byte BE total, 4-byte BE block size in
+    bytes, per processed block a 4-byte BE compressed size + LZ4 block
+    of that block's bit-transposed bytes — full blocks of block_elems,
+    then the remainder rounded DOWN to a multiple of 8 as one short
+    block, then the final n%8 elements copied raw (never transposed)."""
+    from pangeo_forge_recipes_spark.codecs import lz4_block_compress
+    from pangeo_forge_recipes_spark.hdf5io import (
+        hdf5_bitshuffle_compress,
+        hdf5_bitshuffle_decompress,
+    )
+
+    rng = np.random.default_rng(32008)
+    data = rng.integers(0, 256, size=28 * 2, dtype=np.uint8).tobytes()
+    # elem_size=2, block_elems=16 → blocks of 16 and 8 elems, 4-elem tail
+    blocks = [data[0:32], data[32:48]]
+    tail = data[48:]
+    stream = len(data).to_bytes(8, "big") + (32).to_bytes(4, "big")
+    for blk in blocks:
+        comp = lz4_block_compress(scalar_bitshuffle_block(blk, 2))
+        stream += len(comp).to_bytes(4, "big") + comp
+    stream += tail
+    assert hdf5_bitshuffle_decompress(stream, 2, "lz4") == data
+    assert hdf5_bitshuffle_compress(data, 2, "lz4", block_elems=16) == stream
+    # no-compression variant: blocked transpose only, same total size
+    plain = b"".join(scalar_bitshuffle_block(b, 2) for b in blocks) + tail
+    assert hdf5_bitshuffle_compress(data, 2, "none", block_elems=16) == plain
+    assert hdf5_bitshuffle_decompress(plain, 2, "none", block_elems=16) == data
+    # zstd internal compression round-trips (frame bytes are
+    # build-specific, so only the inverse is pinned)
+    z = hdf5_bitshuffle_compress(data, 2, "zstd", block_elems=16)
+    assert hdf5_bitshuffle_decompress(z, 2, "zstd") == data
+    # default block size (cd value 0) round-trips too
+    assert hdf5_bitshuffle_decompress(
+        hdf5_bitshuffle_compress(data, 2, "lz4"), 2, "lz4"
+    ) == data
+
+
+def test_hdf5_bitshuffle_round_trip_and_write_through(tmp_path):
+    """write_hdf5(compress='bitshuffle') emits the registered filter
+    32008 pipeline (LZ4 internal compression, the library's default);
+    the scanner maps it to a configured virtual-store codec, reads
+    decode exactly, and chunk write-through encodes symmetrically."""
+    import json
+
+    from pangeo_forge_recipes_spark.hdf5io import read_hdf5, write_hdf5
+    from pangeo_forge_recipes_spark.zarrio import ZarrArray
+
+    ds = make_ds(nt=6)
+    p = str(tmp_path / "bshuf.h5")
+    write_hdf5(p, ds, chunks={"time": 3}, compress="bitshuffle")
+    with open(p, "rb") as f:
+        raw = f.read()
+    assert b"bitshuffle\x00" in raw  # filter name in the pipeline
+    assert_equal(read_hdf5(p), ds)
+    refs = scan_hdf5(p)
+    meta = json.loads(refs["foo/zarr.json"])
+    (cfg,) = [
+        c["configuration"] for c in meta["codecs"]
+        if c["name"] == "hdf5-bitshuffle"
+    ]
+    assert cfg["compression"] == "lz4"
+    assert cfg["elementsize"] == np.dtype(meta["data_type"]).itemsize
+    assert_equal(open_reference_dataset(refs), ds, check_attrs=False)
+    arr = ZarrArray(None, "foo", meta)
+    block = np.arange(
+        np.prod(arr.chunks), dtype=arr.dtype
+    ).reshape(tuple(arr.chunks))
+    enc = arr._encode_chunk(block)
+    np.testing.assert_array_equal(arr._decode_chunk(enc), block)
+    # an unknown internal compression code stays a declared gate
+    with open(p, "rb") as f:
+        raw = bytearray(f.read())
+    idx = raw.find(b"bitshuffle\x00")
+    cd_off = idx + 16  # name(16) → 5 cd values; cd[4] = compression
+    raw[cd_off + 16 : cd_off + 20] = (9).to_bytes(4, "little")
+    p2 = str(tmp_path / "badcomp.h5")
+    with open(p2, "wb") as f:
+        f.write(bytes(raw))
+    with pytest.raises(NotImplementedError, match="compression code 9"):
+        scan_hdf5(p2)
