@@ -1999,6 +1999,209 @@ WHERE doc_id % {_DECON_MOD} != 0
 """.strip()
 
 
+def _c4_text_expr(dialect: str) -> str:
+    """Deterministic multi-line C4 test corpus — identical strings on
+    both engines. The raw documents text carries no punctuation, so the
+    4-words-per-line split adds a terminal mark by doc_id class: '.'
+    lines (plus a punctuated tail whose word count varies 1-4 — the
+    min-words rule does real work), '!' lines, or bare lines (the whole
+    doc fails the line filter); every 17th doc gains a boilerplate
+    marker and every 19th a brace so the doc-level drops fire too."""
+    pat = r"((?:\S+ ){%d}\S+) " % (_LINES_PER - 1)
+    if dialect == "spark":
+        # Spark SQL string literals process backslash escapes — double
+        # them so the regex engine sees \S (DuckDB literals are raw)
+        spat = pat.replace("\\", "\\\\")
+        rep = lambda tail: f"'$1{tail}\\n'"  # noqa: E731
+        rr = lambda tail: f"regexp_replace(text, '{spat}', {rep(tail)})"  # noqa: E731
+    else:
+        rep = lambda tail: f"'\\1{tail}' || chr(10)"  # noqa: E731
+        rr = lambda tail: (  # noqa: E731
+            f"regexp_replace(text, '{pat}', {rep(tail)}, 'g')"
+        )
+    base = (
+        f"CASE doc_id % 3 WHEN 0 THEN concat({rr('.')}, '.') "
+        f"WHEN 1 THEN {rr('!')} ELSE {rr('')} END"
+    )
+    return (
+        f"CASE WHEN doc_id % 17 = 0 THEN concat({base}, ' Lorem Ipsum dolor') "
+        f"WHEN doc_id % 19 = 0 THEN concat({base}, ' {{x}}') "
+        f"ELSE {base} END"
+    )
+
+
+def _c4_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (operators/filters.c4_clean): documents get
+    a deterministic 4-words-per-line split with per-class terminal
+    punctuation, then lines must end in terminal punctuation and carry
+    >= 3 words; docs with boilerplate markers or braces drop whole.
+    Map-only — the filter pushes into the scan, no shuffle. The oracle
+    replicates the whole rule set with DuckDB list functions."""
+    from pangeo_forge_recipes_spark.operators.filters import c4_clean
+
+    _register(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", F.expr(_c4_text_expr("spark")).alias("text")
+    )
+    out = c4_clean(docs, min_words_per_line=3, min_lines=1)
+    return out.select(
+        "doc_id", F.md5("text").alias("text_md5"), "n_kept_lines"
+    )
+
+
+def _c4_clean_oracle() -> str:
+    keep = (
+        "list_filter(ls, l -> len(string_split_regex(trim(l), ' +')) >= 3 "
+        "AND regexp_matches(trim(l), '[.!?\"]$'))"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_c4_text_expr("duckdb")} AS text
+  FROM documents),
+lx AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM d),
+kept AS (SELECT doc_id, text, {keep} AS ks FROM lx)
+SELECT doc_id,
+       md5(array_to_string(ks, chr(10))) AS text_md5,
+       len(ks) AS n_kept_lines
+FROM kept
+WHERE len(ks) >= 1
+  AND lower(text) NOT LIKE '%lorem ipsum%'
+  AND lower(text) NOT LIKE '%javascript must be enabled%'
+  AND text NOT LIKE '%{{%'
+""".strip()
+
+
+def _pii_source_expr(dialect: str) -> str:
+    """Deterministic PII-bearing text generator — identical strings on
+    both engines: every doc gains an email, a dotted-quad and a
+    US-shaped phone number derived from doc_id."""
+    s = "string" if dialect == "spark" else "varchar"
+    return (
+        "concat(text, ' Contact user', cast(doc_id as {s}), "
+        "'@mail.example.org, ip 192.168.', cast(doc_id % 256 as {s}), "
+        "'.17, call (415) 555-', "
+        "lpad(cast(doc_id % 10000 as {s}), 4, '0'), ' now.')"
+    ).format(s=s)
+
+
+def _scrub_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/filters.scrub_pii): email / IPv4 / phone
+    spans replaced by placeholder tokens through a JVM regexp_replace
+    chain — pure map, codegen'd, zero shuffle. The oracle chains the
+    same RE2-compatible patterns in DuckDB over identically synthesized
+    input text."""
+    from pangeo_forge_recipes_spark.operators.filters import scrub_pii
+
+    _register(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", F.expr(_pii_source_expr("spark")).alias("text")
+    )
+    out = scrub_pii(docs)
+    n = lambda tok: (  # noqa: E731 — occurrence count, portable SQL
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(tok))))
+        / len(tok)
+    ).cast("long")
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        n("<EMAIL>").alias("n_email"),
+        n("<IP>").alias("n_ip"),
+        n("<PHONE>").alias("n_phone"),
+    )
+
+
+def _scrub_pii_oracle() -> str:
+    from pangeo_forge_recipes_spark.operators.filters import _PII_PATTERNS
+
+    x = f"({_pii_source_expr('duckdb')})"
+    for pat, repl in _PII_PATTERNS:
+        # DuckDB '...' literals are raw — no backslash escaping
+        x = f"regexp_replace({x}, '{pat.replace(chr(39), chr(39) * 2)}', '{repl}', 'g')"
+    counts = ", ".join(
+        f"CAST((length(scrubbed) - length(replace(scrubbed, '{tok}', '')))"
+        f" / {len(tok)} AS BIGINT) AS {alias}"
+        for tok, alias in (
+            ("<EMAIL>", "n_email"), ("<IP>", "n_ip"), ("<PHONE>", "n_phone"),
+        )
+    )
+    return f"""
+WITH s AS (SELECT doc_id, {x} AS scrubbed FROM documents)
+SELECT doc_id, md5(scrubbed) AS text_md5, {counts} FROM s
+""".strip()
+
+
+def _stream_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash-LSH near-dup flagging at ingest
+    (streaming/stateful.streaming_minhash_dedup): per-band-bucket
+    stateful operator whose whole state is the bucket's first-seen doc
+    id; later arrivals emit (doc, first) candidates. Candidates verify
+    against the ground-truth exact-Jaccard pair set (the batch
+    minhash_dedup output this gate already grades) and each flagged doc
+    reports its smallest verified representative — with an id-ordered
+    stream, that is exactly min(cluster) for every non-minimal cluster
+    member, which the oracle derives from the same all-pairs Jaccard."""
+    from pangeo_forge_recipes_spark.streaming.stateful import (
+        streaming_minhash_dedup,
+    )
+
+    _register(spark, sf_dir)
+    for q in spark.streams.active:
+        if q.name == "_stream_minhash":
+            q.stop()
+    batch_schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    raw = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", "text")
+    )
+    query = (
+        streaming_minhash_dedup(raw)
+        .writeStream.format("memory")
+        .queryName("_stream_minhash")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    candidates = (
+        spark.table("_stream_minhash").select("doc_id", "first_doc_id").distinct()
+    )
+    pairs = _minhash_pairs_for(spark, sf_dir)  # ground-truth verification
+    verified = candidates.join(
+        pairs,
+        (candidates.first_doc_id == pairs.id_a) & (candidates.doc_id == pairs.id_b),
+        "inner",
+    )
+    return verified.groupBy("doc_id").agg(F.min("first_doc_id").alias("rep_id"))
+
+
+# every true pair (jaccard >= 0.92 on this corpus) collides directly in
+# >= 1 of 16 bands w.p. 1 - (1-0.92^4)^16 ~ 1-2e-9, so each non-minimal
+# cluster member is flagged against the cluster minimum; false band
+# collisions are dropped by the exact-Jaccard verification on both sides
+_STREAM_MINHASH_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(lower(text))-3, 2)),
+                                      i -> hash(substring(lower(text), i, 5)))) AS grams,
+         len(list_distinct(list_transform(range(1, greatest(length(lower(text))-3, 2)),
+                                      i -> hash(substring(lower(text), i, 5))))) AS ng
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.grams, b.grams)) AS i, a.ng AS na, b.ng AS nb
+  FROM sh a JOIN sh b
+    ON a.doc_id < b.doc_id AND a.ng * 2 >= b.ng AND b.ng * 2 >= a.ng
+)
+SELECT id_b AS doc_id, MIN(id_a) AS rep_id
+FROM pairs WHERE i * 2 >= (na + nb - i)
+GROUP BY id_b
+""".strip()
+
+
 def _messy_url_expr(dialect: str) -> str:
     """Deterministic messy-URL generator over the documents table —
     identical values on both engines. The variants (case-shifted scheme/
@@ -2480,6 +2683,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # test_shared_sql_parity.py
     out["webdataset_roundtrip"] = _webdataset_roundtrip
     out["decontaminate"] = _decontaminate_q
+    # round-6 rotation (second pass): the hygiene pair c4_clean +
+    # scrub_pii (the last pytest-only corpus-cleaning operators) and the
+    # streaming LSH near-dup flagger take the q22_inactive_customers /
+    # set_ops_customers / text_langid slots — anti-join+correlated-agg
+    # shapes stay graded via decontaminate/dedup_lines/q18, set-ops and
+    # langid texts stay warm in test_shared_sql_parity.py
+    out["c4_clean"] = _c4_clean_q
+    out["scrub_pii"] = _scrub_pii_q
+    out["dedup_minhash_stream"] = _stream_minhash_q
     # shared-SQL battery (identical ANSI text on both engines); the
     # hourly-rollup text grades via its streaming twin below, so the
     # batch copy is skipped to stay inside the 50-query budget.
@@ -2513,6 +2725,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 rotation for webdataset_roundtrip + decontaminate:
         "q5_local_supplier_volume",
         "window_running_total",
+        # round-6 rotation (second pass) for c4_clean + scrub_pii +
+        # dedup_minhash_stream:
+        "q22_inactive_customers",
+        "set_ops_customers",
     )
     for name, sql in shared.items():
         if name not in _SWAPPED_OUT:
@@ -2531,6 +2747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_fingerprints",
             "sample_split_stats",
             "top_bigrams",
+            "text_langid",
         ):
             out[name] = _sql_query(sql)
     out["perplexity_buckets"] = _perplexity_buckets_q
@@ -2577,6 +2794,14 @@ def oracle_sql() -> dict[str, str]:
     out["webdataset_roundtrip"] = _WDS_ORACLE
     out["decontaminate"] = _decontaminate_oracle()
     out["perplexity_buckets"] = _perplexity_buckets_oracle()
+    # round-6 rotation (second pass): slots moved to c4_clean +
+    # scrub_pii + dedup_minhash_stream
+    out.pop("q22_inactive_customers")
+    out.pop("set_ops_customers")
+    out.pop("text_langid")
+    out["c4_clean"] = _c4_clean_oracle()
+    out["scrub_pii"] = _scrub_pii_oracle()
+    out["dedup_minhash_stream"] = _STREAM_MINHASH_ORACLE
     out["events_dedup_stream"] = _DEDUP_STREAM_ORACLE
     out["asof_last_order"] = _ASOF_ORACLE
     out["range_join_orders"] = _RANGE_JOIN_ORACLE

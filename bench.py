@@ -30,10 +30,10 @@ HEADLINE = [
     "q3_unshipped_revenue",
     "q18_large_orders",
     "mix_corpora",
-    "q22_inactive_customers",
+    "c4_clean",
     "chunk_documents",
     "decontaminate",
-    "set_ops_customers",
+    "scrub_pii",
     "events_multi_grain_rollup",
     "dsir_select",
     "gopher_c4_filter",
@@ -822,8 +822,8 @@ def main() -> None:
     # worker churn rather than the queries themselves.
     PROBES = [
         "q18_large_orders",
-        "q22_inactive_customers",
-        "set_ops_customers",
+        "c4_clean",
+        "scrub_pii",
         "asof_last_order",
     ]
     fresh_probe = {}

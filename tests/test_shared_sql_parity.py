@@ -44,6 +44,14 @@ ROTATED_OUT = [
     # round-5 rotation (slots moved to mix_corpora + chunk_documents)
     "topk_customers",
     "q19_disjunctive_revenue",
+    # round-6 rotation (slots moved to webdataset_roundtrip +
+    # decontaminate)
+    "q5_local_supplier_volume",
+    "window_running_total",
+    # round-6 rotation, second pass (slots moved to c4_clean +
+    # scrub_pii + dedup_minhash_stream)
+    "q22_inactive_customers",
+    "set_ops_customers",
 ]
 
 
@@ -86,14 +94,22 @@ def test_rotated_out_sql_still_matches(spark, duck, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["dedup_ngram_signature", "text_fingerprints", "sample_split_stats"],
+    [
+        "dedup_ngram_signature",
+        "text_fingerprints",
+        "sample_split_stats",
+        "top_bigrams",
+        "text_langid",
+    ],
 )
 def test_rotated_out_text_sql_still_matches(spark, duck, name):
     """dedup_ngram_signature yielded its driver slot to
     semantic_dedup_pairs (r3); text_fingerprints yielded its slot to
     dedup_lines (r5); sample_split_stats yielded its slot to
-    quality_filter (r5, md5-bucket shape graded via mix_corpora); the
-    dialect-pair texts stay warm here."""
+    quality_filter (r5, md5-bucket shape graded via mix_corpora);
+    top_bigrams yielded its slot to perplexity_buckets (r6) and
+    text_langid to the r6 second-pass rotation; the dialect-pair texts
+    stay warm here."""
     entrymod._register(spark, SF_DIR)
     got = _summary(spark.sql(entrymod._text_sql("spark")[name]).toPandas())
     want = _summary(duck.execute(entrymod._text_sql("duckdb")[name]).df())
