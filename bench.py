@@ -56,7 +56,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "dedup_simhash",
     "embedding_near_dup",
-    "multimodal_stats",
+    "ann_pq_topk",
     "multimodal_features",
     "multimodal_audio",
     "dedup_clusters",
@@ -879,6 +879,8 @@ def main() -> None:
         "dedup_simhash",
         "ann_lsh_topk",
         "ann_ivf_topk",
+        "ann_pq_topk",  # oracle re-derives codes + LUT scores as an
+        # O(n² x m) SQL join — a correctness artifact
         "multimodal_features",
         "semantic_dedup_pairs",  # oracle runs 5 Lloyd iterations in SQL
         "dsir_select",  # oracle replicates hashed-ngram histograms +

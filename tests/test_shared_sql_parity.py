@@ -114,3 +114,12 @@ def test_rotated_out_text_sql_still_matches(spark, duck, name):
     got = _summary(spark.sql(entrymod._text_sql("spark")[name]).toPandas())
     want = _summary(duck.execute(entrymod._text_sql("duckdb")[name]).df())
     assert got == want
+
+
+def test_rotated_out_multimodal_stats_still_matches(spark, duck):
+    """multimodal_stats yielded its driver slot to ann_pq_topk (r6
+    second pass); the sha-fake blob-plumbing aggregate and its oracle
+    stay warm here."""
+    got = _summary(entrymod._multimodal_stats(spark, SF_DIR).toPandas())
+    want = _summary(duck.execute(entrymod._MULTIMODAL_ORACLE).df())
+    assert got == want
