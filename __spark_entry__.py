@@ -1955,6 +1955,52 @@ def _webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WDS_ORACLE = "SELECT doc_id, text, lang, source FROM documents"
 
+_WARC_FILES = 4  # gzip archives per round-trip (several tasks scan in parallel)
+
+
+def _warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion round-trip (sources/warc): the corpus materializes
+    as conforming gzip-member-per-record WARC archives via ``write_warc``
+    (the fixture writer — this driver-side synthesis only builds the
+    test archive; at scale the archives already exist, Common Crawl
+    style) and re-ingests through ``read_warc`` — the map-only
+    bounded-memory streaming scan that IS the graded path. Identity over
+    documents; doc_id rides the WARC-Target-URI."""
+    from pangeo_forge_recipes_spark.sources.warc import read_warc, write_warc
+
+    _register(spark, sf_dir)
+    rows = spark.table("documents").select("doc_id", "text").collect()
+    tmp = tempfile.mkdtemp(prefix="pfrs_warc_")
+    per = (len(rows) + _WARC_FILES - 1) // _WARC_FILES
+    for i in range(_WARC_FILES):
+        chunk = rows[i * per : (i + 1) * per]
+        if chunk:
+            write_warc(
+                os.path.join(tmp, f"part{i}.warc.gz"),
+                [
+                    {
+                        "warc_type": "response",
+                        "target_uri": f"https://corpus.example/{r[0]}",
+                        "http": {
+                            "status": 200,
+                            "content_type": "text/plain",
+                            "payload": r[1].encode(),
+                        },
+                    }
+                    for r in chunk
+                ],
+            )
+    recs = read_warc(spark, tmp)
+    return recs.select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("payload").cast("string").alias("text"),
+    )
+
+
+_WARC_ORACLE = "SELECT doc_id, text FROM documents"
+
 _DECON_MOD = 5  # doc_id % 5 == 0 -> held-out "benchmark" split
 _DECON_N = 13  # the standard 13-gram decontamination window
 
@@ -2764,6 +2810,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["c4_clean"] = _c4_clean_q
     out["scrub_pii"] = _scrub_pii_q
     out["dedup_minhash_stream"] = _stream_minhash_q
+    # round-6 rotation (third pass): warc_roundtrip — the Common Crawl
+    # ingestion path, last pytest-only source — takes events_props_json's
+    # slot (the JSON-extraction shape stays graded inside
+    # webdataset_roundtrip's meta_json projection; the props SQL joins
+    # the parity suite)
+    out["warc_roundtrip"] = _warc_roundtrip
     # shared-SQL battery (identical ANSI text on both engines); the
     # hourly-rollup text grades via its streaming twin below, so the
     # batch copy is skipped to stay inside the 50-query budget.
@@ -2823,7 +2875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ):
             out[name] = _sql_query(sql)
     out["perplexity_buckets"] = _perplexity_buckets_q
-    out["events_props_json"] = _sql_query(_props_json_sql("spark"))
+    # events_props_json's slot moved to warc_roundtrip (r6 third pass);
+    # its dialect-pair text stays warm in test_shared_sql_parity.py
     # streaming twins + bespoke joins
     out["events_hourly_rollup_stream"] = _events_rollup_stream
     out["events_sessions_stream"] = _events_sessions_stream
@@ -2838,7 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out = dict(_shared_sql())  # identical ANSI text runs on DuckDB
     out.update(_text_sql("duckdb"))
-    out["events_props_json"] = _props_json_sql("duckdb")
+    out["warc_roundtrip"] = _WARC_ORACLE
     # streaming results must equal their batch twins — the hourly rollup
     # text grades ONLY via its streaming twin (50-query budget)
     out["events_hourly_rollup_stream"] = out.pop("events_hourly_rollup")

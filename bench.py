@@ -787,6 +787,17 @@ def main() -> None:
     spark = get_spark(app_name="pfrs-bench")
     queries = entrymod.queries()
 
+    # per-section wall clocks (budget accounting: the driver captures the
+    # artifact under a hard timeout, so where the run's time goes must be
+    # readable from the artifact itself)
+    section_walls = {}
+    _sect_last = [time.perf_counter()]
+
+    def _mark(name: str) -> None:
+        now = time.perf_counter()
+        section_walls[name] = round(now - _sect_last[0], 1)
+        _sect_last[0] = now
+
     # bench-scoped partitioning for the QUERY battery: size shuffle width
     # to the benchmark SF (at sf0.1 the largest table is 600k rows — a
     # 32-way shuffle of that is pure task-scheduling overhead; 8
@@ -835,6 +846,7 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         fresh_probe[name] = round(best, 3)
+    _mark("warmup_and_probes")
 
     # pipeline proxy first: measured before the query storm churns the
     # python worker pool (box shows 2-3x wall variance under load) —
@@ -842,6 +854,7 @@ def main() -> None:
     spark.conf.set("spark.sql.shuffle.partitions", FULL_SP)
     pipeline = _bench_zarr_pipeline(spark)
     spark.conf.set("spark.sql.shuffle.partitions", BATTERY_SP)
+    _mark("zarr_pipeline_50mb")
 
     # re-warm after the pipeline: its mapInPandas stages spawn/retire
     # dozens of python workers whose import cost otherwise lands on the
@@ -931,6 +944,8 @@ def main() -> None:
                 "load": load0,
             }
 
+    _mark("query_battery_interleaved")
+
     # suite throughput: all headline queries submitted concurrently (FAIR
     # scheduler) — the engine-level wall-clock for the whole workload;
     # overlaps scheduler fixed costs exactly as a real multi-query workload
@@ -949,6 +964,7 @@ def main() -> None:
             )
         )
     concurrent_wall = round(time.perf_counter() - t0, 3)
+    _mark("concurrent_suite")
 
     # 10x corpus growth check for the subquadratic dedup/ANN paths.
     # Drop the query storm's cached tables first: the stress section
@@ -960,12 +976,15 @@ def main() -> None:
         scale_stress = _bench_scale_stress(spark, sf_dir)
     else:
         scale_stress = None
+    _mark("scale_stress")
 
     # asymptotic zarr throughput (~800 MB; the 50 MB pipeline proxy is
     # job-overhead-bound, this measures the engine)
     if os.environ.get("SPARK_GRAFT_BENCH_TPUT", "1") != "0":
         zarr_throughput = _bench_zarr_throughput(spark)
+        _mark("throughput_800mb")
         sharded_saturation = _bench_sharded_saturation(spark)
+        _mark("sharded_saturation")
     else:
         zarr_throughput = None
         sharded_saturation = None
@@ -1043,6 +1062,7 @@ def main() -> None:
         # quiet vs 2.6-2.9 under load for the same code)
         "loadavg_1_5_15": loadavg,
         "loadavg_at_start": loadavg_at_start,
+        "section_walls": section_walls,
         "queries": timings,
         "query_runs": runs,
         "queries_mode": "sequential_best_of_2_interleaved_oracle",

@@ -149,12 +149,12 @@ def _parse_message(body: bytes, discipline: int, offset: int, total: int, path: 
             )
         elif sec_num == 3:
             tmpl = _be(sec, 12, 2)
-            if tmpl not in (0, 10, 20, 30, 40):
+            if tmpl not in (0, 1, 10, 20, 30, 40):
                 raise NotImplementedError(
                     f"{path}: grid definition template {tmpl} unsupported "
-                    "(supported: 3.0 regular lat/lon, 3.10 Mercator, 3.20 "
-                    "polar stereographic, 3.30 Lambert conformal, 3.40 "
-                    "Gaussian lat/lon)"
+                    "(supported: 3.0 regular lat/lon, 3.1 rotated lat/lon, "
+                    "3.10 Mercator, 3.20 polar stereographic, 3.30 Lambert "
+                    "conformal, 3.40 Gaussian lat/lon)"
                 )
             msg["grid_template"] = tmpl
             msg["ni"] = _be(sec, 30, 4)
@@ -172,7 +172,7 @@ def _parse_message(body: bytes, discipline: int, offset: int, total: int, path: 
                     f"{path}: shape of earth {shape} (spherical only)"
                 )
 
-            if tmpl in (0, 40):
+            if tmpl in (0, 1, 40):
                 msg["la1"] = _sm_decode(_be(sec, 46, 4), 4) / 1e6
                 msg["lo1"] = _be(sec, 50, 4) / 1e6
                 msg["la2"] = _sm_decode(_be(sec, 55, 4), 4) / 1e6
@@ -180,6 +180,14 @@ def _parse_message(body: bytes, discipline: int, offset: int, total: int, path: 
                 if tmpl == 40:
                     # octets 68-71: N = parallels between pole and equator
                     msg["gauss_n"] = _be(sec, 67, 4)
+                if tmpl == 1:
+                    # rotated lat/lon (COSMO/HARMONIE regional grids):
+                    # octets 73-84 = southern-pole lat/lon + rotation
+                    # angle of the projection, all 10^-6 degrees; la/lo
+                    # above are in the ROTATED frame
+                    msg["sp_lat"] = _sm_decode(_be(sec, 72, 4), 4) / 1e6
+                    msg["sp_lon"] = _be(sec, 76, 4) / 1e6
+                    msg["rot_angle"] = _sm_decode(_be(sec, 80, 4), 4) / 1e6
                 scan_mode = sec[71]
                 if scan_mode & 0xF0:
                     raise NotImplementedError(
@@ -604,6 +612,38 @@ def _grid_coords(msg: dict) -> Tuple[np.ndarray, np.ndarray]:
     return lats, lons
 
 
+# -- rotated lat/lon (grid template 3.1; the COSMO/HARMONIE regional
+#    convention — public spherical rotation, same form as eccodes'
+#    unrotation: tilt by (sp_lat + 90) about the meridian of the southern
+#    pole, longitudes measured from sp_lon) ----------------------------------
+
+
+def _rotated_grid(msg: dict):
+    """1-D rotated lat/lon coords + 2-D true lat/lon of a 3.1 grid.
+    Verified against the public COSMO-EU pole: southern pole (-40, 10)
+    puts the rotated north pole at (40, -170). The optional angle of
+    rotation spins the rotated frame about its own pole before the
+    tilt (zero in all known products)."""
+    lo1, lo2 = msg["lo1"], msg["lo2"]
+    if lo2 < lo1:  # stored 0..360; grid crosses the wrap
+        lo2 += 360.0
+    rlons = np.linspace(lo1, lo2, msg["ni"])
+    if lo1 >= 180.0:  # rotated-frame convention is ±180 (cfgrib parity)
+        rlons = rlons - 360.0
+    rlats = np.linspace(msg["la1"], msg["la2"], msg["nj"])
+    th = np.radians(msg["sp_lat"] + 90.0)
+    sy, cy = np.sin(th), np.cos(th)
+    phr = np.radians(rlats)[:, None]
+    lmr = np.radians(rlons + msg.get("rot_angle", 0.0))[None, :]
+    sxrot = np.cos(phr) * np.sin(lmr)
+    cxrot = np.cos(phr) * np.cos(lmr)
+    syrot = np.sin(phr) * np.ones_like(lmr)
+    lat = np.degrees(np.arcsin(np.clip(cy * syrot + sy * cxrot, -1.0, 1.0)))
+    lon = np.degrees(np.arctan2(sxrot, cy * cxrot - sy * syrot)) + msg["sp_lon"]
+    lon = (lon + 180.0) % 360.0 - 180.0
+    return rlats, rlons, lat, lon
+
+
 # -- Lambert conformal conic (grid template 3.30; public map projection
 #    formulas, spherical earth) ----------------------------------------------
 
@@ -787,6 +827,21 @@ def _grid_parts(grid: dict) -> Tuple[Tuple[str, str], Dict[str, "Variable"]]:
             "longitude": Variable(("y", "x"), lon, {"units": "degrees_east"}),
         }
         return ("y", "x"), coords
+    if tmpl == 1:
+        rlats, rlons, lat, lon = _rotated_grid(grid)
+        coords = {
+            "rlat": Variable(
+                ("rlat",), rlats,
+                {"units": "degrees", "long_name": "latitude in rotated pole grid"},
+            ),
+            "rlon": Variable(
+                ("rlon",), rlons,
+                {"units": "degrees", "long_name": "longitude in rotated pole grid"},
+            ),
+            "latitude": Variable(("rlat", "rlon"), lat, {"units": "degrees_north"}),
+            "longitude": Variable(("rlat", "rlon"), lon, {"units": "degrees_east"}),
+        }
+        return ("rlat", "rlon"), coords
     if tmpl == 10:
         lats = _mercator_lats(grid)
         lons = np.linspace(
@@ -1349,8 +1404,11 @@ def write_grib2(
     template: ``{"kind": "lambert", "latin1", "latin2", "lov", "lad"}``
     (3.30) or ``{"kind": "polar_stereo", "lad", "lov", "south"(opt)}``
     (3.20) with variables on dims ``(time, y, x)`` and x/y coords in
-    meters, or ``{"kind": "mercator", "lad"}`` (3.10) with dims
-    ``(time, latitude, longitude)`` and Mercator-spaced latitudes.
+    meters, ``{"kind": "mercator", "lad"}`` (3.10) with dims
+    ``(time, latitude, longitude)`` and Mercator-spaced latitudes, or
+    ``{"kind": "rotated_latlon", "sp_lat", "sp_lon", "angle"(opt)}``
+    (3.1) with variables on dims ``(time, rlat, rlon)`` and 1-D
+    rlat/rlon coords in rotated degrees.
     ``grid="gaussian"`` writes template 3.40 from latitudes equal to
     :func:`gaussian_latitudes` of the global grid."""
     levels = levels or {}
@@ -1449,6 +1507,32 @@ def write_grib2(
                 + int(round((ys[1] - ys[0]) * 1e3)).to_bytes(4, "big")
                 + bytes([0x80 if south else 0x00, 0x40])
             )
+    elif projection is not None and kind == "rotated_latlon":
+        rlats = ds.coords["rlat"].data.astype("float64")
+        rlons = ds.coords["rlon"].data.astype("float64")
+        for arr, what in ((rlats, "rlat"), (rlons, "rlon")):
+            if len(arr) > 1 and not np.allclose(np.diff(arr), arr[1] - arr[0]):
+                raise ValueError(f"template 3.1 needs a regular {what} grid")
+        nj, ni = len(rlats), len(rlons)
+        var_dims = ("time", "rlat", "rlon")
+        tmpl_grid = (1).to_bytes(2, "big") + (
+            bytes([6, 0xFF]) + b"\xff\xff\xff\xff"
+            + bytes([0xFF]) + b"\xff\xff\xff\xff"
+            + bytes([0xFF]) + b"\xff\xff\xff\xff"
+            + ni.to_bytes(4, "big") + nj.to_bytes(4, "big")
+            + (0).to_bytes(4, "big") + (0xFFFFFFFF).to_bytes(4, "big")
+            + _sm_encode(microdeg(float(rlats[0])), 4).to_bytes(4, "big")
+            + microdeg(float(rlons[0]) % 360).to_bytes(4, "big")
+            + bytes([0x30])
+            + _sm_encode(microdeg(float(rlats[-1])), 4).to_bytes(4, "big")
+            + microdeg(float(rlons[-1]) % 360).to_bytes(4, "big")
+            + abs(microdeg((rlons[-1] - rlons[0]) / max(ni - 1, 1))).to_bytes(4, "big")
+            + abs(microdeg((rlats[-1] - rlats[0]) / max(nj - 1, 1))).to_bytes(4, "big")
+            + bytes([0x00])
+            + _sm_encode(microdeg(projection["sp_lat"]), 4).to_bytes(4, "big")
+            + microdeg(projection["sp_lon"] % 360).to_bytes(4, "big")
+            + _sm_encode(microdeg(projection.get("angle", 0.0)), 4).to_bytes(4, "big")
+        )
     elif projection is not None and kind == "mercator":
         lats = ds.coords["latitude"].data.astype("float64")
         lons = ds.coords["longitude"].data.astype("float64")

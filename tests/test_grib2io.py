@@ -978,3 +978,90 @@ def test_jpeg2000_lossy_packing_roundtrip(tmp_path):
         step = np.abs(np.diff(np.unique(np.round(b, 6)))).min() if b.size else 1.0
         assert np.isfinite(a).all()
         assert spread.max() <= max(3 * step, 1e-2 * max(np.abs(b).max(), 1.0))
+
+
+def make_rotated_ds(nt: int = 2, nj: int = 7, ni: int = 9) -> NDDataset:
+    rng = np.random.default_rng(31)
+    time = np.datetime64("2024-03-01T00", "ns") + np.arange(nt) * np.timedelta64(1, "h")
+    # COSMO-EU-like rotated grid, 0.5-degree spacing
+    rlon = -5.0 + np.arange(ni) * 0.5
+    rlat = -4.0 + np.arange(nj) * 0.5
+    t = np.round(rng.uniform(250, 310, (nt, nj, ni)) * 128) / 128
+    return NDDataset(
+        {"t": Variable(("time", "rlat", "rlon"), t)},
+        {
+            "time": Variable(("time",), time),
+            "rlat": Variable(("rlat",), rlat, {"units": "degrees"}),
+            "rlon": Variable(("rlon",), rlon, {"units": "degrees"}),
+        },
+        {},
+        {"time": nt, "rlat": nj, "rlon": ni},
+    )
+
+
+def test_rotated_latlon_unrotation_math():
+    """Pin the 3.1 unrotation against the public COSMO-EU configuration
+    (southern pole at (-40, 10), i.e. rotated north pole at (40, -170))
+    and against an independent scalar rotation-matrix implementation."""
+    from pangeo_forge_recipes_spark.grib2io import _rotated_grid
+
+    msg = {"sp_lat": -40.0, "sp_lon": 10.0, "rot_angle": 0.0,
+           "la1": 90.0, "la2": 90.0, "lo1": 0.0, "lo2": 0.0, "nj": 1, "ni": 1}
+    _, _, lat, lon = _rotated_grid(msg)
+    # the rotated north pole sits at the documented geographic position
+    np.testing.assert_allclose(lat[0, 0], 40.0, atol=1e-9)
+    np.testing.assert_allclose(lon[0, 0], -170.0, atol=1e-9)
+    # the rotated origin maps onto the southern-pole meridian, 90 degrees
+    # north of the southern pole: central Europe for the COSMO-EU pole
+    msgc = dict(msg, la1=0.0, la2=0.0, lo1=0.0, lo2=0.0)
+    _, _, latc, lonc = _rotated_grid(msgc)
+    np.testing.assert_allclose(latc[0, 0], 50.0, atol=1e-9)
+    np.testing.assert_allclose(lonc[0, 0], 10.0, atol=1e-9)
+    # full grid against an independent scalar rotation-matrix
+    # implementation (Ry(-theta) tilt, longitudes measured from sp_lon)
+    msg2 = dict(msg, la1=-3.0, la2=3.0, lo1=-4.0, lo2=4.0, nj=5, ni=5)
+    rlats, rlons, lat, lon = _rotated_grid(msg2)
+
+    def scalar_unrotate(phr_d, lmr_d, sp_lat, sp_lon):
+        import math
+
+        phr, lmr = math.radians(phr_d), math.radians(lmr_d)
+        v = (
+            math.cos(phr) * math.cos(lmr),
+            math.cos(phr) * math.sin(lmr),
+            math.sin(phr),
+        )
+        th = math.radians(sp_lat + 90.0)  # tilt about the y axis
+        x = v[0] * math.cos(th) - v[2] * math.sin(th)
+        z = v[0] * math.sin(th) + v[2] * math.cos(th)
+        y = v[1]
+        lat_g = math.degrees(math.asin(z))
+        lon_g = math.degrees(math.atan2(y, x)) + sp_lon
+        return lat_g, (lon_g + 180.0) % 360.0 - 180.0
+
+    for j in range(5):
+        for i in range(5):
+            wl, wn = scalar_unrotate(rlats[j], rlons[i], -40.0, 10.0)
+            np.testing.assert_allclose(lat[j, i], wl, atol=1e-9)
+            np.testing.assert_allclose(lon[j, i], wn, atol=1e-9)
+
+
+@pytest.mark.parametrize("packing", ["simple", "complex"])
+def test_rotated_latlon_write_read_roundtrip(tmp_path, packing):
+    ds = make_rotated_ds()
+    path = str(tmp_path / "rot.grib2")
+    write_grib2(
+        path, ds, packing=packing,
+        projection={"kind": "rotated_latlon", "sp_lat": -40.0, "sp_lon": 10.0},
+    )
+    rt = read_grib2(path)
+    assert tuple(rt.data_vars["t"].dims) == ("time", "rlat", "rlon")
+    np.testing.assert_array_equal(rt.data_vars["t"].data, ds.data_vars["t"].data)
+    np.testing.assert_allclose(rt.coords["rlat"].data, ds.coords["rlat"].data, atol=1e-5)
+    np.testing.assert_allclose(rt.coords["rlon"].data, ds.coords["rlon"].data, atol=1e-5)
+    lat = rt.coords["latitude"].data
+    lon = rt.coords["longitude"].data
+    assert lat.shape == (7, 9) and lon.shape == (7, 9)
+    # grid center (rlat=-2.5, rlon=-3) sits near the pole meridian region;
+    # every true latitude must be within the band the tilt allows
+    assert np.all(lat < 60.0) and np.all(lat > 30.0)

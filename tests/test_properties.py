@@ -404,3 +404,28 @@ def test_j2k_tiled_lossless_property(h, w, th, tw, levels, seed):
     enc = J.encode_j2k(img, depth=10, levels=levels, tile_size=(th, tw))
     dec, depth, signed = J.decode_j2k(enc)
     np.testing.assert_array_equal(dec, img)
+
+
+@given(
+    n_elem=st.integers(0, 200),
+    elem_size=st.sampled_from([1, 2, 4, 8]),
+    block_elems=st.sampled_from([0, 8, 16, 64]),
+    comp=st.sampled_from(["none", "lz4", "zstd"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_hdf5_bitshuffle_roundtrip_property(n_elem, elem_size, block_elems, comp, seed):
+    """The 32008 filter inverts for every elem size / block size /
+    internal compression, including partial last blocks and raw n%8
+    tails, and the no-compression variant preserves length."""
+    from pangeo_forge_recipes_spark.hdf5io import (
+        hdf5_bitshuffle_compress,
+        hdf5_bitshuffle_decompress,
+    )
+
+    rng = np.random.default_rng(seed)
+    data = rng.integers(0, 256, size=n_elem * elem_size, dtype=np.uint8).tobytes()
+    enc = hdf5_bitshuffle_compress(data, elem_size, comp, block_elems)
+    if comp == "none":
+        assert len(enc) == len(data)
+    assert hdf5_bitshuffle_decompress(enc, elem_size, comp, block_elems) == data

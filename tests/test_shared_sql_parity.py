@@ -116,6 +116,17 @@ def test_rotated_out_text_sql_still_matches(spark, duck, name):
     assert got == want
 
 
+def test_rotated_out_events_props_json_still_matches(spark, duck):
+    """events_props_json yielded its driver slot to warc_roundtrip (r6
+    third pass); the JSON-extraction dialect pair stays warm here."""
+    entrymod._register(spark, SF_DIR)
+    got = _summary(
+        spark.sql(entrymod._props_json_sql("spark")).toPandas()
+    )
+    want = _summary(duck.execute(entrymod._props_json_sql("duckdb")).df())
+    assert got == want
+
+
 def test_rotated_out_multimodal_stats_still_matches(spark, duck):
     """multimodal_stats yielded its driver slot to ann_pq_topk (r6
     second pass); the sha-fake blob-plumbing aggregate and its oracle
