@@ -2248,6 +2248,100 @@ GROUP BY id_b
 """.strip()
 
 
+def _snapshot_sides_sql(dialect: str) -> tuple:
+    """Deterministic OLD/NEW snapshot synthesis over documents —
+    identical strings on both engines. OLD carries canonical url noise
+    (case + fragment); NEW removes doc_id%7==1, lightly edits %7==2
+    (touched), replaces %7==3 with md5 gibberish (rewritten), and adds
+    five new pages."""
+    s = "string" if dialect == "spark" else "varchar"
+    old = (
+        "SELECT doc_id, concat('HTTPS://Ex.COM/page/', "
+        f"cast(doc_id as {s}), '#frag') AS url, text FROM documents"
+    )
+    newer = (
+        "SELECT doc_id, concat('https://ex.com/page/', "
+        f"cast(doc_id as {s})) AS url, "
+        "CASE WHEN doc_id % 7 = 2 THEN concat(text, ' tiny tail tweak') "
+        "WHEN doc_id % 7 = 3 THEN concat('REWRITE ', md5(text), ' ', "
+        "md5(concat(text, 'x'))) ELSE text END AS text "
+        "FROM documents WHERE doc_id % 7 != 1 "
+        "UNION ALL SELECT "
+        + (
+            "1000000 + id AS doc_id, concat('https://ex.com/new/', "
+            "cast(id as string)) AS url, concat('brand new page ', "
+            "cast(id as string)) AS text FROM range(5)"
+            if dialect == "spark"
+            else "1000000 + i AS doc_id, 'https://ex.com/new/' || "
+            "CAST(i AS VARCHAR) AS url, 'brand new page ' || "
+            "CAST(i AS VARCHAR) AS text FROM range(5) t(i)"
+        )
+    )
+    return old, newer
+
+
+def _snapshot_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot delta (operators/snapshots.snapshot_delta):
+    added/removed/unchanged/touched/rewritten per canonical URL across
+    two synthesized snapshots — ONE shuffle (the full-outer join on the
+    canonical key; per-side dedup windows ride WindowGroupLimit), the
+    near-dup attribution a per-row JVM Jaccard over bound shingle
+    arrays, never an LSH pass. The oracle replicates the whole pipeline
+    (canonicalizer, md5 equality, char-5-gram Jaccard, thresholds) in
+    DuckDB."""
+    from pangeo_forge_recipes_spark.operators.snapshots import snapshot_delta
+
+    _register(spark, sf_dir)
+    old_sql, new_sql = _snapshot_sides_sql("spark")
+    return snapshot_delta(spark.sql(old_sql), spark.sql(new_sql))
+
+
+def _snapshot_delta_oracle() -> str:
+    from pangeo_forge_recipes_spark.operators.urls import canonical_url_sql
+
+    canon = canonical_url_sql("url", "duckdb")
+    old_sql, new_sql = _snapshot_sides_sql("duckdb")
+    grams = (
+        "list_distinct(list_transform(range(1, greatest(length(lower({t})) - 4, 1) + 1), "
+        "i -> substring(lower({t}), i, 5)))"
+    )
+    ga = grams.format(t="old_text")
+    gb = grams.format(t="new_text")
+    return f"""
+WITH olds AS ({old_sql}),
+news AS ({new_sql}),
+o AS (
+  SELECT canonical_url, old_id, old_md5, old_text FROM (
+    SELECT {canon} AS canonical_url, doc_id AS old_id, md5(text) AS old_md5,
+           text AS old_text,
+           ROW_NUMBER() OVER (PARTITION BY {canon} ORDER BY doc_id) AS rn
+    FROM olds WHERE {canon} IS NOT NULL) WHERE rn = 1),
+n AS (
+  SELECT canonical_url, new_id, new_md5, new_text FROM (
+    SELECT {canon} AS canonical_url, doc_id AS new_id, md5(text) AS new_md5,
+           text AS new_text,
+           ROW_NUMBER() OVER (PARTITION BY {canon} ORDER BY doc_id) AS rn
+    FROM news WHERE {canon} IS NOT NULL) WHERE rn = 1),
+j AS (SELECT * FROM o FULL OUTER JOIN n USING (canonical_url)),
+scored AS (
+  SELECT canonical_url, old_id, new_id, old_md5, new_md5,
+         CASE WHEN old_text IS NULL OR new_text IS NULL THEN NULL ELSE
+           CAST(len(list_intersect({ga}, {gb})) AS DOUBLE)
+           / (len({ga}) + len({gb}) - len(list_intersect({ga}, {gb})))
+         END AS jac
+  FROM j)
+SELECT canonical_url,
+       CASE WHEN old_id IS NULL THEN 'added'
+            WHEN new_id IS NULL THEN 'removed'
+            WHEN old_md5 = new_md5 THEN 'unchanged'
+            WHEN jac >= 0.8 THEN 'touched'
+            ELSE 'rewritten' END AS status,
+       old_id, new_id,
+       CASE WHEN old_md5 <> new_md5 THEN round(jac, 4) END AS jaccard
+FROM scored
+""".strip()
+
+
 def _messy_url_expr(dialect: str) -> str:
     """Deterministic messy-URL generator over the documents table —
     identical values on both engines. The variants (case-shifted scheme/
@@ -2816,6 +2910,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # webdataset_roundtrip's meta_json projection; the props SQL joins
     # the parity suite)
     out["warc_roundtrip"] = _warc_roundtrip
+    # round-6 rotation (fourth pass): snapshot_delta — incremental
+    # crawl-snapshot classification, a new operator family — takes
+    # q3_unshipped_revenue's slot (its 3-way join+agg+topk shape stays
+    # graded via q18 and warm in the parity suite)
+    out["snapshot_delta"] = _snapshot_delta_q
     # shared-SQL battery (identical ANSI text on both engines); the
     # hourly-rollup text grades via its streaming twin below, so the
     # batch copy is skipped to stay inside the 50-query budget.
@@ -2853,6 +2952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_minhash_stream:
         "q22_inactive_customers",
         "set_ops_customers",
+        # round-6 rotation (fourth pass) for snapshot_delta:
+        "q3_unshipped_revenue",
     )
     for name, sql in shared.items():
         if name not in _SWAPPED_OUT:
@@ -2928,6 +3029,8 @@ def oracle_sql() -> dict[str, str]:
     out["scrub_pii"] = _scrub_pii_oracle()
     out["dedup_minhash_stream"] = _STREAM_MINHASH_ORACLE
     out["ann_pq_topk"] = _pq_oracle_sql()
+    out.pop("q3_unshipped_revenue")  # slot moved to snapshot_delta
+    out["snapshot_delta"] = _snapshot_delta_oracle()
     out["events_dedup_stream"] = _DEDUP_STREAM_ORACLE
     out["asof_last_order"] = _ASOF_ORACLE
     out["range_join_orders"] = _RANGE_JOIN_ORACLE

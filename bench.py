@@ -27,7 +27,7 @@ from pangeo_forge_recipes_spark.session import get_spark
 
 HEADLINE = [
     "q1_pricing_summary",
-    "q3_unshipped_revenue",
+    "snapshot_delta",
     "q18_large_orders",
     "mix_corpora",
     "c4_clean",

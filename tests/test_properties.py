@@ -429,3 +429,62 @@ def test_hdf5_bitshuffle_roundtrip_property(n_elem, elem_size, block_elems, comp
     if comp == "none":
         assert len(enc) == len(data)
     assert hdf5_bitshuffle_decompress(enc, elem_size, comp, block_elems) == data
+
+
+@given(
+    n_parts=st.integers(0, 6),
+    sizes=st.lists(st.integers(0, 2048), min_size=0, max_size=6),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_store_put_parts_equals_put(tmp_path_factory, n_parts, sizes, seed):
+    """LocalStore.put_parts (streaming shard members) must produce the
+    byte-identical object that put(b''.join(parts)) would."""
+    from pangeo_forge_recipes_spark.zarrio import LocalStore
+
+    rng = np.random.default_rng(seed)
+    parts = [
+        rng.integers(0, 256, size=s, dtype=np.uint8).tobytes()
+        for s in sizes[:n_parts] or sizes
+    ]
+    root = tmp_path_factory.mktemp("pp")
+    store = LocalStore(str(root))
+    store.put("a/joined", b"".join(parts))
+    store.put_parts("a/parts", parts)
+    assert store.get("a/parts") == store.get("a/joined")
+
+
+@given(
+    sp_lat=st.floats(-89.0, 89.0),
+    sp_lon=st.floats(-180.0, 359.0),
+    rlat=st.floats(-89.0, 89.0),
+    rlon=st.floats(-179.0, 179.0),
+)
+@settings(max_examples=60, deadline=None)
+def test_rotated_grid_preserves_distances(sp_lat, sp_lon, rlat, rlon):
+    """The 3.1 unrotation is a rigid rotation of the sphere: the angular
+    distance of any rotated point to the rotated SOUTH pole must equal
+    the angular distance of its geographic image to the southern pole's
+    geographic position."""
+    from pangeo_forge_recipes_spark.grib2io import _rotated_grid
+
+    def ang(lat1, lon1, lat2, lon2):
+        p1, p2 = np.radians(lat1), np.radians(lat2)
+        dl = np.radians(lon2 - lon1)
+        return np.degrees(
+            np.arccos(
+                np.clip(
+                    np.sin(p1) * np.sin(p2) + np.cos(p1) * np.cos(p2) * np.cos(dl),
+                    -1.0, 1.0,
+                )
+            )
+        )
+
+    msg = {
+        "sp_lat": sp_lat, "sp_lon": sp_lon, "rot_angle": 0.0,
+        "la1": rlat, "la2": rlat, "lo1": rlon, "lo2": rlon, "nj": 1, "ni": 1,
+    }
+    _, _, lat, lon = _rotated_grid(msg)
+    want = ang(rlat, rlon, -90.0, 0.0)  # distance to the rotated south pole
+    got = ang(lat[0, 0], lon[0, 0], sp_lat, sp_lon)
+    np.testing.assert_allclose(got, want, atol=1e-7)

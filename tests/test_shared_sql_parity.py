@@ -48,6 +48,8 @@ ROTATED_OUT = [
     # decontaminate)
     "q5_local_supplier_volume",
     "window_running_total",
+    # round-6 rotation, fourth pass (slot moved to snapshot_delta)
+    "q3_unshipped_revenue",
     # round-6 rotation, second pass (slots moved to c4_clean +
     # scrub_pii + dedup_minhash_stream)
     "q22_inactive_customers",
