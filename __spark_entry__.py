@@ -2333,11 +2333,12 @@ scored AS (
 SELECT canonical_url,
        CASE WHEN old_id IS NULL THEN 'added'
             WHEN new_id IS NULL THEN 'removed'
-            WHEN old_md5 = new_md5 THEN 'unchanged'
+            WHEN old_md5 IS NOT DISTINCT FROM new_md5 THEN 'unchanged'
             WHEN jac >= 0.8 THEN 'touched'
             ELSE 'rewritten' END AS status,
        old_id, new_id,
-       CASE WHEN old_md5 <> new_md5 THEN round(jac, 4) END AS jaccard
+       CASE WHEN old_md5 IS NOT NULL AND new_md5 IS NOT NULL
+             AND old_md5 <> new_md5 THEN round(jac, 4) END AS jaccard
 FROM scored
 """.strip()
 
@@ -2427,7 +2428,7 @@ def _ann_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pq_oracle_sql() -> str:
     rows = ",\n    ".join(
-        f"({j}, {c}, {cent})".format(j=j, c=c, cent=list(cent))
+        f"({j}, {c}, {list(cent)})"
         for j, book in enumerate(_PQ_CODEBOOKS)
         for c, cent in enumerate(book)
     )

@@ -495,9 +495,19 @@ def _bench_sharded_saturation(spark) -> dict:
     shm = "/dev/shm"
     use_shm = False
     try:
+        # tmpfs pages are RAM: require headroom in MemAvailable too, or
+        # the ~2.5 GB of stores could push a memory-pressured box into
+        # the OOM killer instead of stabilizing the measurement
+        mem_avail = 0
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    mem_avail = int(line.split()[1]) * 1024
+                    break
         use_shm = (
             os.path.isdir(shm)
             and shutil.disk_usage(shm).free > 4 * 1024**3
+            and mem_avail > 8 * 1024**3
         )
     except OSError:
         pass

@@ -1513,6 +1513,10 @@ def write_grib2(
         for arr, what in ((rlats, "rlat"), (rlons, "rlon")):
             if len(arr) > 1 and not np.allclose(np.diff(arr), arr[1] - arr[0]):
                 raise ValueError(f"template 3.1 needs a regular {what} grid")
+        if len(rlons) > 1 and rlons[1] <= rlons[0]:
+            # lo1/lo2 store mod 360, so a descending rlon would read back
+            # as a different ascending wrapped grid — refuse, don't corrupt
+            raise ValueError("template 3.1 writer needs increasing rlon")
         nj, ni = len(rlats), len(rlons)
         var_dims = ("time", "rlat", "rlon")
         tmpl_grid = (1).to_bytes(2, "big") + (

@@ -567,10 +567,12 @@ _BITSHUFFLE = 32008  # kiyo-masui/bitshuffle's registered filter
 
 def _bshuf_default_block_elems(elem_size: int) -> int:
     """bitshuffle's ``bshuf_default_block_size``: target 8192 bytes per
-    block, rounded down to the required multiple of 8 elements (the
-    library pins this formula as stable across versions)."""
+    block, rounded down to the required multiple of 8 elements, floored
+    at BSHUF_MIN_RECOMMEND_BLOCK = 128 (the library pins this formula
+    as stable across versions — the floor matters for elem sizes > 64
+    bytes, where 8192/elem rounds below 128)."""
     block = (8192 // max(elem_size, 1)) // 8 * 8
-    return max(block, 8)
+    return max(block, 128)
 
 
 def _bshuf_spans(n_elem: int, block_elems: int):
@@ -904,7 +906,11 @@ def scan_hdf5(path: str, inline_threshold: int = 300) -> dict:
                         {
                             "name": "hdf5-bitshuffle",
                             "configuration": {
-                                "elementsize": np_dtype.itemsize,
+                                # the filter transposed with ITS recorded
+                                # elem size (cd[2], set by set_local from
+                                # the HDF5 type) — trust it over the
+                                # mapped numpy itemsize when present
+                                "elementsize": int(cdt[2]) or np_dtype.itemsize,
                                 "blockelems": int(cdt[3]),
                                 "compression": comp,
                             },

@@ -97,7 +97,10 @@ def snapshot_delta(
     nw = side(new, "new")
     joined = o.join(nw, "canonical_url", "full_outer")
     jac = F.expr(jaccard_sql("old_text", "new_text", shingle_n))
-    changed = F.col("old_md5") != F.col("new_md5")
+    # null-safe: a page whose text is NULL in BOTH snapshots is
+    # unchanged (plain != is NULL there and would fall through to the
+    # Jaccard branch)
+    changed = ~F.col("old_md5").eqNullSafe(F.col("new_md5"))
     status = (
         F.when(F.col("old_id").isNull(), F.lit("added"))
         .when(F.col("new_id").isNull(), F.lit("removed"))
@@ -105,10 +108,14 @@ def snapshot_delta(
         .when(jac >= near_threshold, F.lit("touched"))
         .otherwise(F.lit("rewritten"))
     )
+    # jaccard only where BOTH texts exist and differ (md5(NULL) is NULL,
+    # so md5 presence ⟺ text presence; Spark's null-skipping greatest()
+    # would otherwise produce a spurious 0.0 against a missing side)
+    both = F.col("old_md5").isNotNull() & F.col("new_md5").isNotNull()
     return joined.select(
         "canonical_url",
         status.alias("status"),
         "old_id",
         "new_id",
-        F.when(changed, F.round(jac, 4)).alias("jaccard"),
+        F.when(changed & both, F.round(jac, 4)).alias("jaccard"),
     )
