@@ -952,6 +952,9 @@ def main() -> None:
         # the engine side is hash-agg + broadcast map-only scoring
         "perplexity_buckets",  # same trigram-LM replication oracle as
         # quality_filter, plus exact quantile_cont terciles
+        "snapshot_delta",  # oracle re-derives per-row char-5-gram
+        # Jaccard with O(text-length) SQL list ops (43s at sf0.1 vs the
+        # engine's 3s) — a correctness artifact, not an analytics query
     }
     matched = [
         n for n in HEADLINE if n in oracles and n not in replication_oracles

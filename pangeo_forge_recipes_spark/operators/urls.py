@@ -118,6 +118,36 @@ def host_stats(df: DataFrame, col: str = "url") -> DataFrame:
     )
 
 
+def domain_cap_sample(
+    df: DataFrame,
+    cap: int,
+    col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` documents per host — the standard
+    domain-balance step (C4 and friends cap any one site's share so a
+    wiki mirror or link farm cannot dominate the corpus). The kept
+    subset is DETERMINISTIC (md5 of the id orders each host's rows, so
+    reruns, repartitionings and engines agree), and the plan is ONE
+    shuffle: a row_number window on the host key whose per-host top-cap
+    prunes map-side via WindowGroupLimit — never a groupBy + join pair,
+    and the 100 TB corpus crosses the exchange once."""
+    from pyspark.sql.window import Window
+
+    host = F.regexp_extract(
+        F.regexp_replace(canonical_url(col), _SCHEME, ""), "^([^/?:]*)", 1
+    )
+    w = Window.partitionBy("__host").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.select("*", host.alias("__host"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__host", "__rn")
+    )
+
+
 __all__ = [
     "canonical_url",
     "canonical_url_sql",
@@ -126,4 +156,5 @@ __all__ = [
     "with_canonical_url",
     "url_dedup",
     "host_stats",
+    "domain_cap_sample",
 ]

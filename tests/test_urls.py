@@ -122,3 +122,37 @@ def test_canonical_is_pure_codegen(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_domain_cap_sample_deterministic_and_one_shuffle(spark):
+    """domain_cap_sample keeps at most `cap` rows per host, the kept set
+    is the md5-ordered prefix (deterministic across partitionings), and
+    the plan is one window shuffle with map-side WindowGroupLimit
+    pruning — never a groupBy + join pair."""
+    import hashlib
+
+    from pangeo_forge_recipes_spark.operators.urls import domain_cap_sample
+
+    rows = [
+        (i, f"http://{'big.com' if i % 3 else 'small.com'}/p{i}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = domain_cap_sample(df, cap=4)
+    kept = sorted(r["doc_id"] for r in out.collect())
+
+    # python oracle: md5-ordered per-host prefix
+    want = []
+    for host in ("big.com", "small.com"):
+        members = [i for i in range(30) if (i % 3 != 0) == (host == "big.com")]
+        members.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        want += members[:4]
+    assert kept == sorted(want)
+    # repartitioning does not change the kept set
+    kept2 = sorted(
+        r["doc_id"] for r in domain_cap_sample(df.repartition(7), cap=4).collect()
+    )
+    assert kept2 == kept
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "HashAggregate" not in plan and "Join" not in plan
