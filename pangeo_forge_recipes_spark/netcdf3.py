@@ -1,7 +1,9 @@
 """Pure-numpy NetCDF3 classic container support (no scipy/netCDF4 needed).
 
-Implements the public NetCDF classic file format (CDF-1, plus CDF-2
-"64-bit offset") from the format specification: a header (dims, global
+Implements the public NetCDF classic file format (CDF-1, CDF-2 "64-bit
+offset", and CDF-5 "64-bit data" — pnetcdf lineage: 8-byte NON_NEG
+header fields plus the NC_UBYTE/NC_USHORT/NC_UINT/NC_INT64/NC_UINT64
+external types) from the format specification: a header (dims, global
 attrs, variable table with byte offsets) followed by big-endian array
 data, fixed-size variables stored contiguously. This gives the engine a
 native path for the reference's primary test format
@@ -21,9 +23,10 @@ Covered:
   big-endian ``bytes`` codec (analog of kerchunk's ``NetCDF3ToZarr``,
   reference ``openers.py:137-204``).
 
-Type mapping notes (classic NetCDF3 has no 64-bit integers):
+Type mapping notes (CDF-1/2 classic has no 64-bit integers):
 * int64 data is stored as NC_INT when every value fits, else it is an
-  error — same contract scipy's writer enforces;
+  error — same contract scipy's writer enforces; ``version=5`` stores
+  64-bit and unsigned integers natively as CDF-5 types;
 * datetime64 variables are CF-encoded to integer offsets using the
   variable's ``encoding['units']`` (default seconds since epoch) and
   stored as NC_INT when they fit, else NC_DOUBLE.
@@ -43,6 +46,8 @@ from .cfcalendar import is_standard_calendar
 from .ndset import NDDataset, Variable, decode_cf_datetime, encode_cf_datetime
 
 NC_BYTE, NC_CHAR, NC_SHORT, NC_INT, NC_FLOAT, NC_DOUBLE = 1, 2, 3, 4, 5, 6
+# CDF-5 (pnetcdf lineage) additional external types
+NC_UBYTE, NC_USHORT, NC_UINT, NC_INT64, NC_UINT64 = 7, 8, 9, 10, 11
 _TAG_DIM, _TAG_VAR, _TAG_ATT = 0x0A, 0x0B, 0x0C
 
 _NC_DTYPE = {
@@ -52,6 +57,11 @@ _NC_DTYPE = {
     NC_INT: np.dtype(">i4"),
     NC_FLOAT: np.dtype(">f4"),
     NC_DOUBLE: np.dtype(">f8"),
+    NC_UBYTE: np.dtype("u1"),
+    NC_USHORT: np.dtype(">u2"),
+    NC_UINT: np.dtype(">u4"),
+    NC_INT64: np.dtype(">i8"),
+    NC_UINT64: np.dtype(">u8"),
 }
 _DTYPE_NC = {
     "int8": NC_BYTE,
@@ -59,6 +69,15 @@ _DTYPE_NC = {
     "int32": NC_INT,
     "float32": NC_FLOAT,
     "float64": NC_DOUBLE,
+}
+# CDF-5 keeps wide/unsigned types natively instead of downcasting
+_DTYPE_NC5 = {
+    **_DTYPE_NC,
+    "uint8": NC_UBYTE,
+    "uint16": NC_USHORT,
+    "uint32": NC_UINT,
+    "int64": NC_INT64,
+    "uint64": NC_UINT64,
 }
 _DEFAULT_TIME_UNITS = "seconds since 1970-01-01"
 
@@ -72,17 +91,22 @@ def _pad4(n: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _name_bytes(name: str) -> bytes:
+def _nn(v: int, wide: bool) -> bytes:
+    """One NON_NEG field: 4 bytes in CDF-1/2, 8 in CDF-5."""
+    return struct.pack(">Q" if wide else ">I", v)
+
+
+def _name_bytes(name: str, wide: bool = False) -> bytes:
     raw = name.encode("utf-8")
-    return struct.pack(">I", len(raw)) + raw + b"\x00" * (_pad4(len(raw)) - len(raw))
+    return _nn(len(raw), wide) + raw + b"\x00" * (_pad4(len(raw)) - len(raw))
 
 
-def _attr_value_bytes(value) -> bytes:
+def _attr_value_bytes(value, wide: bool = False) -> bytes:
     """Encode one attribute value: nc_type + count + padded payload."""
     if isinstance(value, (str, bytes)):
         raw = value.encode("utf-8") if isinstance(value, str) else value
         body = raw + b"\x00" * (_pad4(len(raw)) - len(raw))
-        return struct.pack(">II", NC_CHAR, len(raw)) + body
+        return struct.pack(">I", NC_CHAR) + _nn(len(raw), wide) + body
     arr = np.atleast_1d(np.asarray(value))
     if arr.dtype.kind == "b":
         arr = arr.astype("int8")
@@ -95,25 +119,27 @@ def _attr_value_bytes(value) -> bytes:
         arr = arr.astype("int32" if arr.dtype.itemsize <= 2 else "float64")
     if arr.dtype.kind not in "if":
         # non-scalar metadata (dicts, lists of str) rides as JSON text
-        return _attr_value_bytes(json.dumps(np.asarray(value).tolist()))
+        return _attr_value_bytes(json.dumps(np.asarray(value).tolist()), wide)
     nc_type = _DTYPE_NC.get(str(arr.dtype), NC_DOUBLE)
     enc = arr.astype(_NC_DTYPE[nc_type])
     body = enc.tobytes()
     body += b"\x00" * (_pad4(len(body)) - len(body))
-    return struct.pack(">II", nc_type, arr.size) + body
+    return struct.pack(">I", nc_type) + _nn(arr.size, wide) + body
 
 
-def _att_list_bytes(attrs: dict) -> bytes:
+def _att_list_bytes(attrs: dict, wide: bool = False) -> bytes:
     if not attrs:
-        return struct.pack(">II", 0, 0)
-    out = struct.pack(">II", _TAG_ATT, len(attrs))
+        return struct.pack(">I", 0) + _nn(0, wide)
+    out = struct.pack(">I", _TAG_ATT) + _nn(len(attrs), wide)
     for k, v in attrs.items():
-        out += _name_bytes(k) + _attr_value_bytes(v)
+        out += _name_bytes(k, wide) + _attr_value_bytes(v, wide)
     return out
 
 
-def _encode_var(var: Variable) -> Tuple[np.ndarray, dict]:
-    """Return (big-endian payload array, extra attrs) for one variable."""
+def _encode_var(var: Variable, cdf5: bool = False) -> Tuple[np.ndarray, dict]:
+    """Return (big-endian payload array, extra attrs) for one variable.
+    ``cdf5`` keeps 64-bit and unsigned integers natively (CDF-5 types)
+    instead of applying the classic downcasts."""
     data = np.asarray(var.data)
     attrs = dict(var.attrs)
     is_time = data.dtype.kind == "M"
@@ -125,37 +151,56 @@ def _encode_var(var: Variable) -> Tuple[np.ndarray, dict]:
         attrs["calendar"] = calendar
         data = offsets
         # offsets beyond NC_INT (e.g. seconds past 2038) fall back to
-        # NC_DOUBLE, per the module contract
-        if data.size and (data.max() > 2**31 - 1 or data.min() < -(2**31)):
+        # NC_DOUBLE in classic, per the module contract (CDF-5 keeps
+        # them as NC_INT64)
+        if not cdf5 and data.size and (
+            data.max() > 2**31 - 1 or data.min() < -(2**31)
+        ):
             data = data.astype("float64")
     if data.dtype.kind == "b":
         data = data.astype("int8")
-    if data.dtype.kind == "u":
-        if data.dtype.itemsize <= 2:
+    if not cdf5:
+        if data.dtype.kind == "u":
+            if data.dtype.itemsize <= 2:
+                data = data.astype("int32")
+            else:
+                raise ValueError(
+                    f"NetCDF3 classic cannot store {data.dtype}; "
+                    "write_netcdf3(..., version=5) can"
+                )
+        if data.dtype.kind == "i" and data.dtype.itemsize > 4:
+            if data.size and (data.max() > 2**31 - 1 or data.min() < -(2**31)):
+                raise ValueError(
+                    "NetCDF3 classic has no 64-bit integer type and these "
+                    "values do not fit NC_INT (scipy's writer errors the "
+                    "same way); write_netcdf3(..., version=5) stores them "
+                    "as NC_INT64"
+                )
             data = data.astype("int32")
-        else:
-            raise ValueError(f"NetCDF3 classic cannot store {data.dtype}")
-    if data.dtype.kind == "i" and data.dtype.itemsize > 4:
-        if data.size and (data.max() > 2**31 - 1 or data.min() < -(2**31)):
-            raise ValueError(
-                "NetCDF3 classic has no 64-bit integer type and these "
-                "values do not fit NC_INT (scipy's writer errors the same way)"
-            )
-        data = data.astype("int32")
-    nc_type = _DTYPE_NC.get(str(data.dtype))
+    elif is_time and data.dtype.kind == "i":
+        pass  # CF offsets stay NC_INT64 under CDF-5
+    table = _DTYPE_NC5 if cdf5 else _DTYPE_NC
+    nc_type = table.get(str(data.dtype))
     if nc_type is None:
-        raise ValueError(f"NetCDF3 classic cannot store dtype {data.dtype}")
+        raise ValueError(f"NetCDF3 cannot store dtype {data.dtype}")
     return np.ascontiguousarray(data, dtype=_NC_DTYPE[nc_type]), attrs
 
 
-def write_netcdf3(path_or_buf, ds: NDDataset) -> None:
-    """Serialize an NDDataset to a classic NetCDF3 file (all dims fixed)."""
+def write_netcdf3(path_or_buf, ds: NDDataset, version: Optional[int] = None) -> None:
+    """Serialize an NDDataset to a classic NetCDF3 file (all dims fixed).
+    ``version``: None picks CDF-1 (CDF-2 when offsets exceed 31 bits);
+    5 writes CDF-5 (pnetcdf lineage — 64-bit headers plus the
+    NC_UBYTE/NC_USHORT/NC_UINT/NC_INT64/NC_UINT64 external types, so
+    64-bit and unsigned integers store natively)."""
+    if version not in (None, 1, 2, 5):
+        raise ValueError(f"version {version!r}; use None, 1, 2 or 5")
+    cdf5 = version == 5
     dims: List[Tuple[str, int]] = list(ds.sizes.items())
     dim_ids = {name: i for i, (name, _) in enumerate(dims)}
 
     payloads: List[Tuple[str, Variable, np.ndarray, dict, int]] = []
     for name, var in {**ds.coords, **ds.data_vars}.items():
-        enc, attrs = _encode_var(var)
+        enc, attrs = _encode_var(var, cdf5=cdf5)
         nc_type = {v: k for k, v in _NC_DTYPE.items()}[enc.dtype]
         payloads.append((name, var, enc, attrs, nc_type))
 
@@ -166,31 +211,35 @@ def write_netcdf3(path_or_buf, ds: NDDataset) -> None:
 
     # header with placeholder begins to learn its size, then final header
     def build_header(version: int, begins: Dict[str, int]) -> bytes:
-        off_fmt = ">Q" if version == 2 else ">I"
-        hdr = b"CDF" + bytes([version]) + struct.pack(">I", 0)  # numrecs=0
+        wide = version == 5  # every NON_NEG field is 8 bytes in CDF-5
+        off_fmt = ">Q" if version in (2, 5) else ">I"
+        hdr = b"CDF" + bytes([version]) + _nn(0, wide)  # numrecs=0
         if dims:
-            hdr += struct.pack(">II", _TAG_DIM, len(dims))
+            hdr += struct.pack(">I", _TAG_DIM) + _nn(len(dims), wide)
             for name, size in dims:
-                hdr += _name_bytes(name) + struct.pack(">I", size)
+                hdr += _name_bytes(name, wide) + _nn(size, wide)
         else:
-            hdr += struct.pack(">II", 0, 0)
-        hdr += _att_list_bytes(gattrs)
+            hdr += struct.pack(">I", 0) + _nn(0, wide)
+        hdr += _att_list_bytes(gattrs, wide)
         if payloads:
-            hdr += struct.pack(">II", _TAG_VAR, len(payloads))
+            hdr += struct.pack(">I", _TAG_VAR) + _nn(len(payloads), wide)
             for name, var, enc, attrs, nc_type in payloads:
-                hdr += _name_bytes(name)
-                hdr += struct.pack(">I", len(var.dims))
+                hdr += _name_bytes(name, wide)
+                hdr += _nn(len(var.dims), wide)
                 for d in var.dims:
-                    hdr += struct.pack(">I", dim_ids[d])
-                hdr += _att_list_bytes(attrs)
-                # vsize is a 32-bit field; the spec stores 2**32-1 as the
-                # "unspecified" sentinel for larger variables (readers use
-                # shape×itemsize, as ours does)
-                vsize = min(_pad4(enc.nbytes), 0xFFFFFFFF)
-                hdr += struct.pack(">II", nc_type, vsize)
+                    hdr += _nn(dim_ids[d], wide)
+                hdr += _att_list_bytes(attrs, wide)
+                # vsize is a 32-bit field in CDF-1/2; the spec stores
+                # 2**32-1 as the "unspecified" sentinel for larger
+                # variables (readers use shape×itemsize, as ours does).
+                # CDF-5's vsize is a full 64-bit NON_NEG.
+                vsize = _pad4(enc.nbytes) if wide else min(
+                    _pad4(enc.nbytes), 0xFFFFFFFF
+                )
+                hdr += struct.pack(">I", nc_type) + _nn(vsize, wide)
                 hdr += struct.pack(off_fmt, begins.get(name, 0))
         else:
-            hdr += struct.pack(">II", 0, 0)
+            hdr += struct.pack(">I", 0) + _nn(0, wide)
         return hdr
 
     def layout(version: int) -> Dict[str, int]:
@@ -201,12 +250,16 @@ def write_netcdf3(path_or_buf, ds: NDDataset) -> None:
             off += _pad4(enc.nbytes)
         return begins
 
-    version = 1
-    begins = layout(version)
-    last = max(begins.values(), default=0)
-    if last > 2**31 - 1:
-        version = 2
+    if cdf5:
+        version = 5
+        begins = layout(5)
+    else:
+        version = version or 1
         begins = layout(version)
+        last = max(begins.values(), default=0)
+        if version == 1 and last > 2**31 - 1:
+            version = 2
+            begins = layout(version)
 
     buf = bytearray(build_header(version, begins))
     for name, _, enc, _, _ in payloads:
@@ -226,9 +279,10 @@ def write_netcdf3(path_or_buf, ds: NDDataset) -> None:
 
 
 class _Parser:
-    def __init__(self, f):
+    def __init__(self, f, wide: bool = False):
         self.f = f
         self.pos = 0
+        self.wide = wide  # CDF-5: every NON_NEG field is 8 bytes
 
     def read(self, n: int) -> bytes:
         b = self.f.read(n)
@@ -240,13 +294,18 @@ class _Parser:
     def u32(self) -> int:
         return struct.unpack(">I", self.read(4))[0]
 
+    def nn(self) -> int:
+        if self.wide:
+            return struct.unpack(">Q", self.read(8))[0]
+        return self.u32()
+
     def name(self) -> str:
-        n = self.u32()
+        n = self.nn()
         raw = self.read(_pad4(n))[:n]
         return raw.decode("utf-8")
 
     def attrs(self) -> dict:
-        tag, count = self.u32(), self.u32()
+        tag, count = self.u32(), self.nn()
         out = {}
         if tag == 0:
             return out
@@ -254,7 +313,7 @@ class _Parser:
             raise ValueError(f"bad attribute list tag {tag:#x}")
         for _ in range(count):
             k = self.name()
-            nc_type, n = self.u32(), self.u32()
+            nc_type, n = self.u32(), self.nn()
             dt = _NC_DTYPE[nc_type]
             raw = self.read(_pad4(n * dt.itemsize))[: n * dt.itemsize]
             if nc_type == NC_CHAR:
@@ -268,36 +327,32 @@ class _Parser:
 def _parse_header(f) -> dict:
     p = _Parser(f)
     magic = p.read(4)
-    if magic[:3] == b"CDF" and magic[3] == 5:
-        raise NotImplementedError(
-            "CDF-5 (64-bit data, pnetcdf lineage) unsupported; CDF-1 and "
-            "CDF-2 (64-bit offsets) are — or convert to netCDF4/HDF5"
-        )
-    if magic[:3] != b"CDF" or magic[3] not in (1, 2):
+    if magic[:3] != b"CDF" or magic[3] not in (1, 2, 5):
         raise ValueError("not a classic NetCDF3 file")
     version = magic[3]
-    numrecs = p.u32()
+    p.wide = version == 5
+    numrecs = p.nn()
     dims: List[Tuple[str, int]] = []
-    tag, count = p.u32(), p.u32()
+    tag, count = p.u32(), p.nn()
     if tag == _TAG_DIM:
         for _ in range(count):
-            dims.append((p.name(), p.u32()))
+            dims.append((p.name(), p.nn()))
     elif tag != 0:
         raise ValueError(f"bad dim list tag {tag:#x}")
     gattrs = p.attrs()
     variables = []
-    tag, count = p.u32(), p.u32()
+    tag, count = p.u32(), p.nn()
     if tag == _TAG_VAR:
         for _ in range(count):
             name = p.name()
-            ndims = p.u32()
-            dimids = [p.u32() for _ in range(ndims)]
+            ndims = p.nn()
+            dimids = [p.nn() for _ in range(ndims)]
             vattrs = p.attrs()
             nc_type = p.u32()
-            vsize = p.u32()
+            vsize = p.nn()
             begin = (
                 struct.unpack(">Q", p.read(8))[0]
-                if version == 2
+                if version in (2, 5)
                 else p.u32()
             )
             variables.append(

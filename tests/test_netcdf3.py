@@ -203,3 +203,65 @@ def test_read_netcdf3_vsize_sentinel(tmp_path):
     rt = read_netcdf3(p)
     np.testing.assert_array_equal(rt.data_vars["x"].data, x.astype("i4"))
     np.testing.assert_array_equal(rt.data_vars["y"].data, y.astype("i4"))
+
+
+def test_cdf5_roundtrip_wide_types(tmp_path):
+    """CDF-5 (pnetcdf lineage): 64-bit headers + the five additional
+    external types store natively — int64 values beyond NC_INT range,
+    unsigned ints at full width — and read back exactly, including
+    through the header-only schema and the byte-range scanner."""
+    from pangeo_forge_recipes_spark.kerchunkio import open_reference_dataset
+    from pangeo_forge_recipes_spark.netcdf3 import scan_netcdf3
+
+    ds = NDDataset(
+        {
+            "big": Variable(("x",), np.array([2**40, -(2**40), 7], dtype="int64")),
+            "u64": Variable(("x",), np.array([2**63, 1, 0], dtype="uint64")),
+            "u32": Variable(("x",), np.array([2**31 + 5, 0, 9], dtype="uint32")),
+            "u16": Variable(("x",), np.array([65535, 0, 3], dtype="uint16")),
+            "u8": Variable(("x",), np.array([255, 0, 1], dtype="uint8")),
+        },
+        {"x": Variable(("x",), np.arange(3, dtype="int32"))},
+        {"title": "cdf5"},
+        {"x": 3},
+    )
+    p = str(tmp_path / "t5.nc")
+    write_netcdf3(p, ds, version=5)
+    with open(p, "rb") as f:
+        assert f.read(4) == b"CDF\x05"
+    rt = read_netcdf3(p)
+    assert_equal(rt, ds)
+    assert rt.data_vars["big"].dtype == np.int64
+    assert rt.data_vars["u64"].dtype == np.uint64
+    schema = netcdf3_schema(p)
+    assert schema["data_vars"]["big"]["dtype"] == "int64"
+    assert schema["data_vars"]["u8"]["dtype"] == "uint8"
+    via = open_reference_dataset(scan_netcdf3(p))
+    np.testing.assert_array_equal(
+        via.data_vars["u64"].data, ds.data_vars["u64"].data
+    )
+    np.testing.assert_array_equal(
+        via.data_vars["big"].data, ds.data_vars["big"].data
+    )
+
+
+def test_cdf5_time_and_classic_error_pointer(tmp_path):
+    """CDF-5 keeps post-2038 CF second offsets as NC_INT64 (classic
+    falls back to NC_DOUBLE); the classic int64-overflow error now
+    points at version=5."""
+    times = np.array(
+        ["2040-01-01T00:00:00", "2040-01-02T00:00:00"], dtype="datetime64[ns]"
+    )
+    ds = NDDataset(
+        {"v": Variable(("time",), np.array([2**40, 2], dtype="int64"))},
+        {"time": Variable(("time",), times)},
+        {},
+        {"time": 2},
+    )
+    p = str(tmp_path / "t5t.nc")
+    write_netcdf3(p, ds, version=5)
+    rt = read_netcdf3(p)
+    assert_equal(rt, ds)
+    assert rt["time"].dtype.kind == "M"
+    with pytest.raises(ValueError, match="version=5"):
+        write_netcdf3(str(tmp_path / "classic.nc"), ds)
