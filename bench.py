@@ -225,16 +225,24 @@ def _bench_zarr_throughput(spark) -> dict:
     """Asymptotic write throughput at ~800 MB — ten times the pipeline
     proxy's payload, where per-job fixed costs stop dominating.
 
-    Round-5 methodology fix: the paths are timed INTERLEAVED, best-of-2
-    (round 4 ran one single shot each, shuffled first — order effects
-    and JVM/worker churn produced an apparent 3.4-4.7x aligned-over-
-    shuffled gap; interleaved best-of-N on the same box measures
-    ~1.3-1.7x). A stage breakdown of the shuffled path (split ->
-    +exchange -> +combine) is recorded so the tax is attributed, not
-    guessed: the exchange itself is a few percent of wall; the real
-    cost is the combine-side Python<->JVM crossing of the fragment
-    payloads. A third variant times rechunk_shuffle='reference' (the
-    metadata-only exchange) at the same shape."""
+    Round-7 methodology fix (the sharded-saturation shape, bench history
+    r4->r6): interleaved best-of-2 was still too few reps on a loaded
+    box — the r6 driver artifact read shuffled 82.7 MB/s vs aligned
+    65.4, physically inverted, because one aligned run hit a transient
+    stall and two reps left no stall-free sample. Now: stores live on
+    tmpfs when available (writeback noise removed from the ratio), each
+    run is followed by sync + store removal (no dirty-page carry-over),
+    the three variants run in ROTATING order across >=3 rounds (no
+    variant always enjoys the extra warmth), and the headline tax is the
+    ratio of MIN walls — disk/co-tenant stalls only ever INFLATE a wall,
+    so min over equal interleaved run counts is the stall-free
+    comparator (per-round ratios + per-run loads recorded alongside).
+    A stage breakdown of the shuffled path (split -> +exchange ->
+    +combine) is recorded so the tax is attributed, not guessed: the
+    exchange itself is a few percent of wall; the real cost is the
+    combine-side Python<->JVM crossing of the fragment payloads. A
+    third variant times rechunk_shuffle='reference' (the metadata-only
+    exchange) at the same shape."""
     import shutil
     import tempfile
 
@@ -245,7 +253,26 @@ def _bench_zarr_throughput(spark) -> dict:
     from pangeo_forge_recipes_spark.ndset import NDDataset, Variable
 
     nt, nlat, nlon, per = 256, 360, 720, 16
-    tmp = tempfile.mkdtemp(prefix="pfrs_tput_")
+    # same tmpfs gate as _bench_sharded_saturation: fixture npz (~800 MB)
+    # + zarr twin sources (~800 MB) + one output store at a time (~800 MB)
+    # ~= 2.5 GB peak with per-run removal below
+    shm = "/dev/shm"
+    use_shm = False
+    try:
+        mem_avail = 0
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    mem_avail = int(line.split()[1]) * 1024
+                    break
+        use_shm = (
+            os.path.isdir(shm)
+            and shutil.disk_usage(shm).free > 5 * 1024**3
+            and mem_avail > 10 * 1024**3
+        )
+    except OSError:
+        pass
+    tmp = tempfile.mkdtemp(prefix="pfrs_tput_", dir=shm if use_shm else None)
     try:
         # fixture synthesis is NOT measured — build the 16 files on a
         # thread pool (driver-side wall is bench budget, not engine perf);
@@ -284,10 +311,13 @@ def _bench_zarr_throughput(spark) -> dict:
         pattern = pattern_from_file_sequence(
             paths, "time", nitems_per_file=per, file_type="npz"
         )
-        # untimed warm run (python-worker spawn for this stage shape)
+        # untimed warm run (python-worker spawn for this stage shape);
+        # the store is dropped at once — on tmpfs it is RAM
         store_to_zarr(
             spark, pattern, tmp, "tput_warm.zarr", target_chunks={"time": 32}
         )
+        os.sync()
+        shutil.rmtree(os.path.join(tmp, "tput_warm.zarr"), ignore_errors=True)
         variants = (
             ("shuffled", {"target_chunks": {"time": 32}}),
             ("aligned", {"target_chunks": {"time": per}}),
@@ -299,20 +329,41 @@ def _bench_zarr_throughput(spark) -> dict:
                 },
             ),
         )
+        variant_kwargs = dict(variants)
         walls = {label: [] for label, _ in variants}
         loads = {label: [] for label, _ in variants}
         nbytes = {}
-        for rep in range(2):  # interleaved best-of-2
-            for label, kwargs in variants:
-                load0 = _loadavg1()
-                t0 = time.perf_counter()
-                res = store_to_zarr(
-                    spark, pattern, tmp, f"tput_{label}{rep}.zarr", **kwargs
-                )
-                walls[label].append(time.perf_counter() - t0)
-                loads[label].append(load0)
-                nbytes[label] = res.bytes_written
-                assert res.shuffled == label.startswith("shuffled")
+        run_idx = 0
+
+        def run_tput(label) -> None:
+            nonlocal run_idx
+            name = f"tput_{label}{run_idx}.zarr"
+            run_idx += 1
+            load0 = _loadavg1()
+            t0 = time.perf_counter()
+            res = store_to_zarr(spark, pattern, tmp, name, **variant_kwargs[label])
+            wall = time.perf_counter() - t0
+            assert res.shuffled == label.startswith("shuffled")
+            nbytes[label] = res.bytes_written
+            # drain async writeback + drop the store: the NEXT run must
+            # not pay this run's dirty pages (saturation-section shape)
+            os.sync()
+            shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+            os.sync()
+            walls[label].append(wall)
+            loads[label].append(load0)
+
+        # rotating-order rounds: 3 rounds x 3 variants, each variant
+        # first/middle/last exactly once; round ratios recorded so a
+        # stall inside one round is visible in the artifact
+        order = [label for label, _ in variants]
+        round_tax = []
+        for rnd in range(3):
+            for label in order[rnd:] + order[:rnd]:
+                run_tput(label)
+            round_tax.append(
+                round(walls["shuffled"][-1] / walls["aligned"][-1], 3)
+            )
         out = {}
         for label, _ in variants:
             wall = min(walls[label])
@@ -323,6 +374,11 @@ def _bench_zarr_throughput(spark) -> dict:
                 "mb_written": round(nbytes[label] / 1e6, 0),
                 "mb_per_s": round(nbytes[label] / 1e6 / wall, 1),
             }
+        out["round_tax_ratios"] = round_tax
+        out["shuffled_over_aligned_tax"] = round(
+            min(walls["shuffled"]) / min(walls["aligned"]), 2
+        )
+        out["medium"] = "tmpfs" if use_shm else "disk"
 
         # stage attribution of the shuffled path (one shot each, warm):
         # split_only = decode+split+serialize+Arrow-out; +exchange adds
@@ -420,40 +476,59 @@ def _bench_zarr_throughput(spark) -> dict:
                 {"target_chunks": {"time": 32}, "rechunk_shuffle": "reference"},
             ),
         )
-        # untimed warm (new stage shape: zarr opener)
+        # untimed warm (new stage shape: zarr opener); dropped at once
         store_to_zarr(
             spark, zpattern, tmp, "lazy_warm.zarr", target_chunks={"time": 32}
         )
+        os.sync()
+        shutil.rmtree(os.path.join(tmp, "lazy_warm.zarr"), ignore_errors=True)
         lz = {label: {"runs": [], "loads": []} for label, _ in lazy_variants}
-        for rep in range(2):
-            for label, kwargs in lazy_variants:
-                load0 = _loadavg1()
-                t0 = time.perf_counter()
-                res = store_to_zarr(
-                    spark, zpattern, tmp, f"lazy_{label}{rep}.zarr", **kwargs
-                )
-                lz[label]["runs"].append(round(time.perf_counter() - t0, 2))
-                lz[label]["loads"].append(load0)
-                lz[label]["mb_written"] = round(res.bytes_written / 1e6, 0)
-                assert res.shuffled, label
-        pair_ratios = sorted(
-            p / r
-            for p, r in zip(lz["payload"]["runs"], lz["reference"]["runs"])
-        )
-        for label in lz:
+        lazy_kwargs = dict(lazy_variants)
+
+        def run_lazy(label) -> None:
+            nonlocal run_idx
+            name = f"lazy_{label}{run_idx}.zarr"
+            run_idx += 1
+            load0 = _loadavg1()
+            t0 = time.perf_counter()
+            res = store_to_zarr(spark, zpattern, tmp, name, **lazy_kwargs[label])
+            wall = time.perf_counter() - t0
+            assert res.shuffled, label
+            os.sync()
+            shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+            os.sync()
+            lz[label]["runs"].append(round(wall, 2))
+            lz[label]["loads"].append(load0)
+            lz[label]["mb_written"] = round(res.bytes_written / 1e6, 0)
+
+        # 3 alternating-order back-to-back pairs (saturation shape):
+        # each pair equally warm and equally loaded; per-pair ratios
+        # recorded, headline = ratio of MIN walls (stalls only inflate)
+        pair_ratios = []
+        for pair in (
+            ("payload", "reference"),
+            ("reference", "payload"),
+            ("payload", "reference"),
+        ):
+            for label in pair:
+                run_lazy(label)
+            pair_ratios.append(
+                round(lz["payload"]["runs"][-1] / lz["reference"]["runs"][-1], 3)
+            )
+        for label in ("payload", "reference"):
             wall = min(lz[label]["runs"])
             lz[label]["wall"] = wall
             lz[label]["mb_per_s"] = round(lz[label]["mb_written"] / wall, 1)
+        lz["pair_ratios"] = pair_ratios
         lz["reference_over_payload_speedup"] = round(
-            (pair_ratios[len(pair_ratios) // 2] + pair_ratios[(len(pair_ratios) - 1) // 2])
-            / 2,
-            2,
+            min(lz["payload"]["runs"]) / min(lz["reference"]["runs"]), 2
         )
         lz["note"] = (
             "chunk-lazy zarr sources, both variants through the true "
-            "rechunk shuffle, interleaved pairs; speedup = median of "
-            "within-pair payload/reference wall ratios (>1.0 means the "
-            "metadata-only exchange wins on its target workload)"
+            "rechunk shuffle; 3 alternating-order back-to-back pairs with "
+            "sync+removal between runs, speedup = ratio of MIN walls "
+            "(>1.0 means the metadata-only exchange wins on its target "
+            "workload); per-pair ratios + per-run loads alongside"
         )
         out["reference_mode_lazy"] = lz
         return out
@@ -1160,6 +1235,9 @@ def main() -> None:
                         if isinstance(v, dict) and "mb_per_s" in v
                     }
                     or None,
+                    "zarr_800mb_tax": (zarr_throughput or {}).get(
+                        "shuffled_over_aligned_tax"
+                    ),
                     "sharded_sat_ratio": (sharded_saturation or {}).get(
                         "sharded_over_chunked"
                     ),

@@ -399,12 +399,27 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     threshold: float = 0.4,
     round_to: Optional[int] = 4,
+    max_broadcast_bytes: Optional[int] = None,
 ) -> DataFrame:
     """All pairs (a<b) with cosine ≥ threshold. Blocked numpy GEMM against a
     broadcast normalized corpus matrix — O(n²) flops but one scan, no
-    shuffle; swap in LSH buckets (similarity.lsh_buckets) beyond broadcast
-    scale."""
+    shuffle; swap in LSH buckets (similarity.lsh_buckets) or SemDeDup
+    (clustering.semantic_dedup_pairs) beyond broadcast scale.
+
+    Broadcast-exact tier: size-gated by ``max_broadcast_bytes`` (default
+    similarity.DEFAULT_BROADCAST_BOUND_BYTES) — above the bound the call
+    raises naming the bucketed alternatives instead of OOMing the driver."""
+    from .similarity import _guard_broadcast_bound
+
     spark = df.sparkSession
+    _guard_broadcast_bound(
+        df,
+        vec_col,
+        op="embedding_near_dup",
+        alternative="similarity.lsh_buckets + within-bucket pairs, or "
+        "clustering.semantic_dedup_pairs (kmeans + within-cluster pairs)",
+        max_broadcast_bytes=max_broadcast_bytes,
+    )
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)

@@ -24,6 +24,64 @@ from pyspark.sql import functions as F
 
 from ..parallel import spread
 
+#: Default ceiling on the estimated driver-collected payload of the
+#: broadcast-exact tiers (bytes of the float64 matrix / PQ code table the
+#: driver must hold and broadcast). A mis-sized call used to be a silent
+#: driver OOM; now it raises up front naming the bucketed alternative.
+#: 2 GiB ≈ 4M 64-d float64 vectors — comfortably inside a local driver,
+#: far below what a cluster driver tolerates, and overridable per call.
+DEFAULT_BROADCAST_BOUND_BYTES = 2 << 30
+
+
+def estimate_collect_bytes(
+    df: DataFrame, vec_col: str, bytes_per_elem: int = 8, elems: Optional[int] = None
+) -> Tuple[int, int, int]:
+    """One cheap aggregation job estimating the driver-collect payload:
+    ``(rows, per_row_elems, total_bytes)``. ``elems`` overrides the
+    measured array width (PQ codes: ``m`` bytes, not ``dim`` floats)."""
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"), F.first(F.size(F.col(vec_col))).alias("d")
+    ).collect()[0]
+    rows = int(agg["n"] or 0)
+    width = int(elems if elems is not None else (agg["d"] or 0))
+    return rows, width, rows * width * bytes_per_elem
+
+
+def _guard_broadcast_bound(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    op: str,
+    alternative: str,
+    max_broadcast_bytes: Optional[int],
+    bytes_per_elem: int = 8,
+    elems: Optional[int] = None,
+) -> None:
+    """Enforce the broadcast-exact tier's size bound BEFORE collecting.
+
+    The exact tiers are broadcast-bounded by design (docstrings say so);
+    this makes the bound load-bearing: above it the call raises a
+    ValueError naming the bucketed alternative instead of OOMing the
+    driver. Pass ``max_broadcast_bytes=0`` (or negative) to skip the
+    estimate entirely (the caller asserts the corpus fits)."""
+    bound = (
+        DEFAULT_BROADCAST_BOUND_BYTES
+        if max_broadcast_bytes is None
+        else max_broadcast_bytes
+    )
+    if bound <= 0:
+        return
+    rows, width, est = estimate_collect_bytes(df, vec_col, bytes_per_elem, elems)
+    if est > bound:
+        raise ValueError(
+            f"{op}: estimated driver-collect payload {est:,} bytes "
+            f"({rows:,} rows x {width} elems x {bytes_per_elem} B) exceeds the "
+            f"broadcast-exact bound {bound:,} bytes. This tier collects the "
+            f"corpus to the driver; at this size use the bucketed "
+            f"alternative: {alternative}. (Override with max_broadcast_bytes "
+            f"if the driver genuinely has the memory.)"
+        )
+
 
 def _collect_matrix(df: DataFrame, id_col: str, vec_col: str) -> Tuple[np.ndarray, np.ndarray]:
     rows = df.select(id_col, vec_col).collect()
@@ -45,12 +103,26 @@ def brute_force_topk(
     vec_col: str = "embedding",
     round_to: int = 4,
     exclude_self: bool = True,
+    max_broadcast_bytes: Optional[int] = None,
 ) -> DataFrame:
     """Exact cosine top-k for every query vector against the corpus.
 
     Ties broken by ascending neighbor id; scores rounded for cross-engine
-    reproducibility. Output: (vec_id, neighbor_id, rank, cosine)."""
+    reproducibility. Output: (vec_id, neighbor_id, rank, cosine).
+
+    Broadcast-exact tier: the corpus is collected to the driver and
+    broadcast — size-gated by ``max_broadcast_bytes`` (default
+    :data:`DEFAULT_BROADCAST_BOUND_BYTES`); above the bound the call
+    raises pointing at :func:`ivf_topk` / :func:`lsh_ann_topk`."""
     spark = queries.sparkSession
+    _guard_broadcast_bound(
+        corpus,
+        vec_col,
+        op="brute_force_topk",
+        alternative="similarity.ivf_topk (exact-ish, sharded lists) or "
+        "similarity.lsh_ann_topk (bucketed candidates)",
+        max_broadcast_bytes=max_broadcast_bytes,
+    )
     ids, mat = _collect_matrix(corpus, id_col, vec_col)
     bc = spark.sparkContext.broadcast((ids, _normalize(mat)))
 
@@ -443,6 +515,7 @@ def pq_topk(
     vec_col: str = "embedding",
     codebooks: Optional[np.ndarray] = None,
     round_to: int = 4,
+    max_broadcast_bytes: Optional[int] = None,
 ) -> DataFrame:
     """Approximate self-search by asymmetric distance over PQ codes:
     the corpus broadcasts as m-byte codes (16-32x smaller than the
@@ -452,11 +525,25 @@ def pq_topk(
     the whole corpus with m byte-gathers per query instead of a GEMM.
     Scores are approximate cosines (codebook reconstruction of the
     corpus side); ties break by ascending neighbor id. Output mirrors
-    :func:`brute_force_topk`: (vec_id, neighbor_id, rank, score)."""
+    :func:`brute_force_topk`: (vec_id, neighbor_id, rank, score).
+
+    Size-gated like :func:`brute_force_topk`, with the code-table payload
+    (``m`` bytes/row, 16-32x under the float matrix) as the estimate —
+    above ``max_broadcast_bytes`` the call raises pointing at IVF."""
     spark = df.sparkSession
     if codebooks is None:
         codebooks = pq_train(df, m=m, nbits=nbits, id_col=id_col, vec_col=vec_col)
     m, ksub, dsub = codebooks.shape
+    _guard_broadcast_bound(
+        df,
+        vec_col,
+        op="pq_topk",
+        alternative="similarity.ivf_topk (or IVF-PQ: ivf_assign the corpus, "
+        "pq_topk within each inverted list)",
+        max_broadcast_bytes=max_broadcast_bytes,
+        bytes_per_elem=4,  # int32 codes as collected below
+        elems=m,
+    )
     enc_rows = pq_encode(df, codebooks, id_col, vec_col).collect()
     c_ids = np.array([r[0] for r in enc_rows], dtype=np.int64)
     c_codes = np.array([r[1] for r in enc_rows], dtype=np.int32)

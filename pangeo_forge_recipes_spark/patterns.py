@@ -75,10 +75,13 @@ class AutoName(Enum):
 
 
 class FileType(AutoName):
-    """Source file formats (reference ``patterns.py:92-99``). In this
-    engine: ``zarr`` and ``npz`` are natively readable; ``netcdf3``/
-    ``netcdf4``/``grib``/``opendap`` require optional libs absent from this
-    environment and raise a clear error at open time (see ``openers.py``)."""
+    """Source file formats (reference ``patterns.py:92-99``). Every row is
+    natively readable in this engine — no optional libs: ``zarr``/``npz``
+    via the engine's own stores, ``netcdf3`` (incl. 64-bit-offset and
+    CDF-5) via ``netcdf3.py``, ``netcdf4`` via the native HDF5 reader
+    (``hdf5io.py``), ``grib`` via ``grib2io.py``, ``opendap`` via the DAP2
+    client (``dap2io.py``), ``kerchunk`` via ``kerchunkio.py``. The engine
+    map lives at ``openers.py:26-34``."""
 
     grib = auto()
     kerchunk = auto()

@@ -128,6 +128,38 @@ def test_embedding_near_dup(vectors):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 100)}
 
 
+def test_broadcast_exact_tiers_size_gated(vectors):
+    # over-bound: each broadcast-exact tier raises up front, naming the
+    # bucketed alternative, instead of collecting the corpus (41 rows x
+    # 16 elems x 8 B = 5248 B float estimate; PQ: 41 x m x 4 B codes)
+    with pytest.raises(ValueError, match="ivf_topk"):
+        similarity.brute_force_topk(vectors, vectors, k=1, max_broadcast_bytes=1024)
+    with pytest.raises(ValueError, match="semantic_dedup_pairs"):
+        dedup.embedding_near_dup(vectors, threshold=0.95, max_broadcast_bytes=1024)
+    with pytest.raises(ValueError, match="ivf_topk"):
+        similarity.pq_topk(vectors, k=1, m=8, nbits=4, max_broadcast_bytes=64)
+    # under-bound (explicit generous bound): identical results to ungated
+    out = similarity.brute_force_topk(
+        vectors, vectors, k=1, max_broadcast_bytes=1 << 20
+    ).collect()
+    top = {r["vec_id"]: r["neighbor_id"] for r in out}
+    assert top[0] == 100 and top[100] == 0
+    # bound<=0 skips the estimate job entirely (caller asserts fit)
+    pairs = dedup.embedding_near_dup(
+        vectors, threshold=0.95, max_broadcast_bytes=0
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 100)}
+
+
+def test_estimate_collect_bytes(vectors):
+    rows, width, est = similarity.estimate_collect_bytes(vectors, "embedding")
+    assert (rows, width, est) == (41, 16, 41 * 16 * 8)
+    rows, width, est = similarity.estimate_collect_bytes(
+        vectors, "embedding", bytes_per_elem=1, elems=8
+    )
+    assert (rows, width, est) == (41, 8, 41 * 8)
+
+
 def test_lsh_ann_recall(vectors):
     exact = similarity.brute_force_topk(vectors, vectors, k=1).collect()
     approx = similarity.lsh_ann_topk(vectors, k=1, nbits=4).collect()
