@@ -2399,6 +2399,180 @@ SELECT doc_id, canon AS canonical_url FROM r WHERE rn = 1
 """.strip()
 
 
+_DOMAIN_CAP = 30
+
+
+def _domain_cap_url_expr(dialect: str) -> str:
+    """Deterministic 7-host URL fixture over documents — identical text on
+    both engines (the _messy_url_expr pattern); doc_id % 7 spreads ~536
+    docs per host at sf0.01, far above the cap, so the cap does real
+    work on every host."""
+    num = "cast(doc_id % 7 as {})".format(
+        "string" if dialect == "spark" else "varchar"
+    )
+    return f"concat('https://site', {num}, '.example.com/', source, '/p', cast(doc_id as {'string' if dialect == 'spark' else 'varchar'}))"
+
+
+def _domain_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-balance sampling (operators/urls.domain_cap_sample): keep at
+    most CAP docs per registrable host, md5-deterministic pick, ONE
+    WindowGroupLimit shuffle — the C4-style guard against any one site
+    dominating the corpus. The oracle replicates host extraction + the
+    md5 window order natively on DuckDB."""
+    from pangeo_forge_recipes_spark.operators.urls import domain_cap_sample
+
+    _register(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", F.expr(_domain_cap_url_expr("spark")).alias("url")
+    )
+    kept = domain_cap_sample(docs, cap=_DOMAIN_CAP, col="url", id_col="doc_id")
+    return kept.select("doc_id", "url")
+
+
+def _domain_cap_oracle() -> str:
+    return f"""
+WITH u AS (SELECT doc_id, {_domain_cap_url_expr("duckdb")} AS url FROM documents),
+r AS (SELECT doc_id, url,
+             ROW_NUMBER() OVER (
+                 PARTITION BY 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM u)
+SELECT doc_id, url FROM r WHERE rn <= {_DOMAIN_CAP}
+""".strip()
+
+
+def _resize_images_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize (operators/multimodal.resize_images): genuine PNG
+    decode (inflate + unfilter) then the batched numpy gather/lerp to an
+    8x4 grid, both methods. The 16x8 source pixel i is the closed form
+    (doc_id*31 + i*7) % 256 (the multimodal_features fixture); 2:1
+    down-scale puts every bilinear sample weight at exactly 1/4 (pixel
+    centers land mid-2x2-block) and every nearest gather at (2r+1,2c+1),
+    so round(px*1020) is an exact integer both engines recompute —
+    bilinear: the 2x2 block sum; nearest: 4x the gathered byte."""
+    from pangeo_forge_recipes_spark.operators.multimodal import (
+        attach_png_media,
+        resize_images,
+    )
+
+    _register(spark, sf_dir)
+    media = attach_png_media(spark.table("documents"), width=16, height=8)
+    parts = []
+    for method in ("bilinear", "nearest"):
+        rs = resize_images(media, out_w=8, out_h=4, method=method)
+        parts.append(
+            rs.select(
+                F.lit(method).alias("method"),
+                "doc_id",
+                "width",
+                "height",
+                F.aggregate(
+                    F.transform(
+                        "pixels",
+                        lambda x, j: F.round(x.cast("double") * 1020, 0)
+                        * (F.lit(1) + j % 11),
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                .cast("long")
+                .alias("px_checksum"),
+            )
+        )
+    return parts[0].unionAll(parts[1])
+
+
+def _resize_images_oracle() -> str:
+    # source pixel byte at (row rr, col cc) of the 16x8 fixture image
+    px = "((doc_id*31 + (({rr})*16 + ({cc}))*7) % 256)"
+    bilinear = (
+        "list_sum(list_transform(range(0, 32), j -> (1 + j % 11) * ("
+        + " + ".join(
+            px.format(rr=f"(j // 8)*2 + {dr}", cc=f"(j % 8)*2 + {dc}")
+            for dr in (0, 1)
+            for dc in (0, 1)
+        )
+        + ")))"
+    )
+    nearest = (
+        "list_sum(list_transform(range(0, 32), j -> (1 + j % 11) * 4 * "
+        + px.format(rr="(j // 8)*2 + 1", cc="(j % 8)*2 + 1")
+        + "))"
+    )
+    return f"""
+SELECT m.method, doc_id, CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
+       CAST(CASE WHEN m.method = 'bilinear' THEN {bilinear}
+                 ELSE {nearest} END AS BIGINT) AS px_checksum
+FROM documents CROSS JOIN (VALUES ('bilinear'), ('nearest')) m(method)
+""".strip()
+
+
+def _zarr_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Zarr DataSource V2 relation (SURVEY §7.2-M6,
+    sources/zarr_source.py): spark.read.format("zarr") over a store whose
+    values follow a closed form, with dim-coordinate predicates pushed
+    down to chunk-grain partition pruning. Pruning is load-bearing and
+    asserted IN-QUERY: the 4x2 chunk grid must plan exactly 3 surviving
+    slabs for (time >= 112, x < 60) — pruned chunks are never opened.
+    The oracle recomputes the surviving rows from the closed form."""
+    from pangeo_forge_recipes_spark.aggregation import dataset_to_schema
+    from pangeo_forge_recipes_spark.dsio import schema_to_zarr
+    from pangeo_forge_recipes_spark.ndset import NDDataset, Variable
+    from pangeo_forge_recipes_spark.sources import register_zarr_source
+    from pangeo_forge_recipes_spark.zarrio import open_group
+
+    tmp = tempfile.mkdtemp(prefix="pfrs_entry_zsrc_")
+    nt, nx = 16, 12
+    t = np.arange(nt)
+    x = np.arange(nx)
+    ds = NDDataset(
+        {
+            "val": Variable(
+                ("time", "x"),
+                ((t[:, None] * 31 + x[None, :] * 7) % 101).astype("float64"),
+            )
+        },
+        {
+            "time": Variable(("time",), (100 + 2 * t).astype("int64")),
+            "x": Variable(("x",), (10 * x).astype("int64")),
+        },
+        {},
+        {"time": nt, "x": nx},
+    )
+    path = os.path.join(tmp, "s.zarr")
+    store = schema_to_zarr(
+        dataset_to_schema(ds), path, target_chunks={"time": 4, "x": 6}
+    )
+    g = open_group(store)
+    for name, var in {**ds.coords, **ds.data_vars}.items():
+        g[name][tuple(slice(0, s) for s in var.data.shape)] = var.data
+    register_zarr_source(spark)
+    df = (
+        spark.read.format("zarr")
+        .load(path)
+        .filter((F.col("time") >= 112) & (F.col("x") < 60))
+    )
+    # chunk-grain pruning observed at runtime: time slabs [0:4),[4:8)
+    # hold coords 100-106 / 108-114 (partial survivor), x slab [6:12)
+    # holds 60-110 — 8 slabs plan down to 3 tasks
+    n_parts = (
+        df.withColumn("pid", F.spark_partition_id())
+        .select("pid")
+        .distinct()
+        .count()
+    )
+    assert n_parts == 3, f"expected 3 surviving chunk slabs, got {n_parts}"
+    return df.select("time", "x", "val")
+
+
+_ZARR_SOURCE_ORACLE = """
+SELECT 100 + 2*t AS time, 10*x AS x,
+       CAST((t*31 + x*7) % 101 AS DOUBLE) AS val
+FROM range(0, 16) r1(t) CROSS JOIN range(0, 12) r2(x)
+WHERE 100 + 2*t >= 112 AND 10*x < 60
+""".strip()
+
+
 # pinned PQ codebook fixture: trained once with pq_train(m=8, nbits=4) on
 # the sf0.01 embeddings corpus (deterministic md5 sample, farthest-point
 # init, fixed iterations), rounded to 6 decimals and embedded as a
@@ -2826,8 +3000,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     an oracle_sql() twin — zero rows-only checks."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     shared = _shared_sql()
-    # flagship first (also the entry() query)
-    out["q1_pricing_summary"] = _sql_query(shared.pop("q1_pricing_summary"))
+    # round-7 rotation: q1_pricing_summary (still the entry() flagship
+    # and warm in the parity suite) yields its slot to zarr_source_scan —
+    # the spark.read.format("zarr") DataSource relation with chunk-grain
+    # predicate pruning asserted in-query, the last §2 surface with no
+    # CORRECTNESS row
+    out["zarr_source_scan"] = _zarr_source_scan
     # reference-parity core: the Zarr/kerchunk/append pipelines
     out["pipeline_zarr_roundtrip"] = _zarr_roundtrip
     out["pipeline_kerchunk_roundtrip"] = _kerchunk_roundtrip
@@ -2916,6 +3094,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q3_unshipped_revenue's slot (its 3-way join+agg+topk shape stays
     # graded via q18 and warm in the parity suite)
     out["snapshot_delta"] = _snapshot_delta_q
+    # round-7 rotation: q18_large_orders and corpus_clean (join+having
+    # top-k and disjunctive filter shapes stay graded via
+    # events_multi_grain_rollup / mix_corpora / gopher_c4_filter; both
+    # texts warm in test_shared_sql_parity.py) yield their slots to
+    # resize_images — the last pytest-only multimodal stage — and
+    # domain_cap_sample — the C4-style per-host balance step
+    out["resize_images"] = _resize_images_q
+    out["domain_cap_sample"] = _domain_cap_q
     # shared-SQL battery (identical ANSI text on both engines); the
     # hourly-rollup text grades via its streaming twin below, so the
     # batch copy is skipped to stay inside the 50-query budget.
@@ -2955,6 +3141,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_customers",
         # round-6 rotation (fourth pass) for snapshot_delta:
         "q3_unshipped_revenue",
+        # round-7 rotation for zarr_source_scan + resize_images (q1 stays
+        # the entry() flagship):
+        "q1_pricing_summary",
+        "q18_large_orders",
     )
     for name, sql in shared.items():
         if name not in _SWAPPED_OUT:
@@ -2967,6 +3157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # n-gram+agg+topk shapes it graded stay covered by dedup_ngram_spans
     # / decontaminate (grams) and q3/q18/mix_corpora (top-k); its text
     # stays warm in the parity suite.
+    # round-7: corpus_clean's slot moved to domain_cap_sample (see above)
     for name, sql in _text_sql("spark").items():
         if name not in (
             "dedup_ngram_signature",
@@ -2974,6 +3165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sample_split_stats",
             "top_bigrams",
             "text_langid",
+            "corpus_clean",
         ):
             out[name] = _sql_query(sql)
     out["perplexity_buckets"] = _perplexity_buckets_q
@@ -3063,5 +3255,14 @@ def oracle_sql() -> dict[str, str]:
     out["bloom_dedup_reference"] = _BLOOM_ORACLE
     out["multimodal_features"] = _MULTIMODAL_FEATURES_ORACLE
     out["multimodal_audio"] = _AUDIO_ORACLE
+    # round-7 rotation: q1 (stays the entry() flagship + parity suite),
+    # q18 and corpus_clean yield their slots to the zarr DataSource scan,
+    # resize_images, and domain_cap_sample
+    out.pop("q1_pricing_summary")
+    out.pop("q18_large_orders")
+    out.pop("corpus_clean")
+    out["zarr_source_scan"] = _ZARR_SOURCE_ORACLE
+    out["resize_images"] = _resize_images_oracle()
+    out["domain_cap_sample"] = _domain_cap_oracle()
     out.update(_pipeline_oracle_sql())
     return out

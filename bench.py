@@ -26,9 +26,9 @@ import __spark_entry__ as entrymod
 from pangeo_forge_recipes_spark.session import get_spark
 
 HEADLINE = [
-    "q1_pricing_summary",
+    "domain_cap_sample",
     "snapshot_delta",
-    "q18_large_orders",
+    "resize_images",
     "mix_corpora",
     "c4_clean",
     "chunk_documents",
@@ -46,7 +46,6 @@ HEADLINE = [
     "dedup_lines",
     "quality_filter",
     "perplexity_buckets",
-    "corpus_clean",
     "dedup_exact",
     "bloom_dedup_reference",
     "semantic_dedup_pairs",
@@ -952,7 +951,7 @@ def main() -> None:
     # attributes sequential slowdown to accumulated session state /
     # worker churn rather than the queries themselves.
     PROBES = [
-        "q18_large_orders",
+        "dedup_exact",
         "c4_clean",
         "scrub_pii",
         "asof_last_order",
@@ -1015,6 +1014,9 @@ def main() -> None:
         "ann_pq_topk",  # oracle re-derives codes + LUT scores as an
         # O(n² x m) SQL join — a correctness artifact
         "multimodal_features",
+        "resize_images",  # same class as multimodal_features: Spark
+        # decodes real PNG bytes + gather/lerp, the oracle recomputes
+        # the closed form — different work by construction
         "semantic_dedup_pairs",  # oracle runs 5 Lloyd iterations in SQL
         "dsir_select",  # oracle replicates hashed-ngram histograms +
         # Gumbel selection (per-gram md5 in SQL) — a correctness

@@ -54,6 +54,10 @@ ROTATED_OUT = [
     # scrub_pii + dedup_minhash_stream)
     "q22_inactive_customers",
     "set_ops_customers",
+    # round-7 rotation (slots moved to zarr_source_scan + resize_images;
+    # q1 also remains the entry() flagship smoke)
+    "q1_pricing_summary",
+    "q18_large_orders",
 ]
 
 
@@ -102,6 +106,7 @@ def test_rotated_out_sql_still_matches(spark, duck, name):
         "sample_split_stats",
         "top_bigrams",
         "text_langid",
+        "corpus_clean",
     ],
 )
 def test_rotated_out_text_sql_still_matches(spark, duck, name):
@@ -110,8 +115,8 @@ def test_rotated_out_text_sql_still_matches(spark, duck, name):
     dedup_lines (r5); sample_split_stats yielded its slot to
     quality_filter (r5, md5-bucket shape graded via mix_corpora);
     top_bigrams yielded its slot to perplexity_buckets (r6) and
-    text_langid to the r6 second-pass rotation; the dialect-pair texts
-    stay warm here."""
+    text_langid to the r6 second-pass rotation; corpus_clean to
+    domain_cap_sample (r7); the dialect-pair texts stay warm here."""
     entrymod._register(spark, SF_DIR)
     got = _summary(spark.sql(entrymod._text_sql("spark")[name]).toPandas())
     want = _summary(duck.execute(entrymod._text_sql("duckdb")[name]).df())

