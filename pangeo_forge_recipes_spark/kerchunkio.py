@@ -263,10 +263,11 @@ def combine_references(
     """
     if len(concat_dims) != 1:
         raise NotImplementedError(
-            "combine_references supports exactly one concat dim (same limit "
-            "as kerchunk MultiZarrToZarr); for multi-dim concatenation use "
-            "the Zarr path (store_to_zarr), which handles any number of "
-            "combine dims"
+            "combine_references merges along exactly one concat dim per "
+            "call (same limit as kerchunk MultiZarrToZarr); two-dim "
+            "patterns nest it via transforms.combine_references_df / "
+            "write_combined_reference (outer slices -> inner combine -> "
+            "outer combine); for 3+ dims use the Zarr path (store_to_zarr)"
         )
     concat_dim = concat_dims[0]
     if not ref_sets:

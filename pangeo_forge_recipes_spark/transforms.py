@@ -1053,35 +1053,45 @@ def open_with_kerchunk_df(
     df: DataFrame,
     file_type: Union[str, FileType] = FileType.npz,
     concat_dim: Optional[str] = None,
+    concat_dim2: Optional[str] = None,
     inline_threshold: int = 300,
     kerchunk_open_kwargs: Optional[dict] = None,
 ) -> DataFrame:
-    """Scan each file into reference dicts → ``(index, pos, refs)`` rows
-    (reference ``OpenWithKerchunk``, ``transforms.py:178-213``)."""
+    """Scan each file into reference dicts → ``(index, pos, pos2, refs)``
+    rows (reference ``OpenWithKerchunk``, ``transforms.py:178-213``).
+    ``pos``/``pos2`` are the file's ordinals along the outer/inner concat
+    dims (``pos2`` stays 0 for 1-D patterns)."""
     import json as _json
 
     ft = FileType(file_type) if isinstance(file_type, str) else file_type
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_i, out_p, out_r = [], [], []
+            out_i, out_p, out_p2, out_r = [], [], [], []
             for idx_json, url in zip(pdf["index"], pdf["url"]):
                 index = Index.from_json(idx_json)
-                pos = 0
+                pos = pos2 = 0
                 if concat_dim:
                     d = index.find_concat_dim(concat_dim)
                     if d:
                         pos = index[d].value
+                if concat_dim2:
+                    d = index.find_concat_dim(concat_dim2)
+                    if d:
+                        pos2 = index[d].value
                 for ref in open_with_kerchunk(
                     url, file_type=ft, inline_threshold=inline_threshold,
                     kerchunk_open_kwargs=kerchunk_open_kwargs,
                 ):
                     out_i.append(idx_json)
                     out_p.append(pos)
+                    out_p2.append(pos2)
                     out_r.append(_json.dumps(ref))
-            yield pd.DataFrame({"index": out_i, "pos": out_p, "refs": out_r})
+            yield pd.DataFrame(
+                {"index": out_i, "pos": out_p, "pos2": out_p2, "refs": out_r}
+            )
 
-    return df.mapInPandas(scan, "index string, pos long, refs string")
+    return df.mapInPandas(scan, "index string, pos long, pos2 long, refs string")
 
 
 def combine_references_df(
@@ -1100,8 +1110,46 @@ def combine_references_df(
     ``preprocess`` (reference ``mzz_kwargs['preprocess']``,
     ``transforms.py:438-447``) rewrites each per-file refs mapping before
     any merging; it runs executor-side on the leaf references exactly
-    once (never re-applied to merged partials) and must be picklable."""
+    once (never re-applied to merged partials) and must be picklable.
+
+    Two concat dims (the reference's HRRR step×time family,
+    ``examples/feedstock/hrrr_kerchunk_concat_step.py``) nest the ordered
+    reduce: ``concat_dims[0]`` is the OUTER axis, ``concat_dims[1]`` the
+    INNER — one ``applyInPandas`` per outer slice combines its files
+    along the inner dim (ordered by ``pos2``), then the per-slice
+    virtual stores combine along the outer dim exactly like the 1-D
+    path. One shuffle on the outer key; the driver holds O(#slices)
+    partials — the same envelope as the 1-D collect. Each inner slice
+    must tile the inner extent identically (virtual concat cannot
+    rechunk; the per-level checks in ``combine_references`` enforce
+    it)."""
     import json as _json
+
+    if len(concat_dims) == 2:
+        from .kerchunkio import combine_references
+
+        outer, inner = concat_dims
+
+        def slice_combine(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = sorted(
+                zip(pdf["pos2"], pdf["refs"]), key=lambda t: int(t[0])
+            )
+            combined = combine_references(
+                [_json.loads(r) for _, r in rows], [inner], preprocess=preprocess
+            )
+            return pd.DataFrame(
+                {"pos": [int(pdf["pos"].iloc[0])], "refs": [_json.dumps(combined)]}
+            )
+
+        slices = (
+            refs_df.groupBy("pos")
+            .applyInPandas(slice_combine, "pos long, refs string")
+            .collect()
+        )
+        ordered = [
+            _json.loads(r["refs"]) for r in sorted(slices, key=lambda r: r["pos"])
+        ]
+        return combine_references(ordered, [outer])
 
     stats = refs_df.agg(
         F.min("pos").alias("mn"), F.max("pos").alias("mx"), F.count("*").alias("ct")
@@ -1165,16 +1213,19 @@ def write_combined_reference(
         FSSpecTarget.from_url(target_root) if isinstance(target_root, str) else target_root
     )
     concat_dims = concat_dims or pattern.concat_dims
-    if len(concat_dims) != 1:
+    if len(concat_dims) not in (1, 2):
         raise NotImplementedError(
-            "kerchunk combine supports exactly one concat dim (same limit as "
-            "kerchunk MultiZarrToZarr); for multi-dim patterns use the Zarr "
-            "path (store_to_zarr), which handles any number of combine dims"
+            "kerchunk combine supports one concat dim (kerchunk "
+            "MultiZarrToZarr's own limit) or two via the nested ordered "
+            "reduce (outer slices -> inner combine -> outer combine); for "
+            "3+-dim patterns use the Zarr path (store_to_zarr), which "
+            "handles any number of combine dims"
         )
 
     manifest = manifest_df(spark, pattern)
     refs_df = open_with_kerchunk_df(
         manifest, pattern.file_type, concat_dim=concat_dims[0],
+        concat_dim2=concat_dims[1] if len(concat_dims) == 2 else None,
         inline_threshold=inline_threshold,
         kerchunk_open_kwargs=kerchunk_open_kwargs,
     )

@@ -544,3 +544,61 @@ def test_reference_shuffle_rejects_unknown_mode(spark, tmp_path):
             spark, pattern, str(tmp_path / "t"), "s.zarr",
             target_chunks={"time": 2}, rechunk_shuffle="bogus",
         )
+
+
+def test_kerchunk_two_concat_dims(spark, tmp_path):
+    """Two-concat-dim kerchunk combine (the reference's HRRR step×time
+    family, examples/feedstock/hrrr_kerchunk_concat_step.py:43-57): the
+    ordered reduce NESTS — per outer (time) slice, files combine along
+    the inner (lat) dim; the per-slice virtual stores then combine along
+    time. Full element equality against the source hypercube."""
+    ds = make_ds(nt=6)
+    for t in range(3):
+        for la in range(2):
+            sub = ds.isel(time=slice(2 * t, 2 * t + 2), lat=slice(9 * la, 9 * la + 9))
+            write_npz(str(tmp_path / f"t{t}_l{la}.npz"), sub)
+    pattern = FilePattern(
+        lambda time, lat: str(tmp_path / f"t{time}_l{lat}.npz"),
+        ConcatDim("time", keys=[0, 1, 2], nitems_per_file=2),
+        ConcatDim("lat", keys=[0, 1], nitems_per_file=9),
+        file_type="npz",
+    )
+    out = write_combined_reference(
+        spark, pattern, str(tmp_path / "t"), "ref2d",
+        concat_dims=["time", "lat"],
+    )
+    assert_equal(open_reference_dataset(out), ds)
+
+
+def test_kerchunk_two_concat_dims_preprocess(spark, tmp_path):
+    """preprocess applies once per LEAF ref set in the nested reduce (the
+    inner pass), never to merged partials."""
+    ds = make_ds(nt=4)
+    for t in range(2):
+        for la in range(2):
+            sub = ds.isel(time=slice(2 * t, 2 * t + 2), lat=slice(9 * la, 9 * la + 9))
+            write_npz(str(tmp_path / f"t{t}_l{la}.npz"), sub)
+    pattern = FilePattern(
+        lambda time, lat: str(tmp_path / f"t{time}_l{lat}.npz"),
+        ConcatDim("time", keys=[0, 1], nitems_per_file=2),
+        ConcatDim("lat", keys=[0, 1], nitems_per_file=9),
+        file_type="npz",
+    )
+    out = write_combined_reference(
+        spark, pattern, str(tmp_path / "t"), "ref2dp",
+        concat_dims=["time", "lat"], preprocess=_drop_bar_and_tag,
+    )
+    combined = open_reference_dataset(out)
+    assert "bar" not in combined.data_vars
+    assert combined.attrs.get("preprocessed") == "yes"
+    expected = ds.isel()
+    expected.data_vars.pop("bar")
+    expected.attrs["preprocessed"] = "yes"
+    assert_equal(combined, expected)
+
+
+def test_kerchunk_three_concat_dims_raises(tmp_path):
+    from pangeo_forge_recipes_spark.kerchunkio import combine_references
+
+    with pytest.raises(NotImplementedError, match="one concat dim"):
+        combine_references([{}, {}], ["a", "b"])
