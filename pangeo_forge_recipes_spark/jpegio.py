@@ -234,6 +234,175 @@ def _read_entropy(buf: bytes, start: int) -> Tuple[List[bytes], int]:
     return segments, p
 
 
+# inline _extend tables for the fast scan path: EXTEND(v, t) =
+# v - ((1 << t) - 1) when v < 2^(t-1) else v
+_EXT_HALF = [0] + [1 << (s - 1) for s in range(1, 17)]
+_EXT_SUB = [0] + [(1 << s) - 1 for s in range(1, 17)]
+
+
+def _decode_scan_baseline_fast(
+    frame: dict,
+    coef: List[np.ndarray],
+    scan: List[dict],
+    segments: List[bytes],
+    restart_interval: int,
+    huff_dc: Dict[int, _Huff],
+    huff_ac: Dict[int, _Huff],
+) -> None:
+    """Sequential-DCT (SOF0/SOF1) full-band scan decode with the entire
+    per-symbol path INLINED: the bit accumulator lives in local variables
+    (one refill check per symbol, never a method call), Huffman resolves
+    through the 16-bit LUT lists, EXTEND is a table lookup, and each
+    block materializes as a plain Python list assigned to the coefficient
+    store once. Bit-identical to the generic `_decode_scan` (same tables,
+    same T.81 F.2 semantics) — only the interpreter overhead differs
+    (~3x fewer dispatches/symbol than the reader-object path)."""
+    comps = frame["comps"]
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    interleaved = len(scan) > 1
+    if interleaved:
+        total_units = mcus_x * mcus_y
+    else:
+        c = comps[by_id[scan[0]["id"]]]
+        nbw = -(-(-(-frame["w"] * c["h"] // hmax)) // 8)
+        nbh = -(-(-(-frame["h"] * c["v"] // vmax)) // 8)
+        total_units = nbw * nbh
+
+    # per-scan-component plan: component index, MCU block grid, coef
+    # store, LUT lists (attribute lookups hoisted out of the hot loop)
+    plan = []
+    for sc in scan:
+        ci = by_id[sc["id"]]
+        dc = huff_dc.get(sc["td"])
+        ac = huff_ac.get(sc["ta"])
+        if dc is None or ac is None:
+            raise ValueError("corrupt JPEG: scan references undefined table")
+        plan.append(
+            (
+                ci,
+                comps[ci]["v"],
+                comps[ci]["h"],
+                coef[ci],
+                dc.lut_sym,
+                dc.lut_len,
+                ac.lut_sym,
+                ac.lut_len,
+            )
+        )
+
+    ext_half = _EXT_HALF
+    ext_sub = _EXT_SUB
+    nseg = len(segments)
+    unit = 0
+    seg_i = 0
+    while unit < total_units:
+        if seg_i >= nseg:
+            raise ValueError("corrupt JPEG: fewer restart segments than expected")
+        data = segments[seg_i]
+        seg_i += 1
+        n = len(data)
+        pos = 0
+        acc = 0
+        nbits = 0
+        preds = [0] * len(comps)
+        units_here = (
+            min(restart_interval, total_units - unit)
+            if restart_interval
+            else total_units - unit
+        )
+        for _ in range(units_here):
+            if interleaved:
+                my, mx = divmod(unit, mcus_x)
+            else:
+                by0, bx0 = divmod(unit, nbw)
+            for ci, cv, ch, store, dsym, dlen, asym, alen in plan:
+                nblk = cv * ch if interleaved else 1
+                for b in range(nblk):
+                    # ---- DC ----
+                    if nbits < 32:
+                        if pos + 5 <= n:
+                            acc = (
+                                (acc << 40)
+                                | int.from_bytes(data[pos : pos + 5], "big")
+                            ) & 0xFFFFFFFFFFFFFFFFFFFF
+                            pos += 5
+                            nbits += 40
+                        else:
+                            while nbits < 32:
+                                acc = (
+                                    (acc << 8) | (data[pos] if pos < n else 0xFF)
+                                ) & 0xFFFFFFFFFFFFFFFFFFFF
+                                pos += 1
+                                nbits += 8
+                    p = (acc >> (nbits - 16)) & 0xFFFF
+                    l = dlen[p]
+                    if not l:
+                        raise ValueError(
+                            "corrupt JPEG: no Huffman code matched in 16 bits"
+                        )
+                    nbits -= l
+                    t = dsym[p]
+                    if t:
+                        nbits -= t
+                        v = (acc >> nbits) & ((1 << t) - 1)
+                        if v < ext_half[t]:
+                            v -= ext_sub[t]
+                        preds[ci] += v
+                    out = [0] * 64
+                    out[0] = preds[ci]
+                    # ---- AC ----
+                    k = 1
+                    while k <= 63:
+                        if nbits < 32:
+                            if pos + 5 <= n:
+                                acc = (
+                                    (acc << 40)
+                                    | int.from_bytes(data[pos : pos + 5], "big")
+                                ) & 0xFFFFFFFFFFFFFFFFFFFF
+                                pos += 5
+                                nbits += 40
+                            else:
+                                while nbits < 32:
+                                    acc = (
+                                        (acc << 8)
+                                        | (data[pos] if pos < n else 0xFF)
+                                    ) & 0xFFFFFFFFFFFFFFFFFFFF
+                                    pos += 1
+                                    nbits += 8
+                        p = (acc >> (nbits - 16)) & 0xFFFF
+                        l = alen[p]
+                        if not l:
+                            raise ValueError(
+                                "corrupt JPEG: no Huffman code matched in 16 bits"
+                            )
+                        nbits -= l
+                        rs = asym[p]
+                        s = rs & 0xF
+                        if s == 0:
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB (baseline EOBn carries no run)
+                        k += rs >> 4
+                        if k > 63:
+                            raise ValueError("corrupt JPEG: AC index past 63")
+                        nbits -= s
+                        v = (acc >> nbits) & ((1 << s) - 1)
+                        if v < ext_half[s]:
+                            v -= ext_sub[s]
+                        out[k] = v
+                        k += 1
+                    if interleaved:
+                        store[my * cv + b // ch, mx * ch + b % ch] = out
+                    else:
+                        store[by0, bx0] = out
+            unit += 1
+
+
 def _decode_scan(
     frame: dict,
     coef: List[np.ndarray],
@@ -248,6 +417,14 @@ def _decode_scan(
     zigzag coefficient stores (T.81 F.2 / G.2; successive-approximation
     refinement follows the bit-exact libjpeg-compatible algorithm)."""
     ss, se, ah, al = band
+    if (
+        (ss, se, ah, al) == (0, 63, 0, 0)
+        and not frame.get("differential")
+        and not frame.get("progressive")
+    ):
+        return _decode_scan_baseline_fast(
+            frame, coef, scan, segments, restart_interval, huff_dc, huff_ac
+        )
     comps = frame["comps"]
     by_id = {c["id"]: i for i, c in enumerate(comps)}
     hmax = max(c["h"] for c in comps)
