@@ -581,3 +581,49 @@ def pq_topk(
     return spread(df.select(id_col, vec_col)).mapInPandas(
         topk, "vec_id long, neighbor_id long, rank int, score double"
     )
+
+
+def ann_topk_auto(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    max_broadcast_bytes: Optional[int] = None,
+    nprobe: int = 4,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """Size-dispatched self-search: the ONE cheap count×dim estimate that
+    gates the broadcast-exact tier also picks the tier — within the
+    broadcast bound it runs :func:`brute_force_topk` (exact, zero
+    shuffle); beyond it, :func:`ivf_topk` (sharded inverted lists, the
+    scale path). Use this when the corpus size is not known up front;
+    call the tiers directly when the choice is semantic (exact results
+    required -> raise beyond the bound rather than silently go
+    approximate). Output: (vec_id, neighbor_id, rank, score)."""
+    bound = (
+        DEFAULT_BROADCAST_BOUND_BYTES
+        if max_broadcast_bytes is None
+        else max_broadcast_bytes
+    )
+    _, _, est = estimate_collect_bytes(df, vec_col)
+    if bound > 0 and est > bound:
+        return ivf_topk(
+            df,
+            k=k,
+            nprobe=nprobe,
+            n_centroids=n_centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+            round_to=round_to,
+        )
+    out = brute_force_topk(
+        df,
+        df,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_to=round_to,
+        max_broadcast_bytes=0,  # estimate already done above
+    )
+    return out.withColumnRenamed("cosine", "score")

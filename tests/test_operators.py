@@ -642,3 +642,19 @@ def test_pq_topk_recall_and_determinism(spark):
         for r in similarity.pq_topk(vecs, k=1, m=m, nbits=nbits).collect()
     }
     assert again == approx
+
+
+def test_ann_topk_auto_dispatch(vectors):
+    # under the bound: exact tier (matches brute force bit-for-bit)
+    exact = similarity.brute_force_topk(vectors, vectors, k=1).collect()
+    auto = similarity.ann_topk_auto(vectors, k=1, max_broadcast_bytes=1 << 20).collect()
+    assert {(r["vec_id"], r["neighbor_id"]) for r in auto} == {
+        (r["vec_id"], r["neighbor_id"]) for r in exact
+    }
+    assert auto[0].__fields__ == ["vec_id", "neighbor_id", "rank", "score"]
+    # over the bound: routes to IVF (still finds the planted near-copy)
+    routed = similarity.ann_topk_auto(
+        vectors, k=1, max_broadcast_bytes=64, n_centroids=4, nprobe=2
+    ).collect()
+    nn = {r["vec_id"]: r["neighbor_id"] for r in routed}
+    assert nn[0] == 100 and nn[100] == 0
