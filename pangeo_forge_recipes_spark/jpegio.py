@@ -209,27 +209,39 @@ class _BitReader:
 
 def _read_entropy(buf: bytes, start: int) -> Tuple[List[bytes], int]:
     """De-stuff one scan's entropy data from ``start``; split at RSTn.
-    Returns (segments, position of the next marker)."""
+    Returns (segments, position of the next marker). Scans marker to
+    marker with ``bytes.find`` + slice copies (C-speed) instead of a
+    per-byte Python loop — entropy data is ~1/256 marker bytes."""
     segments: List[bytes] = []
     cur = bytearray()
     p = start
     n = len(buf)
     while p < n:
-        b = buf[p]
-        if b == 0xFF and p + 1 < n:
-            m = buf[p + 1]
-            if m == 0x00:
-                cur.append(0xFF)
-                p += 2
-                continue
-            if 0xD0 <= m <= 0xD7:  # RSTn
-                segments.append(bytes(cur))
-                cur = bytearray()
-                p += 2
-                continue
-            break  # EOI or next marker
-        cur.append(b)
-        p += 1
+        q = buf.find(b"\xff", p)
+        if q == -1:
+            cur += buf[p:]
+            p = n
+            break
+        if q + 1 >= n:
+            # trailing lone 0xFF: part of the entropy data (T.81 pads
+            # with 1-bits), matching the byte-loop behavior
+            cur += buf[p:]
+            p = n
+            break
+        m = buf[q + 1]
+        if m == 0x00:  # stuffed FF
+            cur += buf[p : q + 1]
+            p = q + 2
+            continue
+        if 0xD0 <= m <= 0xD7:  # RSTn
+            cur += buf[p:q]
+            segments.append(bytes(cur))
+            cur = bytearray()
+            p = q + 2
+            continue
+        cur += buf[p:q]
+        p = q
+        break  # EOI or next marker
     segments.append(bytes(cur))
     return segments, p
 
@@ -238,6 +250,10 @@ def _read_entropy(buf: bytes, start: int) -> Tuple[List[bytes], int]:
 # v - ((1 << t) - 1) when v < 2^(t-1) else v
 _EXT_HALF = [0] + [1 << (s - 1) for s in range(1, 17)]
 _EXT_SUB = [0] + [(1 << s) - 1 for s in range(1, 17)]
+
+# test hook: False forces every scan through the generic reader-object
+# decoder, the fast paths' equality oracle
+_FAST_SCAN = True
 
 
 def _decode_scan_baseline_fast(
@@ -403,6 +419,294 @@ def _decode_scan_baseline_fast(
             unit += 1
 
 
+def _decode_scan_progressive_fast(
+    frame: dict,
+    coef: List[np.ndarray],
+    scan: List[dict],
+    band: Tuple[int, int, int, int],
+    segments: List[bytes],
+    restart_interval: int,
+    huff_dc: Dict[int, _Huff],
+    huff_ac: Dict[int, _Huff],
+) -> None:
+    """Progressive (SOF2) scan decode with the bit reader inlined as
+    local variables — the `_decode_scan_baseline_fast` treatment for the
+    four spectral-selection/successive-approximation scan shapes (T.81
+    G.2). Bit-identical to the generic path; dispatch happens in
+    `_decode_scan`."""
+    ss, se, ah, al = band
+    comps = frame["comps"]
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    interleaved = len(scan) > 1
+    if interleaved:
+        total_units = mcus_x * mcus_y
+    else:
+        c = comps[by_id[scan[0]["id"]]]
+        nbw = -(-(-(-frame["w"] * c["h"] // hmax)) // 8)
+        nbh = -(-(-(-frame["h"] * c["v"] // vmax)) // 8)
+        total_units = nbw * nbh
+
+    plan = []
+    for sc in scan:
+        ci = by_id[sc["id"]]
+        dc = huff_dc.get(sc["td"])
+        ac = huff_ac.get(sc["ta"])
+        plan.append(
+            (
+                ci,
+                comps[ci]["v"],
+                comps[ci]["h"],
+                coef[ci],
+                dc.lut_sym if dc else None,
+                dc.lut_len if dc else None,
+                ac.lut_sym if ac else None,
+                ac.lut_len if ac else None,
+            )
+        )
+    if ss == 0 and ah == 0 and any(p[4] is None for p in plan):
+        raise ValueError("corrupt JPEG: scan references undefined table")
+    if se > 0 and any(p[6] is None for p in plan):
+        raise ValueError("corrupt JPEG: scan references undefined table")
+
+    ext_half = _EXT_HALF
+    ext_sub = _EXT_SUB
+    dc_first = ss == 0 and ah == 0
+    dc_refine = ss == 0 and ah != 0
+    p1 = 1 << al
+    m1 = -p1
+    nseg = len(segments)
+    unit = 0
+    seg_i = 0
+    while unit < total_units:
+        if seg_i >= nseg:
+            raise ValueError("corrupt JPEG: fewer restart segments than expected")
+        data = segments[seg_i]
+        seg_i += 1
+        n = len(data)
+        pos = 0
+        acc = 0
+        nbits = 0
+        eobrun = 0
+        preds = [0] * len(comps)
+        units_here = (
+            min(restart_interval, total_units - unit)
+            if restart_interval
+            else total_units - unit
+        )
+        for _ in range(units_here):
+            if interleaved:
+                my, mx = divmod(unit, mcus_x)
+            else:
+                by0, bx0 = divmod(unit, nbw)
+            for ci, cv, ch, store, dsym, dlen, asym, alen in plan:
+                nblk = cv * ch if interleaved else 1
+                for b in range(nblk):
+                    if interleaved:
+                        blk = store[my * cv + b // ch, mx * ch + b % ch]
+                    else:
+                        blk = store[by0, bx0]
+                    if ss == 0:
+                        if nbits < 32:
+                            if pos + 5 <= n:
+                                acc = (
+                                    (acc << 40)
+                                    | int.from_bytes(data[pos : pos + 5], "big")
+                                ) & 0xFFFFFFFFFFFFFFFFFFFF
+                                pos += 5
+                                nbits += 40
+                            else:
+                                while nbits < 32:
+                                    acc = (
+                                        (acc << 8)
+                                        | (data[pos] if pos < n else 0xFF)
+                                    ) & 0xFFFFFFFFFFFFFFFFFFFF
+                                    pos += 1
+                                    nbits += 8
+                        if dc_first:
+                            p = (acc >> (nbits - 16)) & 0xFFFF
+                            l = dlen[p]
+                            if not l:
+                                raise ValueError(
+                                    "corrupt JPEG: no Huffman code matched in 16 bits"
+                                )
+                            nbits -= l
+                            t = dsym[p]
+                            if t:
+                                nbits -= t
+                                v = (acc >> nbits) & ((1 << t) - 1)
+                                if v < ext_half[t]:
+                                    v -= ext_sub[t]
+                                preds[ci] += v
+                            blk[0] = preds[ci] << al
+                        else:  # DC refinement: one bit
+                            nbits -= 1
+                            if (acc >> nbits) & 1:
+                                blk[0] |= p1
+                        continue  # progressive DC scans have se == 0
+                    # ---- AC band scan (single component) ----
+                    if ah == 0:  # AC first
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            if nbits < 32:
+                                if pos + 5 <= n:
+                                    acc = (
+                                        (acc << 40)
+                                        | int.from_bytes(
+                                            data[pos : pos + 5], "big"
+                                        )
+                                    ) & 0xFFFFFFFFFFFFFFFFFFFF
+                                    pos += 5
+                                    nbits += 40
+                                else:
+                                    while nbits < 32:
+                                        acc = (
+                                            (acc << 8)
+                                            | (data[pos] if pos < n else 0xFF)
+                                        ) & 0xFFFFFFFFFFFFFFFFFFFF
+                                        pos += 1
+                                        nbits += 8
+                            p = (acc >> (nbits - 16)) & 0xFFFF
+                            l = alen[p]
+                            if not l:
+                                raise ValueError(
+                                    "corrupt JPEG: no Huffman code matched in 16 bits"
+                                )
+                            nbits -= l
+                            rs = asym[p]
+                            s = rs & 0xF
+                            r = rs >> 4
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    nbits -= r
+                                    eobrun += (acc >> nbits) & ((1 << r) - 1)
+                                break
+                            k += r
+                            if k > 63:
+                                raise ValueError("corrupt JPEG: AC index past 63")
+                            nbits -= s
+                            v = (acc >> nbits) & ((1 << s) - 1)
+                            if v < ext_half[s]:
+                                v -= ext_sub[s]
+                            blk[k] = v << al
+                            k += 1
+                        continue
+                    # ---- AC refinement (G.2, libjpeg-compatible) ----
+                    k = ss
+                    bl = blk.tolist()
+                    if eobrun == 0:
+                        while k <= se:
+                            if nbits < 32:
+                                if pos + 5 <= n:
+                                    acc = (
+                                        (acc << 40)
+                                        | int.from_bytes(
+                                            data[pos : pos + 5], "big"
+                                        )
+                                    ) & 0xFFFFFFFFFFFFFFFFFFFF
+                                    pos += 5
+                                    nbits += 40
+                                else:
+                                    while nbits < 32:
+                                        acc = (
+                                            (acc << 8)
+                                            | (data[pos] if pos < n else 0xFF)
+                                        ) & 0xFFFFFFFFFFFFFFFFFFFF
+                                        pos += 1
+                                        nbits += 8
+                            p = (acc >> (nbits - 16)) & 0xFFFF
+                            l = alen[p]
+                            if not l:
+                                raise ValueError(
+                                    "corrupt JPEG: no Huffman code matched in 16 bits"
+                                )
+                            nbits -= l
+                            rs = asym[p]
+                            s = rs & 0xF
+                            r = rs >> 4
+                            val = 0
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        nbits -= r
+                                        eobrun += (acc >> nbits) & ((1 << r) - 1)
+                                    break
+                                # r == 15: ZRL — skip 16 zero-history coeffs
+                            else:
+                                nbits -= 1
+                                val = p1 if (acc >> nbits) & 1 else m1
+                            while k <= se:
+                                v = bl[k]
+                                if v != 0:
+                                    if nbits < 1:
+                                        if pos + 5 <= n:
+                                            acc = (
+                                                (acc << 40)
+                                                | int.from_bytes(
+                                                    data[pos : pos + 5], "big"
+                                                )
+                                            ) & 0xFFFFFFFFFFFFFFFFFFFF
+                                            pos += 5
+                                            nbits += 40
+                                        else:
+                                            acc = (
+                                                (acc << 8)
+                                                | (data[pos] if pos < n else 0xFF)
+                                            ) & 0xFFFFFFFFFFFFFFFFFFFF
+                                            pos += 1
+                                            nbits += 8
+                                    nbits -= 1
+                                    if ((acc >> nbits) & 1) and (v & p1) == 0:
+                                        bl[k] = v + (p1 if v >= 0 else m1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val and k <= se:
+                                bl[k] = val
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            v = bl[k]
+                            if v != 0:
+                                if nbits < 1:
+                                    if pos + 5 <= n:
+                                        acc = (
+                                            (acc << 40)
+                                            | int.from_bytes(
+                                                data[pos : pos + 5], "big"
+                                            )
+                                        ) & 0xFFFFFFFFFFFFFFFFFFFF
+                                        pos += 5
+                                        nbits += 40
+                                    else:
+                                        acc = (
+                                            (acc << 8)
+                                            | (data[pos] if pos < n else 0xFF)
+                                        ) & 0xFFFFFFFFFFFFFFFFFFFF
+                                        pos += 1
+                                        nbits += 8
+                                nbits -= 1
+                                if ((acc >> nbits) & 1) and (v & p1) == 0:
+                                    bl[k] = v + (p1 if v >= 0 else m1)
+                            k += 1
+                        eobrun -= 1
+                    blk[:] = bl
+            unit += 1
+
+
 def _decode_scan(
     frame: dict,
     coef: List[np.ndarray],
@@ -415,16 +719,22 @@ def _decode_scan(
 ) -> None:
     """Decode one scan (baseline or progressive) into the per-component
     zigzag coefficient stores (T.81 F.2 / G.2; successive-approximation
-    refinement follows the bit-exact libjpeg-compatible algorithm)."""
+    refinement follows the bit-exact libjpeg-compatible algorithm).
+    Non-differential scans dispatch to the inlined fast decoders;
+    differential (hierarchical) frames keep the generic reader-object
+    path below, which doubles as the fast paths' equality oracle in
+    tests."""
     ss, se, ah, al = band
-    if (
-        (ss, se, ah, al) == (0, 63, 0, 0)
-        and not frame.get("differential")
-        and not frame.get("progressive")
-    ):
-        return _decode_scan_baseline_fast(
-            frame, coef, scan, segments, restart_interval, huff_dc, huff_ac
-        )
+    if _FAST_SCAN and not frame.get("differential"):
+        if (ss, se, ah, al) == (0, 63, 0, 0) and not frame.get("progressive"):
+            return _decode_scan_baseline_fast(
+                frame, coef, scan, segments, restart_interval, huff_dc, huff_ac
+            )
+        if se == 0 or ss > 0:  # progressive DC / AC band scans
+            return _decode_scan_progressive_fast(
+                frame, coef, scan, band, segments, restart_interval,
+                huff_dc, huff_ac,
+            )
     comps = frame["comps"]
     by_id = {c["id"]: i for i, c in enumerate(comps)}
     hmax = max(c["h"] for c in comps)

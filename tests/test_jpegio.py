@@ -576,3 +576,42 @@ def test_hierarchical_stream_errors():
     bad = bytes(blob[:dhp_end]) + b"\xff\xdf\x00\x03\x11" + bytes(blob[dhp_end:])
     with pytest.raises(ValueError, match="EXP before any reference"):
         decode_jpeg(bad)
+
+
+def test_fast_scan_paths_match_generic_decoder():
+    """The inlined fast scan decoders (baseline + progressive) must be
+    bit-identical to the generic reader-object path across every encode
+    shape that reaches them: gray/RGB, 4:2:0, restart intervals,
+    progressive scan scripts, 12-bit precision, odd dimensions."""
+    import numpy as np
+
+    from pangeo_forge_recipes_spark import jpegio as J
+
+    rng = np.random.RandomState(11)
+    cases = []
+    for shape in [(8, 8), (17, 23), (41, 67, 3)]:
+        img = (rng.rand(*shape) * 255).astype(np.uint8)
+        for prog in (False, True):
+            for sub in (False, True):
+                if sub and len(shape) == 2:
+                    continue
+                for ri in (0, 3):
+                    if prog and ri:
+                        continue  # encoder limits DRI to baseline
+                    cases.append(
+                        (img, dict(progressive=prog, subsample=sub,
+                                   restart_interval=ri))
+                    )
+    img12 = (rng.rand(24, 40) * 4095).astype(np.uint16)
+    cases.append((img12, dict(precision=12)))
+    cases.append((img12, dict(precision=12, progressive=True)))
+
+    for img, kw in cases:
+        buf = J.encode_jpeg(img, **kw)
+        fast = J.decode_jpeg(buf)
+        J._FAST_SCAN = False
+        try:
+            slow = J.decode_jpeg(buf)
+        finally:
+            J._FAST_SCAN = True
+        assert fast.shape == slow.shape and (fast == slow).all(), kw
