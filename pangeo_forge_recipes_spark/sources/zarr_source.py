@@ -31,6 +31,7 @@ from pyspark.sql.datasource import (
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     LessThan,
     LessThanOrEqual,
@@ -137,7 +138,9 @@ class ZarrReader(DataSourceReader):
                 and len(col) == 1
                 and col[0] in self.coords
                 and isinstance(
-                    f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+                    f,
+                    (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
+                     LessThanOrEqual, In),
                 )
             ):
                 self._filters.append(f)
@@ -153,7 +156,15 @@ class ZarrReader(DataSourceReader):
             v = f.value
             if str(coord.dtype).startswith("datetime64"):
                 # ns-precision datetime64 cannot compare to datetime.datetime
-                v = np.datetime64(v)
+                v = (
+                    tuple(np.datetime64(x) for x in v)
+                    if isinstance(f, In)
+                    else np.datetime64(v)
+                )
+            if isinstance(f, In):
+                if not any(lo <= x <= hi for x in v):
+                    return False
+                continue
             if isinstance(f, EqualTo) and not (lo <= v <= hi):
                 return False
             if isinstance(f, GreaterThan) and not (hi > v):

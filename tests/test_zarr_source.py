@@ -148,3 +148,17 @@ def test_pruned_chunks_never_opened(tmp_path, monkeypatch):
     val_gets = [k for k in gets if k.startswith("val/")]
     assert len(gets) == len(val_gets)
     assert sorted(set(val_gets)) == ["val/c/1/0", "val/c/2/0", "val/c/3/0"]
+
+
+def test_in_filter_pushdown_prunes(spark, store_path):
+    """isin on a dim coordinate prunes slabs whose coord range misses
+    every listed value (pushed as an In filter)."""
+    df = spark.read.format("zarr").load(store_path)
+    # lat coords 5..175 in two 9-row slabs (5..85 / 95..175); both values
+    # fall in the FIRST slab -> 5 time slabs x 1 lat slab survive
+    pruned = df.filter(F.col("lat").isin(5.0, 15.0))
+    assert pruned.count() == 10 * 2 * 36
+    n_parts = pruned.withColumn("pid", F.spark_partition_id()).select(
+        "pid"
+    ).distinct().count()
+    assert n_parts == 5
