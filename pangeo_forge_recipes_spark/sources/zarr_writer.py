@@ -1,0 +1,188 @@
+"""DataFrame → Zarr store: the write-side twin of the ``zarr`` DataSource
+relation (``zarr_source.py``). A *long-form* DataFrame (one row per grid
+point: dimension-coordinate columns + data-variable columns) materializes
+as a Zarr v3 group — the tabular→tensor bridge a pipeline needs when grid
+data was produced BY a Spark query (joins, filters, aggregations) rather
+than ingested from files.
+
+Scale design:
+
+* **one shuffle**: rows group by their target chunk key and each chunk
+  writes from exactly one task — chunk-grain parallelism, the same unit
+  the read side partitions on; a 1M-chunk store schedules 1M independent
+  write tasks;
+* **driver holds only the axes**: per-dim coordinate values are collected
+  once (dimension axes are tiny relative to the grid — 10⁵ axis values
+  describe a 10¹⁵-point grid); the data itself never visits the driver;
+* **positions via broadcast joins**: each dim's (value → ordinal) map is
+  a broadcast-joined dimension table, never a driver-side Python loop
+  over rows.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_SPARK_TO_NP = {
+    "double": "float64",
+    "float": "float32",
+    "bigint": "int64",
+    "int": "int32",
+    "timestamp_ntz": "datetime64[ns]",
+}
+
+
+def dataframe_to_zarr(
+    df: DataFrame,
+    target_root: str,
+    store_name: str,
+    dims: List[str],
+    data_vars: Optional[List[str]] = None,
+    target_chunks: Optional[Dict[str, int]] = None,
+    fill_value: Optional[float] = None,
+    attrs: Optional[Dict[str, str]] = None,
+) -> str:
+    """Write a long-form DataFrame as a Zarr v3 group; returns the store
+    path (readable by ``dsio.open_zarr_group`` and the ``zarr``
+    DataSource — ``spark.read.format("zarr")`` round-trips it).
+
+    ``dims`` are the coordinate columns in axis order; every other listed
+    (or, by default, remaining) column becomes a data variable over the
+    full dim tuple. The grid is the cross product of each dim's distinct
+    values (sorted ascending). With ``fill_value=None`` every grid point
+    must be present exactly once (asserted per chunk); otherwise missing
+    points take the fill.
+    """
+    import os
+
+    from ..aggregation import dataset_to_schema
+    from ..dsio import schema_to_zarr
+    from ..ndset import NDDataset, Variable
+    from ..zarrio import open_group
+
+    if data_vars is None:
+        data_vars = [c for c in df.columns if c not in dims]
+    if not data_vars:
+        raise ValueError("no data-variable columns")
+    dtypes = dict(df.dtypes)
+    for c in dims + data_vars:
+        if c not in dtypes:
+            raise ValueError(f"column {c!r} not in DataFrame")
+        if dtypes[c] not in _SPARK_TO_NP:
+            raise ValueError(
+                f"column {c!r} has unsupported type {dtypes[c]} "
+                f"(supported: {sorted(_SPARK_TO_NP)})"
+            )
+
+    # dimension axes: distinct values, sorted — tiny by construction,
+    # the one thing the driver holds
+    axes: Dict[str, np.ndarray] = {}
+    for d in dims:
+        vals = [r[0] for r in df.select(d).distinct().orderBy(d).collect()]
+        axes[d] = np.array(vals, dtype=_SPARK_TO_NP[dtypes[d]])
+    shape = {d: len(axes[d]) for d in dims}
+    chunks = {d: (target_chunks or {}).get(d, shape[d]) for d in dims}
+
+    # init the store (metadata + coord arrays) driver-side
+    # schema-only dataset: broadcast_to keeps the full grid VIRTUAL (the
+    # driver must never allocate the data it is about to distribute)
+    ds = NDDataset(
+        {
+            v: Variable(
+                tuple(dims),
+                np.broadcast_to(
+                    np.zeros(1, dtype=_SPARK_TO_NP[dtypes[v]]),
+                    tuple(shape[d] for d in dims),
+                ),
+            )
+            for v in data_vars
+        },
+        {d: Variable((d,), axes[d]) for d in dims},
+        dict(attrs or {}),
+        dict(shape),
+    )
+    path = os.path.join(target_root, store_name)
+    store = schema_to_zarr(dataset_to_schema(ds), path, target_chunks=chunks)
+    g = open_group(store)
+    for d in dims:
+        g[d][(slice(0, shape[d]),)] = axes[d]
+
+    # ordinal position per dim via broadcast dimension tables (row_number
+    # over the sorted distinct values — the same order as the axes above)
+    out = df
+    for d in dims:
+        pos_df = (
+            df.select(d)
+            .distinct()
+            .withColumn(f"__pos_{d}", F.row_number().over(Window.orderBy(d)) - 1)
+        )
+        out = out.join(F.broadcast(pos_df), on=d, how="inner")
+    chunk_cols = [
+        (F.col(f"__pos_{d}") / chunks[d]).cast("long").alias(f"__ck_{d}")
+        for d in dims
+    ]
+    out = out.select(*dims, *data_vars, *[F.col(f"__pos_{d}") for d in dims], *chunk_cols)
+
+    dim_list = list(dims)
+    var_list = list(data_vars)
+    chunk_sizes = [chunks[d] for d in dim_list]
+    full_shape = [shape[d] for d in dim_list]
+    np_dtypes = {v: _SPARK_TO_NP[dtypes[v]] for v in var_list}
+    fv = fill_value
+
+    def write_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        ck = [int(pdf[f"__ck_{d}"].iloc[0]) for d in dim_list]
+        starts = [c * s for c, s in zip(ck, chunk_sizes)]
+        stops = [
+            min(st + s, fs) for st, s, fs in zip(starts, chunk_sizes, full_shape)
+        ]
+        cshape = tuple(b - a for a, b in zip(starts, stops))
+        n_expected = int(np.prod(cshape))
+        local = [
+            pdf[f"__pos_{d}"].to_numpy() - st for d, st in zip(dim_list, starts)
+        ]
+        flat = np.ravel_multi_index(local, cshape)
+        if fv is None:
+            if len(pdf) != n_expected or len(np.unique(flat)) != len(pdf):
+                raise ValueError(
+                    f"chunk {ck}: got {len(pdf)} rows for {n_expected} grid "
+                    "points (fill_value=None requires each point exactly "
+                    "once; pass fill_value to allow gaps)"
+                )
+        grp = open_group(path)
+        region = tuple(slice(a, b) for a, b in zip(starts, stops))
+        nbytes = 0
+        for v in var_list:
+            dt = np_dtypes[v]
+            if fv is None:
+                arr = np.empty(n_expected, dtype=dt)
+            else:
+                arr = np.full(n_expected, fv, dtype=dt)
+            col = pdf[v].to_numpy()
+            arr[flat] = col.astype(dt, copy=False)
+            arr = arr.reshape(cshape)
+            grp[v][region] = arr
+            nbytes += arr.nbytes
+        return pd.DataFrame({"n_rows": [len(pdf)], "n_bytes": [nbytes]})
+
+    agg = (
+        out.groupBy(*[f"__ck_{d}" for d in dim_list])
+        .applyInPandas(write_chunk, "n_rows long, n_bytes long")
+        .agg(F.sum("n_rows").alias("r"), F.sum("n_bytes").alias("b"))
+        .collect()[0]
+    )
+    total = int(np.prod(full_shape))
+    if fv is None and int(agg["r"] or 0) != total:
+        raise ValueError(
+            f"wrote {agg['r']} rows for a {total}-point grid; grid incomplete"
+        )
+    return path
+
+
+__all__ = ["dataframe_to_zarr"]
