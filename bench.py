@@ -34,7 +34,6 @@ HEADLINE = [
     "chunk_documents",
     "decontaminate",
     "scrub_pii",
-    "events_multi_grain_rollup",
     "dsir_select",
     "gopher_c4_filter",
     "url_dedup",

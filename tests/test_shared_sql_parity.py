@@ -58,6 +58,8 @@ ROTATED_OUT = [
     # q1 also remains the entry() flagship smoke)
     "q1_pricing_summary",
     "q18_large_orders",
+    # round-7 second pass (slot moved to zarr_writer_roundtrip)
+    "events_multi_grain_rollup",
 ]
 
 
