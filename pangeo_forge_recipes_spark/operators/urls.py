@@ -104,12 +104,19 @@ def url_dedup(df: DataFrame, col: str = "url", id_col: str = "doc_id") -> DataFr
     )
 
 
+def host_expr(col: str = "url") -> Column:
+    """Canonical host of a URL column (lowercased, port/query stripped) —
+    the shared grouping key of host_stats / domain_cap_sample / the
+    streaming cap."""
+    return F.regexp_extract(
+        F.regexp_replace(canonical_url(col), _SCHEME, ""), "^([^/?:]*)", 1
+    )
+
+
 def host_stats(df: DataFrame, col: str = "url") -> DataFrame:
     """Documents per registrable host (SURT-grouped): the standard crawl
     composition report. One map-side-combining aggregation."""
-    host = F.regexp_extract(
-        F.regexp_replace(canonical_url(col), _SCHEME, ""), "^([^/?:]*)", 1
-    )
+    host = host_expr(col)
     return (
         df.select(host.alias("host"))
         .where(F.col("host") != "")
@@ -134,9 +141,7 @@ def domain_cap_sample(
     and the 100 TB corpus crosses the exchange once."""
     from pyspark.sql.window import Window
 
-    host = F.regexp_extract(
-        F.regexp_replace(canonical_url(col), _SCHEME, ""), "^([^/?:]*)", 1
-    )
+    host = host_expr(col)
     w = Window.partitionBy("__host").orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
     )
@@ -155,6 +160,7 @@ __all__ = [
     "surt_key_sql",
     "with_canonical_url",
     "url_dedup",
+    "host_expr",
     "host_stats",
     "domain_cap_sample",
 ]

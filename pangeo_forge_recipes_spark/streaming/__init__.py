@@ -7,7 +7,7 @@ from .append import (
     streaming_dedup,
     watermarked_event_rollup,
 )
-from .stateful import stateful_sessionize, streaming_minhash_dedup
+from .stateful import stateful_sessionize, streaming_domain_cap, streaming_minhash_dedup
 
 __all__ = [
     "stream_manifest",
@@ -16,4 +16,5 @@ __all__ = [
     "watermarked_event_rollup",
     "stateful_sessionize",
     "streaming_minhash_dedup",
+    "streaming_domain_cap",
 ]

@@ -14,6 +14,7 @@ from typing import Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 _OUTPUT_SCHEMA = "user_id long, n_sessions long, n_events long"
@@ -138,6 +139,53 @@ def streaming_minhash_dedup(
         flag,
         out_schema,
         "first long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_domain_cap(
+    docs: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming per-host admission cap — the ingest-time analog of
+    ``operators.urls.domain_cap_sample``: at most ``cap`` documents per
+    canonical host are admitted ACROSS micro-batches, everything after
+    that is dropped at the door (the C4-style guard applied while the
+    crawl is still arriving, instead of a post-hoc sample).
+
+    State per host is ONE long (the running admit count) — bounded by
+    distinct hosts, never their membership. Semantics differ from the
+    batch operator deliberately: batch picks an md5-deterministic subset
+    of the FULL corpus; streaming admits FIRST-ARRIVED (ascending id
+    within a micro-batch, so results are deterministic given the batch
+    boundaries) — the same first-seen convention as streaming_dedup and
+    streaming_minhash_dedup. Output: the admitted ``(id, host)`` rows."""
+    from ..operators.urls import host_expr
+
+    keyed = docs.select(F.col(id_col), host_expr(url_col).alias("host"))
+    out_schema = f"{id_col} long, host string"
+
+    def fold(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n = int(state.get[0]) if state.exists else 0
+        kept = []
+        for pdf in pdfs:
+            for d in sorted(int(x) for x in pdf[id_col]):
+                if n < cap:
+                    kept.append(d)
+                    n += 1
+        state.update((n,))
+        if kept:
+            yield pd.DataFrame({id_col: kept, "host": [key[0]] * len(kept)})
+
+    return keyed.groupBy("host").applyInPandasWithState(
+        fold,
+        out_schema,
+        "n long",
         "append",
         GroupStateTimeout.NoTimeout,
     )

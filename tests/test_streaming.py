@@ -263,3 +263,48 @@ def test_streaming_minhash_dedup_flags_cross_batch_near_dups(spark, tmp_path):
     for r in bh:
         by_doc.setdefault(r["doc_id"], set()).add((r["band"], r["band_hash"]))
     assert by_doc[1] & by_doc[3], "streamed pair must share a batch LSH bucket"
+
+
+def test_streaming_domain_cap_admits_across_batches(spark, tmp_path):
+    """The per-host admit count persists across micro-batches: with cap=3
+    and 2 hits for host A in batch 1, only ONE more A doc is admitted in
+    batch 2 (the smallest id), and host B is capped independently."""
+    import pandas as pd
+
+    from pangeo_forge_recipes_spark.streaming import streaming_domain_cap
+
+    def url(host, i):
+        return f"https://{host}.example.com/p{i}"
+
+    rows = [
+        # batch 1: a x2, b x1
+        (1, url("a", 1)), (2, url("a", 2)), (3, url("b", 3)),
+        # batch 2: a x3 (ids 11 < 12 < 13 -> only 11 admitted), b x2 (both)
+        (11, url("a", 11)), (12, url("a", 12)), (13, url("a", 13)),
+        (14, url("b", 14)), (15, url("b", 15)),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "url"])
+    docs = spark.createDataFrame(pdf)
+    src = str(tmp_path / "docs")
+    docs.filter("doc_id < 10").coalesce(1).write.parquet(src + "/b0")
+    docs.filter("doc_id > 10").coalesce(1).write.parquet(src + "/b1")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    q = (
+        streaming_domain_cap(stream, cap=3)
+        .writeStream.format("memory")
+        .queryName("_domain_cap_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("_domain_cap_stream_test").collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], set()).add(r["doc_id"])
+    assert by_host["a.example.com"] == {1, 2, 11}
+    assert by_host["b.example.com"] == {3, 14, 15}
