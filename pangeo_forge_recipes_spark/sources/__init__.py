@@ -1,6 +1,6 @@
 """Spark data sources for the engine's storage formats."""
 
-from .zarr_source import ZarrDataSource, register_zarr_source
+from .zarr_source import ZarrDataSource, read_zarr, register_zarr_source
 from .zarr_writer import dataframe_to_zarr
 from .warc import html_payload_text, read_warc, write_warc
 from .webdataset import decode_webdataset_text, read_webdataset
@@ -8,6 +8,7 @@ from .webdataset import decode_webdataset_text, read_webdataset
 __all__ = [
     "ZarrDataSource",
     "register_zarr_source",
+    "read_zarr",
     "dataframe_to_zarr",
     "read_warc",
     "html_payload_text",

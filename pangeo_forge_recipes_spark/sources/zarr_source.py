@@ -130,7 +130,15 @@ class ZarrReader(DataSourceReader):
     def pushFilters(self, filters: List[Filter]) -> Iterator[Filter]:
         """Keep dim-coordinate range/equality filters for partition pruning;
         hand everything back as unhandled (chunk pruning is coarse — Spark
-        must still re-apply the residual filter row-wise)."""
+        must still re-apply the residual filter row-wise).
+
+        Called once per QUERY planning, and the same reader instance is
+        reused by every query derived from one ``spark.read`` DataFrame —
+        the filter set must RESET here, not accumulate, or an unfiltered
+        query planned after a filtered one would silently keep the stale
+        pruning (observed: count() after a filtered count() returned the
+        filtered partition set)."""
+        self._filters = []
         for f in filters:
             col = getattr(f, "attribute", None)
             if (
@@ -241,3 +249,19 @@ class ZarrReader(DataSourceReader):
 def register_zarr_source(spark) -> None:
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ZarrDataSource)
+
+
+def read_zarr(spark, path: str) -> "DataFrame":  # noqa: F821
+    """Fresh relation over a zarr store: ``register_zarr_source`` +
+    ``spark.read.format("zarr").load(path)``.
+
+    PREFER THIS over reusing one loaded DataFrame for several queries.
+    Spark 4.1's Python DataSource caches the planned scan on the loaded
+    relation and filter-pushdown planning OVERWRITES that cache, so on a
+    REUSED DataFrame an unfiltered query that runs after a filtered one
+    silently reuses the filtered partition set (rows missing). Upstream
+    behavior, reproduced with a minimal pure-pyspark datasource
+    (tests/test_zarr_source.py::test_upstream_scan_cache_hazard); a
+    fresh ``load()`` per query sidesteps it entirely."""
+    register_zarr_source(spark)
+    return spark.read.format("zarr").load(path)

@@ -20,6 +20,8 @@ _EXAMPLES = [
     ("append_daily.py", "verified"),
     ("gpcp_like.py", "verified"),
     ("terraclimate_like.py", "verified"),
+    ("events_to_zarr.py", "events_to_zarr OK"),
+    ("snapshot_refresh.py", "pages reprocessed this refresh"),
 ]
 
 

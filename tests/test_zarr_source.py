@@ -162,3 +162,67 @@ def test_in_filter_pushdown_prunes(spark, store_path):
         "pid"
     ).distinct().count()
     assert n_parts == 5
+
+
+def test_upstream_scan_cache_hazard(spark, tmp_path):
+    """Documents an UPSTREAM pyspark 4.1 behavior (minimal pure-pyspark
+    datasource, none of this engine's code): the loaded relation caches
+    the python-planned scan, filter-pushdown planning overwrites it, and
+    a LATER NO-FILTER query on the SAME DataFrame reuses the filtered
+    partition set — rows silently missing. read_zarr() (a fresh load per
+    query) is the engine's documented mitigation. If this test starts
+    failing on a Spark upgrade, the upstream bug is fixed: drop the
+    fresh-load advice."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        GreaterThanOrEqual,
+        InputPartition,
+    )
+
+    class MiniReader(DataSourceReader):
+        def __init__(self):
+            self.lo = 0
+
+        def pushFilters(self, filters):
+            for f in filters:
+                if isinstance(f, GreaterThanOrEqual) and f.attribute == ("v",):
+                    self.lo = f.value
+                yield f
+
+        def partitions(self):
+            return [InputPartition(v) for v in range(self.lo, 8)]
+
+        def read(self, part):
+            yield (part.value,)
+
+    class Mini(DataSource):
+        @classmethod
+        def name(cls):
+            return "mini_cache_probe"
+
+        def schema(self):
+            return "v int"
+
+        def reader(self, schema):
+            return MiniReader()
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(Mini)
+    df = spark.read.format("mini_cache_probe").load()
+    assert df.count() == 8
+    assert df.filter("v >= 6").count() == 2
+    # the upstream hazard: stale filtered scan on the reused DataFrame
+    assert df.count() == 2, "upstream fixed? drop read_zarr's fresh-load advice"
+    # the mitigation: a fresh load plans cleanly
+    assert spark.read.format("mini_cache_probe").load().count() == 8
+
+
+def test_read_zarr_fresh_load_avoids_stale_scan(spark, store_path):
+    from pangeo_forge_recipes_spark.sources import read_zarr
+
+    total = 10 * 18 * 36
+    assert read_zarr(spark, store_path).count() == total
+    assert read_zarr(spark, store_path).filter(F.col("lat") < 90.0).count() == total // 2
+    # fresh relation per query: the stale-scan hazard never engages
+    assert read_zarr(spark, store_path).count() == total
