@@ -47,6 +47,7 @@ def dataframe_to_zarr(
     target_chunks: Optional[Dict[str, int]] = None,
     fill_value: Optional[float] = None,
     attrs: Optional[Dict[str, str]] = None,
+    append_dim: Optional[str] = None,
 ) -> str:
     """Write a long-form DataFrame as a Zarr v3 group; returns the store
     path (readable by ``dsio.open_zarr_group`` and the ``zarr``
@@ -58,6 +59,15 @@ def dataframe_to_zarr(
     values (sorted ascending). With ``fill_value=None`` every grid point
     must be present exactly once (asserted per chunk); otherwise missing
     points take the fill.
+
+    ``append_dim`` grows an EXISTING store along one axis (the
+    incremental-refresh path — yesterday's grid plus today's rows):
+    the DataFrame holds only the NEW slab, whose ``append_dim`` values
+    must all sort after the stored axis (axes stay ascending so the
+    DataSource's pruning stays valid); every other dim's values must
+    equal the stored axis exactly. Chunk layout comes from the existing
+    arrays; an unaligned append offset read-modify-writes the one
+    boundary chunk (single writer per chunk, so no write conflicts).
     """
     import os
 
@@ -87,40 +97,105 @@ def dataframe_to_zarr(
         vals = [r[0] for r in df.select(d).distinct().orderBy(d).collect()]
         axes[d] = np.array(vals, dtype=_SPARK_TO_NP[dtypes[d]])
     shape = {d: len(axes[d]) for d in dims}
-    chunks = {d: (target_chunks or {}).get(d, shape[d]) for d in dims}
-
-    # init the store (metadata + coord arrays) driver-side
-    # schema-only dataset: broadcast_to keeps the full grid VIRTUAL (the
-    # driver must never allocate the data it is about to distribute)
-    ds = NDDataset(
-        {
-            v: Variable(
-                tuple(dims),
-                np.broadcast_to(
-                    np.zeros(1, dtype=_SPARK_TO_NP[dtypes[v]]),
-                    tuple(shape[d] for d in dims),
-                ),
-            )
-            for v in data_vars
-        },
-        {d: Variable((d,), axes[d]) for d in dims},
-        dict(attrs or {}),
-        dict(shape),
-    )
     path = os.path.join(target_root, store_name)
-    store = schema_to_zarr(dataset_to_schema(ds), path, target_chunks=chunks)
-    g = open_group(store)
-    for d in dims:
-        g[d][(slice(0, shape[d]),)] = axes[d]
 
-    # ordinal position per dim via broadcast dimension tables (row_number
-    # over the sorted distinct values — the same order as the axes above)
+    # per-dim window of the grid this call writes: [lo, hi) — full extent
+    # for a fresh store, the appended slab for append_dim
+    offsets = {d: 0 for d in dims}
+
+    if append_dim is not None:
+        if append_dim not in dims:
+            raise ValueError(f"append_dim {append_dim!r} not in dims {dims}")
+        g = open_group(path)  # must exist
+        old_axis = g[append_dim].read()
+        for d in dims:
+            if d == append_dim:
+                continue
+            if not np.array_equal(g[d].read(), axes[d]):
+                raise ValueError(
+                    f"append: dim {d!r} values differ from the stored axis"
+                )
+        new_vals = axes[append_dim]
+        if len(old_axis) and len(new_vals) and not new_vals.min() > old_axis.max():
+            raise ValueError(
+                f"append: new {append_dim!r} values must all sort after the "
+                f"stored axis (stored max {old_axis.max()!r}, new min "
+                f"{new_vals.min()!r}) — axes stay ascending for pruning"
+            )
+        offsets[append_dim] = int(len(old_axis))
+        # chunk layout comes from the existing arrays
+        first = g[data_vars[0]]
+        chunks = dict(zip(first.dimension_names, first.chunks))
+        n_new = shape[append_dim]
+        shape = dict(zip(first.dimension_names, first.shape))
+        shape[append_dim] = offsets[append_dim] + n_new
+        # resize (metadata only) via the shared append path, then extend
+        # the append coord
+        ds = NDDataset(
+            {
+                v: Variable(
+                    tuple(dims),
+                    np.broadcast_to(
+                        np.zeros(1, dtype=_SPARK_TO_NP[dtypes[v]]),
+                        tuple(
+                            n_new if d == append_dim else shape[d] for d in dims
+                        ),
+                    ),
+                )
+                for v in data_vars
+            },
+            {
+                d: Variable((d,), axes[d] if d != append_dim else new_vals)
+                for d in dims
+            },
+            dict(attrs or {}),
+            {d: (n_new if d == append_dim else shape[d]) for d in dims},
+        )
+        store = schema_to_zarr(
+            dataset_to_schema(ds), path, target_chunks=chunks,
+            append_dim=append_dim,
+        )
+        g = open_group(store)
+        g[append_dim][
+            (slice(offsets[append_dim], offsets[append_dim] + n_new),)
+        ] = new_vals
+    else:
+        chunks = {d: (target_chunks or {}).get(d, shape[d]) for d in dims}
+        # init the store (metadata + coord arrays) driver-side
+        # schema-only dataset: broadcast_to keeps the full grid VIRTUAL
+        # (the driver must never allocate the data it will distribute)
+        ds = NDDataset(
+            {
+                v: Variable(
+                    tuple(dims),
+                    np.broadcast_to(
+                        np.zeros(1, dtype=_SPARK_TO_NP[dtypes[v]]),
+                        tuple(shape[d] for d in dims),
+                    ),
+                )
+                for v in data_vars
+            },
+            {d: Variable((d,), axes[d]) for d in dims},
+            dict(attrs or {}),
+            dict(shape),
+        )
+        store = schema_to_zarr(dataset_to_schema(ds), path, target_chunks=chunks)
+        g = open_group(store)
+        for d in dims:
+            g[d][(slice(0, shape[d]),)] = axes[d]
+
+    # GLOBAL position per dim via broadcast dimension tables (row_number
+    # over the sorted distinct values — the same order as the axes above —
+    # plus the append offset)
     out = df
     for d in dims:
         pos_df = (
             df.select(d)
             .distinct()
-            .withColumn(f"__pos_{d}", F.row_number().over(Window.orderBy(d)) - 1)
+            .withColumn(
+                f"__pos_{d}",
+                F.row_number().over(Window.orderBy(d)) - 1 + offsets[d],
+            )
         )
         out = out.join(F.broadcast(pos_df), on=d, how="inner")
     chunk_cols = [
@@ -133,14 +208,24 @@ def dataframe_to_zarr(
     var_list = list(data_vars)
     chunk_sizes = [chunks[d] for d in dim_list]
     full_shape = [shape[d] for d in dim_list]
+    # the window this call owns: [lo, hi) per dim (full extent unless
+    # appending, where the append dim's window is the new slab)
+    win_lo = [offsets[d] for d in dim_list]
+    win_hi = [shape[d] for d in dim_list]
     np_dtypes = {v: _SPARK_TO_NP[dtypes[v]] for v in var_list}
     fv = fill_value
 
     def write_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         ck = [int(pdf[f"__ck_{d}"].iloc[0]) for d in dim_list]
-        starts = [c * s for c, s in zip(ck, chunk_sizes)]
+        # region = chunk box ∩ window box (a boundary chunk shared with
+        # pre-append data writes only its new part; zarrio region writes
+        # read-modify-write the partial chunk)
+        starts = [
+            max(c * s, lo) for c, s, lo in zip(ck, chunk_sizes, win_lo)
+        ]
         stops = [
-            min(st + s, fs) for st, s, fs in zip(starts, chunk_sizes, full_shape)
+            min((c + 1) * s, hi)
+            for c, s, hi in zip(ck, chunk_sizes, win_hi)
         ]
         cshape = tuple(b - a for a, b in zip(starts, stops))
         n_expected = int(np.prod(cshape))
@@ -177,10 +262,10 @@ def dataframe_to_zarr(
         .agg(F.sum("n_rows").alias("r"), F.sum("n_bytes").alias("b"))
         .collect()[0]
     )
-    total = int(np.prod(full_shape))
+    total = int(np.prod([h - l for l, h in zip(win_lo, win_hi)]))
     if fv is None and int(agg["r"] or 0) != total:
         raise ValueError(
-            f"wrote {agg['r']} rows for a {total}-point grid; grid incomplete"
+            f"wrote {agg['r']} rows for a {total}-point window; grid incomplete"
         )
     return path
 

@@ -92,3 +92,52 @@ def test_timestamp_dim(spark, tmp_path):
     assert str(np.asarray(ds.coords["time"].data).dtype).startswith("datetime64")
     d, v = np.meshgrid(np.arange(4), np.arange(3), indexing="ij")
     np.testing.assert_allclose(ds.data_vars["val"].data, d * 10.0 + v)
+
+
+def test_append_dim_grows_store(spark, tmp_path):
+    """Incremental refresh: day-0..3 grid first, then append days 4..5 —
+    including an UNALIGNED boundary (chunk {day:3}: day 4 lands in the
+    partially-filled chunk [3:6), which must read-modify-write)."""
+    full = _grid_df(spark, nt=6, nx=4)
+    first = full.filter("time < 108")   # days 0..3 (time = 100 + 2t)
+    rest = full.filter("time >= 108")   # days 4..5
+    path = dataframe_to_zarr(
+        first, str(tmp_path), "a.zarr", dims=["time", "x"],
+        target_chunks={"time": 3, "x": 4},
+    )
+    out = dataframe_to_zarr(
+        rest, str(tmp_path), "a.zarr", dims=["time", "x"], append_dim="time",
+    )
+    assert out == path
+    ds = open_zarr_group(path)
+    assert ds.sizes == {"time": 6, "x": 4}
+    np.testing.assert_array_equal(ds.coords["time"].data, 100 + 2 * np.arange(6))
+    t, x = np.meshgrid(np.arange(6), np.arange(4), indexing="ij")
+    np.testing.assert_allclose(
+        ds.data_vars["val"].data, ((t * 31 + x * 7) % 101).astype("float64")
+    )
+    np.testing.assert_array_equal(ds.data_vars["seq"].data, t * 4 + x)
+
+
+def test_append_rejects_out_of_order_axis(spark, tmp_path):
+    full = _grid_df(spark, nt=4, nx=3)
+    dataframe_to_zarr(
+        full.filter("time >= 104"), str(tmp_path), "o.zarr", dims=["time", "x"]
+    )
+    with pytest.raises(ValueError, match="sort after"):
+        dataframe_to_zarr(
+            full.filter("time < 104"), str(tmp_path), "o.zarr",
+            dims=["time", "x"], append_dim="time",
+        )
+
+
+def test_append_rejects_mismatched_other_axis(spark, tmp_path):
+    full = _grid_df(spark, nt=4, nx=4)
+    dataframe_to_zarr(
+        full.filter("time < 104"), str(tmp_path), "m.zarr", dims=["time", "x"]
+    )
+    with pytest.raises(ValueError, match="stored axis"):
+        dataframe_to_zarr(
+            full.filter("time >= 104 AND x < 30"), str(tmp_path), "m.zarr",
+            dims=["time", "x"], append_dim="time",
+        )
