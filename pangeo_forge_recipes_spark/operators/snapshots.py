@@ -101,21 +101,27 @@ def snapshot_delta(
     # unchanged (plain != is NULL there and would fall through to the
     # Jaccard branch)
     changed = ~F.col("old_md5").eqNullSafe(F.col("new_md5"))
+    # jaccard only where BOTH texts exist and differ (md5(NULL) is NULL,
+    # so md5 presence ⟺ text presence; Spark's null-skipping greatest()
+    # would otherwise produce a spurious 0.0 against a missing side).
+    # Evaluated in its OWN projection so the O(text-length) shingle
+    # expression runs ONCE per changed row — the status branch and the
+    # output column both referencing the expression tree directly made
+    # codegen evaluate it twice (conditional branches are excluded from
+    # subexpression elimination).
+    both = F.col("old_md5").isNotNull() & F.col("new_md5").isNotNull()
+    scored = joined.withColumn("__jac", F.when(changed & both, jac))
     status = (
         F.when(F.col("old_id").isNull(), F.lit("added"))
         .when(F.col("new_id").isNull(), F.lit("removed"))
         .when(~changed, F.lit("unchanged"))
-        .when(jac >= near_threshold, F.lit("touched"))
+        .when(F.col("__jac") >= near_threshold, F.lit("touched"))
         .otherwise(F.lit("rewritten"))
     )
-    # jaccard only where BOTH texts exist and differ (md5(NULL) is NULL,
-    # so md5 presence ⟺ text presence; Spark's null-skipping greatest()
-    # would otherwise produce a spurious 0.0 against a missing side)
-    both = F.col("old_md5").isNotNull() & F.col("new_md5").isNotNull()
-    return joined.select(
+    return scored.select(
         "canonical_url",
         status.alias("status"),
         "old_id",
         "new_id",
-        F.when(changed & both, F.round(jac, 4)).alias("jaccard"),
+        F.round(F.col("__jac"), 4).alias("jaccard"),
     )
