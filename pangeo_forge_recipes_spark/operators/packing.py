@@ -512,3 +512,88 @@ def chunk_documents(
         "n_words",
         F.expr("size(filter(split(chunk_text, '\\\\s+'), x -> x != ''))"),
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut cross-document duplicated spans OUT of the text — the removal
+    transform of "Deduplicating Training Data Makes Language Models
+    Better" at word-n-gram granularity (:func:`crossdoc_ngram_dup` is
+    the flagging side; this one rewrites the corpus). A token is removed
+    iff it is covered by some ``n``-gram window whose hash also occurs
+    in ANOTHER document with a smaller id — the smallest-id document
+    OWNS each shared gram and keeps its occurrences, so exactly one copy
+    of every shared span survives, deterministically.
+
+    Output: ``(id, clean_text, n_tokens, removed_tokens)``; clean_text
+    is the kept tokens joined by single spaces (whitespace normalizes —
+    span surgery is token-level by construction).
+
+    Scale shape (two shuffles, no driver state): window hashes are
+    multi-arg xxhash64 over token slots computed map-side; the gram
+    exchange moves (gram_h, doc_id, start) rows and cross-doc ownership
+    is a min/max window over it (min_id != max_id ⟺ ≥2 docs — never a
+    collect_set); removed-start lists aggregate per doc and join back to
+    the tokenized corpus, where coverage is a JVM higher-order filter
+    (exists over the sorted starts; O(tokens x spans) worst case, and
+    spans per doc are few by construction in real corpora)."""
+    from pyspark.sql.window import Window
+
+    e = TextExprs("spark", text_col)
+    window_args = ", ".join(
+        f"element_at(t, i + {j})" if j else "element_at(t, i)"
+        for j in range(n)
+    )
+    hashes_over_t = (
+        f"transform(sequence(1, size(t) - {n - 1}), "
+        f"i -> xxhash64({window_args}))"
+    )
+    toks_expr = (
+        "element_at(transform(array(" + e.tokens() + "), t -> t), 1)"
+    )
+    base = df.select(
+        F.col(id_col),
+        F.expr(toks_expr).alias("__toks"),
+    )
+    windows = F.expr(
+        "element_at(transform(array(__toks), t -> "
+        f"if(size(t) >= {n}, {hashes_over_t}, array())), 1)"
+    )
+    # (gram_h, doc, start): start is the 0-based token index of the
+    # window head (posexplode index over the window array)
+    occ = base.select(
+        F.col(id_col),
+        F.posexplode(windows).alias("__start", "gram_h"),
+    )
+    w = Window.partitionBy("gram_h")
+    marked = occ.select(
+        id_col,
+        "__start",
+        F.min(id_col).over(w).alias("__owner"),
+        F.max(id_col).over(w).alias("__mx"),
+    )
+    starts = (
+        marked.where(
+            (F.col("__owner") != F.col("__mx"))
+            & (F.col(id_col) != F.col("__owner"))
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("__start")).alias("__starts"))
+    )
+    joined = base.join(starts, id_col, "left")
+    covered = (
+        f"exists(coalesce(__starts, array()), s -> s <= i AND i < s + {n})"
+    )
+    kept = F.expr(
+        f"filter(__toks, (tok, i) -> NOT ({covered}))"
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("__toks").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).alias("removed_tokens"),
+    )

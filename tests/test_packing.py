@@ -254,3 +254,47 @@ def test_write_webdataset_shards_roundtrip(spark, tmp_path):
         ).collect()
     }
     assert m2 == {s: r["sha256"] for s, r in manifest.items()}
+
+
+def test_remove_duplicate_spans(spark):
+    """The smallest-id doc owns each shared gram: doc 1 keeps the
+    boilerplate, docs 2/3 lose exactly the shared-span tokens; unique
+    text and short docs survive untouched."""
+    from pangeo_forge_recipes_spark.operators.packing import remove_duplicate_spans
+
+    boiler = "all rights reserved contact us for licensing details today"  # 9 toks
+    rows = [
+        (1, boiler + " alpha beta gamma"),
+        (2, "unique words first then " + boiler),
+        (3, boiler),                      # nothing but the span -> empty
+        (4, "totally distinct content with no overlap whatsoever here"),
+        (5, "short doc"),                 # < n tokens: no windows, kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, n=6).collect()}
+    assert out[1]["clean_text"] == rows[0][1]          # owner keeps all
+    assert out[1]["removed_tokens"] == 0
+    assert out[2]["clean_text"] == "unique words first then"
+    assert out[2]["removed_tokens"] == 9
+    assert out[3]["clean_text"] == "" and out[3]["removed_tokens"] == 9
+    assert out[4]["clean_text"] == rows[3][1]
+    assert out[5]["clean_text"] == "short doc"
+    assert out[5]["n_tokens"] == 2
+
+
+def test_remove_duplicate_spans_partial_overlap(spark):
+    """Only the covered window tokens go; a doc sharing an interior
+    6-gram loses those 6 tokens plus any extension covered by further
+    shared windows, not the whole document."""
+    from pangeo_forge_recipes_spark.operators.packing import remove_duplicate_spans
+
+    shared = "one two three four five six"           # exactly n=6 tokens
+    rows = [
+        (10, "prefix " + shared + " suffix"),
+        (20, "other head words " + shared + " other tail"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, n=6).collect()}
+    assert out[10]["removed_tokens"] == 0              # owner (smaller id)
+    assert out[20]["clean_text"] == "other head words other tail"
+    assert out[20]["removed_tokens"] == 6
