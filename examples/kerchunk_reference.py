@@ -58,6 +58,45 @@ def main() -> None:
     print(f"reference file {ref_path} opens the {len(paths)} netcdf3 files "
           "as one dataset — verified")
 
+    # -- the HRRR 2-D shape over GRIB2 sources -------------------------------
+    # the reference feedstock concatenates kerchunked GRIB along one dim;
+    # the engine's nested ordered reduce handles two (outer slices ->
+    # inner combine -> outer combine), here (time x latitude)
+    from pangeo_forge_recipes_spark import ConcatDim, FilePattern
+    from pangeo_forge_recipes_spark.grib2io import write_grib2
+    from pangeo_forge_recipes_spark.ndset import NDDataset
+
+    rng = np.random.default_rng(5)
+    nt, nj, ni = 4, 6, 9
+    gds = NDDataset(
+        {"t": Variable(("time", "latitude", "longitude"),
+                       np.round(rng.uniform(250, 310, (nt, nj, ni)) * 128) / 128)},
+        {"time": Variable(("time",), np.datetime64("2024-03-01T00", "ns")
+                          + np.arange(nt) * np.timedelta64(6, "h")),
+         "latitude": Variable(("latitude",), np.linspace(60.0, 30.0, nj)),
+         "longitude": Variable(("longitude",), np.linspace(0.0, 40.0, ni))},
+        {}, {"time": nt, "latitude": nj, "longitude": ni},
+    )
+    for ti in range(2):
+        for li in range(2):
+            sub = gds.isel(time=slice(2 * ti, 2 * ti + 2),
+                           latitude=slice(3 * li, 3 * li + 3))
+            write_grib2(os.path.join(work, f"hrrr_t{ti}_l{li}.grib2"), sub)
+    pattern2d = FilePattern(
+        lambda time, latitude: os.path.join(work, f"hrrr_t{time}_l{latitude}.grib2"),
+        ConcatDim("time", keys=[0, 1], nitems_per_file=2),
+        ConcatDim("latitude", keys=[0, 1], nitems_per_file=3),
+        file_type="grib",
+    )
+    ref2d = write_combined_reference(
+        spark, pattern2d, work, "hrrr_like_2d", concat_dims=["time", "latitude"]
+    )
+    v2 = open_reference_dataset(ref2d)
+    np.testing.assert_allclose(
+        np.asarray(v2.data_vars["t"].data), gds.data_vars["t"].data
+    )
+    print("2-D (time x latitude) GRIB kerchunk combine — verified")
+
 
 if __name__ == "__main__":
     main()

@@ -1065,3 +1065,32 @@ def test_rotated_latlon_write_read_roundtrip(tmp_path, packing):
     # grid center (rlat=-2.5, rlon=-3) sits near the pole meridian region;
     # every true latitude must be within the band the tilt allows
     assert np.all(lat < 60.0) and np.all(lat > 30.0)
+
+
+def test_kerchunk_two_concat_dims_from_grib(spark, tmp_path):
+    """The reference HRRR family's 2-D shape over real GRIB2 sources:
+    files tile (time x latitude), the nested ordered reduce combines
+    per-time slices along latitude then slices along time (transforms.
+    combine_references_df; reference examples/feedstock/
+    hrrr_kerchunk_concat_step.py). Full element equality."""
+    from pangeo_forge_recipes_spark import ConcatDim, FilePattern
+
+    ds = make_grib_ds(nt=4)
+    for ti in range(2):
+        for li in range(2):
+            sub = ds.isel(time=slice(2 * ti, 2 * ti + 2), latitude=slice(3 * li, 3 * li + 3))
+            write_grib2(str(tmp_path / f"t{ti}_l{li}.grib2"), sub)
+    pattern = FilePattern(
+        lambda time, latitude: str(tmp_path / f"t{time}_l{latitude}.grib2"),
+        ConcatDim("time", keys=[0, 1], nitems_per_file=2),
+        ConcatDim("latitude", keys=[0, 1], nitems_per_file=3),
+        file_type="grib",
+    )
+    ref_path = write_combined_reference(
+        spark, pattern, str(tmp_path), "ref2d",
+        concat_dims=["time", "latitude"],
+    )
+    combined = open_reference_dataset(ref_path)
+    assert_equal(
+        _strip_grib_attrs(combined), _strip_grib_attrs(ds), check_attrs=False
+    )
