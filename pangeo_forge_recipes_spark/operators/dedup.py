@@ -352,7 +352,18 @@ def simhash_dedup(
     df: DataFrame, col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ ``max_hamming`` via the 4-band
-    exact-match trick (pigeonhole: distance ≤ 3 ⟹ one 16-bit band equal)."""
+    exact-match trick (pigeonhole: distance ≤ 3 ⟹ one 16-bit band equal).
+
+    Plan shape: the signature scan runs ONCE — candidate pairs come from
+    a groupBy over (band, band_val) whose per-bucket members expand to
+    ordered pairs with a JVM higher-order expression (sort_array +
+    nested transform), never a self-join. (The former banded self-join
+    re-ran the whole tokenize+FNV signature computation per side:
+    exchange reuse does not engage across aliased mapInPandas subtrees,
+    measured 2 MapInPandas nodes in the final AQE plan.) Pair volume is
+    Σ k² over bucket sizes — identical to the join's output; degenerate
+    buckets (mass-identical signatures) concentrate in one group, the
+    same hot-key behavior the join had on that band value."""
     sigs = simhash_signatures(df, col, id_col)
     banded = sigs.select(
         id_col,
@@ -366,22 +377,24 @@ def simhash_dedup(
             )
         ).alias("band", "band_val"),
     )
-    l, r = banded.alias("l"), banded.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_val") == F.col("r.band_val"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.simhash").alias("sh_a"),
-            F.col("r.simhash").alias("sh_b"),
-        )
-        .distinct()
+    buckets = banded.groupBy("band", "band_val").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")))
+        ).alias("items")
     )
+    # ordered pairs within each bucket: items is sorted by id (struct
+    # sort orders by the first field), so a-before-b ⟺ id_a < id_b
+    pairs = buckets.where(F.size("items") > 1).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(items, (a, i) -> "
+                "transform(slice(items, i + 2, size(items) - i - 1), "
+                "b -> struct(a.id AS id_a, b.id AS id_b, "
+                "a.sh AS sh_a, b.sh AS sh_b))))"
+            )
+        ).alias("p")
+    )
+    cand = pairs.select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b").distinct()
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
