@@ -49,7 +49,10 @@ def _zarr_spec_for(var_schema: dict) -> Tuple[str, dict, object]:
     dtype = var_schema["dtype"]
     encoding = var_schema.get("encoding", {})
     extra_attrs: dict = {}
-    fill: object = 0
+    # encoding may pin the metadata fill (readers substitute it for
+    # never-written chunks — load-bearing for sparse writers like
+    # dataframe_to_zarr's fill_value)
+    fill: object = encoding.get("fill_value", 0)
     if dtype.startswith("datetime64"):
         units = encoding.get("units", _DEFAULT_TIME_UNITS)
         calendar = encoding.get("calendar", "proleptic_gregorian")
@@ -74,7 +77,7 @@ def _zarr_spec_for(var_schema: dict) -> Tuple[str, dict, object]:
             "handles only the cftime case)"
         )
     if dtype.startswith("float"):
-        fill = 0.0
+        fill = encoding.get("fill_value", 0.0)
     return dtype, extra_attrs, fill
 
 

@@ -324,6 +324,7 @@ def _decode_scan_baseline_fast(
         pos = 0
         acc = 0
         nbits = 0
+        eobrun = 0
         preds = [0] * len(comps)
         units_here = (
             min(restart_interval, total_units - unit)
@@ -370,6 +371,16 @@ def _decode_scan_baseline_fast(
                         preds[ci] += v
                     out = [0] * 64
                     out[0] = preds[ci]
+                    # EOBn run pending (G.2 semantics — the generic path
+                    # honors these even in a full-band scan): AC skipped,
+                    # DC above still decoded
+                    if eobrun:
+                        eobrun -= 1
+                        if interleaved:
+                            store[my * cv + b // ch, mx * ch + b % ch] = out
+                        else:
+                            store[by0, bx0] = out
+                        continue
                     # ---- AC ----
                     k = 1
                     while k <= 63:
@@ -402,7 +413,15 @@ def _decode_scan_baseline_fast(
                             if rs == 0xF0:  # ZRL
                                 k += 16
                                 continue
-                            break  # EOB (baseline EOBn carries no run)
+                            # EOB / EOBn — r > 0 is illegal in baseline
+                            # but the generic path consumes its run-length
+                            # field and honors the run; match it exactly
+                            r = rs >> 4
+                            eobrun = (1 << r) - 1
+                            if r:
+                                nbits -= r
+                                eobrun += (acc >> nbits) & ((1 << r) - 1)
+                            break
                         k += rs >> 4
                         if k > 63:
                             raise ValueError("corrupt JPEG: AC index past 63")
@@ -443,6 +462,10 @@ def _decode_scan_progressive_fast(
     mcus_y = -(-frame["h"] // (8 * vmax))
     interleaved = len(scan) > 1
     if interleaved:
+        if ss != 0:
+            # same guard as the generic path: AC band scans are
+            # single-component by spec
+            raise ValueError("corrupt JPEG: interleaved AC scan")
         total_units = mcus_x * mcus_y
     else:
         c = comps[by_id[scan[0]["id"]]]

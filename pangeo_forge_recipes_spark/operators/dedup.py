@@ -349,21 +349,29 @@ def _fnv1a_batch(toks: list) -> np.ndarray:
 
 
 def simhash_dedup(
-    df: DataFrame, col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bucket_cap: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ ``max_hamming`` via the 4-band
     exact-match trick (pigeonhole: distance ≤ 3 ⟹ one 16-bit band equal).
 
     Plan shape: the signature scan runs ONCE — candidate pairs come from
     a groupBy over (band, band_val) whose per-bucket members expand to
-    ordered pairs with a JVM higher-order expression (sort_array +
-    nested transform), never a self-join. (The former banded self-join
-    re-ran the whole tokenize+FNV signature computation per side:
-    exchange reuse does not engage across aliased mapInPandas subtrees,
-    measured 2 MapInPandas nodes in the final AQE plan.) Pair volume is
-    Σ k² over bucket sizes — identical to the join's output; degenerate
-    buckets (mass-identical signatures) concentrate in one group, the
-    same hot-key behavior the join had on that band value."""
+    ordered pairs JVM-side, never a self-join. (The former banded
+    self-join re-ran the whole tokenize+FNV signature computation per
+    side: exchange reuse does not engage across aliased mapInPandas
+    subtrees — measured 2 MapInPandas nodes in the final AQE plan.)
+    Expansion is per MEMBER (posexplode, then explode of each member's
+    later-neighbors slice), so no row ever holds more than one bucket's
+    member list — O(bucket) row memory, O(k²) streamed output rows.
+    Buckets larger than ``bucket_cap`` (mass-identical signatures) take
+    the representative star path instead (every member pairs with the
+    bucket's min-id member — the same fallback, and rationale, as
+    minhash_lsh_candidates): candidate volume stays O(cap × n) and the
+    bucket's connectivity survives for downstream clustering."""
     sigs = simhash_signatures(df, col, id_col)
     banded = sigs.select(
         id_col,
@@ -377,24 +385,37 @@ def simhash_dedup(
             )
         ).alias("band", "band_val"),
     )
+    # items sorted by id (struct sort orders by the first field), so
+    # a-before-b in the array ⟺ id_a < id_b
     buckets = banded.groupBy("band", "band_val").agg(
         F.sort_array(
             F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")))
         ).alias("items")
     )
-    # ordered pairs within each bucket: items is sorted by id (struct
-    # sort orders by the first field), so a-before-b ⟺ id_a < id_b
-    pairs = buckets.where(F.size("items") > 1).select(
+    member = buckets.where(
+        (F.size("items") > 1) & (F.size("items") <= bucket_cap)
+    ).select("items", F.posexplode("items").alias("__i", "a"))
+    quadratic = member.select(
+        F.col("a.id").alias("id_a"),
+        F.col("a.sh").alias("sh_a"),
         F.explode(
-            F.expr(
-                "flatten(transform(items, (a, i) -> "
-                "transform(slice(items, i + 2, size(items) - i - 1), "
-                "b -> struct(a.id AS id_a, b.id AS id_b, "
-                "a.sh AS sh_a, b.sh AS sh_b))))"
-            )
-        ).alias("p")
+            F.expr("slice(items, __i + 2, size(items) - __i - 1)")
+        ).alias("b"),
+    ).select("id_a", F.col("b.id").alias("id_b"), "sh_a", F.col("b.sh").alias("sh_b"))
+    star = (
+        buckets.where(F.size("items") > bucket_cap)
+        .select(
+            F.element_at("items", 1).alias("rep"),
+            F.explode(F.expr("slice(items, 2, size(items) - 1)")).alias("b"),
+        )
+        .select(
+            F.col("rep.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("rep.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
     )
-    cand = pairs.select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b").distinct()
+    cand = quadratic.unionByName(star).distinct()
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming

@@ -606,7 +606,9 @@ def ann_topk_auto(
         if max_broadcast_bytes is None
         else max_broadcast_bytes
     )
-    _, _, est = estimate_collect_bytes(df, vec_col)
+    # bound <= 0 = the documented opt-out (caller asserts fit): skip the
+    # estimate job entirely and take the exact tier
+    est = 0 if bound <= 0 else estimate_collect_bytes(df, vec_col)[2]
     if bound > 0 and est > bound:
         return ivf_topk(
             df,

@@ -172,6 +172,12 @@ def dataframe_to_zarr(
                         np.zeros(1, dtype=_SPARK_TO_NP[dtypes[v]]),
                         tuple(shape[d] for d in dims),
                     ),
+                    {},
+                    # pin the metadata fill: chunks with NO rows at all are
+                    # never written, and readers substitute this for absent
+                    # chunks — without it a fully-empty chunk silently read
+                    # back as 0 instead of fill_value
+                    {} if fill_value is None else {"fill_value": fill_value},
                 )
                 for v in data_vars
             },
@@ -198,9 +204,10 @@ def dataframe_to_zarr(
             )
         )
         out = out.join(F.broadcast(pos_df), on=d, how="inner")
+    # integer division: a double quotient rounds wrong near chunk
+    # boundaries once pos approaches 2^53/chunk (huge single axes)
     chunk_cols = [
-        (F.col(f"__pos_{d}") / chunks[d]).cast("long").alias(f"__ck_{d}")
-        for d in dims
+        F.expr(f"__pos_{d} div {chunks[d]}").alias(f"__ck_{d}") for d in dims
     ]
     out = out.select(*dims, *data_vars, *[F.col(f"__pos_{d}") for d in dims], *chunk_cols)
 

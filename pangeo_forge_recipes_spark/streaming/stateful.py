@@ -172,13 +172,16 @@ def streaming_domain_cap(
         key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         n = int(state.get[0]) if state.exists else 0
-        kept = []
+        # a big group arrives as SEVERAL Arrow chunks whose order follows
+        # shuffle row order — collect ALL ids first, then sort, or the
+        # "smallest ids win within a micro-batch" contract silently
+        # depends on chunk boundaries
+        ids: list = []
         for pdf in pdfs:
-            for d in sorted(int(x) for x in pdf[id_col]):
-                if n < cap:
-                    kept.append(d)
-                    n += 1
-        state.update((n,))
+            ids.extend(int(x) for x in pdf[id_col])
+        ids.sort()
+        kept = ids[: max(cap - n, 0)]
+        state.update((n + len(kept),))
         if kept:
             yield pd.DataFrame({id_col: kept, "host": [key[0]] * len(kept)})
 

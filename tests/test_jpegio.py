@@ -615,3 +615,44 @@ def test_fast_scan_paths_match_generic_decoder():
         finally:
             J._FAST_SCAN = True
         assert fast.shape == slow.shape and (fast == slow).all(), kw
+
+
+def test_fast_scan_matches_generic_on_corrupt_streams():
+    """The fast/generic equality invariant must hold on MALFORMED input
+    too (same pixels or the same failure), incl. baseline EOBn symbols
+    that a corrupt stream can produce: flip bytes inside the entropy
+    region and compare both paths."""
+    import numpy as np
+
+    from pangeo_forge_recipes_spark import jpegio as J
+
+    rng = np.random.RandomState(3)
+    img = (rng.rand(32, 48) * 255).astype(np.uint8)
+    for prog in (False, True):
+        buf = bytearray(J.encode_jpeg(img, progressive=prog))
+        sos = bytes(buf).find(b"\xff\xda")
+        lo = sos + 40  # inside entropy data
+        for seed in range(15):
+            r = np.random.RandomState(seed)
+            mut = bytearray(buf)
+            for _ in range(2):
+                i = r.randint(lo, len(mut) - 4)
+                mut[i] ^= 1 << r.randint(8)
+            mb = bytes(mut)
+
+            def run():
+                try:
+                    return ("ok", J.decode_jpeg(mb))
+                except Exception as e:  # noqa: BLE001
+                    return ("err", type(e).__name__, str(e)[:60])
+
+            fast = run()
+            J._FAST_SCAN = False
+            try:
+                slow = run()
+            finally:
+                J._FAST_SCAN = True
+            if fast[0] == "ok" and slow[0] == "ok":
+                assert (fast[1] == slow[1]).all(), (prog, seed)
+            else:
+                assert fast[0] == slow[0] == "err", (prog, seed, fast[0], slow[0])

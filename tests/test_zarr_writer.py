@@ -141,3 +141,30 @@ def test_append_rejects_mismatched_other_axis(spark, tmp_path):
             full.filter("time >= 104 AND x < 30"), str(tmp_path), "m.zarr",
             dims=["time", "x"], append_dim="time",
         )
+
+
+def test_fill_value_covers_fully_empty_chunks(spark, tmp_path):
+    """Chunks with NO rows are never written; the metadata fill must be
+    the requested fill_value, not the default 0 (review finding r7)."""
+    # 4x4 grid, 2x2 chunks; drop the ENTIRE top-left chunk (t<2, x<2)
+    df = _grid_df(spark, nt=4, nx=4).filter(
+        "NOT (time < 104 AND x < 20)"
+    ).select("time", "x", "val")
+    path = dataframe_to_zarr(
+        df, str(tmp_path), "empty_chunk.zarr", dims=["time", "x"],
+        target_chunks={"time": 2, "x": 2}, fill_value=-1.0,
+    )
+    ds = open_zarr_group(path)
+    t, x = np.meshgrid(np.arange(4), np.arange(4), indexing="ij")
+    want = ((t * 31 + x * 7) % 101).astype("float64")
+    want[:2, :2] = -1.0
+    np.testing.assert_allclose(ds.data_vars["val"].data, want)
+    # the DataSource read agrees
+    from pangeo_forge_recipes_spark.sources import read_zarr
+
+    got = {
+        (r["time"], r["x"]): r["val"]
+        for r in read_zarr(spark, path).collect()
+    }
+    assert got[(100, 0)] == -1.0 and got[(102, 10)] == -1.0
+    assert got[(106, 30)] == want[3, 3]
