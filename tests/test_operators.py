@@ -658,3 +658,15 @@ def test_ann_topk_auto_dispatch(vectors):
     ).collect()
     nn = {r["vec_id"]: r["neighbor_id"] for r in routed}
     assert nn[0] == 100 and nn[100] == 0
+
+
+def test_simhash_hot_bucket_star_fallback(spark):
+    # 40 identical docs: every band bucket is degenerate. With a tiny
+    # bucket_cap the star path pairs each member with the min-id rep
+    # only — O(cap x n) candidates, connectivity preserved
+    rows = [(i, "same exact text repeated for everyone here") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.simhash_dedup(df, max_hamming=0, bucket_cap=10).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert pairs == {(0, i) for i in range(1, 40)}  # star around min id
+    assert all(r["hamming"] == 0 for r in out)
