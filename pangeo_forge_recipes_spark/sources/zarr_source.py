@@ -55,12 +55,32 @@ _NP_TO_SPARK = {
 }
 
 
+def _source_store(path: str):
+    """Store for ``path``: an on-disk Zarr directory, or — when the path
+    names a kerchunk artifact (``*.json`` reference file / ``*.parquet``
+    reference directory) — a read-only ReferenceStore over it, so the
+    relation serves VIRTUAL stores too (``spark.sql`` over a combined
+    reference without copying any data). Each task rebuilds the store
+    from the path; reference payloads are O(#chunks) metadata."""
+    import json as _json
+
+    from ..kerchunkio import ReferenceStore, read_reference_parquet
+
+    if path.endswith(".json"):
+        with open(path) as f:
+            return ReferenceStore(_json.load(f))
+    if path.rstrip("/").endswith(".parquet"):
+        return ReferenceStore(read_reference_parquet(path))
+    return path
+
+
 def _store_layout(path: str):
     """Driver-side planning info: dims, per-var dtype, chunk grid, and the
     dimension-coordinate arrays (small by construction)."""
     from ..dsio import zarr_group_schema
     from ..zarrio import open_group
 
+    path = _source_store(path)
     schema = zarr_group_schema(path)
     data_vars = schema["data_vars"]
     if not data_vars:
@@ -209,7 +229,7 @@ class ZarrReader(DataSourceReader):
         from ..ndset import decode_cf_datetime
 
         starts, stops = partition.value
-        group = open_group(self.path)
+        group = open_group(_source_store(self.path))
         region = tuple(slice(a, b) for a, b in zip(starts, stops))
         slab_shape = tuple(b - a for a, b in zip(starts, stops))
         n = int(np.prod(slab_shape))

@@ -226,3 +226,39 @@ def test_read_zarr_fresh_load_avoids_stale_scan(spark, store_path):
     assert read_zarr(spark, store_path).filter(F.col("lat") < 90.0).count() == total // 2
     # fresh relation per query: the stale-scan hazard never engages
     assert read_zarr(spark, store_path).count() == total
+
+
+def test_zarr_source_reads_kerchunk_reference(spark, tmp_path):
+    """spark.read.format('zarr') over a VIRTUAL store: a combined
+    kerchunk reference file serves the relation without copying data —
+    values equal the source files', pruning still chunk-grain."""
+    from pangeo_forge_recipes_spark import (
+        pattern_from_file_sequence,
+        write_combined_reference,
+    )
+    from pangeo_forge_recipes_spark.dsio import write_npz
+
+    ds = make_ds(nt=6)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"f{i}.npz")
+        write_npz(p, ds.isel(time=slice(2 * i, 2 * i + 2)))
+        paths.append(p)
+    pattern = pattern_from_file_sequence(
+        paths, "time", nitems_per_file=2, file_type="npz"
+    )
+    ref = write_combined_reference(spark, pattern, str(tmp_path), "ref")
+    assert ref.endswith(".json")
+    register_zarr_source(spark)
+    df = spark.read.format("zarr").load(ref)
+    assert df.count() == 6 * 18 * 36
+    total = df.agg(F.sum("foo")).collect()[0][0]
+    assert abs(total - ds.data_vars["foo"].data.sum()) < 1e-6
+    # chunk-grain pruning on the virtual store: time chunks of 2 → a
+    # two-day filter keeps one slab
+    sub = spark.read.format("zarr").load(ref).filter(F.col("time") < "2010-01-03")
+    assert sub.count() == 2 * 18 * 36
+    n_parts = sub.withColumn("pid", F.spark_partition_id()).select(
+        "pid"
+    ).distinct().count()
+    assert n_parts == 1
