@@ -1513,11 +1513,58 @@ def _decode_scan_arith(
             decode_block(coef[ci][by, bx], ci, sc["td"], sc["ta"])
 
 
+# optional libjpeg entropy-decode fast path (nativejpeg.py): coefficients
+# are a LOSSLESS product of entropy decoding, so feeding them into the
+# engine's own dequant+IDCT yields bit-identical pixels to the pure path.
+# Toggleable so tests can pin native==pure and exercise the pure decoders.
+_NATIVE_ENTROPY = True
+
+
+def _try_native_decode(buf: bytes) -> Optional[np.ndarray]:
+    """Decode via the libjpeg coefficient shim when it can serve this
+    stream (sequential/progressive Huffman, 8-bit); None = take the pure
+    path. Downstream (dequant, IDCT, upsample, color transform) is the
+    SAME code as the pure path — only the entropy stage differs, and its
+    output is exact by construction."""
+    try:
+        from . import nativejpeg
+    except Exception:  # noqa: BLE001
+        return None
+    out = nativejpeg.read_coefficients(buf)
+    if out is None:
+        return None
+    nframe, ncoef, nquant = out
+    if nframe["precision"] != 8:
+        return None
+    frame = {
+        "w": nframe["w"],
+        "h": nframe["h"],
+        "precision": nframe["precision"],
+        "progressive": nframe["progressive"],
+        "comps": [
+            {"id": c["id"], "h": c["h"], "v": c["v"], "tq": c["tq"]}
+            for c in nframe["comps"]
+        ],
+    }
+    qtables: Dict[int, np.ndarray] = {}
+    coef = []
+    for i, c in enumerate(nframe["comps"]):
+        # libjpeg stores blocks and quantval in NATURAL (raster) order;
+        # the engine's stores are zigzag-ordered
+        coef.append(np.ascontiguousarray(ncoef[i][:, :, ZIGZAG]))
+        qtables[c["tq"]] = nquant[i][ZIGZAG]
+    return _finalize_dct_image(frame, coef, qtables)
+
+
 def decode_jpeg(buf: bytes) -> np.ndarray:
     """Decode a baseline or progressive JPEG → uint8 (h, w) gray or
     (h, w, 3) RGB. All scans accumulate into per-component coefficient
     stores; dequantization + IDCT run vectorized at the end."""
     buf = bytes(buf)
+    if _NATIVE_ENTROPY:
+        native = _try_native_decode(buf)
+        if native is not None:
+            return native
     qtables: Dict[int, np.ndarray] = {}
     huff_dc: Dict[int, _Huff] = {}
     huff_ac: Dict[int, _Huff] = {}

@@ -1,0 +1,256 @@
+"""Optional libjpeg-backed ENTROPY decode for the JPEG reader.
+
+The pure-Python decoder's remaining ceiling is the sequential per-symbol
+entropy loop (everything after it — dequantize + IDCT + upsample + color
+transform — is already whole-array numpy). This module lifts exactly
+that stage onto the system's public libjpeg via ``jpeg_read_coefficients``:
+the DCT COEFFICIENTS of a scan are a lossless product of entropy decoding
+(no IDCT rounding is involved), so feeding them into the engine's own
+vectorized dequant+IDCT produces BIT-IDENTICAL pixels to the pure path —
+the equality the tests assert whenever the native path is available.
+
+Strictly optional infrastructure: at import we probe for a C compiler and
+``jpeglib.h`` and build a ~100-line shim (plain C functions — no fragile
+struct-ABI ctypes against jpeglib's internals; the shim owns the libjpeg
+structs and is compiled against the header present on the machine) into a
+cache directory. Any failure — no gcc, no header, no libjpeg — leaves
+``available() == False`` and the pure-Python decoder untouched. The shim
+overrides libjpeg's default error handler (which would ``exit()`` the
+worker) with setjmp/longjmp, returning error codes instead.
+
+Scope: sequential and progressive Huffman streams (SOF0/1/2) without the
+engine-specific extensions — hierarchical, lossless, and arithmetic
+frames always take the pure path (libjpeg62 has no arithmetic decode).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_C_SRC = r"""
+#include <stddef.h>
+#include <setjmp.h>
+#include <stdio.h>
+#include <string.h>
+#include <jpeglib.h>
+
+struct pfrs_err {
+  struct jpeg_error_mgr pub;
+  jmp_buf jb;
+};
+
+static void pfrs_error_exit(j_common_ptr cinfo) {
+  struct pfrs_err *e = (struct pfrs_err *)cinfo->err;
+  longjmp(e->jb, 1);
+}
+static void pfrs_emit_message(j_common_ptr cinfo, int msg_level) {
+  (void)cinfo; (void)msg_level; /* silence warnings */
+}
+
+/* Pass 1: component geometry. comp_info is caller-allocated room for
+   ncomp*6 ints: (h_samp, v_samp, w_blocks, h_blocks, quant_tbl_no, id).
+   Returns ncomp (>0), or -1 on decode error, or -2 if arithmetic. */
+int pfrs_jpeg_layout(const unsigned char *buf, long len,
+                     int *image, int *comp_info, int max_comp) {
+  struct jpeg_decompress_struct cinfo;
+  struct pfrs_err jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = pfrs_error_exit;
+  jerr.pub.emit_message = pfrs_emit_message;
+  if (setjmp(jerr.jb)) { jpeg_destroy_decompress(&cinfo); return -1; }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, (unsigned char *)buf, (unsigned long)len);
+  jpeg_read_header(&cinfo, TRUE);
+  if (cinfo.arith_code) { jpeg_destroy_decompress(&cinfo); return -2; }
+  int n = cinfo.num_components;
+  if (n > max_comp) { jpeg_destroy_decompress(&cinfo); return -1; }
+  /* block geometry needs the master selection that read_coefficients
+     performs; run it here too (cheap relative to a second parse) */
+  jvirt_barray_ptr *arrays = jpeg_read_coefficients(&cinfo);
+  if (!arrays) { jpeg_destroy_decompress(&cinfo); return -1; }
+  image[0] = (int)cinfo.image_width;
+  image[1] = (int)cinfo.image_height;
+  image[2] = (int)cinfo.data_precision;
+  image[3] = cinfo.progressive_mode ? 1 : 0;
+  for (int c = 0; c < n; c++) {
+    jpeg_component_info *ci = &cinfo.comp_info[c];
+    comp_info[c * 6 + 0] = ci->h_samp_factor;
+    comp_info[c * 6 + 1] = ci->v_samp_factor;
+    comp_info[c * 6 + 2] = (int)ci->width_in_blocks;
+    comp_info[c * 6 + 3] = (int)ci->height_in_blocks;
+    comp_info[c * 6 + 4] = ci->quant_tbl_no;
+    comp_info[c * 6 + 5] = ci->component_id;
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return n;
+}
+
+/* Pass 2: coefficients + quant tables. out_coef: per component, a
+   caller-allocated int16 buffer of w_blocks*h_blocks*64 (concatenated in
+   component order, sizes from pfrs_jpeg_layout). out_quant: ncomp*64
+   uint16 (each component's table, deQUANTIZATION values). Returns 0,
+   or -1 on error. */
+int pfrs_jpeg_coefficients(const unsigned char *buf, long len,
+                           short *out_coef, unsigned short *out_quant) {
+  struct jpeg_decompress_struct cinfo;
+  struct pfrs_err jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = pfrs_error_exit;
+  jerr.pub.emit_message = pfrs_emit_message;
+  if (setjmp(jerr.jb)) { jpeg_destroy_decompress(&cinfo); return -1; }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, (unsigned char *)buf, (unsigned long)len);
+  jpeg_read_header(&cinfo, TRUE);
+  jvirt_barray_ptr *arrays = jpeg_read_coefficients(&cinfo);
+  if (!arrays) { jpeg_destroy_decompress(&cinfo); return -1; }
+  long off = 0;
+  for (int c = 0; c < cinfo.num_components; c++) {
+    jpeg_component_info *ci = &cinfo.comp_info[c];
+    for (JDIMENSION row = 0; row < ci->height_in_blocks; row++) {
+      JBLOCKARRAY rows = (*cinfo.mem->access_virt_barray)(
+          (j_common_ptr)&cinfo, arrays[c], row, 1, FALSE);
+      memcpy(out_coef + off, rows[0],
+             (size_t)ci->width_in_blocks * DCTSIZE2 * sizeof(short));
+      off += (long)ci->width_in_blocks * DCTSIZE2;
+    }
+    JQUANT_TBL *qt = ci->quant_table;
+    if (qt == NULL) qt = cinfo.quant_tbl_ptrs[ci->quant_tbl_no];
+    if (qt == NULL) { jpeg_destroy_decompress(&cinfo); return -1; }
+    for (int k = 0; k < DCTSIZE2; k++)
+      out_quant[c * DCTSIZE2 + k] = qt->quantval[k];
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+"""
+
+_lib = None
+_tried = False
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    if not os.path.exists("/usr/include/jpeglib.h") and not os.path.exists(
+        "/usr/local/include/jpeglib.h"
+    ):
+        return None
+    tag = hashlib.sha256(_C_SRC.encode()).hexdigest()[:16]
+    cache = os.path.join(tempfile.gettempdir(), f"pfrs_jpeg_{tag}")
+    so = os.path.join(cache, "pfrs_jpeg.so")
+    if not os.path.exists(so):
+        os.makedirs(cache, exist_ok=True)
+        src = os.path.join(cache, "pfrs_jpeg.c")
+        with open(src, "w") as f:
+            f.write(_C_SRC)
+        tmp_so = so + f".{os.getpid()}"
+        r = subprocess.run(
+            ["gcc", "-O2", "-shared", "-fPIC", "-o", tmp_so, src, "-ljpeg"],
+            capture_output=True,
+            timeout=120,
+        )
+        if r.returncode != 0:
+            return None
+        os.replace(tmp_so, so)  # atomic for concurrent workers
+    lib = ctypes.CDLL(so)
+    lib.pfrs_jpeg_layout.restype = ctypes.c_int
+    lib.pfrs_jpeg_layout.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+    ]
+    lib.pfrs_jpeg_coefficients.restype = ctypes.c_int
+    lib.pfrs_jpeg_coefficients.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_short),
+        ctypes.POINTER(ctypes.c_ushort),
+    ]
+    return lib
+
+
+def available() -> bool:
+    """True when the shim compiled and loaded (memoized)."""
+    global _lib, _tried
+    if not _tried:
+        _tried = True
+        try:
+            _lib = _build()
+        except Exception:  # noqa: BLE001 — any toolchain failure = no native
+            _lib = None
+    return _lib is not None
+
+
+def read_coefficients(
+    buf: bytes,
+) -> Optional[Tuple[dict, List[np.ndarray], List[np.ndarray]]]:
+    """Entropy-decode ``buf`` with libjpeg: returns ``(frame_info, coef,
+    quant)`` where ``coef[c]`` is an int16 ``(h_blocks, w_blocks, 64)``
+    array in libjpeg's NATURAL (row-major zigzag-free? no — libjpeg
+    stores blocks in zigzag-DECODED natural order? It stores them in
+    natural order per JBLOCK = coefficients in zigzag order as decoded)
+    — blocks hold coefficients in ZIGZAG order exactly as the scan
+    decoded them, matching the engine's coefficient stores — and
+    ``quant[c]`` the component's 64 dequantization values (zigzag
+    order). Returns None when the native path cannot serve this stream
+    (arithmetic coding, decode error, unavailable toolchain)."""
+    if not available():
+        return None
+    n = len(buf)
+    image = (ctypes.c_int * 4)()
+    max_comp = 10
+    comp = (ctypes.c_int * (max_comp * 6))()
+    ncomp = _lib.pfrs_jpeg_layout(buf, n, image, comp, max_comp)
+    if ncomp <= 0:
+        return None
+    comps = []
+    total = 0
+    for c in range(ncomp):
+        h, v, wb, hb, tq, cid = comp[c * 6 : c * 6 + 6]
+        comps.append(
+            {"h": h, "v": v, "wb": wb, "hb": hb, "tq": tq, "id": cid}
+        )
+        total += wb * hb * 64
+    coef_buf = np.empty(total, dtype=np.int16)
+    quant_buf = np.empty(ncomp * 64, dtype=np.uint16)
+    r = _lib.pfrs_jpeg_coefficients(
+        buf,
+        n,
+        coef_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_short)),
+        quant_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ushort)),
+    )
+    if r != 0:
+        return None
+    coef = []
+    off = 0
+    for c in comps:
+        size = c["wb"] * c["hb"] * 64
+        coef.append(
+            coef_buf[off : off + size]
+            .reshape(c["hb"], c["wb"], 64)
+            .astype(np.int32)
+        )
+        off += size
+    quant = [
+        quant_buf[c * 64 : (c + 1) * 64].astype(np.int64) for c in range(ncomp)
+    ]
+    frame = {
+        "w": int(image[0]),
+        "h": int(image[1]),
+        "precision": int(image[2]),
+        "progressive": bool(image[3]),
+        "comps": comps,
+    }
+    return frame, coef, quant
+
+
+__all__ = ["available", "read_coefficients"]

@@ -606,15 +606,19 @@ def test_fast_scan_paths_match_generic_decoder():
     cases.append((img12, dict(precision=12)))
     cases.append((img12, dict(precision=12, progressive=True)))
 
-    for img, kw in cases:
-        buf = J.encode_jpeg(img, **kw)
-        fast = J.decode_jpeg(buf)
-        J._FAST_SCAN = False
-        try:
-            slow = J.decode_jpeg(buf)
-        finally:
-            J._FAST_SCAN = True
-        assert fast.shape == slow.shape and (fast == slow).all(), kw
+    J._NATIVE_ENTROPY = False  # this test pins the PURE decoders
+    try:
+        for img, kw in cases:
+            buf = J.encode_jpeg(img, **kw)
+            fast = J.decode_jpeg(buf)
+            J._FAST_SCAN = False
+            try:
+                slow = J.decode_jpeg(buf)
+            finally:
+                J._FAST_SCAN = True
+            assert fast.shape == slow.shape and (fast == slow).all(), kw
+    finally:
+        J._NATIVE_ENTROPY = True
 
 
 def test_fast_scan_matches_generic_on_corrupt_streams():
@@ -628,31 +632,86 @@ def test_fast_scan_matches_generic_on_corrupt_streams():
 
     rng = np.random.RandomState(3)
     img = (rng.rand(32, 48) * 255).astype(np.uint8)
-    for prog in (False, True):
-        buf = bytearray(J.encode_jpeg(img, progressive=prog))
-        sos = bytes(buf).find(b"\xff\xda")
-        lo = sos + 40  # inside entropy data
-        for seed in range(15):
-            r = np.random.RandomState(seed)
-            mut = bytearray(buf)
-            for _ in range(2):
-                i = r.randint(lo, len(mut) - 4)
-                mut[i] ^= 1 << r.randint(8)
-            mb = bytes(mut)
+    J._NATIVE_ENTROPY = False  # the invariant under test is pure-vs-pure
+    try:
+        for prog in (False, True):
+            buf = bytearray(J.encode_jpeg(img, progressive=prog))
+            sos = bytes(buf).find(b"\xff\xda")
+            lo = sos + 40  # inside entropy data
+            for seed in range(15):
+                r = np.random.RandomState(seed)
+                mut = bytearray(buf)
+                for _ in range(2):
+                    i = r.randint(lo, len(mut) - 4)
+                    mut[i] ^= 1 << r.randint(8)
+                mb = bytes(mut)
 
-            def run():
+                def run():
+                    try:
+                        return ("ok", J.decode_jpeg(mb))
+                    except Exception as e:  # noqa: BLE001
+                        return ("err", type(e).__name__, str(e)[:60])
+
+                fast = run()
+                J._FAST_SCAN = False
                 try:
-                    return ("ok", J.decode_jpeg(mb))
-                except Exception as e:  # noqa: BLE001
-                    return ("err", type(e).__name__, str(e)[:60])
+                    slow = run()
+                finally:
+                    J._FAST_SCAN = True
+                if fast[0] == "ok" and slow[0] == "ok":
+                    assert (fast[1] == slow[1]).all(), (prog, seed)
+                else:
+                    assert fast[0] == slow[0] == "err", (prog, seed, fast[0], slow[0])
+    finally:
+        J._NATIVE_ENTROPY = True
 
-            fast = run()
-            J._FAST_SCAN = False
-            try:
-                slow = run()
-            finally:
-                J._FAST_SCAN = True
-            if fast[0] == "ok" and slow[0] == "ok":
-                assert (fast[1] == slow[1]).all(), (prog, seed)
-            else:
-                assert fast[0] == slow[0] == "err", (prog, seed, fast[0], slow[0])
+
+def test_native_entropy_path_matches_pure():
+    """When the libjpeg coefficient shim is available, the native path's
+    pixels must equal the pure decoders' BIT-FOR-BIT (coefficients are a
+    lossless product of entropy decoding; dequant+IDCT is shared code).
+    Unsupported frames (12-bit, arithmetic, lossless, hierarchical) must
+    fall back to the pure path transparently."""
+    import numpy as np
+
+    from pangeo_forge_recipes_spark import jpegio as J
+    from pangeo_forge_recipes_spark import nativejpeg
+
+    if not nativejpeg.available():
+        import pytest
+
+        pytest.skip("no C toolchain / jpeglib.h on this machine")
+
+    rng = np.random.RandomState(5)
+    img = (rng.rand(41, 67) * 255).astype(np.uint8)
+    img3 = (rng.rand(41, 67, 3) * 255).astype(np.uint8)
+    cases = [
+        J.encode_jpeg(img),
+        J.encode_jpeg(img3),
+        J.encode_jpeg(img3, progressive=True),
+        J.encode_jpeg(img3, subsample=True, restart_interval=4),
+        J.encode_jpeg(img, progressive=True),
+    ]
+    for buf in cases:
+        a = J.decode_jpeg(buf)  # native
+        J._NATIVE_ENTROPY = False
+        try:
+            b = J.decode_jpeg(buf)  # pure
+        finally:
+            J._NATIVE_ENTROPY = True
+        assert a.shape == b.shape and (a == b).all()
+    # fallback matrix: native cannot serve these; results still correct
+    img12 = (rng.rand(24, 40) * 4095).astype(np.uint16)
+    for buf in (
+        J.encode_jpeg(img12, precision=12),
+        J.encode_jpeg(img, arithmetic=True),
+        J.encode_jpeg_lossless(img),
+        J.encode_jpeg_hierarchical(img),
+    ):
+        a = J.decode_jpeg(buf)
+        J._NATIVE_ENTROPY = False
+        try:
+            b = J.decode_jpeg(buf)
+        finally:
+            J._NATIVE_ENTROPY = True
+        assert (np.asarray(a) == np.asarray(b)).all()
