@@ -250,7 +250,14 @@ def _bench_zarr_throughput(spark) -> dict:
     from pangeo_forge_recipes_spark.dsio import write_npz
     from pangeo_forge_recipes_spark.ndset import NDDataset, Variable
 
-    nt, nlat, nlon, per = 256, 360, 720, 16
+    # per=8 -> 32 files: the ALIGNED (zero-shuffle) variant schedules one
+    # write task per file, so 16 files left half a local[32] idle while
+    # the shuffled variant's write stage ran at full 32-partition width —
+    # a structural asymmetry that inverted the tax under load (r7: a
+    # quiet-start run read aligned consistently 2x slower across all
+    # three rotating rounds). 32 files give both variants >=32-way
+    # parallelism on the same 800 MB.
+    nt, nlat, nlon, per = 256, 360, 720, 8
     # same tmpfs gate as _bench_sharded_saturation: fixture npz (~800 MB)
     # + zarr twin sources (~800 MB) + one output store at a time (~800 MB)
     # ~= 2.5 GB peak with per-run removal below
