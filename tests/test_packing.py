@@ -298,3 +298,70 @@ def test_remove_duplicate_spans_partial_overlap(spark):
     assert out[10]["removed_tokens"] == 0              # owner (smaller id)
     assert out[20]["clean_text"] == "other head words other tail"
     assert out[20]["removed_tokens"] == 6
+
+
+def test_remove_duplicate_spans_duckdb_parity(spark):
+    """Dual-engine check on the REAL documents table (sf0.01): a DuckDB
+    replication of the span-removal semantics — gram identity by STRING
+    (whitespace tokens make the space-join injective, and equal token
+    windows <=> equal multi-arg xxhash64 chains), min-id ownership,
+    token splice — must agree row-for-row with the operator. This is the
+    oracle a future driver slot would use."""
+    import duckdb
+    import pandas as pd
+
+    from pangeo_forge_recipes_spark.operators.packing import remove_duplicate_spans
+
+    sf = "/root/testdata/sf0.01"
+    n = 8
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = (
+        remove_duplicate_spans(docs, n=n)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+occ AS (
+  SELECT doc_id, CAST(gs.i - 1 AS BIGINT) AS s,
+         array_to_string(t[gs.i : gs.i + {n - 1}], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - {n} + 2)) AS i) gs
+  WHERE len(t) >= {n}
+),
+own AS (SELECT gram, min(doc_id) AS owner, max(doc_id) AS mx FROM occ GROUP BY gram),
+rem AS (SELECT o.doc_id, o.s FROM occ o JOIN own w USING (gram)
+        WHERE w.owner <> w.mx AND o.doc_id <> w.owner),
+cov AS (SELECT doc_id, list(DISTINCT s) AS starts FROM rem GROUP BY doc_id),
+spliced AS (
+  SELECT t.doc_id,
+         list_filter(t.t, (tok, i) ->
+             len(list_filter(coalesce(c.starts, []),
+                             s -> s <= i - 1 AND i - 1 < s + {n})) = 0) AS kept,
+         len(t.t) AS n_tokens
+  FROM toks t LEFT JOIN cov c USING (doc_id)
+)
+SELECT doc_id, coalesce(array_to_string(kept, ' '), '') AS clean_text,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CAST(n_tokens - len(kept) AS INT) AS removed_tokens
+FROM spliced ORDER BY doc_id
+""").df()
+
+    assert len(got) == len(want)
+    pd.testing.assert_series_equal(
+        got["doc_id"].astype("int64"), want["doc_id"].astype("int64"),
+        check_names=False,
+    )
+    assert (got["n_tokens"].to_numpy() == want["n_tokens"].to_numpy()).all()
+    assert (
+        got["removed_tokens"].to_numpy() == want["removed_tokens"].to_numpy()
+    ).all()
+    mism = got["clean_text"].to_numpy() != want["clean_text"].to_numpy()
+    assert not mism.any(), got.loc[mism, "doc_id"].tolist()[:5]
+    # the corpus genuinely exercises removal (boilerplate exists at sf0.01)
+    assert int(got["removed_tokens"].sum()) > 0
