@@ -308,3 +308,54 @@ def test_streaming_domain_cap_admits_across_batches(spark, tmp_path):
         by_host.setdefault(r["host"], set()).add(r["doc_id"])
     assert by_host["a.example.com"] == {1, 2, 11}
     assert by_host["b.example.com"] == {3, 14, 15}
+
+
+def test_streaming_domain_cap_duckdb_parity(spark, tmp_path):
+    """Dual-engine check in the driver-slot shape: over a single
+    micro-batch, first-arrived (ascending id) admission is exactly a
+    row_number window ordered by id — the oracle a future driver slot
+    uses (the _stream_minhash_q pattern: one-file stream, SQL-derivable
+    semantics)."""
+    import duckdb
+
+    from pangeo_forge_recipes_spark.streaming import streaming_domain_cap
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id",
+        "concat('https://site', cast(doc_id % 7 as string), '.example.com/',"
+        " source, '/p', cast(doc_id as string)) AS url",
+    )
+    src = str(tmp_path / "docs")
+    docs.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        streaming_domain_cap(stream, cap=30)
+        .writeStream.format("memory")
+        .queryName("_domain_cap_parity")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["doc_id"], r["host"])
+        for r in spark.table("_domain_cap_parity").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = sorted(
+        (int(r[0]), r[1])
+        for r in con.execute("""
+WITH u AS (SELECT doc_id,
+                  'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host
+           FROM documents),
+r AS (SELECT doc_id, host,
+             ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+      FROM u)
+SELECT doc_id, host FROM r WHERE rn <= 30
+""").fetchall()
+    )
+    assert got == want
