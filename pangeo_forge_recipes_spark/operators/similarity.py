@@ -629,3 +629,128 @@ def ann_topk_auto(
         max_broadcast_bytes=0,  # estimate already done above
     )
     return out.withColumnRenamed("cosine", "score")
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    k: int = 3,
+    nprobe: int = 4,
+    n_centroids: int = 16,
+    m: int = 8,
+    nbits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: Optional[np.ndarray] = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF x PQ composition — the billion-vector self-search tier: IVF
+    inverted lists bound the candidate set per query (as in
+    :func:`ivf_topk`), and the corpus side of THE shuffle carries m-byte
+    PQ codes instead of float vectors — exchange volume and per-list
+    memory shrink 16-32x, nothing corpus-sized broadcasts or collects.
+
+    Plan shape mirrors ivf_topk's (one fused Python scan, one shuffle,
+    window merge); scoring within each list is the asymmetric-distance
+    LUT of :func:`pq_topk` (each query builds one (m, 2^nbits)
+    dot-product table; the list scores with m byte-gathers per query
+    instead of a GEMM). Codes follow pq_encode's convention (normalized
+    vectors, per-subspace argmin against the codebooks), so scores are
+    approximate cosines of the codebook reconstruction. Ties break by
+    ascending neighbor id. Output mirrors the other tiers:
+    ``(vec_id, neighbor_id, rank, score)``."""
+    spark = df.sparkSession
+    if codebooks is None:
+        codebooks = pq_train(df, m=m, nbits=nbits, id_col=id_col, vec_col=vec_col)
+    m, ksub, dsub = codebooks.shape
+    centroids = _sample_centroids(df, n_centroids, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((centroids, codebooks))
+    npb = min(nprobe, len(centroids))
+
+    def assign_both(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents, books = bc.value
+        for pdf in batches:
+            v = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+            order = np.argsort(-(v @ cents.T), axis=1, kind="stable")[:, :npb]
+            n = len(pdf)
+            ids = pdf[id_col].to_numpy()
+            # corpus rows ship CODES (pq_encode's exact convention) ...
+            codes = np.empty((n, m), dtype=np.int32)
+            for j in range(m):
+                sub = v[:, j * dsub : (j + 1) * dsub]
+                cent = books[j]
+                d2 = (
+                    np.sum(sub**2, axis=1, keepdims=True)
+                    - 2 * (sub @ cent.T)
+                    + np.sum(cent**2, axis=1)[None, :]
+                )
+                codes[:, j] = np.argmin(d2, axis=1)
+            # ... probe rows ship the raw vector (queries build the LUTs)
+            vecs = list(pdf[vec_col])
+            yield pd.DataFrame(
+                {
+                    "id": np.concatenate([ids, np.repeat(ids, npb)]),
+                    "vec": [None] * n + [vv for vv in vecs for _ in range(npb)],
+                    "codes": list(codes) + [None] * (n * npb),
+                    "centroid": np.concatenate(
+                        [order[:, 0], order.ravel()]
+                    ).astype("int32"),
+                    "is_probe": np.concatenate(
+                        [np.zeros(n, bool), np.ones(n * npb, bool)]
+                    ),
+                }
+            )
+
+    src = df.select(id_col, vec_col)
+    vec_t = dict(src.dtypes)[vec_col]
+    fused = spread(src).mapInPandas(
+        assign_both,
+        f"id long, vec {vec_t}, codes array<int>, centroid int, is_probe boolean",
+    )
+
+    empty = pd.DataFrame(
+        {
+            "vec_id": pd.Series(dtype="int64"),
+            "neighbor_id": pd.Series(dtype="int64"),
+            "score": pd.Series(dtype="float64"),
+        }
+    )
+
+    def score_list(pdf: pd.DataFrame) -> pd.DataFrame:
+        books = bc.value[1]
+        probes = pdf[pdf["is_probe"]]
+        corpus = pdf[~pdf["is_probe"]].sort_values("id")  # asc-id tie-break
+        if len(probes) == 0 or len(corpus) == 0:
+            return empty
+        q = _normalize(np.array(list(probes["vec"]), dtype=np.float64))
+        codes = np.array(list(corpus["codes"]), dtype=np.int32)
+        qids = probes["id"].to_numpy()
+        cids = corpus["id"].to_numpy()
+        scores = np.zeros((len(qids), len(cids)), dtype=np.float64)
+        for j in range(m):
+            lut = q[:, j * dsub : (j + 1) * dsub] @ books[j].T  # (b, ksub)
+            scores += lut[:, codes[:, j]]
+        scores = np.round(scores, round_to)
+        scores = np.where(cids[None, :] == qids[:, None], -np.inf, scores)
+        kk = min(k, scores.shape[1])
+        idx = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
+        top = np.take_along_axis(scores, idx, axis=1)
+        valid = np.isfinite(top).ravel()
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(qids, kk)[valid],
+                "neighbor_id": cids[idx].ravel()[valid],
+                "score": top.ravel()[valid],
+            }
+        )
+
+    scored = fused.groupBy("centroid").applyInPandas(
+        score_list, "vec_id long, neighbor_id long, score double"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "rank", "score")
+    )
