@@ -10,7 +10,7 @@ restarted or long-running stream keeps exact counts.
 
 from __future__ import annotations
 
-from typing import Iterator, Tuple
+from typing import Iterator, Optional, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -81,6 +81,7 @@ def streaming_minhash_dedup(
     bands: int = 16,
     shingle_n: int = 5,
     seed: int = 42,
+    state_ttl_ms: Optional[int] = None,
 ) -> DataFrame:
     """Streaming NEAR-duplicate flagging — the LSH analog of
     :func:`..streaming.append.streaming_dedup`'s exact dedup, for
@@ -94,8 +95,10 @@ def streaming_minhash_dedup(
     ``(doc_id, first_doc_id, band)`` candidate row — cross-micro-batch,
     O(1) state per bucket, never the bucket's membership list (state is
     bounded by distinct buckets, i.e. ~corpus distinct-signature count,
-    not corpus x bands arrivals; add a timeout policy upstream if the
-    key space must age out).
+    not corpus x bands arrivals). ``state_ttl_ms`` ages idle buckets out
+    via a processing-time timeout (state eviction for infinite streams:
+    an expired bucket forgets its representative, so a much-later
+    near-dup re-admits — the standard bounded-memory tradeoff).
 
     Within one micro-batch, arrivals are ordered by id so the chosen
     representative is deterministic given the batch boundaries. A
@@ -116,6 +119,9 @@ def streaming_minhash_dedup(
     def flag(
         key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         first = int(state.get[0]) if state.exists else None
         dups = []
         for pdf in pdfs:
@@ -126,6 +132,8 @@ def streaming_minhash_dedup(
                     dups.append(d)
         if first is not None:
             state.update((first,))
+            if state_ttl_ms:
+                state.setTimeoutDuration(state_ttl_ms)
         if dups:
             yield pd.DataFrame(
                 {
@@ -140,7 +148,9 @@ def streaming_minhash_dedup(
         out_schema,
         "first long",
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms
+        else GroupStateTimeout.NoTimeout,
     )
 
 
@@ -149,6 +159,7 @@ def streaming_domain_cap(
     cap: int,
     url_col: str = "url",
     id_col: str = "doc_id",
+    state_ttl_ms: Optional[int] = None,
 ) -> DataFrame:
     """Streaming per-host admission cap — the ingest-time analog of
     ``operators.urls.domain_cap_sample``: at most ``cap`` documents per
@@ -162,7 +173,10 @@ def streaming_domain_cap(
     of the FULL corpus; streaming admits FIRST-ARRIVED (ascending id
     within a micro-batch, so results are deterministic given the batch
     boundaries) — the same first-seen convention as streaming_dedup and
-    streaming_minhash_dedup. Output: the admitted ``(id, host)`` rows."""
+    streaming_minhash_dedup. ``state_ttl_ms`` ages idle hosts out via a
+    processing-time timeout (an expired host's admit count resets — a
+    rolling-window cap rather than an all-time one). Output: the
+    admitted ``(id, host)`` rows."""
     from ..operators.urls import host_expr
 
     keyed = docs.select(F.col(id_col), host_expr(url_col).alias("host"))
@@ -171,6 +185,9 @@ def streaming_domain_cap(
     def fold(
         key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         n = int(state.get[0]) if state.exists else 0
         # a big group arrives as SEVERAL Arrow chunks whose order follows
         # shuffle row order — collect ALL ids first, then sort, or the
@@ -182,6 +199,8 @@ def streaming_domain_cap(
         ids.sort()
         kept = ids[: max(cap - n, 0)]
         state.update((n + len(kept),))
+        if state_ttl_ms:
+            state.setTimeoutDuration(state_ttl_ms)
         if kept:
             yield pd.DataFrame({id_col: kept, "host": [key[0]] * len(kept)})
 
@@ -190,5 +209,7 @@ def streaming_domain_cap(
         out_schema,
         "n long",
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms
+        else GroupStateTimeout.NoTimeout,
     )
