@@ -51,12 +51,20 @@ static void pfrs_error_exit(j_common_ptr cinfo) {
   longjmp(e->jb, 1);
 }
 static void pfrs_emit_message(j_common_ptr cinfo, int msg_level) {
-  (void)cinfo; (void)msg_level; /* silence warnings */
+  /* silence output but KEEP the warning count (the default handler's
+     accounting) — num_warnings != 0 is how corrupt-but-recoverable
+     streams get rejected to the strict pure path */
+  if (msg_level < 0) cinfo->err->num_warnings++;
 }
 
-/* Pass 1: component geometry. comp_info is caller-allocated room for
-   ncomp*6 ints: (h_samp, v_samp, w_blocks, h_blocks, quant_tbl_no, id).
-   Returns ncomp (>0), or -1 on decode error, or -2 if arithmetic. */
+static long jdiv_ceil(long a, long b) { return (a + b - 1) / b; }
+
+/* Pass 1: component geometry from the HEADER ONLY (no entropy decode —
+   block counts follow libjpeg's own jdiv_round_up(image_dim * samp,
+   max_samp * DCTSIZE) from jdinput.c). comp_info is caller-allocated
+   room for ncomp*6 ints: (h_samp, v_samp, w_blocks, h_blocks,
+   quant_tbl_no, id). Returns ncomp (>0), or -1 on decode error, or -2
+   if arithmetic. */
 int pfrs_jpeg_layout(const unsigned char *buf, long len,
                      int *image, int *comp_info, int max_comp) {
   struct jpeg_decompress_struct cinfo;
@@ -71,24 +79,27 @@ int pfrs_jpeg_layout(const unsigned char *buf, long len,
   if (cinfo.arith_code) { jpeg_destroy_decompress(&cinfo); return -2; }
   int n = cinfo.num_components;
   if (n > max_comp) { jpeg_destroy_decompress(&cinfo); return -1; }
-  /* block geometry needs the master selection that read_coefficients
-     performs; run it here too (cheap relative to a second parse) */
-  jvirt_barray_ptr *arrays = jpeg_read_coefficients(&cinfo);
-  if (!arrays) { jpeg_destroy_decompress(&cinfo); return -1; }
   image[0] = (int)cinfo.image_width;
   image[1] = (int)cinfo.image_height;
   image[2] = (int)cinfo.data_precision;
   image[3] = cinfo.progressive_mode ? 1 : 0;
+  int hmax = 1, vmax = 1;
+  for (int c = 0; c < n; c++) {
+    if (cinfo.comp_info[c].h_samp_factor > hmax) hmax = cinfo.comp_info[c].h_samp_factor;
+    if (cinfo.comp_info[c].v_samp_factor > vmax) vmax = cinfo.comp_info[c].v_samp_factor;
+  }
   for (int c = 0; c < n; c++) {
     jpeg_component_info *ci = &cinfo.comp_info[c];
     comp_info[c * 6 + 0] = ci->h_samp_factor;
     comp_info[c * 6 + 1] = ci->v_samp_factor;
-    comp_info[c * 6 + 2] = (int)ci->width_in_blocks;
-    comp_info[c * 6 + 3] = (int)ci->height_in_blocks;
+    comp_info[c * 6 + 2] = (int)jdiv_ceil(
+        (long)cinfo.image_width * ci->h_samp_factor, (long)hmax * DCTSIZE);
+    comp_info[c * 6 + 3] = (int)jdiv_ceil(
+        (long)cinfo.image_height * ci->v_samp_factor, (long)vmax * DCTSIZE);
     comp_info[c * 6 + 4] = ci->quant_tbl_no;
     comp_info[c * 6 + 5] = ci->component_id;
   }
-  jpeg_finish_decompress(&cinfo);
+  jpeg_abort_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
   return n;
 }
@@ -97,8 +108,13 @@ int pfrs_jpeg_layout(const unsigned char *buf, long len,
    caller-allocated int16 buffer of w_blocks*h_blocks*64 (concatenated in
    component order, sizes from pfrs_jpeg_layout). out_quant: ncomp*64
    uint16 (each component's table, deQUANTIZATION values). Returns 0,
-   or -1 on error. */
+   or -1 on error — INCLUDING recoverable corruption: libjpeg patches
+   over truncated/corrupt entropy data with warnings and garbage
+   coefficients, but the engine's contract (matching the pure decoder)
+   is to REJECT such streams, so num_warnings != 0 fails the call and
+   the caller falls back to the strict pure path. */
 int pfrs_jpeg_coefficients(const unsigned char *buf, long len,
+                           const int *expect_blocks, int n_expect,
                            short *out_coef, unsigned short *out_quant) {
   struct jpeg_decompress_struct cinfo;
   struct pfrs_err jerr;
@@ -111,6 +127,20 @@ int pfrs_jpeg_coefficients(const unsigned char *buf, long len,
   jpeg_read_header(&cinfo, TRUE);
   jvirt_barray_ptr *arrays = jpeg_read_coefficients(&cinfo);
   if (!arrays) { jpeg_destroy_decompress(&cinfo); return -1; }
+  if (cinfo.err->num_warnings != 0) {  /* corrupt-but-recoverable */
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  /* the caller sized out_coef from pass 1's computed geometry; refuse
+     to copy if libjpeg's internal block counts disagree (overrun guard) */
+  if (cinfo.num_components != n_expect) { jpeg_destroy_decompress(&cinfo); return -1; }
+  for (int c = 0; c < cinfo.num_components; c++) {
+    if ((int)cinfo.comp_info[c].width_in_blocks != expect_blocks[c * 2] ||
+        (int)cinfo.comp_info[c].height_in_blocks != expect_blocks[c * 2 + 1]) {
+      jpeg_destroy_decompress(&cinfo);
+      return -1;
+    }
+  }
   long off = 0;
   for (int c = 0; c < cinfo.num_components; c++) {
     jpeg_component_info *ci = &cinfo.comp_info[c];
@@ -143,10 +173,22 @@ def _build() -> Optional[ctypes.CDLL]:
     ):
         return None
     tag = hashlib.sha256(_C_SRC.encode()).hexdigest()[:16]
-    cache = os.path.join(tempfile.gettempdir(), f"pfrs_jpeg_{tag}")
+    # per-UID, mode-0700 cache: a predictable world-writable /tmp path
+    # would let another local user pre-plant a malicious .so (classic
+    # /tmp planting); the ownership + permission check below refuses
+    # anything we do not exclusively own
+    cache = os.path.join(
+        tempfile.gettempdir(), f"pfrs_jpeg_{os.getuid()}_{tag}"
+    )
     so = os.path.join(cache, "pfrs_jpeg.so")
+    try:
+        os.makedirs(cache, mode=0o700, exist_ok=True)
+    except OSError:
+        return None
+    st = os.stat(cache)
+    if st.st_uid != os.getuid() or (st.st_mode & 0o077):
+        return None  # not exclusively ours — refuse to build or load here
     if not os.path.exists(so):
-        os.makedirs(cache, exist_ok=True)
         src = os.path.join(cache, "pfrs_jpeg.c")
         with open(src, "w") as f:
             f.write(_C_SRC)
@@ -159,6 +201,8 @@ def _build() -> Optional[ctypes.CDLL]:
         if r.returncode != 0:
             return None
         os.replace(tmp_so, so)  # atomic for concurrent workers
+    if os.stat(so).st_uid != os.getuid():
+        return None
     lib = ctypes.CDLL(so)
     lib.pfrs_jpeg_layout.restype = ctypes.c_int
     lib.pfrs_jpeg_layout.argtypes = [
@@ -172,6 +216,8 @@ def _build() -> Optional[ctypes.CDLL]:
     lib.pfrs_jpeg_coefficients.argtypes = [
         ctypes.c_char_p,
         ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
         ctypes.POINTER(ctypes.c_short),
         ctypes.POINTER(ctypes.c_ushort),
     ]
@@ -195,14 +241,15 @@ def read_coefficients(
 ) -> Optional[Tuple[dict, List[np.ndarray], List[np.ndarray]]]:
     """Entropy-decode ``buf`` with libjpeg: returns ``(frame_info, coef,
     quant)`` where ``coef[c]`` is an int16 ``(h_blocks, w_blocks, 64)``
-    array in libjpeg's NATURAL (row-major zigzag-free? no — libjpeg
-    stores blocks in zigzag-DECODED natural order? It stores them in
-    natural order per JBLOCK = coefficients in zigzag order as decoded)
-    — blocks hold coefficients in ZIGZAG order exactly as the scan
-    decoded them, matching the engine's coefficient stores — and
-    ``quant[c]`` the component's 64 dequantization values (zigzag
-    order). Returns None when the native path cannot serve this stream
-    (arithmetic coding, decode error, unavailable toolchain)."""
+    array whose 64 coefficients are in libjpeg's NATURAL (raster 8x8)
+    order — the entropy decoders write ``block[jpeg_natural_order[k]]``
+    — and ``quant[c]`` the component's 64 dequantization values, also
+    natural order. The caller (``jpegio._try_native_decode``) converts
+    both to the engine's zigzag-ordered stores via ``[..., ZIGZAG]``.
+    Returns None when the native path cannot serve this stream
+    (arithmetic coding, decode error OR recoverable corruption — the
+    shim fails on any libjpeg warning so corrupt streams take the
+    strict pure path — or unavailable toolchain)."""
     if not available():
         return None
     n = len(buf)
@@ -214,17 +261,22 @@ def read_coefficients(
         return None
     comps = []
     total = 0
+    expect = (ctypes.c_int * (ncomp * 2))()
     for c in range(ncomp):
         h, v, wb, hb, tq, cid = comp[c * 6 : c * 6 + 6]
         comps.append(
             {"h": h, "v": v, "wb": wb, "hb": hb, "tq": tq, "id": cid}
         )
+        expect[c * 2] = wb
+        expect[c * 2 + 1] = hb
         total += wb * hb * 64
     coef_buf = np.empty(total, dtype=np.int16)
     quant_buf = np.empty(ncomp * 64, dtype=np.uint16)
     r = _lib.pfrs_jpeg_coefficients(
         buf,
         n,
+        expect,
+        ncomp,
         coef_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_short)),
         quant_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ushort)),
     )

@@ -729,7 +729,10 @@ def ivf_pq_topk(
         for j in range(m):
             lut = q[:, j * dsub : (j + 1) * dsub] @ books[j].T  # (b, ksub)
             scores += lut[:, codes[:, j]]
-        scores = np.round(scores, round_to)
+        # rank on UNROUNDED scores (pq_topk's convention, so full-probe
+        # IVFxPQ agrees with it exactly even at rounding ties); per-list
+        # emissions stay unrounded too — the global window must re-rank
+        # across lists on the same values — and round at the very end
         scores = np.where(cids[None, :] == qids[:, None], -np.inf, scores)
         kk = min(k, scores.shape[1])
         idx = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
@@ -752,5 +755,10 @@ def ivf_pq_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", "rank", "score")
+        .select(
+            "vec_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("score"), round_to).alias("score"),
+        )
     )

@@ -66,11 +66,23 @@ def _source_store(path: str):
 
     from ..kerchunkio import ReferenceStore, read_reference_parquet
 
+    def _guarded(refs: dict) -> ReferenceStore:
+        # same validation as kerchunkio.open_reference_dataset — a
+        # templated v1 file would otherwise fail obscurely at task time
+        # (FileNotFoundError on a '{{u}}' url) instead of up front
+        if isinstance(refs, dict) and (refs.get("templates") or refs.get("gen")):
+            raise NotImplementedError(
+                "kerchunk 'templates'/'gen' URL substitution is not "
+                "supported; expand the references to plain "
+                "[url, offset, length] entries"
+            )
+        return ReferenceStore(refs)
+
     if path.endswith(".json"):
         with open(path) as f:
-            return ReferenceStore(_json.load(f))
+            return _guarded(_json.load(f))
     if path.rstrip("/").endswith(".parquet"):
-        return ReferenceStore(read_reference_parquet(path))
+        return _guarded(read_reference_parquet(path))
     return path
 
 

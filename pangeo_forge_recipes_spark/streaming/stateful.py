@@ -116,35 +116,8 @@ def streaming_minhash_dedup(
     )
     out_schema = f"{id_col} long, first_{id_col} long, band int"
 
-    def flag(
-        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:
-            state.remove()
-            return
-        first = int(state.get[0]) if state.exists else None
-        dups = []
-        for pdf in pdfs:
-            for d in sorted(int(x) for x in pdf[id_col]):
-                if first is None:
-                    first = d
-                elif d != first:
-                    dups.append(d)
-        if first is not None:
-            state.update((first,))
-            if state_ttl_ms:
-                state.setTimeoutDuration(state_ttl_ms)
-        if dups:
-            yield pd.DataFrame(
-                {
-                    id_col: dups,
-                    f"first_{id_col}": [first] * len(dups),
-                    "band": [int(key[0])] * len(dups),
-                }
-            )
-
     return buckets.groupBy("band", "band_hash").applyInPandasWithState(
-        flag,
+        _minhash_flag_handler(id_col, state_ttl_ms),
         out_schema,
         "first long",
         "append",
@@ -182,6 +155,55 @@ def streaming_domain_cap(
     keyed = docs.select(F.col(id_col), host_expr(url_col).alias("host"))
     out_schema = f"{id_col} long, host string"
 
+    return keyed.groupBy("host").applyInPandasWithState(
+        _domain_cap_fold_handler(cap, id_col, state_ttl_ms),
+        out_schema,
+        "n long",
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms
+        else GroupStateTimeout.NoTimeout,
+    )
+
+
+def _minhash_flag_handler(id_col: str, state_ttl_ms: Optional[int]):
+    """Handler factory for streaming_minhash_dedup — module-level so the
+    TTL/eviction logic is unit-testable against the REAL closure."""
+
+    def flag(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first = int(state.get[0]) if state.exists else None
+        dups = []
+        for pdf in pdfs:
+            for d in sorted(int(x) for x in pdf[id_col]):
+                if first is None:
+                    first = d
+                elif d != first:
+                    dups.append(d)
+        if first is not None:
+            state.update((first,))
+            if state_ttl_ms:
+                state.setTimeoutDuration(state_ttl_ms)
+        if dups:
+            yield pd.DataFrame(
+                {
+                    id_col: dups,
+                    f"first_{id_col}": [first] * len(dups),
+                    "band": [int(key[0])] * len(dups),
+                }
+            )
+
+    return flag
+
+
+def _domain_cap_fold_handler(cap: int, id_col: str, state_ttl_ms: Optional[int]):
+    """Handler factory for streaming_domain_cap — module-level so the
+    TTL/eviction logic is unit-testable against the REAL closure."""
+
     def fold(
         key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -204,12 +226,4 @@ def streaming_domain_cap(
         if kept:
             yield pd.DataFrame({id_col: kept, "host": [key[0]] * len(kept)})
 
-    return keyed.groupBy("host").applyInPandasWithState(
-        fold,
-        out_schema,
-        "n long",
-        "append",
-        GroupStateTimeout.ProcessingTimeTimeout
-        if state_ttl_ms
-        else GroupStateTimeout.NoTimeout,
-    )
+    return fold

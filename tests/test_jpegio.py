@@ -715,3 +715,23 @@ def test_native_entropy_path_matches_pure():
         finally:
             J._NATIVE_ENTROPY = True
         assert (np.asarray(a) == np.asarray(b)).all()
+
+
+def test_native_entropy_rejects_corrupt_streams():
+    """Corrupt-but-recoverable streams (libjpeg patches them over with
+    warnings) must NOT decode to garbage on the native path: the shim
+    fails on any warning and decode_jpeg falls back to the strict pure
+    decoders, which raise."""
+    import numpy as np
+    import pytest
+
+    from pangeo_forge_recipes_spark import jpegio as J
+    from pangeo_forge_recipes_spark import nativejpeg
+
+    if not nativejpeg.available():
+        pytest.skip("no C toolchain / jpeglib.h on this machine")
+    rng = np.random.RandomState(9)
+    img = (rng.rand(32, 48) * 255).astype(np.uint8)
+    buf = J.encode_jpeg(img)
+    with pytest.raises(Exception):
+        J.decode_jpeg(buf[: len(buf) // 2])  # truncated entropy data

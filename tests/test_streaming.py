@@ -362,14 +362,17 @@ SELECT doc_id, host FROM r WHERE rn <= 30
 
 
 
+
 def test_stateful_ttl_handler_logic():
-    """state_ttl_ms plumbing at the handler level (Spark's timeout
-    machinery is upstream; ours is the eviction-on-timeout and the
-    per-update setTimeoutDuration): a timed-out invocation removes state
-    and emits nothing; a live invocation arms the timeout."""
+    """state_ttl_ms logic against the REAL handler closures (Spark's
+    timeout machinery is upstream; ours is eviction-on-timeout and the
+    per-update setTimeoutDuration)."""
     import pandas as pd
 
-    from pangeo_forge_recipes_spark.streaming import stateful
+    from pangeo_forge_recipes_spark.streaming.stateful import (
+        _domain_cap_fold_handler,
+        _minhash_flag_handler,
+    )
 
     class FakeState:
         def __init__(self, value=None, timed_out=False):
@@ -396,40 +399,29 @@ def test_stateful_ttl_handler_logic():
         def setTimeoutDuration(self, ms):
             self.armed = ms
 
-    # reach the inner handlers by invoking the operators' factory with a
-    # plain (non-streaming) shim is overkill — the handlers close over
-    # module-level helpers only, so rebuild them the way the operators do
-    def domain_fold(cap, ttl):
-        def fold(key, pdfs, state):
-            if state.hasTimedOut:
-                state.remove()
-                return
-            n = int(state.get[0]) if state.exists else 0
-            ids = []
-            for pdf in pdfs:
-                ids.extend(int(x) for x in pdf["doc_id"])
-            ids.sort()
-            kept = ids[: max(cap - n, 0)]
-            state.update((n + len(kept),))
-            if ttl:
-                state.setTimeoutDuration(ttl)
-            if kept:
-                yield pd.DataFrame({"doc_id": kept, "host": [key[0]] * len(kept)})
-
-        return fold
-
-    # timed-out invocation: state evicted, nothing emitted
+    # domain cap: timed-out invocation evicts, emits nothing
     st = FakeState(value=(3,), timed_out=True)
-    out = list(domain_fold(3, 1000)(("h",), iter([]), st))
+    out = list(_domain_cap_fold_handler(3, "doc_id", 1000)(("h",), iter([]), st))
     assert out == [] and st.removed
-    # live invocation: admits, arms the timeout
+    # live invocation: admits smallest ids across chunks, arms the timeout
     st = FakeState()
-    pdf = pd.DataFrame({"doc_id": [5, 2, 9]})
-    out = list(domain_fold(2, 1000)(("h",), iter([pdf]), st))
+    chunks = [pd.DataFrame({"doc_id": [9, 5]}), pd.DataFrame({"doc_id": [2]})]
+    out = list(_domain_cap_fold_handler(2, "doc_id", 1000)(("h",), iter(chunks), st))
     assert list(out[0]["doc_id"]) == [2, 5]
     assert st.get == (2,) and st.armed == 1000
-    # the REAL operators accept and thread the parameter (API smoke)
-    import inspect
-
-    assert "state_ttl_ms" in inspect.signature(stateful.streaming_domain_cap).parameters
-    assert "state_ttl_ms" in inspect.signature(stateful.streaming_minhash_dedup).parameters
+    # ttl=None never arms
+    st = FakeState()
+    list(_domain_cap_fold_handler(2, "doc_id", None)(("h",), iter([pd.DataFrame({"doc_id": [1]})]), st))
+    assert st.armed is None
+    # minhash flagger: eviction + arming + first-seen semantics
+    st = FakeState(value=(7,), timed_out=True)
+    out = list(_minhash_flag_handler("doc_id", 500)((3,), iter([]), st))
+    assert out == [] and st.removed
+    st = FakeState(value=(7,))
+    out = list(
+        _minhash_flag_handler("doc_id", 500)(
+            (3,), iter([pd.DataFrame({"doc_id": [8, 7]})]), st
+        )
+    )
+    assert list(out[0]["doc_id"]) == [8] and list(out[0]["first_doc_id"]) == [7]
+    assert st.armed == 500
