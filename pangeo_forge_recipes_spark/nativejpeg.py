@@ -189,7 +189,11 @@ def _build() -> Optional[ctypes.CDLL]:
     if st.st_uid != os.getuid() or (st.st_mode & 0o077):
         return None  # not exclusively ours — refuse to build or load here
     if not os.path.exists(so):
-        src = os.path.join(cache, "pfrs_jpeg.c")
+        # pid-suffixed source: two workers racing past the exists() check
+        # must never share a .c path, or one's gcc can read the other's
+        # half-written file — a failed compile here is memoized as a
+        # permanent silent fallback to the pure path (ADVICE r7)
+        src = os.path.join(cache, f"pfrs_jpeg.{os.getpid()}.c")
         with open(src, "w") as f:
             f.write(_C_SRC)
         tmp_so = so + f".{os.getpid()}"
@@ -198,9 +202,16 @@ def _build() -> Optional[ctypes.CDLL]:
             capture_output=True,
             timeout=120,
         )
-        if r.returncode != 0:
-            return None
-        os.replace(tmp_so, so)  # atomic for concurrent workers
+        try:
+            if r.returncode != 0:
+                return None
+            os.replace(tmp_so, so)  # atomic for concurrent workers
+        finally:
+            for leftover in (src, tmp_so):
+                try:
+                    os.unlink(leftover)
+                except OSError:
+                    pass
     if os.stat(so).st_uid != os.getuid():
         return None
     lib = ctypes.CDLL(so)

@@ -371,7 +371,10 @@ def simhash_dedup(
     the representative star path instead (every member pairs with the
     bucket's min-id member — the same fallback, and rationale, as
     minhash_lsh_candidates): candidate volume stays O(cap × n) and the
-    bucket's connectivity survives for downstream clustering."""
+    bucket's connectivity survives for downstream clustering. Bucket
+    size + representative come from window functions over the banded
+    exchange, so an over-cap bucket is never collected into one row —
+    collect_list only ever sees buckets already known ≤ cap."""
     sigs = simhash_signatures(df, col, id_col)
     banded = sigs.select(
         id_col,
@@ -385,16 +388,43 @@ def simhash_dedup(
             )
         ).alias("band", "band_val"),
     )
+    # bucket stats via WINDOW functions over (band, band_val) — count +
+    # min-struct representative ride the ONE banded exchange (no join, no
+    # second signature scan) — so an over-cap bucket (mass-identical
+    # signatures at crawl scale) is NEVER materialized as one
+    # collect_list row (ADVICE r7: a pathological bucket of millions of
+    # members would concentrate into a single JVM array bounded only by
+    # Spark's ~2G single-value limit). collect_list below runs ONLY on
+    # buckets already known ≤ bucket_cap, so every list row is
+    # cap-bounded by construction; its groupBy inherits the window's
+    # hash partitioning, so no extra exchange.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "band_val")
+    marked = banded.select(
+        "band",
+        "band_val",
+        id_col,
+        "simhash",
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.min(
+            F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh"))
+        ).over(w).alias("rep"),
+    )
     # items sorted by id (struct sort orders by the first field), so
     # a-before-b in the array ⟺ id_a < id_b
-    buckets = banded.groupBy("band", "band_val").agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")))
-        ).alias("items")
+    small = (
+        marked.where((F.col("__n") > 1) & (F.col("__n") <= bucket_cap))
+        .groupBy("band", "band_val")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh"))
+                )
+            ).alias("items")
+        )
     )
-    member = buckets.where(
-        (F.size("items") > 1) & (F.size("items") <= bucket_cap)
-    ).select("items", F.posexplode("items").alias("__i", "a"))
+    member = small.select("items", F.posexplode("items").alias("__i", "a"))
     quadratic = member.select(
         F.col("a.id").alias("id_a"),
         F.col("a.sh").alias("sh_a"),
@@ -402,17 +432,16 @@ def simhash_dedup(
             F.expr("slice(items, __i + 2, size(items) - __i - 1)")
         ).alias("b"),
     ).select("id_a", F.col("b.id").alias("id_b"), "sh_a", F.col("b.sh").alias("sh_b"))
+    # star path: every over-cap-bucket member pairs with the bucket's
+    # min-id representative — map-side off the window, no list ever built
     star = (
-        buckets.where(F.size("items") > bucket_cap)
-        .select(
-            F.element_at("items", 1).alias("rep"),
-            F.explode(F.expr("slice(items, 2, size(items) - 1)")).alias("b"),
-        )
+        marked.where(F.col("__n") > bucket_cap)
+        .where(F.col(id_col) != F.col("rep.id"))
         .select(
             F.col("rep.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            F.col(id_col).alias("id_b"),
             F.col("rep.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
+            F.col("simhash").alias("sh_b"),
         )
     )
     cand = quadratic.unionByName(star).distinct()

@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+_DEF_TIME_UNITS = "nanoseconds since 1970-01-01"
+
 _SPARK_TO_NP = {
     "double": "float64",
     "float": "float32",
@@ -103,15 +105,29 @@ def dataframe_to_zarr(
     # for a fresh store, the appended slab for append_dim
     offsets = {d: 0 for d in dims}
 
+    from ..ndset import decode_cf_datetime, encode_cf_datetime
+
+    def _read_axis_decoded(arr) -> np.ndarray:
+        # stored coords are raw CF offsets (int64 + units/calendar attrs);
+        # decode before comparing against the datetime64 axes this call
+        # built, exactly as the dsio read path does — otherwise a
+        # timestamp append_dim hits int64-vs-datetime64 ufunc errors and
+        # a timestamp NON-append dim spuriously fails the equality check
+        data = arr.read()
+        attrs = dict(arr.attrs)
+        if "units" in attrs and "calendar" in attrs and data.dtype.kind in "if":
+            data = decode_cf_datetime(data, attrs["units"], attrs["calendar"])
+        return data
+
     if append_dim is not None:
         if append_dim not in dims:
             raise ValueError(f"append_dim {append_dim!r} not in dims {dims}")
         g = open_group(path)  # must exist
-        old_axis = g[append_dim].read()
+        old_axis = _read_axis_decoded(g[append_dim])
         for d in dims:
             if d == append_dim:
                 continue
-            if not np.array_equal(g[d].read(), axes[d]):
+            if not np.array_equal(_read_axis_decoded(g[d]), axes[d]):
                 raise ValueError(
                     f"append: dim {d!r} values differ from the stored axis"
                 )
@@ -156,9 +172,17 @@ def dataframe_to_zarr(
             append_dim=append_dim,
         )
         g = open_group(store)
-        g[append_dim][
+        coord_arr = g[append_dim]
+        coord_vals = new_vals
+        if coord_vals.dtype.kind == "M":
+            # CF-encode with the STORED units (not the default) so an
+            # archive written with e.g. hour offsets appends consistently
+            coord_vals = encode_cf_datetime(
+                coord_vals, dict(coord_arr.attrs).get("units", _DEF_TIME_UNITS)
+            )
+        coord_arr[
             (slice(offsets[append_dim], offsets[append_dim] + n_new),)
-        ] = new_vals
+        ] = coord_vals
     else:
         chunks = {d: (target_chunks or {}).get(d, shape[d]) for d in dims}
         # init the store (metadata + coord arrays) driver-side

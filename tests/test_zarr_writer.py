@@ -119,6 +119,61 @@ def test_append_dim_grows_store(spark, tmp_path):
     np.testing.assert_array_equal(ds.data_vars["seq"].data, t * 4 + x)
 
 
+def _ts_grid_df(spark, lo_day, hi_day, nx=3):
+    return spark.sql(
+        f"SELECT timestamp_ntz'2020-01-01 00:00:00' + make_interval(0,0,0,d,0,0,0) AS time, "
+        f"CAST(v AS BIGINT) AS x, CAST(d * 10 + v AS DOUBLE) AS val "
+        f"FROM range({lo_day}, {hi_day}) t1(d) CROSS JOIN range(0, {nx}) t2(v)"
+    )
+
+
+def test_append_dim_timestamp(spark, tmp_path):
+    """append_dim over a datetime64 axis: the stored coord is raw
+    CF-encoded int64, so the ordering check must CF-decode it and the
+    coord region write must CF-encode the new slab (ADVICE r7)."""
+    path = dataframe_to_zarr(
+        _ts_grid_df(spark, 0, 4), str(tmp_path), "tsap.zarr",
+        dims=["time", "x"], target_chunks={"time": 3, "x": 3},
+    )
+    out = dataframe_to_zarr(
+        _ts_grid_df(spark, 4, 6), str(tmp_path), "tsap.zarr",
+        dims=["time", "x"], append_dim="time",
+    )
+    assert out == path
+    ds = open_zarr_group(path)
+    assert ds.sizes == {"time": 6, "x": 3}
+    want_time = np.datetime64("2020-01-01") + np.arange(6).astype("timedelta64[D]")
+    np.testing.assert_array_equal(
+        np.asarray(ds.coords["time"].data).astype("datetime64[D]"), want_time
+    )
+    d, v = np.meshgrid(np.arange(6), np.arange(3), indexing="ij")
+    np.testing.assert_allclose(ds.data_vars["val"].data, d * 10.0 + v)
+    # out-of-order timestamp append still rejects (decoded comparison)
+    with pytest.raises(ValueError, match="sort after"):
+        dataframe_to_zarr(
+            _ts_grid_df(spark, 2, 3), str(tmp_path), "tsap.zarr",
+            dims=["time", "x"], append_dim="time",
+        )
+
+
+def test_append_with_timestamp_non_append_dim(spark, tmp_path):
+    """A timestamp NON-append dim must pass the stored-axis equality
+    check (decoded compare, ADVICE r7) when appending along another dim."""
+    full = _ts_grid_df(spark, 0, 3, nx=6)
+    dataframe_to_zarr(
+        full.filter("x < 3"), str(tmp_path), "tsx.zarr",
+        dims=["time", "x"], target_chunks={"time": 3, "x": 2},
+    )
+    dataframe_to_zarr(
+        full.filter("x >= 3"), str(tmp_path), "tsx.zarr",
+        dims=["time", "x"], append_dim="x",
+    )
+    ds = open_zarr_group(str(tmp_path / "tsx.zarr"))
+    assert ds.sizes == {"time": 3, "x": 6}
+    d, v = np.meshgrid(np.arange(3), np.arange(6), indexing="ij")
+    np.testing.assert_allclose(ds.data_vars["val"].data, d * 10.0 + v)
+
+
 def test_append_rejects_out_of_order_axis(spark, tmp_path):
     full = _grid_df(spark, nt=4, nx=3)
     dataframe_to_zarr(
