@@ -191,6 +191,12 @@ class ReferenceStore(Store):
                 return base64.b64decode(val[7:])
             return val.encode()
         url, offset, length = val
+        if url.startswith(("http://", "https://")):
+            # chunk-lazy over http: one Range GET per chunk — a read
+            # touches O(chunk) bytes of the remote source, never the file
+            from .storage import http_range_get
+
+            return http_range_get(url, int(offset), int(length))
         path = url[len("file://"):] if url.startswith("file://") else url
         with open(path, "rb") as f:
             f.seek(int(offset))

@@ -55,6 +55,35 @@ def _local_path(url: str) -> str:
     return url[len("file://"):] if url.startswith("file://") else url
 
 
+def _is_http(url: str) -> bool:
+    return url.startswith(("http://", "https://"))
+
+
+def _materialize_local(
+    url: str, file_type: FileType, open_kwargs: Optional[dict] = None
+) -> tuple:
+    """Resolve a url to a local path for path-based readers. ``http(s)://``
+    streams to a NamedTemporaryFile (the un-cached open path — recipes
+    that open the same file repeatedly should pass ``cache=`` so the
+    byte cache pays the transfer once). Returns ``(path, is_temp)``."""
+    if not _is_http(url):
+        return _local_path(url), False
+    from .storage import _open_url_raw
+
+    suffix = f".{file_type.value}" if file_type != FileType.unknown else ""
+    tmp = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
+    try:
+        with _open_url_raw(url, None, **(open_kwargs or {})) as src:
+            while True:
+                block = src.read(16 * 1024 * 1024)
+                if not block:
+                    break
+                tmp.write(block)
+    finally:
+        tmp.close()
+    return tmp.name, True
+
+
 def _grib_filter(kw: dict) -> Optional[dict]:
     """GRIB message filter from opener kwargs — accepts the cfgrib
     convention (``backend_kwargs={'filter_by_keys': ...}``) and the flat
@@ -76,36 +105,14 @@ def open_with_ndset(
     ``openers.py:207-254``). ``load=True`` materializes data before the
     fragment crosses an exchange — mandatory in Spark, where a fragment must
     be fully serializable (the reference documents the same hazard at
-    ``openers.py:248-252``)."""
-    path = _local_path(url)
-    if copy_to_local:
-        suffix = f".{file_type.value}" if file_type != FileType.unknown else ""
-        tmp = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
-        with open(path, "rb") as src:
-            tmp.write(src.read())
-        tmp.close()
-        path = tmp.name
+    ``openers.py:248-252``).
+
+    ``http(s)://`` urls stream to a local temp file first (one GET per
+    open — pass ``cache=`` upstream so the byte cache pays the transfer
+    once per url); the temp is removed once the open is eager. Remote
+    zarr DIRECTORIES are not single files — read them through kerchunk
+    references (whose chunk gets range-GET the source) or a cache."""
     kw = dict(xarray_open_kwargs or {})
-    if file_type == FileType.npz:
-        return read_npz(path, load=load)
-    if file_type == FileType.zarr:
-        return open_zarr_group(path, load=load)
-    if file_type == FileType.netcdf3:
-        from .netcdf3 import read_netcdf3
-
-        return read_netcdf3(path)
-    if file_type == FileType.netcdf4:
-        from .hdf5io import read_hdf5
-
-        return read_hdf5(path)
-    if file_type == FileType.grib:
-        from .grib2io import read_grib2
-
-        return read_grib2(path, filter_by_keys=_grib_filter(kw))
-    if file_type == FileType.kerchunk:
-        from .kerchunkio import open_reference_dataset
-
-        return open_reference_dataset(path, load=load)
     if file_type == FileType.opendap:
         from .dap2io import read_dap2
 
@@ -116,6 +123,53 @@ def open_with_ndset(
         return read_dap2(
             url, projection=kw.get("projection"), isel=kw.get("isel")
         )
+    if _is_http(url) and file_type == FileType.zarr:
+        raise NotImplementedError(
+            "zarr stores over http are directories, not single files — "
+            "open via kerchunk references (ReferenceStore range-GETs the "
+            "chunks) or cache the store locally"
+        )
+    path, is_temp = _materialize_local(url, file_type, kw)
+    if copy_to_local and not is_temp:
+        suffix = f".{file_type.value}" if file_type != FileType.unknown else ""
+        tmp = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
+        with open(path, "rb") as src:
+            tmp.write(src.read())
+        tmp.close()
+        path = tmp.name
+    # formats without a load= knob decode eagerly — their temp download
+    # can always be removed after the open; npz/zarr/kerchunk keep the
+    # temp alive when load=False leaves lazy byte-ranges into it
+    eager = load or file_type in (
+        FileType.netcdf3, FileType.netcdf4, FileType.grib
+    )
+    try:
+        if file_type == FileType.npz:
+            return read_npz(path, load=load)
+        if file_type == FileType.zarr:
+            return open_zarr_group(path, load=load)
+        if file_type == FileType.netcdf3:
+            from .netcdf3 import read_netcdf3
+
+            return read_netcdf3(path)
+        if file_type == FileType.netcdf4:
+            from .hdf5io import read_hdf5
+
+            return read_hdf5(path)
+        if file_type == FileType.grib:
+            from .grib2io import read_grib2
+
+            return read_grib2(path, filter_by_keys=_grib_filter(kw))
+        if file_type == FileType.kerchunk:
+            from .kerchunkio import open_reference_dataset
+
+            return open_reference_dataset(path, load=load)
+    finally:
+        if is_temp and eager:
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
     engine = OPEN_ENGINES.get(file_type)
     raise NotImplementedError(
         f"file_type={file_type.value!r} needs the {engine!r} engine, which is "
@@ -133,7 +187,22 @@ def read_schema(
     pipeline (the Spark rendition of the reference's lazy ``load=False``
     open at ``transforms.py:230``: here we never touch array payloads).
     Reader options that change the visible dataset (e.g. the GRIB message
-    filter) apply to the schema too."""
+    filter) apply to the schema too.
+
+    Over ``http(s)://`` the whole file streams to a temp first (pass
+    ``cache=`` upstream so the schema pass and the open pass share one
+    transfer); opendap stays header-only over the wire either way."""
+    if _is_http(url) and file_type != FileType.opendap:
+        path, _ = _materialize_local(url, file_type, xarray_open_kwargs)
+        try:
+            return read_schema(
+                f"file://{path}", file_type, xarray_open_kwargs
+            )
+        finally:
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
     path = _local_path(url)
     if file_type == FileType.npz:
         return npz_schema(path)
@@ -187,8 +256,37 @@ def open_with_kerchunk(
     + chunk-B-tree walk, analog of kerchunk's ``SingleHdf5ToZarr``) and
     grib2 (whole-message chunks via the ``grib2-msg`` codec, analog of
     kerchunk's ``scan_grib``; ``kerchunk_open_kwargs['filter_by_keys']``
-    pushes the message filter into the scan)."""
+    pushes the message filter into the scan).
+
+    ``http(s)://`` sources scan from a one-shot temp download, then the
+    emitted byte ranges are rewritten to point at the ORIGINAL url — so
+    every later chunk read is a Range GET against the remote source
+    (never the vanished temp): scan once, range-read forever."""
     from .kerchunkio import scan_npz, scan_zarr
+
+    if _is_http(url):
+        path, _ = _materialize_local(url, file_type, kerchunk_open_kwargs)
+        try:
+            refs_list = open_with_kerchunk(
+                f"file://{path}",
+                file_type,
+                inline_threshold=inline_threshold,
+                storage_options=storage_options,
+                remote_protocol=remote_protocol,
+                kerchunk_open_kwargs=kerchunk_open_kwargs,
+            )
+        finally:
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+        temp_url = f"file://{os.path.abspath(path)}"
+        for refs in refs_list:
+            table = refs.get("refs", refs)
+            for key, val in table.items():
+                if isinstance(val, list) and val and val[0] == temp_url:
+                    table[key] = [url] + val[1:]
+        return refs_list
 
     path = _local_path(url)
     if file_type == FileType.npz:

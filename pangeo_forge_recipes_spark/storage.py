@@ -8,15 +8,20 @@ slots in identically on a cluster — keys are relative paths either way).
 
 from __future__ import annotations
 
+import base64
 import hashlib
 import os
 import re
 import shutil
 import unicodedata
+import urllib.error
+import urllib.request
 from dataclasses import dataclass, field, replace
 from urllib.parse import urlparse
 
 from .zarrio import LocalStore, Store
+
+_HTTP_TIMEOUT_S = 30.0
 
 
 def _slugify(value: str) -> str:
@@ -120,25 +125,115 @@ class CacheFSSpecTarget(FlatFSSpecTarget):
         return self._full_path(fname)
 
 
+def _auth_headers(open_kwargs: dict | None) -> dict:
+    """HTTP headers from opener kwargs. Accepts the reference-test
+    conventions (``/root/reference/tests/conftest.py:203-206`` passes
+    ``fsspec_open_kwargs={"auth": BasicAuth(user, pw)}``): ``auth`` as a
+    ``(username, password)`` pair or any object with ``login``/``password``
+    attributes, flat ``username``/``password`` kwargs, and a raw
+    ``headers`` dict passed through verbatim."""
+    kw = open_kwargs or {}
+    headers = dict(kw.get("headers") or {})
+    username = kw.get("username")
+    password = kw.get("password", "")
+    auth = kw.get("auth")
+    if auth is not None and username is None:
+        if isinstance(auth, (tuple, list)) and len(auth) == 2:
+            username, password = auth
+        else:  # aiohttp.BasicAuth-shaped object
+            username = getattr(auth, "login", None)
+            password = getattr(auth, "password", "")
+    if username is not None:
+        token = base64.b64encode(f"{username}:{password}".encode()).decode()
+        headers["Authorization"] = f"Basic {token}"
+    return headers
+
+
+def _http_open(
+    url: str,
+    open_kwargs: dict | None = None,
+    extra_headers: dict | None = None,
+    method: str = "GET",
+):
+    """One stdlib-urllib HTTP request (the ``dap2io.py`` pattern — no new
+    dependencies). Returns the live response: a file-like context manager."""
+    headers = _auth_headers(open_kwargs)
+    if extra_headers:
+        headers.update(extra_headers)
+    req = urllib.request.Request(url, headers=headers, method=method)
+    timeout = (open_kwargs or {}).get("timeout", _HTTP_TIMEOUT_S)
+    return urllib.request.urlopen(req, timeout=timeout)  # noqa: S310
+
+
+def http_range_get(
+    url: str, offset: int, length: int, secrets: dict | None = None, **open_kwargs
+) -> bytes:
+    """Read ``length`` bytes at ``offset`` via one HTTP Range GET — the
+    chunk-lazy fast path for references into remote files: a kerchunk
+    chunk read touches O(chunk) bytes of the source, never the file."""
+    if secrets:
+        url = _add_query_string_secrets(url, secrets)
+    end = offset + length - 1
+    with _http_open(
+        url, open_kwargs, extra_headers={"Range": f"bytes={offset}-{end}"}
+    ) as resp:
+        data = resp.read()
+        # a server without Range support replies 200 with the full body —
+        # slice client-side so callers still get exactly the window
+        if resp.status == 200 and len(data) > length:
+            data = data[offset : offset + length]
+    return data
+
+
 def _open_url_raw(fname: str, secrets: dict | None, **open_kwargs):
-    """Open a source url for reading bytes. Local paths and file:// today;
-    an fsspec-style adapter would slot in here for http/s3 on a cluster
-    (reference ``openers.py:16-37``)."""
+    """Open a source url for reading bytes: local paths, ``file://``, and
+    ``http(s)://`` (stdlib urllib — basic auth via ``auth``/``username``
+    kwargs, query-string secrets; reference ``openers.py:16-37``). An
+    object-store adapter would slot in here identically on a cluster."""
     if secrets:
         fname = _add_query_string_secrets(fname, secrets)
     parsed = urlparse(fname)
     if parsed.scheme in ("", "file"):
         return open(parsed.path or fname, "rb")
+    if parsed.scheme in ("http", "https"):
+        return _http_open(fname, open_kwargs)
     raise NotImplementedError(
-        f"url scheme {parsed.scheme!r} requires fsspec, which is not available "
-        "in this environment; supported schemes: file://, plain paths"
+        f"url scheme {parsed.scheme!r} is not supported; supported schemes: "
+        "file://, plain paths, http://, https://"
     )
 
 
 def _remote_size(fname: str, secrets: dict | None, **open_kwargs) -> int:
+    """Source size for the cache's size-equality skip. Unknown sizes return
+    -1, which never equals a cached size — the cache re-downloads rather
+    than false-hitting."""
+    if secrets:
+        fname = _add_query_string_secrets(fname, secrets)
     parsed = urlparse(fname)
     if parsed.scheme in ("", "file"):
         return os.path.getsize(parsed.path or fname)
+    if parsed.scheme in ("http", "https"):
+        try:
+            with _http_open(fname, open_kwargs, method="HEAD") as resp:
+                cl = resp.headers.get("Content-Length")
+                if cl is not None:
+                    return int(cl)
+        except urllib.error.HTTPError:
+            pass  # HEAD not allowed — fall through to a 1-byte range probe
+        try:
+            with _http_open(
+                fname, open_kwargs, extra_headers={"Range": "bytes=0-0"}
+            ) as resp:
+                rng = resp.headers.get("Content-Range", "")
+                if "/" in rng and not rng.endswith("*"):
+                    return int(rng.rsplit("/", 1)[1])
+                cl = resp.headers.get("Content-Length")
+                # 200 = server ignored Range, body IS the file
+                if resp.status == 200 and cl is not None:
+                    return int(cl)
+        except urllib.error.HTTPError:
+            pass
+        return -1
     raise NotImplementedError(f"size of {parsed.scheme!r} urls not supported")
 
 

@@ -1,0 +1,283 @@
+"""Generic http(s):// source opens — the engine analog of the reference's
+http recipes (auth server fixture ``/root/reference/tests/http_auth_server.py``,
+``tests/conftest.py:158-206``): open/cache/secrets/basic-auth over a local
+server, Range-GET chunk reads through kerchunk references, and a full
+``store_to_zarr`` e2e whose inputs are http urls."""
+
+from __future__ import annotations
+
+import base64
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qsl, urlparse
+
+import numpy as np
+import pytest
+
+from pangeo_forge_recipes_spark.dsio import write_npz
+from pangeo_forge_recipes_spark.kerchunkio import open_reference_dataset
+from pangeo_forge_recipes_spark.ndset import assert_equal
+from pangeo_forge_recipes_spark.openers import open_with_kerchunk, open_with_ndset, read_schema
+from pangeo_forge_recipes_spark.patterns import FileType
+from pangeo_forge_recipes_spark.storage import (
+    CacheFSSpecTarget,
+    _open_url_raw,
+    _remote_size,
+    http_range_get,
+)
+
+from .data_generation import make_ds, split_ds_into_files
+
+
+class _Server:
+    """Static file server: optional basic auth, optional required query
+    string, Range + HEAD (each toggleable), per-request log for asserting
+    cache skips and range-read behavior."""
+
+    def __init__(self, root, username=None, password=None,
+                 required_query_string=None, allow_head=True,
+                 honor_range=True):
+        self.requests = []  # (method, path, range_header_or_None)
+        srv = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _check(self):
+                if username is not None:
+                    want = base64.b64encode(
+                        f"{username}:{password}".encode()
+                    ).decode()
+                    got = self.headers.get("Authorization", "")
+                    if got != f"Basic {want}":
+                        self.send_response(401)
+                        self.end_headers()
+                        return False
+                parsed = urlparse(self.path)
+                if required_query_string is not None:
+                    need = dict(parse_qsl(required_query_string))
+                    have = dict(parse_qsl(parsed.query))
+                    if any(have.get(k) != v for k, v in need.items()):
+                        self.send_response(403)
+                        self.end_headers()
+                        return False
+                fpath = os.path.join(root, parsed.path.lstrip("/"))
+                if not os.path.isfile(fpath):
+                    self.send_response(404)
+                    self.end_headers()
+                    return False
+                return fpath
+
+            def do_HEAD(self):
+                srv.requests.append(("HEAD", self.path, None))
+                if not allow_head:
+                    self.send_response(405)
+                    self.end_headers()
+                    return
+                fpath = self._check()
+                if not fpath:
+                    return
+                self.send_response(200)
+                self.send_header("Content-Length", str(os.path.getsize(fpath)))
+                self.end_headers()
+
+            def do_GET(self):
+                rng = self.headers.get("Range")
+                srv.requests.append(("GET", self.path, rng))
+                fpath = self._check()
+                if not fpath:
+                    return
+                size = os.path.getsize(fpath)
+                with open(fpath, "rb") as f:
+                    if rng and honor_range:
+                        lo, hi = rng.split("=", 1)[1].split("-", 1)
+                        lo = int(lo)
+                        hi = int(hi) if hi else size - 1
+                        hi = min(hi, size - 1)
+                        f.seek(lo)
+                        body = f.read(hi - lo + 1)
+                        self.send_response(206)
+                        self.send_header(
+                            "Content-Range", f"bytes {lo}-{hi}/{size}"
+                        )
+                    else:
+                        body = f.read()
+                        self.send_response(200)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.httpd.server_address[1]}"
+        self._t = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._t.start()
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+@pytest.fixture
+def http_root(tmp_path):
+    d = tmp_path / "www"
+    d.mkdir()
+    return str(d)
+
+
+def _serve(request, http_root, **kw):
+    s = _Server(http_root, **kw)
+    request.addfinalizer(s.stop)
+    return s
+
+
+def test_open_and_size_plain(request, http_root):
+    payload = os.urandom(4096) * 3
+    with open(os.path.join(http_root, "blob.bin"), "wb") as f:
+        f.write(payload)
+    s = _serve(request, http_root)
+    url = f"{s.url}/blob.bin"
+    with _open_url_raw(url, None) as r:
+        assert r.read() == payload
+    assert _remote_size(url, None) == len(payload)
+    # HEAD was used for the size probe
+    assert ("HEAD", "/blob.bin", None) in s.requests
+
+
+def test_size_falls_back_to_range_probe_when_head_rejected(request, http_root):
+    with open(os.path.join(http_root, "f.bin"), "wb") as f:
+        f.write(b"x" * 1234)
+    s = _serve(request, http_root, allow_head=False)
+    assert _remote_size(f"{s.url}/f.bin", None) == 1234
+    # the fallback issued a 1-byte Range GET
+    assert ("GET", "/f.bin", "bytes=0-0") in s.requests
+
+
+def test_basic_auth(request, http_root):
+    with open(os.path.join(http_root, "a.bin"), "wb") as f:
+        f.write(b"secret-bytes")
+    s = _serve(request, http_root, username="foo", password="bar")
+    url = f"{s.url}/a.bin"
+    # no credentials -> 401
+    with pytest.raises(Exception, match="401"):
+        _open_url_raw(url, None).read()
+    # tuple auth, flat kwargs, and BasicAuth-shaped objects all work
+    with _open_url_raw(url, None, auth=("foo", "bar")) as r:
+        assert r.read() == b"secret-bytes"
+    with _open_url_raw(url, None, username="foo", password="bar") as r:
+        assert r.read() == b"secret-bytes"
+
+    class FakeBasicAuth:
+        login, password = "foo", "bar"
+
+    with _open_url_raw(url, None, auth=FakeBasicAuth()) as r:
+        assert r.read() == b"secret-bytes"
+
+
+def test_query_string_secrets(request, http_root):
+    with open(os.path.join(http_root, "q.bin"), "wb") as f:
+        f.write(b"qs-payload")
+    s = _serve(request, http_root, required_query_string="tok=abc123")
+    url = f"{s.url}/q.bin"
+    with pytest.raises(Exception, match="403"):
+        _open_url_raw(url, None).read()
+    with _open_url_raw(url, {"tok": "abc123"}) as r:
+        assert r.read() == b"qs-payload"
+
+
+def test_cache_file_downloads_once_then_size_skips(request, http_root, tmp_path):
+    payload = os.urandom(100_000)
+    with open(os.path.join(http_root, "c.bin"), "wb") as f:
+        f.write(payload)
+    s = _serve(request, http_root)
+    url = f"{s.url}/c.bin"
+    cache = CacheFSSpecTarget.from_url(str(tmp_path / "cache"))
+    cache.cache_file(url, None)
+    with open(cache.cache_path(url), "rb") as f:
+        assert f.read() == payload
+    full_gets = [r for r in s.requests if r[0] == "GET" and r[2] is None]
+    assert len(full_gets) == 1
+    # second call: size matches -> no new full GET (reference
+    # storage.py:198-205 size-equality skip)
+    cache.cache_file(url, None)
+    full_gets = [r for r in s.requests if r[0] == "GET" and r[2] is None]
+    assert len(full_gets) == 1
+
+
+def test_http_range_get_exact_window(request, http_root):
+    payload = bytes(range(256)) * 16
+    with open(os.path.join(http_root, "r.bin"), "wb") as f:
+        f.write(payload)
+    s = _serve(request, http_root)
+    url = f"{s.url}/r.bin"
+    assert http_range_get(url, 100, 56) == payload[100:156]
+    # a server that IGNORES Range still yields the exact window
+    s2 = _serve(request, http_root, honor_range=False)
+    assert http_range_get(f"{s2.url}/r.bin", 100, 56) == payload[100:156]
+
+
+def test_open_with_ndset_http_npz(request, http_root):
+    ds = make_ds(nt=3)
+    write_npz(os.path.join(http_root, "d.npz"), ds)
+    s = _serve(request, http_root)
+    out = open_with_ndset(f"{s.url}/d.npz", FileType.npz)
+    assert_equal(out, ds)
+    # schema-only pass over http too
+    schema = read_schema(f"{s.url}/d.npz", FileType.npz)
+    assert schema["dims"]["time"] == 3
+
+
+def test_kerchunk_scan_over_http_range_reads_source(request, http_root):
+    """Scan an http npz once; chunk reads afterwards are Range GETs against
+    the ORIGINAL url (the chunk-lazy-over-http path)."""
+    ds = make_ds(nt=4)
+    write_npz(os.path.join(http_root, "k.npz"), ds)
+    s = _serve(request, http_root)
+    url = f"{s.url}/k.npz"
+    (refs,) = open_with_kerchunk(url, FileType.npz, inline_threshold=0)
+    table = refs.get("refs", refs)
+    range_refs = [v for v in table.values() if isinstance(v, list)]
+    assert range_refs and all(v[0] == url for v in range_refs)
+    n_before = len(s.requests)
+    out = open_reference_dataset(refs)
+    assert_equal(out, ds)
+    chunk_reads = [
+        r for r in s.requests[n_before:] if r[0] == "GET" and r[2] is not None
+    ]
+    assert chunk_reads, "chunk reads must be Range GETs, not full downloads"
+    assert not [
+        r for r in s.requests[n_before:] if r[0] == "GET" and r[2] is None
+    ], "no full-file GET may happen after the scan"
+
+
+def test_store_to_zarr_e2e_over_http_with_cache_and_auth(
+    request, http_root, spark, tmp_path
+):
+    """The flagship pipeline with http inputs: auth + query-string secrets
+    + byte cache, equal to the in-memory original (reference
+    ``gpcp_from_gcs``-style recipe shape over the auth fixture)."""
+    from pangeo_forge_recipes_spark import pattern_from_file_sequence, store_to_zarr
+
+    ds = make_ds(nt=6)
+    paths = split_ds_into_files(ds, http_root, items_per_file=2)
+    s = _serve(
+        request, http_root, username="foo", password="bar",
+        required_query_string="tok=t0k",
+    )
+    urls = [f"{s.url}/{os.path.basename(p)}" for p in paths]
+    pattern = pattern_from_file_sequence(
+        urls, "time", nitems_per_file=2, file_type="npz"
+    )
+    result = store_to_zarr(
+        spark, pattern, str(tmp_path / "target"), "http.zarr",
+        target_chunks={"time": 3},
+        cache=str(tmp_path / "cache"),
+        secrets={"tok": "t0k"},
+        open_kwargs={"auth": ("foo", "bar")},
+    )
+    assert_equal(result.open(), ds)
+    # every source crossed the wire exactly once (cache filled, then all
+    # opens were local)
+    full_gets = [r for r in s.requests if r[0] == "GET" and r[2] is None]
+    assert len(full_gets) == len(urls)
