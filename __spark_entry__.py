@@ -1486,6 +1486,53 @@ ORDER BY doc_id
 """.strip()
 
 
+def _remove_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span REMOVAL (operators/packing.remove_duplicate_spans)
+    — the rewrite side of "Deduplicating Training Data" span dedup: a
+    token goes iff covered by an 8-gram window whose hash also occurs in
+    a smaller-id document (the min-id doc OWNS each shared gram, so one
+    copy of every shared span survives). Two shuffles, min/max ownership
+    window (never collect_set), JVM higher-order splice. The oracle
+    replicates gram ownership + token splice with DuckDB list lambdas,
+    gram identity by STRING (whitespace tokens make the space-join
+    injective ⟺ the engine's multi-arg xxhash64 windows)."""
+    from pangeo_forge_recipes_spark.operators.packing import (
+        remove_duplicate_spans,
+    )
+
+    _register(spark, sf_dir)
+    return remove_duplicate_spans(spark.table("documents"), n=_SPAN_N)
+
+
+def _span_removal_oracle() -> str:
+    n = _SPAN_N
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+occ AS (
+  SELECT doc_id, CAST(gs.i - 1 AS BIGINT) AS s,
+         array_to_string(t[gs.i : gs.i + {n - 1}], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - {n} + 2)) AS i) gs
+  WHERE len(t) >= {n}
+),
+own AS (SELECT gram, min(doc_id) AS owner, max(doc_id) AS mx FROM occ GROUP BY gram),
+rem AS (SELECT o.doc_id, o.s FROM occ o JOIN own w USING (gram)
+        WHERE w.owner <> w.mx AND o.doc_id <> w.owner),
+cov AS (SELECT doc_id, list(DISTINCT s) AS starts FROM rem GROUP BY doc_id),
+spliced AS (
+  SELECT t.doc_id,
+         list_filter(t.t, (tok, i) ->
+             len(list_filter(coalesce(c.starts, []),
+                             s -> s <= i - 1 AND i - 1 < s + {n})) = 0) AS kept,
+         len(t.t) AS n_tokens
+  FROM toks t LEFT JOIN cov c USING (doc_id)
+)
+SELECT doc_id, coalesce(array_to_string(kept, ' '), '') AS clean_text,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CAST(n_tokens - len(kept) AS INT) AS removed_tokens
+FROM spliced
+""".strip()
+
+
 def _pack_oracle() -> str:
     e = TextExprs("duckdb", "text")
     tok = f"CAST({e.token_count()} AS BIGINT)"
@@ -2248,6 +2295,58 @@ GROUP BY id_b
 """.strip()
 
 
+def _stream_domain_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-host admission cap (streaming/stateful.
+    streaming_domain_cap): at most ``cap`` docs per canonical host admit
+    ACROSS micro-batches, first-arrived (ascending id) — the C4-style
+    guard applied at ingest. State is ONE long per host. Urls derive
+    deterministically from doc_id so the query is sf-independent; over a
+    single availableNow batch, first-arrived admission is exactly a
+    row_number window ordered by id — the oracle's shape."""
+    from pangeo_forge_recipes_spark.streaming import streaming_domain_cap
+
+    _register(spark, sf_dir)
+    for q in spark.streams.active:
+        if q.name == "_stream_domain_cap":
+            q.stop()
+    batch_schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    raw = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .selectExpr(
+            "doc_id",
+            "concat('https://site', cast(doc_id % 7 as string),"
+            " '.example.com/', source, '/p', cast(doc_id as string)) AS url",
+        )
+    )
+    query = (
+        streaming_domain_cap(raw, cap=_STREAM_CAP)
+        .writeStream.format("memory")
+        .queryName("_stream_domain_cap")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("_stream_domain_cap").select("doc_id", "host")
+
+
+_STREAM_CAP = 30
+
+_STREAM_DOMAIN_CAP_ORACLE = f"""
+WITH u AS (SELECT doc_id,
+                  'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host
+           FROM documents),
+r AS (SELECT doc_id, host,
+             ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+      FROM u)
+SELECT doc_id, host FROM r WHERE rn <= {_STREAM_CAP}
+""".strip()
+
+
 def _snapshot_sides_sql(dialect: str) -> tuple:
     """Deterministic OLD/NEW snapshot synthesis over documents —
     identical strings on both engines. OLD carries canonical url noise
@@ -2578,6 +2677,10 @@ _ETYPE_CASE = (
     "WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 WHEN 'view' THEN 4 "
     "ELSE 5 END"
 )
+# day boundary between the fresh write and the appended slab; every sf
+# has events on both sides and the same etype set in both ranges
+# (verified 0.001/0.01/0.1)
+_ZW_SPLIT_DAY = 20
 
 
 def _zarr_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2595,22 +2698,48 @@ def _zarr_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="pfrs_entry_zw_")
-    grid = spark.sql(
-        f"""
+    agg_sql = f"""
         SELECT CAST(datediff(CAST(ts AS DATE), DATE'2024-01-01') AS BIGINT) AS day,
                CAST({_ETYPE_CASE} AS BIGINT) AS etype,
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(round(sum(value), 4) AS DOUBLE) AS total_value
         FROM events GROUP BY 1, 2
         """
+    grid = spark.sql(agg_sql)
+    # two writes: days < {split} first (sparse rows — absent cells take
+    # the store's fill_value), then the remaining days APPENDED along
+    # the day axis (r8: grades dataframe_to_zarr(append_dim=...), the
+    # incremental-refresh path). The append slab densifies over the
+    # STORED etype axis so its non-append axis matches exactly; its day
+    # axis stays sparse-present (whatever days actually have events).
+    split = _ZW_SPLIT_DAY
+    first = grid.where(F.col("day") < split)
+    slab = spark.sql(
+        f"""
+        WITH agg AS ({agg_sql}),
+        days AS (SELECT DISTINCT day FROM agg WHERE day >= {split}),
+        etypes AS (SELECT DISTINCT etype FROM agg)
+        SELECT d.day, e.etype,
+               CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
+               CAST(COALESCE(a.total_value, 0) AS DOUBLE) AS total_value
+        FROM days d CROSS JOIN etypes e
+        LEFT JOIN agg a ON a.day = d.day AND a.etype = e.etype
+        """
     )
     path = dataframe_to_zarr(
-        grid,
+        first,
         tmp,
         "events_grid.zarr",
         dims=["day", "etype"],
         target_chunks={"day": 8, "etype": 3},
         fill_value=0,
+    )
+    dataframe_to_zarr(
+        slab,
+        tmp,
+        "events_grid.zarr",
+        dims=["day", "etype"],
+        append_dim="day",
     )
     register_zarr_source(spark)
     return (
@@ -2695,6 +2824,93 @@ luts AS (
 scores AS (
   SELECT l.qid AS vec_id, x.vec_id AS neighbor_id, SUM(l.lv) AS score
   FROM codes x JOIN luts l ON l.j = x.j AND l.c = x.c AND l.qid <> x.vec_id
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT vec_id, neighbor_id, score,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scores)
+SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank, ROUND(score, 4) AS score
+FROM ranked WHERE rank <= {_PQ_K}
+""".strip()
+
+
+def _ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ composition (operators/similarity ivf_pq_topk) — the
+    billion-vector tier: inverted lists bound each query's candidate set
+    (md5-sampled centroids, nprobe lists per query) AND the corpus side
+    of THE shuffle carries m-byte PQ codes instead of float vectors, so
+    exchange volume shrinks 16-32×. Scoring within a list is the
+    asymmetric-distance LUT of pq_topk. The oracle composes the two
+    already-pinned replications: the IVF centroid/assignment CTEs with
+    the PQ code/LUT scoring over the pinned codebook tensor."""
+    import numpy as np
+
+    from pangeo_forge_recipes_spark.operators.similarity import ivf_pq_topk
+
+    _register(spark, sf_dir)
+    emb = spark.table("embeddings")
+    books = np.array(_PQ_CODEBOOKS, dtype=np.float64)
+    return ivf_pq_topk(
+        emb,
+        k=_PQ_K,
+        nprobe=_IVF_NPROBE,
+        n_centroids=_IVF_NCENTROIDS,
+        codebooks=books,
+    )
+
+
+def _ivf_pq_oracle_sql() -> str:
+    rows = ",\n    ".join(
+        f"({j}, {c}, {list(cent)})"
+        for j, book in enumerate(_PQ_CODEBOOKS)
+        for c, cent in enumerate(book)
+    )
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cord, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVF_NCENTROIDS}
+), cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY cord) - 1 AS cidx,
+         list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cn
+  FROM cent
+), ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+vecs AS (
+  SELECT vec_id,
+         list_transform(e, x -> x / greatest(sqrt(list_dot_product(e, e)), 1e-12)) AS vn
+  FROM ve
+), assign AS (
+  SELECT v.vec_id, v.vn, c.cidx,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                            ORDER BY list_dot_product(v.vn, c.cn) DESC, c.cidx) AS rn
+  FROM vecs v CROSS JOIN cents c
+), corpus AS (
+  SELECT vec_id AS neighbor_id, vn AS bn, cidx FROM assign WHERE rn = 1
+), probes AS (
+  SELECT vec_id, cidx FROM assign WHERE rn <= {_IVF_NPROBE}
+), books(j, c, bcent) AS (VALUES
+    {rows}),
+dists AS (
+  SELECT x.neighbor_id, b.j, b.c,
+         list_sum(list_transform(range(1, 9),
+             i -> (bn[b.j*8 + i] - b.bcent[i]) * (bn[b.j*8 + i] - b.bcent[i]))) AS d2
+  FROM corpus x CROSS JOIN books b),
+codes AS (
+  SELECT neighbor_id, j, c FROM (
+    SELECT neighbor_id, j, c,
+           ROW_NUMBER() OVER (PARTITION BY neighbor_id, j ORDER BY d2, c) AS rn
+    FROM dists) WHERE rn = 1),
+luts AS (
+  SELECT v.vec_id AS qid, b.j, b.c,
+         list_sum(list_transform(range(1, 9), i -> vn[b.j*8 + i] * b.bcent[i])) AS lv
+  FROM vecs v CROSS JOIN books b),
+cand AS (
+  SELECT p.vec_id, x.neighbor_id
+  FROM probes p JOIN corpus x ON p.cidx = x.cidx AND p.vec_id <> x.neighbor_id),
+scores AS (
+  SELECT n.vec_id, n.neighbor_id, SUM(l.lv) AS score
+  FROM cand n
+  JOIN codes x ON x.neighbor_id = n.neighbor_id
+  JOIN luts l ON l.qid = n.vec_id AND l.j = x.j AND l.c = x.c
   GROUP BY 1, 2),
 ranked AS (
   SELECT vec_id, neighbor_id, score,
@@ -3085,12 +3301,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stay graded via multimodal_features + multimodal_audio)
     out["ann_pq_topk"] = _ann_pq_q
     out["multimodal_audio"] = _multimodal_audio
-    out["dedup_minhash_pairs"] = _minhash_dedup_pairs
+    # round-8 rotation: dedup_minhash_pairs (its banded-LSH shape stays
+    # graded via dedup_minhash_stream + dedup_clusters and warm in
+    # pytest) yields its slot to remove_duplicate_spans — the span
+    # REMOVAL transform ("Deduplicating Training Data" rewrite side),
+    # previously pytest-only; ann_cosine_topk (the broadcast-exact tier
+    # — stays the bench extra-matched query and warm in the parity
+    # suite; its dispatch is graded via ann_topk_auto's pytest) yields
+    # its slot to ivf_pq_topk — the billion-vector IVF×PQ composition
+    out["remove_duplicate_spans"] = _remove_dup_spans_q
     out["dedup_clusters"] = _dedup_clusters
     out["dedup_simhash"] = _simhash
     out["ann_lsh_topk"] = _lsh_ann
     out["ann_ivf_topk"] = _ivf_topk
-    out["ann_cosine_topk"] = _ann_topk
+    out["ivf_pq_topk"] = _ivf_pq_q
     out["embedding_near_dup"] = _near_dup
     out["semantic_dedup_pairs"] = _semantic_dedup_q
     out["manifest_outer_product"] = _manifest_query
@@ -3247,7 +3471,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # streaming twins + bespoke joins
     out["events_hourly_rollup_stream"] = _events_rollup_stream
     out["events_sessions_stream"] = _events_sessions_stream
-    out["events_dedup_stream"] = _events_dedup_stream
+    # round-8 rotation: events_dedup_stream (streaming EXACT dedup — its
+    # first-seen-wins state shape stays graded via dedup_minhash_stream
+    # and warm in test_streaming.py) yields its slot to
+    # streaming_domain_cap — the ingest-time per-host admission cap
+    out["streaming_domain_cap"] = _stream_domain_cap_q
     out["asof_last_order"] = _asof_last_order
     out["range_join_orders"] = _range_join_orders
     out["skew_salted_join"] = _skew_salted_join
@@ -3297,11 +3525,15 @@ def oracle_sql() -> dict[str, str]:
     out["ann_pq_topk"] = _pq_oracle_sql()
     out.pop("q3_unshipped_revenue")  # slot moved to snapshot_delta
     out["snapshot_delta"] = _snapshot_delta_oracle()
-    out["events_dedup_stream"] = _DEDUP_STREAM_ORACLE
+    # round-8 rotation: events_dedup_stream's slot moved to
+    # streaming_domain_cap; _DEDUP_STREAM_ORACLE stays warm in pytest
+    out["streaming_domain_cap"] = _STREAM_DOMAIN_CAP_ORACLE
     out["asof_last_order"] = _ASOF_ORACLE
     out["range_join_orders"] = _RANGE_JOIN_ORACLE
     out["skew_salted_join"] = _SKEW_JOIN_ORACLE
-    out["ann_cosine_topk"] = _ANN_ORACLE
+    # round-8 rotation: ann_cosine_topk's slot moved to ivf_pq_topk
+    # (_ANN_ORACLE stays the bench extra-matched oracle)
+    out["ivf_pq_topk"] = _ivf_pq_oracle_sql()
     out["embedding_near_dup"] = _NEAR_DUP_ORACLE
     # multimodal_stats' slot moved to ann_pq_topk (r6 second pass); its
     # sha-fake blob aggregate (_MULTIMODAL_ORACLE) stays warm in pytest
@@ -3320,7 +3552,10 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_ngram_spans"] = _span_dedup_oracle()
     out["pack_sequences"] = _pack_oracle()
     out["corpus_shards"] = _shards_oracle()
-    out["dedup_minhash_pairs"] = _MINHASH_ORACLE
+    # round-8 rotation: dedup_minhash_pairs' slot moved to
+    # remove_duplicate_spans (_MINHASH_ORACLE keeps feeding the
+    # stream-minhash verification + pytest)
+    out["remove_duplicate_spans"] = _span_removal_oracle()
     out["dedup_clusters"] = _CLUSTERS_ORACLE
     out["dedup_simhash"] = _SIMHASH_ORACLE
     out["ann_lsh_topk"] = _lsh_oracle_sql()

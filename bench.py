@@ -48,8 +48,8 @@ HEADLINE = [
     "dedup_exact",
     "bloom_dedup_reference",
     "semantic_dedup_pairs",
-    "dedup_minhash_pairs",
-    "ann_cosine_topk",
+    "remove_duplicate_spans",
+    "ivf_pq_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "dedup_simhash",
@@ -1014,10 +1014,11 @@ def main() -> None:
     # avoid, so at sf0.1 they measure the oracle, not the engine. The
     # apples-to-apples baseline is the shared-ANSI + cheap-oracle set.
     replication_oracles = {
-        "dedup_minhash_pairs",
         "dedup_clusters",
         "dedup_simhash",
         "ann_lsh_topk",
+        "ivf_pq_topk",  # oracle composes the IVF assignment replication
+        # with the PQ code/LUT O(n²) join — a correctness artifact
         "ann_ivf_topk",
         "ann_pq_topk",  # oracle re-derives codes + LUT scores as an
         # O(n² x m) SQL join — a correctness artifact
@@ -1045,6 +1046,34 @@ def main() -> None:
         n for n in HEADLINE if n in oracles and n not in replication_oracles
     ]
 
+    # extra matched pairs: dual-engine (identical-work) queries timed for
+    # the apples-to-apples subset but NOT part of the driver's 50-slot
+    # correctness gate — matched-subset breadth stays decoupled from the
+    # 50-slot budget (r8: ann_cosine_topk rotated out of the gate for
+    # ivf_pq_topk, plus three moderately-heavy TPC-H texts whose slots
+    # rotated to operator queries in earlier rounds)
+    shared_all = entrymod._shared_sql()
+    extra_matched = {
+        "ann_cosine_topk": (entrymod._ann_topk, entrymod._ANN_ORACLE),
+        "q1_pricing_summary": (
+            entrymod._sql_query(shared_all["q1_pricing_summary"]),
+            shared_all["q1_pricing_summary"],
+        ),
+        "q18_large_orders": (
+            entrymod._sql_query(shared_all["q18_large_orders"]),
+            shared_all["q18_large_orders"],
+        ),
+        "q9_product_profit": (
+            entrymod._sql_query(shared_all["q9_product_profit"]),
+            shared_all["q9_product_profit"],
+        ),
+    }
+    bench_fns = {n: queries[n] for n in HEADLINE}
+    for n, (fn, osql) in extra_matched.items():
+        bench_fns[n] = fn
+        oracles[n] = osql
+        matched.append(n)
+
     # per-query latency: sequential, best-of-2 (both runs recorded so
     # run-to-run variance — the worker-churn signature — is visible in
     # the detail artifact). For matched queries the DuckDB oracle is
@@ -1053,8 +1082,8 @@ def main() -> None:
     timings = {}
     runs = {}
     per_query = {}
-    for name in HEADLINE:
-        fn = queries[name]
+    for name in list(HEADLINE) + list(extra_matched):
+        fn = bench_fns[name]
         load0 = _loadavg1()
         pair = []
         for _ in range(2):

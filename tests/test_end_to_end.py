@@ -501,7 +501,7 @@ def test_reference_shuffle_equals_payload_shuffle(spark, tmp_path, target_chunks
     )
     pay = store_to_zarr(
         spark, pattern, str(tmp_path / "t2"), "store.zarr",
-        target_chunks=target_chunks,
+        target_chunks=target_chunks, rechunk_shuffle="payload",
     )
     assert ref.shuffled and pay.shuffled
     assert_equal(ref.open(), ds)
@@ -531,6 +531,84 @@ def test_reference_shuffle_with_preprocess_and_shards(spark, tmp_path):
     assert out.attrs.get("marked") == "yes"
     ds.attrs["marked"] = "yes"
     assert_equal(out, ds)
+
+
+def test_auto_rechunk_shuffle_dispatch():
+    """Default (rechunk_shuffle=None) auto-picks: reference for
+    chunk-lazy formats with no preprocessor, payload for eager formats
+    and whenever a preprocessor must run (r8: the reference exchange is
+    O(#fragments) and measured faster, so it is the chunk-lazy default)."""
+    from pangeo_forge_recipes_spark.patterns import FileType
+    from pangeo_forge_recipes_spark.transforms import _auto_rechunk_shuffle
+
+    for ft in (FileType.npz, FileType.zarr, FileType.kerchunk):
+        assert _auto_rechunk_shuffle(ft, None) == "reference"
+        assert _auto_rechunk_shuffle(ft, lambda i, d: (i, d)) == "payload"
+    for ft in (FileType.netcdf3, FileType.netcdf4, FileType.grib):
+        assert _auto_rechunk_shuffle(ft, None) == "payload"
+
+
+def test_auto_default_takes_reference_path_for_npz(spark, tmp_path, monkeypatch):
+    """An npz recipe with the default mode runs the REFERENCE pipeline
+    (open_split_refs_df observed; the payload splitter never called) and
+    still round-trips exactly."""
+    import pangeo_forge_recipes_spark.transforms as T
+
+    calls = []
+    real_refs, real_payload = T.open_split_refs_df, T.open_split_fragments_df
+    monkeypatch.setattr(
+        T, "open_split_refs_df",
+        lambda *a, **k: calls.append("refs") or real_refs(*a, **k),
+    )
+    monkeypatch.setattr(
+        T, "open_split_fragments_df",
+        lambda *a, **k: calls.append("payload") or real_payload(*a, **k),
+    )
+    ds = make_ds(nt=6)
+    paths = split_ds_into_files(ds, str(tmp_path), items_per_file=2)
+    pattern = pattern_from_file_sequence(
+        paths, "time", nitems_per_file=2, file_type="npz"
+    )
+    result = store_to_zarr(
+        spark, pattern, str(tmp_path / "t"), "s.zarr",
+        target_chunks={"time": 3},
+    )
+    assert result.shuffled and calls == ["refs"]
+    assert_equal(result.open(), ds)
+
+
+def test_auto_default_takes_payload_path_for_netcdf3(spark, tmp_path, monkeypatch):
+    """An EAGER format (netcdf3) with the default mode keeps the payload
+    shuffle — a second full decode per write task would double source
+    reads — and round-trips exactly."""
+    import pangeo_forge_recipes_spark.transforms as T
+    from pangeo_forge_recipes_spark.netcdf3 import write_netcdf3
+
+    calls = []
+    real_refs, real_payload = T.open_split_refs_df, T.open_split_fragments_df
+    monkeypatch.setattr(
+        T, "open_split_refs_df",
+        lambda *a, **k: calls.append("refs") or real_refs(*a, **k),
+    )
+    monkeypatch.setattr(
+        T, "open_split_fragments_df",
+        lambda *a, **k: calls.append("payload") or real_payload(*a, **k),
+    )
+    ds = make_ds(nt=6)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"n{i}.nc")
+        write_netcdf3(p, ds.isel(time=slice(2 * i, 2 * i + 2)))
+        paths.append(p)
+    pattern = pattern_from_file_sequence(
+        paths, "time", nitems_per_file=2, file_type="netcdf3"
+    )
+    result = store_to_zarr(
+        spark, pattern, str(tmp_path / "t"), "s.zarr",
+        target_chunks={"time": 3},
+    )
+    assert result.shuffled and calls == ["payload"]
+    assert_equal(result.open(), ds, check_attrs=False)
 
 
 def test_reference_shuffle_rejects_unknown_mode(spark, tmp_path):
