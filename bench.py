@@ -1308,7 +1308,27 @@ def main() -> None:
     # asymptotic zarr throughput (~800 MB; the 50 MB pipeline proxy is
     # job-overhead-bound, this measures the engine)
     if os.environ.get("SPARK_GRAFT_BENCH_TPUT", "1") != "0":
+        # quiet-start gate (r7 verdict #6): the preceding sections leave
+        # SELF-load (retiring python workers, JVM GC, writeback) that
+        # inflates the first throughput runs and made r7's 800 MB tax
+        # read 2.2 on a box that started at load 10. Wait for the 1-min
+        # load to drain below the threshold (bounded wait — the bench
+        # budget matters more than a perfect gate), and record what
+        # happened so the artifact is load-annotated either way.
+        gate_thresh = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4.0"))
+        gate_max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_S", "120"))
+        load_gate = {"threshold": gate_thresh, "load_before": _loadavg1()}
+        waited = 0.0
+        while (
+            (_loadavg1() or 0.0) > gate_thresh and waited < gate_max_wait
+        ):
+            time.sleep(5)
+            waited += 5
+        load_gate["waited_s"] = round(waited, 1)
+        load_gate["load_after"] = _loadavg1()
+        load_gate["satisfied"] = (load_gate["load_after"] or 0.0) <= gate_thresh
         zarr_throughput = _bench_zarr_throughput(spark)
+        zarr_throughput["load_gate"] = load_gate
         _mark("throughput_800mb")
         _emit()
         sharded_saturation = _bench_sharded_saturation(spark)

@@ -1076,46 +1076,47 @@ def store_to_zarr(
 def open_with_kerchunk_df(
     df: DataFrame,
     file_type: Union[str, FileType] = FileType.npz,
-    concat_dim: Optional[str] = None,
-    concat_dim2: Optional[str] = None,
+    concat_dims: Optional[List[str]] = None,
     inline_threshold: int = 300,
     kerchunk_open_kwargs: Optional[dict] = None,
 ) -> DataFrame:
-    """Scan each file into reference dicts → ``(index, pos, pos2, refs)``
-    rows (reference ``OpenWithKerchunk``, ``transforms.py:178-213``).
-    ``pos``/``pos2`` are the file's ordinals along the outer/inner concat
-    dims (``pos2`` stays 0 for 1-D patterns)."""
+    """Scan each file into reference dicts →
+    ``(index, pos0..pos{n-1}, refs)`` rows (reference
+    ``OpenWithKerchunk``, ``transforms.py:178-213``). ``pos{k}`` is the
+    file's ordinal along ``concat_dims[k]`` (outermost first); a 1-D
+    pattern emits just ``pos0``."""
     import json as _json
 
     ft = FileType(file_type) if isinstance(file_type, str) else file_type
+    dims = list(concat_dims or [])
+    n = max(1, len(dims))
+    pos_cols = [f"pos{k}" for k in range(n)]
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_i, out_p, out_p2, out_r = [], [], [], []
+            out: Dict[str, list] = {c: [] for c in ["index", *pos_cols, "refs"]}
             for idx_json, url in zip(pdf["index"], pdf["url"]):
                 index = Index.from_json(idx_json)
-                pos = pos2 = 0
-                if concat_dim:
-                    d = index.find_concat_dim(concat_dim)
-                    if d:
-                        pos = index[d].value
-                if concat_dim2:
-                    d = index.find_concat_dim(concat_dim2)
-                    if d:
-                        pos2 = index[d].value
+                poss = []
+                for k in range(n):
+                    p = 0
+                    if k < len(dims):
+                        d = index.find_concat_dim(dims[k])
+                        if d:
+                            p = index[d].value
+                    poss.append(p)
                 for ref in open_with_kerchunk(
                     url, file_type=ft, inline_threshold=inline_threshold,
                     kerchunk_open_kwargs=kerchunk_open_kwargs,
                 ):
-                    out_i.append(idx_json)
-                    out_p.append(pos)
-                    out_p2.append(pos2)
-                    out_r.append(_json.dumps(ref))
-            yield pd.DataFrame(
-                {"index": out_i, "pos": out_p, "pos2": out_p2, "refs": out_r}
-            )
+                    out["index"].append(idx_json)
+                    for c, p in zip(pos_cols, poss):
+                        out[c].append(p)
+                    out["refs"].append(_json.dumps(ref))
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(scan, "index string, pos long, pos2 long, refs string")
+    schema = "index string, " + ", ".join(f"{c} long" for c in pos_cols) + ", refs string"
+    return df.mapInPandas(scan, schema)
 
 
 def combine_references_df(
@@ -1136,47 +1137,59 @@ def combine_references_df(
     any merging; it runs executor-side on the leaf references exactly
     once (never re-applied to merged partials) and must be picklable.
 
-    Two concat dims (the reference's HRRR step×time family,
-    ``examples/feedstock/hrrr_kerchunk_concat_step.py``) nest the ordered
-    reduce: ``concat_dims[0]`` is the OUTER axis, ``concat_dims[1]`` the
-    INNER — one ``applyInPandas`` per outer slice combines its files
-    along the inner dim (ordered by ``pos2``), then the per-slice
-    virtual stores combine along the outer dim exactly like the 1-D
-    path. One shuffle on the outer key; the driver holds O(#slices)
-    partials — the same envelope as the 1-D collect. Each inner slice
-    must tile the inner extent identically (virtual concat cannot
-    rechunk; the per-level checks in ``combine_references`` enforce
-    it)."""
+    Multiple concat dims (the reference's HRRR step×time family,
+    ``examples/feedstock/hrrr_kerchunk_concat_step.py``, is the 2-D
+    case) nest the ordered reduce recursively, innermost dim first:
+    ``concat_dims[0]`` is the OUTERMOST axis, ``concat_dims[-1]`` the
+    innermost — each level is one ``applyInPandas`` shuffle grouped by
+    the still-outer position columns, combining that level's slices in
+    position order; the final (outermost) level merges driver-side
+    exactly like the 1-D path. One shuffle per level beyond the first;
+    the driver holds O(#outermost-slices) partials — the same envelope
+    as the 1-D collect. Each slice must tile its level's extent
+    identically (virtual concat cannot rechunk; the per-level checks in
+    ``combine_references`` enforce it). ``preprocess`` runs exactly once
+    per leaf refs mapping, at the innermost level."""
     import json as _json
 
-    if len(concat_dims) == 2:
+    if len(concat_dims) >= 2:
         from .kerchunkio import combine_references
 
-        outer, inner = concat_dims
+        def make_slice_combine(inner: str, level: int, keys: List[str], pre):
+            # factory closure: applyInPandas requires a 1-arg function,
+            # and the loop variables must bind per level
+            def slice_combine(pdf: pd.DataFrame) -> pd.DataFrame:
+                rows = sorted(
+                    zip(pdf[f"pos{level}"], pdf["refs"]),
+                    key=lambda t: int(t[0]),
+                )
+                combined = combine_references(
+                    [_json.loads(r) for _, r in rows], [inner], preprocess=pre
+                )
+                out = {k: [int(pdf[k].iloc[0])] for k in keys}
+                out["refs"] = [_json.dumps(combined)]
+                return pd.DataFrame(out)
 
-        def slice_combine(pdf: pd.DataFrame) -> pd.DataFrame:
-            rows = sorted(
-                zip(pdf["pos2"], pdf["refs"]), key=lambda t: int(t[0])
-            )
-            combined = combine_references(
-                [_json.loads(r) for _, r in rows], [inner], preprocess=preprocess
-            )
-            return pd.DataFrame(
-                {"pos": [int(pdf["pos"].iloc[0])], "refs": [_json.dumps(combined)]}
+            return slice_combine
+
+        cur = refs_df
+        for level in range(len(concat_dims) - 1, 0, -1):
+            keys = [f"pos{k}" for k in range(level)]
+            pre = preprocess if level == len(concat_dims) - 1 else None
+            out_schema = ", ".join(f"{k} long" for k in keys) + ", refs string"
+            cur = cur.groupBy(*keys).applyInPandas(
+                make_slice_combine(concat_dims[level], level, keys, pre),
+                out_schema,
             )
 
-        slices = (
-            refs_df.groupBy("pos")
-            .applyInPandas(slice_combine, "pos long, refs string")
-            .collect()
-        )
+        slices = cur.collect()
         ordered = [
-            _json.loads(r["refs"]) for r in sorted(slices, key=lambda r: r["pos"])
+            _json.loads(r["refs"]) for r in sorted(slices, key=lambda r: r["pos0"])
         ]
-        return combine_references(ordered, [outer])
+        return combine_references(ordered, [concat_dims[0]])
 
     stats = refs_df.agg(
-        F.min("pos").alias("mn"), F.max("pos").alias("mx"), F.count("*").alias("ct")
+        F.min("pos0").alias("mn"), F.max("pos0").alias("mx"), F.count("*").alias("ct")
     ).collect()[0]
     count = stats["ct"]
     if count == 0:
@@ -1189,7 +1202,7 @@ def combine_references_df(
         rows: List[Tuple[int, dict]] = []
         for pdf in batches:
             rows.extend(
-                (int(p), _json.loads(r)) for p, r in zip(pdf["pos"], pdf["refs"])
+                (int(p), _json.loads(r)) for p, r in zip(pdf["pos0"], pdf["refs"])
             )
         if rows:
             rows.sort(key=lambda t: t[0])
@@ -1201,8 +1214,8 @@ def combine_references_df(
             )
 
     partials = (
-        refs_df.repartitionByRange(nbuckets, "pos")
-        .sortWithinPartitions("pos")
+        refs_df.repartitionByRange(nbuckets, "pos0")
+        .sortWithinPartitions("pos0")
         .mapInPandas(partial, "min_pos long, refs string")
         .collect()
     )
@@ -1237,19 +1250,12 @@ def write_combined_reference(
         FSSpecTarget.from_url(target_root) if isinstance(target_root, str) else target_root
     )
     concat_dims = concat_dims or pattern.concat_dims
-    if len(concat_dims) not in (1, 2):
-        raise NotImplementedError(
-            "kerchunk combine supports one concat dim (kerchunk "
-            "MultiZarrToZarr's own limit) or two via the nested ordered "
-            "reduce (outer slices -> inner combine -> outer combine); for "
-            "3+-dim patterns use the Zarr path (store_to_zarr), which "
-            "handles any number of combine dims"
-        )
+    if not concat_dims:
+        raise ValueError("kerchunk combine needs at least one concat dim")
 
     manifest = manifest_df(spark, pattern)
     refs_df = open_with_kerchunk_df(
-        manifest, pattern.file_type, concat_dim=concat_dims[0],
-        concat_dim2=concat_dims[1] if len(concat_dims) == 2 else None,
+        manifest, pattern.file_type, concat_dims=concat_dims,
         inline_threshold=inline_threshold,
         kerchunk_open_kwargs=kerchunk_open_kwargs,
     )

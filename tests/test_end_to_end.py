@@ -675,7 +675,37 @@ def test_kerchunk_two_concat_dims_preprocess(spark, tmp_path):
     assert_equal(combined, expected)
 
 
-def test_kerchunk_three_concat_dims_raises(tmp_path):
+def test_kerchunk_three_concat_dims(spark, tmp_path):
+    """3-D kerchunk combine (r8: the nested ordered reduce is recursive —
+    innermost dim reduces first, one shuffle per level, outermost merges
+    driver-side). Full element equality against the source hypercube."""
+    ds = make_ds(nt=4)
+    for t in range(2):
+        for la in range(2):
+            for lo in range(2):
+                sub = ds.isel(
+                    time=slice(2 * t, 2 * t + 2),
+                    lat=slice(9 * la, 9 * la + 9),
+                    lon=slice(18 * lo, 18 * lo + 18),
+                )
+                write_npz(str(tmp_path / f"t{t}_l{la}_o{lo}.npz"), sub)
+    pattern = FilePattern(
+        lambda time, lat, lon: str(tmp_path / f"t{time}_l{lat}_o{lon}.npz"),
+        ConcatDim("time", keys=[0, 1], nitems_per_file=2),
+        ConcatDim("lat", keys=[0, 1], nitems_per_file=9),
+        ConcatDim("lon", keys=[0, 1], nitems_per_file=18),
+        file_type="npz",
+    )
+    out = write_combined_reference(
+        spark, pattern, str(tmp_path / "t"), "ref3d",
+        concat_dims=["time", "lat", "lon"],
+    )
+    assert_equal(open_reference_dataset(out), ds)
+
+
+def test_kerchunk_multi_dim_single_axis_kernel_still_raises(tmp_path):
+    """The single-axis kernel itself still refuses multi-dim input —
+    multi-dim nesting lives in transforms.combine_references_df."""
     from pangeo_forge_recipes_spark.kerchunkio import combine_references
 
     with pytest.raises(NotImplementedError, match="one concat dim"):
