@@ -116,7 +116,8 @@ def _bench_zarr_pipeline(spark) -> dict:
         # stage shape AND any adjacent-process churn (a JVM shutting down
         # next door was measured to 3-5x all three timed runs)
         store_to_zarr(
-            spark, pattern, tmp, "bench_warm.zarr", target_chunks={"time": 16}
+            spark, pattern, tmp, "bench_warm.zarr", target_chunks={"time": 16},
+            rechunk_shuffle="payload",
         )
         # best-of-3 (same policy as the queries). chunks=16 spans two
         # 8-step files → the true rechunk shuffle; chunks=8 aligns with
@@ -131,6 +132,9 @@ def _bench_zarr_pipeline(spark) -> dict:
                 result = store_to_zarr(
                     spark, pattern, tmp, f"bench_{label}{run}.zarr",
                     target_chunks={"time": chunk},
+                    # the aligned variant never shuffles; the shuffled one
+                    # pins payload mode (reference mode has its own rows)
+                    rechunk_shuffle="payload" if label == "shuffled" else None,
                 )
                 dt = time.perf_counter() - t0
                 wall = dt if wall is None else min(wall, dt)
@@ -161,6 +165,7 @@ def _bench_zarr_pipeline(spark) -> dict:
                 result = store_to_zarr(
                     spark, pattern, tmp, f"bench_{label}{run}.zarr",
                     target_chunks={"time": 16}, target_shards={"time": shard},
+                    rechunk_shuffle="payload",
                 )
                 dt = time.perf_counter() - t0
                 wall = dt if wall is None else min(wall, dt)
@@ -320,7 +325,8 @@ def _bench_zarr_throughput(spark) -> dict:
         # below — a single shuffled-shape warm left the other variants'
         # first timed runs paying stage warm-up)
         variants = (
-            ("shuffled", {"target_chunks": {"time": 32}}),
+            ("shuffled", {"target_chunks": {"time": 32},
+                          "rechunk_shuffle": "payload"}),
             ("aligned", {"target_chunks": {"time": per}}),
             (
                 "shuffled_refs",
@@ -478,7 +484,8 @@ def _bench_zarr_throughput(spark) -> dict:
             zpaths, "time", nitems_per_file=per, file_type="zarr"
         )
         lazy_variants = (
-            ("payload", {"target_chunks": {"time": 32}}),
+            ("payload", {"target_chunks": {"time": 32},
+                         "rechunk_shuffle": "payload"}),
             (
                 "reference",
                 {"target_chunks": {"time": 32}, "rechunk_shuffle": "reference"},
