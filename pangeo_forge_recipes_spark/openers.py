@@ -124,11 +124,10 @@ def open_with_ndset(
             url, projection=kw.get("projection"), isel=kw.get("isel")
         )
     if _is_http(url) and file_type == FileType.zarr:
-        raise NotImplementedError(
-            "zarr stores over http are directories, not single files — "
-            "open via kerchunk references (ReferenceStore range-GETs the "
-            "chunks) or cache the store locally"
-        )
+        # a zarr store over http is a url PREFIX, not a single file:
+        # read it in place through HTTPStore (consolidated metadata =
+        # one GET for the group walk; lazy opens range-GET chunks)
+        return open_zarr_group(url, load=load)
     path, is_temp = _materialize_local(url, file_type, kw)
     if copy_to_local and not is_temp:
         suffix = f".{file_type.value}" if file_type != FileType.unknown else ""
@@ -192,7 +191,9 @@ def read_schema(
     Over ``http(s)://`` the whole file streams to a temp first (pass
     ``cache=`` upstream so the schema pass and the open pass share one
     transfer); opendap stays header-only over the wire either way."""
-    if _is_http(url) and file_type != FileType.opendap:
+    if _is_http(url) and file_type not in (FileType.opendap, FileType.zarr):
+        # (zarr urls pass through: zarr_group_schema walks the remote
+        # store's consolidated metadata in place — one GET)
         path, _ = _materialize_local(url, file_type, xarray_open_kwargs)
         try:
             return read_schema(

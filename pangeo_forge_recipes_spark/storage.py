@@ -17,6 +17,7 @@ import unicodedata
 import urllib.error
 import urllib.request
 from dataclasses import dataclass, field, replace
+from typing import Iterator
 from urllib.parse import urlparse
 
 from .zarrio import LocalStore, Store
@@ -183,6 +184,88 @@ def http_range_get(
         if resp.status == 200 and len(data) > length:
             data = data[offset : offset + length]
     return data
+
+
+class HTTPStore(Store):
+    """Read-only :class:`~.zarrio.Store` over an ``http(s)://`` prefix —
+    the engine's remote-archive read path for Zarr stores served by a
+    plain web server or object-store http endpoint.
+
+    * ``get``/``exists`` are one GET/HEAD each (HEAD falls back to a
+      1-byte Range GET where the server disallows it);
+    * ``get_range`` is one Range GET — sharded arrays and kerchunk-style
+      partial reads touch O(requested) bytes of a remote object;
+    * ``list_prefix`` raises: http has no directory listing — group
+      walks over http are served by CONSOLIDATED metadata (one GET of
+      ``zarr.json`` / ``.zmetadata``), which the group reader prefers;
+    * writes raise (read-only by construction).
+    """
+
+    def __init__(
+        self,
+        base_url: str,
+        secrets: dict | None = None,
+        open_kwargs: dict | None = None,
+    ):
+        self.base_url = base_url.rstrip("/")
+        self.secrets = secrets
+        self.open_kwargs = dict(open_kwargs or {})
+
+    def _url(self, key: str) -> str:
+        url = f"{self.base_url}/{key}"
+        if self.secrets:
+            url = _add_query_string_secrets(url, self.secrets)
+        return url
+
+    def get(self, key: str) -> bytes:
+        try:
+            with _http_open(self._url(key), self.open_kwargs) as resp:
+                return resp.read()
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                raise KeyError(key) from None
+            raise
+
+    def get_range(self, key: str, offset: int, length: int) -> bytes:
+        return http_range_get(
+            self._url(key), offset, length, **self.open_kwargs
+        )
+
+    def exists(self, key: str) -> bool:
+        try:
+            with _http_open(self._url(key), self.open_kwargs, method="HEAD"):
+                return True
+        except urllib.error.HTTPError as e:
+            if e.code in (405, 501):  # HEAD not allowed — 1-byte probe
+                try:
+                    with _http_open(
+                        self._url(key),
+                        self.open_kwargs,
+                        extra_headers={"Range": "bytes=0-0"},
+                    ):
+                        return True
+                except urllib.error.HTTPError as e2:
+                    if e2.code in (404, 410):
+                        return False
+                    if e2.code == 416:  # empty object — it exists
+                        return True
+                    raise
+            if e.code in (404, 410):
+                return False
+            raise
+
+    def list_prefix(self, prefix: str) -> Iterator[str]:
+        raise NotImplementedError(
+            "http stores cannot list keys — write the store with "
+            "consolidated metadata (the default) so group walks are one "
+            "GET of the root metadata document"
+        )
+
+    def put(self, key: str, value: bytes) -> None:
+        raise NotImplementedError("HTTPStore is read-only")
+
+    def rm_prefix(self, prefix: str) -> None:
+        raise NotImplementedError("HTTPStore is read-only")
 
 
 def _open_url_raw(fname: str, secrets: dict | None, **open_kwargs):

@@ -183,7 +183,14 @@ class MemoryStore(Store):
 def _store_for(path_or_store) -> Store:
     if isinstance(path_or_store, Store):
         return path_or_store
-    return LocalStore(str(path_or_store))
+    path = str(path_or_store)
+    if path.startswith(("http://", "https://")):
+        # remote read path: consolidated metadata makes the group walk
+        # one GET; chunk reads are one GET each (ranges for shards)
+        from .storage import HTTPStore
+
+        return HTTPStore(path)
+    return LocalStore(path)
 
 
 def _encode_fill(value, dtype: np.dtype):

@@ -251,6 +251,114 @@ def test_kerchunk_scan_over_http_range_reads_source(request, http_root):
     ], "no full-file GET may happen after the scan"
 
 
+def _write_store(root, name, nt=6, start="2010-01-01"):
+    """A tiny consolidated zarr v3 store under the http root."""
+    from pangeo_forge_recipes_spark.aggregation import dataset_to_schema
+    from pangeo_forge_recipes_spark.dsio import schema_to_zarr, store_dataset_fragment
+    from pangeo_forge_recipes_spark.types import (
+        CombineOp, Dimension, Index, IndexedPosition,
+    )
+
+    ds = make_ds(nt=nt, start=start)
+    path = os.path.join(root, name)
+    schema_to_zarr(
+        dataset_to_schema(ds), path, target_chunks={"time": 2}
+    )
+    dim = Dimension("time", CombineOp.CONCAT)
+    store_dataset_fragment(
+        (Index({dim: IndexedPosition(0, dimsize=nt)}), ds), path
+    )
+    from pangeo_forge_recipes_spark.zarrio import consolidate_metadata
+
+    consolidate_metadata(path)
+    return ds, path
+
+
+def test_open_zarr_group_over_http(request, http_root):
+    """A zarr store behind a web server reads in place through HTTPStore:
+    the group walk is consolidated metadata, eager open equals the local
+    read, and a LAZY isel GETs only the intersecting chunk objects."""
+    from pangeo_forge_recipes_spark.dsio import open_zarr_group
+
+    ds, _ = _write_store(http_root, "w.zarr")
+    s = _serve(request, http_root)
+    url = f"{s.url}/w.zarr"
+    out = open_zarr_group(url)
+    assert_equal(out, ds)
+
+    # lazy + isel: only chunks [2:4) of the time axis are fetched
+    n0 = len(s.requests)
+    lazy = open_zarr_group(url, load=False)
+    sub = lazy.isel({"time": slice(2, 4)})
+    got = {v: np.asarray(sub.data_vars[v].data) for v in sub.data_vars}
+    for v in got:
+        np.testing.assert_array_equal(
+            got[v], np.asarray(ds.data_vars[v].data)[2:4]
+        )
+    data_gets = [
+        r for r in s.requests[n0:]
+        if r[0] == "GET" and "/c/" in r[1] and ("/foo/" in r[1] or "/bar/" in r[1])
+    ]
+    fetched = {r[1].rsplit("w.zarr/", 1)[1] for r in data_gets}
+    assert fetched and all(key.split("/c/")[1].startswith("1") for key in fetched), fetched
+
+
+def test_read_schema_zarr_over_http_is_metadata_only(request, http_root):
+    from pangeo_forge_recipes_spark.openers import read_schema
+
+    _write_store(http_root, "m.zarr")
+    s = _serve(request, http_root)
+    schema = read_schema(f"{s.url}/m.zarr", FileType.zarr)
+    assert schema["dims"]["time"] == 6
+    assert not [r for r in s.requests if r[0] == "GET" and "/c/" in r[1]], (
+        "schema pass must not touch chunk objects"
+    )
+
+
+def test_zarr_datasource_over_http(request, http_root, spark):
+    """spark.read.format('zarr') over an http store: the relation plans
+    from consolidated metadata and executors GET only surviving chunks."""
+    from pangeo_forge_recipes_spark.sources import read_zarr
+
+    ds, _ = _write_store(http_root, "d.zarr")
+    s = _serve(request, http_root)
+    rows = (
+        read_zarr(spark, f"{s.url}/d.zarr")
+        .filter("time >= timestamp'2010-01-05'")
+        .collect()
+    )
+    lat = np.asarray(ds.coords["lat"].data)
+    lon = np.asarray(ds.coords["lon"].data)
+    assert len(rows) == 2 * len(lat) * len(lon)
+    want_foo = np.asarray(ds.data_vars["foo"].data)
+    first = min(rows, key=lambda r: (r["time"], r["lat"], r["lon"]))
+    assert first["foo"] == want_foo[4, 0, 0]
+
+
+def test_store_to_zarr_from_http_zarr_sources(request, http_root, spark, tmp_path):
+    """The chunk-lazy pipeline over REMOTE zarr sources: two http stores
+    concat along time, rechunked through the (auto) reference-mode
+    shuffle whose write tasks range-read the remote chunks."""
+    from pangeo_forge_recipes_spark import pattern_from_file_sequence, store_to_zarr
+    from pangeo_forge_recipes_spark.ndset import concat as nd_concat
+
+    ds1, _ = _write_store(http_root, "a.zarr", nt=4)
+    ds2, _ = _write_store(http_root, "b.zarr", nt=4, start="2010-01-05")
+    s = _serve(request, http_root)
+    pattern = pattern_from_file_sequence(
+        [f"{s.url}/a.zarr", f"{s.url}/b.zarr"], "time",
+        nitems_per_file=4, file_type="zarr",
+    )
+    result = store_to_zarr(
+        spark, pattern, str(tmp_path / "t"), "remote.zarr",
+        target_chunks={"time": 3},
+    )
+    assert result.shuffled
+    out = result.open()
+    want = nd_concat([ds1, ds2], "time")
+    assert_equal(out, want, check_attrs=False)
+
+
 def test_store_to_zarr_e2e_over_http_with_cache_and_auth(
     request, http_root, spark, tmp_path
 ):
