@@ -61,7 +61,15 @@ _UNDEF = 0xFFFFFFFFFFFFFFFF
 class _Reader:
     def __init__(self, path: str):
         self.path = path
-        self.f = open(path, "rb")
+        if str(path).startswith(("http://", "https://")):
+            # remote archive: the header walk runs over block-cached
+            # Range GETs — a scan transfers O(header) bytes, never the
+            # file (chunk data later range-reads through ReferenceStore)
+            from .storage import HTTPRangeFile
+
+            self.f = HTTPRangeFile(path)
+        else:
+            self.f = open(path, "rb")
         self._parse_superblock()
         # address -> dataset info (for DIMENSION_LIST reference resolution)
         self.datasets: Dict[str, dict] = {}
@@ -819,7 +827,10 @@ def scan_hdf5(path: str, inline_threshold: int = 300) -> dict:
 
     reader = _Reader(path)
     try:
-        url = f"file://{os.path.abspath(path)}"
+        if str(path).startswith(("http://", "https://")):
+            url = path  # refs point at the remote source: range-GET reads
+        else:
+            url = f"file://{os.path.abspath(path)}"
         refs: Dict[str, object] = {}
         entries = {}
         for name, info in reader.datasets.items():

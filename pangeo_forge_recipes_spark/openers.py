@@ -128,6 +128,13 @@ def open_with_ndset(
         # read it in place through HTTPStore (consolidated metadata =
         # one GET for the group walk; lazy opens range-GET chunks)
         return open_zarr_group(url, load=load)
+    if _is_http(url) and file_type == FileType.netcdf4:
+        # HDF5 reads in place too: the header walk runs over
+        # block-cached Range GETs and chunk data range-reads through
+        # the virtual store — no download
+        from .hdf5io import read_hdf5
+
+        return read_hdf5(url)
     path, is_temp = _materialize_local(url, file_type, kw)
     if copy_to_local and not is_temp:
         suffix = f".{file_type.value}" if file_type != FileType.unknown else ""
@@ -191,9 +198,12 @@ def read_schema(
     Over ``http(s)://`` the whole file streams to a temp first (pass
     ``cache=`` upstream so the schema pass and the open pass share one
     transfer); opendap stays header-only over the wire either way."""
-    if _is_http(url) and file_type not in (FileType.opendap, FileType.zarr):
+    if _is_http(url) and file_type not in (
+        FileType.opendap, FileType.zarr, FileType.netcdf4
+    ):
         # (zarr urls pass through: zarr_group_schema walks the remote
-        # store's consolidated metadata in place — one GET)
+        # store's consolidated metadata in place — one GET; netcdf4
+        # passes through: the HDF5 header walk range-reads in place)
         path, _ = _materialize_local(url, file_type, xarray_open_kwargs)
         try:
             return read_schema(
@@ -265,6 +275,13 @@ def open_with_kerchunk(
     (never the vanished temp): scan once, range-read forever."""
     from .kerchunkio import scan_npz, scan_zarr
 
+    if _is_http(url) and file_type == FileType.netcdf4:
+        # HDF5 scans a REMOTE archive in place: the header walk is a
+        # handful of block Range GETs and the emitted refs point at the
+        # http url already — no download, no rewrite
+        from .hdf5io import scan_hdf5
+
+        return [scan_hdf5(url, inline_threshold=inline_threshold)]
     if _is_http(url):
         path, _ = _materialize_local(url, file_type, kerchunk_open_kwargs)
         try:

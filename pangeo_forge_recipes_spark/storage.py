@@ -16,6 +16,7 @@ import shutil
 import unicodedata
 import urllib.error
 import urllib.request
+from collections import OrderedDict
 from dataclasses import dataclass, field, replace
 from typing import Iterator
 from urllib.parse import urlparse
@@ -184,6 +185,107 @@ def http_range_get(
         if resp.status == 200 and len(data) > length:
             data = data[offset : offset + length]
     return data
+
+
+class HTTPRangeFile:
+    """Read-only seekable file over HTTP Range GETs with an LRU block
+    cache — what lets byte-walking readers (the HDF5 header scanner)
+    operate on a REMOTE archive without downloading it: a header walk
+    issues a handful of block GETs instead of transferring the file.
+
+    Contiguous uncached blocks coalesce into one Range GET; the cache
+    bounds memory at ``block_size × max_blocks`` (default 16 MiB)."""
+
+    def __init__(
+        self,
+        url: str,
+        block_size: int = 256 * 1024,
+        max_blocks: int = 64,
+        secrets: dict | None = None,
+        **open_kwargs,
+    ):
+        if secrets:
+            url = _add_query_string_secrets(url, secrets)
+        self.url = url
+        self.block_size = int(block_size)
+        self.max_blocks = int(max_blocks)
+        self.open_kwargs = open_kwargs
+        self._pos = 0
+        self._blocks: "OrderedDict[int, bytes]" = OrderedDict()
+        self.size = _remote_size(url, None, **open_kwargs)
+        if self.size < 0:
+            raise OSError(
+                f"{url}: server reports no size (no Content-Length / "
+                "Content-Range) — range reads need the total length"
+            )
+        self.n_requests = 0  # observability for tests/tuning
+
+    # -- block cache ---------------------------------------------------
+    def _fetch_blocks(self, first: int, last: int) -> None:
+        """Fetch blocks [first, last] (inclusive), coalescing contiguous
+        uncached runs into single Range GETs."""
+        run_start = None
+        for b in range(first, last + 2):  # +1 sentinel flushes the run
+            cached = b > last or b in self._blocks
+            if not cached and run_start is None:
+                run_start = b
+            elif cached and run_start is not None:
+                lo = run_start * self.block_size
+                hi = min((b * self.block_size), self.size) - 1
+                data = http_range_get(
+                    self.url, lo, hi - lo + 1, **self.open_kwargs
+                )
+                self.n_requests += 1
+                for i, blk in enumerate(range(run_start, b)):
+                    s = i * self.block_size
+                    self._blocks[blk] = data[s : s + self.block_size]
+                run_start = None
+        while len(self._blocks) > self.max_blocks:
+            self._blocks.popitem(last=False)
+
+    # -- file protocol ---------------------------------------------------
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = self.size - self._pos
+        n = max(0, min(n, self.size - self._pos))
+        if n == 0:
+            return b""
+        lo, hi = self._pos, self._pos + n - 1
+        first, last = lo // self.block_size, hi // self.block_size
+        self._fetch_blocks(first, last)
+        parts = []
+        for b in range(first, last + 1):
+            blk = self._blocks[b]
+            self._blocks.move_to_end(b)
+            s = lo - b * self.block_size if b == first else 0
+            e = hi - b * self.block_size + 1 if b == last else len(blk)
+            parts.append(blk[s:e])
+        self._pos += n
+        return b"".join(parts)
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        if whence == 0:
+            self._pos = offset
+        elif whence == 1:
+            self._pos += offset
+        elif whence == 2:
+            self._pos = self.size + offset
+        else:
+            raise ValueError(f"whence {whence}")
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def close(self) -> None:
+        self._blocks.clear()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
 
 class HTTPStore(Store):

@@ -359,6 +359,80 @@ def test_store_to_zarr_from_http_zarr_sources(request, http_root, spark, tmp_pat
     assert_equal(out, want, check_attrs=False)
 
 
+def test_http_range_file_semantics_and_coalescing(request, http_root):
+    from pangeo_forge_recipes_spark.storage import HTTPRangeFile
+
+    payload = bytes((i * 7 + 3) % 256 for i in range(100_000))
+    with open(os.path.join(http_root, "f.bin"), "wb") as f:
+        f.write(payload)
+    s = _serve(request, http_root)
+    rf = HTTPRangeFile(f"{s.url}/f.bin", block_size=1024, max_blocks=8)
+    assert rf.size == len(payload)
+    rf.seek(500)
+    assert rf.read(100) == payload[500:600]
+    assert rf.tell() == 600
+    rf.seek(-50, 2)
+    assert rf.read() == payload[-50:]
+    # a read spanning many uncached blocks coalesces into ONE Range GET
+    n0 = rf.n_requests
+    rf.seek(10_000)
+    assert rf.read(5_000) == payload[10_000:15_000]
+    assert rf.n_requests == n0 + 1
+    # re-reading cached blocks costs no request
+    rf.seek(10_100)
+    assert rf.read(200) == payload[10_100:10_300]
+    assert rf.n_requests == n0 + 1
+    # LRU bound holds
+    assert len(rf._blocks) <= 8
+
+
+def test_hdf5_over_http_reads_in_place(request, http_root):
+    """netcdf4/HDF5 over http: the header walk is block Range GETs, the
+    scan's refs point at the REMOTE url, chunk data range-reads through
+    the virtual store — no full download anywhere."""
+    from pangeo_forge_recipes_spark.hdf5io import read_hdf5, write_hdf5
+    from pangeo_forge_recipes_spark.openers import open_with_kerchunk, read_schema
+
+    ds = make_ds(nt=300)
+    local = os.path.join(http_root, "d.nc")
+    write_hdf5(local, ds, chunks={"time": 30}, compress=True)
+    fsize = os.path.getsize(local)
+    s = _serve(request, http_root)
+    url = f"{s.url}/d.nc"
+
+    def _span(rng):
+        lo, hi = rng.split("=", 1)[1].split("-", 1)
+        return int(hi) - int(lo) + 1 if hi else 0
+
+    def _bytes_since(n0):
+        return sum(
+            _span(r[2]) for r in s.requests[n0:] if r[0] == "GET" and r[2]
+        )
+
+    # schema: header-only over the wire — a few header blocks, never
+    # anything near the (multi-MB) file
+    n0 = len(s.requests)
+    schema = read_schema(url, FileType.netcdf4)
+    assert schema["dims"]["time"] == 300
+    assert not [r for r in s.requests if r[0] == "GET" and r[2] is None], (
+        "no full-file GET may happen"
+    )
+    assert _bytes_since(n0) < fsize / 2, (_bytes_since(n0), fsize)
+
+    # full decode: equal to the local read, still all Range GETs
+    out = read_hdf5(url)
+    assert_equal(out, read_hdf5(local))
+
+    # kerchunk scan in place: refs point at the http url, header-bounded
+    n0 = len(s.requests)
+    (refs,) = open_with_kerchunk(url, FileType.netcdf4, inline_threshold=0)
+    table = refs.get("refs", refs)
+    range_refs = [v for v in table.values() if isinstance(v, list)]
+    assert range_refs and all(v[0] == url for v in range_refs)
+    assert not [r for r in s.requests if r[0] == "GET" and r[2] is None]
+    assert _bytes_since(n0) < fsize / 2, (_bytes_since(n0), fsize)
+
+
 def test_store_to_zarr_e2e_over_http_with_cache_and_auth(
     request, http_root, spark, tmp_path
 ):
