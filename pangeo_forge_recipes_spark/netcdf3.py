@@ -516,14 +516,26 @@ def scan_netcdf3(path: str, inline_threshold: int = 300) -> dict:
     from .kerchunkio import _array_meta, _inline
     from .zarrio import _DTYPE_TO_ZARR, ZARR_JSON
 
-    with open(path, "rb") as f:
+    def _open_src():
+        # http(s) sources scan in place over block-cached Range GETs:
+        # the header parse transfers O(header) bytes, never the file
+        if str(path).startswith(("http://", "https://")):
+            from .storage import HTTPRangeFile
+
+            return HTTPRangeFile(path)
+        return open(path, "rb")
+
+    with _open_src() as f:
         header = _parse_header(f)
     if any(v["record"] for v in header["variables"]):
         raise NotImplementedError(
             "record variables interleave across the file; re-written fixed "
             "layout required for byte-range references"
         )
-    url = f"file://{os.path.abspath(path)}"
+    if str(path).startswith(("http://", "https://")):
+        url = path  # refs point at the remote source: range-GET reads
+    else:
+        url = f"file://{os.path.abspath(path)}"
     coords, _ = _split_roles(header)
     gattrs = dict(header["attrs"])
     declared = gattrs.pop("coordinates", None)
@@ -551,7 +563,7 @@ def scan_netcdf3(path: str, inline_threshold: int = 300) -> dict:
         chunk_key = "/".join([v["name"], "c"] + ["0"] * len(v["shape"]))
         inline: Optional[str] = None
         if nbytes <= inline_threshold:
-            with open(path, "rb") as f:
+            with _open_src() as f:
                 f.seek(v["begin"])
                 inline = _inline(f.read(nbytes), inline_threshold)
         refs[chunk_key] = (

@@ -282,6 +282,11 @@ def open_with_kerchunk(
         from .hdf5io import scan_hdf5
 
         return [scan_hdf5(url, inline_threshold=inline_threshold)]
+    if _is_http(url) and file_type == FileType.netcdf3:
+        # classic netCDF too: one header block + refs at the remote url
+        from .netcdf3 import scan_netcdf3
+
+        return [scan_netcdf3(url, inline_threshold=inline_threshold)]
     if _is_http(url):
         path, _ = _materialize_local(url, file_type, kerchunk_open_kwargs)
         try:

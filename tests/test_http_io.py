@@ -433,6 +433,29 @@ def test_hdf5_over_http_reads_in_place(request, http_root):
     assert _bytes_since(n0) < fsize / 2, (_bytes_since(n0), fsize)
 
 
+def test_netcdf3_kerchunk_scan_over_http(request, http_root):
+    """Classic netCDF over http: the scan parses the header in place
+    (one block GET) and emits refs at the remote url; the virtual read
+    range-GETs exactly the referenced variable blocks."""
+    from pangeo_forge_recipes_spark.kerchunkio import open_reference_dataset
+    from pangeo_forge_recipes_spark.netcdf3 import write_netcdf3
+    from pangeo_forge_recipes_spark.openers import open_with_kerchunk
+
+    ds = make_ds(nt=20)
+    local = os.path.join(http_root, "c.nc")
+    write_netcdf3(local, ds)
+    s = _serve(request, http_root)
+    url = f"{s.url}/c.nc"
+    (refs,) = open_with_kerchunk(url, FileType.netcdf3, inline_threshold=0)
+    table = refs.get("refs", refs)
+    range_refs = [v for v in table.values() if isinstance(v, list)]
+    assert range_refs and all(v[0] == url for v in range_refs)
+    assert not [r for r in s.requests if r[0] == "GET" and r[2] is None]
+    out = open_reference_dataset(refs)
+    assert_equal(out, ds, check_attrs=False)
+    assert not [r for r in s.requests if r[0] == "GET" and r[2] is None]
+
+
 def test_store_to_zarr_e2e_over_http_with_cache_and_auth(
     request, http_root, spark, tmp_path
 ):
