@@ -108,10 +108,21 @@ def _be(buf: bytes, off: int, n: int) -> int:
 
 def scan_grib2_messages(path: str) -> List[dict]:
     """Walk a GRIB2 file's messages, parsing section headers only (data
-    bits are located, not unpacked). Each entry describes one field."""
+    bits are located via seek, never read — section 7's payload is
+    replaced by a placeholder in the parsed view). Each entry describes
+    one field. ``http(s)://`` paths scan in place over block-cached
+    Range GETs: the walk transfers O(headers + bitmaps), not the file —
+    the NOMADS/HRRR kerchunk-from-remote-GRIB pattern."""
     out: List[dict] = []
-    size = os.path.getsize(path)
-    with open(path, "rb") as f:
+    if str(path).startswith(("http://", "https://")):
+        from .storage import HTTPRangeFile
+
+        f = HTTPRangeFile(path)
+        size = f.size
+    else:
+        f = open(path, "rb")
+        size = os.path.getsize(path)
+    with f:
         pos = 0
         while pos < size:
             head = f.read(16)
@@ -125,7 +136,29 @@ def scan_grib2_messages(path: str) -> List[dict]:
                 )
             discipline = head[6]
             total = _be(head, 8, 8)
-            body = head + f.read(total - 16)
+            # assemble the header view section by section; section 7's
+            # payload is zero-filled (same offsets, nothing transferred:
+            # _parse_message records only its position and length)
+            parts = [head]
+            p = 16
+            while p < total - 4:
+                hdr5 = f.read(5)
+                if len(hdr5) < 5:
+                    break
+                sec_len = _be(hdr5, 0, 4)
+                sec_num = hdr5[4]
+                if sec_len < 5:
+                    raise ValueError(
+                        f"{path}: corrupt section length {sec_len} at "
+                        f"message offset {pos}+{p}"
+                    )
+                if sec_num == 7 and sec_len > 5:
+                    parts.append(hdr5 + b"\x00" * (sec_len - 5))
+                    f.seek(pos + p + sec_len)
+                else:
+                    parts.append(hdr5 + f.read(sec_len - 5))
+                p += sec_len
+            body = b"".join(parts)
             msg = _parse_message(body, discipline, pos, total, path)
             out.append(msg)
             pos += total
@@ -1166,7 +1199,10 @@ def scan_grib2(
     msgs = scan_grib2_messages(path)
     groups, times, grid = _group_messages(msgs, filter_by_keys)
     (ydim, xdim), space_coords = _grid_parts(grid)
-    url = f"file://{os.path.abspath(path)}"
+    if str(path).startswith(("http://", "https://")):
+        url = path  # refs point at the remote source: range-GET reads
+    else:
+        url = f"file://{os.path.abspath(path)}"
     nt, nj, ni = len(times), grid["nj"], grid["ni"]
     # non-dim coords (the 2-D lat/lon of a projected grid) are declared
     # via the group 'coordinates' attribute, the engine's convention for

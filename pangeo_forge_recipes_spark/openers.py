@@ -287,6 +287,18 @@ def open_with_kerchunk(
         from .netcdf3 import scan_netcdf3
 
         return [scan_netcdf3(url, inline_threshold=inline_threshold)]
+    if _is_http(url) and file_type == FileType.grib:
+        # GRIB2 scans skip section-7 payloads via seek, so a remote scan
+        # transfers O(headers + bitmaps) — the NOMADS/HRRR kerchunk shape
+        from .grib2io import scan_grib2
+
+        return [
+            scan_grib2(
+                url,
+                inline_threshold=inline_threshold,
+                filter_by_keys=_grib_filter(kerchunk_open_kwargs or {}),
+            )
+        ]
     if _is_http(url):
         path, _ = _materialize_local(url, file_type, kerchunk_open_kwargs)
         try:

@@ -456,6 +456,70 @@ def test_netcdf3_kerchunk_scan_over_http(request, http_root):
     assert not [r for r in s.requests if r[0] == "GET" and r[2] is None]
 
 
+def test_grib2_kerchunk_scan_over_http(request, http_root):
+    """GRIB2 over http (the NOMADS/HRRR shape): the scan walks section
+    headers and SKIPS section-7 payloads via seek, so a remote scan
+    transfers a fraction of the file; message chunks later range-GET."""
+    import numpy as np
+
+    from pangeo_forge_recipes_spark.grib2io import read_grib2, write_grib2
+    from pangeo_forge_recipes_spark.kerchunkio import open_reference_dataset
+    from pangeo_forge_recipes_spark.ndset import NDDataset, Variable
+    from pangeo_forge_recipes_spark.openers import open_with_kerchunk
+
+    # grib-flavored grid (lat/lon names + north->south, GRIB convention);
+    # values quantized so simple packing round-trips exactly
+    # big enough that each message's section-7 spans many 256 KiB cache
+    # blocks — the seek-skip must save real transfer, not hide inside
+    # one block
+    rng = np.random.default_rng(12)
+    nt, nj, ni = 4, 512, 1024
+    time = np.datetime64("2024-03-01T00", "ns") + np.arange(nt) * np.timedelta64(6, "h")
+    t = np.round(rng.uniform(250, 310, (nt, nj, ni)) * 128) / 128
+    ds = NDDataset(
+        {"t": Variable(("time", "latitude", "longitude"), t)},
+        {
+            "time": Variable(("time",), time),
+            "latitude": Variable(
+                ("latitude",), np.linspace(60.0, 30.0, nj), {"units": "degrees_north"}
+            ),
+            "longitude": Variable(
+                ("longitude",), np.linspace(0.0, 40.0, ni), {"units": "degrees_east"}
+            ),
+        },
+        {},
+        {"time": nt, "latitude": nj, "longitude": ni},
+    )
+    local = os.path.join(http_root, "g.grib2")
+    write_grib2(local, ds)
+    fsize = os.path.getsize(local)
+    s = _serve(request, http_root)
+    url = f"{s.url}/g.grib2"
+
+    def _span(rng):
+        lo, hi = rng.split("=", 1)[1].split("-", 1)
+        return int(hi) - int(lo) + 1 if hi else 0
+
+    n0 = len(s.requests)
+    (refs,) = open_with_kerchunk(url, FileType.grib, inline_threshold=0)
+    scan_bytes = sum(
+        _span(r[2]) for r in s.requests[n0:] if r[0] == "GET" and r[2]
+    )
+    assert scan_bytes < fsize / 2, (scan_bytes, fsize)
+    assert not [r for r in s.requests if r[0] == "GET" and r[2] is None]
+    table = refs.get("refs", refs)
+    msg_refs = [v for v in table.values() if isinstance(v, list)]
+    assert msg_refs and all(v[0] == url for v in msg_refs)
+    out = open_reference_dataset(refs)
+    want = read_grib2(local)
+    for v in want.data_vars:
+        np.testing.assert_allclose(
+            np.asarray(out.data_vars[v].data),
+            np.asarray(want.data_vars[v].data),
+        )
+    assert not [r for r in s.requests if r[0] == "GET" and r[2] is None]
+
+
 def test_store_to_zarr_e2e_over_http_with_cache_and_auth(
     request, http_root, spark, tmp_path
 ):
