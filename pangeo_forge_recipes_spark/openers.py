@@ -94,6 +94,81 @@ def _grib_filter(kw: dict) -> Optional[dict]:
     ) or kw.get("filter")
 
 
+_HDF5_SIG = b"\x89HDF\r\n\x1a\n"
+
+
+def sniff_file_type(url: str) -> FileType:
+    """Detect a source's :class:`FileType` from its bytes — the engine
+    analog of the reference's ``FileType.unknown`` auto-selection
+    (``openers.py:53-60`` warns and lets xarray's backend guess; here
+    the magic numbers decide):
+
+    * zarr: a DIRECTORY (or url prefix) holding ``zarr.json`` /
+      ``.zgroup``;
+    * HDF5/netCDF4: the 8-byte HDF5 signature at offset 0 or any
+      userblock offset 512·2^k;
+    * classic netCDF3: ``CDF\\x01/\\x02/\\x05``;
+    * GRIB2: ``GRIB``; npz: zip ``PK\\x03\\x04``;
+    * kerchunk: a JSON document (leading ``{``).
+    """
+    if _is_http(url):
+        from .storage import HTTPStore, http_range_get
+
+        store = HTTPStore(url)
+        if store.exists("zarr.json") or store.exists(".zgroup"):
+            return FileType.zarr
+        head = http_range_get(url, 0, 8)
+    else:
+        path = _local_path(url)
+        if os.path.isdir(path):
+            if os.path.exists(os.path.join(path, "zarr.json")) or os.path.exists(
+                os.path.join(path, ".zgroup")
+            ):
+                return FileType.zarr
+            raise ValueError(f"{url}: directory without zarr metadata")
+        with open(path, "rb") as f:
+            head = f.read(8)
+    if head[:8] == _HDF5_SIG:
+        return FileType.netcdf4
+    if head[:3] == b"CDF" and head[3:4] in (b"\x01", b"\x02", b"\x05"):
+        return FileType.netcdf3
+    if head[:4] == b"GRIB":
+        return FileType.grib
+    if head[:4] == b"PK\x03\x04":
+        return FileType.npz
+    if head[:1] in (b"{", b" ", b"\n"):
+        return FileType.kerchunk
+    # HDF5 userblock: the signature may sit at 512 * 2^k
+    def _read_at(off: int, n: int) -> bytes:
+        if _is_http(url):
+            from .storage import http_range_get
+
+            try:
+                return http_range_get(url, off, n)
+            except Exception:
+                return b""
+        with open(_local_path(url), "rb") as f:
+            f.seek(off)
+            return f.read(n)
+
+    off = 512
+    while off <= (1 << 22):
+        sig = _read_at(off, 8)
+        if sig == _HDF5_SIG:
+            return FileType.netcdf4
+        if len(sig) < 8:
+            break
+        off *= 2
+    raise ValueError(
+        f"{url}: unrecognized format (first bytes {head[:8]!r}); pass an "
+        "explicit file_type"
+    )
+
+
+def _resolve_type(url: str, file_type: FileType) -> FileType:
+    return sniff_file_type(url) if file_type == FileType.unknown else file_type
+
+
 def open_with_ndset(
     url: str,
     file_type: FileType = FileType.npz,
@@ -112,6 +187,7 @@ def open_with_ndset(
     once per url); the temp is removed once the open is eager. Remote
     zarr DIRECTORIES are not single files — read them through kerchunk
     references (whose chunk gets range-GET the source) or a cache."""
+    file_type = _resolve_type(url, file_type)
     kw = dict(xarray_open_kwargs or {})
     if file_type == FileType.opendap:
         from .dap2io import read_dap2
@@ -198,6 +274,7 @@ def read_schema(
     Over ``http(s)://`` the whole file streams to a temp first (pass
     ``cache=`` upstream so the schema pass and the open pass share one
     transfer); opendap stays header-only over the wire either way."""
+    file_type = _resolve_type(url, file_type)
     if _is_http(url) and file_type not in (
         FileType.opendap, FileType.zarr, FileType.netcdf4
     ):
@@ -273,6 +350,7 @@ def open_with_kerchunk(
     emitted byte ranges are rewritten to point at the ORIGINAL url — so
     every later chunk read is a Range GET against the remote source
     (never the vanished temp): scan once, range-read forever."""
+    file_type = _resolve_type(url, file_type)
     from .kerchunkio import scan_npz, scan_zarr
 
     if _is_http(url) and file_type == FileType.netcdf4:

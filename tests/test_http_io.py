@@ -520,6 +520,20 @@ def test_grib2_kerchunk_scan_over_http(request, http_root):
     assert not [r for r in s.requests if r[0] == "GET" and r[2] is None]
 
 
+def test_sniff_file_type_over_http(request, http_root):
+    from pangeo_forge_recipes_spark.hdf5io import write_hdf5
+    from pangeo_forge_recipes_spark.openers import sniff_file_type
+
+    ds = make_ds(nt=3)
+    write_hdf5(os.path.join(http_root, "x.bin"), ds)
+    _write_store(http_root, "z.bin")
+    s = _serve(request, http_root)
+    assert sniff_file_type(f"{s.url}/x.bin") == FileType.netcdf4
+    assert sniff_file_type(f"{s.url}/z.bin") == FileType.zarr
+    # detection reads bytes, never the file
+    assert not [r for r in s.requests if r[0] == "GET" and r[2] is None]
+
+
 def test_store_to_zarr_e2e_over_http_with_cache_and_auth(
     request, http_root, spark, tmp_path
 ):
