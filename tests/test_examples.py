@@ -22,6 +22,7 @@ _EXAMPLES = [
     ("terraclimate_like.py", "verified"),
     ("events_to_zarr.py", "events_to_zarr OK"),
     ("snapshot_refresh.py", "pages reprocessed this refresh"),
+    ("http_ingest.py", "kerchunk scan over http"),
 ]
 
 
