@@ -252,6 +252,14 @@ class HTTPRangeFile:
             return b""
         lo, hi = self._pos, self._pos + n - 1
         first, last = lo // self.block_size, hi // self.block_size
+        if last - first + 1 > self.max_blocks:
+            # a read wider than the whole cache: one direct Range GET,
+            # no caching — caching it would evict blocks mid-assembly
+            # (the fetch loop would pop the very blocks this read needs)
+            data = http_range_get(self.url, lo, n, **self.open_kwargs)
+            self.n_requests += 1
+            self._pos += n
+            return data
         self._fetch_blocks(first, last)
         parts = []
         for b in range(first, last + 1):

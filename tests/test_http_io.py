@@ -384,6 +384,14 @@ def test_http_range_file_semantics_and_coalescing(request, http_root):
     assert rf.n_requests == n0 + 1
     # LRU bound holds
     assert len(rf._blocks) <= 8
+    # a read WIDER than the whole cache must not evict its own blocks
+    # mid-assembly (r8 review finding): single direct GET, exact bytes
+    n1 = rf.n_requests
+    rf.seek(1_000)
+    wide = rf.read(20_000)  # 20 blocks > max_blocks=8
+    assert wide == payload[1_000:21_000]
+    assert rf.n_requests == n1 + 1
+    assert len(rf._blocks) <= 8
 
 
 def test_hdf5_over_http_reads_in_place(request, http_root):
