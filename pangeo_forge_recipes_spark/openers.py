@@ -377,6 +377,16 @@ def open_with_kerchunk(
                 filter_by_keys=_grib_filter(kerchunk_open_kwargs or {}),
             )
         ]
+    if _is_http(url) and file_type == FileType.zarr:
+        # scanning needs a key LISTING, which http cannot provide (and a
+        # remote zarr store already reads in place through HTTPStore) —
+        # fail with the story instead of a confusing 404 on the dir url
+        raise NotImplementedError(
+            "kerchunk-scanning a REMOTE zarr store is not supported (http "
+            "has no key listing) — read it directly: open_zarr_group(url) "
+            "/ spark.read.format('zarr').load(url), or scan the store "
+            "where it was written"
+        )
     if _is_http(url):
         path, _ = _materialize_local(url, file_type, kerchunk_open_kwargs)
         try:

@@ -116,6 +116,14 @@ def dataframe_to_zarr(
         data = arr.read()
         attrs = dict(arr.attrs)
         if "units" in attrs and "calendar" in attrs and data.dtype.kind in "if":
+            from ..cfcalendar import is_standard_calendar
+
+            if not is_standard_calendar(attrs["calendar"]):
+                raise NotImplementedError(
+                    f"append onto a {attrs['calendar']!r}-calendar axis is "
+                    "not supported (dataframe_to_zarr writes standard-"
+                    "calendar time; this store came from another writer)"
+                )
             data = decode_cf_datetime(data, attrs["units"], attrs["calendar"])
         return data
 

@@ -180,9 +180,12 @@ def http_range_get(
         url, open_kwargs, extra_headers={"Range": f"bytes={offset}-{end}"}
     ) as resp:
         data = resp.read()
-        # a server without Range support replies 200 with the full body —
-        # slice client-side so callers still get exactly the window
-        if resp.status == 200 and len(data) > length:
+        # a server without Range support replies 200 with the FULL body
+        # (a honored range is 206) — slice client-side so callers still
+        # get exactly the window. Gating on len(data) > length instead
+        # of the status would return the whole file for any offset>0
+        # window extending past EOF (r8 review finding).
+        if resp.status == 200:
             data = data[offset : offset + length]
     return data
 

@@ -215,6 +215,11 @@ def test_http_range_get_exact_window(request, http_root):
     # a server that IGNORES Range still yields the exact window
     s2 = _serve(request, http_root, honor_range=False)
     assert http_range_get(f"{s2.url}/r.bin", 100, 56) == payload[100:156]
+    # ... including a window past EOF with offset > 0 (r8 review
+    # finding: the full body came back unsliced when its length did not
+    # exceed the requested length)
+    n = len(payload)
+    assert http_range_get(f"{s2.url}/r.bin", n - 40, n) == payload[-40:]
 
 
 def test_open_with_ndset_http_npz(request, http_root):
