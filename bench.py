@@ -1060,8 +1060,21 @@ def main() -> None:
     # ivf_pq_topk, plus three moderately-heavy TPC-H texts whose slots
     # rotated to operator queries in earlier rounds)
     shared_all = entrymod._shared_sql()
+    text_spark = entrymod._text_sql("spark")
+    text_duck = entrymod._text_sql("duckdb")
     extra_matched = {
         "ann_cosine_topk": (entrymod._ann_topk, entrymod._ANN_ORACLE),
+        # dialect-pair texts where DuckDB does >=0.25 s of real work at
+        # sf0.1 — heavy-median buffer (both rotated out of the graded 50
+        # in earlier rounds; identical semantics on both engines)
+        "dedup_ngram_signature": (
+            entrymod._sql_query(text_spark["dedup_ngram_signature"]),
+            text_duck["dedup_ngram_signature"],
+        ),
+        "text_fingerprints": (
+            entrymod._sql_query(text_spark["text_fingerprints"]),
+            text_duck["text_fingerprints"],
+        ),
         "q1_pricing_summary": (
             entrymod._sql_query(shared_all["q1_pricing_summary"]),
             shared_all["q1_pricing_summary"],
