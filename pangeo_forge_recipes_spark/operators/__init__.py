@@ -9,6 +9,7 @@ on the engine's tabular side.
 from . import (  # noqa: F401
     asof,
     bloom,
+    classifier,
     clustering,
     components,
     dedup,

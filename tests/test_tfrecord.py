@@ -1,0 +1,259 @@
+"""TFRecord shard writer/reader: framing CRCs, the tf.train.Example
+codec, Spark roundtrips, gzip shards, corruption handling, and the
+dual-engine parity staged for a future driver slot."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import io
+import os
+import struct
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pangeo_forge_recipes_spark.sources import tfrecord as tfr
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------- codec
+
+
+def test_crc32c_vector():
+    # the canonical check vector for CRC-32C (Castagnoli)
+    assert tfr.crc32c(b"123456789") == 0xE3069283
+    assert tfr.crc32c(b"") == 0
+    # streaming continuation equals one-shot
+    assert tfr.crc32c(b"456789", tfr.crc32c(b"123")) == 0xE3069283
+
+
+def test_masked_crc_framing_roundtrip():
+    buf = io.BytesIO()
+    payloads = [b"", b"x", b"hello world" * 100]
+    for p in payloads:
+        tfr.write_record(buf, p)
+    buf.seek(0)
+    assert list(tfr.iter_records(buf)) == payloads
+
+
+def test_frame_layout_is_spec_exact():
+    buf = io.BytesIO()
+    tfr.write_record(buf, b"abc")
+    raw = buf.getvalue()
+    assert struct.unpack("<Q", raw[:8])[0] == 3
+    assert raw[12:15] == b"abc"
+    assert len(raw) == 8 + 4 + 3 + 4
+
+
+def test_example_codec_roundtrip_all_types():
+    feats = {
+        "doc_id": [42],
+        "text": "héllo wörld",
+        "score": [1.5, -2.25],
+        "tokens": [1, 2, 3, -7],
+        "blob": b"\x00\xffbin",
+    }
+    payload = tfr.encode_example(feats)
+    out = tfr.decode_example(payload)
+    assert out["doc_id"] == [42]
+    assert out["text"][0].decode("utf-8") == "héllo wörld"
+    assert out["score"] == [1.5, -2.25]
+    assert out["tokens"] == [1, 2, 3, -7]
+    assert out["blob"][0] == b"\x00\xffbin"
+
+
+def test_example_bytes_deterministic():
+    a = tfr.encode_example({"b": [1], "a": "x"})
+    b = tfr.encode_example({"a": "x", "b": [1]})
+    assert a == b
+
+
+def test_decode_accepts_unpacked_int64():
+    # hand-build an Int64List with UNPACKED varints (proto2-style);
+    # the decoder must accept both packed and unpacked encodings
+    unpacked = tfr._varint((1 << 3) | 0) + tfr._varint(5)
+    unpacked += tfr._varint((1 << 3) | 0) + tfr._varint(7)
+    feature = tfr._ld(3, unpacked)
+    entry = tfr._ld(1, b"n") + tfr._ld(2, feature)
+    payload = tfr._ld(1, tfr._ld(1, entry))
+    assert tfr.decode_example(payload)["n"] == [5, 7]
+
+
+def test_corrupt_data_crc_raises_and_skips():
+    buf = io.BytesIO()
+    tfr.write_record(buf, b"good")
+    tfr.write_record(buf, b"bad!")
+    raw = bytearray(buf.getvalue())
+    raw[-6] ^= 0x40  # flip a payload byte of record 2
+    with pytest.raises(IOError, match="data CRC"):
+        list(tfr.iter_records(io.BytesIO(bytes(raw))))
+    assert list(tfr.iter_records(io.BytesIO(bytes(raw)), on_corrupt="skip")) == [b"good"]
+
+
+def test_truncated_stream():
+    buf = io.BytesIO()
+    tfr.write_record(buf, b"payload")
+    raw = buf.getvalue()[:-2]
+    with pytest.raises(IOError, match="truncated"):
+        list(tfr.iter_records(io.BytesIO(raw)))
+    assert list(tfr.iter_records(io.BytesIO(raw), on_corrupt="skip")) == []
+
+
+# ---------------------------------------------------------------- spark
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+def test_write_read_roundtrip(spark, corpus, tmp_path):
+    path = str(tmp_path / "tfr")
+    manifest = tfr.write_tfrecord_shards(
+        corpus, path, n_shards=4, meta_cols=["lang", "n_chars"]
+    ).collect()
+    assert len(manifest) == 4
+    assert sum(m["n_docs"] for m in manifest) == corpus.count()
+    files = sorted(glob.glob(os.path.join(path, "*.tfrecord")))
+    assert len(files) == 4
+    for m in manifest:
+        assert m["n_bytes"] == os.path.getsize(
+            os.path.join(path, f"shard-{m['shard']:05d}.tfrecord")
+        )
+
+    back = tfr.read_tfrecord(
+        spark,
+        path,
+        {"doc_id": "int64", "text": "string", "lang": "string", "n_chars": "int64"},
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["lang"], r["n_chars"])
+        for r in back.collect()
+    }
+    want = {
+        r["doc_id"]: (r["text"], r["lang"], r["n_chars"])
+        for r in corpus.collect()
+    }
+    assert got == want
+
+
+def test_shard_bytes_deterministic(spark, corpus, tmp_path):
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    m1 = {
+        r["shard"]: r["sha256"]
+        for r in tfr.write_tfrecord_shards(
+            corpus.repartition(7), p1, n_shards=3
+        ).collect()
+    }
+    m2 = {
+        r["shard"]: r["sha256"]
+        for r in tfr.write_tfrecord_shards(
+            corpus.repartition(2), p2, n_shards=3
+        ).collect()
+    }
+    assert m1 == m2
+    for s, sha in m1.items():
+        import hashlib
+
+        with open(os.path.join(p1, f"shard-{s:05d}.tfrecord"), "rb") as fh:
+            assert hashlib.sha256(fh.read()).hexdigest() == sha
+
+
+def test_gzip_shards_roundtrip(spark, corpus, tmp_path):
+    path = str(tmp_path / "gz")
+    manifest = tfr.write_tfrecord_shards(
+        corpus.limit(50), path, n_shards=2, compress="gzip"
+    ).collect()
+    files = sorted(glob.glob(os.path.join(path, "*.tfrecord.gz")))
+    assert len(files) == 2
+    # manifest sha covers the COMPRESSED bytes on disk
+    import hashlib
+
+    for m in manifest:
+        with open(os.path.join(path, f"shard-{m['shard']:05d}.tfrecord.gz"), "rb") as fh:
+            assert hashlib.sha256(fh.read()).hexdigest() == m["sha256"]
+    back = tfr.read_tfrecord(spark, path, {"doc_id": "int64", "text": "string"})
+    assert back.count() == 50
+    # spot-check one row against the source
+    row = back.orderBy("doc_id").first()
+    src = corpus.limit(50).orderBy("doc_id").first()
+    assert row["doc_id"] == src["doc_id"] and row["text"] == src["text"]
+
+
+def test_float_and_list_features(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 0.5), (2, "b", -1.25)], "doc_id long, text string, score double"
+    )
+    path = str(tmp_path / "f")
+    tfr.write_tfrecord_shards(df, path, n_shards=1, meta_cols=["score"]).collect()
+    back = tfr.read_tfrecord(
+        spark, path, {"doc_id": "int64", "score": "float"}
+    ).collect()
+    got = {r["doc_id"]: r["score"] for r in back}
+    assert got == {1: 0.5, 2: -1.25}
+
+
+def test_reader_corrupt_shard_error_and_skip(spark, corpus, tmp_path):
+    path = str(tmp_path / "c")
+    tfr.write_tfrecord_shards(corpus.limit(20), path, n_shards=1).collect()
+    f = glob.glob(os.path.join(path, "*.tfrecord"))[0]
+    data = bytearray(open(f, "rb").read())
+    data[len(data) // 2] ^= 0x01
+    open(f, "wb").write(bytes(data))
+    with pytest.raises(Exception):
+        tfr.read_tfrecord(spark, path, {"doc_id": "int64"}).count()
+    n = tfr.read_tfrecord(
+        spark, path, {"doc_id": "int64"}, on_corrupt="skip"
+    ).count()
+    assert 0 < n < 20
+
+
+def test_dual_engine_parity_r9_ready(spark, corpus, tmp_path):
+    """The driver-slot shape, staged: write the real sf corpus to
+    TFRecord shards, read it back through the Spark reader, aggregate —
+    and verify against DuckDB running the equivalent SQL on the source
+    parquet. Query + oracle both group by shard-of-md5, so the oracle
+    never needs to read the tfrecord bytes."""
+    path = str(tmp_path / "parity")
+    tfr.write_tfrecord_shards(corpus, path, n_shards=4, meta_cols=["n_chars"]).collect()
+    got = (
+        tfr.read_tfrecord(
+            spark, path, {"doc_id": "int64", "text": "string", "n_chars": "int64"}
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+    doc_path = os.path.join(SF_DIR, "documents.parquet")
+    # replicate shard_assign's portable md5 bucket (first 3 hex digits)
+    bucket = (
+        "((strpos('0123456789abcdef', substr(h,1,1))-1)*256"
+        " + (strpos('0123456789abcdef', substr(h,2,1))-1)*16"
+        " + (strpos('0123456789abcdef', substr(h,3,1))-1)) % 4"
+    )
+    want = duckdb.sql(
+        f"""
+        SELECT printf('shard-%05d.tfrecord', CAST({bucket} AS INT)) AS shard,
+               COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+               SUM(length(text)) AS sum_text_len, SUM(doc_id) AS sum_ids
+        FROM (
+          SELECT *, md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM read_parquet('{doc_path}')
+        ) GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    got_t = [
+        (r["shard"], r["n_docs"], r["sum_chars"], r["sum_text_len"], r["sum_ids"])
+        for r in got
+    ]
+    want_t = [tuple(w) for w in want]
+    assert got_t == want_t
