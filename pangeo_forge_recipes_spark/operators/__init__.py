@@ -15,6 +15,7 @@ from . import (  # noqa: F401
     dedup,
     dsir,
     filters,
+    imagehash,
     lmscore,
     multimodal,
     ranges,

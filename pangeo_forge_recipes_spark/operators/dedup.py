@@ -348,56 +348,58 @@ def _fnv1a_batch(toks: list) -> np.ndarray:
     return h
 
 
-def simhash_dedup(
-    df: DataFrame,
-    col: str = "text",
+def hamming_near_dup(
+    sigs: DataFrame,
+    sig_col: str,
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bucket_cap: int = 1000,
+    bands: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming distance ≤ ``max_hamming`` via the 4-band
-    exact-match trick (pigeonhole: distance ≤ 3 ⟹ one 16-bit band equal).
+    """Near-dup pairs (``id_a < id_b``, hamming ≤ ``max_hamming``) over
+    ANY 64-bit signature column via banded exact-match candidates — the
+    shared engine behind :func:`simhash_dedup` (text) and
+    :func:`.imagehash.phash_near_dup` (images).
 
-    Plan shape: the signature scan runs ONCE — candidate pairs come from
-    a groupBy over (band, band_val) whose per-bucket members expand to
-    ordered pairs JVM-side, never a self-join. (The former banded
-    self-join re-ran the whole tokenize+FNV signature computation per
-    side: exchange reuse does not engage across aliased mapInPandas
-    subtrees — measured 2 MapInPandas nodes in the final AQE plan.)
-    Expansion is per MEMBER (posexplode, then explode of each member's
-    later-neighbors slice), so no row ever holds more than one bucket's
-    member list — O(bucket) row memory, O(k²) streamed output rows.
-    Buckets larger than ``bucket_cap`` (mass-identical signatures) take
-    the representative star path instead (every member pairs with the
-    bucket's min-id member — the same fallback, and rationale, as
-    minhash_lsh_candidates): candidate volume stays O(cap × n) and the
-    bucket's connectivity survives for downstream clustering. Bucket
-    size + representative come from window functions over the banded
-    exchange, so an over-cap bucket is never collected into one row —
-    collect_list only ever sees buckets already known ≤ cap."""
-    sigs = simhash_signatures(df, col, id_col)
+    Pigeonhole recall bound: distance ≤ ``bands - 1`` GUARANTEES the
+    pair shares a band; callers wanting guaranteed recall at larger
+    radii raise ``bands`` (64 must divide evenly). Beyond that bound
+    banding is a recall-bounded candidate filter, exactly like MinHash
+    banding.
+
+    Plan shape (unchanged from the r7 simhash restructure): the
+    signature scan runs ONCE — candidate pairs come from a groupBy over
+    (band, band_val) whose per-bucket members expand to ordered pairs
+    JVM-side, never a self-join (exchange reuse does not engage across
+    aliased mapInPandas subtrees). Expansion is per MEMBER (posexplode,
+    then explode of each member's later-neighbors slice), so no row
+    ever holds more than one bucket's member list — O(bucket) row
+    memory, O(k²) streamed output rows. Buckets larger than
+    ``bucket_cap`` (mass-identical signatures) take the representative
+    star path (every member pairs with the bucket's min-id member):
+    candidate volume stays O(cap × n) and connectivity survives for
+    downstream clustering. Bucket size + representative come from
+    WINDOW functions over the banded exchange, so an over-cap bucket is
+    never collected into one row — collect_list only ever sees buckets
+    already known ≤ cap."""
+    if 64 % bands:
+        raise ValueError(f"bands={bands} must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
     banded = sigs.select(
         id_col,
-        "simhash",
+        sig_col,
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
+                    F.shiftrightunsigned(F.col(sig_col), width * i).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for i in range(bands)
                 ]
             )
         ).alias("band", "band_val"),
     )
-    # bucket stats via WINDOW functions over (band, band_val) — count +
-    # min-struct representative ride the ONE banded exchange (no join, no
-    # second signature scan) — so an over-cap bucket (mass-identical
-    # signatures at crawl scale) is NEVER materialized as one
-    # collect_list row (ADVICE r7: a pathological bucket of millions of
-    # members would concentrate into a single JVM array bounded only by
-    # Spark's ~2G single-value limit). collect_list below runs ONLY on
-    # buckets already known ≤ bucket_cap, so every list row is
-    # cap-bounded by construction; its groupBy inherits the window's
-    # hash partitioning, so no extra exchange.
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("band", "band_val")
@@ -405,10 +407,10 @@ def simhash_dedup(
         "band",
         "band_val",
         id_col,
-        "simhash",
+        sig_col,
         F.count(F.lit(1)).over(w).alias("__n"),
         F.min(
-            F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh"))
+            F.struct(F.col(id_col).alias("id"), F.col(sig_col).alias("sh"))
         ).over(w).alias("rep"),
     )
     # items sorted by id (struct sort orders by the first field), so
@@ -419,7 +421,7 @@ def simhash_dedup(
         .agg(
             F.sort_array(
                 F.collect_list(
-                    F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh"))
+                    F.struct(F.col(id_col).alias("id"), F.col(sig_col).alias("sh"))
                 )
             ).alias("items")
         )
@@ -441,7 +443,7 @@ def simhash_dedup(
             F.col("rep.id").alias("id_a"),
             F.col(id_col).alias("id_b"),
             F.col("rep.sh").alias("sh_a"),
-            F.col("simhash").alias("sh_b"),
+            F.col(sig_col).alias("sh_b"),
         )
     )
     cand = quadratic.unionByName(star).distinct()
@@ -449,6 +451,30 @@ def simhash_dedup(
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def simhash_dedup(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance ≤ ``max_hamming`` via the
+    4-band exact-match trick (pigeonhole: distance ≤ 3 ⟹ one 16-bit
+    band equal; larger radii lose the recall guarantee — banding is a
+    candidate filter). One signature scan; see :func:`hamming_near_dup`
+    for the full plan-shape notes (this is that engine applied to
+    :func:`simhash_signatures`)."""
+    sigs = simhash_signatures(df, col, id_col)
+    return hamming_near_dup(
+        sigs,
+        "simhash",
+        id_col=id_col,
+        max_hamming=max_hamming,
+        bucket_cap=bucket_cap,
+        bands=4,
+    )
 
 
 # ---------------------------------------------------------------------------

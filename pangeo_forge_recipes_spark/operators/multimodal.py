@@ -230,8 +230,11 @@ def attach_jpeg_media(
     return df.select(id_col).mapInPandas(build, MEDIA_SCHEMA)
 
 
-def decode_image(df: DataFrame) -> DataFrame:
+def decode_image(df: DataFrame, keep_dims: bool = False) -> DataFrame:
     """Decode binary → (doc_id, pixels array<float>) via mapInPandas.
+    With ``keep_dims=True`` the grayscale (height, width) ride along as
+    int columns so shape-aware consumers (e.g. the pHash DCT in
+    :mod:`.imagehash`) can reshape the flat pixels.
 
     PNG blobs (signature-sniffed) decode for REAL through
     :mod:`..pngio` — zlib inflate + unfilter — JPEG blobs through
@@ -250,6 +253,7 @@ def decode_image(df: DataFrame) -> DataFrame:
         for pdf in batches:
             blobs = [bytes(b) for b in pdf["media"]]
             pixels: list = [None] * len(blobs)
+            dims: list = [None] * len(blobs)
             # same-shape plain-8-bit PNGs (the common corpus case) decode
             # as ONE batched unfilter pass; anything else falls through
             # to the scalar decoders below
@@ -265,6 +269,7 @@ def decode_image(df: DataFrame) -> DataFrame:
                     flat = fb.reshape(len(png_idx), -1) / 255.0
                     for j, i in enumerate(png_idx):
                         pixels[i] = flat[j]
+                        dims[i] = fb.shape[1:3]
             for i, blob in enumerate(blobs):
                 if pixels[i] is not None:
                     continue
@@ -282,15 +287,23 @@ def decode_image(df: DataFrame) -> DataFrame:
                         "float32"
                     )
                     pixels[i] = arr / 255.0
+                    dims[i] = (8, 8)
                     continue
                 if arr.ndim == 3:  # channel-average to grayscale
                     arr = arr.mean(axis=2)
+                if keep_dims:
+                    dims[i] = arr.shape
                 pixels[i] = arr.ravel() / 255.0
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "pixels": pixels})
+            cols = {"doc_id": pdf["doc_id"], "pixels": pixels}
+            if keep_dims:
+                cols["height"] = [d[0] for d in dims]
+                cols["width"] = [d[1] for d in dims]
+            yield pd.DataFrame(cols)
 
-    return df.select("doc_id", "media").mapInPandas(
-        decode, "doc_id long, pixels array<float>"
-    )
+    schema = "doc_id long, pixels array<float>"
+    if keep_dims:
+        schema += ", height int, width int"
+    return df.select("doc_id", "media").mapInPandas(decode, schema)
 
 
 def extract_features(
