@@ -2002,6 +2002,48 @@ def _webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WDS_ORACLE = "SELECT doc_id, text, lang, source FROM documents"
 
+
+def _tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord shard round-trip (sources/tfrecord): the corpus
+    materializes as spec-framed TFRecord shards (masked-CRC32C record
+    framing, tf.train.Example payloads, md5-deterministic shard bytes)
+    and reads back through the one-task-per-shard typed reader; the
+    result must be the identity over documents. Grades the framing
+    CRCs, the Example proto codec both directions, Int64List/BytesList
+    typing, and the shard loop — gzip on one path exercises the
+    compressed-shard branch too."""
+    from pangeo_forge_recipes_spark.sources import (
+        read_tfrecord,
+        write_tfrecord_shards,
+    )
+
+    _register(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="pfrs_tfr_")
+    docs = spark.table("documents")
+    plain = os.path.join(tmp, "plain")
+    gz = os.path.join(tmp, "gz")
+    lo = docs.where(F.col("doc_id") % 2 == 0)
+    hi = docs.where(F.col("doc_id") % 2 == 1)
+    write_tfrecord_shards(
+        lo, plain, n_shards=_WDS_SHARDS, meta_cols=["lang", "n_chars"]
+    ).collect()
+    write_tfrecord_shards(
+        hi, gz, n_shards=_WDS_SHARDS, meta_cols=["lang", "n_chars"], compress="gzip"
+    ).collect()
+    types = {
+        "doc_id": "int64",
+        "text": "string",
+        "lang": "string",
+        "n_chars": "int64",
+    }
+    back = read_tfrecord(spark, plain, types).unionByName(
+        read_tfrecord(spark, gz, types)
+    )
+    return back.select("doc_id", "text", "lang", "n_chars")
+
+
+_TFR_ORACLE = "SELECT doc_id, text, lang, n_chars FROM documents"
+
 _WARC_FILES = 4  # gzip archives per round-trip (several tasks scan in parallel)
 
 
@@ -3322,7 +3364,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_ngram_spans"] = _ngram_span_dedup
     out["bloom_dedup_reference"] = _bloom_dedup_q
     out["pack_sequences"] = _pack_sequences_q
-    out["corpus_shards"] = _corpus_shards
+    # round-8 rotation (second pass): corpus_shards (md5 shard layout +
+    # per-shard stats — its shard_assign expression and aggregate shape
+    # stay graded INSIDE tfrecord_roundtrip's writer and warm in
+    # test_packing.py) yields its slot to tfrecord_roundtrip — the
+    # TFRecord wire-format loop (CRC framing + Example codec), which
+    # strictly supersedes the rotated shape
+    out["tfrecord_roundtrip"] = _tfrecord_roundtrip
     # data-selection + hygiene composites (round-3 rotation: these were
     # pytest-only; events_minmax_count (trivial single-row agg) and the
     # batch events_sessions (its oracle still grades via the streaming
@@ -3551,7 +3599,9 @@ def oracle_sql() -> dict[str, str]:
     out["semantic_dedup_pairs"] = _semdedup_oracle()
     out["dedup_ngram_spans"] = _span_dedup_oracle()
     out["pack_sequences"] = _pack_oracle()
-    out["corpus_shards"] = _shards_oracle()
+    # corpus_shards' slot moved to tfrecord_roundtrip (r8 second pass);
+    # its shard-stat shape stays warm in test_packing.py
+    out["tfrecord_roundtrip"] = _TFR_ORACLE
     # round-8 rotation: dedup_minhash_pairs' slot moved to
     # remove_duplicate_spans (_MINHASH_ORACLE keeps feeding the
     # stream-minhash verification + pytest)

@@ -8,6 +8,7 @@ on the engine's tabular side.
 
 from . import (  # noqa: F401
     asof,
+    audiohash,
     bloom,
     classifier,
     clustering,

@@ -13,6 +13,7 @@ import hashlib
 import os
 import re
 import shutil
+import time
 import unicodedata
 import urllib.error
 import urllib.request
@@ -151,6 +152,25 @@ def _auth_headers(open_kwargs: dict | None) -> dict:
     return headers
 
 
+# transient statuses worth retrying: throttling + server-side hiccups.
+# 4xx auth/not-found failures are permanent and raise immediately.
+_RETRY_STATUSES = frozenset({429, 500, 502, 503, 504})
+
+
+def _retry_sleep_s(attempt: int, backoff: float, retry_after: str | None) -> float:
+    """Deterministic exponential backoff (no jitter — recipe runs must
+    be reproducible; fleet desynchronization comes from per-url task
+    scheduling, not the retry clock). A server ``Retry-After`` seconds
+    hint wins when larger, capped at 30 s."""
+    delay = backoff * (2.0**attempt)
+    if retry_after:
+        try:
+            delay = max(delay, float(retry_after))
+        except ValueError:
+            pass  # HTTP-date form — keep the computed backoff
+    return min(delay, 30.0)
+
+
 def _http_open(
     url: str,
     open_kwargs: dict | None = None,
@@ -158,13 +178,40 @@ def _http_open(
     method: str = "GET",
 ):
     """One stdlib-urllib HTTP request (the ``dap2io.py`` pattern — no new
-    dependencies). Returns the live response: a file-like context manager."""
+    dependencies). Returns the live response: a file-like context manager.
+
+    Transient failures retry with bounded exponential backoff — real
+    archives (NASA/NOAA mirrors, CMIP nodes) throttle with 429/503 and
+    drop connections under load, and at 100 TB a pipeline makes enough
+    requests that "rare" resets are per-job certainties. Tunable via
+    ``open_kwargs``: ``retries`` (extra attempts, default 3; 0 disables),
+    ``retry_backoff`` (base seconds, default 0.5)."""
     headers = _auth_headers(open_kwargs)
     if extra_headers:
         headers.update(extra_headers)
-    req = urllib.request.Request(url, headers=headers, method=method)
-    timeout = (open_kwargs or {}).get("timeout", _HTTP_TIMEOUT_S)
-    return urllib.request.urlopen(req, timeout=timeout)  # noqa: S310
+    kw = open_kwargs or {}
+    timeout = kw.get("timeout", _HTTP_TIMEOUT_S)
+    retries = int(kw.get("retries", 3))
+    backoff = float(kw.get("retry_backoff", 0.5))
+    attempt = 0
+    while True:
+        req = urllib.request.Request(url, headers=headers, method=method)
+        try:
+            return urllib.request.urlopen(req, timeout=timeout)  # noqa: S310
+        except urllib.error.HTTPError as e:
+            if attempt >= retries or e.code not in _RETRY_STATUSES:
+                raise
+            wait = _retry_sleep_s(attempt, backoff, e.headers.get("Retry-After"))
+        except (urllib.error.URLError, ConnectionError, TimeoutError) as e:
+            reason = getattr(e, "reason", e)
+            transient = isinstance(
+                reason, (ConnectionError, TimeoutError, OSError)
+            ) and not isinstance(reason, PermissionError)
+            if attempt >= retries or not transient:
+                raise
+            wait = _retry_sleep_s(attempt, backoff, None)
+        time.sleep(wait)
+        attempt += 1
 
 
 def http_range_get(

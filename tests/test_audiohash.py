@@ -1,0 +1,89 @@
+"""Audio fingerprint near-dup: hash invariants (gain/noise robustness,
+separation), the banded Hamming join vs brute force, mixed-payload
+flow."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pangeo_forge_recipes_spark.audioio import encode_wav
+from pangeo_forge_recipes_spark.operators import audiohash as ah
+
+
+def _ham(a, b):
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def _tone():
+    # harmonic-rich, music-like: 7 decaying harmonics of 220 Hz
+    t = np.arange(16000) / 16000.0
+    return sum((0.5 / k) * np.sin(2 * np.pi * 220 * k * t) for k in range(1, 8)) / 2.0
+
+
+def _chirpy():
+    t = np.arange(16000) / 16000.0
+    return (np.sin(2 * np.pi * 261.6 * t * (1 + 0.5 * t)) * np.exp(-2 * t)) * 0.8
+
+
+@pytest.fixture(scope="module")
+def clips(spark):
+    """0/1 identical tone; 2 gain-scaled; 3 lightly noisy; 10 chirp;
+    11 white noise; 20 a non-audio payload (fake-decode path)."""
+    rng = np.random.RandomState(3)
+    tone = _tone()
+    rows = [
+        (0, bytearray(encode_wav(tone, 16000))),
+        (1, bytearray(encode_wav(tone, 16000))),
+        (2, bytearray(encode_wav(tone * 0.3, 16000))),
+        (3, bytearray(encode_wav(np.clip(tone + rng.randn(16000) * 0.01, -1, 1), 16000))),
+        (10, bytearray(encode_wav(_chirpy(), 16000))),
+        (11, bytearray(encode_wav(rng.randn(16000) * 0.2, 16000))),
+        (20, bytearray(b"not audio at all, just bytes")),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, media binary")
+
+
+def test_fingerprint_invariants():
+    tone = _tone()
+    f = ah.fingerprint_bits(tone)
+    assert f == ah.fingerprint_bits(tone.copy())
+    assert _ham(f, ah.fingerprint_bits(tone * 0.5)) == 0  # gain-invariant
+    assert _ham(f, ah.fingerprint_bits(tone * 0.01)) == 0  # rank bits
+    rng = np.random.RandomState(9)
+    assert _ham(f, ah.fingerprint_bits(tone + rng.randn(16000) * 0.01)) <= 4
+    assert _ham(f, ah.fingerprint_bits(_chirpy())) > 8
+    # degenerate inputs hash without error
+    ah.fingerprint_bits(np.zeros(5))
+    ah.fingerprint_bits(np.arange(16) / 16.0)
+
+
+def test_audio_fingerprint_dataframe(spark, clips):
+    out = {r["doc_id"]: r["afp"] for r in ah.audio_fingerprint(clips).collect()}
+    assert len(out) == 7  # fake-decode payload flows through too
+    assert out[0] == out[1] == out[2]  # identical + gain-scaled
+    assert _ham(out[0], out[3]) <= 4
+    assert _ham(out[0], out[10]) > 8 and _ham(out[0], out[11]) > 8
+    out2 = {
+        r["doc_id"]: r["afp"]
+        for r in ah.audio_fingerprint(clips.repartition(4)).collect()
+    }
+    assert out == out2  # partitioning-invariant
+
+
+def test_near_dup_matches_brute_force(spark, clips):
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in ah.audio_near_dup(clips, max_hamming=6).collect()
+    }
+    hashes = {r["doc_id"]: r["afp"] for r in ah.audio_fingerprint(clips).collect()}
+    ids = sorted(hashes)
+    want = {
+        (a, b): _ham(hashes[a], hashes[b])
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if _ham(hashes[a], hashes[b]) <= 6
+    }
+    assert got == want  # pigeonhole: radius 6 < 8 bands ⟹ full recall
+    assert (0, 1) in got and (0, 2) in got and (0, 3) in got
+    assert all(10 not in p and 11 not in p for p in got)

@@ -23,6 +23,7 @@ _EXAMPLES = [
     ("events_to_zarr.py", "events_to_zarr OK"),
     ("snapshot_refresh.py", "pages reprocessed this refresh"),
     ("http_ingest.py", "kerchunk scan over http"),
+    ("quality_to_tfrecord.py", "quality_to_tfrecord OK"),
 ]
 
 

@@ -39,6 +39,9 @@ class _Server:
                  required_query_string=None, allow_head=True,
                  honor_range=True):
         self.requests = []  # (method, path, range_header_or_None)
+        # transient-failure injection: statuses consumed FIFO, one per
+        # incoming request, before any real handling (retry tests)
+        self.fail_queue = []
         srv = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -86,6 +89,13 @@ class _Server:
             def do_GET(self):
                 rng = self.headers.get("Range")
                 srv.requests.append(("GET", self.path, rng))
+                if srv.fail_queue:
+                    status = srv.fail_queue.pop(0)
+                    self.send_response(status)
+                    if status in (429, 503):
+                        self.send_header("Retry-After", "0")
+                    self.end_headers()
+                    return
                 fpath = self._check()
                 if not fpath:
                     return
@@ -577,3 +587,68 @@ def test_store_to_zarr_e2e_over_http_with_cache_and_auth(
     # opens were local)
     full_gets = [r for r in s.requests if r[0] == "GET" and r[2] is None]
     assert len(full_gets) == len(urls)
+
+
+# ---------------------------------------------------------------- retries
+
+
+def test_transient_5xx_retries_then_succeeds(request, http_root):
+    payload = b"retry me" * 100
+    with open(os.path.join(http_root, "r.bin"), "wb") as f:
+        f.write(payload)
+    s = _serve(request, http_root)
+    s.fail_queue.extend([503, 502])
+    kw = {"retry_backoff": 0.01}
+    with _open_url_raw(f"{s.url}/r.bin", None, **kw) as r:
+        assert r.read() == payload
+    gets = [r for r in s.requests if r[0] == "GET"]
+    assert len(gets) == 3  # two failures + the success
+
+
+def test_permanent_4xx_does_not_retry(request, http_root):
+    s = _serve(request, http_root)
+    with pytest.raises(Exception):
+        with _open_url_raw(f"{s.url}/missing.bin", None, retry_backoff=0.01):
+            pass
+    gets = [r for r in s.requests if r[0] == "GET"]
+    assert len(gets) == 1  # 404 is permanent — exactly one attempt
+
+
+def test_retries_exhausted_raises(request, http_root):
+    with open(os.path.join(http_root, "e.bin"), "wb") as f:
+        f.write(b"x")
+    s = _serve(request, http_root)
+    s.fail_queue.extend([503] * 10)
+    with pytest.raises(Exception):
+        with _open_url_raw(
+            f"{s.url}/e.bin", None, retries=2, retry_backoff=0.01
+        ):
+            pass
+    gets = [r for r in s.requests if r[0] == "GET"]
+    assert len(gets) == 3  # initial + 2 retries, then give up
+
+
+def test_range_get_retries_through_throttle(request, http_root):
+    payload = bytes(range(256)) * 16
+    with open(os.path.join(http_root, "rg.bin"), "wb") as f:
+        f.write(payload)
+    s = _serve(request, http_root)
+    s.fail_queue.append(429)
+    got = http_range_get(
+        f"{s.url}/rg.bin", 512, 64, retry_backoff=0.01
+    )
+    assert got == payload[512:576]
+
+
+def test_retry_sleep_schedule():
+    from pangeo_forge_recipes_spark.storage import _retry_sleep_s
+
+    assert _retry_sleep_s(0, 0.5, None) == 0.5
+    assert _retry_sleep_s(2, 0.5, None) == 2.0
+    # Retry-After wins when larger, loses when smaller
+    assert _retry_sleep_s(0, 0.5, "4") == 4.0
+    assert _retry_sleep_s(3, 0.5, "1") == 4.0
+    # cap at 30 s; HTTP-date form falls back to computed backoff
+    assert _retry_sleep_s(12, 0.5, None) == 30.0
+    assert _retry_sleep_s(12, 0.5, "99999") == 30.0
+    assert _retry_sleep_s(1, 0.5, "Wed, 21 Oct 2026 07:28:00 GMT") == 1.0

@@ -143,3 +143,13 @@ def test_rotated_out_multimodal_stats_still_matches(spark, duck):
     got = _summary(entrymod._multimodal_stats(spark, SF_DIR).toPandas())
     want = _summary(duck.execute(entrymod._MULTIMODAL_ORACLE).df())
     assert got == want
+
+
+def test_rotated_out_corpus_shards_still_matches(spark, duck):
+    """corpus_shards yielded its driver slot to tfrecord_roundtrip (r8
+    second pass — the TFRecord loop's writer runs the same shard_assign
+    expression); the shard-stat aggregate and its oracle stay warm
+    here."""
+    got = _summary(entrymod._corpus_shards(spark, SF_DIR).toPandas())
+    want = _summary(duck.execute(entrymod._shards_oracle()).df())
+    assert got == want
