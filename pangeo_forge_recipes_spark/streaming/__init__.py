@@ -7,7 +7,12 @@ from .append import (
     streaming_dedup,
     watermarked_event_rollup,
 )
-from .stateful import stateful_sessionize, streaming_domain_cap, streaming_minhash_dedup
+from .stateful import (
+    stateful_sessionize,
+    streaming_domain_cap,
+    streaming_hamming_dedup,
+    streaming_minhash_dedup,
+)
 
 __all__ = [
     "stream_manifest",
@@ -16,5 +21,6 @@ __all__ = [
     "watermarked_event_rollup",
     "stateful_sessionize",
     "streaming_minhash_dedup",
+    "streaming_hamming_dedup",
     "streaming_domain_cap",
 ]

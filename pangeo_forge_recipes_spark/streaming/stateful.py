@@ -227,3 +227,55 @@ def _domain_cap_fold_handler(cap: int, id_col: str, state_ttl_ms: Optional[int])
             yield pd.DataFrame({id_col: kept, "host": [key[0]] * len(kept)})
 
     return fold
+
+
+def streaming_hamming_dedup(
+    sigs: DataFrame,
+    sig_col: str,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    state_ttl_ms: Optional[int] = None,
+) -> DataFrame:
+    """Streaming near-duplicate flagging over ANY 64-bit signature
+    column — the ingest-time face of ``operators.dedup.hamming_near_dup``
+    and the cross-modal sibling of :func:`streaming_minhash_dedup`:
+    feed it text SimHash (``dedup.simhash_signatures``), image pHash
+    (``imagehash.image_phash``), or audio fingerprints
+    (``audiohash.audio_fingerprint``) computed map-side on the stream.
+
+    Identical state discipline: each signature's band values stream
+    into a per-(band, band_val) stateful operator whose entire state is
+    ONE long (the bucket's first-seen id); later arrivals in a claimed
+    bucket emit ``(id, first_id, band)`` candidate rows cross-batch.
+    Pigeonhole recall: two signatures within Hamming distance
+    ``bands - 1`` share a band, so a true near-dup of an already-seen
+    item always collides with SOME bucket — the first-seen
+    representative convention then matches the batch star path.
+    ``state_ttl_ms`` ages idle buckets out (bounded-memory eviction)."""
+    if 64 % bands:
+        raise ValueError(f"bands={bands} must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col(sig_col), width * i).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    out_schema = f"{id_col} long, first_{id_col} long, band int"
+    return banded.groupBy("band", "band_val").applyInPandasWithState(
+        _minhash_flag_handler(id_col, state_ttl_ms),
+        out_schema,
+        "first long",
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms
+        else GroupStateTimeout.NoTimeout,
+    )

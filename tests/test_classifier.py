@@ -119,3 +119,12 @@ def test_scores_on_real_corpus(spark, labeled):
     rows = scored.select("doc_id", "quality_prob").collect()
     assert len(rows) == 100
     assert all(0.0 <= r["quality_prob"] <= 1.0 for r in rows)
+
+
+def test_threshold_for_keep_rate(spark, labeled):
+    model = clf.train_quality_classifier(labeled, dim=1 << 12, epochs=20)
+    thr = clf.threshold_for_keep_rate(labeled, model, keep_rate=0.5)
+    kept = clf.classifier_filter(labeled, model, threshold=thr).count()
+    assert 6 <= kept <= 10  # ~half of 16, quantile-boundary slack
+    with pytest.raises(ValueError):
+        clf.threshold_for_keep_rate(labeled, model, keep_rate=0.0)

@@ -425,3 +425,58 @@ def test_stateful_ttl_handler_logic():
     )
     assert list(out[0]["doc_id"]) == [8] and list(out[0]["first_doc_id"]) == [7]
     assert st.armed == 500
+
+
+def test_streaming_hamming_dedup_cross_modal(spark, tmp_path):
+    """Image pHash signatures split across micro-batches through the
+    generic 64-bit streaming dedup: a batch-2 near-identical image
+    collides with its batch-1 twin's bucket; a distinct image is never
+    flagged. (Signatures are computed map-side on the stream — the same
+    decode-through-own-codecs path as batch.)"""
+    import numpy as np
+    import pandas as pd
+
+    from pangeo_forge_recipes_spark.operators.imagehash import image_phash
+    from pangeo_forge_recipes_spark.pngio import encode_png
+    from pangeo_forge_recipes_spark.streaming import streaming_hamming_dedup
+
+    i, j = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    base = ((i * 3 + j * 5) % 256).astype(np.uint8)
+    near = np.roll(base, 1, axis=1)  # one-pixel shift: hamming <= 6
+    other = (np.outer(np.arange(64), np.arange(64)) % 256).astype(np.uint8)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "media": [
+                bytearray(encode_png(base)),
+                bytearray(encode_png(other)),
+                bytearray(encode_png(near)),  # batch 2: near-dup of 1
+                bytearray(encode_png(base)),  # batch 2: exact dup of 1
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    src = str(tmp_path / "imgs")
+    docs.filter("doc_id <= 2").coalesce(1).write.parquet(src + "/b0")
+    docs.filter("doc_id > 2").coalesce(1).write.parquet(src + "/b1")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    sigs = image_phash(stream)
+    q = (
+        streaming_hamming_dedup(sigs, "phash")
+        .writeStream.format("memory")
+        .queryName("_hamming_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("_hamming_stream_test").collect()
+    pairs = {(r["doc_id"], r["first_doc_id"]) for r in out}
+    assert (4, 1) in pairs, pairs  # exact dup collides in every band
+    assert (3, 1) in pairs, pairs  # pigeonhole: shift <= 6 < 8 bands
+    flagged = {r["doc_id"] for r in out}
+    assert 2 not in flagged and 1 not in flagged
