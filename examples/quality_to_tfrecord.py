@@ -58,8 +58,12 @@ def main() -> None:
         # image near-dup collapse: attach PNG media; width keyed on
         # doc_id % 3 so thirds of the corpus render IDENTICAL images
         # within each (doc_id mod pattern) family at the pHash level
-        media = multimodal.attach_png_media(kept.limit(60))
-        with_media = kept.limit(60).join(media, "doc_id").select("doc_id", "media")
+        # one deterministic, materialized sample: two independent
+        # unordered limit(60) scans could select different subsets and
+        # the join would silently shrink (review finding)
+        sample = kept.orderBy("doc_id").limit(60).cache()
+        media = multimodal.attach_png_media(sample)
+        with_media = sample.join(media, "doc_id").select("doc_id", "media")
         reps = imagehash.phash_dedup_representatives(with_media, max_hamming=2)
         n_clusters = reps.select("rep").distinct().count()
         assert 0 < n_clusters <= 60

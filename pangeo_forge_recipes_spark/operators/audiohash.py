@@ -36,26 +36,36 @@ _BANDS = 8
 
 def _band_edges(n_bins: int) -> np.ndarray:
     """Log-spaced band edges over the positive-frequency bins (DC
-    excluded), clamped so every band holds ≥ 1 bin."""
+    excluded); requires ``n_bins ≥ _BANDS`` (the caller guarantees it by
+    upsampling tiny clips) and ALWAYS returns ``_BANDS`` non-empty
+    in-range bands — the first formulation padded past ``n_bins`` for
+    short clips, producing empty bands, NaN cells, and one constant
+    fingerprint for EVERY sub-128-sample payload (review finding:
+    all fake-decoded non-audio rows flagged as mutual duplicates)."""
     edges = np.unique(
         np.round(np.geomspace(1, n_bins, _BANDS + 1)).astype(np.intp)
     )
-    while len(edges) < _BANDS + 1:  # tiny clips: pad by splitting the tail
-        edges = np.unique(np.append(edges, edges[-1] + 1))
+    if len(edges) < _BANDS + 1:
+        # too few distinct log edges (n_bins close to _BANDS): integer
+        # linear split, strictly increasing whenever n_bins >= _BANDS
+        edges = 1 + (np.arange(_BANDS + 1) * n_bins) // _BANDS
     return edges[: _BANDS + 1]
 
 
 def fingerprint_bits(samples: np.ndarray) -> int:
     """64-bit spectral fingerprint of one mono clip (any length ≥ 8)."""
     x = np.asarray(samples, dtype=np.float64)
-    if x.size < _SEGMENTS:
-        x = np.resize(x, _SEGMENTS)
+    # guarantee every segment yields >= _BANDS positive-frequency bins
+    # (seg_len >= 2*_BANDS): tiny clips — including the 64-sample
+    # fake-decode payloads of non-audio rows — tile up, so their hash
+    # stays CONTENT-dependent instead of collapsing to one constant
+    min_len = _SEGMENTS * 2 * _BANDS
+    if x.size < min_len:
+        x = np.resize(x, min_len)
     seg_len = x.size // _SEGMENTS
     segs = x[: seg_len * _SEGMENTS].reshape(_SEGMENTS, seg_len)
     power = np.abs(np.fft.rfft(segs, axis=1)) ** 2
     n_bins = power.shape[1] - 1  # DC excluded
-    if n_bins < 1:
-        return 0
     edges = _band_edges(n_bins)
     cells = np.empty((_SEGMENTS, _BANDS), dtype=np.float64)
     for b in range(_BANDS):

@@ -145,6 +145,7 @@ def train_quality_classifier(
         b = 0.0
         history: List[float] = []
         sc = df.sparkSession.sparkContext
+        n_parts = feats.rdd.getNumPartitions()  # fixed once cached
         for epoch in range(epochs):
             # fastText-style linear lr decay; the bias step is scaled
             # because its input is 1.0 while tf-normalized feature
@@ -183,7 +184,7 @@ def train_quality_classifier(
             part_df = feats.mapInPandas(
                 partials, "pid int, grad binary, gb double, loss double, n long"
             )
-            if feats.rdd.getNumPartitions() > fan_in:
+            if n_parts > fan_in:
                 # tree step: sum within pid-groups before the collect
                 def treesum(key, pdf: pd.DataFrame) -> pd.DataFrame:
                     acc = np.zeros(dim, dtype=np.float64)

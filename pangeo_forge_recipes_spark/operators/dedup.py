@@ -348,6 +348,33 @@ def _fnv1a_batch(toks: list) -> np.ndarray:
     return h
 
 
+def banded_signature(
+    sigs: DataFrame, sig_col: str, carry_cols: list, bands: int
+) -> DataFrame:
+    """Explode a 64-bit signature column into ``(band, band_val)`` rows —
+    the ONE banding expression shared by the batch pair engine
+    (:func:`hamming_near_dup`) and the streaming dedup
+    (``streaming.stateful.streaming_hamming_dedup``), so the two paths
+    can never drift apart on bucket semantics."""
+    if 64 % bands:
+        raise ValueError(f"bands={bands} must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return sigs.select(
+        *carry_cols,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col(sig_col), width * i).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+
+
 def hamming_near_dup(
     sigs: DataFrame,
     sig_col: str,
@@ -382,24 +409,7 @@ def hamming_near_dup(
     WINDOW functions over the banded exchange, so an over-cap bucket is
     never collected into one row — collect_list only ever sees buckets
     already known ≤ cap."""
-    if 64 % bands:
-        raise ValueError(f"bands={bands} must divide 64")
-    width = 64 // bands
-    mask = (1 << width) - 1
-    banded = sigs.select(
-        id_col,
-        sig_col,
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col(sig_col), width * i).bitwiseAND(
-                        F.lit(mask)
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band", "band_val"),
-    )
+    banded = banded_signature(sigs, sig_col, [id_col, sig_col], bands)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("band", "band_val")

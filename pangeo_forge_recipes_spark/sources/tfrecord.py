@@ -134,7 +134,12 @@ def iter_records(fh, on_corrupt: str = "error") -> Iterator[bytes]:
             if on_corrupt == "skip":
                 return
             raise IOError("truncated TFRecord length header")
-        (hcrc,) = struct.unpack("<I", fh.read(4))
+        hcrc_raw = fh.read(4)
+        if len(hcrc_raw) < 4:
+            if on_corrupt == "skip":
+                return
+            raise IOError("truncated TFRecord length CRC")
+        (hcrc,) = struct.unpack("<I", hcrc_raw)
         if _masked_crc(header) != hcrc:
             if on_corrupt == "skip":
                 return
@@ -308,10 +313,6 @@ def decode_example(payload: bytes) -> Dict[str, list]:
 # ---------------------------------------------------------------------------
 
 
-def _order_key(id_col: str):
-    return F.md5(F.col(id_col).cast("string"))
-
-
 def write_tfrecord_shards(
     df: DataFrame,
     path: str,
@@ -350,7 +351,7 @@ def write_tfrecord_shards(
         else:
             raise ValueError(f"unsupported meta column type for TFRecord: {name}: {dt}")
 
-    from ..operators.packing import shard_assign
+    from ..operators.packing import _order_key, shard_assign
 
     assigned = (
         shard_assign(df, n_shards, id_col)
@@ -388,9 +389,16 @@ def write_tfrecord_shards(
                 self._fh.close()
 
         for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                d = row._asdict()
-                shard = d["shard"]
+            shards_arr = pdf["shard"].to_numpy()
+            ids_arr = pdf[id_col]
+            texts_arr = pdf[text_col]
+            metas_arr = {name: pdf[name] for name in meta_cols}
+            for k in range(len(pdf)):
+                if pd.isna(shards_arr[k]):  # md5 bucket of a NULL id
+                    raise ValueError(
+                        f"null {id_col!r} cannot key a TFRecord sample"
+                    )
+                shard = int(shards_arr[k])
                 if cur is None or cur[0] != shard:
                     close()
                     import hashlib as _h
@@ -404,13 +412,21 @@ def write_tfrecord_shards(
                         else raw
                     )
                     cur = [shard, raw, fh, sha, 0, 0]
+                doc_id = ids_arr.iloc[k]
+                if pd.isna(doc_id):
+                    raise ValueError(
+                        f"null {id_col!r} cannot key a TFRecord sample"
+                    )
+                text_v = texts_arr.iloc[k]
                 feats: Dict[str, object] = {
-                    id_col: [int(d[id_col])],
-                    text_col: str(d[text_col]),
+                    id_col: [int(doc_id)],
+                    # a NULL text stays a MISSING feature (encode skips
+                    # None) — str(None) would corrupt it into "None"
+                    text_col: None if text_v is None else str(text_v),
                 }
                 for name in meta_cols:
-                    v = d[name]
-                    if v is None:
+                    v = metas_arr[name].iloc[k]
+                    if v is None or (np.isscalar(v) and pd.isna(v)):
                         feats[name] = None
                     elif meta_kinds[name] == "int":
                         feats[name] = [int(v)]

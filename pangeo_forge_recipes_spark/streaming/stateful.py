@@ -252,23 +252,9 @@ def streaming_hamming_dedup(
     item always collides with SOME bucket — the first-seen
     representative convention then matches the batch star path.
     ``state_ttl_ms`` ages idle buckets out (bounded-memory eviction)."""
-    if 64 % bands:
-        raise ValueError(f"bands={bands} must divide 64")
-    width = 64 // bands
-    mask = (1 << width) - 1
-    banded = sigs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col(sig_col), width * i).bitwiseAND(
-                        F.lit(mask)
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band", "band_val"),
-    )
+    from ..operators.dedup import banded_signature
+
+    banded = banded_signature(sigs, sig_col, [id_col], bands)
     out_schema = f"{id_col} long, first_{id_col} long, band int"
     return banded.groupBy("band", "band_val").applyInPandasWithState(
         _minhash_flag_handler(id_col, state_ttl_ms),

@@ -87,3 +87,25 @@ def test_near_dup_matches_brute_force(spark, clips):
     assert got == want  # pigeonhole: radius 6 < 8 bands ⟹ full recall
     assert (0, 1) in got and (0, 2) in got and (0, 3) in got
     assert all(10 not in p and 11 not in p for p in got)
+
+
+def test_fake_decode_payloads_hash_distinctly():
+    """Review regression: sub-128-sample clips (every fake-decoded
+    non-audio payload is 64 samples) used to produce empty bands, NaN
+    cells, and ONE constant fingerprint — flagging all non-audio rows
+    as mutual duplicates."""
+    import hashlib
+    import warnings
+
+    hashes = set()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the NaN path warned; none allowed
+        for blob in (b"doc one", b"doc two", b"doc three"):
+            digest = hashlib.sha256(blob).digest()
+            fake = (
+                np.frombuffer((digest * 2)[:64], dtype=np.uint8).astype("float32")
+                / 255.0
+                - 0.5
+            )
+            hashes.add(ah.fingerprint_bits(fake))
+    assert len(hashes) == 3

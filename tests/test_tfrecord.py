@@ -257,3 +257,48 @@ def test_dual_engine_parity_r9_ready(spark, corpus, tmp_path):
     ]
     want_t = [tuple(w) for w in want]
     assert got_t == want_t
+
+
+def test_null_text_roundtrips_as_null(spark, tmp_path):
+    # str(None) would corrupt a NULL text into the literal "None"
+    df = spark.createDataFrame(
+        [(1, "real text"), (2, None)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "nulls")
+    tfr.write_tfrecord_shards(df, path, n_shards=1).collect()
+    back = {
+        r["doc_id"]: r["text"]
+        for r in tfr.read_tfrecord(
+            spark, path, {"doc_id": "int64", "text": "string"}
+        ).collect()
+    }
+    assert back == {1: "real text", 2: None}
+
+
+def test_null_id_raises(spark, tmp_path):
+    df = spark.createDataFrame([(None, "x")], "doc_id long, text string")
+    with pytest.raises(Exception, match="null 'doc_id'"):
+        tfr.write_tfrecord_shards(df, str(tmp_path / "n"), n_shards=1).collect()
+
+
+def test_truncated_length_crc_skip_mode():
+    buf = io.BytesIO()
+    tfr.write_record(buf, b"payload")
+    for cut in (9, 10, 11):  # mid length-CRC word
+        raw = buf.getvalue()[:cut]
+        assert list(tfr.iter_records(io.BytesIO(raw), on_corrupt="skip")) == []
+        with pytest.raises(IOError, match="truncated"):
+            list(tfr.iter_records(io.BytesIO(raw)))
+
+
+def test_non_identifier_meta_column(spark, tmp_path):
+    # pandas itertuples renames such columns to _N; the writer must not care
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 7)], ["doc_id", "text", "n-chars"]
+    )
+    path = str(tmp_path / "dash")
+    tfr.write_tfrecord_shards(df, path, n_shards=1, meta_cols=["n-chars"]).collect()
+    back = tfr.read_tfrecord(
+        spark, path, {"doc_id": "int64", "n-chars": "int64"}
+    ).collect()
+    assert {r["doc_id"]: r["n-chars"] for r in back} == {1: 5, 2: 7}
