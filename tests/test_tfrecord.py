@@ -302,3 +302,66 @@ def test_non_identifier_meta_column(spark, tmp_path):
         spark, path, {"doc_id": "int64", "n-chars": "int64"}
     ).collect()
     assert {r["doc_id"]: r["n-chars"] for r in back} == {1: 5, 2: 7}
+
+
+# ------------------------------------------------------------- properties
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_feature_value = st.one_of(
+    st.binary(max_size=64),
+    st.text(max_size=32),
+    st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=8),
+    st.lists(
+        st.floats(width=32, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=8,
+    ),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.dictionaries(st.text(min_size=1, max_size=16), _feature_value, max_size=6))
+def test_example_codec_fuzz_roundtrip(features):
+    out = tfr.decode_example(tfr.encode_example(features))
+    assert set(out) == set(features)
+    for name, v in features.items():
+        got = out[name]
+        if isinstance(v, bytes):
+            assert got == [v]
+        elif isinstance(v, str):
+            assert got[0].decode("utf-8") == v
+        elif all(isinstance(x, int) for x in v):
+            # two's-complement encode + signed decode is exact
+            assert got == v
+        else:
+            import numpy as np
+
+            assert np.allclose(got, np.asarray(v, dtype="<f4"), rtol=0, atol=0)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.binary(max_size=200), max_size=8),
+    st.integers(min_value=0, max_value=220),
+)
+def test_framing_fuzz_truncation_never_hangs(payloads, cut):
+    buf = io.BytesIO()
+    for p in payloads:
+        tfr.write_record(buf, p)
+    raw = buf.getvalue()
+    # full stream: exact roundtrip
+    assert list(tfr.iter_records(io.BytesIO(raw))) == payloads
+    # arbitrary truncation: skip mode returns a PREFIX, never raises
+    trunc = raw[: min(cut, len(raw))]
+    got = list(tfr.iter_records(io.BytesIO(trunc), on_corrupt="skip"))
+    assert got == payloads[: len(got)]
+    # error mode: either the same prefix-equal success (cut at a record
+    # boundary) or IOError — never a different exception, never a hang
+    try:
+        strict = list(tfr.iter_records(io.BytesIO(trunc)))
+        assert strict == payloads[: len(strict)]
+    except IOError:
+        pass
