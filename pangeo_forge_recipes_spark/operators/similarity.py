@@ -946,3 +946,57 @@ def query_ivf_pq_index(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+def append_to_ivf_pq_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incrementally grow a :func:`build_ivf_pq_index` artifact: new
+    vectors encode with the SAVED model (centroids + codebooks load
+    from ``meta.npz`` — retraining would silently invalidate every code
+    already on disk) and append into the same ``centroid=*`` partition
+    layout, one map-only pass with no shuffle and no rewrite of
+    existing files. The daily-arrivals half of the serving loop:
+    build once, append increments, query with partition pruning
+    throughout. Returns the number of vectors appended."""
+    import os as _os
+
+    meta = np.load(_os.path.join(path, "meta.npz"))
+    centroids, codebooks = meta["centroids"], meta["codebooks"]
+    m, ksub, dsub = codebooks.shape
+    bc = df.sparkSession.sparkContext.broadcast((centroids, codebooks))
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents, books = bc.value
+        for pdf in batches:
+            v = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+            assign = np.argmax(v @ cents.T, axis=1).astype("int32")
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                sub = v[:, j * dsub : (j + 1) * dsub]
+                cent = books[j]
+                d2 = (
+                    np.sum(sub**2, axis=1, keepdims=True)
+                    - 2 * (sub @ cent.T)
+                    + np.sum(cent**2, axis=1)[None, :]
+                )
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col],
+                    "centroid": assign,
+                    "codes": list(codes),
+                }
+            )
+
+    rows = df.select(id_col, vec_col).mapInPandas(
+        encode, "vec_id long, centroid int, codes array<int>"
+    )
+    n = df.count()
+    rows.write.mode("append").partitionBy("centroid").parquet(
+        _os.path.join(path, "vectors")
+    )
+    return int(n)
