@@ -9,6 +9,8 @@ same templates, so engine and oracle are structurally identical.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -118,3 +120,47 @@ def mix_corpora(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: Optional[int] = None,
+    fractions: Optional[dict] = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT deterministic stratified sampling: the ``n`` smallest
+    md5(id) rows of each stratum (``n_per_stratum`` for every stratum,
+    or per-stratum via ``fractions`` — a {stratum: fraction} dict whose
+    counts are fixed as ``ceil(fraction * stratum_size)``).
+
+    Unlike ``DataFrame.sampleBy`` (Bernoulli — approximate counts,
+    seed/partitioning-dependent membership), this is reproducible
+    across engines and repartitionings, and the counts are exact. Plan:
+    the per-stratum top-n is ONE WindowGroupLimit shuffle (rank ≤ n
+    pushes into the shuffle as a group-limit — no full sort, no
+    second exchange); the fractions variant adds one tiny broadcast
+    join of per-stratum counts."""
+    from pyspark.sql.window import Window
+
+    if (n_per_stratum is None) == (fractions is None):
+        raise ValueError("exactly one of n_per_stratum / fractions required")
+    ordered = df.withColumn("__ord", F.md5(F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy("__ord", id_col)
+    ranked = ordered.withColumn("__rk", F.row_number().over(w))
+    if n_per_stratum is not None:
+        out = ranked.where(F.col("__rk") <= int(n_per_stratum))
+    else:
+        spark = df.sparkSession
+        sizes = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
+        fr = spark.createDataFrame(
+            [(k, float(v)) for k, v in fractions.items()],
+            f"{strata_col} string, __f double",
+        )
+        quota = sizes.join(F.broadcast(fr), strata_col).withColumn(
+            "__quota", F.ceil(F.col("__n") * F.col("__f"))
+        )
+        out = ranked.join(
+            F.broadcast(quota.select(strata_col, "__quota")), strata_col
+        ).where(F.col("__rk") <= F.col("__quota"))
+    return out.drop("__ord", "__rk", "__quota", "__n", "__f")

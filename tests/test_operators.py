@@ -722,3 +722,54 @@ def test_ivf_pq_topk_recall_and_consistency(spark):
     }
     hits = sum(1 for q in part if part[q] == full[q][0])
     assert hits >= 0.8 * len(full)
+
+
+def test_stratified_sample_exact_and_dual_engine(spark):
+    """Exact per-stratum counts, repartition-invariance, and a DuckDB
+    replication of the md5 order (dual-engine determinism)."""
+    import duckdb
+    import os
+
+    from pangeo_forge_recipes_spark.operators.text import stratified_sample
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+    doc_path = os.path.join(sf, "documents.parquet")
+    docs = spark.read.parquet(doc_path)
+    out = stratified_sample(docs, "lang", n_per_stratum=7)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n == min(7, sizes[lang])
+    got = sorted(r["doc_id"] for r in out.collect())
+    got2 = sorted(
+        r["doc_id"]
+        for r in stratified_sample(docs.repartition(9), "lang", n_per_stratum=7).collect()
+    )
+    assert got == got2
+    want = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"""
+        SELECT doc_id FROM (
+          SELECT doc_id, ROW_NUMBER() OVER (
+            PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+          ) AS rk FROM read_parquet('{doc_path}')
+        ) WHERE rk <= 7
+        """
+        ).fetchall()
+    )
+    assert got == want
+    # fractions variant: exact ceil(f * size) per stratum
+    out_f = stratified_sample(
+        docs, "lang", fractions={k: 0.1 for k in sizes}
+    )
+    cf = {r["lang"]: r["n"] for r in out_f.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    import math
+
+    for lang, n in cf.items():
+        assert n == math.ceil(0.1 * sizes[lang])
+    with pytest.raises(ValueError):
+        stratified_sample(docs, "lang")
