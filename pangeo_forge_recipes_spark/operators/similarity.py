@@ -769,6 +769,62 @@ def ivf_pq_topk(
 # ---------------------------------------------------------------------------
 
 
+def _ivf_pq_encode_rows(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Map-only IVF assign + PQ encode against a FIXED model — the one
+    encode used by both build and append (three drifting copies of this
+    loop was a review finding)."""
+    m, ksub, dsub = codebooks.shape
+    bc = df.sparkSession.sparkContext.broadcast((centroids, codebooks))
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents, books = bc.value
+        for pdf in batches:
+            v = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+            assign = np.argmax(v @ cents.T, axis=1).astype("int32")
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                sub = v[:, j * dsub : (j + 1) * dsub]
+                cent = books[j]
+                d2 = (
+                    np.sum(sub**2, axis=1, keepdims=True)
+                    - 2 * (sub @ cent.T)
+                    + np.sum(cent**2, axis=1)[None, :]
+                )
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col],
+                    "centroid": assign,
+                    "codes": list(codes),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        encode, "vec_id long, centroid int, codes array<int>"
+    )
+
+
+def _require_local_index_path(path: str) -> None:
+    """The index artifact mixes Spark parquet with driver-side numpy
+    sidecar I/O; on an object store the sidecar would silently land on
+    the driver's local disk and strand the index half-built (review
+    finding) — gate loudly until a storage adapter carries the sidecar."""
+    from urllib.parse import urlparse
+
+    scheme = urlparse(str(path)).scheme
+    if scheme not in ("", "file"):
+        raise NotImplementedError(
+            f"ivf_pq index paths must be local/file:// for now (got "
+            f"{scheme}://): meta.npz is written with driver-local numpy I/O"
+        )
+
+
 def build_ivf_pq_index(
     df: DataFrame,
     path: str,
@@ -796,37 +852,11 @@ def build_ivf_pq_index(
     """
     import os as _os
 
+    _require_local_index_path(path)
     codebooks = pq_train(df, m=m, nbits=nbits, id_col=id_col, vec_col=vec_col)
     m, ksub, dsub = codebooks.shape
     centroids = _sample_centroids(df, n_centroids, id_col, vec_col)
-    bc = df.sparkSession.sparkContext.broadcast((centroids, codebooks))
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cents, books = bc.value
-        for pdf in batches:
-            v = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
-            assign = np.argmax(v @ cents.T, axis=1).astype("int32")
-            codes = np.empty((len(pdf), m), dtype=np.int32)
-            for j in range(m):
-                sub = v[:, j * dsub : (j + 1) * dsub]
-                cent = books[j]
-                d2 = (
-                    np.sum(sub**2, axis=1, keepdims=True)
-                    - 2 * (sub @ cent.T)
-                    + np.sum(cent**2, axis=1)[None, :]
-                )
-                codes[:, j] = np.argmin(d2, axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf[id_col],
-                    "centroid": assign,
-                    "codes": list(codes),
-                }
-            )
-
-    rows = df.select(id_col, vec_col).mapInPandas(
-        encode, "vec_id long, centroid int, codes array<int>"
-    )
+    rows = _ivf_pq_encode_rows(df, centroids, codebooks, id_col, vec_col)
     _os.makedirs(path, exist_ok=True)
     rows.write.mode("overwrite").partitionBy("centroid").parquet(
         _os.path.join(path, "vectors")
@@ -866,11 +896,13 @@ def query_ivf_pq_index(
     neighbor id. Output ``(query_id, neighbor_id, rank, score)``."""
     import os as _os
 
+    _require_local_index_path(path)
     meta = np.load(_os.path.join(path, "meta.npz"))
     centroids, codebooks = meta["centroids"], meta["codebooks"]
     m, ksub, dsub = codebooks.shape
     npb = min(nprobe, len(centroids))
     bc = spark.sparkContext.broadcast((centroids, codebooks))
+    vec_t = dict(queries.dtypes)[vec_col]  # preserve float/double width
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cents, _ = bc.value
@@ -887,8 +919,12 @@ def query_ivf_pq_index(
             )
 
     probes = queries.select(id_col, vec_col).mapInPandas(
-        probe, "query_id long, centroid int, qvec array<float>"
+        probe, f"query_id long, centroid int, qvec {vec_t}"
     )
+    # cache: the probe rows feed BOTH the centroid-set collect and the
+    # join — two uncached executions could disagree for nondeterministic
+    # query inputs and silently drop results (review finding)
+    probes = probes.cache()
     # literal centroid set for partition pruning: O(n_centroids) driver
     # values, NEVER per-query rows — the collect is bounded by the index
     # fan-out, not the query volume
@@ -925,17 +961,23 @@ def query_ivf_pq_index(
                         luts.clear()
                 sub = codes[sel]
                 out[sel] = lut[np.arange(m)[None, :], sub].sum(axis=1)
+            # UNROUNDED scores out: ranking must happen on full precision
+            # (the ivf_pq_topk convention) — rounding first let a truly
+            # worse neighbor win a rounding tie (review finding)
             yield pd.DataFrame(
                 {
                     "query_id": qids,
                     "neighbor_id": pdf["vec_id"],
-                    "score": np.round(out, round_to),
+                    "score": out,
                 }
             )
 
+    # no dedup shuffle: each corpus vector lives in exactly ONE centroid
+    # partition and a query's probed centroids are distinct, so
+    # (query_id, neighbor_id) is unique by construction
     scored = joined.mapInPandas(
         score, "query_id long, neighbor_id long, score double"
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(
@@ -944,7 +986,12 @@ def query_ivf_pq_index(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "score")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("score"), round_to).alias("score"),
+        )
     )
 
 
@@ -964,39 +1011,15 @@ def append_to_ivf_pq_index(
     throughout. Returns the number of vectors appended."""
     import os as _os
 
+    _require_local_index_path(path)
     meta = np.load(_os.path.join(path, "meta.npz"))
     centroids, codebooks = meta["centroids"], meta["codebooks"]
-    m, ksub, dsub = codebooks.shape
-    bc = df.sparkSession.sparkContext.broadcast((centroids, codebooks))
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cents, books = bc.value
-        for pdf in batches:
-            v = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
-            assign = np.argmax(v @ cents.T, axis=1).astype("int32")
-            codes = np.empty((len(pdf), m), dtype=np.int32)
-            for j in range(m):
-                sub = v[:, j * dsub : (j + 1) * dsub]
-                cent = books[j]
-                d2 = (
-                    np.sum(sub**2, axis=1, keepdims=True)
-                    - 2 * (sub @ cent.T)
-                    + np.sum(cent**2, axis=1)[None, :]
-                )
-                codes[:, j] = np.argmin(d2, axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf[id_col],
-                    "centroid": assign,
-                    "codes": list(codes),
-                }
-            )
-
-    rows = df.select(id_col, vec_col).mapInPandas(
-        encode, "vec_id long, centroid int, codes array<int>"
-    )
-    n = df.count()
-    rows.write.mode("append").partitionBy("centroid").parquet(
-        _os.path.join(path, "vectors")
-    )
-    return int(n)
+    rows = _ivf_pq_encode_rows(df, centroids, codebooks, id_col, vec_col)
+    spark = df.sparkSession
+    vdir = _os.path.join(path, "vectors")
+    # truthful count without a second scan of df: parquet row counts come
+    # from file footers (metadata-only jobs), so the delta is what was
+    # ACTUALLY written even if df is nondeterministic (review finding)
+    before = spark.read.parquet(vdir).count()
+    rows.write.mode("append").partitionBy("centroid").parquet(vdir)
+    return int(spark.read.parquet(vdir).count() - before)

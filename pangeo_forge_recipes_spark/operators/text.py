@@ -137,10 +137,12 @@ def stratified_sample(
     Unlike ``DataFrame.sampleBy`` (Bernoulli — approximate counts,
     seed/partitioning-dependent membership), this is reproducible
     across engines and repartitionings, and the counts are exact. Plan:
-    the per-stratum top-n is ONE WindowGroupLimit shuffle (rank ≤ n
-    pushes into the shuffle as a group-limit — no full sort, no
-    second exchange); the fractions variant adds one tiny broadcast
-    join of per-stratum counts."""
+    the ``n_per_stratum`` variant is ONE WindowGroupLimit shuffle (the
+    literal rank ≤ n filter pushes into the shuffle as a group-limit —
+    no full sort); the ``fractions`` variant ranks the full strata (its
+    filter compares against a JOINED quota column, which the group-limit
+    rewrite cannot push) plus one count aggregate and one tiny broadcast
+    join."""
     from pyspark.sql.window import Window
 
     if (n_per_stratum is None) == (fractions is None):
@@ -153,12 +155,22 @@ def stratified_sample(
     else:
         spark = df.sparkSession
         sizes = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        strata_t = df.schema[strata_col].dataType  # match the source type
         fr = spark.createDataFrame(
             [(k, float(v)) for k, v in fractions.items()],
-            f"{strata_col} string, __f double",
+            StructType(
+                [
+                    StructField(strata_col, strata_t),
+                    StructField("__f", DoubleType()),
+                ]
+            ),
         )
+        # round before ceil: 30 * 0.1 is 3.0000000000000004 in doubles and
+        # a raw ceil would inflate the exact quota to 4 (review finding)
         quota = sizes.join(F.broadcast(fr), strata_col).withColumn(
-            "__quota", F.ceil(F.col("__n") * F.col("__f"))
+            "__quota", F.ceil(F.round(F.col("__n") * F.col("__f"), 9))
         )
         out = ranked.join(
             F.broadcast(quota.select(strata_col, "__quota")), strata_col

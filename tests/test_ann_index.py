@@ -92,12 +92,12 @@ def test_full_probe_matches_numpy_pq_oracle(spark, emb, index):
         lut = np.stack(
             [books[j] @ qv[j * dsub : (j + 1) * dsub] for j in range(m)]
         )
-        scores = np.round(
-            lut[np.arange(m)[None, :], codes].sum(axis=1), 4
-        )
-        order = sorted(zip(-scores, ids))[:3]
+        # rank on UNROUNDED scores (the engine convention), round after
+        raw = lut[np.arange(m)[None, :], codes].sum(axis=1)
+        order = sorted(zip(-raw, ids))[:3]
         want = [
-            (rank + 1, int(nid), float(-negs)) for rank, (negs, nid) in enumerate(order)
+            (rank + 1, int(nid), float(np.round(-negs, 4)))
+            for rank, (negs, nid) in enumerate(order)
         ]
         assert got[q["vec_id"]] == want, (q["vec_id"], got[q["vec_id"]], want)
 

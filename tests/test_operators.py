@@ -770,6 +770,16 @@ def test_stratified_sample_exact_and_dual_engine(spark):
     import math
 
     for lang, n in cf.items():
-        assert n == math.ceil(0.1 * sizes[lang])
+        # round-before-ceil: 30*0.1 must quota 3, not 4 (IEEE 3.0000…4)
+        assert n == math.ceil(round(0.1 * sizes[lang], 9))
     with pytest.raises(ValueError):
         stratified_sample(docs, "lang")
+    # non-string strata column (review regression): int strata work
+    df_int = docs.withColumn("bucket", (F.col("doc_id") % 3).cast("int"))
+    out_i = stratified_sample(df_int, "bucket", fractions={0: 0.1, 1: 0.2, 2: 0.3})
+    got_i = {r["bucket"]: r["n"] for r in out_i.groupBy("bucket").agg(
+        F.count("*").alias("n")).collect()}
+    sizes_i = {r["bucket"]: r["n"] for r in df_int.groupBy("bucket").agg(
+        F.count("*").alias("n")).collect()}
+    for b, f in ((0, 0.1), (1, 0.2), (2, 0.3)):
+        assert got_i[b] == math.ceil(round(f * sizes_i[b], 9))
