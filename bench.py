@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import re
 import sys
 import time
@@ -750,7 +751,11 @@ def _bench_scale_stress(spark, sf_dir: str, factor: int = 10) -> dict:
     from pangeo_forge_recipes_spark.operators.clustering import semantic_dedup
     from pangeo_forge_recipes_spark.operators.components import dedup_clusters
     from pangeo_forge_recipes_spark.operators.dedup import minhash_dedup
-    from pangeo_forge_recipes_spark.operators.similarity import ivf_topk
+    from pangeo_forge_recipes_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_topk,
+        query_ivf_pq_index,
+    )
 
     docs0 = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
         "doc_id", "text"
@@ -843,11 +848,36 @@ def _bench_scale_stress(spark, sf_dir: str, factor: int = 10) -> dict:
             corp[f]["e"], k=3, nprobe=4, n_centroids=nlist_for(f)
         ).write.format("noop").mode("overwrite").save()
 
+    # persisted-index serving stress: BUILD untimed per scale (the
+    # build-once premise), then time a fixed 100-query batch — with
+    # nlist growing with the corpus, a query probes nprobe lists of
+    # ~constant length and file-level partition pruning keeps the scan
+    # at O(nprobe/nlist) of the index bytes, so query wall should grow
+    # FAR slower than the corpus (the whole point of the artifact)
+    import tempfile as _tf
+
+    idx_dir = _tf.mkdtemp(prefix="pfrs_ivfpq_")
+    idx_paths = {}
+    for f in (1, factor):
+        pth = os.path.join(idx_dir, f"x{f}")
+        build_ivf_pq_index(
+            corp[f]["e"], pth, n_centroids=nlist_for(f), m=8, nbits=4
+        )
+        idx_paths[f] = pth
+    q100 = embs0.orderBy("vec_id").limit(100).persist()
+    q100.count()
+
+    def run_index_query(f):
+        query_ivf_pq_index(
+            spark, idx_paths[f], q100, k=3, nprobe=4
+        ).write.format("noop").mode("overwrite").save()
+
     ops = {
         "minhash_dedup": run_minhash,
         "dedup_clusters": run_clusters,
         "semantic_dedup": run_semantic,
         "ann_ivf_topk": run_ivf,
+        "ivf_pq_index_query": run_index_query,
     }
     walls = {op: {f: [] for f in (1, factor)} for op in ops}
     loads = {op: {f: [] for f in (1, factor)} for op in ops}
@@ -889,6 +919,8 @@ def _bench_scale_stress(spark, sf_dir: str, factor: int = 10) -> dict:
         pairs_by_f[f][0].unpersist()
         corp[f]["d"].unpersist()
         corp[f]["e"].unpersist()
+    q100.unpersist()
+    shutil.rmtree(idx_dir, ignore_errors=True)
     out["note"] = (
         f"growth = median over reps of within-rep (x{factor}/x1) wall "
         f"ratio, x1 and x{factor} run back-to-back per rep with per-run "
