@@ -61,7 +61,7 @@ HEADLINE = [
     "dedup_clusters",
     "dedup_ngram_spans",
     "pack_sequences",
-    "corpus_shards",
+    "tfrecord_roundtrip",
 ]
 
 
@@ -1077,6 +1077,9 @@ def main() -> None:
         # the engine side is hash-agg + broadcast map-only scoring
         "perplexity_buckets",  # same trigram-LM replication oracle as
         # quality_filter, plus exact quantile_cont terciles
+        "tfrecord_roundtrip",  # oracle is the identity SELECT while the
+        # engine writes + CRC-frames + proto-encodes + reads back real
+        # TFRecord shards — different work by construction
         "snapshot_delta",  # oracle re-derives per-row char-5-gram
         # Jaccard with O(text-length) SQL list ops (43s at sf0.1 vs the
         # engine's 3s) — a correctness artifact, not an analytics query
@@ -1096,6 +1099,9 @@ def main() -> None:
     text_duck = entrymod._text_sql("duckdb")
     extra_matched = {
         "ann_cosine_topk": (entrymod._ann_topk, entrymod._ANN_ORACLE),
+        # corpus_shards rotated out of the gate for tfrecord_roundtrip
+        # (r8 second pass) — its shard-stat pair stays timed here
+        "corpus_shards": (entrymod._corpus_shards, entrymod._shards_oracle()),
         # dialect-pair texts where DuckDB does >=0.25 s of real work at
         # sf0.1 — heavy-median buffer (both rotated out of the graded 50
         # in earlier rounds; identical semantics on both engines)
