@@ -24,6 +24,7 @@ _EXAMPLES = [
     ("snapshot_refresh.py", "pages reprocessed this refresh"),
     ("http_ingest.py", "kerchunk scan over http"),
     ("quality_to_tfrecord.py", "quality_to_tfrecord OK"),
+    ("retrieval_index.py", "retrieval_index OK"),
 ]
 
 
