@@ -208,3 +208,52 @@ def semantic_dedup(
     return assigned.groupBy("cluster").applyInPandas(
         pairs_of, f"id_a {id_type}, id_b {id_type}, cosine double"
     )
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_broadcast_bytes: Optional[int] = None,
+) -> DataFrame:
+    """Semantic decontamination: drop corpus rows whose embedding is
+    within cosine ``threshold`` of ANY benchmark item — the
+    embedding-space complement of the 13-gram
+    :func:`..filters.decontaminate` (paraphrased benchmark leakage that
+    n-gram matching misses).
+
+    Plan: the BENCHMARK (eval sets are small — thousands of rows, never
+    the corpus) broadcasts as one normalized matrix; the corpus scans
+    once, each Arrow batch computes a blocked GEMM and keeps rows whose
+    max similarity stays below threshold. No shuffle, no join. The
+    broadcast is size-gated on the benchmark; past the bound the
+    bucketed route is SemDeDup over the union
+    (:func:`semantic_dedup_pairs`) with pairs filtered to
+    corpus-vs-benchmark."""
+    from .similarity import _guard_broadcast_bound
+
+    _guard_broadcast_bound(
+        benchmark,
+        vec_col,
+        op="embedding_decontaminate",
+        alternative="clustering.semantic_dedup_pairs over the union, "
+        "keeping only corpus-vs-benchmark pairs",
+        max_broadcast_bytes=max_broadcast_bytes,
+    )
+    rows = benchmark.select(vec_col).collect()
+    mat = np.array([r[0] for r in rows], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    bc = corpus.sparkSession.sparkContext.broadcast(mat)
+    cols = corpus.columns
+
+    def keep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bench = bc.value
+        for pdf in batches:
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            mx = (v @ bench.T).max(axis=1) if len(bench) else np.zeros(len(pdf))
+            yield pdf[mx < threshold]
+
+    return corpus.mapInPandas(keep, corpus.schema)

@@ -100,3 +100,39 @@ def test_cluster_cap_raises(spark):
     df, _ = _planted_df(spark)
     with pytest.raises(Exception, match="cluster_cap"):
         semantic_dedup(df, k=1, threshold=0.5, cluster_cap=10).collect()
+
+
+def test_embedding_decontaminate(spark):
+    """Corpus rows near a benchmark embedding drop; the rest survive
+    untouched with the full input schema; the broadcast is size-gated."""
+    import numpy as np
+
+    from pangeo_forge_recipes_spark.operators.clustering import (
+        embedding_decontaminate,
+    )
+
+    rng = np.random.RandomState(5)
+    bench_vecs = [rng.randn(16).astype("float32") for _ in range(3)]
+    corpus_rows = []
+    # ids 0-2: near-copies of benchmark items (tiny perturbation)
+    for i, b in enumerate(bench_vecs):
+        corpus_rows.append((i, (b + rng.randn(16).astype("float32") * 0.01).tolist(), "leak"))
+    # ids 10-19: unrelated
+    for i in range(10, 20):
+        corpus_rows.append((i, rng.randn(16).astype("float32").tolist(), "clean"))
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<float>, tag string"
+    )
+    bench = spark.createDataFrame(
+        [(100 + i, v.tolist()) for i, v in enumerate(bench_vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    kept = embedding_decontaminate(corpus, bench, threshold=0.9).collect()
+    ids = {r["vec_id"] for r in kept}
+    assert ids == set(range(10, 20))
+    assert all(r["tag"] == "clean" for r in kept)  # schema passthrough
+    # size gate engages on an over-bound benchmark
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="semantic_dedup_pairs"):
+        embedding_decontaminate(corpus, bench, max_broadcast_bytes=8)
