@@ -51,14 +51,24 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="retrieval_index_")
     try:
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-        chunks = chunk_documents(docs, window=48, stride=40).select(
-            (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("chunk_id"),
+        raw_chunks = chunk_documents(docs, window=48, stride=40)
+        # collision-free composite id: 2^20 chunks per doc headroom,
+        # asserted (doc_id*1000 overflowed into the next doc's space
+        # for any 1000-chunk document — review finding)
+        assert raw_chunks.agg(F.max("chunk_id")).first()[0] < 1 << 20
+        chunks = raw_chunks.select(
+            (F.shiftleft(F.col("doc_id"), 20) + F.col("chunk_id")).alias(
+                "chunk_id"
+            ),
             F.col("chunk_text").alias("text"),
         )
         n_chunks = chunks.count()
         assert n_chunks >= docs.count()
 
-        embedded = embed(chunks.select("chunk_id", "text"))
+        # cache: the index build makes several passes (pq sample,
+        # centroids, encode) and each query call re-resolves the
+        # lineage — without this the Python embed UDF re-runs 5+ times
+        embedded = embed(chunks.select("chunk_id", "text")).cache()
         idx_path = os.path.join(work, "idx")
         meta = sim.build_ivf_pq_index(
             embedded, idx_path, n_centroids=16, m=8, nbits=6

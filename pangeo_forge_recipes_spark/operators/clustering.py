@@ -35,7 +35,12 @@ from pyspark.sql import functions as F
 
 from .similarity import _normalize, _sample_centroids
 
-__all__ = ["kmeans_fit", "kmeans_assign", "semantic_dedup"]
+__all__ = [
+    "kmeans_fit",
+    "kmeans_assign",
+    "semantic_dedup",
+    "embedding_decontaminate",
+]
 
 
 def _assign_udf(df: DataFrame, centroids_bc, id_col: str, vec_col: str) -> DataFrame:
@@ -243,17 +248,18 @@ def embedding_decontaminate(
         max_broadcast_bytes=max_broadcast_bytes,
     )
     rows = benchmark.select(vec_col).collect()
-    mat = np.array([r[0] for r in rows], dtype=np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    if not rows:  # empty eval set: nothing can contaminate
+        return corpus
+    mat = _normalize(np.array([r[0] for r in rows], dtype=np.float64))
     bc = corpus.sparkSession.sparkContext.broadcast(mat)
-    cols = corpus.columns
 
     def keep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bench = bc.value
         for pdf in batches:
-            v = np.array(list(pdf[vec_col]), dtype=np.float64)
-            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-            mx = (v @ bench.T).max(axis=1) if len(bench) else np.zeros(len(pdf))
+            if not len(pdf):
+                continue
+            v = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+            mx = (v @ bench.T).max(axis=1)
             yield pdf[mx < threshold]
 
     return corpus.mapInPandas(keep, corpus.schema)

@@ -136,3 +136,19 @@ def test_embedding_decontaminate(spark):
 
     with _pt.raises(ValueError, match="semantic_dedup_pairs"):
         embedding_decontaminate(corpus, bench, max_broadcast_bytes=8)
+
+
+def test_embedding_decontaminate_empty_benchmark_is_noop(spark):
+    import numpy as np
+
+    from pangeo_forge_recipes_spark.operators.clustering import (
+        embedding_decontaminate,
+    )
+
+    rng = np.random.RandomState(1)
+    corpus = spark.createDataFrame(
+        [(i, rng.randn(8).astype("float32").tolist()) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    empty = corpus.where("vec_id < 0")
+    assert embedding_decontaminate(corpus, empty).count() == 5
