@@ -447,10 +447,16 @@ def write_tfrecord_shards(
     return manifest
 
 
+def _is_url(p: str) -> bool:
+    return p.startswith("http://") or p.startswith("https://")
+
+
 def _shard_paths(path_or_paths: Union[str, List[str]]) -> List[str]:
     if isinstance(path_or_paths, (list, tuple)):
         return [str(p) for p in path_or_paths]
     p = str(path_or_paths)
+    if _is_url(p):  # one shard url (servers don't list; pass a list for many)
+        return [p]
     if os.path.isdir(p):
         return sorted(
             glob.glob(os.path.join(p, "*.tfrecord"))
@@ -512,11 +518,14 @@ def read_tfrecord(
                 return yield_df
             return None
 
+        from ..storage import open_binary
+
         for pdf_in in batches:
             for p in pdf_in["path"]:
-                shard = os.path.basename(p)
-                opener = gzip.open if _is_gzip(p) else open
-                with opener(p, "rb") as fh:
+                shard = os.path.basename(p.split("?", 1)[0].rstrip("/"))
+                raw = open_binary(p)
+                fh = _gzip_if_magic(raw)
+                try:
                     for payload in iter_records(fh, on_corrupt=on_corrupt):
                         feats = decode_example(payload)
                         row: dict = {"shard": shard}
@@ -543,6 +552,9 @@ def read_tfrecord(
                             out = emit()
                             if out is not None:
                                 yield out
+                finally:
+                    fh.close()
+                    raw.close()  # GzipFile.close() leaves fileobj open
         out = emit()
         if out is not None:
             yield out
@@ -550,6 +562,35 @@ def read_tfrecord(
     return pdf.mapInPandas(scan, schema)
 
 
-def _is_gzip(path: str) -> bool:
-    with open(path, "rb") as fh:
-        return fh.read(2) == b"\x1f\x8b"
+class _PrefixedReader:
+    """Binary reader that replays a sniffed prefix before the stream —
+    lets the gzip magic check work on non-seekable http responses."""
+
+    def __init__(self, head: bytes, fh):
+        self._head, self._fh = head, fh
+
+    def read(self, n: int = -1) -> bytes:
+        if self._head:
+            if n is None or n < 0:
+                out = self._head + self._fh.read()
+                self._head = b""
+                return out
+            take = self._head[:n]
+            self._head = self._head[n:]
+            if len(take) < n:
+                take += self._fh.read(n - len(take))
+            return take
+        return self._fh.read(n)
+
+    def close(self) -> None:
+        self._fh.close()
+
+
+def _gzip_if_magic(raw):
+    """Sniff the gzip magic from ANY binary stream (local file or live
+    http response) and wrap accordingly; the sniffed bytes replay."""
+    head = raw.read(2)
+    stream = _PrefixedReader(head, raw)
+    if head == b"\x1f\x8b":
+        return gzip.GzipFile(fileobj=stream)
+    return stream

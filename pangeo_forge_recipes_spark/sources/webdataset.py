@@ -41,10 +41,16 @@ from pyspark.sql import functions as F
 WDS_SCHEMA = "shard string, key string, fields map<string, binary>"
 
 
+def _is_url(p: str) -> bool:
+    return p.startswith("http://") or p.startswith("https://")
+
+
 def _shard_paths(path_or_paths: Union[str, List[str]]) -> List[str]:
     if isinstance(path_or_paths, (list, tuple)):
         return [str(p) for p in path_or_paths]
     p = str(path_or_paths)
+    if _is_url(p):  # one shard url (servers don't list; pass a list for many)
+        return [p]
     if os.path.isdir(p):
         return sorted(glob.glob(os.path.join(p, "*.tar")))
     if os.path.exists(p):
@@ -83,10 +89,13 @@ def read_webdataset(
                 return yield_df
             return None
 
+        from ..storage import open_binary
+
         for pdf_in in batches:
             for p in pdf_in["path"]:
-                shard = os.path.basename(p)
-                with tarfile.open(p, mode="r|*") as tar:
+                shard = os.path.basename(p.split("?", 1)[0].rstrip("/"))
+                raw = open_binary(p)
+                with raw, tarfile.open(fileobj=raw, mode="r|*") as tar:
                     cur_key: Optional[str] = None
                     fields: dict = {}
                     for member in tar:

@@ -446,6 +446,15 @@ def _open_url_raw(fname: str, secrets: dict | None, **open_kwargs):
     )
 
 
+def open_binary(fname: str, secrets: dict | None = None, **open_kwargs):
+    """Public face of :func:`_open_url_raw`: a readable binary stream
+    for a local path, ``file://``, or ``http(s)://`` url (auth/secrets/
+    retries as documented on ``_http_open``). Streaming consumers (the
+    TFRecord/WebDataset shard readers) use this so training shards pull
+    straight off a web server."""
+    return _open_url_raw(fname, secrets, **open_kwargs)
+
+
 def _remote_size(fname: str, secrets: dict | None, **open_kwargs) -> int:
     """Source size for the cache's size-equality skip. Unknown sizes return
     -1, which never equals a cached size — the cache re-downloads rather
