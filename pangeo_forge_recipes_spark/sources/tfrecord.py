@@ -473,6 +473,7 @@ def read_tfrecord(
     feature_types: Dict[str, str],
     batch_rows: int = 256,
     on_corrupt: str = "error",
+    open_kwargs: Optional[Dict] = None,
 ) -> DataFrame:
     """Read TFRecord shards into typed columns.
 
@@ -484,6 +485,7 @@ def read_tfrecord(
     sync markers, so the shard is the split unit — same contract as
     TF's sharded-input readers).
     """
+    open_kwargs = dict(open_kwargs or {})
     kinds = {}
     for name, k in feature_types.items():
         if k not in ("int64", "float", "bytes", "string"):
@@ -523,7 +525,7 @@ def read_tfrecord(
         for pdf_in in batches:
             for p in pdf_in["path"]:
                 shard = os.path.basename(p.split("?", 1)[0].rstrip("/"))
-                raw = open_binary(p)
+                raw = open_binary(p, **open_kwargs)
                 fh = _gzip_if_magic(raw)
                 try:
                     for payload in iter_records(fh, on_corrupt=on_corrupt):

@@ -62,6 +62,7 @@ def read_webdataset(
     spark: SparkSession,
     path_or_paths: Union[str, List[str]],
     batch_rows: int = 256,
+    open_kwargs: Optional[dict] = None,
 ) -> DataFrame:
     """Read WebDataset shards (a directory, a glob, or explicit paths)
     into ``(shard, key, fields)`` rows, one row per sample."""
@@ -94,7 +95,7 @@ def read_webdataset(
         for pdf_in in batches:
             for p in pdf_in["path"]:
                 shard = os.path.basename(p.split("?", 1)[0].rstrip("/"))
-                raw = open_binary(p)
+                raw = open_binary(p, **(open_kwargs or {}))
                 with raw, tarfile.open(fileobj=raw, mode="r|*") as tar:
                     cur_key: Optional[str] = None
                     fields: dict = {}

@@ -720,3 +720,25 @@ def test_webdataset_shards_read_over_http(request, http_root, spark):
     wds = decode_webdataset_text(read_webdataset(spark, urls))
     got = {int(r["key"]): r["text"] for r in wds.collect()}
     assert got == {i: f"text {i}" for i in range(30)}
+
+
+def test_tfrecord_http_with_basic_auth(request, http_root, spark):
+    from pangeo_forge_recipes_spark.sources import (
+        read_tfrecord,
+        write_tfrecord_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(10)], "doc_id long, text string"
+    )
+    local = os.path.join(http_root, "auth_tfr")
+    write_tfrecord_shards(docs, local, n_shards=1).collect()
+    s = _serve(request, http_root, username="u", password="p")
+    url = f"{s.url}/auth_tfr/shard-00000.tfrecord"
+    types = {"doc_id": "int64", "text": "string"}
+    with pytest.raises(Exception, match="401"):
+        read_tfrecord(spark, [url], types).count()
+    got = read_tfrecord(
+        spark, [url], types, open_kwargs={"auth": ("u", "p")}
+    ).count()
+    assert got == 10
