@@ -447,15 +447,13 @@ def write_tfrecord_shards(
     return manifest
 
 
-def _is_url(p: str) -> bool:
-    return p.startswith("http://") or p.startswith("https://")
-
-
 def _shard_paths(path_or_paths: Union[str, List[str]]) -> List[str]:
     if isinstance(path_or_paths, (list, tuple)):
         return [str(p) for p in path_or_paths]
     p = str(path_or_paths)
-    if _is_url(p):  # one shard url (servers don't list; pass a list for many)
+    from ..storage import is_http_url
+
+    if is_http_url(p):  # one shard url (servers don't list; pass a list)
         return [p]
     if os.path.isdir(p):
         return sorted(
@@ -520,14 +518,15 @@ def read_tfrecord(
                 return yield_df
             return None
 
-        from ..storage import open_binary
+        from ..storage import open_shard_stream, shard_label
 
         for pdf_in in batches:
             for p in pdf_in["path"]:
-                shard = os.path.basename(p.split("?", 1)[0].rstrip("/"))
-                raw = open_binary(p, **open_kwargs)
-                fh = _gzip_if_magic(raw)
+                shard = shard_label(p)
+                raw = open_shard_stream(p, open_kwargs)
+                fh = None
                 try:
+                    fh = _gzip_if_magic(raw)
                     for payload in iter_records(fh, on_corrupt=on_corrupt):
                         feats = decode_example(payload)
                         row: dict = {"shard": shard}
@@ -555,8 +554,14 @@ def read_tfrecord(
                             if out is not None:
                                 yield out
                 finally:
-                    fh.close()
-                    raw.close()  # GzipFile.close() leaves fileobj open
+                    # close BOTH even when the sniff read raised before
+                    # fh existed, and even if fh.close() itself raises
+                    # (GzipFile.close() leaves its fileobj open)
+                    try:
+                        if fh is not None:
+                            fh.close()
+                    finally:
+                        raw.close()
         out = emit()
         if out is not None:
             yield out

@@ -41,15 +41,13 @@ from pyspark.sql import functions as F
 WDS_SCHEMA = "shard string, key string, fields map<string, binary>"
 
 
-def _is_url(p: str) -> bool:
-    return p.startswith("http://") or p.startswith("https://")
-
-
 def _shard_paths(path_or_paths: Union[str, List[str]]) -> List[str]:
     if isinstance(path_or_paths, (list, tuple)):
         return [str(p) for p in path_or_paths]
     p = str(path_or_paths)
-    if _is_url(p):  # one shard url (servers don't list; pass a list for many)
+    from ..storage import is_http_url
+
+    if is_http_url(p):  # one shard url (servers don't list; pass a list)
         return [p]
     if os.path.isdir(p):
         return sorted(glob.glob(os.path.join(p, "*.tar")))
@@ -66,6 +64,7 @@ def read_webdataset(
 ) -> DataFrame:
     """Read WebDataset shards (a directory, a glob, or explicit paths)
     into ``(shard, key, fields)`` rows, one row per sample."""
+    open_kwargs = dict(open_kwargs or {})
     paths = _shard_paths(path_or_paths)
     if not paths:
         raise ValueError(f"no WebDataset shards match {path_or_paths!r}")
@@ -90,12 +89,12 @@ def read_webdataset(
                 return yield_df
             return None
 
-        from ..storage import open_binary
+        from ..storage import open_shard_stream, shard_label
 
         for pdf_in in batches:
             for p in pdf_in["path"]:
-                shard = os.path.basename(p.split("?", 1)[0].rstrip("/"))
-                raw = open_binary(p, **(open_kwargs or {}))
+                shard = shard_label(p)
+                raw = open_shard_stream(p, open_kwargs)
                 with raw, tarfile.open(fileobj=raw, mode="r|*") as tar:
                     cur_key: Optional[str] = None
                     fields: dict = {}

@@ -446,6 +446,34 @@ def _open_url_raw(fname: str, secrets: dict | None, **open_kwargs):
     )
 
 
+def is_http_url(path: str) -> bool:
+    """True for http(s):// urls — the shared scheme test for readers
+    that accept either local paths or urls."""
+    return path.startswith("http://") or path.startswith("https://")
+
+
+def shard_label(path: str) -> str:
+    """Stable display label for a shard path: local paths keep their
+    basename; urls keep host+path (query stripped) so two shards with
+    the same basename under different prefixes never collapse into one
+    label (review finding: presigned per-directory layouts)."""
+    if is_http_url(path):
+        parsed = urlparse(path)
+        return f"{parsed.netloc}{parsed.path}"
+    return os.path.basename(path.rstrip("/"))
+
+
+def open_shard_stream(path: str, open_kwargs: dict | None = None):
+    """Readable binary stream for a shard path: http(s) urls go through
+    the retrying opener (auth/secrets honored); LOCAL paths open
+    directly — routing them through urlparse would misread filenames
+    containing '?', '#', or a colon-bearing first segment (review
+    finding)."""
+    if is_http_url(path):
+        return _open_url_raw(path, None, **(open_kwargs or {}))
+    return open(path, "rb")
+
+
 def open_binary(fname: str, secrets: dict | None = None, **open_kwargs):
     """Public face of :func:`_open_url_raw`: a readable binary stream
     for a local path, ``file://``, or ``http(s)://`` url (auth/secrets/

@@ -365,3 +365,39 @@ def test_framing_fuzz_truncation_never_hangs(payloads, cut):
         assert strict == payloads[: len(strict)]
     except IOError:
         pass
+
+
+def test_local_path_with_query_chars(spark, tmp_path):
+    """Review regression: routing local paths through urlparse broke
+    filenames containing '?' or '#'."""
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "doc_id long, text string")
+    plain = str(tmp_path / "p")
+    tfr.write_tfrecord_shards(df, plain, n_shards=1).collect()
+    weird = str(tmp_path / "a?v=1#frag.tfrecord")
+    os.rename(os.path.join(plain, "shard-00000.tfrecord"), weird)
+    got = tfr.read_tfrecord(spark, [weird], {"doc_id": "int64"}).count()
+    assert got == 2
+
+
+def test_url_shard_labels_keep_prefix(request, spark, tmp_path):
+    """Review regression: two urls sharing a basename must not collapse
+    to one shard label."""
+    from .test_http_io import _Server
+
+    root = str(tmp_path / "www")
+    for part in ("part-0", "part-1"):
+        d = os.path.join(root, part)
+        df = spark.createDataFrame(
+            [(1 if part == "part-0" else 2, part)], "doc_id long, text string"
+        )
+        tfr.write_tfrecord_shards(df, d, n_shards=1).collect()
+    s = _Server(root)
+    request.addfinalizer(s.stop)
+    urls = [f"{s.url}/part-0/shard-00000.tfrecord?sig=A",
+            f"{s.url}/part-1/shard-00000.tfrecord?sig=B"]
+    rows = tfr.read_tfrecord(
+        spark, urls, {"doc_id": "int64", "text": "string"}
+    ).collect()
+    labels = {r["shard"] for r in rows}
+    assert len(labels) == 2  # host+path labels, query stripped
+    assert {r["doc_id"] for r in rows} == {1, 2}
