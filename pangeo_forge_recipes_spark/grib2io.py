@@ -114,10 +114,10 @@ def scan_grib2_messages(path: str) -> List[dict]:
     Range GETs: the walk transfers O(headers + bitmaps), not the file —
     the NOMADS/HRRR kerchunk-from-remote-GRIB pattern."""
     out: List[dict] = []
-    if str(path).startswith(("http://", "https://")):
-        from .storage import HTTPRangeFile
+    from .storage import is_remote_url, open_range_file
 
-        f = HTTPRangeFile(path)
+    if is_remote_url(str(path)):
+        f = open_range_file(path)
         size = f.size
     else:
         f = open(path, "rb")
@@ -1199,7 +1199,7 @@ def scan_grib2(
     msgs = scan_grib2_messages(path)
     groups, times, grid = _group_messages(msgs, filter_by_keys)
     (ydim, xdim), space_coords = _grid_parts(grid)
-    if str(path).startswith(("http://", "https://")):
+    if str(path).startswith(("http://", "https://", "s3://")):
         url = path  # refs point at the remote source: range-GET reads
     else:
         url = f"file://{os.path.abspath(path)}"

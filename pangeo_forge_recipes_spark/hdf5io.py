@@ -61,13 +61,13 @@ _UNDEF = 0xFFFFFFFFFFFFFFFF
 class _Reader:
     def __init__(self, path: str):
         self.path = path
-        if str(path).startswith(("http://", "https://")):
+        from .storage import is_remote_url, open_range_file
+
+        if is_remote_url(str(path)):
             # remote archive: the header walk runs over block-cached
             # Range GETs — a scan transfers O(header) bytes, never the
             # file (chunk data later range-reads through ReferenceStore)
-            from .storage import HTTPRangeFile
-
-            self.f = HTTPRangeFile(path)
+            self.f = open_range_file(path)
         else:
             self.f = open(path, "rb")
         self._parse_superblock()
@@ -827,7 +827,7 @@ def scan_hdf5(path: str, inline_threshold: int = 300) -> dict:
 
     reader = _Reader(path)
     try:
-        if str(path).startswith(("http://", "https://")):
+        if str(path).startswith(("http://", "https://", "s3://")):
             url = path  # refs point at the remote source: range-GET reads
         else:
             url = f"file://{os.path.abspath(path)}"

@@ -151,6 +151,25 @@ def scan_npz(path: str, inline_threshold: int = 300) -> dict:
     return {"version": 1, "refs": refs}
 
 
+def scan_zarr_store(store, base_url: str, inline_threshold: int = 300) -> dict:
+    """Scan a Zarr store through its :class:`~.zarrio.Store` interface —
+    the object-store variant of :func:`scan_zarr` (s3 CAN list keys, so
+    a remote store scans in place: one listing + one GET per metadata
+    doc; chunk objects become whole-object references at ``base_url``)."""
+    base = base_url.rstrip("/")
+    refs: Dict[str, RefValue] = {}
+    for key in store.list_prefix(""):
+        if key.rsplit("/", 1)[-1] == ZARR_JSON:
+            refs[key] = store.get(key).decode()
+            continue
+        size = store.size(key)
+        if size <= inline_threshold:
+            refs[key] = _inline(store.get(key), inline_threshold)
+        else:
+            refs[key] = [f"{base}/{key}", 0, size]
+    return {"version": 1, "refs": refs}
+
+
 def scan_zarr(path: str, inline_threshold: int = 300) -> dict:
     """Scan a (real) Zarr v3 store into a reference: metadata inlined, chunk
     objects referenced whole-file."""
@@ -197,6 +216,15 @@ class ReferenceStore(Store):
             from .storage import http_range_get
 
             return http_range_get(url, int(offset), int(length))
+        if url.startswith("s3://"):
+            # same chunk-lazy contract over the object store
+            from .s3io import S3Client, parse_s3_url
+
+            bucket, key = parse_s3_url(url)
+            end = int(offset) + int(length) - 1
+            return S3Client().get_object(
+                bucket, key, rng=f"bytes={int(offset)}-{end}"
+            )
         path = url[len("file://"):] if url.startswith("file://") else url
         with open(path, "rb") as f:
             f.seek(int(offset))
@@ -226,7 +254,9 @@ def open_reference_dataset(path_or_refs, load: bool = True):
     from .dsio import open_zarr_group
 
     if isinstance(path_or_refs, str):
-        with open(path_or_refs) as f:
+        from .storage import open_binary
+
+        with open_binary(path_or_refs) as f:
             path_or_refs = json.load(f)
     if isinstance(path_or_refs, dict) and (
         path_or_refs.get("templates") or path_or_refs.get("gen")
@@ -375,10 +405,11 @@ def combine_references(
 
 def write_reference_json(refs: dict, outpath: str) -> str:
     """Serialize combined references to ``reference.json`` (reference
-    ``writers.py:174-179``)."""
-    os.makedirs(os.path.dirname(outpath) or ".", exist_ok=True)
-    with open(outpath, "w") as f:
-        json.dump(refs, f)
+    ``writers.py:174-179``). Local paths or ``s3://`` urls."""
+    from .storage import open_output_stream
+
+    with open_output_stream(outpath) as f:
+        f.write(json.dumps(refs).encode("utf-8"))
     return outpath
 
 
@@ -413,6 +444,12 @@ def write_reference_parquet(refs: dict, outpath: str, refs_per_component: int = 
             "size": pa.array(sizes, pa.int64()),
         }
     )
+    from .storage import is_s3_url, open_output_stream
+
+    if is_s3_url(outpath):
+        with open_output_stream(os.path.join(outpath, "refs.parquet")) as f:
+            pq.write_table(t, f, row_group_size=refs_per_component)
+        return outpath
     os.makedirs(outpath, exist_ok=True)
     pq.write_table(t, os.path.join(outpath, "refs.parquet"), row_group_size=refs_per_component)
     return outpath
@@ -421,7 +458,17 @@ def write_reference_parquet(refs: dict, outpath: str, refs_per_component: int = 
 def read_reference_parquet(path: str) -> dict:
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(path, "refs.parquet"))
+    from .storage import is_s3_url
+
+    if is_s3_url(path):
+        import io as _io
+
+        from .s3io import S3Client, parse_s3_url
+
+        bucket, key = parse_s3_url(os.path.join(path, "refs.parquet"))
+        t = pq.read_table(_io.BytesIO(S3Client().get_object(bucket, key)))
+    else:
+        t = pq.read_table(os.path.join(path, "refs.parquet"))
     refs: Dict[str, RefValue] = {}
     for row in t.to_pylist():
         if row["inline_value"] is not None:

@@ -519,10 +519,10 @@ def scan_netcdf3(path: str, inline_threshold: int = 300) -> dict:
     def _open_src():
         # http(s) sources scan in place over block-cached Range GETs:
         # the header parse transfers O(header) bytes, never the file
-        if str(path).startswith(("http://", "https://")):
-            from .storage import HTTPRangeFile
+        from .storage import is_remote_url, open_range_file
 
-            return HTTPRangeFile(path)
+        if is_remote_url(str(path)):
+            return open_range_file(path)
         return open(path, "rb")
 
     with _open_src() as f:
@@ -532,7 +532,7 @@ def scan_netcdf3(path: str, inline_threshold: int = 300) -> dict:
             "record variables interleave across the file; re-written fixed "
             "layout required for byte-range references"
         )
-    if str(path).startswith(("http://", "https://")):
+    if str(path).startswith(("http://", "https://", "s3://")):
         url = path  # refs point at the remote source: range-GET reads
     else:
         url = f"file://{os.path.abspath(path)}"

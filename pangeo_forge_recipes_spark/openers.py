@@ -59,14 +59,20 @@ def _is_http(url: str) -> bool:
     return url.startswith(("http://", "https://"))
 
 
+def _is_remote(url: str) -> bool:
+    """Urls read over the network in place: http(s) or s3."""
+    return _is_http(url) or url.startswith("s3://")
+
+
 def _materialize_local(
     url: str, file_type: FileType, open_kwargs: Optional[dict] = None
 ) -> tuple:
     """Resolve a url to a local path for path-based readers. ``http(s)://``
     streams to a NamedTemporaryFile (the un-cached open path — recipes
     that open the same file repeatedly should pass ``cache=`` so the
-    byte cache pays the transfer once). Returns ``(path, is_temp)``."""
-    if not _is_http(url):
+    byte cache pays the transfer once); so do ``s3://`` objects.
+    Returns ``(path, is_temp)``."""
+    if not _is_remote(url):
         return _local_path(url), False
     from .storage import _open_url_raw
 
@@ -111,13 +117,14 @@ def sniff_file_type(url: str) -> FileType:
     * GRIB2: ``GRIB``; npz: zip ``PK\\x03\\x04``;
     * kerchunk: a JSON document (leading ``{``).
     """
-    if _is_http(url):
-        from .storage import HTTPStore, http_range_get
+    if _is_remote(url):
+        from .storage import url_range_get
+        from .zarrio import _store_for
 
-        store = HTTPStore(url)
+        store = _store_for(url)
         if store.exists("zarr.json") or store.exists(".zgroup"):
             return FileType.zarr
-        head = http_range_get(url, 0, 8)
+        head = url_range_get(url, 0, 8)
     else:
         path = _local_path(url)
         if os.path.isdir(path):
@@ -140,11 +147,11 @@ def sniff_file_type(url: str) -> FileType:
         return FileType.kerchunk
     # HDF5 userblock: the signature may sit at 512 * 2^k
     def _read_at(off: int, n: int) -> bytes:
-        if _is_http(url):
-            from .storage import http_range_get
+        if _is_remote(url):
+            from .storage import url_range_get
 
             try:
-                return http_range_get(url, off, n)
+                return url_range_get(url, off, n)
             except Exception:
                 return b""
         with open(_local_path(url), "rb") as f:
@@ -199,12 +206,12 @@ def open_with_ndset(
         return read_dap2(
             url, projection=kw.get("projection"), isel=kw.get("isel")
         )
-    if _is_http(url) and file_type == FileType.zarr:
-        # a zarr store over http is a url PREFIX, not a single file:
+    if _is_remote(url) and file_type == FileType.zarr:
+        # a zarr store over http/s3 is a url PREFIX, not a single file:
         # read it in place through HTTPStore (consolidated metadata =
         # one GET for the group walk; lazy opens range-GET chunks)
         return open_zarr_group(url, load=load)
-    if _is_http(url) and file_type == FileType.netcdf4:
+    if _is_remote(url) and file_type == FileType.netcdf4:
         # HDF5 reads in place too: the header walk runs over
         # block-cached Range GETs and chunk data range-reads through
         # the virtual store — no download
@@ -275,7 +282,7 @@ def read_schema(
     ``cache=`` upstream so the schema pass and the open pass share one
     transfer); opendap stays header-only over the wire either way."""
     file_type = _resolve_type(url, file_type)
-    if _is_http(url) and file_type not in (
+    if _is_remote(url) and file_type not in (
         FileType.opendap, FileType.zarr, FileType.netcdf4
     ):
         # (zarr urls pass through: zarr_group_schema walks the remote
@@ -353,19 +360,19 @@ def open_with_kerchunk(
     file_type = _resolve_type(url, file_type)
     from .kerchunkio import scan_npz, scan_zarr
 
-    if _is_http(url) and file_type == FileType.netcdf4:
+    if _is_remote(url) and file_type == FileType.netcdf4:
         # HDF5 scans a REMOTE archive in place: the header walk is a
         # handful of block Range GETs and the emitted refs point at the
         # http url already — no download, no rewrite
         from .hdf5io import scan_hdf5
 
         return [scan_hdf5(url, inline_threshold=inline_threshold)]
-    if _is_http(url) and file_type == FileType.netcdf3:
+    if _is_remote(url) and file_type == FileType.netcdf3:
         # classic netCDF too: one header block + refs at the remote url
         from .netcdf3 import scan_netcdf3
 
         return [scan_netcdf3(url, inline_threshold=inline_threshold)]
-    if _is_http(url) and file_type == FileType.grib:
+    if _is_remote(url) and file_type == FileType.grib:
         # GRIB2 scans skip section-7 payloads via seek, so a remote scan
         # transfers O(headers + bitmaps) — the NOMADS/HRRR kerchunk shape
         from .grib2io import scan_grib2
@@ -387,7 +394,18 @@ def open_with_kerchunk(
             "/ spark.read.format('zarr').load(url), or scan the store "
             "where it was written"
         )
-    if _is_http(url):
+    if url.startswith("s3://") and file_type == FileType.zarr:
+        # s3 CAN list keys — scan the store in place: metadata objects
+        # inline, chunk objects reference the s3 url whole-object
+        from .kerchunkio import scan_zarr_store
+        from .zarrio import _store_for
+
+        return [
+            scan_zarr_store(
+                _store_for(url), url, inline_threshold=inline_threshold
+            )
+        ]
+    if _is_remote(url):
         path, _ = _materialize_local(url, file_type, kerchunk_open_kwargs)
         try:
             refs_list = open_with_kerchunk(

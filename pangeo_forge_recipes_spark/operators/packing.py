@@ -238,7 +238,9 @@ def write_webdataset_shards(
     import tarfile
 
     meta_cols = list(meta_cols or [])
-    os.makedirs(path, exist_ok=True)
+    from ..storage import prepare_output_dir
+
+    prepare_output_dir(path)
     assigned = (
         shard_assign(df, n_shards, id_col)
         .withColumn("__ord", _order_key(id_col))
@@ -306,10 +308,11 @@ def write_webdataset_shards(
                 if shard != state["shard"]:
                     close_current()
                     state["shard"] = shard
+                    from ..storage import open_output_stream
+
                     state["w"] = _HashingWriter(
-                        open(
-                            os.path.join(path, f"shard-{shard:05d}.tar"),
-                            "wb",
+                        open_output_stream(
+                            os.path.join(path, f"shard-{shard:05d}.tar")
                         )
                     )
                     state["tar"] = tarfile.open(

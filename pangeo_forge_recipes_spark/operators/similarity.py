@@ -918,19 +918,30 @@ def query_ivf_pq_index(
                 }
             )
 
-    probes = queries.select(id_col, vec_col).mapInPandas(
+    # snapshot the query rows: probe rows feed BOTH the centroid-set
+    # collect and the join, and two executions over a nondeterministic
+    # queries frame could disagree and silently drop results. A
+    # localCheckpoint (unlike .cache(), whose CacheManager entry pins
+    # blocks until an explicit unpersist — repeated serving calls were
+    # leaking them, r8 review finding) is freed by the ContextCleaner
+    # when the plan goes out of scope, and keeps the RETURNED frame lazy.
+    queries_snap = queries.select(id_col, vec_col).localCheckpoint(eager=True)
+    probes = queries_snap.mapInPandas(
         probe, f"query_id long, centroid int, qvec {vec_t}"
     )
-    # cache: the probe rows feed BOTH the centroid-set collect and the
-    # join — two uncached executions could disagree for nondeterministic
-    # query inputs and silently drop results (review finding)
-    probes = probes.cache()
     # literal centroid set for partition pruning: O(n_centroids) driver
     # values, NEVER per-query rows — the collect is bounded by the index
     # fan-out, not the query volume
     probed = sorted(
         r["centroid"] for r in probes.select("centroid").distinct().collect()
     )
+    if not probed:
+        # empty queries frame: .isin() with zero literals is a Py4J
+        # error, and there is nothing to score — return the empty
+        # result with the contract schema (r8 review finding)
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, score double"
+        )
     index = (
         spark.read.parquet(_os.path.join(path, "vectors"))
         .where(F.col("centroid").isin(*[int(c) for c in probed]))
@@ -983,7 +994,7 @@ def query_ivf_pq_index(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
     )
-    return (
+    ranked = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
@@ -993,6 +1004,8 @@ def query_ivf_pq_index(
             F.round(F.col("score"), round_to).alias("score"),
         )
     )
+    return ranked
+
 
 
 def append_to_ivf_pq_index(

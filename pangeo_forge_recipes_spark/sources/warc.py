@@ -327,7 +327,9 @@ def write_warc(
             out.write(gzip.compress(block))
         else:
             out.write(block)
-    with open(path, "wb") as f:
+    from ..storage import open_output_stream
+
+    with open_output_stream(path) as f:
         f.write(out.getvalue())
 
 

@@ -51,12 +51,24 @@ def _add_query_string_secrets(fname: str, secrets: dict) -> str:
     return parsed._replace(query=query).geturl()
 
 
+def is_s3_url(path: str) -> bool:
+    """True for ``s3://`` urls (string test only — importing the s3
+    adapter is deferred until a call actually needs it)."""
+    return str(path).startswith("s3://")
+
+
 @dataclass
 class FSSpecTarget:
     """A storage root + optional subpath (reference ``storage.py:78-164``).
 
-    In this engine a target is always addressed by a root path string; the
-    ``get_mapper``-style accessor returns a :class:`Store` for zarr IO.
+    In this engine a target is addressed by a root path string — a local
+    directory or an ``s3://bucket/prefix`` url (the reference's any-fsspec
+    contract; its integration suite runs against MinIO S3,
+    ``tests/test_integration.py:23-47``). ``fsspec_kwargs`` carries
+    object-store client options (``access_key``/``secret_key``/``region``/
+    ``endpoint_url``/``path_style``) — omitted, they resolve from the
+    standard AWS environment variables. ``get_mapper`` returns the
+    matching :class:`Store` for zarr IO.
     """
 
     root_path: str
@@ -72,13 +84,43 @@ class FSSpecTarget:
     def _full_path(self, path: str) -> str:
         return os.path.join(self.root_path, path)
 
+    # -- object-store dispatch -------------------------------------------
+    @property
+    def _is_s3(self) -> bool:
+        return is_s3_url(self.root_path)
+
+    def _s3_store(self):
+        from .s3io import S3Store
+
+        return S3Store(self.root_path, **self.fsspec_kwargs)
+
+    def _rel(self, path: str) -> str:
+        """Key of ``path`` relative to the root (object-store form)."""
+        full = self._full_path(path)
+        root = self.root_path.rstrip("/")
+        if not full.startswith(root):
+            raise ValueError(f"{full!r} escapes target root {root!r}")
+        return full[len(root) :].lstrip("/")
+
     def get_mapper(self) -> Store:
+        if self._is_s3:
+            return self._s3_store()
         return LocalStore(self.root_path)
 
     def exists(self, path: str) -> bool:
+        if self._is_s3:
+            return self._s3_store().exists(self._rel(path))
         return os.path.exists(self._full_path(path))
 
     def rm(self, path: str, recursive: bool = False) -> None:
+        if self._is_s3:
+            store = self._s3_store()
+            rel = self._rel(path)
+            if recursive:
+                # slash-terminate so "a" never sweeps up sibling "ab"
+                store.rm_prefix(rel.rstrip("/") + "/")
+            store.client.delete_object(store.bucket, store._key(rel))
+            return
         full = self._full_path(path)
         if recursive and os.path.isdir(full):
             shutil.rmtree(full)
@@ -86,18 +128,33 @@ class FSSpecTarget:
             os.remove(full)
 
     def makedir(self, path: str) -> None:
+        if self._is_s3:
+            return  # object stores have no directories
         os.makedirs(self._full_path(path), exist_ok=True)
 
     def size(self, path: str) -> int:
+        if self._is_s3:
+            return self._s3_store().size(self._rel(path))
         return os.path.getsize(self._full_path(path))
 
     def open(self, path: str, **kwargs):
+        mode = kwargs.get("mode", "rb")
+        if self._is_s3:
+            from .s3io import S3WriteBuffer
+
+            store = self._s3_store()
+            rel = self._rel(path)
+            if "w" in mode:
+                return S3WriteBuffer(store, rel)
+            return store.client.open_object_stream(
+                store.bucket, store._key(rel)
+            )
         full = self._full_path(path)
         os.makedirs(os.path.dirname(full), exist_ok=True)
         return open(full, **kwargs)
 
     def get_fsspec_remote_protocol(self) -> str:
-        return "file"
+        return "s3" if self._is_s3 else "file"
 
 
 class FlatFSSpecTarget(FSSpecTarget):
@@ -270,6 +327,11 @@ class HTTPRangeFile:
             )
         self.n_requests = 0  # observability for tests/tuning
 
+    def _range_get(self, offset: int, length: int) -> bytes:
+        """One remote byte-range read — the transport hook subclasses
+        override (S3RangeFile)."""
+        return http_range_get(self.url, offset, length, **self.open_kwargs)
+
     # -- block cache ---------------------------------------------------
     def _fetch_blocks(self, first: int, last: int) -> None:
         """Fetch blocks [first, last] (inclusive), coalescing contiguous
@@ -282,9 +344,7 @@ class HTTPRangeFile:
             elif cached and run_start is not None:
                 lo = run_start * self.block_size
                 hi = min((b * self.block_size), self.size) - 1
-                data = http_range_get(
-                    self.url, lo, hi - lo + 1, **self.open_kwargs
-                )
+                data = self._range_get(lo, hi - lo + 1)
                 self.n_requests += 1
                 for i, blk in enumerate(range(run_start, b)):
                     s = i * self.block_size
@@ -306,7 +366,7 @@ class HTTPRangeFile:
             # a read wider than the whole cache: one direct Range GET,
             # no caching — caching it would evict blocks mid-assembly
             # (the fetch loop would pop the very blocks this read needs)
-            data = http_range_get(self.url, lo, n, **self.open_kwargs)
+            data = self._range_get(lo, n)
             self.n_requests += 1
             self._pos += n
             return data
@@ -344,6 +404,70 @@ class HTTPRangeFile:
     def __exit__(self, *exc):
         self.close()
         return False
+
+
+class S3RangeFile(HTTPRangeFile):
+    """Read-only seekable file over S3 byte-range GETs — the same
+    block-cached walker as :class:`HTTPRangeFile`, so the HDF5/netCDF3/
+    GRIB header scanners operate on an object-store archive in place
+    (a scan transfers O(headers), never the object)."""
+
+    def __init__(
+        self,
+        url: str,
+        block_size: int = 256 * 1024,
+        max_blocks: int = 64,
+        **open_kwargs,
+    ):
+        from .s3io import S3Client, parse_s3_url
+
+        self.bucket, self.key = parse_s3_url(url)
+        self._client = S3Client(**_s3_client_kwargs(open_kwargs))
+        self.url = url
+        self.block_size = int(block_size)
+        self.max_blocks = int(max_blocks)
+        self.open_kwargs = open_kwargs
+        self._pos = 0
+        self._blocks = OrderedDict()
+        size = self._client.head_object(self.bucket, self.key)
+        if size is None:
+            raise FileNotFoundError(url)
+        self.size = size
+        self.n_requests = 0
+
+    def _range_get(self, offset: int, length: int) -> bytes:
+        end = offset + length - 1
+        return self._client.get_object(
+            self.bucket, self.key, rng=f"bytes={offset}-{end}"
+        )
+
+
+def is_remote_url(path: str) -> bool:
+    """True for any url this engine reads over the network in place."""
+    return is_http_url(path) or is_s3_url(path)
+
+
+def url_range_get(
+    url: str, offset: int, length: int, secrets: dict | None = None, **open_kwargs
+) -> bytes:
+    """One byte-range read of a remote url — http(s) or s3."""
+    if is_s3_url(url):
+        from .s3io import S3Client, parse_s3_url
+
+        bucket, key = parse_s3_url(url)
+        end = offset + length - 1
+        return S3Client(**_s3_client_kwargs(open_kwargs)).get_object(
+            bucket, key, rng=f"bytes={offset}-{end}"
+        )
+    return http_range_get(url, offset, length, secrets, **open_kwargs)
+
+
+def open_range_file(url: str, **open_kwargs):
+    """Block-cached seekable range-reader for a remote url (http or s3)
+    — what the byte-walking format scanners open remote archives with."""
+    if is_s3_url(url):
+        return S3RangeFile(url, **open_kwargs)
+    return HTTPRangeFile(url, **open_kwargs)
 
 
 class HTTPStore(Store):
@@ -428,11 +552,38 @@ class HTTPStore(Store):
         raise NotImplementedError("HTTPStore is read-only")
 
 
+#: keys of ``open_kwargs`` that configure the S3 client (everything the
+#: standard AWS env vars cover, overridable per call)
+_S3_CLIENT_KEYS = (
+    "access_key",
+    "secret_key",
+    "session_token",
+    "region",
+    "endpoint_url",
+    "path_style",
+)
+
+
+def _s3_client_kwargs(open_kwargs: dict | None) -> dict:
+    kw = open_kwargs or {}
+    return {k: kw[k] for k in _S3_CLIENT_KEYS if k in kw}
+
+
+def _s3_open_stream(url: str, open_kwargs: dict | None):
+    from .s3io import S3Client, parse_s3_url
+
+    bucket, key = parse_s3_url(url)
+    return S3Client(**_s3_client_kwargs(open_kwargs)).open_object_stream(
+        bucket, key
+    )
+
+
 def _open_url_raw(fname: str, secrets: dict | None, **open_kwargs):
-    """Open a source url for reading bytes: local paths, ``file://``, and
+    """Open a source url for reading bytes: local paths, ``file://``,
     ``http(s)://`` (stdlib urllib — basic auth via ``auth``/``username``
-    kwargs, query-string secrets; reference ``openers.py:16-37``). An
-    object-store adapter would slot in here identically on a cluster."""
+    kwargs, query-string secrets; reference ``openers.py:16-37``), and
+    ``s3://`` (native SigV4 client; credentials from the AWS env vars or
+    ``access_key``/``secret_key``/``endpoint_url`` open kwargs)."""
     if secrets:
         fname = _add_query_string_secrets(fname, secrets)
     parsed = urlparse(fname)
@@ -440,9 +591,11 @@ def _open_url_raw(fname: str, secrets: dict | None, **open_kwargs):
         return open(parsed.path or fname, "rb")
     if parsed.scheme in ("http", "https"):
         return _http_open(fname, open_kwargs)
+    if parsed.scheme == "s3":
+        return _s3_open_stream(fname, open_kwargs)
     raise NotImplementedError(
         f"url scheme {parsed.scheme!r} is not supported; supported schemes: "
-        "file://, plain paths, http://, https://"
+        "file://, plain paths, http://, https://, s3://"
     )
 
 
@@ -457,7 +610,7 @@ def shard_label(path: str) -> str:
     basename; urls keep host+path (query stripped) so two shards with
     the same basename under different prefixes never collapse into one
     label (review finding: presigned per-directory layouts)."""
-    if is_http_url(path):
+    if is_http_url(path) or is_s3_url(path):
         parsed = urlparse(path)
         return f"{parsed.netloc}{parsed.path}"
     return os.path.basename(path.rstrip("/"))
@@ -469,8 +622,13 @@ def open_shard_stream(path: str, open_kwargs: dict | None = None):
     directly — routing them through urlparse would misread filenames
     containing '?', '#', or a colon-bearing first segment (review
     finding)."""
-    if is_http_url(path):
-        return _open_url_raw(path, None, **(open_kwargs or {}))
+    if is_http_url(path) or is_s3_url(path):
+        # 'secrets' rides INSIDE open_kwargs on the shard-reader surface
+        # (read_tfrecord/read_webdataset docs) — pop it into the
+        # positional slot or _open_url_raw sees it twice (r8 review
+        # finding: query-string secrets were unusable through shards)
+        kw = dict(open_kwargs or {})
+        return _open_url_raw(path, kw.pop("secrets", None), **kw)
     return open(path, "rb")
 
 
@@ -514,7 +672,57 @@ def _remote_size(fname: str, secrets: dict | None, **open_kwargs) -> int:
         except urllib.error.HTTPError:
             pass
         return -1
+    if parsed.scheme == "s3":
+        from .s3io import S3Client, parse_s3_url
+
+        bucket, key = parse_s3_url(fname)
+        n = S3Client(**_s3_client_kwargs(open_kwargs)).head_object(bucket, key)
+        return -1 if n is None else n
     raise NotImplementedError(f"size of {parsed.scheme!r} urls not supported")
+
+
+def prepare_output_dir(path: str) -> None:
+    """Writer-side ``makedirs`` that no-ops for object-store urls —
+    shard writers call this on their output root once at the driver."""
+    if not is_s3_url(path):
+        os.makedirs(path, exist_ok=True)
+
+
+def open_output_stream(path: str, open_kwargs: dict | None = None):
+    """Writable binary stream for one output object: local paths open
+    a real file; ``s3://`` urls return a multipart-streaming upload
+    buffer (memory stays at one part, never the object). Shard writers
+    route every per-object ``open(..., "wb")`` through this."""
+    if is_s3_url(path):
+        from .s3io import S3Store, S3WriteBuffer, parse_s3_url
+
+        bucket, key = parse_s3_url(path)
+        store = S3Store(f"s3://{bucket}", **_s3_client_kwargs(open_kwargs))
+        return S3WriteBuffer(store, key)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    return open(path, "wb")
+
+
+def list_shard_urls(
+    path: str, suffixes: tuple, open_kwargs: dict | None = None
+) -> list:
+    """Expand an ``s3://`` prefix into sorted shard urls whose keys end
+    with one of ``suffixes`` — the object-store analog of the local
+    directory-glob branch in the shard readers."""
+    from .s3io import S3Client, parse_s3_url
+
+    bucket, prefix = parse_s3_url(path)
+    client = S3Client(**_s3_client_kwargs(open_kwargs))
+    # exact object? (one HEAD) — callers pass either a shard url or a
+    # directory-ish prefix
+    if client.head_object(bucket, prefix) is not None:
+        return [path]
+    pfx = prefix.rstrip("/") + "/" if prefix else ""
+    return sorted(
+        f"s3://{bucket}/{k}"
+        for k, _ in client.list_objects(bucket, pfx)
+        if k.endswith(suffixes)
+    )
 
 
 def copy_to_target(

@@ -177,13 +177,21 @@ def _minhash_flag_handler(id_col: str, state_ttl_ms: Optional[int]):
             state.remove()
             return
         first = int(state.get[0]) if state.exists else None
-        dups = []
+        # a big group arrives as SEVERAL Arrow chunks whose order follows
+        # shuffle row order — collect ALL ids first, then sort once, or
+        # the first-seen representative is the min of the FIRST chunk
+        # only and the "arrivals ordered by id" determinism contract
+        # breaks at chunk boundaries (same fix as _domain_cap_fold_handler)
+        ids: list = []
         for pdf in pdfs:
-            for d in sorted(int(x) for x in pdf[id_col]):
-                if first is None:
-                    first = d
-                elif d != first:
-                    dups.append(d)
+            ids.extend(int(x) for x in pdf[id_col])
+        ids.sort()
+        dups = []
+        for d in ids:
+            if first is None:
+                first = d
+            elif d != first:
+                dups.append(d)
         if first is not None:
             state.update((first,))
             if state_ttl_ms:

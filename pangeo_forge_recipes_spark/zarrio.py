@@ -190,6 +190,12 @@ def _store_for(path_or_store) -> Store:
         from .storage import HTTPStore
 
         return HTTPStore(path)
+    if path.startswith("s3://"):
+        # full read/write object-store path (credentials from the AWS
+        # env vars); region writes touch disjoint keys — no coordination
+        from .s3io import S3Store
+
+        return S3Store(path)
     return LocalStore(path)
 
 

@@ -141,3 +141,27 @@ def test_append_grows_index_with_saved_model(spark, emb, tmp_path):
     # a vector present in both halves' encode paths has ONE code row per
     # append (no rewrite of existing partitions)
     assert full.where("vec_id = 0").count() == 1
+
+
+def test_empty_queries_short_circuit(spark, emb, index):
+    """r8 advisor finding: zero query rows made the centroid .isin()
+    raise a Py4J error; now it returns the empty contract frame."""
+    path, _ = index
+    empty = emb.where("vec_id < 0")
+    out = sim.query_ivf_pq_index(spark, path, empty, k=3, nprobe=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "rank", "score",
+    ]
+
+
+def test_repeated_queries_leave_no_cached_plans(spark, emb, index):
+    """r8 advisor finding: each serving call leaked one CacheManager
+    entry (probes.cache() never unpersisted). The probe snapshot now
+    rides a localCheckpoint, which the ContextCleaner frees."""
+    path, _ = index
+    jsc = spark._jsparkSession.sharedState().cacheManager()
+    q = emb.limit(3)
+    for _ in range(3):
+        sim.query_ivf_pq_index(spark, path, q, k=2, nprobe=2).collect()
+    assert jsc.isEmpty()

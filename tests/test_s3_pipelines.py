@@ -1,0 +1,191 @@
+"""End-to-end pipelines against the fake S3 endpoint — the engine
+analog of the reference's MinIO integration suite
+(``/root/reference/tests/test_integration.py:23-47``): Zarr stores,
+kerchunk references, input caches, and training shards all living on
+``s3://`` urls, written from executor tasks through the native SigV4
+client."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pangeo_forge_recipes_spark import (
+    assert_equal,
+    pattern_from_file_sequence,
+    store_to_zarr,
+    write_combined_reference,
+)
+from pangeo_forge_recipes_spark.dsio import write_npz
+from pangeo_forge_recipes_spark.kerchunkio import open_reference_dataset
+from pangeo_forge_recipes_spark.s3io import S3Store, configure_spark_s3
+from pangeo_forge_recipes_spark.storage import CacheFSSpecTarget, FSSpecTarget
+
+from .data_generation import make_ds, split_ds_into_files
+from .fake_s3 import FakeS3
+
+
+@pytest.fixture(scope="module")
+def s3(request, spark):
+    srv = FakeS3()
+    configure_spark_s3(spark, **srv.client_kwargs())
+    request.addfinalizer(srv.stop)
+    return srv
+
+
+def test_store_to_zarr_on_s3(spark, tmp_path, s3):
+    """The flagship round-trip with the TARGET on the object store:
+    executors region-write chunk objects straight to s3 keys."""
+    ds = make_ds(nt=6)
+    paths = split_ds_into_files(ds, str(tmp_path), items_per_file=2)
+    pattern = pattern_from_file_sequence(
+        paths, "time", nitems_per_file=2, file_type="npz"
+    )
+    result = store_to_zarr(
+        spark, pattern, "s3://pipelines/targets", "store.zarr",
+        target_chunks={"time": 3},
+    )
+    assert result.path.startswith("s3://pipelines/targets")
+    assert_equal(result.open(), ds)
+    # physical layout: zarr.json per node + chunk objects under c/
+    keys = {k for (b, k) in s3.objects if b == "pipelines"}
+    assert "targets/store.zarr/zarr.json" in keys
+    assert any("/c/" in k for k in keys)
+
+
+def test_store_to_zarr_s3_sources(spark, tmp_path, s3):
+    """Sources ALSO on s3: the opener pulls input bytes from the object
+    store (``s3://`` urls in the FilePattern) while writing locally."""
+    ds = make_ds(nt=4)
+    local = split_ds_into_files(ds, str(tmp_path), items_per_file=2)
+    store = S3Store("s3://sources", **s3.client_kwargs())
+    urls = []
+    for p in local:
+        with open(p, "rb") as f:
+            store.put(os.path.basename(p), f.read())
+        urls.append(f"s3://sources/{os.path.basename(p)}")
+    pattern = pattern_from_file_sequence(
+        urls, "time", nitems_per_file=2, file_type="npz"
+    )
+    result = store_to_zarr(
+        spark, pattern, str(tmp_path / "t"), "from_s3.zarr",
+        target_chunks={"time": 2},
+    )
+    assert_equal(result.open(), ds)
+
+
+def test_input_cache_on_s3(spark, tmp_path, s3):
+    """CacheFSSpecTarget with an s3 root: first call uploads, second
+    call size-skips (no second PUT of the object)."""
+    src = tmp_path / "src.bin"
+    src.write_bytes(b"x" * 1000)
+    cache = CacheFSSpecTarget.from_url("s3://cachebkt/cache")
+    cache.fsspec_kwargs.update(s3.client_kwargs())
+    cache.cache_file(str(src), None)
+    assert cache.exists(str(src))
+    assert cache.size(str(src)) == 1000
+    puts_before = sum(
+        1 for m, b, k, q in s3.requests if m == "PUT" and b == "cachebkt"
+    )
+    cache.cache_file(str(src), None)  # size matches — skip
+    puts_after = sum(
+        1 for m, b, k, q in s3.requests if m == "PUT" and b == "cachebkt"
+    )
+    assert puts_after == puts_before
+    # cached object is readable through the generic url opener
+    from pangeo_forge_recipes_spark.storage import open_binary
+
+    url = "s3://cachebkt/cache/" + cache._rel(str(src))
+    with open_binary(url, **s3.client_kwargs()) as f:
+        assert f.read() == b"x" * 1000
+
+
+def test_kerchunk_reference_on_s3(spark, tmp_path, s3):
+    """write_combined_reference with the reference FILE on s3 and chunk
+    refs pointing at s3 SOURCE objects — the fully-cloud virtual store."""
+    from pangeo_forge_recipes_spark.netcdf3 import write_netcdf3
+
+    ds = make_ds(nt=4)
+    store = S3Store("s3://refsrc", **s3.client_kwargs())
+    urls = []
+    for i, start in enumerate(range(0, 4, 2)):
+        p = str(tmp_path / f"nc_{i}.nc")
+        write_netcdf3(p, ds.isel(time=slice(start, start + 2)))
+        with open(p, "rb") as f:
+            store.put(os.path.basename(p), f.read())
+        urls.append(f"s3://refsrc/{os.path.basename(p)}")
+    pattern = pattern_from_file_sequence(
+        urls, "time", nitems_per_file=2, file_type="netcdf3"
+    )
+    refpath = write_combined_reference(
+        spark, pattern, "s3://refout/here", "ref"
+    )
+    assert refpath.startswith("s3://refout/here")
+    back = open_reference_dataset(refpath)
+    assert_equal(back, ds)
+    # the json knows its chunks by s3 url — reads were ranged GETs
+    raw = json.loads(
+        S3Store("s3://refout", **s3.client_kwargs()).get("here/ref/reference.json")
+    )
+    chunk_refs = [v for v in raw["refs"].values() if isinstance(v, list)]
+    assert chunk_refs and all(v[0].startswith("s3://refsrc/") for v in chunk_refs)
+
+
+def test_tfrecord_shards_on_s3(spark, s3):
+    """TFRecord shard write → list → read entirely on the object store."""
+    from pangeo_forge_recipes_spark.sources import tfrecord as tfr
+
+    df = spark.createDataFrame(
+        [(i, f"doc-{i}") for i in range(40)], "doc_id long, text string"
+    )
+    out = "s3://shards/tfr"
+    manifest = tfr.write_tfrecord_shards(df, out, n_shards=4).collect()
+    assert len(manifest) == 4
+    back = tfr.read_tfrecord(
+        spark, out, {"doc_id": "int64", "text": "string"}
+    )
+    rows = back.collect()
+    assert {r["doc_id"] for r in rows} == set(range(40))
+    assert {r["shard"] for r in rows} == {
+        f"shards/tfr/shard-{i:05d}.tfrecord" for i in range(4)
+    }
+
+
+def test_webdataset_shards_on_s3(spark, s3):
+    """WebDataset tar shards written by executors to s3, read back."""
+    from pangeo_forge_recipes_spark.operators.packing import (
+        write_webdataset_shards,
+    )
+    from pangeo_forge_recipes_spark.sources.webdataset import read_webdataset
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(30)], "doc_id long, text string"
+    )
+    out = "s3://shards/wds"
+    manifest = write_webdataset_shards(df, out, n_shards=3).collect()
+    assert len(manifest) == 3
+    back = read_webdataset(spark, out).collect()
+    assert len(back) == 30
+
+
+def test_fsspec_target_surface_on_s3(s3):
+    t = FSSpecTarget.from_url("s3://tgt/root")
+    t.fsspec_kwargs.update(s3.client_kwargs())
+    assert t.get_fsspec_remote_protocol() == "s3"
+    with t.open("sub/obj.bin", mode="wb") as f:
+        f.write(b"abc")
+    assert t.exists("sub/obj.bin") and t.size("sub/obj.bin") == 3
+    with t.open("sub/obj.bin") as f:
+        assert f.read() == b"abc"
+    t.makedir("whatever")  # object stores: no-op, must not raise
+    (t / "sub").rm("obj.bin")
+    assert not t.exists("sub/obj.bin")
+    # recursive rm sweeps a prefix but not its sibling
+    with t.open("a/x", mode="wb") as f:
+        f.write(b"1")
+    with t.open("ab/y", mode="wb") as f:
+        f.write(b"2")
+    t.rm("a", recursive=True)
+    assert not t.exists("a/x") and t.exists("ab/y")

@@ -1,0 +1,171 @@
+"""Native S3 client/store vs the in-process fake S3 endpoint (SigV4
+verified by recomputation server-side)."""
+
+from __future__ import annotations
+
+import pickle
+
+import pytest
+
+from pangeo_forge_recipes_spark import s3io
+from pangeo_forge_recipes_spark.s3io import S3Client, S3Error, S3Store
+
+from .fake_s3 import FakeS3
+
+
+@pytest.fixture(scope="module")
+def s3(request):
+    srv = FakeS3()
+    request.addfinalizer(srv.stop)
+    return srv
+
+
+@pytest.fixture()
+def store(s3):
+    s3.objects.clear()
+    s3.requests.clear()
+    return S3Store("s3://bkt/some/prefix", **s3.client_kwargs())
+
+
+def test_put_get_head_delete_roundtrip(store):
+    store.put("a/b.bin", b"hello")
+    assert store.get("a/b.bin") == b"hello"
+    assert store.exists("a/b.bin")
+    assert store.size("a/b.bin") == 5
+    store.rm_prefix("a")
+    assert not store.exists("a/b.bin")
+    with pytest.raises(KeyError):
+        store.get("a/b.bin")
+    with pytest.raises(KeyError):
+        store.size("a/b.bin")
+
+
+def test_key_prefix_mapping(s3, store):
+    store.put("x.bin", b"1")
+    assert ("bkt", "some/prefix/x.bin") in s3.objects
+
+
+def test_get_range_and_suffix(store):
+    store.put("r.bin", bytes(range(100)))
+    assert store.get_range("r.bin", 10, 5) == bytes(range(10, 15))
+    assert store.get_range("r.bin", -7, 0) == bytes(range(93, 100))
+    # range past EOF clamps like S3 does
+    assert store.get_range("r.bin", 95, 50) == bytes(range(95, 100))
+
+
+def test_list_prefix_paginates(s3, store):
+    for i in range(7):
+        store.put(f"d/k{i:02d}", b"x")
+    store.put("other/k", b"y")
+    # force pagination through the real continuation-token loop
+    got = list(
+        store.client.list_objects("bkt", "some/prefix/d/", page_size=3)
+    )
+    assert [k for k, _ in got] == [f"some/prefix/d/k{i:02d}" for i in range(7)]
+    assert list(store.list_prefix("d")) == [f"d/k{i:02d}" for i in range(7)]
+
+
+def test_multipart_put_parts(monkeypatch, s3, store):
+    monkeypatch.setattr(s3io, "MULTIPART_PART_BYTES", 1024)
+    payload = bytes(i % 251 for i in range(5000))
+    parts = [payload[i : i + 700] for i in range(0, len(payload), 700)]
+    store.put_parts("big.bin", parts)
+    assert store.get("big.bin") == payload
+    # it actually went multipart: the server saw uploads + completion
+    methods = [(m, q) for m, _, k, q in s3.requests if k.endswith("big.bin")]
+    assert any("uploads" in q for m, q in methods if m == "POST")
+    assert sum(1 for m, q in methods if m == "PUT" and "partNumber" in q) >= 4
+    # small objects stay single-PUT
+    store.put_parts("small.bin", [b"ab", b"cd"])
+    assert store.get("small.bin") == b"abcd"
+    small = [
+        (m, q)
+        for m, _, k, q in s3.requests
+        if k.endswith("small.bin") and m == "PUT"
+    ]
+    assert all("partNumber" not in q for _, q in small)
+
+
+def test_write_buffer_streams_parts(monkeypatch, s3, store):
+    monkeypatch.setattr(s3io, "MULTIPART_PART_BYTES", 512)
+    buf = s3io.S3WriteBuffer(store, "stream.bin")
+    payload = bytes(i % 241 for i in range(2000))
+    for i in range(0, len(payload), 300):
+        buf.write(payload[i : i + 300])
+    buf.close()
+    assert store.get("stream.bin") == payload
+    # empty object via the buffer
+    b2 = s3io.S3WriteBuffer(store, "empty.bin")
+    b2.close()
+    assert store.get("empty.bin") == b"" and store.exists("empty.bin")
+
+
+def test_bad_signature_rejected(s3):
+    kwargs = dict(s3.client_kwargs())
+    kwargs["secret_key"] = "wrong"
+    client = S3Client(**kwargs)
+    with pytest.raises(S3Error) as ei:
+        client.put_object("bkt", "k", b"v")
+    assert ei.value.status == 403
+    assert ei.value.code == "SignatureDoesNotMatch"
+    kwargs["secret_key"] = s3.client_kwargs()["secret_key"]
+    kwargs["access_key"] = "unknown"
+    with pytest.raises(S3Error) as ei:
+        S3Client(**kwargs).put_object("bkt", "k", b"v")
+    assert ei.value.status == 403
+
+
+def test_signs_range_header_and_special_keys(s3, store):
+    # keys with spaces / unicode / '+' must sign and roundtrip (uri
+    # encoding is part of the canonical request)
+    key = "weird dir/ünï+code (1).bin"
+    store.put(key, b"payload")
+    assert store.get(key) == b"payload"
+    assert store.get_range(key, 2, 3) == b"ylo"
+
+
+def test_retry_on_injected_throttle(s3, store):
+    store.put("retry.bin", b"v")
+    s3.fail_queue.extend([503, 500])
+    assert store.get("retry.bin") == b"v"  # two retries then success
+
+
+def test_store_pickles_without_live_client(store):
+    store.put("p.bin", b"q")
+    clone = pickle.loads(pickle.dumps(store))
+    assert clone._client is None  # rebuilt lazily on the "executor"
+    assert clone.get("p.bin") == b"q"
+
+
+def test_missing_credentials_raise(monkeypatch):
+    for var in (
+        "AWS_ACCESS_KEY_ID",
+        "AWS_SECRET_ACCESS_KEY",
+        "AWS_SESSION_TOKEN",
+        "AWS_ENDPOINT_URL_S3",
+        "AWS_ENDPOINT_URL",
+    ):
+        monkeypatch.delenv(var, raising=False)
+    with pytest.raises(ValueError, match="AWS_ACCESS_KEY_ID"):
+        S3Client()
+
+
+def test_env_credentials_resolve(monkeypatch, s3):
+    kw = s3.client_kwargs()
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", kw["access_key"])
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", kw["secret_key"])
+    monkeypatch.setenv("AWS_ENDPOINT_URL_S3", kw["endpoint_url"])
+    monkeypatch.setenv("AWS_DEFAULT_REGION", kw["region"])
+    client = S3Client()
+    assert client.config.path_style  # custom endpoint defaults path-style
+    client.put_object("envbkt", "k", b"v")
+    assert client.get_object("envbkt", "k") == b"v"
+
+
+def test_parse_s3_url():
+    assert s3io.parse_s3_url("s3://b/k/deep.bin") == ("b", "k/deep.bin")
+    assert s3io.parse_s3_url("s3://b") == ("b", "")
+    with pytest.raises(ValueError):
+        s3io.parse_s3_url("http://b/k")
+    with pytest.raises(ValueError):
+        s3io.parse_s3_url("s3:///k")

@@ -425,6 +425,15 @@ def test_stateful_ttl_handler_logic():
     )
     assert list(out[0]["doc_id"]) == [8] and list(out[0]["first_doc_id"]) == [7]
     assert st.armed == 500
+    # chunk-boundary determinism (r8 review finding): when a group spans
+    # several Arrow chunks the representative must be the GLOBAL min,
+    # not the min of the first chunk — ids collect across chunks first
+    st = FakeState()
+    chunks = [pd.DataFrame({"doc_id": [9, 5]}), pd.DataFrame({"doc_id": [2, 8]})]
+    out = list(_minhash_flag_handler("doc_id", None)((1,), iter(chunks), st))
+    assert st.get == (2,)
+    assert list(out[0]["doc_id"]) == [5, 8, 9]
+    assert set(out[0]["first_doc_id"]) == {2}
 
 
 def test_streaming_hamming_dedup_cross_modal(spark, tmp_path):
