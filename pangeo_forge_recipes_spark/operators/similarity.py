@@ -810,19 +810,174 @@ def _ivf_pq_encode_rows(
     )
 
 
-def _require_local_index_path(path: str) -> None:
-    """The index artifact mixes Spark parquet with driver-side numpy
-    sidecar I/O; on an object store the sidecar would silently land on
-    the driver's local disk and strand the index half-built (review
-    finding) — gate loudly until a storage adapter carries the sidecar."""
+def _check_index_path(path: str) -> bool:
+    """True when the index lives on the object store (``s3://``); local
+    and ``file://`` paths return False; anything else raises."""
     from urllib.parse import urlparse
 
     scheme = urlparse(str(path)).scheme
+    if scheme == "s3":
+        return True
     if scheme not in ("", "file"):
         raise NotImplementedError(
-            f"ivf_pq index paths must be local/file:// for now (got "
-            f"{scheme}://): meta.npz is written with driver-local numpy I/O"
+            f"ivf_pq index paths must be local or s3:// (got {scheme}://)"
         )
+    return False
+
+
+# -- object-store index IO ---------------------------------------------------
+# A serving index must live on cloud storage (the reference's whole
+# domain is cloud object stores). Spark's own parquet writer would need
+# a Hadoop s3 connector, so the s3 tier carries its OWN part IO through
+# the engine's native S3 client: the same `vectors/centroid=*/` layout,
+# parts pyarrow-encoded INSIDE executor tasks (one shuffle on centroid,
+# no driver data path), and the query path fetches ONLY the probed
+# centroids' objects — the file-level pruning contract, enforced by key
+# prefix instead of Catalyst PartitionFilters.
+
+
+def _index_meta_io(path: str):
+    """(load, save) closures for ``meta.npz`` at a local or s3 path."""
+    import io as _io
+    import os as _os
+
+    if _check_index_path(path):
+        from ..s3io import S3Store
+
+        store = S3Store(path)
+
+        def load():
+            return np.load(_io.BytesIO(store.get("meta.npz")))
+
+        def save(**arrays):
+            buf = _io.BytesIO()
+            np.savez(buf, **arrays)
+            store.put("meta.npz", buf.getvalue())
+
+        return load, save
+
+    def load():
+        return np.load(_os.path.join(path, "meta.npz"))
+
+    def save(**arrays):
+        _os.makedirs(path, exist_ok=True)
+        np.savez(_os.path.join(path, "meta.npz"), **arrays)
+
+    return load, save
+
+
+def _write_index_rows_s3(rows: DataFrame, path: str, generation: int) -> int:
+    """Write encoded (vec_id, centroid, codes) rows into the s3 index:
+    ONE shuffle co-locates each centroid's rows, tasks sort by centroid
+    and stream pyarrow-encoded parts of ≤131072 rows per object to
+    ``vectors/centroid=<c>/part-<pid>-<seq>-g<gen>.parquet``. Part keys
+    are deterministic in (partition id, sequence, generation), so a
+    retried task overwrites its own objects — idempotent, like the
+    local writer. Returns the number of rows written (summed from the
+    per-part manifest, truthful under nondeterministic inputs)."""
+    import io as _io
+
+    from pyspark import TaskContext
+
+    part_rows = 131072
+    root = path
+
+    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ..s3io import S3Store
+
+        store = S3Store(root)
+        pid = TaskContext.get().partitionId()
+        seq = 0
+        buf_ids: list = []
+        buf_codes: list = []
+        cur_centroid = None
+        written = []
+
+        def flush():
+            nonlocal seq, buf_ids, buf_codes
+            if not buf_ids:
+                return
+            t = pa.table(
+                {
+                    "vec_id": pa.array(buf_ids, pa.int64()),
+                    "codes": pa.array(buf_codes, pa.list_(pa.int32())),
+                }
+            )
+            sink = _io.BytesIO()
+            pq.write_table(t, sink)
+            key = (
+                f"vectors/centroid={cur_centroid}/"
+                f"part-{pid:05d}-{seq:04d}-g{generation}.parquet"
+            )
+            store.put(key, sink.getvalue())
+            written.append((int(cur_centroid), len(buf_ids)))
+            seq += 1
+            buf_ids, buf_codes = [], []
+
+        for pdf in batches:
+            for vid, cent, codes in zip(
+                pdf["vec_id"], pdf["centroid"], pdf["codes"]
+            ):
+                c = int(cent)
+                if cur_centroid is None:
+                    cur_centroid = c
+                elif c != cur_centroid or len(buf_ids) >= part_rows:
+                    flush()
+                    cur_centroid = c
+                buf_ids.append(int(vid))
+                buf_codes.append([int(x) for x in codes])
+        flush()
+        if written:
+            yield pd.DataFrame(written, columns=["centroid", "n_rows"])
+
+    manifest = (
+        rows.repartition("centroid")
+        .sortWithinPartitions("centroid")
+        .mapInPandas(write, "centroid int, n_rows long")
+        .collect()
+    )
+    return int(sum(r["n_rows"] for r in manifest))
+
+
+def _read_index_rows_s3(spark, path: str, probed) -> DataFrame:
+    """Scan ONLY the probed centroids' part objects from an s3 index:
+    the driver lists O(nprobe) key prefixes (metadata, bounded by index
+    fan-out × parts-per-list), then executor tasks fetch + pyarrow-parse
+    one object each — fully distributed, bytes read ∝ probed lists."""
+    import io as _io
+
+    from ..s3io import S3Store
+
+    store = S3Store(path)
+    keys = []
+    for c in probed:
+        keys.extend(
+            (k, int(c)) for k in store.list_prefix(f"vectors/centroid={int(c)}")
+        )
+    if not keys:
+        return spark.createDataFrame(
+            [], "vec_id long, centroid int, codes array<int>"
+        )
+    kdf = spark.createDataFrame(keys, "key string, centroid int").repartition(
+        min(len(keys), 64)
+    )
+    root = path
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        store = S3Store(root)
+        for pdf in batches:
+            for key, cent in zip(pdf["key"], pdf["centroid"]):
+                t = pq.read_table(_io.BytesIO(store.get(key)))
+                out = t.to_pandas()
+                out["centroid"] = int(cent)
+                yield out[["vec_id", "centroid", "codes"]]
+
+    return kdf.mapInPandas(fetch, "vec_id long, centroid int, codes array<int>")
 
 
 def build_ivf_pq_index(
@@ -848,24 +1003,31 @@ def build_ivf_pq_index(
     metadata (centroids + codebooks, O(n_centroids·dim) bytes) lands at
     ``<path>/meta.npz``; vectors at ``<path>/vectors/centroid=*/``.
 
+    ``path`` may be a local directory or an ``s3://`` url — the serving
+    tier: parts stream from executor tasks through the native S3 client
+    and queries fetch only probed lists (see ``_write_index_rows_s3``).
+
     Returns ``{"n_centroids", "m", "nbits", "dim", "n_vectors"}``.
     """
     import os as _os
 
-    _require_local_index_path(path)
+    on_s3 = _check_index_path(path)
     codebooks = pq_train(df, m=m, nbits=nbits, id_col=id_col, vec_col=vec_col)
     m, ksub, dsub = codebooks.shape
     centroids = _sample_centroids(df, n_centroids, id_col, vec_col)
     rows = _ivf_pq_encode_rows(df, centroids, codebooks, id_col, vec_col)
-    _os.makedirs(path, exist_ok=True)
-    rows.write.mode("overwrite").partitionBy("centroid").parquet(
-        _os.path.join(path, "vectors")
-    )
-    np.savez(
-        _os.path.join(path, "meta.npz"), centroids=centroids, codebooks=codebooks
-    )
-    spark = df.sparkSession
-    n_vectors = spark.read.parquet(_os.path.join(path, "vectors")).count()
+    _load, save_meta = _index_meta_io(path)
+    if on_s3:
+        n_vectors = _write_index_rows_s3(rows, path, generation=0)
+        save_meta(centroids=centroids, codebooks=codebooks)
+    else:
+        _os.makedirs(path, exist_ok=True)
+        rows.write.mode("overwrite").partitionBy("centroid").parquet(
+            _os.path.join(path, "vectors")
+        )
+        save_meta(centroids=centroids, codebooks=codebooks)
+        spark = df.sparkSession
+        n_vectors = spark.read.parquet(_os.path.join(path, "vectors")).count()
     return {
         "n_centroids": int(len(centroids)),
         "m": int(m),
@@ -896,8 +1058,9 @@ def query_ivf_pq_index(
     neighbor id. Output ``(query_id, neighbor_id, rank, score)``."""
     import os as _os
 
-    _require_local_index_path(path)
-    meta = np.load(_os.path.join(path, "meta.npz"))
+    on_s3 = _check_index_path(path)
+    load_meta, _save = _index_meta_io(path)
+    meta = load_meta()
     centroids, codebooks = meta["centroids"], meta["codebooks"]
     m, ksub, dsub = codebooks.shape
     npb = min(nprobe, len(centroids))
@@ -942,10 +1105,15 @@ def query_ivf_pq_index(
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, rank int, score double"
         )
-    index = (
-        spark.read.parquet(_os.path.join(path, "vectors"))
-        .where(F.col("centroid").isin(*[int(c) for c in probed]))
-    )
+    if on_s3:
+        # object-store pruning: fetch ONLY probed centroids' part
+        # objects (bytes ∝ nprobe/n_centroids of the index)
+        index = _read_index_rows_s3(spark, path, probed)
+    else:
+        index = (
+            spark.read.parquet(_os.path.join(path, "vectors"))
+            .where(F.col("centroid").isin(*[int(c) for c in probed]))
+        )
     joined = probes.join(index, "centroid")
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1024,10 +1192,19 @@ def append_to_ivf_pq_index(
     throughout. Returns the number of vectors appended."""
     import os as _os
 
-    _require_local_index_path(path)
-    meta = np.load(_os.path.join(path, "meta.npz"))
+    on_s3 = _check_index_path(path)
+    load_meta, _save = _index_meta_io(path)
+    meta = load_meta()
     centroids, codebooks = meta["centroids"], meta["codebooks"]
     rows = _ivf_pq_encode_rows(df, centroids, codebooks, id_col, vec_col)
+    if on_s3:
+        from ..s3io import S3Store
+
+        # generation = count of existing part objects: makes this
+        # append's part keys disjoint from every earlier write, while a
+        # RETRY within the append rewrites the same keys (idempotent)
+        gen = 1 + sum(1 for _ in S3Store(path).list_prefix("vectors/"))
+        return _write_index_rows_s3(rows, path, generation=gen)
     spark = df.sparkSession
     vdir = _os.path.join(path, "vectors")
     # truthful count without a second scan of df: parquet row counts come

@@ -189,3 +189,57 @@ def test_fsspec_target_surface_on_s3(s3):
         f.write(b"2")
     t.rm("a", recursive=True)
     assert not t.exists("a/x") and t.exists("ab/y")
+
+
+def test_ivf_pq_index_on_s3(spark, s3):
+    """The serving-tier index on the object store: build → query →
+    append entirely over s3, results identical to the local artifact,
+    and the query's GETs bounded to the probed centroids' objects."""
+    import pytest as _pytest
+
+    from pangeo_forge_recipes_spark.operators import similarity as sim
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    lo, hi = emb.where("vec_id < 400"), emb.where("vec_id >= 400")
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        local = os.path.join(td, "idx")
+        meta_l = sim.build_ivf_pq_index(lo, local, n_centroids=16, m=8, nbits=4)
+        meta_s = sim.build_ivf_pq_index(
+            lo, "s3://annidx/idx", n_centroids=16, m=8, nbits=4
+        )
+        assert meta_s == meta_l
+        q = emb.limit(8)
+        want = sim.query_ivf_pq_index(spark, local, q, k=3, nprobe=4)
+        got = sim.query_ivf_pq_index(spark, "s3://annidx/idx", q, k=3, nprobe=4)
+        rows_w = sorted(map(tuple, want.collect()))
+        rows_g = sorted(map(tuple, got.collect()))
+        assert rows_g == rows_w and rows_g
+        # probe-bytes bound: ONE query probing 2 of 16 lists must only
+        # GET part objects under those 2 centroid prefixes
+        s3.requests.clear()
+        sim.query_ivf_pq_index(
+            spark, "s3://annidx/idx", emb.limit(1), k=2, nprobe=2
+        ).collect()
+        fetched = {
+            k.split("centroid=")[1].split("/")[0]
+            for m, b, k, qq in s3.requests
+            if b == "annidx" and m == "GET" and "centroid=" in k
+            and "list-type" not in qq
+        }
+        assert len(fetched) <= 2
+        # append with the saved model, then appended ids are queryable
+        n = sim.append_to_ivf_pq_index(hi, "s3://annidx/idx")
+        assert n == hi.count()
+        out = sim.query_ivf_pq_index(
+            spark, "s3://annidx/idx", hi.limit(3), k=2, nprobe=16
+        )
+        assert {r["query_id"] for r in out.collect()} == {
+            r["vec_id"] for r in hi.limit(3).collect()
+        }
+    # unknown scheme still raises loudly
+    with _pytest.raises(NotImplementedError):
+        sim.build_ivf_pq_index(lo, "gs://nope/idx")
