@@ -1664,32 +1664,40 @@ def _gopher_c4_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword ratio, plus the Gopher-rule keep decision from the
     unrounded values. All JVM SQL — explode/hash-agg + scalar
     expressions; the oracle replicates every metric in DuckDB."""
-    from pangeo_forge_recipes_spark.operators.filters import top_ngram_fraction
+    from pangeo_forge_recipes_spark.operators.filters import (
+        top_ngram_fraction_expr,
+    )
 
     _register(spark, sf_dir)
-    # bind the token split ONCE per row (tokens_col): the three scalar
-    # metrics otherwise each re-split the text. No trailing orderBy —
-    # the driver's value hash is row-order-insensitive (it sorts both
-    # sides), so a global sort for presentation is pure shuffle cost.
+    # Plan discipline (r9): the whole composite is ONE spark.sql over the
+    # cached 32-wide documents table — map-only, zero exchanges (the
+    # top_ngram mode count is a per-row sorted-run fold, plan-gated in
+    # test_filters). The token split binds ONCE (__t); every metric is
+    # materialized into a column once and `keep` derives from the
+    # columns (re-referencing the raw expressions doubled the
+    # interpreted higher-order work). One statement also keeps the
+    # per-invocation Catalyst analyze/optimize cost to a single pass —
+    # at this corpus SF the fresh-plan compile is a large share of the
+    # wall (it amortizes to nothing at real scale).
     e = TextExprs("spark", "text", tokens_col="__t")
-    base = top_ngram_fraction(
-        spark.table("documents").select("doc_id", "text"), n=2
-    ).withColumn("__t", F.expr("split(text, ' ')"))
     lo, hi = _GOPHER_MWL_RANGE
-    keep = (
-        (F.expr(e.token_count()) >= _GOPHER_MIN_TOKENS)
-        & (F.col("top_ngram_frac") <= _GOPHER_TOP_NGRAM_MAX)
-        & (F.expr(e.stopword_ratio()) >= _GOPHER_STOPWORD_MIN)
-        & F.expr(e.mean_word_len()).between(lo, hi)
-    )
-    return base.select(
-        "doc_id",
-        F.expr(e.token_count()).cast("long").alias("n_tokens"),
-        F.round("top_ngram_frac", 4).alias("top_ngram_frac"),
-        F.round(F.expr(e.mean_word_len()), 4).alias("mean_word_len"),
-        F.round(F.expr(e.stopword_ratio()), 4).alias("stopword_ratio"),
-        keep.alias("keep"),
-    )
+    return spark.sql(f"""
+SELECT doc_id, n_tokens,
+       round(top_ngram_frac, 4) AS top_ngram_frac,
+       round(__mwl, 4) AS mean_word_len,
+       round(__swr, 4) AS stopword_ratio,
+       (n_tokens >= {_GOPHER_MIN_TOKENS}
+        AND top_ngram_frac <= {_GOPHER_TOP_NGRAM_MAX}
+        AND __swr >= {_GOPHER_STOPWORD_MIN}
+        AND __mwl BETWEEN {lo} AND {hi}) AS keep
+FROM (
+  SELECT doc_id,
+         {top_ngram_fraction_expr("__t", 2)} AS top_ngram_frac,
+         cast({e.token_count()} as long) AS n_tokens,
+         {e.mean_word_len()} AS __mwl,
+         {e.stopword_ratio()} AS __swr
+  FROM (SELECT doc_id, text, split(text, ' ') AS __t FROM documents)
+)""")
 
 
 def _gopher_oracle() -> str:

@@ -14,17 +14,14 @@ re-expressed as Spark DataFrame transformations:
 - URL/domain blocklist filtering (broadcast anti-join).
 
 Everything scalar stays in built-in Spark SQL expressions (whole-stage
-codegen, no Python in the hot path); the two operators that need
-per-document aggregation beyond a scalar expression
-(:func:`top_ngram_fraction`, :func:`contamination`) use the
-explode → hash-aggregate shape, which scales linearly and partially
-aggregates map-side.
+codegen, no Python in the hot path). :func:`top_ngram_fraction` is
+map-only since r9 (a per-row sorted-run fold — zero exchanges);
+:func:`contamination` keeps the explode → hash-aggregate shape against
+the (small, broadcast) eval set.
 
-100 TB notes: every function here is a narrow map or a single hash
-aggregate over exploded n-grams; the only joins are against *small*
-sides (an eval benchmark, a blocklist) that are broadcast explicitly,
-so nothing in this module shuffles the corpus itself except the
-n-gram aggregates, which combine map-side first.
+100 TB notes: every function here is a narrow map or a broadcast
+semi/anti join against a *small* side (an eval benchmark, a
+blocklist); nothing in this module shuffles the corpus itself.
 """
 
 from __future__ import annotations
@@ -91,36 +88,71 @@ def _word_ngrams(col: str, n: int) -> str:
 
 
 def top_ngram_fraction(
-    df: DataFrame, id_col: str = "doc_id", col: str = "text", n: int = 2
+    df: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    n: int = 2,
+    tokens_col: str = None,
 ) -> DataFrame:
     """Fraction of a document's tokens covered by its single most
     frequent word ``n``-gram (Gopher's ``top_n_gram_fraction`` family).
 
-    Distributed shape: explode n-grams → hash-aggregate per (doc,
-    gram) → max per doc → broadcast-free join back on the doc id. Both
-    aggregates combine map-side; nothing is quadratic, unlike the naive
-    per-doc ``filter``-count which degrades on long documents.
+    Distributed shape: **map-only** — the per-document mode count is a
+    sorted-run-length fold over the gram-hash array, all inside JVM
+    expressions. O(g log g) per document, ZERO exchanges — the previous
+    explode → two hash aggregates → join-back shape shuffled every gram
+    of the corpus and dragged the text column through a join, the one
+    plan in the r8 audit above the 2x-of-oracle bar. Per-doc work
+    distributes perfectly at 100 TB.
+
+    Grams never materialize as strings: tokens hash once
+    (``xxhash64``), a gram hashes its ``n`` token hashes in one call —
+    within-doc equality is exact up to hash collisions (~grams²/2^65,
+    the same tolerance the exploded shape had). ``tokens_col`` names an
+    already-bound ``array<string>`` token column to share the split
+    with sibling metrics (the gopher composite binds it once).
     """
-    grams = df.select(
-        F.col(id_col),
-        F.expr(f"size(split({col}, ' '))").alias("__n_tokens"),
-        F.explode(F.expr(_word_ngrams(col, n))).alias("__gram"),
-    ).withColumn("__gh", F.xxhash64("__gram"))
-    # group on the 64-bit gram hash: the shuffle moves longs, not
-    # n-word strings; within-doc collisions are ~(grams²/2^65)
-    top = (
-        grams.groupBy(id_col, "__n_tokens", "__gh")
-        .agg(F.count("*").alias("__cnt"))
-        .groupBy(id_col, "__n_tokens")
-        .agg(F.max("__cnt").alias("__top_cnt"))
-        .select(
-            id_col,
-            (
-                F.col("__top_cnt") * n / F.greatest(F.col("__n_tokens"), F.lit(1))
-            ).alias("top_ngram_frac"),
+    if tokens_col:
+        frac = top_ngram_fraction_expr(tokens_col, n)
+    else:
+        frac = (
+            f"element_at(transform(array(split({col}, ' ')), "
+            f"tk -> {top_ngram_fraction_expr('tk', n)}), 1)"
         )
+    return df.withColumn("top_ngram_frac", F.expr(frac))
+
+
+def top_ngram_fraction_expr(tokens_col: str, n: int = 2) -> str:
+    """The SQL expression behind :func:`top_ngram_fraction`, over an
+    already-bound ``array<string>`` token column — exposed so one-shot
+    SQL statements (the driver's gopher composite) can inline it
+    without an extra plan layer."""
+    args = ", ".join(f"element_at(th, i + {j})" for j in range(n))
+    grams = f"array_sort(transform(sequence(1, size(th) - {n - 1}), i -> xxhash64({args})))"
+    # run-length fold over the sorted hashes: `run` counts the current
+    # equal-run, `best` the longest seen; run>0 guards the hash==0 seed
+    fold = (
+        f"aggregate({grams}, "
+        "named_struct('prev', cast(0 as bigint), 'run', cast(0 as bigint), "
+        "'best', cast(0 as bigint)), "
+        "(a, x) -> named_struct("
+        "'prev', x, "
+        "'run', if(a.run > 0 and x = a.prev, a.run + 1, cast(1 as bigint)), "
+        "'best', greatest(a.best, "
+        "if(a.run > 0 and x = a.prev, a.run + 1, cast(1 as bigint)))), "
+        "a -> a.best)"
     )
-    return df.join(top, id_col, "left").fillna({"top_ngram_frac": 0.0})
+    # guard BEFORE building grams: sequence(1, size-k) flips descending
+    # when size < n (If evaluates lazily, so the bad branch never runs)
+    body = f"if(size(th) < {n}, cast(0 as bigint), {fold})"
+    # bind token hashes once (th) — an inlined array expression in a
+    # lambda body re-evaluates per element; the token column itself is a
+    # plain reference, free to repeat
+    inner = (
+        f"element_at(transform(array(transform({tokens_col}, w -> xxhash64(w))), "
+        f"th -> {body}), 1)"
+    )
+    return f"({inner}) * {n} / greatest(size({tokens_col}), 1)"
 
 
 def with_gopher_quality_metrics(df: DataFrame, col: str = "text") -> DataFrame:

@@ -61,10 +61,34 @@ def test_top_ngram_fraction_matches_python(docs):
         assert got[row["doc_id"]] == pytest.approx(expect), row["doc_id"]
 
 
-def test_top_ngram_fraction_is_distributed_aggregate(docs):
+def test_top_ngram_fraction_is_map_only(docs):
+    """r9 rewrite: the mode count is a per-row sorted-run fold — the plan
+    must carry NO exchange and NO explode (the old shape shuffled every
+    gram of the corpus twice and joined the text column back)."""
     plan = filters.top_ngram_fraction(docs, n=2)._jdf.queryExecution().toString()
-    # explode → hash aggregate, not a per-doc quadratic expression
-    assert "Generate explode" in plan
+    assert "Exchange" not in plan
+    assert "Generate explode" not in plan
+
+
+def test_top_ngram_fraction_matches_bruteforce(spark):
+    """Values match a literal Python mode-count on hand-made docs,
+    including the <n-token and empty-string edges."""
+    rows = [
+        (1, "a b a b a"),          # bigrams: ab,ba,ab,ba → top 2 → 2*2/5
+        (2, "x"),                  # 1 token, no bigram → 0
+        (3, ""),                   # split('') = [''] → 1 token → 0
+        (4, "w w w w"),            # ww ×3 → 3*2/4
+        (5, "p q r s"),            # all distinct → 1*2/4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["top_ngram_frac"]
+        for r in filters.top_ngram_fraction(df, n=2).collect()
+    }
+    assert got[1] == pytest.approx(4 / 5)
+    assert got[2] == 0.0 and got[3] == 0.0
+    assert got[4] == pytest.approx(6 / 4)
+    assert got[5] == pytest.approx(2 / 4)
 
 
 def test_c4_clean_keeps_and_drops(docs):
