@@ -82,16 +82,18 @@ def _make_tables() -> List[List[int]]:
 _T = _make_tables()
 
 
-_NP_W = 256  # block width: best measured balance of gather amortization
+#: block widths, coarse-to-fine: the 256-byte tier does the bulk, the
+#: 32-byte tier keeps the pure-Python tail under 32 bytes (the tail was
+#: the whole cost for the KB-scale records TFRecord actually carries)
+_NP_WIDTHS = (256, 32)
 #: minimum payload for the numpy path — below this the fancy-index call
-#: overhead loses to the slice-by-8 loop
-_NP_MIN = 512
-_NP_TABLES: Optional[tuple] = None  # (G2D, jidx, M0..M3) built on first use
+#: overhead loses to the slice-by-8 loop (measured crossover ~64)
+_NP_MIN = 64
+_NP_TABLES: Dict[int, tuple] = {}  # width -> (G2D, jidx, M0..M3), lazy
 
 
-def _build_np_tables() -> tuple:
+def _build_np_tables(W: int) -> tuple:
     T0 = np.array(_T[0], dtype=np.uint32)
-    W = _NP_W
     G = np.empty((W, 256), dtype=np.uint32)
     v = T0.copy()
     for j in range(W - 1, -1, -1):  # G[j] = Z^(W-1-j) applied to T0
@@ -145,25 +147,30 @@ def crc32c(data: bytes, crc: int = 0) -> int:
     n = len(data)
     if n < _NP_MIN:
         return _crc32c_py(data, crc)
-    global _NP_TABLES
-    if _NP_TABLES is None:
-        _NP_TABLES = _build_np_tables()
-    G, jidx, M0, M1, M2, M3 = _NP_TABLES
-    W = _NP_W
+    mv = memoryview(data)
     c = (crc ^ 0xFFFFFFFF) & 0xFFFFFFFF
-    nb = n // W
-    arr = np.frombuffer(data, dtype=np.uint8, count=nb * W).reshape(nb, W)
-    for hb in np.bitwise_xor.reduce(G[jidx, arr], axis=1).tolist():
-        c = (
-            M0[c & 0xFF]
-            ^ M1[(c >> 8) & 0xFF]
-            ^ M2[(c >> 16) & 0xFF]
-            ^ M3[c >> 24]
-            ^ hb
-        )
-    tail = data[nb * W :]
-    if tail:
-        return _crc32c_py(tail, c ^ 0xFFFFFFFF)
+    pos = 0
+    for W in _NP_WIDTHS:
+        nb = (n - pos) // W
+        if not nb:
+            continue
+        tables = _NP_TABLES.get(W)
+        if tables is None:
+            tables = _NP_TABLES[W] = _build_np_tables(W)
+        G, jidx, M0, M1, M2, M3 = tables
+        arr = np.frombuffer(mv, dtype=np.uint8, count=nb * W, offset=pos)
+        arr = arr.reshape(nb, W)
+        for hb in np.bitwise_xor.reduce(G[jidx, arr], axis=1).tolist():
+            c = (
+                M0[c & 0xFF]
+                ^ M1[(c >> 8) & 0xFF]
+                ^ M2[(c >> 16) & 0xFF]
+                ^ M3[c >> 24]
+                ^ hb
+            )
+        pos += nb * W
+    if pos < n:
+        return _crc32c_py(bytes(mv[pos:]), c ^ 0xFFFFFFFF)
     return c ^ 0xFFFFFFFF
 
 
