@@ -3312,6 +3312,227 @@ def _stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-9 rotation slots
+# ---------------------------------------------------------------------------
+
+
+def _grouped_png_media(docs: DataFrame) -> DataFrame:
+    """Deterministic 32x32 noise PNGs where docs sharing ``doc_id // 3``
+    share IDENTICAL pixels (splitmix-style uint64 scramble of the group
+    seed — noise images keep distinct groups' pHashes ~32 bits apart,
+    so the only pairs within the hamming threshold are the constructed
+    ones; closed-form group structure is what the SQL oracle replays)."""
+    import numpy as np
+    import pandas as pd
+
+    from pangeo_forge_recipes_spark.pngio import encode_png
+
+    W = H = 32
+
+    def build(batches):
+        idx = np.arange(W * H, dtype=np.uint64)
+        k1 = np.uint64(0x9E3779B97F4A7C15)
+        k2 = np.uint64(0xC2B2AE3D27D4EB4F)
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            media = []
+            for d in ids:
+                seed = np.uint64(int(d) - int(d) % 3)
+                h = seed * k1 + idx * k2
+                h ^= h >> np.uint64(33)
+                h *= k2
+                h ^= h >> np.uint64(29)
+                px = (h % np.uint64(256)).astype(np.uint8).reshape(H, W)
+                media.append(bytearray(encode_png(px)))
+            yield pd.DataFrame({"doc_id": ids, "media": media})
+
+    return docs.select("doc_id").mapInPandas(build, "doc_id long, media binary")
+
+
+def _phash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image perceptual-hash near-dup e2e (operators/imagehash): REAL
+    PNG decode → DCT pHash → banded-Hamming pair engine. The fixture
+    puts identical pixels on docs sharing doc_id//3, so the expected
+    pair set is pure id arithmetic the oracle replays; the unrelated
+    noise images sit ~32 bits apart (P[dist<=6] ~ 4e-10/pair), so the
+    full-distance verification after banding admits exactly the
+    constructed pairs."""
+    from pangeo_forge_recipes_spark.operators.imagehash import phash_near_dup
+
+    _register(spark, sf_dir)
+    imgs = _grouped_png_media(spark.table("documents"))
+    pairs = phash_near_dup(imgs)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+_PHASH_NEAR_DUP_ORACLE = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
+FROM documents a JOIN documents b
+  ON a.doc_id // 3 = b.doc_id // 3 AND a.doc_id < b.doc_id
+""".strip()
+
+
+#: pinned closed-form weights for the graded classifier-inference slot:
+#: fixed, discriminative-ish, and embeddable as SQL literals (dim 256)
+_QC_DIM = 256
+_QC_W = [((i * 37) % 101 - 50) / 100.0 for i in range(_QC_DIM)]
+_QC_B = -0.05
+
+
+def _quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style classifier INFERENCE e2e (operators/classifier):
+    hashed token+bigram featurization (md5 variant — DuckDB's
+    md5_number_lower is bit-identical to the python digest slice, so
+    the oracle replays the featurization exactly), broadcast-weights
+    Arrow scoring, keep decision at a fixed threshold. Weights are the
+    pinned closed-form table above (training itself is pinned by the
+    pytest suite's single-partition numpy-equivalence tests — the
+    BPE-fixture pattern)."""
+    import numpy as np
+
+    from pangeo_forge_recipes_spark.operators.classifier import score_quality
+
+    _register(spark, sf_dir)
+    model = {
+        "w": np.array(_QC_W, dtype=np.float64),
+        "b": _QC_B,
+        "dim": _QC_DIM,
+        "bigrams": True,
+        "hash_fn": "md5",
+    }
+    scored = score_quality(
+        spark.table("documents").select("doc_id", "text"), model
+    )
+    return scored.select(
+        "doc_id",
+        F.round("quality_prob", 4).alias("quality_prob"),
+        (F.col("quality_prob") >= 0.5).alias("keep"),
+    )
+
+
+def _quality_classifier_oracle() -> str:
+    w_lit = "[" + ", ".join(repr(w) for w in _QC_W) + "]"
+    return f"""
+WITH w AS (SELECT {w_lit}::DOUBLE[] AS wv),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(t || CASE WHEN len(t) >= 2
+                          THEN list_transform(range(1, len(t)), i -> t[i] || chr(31) || t[i + 1])
+                          ELSE CAST([] AS VARCHAR[]) END) AS g,
+         (2 * len(t) - 1) AS n
+  FROM toks WHERE len(t) > 0),
+agg AS (
+  SELECT doc_id, CAST(md5_number_lower(g) % {_QC_DIM} AS INT) AS ix, n,
+         count(*) AS c
+  FROM grams GROUP BY doc_id, ix, n),
+z AS (
+  SELECT agg.doc_id,
+         sum(wv[ix + 1] * CAST(CAST(CAST(c AS DOUBLE) / n AS FLOAT) AS DOUBLE)) AS zz
+  FROM agg, w GROUP BY agg.doc_id),
+p AS (
+  SELECT d.doc_id,
+         1.0 / (1.0 + exp(-(coalesce(z.zz, 0.0) + {_QC_B}))) AS prob
+  FROM documents d LEFT JOIN z ON d.doc_id = z.doc_id)
+SELECT doc_id, round(prob, 4) AS quality_prob, prob >= 0.5 AS keep FROM p
+""".strip()
+
+
+def _stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT deterministic stratified sampling (operators/text): the 9
+    smallest md5(id) docs of every language stratum — repartition-
+    invariant, and the oracle is the identical-work window SQL."""
+    from pangeo_forge_recipes_spark.operators.text import stratified_sample
+
+    _register(spark, sf_dir)
+    out = stratified_sample(
+        spark.table("documents"), "lang", n_per_stratum=9
+    )
+    return out.select("doc_id", "lang")
+
+
+_STRATIFIED_SAMPLE_ORACLE = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, ROW_NUMBER() OVER (
+    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+  ) AS rk FROM documents
+) WHERE rk <= 9
+""".strip()
+
+
+#: synthetic 64-bit signature as PURE integer SQL — identical in Spark
+#: and DuckDB, so the streaming dedup's bucket/first-seen semantics are
+#: oracle-replayable exactly (docs sharing doc_id//3 share the sig)
+_STREAM_SIG_X = "((doc_id - doc_id % 3) * 48271) % 2147483647"
+
+
+def _stream_hamming_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 64-bit-signature near-dup flagging at ingest
+    (streaming/stateful.streaming_hamming_dedup — the cross-modal
+    engine behind pHash/SimHash/audio-fingerprint stream dedup; the
+    image-decode composition is pinned in pytest). Signatures here are
+    a closed-form integer scramble of doc_id//3 so the oracle can
+    replay the EXACT operator semantics: per (band, 8-bit band value)
+    bucket, the first-seen (min, ids sorted within the availableNow
+    batch — the r9 chunk-boundary fix) id claims the bucket and every
+    later arrival is flagged against it."""
+    from pangeo_forge_recipes_spark.streaming.stateful import (
+        streaming_hamming_dedup,
+    )
+
+    _register(spark, sf_dir)
+    for q in spark.streams.active:
+        if q.name == "_stream_hamming":
+            q.stop()
+    batch_schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    raw = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id")
+        .withColumn("__x", F.expr(_STREAM_SIG_X))
+        .select("doc_id", F.expr("__x * 2654435761 + __x").alias("sig"))
+    )
+    query = (
+        streaming_hamming_dedup(raw, "sig")
+        .writeStream.format("memory")
+        .queryName("_stream_hamming")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("_stream_hamming").select(
+        "doc_id", "first_doc_id", "band"
+    )
+
+
+_STREAM_HAMMING_ORACLE = f"""
+WITH sig AS (
+  SELECT doc_id,
+         ({_STREAM_SIG_X}) * 2654435761 + ({_STREAM_SIG_X}) AS sig
+  FROM documents),
+b AS (
+  SELECT doc_id, CAST(r.band AS INT) AS band,
+         (sig >> (8 * CAST(r.band AS INT))) & 255 AS band_val
+  FROM sig CROSS JOIN range(8) r(band)),
+mn AS (
+  SELECT band, band_val, min(doc_id) AS first_doc_id
+  FROM b GROUP BY band, band_val)
+SELECT b.doc_id, mn.first_doc_id, b.band
+FROM b JOIN mn USING (band, band_val)
+WHERE b.doc_id <> mn.first_doc_id
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -3349,7 +3570,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tier, last ungraded similarity operator — takes multimodal_stats'
     # slot (the sha-fake blob-plumbing aggregate; genuine decode paths
     # stay graded via multimodal_features + multimodal_audio)
-    out["ann_pq_topk"] = _ann_pq_q
+    # round-9 rotation: ann_pq_topk (asymmetric-distance PQ) yields its
+    # slot to quality_classifier_score — PQ codes/LUT scoring stays
+    # graded through ivf_pq_topk (the IVFxPQ composite) and warm in
+    # pytest; the classifier inference path (hashed featurization +
+    # broadcast-weights scoring) was the last pytest-only text operator
+    out["quality_classifier_score"] = _quality_classifier_q
     out["multimodal_audio"] = _multimodal_audio
     # round-8 rotation: dedup_minhash_pairs (its banded-LSH shape stays
     # graded via dedup_minhash_stream + dedup_clusters and warm in
@@ -3389,7 +3615,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # bpe_tokenize (pinned-merge segmentation) take the q4/q13 slots —
     # those shapes stay covered by q18/q22/the rollup and warm in
     # test_shared_sql_parity.py
-    out["url_dedup"] = _url_dedup_q
+    # round-9 rotation: url_dedup yields its slot to phash_near_dup —
+    # canonicalize+window-dedup stays graded via snapshot_delta
+    # (canonical url join) and domain_cap_sample (host parsing), warm in
+    # pytest; image decode -> pHash -> banded-Hamming was pytest-only
+    out["phash_near_dup"] = _phash_near_dup_q
     out["bpe_tokenize"] = _bpe_tokenize_q
     # text_fingerprints (per-row fingerprint exprs that text_doc_metrics'
     # shape already exercises) yields its slot to dedup_lines — the CCNet
@@ -3403,7 +3633,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # orderBy+limit; disjunctive filter-agg through q1/corpus_clean. Both
     # rotated-out texts stay warm in test_shared_sql_parity.py
     out["mix_corpora"] = _mix_corpora_q
-    out["chunk_documents"] = _chunk_documents_q
+    # round-9 rotation: chunk_documents yields its slot to
+    # stratified_sample — the window/prefix-sum chunk machinery stays
+    # graded via pack_sequences and warm in pytest; exact per-stratum
+    # md5-order sampling was pytest-only
+    out["stratified_sample"] = _stratified_sample_q
     # round-5 rotation (third pass): quality_filter — the last ungraded
     # LLM-pipeline operator family — takes sample_split_stats' slot (its
     # md5-bucket determinism is graded through mix_corpora's draws and
@@ -3525,7 +3759,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # events_props_json's slot moved to warc_roundtrip (r6 third pass);
     # its dialect-pair text stays warm in test_shared_sql_parity.py
     # streaming twins + bespoke joins
-    out["events_hourly_rollup_stream"] = _events_rollup_stream
+    # round-9 rotation: events_hourly_rollup_stream (micro-batch windowed
+    # agg — shape stays graded via events_sessions_stream +
+    # streaming_domain_cap + pipeline_stream_append, text warm in the
+    # parity suite) yields its slot to streaming_hamming_dedup, the
+    # cross-modal 64-bit-signature ingest dedup
+    out["streaming_hamming_dedup"] = _stream_hamming_q
     out["events_sessions_stream"] = _events_sessions_stream
     # round-8 rotation: events_dedup_stream (streaming EXACT dedup — its
     # first-seen-wins state shape stays graded via dedup_minhash_stream
@@ -3543,9 +3782,11 @@ def oracle_sql() -> dict[str, str]:
     out = dict(_shared_sql())  # identical ANSI text runs on DuckDB
     out.update(_text_sql("duckdb"))
     out["warc_roundtrip"] = _WARC_ORACLE
-    # streaming results must equal their batch twins — the hourly rollup
-    # text grades ONLY via its streaming twin (50-query budget)
-    out["events_hourly_rollup_stream"] = out.pop("events_hourly_rollup")
+    # round-9 rotation: the hourly-rollup text leaves the gate entirely
+    # (slot moved to streaming_hamming_dedup); it stays warm in the
+    # parity suite
+    out.pop("events_hourly_rollup")
+    out["streaming_hamming_dedup"] = _STREAM_HAMMING_ORACLE
     # round-4 rotation: the batch events_sessions slot moved to
     # dsir_select; its SQL still grades the streaming twin
     out["events_sessions_stream"] = out.pop("events_sessions")
@@ -3555,7 +3796,7 @@ def oracle_sql() -> dict[str, str]:
     out.pop("q13_customer_distribution")
     out["dsir_select"] = _dsir_oracle()
     out["gopher_c4_filter"] = _gopher_oracle()
-    out["url_dedup"] = _url_dedup_oracle()
+    out["phash_near_dup"] = _PHASH_NEAR_DUP_ORACLE  # r9: url_dedup slot
     out["bpe_tokenize"] = _bpe_oracle()
     out.pop("text_fingerprints")  # slot moved to dedup_lines
     out["dedup_lines"] = _dedup_lines_oracle()
@@ -3563,7 +3804,7 @@ def oracle_sql() -> dict[str, str]:
     out.pop("topk_customers")
     out.pop("q19_disjunctive_revenue")
     out["mix_corpora"] = _mix_corpora_oracle()
-    out["chunk_documents"] = _chunk_documents_oracle()
+    out["stratified_sample"] = _STRATIFIED_SAMPLE_ORACLE  # r9: chunk_documents slot
     # round-5 rotation: slot moved to quality_filter
     out.pop("sample_split_stats")
     out["quality_filter"] = _quality_filter_oracle()
@@ -3578,7 +3819,7 @@ def oracle_sql() -> dict[str, str]:
     out["c4_clean"] = _c4_clean_oracle()
     out["scrub_pii"] = _scrub_pii_oracle()
     out["dedup_minhash_stream"] = _STREAM_MINHASH_ORACLE
-    out["ann_pq_topk"] = _pq_oracle_sql()
+    out["quality_classifier_score"] = _quality_classifier_oracle()  # r9: ann_pq slot
     out.pop("q3_unshipped_revenue")  # slot moved to snapshot_delta
     out["snapshot_delta"] = _snapshot_delta_oracle()
     # round-8 rotation: events_dedup_stream's slot moved to

@@ -32,12 +32,10 @@ HEADLINE = [
     "resize_images",
     "mix_corpora",
     "c4_clean",
-    "chunk_documents",
     "decontaminate",
     "scrub_pii",
     "dsir_select",
     "gopher_c4_filter",
-    "url_dedup",
     "bpe_tokenize",
     "asof_last_order",
     "range_join_orders",
@@ -55,13 +53,17 @@ HEADLINE = [
     "ann_ivf_topk",
     "dedup_simhash",
     "embedding_near_dup",
-    "ann_pq_topk",
     "multimodal_features",
     "multimodal_audio",
     "dedup_clusters",
     "dedup_ngram_spans",
     "pack_sequences",
     "tfrecord_roundtrip",
+    # round-9 rotation slots
+    "phash_near_dup",
+    "quality_classifier_score",
+    "stratified_sample",
+    "streaming_hamming_dedup",
 ]
 
 
@@ -1059,8 +1061,15 @@ def main() -> None:
         "ivf_pq_topk",  # oracle composes the IVF assignment replication
         # with the PQ code/LUT O(n²) join — a correctness artifact
         "ann_ivf_topk",
-        "ann_pq_topk",  # oracle re-derives codes + LUT scores as an
-        # O(n² x m) SQL join — a correctness artifact
+        "phash_near_dup",  # Spark decodes real PNGs + DCT-hashes +
+        # bands; the oracle replays the fixture's id arithmetic —
+        # different work by construction
+        "quality_classifier_score",  # oracle replays the hashed
+        # featurization with per-gram md5 in SQL — a correctness
+        # artifact; the engine side is broadcast-weights map-only
+        "streaming_hamming_dedup",  # oracle replays the bucket/first-
+        # seen semantics as a grouped SQL min — the engine runs the
+        # real stateful streaming operator
         "multimodal_features",
         "resize_images",  # same class as multimodal_features: Spark
         # decodes real PNG bytes + gather/lerp, the oracle recomputes
@@ -1099,6 +1108,14 @@ def main() -> None:
     text_duck = entrymod._text_sql("duckdb")
     extra_matched = {
         "ann_cosine_topk": (entrymod._ann_topk, entrymod._ANN_ORACLE),
+        # r9 rotation: url_dedup + chunk_documents left the graded 50
+        # (slots moved to phash_near_dup / stratified_sample); their
+        # identical-work pairs stay timed here
+        "url_dedup": (entrymod._url_dedup_q, entrymod._url_dedup_oracle()),
+        "chunk_documents": (
+            entrymod._chunk_documents_q,
+            entrymod._chunk_documents_oracle(),
+        ),
         # corpus_shards rotated out of the gate for tfrecord_roundtrip
         # (r8 second pass) — its shard-stat pair stays timed here
         "corpus_shards": (entrymod._corpus_shards, entrymod._shards_oracle()),

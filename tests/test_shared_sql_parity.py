@@ -153,3 +153,32 @@ def test_rotated_out_corpus_shards_still_matches(spark, duck):
     got = _summary(entrymod._corpus_shards(spark, SF_DIR).toPandas())
     want = _summary(duck.execute(entrymod._shards_oracle()).df())
     assert got == want
+
+
+def test_round9_rotation_slots_dual_engine(spark):
+    """The four r9 rotation slots (phash_near_dup,
+    quality_classifier_score, stratified_sample,
+    streaming_hamming_dedup) pinned at sf0.001 against their DuckDB
+    oracles — the same compare the driver's gate runs at sf0.01."""
+    import duckdb
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry9", "/root/repo/__spark_entry__.py"
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    for name in (
+        "phash_near_dup",
+        "quality_classifier_score",
+        "stratified_sample",
+        "streaming_hamming_dedup",
+    ):
+        got = sorted(map(tuple, entry.queries()[name](spark, sf).collect()))
+        want = sorted(map(tuple, con.execute(entry.oracle_sql()[name]).fetchall()))
+        assert got == want and got, name
