@@ -932,6 +932,92 @@ def _bench_scale_stress(spark, sf_dir: str, factor: int = 10) -> dict:
     return out
 
 
+def _bench_ivf_pq_s3(spark, sf_dir: str) -> dict:
+    """The ANN serving loop on OBJECT storage (r8 verdict #5): build the
+    IVFxPQ index on an S3 endpoint, append an increment with the saved
+    model, query with list-level pruning — walls for each leg, plus the
+    probe-bytes bound measured from the endpoint's own request log
+    (bytes actually GET'd / total index bytes)."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.fake_s3 import FakeS3
+
+    from pangeo_forge_recipes_spark.operators.similarity import (
+        append_to_ivf_pq_index,
+        build_ivf_pq_index,
+        query_ivf_pq_index,
+    )
+    from pangeo_forge_recipes_spark.s3io import configure_spark_s3
+    from pyspark.sql import functions as F
+
+    srv = FakeS3()
+    out: dict = {}
+    try:
+        configure_spark_s3(spark, **srv.client_kwargs())
+        embs = spark.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).select("vec_id", "embedding")
+        base = embs.where(F.col("vec_id") % 5 != 0)
+        inc = embs.where(F.col("vec_id") % 5 == 0)
+        path = "s3://benchidx/idx"
+        t0 = time.perf_counter()
+        meta = build_ivf_pq_index(base, path, n_centroids=16, m=8, nbits=4)
+        out["build_s"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        n_app = append_to_ivf_pq_index(inc, path)
+        out["append_s"] = round(time.perf_counter() - t0, 3)
+        out["n_base"] = meta["n_vectors"]
+        out["n_appended"] = n_app
+        q100 = embs.orderBy("vec_id").limit(100).persist()
+        q100.count()
+        _materialize(query_ivf_pq_index(spark, path, q100, k=3, nprobe=4))
+        walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _materialize(query_ivf_pq_index(spark, path, q100, k=3, nprobe=4))
+            walls.append(round(time.perf_counter() - t0, 3))
+        out["query100_s"] = min(walls)
+        out["query_runs"] = walls
+        # probe-bytes bound: 3 queries x nprobe=2 must GET only their
+        # probed lists' objects (every GET visible in the endpoint log)
+        q3 = embs.orderBy("vec_id").limit(3).persist()
+        q3.count()
+        srv.requests.clear()
+        _materialize(query_ivf_pq_index(spark, path, q3, k=3, nprobe=2))
+        with srv.lock:
+            index_bytes = sum(
+                len(v)
+                for (b, k), v in srv.objects.items()
+                if b == "benchidx" and "centroid=" in k
+            )
+            fetched_keys = {
+                k
+                for m, b, k, qq in srv.requests
+                if m == "GET" and b == "benchidx" and "centroid=" in k
+                and "list-type" not in qq
+            }
+            fetched_bytes = sum(
+                len(srv.objects[("benchidx", k)])
+                for k in fetched_keys
+                if ("benchidx", k) in srv.objects
+            )
+        lists = {k.split("centroid=")[1].split("/")[0] for k in fetched_keys}
+        out["probe_lists_fetched"] = len(lists)
+        out["probe_n_lists"] = meta["n_centroids"]
+        out["probe_bytes_fetched"] = fetched_bytes
+        out["index_bytes"] = index_bytes
+        out["probe_bytes_fraction"] = (
+            round(fetched_bytes / index_bytes, 4) if index_bytes else None
+        )
+        out["probe_bound_held"] = len(lists) <= 6  # 3 queries x nprobe 2
+        q100.unpersist()
+        q3.unpersist()
+    finally:
+        srv.stop()
+    return out
+
+
 def _loadavg1() -> float | None:
     try:
         return round(os.getloadavg()[0], 1)
@@ -1267,6 +1353,7 @@ def main() -> None:
     scale_stress = None
     zarr_throughput = None
     sharded_saturation = None
+    ivf_pq_s3 = None
 
     def _emit():
         try:
@@ -1307,6 +1394,7 @@ def main() -> None:
             "zarr_throughput_800mb": zarr_throughput,
             "sharded_saturation": sharded_saturation,
             "scale_stress": scale_stress,
+            "ivf_pq_s3_serving": ivf_pq_s3,
             "sf": sf,
         }
 
@@ -1378,6 +1466,15 @@ def main() -> None:
     else:
         scale_stress = None
     _mark("scale_stress")
+    _emit()
+
+    # ANN serving loop on the object store (s3 endpoint in-process)
+    if os.environ.get("SPARK_GRAFT_BENCH_S3", "1") != "0":
+        try:
+            ivf_pq_s3 = _bench_ivf_pq_s3(spark, sf_dir)
+        except Exception as e:  # the artifact must survive a section loss
+            ivf_pq_s3 = {"error": repr(e)[:300]}
+    _mark("ivf_pq_s3")
     _emit()
 
     # asymptotic zarr throughput (~800 MB; the 50 MB pipeline proxy is
