@@ -32,6 +32,7 @@ from .patterns import (
 )
 from .rechunking import combine_fragments, split_fragment
 from .session import get_spark
+from .pyramid import store_to_pyramid
 from .storage import CacheFSSpecTarget, FlatFSSpecTarget, FSSpecTarget
 from .transforms import (
     StoreResult,
