@@ -216,13 +216,13 @@ class ReferenceStore(Store):
             from .storage import http_range_get
 
             return http_range_get(url, int(offset), int(length))
-        if url.startswith("s3://"):
+        if url.startswith(("s3://", "gs://")):
             # same chunk-lazy contract over the object store
-            from .s3io import S3Client, parse_s3_url
+            from .s3io import S3Client, parse_s3_url, url_service
 
             bucket, key = parse_s3_url(url)
             end = int(offset) + int(length) - 1
-            return S3Client().get_object(
+            return S3Client(service=url_service(url)).get_object(
                 bucket, key, rng=f"bytes={int(offset)}-{end}"
             )
         path = url[len("file://"):] if url.startswith("file://") else url
@@ -463,10 +463,14 @@ def read_reference_parquet(path: str) -> dict:
     if is_s3_url(path):
         import io as _io
 
-        from .s3io import S3Client, parse_s3_url
+        from .s3io import S3Client, parse_s3_url, url_service
 
         bucket, key = parse_s3_url(os.path.join(path, "refs.parquet"))
-        t = pq.read_table(_io.BytesIO(S3Client().get_object(bucket, key)))
+        t = pq.read_table(
+            _io.BytesIO(
+                S3Client(service=url_service(path)).get_object(bucket, key)
+            )
+        )
     else:
         t = pq.read_table(os.path.join(path, "refs.parquet"))
     refs: Dict[str, RefValue] = {}

@@ -816,11 +816,12 @@ def _check_index_path(path: str) -> bool:
     from urllib.parse import urlparse
 
     scheme = urlparse(str(path)).scheme
-    if scheme == "s3":
+    if scheme in ("s3", "gs"):
         return True
     if scheme not in ("", "file"):
         raise NotImplementedError(
-            f"ivf_pq index paths must be local or s3:// (got {scheme}://)"
+            f"ivf_pq index paths must be local, s3://, or gs:// "
+            f"(got {scheme}://)"
         )
     return False
 

@@ -57,13 +57,18 @@ MULTIPART_THRESHOLD = MULTIPART_PART_BYTES
 
 
 def parse_s3_url(url: str) -> Tuple[str, str]:
-    """``s3://bucket/some/key`` → ``("bucket", "some/key")``."""
+    """``s3://bucket/some/key`` (or ``gs://``) → ``("bucket", "some/key")``."""
     parsed = urlparse(url)
-    if parsed.scheme != "s3":
-        raise ValueError(f"not an s3:// url: {url!r}")
+    if parsed.scheme not in ("s3", "gs"):
+        raise ValueError(f"not an s3:// / gs:// url: {url!r}")
     if not parsed.netloc:
-        raise ValueError(f"s3 url missing bucket: {url!r}")
+        raise ValueError(f"object url missing bucket: {url!r}")
     return parsed.netloc, parsed.path.lstrip("/")
+
+
+def url_service(url: str) -> str:
+    """``"s3"`` or ``"gs"`` — which object service a url addresses."""
+    return "gs" if str(url).startswith("gs://") else "s3"
 
 
 def is_s3_url(path: str) -> bool:
@@ -127,7 +132,14 @@ def canonical_request_hash(
 
 class S3Config:
     """Credentials + endpoint resolution (explicit kwargs win over the
-    standard AWS environment variables)."""
+    environment). ``service="s3"`` reads the standard AWS variables;
+    ``service="gs"`` is Google Cloud Storage **interoperability mode**
+    (public GCS feature: the XML API speaks the S3 protocol with HMAC
+    keys and SigV4) — credentials from ``GS_ACCESS_KEY_ID`` /
+    ``GS_SECRET_ACCESS_KEY`` (boto's convention; the AWS variables are
+    the fallback), endpoint ``https://storage.googleapis.com``
+    (override with ``GS_ENDPOINT_URL`` for tests/gateways), region
+    ``auto`` unless set, path-style addressing."""
 
     def __init__(
         self,
@@ -137,8 +149,36 @@ class S3Config:
         region: Optional[str] = None,
         endpoint_url: Optional[str] = None,
         path_style: Optional[bool] = None,
+        service: str = "s3",
     ):
         env = os.environ
+        self.service = service
+        if service == "gs":
+            self.access_key = (
+                access_key
+                or env.get("GS_ACCESS_KEY_ID")
+                or env.get("AWS_ACCESS_KEY_ID")
+            )
+            self.secret_key = (
+                secret_key
+                or env.get("GS_SECRET_ACCESS_KEY")
+                or env.get("AWS_SECRET_ACCESS_KEY")
+            )
+            self.session_token = session_token
+            self.region = region or env.get("GS_REGION") or "auto"
+            self.endpoint_url = (
+                endpoint_url
+                or env.get("GS_ENDPOINT_URL")
+                or "https://storage.googleapis.com"
+            )
+            if not self.access_key or not self.secret_key:
+                raise ValueError(
+                    "GCS interop credentials missing: set GS_ACCESS_KEY_ID / "
+                    "GS_SECRET_ACCESS_KEY (HMAC keys from the GCS interop "
+                    "settings) or pass access_key/secret_key explicitly"
+                )
+            self.path_style = True if path_style is None else path_style
+            return
         self.access_key = access_key or env.get("AWS_ACCESS_KEY_ID")
         self.secret_key = secret_key or env.get("AWS_SECRET_ACCESS_KEY")
         self.session_token = session_token or env.get("AWS_SESSION_TOKEN")
@@ -172,6 +212,7 @@ class S3Config:
             "region": self.region,
             "endpoint_url": self.endpoint_url,
             "path_style": self.path_style,
+            "service": self.service,
         }
 
 
@@ -185,16 +226,24 @@ def configure_spark_s3(spark, config: Optional["S3Config"] = None, **kwargs) -> 
     this is the one call that makes an ``s3://`` target work end-to-end
     on an already-running session."""
     cfg = config or S3Config(**kwargs)
-    env = {
-        "AWS_ACCESS_KEY_ID": cfg.access_key,
-        "AWS_SECRET_ACCESS_KEY": cfg.secret_key,
-        "AWS_REGION": cfg.region,
-        "AWS_DEFAULT_REGION": cfg.region,
-    }
-    if cfg.session_token:
-        env["AWS_SESSION_TOKEN"] = cfg.session_token
-    if cfg.endpoint_url:
-        env["AWS_ENDPOINT_URL_S3"] = cfg.endpoint_url
+    if cfg.service == "gs":
+        env = {
+            "GS_ACCESS_KEY_ID": cfg.access_key,
+            "GS_SECRET_ACCESS_KEY": cfg.secret_key,
+            "GS_REGION": cfg.region,
+            "GS_ENDPOINT_URL": cfg.endpoint_url or "",
+        }
+    else:
+        env = {
+            "AWS_ACCESS_KEY_ID": cfg.access_key,
+            "AWS_SECRET_ACCESS_KEY": cfg.secret_key,
+            "AWS_REGION": cfg.region,
+            "AWS_DEFAULT_REGION": cfg.region,
+        }
+        if cfg.session_token:
+            env["AWS_SESSION_TOKEN"] = cfg.session_token
+        if cfg.endpoint_url:
+            env["AWS_ENDPOINT_URL_S3"] = cfg.endpoint_url
     os.environ.update(env)
     spark.sparkContext.environment.update(env)
 
@@ -451,6 +500,8 @@ class S3Store(Store):
         self.root_url = root_url.rstrip("/")
         self.bucket, prefix = parse_s3_url(self.root_url)
         self.prefix = prefix.rstrip("/")
+        if client is None:
+            kwargs.setdefault("service", url_service(self.root_url))
         self._client = client or S3Client(**kwargs)
         self._client_kwargs = self._client.config.to_kwargs()
 

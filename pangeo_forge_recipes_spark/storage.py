@@ -52,9 +52,11 @@ def _add_query_string_secrets(fname: str, secrets: dict) -> str:
 
 
 def is_s3_url(path: str) -> bool:
-    """True for ``s3://`` urls (string test only — importing the s3
-    adapter is deferred until a call actually needs it)."""
-    return str(path).startswith("s3://")
+    """True for object-store urls the native SigV4 client serves:
+    ``s3://`` and ``gs://`` (GCS interoperability mode — the XML API
+    speaks the S3 protocol with HMAC keys). String test only; the
+    adapter imports lazily at the call that needs it."""
+    return str(path).startswith(("s3://", "gs://"))
 
 
 @dataclass
@@ -419,10 +421,12 @@ class S3RangeFile(HTTPRangeFile):
         max_blocks: int = 64,
         **open_kwargs,
     ):
-        from .s3io import S3Client, parse_s3_url
+        from .s3io import S3Client, parse_s3_url, url_service
 
         self.bucket, self.key = parse_s3_url(url)
-        self._client = S3Client(**_s3_client_kwargs(open_kwargs))
+        kw = _s3_client_kwargs(open_kwargs)
+        kw.setdefault("service", url_service(url))
+        self._client = S3Client(**kw)
         self.url = url
         self.block_size = int(block_size)
         self.max_blocks = int(max_blocks)
@@ -452,13 +456,13 @@ def url_range_get(
 ) -> bytes:
     """One byte-range read of a remote url — http(s) or s3."""
     if is_s3_url(url):
-        from .s3io import S3Client, parse_s3_url
+        from .s3io import S3Client, parse_s3_url, url_service
 
         bucket, key = parse_s3_url(url)
+        kw = _s3_client_kwargs(open_kwargs)
+        kw.setdefault("service", url_service(url))
         end = offset + length - 1
-        return S3Client(**_s3_client_kwargs(open_kwargs)).get_object(
-            bucket, key, rng=f"bytes={offset}-{end}"
-        )
+        return S3Client(**kw).get_object(bucket, key, rng=f"bytes={offset}-{end}")
     return http_range_get(url, offset, length, secrets, **open_kwargs)
 
 
@@ -570,12 +574,12 @@ def _s3_client_kwargs(open_kwargs: dict | None) -> dict:
 
 
 def _s3_open_stream(url: str, open_kwargs: dict | None):
-    from .s3io import S3Client, parse_s3_url
+    from .s3io import S3Client, parse_s3_url, url_service
 
     bucket, key = parse_s3_url(url)
-    return S3Client(**_s3_client_kwargs(open_kwargs)).open_object_stream(
-        bucket, key
-    )
+    kw = _s3_client_kwargs(open_kwargs)
+    kw.setdefault("service", url_service(url))
+    return S3Client(**kw).open_object_stream(bucket, key)
 
 
 def _open_url_raw(fname: str, secrets: dict | None, **open_kwargs):
@@ -591,11 +595,11 @@ def _open_url_raw(fname: str, secrets: dict | None, **open_kwargs):
         return open(parsed.path or fname, "rb")
     if parsed.scheme in ("http", "https"):
         return _http_open(fname, open_kwargs)
-    if parsed.scheme == "s3":
+    if parsed.scheme in ("s3", "gs"):
         return _s3_open_stream(fname, open_kwargs)
     raise NotImplementedError(
         f"url scheme {parsed.scheme!r} is not supported; supported schemes: "
-        "file://, plain paths, http://, https://, s3://"
+        "file://, plain paths, http://, https://, s3://, gs://"
     )
 
 
@@ -672,11 +676,13 @@ def _remote_size(fname: str, secrets: dict | None, **open_kwargs) -> int:
         except urllib.error.HTTPError:
             pass
         return -1
-    if parsed.scheme == "s3":
-        from .s3io import S3Client, parse_s3_url
+    if parsed.scheme in ("s3", "gs"):
+        from .s3io import S3Client, parse_s3_url, url_service
 
         bucket, key = parse_s3_url(fname)
-        n = S3Client(**_s3_client_kwargs(open_kwargs)).head_object(bucket, key)
+        kw = _s3_client_kwargs(open_kwargs)
+        kw.setdefault("service", url_service(fname))
+        n = S3Client(**kw).head_object(bucket, key)
         return -1 if n is None else n
     raise NotImplementedError(f"size of {parsed.scheme!r} urls not supported")
 
@@ -694,10 +700,12 @@ def open_output_stream(path: str, open_kwargs: dict | None = None):
     buffer (memory stays at one part, never the object). Shard writers
     route every per-object ``open(..., "wb")`` through this."""
     if is_s3_url(path):
-        from .s3io import S3Store, S3WriteBuffer, parse_s3_url
+        from .s3io import S3Store, S3WriteBuffer, parse_s3_url, url_service
 
         bucket, key = parse_s3_url(path)
-        store = S3Store(f"s3://{bucket}", **_s3_client_kwargs(open_kwargs))
+        store = S3Store(
+            f"{url_service(path)}://{bucket}", **_s3_client_kwargs(open_kwargs)
+        )
         return S3WriteBuffer(store, key)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     return open(path, "wb")
@@ -709,17 +717,20 @@ def list_shard_urls(
     """Expand an ``s3://`` prefix into sorted shard urls whose keys end
     with one of ``suffixes`` — the object-store analog of the local
     directory-glob branch in the shard readers."""
-    from .s3io import S3Client, parse_s3_url
+    from .s3io import S3Client, parse_s3_url, url_service
 
     bucket, prefix = parse_s3_url(path)
-    client = S3Client(**_s3_client_kwargs(open_kwargs))
+    kw = _s3_client_kwargs(open_kwargs)
+    kw.setdefault("service", url_service(path))
+    client = S3Client(**kw)
     # exact object? (one HEAD) — callers pass either a shard url or a
     # directory-ish prefix
     if client.head_object(bucket, prefix) is not None:
         return [path]
     pfx = prefix.rstrip("/") + "/" if prefix else ""
+    scheme = url_service(path)
     return sorted(
-        f"s3://{bucket}/{k}"
+        f"{scheme}://{bucket}/{k}"
         for k, _ in client.list_objects(bucket, pfx)
         if k.endswith(suffixes)
     )

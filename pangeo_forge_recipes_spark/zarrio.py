@@ -190,9 +190,10 @@ def _store_for(path_or_store) -> Store:
         from .storage import HTTPStore
 
         return HTTPStore(path)
-    if path.startswith("s3://"):
-        # full read/write object-store path (credentials from the AWS
-        # env vars); region writes touch disjoint keys — no coordination
+    if path.startswith(("s3://", "gs://")):
+        # full read/write object-store path (s3 via the AWS env vars;
+        # gs via GCS interop HMAC keys); region writes touch disjoint
+        # keys — no coordination
         from .s3io import S3Store
 
         return S3Store(path)

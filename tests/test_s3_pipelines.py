@@ -240,6 +240,6 @@ def test_ivf_pq_index_on_s3(spark, s3):
         assert {r["query_id"] for r in out.collect()} == {
             r["vec_id"] for r in hi.limit(3).collect()
         }
-    # unknown scheme still raises loudly
+    # unknown scheme still raises loudly (gs:// became VALID in r9)
     with _pytest.raises(NotImplementedError):
-        sim.build_ivf_pq_index(lo, "gs://nope/idx")
+        sim.build_ivf_pq_index(lo, "hdfs://nope/idx")
