@@ -717,18 +717,31 @@ def list_shard_urls(
     """Expand an ``s3://`` prefix into sorted shard urls whose keys end
     with one of ``suffixes`` — the object-store analog of the local
     directory-glob branch in the shard readers."""
+    import fnmatch
+
     from .s3io import S3Client, parse_s3_url, url_service
 
     bucket, prefix = parse_s3_url(path)
     kw = _s3_client_kwargs(open_kwargs)
     kw.setdefault("service", url_service(path))
     client = S3Client(**kw)
+    scheme = url_service(path)
+    # glob form (s3://bucket/dir/*.tfrecord): list the literal prefix
+    # before the first metachar, fnmatch the keys — the object-store
+    # analog of the local glob branch
+    if any(ch in prefix for ch in "*?["):
+        meta_at = min(prefix.index(ch) for ch in "*?[" if ch in prefix)
+        literal = prefix[:meta_at]
+        return sorted(
+            f"{scheme}://{bucket}/{k}"
+            for k, _ in client.list_objects(bucket, literal)
+            if fnmatch.fnmatchcase(k, prefix)
+        )
     # exact object? (one HEAD) — callers pass either a shard url or a
     # directory-ish prefix
     if client.head_object(bucket, prefix) is not None:
         return [path]
     pfx = prefix.rstrip("/") + "/" if prefix else ""
-    scheme = url_service(path)
     return sorted(
         f"{scheme}://{bucket}/{k}"
         for k, _ in client.list_objects(bucket, pfx)

@@ -25,6 +25,7 @@ _EXAMPLES = [
     ("http_ingest.py", "kerchunk scan over http"),
     ("quality_to_tfrecord.py", "quality_to_tfrecord OK"),
     ("retrieval_index.py", "retrieval_index OK"),
+    ("cloud_pyramid.py", "cloud_pyramid OK"),
 ]
 
 

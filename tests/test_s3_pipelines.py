@@ -243,3 +243,24 @@ def test_ivf_pq_index_on_s3(spark, s3):
     # unknown scheme still raises loudly (gs:// became VALID in r9)
     with _pytest.raises(NotImplementedError):
         sim.build_ivf_pq_index(lo, "hdfs://nope/idx")
+
+
+def test_s3_glob_shard_selection(spark, s3):
+    """Object-store globs select shard subsets like local globs do."""
+    from pangeo_forge_recipes_spark.sources import tfrecord as tfr
+
+    df = spark.createDataFrame(
+        [(i, f"g-{i}") for i in range(20)], "doc_id long, text string"
+    )
+    tfr.write_tfrecord_shards(df, "s3://globbkt/run1", n_shards=4).collect()
+    rows = tfr.read_tfrecord(
+        spark,
+        "s3://globbkt/run1/shard-0000[01].tfrecord",
+        {"doc_id": "int64"},
+    ).collect()
+    shards = {r["shard"].rsplit("/", 1)[-1] for r in rows}
+    assert shards == {"shard-00000.tfrecord", "shard-00001.tfrecord"}
+    all_rows = tfr.read_tfrecord(
+        spark, "s3://globbkt/run1/*.tfrecord", {"doc_id": "int64"}
+    ).collect()
+    assert {r["doc_id"] for r in all_rows} == set(range(20))
