@@ -210,7 +210,12 @@ def coarsen_zarr_level(
                 axes = [
                     i for i, (d, _s, _e) in enumerate(region) if d in pyr_dims
                 ]
-                dg[var][dst_slices] = _block_mean(block, axes, fac)
+                if axes:
+                    block = _block_mean(block, axes, fac)
+                # vars with no pyramid dim copy through in their ORIGINAL
+                # dtype — running them through the float64 mean would
+                # mismatch the (unchanged) destination array dtype
+                dg[var][dst_slices] = block
                 n += 1
         yield pd.DataFrame({"n": [n]})
 

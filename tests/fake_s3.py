@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import threading
 import xml.etree.ElementTree as ET
+from xml.sax.saxutils import escape
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qsl, unquote, urlparse
 
@@ -270,11 +271,13 @@ class FakeS3:
                 ]
                 if rest:
                     parts.append(
-                        f"<NextContinuationToken>{page[-1]}</NextContinuationToken>"
+                        f"<NextContinuationToken>{escape(page[-1])}"
+                        "</NextContinuationToken>"
                     )
                 for k in page:
                     parts.append(
-                        f"<Contents><Key>{k}</Key><Size>{sizes[k]}</Size></Contents>"
+                        f"<Contents><Key>{escape(k)}</Key>"
+                        f"<Size>{sizes[k]}</Size></Contents>"
                     )
                 parts.append("</ListBucketResult>")
                 self._xml(200, "".join(parts))

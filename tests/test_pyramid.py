@@ -175,3 +175,26 @@ def test_pyramid_on_s3(spark, tmp_path, request):
     keys = {k for (b, k) in srv.objects if b == "pyr"}
     assert "t/pyr.zarr/zarr.json" in keys
     assert any(k.startswith("t/pyr.zarr/1/") for k in keys)
+
+
+def test_untouched_vars_copy_in_original_dtype(spark, tmp_path):
+    """A data var with NO pyramid dim (e.g. a per-time int counter) must
+    copy through unchanged — dtype included (r9 self-review fix: the
+    float64 mean path used to run unconditionally)."""
+    nt = 4
+    ds = _grid_ds(nt=nt)
+    ds = NDDataset(
+        {**ds.data_vars,
+         "flag": Variable(("time",), np.arange(nt, dtype="int32"))},
+        dict(ds.coords),
+    )
+    p = str(tmp_path / "s.npz")
+    write_npz(p, ds)
+    pattern = pattern_from_file_sequence([p], "time", nitems_per_file=nt,
+                                         file_type="npz")
+    result = store_to_pyramid(spark, pattern, str(tmp_path), "f.zarr",
+                              levels=2)
+    l1 = result.open(1)
+    assert str(l1["flag"].data.dtype) == "int32"
+    np.testing.assert_array_equal(l1["flag"].data, np.arange(nt))
+    assert str(l1["foo"].data.dtype) == "float64"
