@@ -3325,7 +3325,7 @@ def _grouped_png_media(docs: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from pangeo_forge_recipes_spark.pngio import encode_png
+    from pangeo_forge_recipes_spark.pngio import encode_png_batch
 
     W = H = 32
 
@@ -3335,15 +3335,16 @@ def _grouped_png_media(docs: DataFrame) -> DataFrame:
         k2 = np.uint64(0xC2B2AE3D27D4EB4F)
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy(np.int64)
-            media = []
-            for d in ids:
-                seed = np.uint64(int(d) - int(d) % 3)
-                h = seed * k1 + idx * k2
-                h ^= h >> np.uint64(33)
-                h *= k2
-                h ^= h >> np.uint64(29)
-                px = (h % np.uint64(256)).astype(np.uint8).reshape(H, W)
-                media.append(bytearray(encode_png(px)))
+            seeds = (ids - ids % 3).astype(np.uint64)
+            # whole-batch pixel synthesis + whole-batch filter
+            # prediction (encode_png_batch): per image only the deflate
+            # + chunk assembly stay Python-side
+            h = seeds[:, None] * k1 + idx[None, :] * k2
+            h ^= h >> np.uint64(33)
+            h *= k2
+            h ^= h >> np.uint64(29)
+            px = (h % np.uint64(256)).astype(np.uint8).reshape(-1, H, W)
+            media = [bytearray(b) for b in encode_png_batch(px)]
             yield pd.DataFrame({"doc_id": ids, "media": media})
 
     return docs.select("doc_id").mapInPandas(build, "doc_id long, media binary")
