@@ -533,7 +533,14 @@ def verify_zarr(spark, store_or_path, check_values: bool = True):
     from .zarrio import open_group
 
     group = open_group(_store_for(store_or_path))
-    root = getattr(group.store, "root", None)
+    # a path/url reference tasks can re-resolve (scheme-dispatched:
+    # local dirs and s3://gs:// urls both verify in parallel)
+    root = (
+        str(store_or_path)
+        if isinstance(store_or_path, str)
+        else getattr(group.store, "root", None)
+        or getattr(group.store, "root_url", None)
+    )
     if root is None:
         raise NotImplementedError("verify_zarr needs a path-backed store")
     work = []
@@ -550,9 +557,9 @@ def verify_zarr(spark, store_or_path, check_values: bool = True):
         )
 
     def check(rows):
-        from .zarrio import LocalStore, open_group as _og
+        from .zarrio import _store_for as _sf, open_group as _og
 
-        g = _og(LocalStore(root))
+        g = _og(_sf(root))
         arrs = {}
         for row in rows:
             name, idx = row[0], tuple(row[1])

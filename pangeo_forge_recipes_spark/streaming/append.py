@@ -67,11 +67,23 @@ def stream_append_to_zarr(
     ingested) lives in the streaming checkpoint — restart-safe.
     """
     from ..patterns import pattern_from_file_sequence
+    from ..storage import is_s3_url
     from ..transforms import store_to_zarr
-    from ..zarrio import LocalStore, ZARR_JSON
+    from ..zarrio import ZARR_JSON, _store_for
 
     store_path = os.path.join(target_root, store_name)
-    checkpoint_dir = checkpoint_dir or os.path.join(target_root, f"{store_name}.ckpt")
+    if checkpoint_dir is None:
+        if is_s3_url(target_root):
+            # Spark's checkpoint filesystem goes through Hadoop, not the
+            # engine's native object client — require an explicit
+            # (local/HDFS/s3a-equipped) location instead of failing deep
+            # inside the stream start
+            raise ValueError(
+                "stream_append_to_zarr: pass checkpoint_dir explicitly "
+                "when target_root is an object-store url (the streaming "
+                "checkpoint needs a Spark-accessible filesystem)"
+            )
+        checkpoint_dir = os.path.join(target_root, f"{store_name}.ckpt")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         rows = sorted(batch_df.collect(), key=lambda r: r["pos"])
@@ -79,7 +91,10 @@ def stream_append_to_zarr(
             return
         urls = [r["url"] for r in rows]
         pattern = pattern_from_file_sequence(urls, concat_dim, file_type=file_type)
-        existing = LocalStore(store_path).exists(ZARR_JSON)
+        # scheme-dispatched existence probe: LocalStore here would both
+        # mis-answer for object-store targets AND create a literal
+        # "s3:" directory as a side effect (r9 self-review)
+        existing = _store_for(store_path).exists(ZARR_JSON)
         store_to_zarr(
             spark,
             pattern,

@@ -264,3 +264,91 @@ def test_s3_glob_shard_selection(spark, s3):
         spark, "s3://globbkt/run1/*.tfrecord", {"doc_id": "int64"}
     ).collect()
     assert {r["doc_id"] for r in all_rows} == set(range(20))
+
+
+def test_sharded_and_v2_stores_on_s3(spark, tmp_path, s3):
+    """Two write layouts through the object store: zarr v3
+    sharding_indexed (whole shards stream via put_parts -> multipart
+    when large) and the classic v2 layout — both must round-trip."""
+    ds = make_ds(nt=8)
+    paths = split_ds_into_files(ds, str(tmp_path), items_per_file=4)
+    pattern = pattern_from_file_sequence(
+        paths, "time", nitems_per_file=4, file_type="npz"
+    )
+    sharded = store_to_zarr(
+        spark, pattern, "s3://layouts/a", "sharded.zarr",
+        target_chunks={"time": 2}, target_shards={"time": 4},
+    )
+    assert_equal(sharded.open(), ds)
+    keys = {k for (b, k) in s3.objects if b == "layouts"}
+    assert any("sharded.zarr/foo/c/" in k for k in keys)
+    v2 = store_to_zarr(
+        spark, pattern, "s3://layouts/b", "classic.zarr",
+        target_chunks={"time": 4}, zarr_format=2,
+    )
+    assert_equal(v2.open(), ds)
+    assert ("layouts", "b/classic.zarr/.zgroup") in s3.objects
+
+
+def test_stream_append_to_s3_store(spark, tmp_path, s3):
+    """Micro-batch append with the TARGET on the object store: batch 1
+    bootstraps, batch 2 appends along time (the existence probe must
+    dispatch on scheme — a LocalStore probe mis-answered and forced
+    bootstrap mode every batch, r9 self-review). The streaming
+    checkpoint stays on a Spark-accessible local path."""
+    from pangeo_forge_recipes_spark.dsio import open_zarr_group
+    from pangeo_forge_recipes_spark.streaming.append import (
+        stream_append_to_zarr,
+    )
+
+    ds = make_ds(nt=4)
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"f{i}.npz")
+        write_npz(p, ds.isel(time=slice(2 * i, 2 * i + 2)))
+        paths.append(p)
+    manifest_dir = str(tmp_path / "manifests")
+    os.makedirs(manifest_dir)
+    ckpt = str(tmp_path / "ckpt")
+
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        stream_append_to_zarr(
+            spark, manifest_dir, "s3://streambkt/t", "s.zarr", "time",
+            {"time": 2},
+        )
+
+    def run_batch(batch_idx, file_idx):
+        lines = "".join(f"{2 * i},{paths[i]}\n" for i in file_idx)
+        with open(os.path.join(manifest_dir, f"b{batch_idx}.txt"), "w") as f:
+            f.write(lines)
+        q = stream_append_to_zarr(
+            spark, manifest_dir, "s3://streambkt/t", "s.zarr", "time",
+            {"time": 2}, checkpoint_dir=ckpt,
+        )
+        q.awaitTermination()
+
+    run_batch(0, [0])
+    run_batch(1, [1])
+    rt = open_zarr_group("s3://streambkt/t/s.zarr")
+    assert rt.sizes["time"] == 4
+    assert_equal(rt, ds, check_attrs=False)
+
+
+def test_verify_zarr_on_s3(spark, tmp_path, s3):
+    """The distributed integrity scrub runs against an object-store
+    url (tasks re-resolve the store by scheme — verify_zarr was
+    local-path-only before r9)."""
+    from pangeo_forge_recipes_spark.dsio import verify_zarr
+
+    ds = make_ds(nt=4)
+    paths = split_ds_into_files(ds, str(tmp_path), items_per_file=2)
+    pattern = pattern_from_file_sequence(
+        paths, "time", nitems_per_file=2, file_type="npz"
+    )
+    result = store_to_zarr(
+        spark, pattern, "s3://verifybkt/t", "v.zarr",
+        target_chunks={"time": 2},
+    )
+    report = verify_zarr(spark, result.path).collect()
+    assert report and all(r["ok"] for r in report)
+    assert any(r["exists"] for r in report)
