@@ -265,9 +265,10 @@ def pattern_from_glob(
     nitems_per_file: Optional[int] = None,
     **kwargs,
 ) -> FilePattern:
-    """1-D concat pattern over a local glob, in natural sort order (file
-    sequences like ``f2`` / ``f10`` order numerically, not
-    lexicographically — the archival-file-naming convention)."""
+    """1-D concat pattern over a glob — local paths or ``s3://``/``gs://``
+    prefixes — in natural sort order (file sequences like ``f2`` /
+    ``f10`` order numerically, not lexicographically — the
+    archival-file-naming convention)."""
     import glob as _glob
     import re as _re
 
@@ -277,7 +278,12 @@ def pattern_from_glob(
             for part in _re.split(r"(\d+)", key)
         ]
 
-    files = sorted(_glob.glob(pathname), key=natural)
+    from .storage import is_s3_url, list_shard_urls
+
+    if is_s3_url(pathname):
+        files = sorted(list_shard_urls(pathname, suffixes=("",)), key=natural)
+    else:
+        files = sorted(_glob.glob(pathname), key=natural)
     if not files:
         raise FileNotFoundError(f"glob {pathname!r} matched no files")
     return pattern_from_file_sequence(

@@ -352,3 +352,30 @@ def test_verify_zarr_on_s3(spark, tmp_path, s3):
     report = verify_zarr(spark, result.path).collect()
     assert report and all(r["ok"] for r in report)
     assert any(r["exists"] for r in report)
+
+
+def test_pattern_from_glob_on_s3(spark, tmp_path, s3):
+    """pattern_from_glob accepts object-store globs with natural
+    ordering (f2 before f10)."""
+    from pangeo_forge_recipes_spark import store_to_zarr
+    from pangeo_forge_recipes_spark.patterns import pattern_from_glob
+
+    ds = make_ds(nt=4)
+    store = S3Store("s3://globsrc", **s3.client_kwargs())
+    # upload out of lexicographic order: f2 must still precede f10
+    for i, start in [(2, 0), (10, 2)]:
+        p = str(tmp_path / f"gf{i}.npz")
+        write_npz(p, ds.isel(time=slice(start, start + 2)))
+        with open(p, "rb") as f:
+            store.put(f"arc/f{i}.npz", f.read())
+    pattern = pattern_from_glob(
+        "s3://globsrc/arc/f*.npz", "time", nitems_per_file=2,
+        file_type="npz",
+    )
+    urls = [u for _idx, u in pattern.items()]
+    assert urls == ["s3://globsrc/arc/f2.npz", "s3://globsrc/arc/f10.npz"]
+    result = store_to_zarr(
+        spark, pattern, str(tmp_path / "t"), "g.zarr",
+        target_chunks={"time": 2},
+    )
+    assert_equal(result.open(), ds)
