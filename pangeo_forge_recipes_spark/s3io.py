@@ -50,10 +50,9 @@ _S3_TIMEOUT_S = 60.0
 _RETRY_STATUSES = frozenset({429, 500, 502, 503, 504})
 _EMPTY_SHA256 = hashlib.sha256(b"").hexdigest()
 #: S3 multipart minimum part size is 5 MiB (all but the last part);
-#: 8 MiB keeps request count low without holding big buffers.
+#: 8 MiB keeps request count low without holding big buffers. Objects
+#: below one part go as a single PUT.
 MULTIPART_PART_BYTES = 8 * 1024 * 1024
-#: single-PUT threshold — below this put_parts joins and PUTs once.
-MULTIPART_THRESHOLD = MULTIPART_PART_BYTES
 
 
 def parse_s3_url(url: str) -> Tuple[str, str]:
@@ -324,7 +323,13 @@ class S3Client:
             url = f"{scheme}://{host}{uri}" + (f"?{qs}" if qs else "")
             send = {k: v for k, v in headers.items() if k != "host"}
             req = urllib.request.Request(
-                url, data=body or None, headers=send, method=method
+                url,
+                # PUT/POST always carry a body (possibly empty) so
+                # urllib emits Content-Length — real S3 answers 411 to
+                # a zero-byte PUT without one
+                data=body if method in ("PUT", "POST") else None,
+                headers=send,
+                method=method,
             )
             try:
                 return urllib.request.urlopen(req, timeout=_S3_TIMEOUT_S)  # noqa: S310

@@ -198,3 +198,36 @@ def test_untouched_vars_copy_in_original_dtype(spark, tmp_path):
     assert str(l1["flag"].data.dtype) == "int32"
     np.testing.assert_array_equal(l1["flag"].data, np.arange(nt))
     assert str(l1["foo"].data.dtype) == "float64"
+
+
+def test_non_dim_2d_coords_coarsen(spark, tmp_path):
+    """Projected-grid shape: 2-D lat/lon NON-dim coords (dims y/x) must
+    coarsen with the same block mean and keep their coordinate
+    classification on reopen."""
+    ny, nx, nt = 4, 6, 2
+    lat2d = (10 * np.arange(ny)[:, None] + np.zeros(nx)[None, :]).astype("float64")
+    lon2d = (np.zeros(ny)[:, None] + np.arange(nx)[None, :]).astype("float64")
+    foo = np.arange(nt * ny * nx, dtype="float64").reshape(nt, ny, nx)
+    ds = NDDataset(
+        {"foo": Variable(("time", "y", "x"), foo)},
+        {
+            "time": Variable(("time",), np.arange(nt, dtype="int64")),
+            "lat": Variable(("y", "x"), lat2d),
+            "lon": Variable(("y", "x"), lon2d),
+        },
+    )
+    p = str(tmp_path / "s.npz")
+    write_npz(p, ds)
+    pattern = pattern_from_file_sequence([p], "time", nitems_per_file=nt,
+                                         file_type="npz")
+    result = store_to_pyramid(
+        spark, pattern, str(tmp_path), "proj.zarr", levels=2, dims=("y", "x"),
+    )
+    l1 = result.open(1)
+    assert set(l1.coords) == {"time", "lat", "lon"}
+    np.testing.assert_allclose(
+        l1["lat"].data, lat2d.reshape(2, 2, 3, 2).mean(axis=(1, 3))
+    )
+    np.testing.assert_allclose(
+        l1["foo"].data, foo.reshape(nt, 2, 2, 3, 2).mean(axis=(2, 4))
+    )
