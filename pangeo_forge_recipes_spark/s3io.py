@@ -36,8 +36,7 @@ import hmac
 import io
 import os
 import time
-import urllib.error
-import urllib.request
+import threading
 import xml.etree.ElementTree as ET
 from typing import Dict, Iterator, List, Optional, Tuple
 from urllib.parse import quote, urlparse
@@ -252,10 +251,122 @@ class S3Error(OSError):
         super().__init__(f"S3 {status} {code}: {message} ({key})")
         self.status = status
         self.code = code
+        self._args = (status, code, message, key)
+
+    def __reduce__(self):
+        # OSError's default reduce replays (errno, strerror) — wrong
+        # shape for this subclass; tasks re-raising across the Spark
+        # boundary need a faithful pickle
+        return (S3Error, self._args)
+
+
+# -- pooled keep-alive transport ---------------------------------------------
+# urllib opens a fresh TCP (+TLS) connection per request; at object-store
+# request volumes the handshakes dominate small GETs. One persistent
+# http.client connection per (scheme, host) PER THREAD, with a single
+# stale-connection retry (an idle keep-alive the server already closed
+# surfaces as BadStatusLine/ConnectionError on the next use).
+_POOL = threading.local()
+
+
+class _PooledResponse:
+    """File-like over an ``http.client`` response. The connection goes
+    back to the pool only when the body was fully consumed; closing
+    early drains small remainders or, for large ones, tears the
+    connection down — unread bytes would poison the next request."""
+
+    #: drain-on-close cap: below this the remainder is read to keep the
+    #: connection alive; above it reconnecting is cheaper than reading
+    _DRAIN_CAP = 1 << 20
+
+    def __init__(self, resp, conn, pool_key):
+        self._resp = resp
+        self._conn = conn
+        self._key = pool_key
+        self.status = resp.status
+        self.headers = resp.headers
+        self.reason = resp.reason
+
+    def read(self, n: int = -1) -> bytes:
+        return self._resp.read() if n is None or n < 0 else self._resp.read(n)
+
+    def close(self) -> None:
+        try:
+            if not self._resp.isclosed():
+                remaining = self._resp.length
+                if remaining is not None and remaining <= self._DRAIN_CAP:
+                    self._resp.read()
+                else:
+                    self._kill()
+        except Exception:
+            self._kill()
+        finally:
+            self._resp.close()
+
+    def _kill(self) -> None:
+        try:
+            self._conn.close()
+        finally:
+            pool = getattr(_POOL, "conns", None)
+            if pool is not None and pool.get(self._key) is self._conn:
+                pool.pop(self._key, None)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
+def _pooled_send(scheme: str, host: str, method: str, path_qs: str, body, headers):
+    """One request over the per-thread pooled connection; a stale
+    keep-alive connection is replaced and retried once."""
+    import http.client
+
+    pool = getattr(_POOL, "conns", None)
+    if pool is None:
+        pool = _POOL.conns = {}
+    key = (scheme, host)
+    last_err: Optional[Exception] = None
+    for stale_retry in range(2):
+        conn = pool.get(key)
+        if conn is None:
+            cls = (
+                http.client.HTTPSConnection
+                if scheme == "https"
+                else http.client.HTTPConnection
+            )
+            conn = cls(host, timeout=_S3_TIMEOUT_S)
+            pool[key] = conn
+        try:
+            if conn.sock is None:
+                import socket as _socket
+
+                conn.connect()
+                # Nagle + delayed-ACK on a REUSED connection stalls each
+                # small request/response round ~40 ms (fresh-per-request
+                # clients never see it) — standard client practice
+                conn.sock.setsockopt(
+                    _socket.IPPROTO_TCP, _socket.TCP_NODELAY, 1
+                )
+            conn.request(method, path_qs, body=body, headers=headers)
+            resp = conn.getresponse()
+            return _PooledResponse(resp, conn, key)
+        except (http.client.HTTPException, ConnectionError, OSError) as e:
+            last_err = e
+            try:
+                conn.close()
+            finally:
+                pool.pop(key, None)
+            if stale_retry:
+                raise
+    raise last_err  # pragma: no cover (loop always returns or raises)
 
 
 class S3Client:
-    """Minimal synchronous S3 REST client over stdlib urllib."""
+    """Minimal synchronous S3 REST client over pooled stdlib
+    ``http.client`` connections (keep-alive per thread per endpoint)."""
 
     def __init__(self, config: Optional[S3Config] = None, **kwargs):
         self.config = config or S3Config(**kwargs)
@@ -320,40 +431,47 @@ class S3Client:
                 f"{_uri_encode(k, keep_slash=False)}={_uri_encode(v, keep_slash=False)}"
                 for k, v in sorted(query.items())
             )
-            url = f"{scheme}://{host}{uri}" + (f"?{qs}" if qs else "")
+            path_qs = uri + (f"?{qs}" if qs else "")
+            # http.client sets Host from the connection itself (the same
+            # value that was signed); PUT/POST always carry a body
+            # (possibly empty) so Content-Length is emitted — real S3
+            # answers 411 to a zero-byte PUT without one
             send = {k: v for k, v in headers.items() if k != "host"}
-            req = urllib.request.Request(
-                url,
-                # PUT/POST always carry a body (possibly empty) so
-                # urllib emits Content-Length — real S3 answers 411 to
-                # a zero-byte PUT without one
-                data=body if method in ("PUT", "POST") else None,
-                headers=send,
-                method=method,
-            )
             try:
-                return urllib.request.urlopen(req, timeout=_S3_TIMEOUT_S)  # noqa: S310
-            except urllib.error.HTTPError as e:
-                if attempt >= retries or e.code not in _RETRY_STATUSES:
-                    raise self._error(e, key) from None
-            except (urllib.error.URLError, ConnectionError, TimeoutError):
+                resp = _pooled_send(
+                    scheme,
+                    host,
+                    method,
+                    path_qs,
+                    body if method in ("PUT", "POST") else None,
+                    send,
+                )
+            except (ConnectionError, TimeoutError, OSError):
                 if attempt >= retries:
                     raise
+                resp = None
+            if resp is not None:
+                if resp.status < 400:
+                    return resp
+                err = self._error(resp, key)
+                if attempt >= retries or resp.status not in _RETRY_STATUSES:
+                    raise err
             time.sleep(min(backoff * (2.0**attempt), 30.0))
             attempt += 1
 
     @staticmethod
-    def _error(e: urllib.error.HTTPError, key: str) -> "S3Error":
-        code, message = str(e.code), e.reason or ""
+    def _error(resp: "_PooledResponse", key: str) -> "S3Error":
+        code, message = str(resp.status), resp.reason or ""
         try:
-            payload = e.read()
+            with resp:
+                payload = resp.read()
             if payload:
                 root = ET.fromstring(payload)
                 code = root.findtext("Code") or code
                 message = root.findtext("Message") or message
         except Exception:
             pass
-        return S3Error(e.code, code, message, key)
+        return S3Error(resp.status, code, message, key)
 
     # -- object API --------------------------------------------------------
     def get_object(self, bucket: str, key: str, rng: Optional[str] = None) -> bytes:
@@ -488,7 +606,7 @@ class S3Client:
                 "DELETE", bucket, key, query={"uploadId": upload_id}
             ):
                 pass
-        except (S3Error, urllib.error.URLError):
+        except (S3Error, OSError):
             pass  # best-effort cleanup
 
 

@@ -55,6 +55,7 @@ class FakeS3:
 
         class Handler(BaseHTTPRequestHandler):
             protocol_version = "HTTP/1.1"
+            disable_nagle_algorithm = True  # keep-alive without 40ms stalls
 
             def log_message(self, *a):
                 pass

@@ -218,3 +218,46 @@ def test_gs_missing_credentials_raise(monkeypatch):
         monkeypatch.delenv(var, raising=False)
     with pytest.raises(ValueError, match="GS_ACCESS_KEY_ID"):
         S3Store("gs://b/k")
+
+
+def test_keepalive_connection_reuse(s3, store):
+    """The transport pools one connection per (scheme, host) per
+    thread: a burst of sequential ops reuses a single TCP connection
+    (keep-alive), and a poisoned half-read stream tears it down
+    instead of corrupting the next request."""
+    import threading
+
+    from pangeo_forge_recipes_spark.s3io import _POOL
+
+    pool = getattr(_POOL, "conns", None)
+    if pool:
+        pool.clear()
+    store.put("ka/a.bin", b"x" * 64)
+    for i in range(5):
+        assert store.get("ka/a.bin") == b"x" * 64
+        store.put(f"ka/{i}.bin", b"y")
+    pool = _POOL.conns
+    assert len(pool) == 1  # one live connection did all of it
+    conn = next(iter(pool.values()))
+    # half-read a LARGE streaming body, then close early: the poisoned
+    # connection must leave the pool; the next op works on a fresh one
+    store.put("ka/big.bin", b"z" * (3 << 20))
+    stream = store.client.open_object_stream("bkt", "some/prefix/ka/big.bin")
+    assert stream.read(10) == b"z" * 10
+    stream.close()
+    assert next(iter(_POOL.conns.values()), None) is not conn or not _POOL.conns
+    assert store.get("ka/a.bin") == b"x" * 64
+
+
+def test_s3error_pickles_faithfully(s3):
+    """Errors raised inside Spark tasks cross the boundary pickled —
+    the OSError default reduce loses the subclass fields."""
+    import pickle
+
+    from pangeo_forge_recipes_spark.s3io import S3Error
+
+    e = S3Error(404, "NoSuchKey", "missing", "a/b")
+    e2 = pickle.loads(pickle.dumps(e))
+    assert isinstance(e2, S3Error)
+    assert (e2.status, e2.code) == (404, "NoSuchKey")
+    assert "NoSuchKey" in str(e2)
