@@ -26,6 +26,7 @@ comment on each entry.
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 import threading
@@ -3188,6 +3189,111 @@ def _kerchunk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PYR_NT, _PYR_NLAT, _PYR_NLON, _PYR_LEVELS = 4, 8, 12, 3
+
+
+def _pyramid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference injections' ``StoreToPyramid`` (``injections.py:10``,
+    the carbonplan/ndpyramid multiscales convention): level 0 through
+    the full store_to_zarr pipeline, further levels distributed
+    block-mean coarsening (pyramid.py). Fixture field is the closed form
+    foo[t,y,x] = 1000*t + 10*y + x, so every level-k element equals
+    1000*t + 10*(s*y + (s-1)/2) + s*x + (s-1)/2 with s = 2**k — all
+    multiples of 0.5, binary-exact in float64, and the DuckDB oracle
+    recomputes the per-level sums and position-weighted checksums
+    straight from range() cross joins (independent work, same closed
+    form). Multiscales root metadata is asserted in-query."""
+    from pangeo_forge_recipes_spark import pattern_from_file_sequence
+    from pangeo_forge_recipes_spark.dsio import write_npz
+    from pangeo_forge_recipes_spark.ndset import NDDataset, Variable
+    from pangeo_forge_recipes_spark.pyramid import store_to_pyramid
+    from pangeo_forge_recipes_spark.zarrio import ZARR_JSON, _store_for
+
+    tmp = tempfile.mkdtemp(prefix="pfrs_entry_pyr_")
+    nt, nlat, nlon = _PYR_NT, _PYR_NLAT, _PYR_NLON
+    t = np.arange(nt, dtype="int64")
+    foo = (
+        1000 * t[:, None, None]
+        + 10 * np.arange(nlat)[None, :, None]
+        + np.arange(nlon)[None, None, :]
+    ).astype("float64")
+    ds = NDDataset(
+        {"foo": Variable(("time", "lat", "lon"), foo)},
+        {
+            "time": Variable(("time",), t),
+            "lat": Variable(("lat",), np.arange(nlat, dtype="float64")),
+            "lon": Variable(("lon",), np.arange(nlon, dtype="float64")),
+        },
+    )
+    paths = []
+    for i in range(2):
+        p = os.path.join(tmp, f"f{i}.npz")
+        write_npz(p, ds.isel(time=slice(2 * i, 2 * i + 2)))
+        paths.append(p)
+    pattern = pattern_from_file_sequence(
+        paths, "time", nitems_per_file=2, file_type="npz"
+    )
+    result = store_to_pyramid(
+        spark,
+        pattern,
+        tmp,
+        "pyr.zarr",
+        levels=_PYR_LEVELS,
+        target_chunks={"time": 2, "lat": 4, "lon": 4},
+    )
+    meta = json.loads(_store_for(result.path).get(ZARR_JSON))
+    ms = meta["attributes"]["multiscales"][0]
+    assert [d["path"] for d in ms["datasets"]] == ["0", "1", "2"], ms
+    rows = []
+    for k in range(_PYR_LEVELS):
+        lv = result.open(k)
+        flat = np.asarray(lv["foo"].data, dtype="float64").ravel()
+        w = (np.arange(flat.size) % 101 + 1).astype("float64")
+        rows.append(
+            (
+                k,
+                int(lv.sizes["lat"]),
+                int(lv.sizes["lon"]),
+                float(flat.sum()),
+                float((flat * w).sum()),
+                float(np.asarray(lv["lat"].data, dtype="float64").sum()),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "level int, n_lat int, n_lon int, foo_sum double, "
+        "foo_checksum double, lat_sum double",
+    )
+
+
+def _pyramid_oracle_sql() -> str:
+    """Per-level closed-form recompute in PURE SQL: for level k the field
+    is 1000*t + 10*(s*y + off) + (s*x + off) over the COARSE index grid
+    (s = 2**k, off = (s-1)/2) — DuckDB rebuilds each level from range()
+    cross joins and aggregates the same sums/checksums the Spark query
+    reads back from the written zarr levels."""
+    selects = []
+    for k in range(_PYR_LEVELS):
+        s = 2**k
+        ny, nx = _PYR_NLAT // s, _PYR_NLON // s
+        off = (s - 1) / 2.0
+        val = (
+            f"(1000.0*t.range + 10.0*({s}*y.range + {off}) "
+            f"+ ({s}*x.range + {off}))"
+        )
+        pos = f"((t.range*{ny} + y.range)*{nx} + x.range)"
+        selects.append(
+            f"SELECT CAST({k} AS INT) AS level, "
+            f"CAST({ny} AS INT) AS n_lat, CAST({nx} AS INT) AS n_lon, "
+            f"CAST(SUM({val}) AS DOUBLE) AS foo_sum, "
+            f"CAST(SUM({val} * ({pos} % 101 + 1)) AS DOUBLE) AS foo_checksum, "
+            f"(SELECT CAST(SUM({s}*r.range + {off}) AS DOUBLE) "
+            f"FROM range({ny}) r) AS lat_sum "
+            f"FROM range({_PYR_NT}) t, range({ny}) y, range({nx}) x"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
 def _append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.8 incremental append: build from half the files, append
     the rest with append_dim offsets, verify against the full dataset
@@ -3565,6 +3671,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pipeline_rechunk_existing"] = _rechunk_existing
     out["pipeline_schema_inference"] = _schema_inference
     out["pipeline_stream_append"] = _stream_append
+    # round-10 rotation: text_doc_metrics (per-row text-metric exprs —
+    # the shape stays graded via gopher_c4_filter / quality_filter /
+    # c4_clean; its dialect-pair text stays dual-engine warm in
+    # test_shared_sql_parity.py AND timed in bench extra_matched) yields
+    # its slot to pyramid_roundtrip — the reference injections'
+    # StoreToPyramid (injections.py:10), the one r9 feature without a
+    # CORRECTNESS slot
+    out["pyramid_roundtrip"] = _pyramid_roundtrip
     # multimodal + hash-family extension operators
     out["multimodal_features"] = _multimodal_features
     # round-6 rotation (second pass): ann_pq_topk — the compressed ANN
@@ -3754,6 +3868,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "top_bigrams",
             "text_langid",
             "corpus_clean",
+            # r10: slot moved to pyramid_roundtrip (see above)
+            "text_doc_metrics",
         ):
             out[name] = _sql_query(sql)
     out["perplexity_buckets"] = _perplexity_buckets_q
@@ -3875,5 +3991,10 @@ def oracle_sql() -> dict[str, str]:
     # round-7 second pass: slot moved from events_multi_grain_rollup
     out.pop("events_multi_grain_rollup")
     out["zarr_writer_roundtrip"] = _ZARR_WRITER_ORACLE
+    # round-10 rotation: text_doc_metrics' slot moved to
+    # pyramid_roundtrip; its dialect text stays warm in the parity suite
+    # and timed as a bench extra-matched pair
+    out.pop("text_doc_metrics")
+    out["pyramid_roundtrip"] = _pyramid_oracle_sql()
     out.update(_pipeline_oracle_sql())
     return out

@@ -40,7 +40,6 @@ HEADLINE = [
     "asof_last_order",
     "range_join_orders",
     "skew_salted_join",
-    "text_doc_metrics",
     "dedup_lines",
     "quality_filter",
     "perplexity_buckets",
@@ -1025,6 +1024,22 @@ def _loadavg1() -> float | None:
         return None
 
 
+def _wait_for_quiet(threshold: float, max_wait_s: float) -> dict:
+    """Bounded wait for the 1-min load to drain below ``threshold``
+    (r9 verdict: the shipped artifact ran at load 8-17 and uniformly
+    inflated ~40 per-query walls 1.4-1.7x — gate the WHOLE battery the
+    way the 800 MB section already gates itself). Records what happened
+    so the artifact is load-annotated either way."""
+    gate = {"threshold": threshold, "load_before": _loadavg1()}
+    waited = 0.0
+    while (_loadavg1() or 0.0) > threshold and waited < max_wait_s:
+        time.sleep(5)
+        waited += 5
+    gate["waited_s"] = round(waited, 1)
+    gate["load_after"] = _loadavg1()
+    return gate
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -1033,6 +1048,19 @@ def main() -> None:
     # sampled BEFORE the SparkSession exists: everything local[32] adds
     # to the box's load after this point is the bench's own self-load,
     # so start-vs-end loadavg separates co-tenant noise from self-load
+    try:
+        loadavg_at_invoke = [round(v, 1) for v in os.getloadavg()]
+    except OSError:
+        loadavg_at_invoke = None
+
+    # whole-battery quiet-start gate (r9 verdict #2): don't start timing
+    # on a box still draining a previous suite's load — wait (bounded)
+    # for quiet FIRST, then record loadavg_at_start as the post-gate
+    # state the measurements actually ran under.
+    start_gate = _wait_for_quiet(
+        float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4.0")),
+        float(os.environ.get("SPARK_GRAFT_START_WAIT_S", "240")),
+    )
     try:
         loadavg_at_start = [round(v, 1) for v in os.getloadavg()]
     except OSError:
@@ -1208,6 +1236,13 @@ def main() -> None:
         # dialect-pair texts where DuckDB does >=0.25 s of real work at
         # sf0.1 — heavy-median buffer (both rotated out of the graded 50
         # in earlier rounds; identical semantics on both engines)
+        # r10 rotation: text_doc_metrics left the graded 50 (slot moved
+        # to pyramid_roundtrip); its identical-work dialect pair stays
+        # timed here
+        "text_doc_metrics": (
+            entrymod._sql_query(text_spark["text_doc_metrics"]),
+            text_duck["text_doc_metrics"],
+        ),
         "dedup_ngram_signature": (
             entrymod._sql_query(text_spark["dedup_ngram_signature"]),
             text_duck["dedup_ngram_signature"],
@@ -1240,6 +1275,19 @@ def main() -> None:
     # the detail artifact). For matched queries the DuckDB oracle is
     # timed IMMEDIATELY after the Spark runs, with the 1-min loadavg
     # recorded per query, so the per-query ratio is load-honest.
+    # drain self-load before the first timed query: the 50 MB zarr
+    # pipeline section leaves 1-min load at 8-16 for a couple of minutes
+    # (retiring python workers, JVM GC, writeback) and the battery's
+    # FIRST query absorbed it both best-of-2 runs (r9: domain_cap_sample
+    # read 4.59x vs DuckDB at recorded load 16.1; r8's quiet number was
+    # 0.98x). Bounded wait + one untimed warm of the battery's first
+    # query so position 1 is not special.
+    battery_gate = _wait_for_quiet(
+        float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4.0")),
+        float(os.environ.get("SPARK_GRAFT_BATTERY_WAIT_S", "120")),
+    )
+    _materialize(bench_fns[HEADLINE[0]](spark, sf_dir))
+
     timings = {}
     runs = {}
     per_query = {}
@@ -1372,6 +1420,9 @@ def main() -> None:
             # quiet vs 2.6-2.9 under load for the same code)
             "loadavg_1_5_15": loadavg,
             "loadavg_at_start": loadavg_at_start,
+            "loadavg_at_invoke": loadavg_at_invoke,
+            "start_gate": start_gate,
+            "battery_gate": battery_gate,
             "section_walls": section_walls,
             "queries": timings,
             "query_runs": runs,

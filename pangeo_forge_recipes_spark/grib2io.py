@@ -1199,7 +1199,7 @@ def scan_grib2(
     msgs = scan_grib2_messages(path)
     groups, times, grid = _group_messages(msgs, filter_by_keys)
     (ydim, xdim), space_coords = _grid_parts(grid)
-    if str(path).startswith(("http://", "https://", "s3://", "gs://")):
+    if str(path).startswith(("http://", "https://", "s3://", "gs://", "abfs://", "abfss://", "az://")):
         url = path  # refs point at the remote source: range-GET reads
     else:
         url = f"file://{os.path.abspath(path)}"

@@ -827,7 +827,7 @@ def scan_hdf5(path: str, inline_threshold: int = 300) -> dict:
 
     reader = _Reader(path)
     try:
-        if str(path).startswith(("http://", "https://", "s3://", "gs://")):
+        if str(path).startswith(("http://", "https://", "s3://", "gs://", "abfs://", "abfss://", "az://")):
             url = path  # refs point at the remote source: range-GET reads
         else:
             url = f"file://{os.path.abspath(path)}"

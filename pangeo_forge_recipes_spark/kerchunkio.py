@@ -158,11 +158,10 @@ def scan_zarr_store(store, base_url: str, inline_threshold: int = 300) -> dict:
     doc; chunk objects become whole-object references at ``base_url``)."""
     base = base_url.rstrip("/")
     refs: Dict[str, RefValue] = {}
-    for key in store.list_prefix(""):
+    for key, size in store.list_prefix_with_sizes(""):
         if key.rsplit("/", 1)[-1] == ZARR_JSON:
             refs[key] = store.get(key).decode()
             continue
-        size = store.size(key)
         if size <= inline_threshold:
             refs[key] = _inline(store.get(key), inline_threshold)
         else:
@@ -216,15 +215,11 @@ class ReferenceStore(Store):
             from .storage import http_range_get
 
             return http_range_get(url, int(offset), int(length))
-        if url.startswith(("s3://", "gs://")):
+        if url.startswith(("s3://", "gs://", "abfs://", "abfss://", "az://")):
             # same chunk-lazy contract over the object store
-            from .s3io import S3Client, parse_s3_url, url_service
+            from .storage import url_range_get
 
-            bucket, key = parse_s3_url(url)
-            end = int(offset) + int(length) - 1
-            return S3Client(service=url_service(url)).get_object(
-                bucket, key, rng=f"bytes={int(offset)}-{end}"
-            )
+            return url_range_get(url, int(offset), int(length))
         path = url[len("file://"):] if url.startswith("file://") else url
         with open(path, "rb") as f:
             f.seek(int(offset))
@@ -444,9 +439,9 @@ def write_reference_parquet(refs: dict, outpath: str, refs_per_component: int = 
             "size": pa.array(sizes, pa.int64()),
         }
     )
-    from .storage import is_s3_url, open_output_stream
+    from .storage import is_object_url, open_output_stream
 
-    if is_s3_url(outpath):
+    if is_object_url(outpath):
         with open_output_stream(os.path.join(outpath, "refs.parquet")) as f:
             pq.write_table(t, f, row_group_size=refs_per_component)
         return outpath
@@ -458,19 +453,17 @@ def write_reference_parquet(refs: dict, outpath: str, refs_per_component: int = 
 def read_reference_parquet(path: str) -> dict:
     import pyarrow.parquet as pq
 
-    from .storage import is_s3_url
+    from .storage import is_object_url
 
-    if is_s3_url(path):
+    if is_object_url(path):
         import io as _io
 
-        from .s3io import S3Client, parse_s3_url, url_service
+        from .storage import _object_client_parts
 
-        bucket, key = parse_s3_url(os.path.join(path, "refs.parquet"))
-        t = pq.read_table(
-            _io.BytesIO(
-                S3Client(service=url_service(path)).get_object(bucket, key)
-            )
+        client, bucket, key = _object_client_parts(
+            os.path.join(path, "refs.parquet"), None
         )
+        t = pq.read_table(_io.BytesIO(client.get_object(bucket, key)))
     else:
         t = pq.read_table(os.path.join(path, "refs.parquet"))
     refs: Dict[str, RefValue] = {}

@@ -532,7 +532,7 @@ def scan_netcdf3(path: str, inline_threshold: int = 300) -> dict:
             "record variables interleave across the file; re-written fixed "
             "layout required for byte-range references"
         )
-    if str(path).startswith(("http://", "https://", "s3://", "gs://")):
+    if str(path).startswith(("http://", "https://", "s3://", "gs://", "abfs://", "abfss://", "az://")):
         url = path  # refs point at the remote source: range-GET reads
     else:
         url = f"file://{os.path.abspath(path)}"

@@ -60,8 +60,10 @@ def _is_http(url: str) -> bool:
 
 
 def _is_remote(url: str) -> bool:
-    """Urls read over the network in place: http(s), s3, or gs."""
-    return _is_http(url) or url.startswith(("s3://", "gs://"))
+    """Urls read over the network in place: http(s), s3/gs, or azure."""
+    return _is_http(url) or url.startswith(
+        ("s3://", "gs://", "abfs://", "abfss://", "az://")
+    )
 
 
 def _materialize_local(
@@ -394,7 +396,7 @@ def open_with_kerchunk(
             "/ spark.read.format('zarr').load(url), or scan the store "
             "where it was written"
         )
-    if url.startswith(("s3://", "gs://")) and file_type == FileType.zarr:
+    if url.startswith(("s3://", "gs://", "abfs://", "abfss://", "az://")) and file_type == FileType.zarr:
         # s3 CAN list keys — scan the store in place: metadata objects
         # inline, chunk objects reference the s3 url whole-object
         from .kerchunkio import scan_zarr_store

@@ -816,7 +816,7 @@ def _check_index_path(path: str) -> bool:
     from urllib.parse import urlparse
 
     scheme = urlparse(str(path)).scheme
-    if scheme in ("s3", "gs"):
+    if scheme in ("s3", "gs", "abfs", "abfss", "az"):
         return True
     if scheme not in ("", "file"):
         raise NotImplementedError(
@@ -843,9 +843,9 @@ def _index_meta_io(path: str):
     import os as _os
 
     if _check_index_path(path):
-        from ..s3io import S3Store
+        from ..storage import object_store_for
 
-        store = S3Store(path)
+        store = object_store_for(path)
 
         def load():
             return np.load(_io.BytesIO(store.get("meta.npz")))
@@ -887,9 +887,9 @@ def _write_index_rows_s3(rows: DataFrame, path: str, generation: int) -> int:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        from ..s3io import S3Store
+        from ..storage import object_store_for
 
-        store = S3Store(root)
+        store = object_store_for(root)
         pid = TaskContext.get().partitionId()
         seq = 0
         buf_ids: list = []
@@ -950,9 +950,9 @@ def _read_index_rows_s3(spark, path: str, probed) -> DataFrame:
     one object each — fully distributed, bytes read ∝ probed lists."""
     import io as _io
 
-    from ..s3io import S3Store
+    from ..storage import object_store_for
 
-    store = S3Store(path)
+    store = object_store_for(path)
     keys = []
     for c in probed:
         keys.extend(
@@ -970,7 +970,7 @@ def _read_index_rows_s3(spark, path: str, probed) -> DataFrame:
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.parquet as pq
 
-        store = S3Store(root)
+        store = object_store_for(root)
         for pdf in batches:
             for key, cent in zip(pdf["key"], pdf["centroid"]):
                 t = pq.read_table(_io.BytesIO(store.get(key)))
@@ -1199,12 +1199,12 @@ def append_to_ivf_pq_index(
     centroids, codebooks = meta["centroids"], meta["codebooks"]
     rows = _ivf_pq_encode_rows(df, centroids, codebooks, id_col, vec_col)
     if on_s3:
-        from ..s3io import S3Store
+        from ..storage import object_store_for
 
         # generation = count of existing part objects: makes this
         # append's part keys disjoint from every earlier write, while a
         # RETRY within the append rewrites the same keys (idempotent)
-        gen = 1 + sum(1 for _ in S3Store(path).list_prefix("vectors/"))
+        gen = 1 + sum(1 for _ in object_store_for(path).list_prefix("vectors/"))
         return _write_index_rows_s3(rows, path, generation=gen)
     spark = df.sparkSession
     vdir = _os.path.join(path, "vectors")

@@ -278,9 +278,9 @@ def pattern_from_glob(
             for part in _re.split(r"(\d+)", key)
         ]
 
-    from .storage import is_s3_url, list_shard_urls
+    from .storage import is_object_url, list_shard_urls
 
-    if is_s3_url(pathname):
+    if is_object_url(pathname):
         files = sorted(list_shard_urls(pathname, suffixes=("",)), key=natural)
     else:
         files = sorted(_glob.glob(pathname), key=natural)

@@ -82,6 +82,11 @@ class _ConfigNode:
         object.__setattr__(self, "_values", {})
 
     def __getattr__(self, name):
+        # Return the existing child so `c.TargetStorage.fsspec_class = ...`
+        # followed by `c.TargetStorage.root_path = ...` accumulates on ONE
+        # node instead of replacing the section per access.
+        if name in self._values:
+            return self._values[name]
         node = _ConfigNode()
         self._values[name] = node
         return node

@@ -727,6 +727,16 @@ class S3Store(Store):
         for k, _size in self.client.list_objects(self.bucket, full):
             yield k[strip:]
 
+    def list_prefix_with_sizes(self, prefix: str):
+        """One ListObjectsV2 sweep yields (key, size) pairs — no per-key
+        HEAD (the pages carry Size already)."""
+        full = self._key(prefix)
+        if full and not full.endswith("/"):
+            full += "/"
+        strip = len(self.prefix) + 1 if self.prefix else 0
+        for k, size in self.client.list_objects(self.bucket, full):
+            yield k[strip:], size
+
     def rm_prefix(self, prefix: str) -> None:
         full = self._key(prefix)
         keys = [k for k, _ in self.client.list_objects(self.bucket, full)]
@@ -773,6 +783,29 @@ class S3WriteBuffer(io.RawIOBase):
                 )
             )
         return len(b)
+
+    def abort(self) -> None:
+        """Discard the write: abort any in-flight multipart upload instead
+        of committing a truncated object. Reached via ``__exit__`` when an
+        exception is active (e.g. the source stream of a copy died)."""
+        if self._closed:
+            return
+        self._closed = True
+        try:
+            if self._upload_id is not None:
+                self._store.client.abort_multipart(
+                    self._store.bucket, self._key, self._upload_id
+                )
+                self._upload_id = None
+        finally:
+            self._buf = bytearray()
+            super().close()
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is not None:
+            self.abort()
+            return False
+        return super().__exit__(exc_type, exc, tb)
 
     def close(self) -> None:
         if self._closed:

@@ -540,11 +540,11 @@ def _shard_paths(path_or_paths: Union[str, List[str]]) -> List[str]:
     if isinstance(path_or_paths, (list, tuple)):
         return [str(p) for p in path_or_paths]
     p = str(path_or_paths)
-    from ..storage import is_http_url, is_s3_url, list_shard_urls
+    from ..storage import is_http_url, is_object_url, list_shard_urls
 
     if is_http_url(p):  # one shard url (servers don't list; pass a list)
         return [p]
-    if is_s3_url(p):  # object stores DO list — expand the prefix
+    if is_object_url(p):  # object stores DO list — expand the prefix
         return list_shard_urls(p, (".tfrecord", ".tfrecord.gz"))
     if os.path.isdir(p):
         return sorted(

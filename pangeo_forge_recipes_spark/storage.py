@@ -59,6 +59,30 @@ def is_s3_url(path: str) -> bool:
     return str(path).startswith(("s3://", "gs://"))
 
 
+def is_azure_url(path: str) -> bool:
+    """True for Azure Blob urls the native SharedKey/SAS client serves:
+    ``abfs://``/``abfss://``/``az://`` (the adlfs conventions the
+    reference's fsspec contract accepts, reference ``storage.py:16``)."""
+    return str(path).startswith(("abfs://", "abfss://", "az://"))
+
+
+def is_object_url(path: str) -> bool:
+    """Any object-store url this engine reads/writes natively."""
+    return is_s3_url(path) or is_azure_url(path)
+
+
+def object_store_for(root_url: str, **kwargs) -> Store:
+    """:class:`Store` for an object-store root url, scheme-dispatched
+    (s3://, gs:// -> SigV4 client; abfs://, az:// -> SharedKey client)."""
+    if is_azure_url(root_url):
+        from .azureio import AzureStore
+
+        return AzureStore(root_url, **_azure_client_kwargs(kwargs))
+    from .s3io import S3Store
+
+    return S3Store(root_url, **_s3_client_kwargs(kwargs))
+
+
 @dataclass
 class FSSpecTarget:
     """A storage root + optional subpath (reference ``storage.py:78-164``).
@@ -89,9 +113,15 @@ class FSSpecTarget:
     # -- object-store dispatch -------------------------------------------
     @property
     def _is_s3(self) -> bool:
-        return is_s3_url(self.root_path)
+        """Object-store root? (name kept from the s3-only era; covers
+        s3://, gs://, abfs://, az://)."""
+        return is_object_url(self.root_path)
 
     def _s3_store(self):
+        if is_azure_url(self.root_path):
+            from .azureio import AzureStore
+
+            return AzureStore(self.root_path, **self.fsspec_kwargs)
         from .s3io import S3Store
 
         return S3Store(self.root_path, **self.fsspec_kwargs)
@@ -156,6 +186,8 @@ class FSSpecTarget:
         return open(full, **kwargs)
 
     def get_fsspec_remote_protocol(self) -> str:
+        if is_azure_url(self.root_path):
+            return "abfs"
         return "s3" if self._is_s3 else "file"
 
 
@@ -421,12 +453,9 @@ class S3RangeFile(HTTPRangeFile):
         max_blocks: int = 64,
         **open_kwargs,
     ):
-        from .s3io import S3Client, parse_s3_url, url_service
-
-        self.bucket, self.key = parse_s3_url(url)
-        kw = _s3_client_kwargs(open_kwargs)
-        kw.setdefault("service", url_service(url))
-        self._client = S3Client(**kw)
+        self._client, self.bucket, self.key = _object_client_parts(
+            url, open_kwargs
+        )
         self.url = url
         self.block_size = int(block_size)
         self.max_blocks = int(max_blocks)
@@ -448,28 +477,25 @@ class S3RangeFile(HTTPRangeFile):
 
 def is_remote_url(path: str) -> bool:
     """True for any url this engine reads over the network in place."""
-    return is_http_url(path) or is_s3_url(path)
+    return is_http_url(path) or is_object_url(path)
 
 
 def url_range_get(
     url: str, offset: int, length: int, secrets: dict | None = None, **open_kwargs
 ) -> bytes:
-    """One byte-range read of a remote url — http(s) or s3."""
-    if is_s3_url(url):
-        from .s3io import S3Client, parse_s3_url, url_service
-
-        bucket, key = parse_s3_url(url)
-        kw = _s3_client_kwargs(open_kwargs)
-        kw.setdefault("service", url_service(url))
+    """One byte-range read of a remote url — http(s), s3, or azure."""
+    if is_object_url(url):
+        client, bucket, key = _object_client_parts(url, open_kwargs)
         end = offset + length - 1
-        return S3Client(**kw).get_object(bucket, key, rng=f"bytes={offset}-{end}")
+        return client.get_object(bucket, key, rng=f"bytes={offset}-{end}")
     return http_range_get(url, offset, length, secrets, **open_kwargs)
 
 
 def open_range_file(url: str, **open_kwargs):
-    """Block-cached seekable range-reader for a remote url (http or s3)
-    — what the byte-walking format scanners open remote archives with."""
-    if is_s3_url(url):
+    """Block-cached seekable range-reader for a remote url (http, s3,
+    or azure) — what the byte-walking format scanners open remote
+    archives with."""
+    if is_object_url(url):
         return S3RangeFile(url, **open_kwargs)
     return HTTPRangeFile(url, **open_kwargs)
 
@@ -573,13 +599,43 @@ def _s3_client_kwargs(open_kwargs: dict | None) -> dict:
     return {k: kw[k] for k in _S3_CLIENT_KEYS if k in kw}
 
 
-def _s3_open_stream(url: str, open_kwargs: dict | None):
+_AZURE_CLIENT_KEYS = (
+    "account_name",
+    "account_key",
+    "sas_token",
+    "endpoint_url",
+    "connection_string",
+)
+
+
+def _azure_client_kwargs(open_kwargs: dict | None) -> dict:
+    kw = open_kwargs or {}
+    return {k: kw[k] for k in _AZURE_CLIENT_KEYS if k in kw}
+
+
+def _object_client_parts(url: str, open_kwargs: dict | None):
+    """``(client, bucket_or_container, key)`` for any object-store url —
+    the scheme dispatch every byte-level consumer (range reads, size
+    probes, streams, shard listings) shares."""
+    if is_azure_url(url):
+        from .azureio import AzureClient, parse_azure_url
+
+        account, container, key = parse_azure_url(url)
+        kw = _azure_client_kwargs(open_kwargs)
+        if account:
+            kw.setdefault("account_name", account)
+        return AzureClient(**kw), container, key
     from .s3io import S3Client, parse_s3_url, url_service
 
     bucket, key = parse_s3_url(url)
     kw = _s3_client_kwargs(open_kwargs)
     kw.setdefault("service", url_service(url))
-    return S3Client(**kw).open_object_stream(bucket, key)
+    return S3Client(**kw), bucket, key
+
+
+def _s3_open_stream(url: str, open_kwargs: dict | None):
+    client, bucket, key = _object_client_parts(url, open_kwargs)
+    return client.open_object_stream(bucket, key)
 
 
 def _open_url_raw(fname: str, secrets: dict | None, **open_kwargs):
@@ -595,11 +651,11 @@ def _open_url_raw(fname: str, secrets: dict | None, **open_kwargs):
         return open(parsed.path or fname, "rb")
     if parsed.scheme in ("http", "https"):
         return _http_open(fname, open_kwargs)
-    if parsed.scheme in ("s3", "gs"):
+    if parsed.scheme in ("s3", "gs", "abfs", "abfss", "az"):
         return _s3_open_stream(fname, open_kwargs)
     raise NotImplementedError(
         f"url scheme {parsed.scheme!r} is not supported; supported schemes: "
-        "file://, plain paths, http://, https://, s3://, gs://"
+        "file://, plain paths, http://, https://, s3://, gs://, abfs://, az://"
     )
 
 
@@ -614,7 +670,7 @@ def shard_label(path: str) -> str:
     basename; urls keep host+path (query stripped) so two shards with
     the same basename under different prefixes never collapse into one
     label (review finding: presigned per-directory layouts)."""
-    if is_http_url(path) or is_s3_url(path):
+    if is_http_url(path) or is_object_url(path):
         parsed = urlparse(path)
         return f"{parsed.netloc}{parsed.path}"
     return os.path.basename(path.rstrip("/"))
@@ -626,7 +682,7 @@ def open_shard_stream(path: str, open_kwargs: dict | None = None):
     directly — routing them through urlparse would misread filenames
     containing '?', '#', or a colon-bearing first segment (review
     finding)."""
-    if is_http_url(path) or is_s3_url(path):
+    if is_http_url(path) or is_object_url(path):
         # 'secrets' rides INSIDE open_kwargs on the shard-reader surface
         # (read_tfrecord/read_webdataset docs) — pop it into the
         # positional slot or _open_url_raw sees it twice (r8 review
@@ -676,13 +732,9 @@ def _remote_size(fname: str, secrets: dict | None, **open_kwargs) -> int:
         except urllib.error.HTTPError:
             pass
         return -1
-    if parsed.scheme in ("s3", "gs"):
-        from .s3io import S3Client, parse_s3_url, url_service
-
-        bucket, key = parse_s3_url(fname)
-        kw = _s3_client_kwargs(open_kwargs)
-        kw.setdefault("service", url_service(fname))
-        n = S3Client(**kw).head_object(bucket, key)
+    if parsed.scheme in ("s3", "gs", "abfs", "abfss", "az"):
+        client, bucket, key = _object_client_parts(fname, open_kwargs)
+        n = client.head_object(bucket, key)
         return -1 if n is None else n
     raise NotImplementedError(f"size of {parsed.scheme!r} urls not supported")
 
@@ -690,52 +742,87 @@ def _remote_size(fname: str, secrets: dict | None, **open_kwargs) -> int:
 def prepare_output_dir(path: str) -> None:
     """Writer-side ``makedirs`` that no-ops for object-store urls —
     shard writers call this on their output root once at the driver."""
-    if not is_s3_url(path):
+    if not is_object_url(path):
         os.makedirs(path, exist_ok=True)
 
 
 def open_output_stream(path: str, open_kwargs: dict | None = None):
     """Writable binary stream for one output object: local paths open
-    a real file; ``s3://`` urls return a multipart-streaming upload
+    a real file; object-store urls return a multipart-streaming upload
     buffer (memory stays at one part, never the object). Shard writers
     route every per-object ``open(..., "wb")`` through this."""
-    if is_s3_url(path):
-        from .s3io import S3Store, S3WriteBuffer, parse_s3_url, url_service
+    if is_object_url(path):
+        from .s3io import S3WriteBuffer
 
-        bucket, key = parse_s3_url(path)
-        store = S3Store(
-            f"{url_service(path)}://{bucket}", **_s3_client_kwargs(open_kwargs)
-        )
+        scheme, _, rest = path.partition("://")
+        bucket = rest.split("/", 1)[0]
+        key = rest.split("/", 1)[1] if "/" in rest else ""
+        store = object_store_for(f"{scheme}://{bucket}", **(open_kwargs or {}))
         return S3WriteBuffer(store, key)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     return open(path, "wb")
 
 
+def _glob_to_regex(pat: str) -> str:
+    """Translate a shell glob to a regex where ``*``/``?`` stop at ``/``
+    (single-level, like pathlib/local directory globs)."""
+    out = []
+    i = 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "*":
+            out.append("[^/]*")
+        elif c == "?":
+            out.append("[^/]")
+        elif c == "[":
+            j = pat.find("]", i + 2)  # allow leading ']' / '!' in the set
+            if j == -1:
+                out.append(re.escape(c))
+            else:
+                body = pat[i + 1 : j]
+                if body.startswith("!"):
+                    body = "^" + body[1:]
+                out.append("[" + body + "]")
+                i = j
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return "".join(out) + r"\Z"
+
+
 def list_shard_urls(
     path: str, suffixes: tuple, open_kwargs: dict | None = None
 ) -> list:
-    """Expand an ``s3://`` prefix into sorted shard urls whose keys end
-    with one of ``suffixes`` — the object-store analog of the local
-    directory-glob branch in the shard readers."""
-    import fnmatch
-
-    from .s3io import S3Client, parse_s3_url, url_service
-
-    bucket, prefix = parse_s3_url(path)
-    kw = _s3_client_kwargs(open_kwargs)
-    kw.setdefault("service", url_service(path))
-    client = S3Client(**kw)
-    scheme = url_service(path)
+    """Expand an object-store prefix (``s3://``/``gs://``/``abfs://``/
+    ``az://``) into sorted shard urls whose keys end with one of
+    ``suffixes`` — the object-store analog of the local directory-glob
+    branch in the shard readers."""
+    # shard patterns are KEYS, not request urls — urlparse would treat a
+    # glob '?' as the query-string separator, so recover the raw key
+    scheme, _, raw = path.partition("://")
+    netloc = raw.split("/", 1)[0]
+    prefix = raw.split("/", 1)[1] if "/" in raw else ""
+    client, bucket, _ = _object_client_parts(
+        f"{scheme}://{netloc}/", open_kwargs
+    )
+    # urls are rebuilt with the ORIGINAL authority (which for azure may
+    # carry container@account.host), not the bare bucket/container
+    def _url(k: str) -> str:
+        return f"{scheme}://{netloc}/{k}"
     # glob form (s3://bucket/dir/*.tfrecord): list the literal prefix
     # before the first metachar, fnmatch the keys — the object-store
     # analog of the local glob branch
     if any(ch in prefix for ch in "*?["):
         meta_at = min(prefix.index(ch) for ch in "*?[" if ch in prefix)
         literal = prefix[:meta_at]
+        # single-level glob: '*'/'?' must NOT cross '/' (matches the local
+        # directory-glob branch — s3://b/dir/*.tfrecord must not pick up
+        # dir/sub/x.tfrecord). fnmatch's translation would.
+        pat = re.compile(_glob_to_regex(prefix))
         return sorted(
-            f"{scheme}://{bucket}/{k}"
+            _url(k)
             for k, _ in client.list_objects(bucket, literal)
-            if fnmatch.fnmatchcase(k, prefix)
+            if pat.match(k)
         )
     # exact object? (one HEAD) — callers pass either a shard url or a
     # directory-ish prefix
@@ -743,7 +830,7 @@ def list_shard_urls(
         return [path]
     pfx = prefix.rstrip("/") + "/" if prefix else ""
     return sorted(
-        f"{scheme}://{bucket}/{k}"
+        _url(k)
         for k, _ in client.list_objects(bucket, pfx)
         if k.endswith(suffixes)
     )

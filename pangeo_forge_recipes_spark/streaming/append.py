@@ -67,13 +67,13 @@ def stream_append_to_zarr(
     ingested) lives in the streaming checkpoint — restart-safe.
     """
     from ..patterns import pattern_from_file_sequence
-    from ..storage import is_s3_url
+    from ..storage import is_object_url
     from ..transforms import store_to_zarr
     from ..zarrio import ZARR_JSON, _store_for
 
     store_path = os.path.join(target_root, store_name)
     if checkpoint_dir is None:
-        if is_s3_url(target_root):
+        if is_object_url(target_root):
             # Spark's checkpoint filesystem goes through Hadoop, not the
             # engine's native object client — require an explicit
             # (local/HDFS/s3a-equipped) location instead of failing deep

@@ -62,6 +62,14 @@ class Store:
     def list_prefix(self, prefix: str) -> Iterator[str]:
         raise NotImplementedError
 
+    def list_prefix_with_sizes(self, prefix: str):
+        """Yield ``(key, size)`` pairs. Default re-HEADs each key; object
+        stores override to reuse the sizes the listing pages already
+        carry (ListObjectsV2 returns every key's Size) — halves request
+        count for scanners that need both."""
+        for key in self.list_prefix(prefix):
+            yield key, self.size(key)
+
     def rm_prefix(self, prefix: str) -> None:
         raise NotImplementedError
 
@@ -197,6 +205,11 @@ def _store_for(path_or_store) -> Store:
         from .s3io import S3Store
 
         return S3Store(path)
+    if path.startswith(("abfs://", "abfss://", "az://")):
+        # Azure Blob via SharedKey/SAS (AZURE_STORAGE_* env vars)
+        from .azureio import AzureStore
+
+        return AzureStore(path)
     return LocalStore(path)
 
 

@@ -1,0 +1,211 @@
+"""End-to-end pipelines against the fake Azure Blob endpoint — the
+``abfs://``/``az://`` twin of ``test_s3_pipelines.py`` (the reference
+reaches Azure through fsspec/adlfs, reference ``storage.py:16,85-86``;
+this engine speaks the Blob REST API natively). SharedKey signatures
+are verified by recomputation server-side on every request."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pangeo_forge_recipes_spark import (
+    assert_equal,
+    pattern_from_file_sequence,
+    store_to_zarr,
+    write_combined_reference,
+)
+from pangeo_forge_recipes_spark.azureio import (
+    AzureStore,
+    configure_spark_azure,
+)
+from pangeo_forge_recipes_spark.kerchunkio import open_reference_dataset
+from pangeo_forge_recipes_spark.storage import CacheFSSpecTarget, FSSpecTarget
+
+from .data_generation import make_ds, split_ds_into_files
+from .fake_azure import FakeAzure
+
+
+@pytest.fixture(scope="module")
+def az(request, spark):
+    srv = FakeAzure()
+    configure_spark_azure(spark, **srv.client_kwargs())
+    request.addfinalizer(srv.stop)
+    return srv
+
+
+def test_store_to_zarr_on_azure(spark, tmp_path, az):
+    """The flagship round-trip with the TARGET on Azure Blob: executors
+    region-write chunk objects straight to blobs via SharedKey."""
+    ds = make_ds(nt=6)
+    paths = split_ds_into_files(ds, str(tmp_path), items_per_file=2)
+    pattern = pattern_from_file_sequence(
+        paths, "time", nitems_per_file=2, file_type="npz"
+    )
+    result = store_to_zarr(
+        spark, pattern, "az://pipelines/targets", "store.zarr",
+        target_chunks={"time": 3},
+    )
+    assert result.path.startswith("az://pipelines/targets")
+    assert_equal(result.open(), ds)
+    keys = {k for (c, k) in az.objects if c == "pipelines"}
+    assert "targets/store.zarr/zarr.json" in keys
+    assert any("/c/" in k for k in keys)
+
+
+def test_store_to_zarr_azure_sources(spark, tmp_path, az):
+    """Sources ALSO on Azure: the opener pulls input bytes from blobs
+    (``az://`` urls in the FilePattern) while writing locally."""
+    ds = make_ds(nt=4)
+    local = split_ds_into_files(ds, str(tmp_path), items_per_file=2)
+    store = AzureStore("az://sources", **az.client_kwargs())
+    urls = []
+    for p in local:
+        with open(p, "rb") as f:
+            store.put(os.path.basename(p), f.read())
+        urls.append(f"az://sources/{os.path.basename(p)}")
+    pattern = pattern_from_file_sequence(
+        urls, "time", nitems_per_file=2, file_type="npz"
+    )
+    result = store_to_zarr(
+        spark, pattern, str(tmp_path / "t"), "from_az.zarr",
+        target_chunks={"time": 2},
+    )
+    assert_equal(result.open(), ds)
+
+
+def test_input_cache_on_azure(spark, tmp_path, az):
+    """CacheFSSpecTarget with an azure root: first call uploads, second
+    call size-skips (no second PUT of the object)."""
+    src = tmp_path / "src.bin"
+    src.write_bytes(b"x" * 1000)
+    cache = CacheFSSpecTarget.from_url("az://cachecont/cache")
+    cache.fsspec_kwargs.update(az.client_kwargs())
+    cache.cache_file(str(src), None)
+    assert cache.exists(str(src))
+    assert cache.size(str(src)) == 1000
+    puts_before = sum(
+        1 for m, c, k, q in az.requests if m == "PUT" and c == "cachecont"
+    )
+    cache.cache_file(str(src), None)  # size matches — skip
+    puts_after = sum(
+        1 for m, c, k, q in az.requests if m == "PUT" and c == "cachecont"
+    )
+    assert puts_after == puts_before
+    # cached object is readable through the generic url opener
+    from pangeo_forge_recipes_spark.storage import open_binary
+
+    url = "az://cachecont/cache/" + cache._rel(str(src))
+    with open_binary(url, **az.client_kwargs()) as f:
+        assert f.read() == b"x" * 1000
+
+
+def test_kerchunk_reference_on_azure(spark, tmp_path, az):
+    """write_combined_reference with the reference FILE on azure and
+    chunk refs pointing at azure SOURCE blobs — fully-cloud virtual
+    store, reads served by ranged GETs."""
+    from pangeo_forge_recipes_spark.netcdf3 import write_netcdf3
+
+    ds = make_ds(nt=4)
+    store = AzureStore("az://refsrc", **az.client_kwargs())
+    urls = []
+    for i, start in enumerate(range(0, 4, 2)):
+        p = str(tmp_path / f"nc_{i}.nc")
+        write_netcdf3(p, ds.isel(time=slice(start, start + 2)))
+        with open(p, "rb") as f:
+            store.put(os.path.basename(p), f.read())
+        urls.append(f"az://refsrc/{os.path.basename(p)}")
+    pattern = pattern_from_file_sequence(
+        urls, "time", nitems_per_file=2, file_type="netcdf3"
+    )
+    refpath = write_combined_reference(
+        spark, pattern, "az://refout/here", "ref"
+    )
+    assert refpath.startswith("az://refout/here")
+    back = open_reference_dataset(refpath)
+    assert_equal(back, ds)
+    raw = json.loads(
+        AzureStore("az://refout", **az.client_kwargs()).get(
+            "here/ref/reference.json"
+        )
+    )
+    chunk_refs = [v for v in raw["refs"].values() if isinstance(v, list)]
+    assert chunk_refs and all(
+        v[0].startswith("az://refsrc/") for v in chunk_refs
+    )
+
+
+def test_tfrecord_shards_on_azure(spark, az):
+    """TFRecord shard write → list → read entirely on Azure Blob."""
+    from pangeo_forge_recipes_spark.sources import tfrecord as tfr
+
+    df = spark.createDataFrame(
+        [(i, f"doc-{i}") for i in range(40)], "doc_id long, text string"
+    )
+    out = "az://shards/tfr"
+    manifest = tfr.write_tfrecord_shards(df, out, n_shards=4).collect()
+    assert len(manifest) == 4
+    back = tfr.read_tfrecord(
+        spark, out, {"doc_id": "int64", "text": "string"}
+    )
+    rows = back.collect()
+    assert {r["doc_id"] for r in rows} == set(range(40))
+    assert {r["shard"] for r in rows} == {
+        f"shards/tfr/shard-{i:05d}.tfrecord" for i in range(4)
+    }
+
+
+def test_azure_glob_shard_selection(spark, az):
+    """Single-level glob over blobs: az://cont/dir/*.tfrecord must not
+    descend into dir/sub/."""
+    from pangeo_forge_recipes_spark.storage import list_shard_urls
+
+    store = AzureStore("az://globc", **az.client_kwargs())
+    store.put("d/a.tfrecord", b"1")
+    store.put("d/b.tfrecord", b"2")
+    store.put("d/skip.txt", b"3")
+    store.put("d/sub/c.tfrecord", b"4")
+    urls = list_shard_urls(
+        "az://globc/d/*.tfrecord", (".tfrecord",),
+        open_kwargs=az.client_kwargs(),
+    )
+    assert [u.rsplit("/", 1)[-1] for u in urls] == ["a.tfrecord", "b.tfrecord"]
+
+
+def test_fsspec_target_surface_on_azure(az):
+    t = FSSpecTarget.from_url("az://tgt/root")
+    t.fsspec_kwargs.update(az.client_kwargs())
+    assert t.get_fsspec_remote_protocol() == "abfs"
+    with t.open("sub/obj.bin", mode="wb") as f:
+        f.write(b"abc")
+    assert t.exists("sub/obj.bin") and t.size("sub/obj.bin") == 3
+    with t.open("sub/obj.bin") as f:
+        assert f.read() == b"abc"
+    t.makedir("whatever")  # object stores: no-op, must not raise
+    (t / "sub").rm("obj.bin")
+    assert not t.exists("sub/obj.bin")
+    # recursive rm sweeps a prefix but not its sibling
+    with t.open("a/x", mode="wb") as f:
+        f.write(b"1")
+    with t.open("ab/y", mode="wb") as f:
+        f.write(b"2")
+    t.rm("a", recursive=True)
+    assert not t.exists("a/x") and t.exists("ab/y")
+
+
+def test_abfs_full_form_url(az):
+    """The adlfs full form abfs://container@account.host/key routes the
+    account from the url authority; endpoint still honors the client
+    kwargs (custom emulator endpoint)."""
+    from tests.fake_azure import ACCOUNT
+
+    kw = dict(az.client_kwargs())
+    kw.pop("account_name")
+    store = AzureStore(
+        f"abfs://full@{ACCOUNT}.dfs.core.windows.net/pre", **kw
+    )
+    store.put("k.bin", b"xyz")
+    assert store.get("k.bin") == b"xyz"
+    assert ("full", "pre/k.bin") in az.objects

@@ -148,3 +148,20 @@ def test_cli_bake(spark, feedstock, capsys):
     out = capsys.readouterr().out
     assert "baked:" in out and "out.zarr" in out
     assert open_zarr_group(str(tmp / "target" / "out.zarr")).sizes["time"] == 2
+
+
+def test_config_py_section_reaccess_accumulates(tmp_path):
+    """Re-accessing a c. section must return the SAME node — assigning
+    fsspec_args after root_path must not drop root_path (ADVICE r9:
+    __getattr__ used to replace the section per access)."""
+    cfg = tmp_path / "config.py"
+    cfg.write_text(
+        'c.TargetStorage.root_path = "/data/target"\n'
+        'c.TargetStorage.fsspec_class = "ignored.LocalFileSystem"\n'
+        'c.TargetStorage.fsspec_args = {"auto_mkdir": True}\n'
+        'c.InputCacheStorage.root_path = "/data/cache"\n'
+        'c.InputCacheStorage.fsspec_class = "ignored.LocalFileSystem"\n'
+    )
+    out = runner.load_config(str(cfg))
+    assert out["target_root"] == "/data/target"
+    assert out["cache_root"] == "/data/cache"

@@ -261,3 +261,59 @@ def test_s3error_pickles_faithfully(s3):
     assert isinstance(e2, S3Error)
     assert (e2.status, e2.code) == (404, "NoSuchKey")
     assert "NoSuchKey" in str(e2)
+
+
+def test_write_buffer_aborts_on_exception(monkeypatch, s3, store):
+    """Context-manager exit on an exception must abort the multipart
+    upload, not commit a truncated object (ADVICE r9)."""
+    monkeypatch.setattr(s3io, "MULTIPART_PART_BYTES", 512)
+    with pytest.raises(RuntimeError, match="source died"):
+        with s3io.S3WriteBuffer(store, "partial.bin") as buf:
+            buf.write(bytes(1500))  # two parts already uploaded
+            raise RuntimeError("source died")
+    assert not store.exists("partial.bin")
+    assert s3.uploads == {}  # in-flight upload aborted server-side
+    methods = [
+        (m, q) for m, _, k, q in s3.requests if k.endswith("partial.bin")
+    ]
+    assert any(m == "DELETE" and "uploadId" in q for m, q in methods)
+    # clean exit still completes
+    with s3io.S3WriteBuffer(store, "ok.bin") as buf:
+        buf.write(b"fine")
+    assert store.get("ok.bin") == b"fine"
+
+
+def test_list_prefix_with_sizes_no_heads(s3, store):
+    """(key, size) pairs come from ONE listing — zero per-key HEADs
+    (ADVICE r9: scan_zarr_store was doubling request count)."""
+    store.put("z/zarr.json", b"{}")
+    store.put("z/c/0", bytes(700))
+    s3.requests.clear()
+    pairs = dict(store.list_prefix_with_sizes("z"))
+    assert pairs == {"z/zarr.json": 2, "z/c/0": 700}
+    assert all(m != "HEAD" for m, _, _, _ in s3.requests)
+    assert sum(1 for m, _, _, q in s3.requests if m == "GET") == 1
+
+
+def test_list_shard_urls_glob_single_level(s3, store):
+    """'*' in an s3 glob must not cross '/' — matches local glob
+    semantics (ADVICE r9)."""
+    from pangeo_forge_recipes_spark.storage import list_shard_urls
+
+    store.put("d/a.tfrecord", b"1")
+    store.put("d/b.tfrecord", b"2")
+    store.put("d/skip.txt", b"3")
+    store.put("d/sub/c.tfrecord", b"4")
+    urls = list_shard_urls(
+        "s3://bkt/some/prefix/d/*.tfrecord",
+        (".tfrecord",),
+        open_kwargs=s3.client_kwargs(),
+    )
+    assert [u.rsplit("/", 1)[-1] for u in urls] == ["a.tfrecord", "b.tfrecord"]
+    # '?' is also single-level single-char
+    urls = list_shard_urls(
+        "s3://bkt/some/prefix/d/?.tfrecord",
+        (".tfrecord",),
+        open_kwargs=s3.client_kwargs(),
+    )
+    assert [u.rsplit("/", 1)[-1] for u in urls] == ["a.tfrecord", "b.tfrecord"]
