@@ -199,14 +199,20 @@ def open_with_ndset(
     file_type = _resolve_type(url, file_type)
     kw = dict(xarray_open_kwargs or {})
     if file_type == FileType.opendap:
-        from .dap2io import read_dap2
+        from .dap4io import open_dap
 
         # opendap is remote-by-definition: no cache/copy_to_local step
         # (reference skips fsspec for it too, ``openers.py:230``).
         # projection + isel push column/row pruning to the server: only
-        # the subset crosses the wire
-        return read_dap2(
-            url, projection=kw.get("projection"), isel=kw.get("isel")
+        # the subset crosses the wire. Protocol auto-negotiates (one
+        # .dmr probe per process): DAP4 where served, DAP2 fallback —
+        # pass protocol="dap2"/"dap4" to pin
+        return open_dap(
+            url,
+            projection=kw.get("projection"),
+            isel=kw.get("isel"),
+            protocol=kw.get("protocol", "auto"),
+            checksums=kw.get("checksums", False),
         )
     if _is_remote(url) and file_type == FileType.zarr:
         # a zarr store over http/s3 is a url PREFIX, not a single file:
@@ -320,9 +326,11 @@ def read_schema(
             path, filter_by_keys=_grib_filter(xarray_open_kwargs or {})
         )
     if file_type == FileType.opendap:
-        from .dap2io import dap2_schema
+        from .dap4io import dap_schema
 
-        return dap2_schema(url)
+        return dap_schema(
+            url, protocol=(xarray_open_kwargs or {}).get("protocol", "auto")
+        )
     # fall back to a full open for formats without a metadata fast path
     return _full_schema(url, file_type, xarray_open_kwargs)
 

@@ -1,0 +1,276 @@
+"""OPeNDAP/DAP4: pure-Python chunked-wire client against a real (local,
+threaded) HTTP server, protocol negotiation on the ``opendap`` FileType
+row, DMR++ sidecar scanning, and the Zarr pipeline end-to-end from DAP4
+sources (reference parity: the netcdf4 engine's DAP client speaks both
+protocols, reference ``openers.py:40-47``)."""
+
+from __future__ import annotations
+
+import json
+import zlib
+
+import numpy as np
+import pytest
+
+from pangeo_forge_recipes_spark import pattern_from_file_sequence, store_to_zarr
+from pangeo_forge_recipes_spark.aggregation import dataset_to_schema
+from pangeo_forge_recipes_spark.dap4io import (
+    Dap4Server,
+    dap4_schema,
+    dap_schema,
+    negotiate_dap_protocol,
+    open_dap,
+    parse_dmr,
+    read_dap4,
+    scan_dmrpp,
+    serve_ndsets_dap4,
+)
+from pangeo_forge_recipes_spark.ndset import NDDataset, Variable, assert_equal
+from pangeo_forge_recipes_spark.openers import open_with_ndset, read_schema
+from pangeo_forge_recipes_spark.patterns import FileType
+
+from .data_generation import make_ds
+
+
+@pytest.fixture(scope="module")
+def served():
+    ds = make_ds(nt=6, non_dim_coords=False)
+    parts = {f"part{i}": ds.isel(time=slice(2 * i, 2 * i + 2)) for i in range(3)}
+    with serve_ndsets_dap4({"full": ds, **parts}) as srv:
+        yield srv, ds
+
+
+def test_read_round_trip(served):
+    srv, ds = served
+    got = read_dap4(srv.url_for("full"))
+    assert_equal(got, ds)
+    # DAP4 has native 64-bit ints — bar keeps its dtype (DAP2 widened
+    # it to Float64)
+    assert got.data_vars["bar"].data.dtype == np.dtype("i8")
+    assert got.coords["time"].data.dtype == np.dtype("M8[ns]")
+    assert got.coords["time"].encoding["units"] == "days since 2010-01-01"
+
+
+def test_checksums_verified(served):
+    srv, ds = served
+    got = read_dap4(srv.url_for("full"), checksums=True)
+    assert_equal(got, ds)
+
+
+def test_projection_and_hyperslabs(served):
+    srv, ds = served
+    got = read_dap4(srv.url_for("full"), projection=["foo", "time"])
+    assert set(got.data_vars) == {"foo"}
+    np.testing.assert_allclose(
+        got.data_vars["foo"].data, ds.data_vars["foo"].data
+    )
+    # isel builds dap4.ce hyperslabs — only the subset crosses the wire
+    sub = read_dap4(srv.url_for("full"), isel={"time": slice(1, 4)})
+    assert sub.sizes["time"] == 3
+    np.testing.assert_allclose(
+        sub.data_vars["foo"].data, ds.data_vars["foo"].data[1:4]
+    )
+    np.testing.assert_array_equal(
+        sub.coords["time"].data, ds.coords["time"].data[1:4]
+    )
+    # double constraint on the same dim raises, like the DAP2 client
+    with pytest.raises(ValueError, match="isel also constrains"):
+        read_dap4(
+            srv.url_for("full"),
+            projection=["foo[0:1:3][0:1:17][0:1:35]"],
+            isel={"time": slice(0, 2)},
+        )
+
+
+def test_schema_matches_full_open(served):
+    srv, ds = served
+    sch = dap4_schema(srv.url_for("full"))
+    full = dataset_to_schema(read_dap4(srv.url_for("full")))
+    assert sch["dims"] == full["dims"]
+    assert sorted(sch["coords"]) == sorted(full["coords"])
+    assert sorted(sch["data_vars"]) == sorted(full["data_vars"])
+    assert sch["coords"]["time"]["dtype"] == "datetime64[ns]"
+    assert sch["data_vars"]["foo"]["shape"] == [6, 18, 36]
+    assert sch["attrs"]["conventions"] == "CF 1.6"
+
+
+def test_negotiation_and_openers_route(served):
+    """The opendap FileType row auto-negotiates: a DAP4 server gets the
+    DAP4 client (int64 preserved), a DAP2-only server falls back."""
+    from pangeo_forge_recipes_spark.dap2io import serve_ndsets
+
+    srv, ds = served
+    assert negotiate_dap_protocol(srv.url_for("full")) == "dap4"
+    got = open_with_ndset(srv.url_for("full"), file_type=FileType.opendap)
+    assert_equal(got, ds)
+    assert got.data_vars["bar"].data.dtype == np.dtype("i8")
+    sch = read_schema(srv.url_for("full"), file_type=FileType.opendap)
+    assert sch["dims"] == {"time": 6, "lat": 18, "lon": 36}
+    # DAP2-only endpoint: .dmr 404s, negotiation falls back, open works
+    with serve_ndsets({"d2": ds}) as old:
+        assert negotiate_dap_protocol(old.url_for("d2")) == "dap2"
+        got2 = open_with_ndset(old.url_for("d2"), file_type=FileType.opendap)
+        assert_equal(got2, ds)
+        assert got2.data_vars["bar"].data.dtype == np.dtype("f8")  # widened
+        # pinning the protocol skips negotiation
+        got3 = open_dap(old.url_for("d2"), protocol="dap2")
+        assert_equal(got3, ds)
+
+
+def test_int64_and_small_types_native(served):
+    ds = NDDataset(
+        {
+            "i1": Variable(("x",), np.array([-3, 0, 7, 1, -1], dtype="i1")),
+            "i2": Variable(("x",), np.array([-3, 0, 7, 1000, -1000], dtype="i2")),
+            "u2": Variable(("x",), np.array([0, 9, 65535, 1, 2], dtype="u2")),
+            "i8": Variable(
+                ("x",), np.array([2**40, -(2**40), 0, 1, -1], dtype="i8")
+            ),
+            "u8": Variable(("x",), np.array([2**63, 0, 1, 2, 3], dtype="u8")),
+        },
+        {"x": Variable(("x",), np.arange(5, dtype="i4"))},
+        {"note": "dap4 native widths"},
+        {"x": 5},
+    )
+    with serve_ndsets_dap4({"t": ds}) as srv:
+        got = read_dap4(srv.url_for("t"), checksums=True)
+    assert_equal(got, ds)
+    for n, dt in [("i1", "i1"), ("i2", "i2"), ("u2", "u2"), ("i8", "i8"), ("u8", "u8")]:
+        assert got.data_vars[n].data.dtype == np.dtype(dt), n
+
+
+def test_parse_dmr_shapes():
+    dmr = parse_dmr(
+        '<Dataset xmlns="http://xml.opendap.org/ns/DAP/4.0#" name="d">\n'
+        '  <Dimension name="time" size="4"/>\n'
+        '  <Dimension name="y" size="2"/>\n'
+        '  <Float32 name="air">\n'
+        '    <Dim name="/time"/>\n'
+        '    <Dim name="/y"/>\n'
+        '    <Attribute name="units" type="String"><Value>K</Value></Attribute>\n'
+        '    <Attribute name="levels" type="Int32">'
+        "<Value>1</Value><Value>2</Value></Attribute>\n"
+        "  </Float32>\n"
+        '  <Int64 name="anon"><Dim size="7"/></Int64>\n'
+        '  <Attribute name="title" type="String"><Value>t</Value></Attribute>\n'
+        "</Dataset>"
+    )
+    assert dmr["dims"] == {"time": 4, "y": 2}
+    air = dmr["vars"][0]
+    assert air["dims"] == [("time", 4), ("y", 2)]
+    assert air["attrs"] == {"units": "K", "levels": [1, 2]}
+    assert dmr["vars"][1]["dims"] == [(None, 7)]
+    assert dmr["attrs"] == {"title": "t"}
+    with pytest.raises(NotImplementedError, match="Structure"):
+        parse_dmr(
+            '<Dataset xmlns="http://xml.opendap.org/ns/DAP/4.0#" name="d">'
+            '<Structure name="s"/></Dataset>'
+        )
+
+
+def test_store_to_zarr_from_dap4(spark, served, tmp_path):
+    """The narr_opendap feedstock shape over DAP4: remote endpoints
+    straight into StoreToZarr, opens running inside executors."""
+    srv, ds = served
+    urls = [srv.url_for(f"part{i}") for i in range(3)]
+    pattern = pattern_from_file_sequence(
+        urls, "time", nitems_per_file=2, file_type="opendap"
+    )
+    result = store_to_zarr(
+        spark, pattern, str(tmp_path), "dap4.zarr", target_chunks={"time": 3}
+    )
+    assert_equal(result.open(), ds)
+
+
+# ---------------------------------------------------------------------------
+# DMR++ sidecar scanning
+# ---------------------------------------------------------------------------
+
+
+def _dmrpp_doc(href: str, payload_offsets, deflate: bool) -> str:
+    comp = ' compressionType="deflate"' if deflate else ""
+    chunks0 = "".join(
+        f'<dmrpp:chunk chunkPositionInArray="[{4 * i},0]" '
+        f'offset="{off}" nBytes="{n}"/>'
+        for i, (off, n) in enumerate(payload_offsets["air"])
+    )
+    t_off, t_n = payload_offsets["time"][0]
+    return (
+        '<Dataset xmlns="http://xml.opendap.org/ns/DAP/4.0#" '
+        'xmlns:dmrpp="http://xml.opendap.org/dap/dmrpp/1.0.0#" '
+        f'name="d" dmrpp:href="{href}">\n'
+        '  <Dimension name="time" size="8"/>\n'
+        '  <Dimension name="y" size="3"/>\n'
+        '  <Float64 name="air">\n'
+        '    <Dim name="/time"/><Dim name="/y"/>\n'
+        '    <Attribute name="units" type="String"><Value>K</Value></Attribute>\n'
+        f"    <dmrpp:chunks{comp}>\n"
+        "      <dmrpp:chunkDimensionSizes>4 3</dmrpp:chunkDimensionSizes>\n"
+        f"      {chunks0}\n"
+        "    </dmrpp:chunks>\n"
+        "  </Float64>\n"
+        '  <Int64 name="time">\n'
+        '    <Dim name="/time"/>\n'
+        "    <dmrpp:chunks>\n"
+        f'      <dmrpp:chunk offset="{t_off}" nBytes="{t_n}"/>\n'
+        "    </dmrpp:chunks>\n"
+        "  </Int64>\n"
+        "</Dataset>"
+    )
+
+
+def test_scan_dmrpp_reads_back(tmp_path):
+    """A DMR++ sidecar + raw data file = a readable virtual Zarr store
+    with ZERO source reads at scan time."""
+    from pangeo_forge_recipes_spark.kerchunkio import open_reference_dataset
+
+    air = np.arange(24, dtype="<f8").reshape(8, 3)
+    time = np.arange(8, dtype="<i8")
+    blob = bytearray(b"HDR!")  # arbitrary leading bytes, like a real hdf5
+    offs = {"air": [], "time": []}
+    for block in (air[:4], air[4:]):
+        raw = block.tobytes()
+        offs["air"].append((len(blob), len(raw)))
+        blob += raw
+    offs["time"].append((len(blob), time.nbytes))
+    blob += time.tobytes()
+    data_path = tmp_path / "d.h5"
+    data_path.write_bytes(bytes(blob))
+    doc = _dmrpp_doc(f"file://{data_path}", offs, deflate=False)
+    refs = scan_dmrpp(doc)
+    back = open_reference_dataset(refs)
+    np.testing.assert_array_equal(back["air"].data, air)
+    np.testing.assert_array_equal(back["time"].data, time)
+    assert back["air"].attrs["units"] == "K"
+
+
+def test_scan_dmrpp_deflate_chunks(tmp_path):
+    """compressionType="deflate" maps onto the gzip codec the HDF5
+    scanner uses — compressed chunks decode through the same chain."""
+    from pangeo_forge_recipes_spark.kerchunkio import open_reference_dataset
+
+    air = np.arange(24, dtype="<f8").reshape(8, 3)
+    time = np.arange(8, dtype="<i8")
+    blob = bytearray()
+    offs = {"air": [], "time": []}
+    for block in (air[:4], air[4:]):
+        raw = zlib.compress(block.tobytes())
+        offs["air"].append((len(blob), len(raw)))
+        blob += raw
+    offs["time"].append((len(blob), time.nbytes))
+    blob += time.tobytes()
+    data_path = tmp_path / "d.h5"
+    data_path.write_bytes(bytes(blob))
+    doc = _dmrpp_doc(f"file://{data_path}", offs, deflate=True)
+    refs = scan_dmrpp(doc)
+    meta = json.loads(refs["refs"]["air/zarr.json"])
+    assert [c["name"] for c in meta["codecs"]] == ["bytes", "gzip"]
+    back = open_reference_dataset(refs)
+    np.testing.assert_array_equal(back["air"].data, air)
+    # data_url override re-points at a mirror
+    refs2 = scan_dmrpp(doc, data_url=f"file://{data_path}")
+    assert refs2["refs"]["air/c/0/0"][0] == f"file://{data_path}"
+    # unsupported filter gates by name
+    with pytest.raises(NotImplementedError, match="szip"):
+        scan_dmrpp(doc.replace('compressionType="deflate"',
+                               'compressionType="szip"'))
