@@ -43,3 +43,52 @@ def test_example_runs(script, marker):
     assert out.returncode == 0, out.stderr[-2000:]
     if marker:
         assert marker in out.stdout, out.stdout[-2000:]
+
+
+def test_bake_example_feedstock_to_s3_with_prune(spark):
+    """The reference's integration shape (tests/test_integration.py:
+    105-141): bake the examples/feedstock recipes against an object
+    store with --prune — meta.yaml discovery, config injection, input
+    cache, pruned pattern, both pipeline kinds."""
+    from pangeo_forge_recipes_spark.kerchunkio import open_reference_dataset
+    from pangeo_forge_recipes_spark.runner import bake, parse_meta
+    from pangeo_forge_recipes_spark.s3io import configure_spark_s3
+    from pangeo_forge_recipes_spark.zarrio import open_group
+
+    from .fake_s3 import FakeS3
+
+    fs = os.path.join(_ROOT, "examples", "feedstock")
+    assert [e["id"] for e in parse_meta(fs)] == [
+        "daily-zarr",
+        "daily-reference",
+    ]
+    srv = FakeS3()
+    try:
+        configure_spark_s3(spark, **srv.client_kwargs())
+        config = {
+            "TargetStorage": {"root_path": "s3://bakery/target"},
+            "InputCacheStorage": {"root_path": "s3://bakery/cache"},
+        }
+        result = bake(
+            fs, config=config, recipe_id="daily-zarr", prune=True,
+            spark=spark,
+        )
+        assert result.path == "s3://bakery/target/daily.zarr"
+        ds = result.open()
+        # --prune keeps the first two concat keys only
+        assert ds.sizes["time"] == 2
+        assert float(ds["temp"].data[1, 0, 0]) == 10.0
+        # the input cache absorbed the source files
+        assert any(k.startswith("cache/") for (b, k) in srv.objects if b == "bakery")
+        # group metadata is real zarr-v3 on the object store
+        grp = open_group("s3://bakery/target/daily.zarr")
+        assert "temp" in grp.array_names()
+        refpath = bake(
+            fs, config=config, recipe_id="daily-reference", prune=True,
+            spark=spark,
+        )
+        back = open_reference_dataset(refpath)
+        assert back.sizes["time"] == 2
+        assert float(back["temp"].data[0, 2, 3]) == pytest.approx(2.3)
+    finally:
+        srv.stop()
