@@ -337,6 +337,16 @@ def _bench_zarr_throughput(spark) -> dict:
                     "rechunk_shuffle": "reference",
                 },
             ),
+            # r10: the spill shuffle — decode once, pieces to scratch,
+            # metadata-only exchange, write tasks range-read their
+            # pieces (the eager-format answer to the payload tax)
+            (
+                "shuffled_spill",
+                {
+                    "target_chunks": {"time": 32},
+                    "rechunk_shuffle": "spill",
+                },
+            ),
         )
         variant_kwargs = dict(variants)
         walls = {label: [] for label, _ in variants}
@@ -393,6 +403,9 @@ def _bench_zarr_throughput(spark) -> dict:
         out["round_tax_ratios"] = round_tax
         out["shuffled_over_aligned_tax"] = round(
             min(walls["shuffled"]) / min(walls["aligned"]), 2
+        )
+        out["spill_over_aligned_tax"] = round(
+            min(walls["shuffled_spill"]) / min(walls["aligned"]), 2
         )
         out["medium"] = "tmpfs" if use_shm else "disk"
 

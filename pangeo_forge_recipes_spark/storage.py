@@ -483,12 +483,18 @@ def is_remote_url(path: str) -> bool:
 def url_range_get(
     url: str, offset: int, length: int, secrets: dict | None = None, **open_kwargs
 ) -> bytes:
-    """One byte-range read of a remote url — http(s), s3, or azure."""
+    """One byte-range read of a url — http(s), s3, azure, or a local
+    path / ``file://`` url (seek+read)."""
     if is_object_url(url):
         client, bucket, key = _object_client_parts(url, open_kwargs)
         end = offset + length - 1
         return client.get_object(bucket, key, rng=f"bytes={offset}-{end}")
-    return http_range_get(url, offset, length, secrets, **open_kwargs)
+    if is_http_url(url):
+        return http_range_get(url, offset, length, secrets, **open_kwargs)
+    path = url[len("file://") :] if url.startswith("file://") else url
+    with open(path, "rb") as f:
+        f.seek(offset)
+        return f.read(length)
 
 
 def open_range_file(url: str, **open_kwargs):

@@ -26,6 +26,7 @@ transforms.py`` (the Beam PTransform library), re-expressed Spark-first:
 
 from __future__ import annotations
 
+import hashlib
 import os
 import pickle
 from collections import OrderedDict
@@ -53,7 +54,7 @@ from .dsio import (
     store_dataset_fragment,
     zarr_group_schema,
 )
-from .ndset import NDDataset
+from .ndset import NDDataset, Variable
 from .openers import open_url, open_with_ndset, open_with_kerchunk, read_schema
 from .patterns import FilePattern, FileType
 from .rechunking import combine_fragments, group_key_to_json, split_fragment
@@ -826,6 +827,194 @@ def rechunk_refs_and_store(
 
 
 # ---------------------------------------------------------------------------
+# spill shuffle — eager formats made chunk-lazy for the price of one
+# scratch write (r9 verdict #5: in payload mode the corpus crosses
+# Python→JVM, the shuffle, and JVM→Python — measured on the 800 MB
+# fixture the JVM↔Python transport IS the tax (python-side pickling is
+# <10% of it). Spill mode decodes each source ONCE, writes each spilled
+# piece's raw C-order bytes to a scratch object next to the target,
+# shuffles O(#fragments) metadata rows, and write tasks range-read
+# exactly their pieces — the reference-mode exchange pattern, available
+# to formats that cannot byte-range-serve their own chunks.)
+# ---------------------------------------------------------------------------
+
+SPILL_SCHEMA = (
+    "group_key string, index string, meta binary, payload binary, "
+    "url string, offset bigint, length bigint"
+)
+
+#: pieces at or below this many bytes ride the shuffle inline (coords,
+#: tiny edge chunks) — a scratch round-trip per 100-byte coordinate
+#: would be pure request overhead
+SPILL_INLINE_BYTES = 1 << 20
+
+
+def _spill_meta(single: NDDataset) -> Tuple[dict, "np.ndarray"]:
+    """(reconstruction meta, array) for a single-variable dataset — the
+    skeleton that rides the metadata shuffle while the array bytes sit
+    in scratch."""
+    if single.data_vars:
+        role, (name, var) = "d", next(iter(single.data_vars.items()))
+    else:
+        role, (name, var) = "c", next(iter(single.coords.items()))
+    data = np.ascontiguousarray(var.data)
+    meta = {
+        "role": role,
+        "name": name,
+        "dims": tuple(var.dims),
+        "attrs": dict(var.attrs),
+        "encoding": dict(var.encoding),
+        "dtype": data.dtype.str,
+        "shape": data.shape,
+        "sizes": dict(var.sizes),
+    }
+    return meta, data
+
+
+def _unspill(meta: dict, buf) -> NDDataset:
+    """Rebuild the single-variable dataset from its meta + raw bytes
+    (zero-copy view over the fetched buffer)."""
+    arr = np.frombuffer(buf, dtype=np.dtype(meta["dtype"])).reshape(
+        meta["shape"]
+    )
+    var = Variable(meta["dims"], arr, dict(meta["attrs"]), dict(meta["encoding"]))
+    if meta["role"] == "d":
+        return NDDataset({meta["name"]: var}, {}, {}, dict(meta["sizes"]))
+    return NDDataset({}, {meta["name"]: var}, {}, dict(meta["sizes"]))
+
+
+def open_split_spill_df(
+    df: DataFrame,
+    scratch_root: str,
+    file_type: Union[str, FileType] = FileType.npz,
+    target_chunks: Optional[Dict[str, int]] = None,
+    schema: Optional[XarraySchema] = None,
+    xarray_open_kwargs: Optional[dict] = None,
+    preprocess: Optional[Callable[[Index, NDDataset], Tuple[Index, NDDataset]]] = None,
+) -> DataFrame:
+    """Open → [preprocess] → split → SPILL: each source file decodes
+    exactly once; every owned piece's raw bytes append to ONE scratch
+    object per source (keyed by the source's index, so task retries
+    rewrite the same object — idempotent), and the emitted rows carry
+    only ``(group_key, index, meta, scratch_url, offset, length)``.
+    Pieces ≤ :data:`SPILL_INLINE_BYTES` ship inline instead."""
+    ft = FileType(file_type) if isinstance(file_type, str) else file_type
+
+    def split_spill(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .storage import open_output_stream
+
+        for pdf in batches:
+            for idx_json, url in zip(pdf["index"], pdf["url"]):
+                ds = open_with_ndset(
+                    url, file_type=ft, xarray_open_kwargs=xarray_open_kwargs
+                )
+                index = Index.from_json(idx_json)
+                if preprocess is not None:
+                    index, ds = preprocess(index, ds)
+                rows = {
+                    "group_key": [],
+                    "index": [],
+                    "meta": [],
+                    "payload": [],
+                    "url": [],
+                    "offset": [],
+                    "length": [],
+                }
+                scratch_url = (
+                    scratch_root.rstrip("/")
+                    + "/spill-"
+                    + hashlib.md5(idx_json.encode()).hexdigest()
+                    + ".raw"
+                )
+                spilled: List[Tuple[bytes]] = []
+                pos = 0
+                for gk, (sub_idx, sub_ds) in split_fragment(
+                    (index, ds), target_chunks=target_chunks, schema=schema
+                ):
+                    gk_json = group_key_to_json(gk)
+                    for suffix, single in _explode_by_variable(sub_idx, sub_ds):
+                        rows["group_key"].append(f"{gk_json}|{suffix}")
+                        rows["index"].append(sub_idx.to_json())
+                        meta, data = _spill_meta(single)
+                        raw = data.tobytes()
+                        rows["meta"].append(pickle.dumps(meta, protocol=5))
+                        if len(raw) <= SPILL_INLINE_BYTES:
+                            rows["payload"].append(raw)
+                            rows["url"].append("")
+                            rows["offset"].append(-1)
+                            rows["length"].append(-1)
+                        else:
+                            spilled.append(raw)
+                            rows["payload"].append(b"")
+                            rows["url"].append(scratch_url)
+                            rows["offset"].append(pos)
+                            rows["length"].append(len(raw))
+                            pos += len(raw)
+                if spilled:
+                    with open_output_stream(scratch_url) as f:
+                        for raw in spilled:
+                            f.write(raw)
+                yield pd.DataFrame(rows)
+
+    return df.mapInPandas(split_spill, SPILL_SCHEMA)
+
+
+def rechunk_spill_and_store(
+    df_spill: DataFrame,
+    target_store_path: str,
+) -> DataFrame:
+    """Combine+write for the spill shuffle: each group range-reads its
+    pieces from scratch (O(its bytes), raw dtype — zero parse), rebuilds
+    the sub-fragments, and assembles/writes exactly like
+    :func:`rechunk_and_store`. The corpus never rides the Spark shuffle
+    and never crosses Python↔JVM."""
+
+    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .storage import url_range_get
+
+        frags = []
+        for idx_json, meta_b, payload, url, off, length in zip(
+            pdf["index"],
+            pdf["meta"],
+            pdf["payload"],
+            pdf["url"],
+            pdf["offset"],
+            pdf["length"],
+        ):
+            meta = pickle.loads(meta_b)
+            buf = payload if not url else url_range_get(url, int(off), int(length))
+            frags.append((Index.from_json(idx_json), _unspill(meta, buf)))
+        index, ds = combine_fragments(None, frags)
+        store_dataset_fragment((index, ds), target_store_path)
+        nbytes = int(sum(v.data.nbytes for v in ds.variables.values()))
+        return pd.DataFrame(
+            {
+                "group_key": [pdf["group_key"].iloc[0]],
+                "index": [index.to_json()],
+                "n_vars": [len(ds.data_vars)],
+                "nbytes": [nbytes],
+            }
+        )
+
+    return df_spill.groupBy("group_key").applyInPandas(combine, STATUS_SCHEMA)
+
+
+def _cleanup_scratch(scratch_root: str) -> None:
+    """Remove the spill scratch prefix (local dir or object-store
+    prefix) — called by the driver once statuses are collected."""
+    from .storage import is_object_url
+
+    if is_object_url(scratch_root):
+        from .zarrio import _store_for
+
+        _store_for(scratch_root).rm_prefix("")
+        return
+    import shutil
+
+    shutil.rmtree(scratch_root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # StoreToZarr — the master composite (reference ``transforms.py:638-725``)
 # ---------------------------------------------------------------------------
 
@@ -880,12 +1069,15 @@ _CHUNK_LAZY_TYPES = frozenset({FileType.npz, FileType.zarr, FileType.kerchunk})
 
 def _auto_rechunk_shuffle(file_type: FileType, preprocess) -> str:
     """Default shuffle mode when the caller does not pick one: reference
-    for chunk-lazy formats without a preprocessor, payload otherwise (an
-    eager format would pay a second FULL decode per write task, and a
-    preprocessor would re-run per write task instead of once)."""
+    for chunk-lazy formats without a preprocessor (write tasks
+    range-read their pieces straight from the sources); SPILL otherwise
+    — an eager format decodes once and a preprocessor runs once, the
+    pieces land in scratch, and only metadata rides the shuffle. The
+    raw payload shuffle stays selectable (``rechunk_shuffle="payload"``)
+    for targets whose storage cannot host a transient scratch copy."""
     if preprocess is None and file_type in _CHUNK_LAZY_TYPES:
         return "reference"
-    return "payload"
+    return "spill"
 
 
 def store_to_zarr(
@@ -934,25 +1126,30 @@ def store_to_zarr(
     ``(group_key, file_index, url)`` rows and the write tasks re-open
     their source files directly (exchange volume drops from O(data) to
     O(#fragments); sources are read a second time, but only the needed
-    pieces for chunk-lazy formats). At 100 TB the reference mode is the
-    one that scales: the payload exchange writes+reads the entire
-    corpus through shuffle storage, while references keep the shuffle
-    in the megabytes regardless of data size. The default (``None``)
-    auto-picks: ``"reference"`` for chunk-lazy source formats with no
-    user preprocessor (the second read touches only the needed byte
-    ranges — measured 1.43× faster than payload on the 800 MB bench
-    fixture), ``"payload"`` for eager formats (a second full decode
-    would double source-read work) and whenever a preprocessor must
-    run (it would re-execute per write task in reference mode).
+    pieces for chunk-lazy formats). ``"spill"`` decodes each source
+    once, writes every spilled piece's raw bytes to a scratch object
+    next to the target, ships metadata rows, and write tasks
+    range-read exactly their pieces (one extra transient write+read of
+    the corpus on target-adjacent storage; scratch removed when the
+    run completes). At 100 TB payload mode is the one that does NOT
+    scale: it writes+reads the entire corpus through shuffle storage
+    AND crosses it Python↔JVM twice (measured: the transport is the
+    whole 2-3× tax; python-side pickling is <10% of it), while
+    reference/spill keep the exchange in the megabytes regardless of
+    data size. The default (``None``) auto-picks: ``"reference"`` for
+    chunk-lazy source formats with no user preprocessor (the second
+    read touches only the needed byte ranges), ``"spill"`` for eager
+    formats (decode once, no re-read of sources) and whenever a
+    preprocessor must run (it executes once, at split time).
     """
     if target_chunks and dynamic_chunking_fn:
         raise ValueError("Passing both `target_chunks` and `dynamic_chunking_fn` not allowed.")
     if rechunk_shuffle is None:
         rechunk_shuffle = _auto_rechunk_shuffle(pattern.file_type, preprocess)
-    if rechunk_shuffle not in ("payload", "reference"):
+    if rechunk_shuffle not in ("payload", "reference", "spill"):
         raise ValueError(
-            f"rechunk_shuffle must be 'payload' or 'reference', got "
-            f"{rechunk_shuffle!r}"
+            f"rechunk_shuffle must be 'payload', 'reference', or 'spill', "
+            f"got {rechunk_shuffle!r}"
         )
     if target_shards:
         for d, s in target_shards.items():
@@ -1055,6 +1252,18 @@ def store_to_zarr(
             preprocess=preprocess,
             xarray_open_kwargs=xarray_open_kwargs,
         )
+    elif shuffled and rechunk_shuffle == "spill":
+        scratch_root = store_path.rstrip("/") + ".spill"
+        spill = open_split_spill_df(
+            indexed,
+            scratch_root,
+            file_type,
+            target_chunks=write_chunks,
+            schema=schema,
+            preprocess=preprocess,
+            xarray_open_kwargs=xarray_open_kwargs,
+        )
+        statuses = rechunk_spill_and_store(spill, store_path)
     elif shuffled:
         split = open_split_fragments_df(
             indexed,
@@ -1078,6 +1287,9 @@ def store_to_zarr(
     agg = statuses.agg(
         F.count("*").alias("n"), F.coalesce(F.sum("nbytes"), F.lit(0)).alias("b")
     ).collect()[0]
+
+    if shuffled and rechunk_shuffle == "spill":
+        _cleanup_scratch(store_path.rstrip("/") + ".spill")
 
     if consolidate_coords:
         _consolidate_coords(store_path)

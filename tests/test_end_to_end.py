@@ -535,17 +535,18 @@ def test_reference_shuffle_with_preprocess_and_shards(spark, tmp_path):
 
 def test_auto_rechunk_shuffle_dispatch():
     """Default (rechunk_shuffle=None) auto-picks: reference for
-    chunk-lazy formats with no preprocessor, payload for eager formats
-    and whenever a preprocessor must run (r8: the reference exchange is
-    O(#fragments) and measured faster, so it is the chunk-lazy default)."""
+    chunk-lazy formats with no preprocessor, SPILL for eager formats
+    and whenever a preprocessor must run (r10: the payload exchange's
+    JVM<->Python transport is the measured tax; spill decodes once,
+    scratch-writes the pieces, and shuffles metadata only)."""
     from pangeo_forge_recipes_spark.patterns import FileType
     from pangeo_forge_recipes_spark.transforms import _auto_rechunk_shuffle
 
     for ft in (FileType.npz, FileType.zarr, FileType.kerchunk):
         assert _auto_rechunk_shuffle(ft, None) == "reference"
-        assert _auto_rechunk_shuffle(ft, lambda i, d: (i, d)) == "payload"
+        assert _auto_rechunk_shuffle(ft, lambda i, d: (i, d)) == "spill"
     for ft in (FileType.netcdf3, FileType.netcdf4, FileType.grib):
-        assert _auto_rechunk_shuffle(ft, None) == "payload"
+        assert _auto_rechunk_shuffle(ft, None) == "spill"
 
 
 def test_auto_default_takes_reference_path_for_npz(spark, tmp_path, monkeypatch):
@@ -577,18 +578,18 @@ def test_auto_default_takes_reference_path_for_npz(spark, tmp_path, monkeypatch)
     assert_equal(result.open(), ds)
 
 
-def test_auto_default_takes_payload_path_for_netcdf3(spark, tmp_path, monkeypatch):
-    """An EAGER format (netcdf3) with the default mode keeps the payload
-    shuffle — a second full decode per write task would double source
-    reads — and round-trips exactly."""
+def test_auto_default_takes_spill_path_for_netcdf3(spark, tmp_path, monkeypatch):
+    """An EAGER format (netcdf3) with the default mode takes the SPILL
+    shuffle — decode once, scratch the pieces, shuffle metadata only —
+    and round-trips exactly (scratch removed afterwards)."""
     import pangeo_forge_recipes_spark.transforms as T
     from pangeo_forge_recipes_spark.netcdf3 import write_netcdf3
 
     calls = []
-    real_refs, real_payload = T.open_split_refs_df, T.open_split_fragments_df
+    real_spill, real_payload = T.open_split_spill_df, T.open_split_fragments_df
     monkeypatch.setattr(
-        T, "open_split_refs_df",
-        lambda *a, **k: calls.append("refs") or real_refs(*a, **k),
+        T, "open_split_spill_df",
+        lambda *a, **k: calls.append("spill") or real_spill(*a, **k),
     )
     monkeypatch.setattr(
         T, "open_split_fragments_df",
@@ -607,7 +608,8 @@ def test_auto_default_takes_payload_path_for_netcdf3(spark, tmp_path, monkeypatc
         spark, pattern, str(tmp_path / "t"), "s.zarr",
         target_chunks={"time": 3},
     )
-    assert result.shuffled and calls == ["payload"]
+    assert result.shuffled and calls == ["spill"]
+    assert not (tmp_path / "t" / "s.zarr.spill").exists()
     assert_equal(result.open(), ds, check_attrs=False)
 
 
@@ -710,3 +712,75 @@ def test_kerchunk_multi_dim_single_axis_kernel_still_raises(tmp_path):
 
     with pytest.raises(NotImplementedError, match="one concat dim"):
         combine_references([{}, {}], ["a", "b"])
+
+
+def test_spill_shuffle_scratch_path(spark, tmp_path, monkeypatch):
+    """Force every piece through scratch (inline threshold 0): raw
+    bytes land in one scratch object per source, the exchange carries
+    metadata only, the store round-trips exactly, and scratch is
+    removed after the run."""
+    import pangeo_forge_recipes_spark.transforms as T
+
+    monkeypatch.setattr(T, "SPILL_INLINE_BYTES", 0)
+    seen = {}
+    real = T.rechunk_spill_and_store
+
+    def spy(df_spill, store_path):
+        # materialize the split rows once to inspect what the shuffle
+        # would carry (metadata rows; payload column empty)
+        rows = df_spill.collect()
+        seen["rows"] = rows
+        import pyspark.sql.functions as F
+
+        return real(
+            df_spill.sparkSession.createDataFrame(rows, df_spill.schema),
+            store_path,
+        )
+
+    monkeypatch.setattr(T, "rechunk_spill_and_store", spy)
+    ds = make_ds(nt=6)
+    paths = split_ds_into_files(ds, str(tmp_path), items_per_file=2)
+    pattern = pattern_from_file_sequence(
+        paths, "time", nitems_per_file=2, file_type="npz"
+    )
+    result = store_to_zarr(
+        spark, pattern, str(tmp_path / "t"), "sp.zarr",
+        target_chunks={"time": 3}, rechunk_shuffle="spill",
+    )
+    assert result.shuffled
+    assert_equal(result.open(), ds)
+    rows = seen["rows"]
+    assert rows and all(r["payload"] == b"" for r in rows)
+    assert all(r["url"].endswith(".raw") and r["length"] > 0 for r in rows)
+    # one scratch object per source file
+    assert len({r["url"] for r in rows}) == len(paths)
+    # scratch cleaned up after the driver collected statuses
+    assert not (tmp_path / "t" / "sp.zarr.spill").exists()
+
+
+def test_spill_shuffle_inline_small_pieces(spark, tmp_path):
+    """At the default 1 MiB threshold, KB-scale pieces ride the shuffle
+    inline — no scratch objects are ever written for a small dataset."""
+    import pangeo_forge_recipes_spark.transforms as T
+
+    ds = make_ds(nt=6)
+    paths = split_ds_into_files(ds, str(tmp_path), items_per_file=2)
+    pattern = pattern_from_file_sequence(
+        paths, "time", nitems_per_file=2, file_type="npz"
+    )
+    spill_df = T.open_split_spill_df(
+        T.index_items(
+            T.manifest_df(spark, pattern),
+            sch := T.determine_schema(
+                T.read_schemas_df(T.manifest_df(spark, pattern), "npz"),
+                pattern.combine_dim_keys,
+            ),
+        ),
+        str(tmp_path / "scratch"),
+        "npz",
+        target_chunks={"time": 3},
+        schema=sch,
+    )
+    rows = spill_df.collect()
+    assert rows and all(r["url"] == "" and len(r["payload"]) > 0 for r in rows)
+    assert not (tmp_path / "scratch").exists()  # nothing was spilled
