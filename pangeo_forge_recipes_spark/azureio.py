@@ -132,17 +132,23 @@ class AzureConfig:
             or env.get("AZURE_STORAGE_ACCOUNT_NAME")
             or env.get("AZURE_STORAGE_ACCOUNT")
         )
-        self.account_key = (
-            account_key
-            or parts.get("AccountKey")
-            or env.get("AZURE_STORAGE_ACCOUNT_KEY")
-            or env.get("AZURE_STORAGE_KEY")
-        )
-        self.sas_token = (
-            sas_token
-            or parts.get("SharedAccessSignature")
-            or env.get("AZURE_STORAGE_SAS_TOKEN")
-        )
+        # an explicitly-passed credential is COMPLETE: a caller who
+        # hands a SAS token must not silently inherit an account key
+        # from the environment (or vice versa) and end up signing with
+        # the wrong scheme
+        if account_key or sas_token:
+            self.account_key = account_key
+            self.sas_token = sas_token
+        else:
+            self.account_key = (
+                parts.get("AccountKey")
+                or env.get("AZURE_STORAGE_ACCOUNT_KEY")
+                or env.get("AZURE_STORAGE_KEY")
+            )
+            self.sas_token = (
+                parts.get("SharedAccessSignature")
+                or env.get("AZURE_STORAGE_SAS_TOKEN")
+            )
         self.endpoint_url = (
             endpoint_url
             or parts.get("BlobEndpoint")
