@@ -367,6 +367,24 @@ def open_with_kerchunk(
     emitted byte ranges are rewritten to point at the ORIGINAL url — so
     every later chunk read is a Range GET against the remote source
     (never the vanished temp): scan once, range-read forever."""
+    if str(url).endswith(".dmrpp"):
+        # a DMR++ sidecar IS the scan (NASA EOSDIS convention): parse
+        # the byte-range annotations, read ZERO bytes of the archive.
+        # Explicit kerchunk_open_kwargs["data_url"] re-points at a
+        # mirror; a sidecar without dmrpp:href falls back to the
+        # convention that it sits next to its data object
+        from .dap4io import scan_dmrpp
+        from .storage import open_binary
+
+        with open_binary(url) as f:
+            text = f.read().decode()
+        data_url = (kerchunk_open_kwargs or {}).get("data_url")
+        try:
+            return [scan_dmrpp(text, data_url=data_url)]
+        except ValueError:
+            if data_url is None:
+                return [scan_dmrpp(text, data_url=str(url)[: -len(".dmrpp")])]
+            raise
     file_type = _resolve_type(url, file_type)
     from .kerchunkio import scan_npz, scan_zarr
 

@@ -274,3 +274,35 @@ def test_scan_dmrpp_deflate_chunks(tmp_path):
     with pytest.raises(NotImplementedError, match="szip"):
         scan_dmrpp(doc.replace('compressionType="deflate"',
                                'compressionType="szip"'))
+
+
+def test_open_with_kerchunk_routes_dmrpp(tmp_path):
+    """A .dmrpp url scans through the kerchunk opener surface: explicit
+    data_url override, href-bearing docs, and the sits-next-to-its-data
+    fallback for href-less docs."""
+    from pangeo_forge_recipes_spark.kerchunkio import open_reference_dataset
+    from pangeo_forge_recipes_spark.openers import open_with_kerchunk
+
+    air = np.arange(24, dtype="<f8").reshape(8, 3)
+    time = np.arange(8, dtype="<i8")
+    blob = air[:4].tobytes() + air[4:].tobytes() + time.tobytes()
+    offs = {
+        "air": [(0, air[:4].nbytes), (air[:4].nbytes, air[4:].nbytes)],
+        "time": [(air.nbytes, time.nbytes)],
+    }
+    data_path = tmp_path / "d.h5"
+    data_path.write_bytes(blob)
+    doc = _dmrpp_doc(f"file://{data_path}", offs, deflate=False)
+    side = tmp_path / "d.h5.dmrpp"
+    side.write_text(doc)
+    refs = open_with_kerchunk(str(side))
+    back = open_reference_dataset(refs[0])
+    np.testing.assert_array_equal(back["air"].data, air)
+    # href-less sidecar: falls back to <url minus .dmrpp>
+    import re
+
+    side2 = tmp_path / "d.h5.dmrpp2"  # keep d.h5.dmrpp intact
+    doc_nohref = re.sub(r' dmrpp:href="[^"]*"', "", doc)
+    (tmp_path / "d.h5.dmrpp").write_text(doc_nohref)
+    refs2 = open_with_kerchunk(str(tmp_path / "d.h5.dmrpp"))
+    assert refs2[0]["refs"]["air/c/0/0"][0] == str(tmp_path / "d.h5")

@@ -535,18 +535,19 @@ def test_reference_shuffle_with_preprocess_and_shards(spark, tmp_path):
 
 def test_auto_rechunk_shuffle_dispatch():
     """Default (rechunk_shuffle=None) auto-picks: reference for
-    chunk-lazy formats with no preprocessor, SPILL for eager formats
-    and whenever a preprocessor must run (r10: the payload exchange's
-    JVM<->Python transport is the measured tax; spill decodes once,
-    scratch-writes the pieces, and shuffles metadata only)."""
+    chunk-lazy formats with no preprocessor, payload otherwise. Spill
+    is opt-in (r10: matched alternating A/B on local tmpfs reads
+    payload and spill within noise — the scratch round-trip cancels
+    the saved JVM<->Python transport locally; spill's case is cluster
+    shuffle-storage volume, not local wall-clock)."""
     from pangeo_forge_recipes_spark.patterns import FileType
     from pangeo_forge_recipes_spark.transforms import _auto_rechunk_shuffle
 
     for ft in (FileType.npz, FileType.zarr, FileType.kerchunk):
         assert _auto_rechunk_shuffle(ft, None) == "reference"
-        assert _auto_rechunk_shuffle(ft, lambda i, d: (i, d)) == "spill"
+        assert _auto_rechunk_shuffle(ft, lambda i, d: (i, d)) == "payload"
     for ft in (FileType.netcdf3, FileType.netcdf4, FileType.grib):
-        assert _auto_rechunk_shuffle(ft, None) == "spill"
+        assert _auto_rechunk_shuffle(ft, None) == "payload"
 
 
 def test_auto_default_takes_reference_path_for_npz(spark, tmp_path, monkeypatch):
@@ -578,10 +579,10 @@ def test_auto_default_takes_reference_path_for_npz(spark, tmp_path, monkeypatch)
     assert_equal(result.open(), ds)
 
 
-def test_auto_default_takes_spill_path_for_netcdf3(spark, tmp_path, monkeypatch):
-    """An EAGER format (netcdf3) with the default mode takes the SPILL
-    shuffle — decode once, scratch the pieces, shuffle metadata only —
-    and round-trips exactly (scratch removed afterwards)."""
+def test_auto_default_takes_payload_path_for_netcdf3(spark, tmp_path, monkeypatch):
+    """An EAGER format (netcdf3) with the default mode keeps the payload
+    shuffle (spill is opt-in; see test_auto_rechunk_shuffle_dispatch)
+    and round-trips exactly."""
     import pangeo_forge_recipes_spark.transforms as T
     from pangeo_forge_recipes_spark.netcdf3 import write_netcdf3
 
@@ -608,8 +609,7 @@ def test_auto_default_takes_spill_path_for_netcdf3(spark, tmp_path, monkeypatch)
         spark, pattern, str(tmp_path / "t"), "s.zarr",
         target_chunks={"time": 3},
     )
-    assert result.shuffled and calls == ["spill"]
-    assert not (tmp_path / "t" / "s.zarr.spill").exists()
+    assert result.shuffled and calls == ["payload"]
     assert_equal(result.open(), ds, check_attrs=False)
 
 
