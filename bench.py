@@ -337,16 +337,13 @@ def _bench_zarr_throughput(spark) -> dict:
                     "rechunk_shuffle": "reference",
                 },
             ),
-            # r10: the spill shuffle — decode once, pieces to scratch,
-            # metadata-only exchange, write tasks range-read their
-            # pieces (the eager-format answer to the payload tax)
-            (
-                "shuffled_spill",
-                {
-                    "target_chunks": {"time": 32},
-                    "rechunk_shuffle": "spill",
-                },
-            ),
+            # NOTE r10: a fourth "shuffled_spill" variant was tried and
+            # REMOVED from the timed rotation — its scratch round-trip
+            # doubled this section's wall (~250 s over the driver's
+            # capture budget) while matched alternating A/B reads spill
+            # within noise of payload locally (the mode stays available
+            # + unit-tested; its case is cluster shuffle-storage volume,
+            # not local wall-clock — see SURVEY §8 r10 notes)
         )
         variant_kwargs = dict(variants)
         walls = {label: [] for label, _ in variants}
@@ -403,9 +400,6 @@ def _bench_zarr_throughput(spark) -> dict:
         out["round_tax_ratios"] = round_tax
         out["shuffled_over_aligned_tax"] = round(
             min(walls["shuffled"]) / min(walls["aligned"]), 2
-        )
-        out["spill_over_aligned_tax"] = round(
-            min(walls["shuffled_spill"]) / min(walls["aligned"]), 2
         )
         out["medium"] = "tmpfs" if use_shm else "disk"
 
