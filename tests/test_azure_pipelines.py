@@ -209,3 +209,65 @@ def test_abfs_full_form_url(az):
     store.put("k.bin", b"xyz")
     assert store.get("k.bin") == b"xyz"
     assert ("full", "pre/k.bin") in az.objects
+
+
+def test_verify_zarr_on_azure(spark, tmp_path, az):
+    """The distributed integrity scrub against an az:// store url."""
+    from pangeo_forge_recipes_spark.dsio import verify_zarr
+
+    ds = make_ds(nt=4)
+    paths = split_ds_into_files(ds, str(tmp_path), items_per_file=2)
+    pattern = pattern_from_file_sequence(
+        paths, "time", nitems_per_file=2, file_type="npz"
+    )
+    result = store_to_zarr(
+        spark, pattern, "az://verifycont/t", "v.zarr",
+        target_chunks={"time": 2},
+    )
+    report = verify_zarr(spark, result.path).collect()
+    assert report and all(r["ok"] for r in report)
+    assert any(r["exists"] for r in report)
+
+
+def test_store_to_pyramid_on_azure(spark, tmp_path, az):
+    """Multiscale pyramid entirely on Azure Blob: level 0 through the
+    pipeline, level 1 a distributed coarsen of the level-0 blobs."""
+    import numpy as np
+
+    from pangeo_forge_recipes_spark.pyramid import store_to_pyramid
+
+    from pangeo_forge_recipes_spark.ndset import NDDataset, Variable
+    from pangeo_forge_recipes_spark.dsio import write_npz
+
+    nt, nlat, nlon = 2, 4, 6
+    foo = (
+        1000.0 * np.arange(nt)[:, None, None]
+        + 10 * np.arange(nlat)[None, :, None]
+        + np.arange(nlon)[None, None, :]
+    )
+    ds = NDDataset(
+        {"foo": Variable(("time", "lat", "lon"), foo)},
+        {
+            "time": Variable(("time",), np.arange(nt, dtype="int64")),
+            "lat": Variable(("lat",), np.arange(nlat, dtype="float64")),
+            "lon": Variable(("lon",), np.arange(nlon, dtype="float64")),
+        },
+    )
+    p = str(tmp_path / "pyr_src.npz")
+    write_npz(p, ds)
+    pattern = pattern_from_file_sequence(
+        [p], "time", nitems_per_file=nt, file_type="npz"
+    )
+    result = store_to_pyramid(
+        spark, pattern, "az://pyrcont/t", "p.zarr", levels=2,
+        target_chunks={"time": 2, "lat": 2, "lon": 2},
+    )
+    l1 = result.open(1)
+    want = (
+        1000.0 * np.arange(nt)[:, None, None]
+        + 10 * (2 * np.arange(2) + 0.5)[None, :, None]
+        + (2 * np.arange(3) + 0.5)[None, None, :]
+    )
+    np.testing.assert_allclose(l1["foo"].data, want)
+    keys = {k for (c, k) in az.objects if c == "pyrcont"}
+    assert "t/p.zarr/zarr.json" in keys  # multiscales root doc on azure
