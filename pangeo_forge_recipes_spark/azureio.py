@@ -52,6 +52,7 @@ __all__ = [
     "AzureError",
     "AzureStore",
     "configure_spark_azure",
+    "generate_service_sas",
     "is_azure_url",
     "parse_azure_url",
 ]
@@ -521,3 +522,75 @@ class AzureStore(S3Store):
         if self._client is None:
             self._client = AzureClient(**(self._client_kwargs or {}))
         return self._client
+
+
+# ===========================================================================
+# service SAS generation — shareable scoped tokens (the Azure analog of
+# an S3 presigned url)
+# ===========================================================================
+
+
+def generate_service_sas(
+    container: str,
+    blob: Optional[str] = None,
+    permissions: str = "r",
+    expiry: str = "",
+    start: str = "",
+    account_name: Optional[str] = None,
+    account_key: Optional[str] = None,
+    version: str = _API_VERSION,
+) -> str:
+    """Build a **service SAS** query string for one container or blob
+    (public spec: the sv=2020-12-06+ string-to-sign — permissions,
+    validity window, ``/blob/{account}/{container}[/{blob}]``
+    canonicalized resource, and the response-header override slots,
+    HMAC-SHA256 with the base64 account key). ``expiry``/``start`` are
+    UTC ISO-8601 strings (``2026-01-01T00:00:00Z``). Returns
+    ``sp=...&se=...&sv=...&sr=...&sig=...`` ready to append to a blob
+    url or pass as ``sas_token=``; credentials default to the standard
+    environment resolution."""
+    cfg = AzureConfig(account_name=account_name, account_key=account_key)
+    if not cfg.account_key:
+        raise ValueError("SAS generation needs the account key")
+    if not expiry:
+        raise ValueError("SAS needs an expiry (ISO-8601 UTC)")
+    resource = "b" if blob else "c"
+    canonical = f"/blob/{cfg.account_name}/{container}"
+    if blob:
+        canonical += f"/{blob}"
+    sts = "\n".join(
+        [
+            permissions,
+            start,
+            expiry,
+            canonical,
+            "",  # signedIdentifier (stored access policy)
+            "",  # signedIP
+            "https,http",  # signedProtocol
+            version,
+            resource,
+            "",  # signedSnapshotTime
+            "",  # signedEncryptionScope
+            "",  # rscc (Cache-Control override)
+            "",  # rscd (Content-Disposition)
+            "",  # rsce (Content-Encoding)
+            "",  # rscl (Content-Language)
+            "",  # rsct (Content-Type)
+        ]
+    )
+    sig = base64.b64encode(
+        hmac.new(
+            base64.b64decode(cfg.account_key), sts.encode("utf-8"), hashlib.sha256
+        ).digest()
+    ).decode()
+    params = [("sp", permissions)]
+    if start:
+        params.append(("st", start))
+    params.append(("se", expiry))
+    params += [
+        ("spr", "https,http"),
+        ("sv", version),
+        ("sr", resource),
+        ("sig", sig),
+    ]
+    return "&".join(f"{k}={quote(v, safe='')}" for k, v in params)

@@ -79,11 +79,70 @@ class FakeAzure:
                 query = dict(parse_qsl(parsed.query, keep_blank_values=True))
                 return account, container, key, query, parsed
 
+            def _check_sas(self, account, container, key, query) -> bool:
+                """Verify a service SAS by recomputing its signature
+                (the sv=2020-12-06+ string-to-sign) and enforcing the
+                sp permission letters per method."""
+                import base64 as _b64
+                import hashlib as _hashlib
+                import hmac as _hmac
+
+                sr = query.get("sr", "b")
+                canonical = f"/blob/{ACCOUNT}/{container}"
+                if sr == "b" and key:
+                    canonical += f"/{key}"
+                sts = "\n".join(
+                    [
+                        query.get("sp", ""),
+                        query.get("st", ""),
+                        query.get("se", ""),
+                        canonical,
+                        "",
+                        "",
+                        query.get("spr", ""),
+                        query.get("sv", ""),
+                        sr,
+                        "",
+                        "",
+                        "",
+                        "",
+                        "",
+                        "",
+                        "",
+                    ]
+                )
+                want = _b64.b64encode(
+                    _hmac.new(
+                        _b64.b64decode(ACCOUNT_KEY),
+                        sts.encode(),
+                        _hashlib.sha256,
+                    ).digest()
+                ).decode()
+                if query.get("sig") != want:
+                    self._err(403, "AuthenticationFailed", "bad SAS signature")
+                    return False
+                perms = query.get("sp", "")
+                need = {
+                    "GET": "rl" if query.get("comp") == "list" else "r",
+                    "HEAD": "r",
+                    "PUT": "wc",
+                    "DELETE": "d",
+                }[self.command]
+                if not any(p in perms for p in need):
+                    self._err(
+                        403, "AuthorizationPermissionMismatch", need
+                    )
+                    return False
+                return True
+
             def _check_sig(self, account, query, parsed) -> bool:
                 if not verify:
                     return True
                 auth = self.headers.get("Authorization", "")
                 if not auth.startswith("SharedKey "):
+                    if "sig" in query:  # SAS auth rides the query string
+                        _, container, key, _, _ = self._parse()
+                        return self._check_sas(account, container, key, query)
                     self._err(403, "AuthenticationFailed", "no SharedKey auth")
                     return False
                 acct, _, got = auth[len("SharedKey ") :].partition(":")

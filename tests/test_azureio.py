@@ -203,21 +203,46 @@ def test_config_resolution(monkeypatch, az):
     assert cl.get_object("envcont", "k") == b"v"
 
 
-def test_sas_token_auth(az):
-    """SAS tokens ride the query string; the fake server accepts them
-    without an Authorization header when signature checks are off."""
-    srv = FakeAzure(verify_signatures=False)
-    try:
-        cl = AzureClient(
-            account_name=ACCOUNT,
-            sas_token="sv=2021-08-06&sig=fakesig&sp=rwl",
-            endpoint_url=srv.endpoint,
-        )
-        cl.put_object("sascont", "k.bin", b"sas")
-        assert cl.get_object("sascont", "k.bin") == b"sas"
-        puts = [
-            q for m, c, k, q in srv.requests if m == "PUT" and c == "sascont"
-        ]
-        assert puts and puts[0].get("sig") == "fakesig"
-    finally:
-        srv.stop()
+def test_sas_token_auth_verified(az):
+    """A service SAS generated by the engine authenticates against the
+    VERIFYING fake server (signature recomputed server-side from the
+    public string-to-sign), and the sp permission letters are
+    enforced per method."""
+    from pangeo_forge_recipes_spark.azureio import generate_service_sas
+
+    sas_rw = generate_service_sas(
+        "sascont",
+        permissions="rwl",
+        expiry="2036-01-01T00:00:00Z",
+        account_name=ACCOUNT,
+        account_key=ACCOUNT_KEY,
+    )
+    cl = AzureClient(
+        account_name=ACCOUNT, sas_token=sas_rw, endpoint_url=az.endpoint
+    )
+    cl.put_object("sascont", "k.bin", b"sas")
+    assert cl.get_object("sascont", "k.bin") == b"sas"
+    assert dict(cl.list_objects("sascont", "")) == {"k.bin": 3}
+    # read-only SAS: GET works, PUT rejected with a permission error
+    sas_r = generate_service_sas(
+        "sascont",
+        permissions="r",
+        expiry="2036-01-01T00:00:00Z",
+        account_name=ACCOUNT,
+        account_key=ACCOUNT_KEY,
+    )
+    ro = AzureClient(
+        account_name=ACCOUNT, sas_token=sas_r, endpoint_url=az.endpoint
+    )
+    assert ro.get_object("sascont", "k.bin") == b"sas"
+    with pytest.raises(AzureError) as ei:
+        ro.put_object("sascont", "x.bin", b"1")
+    assert ei.value.status == 403
+    # a tampered signature is rejected outright
+    bad = AzureClient(
+        account_name=ACCOUNT,
+        sas_token=sas_r.replace("sig=", "sig=AAAA"),
+        endpoint_url=az.endpoint,
+    )
+    with pytest.raises(AzureError):
+        bad.get_object("sascont", "k.bin")
