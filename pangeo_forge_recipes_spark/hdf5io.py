@@ -20,12 +20,14 @@ files):
   references (for DIMENSION_LIST resolution)
 * layouts: contiguous and chunked (chunk B-tree v1, any depth)
 * filters: deflate (zlib — decodes with the engine's gzip codec),
-  shuffle (byte transpose), lzf (pure-python decode of h5py's filter
-  32000), szip (pure-python CCSDS 121 extended-Rice decode, module
-  :mod:`.szip`), bzip2 (hdf5plugin's registered filter 307 — stdlib
-  ``bz2``), lz4 (registered filter 32004, public block framing over
-  LZ4 blocks) and zstd (registered filter 32015, one plain zstd
-  frame); others raise a clear error
+  shuffle (byte transpose), fletcher32 (filter 3 — trailing checksum
+  verified on every read, mismatches raise instead of returning
+  garbage), lzf (pure-python decode of h5py's filter 32000), szip
+  (pure-python CCSDS 121 extended-Rice decode, module :mod:`.szip`),
+  bzip2 (hdf5plugin's registered filter 307 — stdlib ``bz2``), lz4
+  (registered filter 32004, public block framing over LZ4 blocks) and
+  zstd (registered filter 32015, one plain zstd frame); others raise
+  a clear error
 * dimension naming: ``_ARRAY_DIMENSIONS`` (xarray/kerchunk convention),
   netCDF4 ``DIMENSION_LIST`` object references, or dimension-scale
   ``NAME``/``CLASS`` attributes; falls back to ``phony_dim_<i>``
@@ -564,8 +566,40 @@ def _dims_for(name: str, info: dict, reader: _Reader) -> List[str]:
     return [f"phony_dim_{i}" for i in range(len(info["shape"]))]
 
 
-_DEFLATE, _SHUFFLE, _SZIP = 1, 2, 4
+_DEFLATE, _SHUFFLE, _FLETCHER32, _SZIP = 1, 2, 3, 4
 _LZF = 32000  # h5py's registered LZF filter id
+
+
+def hdf5_fletcher32(data: bytes) -> int:
+    """HDF5's Fletcher-32 (the library's ``H5_checksum_fletcher32``,
+    public source): big-endian 16-bit words, running (sum1, sum2) with
+    periodic 360-word reduction folds, odd trailing byte high-aligned.
+    Folding preserves congruence mod 65535 with the 0x0000-vs-0xFFFF
+    representative resolved toward 0xFFFF for nonzero sums — computed
+    here in closed form (numpy dot for sum2) instead of the word loop."""
+    n2 = len(data) // 2
+    s1_raw = s2_raw = 0
+    if n2:
+        words = np.frombuffer(data[: 2 * n2], dtype=">u2").astype(np.uint64)
+        # blockwise so the weighted dot stays inside uint64 for any
+        # chunk size: after a block of m words, sum2 grows by
+        # m*sum1_before + sum_j (m-j)*w_j
+        step = 1 << 20
+        for off in range(0, n2, step):
+            block = words[off : off + step]
+            m = len(block)
+            s2_raw += m * s1_raw + int(
+                (block * np.arange(m, 0, -1, dtype=np.uint64)).sum()
+            )
+            s1_raw += int(block.sum())
+    if len(data) % 2:
+        last = data[-1] << 8
+        s1_raw += last
+        s2_raw += s1_raw
+    def fold(x: int) -> int:
+        r = x % 65535
+        return 65535 if (r == 0 and x != 0) else r
+    return (fold(s2_raw) << 16) | fold(s1_raw)
 _BZIP2 = 307  # hdf5plugin's registered bzip2 filter id (stdlib bz2 stream)
 _LZ4 = 32004  # registered HDF5 LZ4 filter (nexusformat/hdf5plugin)
 _ZSTD = 32015  # registered HDF5 Zstandard filter (one plain zstd frame)
@@ -855,15 +889,27 @@ def scan_hdf5(path: str, inline_threshold: int = 300) -> dict:
                 fid
                 for fid, _ in filters
                 if fid not in (
-                    _DEFLATE, _SHUFFLE, _LZF, _SZIP, _BZIP2, _LZ4, _ZSTD,
-                    _BLOSC, _BITSHUFFLE,
+                    _DEFLATE, _SHUFFLE, _FLETCHER32, _SZIP, _LZF, _BZIP2,
+                    _LZ4, _ZSTD, _BLOSC, _BITSHUFFLE,
                 )
             ]
             if unsupported:
                 raise NotImplementedError(
                     f"{path}:{name}: HDF5 filters {unsupported} unsupported "
-                    "(only deflate, shuffle, szip, bzip2, lzf, lz4, zstd, "
-                    "blosc, bitshuffle)"
+                    "(only deflate, shuffle, fletcher32, szip, bzip2, lzf, "
+                    "lz4, zstd, blosc, bitshuffle)"
+                )
+            if any(fid == _FLETCHER32 for fid, _ in filters) and (
+                filters[-1][0] != _FLETCHER32
+                or sum(1 for fid, _ in filters if fid == _FLETCHER32) > 1
+            ):
+                # h5py/netCDF4 always append the checksum filter last, so
+                # the stored bytes are checksum-wrapped COMPRESSED data;
+                # any other placement would need the intermediate stream
+                # re-checksummed mid-chain
+                raise NotImplementedError(
+                    f"{path}:{name}: fletcher32 not the last pipeline "
+                    "filter — unsupported placement"
                 )
             if info.get("layout") == "chunked":
                 chunk_shape = info["chunk"]
@@ -889,6 +935,8 @@ def scan_hdf5(path: str, inline_threshold: int = 300) -> dict:
                     )
                 elif fid == _DEFLATE:
                     extra.append({"name": "gzip", "configuration": {"level": 1}})
+                elif fid == _FLETCHER32:
+                    extra.append({"name": "hdf5-fletcher32"})
                 elif fid == _LZF:
                     extra.append({"name": "hdf5-lzf"})
                 elif fid == _BZIP2:
@@ -1134,6 +1182,7 @@ def write_hdf5(
     chunks: Optional[Dict[str, int]] = None,
     compress=False,
     shuffle: bool = False,
+    fletcher32: bool = False,
 ) -> None:
     """Write an NDDataset as a flat HDF5 file (superblock v0, v1 object
     headers, symbol-table root group, ``_ARRAY_DIMENSIONS`` attributes —
@@ -1286,6 +1335,10 @@ def write_hdf5(
                     raw = hdf5_bitshuffle_compress(raw, dt.itemsize)
                 elif eff_compress:
                     raw = zlib.compress(raw, 4)
+                if fletcher32:
+                    # the checksum filter is LAST in the pipeline, so it
+                    # wraps the compressed stream (the h5py convention)
+                    raw += struct.pack("<I", hdf5_fletcher32(raw))
                 caddr = alloc(raw)
                 chunk_entries.append((origin, caddr, len(raw)))
             # single level-0 chunk B-tree node
@@ -1309,7 +1362,7 @@ def write_hdf5(
                 layout += struct.pack("<I", c)
             layout += struct.pack("<I", dt.itemsize)
             msgs.append(_message(0x0008, layout))
-            if eff_compress or shuffle:
+            if eff_compress or shuffle or fletcher32:
                 entries = []
                 if shuffle:
                     fname = b"shuffle\x00"
@@ -1402,6 +1455,9 @@ def write_hdf5(
                         + struct.pack("<I", 4)
                         + struct.pack("<I", 0)
                     )
+                if fletcher32:
+                    # predefined filter id 3: no name, no client values
+                    entries.append(struct.pack("<HHHH", _FLETCHER32, 0, 1, 0))
                 pipeline = struct.pack("<BB", 1, len(entries)) + b"\x00" * 6
                 pipeline += b"".join(entries)
                 msgs.append(_message(0x000B, pipeline))

@@ -22,6 +22,7 @@ import itertools
 import json
 import math
 import os
+import struct
 import zlib
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
@@ -186,6 +187,25 @@ class MemoryStore(Store):
 
     def size(self, key: str) -> int:
         return len(self._data[key])
+
+
+def _fletcher32_verify_strip(buf: bytes) -> bytes:
+    """Drop an HDF5 fletcher32 trailer after verifying it (the filter
+    appends the 4-byte little-endian checksum of the stored stream —
+    verification failure is loud, never silent corruption)."""
+    from .hdf5io import hdf5_fletcher32
+
+    if len(buf) < 4:
+        raise ValueError("fletcher32-filtered chunk shorter than its trailer")
+    payload, (want,) = buf[:-4], struct.unpack("<I", buf[-4:])
+    got = hdf5_fletcher32(payload)
+    if got != want:
+        raise ValueError(
+            f"fletcher32 checksum mismatch: stored {want:#010x}, "
+            f"computed {got:#010x} — corrupt chunk (or a filter-order "
+            "variant this engine does not recognize)"
+        )
+    return payload
 
 
 def _store_for(path_or_store) -> Store:
@@ -381,6 +401,10 @@ class ZarrArray:
             if c["name"] in ("blosc", "zstd", "lz4", "snappy", "gzip-frame"):
                 return c["name"], c.get("configuration", {})
         return None
+
+    @property
+    def _has_fletcher32(self) -> bool:
+        return any(c["name"] == "hdf5-fletcher32" for c in self.meta["codecs"])
 
     @property
     def _shuffle_elementsize(self) -> int:
@@ -615,6 +639,10 @@ class ZarrArray:
             elif name == "gzip-frame":
                 co = zlib.compressobj(1, zlib.DEFLATED, 31)
                 buf = co.compress(buf) + co.flush()
+        if self._has_fletcher32:
+            from .hdf5io import hdf5_fletcher32
+
+            buf += struct.pack("<I", hdf5_fletcher32(buf))
         return buf
 
     def _read_shard_selected(
@@ -680,6 +708,10 @@ class ZarrArray:
 
             arr = decode_grib2_message(buf).astype(self.dtype, copy=False).ravel()
             return self._pad_reshape(arr)
+        if self._has_fletcher32:
+            # fletcher32 is the LAST pipeline filter (scan gates other
+            # placements): verify + strip the trailing checksum FIRST
+            buf = _fletcher32_verify_strip(buf)
         # HDF5 compression filters decode in REVERSE of the file's
         # recorded pipeline (application) order — the order-insensitive
         # membership checks this replaces would decode stacked filters

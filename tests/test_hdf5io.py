@@ -500,3 +500,75 @@ def test_hdf5_bitshuffle_round_trip_and_write_through(tmp_path):
         f.write(bytes(raw))
     with pytest.raises(NotImplementedError, match="compression code 9"):
         scan_hdf5(p2)
+
+
+def _fletcher32_reference(data: bytes) -> int:
+    """Literal transcription of the public HDF5 H5_checksum_fletcher32
+    word loop (360-word reduction blocks) — the oracle for the
+    vectorized implementation."""
+    length = len(data) // 2
+    sum1 = sum2 = 0
+    pos = 0
+    while length:
+        tlen = min(length, 360)
+        length -= tlen
+        for _ in range(tlen):
+            sum1 += (data[pos] << 8) | data[pos + 1]
+            pos += 2
+            sum2 += sum1
+        sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+        sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    if len(data) % 2:
+        sum1 += data[-1] << 8
+        sum2 += sum1
+    for _ in range(2):
+        sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+        sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    return (sum2 << 16) | sum1
+
+
+def test_fletcher32_matches_reference_loop():
+    from pangeo_forge_recipes_spark.hdf5io import hdf5_fletcher32
+
+    rng = np.random.RandomState(3)
+    for n in list(range(0, 40)) + [359, 360, 361, 719, 720, 721, 1441, 5000]:
+        for blob in (
+            bytes(rng.randint(0, 256, n, dtype=np.uint8)),
+            b"\x00" * n,
+            b"\xff" * n,
+        ):
+            assert hdf5_fletcher32(blob) == _fletcher32_reference(blob), n
+    # a value whose sums hit the 65535 representative edge
+    assert hdf5_fletcher32(b"\xff\xff") == _fletcher32_reference(b"\xff\xff")
+
+
+def test_fletcher32_filter_roundtrip_and_corruption(tmp_path):
+    """fletcher32-filtered files (alone and stacked under
+    shuffle+deflate) scan, read, and FAIL LOUDLY on a flipped byte."""
+    ds = make_ds(nt=4)
+    for compress, shuffle in ((False, False), ("deflate", True)):
+        p = str(tmp_path / f"f_{compress}_{shuffle}.h5")
+        write_hdf5(
+            p, ds, chunks={"time": 2}, compress=compress,
+            shuffle=shuffle, fletcher32=True,
+        )
+        assert_equal(read_hdf5(p), ds)
+        refs = scan_hdf5(p)
+        meta = __import__("json").loads(refs["foo/zarr.json"])
+        assert meta["codecs"][-1]["name"] == "hdf5-fletcher32"
+        assert_equal(open_reference_dataset(refs), ds)
+    # corrupt one byte of a referenced chunk: the read must raise the
+    # checksum error, never return garbage
+    p = str(tmp_path / "f_deflate_True.h5")
+    refs = scan_hdf5(p)
+    url, off, length = next(
+        v for k, v in refs.items()
+        if isinstance(v, list) and k.startswith("foo/c/")
+    )
+    blob = bytearray(open(p, "rb").read())
+    blob[off + 2] ^= 0xFF
+    p2 = str(tmp_path / "corrupt.h5")
+    open(p2, "wb").write(bytes(blob))
+    refs2 = scan_hdf5(p2)
+    with pytest.raises(ValueError, match="fletcher32 checksum mismatch"):
+        open_reference_dataset(refs2)["foo"].data
