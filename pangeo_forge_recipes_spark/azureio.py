@@ -96,17 +96,22 @@ def _parse_connection_string(cs: str) -> dict:
     return out
 
 
-class AzureError(Exception):
-    """One failed Blob REST call (status + Azure error code)."""
+class AzureError(OSError):
+    """One failed Blob REST call (status + Azure error code). Subclasses
+    OSError like :class:`~.s3io.S3Error` — callers hardened with
+    ``except OSError`` treat both backends identically."""
 
     def __init__(self, status: int, code: str, message: str, key: str = ""):
+        super().__init__(f"Azure {status} {code}: {message} ({key})")
         self.status = status
         self.code = code
         self.message = message
         self.key = key
-        super().__init__(f"Azure {status} {code}: {message} ({key})")
 
     def __reduce__(self):
+        # OSError's default reduce replays (errno, strerror) — wrong
+        # shape for this subclass; tasks re-raising across the Spark
+        # boundary need a faithful pickle
         return (AzureError, (self.status, self.code, self.message, self.key))
 
 

@@ -43,7 +43,6 @@ first pass of the pipeline never transfers array payloads.
 
 from __future__ import annotations
 
-import re
 import struct
 import threading
 import urllib.parse
@@ -262,44 +261,23 @@ def _fetch(url: str, timeout: float = 60.0) -> bytes:
         return resp.read()
 
 
-_SLAB_RE = re.compile(r"\[([0-9:]+)\]")
-
-
-def _hyperslab_shape(expr: str, full_dims: List[Tuple[Optional[str], int]]):
-    """Constrained per-dim sizes for a DAP4 projection expression
-    (``[start:stride:stop]``, stop inclusive; bare ``[i]`` is one
-    element)."""
-    slabs = _SLAB_RE.findall(expr)
-    if not slabs:
-        return [s for _, s in full_dims]
-    sizes = []
-    for (dname, full), slab in zip(full_dims, slabs):
-        parts = slab.split(":")
-        if len(parts) == 1:
-            sizes.append(1)
-        elif len(parts) == 2:
-            start, stop = int(parts[0]), int(parts[1])
-            sizes.append(stop - start + 1)
-        else:
-            start, stride, stop = (int(p) for p in parts)
-            sizes.append((stop - start) // stride + 1)
-    return sizes
-
-
 def read_dap4(
     url: str,
     projection: Optional[List[str]] = None,
     timeout: float = 60.0,
     isel: Optional[Dict[str, slice]] = None,
     checksums: bool = False,
+    dmr_text: Optional[str] = None,
 ) -> NDDataset:
     """Open a DAP4 endpoint as an :class:`NDDataset` (one ``.dmr`` + one
     ``.dap`` request). ``projection`` restricts the transfer to the
     named variables (with optional explicit hyperslabs); ``isel`` builds
     hyperslabs from dim slices for every projected variable — the same
     server-side pruning surface :func:`~.dap2io.read_dap2` offers.
-    ``checksums=True`` requests and VERIFIES per-variable CRC-32."""
-    dmr = parse_dmr(_fetch(url + ".dmr", timeout).decode())
+    ``checksums=True`` requests and VERIFIES per-variable CRC-32.
+    ``dmr_text`` skips the metadata request when the caller already
+    holds the document (the negotiation probe hands it through)."""
+    dmr = parse_dmr(dmr_text or _fetch(url + ".dmr", timeout).decode())
     by_name = {v["name"]: v for v in dmr["vars"]}
     if isel:
         base = projection if projection else list(by_name)
@@ -382,10 +360,12 @@ def read_dap4(
     return NDDataset(data_vars, coords, dict(wire["attrs"]), dims)
 
 
-def dap4_schema(url: str, timeout: float = 60.0) -> dict:
+def dap4_schema(
+    url: str, timeout: float = 60.0, dmr_text: Optional[str] = None
+) -> dict:
     """Metadata-only schema from ``.dmr`` — no array payload transfers
     (the DAP4 twin of :func:`~.dap2io.dap2_schema`)."""
-    dmr = parse_dmr(_fetch(url + ".dmr", timeout).decode())
+    dmr = parse_dmr(dmr_text or _fetch(url + ".dmr", timeout).decode())
     schema = {
         "dims": {},
         "coords": {},
@@ -428,7 +408,6 @@ def dap4_schema(url: str, timeout: float = 60.0) -> dict:
 def scan_dmrpp(
     text: str,
     data_url: Optional[str] = None,
-    inline_threshold: int = 0,
 ) -> dict:
     """Turn a DMR++ sidecar document into the engine's virtual-Zarr
     reference dict — the NASA EOSDIS convention (a ``.dmrpp`` published
@@ -436,10 +415,13 @@ def scan_dmrpp(
     range, so a store scan reads ZERO bytes of the source). ``data_url``
     overrides the document's ``dmrpp:href`` (e.g. to re-point at a
     mirror). Deflate/shuffle filter chains map onto the zarr codec
-    chain the HDF5 scanner emits; other filters raise a named gate."""
+    chain the HDF5 scanner emits (fletcher32 trailers verify-and-strip
+    on read); other filters raise a named gate. Nothing is inlined —
+    inlining would require reading the source, defeating the
+    zero-read scan."""
     import json
 
-    from .kerchunkio import ZARR_JSON, _array_meta, _inline
+    from .kerchunkio import ZARR_JSON, _array_meta
 
     root = ET.fromstring(text)
     href = data_url or root.get(f"{{{_DMRPP_NS}}}href") or root.get("href")
@@ -486,10 +468,14 @@ def scan_dmrpp(
                 )
             elif f == "deflate":
                 codecs.append({"name": "gzip", "configuration": {"level": 1}})
+            elif f == "fletcher32":
+                # position in the chain mirrors the document's pipeline
+                # order; the store verifies+strips at the right layer
+                codecs.append({"name": "hdf5-fletcher32"})
             else:
                 raise NotImplementedError(
                     f"{v['name']}: DMR++ compressionType {f!r} unsupported "
-                    "(shuffle/deflate only)"
+                    "(shuffle/deflate/fletcher32 only)"
                 )
         meta["codecs"] = codecs
         refs[f"{v['name']}/{ZARR_JSON}"] = json.dumps(meta)
@@ -692,20 +678,37 @@ def serve_ndsets_dap4(datasets: Dict[str, NDDataset]) -> Dap4Server:
 _PROTOCOL_CACHE: Dict[str, str] = {}
 
 
-def negotiate_dap_protocol(url: str, timeout: float = 30.0) -> str:
-    """One ``GET <url>.dmr`` probe: servers that answer are DAP4; an
-    HTTP error (404/400 from DAP2-only THREDDS/Hyrax) means DAP2.
-    Connection failures propagate — a down server is not "DAP2"."""
-    cached = _PROTOCOL_CACHE.get(url)
-    if cached:
-        return cached
+def _probe_dap4(url: str, timeout: float) -> Tuple[str, Optional[str]]:
+    """One ``GET <url>.dmr`` probe → ``(protocol, dmr_text_or_None)``.
+    Only definitive 4xx answers (404/400/... from DAP2-only
+    THREDDS/Hyrax) mean DAP2; transient statuses (408/429/5xx) and
+    connection failures PROPAGATE — a briefly-unavailable DAP4 server
+    must not get pinned to the wrong protocol for the process lifetime.
+    A 200 whose body is not a parseable DMR (a proxy answering html for
+    unknown suffixes) also means DAP2. The fetched DMR rides back so
+    the caller's metadata read does not re-request it."""
     import urllib.error
 
     try:
-        _fetch(url + ".dmr", timeout)
-        proto = "dap4"
-    except urllib.error.HTTPError:
-        proto = "dap2"
+        text = _fetch(url + ".dmr", timeout).decode(errors="replace")
+    except urllib.error.HTTPError as e:
+        if 400 <= e.code < 500 and e.code not in (408, 429):
+            return "dap2", None
+        raise
+    try:
+        parse_dmr(text)
+    except Exception:
+        return "dap2", None
+    return "dap4", text
+
+
+def negotiate_dap_protocol(url: str, timeout: float = 30.0) -> str:
+    """Cached protocol for a url (one probe per process; see
+    :func:`_probe_dap4` for the decision rules)."""
+    cached = _PROTOCOL_CACHE.get(url)
+    if cached:
+        return cached
+    proto, _ = _probe_dap4(url, timeout)
     _PROTOCOL_CACHE[url] = proto
     return proto
 
@@ -721,11 +724,20 @@ def open_dap(
     """Protocol-negotiating OPeNDAP open — the single entry point the
     ``FileType.opendap`` row routes through (the reference gets this
     from the netCDF4-C DAP client, reference ``openers.py:40-47``)."""
+    dmr_text = None
     if protocol == "auto":
-        protocol = negotiate_dap_protocol(url, min(timeout, 30.0))
+        protocol = _PROTOCOL_CACHE.get(url)
+        if protocol is None:
+            protocol, dmr_text = _probe_dap4(url, min(timeout, 30.0))
+            _PROTOCOL_CACHE[url] = protocol
     if protocol == "dap4":
         return read_dap4(
-            url, projection, timeout, isel=isel, checksums=checksums
+            url,
+            projection,
+            timeout,
+            isel=isel,
+            checksums=checksums,
+            dmr_text=dmr_text,
         )
     if protocol == "dap2":
         from .dap2io import read_dap2
@@ -735,11 +747,16 @@ def open_dap(
 
 
 def dap_schema(url: str, protocol: str = "auto", timeout: float = 60.0) -> dict:
-    """Protocol-negotiating metadata-only schema read."""
+    """Protocol-negotiating metadata-only schema read (the probe's DMR
+    body is reused — one request serves negotiation AND the schema)."""
+    dmr_text = None
     if protocol == "auto":
-        protocol = negotiate_dap_protocol(url, min(timeout, 30.0))
+        protocol = _PROTOCOL_CACHE.get(url)
+        if protocol is None:
+            protocol, dmr_text = _probe_dap4(url, min(timeout, 30.0))
+            _PROTOCOL_CACHE[url] = protocol
     if protocol == "dap4":
-        return dap4_schema(url, timeout)
+        return dap4_schema(url, timeout, dmr_text=dmr_text)
     from .dap2io import dap2_schema
 
     return dap2_schema(url, timeout)

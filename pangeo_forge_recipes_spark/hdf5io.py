@@ -899,17 +899,22 @@ def scan_hdf5(path: str, inline_threshold: int = 300) -> dict:
                     "(only deflate, shuffle, fletcher32, szip, bzip2, lzf, "
                     "lz4, zstd, blosc, bitshuffle)"
                 )
-            if any(fid == _FLETCHER32 for fid, _ in filters) and (
-                filters[-1][0] != _FLETCHER32
-                or sum(1 for fid, _ in filters if fid == _FLETCHER32) > 1
+            n_fletch = sum(1 for fid, _ in filters if fid == _FLETCHER32)
+            if n_fletch and (
+                n_fletch > 1
+                or (
+                    filters[-1][0] != _FLETCHER32
+                    and filters[0][0] != _FLETCHER32
+                )
             ):
-                # h5py/netCDF4 always append the checksum filter last, so
-                # the stored bytes are checksum-wrapped COMPRESSED data;
-                # any other placement would need the intermediate stream
-                # re-checksummed mid-chain
+                # both real-world placements are supported — h5py appends
+                # the checksum filter LAST (wraps the compressed stream),
+                # netcdf-c registers it FIRST (wraps the raw stream,
+                # before shuffle/deflate); a mid-chain placement would
+                # need the intermediate stream re-checksummed mid-decode
                 raise NotImplementedError(
-                    f"{path}:{name}: fletcher32 not the last pipeline "
-                    "filter — unsupported placement"
+                    f"{path}:{name}: fletcher32 in mid-pipeline position "
+                    "— unsupported placement (first or last only)"
                 )
             if info.get("layout") == "chunked":
                 chunk_shape = info["chunk"]
@@ -1182,7 +1187,7 @@ def write_hdf5(
     chunks: Optional[Dict[str, int]] = None,
     compress=False,
     shuffle: bool = False,
-    fletcher32: bool = False,
+    fletcher32=False,
 ) -> None:
     """Write an NDDataset as a flat HDF5 file (superblock v0, v1 object
     headers, symbol-table root group, ``_ARRAY_DIMENSIONS`` attributes —
@@ -1307,11 +1312,18 @@ def write_hdf5(
                 block = np.zeros(chunk_dims, dtype=dt)
                 block[tuple(slice(0, sp.stop - sp.start) for sp in sl)] = data[sl]
                 raw = block.tobytes()
+                if fletcher32 == "first":
+                    # netcdf-c placement: checksum the RAW stream before
+                    # shuffle/compression
+                    raw += struct.pack("<I", hdf5_fletcher32(raw))
                 if shuffle and dt.itemsize > 1:
+                    es = dt.itemsize
+                    n = len(raw) // es * es
                     raw = (
-                        np.frombuffer(raw, dtype=np.uint8)
-                        .reshape(-1, dt.itemsize)
+                        np.frombuffer(raw[:n], dtype=np.uint8)
+                        .reshape(-1, es)
                         .T.tobytes()
+                        + raw[n:]
                     )
                 if use_lzf:
                     raw = lzf_compress(raw)
@@ -1335,9 +1347,9 @@ def write_hdf5(
                     raw = hdf5_bitshuffle_compress(raw, dt.itemsize)
                 elif eff_compress:
                     raw = zlib.compress(raw, 4)
-                if fletcher32:
-                    # the checksum filter is LAST in the pipeline, so it
-                    # wraps the compressed stream (the h5py convention)
+                if fletcher32 and fletcher32 != "first":
+                    # h5py placement: the checksum filter is LAST in the
+                    # pipeline, wrapping the compressed stream
                     raw += struct.pack("<I", hdf5_fletcher32(raw))
                 caddr = alloc(raw)
                 chunk_entries.append((origin, caddr, len(raw)))
@@ -1455,9 +1467,12 @@ def write_hdf5(
                         + struct.pack("<I", 4)
                         + struct.pack("<I", 0)
                     )
-                if fletcher32:
-                    # predefined filter id 3: no name, no client values
-                    entries.append(struct.pack("<HHHH", _FLETCHER32, 0, 1, 0))
+                fl_entry = struct.pack("<HHHH", _FLETCHER32, 0, 1, 0)
+                if fletcher32 == "first":
+                    # netcdf-c registers the checksum filter first
+                    entries.insert(0, fl_entry)
+                elif fletcher32:
+                    entries.append(fl_entry)
                 pipeline = struct.pack("<BB", 1, len(entries)) + b"\x00" * 6
                 pipeline += b"".join(entries)
                 msgs.append(_message(0x000B, pipeline))

@@ -1291,12 +1291,17 @@ def store_to_zarr(
             preprocess=preprocess,
             xarray_open_kwargs=xarray_open_kwargs,
         )
-    agg = statuses.agg(
-        F.count("*").alias("n"), F.coalesce(F.sum("nbytes"), F.lit(0)).alias("b")
-    ).collect()[0]
-
-    if shuffled and rechunk_shuffle == "spill":
-        _cleanup_scratch(store_path.rstrip("/") + ".spill")
+    try:
+        agg = statuses.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("nbytes"), F.lit(0)).alias("b"),
+        ).collect()[0]
+    finally:
+        # scratch must go even when the job FAILS — on an object-store
+        # target a leaked .spill/ prefix is a transient copy of the
+        # corpus sitting on paid storage
+        if shuffled and rechunk_shuffle == "spill":
+            _cleanup_scratch(store_path.rstrip("/") + ".spill")
 
     if consolidate_coords:
         _consolidate_coords(store_path)

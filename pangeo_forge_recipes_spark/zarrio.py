@@ -403,8 +403,20 @@ class ZarrArray:
         return None
 
     @property
-    def _has_fletcher32(self) -> bool:
-        return any(c["name"] == "hdf5-fletcher32" for c in self.meta["codecs"])
+    def _fletcher32_position(self) -> Optional[str]:
+        """``"outer"`` when the checksum wraps the stored (compressed)
+        stream — h5py appends the filter last; ``"inner"`` when it wraps
+        the raw pre-shuffle/deflate bytes — netcdf-c registers it first;
+        None when absent."""
+        names = [c["name"] for c in self.meta["codecs"]]
+        if "hdf5-fletcher32" not in names:
+            return None
+        structural = ("bytes", "transpose", "sharding_indexed", "hdf5-fletcher32")
+        others = [i for i, n in enumerate(names) if n not in structural]
+        i = names.index("hdf5-fletcher32")
+        if not others or i > max(others):
+            return "outer"
+        return "inner"
 
     @property
     def _shuffle_elementsize(self) -> int:
@@ -593,10 +605,17 @@ class ZarrArray:
         if tr is not None:
             arr = np.transpose(arr, list(tr["configuration"]["order"]))
         buf = np.ascontiguousarray(arr, dtype=self.dtype.newbyteorder("<")).tobytes()
+        fpos = self._fletcher32_position
+        if fpos == "inner":
+            from .hdf5io import hdf5_fletcher32
+
+            buf += struct.pack("<I", hdf5_fletcher32(buf))
         es = self._shuffle_elementsize
         if es > 1:
+            n = len(buf) // es * es
             buf = (
-                np.frombuffer(buf, dtype=np.uint8).reshape(-1, es).T.tobytes()
+                np.frombuffer(buf[:n], dtype=np.uint8).reshape(-1, es).T.tobytes()
+                + buf[n:]
             )
         if self.compressed:
             buf = zlib.compress(buf, 1)
@@ -639,7 +658,7 @@ class ZarrArray:
             elif name == "gzip-frame":
                 co = zlib.compressobj(1, zlib.DEFLATED, 31)
                 buf = co.compress(buf) + co.flush()
-        if self._has_fletcher32:
+        if fpos == "outer":
             from .hdf5io import hdf5_fletcher32
 
             buf += struct.pack("<I", hdf5_fletcher32(buf))
@@ -708,9 +727,10 @@ class ZarrArray:
 
             arr = decode_grib2_message(buf).astype(self.dtype, copy=False).ravel()
             return self._pad_reshape(arr)
-        if self._has_fletcher32:
-            # fletcher32 is the LAST pipeline filter (scan gates other
-            # placements): verify + strip the trailing checksum FIRST
+        fpos = self._fletcher32_position
+        if fpos == "outer":
+            # checksum wraps the stored stream (h5py places the filter
+            # last): verify + strip FIRST
             buf = _fletcher32_verify_strip(buf)
         # HDF5 compression filters decode in REVERSE of the file's
         # recorded pipeline (application) order — the order-insensitive
@@ -751,10 +771,22 @@ class ZarrArray:
         if self.compressed:
             buf = zlib.decompress(buf)
         es = self._shuffle_elementsize
-        if es > 1 and len(buf) % es == 0:
-            buf = (
-                np.frombuffer(buf, dtype=np.uint8).reshape(es, -1).T.tobytes()
-            )
+        if es > 1:
+            # HDF5 shuffle semantics: only the first floor(n/es)*es bytes
+            # are transposed, any remainder (e.g. an inner fletcher32
+            # trailer) rides verbatim at the end
+            n = len(buf) // es * es
+            if n:
+                buf = (
+                    np.frombuffer(buf[:n], dtype=np.uint8)
+                    .reshape(es, -1)
+                    .T.tobytes()
+                    + buf[n:]
+                )
+        if fpos == "inner":
+            # checksum wraps the RAW stream (netcdf-c registers the
+            # filter first): strip after the other filters undid
+            buf = _fletcher32_verify_strip(buf)
         filts = [
             c for c in self.meta["codecs"] if c["name"].startswith("numcodecs-")
         ]

@@ -122,8 +122,11 @@ class FakeAzure:
                     self._err(403, "AuthenticationFailed", "bad SAS signature")
                     return False
                 perms = query.get("sp", "")
+                # list REQUIRES 'l' (real Azure does not accept a
+                # read-only SAS for List Blobs); create-or-write
+                # satisfies PUT (any-of)
                 need = {
-                    "GET": "rl" if query.get("comp") == "list" else "r",
+                    "GET": "l" if query.get("comp") == "list" else "r",
                     "HEAD": "r",
                     "PUT": "wc",
                     "DELETE": "d",

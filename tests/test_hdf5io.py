@@ -546,20 +546,28 @@ def test_fletcher32_filter_roundtrip_and_corruption(tmp_path):
     """fletcher32-filtered files (alone and stacked under
     shuffle+deflate) scan, read, and FAIL LOUDLY on a flipped byte."""
     ds = make_ds(nt=4)
-    for compress, shuffle in ((False, False), ("deflate", True)):
-        p = str(tmp_path / f"f_{compress}_{shuffle}.h5")
-        write_hdf5(
-            p, ds, chunks={"time": 2}, compress=compress,
-            shuffle=shuffle, fletcher32=True,
-        )
-        assert_equal(read_hdf5(p), ds)
-        refs = scan_hdf5(p)
-        meta = __import__("json").loads(refs["foo/zarr.json"])
-        assert meta["codecs"][-1]["name"] == "hdf5-fletcher32"
-        assert_equal(open_reference_dataset(refs), ds)
+    # BOTH real-world placements: h5py appends the filter last (checksum
+    # wraps the compressed stream), netcdf-c registers it first (wraps
+    # the raw stream, shuffle's remainder bytes carrying the trailer)
+    for placement in (True, "first"):
+        for compress, shuffle in ((False, False), ("deflate", True)):
+            p = str(tmp_path / f"f_{placement}_{compress}_{shuffle}.h5")
+            write_hdf5(
+                p, ds, chunks={"time": 2}, compress=compress,
+                shuffle=shuffle, fletcher32=placement,
+            )
+            assert_equal(read_hdf5(p), ds)
+            refs = scan_hdf5(p)
+            meta = __import__("json").loads(refs["foo/zarr.json"])
+            names = [c["name"] for c in meta["codecs"]]
+            if placement == "first" and (compress or shuffle):
+                assert names[1] == "hdf5-fletcher32", names
+            else:
+                assert names[-1] == "hdf5-fletcher32", names
+            assert_equal(open_reference_dataset(refs), ds)
     # corrupt one byte of a referenced chunk: the read must raise the
     # checksum error, never return garbage
-    p = str(tmp_path / "f_deflate_True.h5")
+    p = str(tmp_path / "f_True_deflate_True.h5")
     refs = scan_hdf5(p)
     url, off, length = next(
         v for k, v in refs.items()
