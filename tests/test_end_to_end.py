@@ -784,3 +784,35 @@ def test_spill_shuffle_inline_small_pieces(spark, tmp_path):
     rows = spill_df.collect()
     assert rows and all(r["url"] == "" and len(r["payload"]) > 0 for r in rows)
     assert not (tmp_path / "scratch").exists()  # nothing was spilled
+
+
+def test_spill_wire_roundtrip_dtypes():
+    """_spill_meta/_unspill preserve dims/attrs/encoding and values
+    across dtypes incl. byte-order variants, datetimes and bools (the
+    raw-bytes wire that replaces pickle on the spill shuffle)."""
+    import numpy as np
+
+    from pangeo_forge_recipes_spark.ndset import NDDataset, Variable
+    from pangeo_forge_recipes_spark.transforms import _spill_meta, _unspill
+
+    cases = [
+        ("d", np.arange(24, dtype="<f8").reshape(2, 3, 4)),
+        ("d", np.arange(6, dtype=">i4").reshape(3, 2)),
+        ("c", np.array(["2020-01-01", "2020-01-02"], dtype="M8[ns]")),
+        ("d", np.array([True, False, True])),
+        ("d", np.float32([0.5, -1.25, 3.0])),
+    ]
+    for role, arr in cases:
+        dims = tuple(f"d{i}" for i in range(arr.ndim))
+        var = Variable(dims, arr, {"a": 1}, {"e": "x"})
+        single = (
+            NDDataset({"v": var}, {}, {}, dict(var.sizes))
+            if role == "d"
+            else NDDataset({}, {"v": var}, {}, dict(var.sizes))
+        )
+        meta, data = _spill_meta(single)
+        back = _unspill(meta, data.tobytes())
+        got = (back.data_vars if role == "d" else back.coords)["v"]
+        assert got.dims == dims
+        np.testing.assert_array_equal(np.asarray(got.data), np.asarray(arr))
+        assert got.attrs == {"a": 1} and got.encoding == {"e": "x"}
