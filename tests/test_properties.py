@@ -488,3 +488,112 @@ def test_rotated_grid_preserves_distances(sp_lat, sp_lon, rlat, rlon):
     want = ang(rlat, rlon, -90.0, 0.0)  # distance to the rotated south pole
     got = ang(lat[0, 0], lon[0, 0], sp_lat, sp_lon)
     np.testing.assert_allclose(got, want, atol=1e-7)
+
+
+@given(st.binary(min_size=0, max_size=4000))
+@settings(max_examples=200, deadline=None)
+def test_fletcher32_property(data):
+    """Vectorized blocked Fletcher-32 == the literal HDF5 word loop for
+    arbitrary byte strings (incl. odd lengths and reduction-block
+    boundaries)."""
+    from pangeo_forge_recipes_spark.hdf5io import hdf5_fletcher32
+
+    from .test_hdf5io import _fletcher32_reference
+
+    assert hdf5_fletcher32(data) == _fletcher32_reference(data)
+
+
+@given(
+    st.binary(min_size=0, max_size=600),
+    st.integers(min_value=2, max_value=16),
+)
+@settings(max_examples=200, deadline=None)
+def test_hdf5_shuffle_remainder_involution(data, es):
+    """The HDF5-semantics shuffle (transpose first floor(n/es)*es bytes,
+    tail verbatim) inverts exactly — the invariant the inner-fletcher32
+    trailer relies on."""
+    n = len(data) // es * es
+
+    def fwd(buf):
+        if not n:
+            return buf
+        return (
+            np.frombuffer(buf[:n], dtype=np.uint8)
+            .reshape(-1, es)
+            .T.tobytes()
+            + buf[n:]
+        )
+
+    def inv(buf):
+        if not n:
+            return buf
+        return (
+            np.frombuffer(buf[:n], dtype=np.uint8)
+            .reshape(es, -1)
+            .T.tobytes()
+            + buf[n:]
+        )
+
+    assert inv(fwd(data)) == data
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Ll", "Nd"), whitelist_characters="._-"
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    st.sampled_from(["*", "?", "[ab]", "x", "*x", "x*"]),
+)
+@settings(max_examples=150, deadline=None)
+def test_glob_regex_single_level_property(segments, meta):
+    """The object-store glob translator never lets '*'/'?' cross '/'
+    and agrees with fnmatch on single-segment inputs."""
+    import fnmatch
+    import re
+
+    from pangeo_forge_recipes_spark.storage import _glob_to_regex
+
+    # single-level agreement with fnmatch when no '/' is involved
+    name = segments[0]
+    pat = meta
+    ours = re.compile(_glob_to_regex(pat))
+    assert bool(ours.match(name)) == fnmatch.fnmatchcase(name, pat)
+    # a pattern for the last segment must never match a DEEPER key
+    deep = "/".join(segments + [segments[0]])
+    prefix_pat = "/".join(segments[:-1] + [meta]) if len(segments) > 1 else meta
+    ours2 = re.compile(_glob_to_regex(prefix_pat))
+    assert not ours2.match(deep)
+
+
+@given(
+    st.integers(min_value=1, max_value=3),
+    st.sampled_from(["<f8", "<i4", ">i2", "<u8", "M8[ns]"]),
+    st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=100, deadline=None)
+def test_spill_wire_property(ndim, dtype, seed):
+    """Spill wire round-trip for arbitrary small shapes/dtypes."""
+    from pangeo_forge_recipes_spark.ndset import NDDataset, Variable
+    from pangeo_forge_recipes_spark.transforms import _spill_meta, _unspill
+
+    rng = np.random.RandomState(seed % (2**31))
+    shape = tuple(rng.randint(1, 4) for _ in range(ndim))
+    if dtype == "M8[ns]":
+        arr = rng.randint(0, 2**40, size=shape).astype("int64").view("M8[ns]")
+    else:
+        arr = rng.randint(-100, 100, size=shape).astype(np.dtype(dtype))
+    dims = tuple(f"d{i}" for i in range(ndim))
+    var = Variable(dims, arr)
+    single = NDDataset({"v": var}, {}, {}, dict(var.sizes))
+    meta, data = _spill_meta(single)
+    back = _unspill(meta, data.tobytes())
+    np.testing.assert_array_equal(
+        np.asarray(back.data_vars["v"].data), np.asarray(arr)
+    )
