@@ -363,3 +363,47 @@ def test_bake_feedstock_to_azure(spark, az):
     ds = result.open()
     assert ds.sizes["time"] == 2
     assert any(k.startswith("cache/") for (c, k) in az.objects if c == "bakery")
+
+
+def test_store_to_zarr_with_sas_only_credentials(spark, tmp_path, az):
+    """Executors authenticate every request with a container-scoped
+    service SAS — no account key ever reaches the workers (the
+    share-a-token deployment mode). The fake endpoint verifies the SAS
+    signature and permissions on each request."""
+    from pangeo_forge_recipes_spark.azureio import generate_service_sas
+
+    from .fake_azure import ACCOUNT, ACCOUNT_KEY
+
+    sas = generate_service_sas(
+        "sasonly",
+        permissions="rwcld",
+        expiry="2036-01-01T00:00:00Z",
+        account_name=ACCOUNT,
+        account_key=ACCOUNT_KEY,
+    )
+    try:
+        configure_spark_azure(
+            spark,
+            account_name=ACCOUNT,
+            sas_token=sas,
+            endpoint_url=az.endpoint,
+        )
+        ds = make_ds(nt=4)
+        paths = split_ds_into_files(ds, str(tmp_path), items_per_file=2)
+        pattern = pattern_from_file_sequence(
+            paths, "time", nitems_per_file=2, file_type="npz"
+        )
+        result = store_to_zarr(
+            spark, pattern, "az://sasonly/t", "s.zarr",
+            target_chunks={"time": 2},
+        )
+        assert_equal(result.open(), ds)
+        # the writes really rode SAS (sig in query, no Authorization)
+        puts = [
+            q for m, c, k, q in az.requests
+            if m == "PUT" and c == "sasonly"
+        ]
+        assert puts and all("sig" in q for q in puts)
+    finally:
+        # restore the key-based session credentials for later tests
+        configure_spark_azure(spark, **az.client_kwargs())
