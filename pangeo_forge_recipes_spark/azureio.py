@@ -145,16 +145,18 @@ class AzureConfig:
         if account_key or sas_token:
             self.account_key = account_key
             self.sas_token = sas_token
+        elif "AccountKey" in parts or "SharedAccessSignature" in parts:
+            # a connection string that carries ANY credential is also
+            # COMPLETE: a SAS-only connection string must not inherit a
+            # stale AZURE_STORAGE_ACCOUNT_KEY from the environment and
+            # end up SharedKey-signing with a wrong-context key
+            self.account_key = parts.get("AccountKey")
+            self.sas_token = parts.get("SharedAccessSignature")
         else:
-            self.account_key = (
-                parts.get("AccountKey")
-                or env.get("AZURE_STORAGE_ACCOUNT_KEY")
-                or env.get("AZURE_STORAGE_KEY")
+            self.account_key = env.get("AZURE_STORAGE_ACCOUNT_KEY") or env.get(
+                "AZURE_STORAGE_KEY"
             )
-            self.sas_token = (
-                parts.get("SharedAccessSignature")
-                or env.get("AZURE_STORAGE_SAS_TOKEN")
-            )
+            self.sas_token = env.get("AZURE_STORAGE_SAS_TOKEN")
         self.endpoint_url = (
             endpoint_url
             or parts.get("BlobEndpoint")
@@ -224,7 +226,13 @@ def shared_key_signature(
     version >= 2015-02-21): standard-header block, then the sorted
     lowercase ``x-ms-*`` headers, then the canonicalized resource
     (``/account`` + request path + sorted ``name:value`` query lines).
-    Returns the base64 HMAC-SHA256 signature."""
+    Returns the base64 HMAC-SHA256 signature.
+
+    ``uri_path`` must be the percent-ENCODED path exactly as sent on
+    the wire: Azure (and the official SDK, which signs
+    ``urlparse(url).path`` verbatim) canonicalizes the encoded form, so
+    decoding here would 403 any blob key needing escaping (space,
+    unicode, '+', '#')."""
     std = {k.lower(): v for k, v in headers.items()}
     cl = "" if content_length == 0 else str(content_length)
     lines = [
@@ -243,7 +251,7 @@ def shared_key_signature(
     ]
     for name in sorted(k for k in std if k.startswith("x-ms-")):
         lines.append(f"{name}:{std[name]}")
-    resource = f"/{account}{unquote(uri_path)}"
+    resource = f"/{account}{uri_path}"
     for name in sorted(query):
         resource += f"\n{name.lower()}:{query[name]}"
     lines.append(resource)

@@ -62,7 +62,16 @@ __all__ = [
     "scan_dmrpp",
     "serve_ndsets_dap4",
     "Dap4Server",
+    "MissingDmrppHref",
 ]
+
+
+class MissingDmrppHref(ValueError):
+    """The DMR++ document carries no ``dmrpp:href`` and the caller gave
+    no ``data_url`` — a dedicated type so callers can apply the
+    sits-next-to-its-data convention WITHOUT swallowing real scan
+    errors (malformed offsets, out-of-grid chunk positions) behind a
+    broad ``except ValueError``."""
 
 _DAP4_NS = "http://xml.opendap.org/ns/DAP/4.0#"
 _DMRPP_NS = "http://xml.opendap.org/dap/dmrpp/1.0.0#"
@@ -242,8 +251,12 @@ def _read_chunked(payload: bytes) -> Tuple[str, bytes, bool]:
         off += size
         if flags & _CHUNK_ERROR:
             raise RuntimeError(f"DAP4 error response: {chunk.decode(errors='replace')}")
-        little = bool(flags & _CHUNK_LITTLE_ENDIAN)
         if dmr_text is None:
+            # byte order latches from the FIRST chunk header only —
+            # libdap reads it once; servers that set the bit only there
+            # must not flip `little` back on later chunks (silent
+            # byte-swap when dap4.checksum is off)
+            little = bool(flags & _CHUNK_LITTLE_ENDIAN)
             dmr_text = chunk.decode()
         else:
             data += chunk
@@ -426,7 +439,9 @@ def scan_dmrpp(
     root = ET.fromstring(text)
     href = data_url or root.get(f"{{{_DMRPP_NS}}}href") or root.get("href")
     if not href:
-        raise ValueError("DMR++ has no dmrpp:href and no data_url given")
+        raise MissingDmrppHref(
+            "DMR++ has no dmrpp:href and no data_url given"
+        )
     dmr = parse_dmr(text)
     refs: Dict[str, object] = {}
     group_attrs = {

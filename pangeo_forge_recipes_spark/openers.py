@@ -373,7 +373,7 @@ def open_with_kerchunk(
         # Explicit kerchunk_open_kwargs["data_url"] re-points at a
         # mirror; a sidecar without dmrpp:href falls back to the
         # convention that it sits next to its data object
-        from .dap4io import scan_dmrpp
+        from .dap4io import MissingDmrppHref, scan_dmrpp
         from .storage import open_binary
 
         with open_binary(url) as f:
@@ -381,10 +381,10 @@ def open_with_kerchunk(
         data_url = (kerchunk_open_kwargs or {}).get("data_url")
         try:
             return [scan_dmrpp(text, data_url=data_url)]
-        except ValueError:
-            if data_url is None:
-                return [scan_dmrpp(text, data_url=str(url)[: -len(".dmrpp")])]
-            raise
+        except MissingDmrppHref:
+            # only the missing-href case falls back; real scan errors
+            # (malformed offsets, out-of-grid positions) propagate
+            return [scan_dmrpp(text, data_url=str(url)[: -len(".dmrpp")])]
     file_type = _resolve_type(url, file_type)
     from .kerchunkio import scan_npz, scan_zarr
 

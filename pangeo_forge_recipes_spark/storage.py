@@ -771,13 +771,27 @@ def open_output_stream(path: str, open_kwargs: dict | None = None):
 
 def _glob_to_regex(pat: str) -> str:
     """Translate a shell glob to a regex where ``*``/``?`` stop at ``/``
-    (single-level, like pathlib/local directory globs)."""
+    (single-level, like pathlib/local directory globs) and ``**``
+    crosses directory levels (recursive, like pathlib's ``rglob`` /
+    fsspec globs) — so ``s3://b/dir/**/*.tfrecord`` keeps matching
+    arbitrarily nested shards."""
     out = []
     i = 0
     while i < len(pat):
         c = pat[i]
         if c == "*":
-            out.append("[^/]*")
+            if pat[i : i + 2] == "**":
+                # "**/" matches ZERO or more levels (pathlib rglob
+                # semantics): "dir/**/*.tfrecord" must still match
+                # files directly under dir/
+                if pat[i : i + 3] == "**/":
+                    out.append("(?:.*/)?")
+                    i += 2
+                else:
+                    out.append(".*")
+                    i += 1
+            else:
+                out.append("[^/]*")
         elif c == "?":
             out.append("[^/]")
         elif c == "[":
@@ -802,7 +816,10 @@ def list_shard_urls(
     """Expand an object-store prefix (``s3://``/``gs://``/``abfs://``/
     ``az://``) into sorted shard urls whose keys end with one of
     ``suffixes`` — the object-store analog of the local directory-glob
-    branch in the shard readers."""
+    branch in the shard readers. Glob semantics match pathlib: ``*`` and
+    ``?`` stop at ``/`` (changed in r10 from fnmatch's slash-crossing
+    ``*``); ``**`` crosses levels (``dir/**/*.tfrecord`` matches
+    arbitrarily nested shards, including zero levels deep)."""
     # shard patterns are KEYS, not request urls — urlparse would treat a
     # glob '?' as the query-string separator, so recover the raw key
     scheme, _, raw = path.partition("://")

@@ -246,3 +246,55 @@ def test_sas_token_auth_verified(az):
     )
     with pytest.raises(AzureError):
         bad.get_object("sascont", "k.bin")
+
+
+def test_escaped_key_shared_key_signature(az, store):
+    """Blob keys needing percent-encoding (space, unicode, '+', '#')
+    round-trip through the VERIFYING server: SharedKey canonicalizes
+    the percent-ENCODED wire path (the official SDK signs
+    ``urlparse(url).path`` as sent), so signing the decoded form would
+    403 here — the r10 advice finding."""
+    for key in ("dir/a b/c.bin", "u/ünïcøde.bin", "p/x+y#z.bin"):
+        store.put(key, b"payload-" + key.encode())
+        assert store.get(key) == b"payload-" + key.encode()
+        assert store.exists(key)
+        assert store.size(key) == len(b"payload-" + key.encode())
+    # the listing surfaces the decoded names
+    names = {k for k, _ in store.client.list_objects("cont", "some/prefix/")}
+    assert any("a b" in n for n in names)
+    store.rm_prefix("")
+
+
+def test_sas_connection_string_ignores_env_account_key(monkeypatch, az):
+    """A connection string carrying ONLY SharedAccessSignature resolves
+    atomically: a stale AZURE_STORAGE_ACCOUNT_KEY in the environment
+    must not leak into account_key and flip the auth scheme to a
+    wrong-context SharedKey (the r10 advice finding)."""
+    from pangeo_forge_recipes_spark.azureio import generate_service_sas
+
+    sas = generate_service_sas(
+        "csco",
+        permissions="rwl",
+        expiry="2036-01-01T00:00:00Z",
+        account_name=ACCOUNT,
+        account_key=ACCOUNT_KEY,
+    )
+    monkeypatch.setenv("AZURE_STORAGE_ACCOUNT_KEY", "c3RhbGUta2V5LXdyb25nLWNvbnRleHQ=")
+    monkeypatch.setenv(
+        "AZURE_STORAGE_CONNECTION_STRING",
+        f"AccountName={ACCOUNT};SharedAccessSignature={sas};"
+        f"BlobEndpoint={az.endpoint}",
+    )
+    cfg = AzureConfig()
+    assert cfg.account_key is None
+    assert cfg.sas_token == sas
+    cl = AzureClient(cfg)
+    cl.put_object("csco", "k.bin", b"v")
+    assert cl.get_object("csco", "k.bin") == b"v"
+    # env keys still resolve when the connection string has no credential
+    monkeypatch.setenv(
+        "AZURE_STORAGE_CONNECTION_STRING",
+        f"AccountName={ACCOUNT};BlobEndpoint={az.endpoint}",
+    )
+    cfg2 = AzureConfig()
+    assert cfg2.account_key == "c3RhbGUta2V5LXdyb25nLWNvbnRleHQ="

@@ -306,3 +306,58 @@ def test_open_with_kerchunk_routes_dmrpp(tmp_path):
     (tmp_path / "d.h5.dmrpp").write_text(doc_nohref)
     refs2 = open_with_kerchunk(str(tmp_path / "d.h5.dmrpp"))
     assert refs2[0]["refs"]["air/c/0/0"][0] == str(tmp_path / "d.h5")
+
+
+def test_endianness_latched_from_first_chunk_only():
+    """Servers that set the little-endian header bit only on the FIRST
+    chunk (libdap reads the byte order once) must not flip the decoder
+    to big-endian on later chunks — that byte-swaps the data silently
+    when checksums are off (the r10 advice finding)."""
+    import struct as _struct
+
+    from pangeo_forge_recipes_spark.dap4io import (
+        _CHUNK_LAST,
+        _CHUNK_LITTLE_ENDIAN,
+        _chunk,
+        _read_chunked,
+    )
+
+    dmr = b"<Dataset/>"
+    d1, d2 = b"\x01\x00\x00\x00", b"\x02\x00\x00\x00"
+    wire = (
+        _chunk(_CHUNK_LITTLE_ENDIAN, dmr)  # byte-order bit here only
+        + _chunk(0, d1)
+        + _chunk(_CHUNK_LAST, d2)
+    )
+    text, data, little = _read_chunked(wire)
+    assert text == "<Dataset/>"
+    assert little is True
+    assert _struct.unpack("<2i", data) == (1, 2)
+    # and the reverse: a big-endian first chunk stays big-endian
+    wire_be = _chunk(0, dmr) + _chunk(
+        _CHUNK_LITTLE_ENDIAN | _CHUNK_LAST, d1
+    )
+    _, data_be, little_be = _read_chunked(wire_be)
+    assert little_be is False and data_be == d1
+
+
+def test_dmrpp_scan_errors_not_masked_by_href_fallback(tmp_path):
+    """Only the missing-href case triggers the sits-next-to-its-data
+    retry; a REAL scan defect (chunk position outside the array grid)
+    propagates with its original message instead of being re-raised as
+    a confusing second error from a pointless rescan (the r10 advice
+    finding)."""
+    from pangeo_forge_recipes_spark.openers import open_with_kerchunk
+
+    doc = _dmrpp_doc(
+        "file:///nonexistent.h5",
+        {"air": [(0, 96)], "time": [(96, 64)]},
+        deflate=False,
+    )
+    # corrupt the chunk position so scan_dmrpp raises mid-scan
+    bad = doc.replace('chunkPositionInArray="[0,0]"', 'chunkPositionInArray="[99,0]"')
+    assert bad != doc
+    side = tmp_path / "bad.h5.dmrpp"
+    side.write_text(bad)
+    with pytest.raises(ValueError, match="outside|position"):
+        open_with_kerchunk(str(side))

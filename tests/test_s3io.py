@@ -317,3 +317,36 @@ def test_list_shard_urls_glob_single_level(s3, store):
         open_kwargs=s3.client_kwargs(),
     )
     assert [u.rsplit("/", 1)[-1] for u in urls] == ["a.tfrecord", "b.tfrecord"]
+
+
+def test_list_shard_urls_recursive_doublestar(s3, store):
+    """'**' crosses directory levels (rglob semantics), including the
+    zero-level case — 's3://b/dir/**/*.tfrecord' matches files directly
+    under dir/ AND arbitrarily nested ones (ADVICE r10)."""
+    from pangeo_forge_recipes_spark.storage import list_shard_urls
+
+    store.put("e/top.tfrecord", b"1")
+    store.put("e/sub/mid.tfrecord", b"2")
+    store.put("e/sub/deep/leaf.tfrecord", b"3")
+    store.put("e/sub/skip.txt", b"4")
+    urls = list_shard_urls(
+        "s3://bkt/some/prefix/e/**/*.tfrecord",
+        (".tfrecord",),
+        open_kwargs=s3.client_kwargs(),
+    )
+    assert sorted(u.rsplit("/", 1)[-1] for u in urls) == [
+        "leaf.tfrecord",
+        "mid.tfrecord",
+        "top.tfrecord",
+    ]
+    # trailing '**' sweeps everything under the prefix
+    urls = list_shard_urls(
+        "s3://bkt/some/prefix/e/sub/**",
+        (".tfrecord", ".txt"),
+        open_kwargs=s3.client_kwargs(),
+    )
+    assert sorted(u.rsplit("/", 1)[-1] for u in urls) == [
+        "leaf.tfrecord",
+        "mid.tfrecord",
+        "skip.txt",
+    ]
