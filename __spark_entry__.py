@@ -892,6 +892,28 @@ def _pipeline_oracle_sql() -> dict[str, str]:
             ("pos_checksum", "DOUBLE"),
         ],
     )
+    ds8 = make_ds(nt=8)
+    spill_rows = [
+        (
+            name,
+            int(np.prod(var.data.shape)),
+            float(np.round(np.asarray(var.data, dtype="float64").mean(), 6)),
+            _pos_checksum(var),
+            1,
+        )
+        for name, var in sorted(ds8.variables.items())
+        if var.data.dtype.kind in "if"
+    ]
+    out["pipeline_spill_roundtrip"] = rows_sql(
+        spill_rows,
+        [
+            ("variable", "VARCHAR"),
+            ("n_elements", "BIGINT"),
+            ("mean_value", "DOUBLE"),
+            ("pos_checksum", "DOUBLE"),
+            ("scratch_clean", "INTEGER"),
+        ],
+    )
     kerchunk_rows = [
         (name, int(np.prod(var.data.shape)), _pos_checksum(var))
         for name, var in sorted(ds6.variables.items())
@@ -3158,6 +3180,62 @@ def _zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spill_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE shuffle's alternative execution path driver-graded end-to-end
+    (r10 VERDICT ask #1): the zarr round-trip oracle re-run with
+    ``rechunk_shuffle="spill"`` forced — decode once, spill raw pieces
+    to target-adjacent scratch, metadata-only exchange, range-read on
+    combine (transforms.open_split_spill_df / rechunk_spill_and_store).
+    Chunks are deliberately MISALIGNED with the file grain (4 files x 2
+    steps -> chunks of 5) so every target chunk combines fragments from
+    multiple sources through the spill wire format. The query asserts
+    full element equality against the generator AND that the scratch
+    prefix was removed; the oracle recomputes the position-weighted
+    checksums by pure numpy."""
+    from pangeo_forge_recipes_spark import pattern_from_file_sequence, store_to_zarr
+    from pangeo_forge_recipes_spark.dsio import write_npz
+    from pangeo_forge_recipes_spark.ndset import assert_equal
+    from tests.data_generation import make_ds
+
+    tmp = tempfile.mkdtemp(prefix="pfrs_entry_spill_")
+    ds = make_ds(nt=8)
+    paths = []
+    for i in range(4):
+        p = os.path.join(tmp, f"f{i}.npz")
+        write_npz(p, ds.isel(time=slice(2 * i, 2 * i + 2)))
+        paths.append(p)
+    pattern = pattern_from_file_sequence(
+        paths, "time", nitems_per_file=2, file_type="npz"
+    )
+    result = store_to_zarr(
+        spark,
+        pattern,
+        tmp,
+        "out.zarr",
+        target_chunks={"time": 5},
+        rechunk_shuffle="spill",
+    )
+    rt = result.open()
+    assert_equal(rt, ds, check_attrs=False)
+    scratch_clean = int(not os.path.exists(str(result.path).rstrip("/") + ".spill"))
+    rows = [
+        (
+            name,
+            int(np.prod(var.data.shape)),
+            float(np.round(np.asarray(var.data, dtype="float64").mean(), 6)),
+            _pos_checksum(var),
+            scratch_clean,
+        )
+        for name, var in sorted(rt.variables.items())
+        if var.data.dtype.kind in "if"
+    ]
+    return spark.createDataFrame(
+        rows,
+        "variable string, n_elements long, mean_value double, "
+        "pos_checksum double, scratch_clean int",
+    )
+
+
 def _kerchunk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.7 kerchunk combine: full element equality asserted
     in-query plus order-sensitive per-variable checksums recomputed by
@@ -3671,6 +3749,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pipeline_rechunk_existing"] = _rechunk_existing
     out["pipeline_schema_inference"] = _schema_inference
     out["pipeline_stream_append"] = _stream_append
+    # round-11 rotation: dedup_exact (the plain md5 hash-groupBy — its
+    # GROUP BY/dedup shape stays graded via dedup_lines, decontaminate
+    # and mix_corpora's md5 draws; the dialect pair stays dual-engine
+    # warm in test_shared_sql_parity.py AND timed in bench
+    # extra_matched) yields its slot to pipeline_spill_roundtrip — the
+    # spill execution path of THE shuffle was the last full alternative
+    # implementation of the most correctness-critical operator with no
+    # driver-graded CORRECTNESS slot (r10 VERDICT ask #1)
+    out["pipeline_spill_roundtrip"] = _spill_roundtrip
     # round-10 rotation: text_doc_metrics (per-row text-metric exprs —
     # the shape stays graded via gopher_c4_filter / quality_filter /
     # c4_clean; its dialect-pair text stays dual-engine warm in
@@ -3870,6 +3957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "corpus_clean",
             # r10: slot moved to pyramid_roundtrip (see above)
             "text_doc_metrics",
+            # r11: slot moved to pipeline_spill_roundtrip (see above)
+            "dedup_exact",
         ):
             out[name] = _sql_query(sql)
     out["perplexity_buckets"] = _perplexity_buckets_q
@@ -3996,5 +4085,9 @@ def oracle_sql() -> dict[str, str]:
     # and timed as a bench extra-matched pair
     out.pop("text_doc_metrics")
     out["pyramid_roundtrip"] = _pyramid_oracle_sql()
+    # round-11 rotation: dedup_exact's slot moved to
+    # pipeline_spill_roundtrip; its dialect text stays warm in the
+    # parity suite and timed as a bench extra-matched pair
+    out.pop("dedup_exact")
     out.update(_pipeline_oracle_sql())
     return out

@@ -43,7 +43,6 @@ HEADLINE = [
     "dedup_lines",
     "quality_filter",
     "perplexity_buckets",
-    "dedup_exact",
     "bloom_dedup_reference",
     "semantic_dedup_pairs",
     "remove_duplicate_spans",
@@ -1126,7 +1125,9 @@ def main() -> None:
     # attributes sequential slowdown to accumulated session state /
     # worker churn rather than the queries themselves.
     PROBES = [
-        "dedup_exact",
+        # r11: dedup_exact rotated to extra_matched; quality_filter is
+        # the same cheap-SQL shape still resolvable from queries()
+        "quality_filter",
         "c4_clean",
         "scrub_pii",
         "asof_last_order",
@@ -1274,6 +1275,13 @@ def main() -> None:
         "q9_product_profit": (
             entrymod._sql_query(shared_all["q9_product_profit"]),
             shared_all["q9_product_profit"],
+        ),
+        # r11 rotation: dedup_exact left the graded 50 (slot moved to
+        # pipeline_spill_roundtrip); its identical-work dialect pair
+        # stays timed here
+        "dedup_exact": (
+            entrymod._sql_query(text_spark["dedup_exact"]),
+            text_duck["dedup_exact"],
         ),
     }
     bench_fns = {n: queries[n] for n in HEADLINE}

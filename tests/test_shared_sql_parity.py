@@ -109,6 +109,7 @@ def test_rotated_out_sql_still_matches(spark, duck, name):
         "top_bigrams",
         "text_langid",
         "corpus_clean",
+        "dedup_exact",
     ],
 )
 def test_rotated_out_text_sql_still_matches(spark, duck, name):
@@ -118,7 +119,8 @@ def test_rotated_out_text_sql_still_matches(spark, duck, name):
     quality_filter (r5, md5-bucket shape graded via mix_corpora);
     top_bigrams yielded its slot to perplexity_buckets (r6) and
     text_langid to the r6 second-pass rotation; corpus_clean to
-    domain_cap_sample (r7); the dialect-pair texts stay warm here."""
+    domain_cap_sample (r7); dedup_exact to pipeline_spill_roundtrip
+    (r11); the dialect-pair texts stay warm here."""
     entrymod._register(spark, SF_DIR)
     got = _summary(spark.sql(entrymod._text_sql("spark")[name]).toPandas())
     want = _summary(duck.execute(entrymod._text_sql("duckdb")[name]).df())
