@@ -24,10 +24,16 @@ public DAP4 wire protocol (OPeNDAP DAP4 specification):
   DAP4 hyperslabs (``foo[0:1:3][0:2:8]``, stop INCLUSIVE) — server-side
   column and row pruning, so only the subset crosses the wire.
 
-The subset implemented is the fixed-size-array core real gridded-data
-servers emit: Int8/UInt8(Byte)/Int16/UInt16/Int32/UInt32/Int64/UInt64/
-Float32/Float64 atomic arrays with named shared dimensions. Sequences,
-Structures, Strings and opaque types raise with a named gate.
+The subset implemented is the array core real gridded-data servers
+emit: Int8/UInt8(Byte)/Int16/UInt16/Int32/UInt32/Int64/UInt64/
+Float32/Float64 atomic arrays with named shared dimensions, plus
+**String** arrays (r11 — station/label coordinates, the most common
+non-numeric payload on public THREDDS servers): each element rides the
+wire as an unsigned 64-bit count in the response byte order followed
+by that many UTF-8 bytes (the libdap/netcdf-c serialization of DAP4's
+counted vlen types), and the per-variable CRC-32 covers the counted
+serialization. Sequences, Structures and opaque types still raise
+with a named gate.
 
 **DMR++** (the NASA EOSDIS sidecar convention — a DMR annotated with
 ``dmrpp:chunks`` byte ranges into the original HDF5/netCDF4 object) is
@@ -160,12 +166,12 @@ def parse_dmr(text: str) -> dict:
                     attrs[el.get("name")] = _attr_value(el)
             elif t == "Group":
                 walk(el, prefix + el.get("name") + "/")
-            elif t in ("Sequence", "Structure", "Opaque", "String"):
+            elif t in ("Sequence", "Structure", "Opaque"):
                 raise NotImplementedError(
-                    f"DAP4 {t} variables are not supported (fixed-size "
-                    "atomic arrays only)"
+                    f"DAP4 {t} variables are not supported (atomic "
+                    "arrays and Strings only)"
                 )
-            elif t in _DAP4_TYPES:
+            elif t in _DAP4_TYPES or t == "String":
                 var = {
                     "name": prefix + el.get("name"),
                     "type": t,
@@ -340,8 +346,42 @@ def read_dap4(
     for v in wire["vars"]:
         shape = tuple(s for _, s in v["dims"])
         dnames = tuple(d or v["name"] for d, _ in v["dims"])
-        dt = np.dtype(bo + _DAP4_TYPES[v["type"]])
         n = int(np.prod(shape or (1,)))
+        if v["type"] == "String":
+            # counted vlen elements: u64 count (response byte order) +
+            # UTF-8 bytes each; the CRC covers the counted serialization
+            start = off
+            texts = []
+            for _ in range(n):
+                if off + 8 > len(data):
+                    raise ValueError(
+                        f"DAP4 data block truncated at {v['name']!r}: "
+                        "string count header missing"
+                    )
+                (cnt,) = struct.unpack_from(bo + "Q", data, off)
+                off += 8
+                if off + cnt > len(data):
+                    raise ValueError(
+                        f"DAP4 data block truncated at {v['name']!r}: "
+                        f"string wants {cnt} bytes"
+                    )
+                texts.append(bytes(data[off : off + cnt]).decode("utf-8"))
+                off += cnt
+            raw = data[start:off]
+            arr_str = np.array(texts, dtype=str).reshape(shape)
+            if checksums:
+                (got,) = struct.unpack_from(bo + "I", data, off)
+                off += 4
+                want = zlib.crc32(raw) & 0xFFFFFFFF
+                if got != want:
+                    raise ValueError(
+                        f"DAP4 checksum mismatch for {v['name']!r}: "
+                        f"server {got:#010x} != computed {want:#010x}"
+                    )
+            arrays[v["name"]] = Variable(dnames, arr_str, dict(v["attrs"]))
+            dims.update(zip(dnames, shape))
+            continue
+        dt = np.dtype(bo + _DAP4_TYPES[v["type"]])
         raw = data[off : off + n * dt.itemsize]
         if len(raw) != n * dt.itemsize:
             raise ValueError(
@@ -395,7 +435,11 @@ def dap4_schema(
         entry = {
             "dims": dnames,
             "shape": shape,
-            "dtype": str(np.dtype(_DAP4_TYPES[v["type"]])),
+            "dtype": (
+                "str"
+                if v["type"] == "String"
+                else str(np.dtype(_DAP4_TYPES[v["type"]]))
+            ),
             "attrs": attrs,
             "encoding": {},
         }
@@ -558,6 +602,8 @@ def _dap4_type_for(var: Variable) -> Tuple[str, np.ndarray]:
     data = np.asarray(var.data)
     if data.dtype.kind == "M":
         _, data = _dap_type_for(var)  # ints since epoch per cf encoding
+    if data.dtype.kind in ("U", "S", "O"):
+        return "String", data.astype(str)
     dap_t = _NP_TO_DAP4.get(str(data.dtype))
     if dap_t is None:
         raise NotImplementedError(f"DAP4 server: dtype {data.dtype} unsupported")
@@ -584,10 +630,20 @@ def _dap_response(
     for vname, var in ds.variables.items():
         if names is not None and vname not in names:
             continue
-        _, data = _dap4_type_for(var)
-        raw = np.ascontiguousarray(data).astype(
-            data.dtype.newbyteorder("<")
-        ).tobytes()
+        dap_t, data = _dap4_type_for(var)
+        if dap_t == "String":
+            # counted vlen serialization: u64 LE count + UTF-8 bytes
+            # per element (the response's byte-order flag is LE)
+            raw = b"".join(
+                struct.pack("<Q", len(enc)) + enc
+                for enc in (
+                    s.encode("utf-8") for s in np.ravel(data).tolist()
+                )
+            )
+        else:
+            raw = np.ascontiguousarray(data).astype(
+                data.dtype.newbyteorder("<")
+            ).tobytes()
         body += raw
         if checksums:
             body += struct.pack("<I", zlib.crc32(raw) & 0xFFFFFFFF)

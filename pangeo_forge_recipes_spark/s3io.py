@@ -387,6 +387,45 @@ class S3Client:
             uri = "/" + _uri_encode(key, keep_slash=True)
         return scheme, host, uri
 
+    def _auth_headers(
+        self,
+        method: str,
+        uri: str,
+        query: Dict[str, str],
+        extra_headers: Dict[str, str],
+        payload_hash: str,
+        host: str,
+    ) -> Dict[str, str]:
+        """Per-attempt request headers INCLUDING Authorization — rebuilt
+        on every retry so dates stay fresh. The auth hook subclasses
+        override: SigV4 here, OAuth2 Bearer in
+        :class:`~.gcsio.GCSClient`."""
+        cfg = self.config
+        now = datetime.datetime.now(datetime.timezone.utc)
+        amzdate = now.strftime("%Y%m%dT%H%M%SZ")
+        datestamp = now.strftime("%Y%m%d")
+        headers = {
+            "host": host,
+            "x-amz-date": amzdate,
+            "x-amz-content-sha256": payload_hash,
+        }
+        if cfg.session_token:
+            headers["x-amz-security-token"] = cfg.session_token
+        if extra_headers:
+            # Range etc. participate in signing when present
+            headers.update({k.lower(): v for k, v in extra_headers.items()})
+        signed_headers, creq_hash = canonical_request_hash(
+            method, uri, query, headers, payload_hash
+        )
+        scope = f"{datestamp}/{cfg.region}/s3/aws4_request"
+        sts = "\n".join(["AWS4-HMAC-SHA256", amzdate, scope, creq_hash])
+        sig = sigv4_signature(cfg.secret_key, datestamp, cfg.region, "s3", sts)
+        headers["Authorization"] = (
+            f"AWS4-HMAC-SHA256 Credential={cfg.access_key}/{scope}, "
+            f"SignedHeaders={signed_headers}, Signature={sig}"
+        )
+        return headers
+
     def _request(
         self,
         method: str,
@@ -398,34 +437,13 @@ class S3Client:
         retries: int = 3,
         backoff: float = 0.5,
     ):
-        cfg = self.config
         query = dict(query or {})
         scheme, host, uri = self._host_and_uri(bucket, key)
         payload_hash = hashlib.sha256(body).hexdigest() if body else _EMPTY_SHA256
         attempt = 0
         while True:
-            now = datetime.datetime.now(datetime.timezone.utc)
-            amzdate = now.strftime("%Y%m%dT%H%M%SZ")
-            datestamp = now.strftime("%Y%m%d")
-            headers = {
-                "host": host,
-                "x-amz-date": amzdate,
-                "x-amz-content-sha256": payload_hash,
-            }
-            if cfg.session_token:
-                headers["x-amz-security-token"] = cfg.session_token
-            if extra_headers:
-                # Range etc. participate in signing when present
-                headers.update({k.lower(): v for k, v in extra_headers.items()})
-            signed_headers, creq_hash = canonical_request_hash(
-                method, uri, query, headers, payload_hash
-            )
-            scope = f"{datestamp}/{cfg.region}/s3/aws4_request"
-            sts = "\n".join(["AWS4-HMAC-SHA256", amzdate, scope, creq_hash])
-            sig = sigv4_signature(cfg.secret_key, datestamp, cfg.region, "s3", sts)
-            headers["Authorization"] = (
-                f"AWS4-HMAC-SHA256 Credential={cfg.access_key}/{scope}, "
-                f"SignedHeaders={signed_headers}, Signature={sig}"
+            headers = self._auth_headers(
+                method, uri, query, extra_headers or {}, payload_hash, host
             )
             qs = "&".join(
                 f"{_uri_encode(k, keep_slash=False)}={_uri_encode(v, keep_slash=False)}"

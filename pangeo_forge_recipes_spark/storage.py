@@ -72,12 +72,20 @@ def is_object_url(path: str) -> bool:
 
 
 def object_store_for(root_url: str, **kwargs) -> Store:
-    """:class:`Store` for an object-store root url, scheme-dispatched
-    (s3://, gs:// -> SigV4 client; abfs://, az:// -> SharedKey client)."""
+    """:class:`Store` for an object-store root url, scheme-dispatched:
+    ``s3://`` -> SigV4 client; ``gs://`` -> native OAuth2
+    service-account client when those credentials resolve (standard
+    ``GOOGLE_APPLICATION_CREDENTIALS``), else the HMAC-interop SigV4
+    path; ``abfs://``/``az://`` -> SharedKey client."""
     if is_azure_url(root_url):
         from .azureio import AzureStore
 
         return AzureStore(root_url, **_azure_client_kwargs(kwargs))
+    if str(root_url).startswith("gs://"):
+        from .gcsio import GCSStore, oauth_credentials_available
+
+        if oauth_credentials_available(kwargs):
+            return GCSStore(root_url, **_gcs_client_kwargs(kwargs))
     from .s3io import S3Store
 
     return S3Store(root_url, **_s3_client_kwargs(kwargs))
@@ -121,10 +129,17 @@ class FSSpecTarget:
         if is_azure_url(self.root_path):
             from .azureio import AzureStore
 
-            return AzureStore(self.root_path, **self.fsspec_kwargs)
+            return AzureStore(self.root_path, **_azure_client_kwargs(self.fsspec_kwargs))
+        if str(self.root_path).startswith("gs://"):
+            from .gcsio import GCSStore, oauth_credentials_available
+
+            if oauth_credentials_available(self.fsspec_kwargs):
+                return GCSStore(
+                    self.root_path, **_gcs_client_kwargs(self.fsspec_kwargs)
+                )
         from .s3io import S3Store
 
-        return S3Store(self.root_path, **self.fsspec_kwargs)
+        return S3Store(self.root_path, **_s3_client_kwargs(self.fsspec_kwargs))
 
     def _rel(self, path: str) -> str:
         """Key of ``path`` relative to the root (object-store form)."""
@@ -188,6 +203,8 @@ class FSSpecTarget:
     def get_fsspec_remote_protocol(self) -> str:
         if is_azure_url(self.root_path):
             return "abfs"
+        if str(self.root_path).startswith("gs://"):
+            return "gs"
         return "s3" if self._is_s3 else "file"
 
 
@@ -619,6 +636,20 @@ def _azure_client_kwargs(open_kwargs: dict | None) -> dict:
     return {k: kw[k] for k in _AZURE_CLIENT_KEYS if k in kw}
 
 
+_GCS_CLIENT_KEYS = (
+    "credentials_file",
+    "credentials_json",
+    "endpoint_url",
+    "scope",
+    "token_uri",
+)
+
+
+def _gcs_client_kwargs(open_kwargs: dict | None) -> dict:
+    kw = open_kwargs or {}
+    return {k: kw[k] for k in _GCS_CLIENT_KEYS if k in kw}
+
+
 def _object_client_parts(url: str, open_kwargs: dict | None):
     """``(client, bucket_or_container, key)`` for any object-store url —
     the scheme dispatch every byte-level consumer (range reads, size
@@ -634,6 +665,11 @@ def _object_client_parts(url: str, open_kwargs: dict | None):
     from .s3io import S3Client, parse_s3_url, url_service
 
     bucket, key = parse_s3_url(url)
+    if str(url).startswith("gs://"):
+        from .gcsio import GCSClient, oauth_credentials_available
+
+        if oauth_credentials_available(open_kwargs):
+            return GCSClient(**_gcs_client_kwargs(open_kwargs)), bucket, key
     kw = _s3_client_kwargs(open_kwargs)
     kw.setdefault("service", url_service(url))
     return S3Client(**kw), bucket, key

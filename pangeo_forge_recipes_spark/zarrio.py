@@ -218,10 +218,20 @@ def _store_for(path_or_store) -> Store:
         from .storage import HTTPStore
 
         return HTTPStore(path)
-    if path.startswith(("s3://", "gs://")):
-        # full read/write object-store path (s3 via the AWS env vars;
-        # gs via GCS interop HMAC keys); region writes touch disjoint
-        # keys — no coordination
+    if path.startswith("gs://"):
+        # native OAuth2 service-account auth when those credentials
+        # resolve (standard GOOGLE_APPLICATION_CREDENTIALS), else the
+        # HMAC-interop SigV4 path (GS_ACCESS_KEY_ID keys)
+        from .gcsio import GCSStore, oauth_credentials_available
+
+        if oauth_credentials_available(None):
+            return GCSStore(path)
+        from .s3io import S3Store
+
+        return S3Store(path)
+    if path.startswith("s3://"):
+        # full read/write object-store path via the AWS env vars;
+        # region writes touch disjoint keys — no coordination
         from .s3io import S3Store
 
         return S3Store(path)

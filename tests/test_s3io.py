@@ -179,7 +179,13 @@ def test_gs_interop_store(s3, monkeypatch):
     monkeypatch.setenv("GS_ACCESS_KEY_ID", kw["access_key"])
     monkeypatch.setenv("GS_SECRET_ACCESS_KEY", kw["secret_key"])
     monkeypatch.setenv("GS_ENDPOINT_URL", kw["endpoint_url"])
-    for var in ("AWS_ACCESS_KEY_ID", "AWS_SECRET_ACCESS_KEY"):
+    for var in (
+        "AWS_ACCESS_KEY_ID",
+        "AWS_SECRET_ACCESS_KEY",
+        # an ambient OAuth key file must not reroute gs:// away from
+        # the HMAC-interop path this test pins (r10 env-leak lesson)
+        "GOOGLE_APPLICATION_CREDENTIALS",
+    ):
         monkeypatch.delenv(var, raising=False)
     store = S3Store("gs://gsbkt/pre")
     assert store.client.config.service == "gs"
@@ -214,6 +220,7 @@ def test_gs_missing_credentials_raise(monkeypatch):
         "GS_SECRET_ACCESS_KEY",
         "AWS_ACCESS_KEY_ID",
         "AWS_SECRET_ACCESS_KEY",
+        "GOOGLE_APPLICATION_CREDENTIALS",
     ):
         monkeypatch.delenv(var, raising=False)
     with pytest.raises(ValueError, match="GS_ACCESS_KEY_ID"):
