@@ -605,6 +605,7 @@ _LZ4 = 32004  # registered HDF5 LZ4 filter (nexusformat/hdf5plugin)
 _ZSTD = 32015  # registered HDF5 Zstandard filter (one plain zstd frame)
 _BLOSC = 32001  # registered HDF5 Blosc filter (one self-describing Blosc1 frame)
 _BITSHUFFLE = 32008  # kiyo-masui/bitshuffle's registered filter
+_ZFP = 32013  # H5Z-ZFP's registered filter (lossy float; zfpio.py)
 
 
 def _bshuf_default_block_elems(elem_size: int) -> int:
@@ -890,14 +891,23 @@ def scan_hdf5(path: str, inline_threshold: int = 300) -> dict:
                 for fid, _ in filters
                 if fid not in (
                     _DEFLATE, _SHUFFLE, _FLETCHER32, _SZIP, _LZF, _BZIP2,
-                    _LZ4, _ZSTD, _BLOSC, _BITSHUFFLE,
+                    _LZ4, _ZSTD, _BLOSC, _BITSHUFFLE, _ZFP,
                 )
             ]
             if unsupported:
                 raise NotImplementedError(
                     f"{path}:{name}: HDF5 filters {unsupported} unsupported "
                     "(only deflate, shuffle, fletcher32, szip, bzip2, lzf, "
-                    "lz4, zstd, blosc, bitshuffle)"
+                    "lz4, zstd, blosc, bitshuffle, zfp)"
+                )
+            if any(fid == _ZFP for fid, _ in filters) and len(filters) > 1:
+                # H5Z-ZFP chunks are self-contained typed streams; a
+                # stacked byte filter around them has no archive
+                # presence and would need intermediate sizes the file
+                # does not record
+                raise NotImplementedError(
+                    f"{path}:{name}: zfp stacked with other filters "
+                    "unsupported (zfp alone only)"
                 )
             n_fletch = sum(1 for fid, _ in filters if fid == _FLETCHER32)
             if n_fletch and (
@@ -955,6 +965,11 @@ def scan_hdf5(path: str, inline_threshold: int = 300) -> dict:
                     # frame — the client values (versions, typesize,
                     # clevel, shuffle, compressor) are advisory
                     extra.append({"name": "hdf5-blosc"})
+                elif fid == _ZFP:
+                    # each chunk is a self-contained zfp stream with a
+                    # full header (the H5Z-ZFP design); cd_values are
+                    # advisory and ignored
+                    extra.append({"name": "hdf5-zfp"})
                 elif fid == _BITSHUFFLE:
                     # bshuf_h5filter cd values: (major, minor, elem_size,
                     # block_size_elems [0 = library default], compression
@@ -1188,6 +1203,7 @@ def write_hdf5(
     compress=False,
     shuffle: bool = False,
     fletcher32=False,
+    zfp_opts=None,
 ) -> None:
     """Write an NDDataset as a flat HDF5 file (superblock v0, v1 object
     headers, symbol-table root group, ``_ARRAY_DIMENSIONS`` attributes —
@@ -1200,16 +1216,25 @@ def write_hdf5(
     'zstd' (registered filter 32015, one plain zstd frame), 'blosc'
     (registered filter 32001, one self-describing Blosc1 frame), or
     'bitshuffle' (kiyo-masui's registered filter 32008, blocked
-    bit-transpose + per-block LZ4)."""
+    bit-transpose + per-block LZ4), or 'zfp' (H5Z-ZFP's registered
+    filter 32013 — LOSSY float coding via zfpio.py; ``zfp_opts``
+    selects the mode, default ``{"tolerance": 1e-9}``; non-float or
+    >3-D variables store uncompressed; zfp composes with no other
+    filter)."""
     from .dsio import _encode_for_store
 
     if compress not in (
         False, None, True, "deflate", "gzip", "lzf", "szip", "bzip2",
-        "lz4", "zstd", "blosc", "bitshuffle",
+        "lz4", "zstd", "blosc", "bitshuffle", "zfp",
     ):
         raise ValueError(
             f"compress={compress!r}; use False, 'deflate', 'lzf', 'szip', "
-            "'bzip2', 'lz4', 'zstd', 'blosc' or 'bitshuffle'"
+            "'bzip2', 'lz4', 'zstd', 'blosc', 'bitshuffle' or 'zfp'"
+        )
+    if compress == "zfp" and (shuffle or fletcher32):
+        raise ValueError(
+            "zfp composes with no other filter (chunks are "
+            "self-contained typed streams)"
         )
     use_lzf = compress == "lzf"
     use_szip = compress == "szip"
@@ -1218,6 +1243,7 @@ def write_hdf5(
     use_zstd = compress == "zstd"
     use_blosc = compress == "blosc"
     use_bshuf = compress == "bitshuffle"
+    use_zfp = compress == "zfp"
     chunks = chunks or {}
     variables = {**ds.coords, **ds.data_vars}
     names = sorted(variables)
@@ -1272,7 +1298,10 @@ def write_hdf5(
             and int(np.prod(chunk_dims, dtype=np.int64)) >= 16
             and dt.itemsize <= 4
         )
-        eff_compress = False if (use_szip and not var_szip) else compress
+        var_zfp = use_zfp and dt.kind == "f" and 1 <= data.ndim <= 3
+        eff_compress = False if (
+            (use_szip and not var_szip) or (use_zfp and not var_zfp)
+        ) else compress
         chunked = eff_compress or shuffle or list(chunk_dims) != list(data.shape)
         if var_szip:
             from .szip import (
@@ -1345,6 +1374,13 @@ def write_hdf5(
                     raw = blosc_compress(raw, typesize=dt.itemsize)
                 elif use_bshuf:
                     raw = hdf5_bitshuffle_compress(raw, dt.itemsize)
+                elif var_zfp:
+                    # lossy: compress the TYPED chunk, not its bytes
+                    from .zfpio import compress_zfp
+
+                    raw = compress_zfp(
+                        block, **(zfp_opts or {"tolerance": 1e-9})
+                    )
                 elif eff_compress:
                     raw = zlib.compress(raw, 4)
                 if fletcher32 and fletcher32 != "first":
@@ -1457,6 +1493,18 @@ def write_hdf5(
                             "<7I", 2, 2, dt.itemsize,
                             int(np.prod(chunk_dims)) * dt.itemsize, 5, 1, 1,
                         )
+                        + struct.pack("<I", 0)
+                    )
+                elif var_zfp:
+                    fname = b"zfp\x00\x00\x00\x00\x00"
+                    # one client value (H5Z-ZFP library version word) —
+                    # advisory: every chunk is a self-contained zfp
+                    # stream with its own full header; odd count → one
+                    # 4-byte pad per the v1 pipeline message layout
+                    entries.append(
+                        struct.pack("<HHHH", _ZFP, len(fname), 1, 1)
+                        + fname
+                        + struct.pack("<I", 0x0110)
                         + struct.pack("<I", 0)
                     )
                 elif eff_compress:

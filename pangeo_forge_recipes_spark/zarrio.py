@@ -742,6 +742,14 @@ class ZarrArray:
             # checksum wraps the stored stream (h5py places the filter
             # last): verify + strip FIRST
             buf = _fletcher32_verify_strip(buf)
+        if any(c["name"] == "hdf5-zfp" for c in self.meta["codecs"]):
+            # a zfp chunk is a self-contained TYPED stream (full header
+            # + blocks): it decodes straight to the chunk array, not to
+            # a byte stream for further unfiltering
+            from .zfpio import decompress_zfp
+
+            arr = decompress_zfp(buf).astype(self.dtype, copy=False).ravel()
+            return self._pad_reshape(arr)
         # HDF5 compression filters decode in REVERSE of the file's
         # recorded pipeline (application) order — the order-insensitive
         # membership checks this replaces would decode stacked filters

@@ -1,0 +1,679 @@
+"""zfp lossy floating-point codec (HDF5 filter 32013 — H5Z-ZFP).
+
+Pure-Python implementation of the published zfp compressed-stream
+format (Lindstrom, "Fixed-Rate Compressed Floating-Point Arrays", IEEE
+TVCG 2014; the algorithm and stream layout documented at
+zfp.readthedocs.io): 4^d blocks, block-floating-point with a common
+biased exponent per block, the non-orthogonal lifting transform,
+total-sequency coefficient ordering, negabinary mapping, and embedded
+group-tested bit-plane coding — with the full stream header (magic +
+field meta + compression mode) and fixed-rate / fixed-precision /
+fixed-accuracy modes, float32/float64, 1-3 dimensions.
+
+Honesty note on pinning: no zfp binary, zfpy wheel, or
+zfp-compressed archive exists in this container, so BIT-exact
+interoperability with the C implementation cannot be verified here.
+What IS verified: exact encode/decode round-trips of the bitstream,
+the documented error bounds (fixed-accuracy absolute tolerance,
+fixed-rate monotone improvement with rate), the exact invertibility of
+the lifting transform pair, header field packing against the
+documented layout (48-bit size fields + 2-bit dimensionality + 2-bit
+scalar type; 12-bit short mode partition rate/precision/accuracy), and
+the all-zero-block 1-bit fast path. Reversible and expert modes raise
+named gates. Format anchors: the reference pipeline reads such files
+through HDF5 plugins (reference ``openers.py:40-47`` delegates to
+h5py, which loads H5Z-ZFP when installed).
+
+Each compressed HDF5 chunk is a SELF-CONTAINED zfp stream beginning
+with the full header (the H5Z-ZFP design — chunks decode without the
+dataset's advisory ``cd_values``, which this reader ignores).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+__all__ = [
+    "compress_zfp",
+    "decompress_zfp",
+    "zfp_read_header",
+    "ZfpHeader",
+]
+
+ZFP_CODEC_VERSION = 5
+ZFP_MIN_BITS = 1
+ZFP_MAX_BITS = 16658
+ZFP_MAX_PREC = 64
+ZFP_MIN_EXP = -1074
+_MAGIC_BITS = 32
+_META_BITS = 52
+_MODE_SHORT_BITS = 12
+# short-mode partition: [0,2047] rate, [2048,2175] precision,
+# [2176,4093] accuracy; 0xFFF marks a 64-bit (expert/reversible) mode
+_MODE_LONG_MARK = (1 << _MODE_SHORT_BITS) - 1
+
+_MASK64 = (1 << 64) - 1
+
+
+# ===========================================================================
+# LSB-first bitstream over little-endian 64-bit words (zfp's bitstream)
+# ===========================================================================
+
+
+class _BitWriter:
+    def __init__(self):
+        self.words: List[int] = []
+        self.acc = 0
+        self.n = 0
+        self.bits_written = 0
+
+    def write_bits(self, value: int, nbits: int) -> None:
+        if nbits <= 0:
+            return
+        value &= (1 << nbits) - 1
+        self.acc |= value << self.n
+        self.n += nbits
+        self.bits_written += nbits
+        while self.n >= 64:
+            self.words.append(self.acc & _MASK64)
+            self.acc >>= 64
+            self.n -= 64
+
+    def write_bit(self, bit: int) -> None:
+        self.write_bits(1 if bit else 0, 1)
+
+    def pad(self, nbits: int) -> None:
+        self.write_bits(0, nbits)
+
+    def getvalue(self) -> bytes:
+        words = list(self.words)
+        if self.n:
+            words.append(self.acc & _MASK64)
+        return b"".join(struct.pack("<Q", w) for w in words)
+
+
+class _BitReader:
+    def __init__(self, buf: bytes):
+        pad = (-len(buf)) % 8
+        self.buf = buf + b"\x00" * pad
+        self.nwords = len(self.buf) // 8
+        self.widx = 0
+        self.acc = 0
+        self.n = 0
+        self.bits_read = 0
+
+    def _fill(self) -> None:
+        while self.n <= 64 and self.widx < self.nwords:
+            (w,) = struct.unpack_from("<Q", self.buf, 8 * self.widx)
+            self.acc |= w << self.n
+            self.n += 64
+            self.widx += 1
+
+    def read_bits(self, nbits: int) -> int:
+        if nbits <= 0:
+            return 0
+        out = 0
+        shift = 0
+        while nbits:
+            if self.n == 0:
+                self._fill()
+                if self.n == 0:
+                    # past the end: zfp streams read zeros
+                    self.bits_read += nbits
+                    return out
+            take = min(nbits, self.n)
+            out |= (self.acc & ((1 << take) - 1)) << shift
+            self.acc >>= take
+            self.n -= take
+            shift += take
+            nbits -= take
+            self.bits_read += take
+        return out
+
+    def read_bit(self) -> int:
+        return self.read_bits(1)
+
+    def skip(self, nbits: int) -> None:
+        self.read_bits(nbits)
+
+
+# ===========================================================================
+# block transform (the documented non-orthogonal lifting pair)
+# ===========================================================================
+
+
+def _fwd_lift(v: List[int], off: int, s: int) -> None:
+    x = v[off]
+    y = v[off + s]
+    z = v[off + 2 * s]
+    w = v[off + 3 * s]
+    # 1/16 * ( 4  4  4  4 ; 5  1 -1 -5 ; -4  4  4 -4 ; -2  6 -6  2 )
+    x += w; x >>= 1; w -= x
+    z += y; z >>= 1; y -= z
+    x += z; x >>= 1; z -= x
+    w += y; w >>= 1; y -= w
+    w += y >> 1; y -= w >> 1
+    v[off] = x
+    v[off + s] = y
+    v[off + 2 * s] = z
+    v[off + 3 * s] = w
+
+
+def _inv_lift(v: List[int], off: int, s: int) -> None:
+    x = v[off]
+    y = v[off + s]
+    z = v[off + 2 * s]
+    w = v[off + 3 * s]
+    # 1/4 * ( 4  6 -4 -1 ; 4  2  4  5 ; 4 -2  4 -5 ; 4 -6 -4  1 )
+    y += w >> 1; w -= y >> 1
+    y += w; w <<= 1; w -= y
+    z += x; x <<= 1; x -= z
+    y += z; z <<= 1; z -= y
+    w += x; x <<= 1; x -= w
+    v[off] = x
+    v[off + s] = y
+    v[off + 2 * s] = z
+    v[off + 3 * s] = w
+
+
+def _fwd_xform(v: List[int], ndim: int) -> None:
+    """In-place decorrelation; storage is x-fastest (C order reversed:
+    linear index = x + 4*y + 16*z)."""
+    if ndim == 1:
+        _fwd_lift(v, 0, 1)
+        return
+    if ndim == 2:
+        for y in range(4):
+            _fwd_lift(v, 4 * y, 1)  # along x
+        for x in range(4):
+            _fwd_lift(v, x, 4)  # along y
+        return
+    for z in range(4):  # along x
+        for y in range(4):
+            _fwd_lift(v, 16 * z + 4 * y, 1)
+    for x in range(4):  # along y
+        for z in range(4):
+            _fwd_lift(v, 16 * z + x, 4)
+    for y in range(4):  # along z
+        for x in range(4):
+            _fwd_lift(v, 4 * y + x, 16)
+
+
+def _inv_xform(v: List[int], ndim: int) -> None:
+    if ndim == 1:
+        _inv_lift(v, 0, 1)
+        return
+    if ndim == 2:
+        for x in range(4):
+            _inv_lift(v, x, 4)  # along y
+        for y in range(4):
+            _inv_lift(v, 4 * y, 1)  # along x
+        return
+    for y in range(4):  # along z
+        for x in range(4):
+            _inv_lift(v, 4 * y + x, 16)
+    for x in range(4):  # along y
+        for z in range(4):
+            _inv_lift(v, 16 * z + x, 4)
+    for z in range(4):  # along x
+        for y in range(4):
+            _inv_lift(v, 16 * z + 4 * y, 1)
+
+
+def _make_perm(ndim: int) -> List[int]:
+    """Total-sequency coefficient order: coefficients sorted by the sum
+    of their per-dimension frequencies; ties broken low-frequency-last
+    along the slower axes ((total, z, y) ascending — the generalization
+    of the published 2D diagonal order (0,0),(1,0),(0,1),(2,0),(1,1),
+    (0,2),...)."""
+    coords = [
+        tuple(reversed(divmod_seq(i, ndim))) for i in range(4**ndim)
+    ]
+    # coords[i] = (x, y[, z]) for linear index i = x + 4y + 16z
+    order = sorted(
+        range(4**ndim),
+        key=lambda i: (sum(coords[i]),) + tuple(reversed(coords[i][1:])),
+    )
+    return order
+
+
+def divmod_seq(i: int, ndim: int) -> Tuple[int, ...]:
+    """Linear block index -> (z, y, x)-style digits, slowest first."""
+    digits = []
+    for _ in range(ndim):
+        digits.append(i % 4)
+        i //= 4
+    return tuple(reversed(digits))
+
+
+_PERM: Dict[int, List[int]] = {d: _make_perm(d) for d in (1, 2, 3)}
+
+
+# ===========================================================================
+# embedded bit-plane coding (the published group-tested coder)
+# ===========================================================================
+
+
+def _encode_ints(
+    w: _BitWriter, maxbits: int, maxprec: int, ublock: List[int], intprec: int
+) -> int:
+    size = len(ublock)
+    kmin = intprec - maxprec if intprec > maxprec else 0
+    bits = maxbits
+    n = 0
+    for k in range(intprec - 1, kmin - 1, -1):
+        if not bits:
+            break
+        # extract bit plane k: coefficient i -> bit i of x
+        x = 0
+        for i in range(size):
+            x |= ((ublock[i] >> k) & 1) << i
+        # verbatim part: bits for the n coefficients already significant
+        m = min(n, bits)
+        bits -= m
+        w.write_bits(x, m)
+        x >>= m
+        # group-tested unary part for the rest
+        while n < size and bits:
+            bits -= 1
+            w.write_bit(1 if x else 0)
+            if not x:
+                break
+            while n < size - 1 and bits:
+                bits -= 1
+                b = x & 1
+                w.write_bit(b)
+                if b:
+                    break
+                x >>= 1
+                n += 1
+            x >>= 1
+            n += 1
+    return maxbits - bits
+
+
+def _decode_ints(
+    r: _BitReader, maxbits: int, maxprec: int, size: int, intprec: int
+) -> Tuple[List[int], int]:
+    data = [0] * size
+    kmin = intprec - maxprec if intprec > maxprec else 0
+    bits = maxbits
+    n = 0
+    for k in range(intprec - 1, kmin - 1, -1):
+        if not bits:
+            break
+        m = min(n, bits)
+        bits -= m
+        x = r.read_bits(m)
+        while n < size and bits:
+            bits -= 1
+            if not r.read_bit():
+                break
+            while n < size - 1 and bits:
+                bits -= 1
+                if r.read_bit():
+                    break
+                n += 1
+            x += 1 << n
+            n += 1
+        i = 0
+        while x:
+            if x & 1:
+                data[i] += 1 << k
+            i += 1
+            x >>= 1
+    return data, maxbits - bits
+
+
+# ===========================================================================
+# float block codec
+# ===========================================================================
+
+
+def _precision(emax: int, maxprec: int, minexp: int, ndim: int) -> int:
+    return min(maxprec, max(0, emax - minexp + 2 * (ndim + 1)))
+
+
+def _exponent(x: float, ebias: int) -> int:
+    if x > 0:
+        e = math.frexp(x)[1]
+        return max(e, 1 - ebias)  # clamp denormals
+    return -ebias
+
+
+def _encode_block_float(
+    w: _BitWriter,
+    params: dict,
+    fblock: np.ndarray,
+    ndim: int,
+) -> None:
+    is64 = fblock.dtype == np.float64
+    ebits = 11 if is64 else 8
+    ebias = 1023 if is64 else 127
+    intprec = 64 if is64 else 32
+    nbmask = 0xAAAAAAAAAAAAAAAA if is64 else 0xAAAAAAAA
+    wmask = (1 << intprec) - 1
+    start = w.bits_written
+    amax = float(np.max(np.abs(fblock))) if fblock.size else 0.0
+    emax = _exponent(amax, ebias)
+    maxprec = _precision(emax, params["maxprec"], params["minexp"], ndim)
+    e = (emax + ebias) if maxprec else 0
+    if not e:
+        w.write_bit(0)  # all-(effectively-)zero block
+    else:
+        # common exponent; LSB=1 marks a nonzero block
+        w.write_bits(2 * e + 1, ebits + 1)
+        # block-floating-point: scale by 2^(intprec-2-emax), truncate
+        scale = math.ldexp(1.0, intprec - 2 - emax)
+        ints = [int(scale * float(v)) for v in fblock.ravel()]
+        _fwd_xform(ints, ndim)
+        perm = _PERM[ndim]
+        ublock = [
+            (((ints[perm[j]] & wmask) + nbmask) & wmask) ^ nbmask
+            for j in range(len(ints))
+        ]
+        budget = params["maxbits"] - (1 + ebits)
+        _encode_ints(w, budget, maxprec, ublock, intprec)
+    used = w.bits_written - start
+    if used < params["minbits"]:
+        w.pad(params["minbits"] - used)
+
+
+def _decode_block_float(
+    r: _BitReader,
+    params: dict,
+    ndim: int,
+    is64: bool,
+) -> np.ndarray:
+    ebits = 11 if is64 else 8
+    ebias = 1023 if is64 else 127
+    intprec = 64 if is64 else 32
+    nbmask = 0xAAAAAAAAAAAAAAAA if is64 else 0xAAAAAAAA
+    wmask = (1 << intprec) - 1
+    signbit = 1 << (intprec - 1)
+    start = r.bits_read
+    size = 4**ndim
+    if not r.read_bit():
+        out = np.zeros(size, dtype=np.float64)
+    else:
+        e = r.read_bits(ebits)
+        emax = e - ebias
+        maxprec = _precision(emax, params["maxprec"], params["minexp"], ndim)
+        budget = params["maxbits"] - (1 + ebits)
+        ublock, _ = _decode_ints(r, budget, maxprec, size, intprec)
+        perm = _PERM[ndim]
+        ints = [0] * size
+        for j in range(size):
+            u = ublock[j]
+            v = ((u ^ nbmask) - nbmask) & wmask
+            if v & signbit:  # two's complement back to Python int
+                v -= 1 << intprec
+            ints[perm[j]] = v
+        _inv_xform(ints, ndim)
+        scale = math.ldexp(1.0, emax + 2 - intprec)
+        out = np.array([scale * v for v in ints], dtype=np.float64)
+    consumed = r.bits_read - start
+    if consumed < params["minbits"]:
+        r.skip(params["minbits"] - consumed)
+    return out
+
+
+# ===========================================================================
+# partial-block gather/scatter (pad_block replication)
+# ===========================================================================
+
+
+def _pad_axis(block: np.ndarray, n: int, axis: int) -> None:
+    """zfp pad_block: given n valid samples along axis, fill 4."""
+    ix = [slice(None)] * block.ndim
+
+    def seti(dst, src):
+        a, b = list(ix), list(ix)
+        a[axis], b[axis] = dst, src
+        block[tuple(a)] = block[tuple(b)]
+
+    if n == 0:
+        ix0 = list(ix)
+        ix0[axis] = 0
+        block[tuple(ix0)] = 0
+        n = 1
+    if n == 1:
+        seti(1, 0)
+        n = 2
+    if n == 2:
+        seti(2, 1)
+        n = 3
+    if n == 3:
+        seti(3, 0)
+
+
+def _gather(arr: np.ndarray, origin: Tuple[int, ...]) -> np.ndarray:
+    """4^d block at origin (numpy C-order axes, slowest first), padded
+    per pad_block along each dimension fastest-first."""
+    ndim = arr.ndim
+    shape = arr.shape
+    valid = [min(4, shape[d] - origin[d]) for d in range(ndim)]
+    block = np.zeros((4,) * ndim, dtype=arr.dtype)
+    src = tuple(slice(origin[d], origin[d] + valid[d]) for d in range(ndim))
+    block[tuple(slice(0, v) for v in valid)] = arr[src]
+    # pad fastest axis first (x = last numpy axis), matching
+    # gather_partial's x-then-y-then-z fill
+    for axis in range(ndim - 1, -1, -1):
+        if valid[axis] < 4:
+            _pad_axis(block, valid[axis], axis)
+    return block
+
+
+def _scatter(arr: np.ndarray, block: np.ndarray, origin: Tuple[int, ...]) -> None:
+    ndim = arr.ndim
+    valid = [min(4, arr.shape[d] - origin[d]) for d in range(ndim)]
+    dst = tuple(slice(origin[d], origin[d] + valid[d]) for d in range(ndim))
+    arr[dst] = block[tuple(slice(0, v) for v in valid)]
+
+
+# ===========================================================================
+# header (magic + field meta + mode)
+# ===========================================================================
+
+
+class ZfpHeader:
+    def __init__(self, dtype, shape, minbits, maxbits, maxprec, minexp):
+        self.dtype = np.dtype(dtype)
+        self.shape = tuple(shape)  # numpy C-order (slowest first)
+        self.minbits = minbits
+        self.maxbits = maxbits
+        self.maxprec = maxprec
+        self.minexp = minexp
+
+    @property
+    def params(self) -> dict:
+        return {
+            "minbits": self.minbits,
+            "maxbits": self.maxbits,
+            "maxprec": self.maxprec,
+            "minexp": self.minexp,
+        }
+
+
+def _mode_params(
+    rate: Optional[float],
+    precision: Optional[int],
+    tolerance: Optional[float],
+    ndim: int,
+    dtype: np.dtype,
+) -> Tuple[int, int, int, int]:
+    given = sum(p is not None for p in (rate, precision, tolerance))
+    if given != 1:
+        raise ValueError("give exactly one of rate=, precision=, tolerance=")
+    if rate is not None:
+        n = 4**ndim
+        bits = int(math.floor(n * float(rate) + 0.5))
+        bits = max(bits, (1 + 11) if dtype == np.float64 else (1 + 8))
+        bits = min(bits, 2048)  # short-mode representable
+        return bits, bits, ZFP_MAX_PREC, ZFP_MIN_EXP
+    if precision is not None:
+        prec = int(precision)
+        if not 1 <= prec <= 64:
+            raise ValueError("precision must be in [1, 64]")
+        return ZFP_MIN_BITS, ZFP_MAX_BITS, prec, ZFP_MIN_EXP
+    tol = float(tolerance)
+    emin = ZFP_MIN_EXP
+    if tol > 0:
+        emin = math.frexp(tol)[1] - 1  # 2^emin <= tol < 2^(emin+1)
+    emin = max(emin, ZFP_MIN_EXP)
+    return ZFP_MIN_BITS, ZFP_MAX_BITS, ZFP_MAX_PREC, emin
+
+
+def _mode_to_short(minbits, maxbits, maxprec, minexp) -> int:
+    if minbits == maxbits and maxprec == ZFP_MAX_PREC and minexp == ZFP_MIN_EXP:
+        if maxbits <= 2048:
+            return maxbits - 1  # fixed rate: [0, 2047]
+    if minbits == ZFP_MIN_BITS and maxbits == ZFP_MAX_BITS and minexp == ZFP_MIN_EXP:
+        if maxprec <= 128:
+            return 2048 + maxprec - 1  # fixed precision: [2048, 2175]
+    if minbits == ZFP_MIN_BITS and maxbits == ZFP_MAX_BITS and maxprec == ZFP_MAX_PREC:
+        return 2048 + 128 + (minexp - ZFP_MIN_EXP)  # fixed accuracy
+    raise NotImplementedError(
+        "zfp expert-mode parameter sets are not supported (fixed-rate/"
+        "precision/accuracy only)"
+    )
+
+
+def _mode_from_short(mode: int) -> Tuple[int, int, int, int]:
+    if mode < 2048:
+        bits = mode + 1
+        return bits, bits, ZFP_MAX_PREC, ZFP_MIN_EXP
+    if mode < 2048 + 128:
+        return ZFP_MIN_BITS, ZFP_MAX_BITS, mode - 2048 + 1, ZFP_MIN_EXP
+    return (
+        ZFP_MIN_BITS,
+        ZFP_MAX_BITS,
+        ZFP_MAX_PREC,
+        mode - (2048 + 128) + ZFP_MIN_EXP,
+    )
+
+
+_TYPE_CODE = {np.dtype("float32"): 3, np.dtype("float64"): 4}  # zfp_type - 1 fields
+_CODE_TYPE = {2: np.dtype("float32"), 3: np.dtype("float64")}
+
+
+def _write_header(w: _BitWriter, hdr: ZfpHeader) -> None:
+    for ch in b"zfp":
+        w.write_bits(ch, 8)
+    w.write_bits(ZFP_CODEC_VERSION, 8)
+    # meta: low 2 bits type-1, next 2 bits dims-1, then sizes-1
+    # x-fastest (nx lowest)
+    ndim = len(hdr.shape)
+    sizes = list(reversed(hdr.shape))  # nx, ny, nz
+    field_bits = 48 // ndim
+    meta = 0
+    for s in reversed(sizes):  # nz first so nx lands lowest
+        if (s - 1) >> field_bits:
+            raise ValueError(f"zfp: dimension size {s} too large for {ndim}D")
+        meta = (meta << field_bits) + (s - 1)
+    meta = (meta << 2) + (ndim - 1)
+    meta = (meta << 2) + (_TYPE_CODE[hdr.dtype] - 1)
+    w.write_bits(meta, _META_BITS)
+    mode = _mode_to_short(hdr.minbits, hdr.maxbits, hdr.maxprec, hdr.minexp)
+    if mode >= _MODE_LONG_MARK:
+        raise NotImplementedError("zfp long (expert) mode header")
+    w.write_bits(mode, _MODE_SHORT_BITS)
+
+
+def _read_header(r: _BitReader) -> ZfpHeader:
+    magic = bytes(r.read_bits(8) for _ in range(3))
+    if magic != b"zfp":
+        raise ValueError(f"not a zfp stream (magic {magic!r})")
+    version = r.read_bits(8)
+    if version != ZFP_CODEC_VERSION:
+        raise NotImplementedError(f"zfp codec version {version} unsupported")
+    meta = r.read_bits(_META_BITS)
+    tcode = meta & 3
+    meta >>= 2
+    ndim = (meta & 3) + 1
+    meta >>= 2
+    if tcode + 1 not in (3, 4):
+        raise NotImplementedError(
+            f"zfp scalar type code {tcode} unsupported (float32/float64 only)"
+        )
+    dtype = _CODE_TYPE[tcode]
+    if ndim > 3:
+        raise NotImplementedError("zfp 4D streams unsupported")
+    field_bits = 48 // ndim
+    sizes = []
+    for _ in range(ndim):  # nx first (lowest bits)
+        sizes.append((meta & ((1 << field_bits) - 1)) + 1)
+        meta >>= field_bits
+    shape = tuple(reversed(sizes))  # back to numpy order
+    mode = r.read_bits(_MODE_SHORT_BITS)
+    if mode >= _MODE_LONG_MARK:
+        raise NotImplementedError(
+            "zfp expert/reversible (long-form) mode headers unsupported"
+        )
+    minbits, maxbits, maxprec, minexp = _mode_from_short(mode)
+    return ZfpHeader(dtype, shape, minbits, maxbits, maxprec, minexp)
+
+
+def zfp_read_header(buf: bytes) -> ZfpHeader:
+    """Parse the stream header only (shape, dtype, mode parameters)."""
+    return _read_header(_BitReader(buf))
+
+
+# ===========================================================================
+# top level
+# ===========================================================================
+
+
+def _block_origins(shape: Tuple[int, ...]):
+    import itertools
+
+    return itertools.product(*(range(0, s, 4) for s in shape))
+
+
+def compress_zfp(
+    arr: np.ndarray,
+    rate: Optional[float] = None,
+    precision: Optional[int] = None,
+    tolerance: Optional[float] = None,
+) -> bytes:
+    """Compress a 1-3D float32/float64 array into a self-contained zfp
+    stream (full header + blocks, flushed to a 64-bit word boundary).
+    Exactly one of ``rate`` (bits/value), ``precision`` (bit planes),
+    or ``tolerance`` (absolute error bound) selects the mode."""
+    arr = np.asarray(arr)
+    if arr.dtype not in (np.dtype("float32"), np.dtype("float64")):
+        raise NotImplementedError(
+            f"zfp: dtype {arr.dtype} unsupported (float32/float64 only)"
+        )
+    if not 1 <= arr.ndim <= 3:
+        raise NotImplementedError("zfp: 1-3 dimensional arrays only")
+    if not arr.flags.c_contiguous:
+        arr = np.ascontiguousarray(arr)
+    minbits, maxbits, maxprec, minexp = _mode_params(
+        rate, precision, tolerance, arr.ndim, arr.dtype
+    )
+    hdr = ZfpHeader(arr.dtype, arr.shape, minbits, maxbits, maxprec, minexp)
+    w = _BitWriter()
+    _write_header(w, hdr)
+    params = hdr.params
+    for origin in _block_origins(arr.shape):
+        _encode_block_float(w, params, _gather(arr, origin), arr.ndim)
+    return w.getvalue()
+
+
+def decompress_zfp(buf: bytes) -> np.ndarray:
+    """Decompress a self-contained zfp stream to its numpy array."""
+    r = _BitReader(buf)
+    hdr = _read_header(r)
+    out = np.zeros(hdr.shape, dtype=np.float64)
+    is64 = hdr.dtype == np.dtype("float64")
+    params = hdr.params
+    ndim = len(hdr.shape)
+    for origin in _block_origins(hdr.shape):
+        block = _decode_block_float(r, params, ndim, is64).reshape((4,) * ndim)
+        _scatter(out, block, origin)
+    return out.astype(hdr.dtype, copy=False)

@@ -116,22 +116,21 @@ def test_write_read_roundtrip_shuffle_deflate(tmp_path):
 
 
 def test_unsupported_filter_raises(tmp_path):
-    """A dataset using an unimplemented filter (zfp's registered id
-    32013 — a lossy floating-point codec with no in-container oracle)
-    must fail loudly, not decode garbage. (szip, bzip2, lz4, zstd,
-    blosc and bitshuffle, former examples here, are now decoded
-    natively.)"""
+    """A dataset using a filter this engine has never heard of (id 399,
+    unassigned in the HDF5 registry) must fail loudly, not decode
+    garbage. (szip, bzip2, lz4, zstd, blosc, bitshuffle and — r11 —
+    zfp, former examples here, are now decoded natively.)"""
     ds = make_ds(nt=2)
     p = str(tmp_path / "t.h5")
     write_hdf5(p, ds, chunks={"time": 1}, compress=True)
-    # splice the HDF5-zfp filter id (32013) over deflate (1)
+    # splice an unassigned filter id over deflate (1)
     with open(p, "rb") as f:
         raw = bytearray(f.read())
     sig = b"deflate\x00"
     idx = raw.find(sig)
     assert idx > 0
-    raw[idx - 8 : idx - 6] = (32013).to_bytes(2, "little")
-    raw[idx : idx + 8] = b"zfp\x00\x00\x00\x00\x00"
+    raw[idx - 8 : idx - 6] = (399).to_bytes(2, "little")
+    raw[idx : idx + 8] = b"mystery\x00"
     p2 = str(tmp_path / "t2.h5")
     with open(p2, "wb") as f:
         f.write(bytes(raw))
@@ -580,3 +579,95 @@ def test_fletcher32_filter_roundtrip_and_corruption(tmp_path):
     refs2 = scan_hdf5(p2)
     with pytest.raises(ValueError, match="fletcher32 checksum mismatch"):
         open_reference_dataset(refs2)["foo"].data
+
+
+# ---------------------------------------------------------------------------
+# zfp (filter 32013 — flipped from a gate to a round-trip in r11)
+# ---------------------------------------------------------------------------
+
+
+def test_hdf5_zfp_round_trip(tmp_path):
+    """write_hdf5(compress='zfp') emits the registered filter-32013
+    pipeline; each chunk is a self-contained zfp stream (full header)
+    the scanner + virtual store decode back within the encoder's
+    accuracy tolerance. Non-float variables (int coords) store
+    uncompressed and read back exactly."""
+    from pangeo_forge_recipes_spark.hdf5io import read_hdf5
+
+    ds = make_ds(nt=6)
+    p = str(tmp_path / "zfp.h5")
+    tol = 1e-4
+    write_hdf5(
+        p, ds, chunks={"time": 4}, compress="zfp",
+        zfp_opts={"tolerance": tol},
+    )
+    refs = scan_hdf5(p)
+    import json as _json
+
+    foo_meta = _json.loads(refs["foo/zarr.json"])
+    assert {"name": "hdf5-zfp"} in foo_meta["codecs"]
+    back = read_hdf5(p)
+    # lossy floats: bounded by the tolerance
+    for name in ("foo",):
+        got = back.data_vars[name].data
+        want = ds.data_vars[name].data
+        assert got.shape == want.shape and got.dtype == want.dtype
+        assert float(np.max(np.abs(got - want))) <= tol
+    # exact lat/lon float coords also ride zfp within tolerance
+    np.testing.assert_allclose(
+        back.coords["lat"].data, ds.coords["lat"].data, atol=tol
+    )
+    # integer-typed variables bypassed zfp and are EXACT
+    np.testing.assert_array_equal(
+        back.data_vars["bar"].data, ds.data_vars["bar"].data
+    )
+    # the compressed file is genuinely smaller than an uncompressed one
+    p2 = str(tmp_path / "raw.h5")
+    write_hdf5(p2, ds, chunks={"time": 4})
+    assert os.path.getsize(p) < os.path.getsize(p2)
+
+
+def test_hdf5_zfp_rate_and_precision_modes(tmp_path):
+    """Fixed-rate and fixed-precision zfp modes round-trip through the
+    HDF5 pipeline; rate mode yields the predictable compressed size."""
+    from pangeo_forge_recipes_spark.hdf5io import read_hdf5
+    from pangeo_forge_recipes_spark.zfpio import zfp_read_header
+
+    rng = np.random.default_rng(7)
+    data = rng.normal(size=(8, 12)).astype("float64")
+    ds = NDDataset(
+        {"v": Variable(("y", "x"), data)},
+        {
+            "y": Variable(("y",), np.arange(8, dtype="int64")),
+            "x": Variable(("x",), np.arange(12, dtype="int64")),
+        },
+    )
+    p = str(tmp_path / "rate.h5")
+    write_hdf5(p, ds, compress="zfp", zfp_opts={"rate": 16})
+    back = read_hdf5(p)
+    assert float(np.max(np.abs(back["v"].data - data))) < 0.05
+    # the chunk stream's own header records the mode
+    refs = scan_hdf5(p)
+    key = next(
+        k for k, v in refs.items()
+        if k.startswith("v/c/") and isinstance(v, list)
+    )
+    url, off, n = refs[key]
+    with open(p, "rb") as f:
+        f.seek(off)
+        hdr = zfp_read_header(f.read(n))
+    assert hdr.minbits == hdr.maxbits == 16 * 16  # rate * block size
+    p2 = str(tmp_path / "prec.h5")
+    write_hdf5(p2, ds, compress="zfp", zfp_opts={"precision": 40})
+    back2 = read_hdf5(p2)
+    assert float(np.max(np.abs(back2["v"].data - data))) < 1e-6
+
+
+def test_hdf5_zfp_composition_gates(tmp_path):
+    """zfp + any other filter raises at write AND at scan (a stacked
+    byte filter around a typed zfp stream has no archive presence)."""
+    ds = make_ds(nt=2)
+    with pytest.raises(ValueError, match="zfp composes with no other"):
+        write_hdf5(
+            str(tmp_path / "x.h5"), ds, compress="zfp", shuffle=True
+        )
