@@ -497,6 +497,14 @@ def scan_dmrpp(
     for v in dmr["vars"]:
         shape = [s for _, s in v["dims"]]
         dnames = [d or v["name"] for d, _ in v["dims"]]
+        if v["type"] == "String":
+            # vlen strings have no fixed-size chunk grid to map onto
+            # byte-range refs (the wire client reads them; sidecars
+            # annotating them are out of the DMR++ chunk model)
+            raise NotImplementedError(
+                f"{v['name']}: DMR++ String variables are not supported "
+                "(fixed-size atomic arrays only)"
+            )
         dtype = np.dtype(_DAP4_TYPES[v["type"]])
         ck = v["chunks"]
         if ck is None:
