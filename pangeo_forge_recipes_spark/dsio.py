@@ -47,6 +47,16 @@ _DEFAULT_TIME_UNITS = "nanoseconds since 1970-01-01"
 def _zarr_spec_for(var_schema: dict) -> Tuple[str, dict, object]:
     """Map a variable schema to (zarr dtype, extra attrs, fill value)."""
     dtype = var_schema["dtype"]
+    if dtype == "str" or str(dtype).lstrip("<>=|").startswith("U"):
+        # np.dtype("str") is the ZERO-width '<U0': templating an array
+        # from it would silently truncate every value on write. String
+        # variables (e.g. a DAP4 station coordinate) have no zarr
+        # template path yet — refuse loudly.
+        raise NotImplementedError(
+            f"cannot template a zarr array for string dtype {dtype!r} "
+            f"(variable schema {var_schema.get('dims')}); drop or encode "
+            "string variables before store_to_zarr"
+        )
     encoding = var_schema.get("encoding", {})
     extra_attrs: dict = {}
     # encoding may pin the metadata fill (readers substitute it for

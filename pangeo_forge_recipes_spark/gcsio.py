@@ -223,9 +223,12 @@ def build_sa_assertion(
 
 # process-wide token cache: (token_uri, client_email, scope) ->
 # (access_token, absolute_expiry). Shared across clients/threads so a
-# Spark stage's N tasks do one exchange, not N.
+# Spark stage's N tasks do one exchange, not N — a per-key in-flight
+# lock makes the cold start exactly one exchange even when all N
+# worker threads miss the cache simultaneously.
 _TOKEN_CACHE: Dict[Tuple[str, str, str], Tuple[str, float]] = {}
 _TOKEN_LOCK = threading.Lock()
+_TOKEN_INFLIGHT: Dict[Tuple[str, str, str], threading.Lock] = {}
 _EXPIRY_SLACK_S = 60.0
 
 
@@ -270,15 +273,27 @@ def _exchange_token(cfg: "GCSConfig") -> Tuple[str, float]:
 
 def _get_token(cfg: "GCSConfig") -> str:
     cache_key = (cfg.token_uri, cfg.client_email, cfg.scope)
-    now = time.time()
     with _TOKEN_LOCK:
         hit = _TOKEN_CACHE.get(cache_key)
-        if hit and hit[1] - _EXPIRY_SLACK_S > now:
+        if hit and hit[1] - _EXPIRY_SLACK_S > time.time():
             return hit[0]
-    tok, exp = _exchange_token(cfg)
+        gate = _TOKEN_INFLIGHT.setdefault(cache_key, threading.Lock())
+    with gate:  # one exchange per key; followers re-read the cache
+        with _TOKEN_LOCK:
+            hit = _TOKEN_CACHE.get(cache_key)
+            if hit and hit[1] - _EXPIRY_SLACK_S > time.time():
+                return hit[0]
+        tok, exp = _exchange_token(cfg)
+        with _TOKEN_LOCK:
+            _TOKEN_CACHE[cache_key] = (tok, exp)
+        return tok
+
+
+def _invalidate_token(cfg: "GCSConfig") -> None:
+    """Drop the cached token (the server rejected it — revoked key,
+    server-side expiry ahead of the local clock)."""
     with _TOKEN_LOCK:
-        _TOKEN_CACHE[cache_key] = (tok, exp)
-    return tok
+        _TOKEN_CACHE.pop((cfg.token_uri, cfg.client_email, cfg.scope), None)
 
 
 # ===========================================================================
@@ -367,8 +382,7 @@ class GCSClient(S3Client):
         host: str,
     ) -> Dict[str, str]:
         # Bearer tokens sign nothing request-specific, so no canonical
-        # request is built; the token refreshes through the process
-        # cache on every retry attempt (a 401 after expiry self-heals)
+        # request is built; expiry refreshes through the process cache
         headers = {
             "host": host,
             "authorization": f"Bearer {_get_token(self.config)}",
@@ -376,6 +390,20 @@ class GCSClient(S3Client):
         if extra_headers:
             headers.update({k.lower(): v for k, v in extra_headers.items()})
         return headers
+
+    def _request(self, *args, **kwargs):
+        try:
+            return super()._request(*args, **kwargs)
+        except S3Error as e:
+            if e.status != 401:
+                raise
+            # the endpoint rejected a token the local cache still
+            # considered live (revoked key, server-side expiry ahead of
+            # the driver clock): drop it and retry once with a fresh
+            # exchange — 401 is not in the transport's retry statuses,
+            # so without this a long job fails every remaining task
+            _invalidate_token(self.config)
+            return super()._request(*args, **kwargs)
 
 
 class GCSStore(S3Store):
@@ -399,16 +427,23 @@ class GCSStore(S3Store):
 
 
 def oauth_credentials_available(open_kwargs: Optional[dict] = None) -> bool:
-    """Should ``gs://`` dispatch to the native OAuth client? True when
-    the caller passed service-account credentials or the standard
-    ``GOOGLE_APPLICATION_CREDENTIALS`` variable is set — UNLESS the
-    caller explicitly passed HMAC interop keys (explicit kwargs win)."""
+    """Should ``gs://`` dispatch to the native OAuth client? Precedence
+    is specific-over-ambient: explicit kwargs win outright (HMAC
+    ``access_key``/``secret_key`` -> interop; ``credentials_file``/
+    ``credentials_json`` -> OAuth); then the storage-SPECIFIC
+    ``GS_ACCESS_KEY_ID``/``GS_SECRET_ACCESS_KEY`` pair keeps the interop
+    path (a working r10 setup must not break because an unrelated
+    gcloud/BigQuery ``GOOGLE_APPLICATION_CREDENTIALS`` is ambient);
+    only then does the generic key-file variable select OAuth."""
     kw = open_kwargs or {}
     if kw.get("access_key") or kw.get("secret_key"):
         return False
     if kw.get("credentials_file") or kw.get("credentials_json"):
         return True
-    return bool(os.environ.get("GOOGLE_APPLICATION_CREDENTIALS"))
+    env = os.environ
+    if env.get("GS_ACCESS_KEY_ID") and env.get("GS_SECRET_ACCESS_KEY"):
+        return False
+    return bool(env.get("GOOGLE_APPLICATION_CREDENTIALS"))
 
 
 def configure_spark_gcs(spark, config: Optional[GCSConfig] = None, **kwargs) -> None:

@@ -1298,7 +1298,15 @@ def write_hdf5(
             and int(np.prod(chunk_dims, dtype=np.int64)) >= 16
             and dt.itemsize <= 4
         )
-        var_zfp = use_zfp and dt.kind == "f" and 1 <= data.ndim <= 3
+        # float32/float64 in 1-3 dims only — float16 (and any other
+        # width) falls back to uncompressed storage like szip's gate,
+        # rather than raising mid-write
+        var_zfp = (
+            use_zfp
+            and dt.kind == "f"
+            and dt.itemsize in (4, 8)
+            and 1 <= data.ndim <= 3
+        )
         eff_compress = False if (
             (use_szip and not var_szip) or (use_zfp and not var_zfp)
         ) else compress

@@ -225,20 +225,27 @@ def _inv_xform(v: List[int], ndim: int) -> None:
 
 
 def _make_perm(ndim: int) -> List[int]:
-    """Total-sequency coefficient order: coefficients sorted by the sum
-    of their per-dimension frequencies; ties broken low-frequency-last
-    along the slower axes ((total, z, y) ascending — the generalization
-    of the published 2D diagonal order (0,0),(1,0),(0,1),(2,0),(1,1),
-    (0,2),...)."""
+    """Total-sequency coefficient order per zfp's published tables:
+    sorted by total degree (sum of per-dimension frequencies), ties
+    broken by the SUM OF SQUARES (so the mixed low-frequency terms
+    come first — 2D degree 2 orders (1,1),(2,0),(0,2), matching the
+    reference perm_2 table), remaining ties by higher x then higher y
+    first. Reproduces the full published perm_2: (0,0) (1,0) (0,1)
+    (1,1) (2,0) (0,2) (2,1) (1,2) (3,0) (0,3) (2,2) (3,1) (1,3)
+    (3,2) (2,3) (3,3)."""
     coords = [
         tuple(reversed(divmod_seq(i, ndim))) for i in range(4**ndim)
     ]
     # coords[i] = (x, y[, z]) for linear index i = x + 4y + 16z
-    order = sorted(
-        range(4**ndim),
-        key=lambda i: (sum(coords[i]),) + tuple(reversed(coords[i][1:])),
-    )
-    return order
+    def key(i):
+        c = coords[i]
+        return (
+            sum(c),
+            sum(v * v for v in c),
+            tuple(-v for v in c),
+        )
+
+    return sorted(range(4**ndim), key=key)
 
 
 def divmod_seq(i: int, ndim: int) -> Tuple[int, ...]:
@@ -513,7 +520,15 @@ def _mode_params(
         n = 4**ndim
         bits = int(math.floor(n * float(rate) + 0.5))
         bits = max(bits, (1 + 11) if dtype == np.float64 else (1 + 8))
-        bits = min(bits, 2048)  # short-mode representable
+        if bits > 2048:
+            # real zfp would emit an expert-mode (long-form) header
+            # here; degrading the requested fidelity silently would be
+            # worse than refusing
+            raise NotImplementedError(
+                f"zfp fixed rate {rate} needs {bits} bits/block — beyond "
+                "the 2048-bit short-mode header (expert mode unsupported); "
+                "use precision= or tolerance= instead"
+            )
         return bits, bits, ZFP_MAX_PREC, ZFP_MIN_EXP
     if precision is not None:
         prec = int(precision)
@@ -651,6 +666,15 @@ def compress_zfp(
         )
     if not 1 <= arr.ndim <= 3:
         raise NotImplementedError("zfp: 1-3 dimensional arrays only")
+    if not np.isfinite(arr).all():
+        # zfp documents NaN/Inf as unsupported; encoding one silently
+        # zeroes every finite neighbor in its 4^d block (the common
+        # NaN-fill pattern in geoscience data would corrupt wholesale)
+        raise ValueError(
+            "zfp cannot encode NaN/Inf values — replace fills with a "
+            "finite sentinel (and a fill_value attribute) before "
+            "compressing"
+        )
     if not arr.flags.c_contiguous:
         arr = np.ascontiguousarray(arr)
     minbits, maxbits, maxprec, minexp = _mode_params(

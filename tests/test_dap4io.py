@@ -462,3 +462,17 @@ def struct_pack_le_u64(v: int) -> bytes:
     import struct as _s
 
     return _s.pack("<Q", v)
+
+
+def test_string_schema_refused_by_zarr_template():
+    """np.dtype('str') is the ZERO-width '<U0' — templating a zarr
+    array from a DAP4 String schema would silently truncate every
+    value on write (r11 review finding). The spec builder refuses with
+    the remedy named instead."""
+    from pangeo_forge_recipes_spark.dsio import _zarr_spec_for
+
+    with pytest.raises(NotImplementedError, match="string dtype"):
+        _zarr_spec_for(
+            {"dims": ["station"], "shape": [4], "dtype": "str",
+             "attrs": {}, "encoding": {}}
+        )

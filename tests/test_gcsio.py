@@ -345,3 +345,68 @@ def test_gs_dispatch_oauth_vs_interop(monkeypatch, gcs):
     )
     assert isinstance(cl3, S3Client) and not isinstance(cl3, GCSClient)
     assert cl3.config.service == "gs"
+
+
+def test_server_side_401_invalidates_and_refreshes(gcs, store):
+    """A token the local cache still considers live but the endpoint
+    rejects (revoked key, clock skew) triggers ONE cache invalidation +
+    re-exchange instead of failing every remaining task (r11 review
+    finding: 401 is not in the transport's retry statuses)."""
+    store.put("alive.bin", b"1")
+    grants0 = gcs.token_grants
+    # revoke server-side; the client cache still holds the token
+    with gcs.lock:
+        gcs.tokens.clear()
+    assert store.get("alive.bin") == b"1"  # 401 -> invalidate -> refresh
+    assert gcs.token_grants == grants0 + 1
+
+
+def test_cold_start_single_exchange_across_threads(gcs):
+    """N threads missing the cache simultaneously perform ONE exchange
+    (per-key in-flight guard), not N (r11 review finding)."""
+    import threading
+
+    import pangeo_forge_recipes_spark.gcsio as gcsio
+
+    with gcsio._TOKEN_LOCK:
+        gcsio._TOKEN_CACHE.clear()
+    grants0 = gcs.token_grants
+    cl = GCSClient(**gcs.client_kwargs())
+    errs = []
+
+    def hit():
+        try:
+            cl.head_object("bkt", "nonexistent")
+        except Exception as e:  # 404 paths are fine; auth errors are not
+            errs.append(e)
+
+    threads = [threading.Thread(target=hit) for _ in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert gcs.token_grants == grants0 + 1
+
+
+def test_gs_env_hmac_keys_beat_ambient_key_file(monkeypatch, gcs):
+    """Storage-specific GS_ACCESS_KEY_ID/GS_SECRET_ACCESS_KEY env keys
+    keep the interop path even when an unrelated ambient
+    GOOGLE_APPLICATION_CREDENTIALS is set (r11 review finding: a
+    working r10 HMAC setup must not break because gcloud/BigQuery
+    exported a key file for another service)."""
+    from pangeo_forge_recipes_spark.gcsio import oauth_credentials_available
+
+    monkeypatch.setenv(
+        "GOOGLE_APPLICATION_CREDENTIALS", gcs.service_account_file()
+    )
+    monkeypatch.setenv("GS_ACCESS_KEY_ID", "HMACKEY")
+    monkeypatch.setenv("GS_SECRET_ACCESS_KEY", "HMACSECRET")
+    assert oauth_credentials_available(None) is False
+    # OAuth still wins when asked for explicitly
+    assert oauth_credentials_available(
+        {"credentials_file": gcs.service_account_file()}
+    )
+    monkeypatch.delenv("GS_ACCESS_KEY_ID")
+    monkeypatch.delenv("GS_SECRET_ACCESS_KEY")
+    assert oauth_credentials_available(None) is True

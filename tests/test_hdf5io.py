@@ -671,3 +671,36 @@ def test_hdf5_zfp_composition_gates(tmp_path):
         write_hdf5(
             str(tmp_path / "x.h5"), ds, compress="zfp", shuffle=True
         )
+
+
+def test_hdf5_zfp_float16_falls_back_uncompressed(tmp_path):
+    """float16 (no zfp coding path) stores uncompressed and EXACT
+    instead of raising mid-write (r11 review finding), matching the
+    szip gate's graceful-fallback contract."""
+    from pangeo_forge_recipes_spark.hdf5io import read_hdf5
+
+    ds = NDDataset(
+        {"h": Variable(("x",), np.arange(8, dtype="float16"))},
+        {"x": Variable(("x",), np.arange(8, dtype="int64"))},
+    )
+    p = str(tmp_path / "f16.h5")
+    write_hdf5(p, ds, compress="zfp")
+    back = read_hdf5(p)
+    np.testing.assert_array_equal(back["h"].data, ds["h"].data)
+    assert back["h"].data.dtype == np.dtype("float16")
+
+
+def test_hdf5_zfp_nan_refused_loudly(tmp_path):
+    """NaN fills cannot ride zfp (they would zero finite block
+    neighbors silently); the writer surfaces the codec's named error."""
+    data = np.arange(16, dtype="float64").reshape(4, 4)
+    data[0, 0] = np.nan
+    ds = NDDataset(
+        {"v": Variable(("y", "x"), data)},
+        {
+            "y": Variable(("y",), np.arange(4, dtype="int64")),
+            "x": Variable(("x",), np.arange(4, dtype="int64")),
+        },
+    )
+    with pytest.raises(ValueError, match="NaN/Inf"):
+        write_hdf5(str(tmp_path / "nan.h5"), ds, compress="zfp")

@@ -63,11 +63,23 @@ def test_lift_pair_near_inverse(v):
 def test_perm_total_sequency():
     assert _make_perm(1) == [0, 1, 2, 3]
     p2 = _make_perm(2)
-    # the documented 2D diagonal order: (0,0),(1,0),(0,1),(2,0),(1,1),...
-    assert p2[:10] == [0, 1, 4, 2, 5, 8, 3, 6, 9, 12]
-    assert sorted(p2) == list(range(16))
+    # the FULL published perm_2 table (zfp codec2 template): total
+    # degree, ties by sum of squares — (1,1) comes BEFORE (2,0)/(0,2)
+    published = [
+        (0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (0, 2), (2, 1), (1, 2),
+        (3, 0), (0, 3), (2, 2), (3, 1), (1, 3), (3, 2), (2, 3), (3, 3),
+    ]
+    assert p2 == [x + 4 * y for x, y in published]
     p3 = _make_perm(3)
     assert sorted(p3) == list(range(64))
+    # 3D: same keys — degree-2 mixed terms (sumsq 2) precede the pure
+    # squares (sumsq 4)
+    def c3(i):
+        return (i % 4, (i // 4) % 4, i // 16)
+
+    deg2 = [c3(i) for i in p3[4:10]]
+    assert deg2[:3] == [(1, 1, 0), (1, 0, 1), (0, 1, 1)]
+    assert set(deg2[3:]) == {(2, 0, 0), (0, 2, 0), (0, 0, 2)}
     # totals are non-decreasing along each perm
     for ndim, p in ((2, p2), (3, p3)):
         def total(i):
@@ -210,3 +222,27 @@ def test_gates_are_named():
         compress_zfp(np.zeros((2, 2, 2, 2)), rate=8)
     with pytest.raises(ValueError, match="exactly one"):
         compress_zfp(np.zeros((4, 4)), rate=8, precision=10)
+
+
+def test_nan_inf_refused_loudly():
+    """A NaN anywhere in a 4^d block would silently zero every finite
+    neighbor (the geoscience NaN-fill pattern corrupting wholesale);
+    Inf would crash mid-encode. Both are refused with the remedy
+    named (r11 review finding)."""
+    a = np.arange(64, dtype="float64").reshape(8, 8)
+    a[0, 0] = np.nan
+    with pytest.raises(ValueError, match="NaN/Inf"):
+        compress_zfp(a, tolerance=1e-9)
+    a[0, 0] = np.inf
+    with pytest.raises(ValueError, match="NaN/Inf"):
+        compress_zfp(a, rate=8)
+
+
+def test_rate_beyond_short_header_refused():
+    """A fixed rate needing >2048 bits/block (expert-mode territory)
+    raises instead of silently degrading the requested fidelity
+    (r11 review finding)."""
+    a = np.zeros((4, 4, 4), dtype="float64")
+    assert len(compress_zfp(a, rate=32)) > 0  # 2048 exactly: fine
+    with pytest.raises(NotImplementedError, match="expert"):
+        compress_zfp(a, rate=48)
