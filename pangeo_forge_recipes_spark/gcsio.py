@@ -54,6 +54,7 @@ __all__ = [
     "rs256_verify",
     "build_sa_assertion",
     "GCSAuthError",
+    "generate_signed_url",
     "SCOPE_READ_WRITE",
     "SCOPE_READ_ONLY",
 ]
@@ -471,6 +472,54 @@ def configure_spark_gcs(spark, config: Optional[GCSConfig] = None, **kwargs) -> 
         env["GS_ENDPOINT_URL"] = cfg.endpoint_url
     os.environ.update(env)
     spark.sparkContext.environment.update(env)
+
+
+def generate_signed_url(
+    url: str,
+    method: str = "GET",
+    expires: int = 3600,
+    config: Optional[GCSConfig] = None,
+    **kwargs,
+) -> str:
+    """GCS **V4 signed url** (the public spec): ``X-Goog-Algorithm=
+    GOOG4-RSA-SHA256``, credential scope ``{date}/auto/storage/
+    goog4_request``, canonical request over the encoded path + sorted
+    query + the ``host`` header with ``UNSIGNED-PAYLOAD``, and an
+    RSA-SHA256 signature HEX-encoded into ``X-Goog-Signature`` — signed
+    with the service-account key, verifiable by anyone holding the
+    public key, usable by a plain HTTP client with no credentials. The
+    S3 analog is :func:`~.s3io.generate_presigned_url`; the Azure
+    analog is :func:`~.azureio.generate_service_sas`."""
+    import datetime
+
+    from .s3io import _uri_encode, canonical_request_hash
+
+    cfg = config or GCSConfig(**kwargs)
+    bucket, key = parse_s3_url(url)
+    ep = urlparse(cfg.endpoint_url)
+    host = ep.netloc
+    uri = "/" + _uri_encode(f"{bucket}/{key}" if key else bucket, keep_slash=True)
+    now = datetime.datetime.now(datetime.timezone.utc)
+    gdate = now.strftime("%Y%m%dT%H%M%SZ")
+    datestamp = now.strftime("%Y%m%d")
+    scope = f"{datestamp}/auto/storage/goog4_request"
+    query = {
+        "X-Goog-Algorithm": "GOOG4-RSA-SHA256",
+        "X-Goog-Credential": f"{cfg.client_email}/{scope}",
+        "X-Goog-Date": gdate,
+        "X-Goog-Expires": str(int(expires)),
+        "X-Goog-SignedHeaders": "host",
+    }
+    _, creq_hash = canonical_request_hash(
+        method, uri, query, {"host": host}, "UNSIGNED-PAYLOAD"
+    )
+    sts = "\n".join(["GOOG4-RSA-SHA256", gdate, scope, creq_hash])
+    sig = rs256_sign(sts.encode("ascii"), cfg.key).hex()
+    qs = "&".join(
+        f"{_uri_encode(k, keep_slash=False)}={_uri_encode(v, keep_slash=False)}"
+        for k, v in sorted(query.items())
+    )
+    return f"{ep.scheme or 'https'}://{host}{uri}?{qs}&X-Goog-Signature={sig}"
 
 
 # re-exported for error-handling parity across backends: GCS data-plane

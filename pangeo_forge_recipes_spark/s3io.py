@@ -628,6 +628,49 @@ class S3Client:
             pass  # best-effort cleanup
 
 
+def generate_presigned_url(
+    url: str,
+    method: str = "GET",
+    expires: int = 3600,
+    config: Optional[S3Config] = None,
+    **kwargs,
+) -> str:
+    """SigV4 query-string presigning (the public AWS spec): a shareable
+    ``https`` url carrying ``X-Amz-Algorithm/Credential/Date/Expires/
+    SignedHeaders/Signature``, valid for ``expires`` seconds. Only the
+    ``host`` header is signed and the payload is ``UNSIGNED-PAYLOAD``,
+    so the holder needs no credentials and no special client — a plain
+    HTTP GET (or PUT of arbitrary bytes) verifies. The Azure analog is
+    :func:`~.azureio.generate_service_sas`; the GCS analog is
+    :func:`~.gcsio.generate_signed_url`."""
+    cfg = config or S3Config(service=url_service(url), **kwargs)
+    bucket, key = parse_s3_url(url)
+    scheme, host, uri = S3Client(cfg)._host_and_uri(bucket, key)
+    now = datetime.datetime.now(datetime.timezone.utc)
+    amzdate = now.strftime("%Y%m%dT%H%M%SZ")
+    datestamp = now.strftime("%Y%m%d")
+    scope = f"{datestamp}/{cfg.region}/s3/aws4_request"
+    query = {
+        "X-Amz-Algorithm": "AWS4-HMAC-SHA256",
+        "X-Amz-Credential": f"{cfg.access_key}/{scope}",
+        "X-Amz-Date": amzdate,
+        "X-Amz-Expires": str(int(expires)),
+        "X-Amz-SignedHeaders": "host",
+    }
+    if cfg.session_token:
+        query["X-Amz-Security-Token"] = cfg.session_token
+    _, creq_hash = canonical_request_hash(
+        method, uri, query, {"host": host}, "UNSIGNED-PAYLOAD"
+    )
+    sts = "\n".join(["AWS4-HMAC-SHA256", amzdate, scope, creq_hash])
+    sig = sigv4_signature(cfg.secret_key, datestamp, cfg.region, "s3", sts)
+    qs = "&".join(
+        f"{_uri_encode(k, keep_slash=False)}={_uri_encode(v, keep_slash=False)}"
+        for k, v in sorted(query.items())
+    )
+    return f"{scheme}://{host}{uri}?{qs}&X-Amz-Signature={sig}"
+
+
 class S3Store(Store):
     """:class:`~.zarrio.Store` over an ``s3://bucket/prefix`` root.
 

@@ -86,11 +86,64 @@ class FakeS3:
                 query = dict(parse_qsl(parsed.query, keep_blank_values=True))
                 return bucket, key, query, parsed
 
+            def _check_presigned(self, query) -> bool:
+                """SigV4 query-string auth (presigned urls): recompute
+                the signature over the canonical request with the raw
+                wire path, host-only signed headers and
+                UNSIGNED-PAYLOAD, and enforce the expiry window."""
+                import time as _time
+                from datetime import datetime, timezone
+
+                cred = query.get("X-Amz-Credential", "").split("/")
+                if not cred or cred[0] != ACCESS_KEY:
+                    self._err(403, "InvalidAccessKeyId", cred[0] if cred else "")
+                    return False
+                try:
+                    t0 = datetime.strptime(
+                        query["X-Amz-Date"], "%Y%m%dT%H%M%SZ"
+                    ).replace(tzinfo=timezone.utc).timestamp()
+                    if _time.time() > t0 + int(query["X-Amz-Expires"]):
+                        self._err(403, "AccessDenied", "Request has expired")
+                        return False
+                except (KeyError, ValueError):
+                    self._err(403, "AccessDenied", "bad presign params")
+                    return False
+                datestamp, region = cred[1], cred[2]
+                parsed = urlparse(self.path)
+                q = dict(parse_qsl(parsed.query, keep_blank_values=True))
+                got = q.pop("X-Amz-Signature", "")
+                _, creq_hash = canonical_request_hash(
+                    self.command,
+                    parsed.path,
+                    q,
+                    {"host": self.headers.get("Host", "")},
+                    "UNSIGNED-PAYLOAD",
+                )
+                sts = "\n".join(
+                    [
+                        "AWS4-HMAC-SHA256",
+                        query.get("X-Amz-Date", ""),
+                        f"{datestamp}/{region}/s3/aws4_request",
+                        creq_hash,
+                    ]
+                )
+                want = sigv4_signature(
+                    SECRET_KEY, datestamp, region, "s3", sts
+                )
+                if got != want:
+                    self._err(403, "SignatureDoesNotMatch", "presign mismatch")
+                    return False
+                return True
+
             def _check_sig(self, query) -> bool:
                 if not verify:
                     return True
                 auth = self.headers.get("Authorization", "")
                 if not auth.startswith("AWS4-HMAC-SHA256 "):
+                    if query.get("X-Amz-Algorithm") == "AWS4-HMAC-SHA256" and (
+                        "X-Amz-Signature" in query
+                    ):
+                        return self._check_presigned(query)
                     self._err(403, "AccessDenied", "missing SigV4 auth")
                     return False
                 fields = dict(

@@ -357,3 +357,53 @@ def test_list_shard_urls_recursive_doublestar(s3, store):
         "mid.tfrecord",
         "skip.txt",
     ]
+
+
+def test_presigned_url_roundtrip(s3, store):
+    """SigV4 query-string presigning (r11): the holder needs no
+    credentials — a plain HTTP GET through the generic url opener
+    fetches the object; the fake endpoint RECOMPUTES the presign
+    signature (host-only signed headers, UNSIGNED-PAYLOAD) and enforces
+    expiry; tampering or the wrong method fails."""
+    from pangeo_forge_recipes_spark.s3io import generate_presigned_url
+    from pangeo_forge_recipes_spark.storage import open_binary
+
+    store.put("shared/obj.bin", b"presigned-payload")
+    url = generate_presigned_url(
+        "s3://bkt/some/prefix/shared/obj.bin", **s3.client_kwargs()
+    )
+    assert url.startswith("http") and "X-Amz-Signature=" in url
+    with open_binary(url) as f:  # no credentials involved
+        assert f.read() == b"presigned-payload"
+    # tampered signature rejected
+    import urllib.error
+    import urllib.request
+
+    bad = url.replace("X-Amz-Signature=", "X-Amz-Signature=0000")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(bad)
+    assert ei.value.code == 403
+    # expired url rejected
+    old = generate_presigned_url(
+        "s3://bkt/some/prefix/shared/obj.bin",
+        expires=-5,
+        **s3.client_kwargs(),
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(old)
+    assert ei.value.code == 403
+    # a GET-signed url cannot PUT (the method is in the canonical req)
+    req = urllib.request.Request(url, data=b"overwrite", method="PUT")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 403
+    # an explicitly PUT-signed url uploads without credentials
+    up = generate_presigned_url(
+        "s3://bkt/some/prefix/shared/up.bin",
+        method="PUT",
+        **s3.client_kwargs(),
+    )
+    urllib.request.urlopen(
+        urllib.request.Request(up, data=b"uploaded", method="PUT")
+    )
+    assert store.get("shared/up.bin") == b"uploaded"
