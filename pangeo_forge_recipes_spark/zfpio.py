@@ -140,6 +140,21 @@ class _BitReader:
     def skip(self, nbits: int) -> None:
         self.read_bits(nbits)
 
+    def peek(self, nbits: int) -> int:
+        """Up to ``nbits`` upcoming bits as one int (LSB = next bit)
+        WITHOUT consuming — the block coders decode from a local
+        window (plain int shifts) and then ``skip`` what they used,
+        which is ~10x faster than per-bit method calls."""
+        out = self.acc & ((1 << self.n) - 1) if self.n else 0
+        have = self.n
+        widx = self.widx
+        while have < nbits and widx < self.nwords:
+            (w,) = struct.unpack_from("<Q", self.buf, 8 * widx)
+            out |= w << have
+            have += 64
+            widx += 1
+        return out & ((1 << nbits) - 1)
+
 
 # ===========================================================================
 # block transform (the documented non-orthogonal lifting pair)
@@ -272,34 +287,49 @@ def _encode_ints(
     kmin = intprec - maxprec if intprec > maxprec else 0
     bits = maxbits
     n = 0
+    # transpose the block into per-plane words once (coefficient i ->
+    # bit i of plane k), then code from local ints — no per-bit calls
+    planes = [0] * intprec
+    for i, u in enumerate(ublock):
+        u >>= kmin
+        for k in range(kmin, intprec):
+            if not u:
+                break
+            planes[k] |= (u & 1) << i
+            u >>= 1
+    acc = 0  # pending output bits, LSB first
+    pos = 0
     for k in range(intprec - 1, kmin - 1, -1):
         if not bits:
             break
-        # extract bit plane k: coefficient i -> bit i of x
-        x = 0
-        for i in range(size):
-            x |= ((ublock[i] >> k) & 1) << i
+        x = planes[k]
         # verbatim part: bits for the n coefficients already significant
         m = min(n, bits)
         bits -= m
-        w.write_bits(x, m)
+        acc |= (x & ((1 << m) - 1)) << pos
+        pos += m
         x >>= m
         # group-tested unary part for the rest
         while n < size and bits:
             bits -= 1
-            w.write_bit(1 if x else 0)
-            if not x:
+            if x:
+                acc |= 1 << pos
+                pos += 1
+            else:
+                pos += 1
                 break
             while n < size - 1 and bits:
                 bits -= 1
                 b = x & 1
-                w.write_bit(b)
+                acc |= b << pos
+                pos += 1
                 if b:
                     break
                 x >>= 1
                 n += 1
             x >>= 1
             n += 1
+    w.write_bits(acc, pos)
     return maxbits - bits
 
 
@@ -310,19 +340,28 @@ def _decode_ints(
     kmin = intprec - maxprec if intprec > maxprec else 0
     bits = maxbits
     n = 0
+    # decode from a peeked local window: the loop can consume at most
+    # one verbatim+unary pass per plane
+    win = r.peek(min(maxbits, (intprec - kmin) * (2 * size + 1)))
+    pos = 0
     for k in range(intprec - 1, kmin - 1, -1):
         if not bits:
             break
         m = min(n, bits)
         bits -= m
-        x = r.read_bits(m)
+        x = (win >> pos) & ((1 << m) - 1)
+        pos += m
         while n < size and bits:
             bits -= 1
-            if not r.read_bit():
+            b = (win >> pos) & 1
+            pos += 1
+            if not b:
                 break
             while n < size - 1 and bits:
                 bits -= 1
-                if r.read_bit():
+                b = (win >> pos) & 1
+                pos += 1
+                if b:
                     break
                 n += 1
             x += 1 << n
@@ -333,6 +372,7 @@ def _decode_ints(
                 data[i] += 1 << k
             i += 1
             x >>= 1
+    r.skip(pos)
     return data, maxbits - bits
 
 
