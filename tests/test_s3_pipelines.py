@@ -431,3 +431,60 @@ def test_store_to_pyramid_on_s3(spark, tmp_path, s3):
     assert [d["path"] for d in levels] == ["0", "1"]
     # every level-1 chunk object exists under the store (no local spill)
     assert any(k.startswith("t/p.zarr/1/foo/c/") for k in keys)
+
+
+def test_spill_shuffle_scratch_on_s3(spark, tmp_path, s3):
+    """THE shuffle's spill mode with TARGET AND SCRATCH on the object
+    store — the deployment the mode exists for (scratch rides the same
+    unbounded storage as the target; the local A/B is structurally
+    unable to show its win). Executors decode once, spill raw pieces
+    to s3://.../<store>.spill/, exchange metadata only, range-read on
+    combine; the scratch prefix must be swept after success."""
+    import numpy as np
+
+    from pangeo_forge_recipes_spark.ndset import NDDataset, Variable
+
+    # pieces must exceed SPILL_INLINE_BYTES (1 MiB) to hit scratch:
+    # 2-step fragments of (time, 384, 384) float64 are ~2.3 MiB
+    nt, ny, nx = 8, 384, 384
+    rng = np.random.default_rng(11)
+    ds = NDDataset(
+        {"foo": Variable(("time", "y", "x"), rng.normal(size=(nt, ny, nx)))},
+        {
+            "time": Variable(("time",), np.arange(nt, dtype="int64")),
+            "y": Variable(("y",), np.arange(ny, dtype="float64")),
+            "x": Variable(("x",), np.arange(nx, dtype="float64")),
+        },
+    )
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"f{i}.npz")
+        write_npz(p, ds.isel(time=slice(2 * i, 2 * i + 2)))
+        paths.append(p)
+    pattern = pattern_from_file_sequence(
+        paths, "time", nitems_per_file=2, file_type="npz"
+    )
+    result = store_to_zarr(
+        spark, pattern, "s3://spillbkt/t", "sp.zarr",
+        target_chunks={"time": 5},  # misaligned: combines across files
+        rechunk_shuffle="spill",
+    )
+    assert_equal(result.open(), ds, check_attrs=False)
+    # spill objects were really created on the store mid-run...
+    spill_puts = [
+        k for m, b, k, q in s3.requests
+        if m == "PUT" and b == "spillbkt" and ".spill/" in k
+    ]
+    assert spill_puts, "no spill objects ever hit the object store"
+    # ...and range-read back during combine
+    spill_gets = [
+        k for m, b, k, q in s3.requests
+        if m == "GET" and b == "spillbkt" and ".spill/" in k
+    ]
+    assert spill_gets
+    # the scratch prefix is swept; the target store remains
+    leftover = {
+        k for (b, k) in s3.objects if b == "spillbkt" and ".spill/" in k
+    }
+    assert not leftover, f"leaked spill scratch: {sorted(leftover)[:5]}"
+    assert ("spillbkt", "t/sp.zarr/zarr.json") in s3.objects
