@@ -290,11 +290,17 @@ def _get_token(cfg: "GCSConfig") -> str:
         return tok
 
 
-def _invalidate_token(cfg: "GCSConfig") -> None:
-    """Drop the cached token (the server rejected it — revoked key,
-    server-side expiry ahead of the local clock)."""
+def _invalidate_token(cfg: "GCSConfig", rejected: Optional[str] = None) -> None:
+    """Drop the cached token the server rejected (revoked key,
+    server-side expiry ahead of the local clock). Keyed to the
+    REJECTED token when given: a sibling thread may already have
+    refreshed the cache, and evicting its fresh token would turn one
+    revocation into N serialized re-exchanges."""
+    key = (cfg.token_uri, cfg.client_email, cfg.scope)
     with _TOKEN_LOCK:
-        _TOKEN_CACHE.pop((cfg.token_uri, cfg.client_email, cfg.scope), None)
+        hit = _TOKEN_CACHE.get(key)
+        if hit and (rejected is None or hit[0] == rejected):
+            _TOKEN_CACHE.pop(key, None)
 
 
 # ===========================================================================
@@ -372,6 +378,10 @@ class GCSClient(S3Client):
 
     def __init__(self, config: Optional[GCSConfig] = None, **kwargs):
         self.config = config or GCSConfig(**kwargs)
+        # which token THIS thread's in-flight request carries — the 401
+        # handler must evict exactly that one, never a sibling's fresh
+        # refresh
+        self._tls = threading.local()
 
     def _auth_headers(
         self,
@@ -384,10 +394,9 @@ class GCSClient(S3Client):
     ) -> Dict[str, str]:
         # Bearer tokens sign nothing request-specific, so no canonical
         # request is built; expiry refreshes through the process cache
-        headers = {
-            "host": host,
-            "authorization": f"Bearer {_get_token(self.config)}",
-        }
+        tok = _get_token(self.config)
+        self._tls.last_token = tok
+        headers = {"host": host, "authorization": f"Bearer {tok}"}
         if extra_headers:
             headers.update({k.lower(): v for k, v in extra_headers.items()})
         return headers
@@ -400,10 +409,14 @@ class GCSClient(S3Client):
                 raise
             # the endpoint rejected a token the local cache still
             # considered live (revoked key, server-side expiry ahead of
-            # the driver clock): drop it and retry once with a fresh
-            # exchange — 401 is not in the transport's retry statuses,
-            # so without this a long job fails every remaining task
-            _invalidate_token(self.config)
+            # the driver clock): drop THAT token and retry once with a
+            # fresh exchange — 401 is not in the transport's retry
+            # statuses, so without this a long job fails every
+            # remaining task; keying eviction to the rejected token
+            # keeps a sibling thread's fresh refresh in the cache
+            _invalidate_token(
+                self.config, getattr(self._tls, "last_token", None)
+            )
             return super()._request(*args, **kwargs)
 
 
@@ -492,8 +505,17 @@ def generate_signed_url(
     analog is :func:`~.azureio.generate_service_sas`."""
     import datetime
 
-    from .s3io import _uri_encode, canonical_request_hash
+    from .s3io import (
+        _uri_encode,
+        canonical_query_string,
+        canonical_request_hash,
+    )
 
+    if not 0 < int(expires) <= 604800:
+        raise ValueError(
+            f"expires={expires}: signed urls must be 1..604800 seconds "
+            "(GCS's 7-day X-Goog-Expires cap)"
+        )
     cfg = config or GCSConfig(**kwargs)
     bucket, key = parse_s3_url(url)
     ep = urlparse(cfg.endpoint_url)
@@ -515,10 +537,7 @@ def generate_signed_url(
     )
     sts = "\n".join(["GOOG4-RSA-SHA256", gdate, scope, creq_hash])
     sig = rs256_sign(sts.encode("ascii"), cfg.key).hex()
-    qs = "&".join(
-        f"{_uri_encode(k, keep_slash=False)}={_uri_encode(v, keep_slash=False)}"
-        for k, v in sorted(query.items())
-    )
+    qs = canonical_query_string(query)
     return f"{ep.scheme or 'https'}://{host}{uri}?{qs}&X-Goog-Signature={sig}"
 
 

@@ -108,10 +108,7 @@ def canonical_request_hash(
 ) -> Tuple[str, str]:
     """Build the canonical request and return ``(signed_headers,
     sha256_hex)`` — shared by the client and the test server verifier."""
-    canonical_qs = "&".join(
-        f"{_uri_encode(k, keep_slash=False)}={_uri_encode(v, keep_slash=False)}"
-        for k, v in sorted(query.items())
-    )
+    canonical_qs = canonical_query_string(query)
     lower = {k.lower(): " ".join(str(v).split()) for k, v in headers.items()}
     signed_headers = ";".join(sorted(lower))
     canonical_headers = "".join(f"{k}:{lower[k]}\n" for k in sorted(lower))
@@ -126,6 +123,18 @@ def canonical_request_hash(
         ]
     )
     return signed_headers, hashlib.sha256(creq.encode()).hexdigest()
+
+
+def canonical_query_string(query: Dict[str, str]) -> str:
+    """The sorted, uri-encoded query exactly as signed inside
+    :func:`canonical_request_hash` — every sender of a signed request
+    MUST put this same string on the wire (a hand-rebuilt copy that
+    drifts produces SignatureDoesNotMatch only against real
+    endpoints)."""
+    return "&".join(
+        f"{_uri_encode(k, keep_slash=False)}={_uri_encode(v, keep_slash=False)}"
+        for k, v in sorted(query.items())
+    )
 
 
 class S3Config:
@@ -445,10 +454,7 @@ class S3Client:
             headers = self._auth_headers(
                 method, uri, query, extra_headers or {}, payload_hash, host
             )
-            qs = "&".join(
-                f"{_uri_encode(k, keep_slash=False)}={_uri_encode(v, keep_slash=False)}"
-                for k, v in sorted(query.items())
-            )
+            qs = canonical_query_string(query)
             path_qs = uri + (f"?{qs}" if qs else "")
             # http.client sets Host from the connection itself (the same
             # value that was signed); PUT/POST always carry a body
@@ -643,6 +649,14 @@ def generate_presigned_url(
     HTTP GET (or PUT of arbitrary bytes) verifies. The Azure analog is
     :func:`~.azureio.generate_service_sas`; the GCS analog is
     :func:`~.gcsio.generate_signed_url`."""
+    if not 0 < int(expires) <= 604800:
+        # both S3 and GCS reject presigned urls past 7 days on EVERY
+        # use (400 AuthorizationQueryParametersError) — refuse at
+        # generation instead of minting an always-dead url
+        raise ValueError(
+            f"expires={expires}: presigned urls must be 1..604800 seconds "
+            "(the services' 7-day cap)"
+        )
     cfg = config or S3Config(service=url_service(url), **kwargs)
     bucket, key = parse_s3_url(url)
     scheme, host, uri = S3Client(cfg)._host_and_uri(bucket, key)
@@ -664,10 +678,7 @@ def generate_presigned_url(
     )
     sts = "\n".join(["AWS4-HMAC-SHA256", amzdate, scope, creq_hash])
     sig = sigv4_signature(cfg.secret_key, datestamp, cfg.region, "s3", sts)
-    qs = "&".join(
-        f"{_uri_encode(k, keep_slash=False)}={_uri_encode(v, keep_slash=False)}"
-        for k, v in sorted(query.items())
-    )
+    qs = canonical_query_string(query)
     return f"{scheme}://{host}{uri}?{qs}&X-Amz-Signature={sig}"
 
 

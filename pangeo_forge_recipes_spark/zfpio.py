@@ -240,14 +240,17 @@ def _inv_xform(v: List[int], ndim: int) -> None:
 
 
 def _make_perm(ndim: int) -> List[int]:
-    """Total-sequency coefficient order per zfp's published tables:
-    sorted by total degree (sum of per-dimension frequencies), ties
-    broken by the SUM OF SQUARES (so the mixed low-frequency terms
-    come first — 2D degree 2 orders (1,1),(2,0),(0,2), matching the
-    reference perm_2 table), remaining ties by higher x then higher y
-    first. Reproduces the full published perm_2: (0,0) (1,0) (0,1)
-    (1,1) (2,0) (0,2) (2,1) (1,2) (3,0) (0,3) (2,2) (3,1) (1,3)
-    (3,2) (2,3) (3,3)."""
+    """Total-sequency coefficient order: sorted by total degree (sum of
+    per-dimension frequencies), ties broken by the SUM OF SQUARES (so
+    the mixed low-frequency terms come first — 2D degree 2 orders
+    (1,1),(2,0),(0,2)), remaining ties by higher x then higher y first.
+    1D and 2D reproduce zfp's published tables exactly (full perm_2:
+    (0,0) (1,0) (0,1) (1,1) (2,0) (0,2) (2,1) (1,2) (3,0) (0,3) (2,2)
+    (3,1) (1,3) (3,2) (2,3) (3,3)). HONESTY: the 3D order within an
+    equal-(degree, sum-of-squares) group is this rule's consistent
+    generalization — the reference perm_3's residual tie-break cannot
+    be verified in this container (no zfp binary), so 3D bit-interop
+    is pinned only up to that residual order."""
     coords = [
         tuple(reversed(divmod_seq(i, ndim))) for i in range(4**ndim)
     ]

@@ -437,9 +437,10 @@ def test_v4_signed_url_roundtrip(gcs, store):
     assert ei.value.code == 403
     old = generate_signed_url(
         "gs://bkt/some/prefix/pub/obj.bin",
-        expires=-5,
+        expires=1,
         **gcs.client_kwargs(),
     )
+    time.sleep(1.2)
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(old)
     assert ei.value.code == 403
@@ -447,3 +448,30 @@ def test_v4_signed_url_roundtrip(gcs, store):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(req)
     assert ei.value.code == 403
+
+
+def test_signed_url_expiry_cap_and_invalidation_is_token_keyed(gcs):
+    """expires beyond the 7-day service cap refuses at generation; a
+    401-triggered eviction keyed to the REJECTED token must not evict
+    a sibling thread's fresh refresh (r11 second review pass)."""
+    import pangeo_forge_recipes_spark.gcsio as gcsio
+    from pangeo_forge_recipes_spark.gcsio import generate_signed_url
+
+    with pytest.raises(ValueError, match="604800"):
+        generate_signed_url(
+            "gs://b/k", expires=30 * 86400, **gcs.client_kwargs()
+        )
+    with pytest.raises(ValueError, match="604800"):
+        generate_signed_url("gs://b/k", expires=0, **gcs.client_kwargs())
+    cfg = gcsio.GCSConfig(**gcs.client_kwargs())
+    key = (cfg.token_uri, cfg.client_email, cfg.scope)
+    with gcsio._TOKEN_LOCK:
+        gcsio._TOKEN_CACHE[key] = ("fresh-token", time.time() + 3600)
+    # evicting with a STALE rejected token leaves the fresh one alone
+    gcsio._invalidate_token(cfg, "old-revoked-token")
+    with gcsio._TOKEN_LOCK:
+        assert gcsio._TOKEN_CACHE[key][0] == "fresh-token"
+    # evicting with the matching token (or None) drops it
+    gcsio._invalidate_token(cfg, "fresh-token")
+    with gcsio._TOKEN_LOCK:
+        assert key not in gcsio._TOKEN_CACHE

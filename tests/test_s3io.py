@@ -386,9 +386,12 @@ def test_presigned_url_roundtrip(s3, store):
     # expired url rejected
     old = generate_presigned_url(
         "s3://bkt/some/prefix/shared/obj.bin",
-        expires=-5,
+        expires=1,
         **s3.client_kwargs(),
     )
+    import time as _time
+
+    _time.sleep(1.2)
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(old)
     assert ei.value.code == 403
@@ -407,3 +410,16 @@ def test_presigned_url_roundtrip(s3, store):
         urllib.request.Request(up, data=b"uploaded", method="PUT")
     )
     assert store.get("shared/up.bin") == b"uploaded"
+
+
+def test_presigned_url_expiry_cap(s3):
+    """expires beyond the 7-day SigV4 cap (or non-positive) refuses at
+    generation instead of minting an always-rejected url."""
+    from pangeo_forge_recipes_spark.s3io import generate_presigned_url
+
+    with pytest.raises(ValueError, match="604800"):
+        generate_presigned_url(
+            "s3://bkt/k", expires=8 * 86400, **s3.client_kwargs()
+        )
+    with pytest.raises(ValueError, match="604800"):
+        generate_presigned_url("s3://bkt/k", expires=0, **s3.client_kwargs())
