@@ -704,3 +704,35 @@ def test_hdf5_zfp_nan_refused_loudly(tmp_path):
     )
     with pytest.raises(ValueError, match="NaN/Inf"):
         write_hdf5(str(tmp_path / "nan.h5"), ds, compress="zfp")
+
+
+def test_store_to_zarr_from_zfp_netcdf4(spark, tmp_path):
+    """The full pipeline over zfp-compressed netCDF4 sources: executors
+    scan + decode filter-32013 chunks through the virtual store and the
+    rechunk shuffle writes a lossless zarr copy whose values sit within
+    the encoder's tolerance of the original."""
+    tol = 1e-6
+    ds = make_ds(nt=6)
+    paths = []
+    for i, start in enumerate(range(0, 6, 2)):
+        p = str(tmp_path / f"z{i}.h5")
+        write_hdf5(
+            p, ds.isel(time=slice(start, start + 2)),
+            chunks={"time": 2}, compress="zfp", zfp_opts={"tolerance": tol},
+        )
+        paths.append(p)
+    pattern = pattern_from_file_sequence(
+        paths, "time", nitems_per_file=2, file_type="netcdf4"
+    )
+    result = store_to_zarr(
+        spark, pattern, str(tmp_path), "zfp.zarr", target_chunks={"time": 3}
+    )
+    rt = result.open()
+    np.testing.assert_allclose(
+        rt.data_vars["foo"].data, ds.data_vars["foo"].data, atol=tol
+    )
+    # int64 bar bypassed zfp in the writer and survives exactly
+    np.testing.assert_array_equal(
+        rt.data_vars["bar"].data, ds.data_vars["bar"].data
+    )
+    assert rt.sizes == ds.sizes
