@@ -327,14 +327,28 @@ class GCSConfig:
         env = os.environ
         if credentials_json is None:
             path = credentials_file or env.get("GOOGLE_APPLICATION_CREDENTIALS")
-            if not path:
+            if path and os.path.exists(path):
+                with open(path) as f:
+                    credentials_json = f.read()
+            elif env.get("GOOGLE_APPLICATION_CREDENTIALS_JSON"):
+                # by-VALUE fallback: configure_spark_gcs ships the key
+                # material itself through sc.environment (the Azure
+                # connection-string pattern), so executors on nodes
+                # without the key FILE still resolve — the file path
+                # convention wins when the file exists
+                credentials_json = env["GOOGLE_APPLICATION_CREDENTIALS_JSON"]
+            elif path:
+                raise ValueError(
+                    f"GOOGLE_APPLICATION_CREDENTIALS points at {path!r} "
+                    "which does not exist on this node (and no "
+                    "GOOGLE_APPLICATION_CREDENTIALS_JSON value is set)"
+                )
+            else:
                 raise ValueError(
                     "GCS service-account credentials missing: set "
                     "GOOGLE_APPLICATION_CREDENTIALS to a key-file path or "
                     "pass credentials_file/credentials_json explicitly"
                 )
-            with open(path) as f:
-                credentials_json = f.read()
         info = (
             json.loads(credentials_json)
             if isinstance(credentials_json, (str, bytes))
@@ -457,19 +471,24 @@ def oauth_credentials_available(open_kwargs: Optional[dict] = None) -> bool:
     env = os.environ
     if env.get("GS_ACCESS_KEY_ID") and env.get("GS_SECRET_ACCESS_KEY"):
         return False
-    return bool(env.get("GOOGLE_APPLICATION_CREDENTIALS"))
+    return bool(
+        env.get("GOOGLE_APPLICATION_CREDENTIALS")
+        or env.get("GOOGLE_APPLICATION_CREDENTIALS_JSON")
+    )
 
 
 def configure_spark_gcs(spark, config: Optional[GCSConfig] = None, **kwargs) -> None:
-    """Point a SparkSession at GCS with service-account auth: exports
-    ``GOOGLE_APPLICATION_CREDENTIALS`` (and ``GS_ENDPOINT_URL`` when
-    non-default) to the driver **and** the session's Python workers via
-    ``sc.environment`` — the GCS twin of
-    :func:`~.s3io.configure_spark_s3`. A config built from inline JSON
-    is written to a private temp key file so executors can read it; on
-    a multi-node cluster prefer a key file provisioned on every node
-    (the standard Google convention)."""
+    """Point a SparkSession at GCS with service-account auth — the GCS
+    twin of :func:`~.s3io.configure_spark_s3`. Credentials ship to the
+    session's Python workers BY VALUE via ``sc.environment``
+    (``GOOGLE_APPLICATION_CREDENTIALS_JSON`` carrying the key JSON —
+    the same pattern Azure uses for its connection string), so
+    executors on nodes WITHOUT the key file still resolve; the
+    standard ``GOOGLE_APPLICATION_CREDENTIALS`` path is exported too
+    for the driver and any node where the file exists (the file wins
+    when present). ``GS_ENDPOINT_URL`` rides along when non-default."""
     cfg = config or GCSConfig(**kwargs)
+    env = {"GOOGLE_APPLICATION_CREDENTIALS_JSON": json.dumps(cfg._info)}
     path = kwargs.get("credentials_file") or os.environ.get(
         "GOOGLE_APPLICATION_CREDENTIALS"
     )
@@ -480,7 +499,7 @@ def configure_spark_gcs(spark, config: Optional[GCSConfig] = None, **kwargs) -> 
         with os.fdopen(fd, "w") as f:
             json.dump(cfg._info, f)
         os.chmod(path, 0o600)
-    env = {"GOOGLE_APPLICATION_CREDENTIALS": path}
+    env["GOOGLE_APPLICATION_CREDENTIALS"] = path
     if cfg.endpoint_url != _DEFAULT_ENDPOINT:
         env["GS_ENDPOINT_URL"] = cfg.endpoint_url
     os.environ.update(env)

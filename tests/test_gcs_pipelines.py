@@ -36,7 +36,11 @@ def gcs(request, spark):
     def fin():
         # credentials must not leak into later test modules (the gs://
         # HMAC-interop tests dispatch on their ABSENCE — r10 env lesson)
-        for var in ("GOOGLE_APPLICATION_CREDENTIALS", "GS_ENDPOINT_URL"):
+        for var in (
+            "GOOGLE_APPLICATION_CREDENTIALS",
+            "GOOGLE_APPLICATION_CREDENTIALS_JSON",
+            "GS_ENDPOINT_URL",
+        ):
             os.environ.pop(var, None)
             spark.sparkContext.environment.pop(var, None)
         if os.path.exists(sa_path):

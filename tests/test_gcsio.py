@@ -538,3 +538,36 @@ def test_rsa_key_sizes_roundtrip():
         msg = b"size-matrix"
         sig = rs256_sign(msg, key)
         assert rs256_verify(msg, sig, key["n"], key["e"])
+
+
+def test_credentials_ship_by_value_when_file_absent(monkeypatch, gcs):
+    """Executors on nodes WITHOUT the key file resolve from the
+    by-value GOOGLE_APPLICATION_CREDENTIALS_JSON that
+    configure_spark_gcs ships through sc.environment (the Azure
+    connection-string pattern); a dangling file path names both
+    remedies."""
+    import json as _json
+
+    monkeypatch.setenv(
+        "GOOGLE_APPLICATION_CREDENTIALS", "/nonexistent/on/executor.json"
+    )
+    monkeypatch.delenv("GOOGLE_APPLICATION_CREDENTIALS_JSON", raising=False)
+    with pytest.raises(ValueError, match="does not exist on this node"):
+        GCSConfig()
+    monkeypatch.setenv(
+        "GOOGLE_APPLICATION_CREDENTIALS_JSON",
+        _json.dumps(gcs.service_account_info()),
+    )
+    monkeypatch.setenv("GS_ENDPOINT_URL", gcs.endpoint)
+    cfg = GCSConfig()
+    assert cfg.client_email == CLIENT_EMAIL
+    cl = GCSClient(cfg)
+    cl.put_object("byval", "k", b"v")
+    assert cl.get_object("byval", "k") == b"v"
+    # dispatch also recognizes the by-value variable
+    from pangeo_forge_recipes_spark.gcsio import oauth_credentials_available
+
+    monkeypatch.delenv("GOOGLE_APPLICATION_CREDENTIALS")
+    monkeypatch.delenv("GS_ACCESS_KEY_ID", raising=False)
+    monkeypatch.delenv("GS_SECRET_ACCESS_KEY", raising=False)
+    assert oauth_credentials_available(None) is True
