@@ -325,8 +325,18 @@ class GCSConfig:
         token_uri: Optional[str] = None,
     ):
         env = os.environ
+        if credentials_json is None and credentials_file is not None:
+            # an EXPLICIT kwarg never falls through to ambient env
+            # values — adopting a leftover env key here would silently
+            # authenticate as the wrong service account
+            if not os.path.exists(credentials_file):
+                raise ValueError(
+                    f"credentials_file {credentials_file!r} does not exist"
+                )
+            with open(credentials_file) as f:
+                credentials_json = f.read()
         if credentials_json is None:
-            path = credentials_file or env.get("GOOGLE_APPLICATION_CREDENTIALS")
+            path = env.get("GOOGLE_APPLICATION_CREDENTIALS")
             if path and os.path.exists(path):
                 with open(path) as f:
                     credentials_json = f.read()
@@ -488,22 +498,37 @@ def configure_spark_gcs(spark, config: Optional[GCSConfig] = None, **kwargs) -> 
     for the driver and any node where the file exists (the file wins
     when present). ``GS_ENDPOINT_URL`` rides along when non-default."""
     cfg = config or GCSConfig(**kwargs)
-    env = {"GOOGLE_APPLICATION_CREDENTIALS_JSON": json.dumps(cfg._info)}
+
+    def _matches(path: str) -> bool:
+        # reusing a path that holds a DIFFERENT key would split the
+        # cluster's identity: file-bearing nodes would authenticate as
+        # that other account while file-less nodes use the shipped JSON
+        try:
+            with open(path) as f:
+                return json.load(f) == cfg._info
+        except (OSError, ValueError):
+            return False
+
     path = kwargs.get("credentials_file") or os.environ.get(
         "GOOGLE_APPLICATION_CREDENTIALS"
     )
-    if not path or not os.path.exists(path):
+    if not path or not _matches(path):
         import tempfile
 
         fd, path = tempfile.mkstemp(prefix="gcs_sa_", suffix=".json")
         with os.fdopen(fd, "w") as f:
             json.dump(cfg._info, f)
         os.chmod(path, 0o600)
-    env["GOOGLE_APPLICATION_CREDENTIALS"] = path
+    driver_env = {"GOOGLE_APPLICATION_CREDENTIALS": path}
     if cfg.endpoint_url != _DEFAULT_ENDPOINT:
-        env["GS_ENDPOINT_URL"] = cfg.endpoint_url
-    os.environ.update(env)
-    spark.sparkContext.environment.update(env)
+        driver_env["GS_ENDPOINT_URL"] = cfg.endpoint_url
+    # the key MATERIAL ships only to the python workers (sc.environment)
+    # — putting it in the driver's os.environ would leak the private
+    # key into every subprocess the driver spawns
+    os.environ.update(driver_env)
+    spark.sparkContext.environment.update(
+        {**driver_env, "GOOGLE_APPLICATION_CREDENTIALS_JSON": json.dumps(cfg._info)}
+    )
 
 
 def generate_signed_url(
