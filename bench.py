@@ -1030,19 +1030,43 @@ def _loadavg1() -> float | None:
         return None
 
 
+# Shared wait budget across ALL quiet gates (r11 verdict #1: the battery
+# gate's 60 s cap timed out at load 10.6 — 2.6x its threshold — and the
+# stress/sharded sections had no gate at all, so seven query walls and the
+# stress-growth number shipped load-inflated). Individual gates draw from
+# this pool so a hopeless box can't stall the run longer than the pool;
+# on a quiet box every gate costs ~0. bench re-emits after each section,
+# so pool overflow only risks the LAST sections, never the query battery.
+_GATE_POOL = [float(os.environ.get("SPARK_GRAFT_GATE_POOL_S", "600"))]
+
+
 def _wait_for_quiet(threshold: float, max_wait_s: float) -> dict:
     """Bounded wait for the 1-min load to drain below ``threshold``
     (r9 verdict: the shipped artifact ran at load 8-17 and uniformly
     inflated ~40 per-query walls 1.4-1.7x — gate the WHOLE battery the
     way the 800 MB section already gates itself). Records what happened
-    so the artifact is load-annotated either way."""
-    gate = {"threshold": threshold, "load_before": _loadavg1()}
+    so the artifact is load-annotated either way.
+
+    Interpretation note for the recorded loads: the battery's own
+    local[32] bursts keep the 1-min loadavg at ~5.5-8 even on an
+    otherwise-idle box (measured r8-r10 quiet runs) — a recorded
+    per-query load in that band is self-load, not co-tenant noise;
+    loads >10 mean the gate was genuinely defeated."""
+    cap = min(max_wait_s, _GATE_POOL[0])
+    gate = {
+        "threshold": threshold,
+        "load_before": _loadavg1(),
+        "max_wait_s": max_wait_s,
+        "pool_left_s": round(_GATE_POOL[0], 1),
+    }
     waited = 0.0
-    while (_loadavg1() or 0.0) > threshold and waited < max_wait_s:
+    while (_loadavg1() or 0.0) > threshold and waited < cap:
         time.sleep(5)
         waited += 5
+    _GATE_POOL[0] = max(0.0, _GATE_POOL[0] - waited)
     gate["waited_s"] = round(waited, 1)
     gate["load_after"] = _loadavg1()
+    gate["satisfied"] = (gate["load_after"] or 0.0) <= threshold
     return gate
 
 
@@ -1302,9 +1326,13 @@ def main() -> None:
     # read 4.59x vs DuckDB at recorded load 16.1; r8's quiet number was
     # 0.98x). Bounded wait + one untimed warm of the battery's first
     # query so position 1 is not special.
+    # r11 verdict #1: 60 s was not enough — the gate started at load 28.5
+    # and timed out at 10.6 (2.6x threshold), inflating seven query walls
+    # 1.2-1.4x vs r10. 300 s drains a load of ~28 to ~4 (halving time
+    # ~60 s); on a quiet box this costs nothing.
     battery_gate = _wait_for_quiet(
         float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4.0")),
-        float(os.environ.get("SPARK_GRAFT_BATTERY_WAIT_S", "60")),
+        float(os.environ.get("SPARK_GRAFT_BATTERY_WAIT_S", "300")),
     )
     _materialize(bench_fns[HEADLINE[0]](spark, sf_dir))
 
@@ -1443,6 +1471,7 @@ def main() -> None:
             "loadavg_at_invoke": loadavg_at_invoke,
             "start_gate": start_gate,
             "battery_gate": battery_gate,
+            "gate_pool_left_s": round(_GATE_POOL[0], 1),
             "section_walls": section_walls,
             "queries": timings,
             "query_runs": runs,
@@ -1533,7 +1562,15 @@ def main() -> None:
     spark.conf.set("spark.sql.shuffle.partitions", FULL_SP)
     if os.environ.get("SPARK_GRAFT_SCALE_STRESS", "1") != "0":
         spark.catalog.clearCache()
+        # r11 verdict #1: this section ran ungated at loads 19-24 and the
+        # minhash x10 first run read 39.9 s vs 8.2 s best-of; gate it
+        # like the battery and record the gate in the section itself.
+        stress_gate = _wait_for_quiet(
+            float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4.0")),
+            float(os.environ.get("SPARK_GRAFT_STRESS_WAIT_S", "150")),
+        )
         scale_stress = _bench_scale_stress(spark, sf_dir)
+        scale_stress["load_gate"] = stress_gate
     else:
         scale_stress = None
     _mark("scale_stress")
@@ -1558,23 +1595,23 @@ def main() -> None:
         # load to drain below the threshold (bounded wait — the bench
         # budget matters more than a perfect gate), and record what
         # happened so the artifact is load-annotated either way.
-        gate_thresh = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4.0"))
-        gate_max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_S", "120"))
-        load_gate = {"threshold": gate_thresh, "load_before": _loadavg1()}
-        waited = 0.0
-        while (
-            (_loadavg1() or 0.0) > gate_thresh and waited < gate_max_wait
-        ):
-            time.sleep(5)
-            waited += 5
-        load_gate["waited_s"] = round(waited, 1)
-        load_gate["load_after"] = _loadavg1()
-        load_gate["satisfied"] = (load_gate["load_after"] or 0.0) <= gate_thresh
+        load_gate = _wait_for_quiet(
+            float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4.0")),
+            float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_S", "120")),
+        )
         zarr_throughput = _bench_zarr_throughput(spark)
         zarr_throughput["load_gate"] = load_gate
         _mark("throughput_800mb")
         _emit()
+        # r11 verdict #1: sharded ran ungated right after the 800 MB
+        # writes (self-load ~20); its ratio is load-dominated without
+        # this (r10/r11 spread 0.55-1.04 on identical code).
+        sharded_gate = _wait_for_quiet(
+            float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4.0")),
+            float(os.environ.get("SPARK_GRAFT_SHARDED_WAIT_S", "120")),
+        )
         sharded_saturation = _bench_sharded_saturation(spark)
+        sharded_saturation["load_gate"] = sharded_gate
         _mark("sharded_saturation")
     else:
         zarr_throughput = None
