@@ -513,12 +513,39 @@ def configure_spark_gcs(spark, config: Optional[GCSConfig] = None, **kwargs) -> 
         "GOOGLE_APPLICATION_CREDENTIALS"
     )
     if not path or not _matches(path):
+        # stable per-key path (sha256 of the canonical key JSON) so
+        # repeated sessions reuse one file instead of minting a new
+        # mkstemp each call, plus atexit removal so the key material
+        # does not outlive the process (r11 advice: the old mkstemp
+        # files accumulated on disk forever). Deleting at exit is safe
+        # for any concurrent session sharing the digest path: workers
+        # that miss the file fall back to the key JSON shipped by value
+        # in GOOGLE_APPLICATION_CREDENTIALS_JSON.
+        import atexit
+        import hashlib
         import tempfile
 
-        fd, path = tempfile.mkstemp(prefix="gcs_sa_", suffix=".json")
-        with os.fdopen(fd, "w") as f:
-            json.dump(cfg._info, f)
-        os.chmod(path, 0o600)
+        blob = json.dumps(cfg._info, sort_keys=True).encode()
+        digest = hashlib.sha256(blob).hexdigest()[:16]
+        path = os.path.join(
+            tempfile.gettempdir(), f"gcs_sa_{os.getuid()}_{digest}.json"
+        )
+        if not _matches(path):
+            fd, tmp = tempfile.mkstemp(
+                prefix=".gcs_sa_", dir=tempfile.gettempdir()
+            )
+            with os.fdopen(fd, "w") as f:
+                f.write(blob.decode())
+            os.chmod(tmp, 0o600)
+            os.replace(tmp, path)  # atomic vs a concurrent writer
+
+        def _cleanup(p=path):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+
+        atexit.register(_cleanup)
     driver_env = {"GOOGLE_APPLICATION_CREDENTIALS": path}
     if cfg.endpoint_url != _DEFAULT_ENDPOINT:
         driver_env["GS_ENDPOINT_URL"] = cfg.endpoint_url

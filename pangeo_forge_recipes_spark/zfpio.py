@@ -239,43 +239,56 @@ def _inv_xform(v: List[int], ndim: int) -> None:
             _inv_lift(v, 16 * z + 4 * y, 1)
 
 
-def _make_perm(ndim: int) -> List[int]:
-    """Total-sequency coefficient order: sorted by total degree (sum of
-    per-dimension frequencies), ties broken by the SUM OF SQUARES (so
-    the mixed low-frequency terms come first — 2D degree 2 orders
-    (1,1),(2,0),(0,2)), remaining ties by higher x then higher y first.
-    1D and 2D reproduce zfp's published tables exactly (full perm_2:
-    (0,0) (1,0) (0,1) (1,1) (2,0) (0,2) (2,1) (1,2) (3,0) (0,3) (2,2)
-    (3,1) (1,3) (3,2) (2,3) (3,3)). HONESTY: the 3D order within an
-    equal-(degree, sum-of-squares) group is this rule's consistent
-    generalization — the reference perm_3's residual tie-break cannot
-    be verified in this container (no zfp binary), so 3D bit-interop
-    is pinned only up to that residual order."""
-    coords = [
-        tuple(reversed(divmod_seq(i, ndim))) for i in range(4**ndim)
-    ]
-    # coords[i] = (x, y[, z]) for linear index i = x + 4y + 16z
-    def key(i):
-        c = coords[i]
-        return (
-            sum(c),
-            sum(v * v for v in c),
-            tuple(-v for v in c),
-        )
+# Coefficient orderings transcribed VERBATIM from zfp's public static
+# tables (src/template/codec2.c perm_2 / codec3.c perm_3, with
+# index(x,y,z) = x + 4y + 16z). An earlier revision GENERATED these by
+# (total degree, sum of squares, higher-x-first) — that rule reproduces
+# perm_1/perm_2 exactly but diverges from perm_3 inside the
+# equal-(degree, sumsq) groups (e.g. zfp orders the degree-2 mixed
+# terms (0,1,1),(1,0,1),(1,1,0) — LOWER x first — while the degree-3
+# sumsq-5 group is the hand-tuned (2,1,0),(2,0,1),(0,2,1),(1,2,0),
+# (1,0,2),(0,1,2), matching neither ascending nor descending x), and
+# every round-trip test passed anyway: the order only matters for
+# bit-interop with external streams. Tables are literals so the test
+# suite can pin them as literals too.
+_PERM_2_XY: List[Tuple[int, int]] = [
+    (0, 0),
+    (1, 0), (0, 1),
+    (1, 1), (2, 0), (0, 2),
+    (2, 1), (1, 2), (3, 0), (0, 3),
+    (2, 2), (3, 1), (1, 3),
+    (3, 2), (2, 3),
+    (3, 3),
+]
 
-    return sorted(range(4**ndim), key=key)
+_PERM_3_XYZ: List[Tuple[int, int, int]] = [
+    (0, 0, 0),                                                    # degree 0
+    (1, 0, 0), (0, 1, 0), (0, 0, 1),                              # degree 1
+    (0, 1, 1), (1, 0, 1), (1, 1, 0),                              # degree 2
+    (2, 0, 0), (0, 2, 0), (0, 0, 2),
+    (1, 1, 1),                                                    # degree 3
+    (2, 1, 0), (2, 0, 1), (0, 2, 1), (1, 2, 0), (1, 0, 2), (0, 1, 2),
+    (3, 0, 0), (0, 3, 0), (0, 0, 3),
+    (2, 1, 1), (1, 2, 1), (1, 1, 2),                              # degree 4
+    (0, 2, 2), (2, 0, 2), (2, 2, 0),
+    (3, 1, 0), (3, 0, 1), (0, 3, 1), (1, 3, 0), (1, 0, 3), (0, 1, 3),
+    (1, 2, 2), (2, 1, 2), (2, 2, 1),                              # degree 5
+    (3, 1, 1), (1, 3, 1), (1, 1, 3),
+    (3, 2, 0), (3, 0, 2), (0, 3, 2), (2, 3, 0), (2, 0, 3), (0, 2, 3),
+    (2, 2, 2),                                                    # degree 6
+    (3, 2, 1), (3, 1, 2), (1, 3, 2), (2, 3, 1), (2, 1, 3), (1, 2, 3),
+    (0, 3, 3), (3, 0, 3), (3, 3, 0),
+    (3, 2, 2), (2, 3, 2), (2, 2, 3),                              # degree 7
+    (3, 3, 1), (3, 1, 3), (1, 3, 3),
+    (3, 3, 2), (3, 2, 3), (2, 3, 3),                              # degree 8
+    (3, 3, 3),                                                    # degree 9
+]
 
-
-def divmod_seq(i: int, ndim: int) -> Tuple[int, ...]:
-    """Linear block index -> (z, y, x)-style digits, slowest first."""
-    digits = []
-    for _ in range(ndim):
-        digits.append(i % 4)
-        i //= 4
-    return tuple(reversed(digits))
-
-
-_PERM: Dict[int, List[int]] = {d: _make_perm(d) for d in (1, 2, 3)}
+_PERM: Dict[int, List[int]] = {
+    1: [0, 1, 2, 3],
+    2: [x + 4 * y for x, y in _PERM_2_XY],
+    3: [x + 4 * y + 16 * z for x, y, z in _PERM_3_XYZ],
+}
 
 
 # ===========================================================================
@@ -562,7 +575,21 @@ def _mode_params(
     if rate is not None:
         n = 4**ndim
         bits = int(math.floor(n * float(rate) + 0.5))
-        bits = max(bits, (1 + 11) if dtype == np.float64 else (1 + 8))
+        floor_bits = (1 + 11) if dtype == np.float64 else (1 + 8)
+        if bits < floor_bits:
+            # real zfp clamps only to ZFP_MIN_BITS=1 and truncates the
+            # exponent field mid-write; this encoder always emits the
+            # full 1+ebits exponent, so silently rounding the rate up
+            # (as an earlier revision did) would produce a stream whose
+            # header mode value AND size differ from real zfp's for the
+            # same parameters — refuse instead
+            raise NotImplementedError(
+                f"zfp fixed rate {rate} gives {bits} bits/block — below "
+                f"the {floor_bits}-bit zero-flag+exponent floor this "
+                "encoder can honor (real zfp truncates the exponent "
+                "field for such rates); use a rate of at least "
+                f"{floor_bits / n:.3f} bits/value"
+            )
         if bits > 2048:
             # real zfp would emit an expert-mode (long-form) header
             # here; degrading the requested fidelity silently would be
@@ -736,11 +763,22 @@ def decompress_zfp(buf: bytes) -> np.ndarray:
     """Decompress a self-contained zfp stream to its numpy array."""
     r = _BitReader(buf)
     hdr = _read_header(r)
-    out = np.zeros(hdr.shape, dtype=np.float64)
     is64 = hdr.dtype == np.dtype("float64")
+    floor_bits = 1 + (11 if is64 else 8)
+    if hdr.maxbits < floor_bits:
+        raise NotImplementedError(
+            f"zfp stream with maxbits={hdr.maxbits} < {floor_bits}: "
+            "truncated-exponent (sub-minimal fixed-rate) blocks are "
+            "unsupported"
+        )
+    # allocate in the header dtype: per-block values are cast on
+    # scatter-assignment (same round-to-nearest as a whole-array astype
+    # would apply), halving peak memory for float32 — the dominant
+    # dtype in zfp-compressed geoscience archives
+    out = np.zeros(hdr.shape, dtype=hdr.dtype)
     params = hdr.params
     ndim = len(hdr.shape)
     for origin in _block_origins(hdr.shape):
         block = _decode_block_float(r, params, ndim, is64).reshape((4,) * ndim)
         _scatter(out, block, origin)
-    return out.astype(hdr.dtype, copy=False)
+    return out
