@@ -41,7 +41,13 @@ parsed by :func:`scan_dmrpp` into the engine's kerchunk reference model:
 a ``.dmrpp`` document published next to an archive file makes the
 archive virtual-Zarr-readable with zero reads of the source at scan
 time — chunk reads later are ranged GETs, deflate/shuffle filters map
-onto the zarr codec chain.
+onto the zarr codec chain. String variables (r12) read through all
+three sidecar encodings BES emits: ``dmrpp:FixedLengthStringArray`` +
+chunks (fixed-width records → zarr raw type ``r{8*len}``),
+``dmrpp:vlsa`` (vlen values inlined in the document, run-length
+``c=`` attrs), and ``dmrpp:compact`` (base64 compact-layout buffers,
+strings and numerics alike); only vlen strings WITH byte-range chunks
+still gate — those bytes are HDF5 global-heap references.
 
 Schema reads (``dap4_schema``) touch only ``.dmr`` — the metadata-only
 first pass of the pipeline never transfers array payloads.
@@ -179,6 +185,9 @@ def parse_dmr(text: str) -> dict:
                     "maps": [],
                     "attrs": {},
                     "chunks": None,
+                    "flsa": None,
+                    "vlsa": None,
+                    "compact": None,
                 }
                 for sub in el:
                     st = _tag(sub)
@@ -193,6 +202,32 @@ def parse_dmr(text: str) -> dict:
                         var["attrs"][sub.get("name")] = _attr_value(sub)
                     elif st == "chunks":  # dmrpp:chunks
                         var["chunks"] = _parse_dmrpp_chunks(sub)
+                    elif st == "FixedLengthStringArray":
+                        # dmrpp annotation for HDF5 FIXED-width strings:
+                        # the chunk bytes are string_length-wide records
+                        var["flsa"] = {
+                            "length": int(sub.get("string_length")),
+                            "pad": sub.get("pad", "null_term"),
+                        }
+                    elif st == "vlsa":
+                        # dmrpp:vlsa — variable-length string values
+                        # INLINED in the sidecar (<dmrpp:v>, optional
+                        # run-length attribute c="N"), the BES encoding
+                        # for HDF5 vlen strings whose heap references
+                        # cannot be read as byte ranges
+                        vals: List[str] = []
+                        for vv in sub:
+                            if _tag(vv) == "v":
+                                vals.extend(
+                                    [vv.text or ""] * int(vv.get("c", "1"))
+                                )
+                        var["vlsa"] = vals
+                    elif st == "compact":
+                        # dmrpp:compact — base64 of the raw buffer for
+                        # HDF5 compact-layout datasets (no chunks)
+                        import base64
+
+                        var["compact"] = base64.b64decode(sub.text or "")
                 variables.append(var)
 
     walk(root, "")
@@ -498,68 +533,179 @@ def scan_dmrpp(
         shape = [s for _, s in v["dims"]]
         dnames = [d or v["name"] for d, _ in v["dims"]]
         if v["type"] == "String":
-            # vlen strings have no fixed-size chunk grid to map onto
-            # byte-range refs (the wire client reads them; sidecars
-            # annotating them are out of the DMR++ chunk model)
-            raise NotImplementedError(
-                f"{v['name']}: DMR++ String variables are not supported "
-                "(fixed-size atomic arrays only)"
-            )
+            _string_var_refs(refs, v, shape, dnames, href)
+            continue
         dtype = np.dtype(_DAP4_TYPES[v["type"]])
         ck = v["chunks"]
+        from .zarrio import _DTYPE_TO_ZARR
+
+        zarr_type = _DTYPE_TO_ZARR[str(dtype)]
+        if ck is None and v["compact"] is not None:
+            _inline_var_refs(
+                refs, v, shape, dnames, zarr_type, v["compact"],
+                int(np.prod(shape or [1], dtype=np.int64)) * dtype.itemsize,
+            )
+            continue
         if ck is None:
             raise ValueError(
                 f"{v['name']}: DMR++ variable without dmrpp:chunks — "
                 "not a data-bearing sidecar"
             )
         chunk_shape = ck["chunk_shape"] or shape or [1]
-        from .zarrio import _DTYPE_TO_ZARR
-
         meta = _array_meta(
             shape or [1],
             chunk_shape,
-            _DTYPE_TO_ZARR[str(dtype)],
+            zarr_type,
             dict(v["attrs"]),
             dnames or [v["name"]],
         )
-        codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
-        # the codec names the HDF5 scanner emits, so the reference store
-        # decodes DMR++-scanned chunks with the exact same chain
-        for f in ck["filters"]:
-            if f == "shuffle":
-                codecs.append(
-                    {
-                        "name": "hdf5-shuffle",
-                        "configuration": {"elementsize": dtype.itemsize},
-                    }
-                )
-            elif f == "deflate":
-                codecs.append({"name": "gzip", "configuration": {"level": 1}})
-            elif f == "fletcher32":
-                # position in the chain mirrors the document's pipeline
-                # order; the store verifies+strips at the right layer
-                codecs.append({"name": "hdf5-fletcher32"})
-            else:
-                raise NotImplementedError(
-                    f"{v['name']}: DMR++ compressionType {f!r} unsupported "
-                    "(shuffle/deflate/fletcher32 only)"
-                )
-        meta["codecs"] = codecs
+        meta["codecs"] = _dmrpp_codec_chain(
+            v["name"], ck["filters"], dtype.itemsize
+        )
         refs[f"{v['name']}/{ZARR_JSON}"] = json.dumps(meta)
-        grid = [
-            max(1, -(-full // c)) for full, c in zip(shape or [1], chunk_shape)
-        ]
-        for chunk in ck["chunks"]:
-            pos = chunk["pos"] or [0] * len(chunk_shape)
-            idx = [p // c for p, c in zip(pos, chunk_shape)]
-            for i, g in zip(idx, grid):
-                if i >= g:
-                    raise ValueError(
-                        f"{v['name']}: chunk position {pos} outside array"
-                    )
-            key = "/".join([v["name"], "c"] + [str(i) for i in idx])
-            refs[key] = [href, chunk["offset"], chunk["nbytes"]]
+        _chunk_refs(refs, v["name"], shape, chunk_shape, ck["chunks"], href)
     return {"version": 1, "refs": refs}
+
+
+def _dmrpp_codec_chain(name: str, filters: List[str], itemsize: int) -> list:
+    """The codec names the HDF5 scanner emits, so the reference store
+    decodes DMR++-scanned chunks with the exact same chain."""
+    codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
+    for f in filters:
+        if f == "shuffle":
+            codecs.append(
+                {
+                    "name": "hdf5-shuffle",
+                    "configuration": {"elementsize": itemsize},
+                }
+            )
+        elif f == "deflate":
+            codecs.append({"name": "gzip", "configuration": {"level": 1}})
+        elif f == "fletcher32":
+            # position in the chain mirrors the document's pipeline
+            # order; the store verifies+strips at the right layer
+            codecs.append({"name": "hdf5-fletcher32"})
+        else:
+            raise NotImplementedError(
+                f"{name}: DMR++ compressionType {f!r} unsupported "
+                "(shuffle/deflate/fletcher32 only)"
+            )
+    return codecs
+
+
+def _chunk_refs(refs, name, shape, chunk_shape, chunks, href) -> None:
+    grid = [
+        max(1, -(-full // c)) for full, c in zip(shape or [1], chunk_shape)
+    ]
+    for chunk in chunks:
+        pos = chunk["pos"] or [0] * len(chunk_shape)
+        idx = [p // c for p, c in zip(pos, chunk_shape)]
+        for i, g in zip(idx, grid):
+            if i >= g:
+                raise ValueError(f"{name}: chunk position {pos} outside array")
+        key = "/".join([name, "c"] + [str(i) for i in idx])
+        refs[key] = [href, chunk["offset"], chunk["nbytes"]]
+
+
+def _inline_var_refs(
+    refs, v, shape, dnames, zarr_type, buf: bytes, expect_nbytes: int
+) -> None:
+    """One whole-array inline chunk (compact layout / vlsa values)."""
+    import base64
+    import json
+
+    from .kerchunkio import ZARR_JSON, _array_meta
+
+    if len(buf) != expect_nbytes:
+        raise ValueError(
+            f"{v['name']}: inline data is {len(buf)} bytes, expected "
+            f"{expect_nbytes} for shape {shape or [1]}"
+        )
+    meta = _array_meta(
+        shape or [1],
+        shape or [1],
+        zarr_type,
+        dict(v["attrs"]),
+        dnames or [v["name"]],
+    )
+    refs[f"{v['name']}/{ZARR_JSON}"] = json.dumps(meta)
+    key = "/".join([v["name"], "c"] + ["0"] * len(shape or [1]))
+    refs[key] = "base64:" + base64.b64encode(buf).decode("ascii")
+
+
+def _string_var_refs(refs, v, shape, dnames, href) -> None:
+    """String-variable DMR++ branches (NASA Earthdata sidecars routinely
+    carry String label/station variables — the reference reads them
+    transparently through the netcdf4 engine, reference ``openers.py:
+    40-47``):
+
+    - ``dmrpp:FixedLengthStringArray`` + ``dmrpp:chunks``: the chunk
+      bytes are ``string_length``-wide records — map to the zarr v3 raw
+      data type ``r{8*length}`` (decoded as numpy ``|S{length}``, which
+      strips trailing NULs on access, matching HDF5 null-pad reads).
+    - ``dmrpp:vlsa``: variable-length values inlined in the sidecar —
+      packed here into one NUL-padded fixed-width inline chunk.
+    - ``dmrpp:compact`` (+ FixedLengthStringArray for the width): the
+      raw fixed-width buffer, inlined.
+    - vlen strings WITH chunks stay a named refusal: the chunk bytes
+      are HDF5 global-heap references, unreadable without parsing the
+      source file itself (which the zero-read scan must not do).
+    """
+    import json
+
+    from .kerchunkio import ZARR_JSON, _array_meta
+
+    n = int(np.prod(shape or [1], dtype=np.int64))
+    flsa = v["flsa"]
+    if v["vlsa"] is not None:
+        vals = [s.encode("utf-8") for s in v["vlsa"]]
+        if len(vals) != n:
+            raise ValueError(
+                f"{v['name']}: dmrpp:vlsa carries {len(vals)} values for "
+                f"shape {shape or [1]} ({n} elements)"
+            )
+        width = max([len(b) for b in vals] or [0]) or 1
+        for b in vals:
+            if b.endswith(b"\x00"):
+                # NUL-padding is the reversible encoding ONLY when real
+                # values never end in NUL (always true for text labels)
+                raise ValueError(
+                    f"{v['name']}: vlsa value ends in NUL — not "
+                    "representable as a NUL-padded fixed-width record"
+                )
+        buf = b"".join(b.ljust(width, b"\x00") for b in vals)
+        _inline_var_refs(
+            refs, v, shape, dnames, f"r{8 * width}", buf, n * width
+        )
+        return
+    if flsa is not None and v["compact"] is not None:
+        _inline_var_refs(
+            refs, v, shape, dnames, f"r{8 * flsa['length']}", v["compact"],
+            n * flsa["length"],
+        )
+        return
+    if flsa is not None and v["chunks"] is not None:
+        ck = v["chunks"]
+        chunk_shape = ck["chunk_shape"] or shape or [1]
+        meta = _array_meta(
+            shape or [1],
+            chunk_shape,
+            f"r{8 * flsa['length']}",
+            dict(v["attrs"]),
+            dnames or [v["name"]],
+        )
+        meta["codecs"] = _dmrpp_codec_chain(
+            v["name"], ck["filters"], flsa["length"]
+        )
+        refs[f"{v['name']}/{ZARR_JSON}"] = json.dumps(meta)
+        _chunk_refs(refs, v["name"], shape, chunk_shape, ck["chunks"], href)
+        return
+    raise NotImplementedError(
+        f"{v['name']}: DMR++ String variable carries neither "
+        "FixedLengthStringArray, vlsa, nor compact data — vlen-string "
+        "chunks are HDF5 global-heap references, unreadable from byte "
+        "ranges alone"
+    )
 
 
 # ===========================================================================

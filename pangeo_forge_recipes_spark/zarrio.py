@@ -261,6 +261,12 @@ def _encode_fill(value, dtype: np.dtype):
 def _decode_fill(value, dtype: np.dtype):
     if dtype.kind == "f" and isinstance(value, str):
         return {"NaN": math.nan, "Infinity": math.inf, "-Infinity": -math.inf}[value]
+    if dtype.kind == "S":
+        # raw/bytes arrays: the metadata default 0 means "empty record"
+        # (np.full would otherwise stringify it to b"0")
+        if value in (0, None, ""):
+            return b""
+        return value.encode() if isinstance(value, str) else value
     return value
 
 
@@ -304,7 +310,19 @@ class ZarrArray:
 
     @property
     def dtype(self) -> np.dtype:
-        return np.dtype(_ZARR_TO_DTYPE[self.meta["data_type"]])
+        dt = self.meta["data_type"]
+        if dt[:1] == "r" and dt[1:].isdigit():
+            # zarr v3 raw-bits type rN (N = bits, byte multiple): fixed
+            # width opaque records, surfaced as numpy bytes |S{N/8}
+            # (the DMR++ scanner emits these for fixed-width strings)
+            bits = int(dt[1:])
+            if bits % 8:
+                raise NotImplementedError(
+                    f"raw data type {dt}: non-byte-aligned widths "
+                    "unsupported"
+                )
+            return np.dtype(f"|S{bits // 8}")
+        return np.dtype(_ZARR_TO_DTYPE[dt])
 
     @property
     def fill_value(self):
