@@ -69,6 +69,8 @@ from .ndset import NDDataset, Variable
 
 __all__ = [
     "read_dap4",
+    "read_dap4_sequence",
+    "dap4_sequences_to_df",
     "dap4_schema",
     "parse_dmr",
     "scan_dmrpp",
@@ -172,10 +174,59 @@ def parse_dmr(text: str) -> dict:
                     attrs[el.get("name")] = _attr_value(el)
             elif t == "Group":
                 walk(el, prefix + el.get("name") + "/")
-            elif t in ("Sequence", "Structure", "Opaque"):
+            elif t == "Sequence":
+                # DAP4 Sequence — counted records of scalar fields (the
+                # station / in-situ observation shape; r11 verdict #3).
+                # This engine is a DataFrame engine, so Sequences decode
+                # to columns (see read_dap4_sequence) rather than to the
+                # NDDataset grid model.
+                fields: List[dict] = []
+                sattrs: Dict[str, object] = {}
+                for sub in el:
+                    st = _tag(sub)
+                    if st == "Attribute":
+                        sattrs[sub.get("name")] = _attr_value(sub)
+                    elif st in _DAP4_TYPES or st == "String":
+                        if any(_tag(x) == "Dim" for x in sub):
+                            raise NotImplementedError(
+                                f"DAP4 Sequence field "
+                                f"{sub.get('name')!r} has array dims — "
+                                "scalar fields only"
+                            )
+                        fields.append(
+                            {
+                                "name": sub.get("name"),
+                                "type": st,
+                                "attrs": {
+                                    a.get("name"): _attr_value(a)
+                                    for a in sub
+                                    if _tag(a) == "Attribute"
+                                },
+                            }
+                        )
+                    elif st in ("Sequence", "Structure"):
+                        raise NotImplementedError(
+                            f"nested DAP4 {st} inside a Sequence is not "
+                            "supported (flat scalar fields only)"
+                        )
+                variables.append(
+                    {
+                        "name": prefix + el.get("name"),
+                        "type": "Sequence",
+                        "dims": [],
+                        "maps": [],
+                        "attrs": sattrs,
+                        "chunks": None,
+                        "flsa": None,
+                        "vlsa": None,
+                        "compact": None,
+                        "fields": fields,
+                    }
+                )
+            elif t in ("Structure", "Opaque"):
                 raise NotImplementedError(
                     f"DAP4 {t} variables are not supported (atomic "
-                    "arrays and Strings only)"
+                    "arrays, Strings and Sequences only)"
                 )
             elif t in _DAP4_TYPES or t == "String":
                 var = {
@@ -379,6 +430,13 @@ def read_dap4(
     dims: Dict[str, int] = {}
     off = 0
     for v in wire["vars"]:
+        if v["type"] == "Sequence":
+            raise NotImplementedError(
+                f"{v['name']!r} is a DAP4 Sequence — tabular records, "
+                "not a grid; read it with read_dap4_sequence / "
+                "dap4_sequences_to_df (or project dap4.ce= to the "
+                "array variables)"
+            )
         shape = tuple(s for _, s in v["dims"])
         dnames = tuple(d or v["name"] for d, _ in v["dims"])
         n = int(np.prod(shape or (1,)))
@@ -462,6 +520,22 @@ def dap4_schema(
         "chunks": {},
     }
     for v in dmr["vars"]:
+        if v["type"] == "Sequence":
+            # key only present when the endpoint has Sequences, so
+            # grid-only schemas stay byte-identical to dap2_schema's
+            # shape for the combine path
+            schema.setdefault("sequences", {})[v["name"]] = {
+                "fields": {
+                    f["name"]: (
+                        "str"
+                        if f["type"] == "String"
+                        else str(np.dtype(_DAP4_TYPES[f["type"]]))
+                    )
+                    for f in v["fields"]
+                },
+                "attrs": dict(v["attrs"]),
+            }
+            continue
         dnames = [d or v["name"] for d, _ in v["dims"]]
         shape = [s for _, s in v["dims"]]
         schema["dims"].update(zip(dnames, shape))
@@ -490,6 +564,239 @@ def dap4_schema(
             }
         schema[role][v["name"]] = entry
     return schema
+
+
+# ===========================================================================
+# Sequences — counted tabular records (station / in-situ observations)
+# ===========================================================================
+
+
+def _decode_sequence(
+    data, off: int, bo: str, fields: List[dict], checksums: bool
+) -> Tuple[Dict[str, np.ndarray], int]:
+    """Decode one Sequence payload at ``off``: u64 record count, then
+    ``count`` records of the scalar fields in declaration order —
+    atomics at native widths, Strings counted-vlen — the DAP4 counted
+    serialization (same convention as vlen Strings; the optional
+    per-variable CRC-32 covers the whole counted block). Returns
+    ``(columns, new_offset)``."""
+    start = off
+    if off + 8 > len(data):
+        raise ValueError("DAP4 data block truncated: sequence count missing")
+    (count,) = struct.unpack_from(bo + "Q", data, off)
+    off += 8
+    has_str = any(f["type"] == "String" for f in fields)
+    cols: Dict[str, np.ndarray] = {}
+    if not has_str:
+        # fixed-width records: one structured-dtype frombuffer, no
+        # per-record Python loop
+        rec_dt = np.dtype(
+            [(f["name"], bo + _DAP4_TYPES[f["type"]]) for f in fields]
+        )
+        nbytes = count * rec_dt.itemsize
+        if off + nbytes > len(data):
+            raise ValueError(
+                f"DAP4 sequence truncated: {count} records want "
+                f"{nbytes} bytes"
+            )
+        recs = np.frombuffer(data, dtype=rec_dt, count=count, offset=off)
+        off += nbytes
+        for f in fields:
+            cols[f["name"]] = np.ascontiguousarray(
+                recs[f["name"]]
+            ).astype(recs[f["name"]].dtype.newbyteorder("="))
+    else:
+        lists: Dict[str, list] = {f["name"]: [] for f in fields}
+        for _ in range(count):
+            for f in fields:
+                if f["type"] == "String":
+                    if off + 8 > len(data):
+                        raise ValueError(
+                            "DAP4 sequence truncated: string count missing"
+                        )
+                    (cnt,) = struct.unpack_from(bo + "Q", data, off)
+                    off += 8
+                    if off + cnt > len(data):
+                        raise ValueError(
+                            f"DAP4 sequence truncated: string wants {cnt} "
+                            "bytes"
+                        )
+                    lists[f["name"]].append(
+                        bytes(data[off : off + cnt]).decode("utf-8")
+                    )
+                    off += cnt
+                else:
+                    dt = np.dtype(bo + _DAP4_TYPES[f["type"]])
+                    if off + dt.itemsize > len(data):
+                        raise ValueError("DAP4 sequence truncated mid-record")
+                    lists[f["name"]].append(
+                        np.frombuffer(data, dtype=dt, count=1, offset=off)[0]
+                    )
+                    off += dt.itemsize
+        for f in fields:
+            if f["type"] == "String":
+                cols[f["name"]] = np.array(lists[f["name"]], dtype=object)
+            else:
+                cols[f["name"]] = np.array(
+                    lists[f["name"]], dtype=_DAP4_TYPES[f["type"]]
+                )
+    if checksums:
+        raw = data[start:off]
+        (got,) = struct.unpack_from(bo + "I", data, off)
+        off += 4
+        want = zlib.crc32(raw) & 0xFFFFFFFF
+        if got != want:
+            raise ValueError(
+                f"DAP4 sequence checksum mismatch: server {got:#010x} != "
+                f"computed {want:#010x}"
+            )
+    return cols, off
+
+
+def read_dap4_sequence(
+    url: str,
+    name: Optional[str] = None,
+    timeout: float = 60.0,
+    checksums: bool = False,
+    dmr_text: Optional[str] = None,
+):
+    """Read one DAP4 Sequence into a ``pandas.DataFrame`` — the tabular
+    twin of :func:`read_dap4` (station/in-situ feeds publish
+    observation records as Sequences; the reference reads such
+    endpoints through the opendap engine, reference ``openers.py:
+    40-47``). Projects ``dap4.ce=<name>`` so only the requested
+    Sequence rides the wire. Hyperslab/field-subset constraints are a
+    declared gap for now (first cut matches the verdict's
+    hyperslab-free ask)."""
+    import pandas as pd
+
+    dmr = parse_dmr(dmr_text or _fetch(url + ".dmr", timeout).decode())
+    seqs = {v["name"]: v for v in dmr["vars"] if v["type"] == "Sequence"}
+    if not seqs:
+        raise ValueError(f"{url}: DMR declares no Sequence variables")
+    if name is None:
+        if len(seqs) > 1:
+            raise ValueError(
+                f"{url}: multiple Sequences {sorted(seqs)} — pass name="
+            )
+        name = next(iter(seqs))
+    if name not in seqs:
+        raise ValueError(f"{url}: no Sequence named {name!r} ({sorted(seqs)})")
+    dap_url = url + ".dap?" + "dap4.ce=" + urllib.parse.quote(name, safe="")
+    if checksums:
+        dap_url += "&dap4.checksum=true"
+    wire_dmr_text, data, little = _read_chunked(_fetch(dap_url, timeout))
+    wire = parse_dmr(wire_dmr_text)
+    bo = "<" if little else ">"
+    off = 0
+    for v in wire["vars"]:
+        if v["type"] != "Sequence":
+            raise ValueError(
+                f"constrained DAP4 response still carries non-Sequence "
+                f"variable {v['name']!r}"
+            )
+        cols, off = _decode_sequence(data, off, bo, v["fields"], checksums)
+        if v["name"] == name:
+            return pd.DataFrame(cols)
+    raise ValueError(f"DAP4 response did not include Sequence {name!r}")
+
+
+#: DAP4 atomic type → Spark SQL type for Sequence fields. UInt64 maps
+#: to bigint with a decode-time overflow check (Spark has no unsigned
+#: 64-bit type).
+_DAP4_TO_SPARK: Dict[str, str] = {
+    "Int8": "tinyint",
+    "Byte": "smallint",
+    "UInt8": "smallint",
+    "Char": "smallint",
+    "Int16": "smallint",
+    "UInt16": "int",
+    "Int32": "int",
+    "UInt32": "bigint",
+    "Int64": "bigint",
+    "UInt64": "bigint",
+    "Float32": "float",
+    "Float64": "double",
+    "String": "string",
+}
+_SPARK_TO_NP = {
+    "tinyint": "int8",
+    "smallint": "int16",
+    "int": "int32",
+    "bigint": "int64",
+    "float": "float32",
+    "double": "float64",
+    "string": "object",
+}
+
+
+def dap4_sequences_to_df(
+    spark,
+    urls: List[str],
+    name: Optional[str] = None,
+    timeout: float = 60.0,
+    checksums: bool = False,
+    include_url: bool = False,
+):
+    """Read the same Sequence from MANY DAP4 endpoints into one Spark
+    DataFrame — one metadata-only ``.dmr`` read on the driver fixes the
+    schema, then each endpoint's ``.dap`` transfer+decode runs in its
+    own task (``mapInPandas`` over the url list, so a thousand station
+    endpoints stream in parallel across the cluster; no rows ever
+    gather on the driver)."""
+    import pandas as pd
+
+    if not urls:
+        raise ValueError("urls is empty")
+    dmr_text = _fetch(urls[0] + ".dmr", timeout).decode()
+    dmr = parse_dmr(dmr_text)
+    seqs = {v["name"]: v for v in dmr["vars"] if v["type"] == "Sequence"}
+    if name is None:
+        if len(seqs) != 1:
+            raise ValueError(
+                f"{urls[0]}: expected exactly one Sequence, found "
+                f"{sorted(seqs)} — pass name="
+            )
+        name = next(iter(seqs))
+    if name not in seqs:
+        raise ValueError(f"{urls[0]}: no Sequence named {name!r}")
+    fields = seqs[name]["fields"]
+    spark_types = [(f["name"], _DAP4_TO_SPARK[f["type"]]) for f in fields]
+    schema = ", ".join(f"`{n}` {t}" for n, t in spark_types)
+    if include_url:
+        schema += ", `__url__` string"
+    seq_name = name
+
+    def _read_partition(batches):
+        for pdf in batches:
+            for u in pdf["url"].tolist():
+                out = read_dap4_sequence(
+                    u, name=seq_name, timeout=timeout, checksums=checksums
+                )
+                for col, styp in spark_types:
+                    npt = _SPARK_TO_NP[styp]
+                    vals = out[col]
+                    if str(vals.dtype) == "uint64" and npt == "int64":
+                        if len(vals) and vals.max() > np.iinfo(np.int64).max:
+                            raise OverflowError(
+                                f"{u}: UInt64 field {col!r} exceeds "
+                                "bigint range"
+                            )
+                    out[col] = vals.astype(npt) if npt != "object" else vals
+                if include_url:
+                    out["__url__"] = u
+                yield out if len(out) else pd.DataFrame(
+                    {
+                        c: pd.Series(dtype=_SPARK_TO_NP[t])
+                        for c, t in spark_types
+                    }
+                    | ({"__url__": pd.Series(dtype="object")} if include_url else {})
+                )
+
+    urls_df = spark.createDataFrame(
+        [(u,) for u in urls], "url string"
+    ).repartition(len(urls), "url")
+    return urls_df.mapInPandas(_read_partition, schema)
 
 
 # ===========================================================================
@@ -713,7 +1020,23 @@ def _string_var_refs(refs, v, shape, dnames, href) -> None:
 # ===========================================================================
 
 
-def _dmr_text(ds: NDDataset, name: str, names: Optional[List[str]] = None) -> str:
+def _seq_field_type(arr: np.ndarray) -> str:
+    if arr.dtype.kind in ("U", "S", "O"):
+        return "String"
+    dap_t = _NP_TO_DAP4.get(str(arr.dtype))
+    if dap_t is None:
+        raise NotImplementedError(
+            f"DAP4 server: sequence field dtype {arr.dtype} unsupported"
+        )
+    return dap_t
+
+
+def _dmr_text(
+    ds: NDDataset,
+    name: str,
+    names: Optional[List[str]] = None,
+    sequences: Optional[Dict[str, Dict[str, np.ndarray]]] = None,
+) -> str:
     lines = [
         f'<Dataset xmlns="{_DAP4_NS}" dapVersion="4.0" dmrVersion="1.0" '
         f'name="{name}">'
@@ -738,6 +1061,14 @@ def _dmr_text(ds: NDDataset, name: str, names: Optional[List[str]] = None) -> st
                 f"<Value>{val}</Value></Attribute>"
             )
         lines.append(f"    </{dap_t}>")
+    for sname, cols in (sequences or {}).items():
+        lines.append(f'    <Sequence name="{sname}">')
+        for cname, arr in cols.items():
+            lines.append(
+                f'        <{_seq_field_type(np.asarray(arr))} '
+                f'name="{cname}"/>'
+            )
+        lines.append("    </Sequence>")
     for k, val in (ds.attrs or {}).items():
         typ = "String" if isinstance(val, str) else (
             "Float64" if isinstance(val, float) else "Int32"
@@ -773,13 +1104,27 @@ def _dap_response(
     name: str,
     projections: Optional[List[str]],
     checksums: bool,
+    sequences: Optional[Dict[str, Dict[str, np.ndarray]]] = None,
 ) -> bytes:
     from .dap2io import _apply_constraints
 
-    names = None
+    sequences = sequences or {}
     if projections:
-        ds, names = _apply_constraints(ds, projections)
-    dmr = _dmr_text(ds, name, names).encode()
+        array_proj = [
+            p for p in projections if p.split("[", 1)[0] not in sequences
+        ]
+        selected_seqs = [p for p in projections if p in sequences]
+    else:
+        array_proj = None
+        selected_seqs = list(sequences)
+    names = None
+    if array_proj:
+        ds, names = _apply_constraints(ds, array_proj)
+    elif projections:
+        names = []  # sequence-only projection: no array payload at all
+    dmr = _dmr_text(
+        ds, name, names, {k: sequences[k] for k in selected_seqs}
+    ).encode()
     body = bytearray()
     for vname, var in ds.variables.items():
         if names is not None and vname not in names:
@@ -801,6 +1146,32 @@ def _dap_response(
         body += raw
         if checksums:
             body += struct.pack("<I", zlib.crc32(raw) & 0xFFFFFFFF)
+    for sname in selected_seqs:
+        cols = {c: np.asarray(a) for c, a in sequences[sname].items()}
+        lens = {len(a) for a in cols.values()}
+        if len(lens) > 1:
+            raise ValueError(
+                f"sequence {sname!r}: ragged columns {sorted(lens)}"
+            )
+        count = lens.pop() if lens else 0
+        raw = bytearray(struct.pack("<Q", count))
+        specs = []
+        for c, a in cols.items():
+            if a.dtype.kind in ("U", "S", "O"):
+                specs.append((None, [s.encode("utf-8") for s in a.astype(str)]))
+            else:
+                specs.append(
+                    (a.dtype.newbyteorder("<"), np.ascontiguousarray(a))
+                )
+        for i in range(count):
+            for dt, a in specs:
+                if dt is None:
+                    raw += struct.pack("<Q", len(a[i])) + a[i]
+                else:
+                    raw += np.asarray(a[i]).astype(dt).tobytes()
+        body += raw
+        if checksums:
+            body += struct.pack("<I", zlib.crc32(bytes(raw)) & 0xFFFFFFFF)
     # DMR chunk, then data in (possibly several) chunks, last flagged
     if not body:
         return _chunk(_CHUNK_LITTLE_ENDIAN | _CHUNK_LAST, dmr)
@@ -820,8 +1191,18 @@ class Dap4Server:
     :class:`~.dap2io.Dap2Server`): serves ``.dmr`` and ``.dap`` with
     ``dap4.ce`` projections/hyperslabs and optional checksums."""
 
-    def __init__(self, datasets: Dict[str, NDDataset]):
+    def __init__(
+        self,
+        datasets: Dict[str, NDDataset],
+        sequences: Optional[Dict[str, Dict[str, Dict[str, np.ndarray]]]] = None,
+    ):
+        """``sequences`` maps dataset name → {sequence name → {field →
+        1-D array}} — served alongside (or instead of) that dataset's
+        grid variables."""
         self.datasets = dict(datasets)
+        self.sequences = {k: dict(v) for k, v in (sequences or {}).items()}
+        for dsname in self.sequences:
+            self.datasets.setdefault(dsname, NDDataset())
         srv = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -842,7 +1223,9 @@ class Dap4Server:
                     return
                 try:
                     if ext == "dmr":
-                        payload = _dmr_text(ds, base).encode()
+                        payload = _dmr_text(
+                            ds, base, sequences=srv.sequences.get(base)
+                        ).encode()
                         ctype = "application/vnd.opendap.dap4.dataset-metadata+xml"
                     else:
                         ce = query.get("dap4.ce", [None])[0]
@@ -850,7 +1233,10 @@ class Dap4Server:
                         checksums = (
                             query.get("dap4.checksum", ["false"])[0] == "true"
                         )
-                        payload = _dap_response(ds, base, projections, checksums)
+                        payload = _dap_response(
+                            ds, base, projections, checksums,
+                            sequences=srv.sequences.get(base),
+                        )
                         ctype = "application/vnd.opendap.dap4.data"
                 except Exception as e:  # constraint errors → DAP error chunk
                     if ext == "dap":
@@ -890,9 +1276,13 @@ class Dap4Server:
         self.httpd.server_close()
 
 
-def serve_ndsets_dap4(datasets: Dict[str, NDDataset]) -> Dap4Server:
-    """Start a local DAP4 server for the given datasets."""
-    return Dap4Server(datasets)
+def serve_ndsets_dap4(
+    datasets: Dict[str, NDDataset],
+    sequences: Optional[Dict[str, Dict[str, Dict[str, np.ndarray]]]] = None,
+) -> Dap4Server:
+    """Start a local DAP4 server for the given datasets (and optional
+    Sequences)."""
+    return Dap4Server(datasets, sequences=sequences)
 
 
 # ===========================================================================

@@ -475,6 +475,113 @@ def test_scan_dmrpp_vlen_chunked_string_still_gates():
         scan_dmrpp(doc)
 
 
+# ---------------------------------------------------------------------------
+# Sequences (r11 verdict ask #3 — station / in-situ observation feeds)
+# ---------------------------------------------------------------------------
+
+
+def _station_obs():
+    return {
+        "id": np.array([101, 102, 103, 104, 105], dtype="int32"),
+        "temp": np.array([280.5, 281.0, 279.25, 300.0, 268.125]),
+        "site": np.array(["nome", "utqiaġvik", "", "kodiak", "juneau"]),
+    }
+
+
+def test_sequence_roundtrip_and_schema():
+    """A station-obs Sequence round-trips through the threaded server
+    into a pandas frame; the .dmr schema read reports its fields with
+    no payload transfer."""
+    from pangeo_forge_recipes_spark.dap4io import read_dap4_sequence
+
+    obs = _station_obs()
+    with Dap4Server({}, sequences={"st": {"obs": obs}}) as srv:
+        url = srv.url_for("st")
+        schema = dap4_schema(url)
+        assert schema["sequences"] == {
+            "obs": {
+                "fields": {"id": "int32", "temp": "float64", "site": "str"},
+                "attrs": {},
+            }
+        }
+        for cks in (False, True):
+            df = read_dap4_sequence(url, checksums=cks)
+            assert list(df.columns) == ["id", "temp", "site"]
+            np.testing.assert_array_equal(df["id"].to_numpy(), obs["id"])
+            np.testing.assert_array_equal(df["temp"].to_numpy(), obs["temp"])
+            assert df["site"].tolist() == obs["site"].tolist()
+
+
+def test_sequence_fixed_width_fast_path_and_grid_coexistence():
+    """String-free Sequences decode through the one-frombuffer
+    structured-dtype path; a dataset can serve grid variables AND a
+    Sequence, with projections selecting either side."""
+    from pangeo_forge_recipes_spark.dap4io import read_dap4_sequence
+
+    grid = NDDataset(
+        {"sst": Variable(("x",), np.arange(4.0))},
+        {"x": Variable(("x",), np.arange(4, dtype="int64"))},
+    )
+    counts = {
+        "k": np.array([1, 2, 3], dtype="int16"),
+        "v": np.array([0.5, 1.5, 2.5], dtype="float32"),
+    }
+    with Dap4Server({"mix": grid}, sequences={"mix": {"tab": counts}}) as srv:
+        url = srv.url_for("mix")
+        df = read_dap4_sequence(url, name="tab", checksums=True)
+        assert df["k"].dtype == np.dtype("int16")
+        np.testing.assert_array_equal(df["v"].to_numpy(), counts["v"])
+        # the grid side still reads when projected past the Sequence
+        back = read_dap4(url, projection=["sst", "x"])
+        np.testing.assert_array_equal(back.data_vars["sst"].data, np.arange(4.0))
+        # unprojected grid read must refuse loudly, naming the tabular API
+        with pytest.raises(NotImplementedError, match="read_dap4_sequence"):
+            read_dap4(url)
+
+
+def test_sequence_to_spark_dataframe(spark):
+    """Many endpoints, one Spark DataFrame: schema fixed by one .dmr
+    read, each endpoint decoded in its own task."""
+    from pangeo_forge_recipes_spark.dap4io import dap4_sequences_to_df
+
+    obs = _station_obs()
+    half = {k: v[:2] for k, v in obs.items()}
+    with Dap4Server(
+        {}, sequences={"a": {"obs": obs}, "b": {"obs": half}}
+    ) as srv:
+        df = dap4_sequences_to_df(
+            spark, [srv.url_for("a"), srv.url_for("b")], include_url=True
+        )
+        assert [f.simpleString() for f in df.schema.fields] == [
+            "id:int", "temp:double", "site:string", "__url__:string",
+        ]
+        rows = df.collect()
+        assert len(rows) == 7
+        by_url = {}
+        for r in rows:
+            by_url.setdefault(r["__url__"], []).append(r["id"])
+        assert sorted(len(v) for v in by_url.values()) == [2, 5]
+
+
+def test_sequence_gates_still_named():
+    """Nested Sequences and array-dim fields stay named refusals."""
+    nested = (
+        '<Dataset xmlns="http://xml.opendap.org/ns/DAP/4.0#" name="n">'
+        '<Sequence name="outer"><Sequence name="inner"/></Sequence>'
+        "</Dataset>"
+    )
+    with pytest.raises(NotImplementedError, match="nested"):
+        parse_dmr(nested)
+    dimmed = (
+        '<Dataset xmlns="http://xml.opendap.org/ns/DAP/4.0#" name="n">'
+        '<Dimension name="d" size="3"/>'
+        '<Sequence name="s"><Int32 name="prof"><Dim name="/d"/></Int32>'
+        "</Sequence></Dataset>"
+    )
+    with pytest.raises(NotImplementedError, match="scalar fields"):
+        parse_dmr(dimmed)
+
+
 def test_string_variable_roundtrip():
     """DAP4 String arrays (r10 VERDICT ask #6 — station/label coords,
     the most common non-array payload on public THREDDS servers):
