@@ -3534,6 +3534,68 @@ def _grouped_png_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(build, "doc_id long, media binary")
 
 
+def _grouped_wav_media(docs: DataFrame) -> DataFrame:
+    """Deterministic 512-sample noise WAVs where docs sharing
+    ``doc_id // 4`` carry IDENTICAL clips (same splitmix-style scramble
+    as the PNG fixture, keyed by group): white-noise clips keep
+    distinct groups' spectral rank hashes far apart (expected ~32/64
+    bits; P[≤2] needs 7 of 8 segments to pick identical top-4 band
+    subsets, ~1e-12/pair), so the only pairs within the threshold are
+    the constructed ones — closed-form group structure the SQL oracle
+    replays. The bytes on the wire are genuine 16-bit PCM RIFF/WAVE."""
+    import numpy as np
+    import pandas as pd
+
+    from pangeo_forge_recipes_spark.audioio import encode_wav
+
+    N = 512
+
+    def build(batches):
+        idx = np.arange(N, dtype=np.uint64)
+        k1 = np.uint64(0x9E3779B97F4A7C15)
+        k2 = np.uint64(0xC2B2AE3D27D4EB4F)
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            seeds = (ids - ids % 4).astype(np.uint64)
+            h = seeds[:, None] * k1 + idx[None, :] * k2
+            h ^= h >> np.uint64(33)
+            h *= k2
+            h ^= h >> np.uint64(29)
+            x = (h % np.uint64(65536)).astype(np.float64) / 65536.0 - 0.5
+            media = [
+                bytearray(encode_wav(x[i], 8000, bits=16))
+                for i in range(len(ids))
+            ]
+            yield pd.DataFrame({"doc_id": ids, "media": media})
+
+    return docs.select("doc_id").mapInPandas(build, "doc_id long, media binary")
+
+
+def _audio_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint near-dup e2e (operators/audiohash, r11 verdict
+    ask #5 — the last pytest-only hash-family member): REAL WAV decode
+    → spectral rank hash (Haitsma-Kalker band-energy family) → the
+    shared banded-Hamming pair engine. Identical clips ride on docs
+    sharing doc_id//4, so the expected pair set is pure id arithmetic
+    the oracle replays; the numeric fingerprint itself is pinned
+    against a straight-numpy recomputation in test_audiohash.py."""
+    from pangeo_forge_recipes_spark.operators.audiohash import audio_near_dup
+
+    _register(spark, sf_dir)
+    clips = _grouped_wav_media(spark.table("documents"))
+    pairs = audio_near_dup(clips, max_hamming=2)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+_AUDIO_NEAR_DUP_ORACLE = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
+FROM documents a JOIN documents b
+  ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id
+""".strip()
+
+
 def _phash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image perceptual-hash near-dup e2e (operators/imagehash): REAL
     PNG decode → DCT pHash → banded-Hamming pair engine. The fixture
@@ -3961,7 +4023,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_exact",
         ):
             out[name] = _sql_query(sql)
-    out["perplexity_buckets"] = _perplexity_buckets_q
+    # round-12 rotation: perplexity_buckets (CCNet tercile split — its
+    # trigram-LM scoring path stays graded via quality_filter in-gate
+    # and pinned numerically in test_lmscore.py; the windowed-quantile
+    # bucketing shape via stratified_sample) yields its slot to
+    # audio_near_dup — the audio fingerprint path, the last pytest-only
+    # extension-operator family member (r11 verdict ask #5)
+    out["audio_near_dup"] = _audio_near_dup_q
     # events_props_json's slot moved to warc_roundtrip (r6 third pass);
     # its dialect-pair text stays warm in test_shared_sql_parity.py
     # streaming twins + bespoke joins
@@ -4016,7 +4084,7 @@ def oracle_sql() -> dict[str, str]:
     out["quality_filter"] = _quality_filter_oracle()
     out["webdataset_roundtrip"] = _WDS_ORACLE
     out["decontaminate"] = _decontaminate_oracle()
-    out["perplexity_buckets"] = _perplexity_buckets_oracle()
+    out["audio_near_dup"] = _AUDIO_NEAR_DUP_ORACLE  # r12: perplexity slot
     # round-6 rotation (second pass): slots moved to c4_clean +
     # scrub_pii + dedup_minhash_stream
     out.pop("q22_inactive_customers")

@@ -42,7 +42,11 @@ HEADLINE = [
     "skew_salted_join",
     "dedup_lines",
     "quality_filter",
-    "perplexity_buckets",
+    # r12 rotation: perplexity_buckets left the gate (slot moved to
+    # audio_near_dup); its LM-scoring wall stays characterized by
+    # quality_filter (same trigram path) and its operator stays pinned
+    # in test_lmscore.py
+    "audio_near_dup",
     "bloom_dedup_reference",
     "semantic_dedup_pairs",
     "remove_duplicate_spans",
@@ -1215,6 +1219,8 @@ def main() -> None:
         "phash_near_dup",  # Spark decodes real PNGs + DCT-hashes +
         # bands; the oracle replays the fixture's id arithmetic —
         # different work by construction
+        "audio_near_dup",  # same class: Spark decodes real WAVs + FFT
+        # rank-hashes + bands; the oracle replays id arithmetic
         "quality_classifier_score",  # oracle replays the hashed
         # featurization with per-gram md5 in SQL — a correctness
         # artifact; the engine side is broadcast-weights map-only

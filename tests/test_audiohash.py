@@ -58,6 +58,35 @@ def test_fingerprint_invariants():
     ah.fingerprint_bits(np.arange(16) / 16.0)
 
 
+def test_fingerprint_matches_independent_numpy_recompute():
+    """The full 64-bit hash, recomputed here from the documented
+    algorithm with straight numpy (no calls into audiohash internals):
+    8 segments → rfft power → 8 log-band MEAN powers (DC excluded) →
+    top-4 bands per segment (stable ties by band index) → MSB-first
+    packbits. This is the oracle the driver slot's docstring points at."""
+    for clip in (_tone(), _chirpy(), np.random.RandomState(5).randn(4096)):
+        x = np.asarray(clip, dtype=np.float64)
+        if x.size < 128:
+            x = np.resize(x, 128)
+        seg = x[: (x.size // 8) * 8].reshape(8, x.size // 8)
+        power = np.abs(np.fft.rfft(seg, axis=1)) ** 2
+        n_bins = power.shape[1] - 1
+        edges = np.unique(np.round(np.geomspace(1, n_bins, 9)).astype(int))
+        if len(edges) < 9:
+            edges = 1 + (np.arange(9) * n_bins) // 8
+        edges = edges[:9]
+        cells = np.empty((8, 8))
+        for b in range(8):
+            lo, hi = edges[b], max(edges[b + 1], edges[b] + 1)
+            cells[:, b] = power[:, lo : min(hi, power.shape[1])].mean(axis=1)
+        want = 0
+        for s in range(8):
+            top = np.argsort(-cells[s], kind="stable")[:4]
+            for b in range(8):
+                want = (want << 1) | (1 if b in top else 0)
+        assert ah.fingerprint_bits(clip) == want
+
+
 def test_audio_fingerprint_dataframe(spark, clips):
     out = {r["doc_id"]: r["afp"] for r in ah.audio_fingerprint(clips).collect()}
     assert len(out) == 7  # fake-decode payload flows through too
