@@ -191,7 +191,14 @@ class FakeS3:
 
             def _enter(self, query, bucket, key) -> bool:
                 with srv.lock:
-                    srv.requests.append((self.command, bucket, key, dict(query)))
+                    q = dict(query)
+                    # surface the Range header in the log under a
+                    # synthetic key so tests can assert ranged-read
+                    # behavior (no real S3 query param collides)
+                    rng_hdr = self.headers.get("Range")
+                    if rng_hdr:
+                        q["__range__"] = rng_hdr
+                    srv.requests.append((self.command, bucket, key, q))
                     if srv.fail_queue:
                         status = srv.fail_queue.pop(0)
                         self._err(status, "SlowDown", "injected")

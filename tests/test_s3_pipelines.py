@@ -488,3 +488,63 @@ def test_spill_shuffle_scratch_on_s3(spark, tmp_path, s3):
     }
     assert not leftover, f"leaked spill scratch: {sorted(leftover)[:5]}"
     assert ("spillbkt", "t/sp.zarr/zarr.json") in s3.objects
+
+
+def test_reference_shuffle_sources_and_target_on_s3(spark, tmp_path, s3):
+    """THE shuffle's metadata-only ``reference`` mode with SOURCES and
+    TARGET both on the object store (r11 verdict stretch ask): the
+    exchange moves byte-range references, and the combine stage
+    re-reads each needed source piece over authenticated GETs. The
+    request log must show (a) the re-reads actually hit the store and
+    (b) per-source GET counts stay bounded by the chunk geometry — a
+    runaway would read each source once per output chunk element."""
+    import numpy as np
+
+    from pangeo_forge_recipes_spark.dsio import write_npz
+    from pangeo_forge_recipes_spark.ndset import NDDataset, Variable
+
+    nt, ny = 8, 16
+    rng = np.random.default_rng(5)
+    ds = NDDataset(
+        {"foo": Variable(("time", "y"), rng.normal(size=(nt, ny)))},
+        {
+            "time": Variable(("time",), np.arange(nt, dtype="int64")),
+            "y": Variable(("y",), np.arange(ny, dtype="float64")),
+        },
+    )
+    store = S3Store("s3://refsrc2", **s3.client_kwargs())
+    urls = []
+    for i in range(4):
+        p = str(tmp_path / f"rs{i}.npz")
+        write_npz(p, ds.isel(time=slice(2 * i, 2 * i + 2)))
+        with open(p, "rb") as f:
+            store.put(f"rs{i}.npz", f.read())
+        urls.append(f"s3://refsrc2/rs{i}.npz")
+    pattern = pattern_from_file_sequence(
+        urls, "time", nitems_per_file=2, file_type="npz"
+    )
+    with s3.lock:
+        s3.requests.clear()
+    result = store_to_zarr(
+        spark, pattern, "s3://refout2/t", "ref.zarr",
+        target_chunks={"time": 5},  # misaligned: combines across sources
+        rechunk_shuffle="reference",
+    )
+    assert_equal(result.open(), ds, check_attrs=False)
+    with s3.lock:
+        src_gets = [
+            (k, q) for m, b, k, q in s3.requests
+            if m == "GET" and b == "refsrc2" and "list-type" not in q
+        ]
+    per_source = {}
+    for k, q in src_gets:
+        per_source[k] = per_source.get(k, 0) + 1
+    # every source was re-read during combine (the refs mode moved no
+    # payload through the exchange)...
+    assert set(per_source) == {f"rs{i}.npz" for i in range(4)}
+    # ...and the per-source GET count is bounded: open/schema passes +
+    # one read per (source, touching-target-chunk) pair — each source
+    # spans 2 time steps against time-chunks of 5, so ≤2 chunks touch
+    # any source; anything beyond ~8 GETs/source means the combine is
+    # re-fetching per element
+    assert max(per_source.values()) <= 8, per_source
