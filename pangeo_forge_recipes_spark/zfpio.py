@@ -19,8 +19,13 @@ fixed-rate monotone improvement with rate), the exact invertibility of
 the lifting transform pair, header field packing against the
 documented layout (48-bit size fields + 2-bit dimensionality + 2-bit
 scalar type; 12-bit short mode partition rate/precision/accuracy), and
-the all-zero-block 1-bit fast path. Reversible and expert modes raise
-named gates. Format anchors: the reference pipeline reads such files
+the all-zero-block 1-bit fast path. The 1D/2D/3D coefficient orders
+are verbatim transcriptions of the public static perm tables.
+Reversible (lossless) mode is implemented per the documented
+algorithm (r12) with bit-exact round trips — its block/mode field
+layout is this implementation's own, see the reversible section's
+honesty note; expert lossy modes raise named gates. Format anchors:
+the reference pipeline reads such files
 through HDF5 plugins (reference ``openers.py:40-47`` delegates to
 h5py, which loads H5Z-ZFP when installed).
 
@@ -430,9 +435,12 @@ def _encode_block_float(
     else:
         # common exponent; LSB=1 marks a nonzero block
         w.write_bits(2 * e + 1, ebits + 1)
-        # block-floating-point: scale by 2^(intprec-2-emax), truncate
-        scale = math.ldexp(1.0, intprec - 2 - emax)
-        ints = [int(scale * float(v)) for v in fblock.ravel()]
+        # block-floating-point: scale by 2^(intprec-2-emax), truncate.
+        # ldexp applies the scale to each VALUE (the C formulation):
+        # materializing 2^k itself overflows for blocks whose amax sits
+        # in the denormal range (k > 1023 for float64)
+        k = intprec - 2 - emax
+        ints = [int(math.ldexp(float(v), k)) for v in fblock.ravel()]
         _fwd_xform(ints, ndim)
         perm = _PERM[ndim]
         ublock = [
@@ -477,12 +485,188 @@ def _decode_block_float(
                 v -= 1 << intprec
             ints[perm[j]] = v
         _inv_xform(ints, ndim)
-        scale = math.ldexp(1.0, emax + 2 - intprec)
-        out = np.array([scale * v for v in ints], dtype=np.float64)
+        # per-value ldexp (not a materialized 2^k): k < -1022 would
+        # underflow the scale to 0.0 and wipe denormal-range blocks
+        k = emax + 2 - intprec
+        out = np.array(
+            [math.ldexp(float(v), k) for v in ints], dtype=np.float64
+        )
     consumed = r.bits_read - start
     if consumed < params["minbits"]:
         r.skip(params["minbits"] - consumed)
     return out
+
+
+# ===========================================================================
+# reversible (lossless) mode
+# ===========================================================================
+# The documented reversible pipeline (zfp docs, "lossless compression"):
+# per 4^d block, first ATTEMPT the block-floating-point transform and
+# verify bit-exact reconstruction; when that fails (or the block holds
+# non-finite values), reinterpret the IEEE bits as two's-complement
+# integers instead. Either way, decorrelate with a REVERSIBLE integer
+# transform (the second-order Lorenzo / high-order difference lifting,
+# exactly invertible in modular arithmetic — unlike the lossy lifting's
+# >>1 round-off), reorder with the same perm tables, map to negabinary,
+# and code ALL bit planes (no truncation), skipping the trailing
+# all-zero low-order planes via an explicit count.
+#
+# HONESTY (wire pinning): the reversible BLOCK layout below — 1-bit
+# zero flag; 1-bit bfp-vs-reinterpret flag; ebits biased exponent (bfp
+# only); 5/6-bit trailing-zero-plane count; group-tested planes — and
+# the 64-bit long-form mode word in the header follow the documented
+# ALGORITHM but their exact field layout is this implementation's own
+# (no zfp binary or reversible archive exists in this container to pin
+# against, and the r11 lesson says self-round-trips cannot detect such
+# divergence). Streams are self-describing and round-trip bit-exactly;
+# bit-interop with C-encoded reversible archives is NOT claimed.
+
+ZFP_MIN_EXP_REV = ZFP_MIN_EXP - 1  # reversible marker (minexp < ZFP_MIN_EXP)
+
+
+def _rev_fwd_lift(v: List[int], off: int, s: int, mask: int, sign: int) -> None:
+    """High-order Lorenzo forward transform — w-=z; z-=y; y-=x; w-=z;
+    z-=y; w-=z — with two's-complement wraparound at the scalar width
+    (the C Int arithmetic), so the inverse is exact in Z/2^p."""
+    x = v[off]
+    y = v[off + s]
+    z = v[off + 2 * s]
+    w = v[off + 3 * s]
+    w -= z
+    z -= y
+    y -= x
+    w -= z
+    z -= y
+    w -= z
+    v[off + s] = ((y + sign) & mask) - sign
+    v[off + 2 * s] = ((z + sign) & mask) - sign
+    v[off + 3 * s] = ((w + sign) & mask) - sign
+
+
+def _rev_inv_lift(v: List[int], off: int, s: int, mask: int, sign: int) -> None:
+    x = v[off]
+    y = v[off + s]
+    z = v[off + 2 * s]
+    w = v[off + 3 * s]
+    w += z
+    z += y
+    w += z
+    y += x
+    z += y
+    w += z
+    v[off + s] = ((y + sign) & mask) - sign
+    v[off + 2 * s] = ((z + sign) & mask) - sign
+    v[off + 3 * s] = ((w + sign) & mask) - sign
+
+
+def _rev_xform(v: List[int], ndim: int, intprec: int, inverse: bool) -> None:
+    """Reversible decorrelation along each dimension — same loop
+    structure as the lossy pair (x, then y, then z; inverse reversed)."""
+    mask = (1 << intprec) - 1
+    sign = 1 << (intprec - 1)
+    lift = _rev_inv_lift if inverse else _rev_fwd_lift
+    passes: List[Tuple[int, Tuple[int, ...]]] = []
+    if ndim == 1:
+        passes = [(1, (0,))]
+    elif ndim == 2:
+        passes = [
+            (1, tuple(4 * yy for yy in range(4))),
+            (4, tuple(range(4))),
+        ]
+    else:
+        passes = [
+            (1, tuple(16 * zz + 4 * yy for zz in range(4) for yy in range(4))),
+            (4, tuple(16 * zz + xx for xx in range(4) for zz in range(4))),
+            (16, tuple(4 * yy + xx for yy in range(4) for xx in range(4))),
+        ]
+    if inverse:
+        passes = passes[::-1]
+    for s, offs in passes:
+        for off in offs:
+            lift(v, off, s, mask, sign)
+
+
+def _encode_block_rev(
+    w: _BitWriter, fblock: np.ndarray, ndim: int
+) -> None:
+    is64 = fblock.dtype == np.float64
+    ebits = 11 if is64 else 8
+    ebias = 1023 if is64 else 127
+    intprec = 64 if is64 else 32
+    nbmask = 0xAAAAAAAAAAAAAAAA if is64 else 0xAAAAAAAA
+    wmask = (1 << intprec) - 1
+    sign = 1 << (intprec - 1)
+    zbits = 6 if is64 else 5  # trailing-zero-plane count, [0, intprec-1]
+    flat = fblock.ravel()
+    raw = flat.view(np.uint64 if is64 else np.uint32)
+    if not raw.any():
+        w.write_bit(0)  # all +0.0 — bit-pattern zero, not just value zero
+        return
+    w.write_bit(1)
+    ints: Optional[List[int]] = None
+    emax = 0
+    if bool(np.isfinite(flat).all()):
+        amax = float(np.max(np.abs(flat)))
+        emax = _exponent(amax, ebias)
+        k = intprec - 2 - emax
+        cand = [int(math.ldexp(float(v), k)) for v in flat]
+        recon = np.ldexp(
+            np.array(cand, dtype=np.float64), emax + 2 - intprec
+        ).astype(fblock.dtype)
+        if bool(np.array_equal(recon.view(raw.dtype), raw)):
+            ints = cand
+    if ints is not None:
+        w.write_bit(1)  # block-floating-point path
+        w.write_bits(emax + ebias, ebits)
+    else:
+        w.write_bit(0)  # reinterpret path (exact for any bits, NaN/Inf too)
+        ints = [((int(u) + sign) & wmask) - sign for u in raw]
+    _rev_xform(ints, ndim, intprec, inverse=False)
+    perm = _PERM[ndim]
+    ublock = [
+        (((ints[perm[j]] & wmask) + nbmask) & wmask) ^ nbmask
+        for j in range(len(ints))
+    ]
+    acc = 0
+    for u in ublock:
+        acc |= u
+    z = (acc & -acc).bit_length() - 1  # trailing all-zero planes
+    w.write_bits(z, zbits)
+    _encode_ints(w, 1 << 30, intprec - z, ublock, intprec)
+
+
+def _decode_block_rev(
+    r: _BitReader, ndim: int, is64: bool
+) -> np.ndarray:
+    ebits = 11 if is64 else 8
+    ebias = 1023 if is64 else 127
+    intprec = 64 if is64 else 32
+    nbmask = 0xAAAAAAAAAAAAAAAA if is64 else 0xAAAAAAAA
+    wmask = (1 << intprec) - 1
+    signbit = 1 << (intprec - 1)
+    zbits = 6 if is64 else 5
+    dtype = np.float64 if is64 else np.float32
+    size = 4**ndim
+    if not r.read_bit():
+        return np.zeros(size, dtype=dtype)
+    bfp = r.read_bit()
+    emax = (r.read_bits(ebits) - ebias) if bfp else 0
+    z = r.read_bits(zbits)
+    ublock, _ = _decode_ints(r, 1 << 30, intprec - z, size, intprec)
+    perm = _PERM[ndim]
+    ints = [0] * size
+    for j in range(size):
+        v = ((ublock[j] ^ nbmask) - nbmask) & wmask
+        if v & signbit:
+            v -= 1 << intprec
+        ints[perm[j]] = v
+    _rev_xform(ints, ndim, intprec, inverse=True)
+    if bfp:
+        return np.ldexp(
+            np.array(ints, dtype=np.float64), emax + 2 - intprec
+        ).astype(dtype)
+    u = np.array([i & wmask for i in ints], dtype=np.uint64)
+    return u.astype(np.uint64 if is64 else np.uint32).view(dtype)
 
 
 # ===========================================================================
@@ -561,6 +745,12 @@ class ZfpHeader:
             "minexp": self.minexp,
         }
 
+    @property
+    def reversible(self) -> bool:
+        """minexp below the representable floor marks reversible mode
+        (the zfp convention: set_reversible stores ZFP_MIN_EXP - 1)."""
+        return self.minexp < ZFP_MIN_EXP
+
 
 def _mode_params(
     rate: Optional[float],
@@ -628,6 +818,29 @@ def _mode_to_short(minbits, maxbits, maxprec, minexp) -> int:
     )
 
 
+def _mode_long_pack(minbits, maxbits, maxprec, minexp) -> int:
+    """64-bit long-form mode word for parameter sets the 12-bit short
+    partition cannot express (here: reversible). Field layout (this
+    implementation's own — see the reversible honesty note):
+    bits 0-15 minbits-1 | 16-31 maxbits-1 | 32-38 maxprec-1 |
+    39-51 minexp - ZFP_MIN_EXP_REV."""
+    return (
+        (minbits - 1)
+        | ((maxbits - 1) << 16)
+        | ((maxprec - 1) << 32)
+        | ((minexp - ZFP_MIN_EXP_REV) << 39)
+    )
+
+
+def _mode_long_unpack(word: int) -> Tuple[int, int, int, int]:
+    return (
+        (word & 0xFFFF) + 1,
+        ((word >> 16) & 0xFFFF) + 1,
+        ((word >> 32) & 0x7F) + 1,
+        ((word >> 39) & 0x1FFF) + ZFP_MIN_EXP_REV,
+    )
+
+
 def _mode_from_short(mode: int) -> Tuple[int, int, int, int]:
     if mode < 2048:
         bits = mode + 1
@@ -663,6 +876,15 @@ def _write_header(w: _BitWriter, hdr: ZfpHeader) -> None:
     meta = (meta << 2) + (ndim - 1)
     meta = (meta << 2) + (_TYPE_CODE[hdr.dtype] - 1)
     w.write_bits(meta, _META_BITS)
+    if hdr.minexp < ZFP_MIN_EXP:  # reversible: long-form mode
+        w.write_bits(_MODE_LONG_MARK, _MODE_SHORT_BITS)
+        w.write_bits(
+            _mode_long_pack(
+                hdr.minbits, hdr.maxbits, hdr.maxprec, hdr.minexp
+            ),
+            64,
+        )
+        return
     mode = _mode_to_short(hdr.minbits, hdr.maxbits, hdr.maxprec, hdr.minexp)
     if mode >= _MODE_LONG_MARK:
         raise NotImplementedError("zfp long (expert) mode header")
@@ -696,9 +918,15 @@ def _read_header(r: _BitReader) -> ZfpHeader:
     shape = tuple(reversed(sizes))  # back to numpy order
     mode = r.read_bits(_MODE_SHORT_BITS)
     if mode >= _MODE_LONG_MARK:
-        raise NotImplementedError(
-            "zfp expert/reversible (long-form) mode headers unsupported"
+        minbits, maxbits, maxprec, minexp = _mode_long_unpack(
+            r.read_bits(64)
         )
+        if minexp >= ZFP_MIN_EXP:
+            raise NotImplementedError(
+                "zfp expert-mode (long-form, non-reversible) parameter "
+                "sets are unsupported"
+            )
+        return ZfpHeader(dtype, shape, minbits, maxbits, maxprec, minexp)
     minbits, maxbits, maxprec, minexp = _mode_from_short(mode)
     return ZfpHeader(dtype, shape, minbits, maxbits, maxprec, minexp)
 
@@ -724,11 +952,13 @@ def compress_zfp(
     rate: Optional[float] = None,
     precision: Optional[int] = None,
     tolerance: Optional[float] = None,
+    reversible: bool = False,
 ) -> bytes:
     """Compress a 1-3D float32/float64 array into a self-contained zfp
     stream (full header + blocks, flushed to a 64-bit word boundary).
     Exactly one of ``rate`` (bits/value), ``precision`` (bit planes),
-    or ``tolerance`` (absolute error bound) selects the mode."""
+    ``tolerance`` (absolute error bound), or ``reversible=True``
+    (bit-exact lossless, NaN/Inf allowed) selects the mode."""
     arr = np.asarray(arr)
     if arr.dtype not in (np.dtype("float32"), np.dtype("float64")):
         raise NotImplementedError(
@@ -736,14 +966,31 @@ def compress_zfp(
         )
     if not 1 <= arr.ndim <= 3:
         raise NotImplementedError("zfp: 1-3 dimensional arrays only")
+    if reversible:
+        if rate is not None or precision is not None or tolerance is not None:
+            raise ValueError(
+                "reversible=True excludes rate=/precision=/tolerance="
+            )
+        if not arr.flags.c_contiguous:
+            arr = np.ascontiguousarray(arr)
+        hdr = ZfpHeader(
+            arr.dtype, arr.shape, ZFP_MIN_BITS, ZFP_MAX_BITS,
+            ZFP_MAX_PREC, ZFP_MIN_EXP_REV,
+        )
+        w = _BitWriter()
+        _write_header(w, hdr)
+        for origin in _block_origins(arr.shape):
+            _encode_block_rev(w, _gather(arr, origin), arr.ndim)
+        return w.getvalue()
     if not np.isfinite(arr).all():
-        # zfp documents NaN/Inf as unsupported; encoding one silently
-        # zeroes every finite neighbor in its 4^d block (the common
-        # NaN-fill pattern in geoscience data would corrupt wholesale)
+        # zfp documents NaN/Inf as unsupported in the LOSSY modes;
+        # encoding one silently zeroes every finite neighbor in its 4^d
+        # block (the common NaN-fill pattern in geoscience data would
+        # corrupt wholesale). Reversible mode handles them exactly.
         raise ValueError(
-            "zfp cannot encode NaN/Inf values — replace fills with a "
-            "finite sentinel (and a fill_value attribute) before "
-            "compressing"
+            "zfp lossy modes cannot encode NaN/Inf values — use "
+            "reversible=True, or replace fills with a finite sentinel "
+            "(and a fill_value attribute) before compressing"
         )
     if not arr.flags.c_contiguous:
         arr = np.ascontiguousarray(arr)
@@ -764,6 +1011,13 @@ def decompress_zfp(buf: bytes) -> np.ndarray:
     r = _BitReader(buf)
     hdr = _read_header(r)
     is64 = hdr.dtype == np.dtype("float64")
+    if hdr.reversible:
+        out = np.zeros(hdr.shape, dtype=hdr.dtype)
+        ndim = len(hdr.shape)
+        for origin in _block_origins(hdr.shape):
+            block = _decode_block_rev(r, ndim, is64).reshape((4,) * ndim)
+            _scatter(out, block, origin)
+        return out
     floor_bits = 1 + (11 if is64 else 8)
     if hdr.maxbits < floor_bits:
         raise NotImplementedError(

@@ -627,6 +627,32 @@ def test_hdf5_zfp_round_trip(tmp_path):
     assert os.path.getsize(p) < os.path.getsize(p2)
 
 
+def test_hdf5_zfp_reversible_chunks_bit_exact(tmp_path):
+    """zfp_opts={'reversible': True}: filter-32013 chunks carry
+    long-form-mode reversible streams, and every float variable —
+    including ones with NaN fills, which the lossy modes refuse —
+    reads back BIT-exactly through the scanner + virtual store."""
+    from pangeo_forge_recipes_spark.hdf5io import read_hdf5
+
+    ds = make_ds(nt=6)
+    ds.data_vars["foo"].data[0, 0, 0] = np.nan  # lossy modes refuse this
+    p = str(tmp_path / "zfprev.h5")
+    write_hdf5(
+        p, ds, chunks={"time": 4}, compress="zfp",
+        zfp_opts={"reversible": True},
+    )
+    back = read_hdf5(p)
+    got = back.data_vars["foo"].data
+    want = ds.data_vars["foo"].data
+    np.testing.assert_array_equal(
+        got.view(np.uint64 if got.dtype == np.float64 else np.uint32),
+        want.view(np.uint64 if want.dtype == np.float64 else np.uint32),
+    )
+    np.testing.assert_array_equal(
+        back.coords["lat"].data, ds.coords["lat"].data
+    )
+
+
 def test_hdf5_zfp_rate_and_precision_modes(tmp_path):
     """Fixed-rate and fixed-precision zfp modes round-trip through the
     HDF5 pipeline; rate mode yields the predictable compressed size."""

@@ -267,3 +267,121 @@ def test_rate_beyond_short_header_refused():
     assert len(compress_zfp(a, rate=32)) > 0  # 2048 exactly: fine
     with pytest.raises(NotImplementedError, match="expert"):
         compress_zfp(a, rate=48)
+
+
+# ---------------------------------------------------------------------------
+# reversible (lossless) mode — r11 verdict ask #4
+# ---------------------------------------------------------------------------
+
+
+def _bits(a: np.ndarray) -> np.ndarray:
+    return a.view(np.uint64 if a.dtype == np.float64 else np.uint32)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "float64"])
+@pytest.mark.parametrize(
+    "shape", [(7,), (4,), (6, 5), (4, 4), (3, 5, 7), (4, 4, 4)]
+)
+def test_reversible_bit_exact_roundtrip(dtype, shape):
+    """Bit-pattern equality (not just value equality) across dtypes and
+    1-3D shapes, including partial edge blocks."""
+    rng = np.random.default_rng(hash((dtype, shape)) % 2**31)
+    a = (rng.normal(size=shape) * 10.0 ** rng.integers(-3, 4, size=shape)).astype(dtype)
+    buf = compress_zfp(a, reversible=True)
+    b = decompress_zfp(buf)
+    assert b.dtype == a.dtype and b.shape == a.shape
+    np.testing.assert_array_equal(_bits(b), _bits(a))
+    h = zfp_read_header(buf)
+    assert h.reversible and h.minexp == ZFP_MIN_EXP - 1
+
+
+def test_reversible_hostile_bit_patterns():
+    """Values that defeat the block-floating-point attempt (mixed
+    magnitudes whose small members lose bits under a shared exponent),
+    subnormals, negative zero, NaN payloads and infinities — all must
+    reproduce exactly through the reinterpret fallback."""
+    cases = [
+        np.array([1e300, 1e-300, -1.0, 3.14], dtype="float64"),
+        np.array([6.5e-10, 1.0, -2.0**-149, 2.0**-127], dtype="float32"),
+        np.array([-0.0, 0.0, -0.0, 0.0], dtype="float64"),
+        np.frombuffer(
+            np.array([0x7FF8000000000001, 0xFFF0000000000000,
+                      0x7FF0000000000000, 0x0000000000000001],
+                     dtype=np.uint64).tobytes(), dtype="float64",
+        ),  # NaN w/ payload, -Inf, +Inf, smallest subnormal
+        np.linspace(-1, 1, 17, dtype="float32"),  # BFP-friendly + edge block
+    ]
+    for a in cases:
+        b = decompress_zfp(compress_zfp(a, reversible=True))
+        np.testing.assert_array_equal(_bits(b), _bits(a))
+
+
+def test_reversible_all_zero_and_negzero_blocks():
+    z = np.zeros((8, 8), dtype="float32")
+    buf = compress_zfp(z, reversible=True)
+    np.testing.assert_array_equal(_bits(decompress_zfp(buf)), _bits(z))
+    # a +0.0 array compresses to ~1 bit/block
+    assert len(buf) <= 8 * 4  # header + 4 blocks x 1 bit, word-padded
+    nz = z.copy()
+    nz[3, 3] = -0.0  # bit pattern nonzero: must NOT take the zero path
+    np.testing.assert_array_equal(
+        _bits(decompress_zfp(compress_zfp(nz, reversible=True))), _bits(nz)
+    )
+
+
+def test_reversible_compresses_smooth_data():
+    """Smooth integer-valued fields take the lossless BFP path and the
+    Lorenzo+plane coder actually compresses them (trailing-zero-plane
+    skip doing its job)."""
+    a = np.add.outer(np.arange(16.0), np.arange(16.0))
+    buf = compress_zfp(a, reversible=True)
+    assert len(buf) < a.nbytes / 2
+    np.testing.assert_array_equal(decompress_zfp(buf), a)
+
+
+def test_reversible_header_fuzz():
+    """Truncations and corruptions of a reversible stream raise (or
+    return wrong-but-bounded data) — never hang or over-read."""
+    a = np.arange(48, dtype="float32").reshape(6, 8) / 7.0
+    buf = compress_zfp(a, reversible=True)
+    for cut in (0, 3, 7, 11, 15, len(buf) // 2):
+        try:
+            decompress_zfp(buf[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    bad = bytearray(buf)
+    bad[0] ^= 0xFF  # magic
+    with pytest.raises(ValueError, match="magic"):
+        decompress_zfp(bytes(bad))
+    # a long-form mode word that is NOT reversible gates by name: the
+    # minexp field starts at bit 39 of the long word = stream bit 135
+    # (header is 96 bits + 39); setting it to 1 decodes as the lossy
+    # expert minexp == ZFP_MIN_EXP
+    lossy = bytearray(buf)
+    lossy[135 // 8] ^= 1 << (135 % 8)
+    with pytest.raises(NotImplementedError, match="expert-mode"):
+        decompress_zfp(bytes(lossy))
+
+
+def test_reversible_excludes_lossy_params():
+    with pytest.raises(ValueError, match="excludes"):
+        compress_zfp(np.zeros(4), reversible=True, rate=8.0)
+
+
+@given(
+    st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=20),
+    st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_reversible_any_bit_pattern_roundtrips(words, is64):
+    """EVERY bit pattern — including NaN payloads, infinities,
+    subnormals and trap representations — must survive reversible
+    compression exactly (the property that defines the mode)."""
+    if is64:
+        a = np.array(words, dtype=np.uint64).view(np.float64)
+    else:
+        a = np.array(
+            [w & 0xFFFFFFFF for w in words], dtype=np.uint32
+        ).view(np.float32)
+    b = decompress_zfp(compress_zfp(a, reversible=True))
+    np.testing.assert_array_equal(_bits(b), _bits(a))
