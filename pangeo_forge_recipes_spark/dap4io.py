@@ -642,6 +642,10 @@ def _decode_sequence(
                 )
     if checksums:
         raw = data[start:off]
+        if off + 4 > len(data):
+            raise ValueError(
+                "DAP4 sequence truncated: CRC-32 trailer missing"
+            )
         (got,) = struct.unpack_from(bo + "I", data, off)
         off += 4
         want = zlib.crc32(raw) & 0xFFFFFFFF
@@ -1114,6 +1118,17 @@ def _dap_response(
             p for p in projections if p.split("[", 1)[0] not in sequences
         ]
         selected_seqs = [p for p in projections if p in sequences]
+        # a hyperslab/suffix-qualified Sequence projection matches the
+        # sequences dict by base name but not exactly: without this it
+        # would fall through BOTH branches and yield a silently-empty
+        # response (r12 review finding)
+        for p in projections:
+            if p not in selected_seqs and p.split("[", 1)[0] in sequences:
+                raise ValueError(
+                    f"projection {p!r}: hyperslab/field constraints on a "
+                    "DAP4 Sequence are not supported — project the bare "
+                    "sequence name"
+                )
     else:
         array_proj = None
         selected_seqs = list(sequences)

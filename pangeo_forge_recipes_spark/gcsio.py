@@ -514,14 +514,15 @@ def configure_spark_gcs(spark, config: Optional[GCSConfig] = None, **kwargs) -> 
     )
     if not path or not _matches(path):
         # stable per-key path (sha256 of the canonical key JSON) so
-        # repeated sessions reuse one file instead of minting a new
-        # mkstemp each call, plus atexit removal so the key material
-        # does not outlive the process (r11 advice: the old mkstemp
-        # files accumulated on disk forever). Deleting at exit is safe
-        # for any concurrent session sharing the digest path: workers
-        # that miss the file fall back to the key JSON shipped by value
-        # in GOOGLE_APPLICATION_CREDENTIALS_JSON.
-        import atexit
+        # repeated sessions reuse ONE file instead of minting a new
+        # mkstemp each call (r11 advice: the old mkstemp files
+        # accumulated on disk forever — now at most one 0600 file per
+        # distinct key per uid). Deliberately NOT deleted at exit:
+        # another live driver process using the same key resolves its
+        # GOOGLE_APPLICATION_CREDENTIALS from this same digest path,
+        # and the by-value JSON fallback ships only to EXECUTORS
+        # (sc.environment) — deleting under that driver would break
+        # its next env-resolved client (r12 review finding).
         import hashlib
         import tempfile
 
@@ -538,14 +539,6 @@ def configure_spark_gcs(spark, config: Optional[GCSConfig] = None, **kwargs) -> 
                 f.write(blob.decode())
             os.chmod(tmp, 0o600)
             os.replace(tmp, path)  # atomic vs a concurrent writer
-
-        def _cleanup(p=path):
-            try:
-                os.unlink(p)
-            except OSError:
-                pass
-
-        atexit.register(_cleanup)
     driver_env = {"GOOGLE_APPLICATION_CREDENTIALS": path}
     if cfg.endpoint_url != _DEFAULT_ENDPOINT:
         driver_env["GS_ENDPOINT_URL"] = cfg.endpoint_url

@@ -563,6 +563,31 @@ def test_sequence_to_spark_dataframe(spark):
         assert sorted(len(v) for v in by_url.values()) == [2, 5]
 
 
+def test_sequence_hyperslab_projection_raises_not_silent():
+    """dap4.ce=obs[0:2] on a Sequence must come back as a DAP error,
+    never a silently-empty response (r12 review finding: the qualified
+    name fell through both the array and sequence projection branches)."""
+    obs = {"k": np.array([1, 2], dtype="int32")}
+    with Dap4Server({}, sequences={"st": {"obs": obs}}) as srv:
+        # the server answers with a DAP ERROR chunk carrying the named
+        # refusal; the client surfaces it as the error-chunk RuntimeError
+        with pytest.raises(RuntimeError, match="Sequence"):
+            read_dap4(srv.url_for("st"), projection=["obs[0:1]"])
+
+
+def test_sequence_truncated_crc_trailer_is_valueerror():
+    """A response cut off before the 4-byte CRC raises the module's
+    ValueError contract, not a bare struct.error (r12 review finding)."""
+    from pangeo_forge_recipes_spark.dap4io import _decode_sequence
+
+    fields = [{"name": "k", "type": "Int32"}]
+    payload = (
+        np.uint64(2).tobytes() + np.array([7, 9], dtype="<i4").tobytes()
+    )
+    with pytest.raises(ValueError, match="CRC-32 trailer"):
+        _decode_sequence(payload, 0, "<", fields, checksums=True)
+
+
 def test_sequence_gates_still_named():
     """Nested Sequences and array-dim fields stay named refusals."""
     nested = (

@@ -161,15 +161,18 @@ def test_round9_rotation_slots_dual_engine(spark):
     """The four r9 rotation slots (phash_near_dup,
     quality_classifier_score, stratified_sample,
     streaming_hamming_dedup) pinned at sf0.001 against their DuckDB
-    oracles — the same compare the driver's gate runs at sf0.01."""
-    import duckdb
-    import importlib.util
+    oracles — the same compare the driver's gate runs at sf0.01.
 
-    spec = importlib.util.spec_from_file_location(
-        "entry9", "/root/repo/__spark_entry__.py"
-    )
-    entry = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(entry)
+    Uses the SHARED entrymod instance, never a second importlib copy:
+    a separate module copy carries its own _REGISTERED cache, so its
+    sf0.001 re-registration silently clobbered the session's views
+    under the first copy's nose and the NEXT entrymod._register call
+    skipped the re-register — a later sf0.01 test then read sf0.001
+    data (r12 review-session finding, surfaced by the perplexity warm
+    test)."""
+    import duckdb
+
+    entry = entrymod
     sf = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
     con = duckdb.connect()
     con.execute(
@@ -184,3 +187,13 @@ def test_round9_rotation_slots_dual_engine(spark):
         got = sorted(map(tuple, entry.queries()[name](spark, sf).collect()))
         want = sorted(map(tuple, con.execute(entry.oracle_sql()[name]).fetchall()))
         assert got == want and got, name
+
+
+def test_rotated_out_perplexity_buckets_still_matches(spark, duck):
+    """perplexity_buckets yielded its driver slot to audio_near_dup
+    (r12); the CCNet tercile split and its trigram-LM replication
+    oracle stay warm here, dual-engine at the same SF the other
+    rotated pairs use."""
+    got = _summary(entrymod._perplexity_buckets_q(spark, SF_DIR).toPandas())
+    want = _summary(duck.execute(entrymod._perplexity_buckets_oracle()).df())
+    assert got == want and got[0] > 0
