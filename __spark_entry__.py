@@ -2055,12 +2055,25 @@ def _tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     gz = os.path.join(tmp, "gz")
     lo = docs.where(F.col("doc_id") % 2 == 0)
     hi = docs.where(F.col("doc_id") % 2 == 1)
-    write_tfrecord_shards(
-        lo, plain, n_shards=_WDS_SHARDS, meta_cols=["lang", "n_chars"]
-    ).collect()
-    write_tfrecord_shards(
-        hi, gz, n_shards=_WDS_SHARDS, meta_cols=["lang", "n_chars"], compress="gzip"
-    ).collect()
+    # r12 (guide §2.6): the two independent shard-write jobs overlap —
+    # submitted from two driver threads so the second job's tasks
+    # back-fill executors freed by the first job's tail instead of
+    # waiting behind a sequential barrier
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write(args):
+        side, dest, kw = args
+        write_tfrecord_shards(
+            side, dest, n_shards=_WDS_SHARDS, meta_cols=["lang", "n_chars"], **kw
+        ).collect()
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(
+            pool.map(
+                _write,
+                [(lo, plain, {}), (hi, gz, {"compress": "gzip"})],
+            )
+        )
     types = {
         "doc_id": "int64",
         "text": "string",
@@ -2629,29 +2642,31 @@ def _resize_images_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir)
     media = attach_png_media(spark.table("documents"), width=16, height=8)
-    parts = []
-    for method in ("bilinear", "nearest"):
-        rs = resize_images(media, out_w=8, out_h=4, method=method)
-        parts.append(
-            rs.select(
-                F.lit(method).alias("method"),
-                "doc_id",
-                "width",
-                "height",
-                F.aggregate(
-                    F.transform(
-                        "pixels",
-                        lambda x, j: F.round(x.cast("double") * 1020, 0)
-                        * (F.lit(1) + j % 11),
-                    ),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-                .cast("long")
-                .alias("px_checksum"),
-            )
+    # r12 (guide §1.2): both interpolation methods come out of ONE
+    # encode+decode pass (resize_images methods=...) — the former
+    # per-method union re-ran the whole PNG encode + inflate + unfilter
+    # chain per branch for a cheap gather/lerp tail. Same rows, same
+    # schema, same values.
+    rs = resize_images(
+        media, out_w=8, out_h=4, methods=("bilinear", "nearest")
+    )
+    return rs.select(
+        "method",
+        "doc_id",
+        "width",
+        "height",
+        F.aggregate(
+            F.transform(
+                "pixels",
+                lambda x, j: F.round(x.cast("double") * 1020, 0)
+                * (F.lit(1) + j % 11),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
         )
-    return parts[0].unionAll(parts[1])
+        .cast("long")
+        .alias("px_checksum"),
+    )
 
 
 def _resize_images_oracle() -> str:

@@ -113,6 +113,7 @@ def build_bloom(
     col: str = "text",
     expected_items: int = 1_000_000,
     fpp: float = 0.01,
+    driver_inbound_cap_bytes: int = 256 * 1024 * 1024,
 ) -> Tuple[np.ndarray, int, int]:
     """One-pass distributed build: md5 runs JVM-side, each partition
     folds its Arrow digest batches into a local uint64 bitmap, and the
@@ -149,12 +150,19 @@ def build_bloom(
             np.bitwise_or(acc, np.frombuffer(b, dtype=np.uint64), out=acc)
         return pd.DataFrame({"bitmap": [acc.tobytes()]})
 
-    partials = (
-        hashed.mapInPandas(partition_bitmap, "g int, bitmap binary")
-        .groupBy("g")
-        .applyInPandas(merge_group, "bitmap binary")
-        .collect()
-    )
+    bitmaps = hashed.mapInPandas(partition_bitmap, "g int, bitmap binary")
+    # r12 (guide §2.4, scale-adaptive): the executor-side merge level
+    # exists to bound DRIVER-INBOUND bytes, so engage it only when the
+    # un-merged collect would actually be heavy (nparts × m/8 bytes >
+    # driver_inbound_cap_bytes). Below that, collecting the per-partition
+    # bitmaps directly removes one exchange and one grouped-Python stage
+    # from the build.
+    if nparts * nwords * 8 > driver_inbound_cap_bytes:
+        partials = bitmaps.groupBy("g").applyInPandas(
+            merge_group, "bitmap binary"
+        ).collect()
+    else:
+        partials = bitmaps.select("bitmap").collect()
     bits = np.zeros(nwords, dtype=np.uint64)
     for row in partials:
         np.bitwise_or(bits, np.frombuffer(bytes(row[0]), dtype=np.uint64), out=bits)

@@ -126,23 +126,26 @@ def kmeans_fit(
                     }
                 )
 
-        agg = (
+        # r12 (guide §2.3/§1.2): collect the per-partition partials
+        # directly — ≤ k rows per partition, O(k·P) total — and merge on
+        # the driver with one numpy pass. The former
+        # groupBy(cluster).agg(zip_with-fold) added a full exchange +
+        # per-element HOF evaluation per Lloyd iteration to reduce rows
+        # the driver can trivially absorb (this collect is the same O(k)
+        # driver-state contract as before, ×P partitions).
+        rows = (
             df.select(vec_col)
             .mapInPandas(partials, "cluster int, vsum array<double>, n long")
-            .groupBy("cluster")
-            .agg(
-                F.aggregate(
-                    F.collect_list("vsum"),
-                    F.array_repeat(F.lit(0.0), int(centroids.shape[1])),
-                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
-                ).alias("vsum"),
-                F.sum("n").alias("n"),
-            )
             .collect()
         )
+        sums = np.zeros_like(centroids)
+        ns = np.zeros(len(centroids), dtype=np.int64)
+        for row in rows:
+            sums[row["cluster"]] += np.asarray(row["vsum"])
+            ns[row["cluster"]] += row["n"]
         new = centroids.copy()  # empty clusters keep their centroid
-        for row in agg:
-            new[row["cluster"]] = np.array(row["vsum"]) / row["n"]
+        hit = np.nonzero(ns)[0]
+        new[hit] = sums[hit] / ns[hit, None]
         centroids = _normalize(new)
         bc.destroy()
     return centroids

@@ -105,8 +105,14 @@ def connected_components(
     e = _canonical_edges(edges, src, dst).localCheckpoint(eager=False)
     prev: Optional[Tuple[int, int]] = None
     for _ in range(max_iterations):
-        e = _canonical_edges(_large_star(e), "u", "v")
-        e = _small_star(e).localCheckpoint(eager=True)
+        # r12 (guide §2.4): _large_star's output is already canonical —
+        # it emits (v, m) with v > u ≥ m, distinct'd and self-loop-free —
+        # so the former extra _canonical_edges() pass added a pure
+        # duplicate distinct (one exchange + aggregation) per round.
+        # The checkpoint is LAZY: the _checksum job below materializes it
+        # (one job per round instead of two — eager checkpoint + separate
+        # checksum scan), and later rounds read the cached blocks.
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _checksum(e)
         if cur == prev:
             break

@@ -185,45 +185,58 @@ def minhash_lsh_candidates(
     """Self-join on (band, band_hash) buckets — candidate pairs collide on
     at least one band.
 
-    A degenerate bucket (one huge duplicate cluster) would make the
-    self-join O(N²) inside that bucket, so buckets larger than
+    A degenerate bucket (one huge duplicate cluster) would make pair
+    expansion O(N²) inside that bucket, so buckets larger than
     ``bucket_cap`` take a representative path instead: every member pairs
     only with the bucket's min-id representative (O(N) star), which
     preserves the bucket's connectivity for downstream verification /
     connected-component clustering while bounding candidate volume to
     ``O(bucket_cap × n)``.
 
-    The banded input feeds THREE plan branches (bucket sizing, the
-    self-join's two sides, the star path); without materialization Spark
-    recomputes the CPU-bound signature ``mapInPandas`` once per branch, so
-    the signatures are persisted (memory-and-disk — at scale this is the
-    (id, band, hash) table, tiny next to the text corpus)."""
-    banded = banded.persist()
-    sizes = banded.groupBy("band", "band_hash").agg(
-        F.count("*").alias("__bsize"), F.min(id_col).alias("__rep")
+    r12 restructure (guide §2.4, mirroring :func:`hamming_near_dup`'s
+    r7 shape): bucket size + representative come from WINDOW functions
+    over ONE (band, band_hash) exchange; small buckets expand to
+    ordered pairs JVM-side (groupBy on the same keys — no new exchange
+    — then per-member later-neighbor slices, O(bucket) row memory);
+    over-cap buckets take the map-side star path off the same window.
+    The former shape (persist + sizes groupBy + sizes⋈banded join +
+    aliased self-join) shuffled the banded table three more times;
+    candidate-set semantics are identical. The banded table is
+    materialized once with an eager ``localCheckpoint`` before the
+    window: AQE does NOT reuse the shuffle stage across the small/star
+    branches (measured — tools/check_reuse.py), so without it the
+    CPU-bound signature ``mapInPandas`` would run once per branch (the
+    pre-r12 shape persisted it for the same reason; the checkpoint has
+    no CacheManager entry to leak and its blocks free with the plan)."""
+    from pyspark.sql.window import Window
+
+    banded = banded.localCheckpoint(eager=True)
+    w = Window.partitionBy("band", "band_hash")
+    marked = banded.select(
+        "band",
+        "band_hash",
+        id_col,
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.min(id_col).over(w).alias("__rep"),
     )
-    tagged = banded.join(sizes, ["band", "band_hash"])
-    small = tagged.filter(F.col("__bsize") <= bucket_cap)
-    left = small.alias("l")
-    right = small.alias("r")
-    quadratic = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
+    # ids sorted ascending, so a-before-b in the array ⟺ id_a < id_b
+    small = (
+        marked.where((F.col("__n") > 1) & (F.col("__n") <= bucket_cap))
+        .groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
+    )
+    member = small.select("__ids", F.posexplode("__ids").alias("__i", "id_a"))
+    quadratic = member.select(
+        "id_a",
+        F.explode(
+            F.expr("slice(__ids, __i + 2, size(__ids) - __i - 1)")
+        ).alias("id_b"),
     )
     star = (
-        tagged.filter(
-            (F.col("__bsize") > bucket_cap) & (F.col(id_col) != F.col("__rep"))
+        marked.where(
+            (F.col("__n") > bucket_cap) & (F.col(id_col) != F.col("__rep"))
         )
-        .select(
-            F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
-        )
+        .select(F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b"))
     )
     return quadratic.unionByName(star).distinct()
 
@@ -408,7 +421,18 @@ def hamming_near_dup(
     downstream clustering. Bucket size + representative come from
     WINDOW functions over the banded exchange, so an over-cap bucket is
     never collected into one row — collect_list only ever sees buckets
-    already known ≤ cap."""
+    already known ≤ cap.
+
+    r12 (guide §1.1 measured, §2.4): the small/star branches are TWO
+    plan branches over the window, and AQE does NOT reuse the shuffle
+    stage across them (measured with an accumulator: the upstream
+    Python signature scan ran twice — tools/check_reuse.py). The
+    signature table is therefore materialized once with an eager
+    ``localCheckpoint`` — n×16-byte rows, the canonical tiny artifact
+    of this pipeline — so decode+hash (image decode for pHash, WAV
+    decode+FFT for audio fingerprints) run exactly once; blocks are
+    freed by the ContextCleaner when the plan is garbage-collected."""
+    sigs = sigs.localCheckpoint(eager=True)
     banded = banded_signature(sigs, sig_col, [id_col, sig_col], bands)
     from pyspark.sql.window import Window
 

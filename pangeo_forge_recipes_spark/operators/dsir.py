@@ -73,45 +73,47 @@ def hashed_ngram_counts(
     )
 
 
-def _log_ratio_table(
+def _log_ratio_array(
     raw: DataFrame,
     target: DataFrame,
     col: str,
     buckets: int,
     alpha: float,
-) -> DataFrame:
-    """B-row (bucket, log_ratio) table: log((p_b + α̂)/(q_b + α̂)) with
-    add-α smoothing on both normalized distributions.
+):
+    """B-element log-ratio vector: log((p_b + α̂)/(q_b + α̂)) with add-α
+    smoothing on both normalized distributions.
 
     The two histograms are collected to the driver (≤ ``buckets`` rows
-    each — O(buckets) driver state, the module's documented contract)
-    and the ratio table is built as a literal DataFrame. Each corpus
-    scan therefore runs exactly once per call, with no persisted state
-    left behind (a lazy multi-branch plan re-ran the scans — measured 5
-    corpus passes instead of the minimal 3 — and a persist-based fix
-    leaked CacheManager entries on every call)."""
+    each — O(buckets) driver state, the module's documented contract).
+    r12 optimization (guide §2.4): the two histogram aggregations run as
+    ONE job over the union of both corpora tagged by side — same two
+    scans, but scheduled together so neither waits on the other's stage
+    tail — and the ratio table becomes a plain Python list the caller
+    embeds as a single array literal, replacing the former B-row
+    broadcast-join relation."""
     import math
 
-    spark = raw.sparkSession
-    p_counts = {
-        int(r[0]): int(r[1])
-        for r in hashed_ngram_counts(target, col, buckets).collect()
-    }
-    q_counts = {
-        int(r[0]): int(r[1])
-        for r in hashed_ngram_counts(raw, col, buckets).collect()
-    }
+    tagged = target.select(
+        F.lit(1).alias("__is_p"), F.col(col).alias(col)
+    ).unionByName(raw.select(F.lit(0).alias("__is_p"), F.col(col).alias(col)))
+    grams = tagged.select(
+        "__is_p", F.explode(F.expr(_ngrams_expr(col))).alias("gram")
+    )
+    hist = (
+        grams.select("__is_p", _bucket(F.col("gram"), buckets).alias("bucket"))
+        .groupBy("__is_p", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    p_counts = {int(r[1]): int(r[2]) for r in hist if r[0] == 1}
+    q_counts = {int(r[1]): int(r[2]) for r in hist if r[0] == 0}
     p_tot = sum(p_counts.values())
     q_tot = sum(q_counts.values())
-    rows = [
-        (
-            b,
-            math.log((p_counts.get(b, 0) + alpha) / (p_tot + alpha * buckets))
-            - math.log((q_counts.get(b, 0) + alpha) / (q_tot + alpha * buckets)),
-        )
+    return [
+        math.log((p_counts.get(b, 0) + alpha) / (p_tot + alpha * buckets))
+        - math.log((q_counts.get(b, 0) + alpha) / (q_tot + alpha * buckets))
         for b in range(buckets)
     ]
-    return spark.createDataFrame(rows, "bucket long, log_ratio double")
 
 
 def importance_weights(
@@ -123,18 +125,33 @@ def importance_weights(
     alpha: float = 1.0,
 ) -> DataFrame:
     """Attach ``log_weight`` (Σ log p/q over the doc's hashed n-grams) to
-    every raw document. Two histogram aggregations + one broadcast join;
-    documents with no n-grams get log_weight 0."""
-    ratios = F.broadcast(_log_ratio_table(raw, target, col, buckets, alpha))
-    grams = raw.select(
-        id_col, F.explode(F.expr(_ngrams_expr(col))).alias("gram")
-    ).select(id_col, _bucket(F.col("gram"), buckets).alias("bucket"))
-    sums = (
-        grams.join(ratios, "bucket")
-        .groupBy(id_col)
-        .agg(F.sum("log_ratio").alias("log_weight"))
+    every raw document.
+
+    r12 optimization (guide §2.3/§2.4): scoring is computed INLINE per
+    row — the doc's gram array folds over a single broadcast-literal
+    log-ratio array (``aggregate(transform(grams, g → lr[bucket(g)]))``)
+    — replacing the former explode → broadcast-join → groupBy(doc) sum →
+    sort-merge-join-back pipeline. The scoring pass is now a pure map
+    (zero exchanges); only the histogram job shuffles (≤ 2·B tiny rows).
+    Documents with no n-grams get log_weight 0 (``aggregate`` over an
+    empty array returns the 0.0 seed)."""
+    import numpy as np
+
+    lr = _log_ratio_array(raw, target, col, buckets, alpha)
+    lr_lit = F.lit(np.asarray(lr, dtype="float64"))
+    bucket_of = (
+        "CAST(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT) % " f"{buckets}"
     )
-    return raw.join(sums, id_col, "left").fillna(0.0, ["log_weight"])
+    weight = F.expr(
+        f"aggregate(transform({_ngrams_expr(col)}, "
+        f"g -> element_at(__lr, CAST({bucket_of} AS INT) + 1)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    return (
+        raw.withColumn("__lr", lr_lit)
+        .withColumn("log_weight", weight)
+        .drop("__lr")
+    )
 
 
 def dsir_sample(

@@ -62,12 +62,16 @@ def train_char_lm(
         .mapInPandas(count, "tri long, cnt long")
         .groupBy("tri")
         .agg(F.sum("cnt").alias("cnt"))
-        .orderBy("tri")
         .collect()
     )
+    # r12 (guide §2.4): sort the ≤2^24-row model table on the driver —
+    # the former .orderBy("tri") added a full range-partition exchange
+    # to the train job just to order rows the driver re-materializes
+    # into numpy arrays anyway.
     tri = np.array([r["tri"] for r in agg], dtype=np.int64)
     cnt = np.array([r["cnt"] for r in agg], dtype=np.int64)
-    return tri, cnt
+    order = np.argsort(tri, kind="stable")
+    return tri[order], cnt[order]
 
 
 def _context_table(tri: np.ndarray, cnt: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

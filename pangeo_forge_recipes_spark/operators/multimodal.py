@@ -20,7 +20,7 @@ operators.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+from typing import Iterator, Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -411,6 +411,7 @@ def resize_images(
     out_w: int = 8,
     out_h: int = 8,
     method: str = "bilinear",
+    methods: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Resize decoded media to a fixed (out_h, out_w) grid — the
     standard pre-embedding normalization stage. Input is the media
@@ -419,35 +420,43 @@ def resize_images(
     gather/lerp (no per-image Python in the common case); other
     decodable payloads take the scalar decoders. Output:
     ``(doc_id, pixels array<float>, width, height)`` with pixels the
-    row-major flattened resized grayscale in [0, 1]."""
+    row-major flattened resized grayscale in [0, 1].
+
+    r12 (guide §1.2): ``methods`` resizes to SEVERAL interpolation
+    methods in ONE decode pass — output gains a leading ``method``
+    column, one row per (image, method). Callers comparing methods
+    previously ran the whole encode+decode chain once per method; the
+    decode dominates, the per-method gather/lerp is the cheap tail."""
     from ..jp2kio import decode_j2k
     from ..jpegio import decode_jpeg
     from ..pngio import PNG_SIGNATURE, decode_png, decode_png_batch
 
-    if method not in ("nearest", "bilinear"):
-        raise ValueError(f"resize method {method!r} (nearest | bilinear)")
+    multi = methods is not None
+    method_list = list(methods) if multi else [method]
+    for m in method_list:
+        if m not in ("nearest", "bilinear"):
+            raise ValueError(f"resize method {m!r} (nearest | bilinear)")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = [bytes(b) for b in pdf["media"]]
-            planes: list = [None] * len(blobs)
+            # decode once per image into float64 grayscale planes
+            grays: list = [None] * len(blobs)
             png_idx = [
                 i for i, b in enumerate(blobs) if b[:8] == PNG_SIGNATURE
             ]
+            png_batch = None
             if png_idx:
                 batch = decode_png_batch([blobs[i] for i in png_idx])
                 if batch is not None:
-                    fb = batch.astype("float64")
-                    if fb.ndim == 4:
-                        fb = fb.mean(axis=3)
-                    rs = _resize_plane_batch(fb, out_h, out_w, method)
-                    flat = (rs / 255.0).astype("float32").reshape(
-                        len(png_idx), -1
-                    )
-                    for j, i in enumerate(png_idx):
-                        planes[i] = flat[j]
+                    png_batch = batch.astype("float64")
+                    if png_batch.ndim == 4:
+                        png_batch = png_batch.mean(axis=3)
+            if png_batch is None:
+                png_idx = []
+            png_set = set(png_idx)
             for i, blob in enumerate(blobs):
-                if planes[i] is not None:
+                if i in png_set:
                     continue
                 if blob[:8] == PNG_SIGNATURE:
                     arr = decode_png(blob).astype("float64")
@@ -463,22 +472,39 @@ def resize_images(
                     ).reshape(8, 8)
                 if arr.ndim == 3:
                     arr = arr.mean(axis=2)
-                rs = _resize_plane_batch(
-                    arr[None, :, :], out_h, out_w, method
-                )[0]
-                planes[i] = (rs / 255.0).astype("float32").ravel()
-            yield pd.DataFrame(
-                {
+                grays[i] = arr
+
+            def resized_planes(m: str) -> list:
+                planes: list = [None] * len(blobs)
+                if png_idx:
+                    rs = _resize_plane_batch(png_batch, out_h, out_w, m)
+                    flat = (rs / 255.0).astype("float32").reshape(
+                        len(png_idx), -1
+                    )
+                    for j, i in enumerate(png_idx):
+                        planes[i] = flat[j]
+                for i, arr in enumerate(grays):
+                    if arr is None:
+                        continue
+                    rs = _resize_plane_batch(arr[None, :, :], out_h, out_w, m)[0]
+                    planes[i] = (rs / 255.0).astype("float32").ravel()
+                return planes
+
+            for m in method_list:
+                out = {
                     "doc_id": pdf["doc_id"],
-                    "pixels": planes,
+                    "pixels": resized_planes(m),
                     "width": np.full(len(blobs), out_w, dtype="int32"),
                     "height": np.full(len(blobs), out_h, dtype="int32"),
                 }
-            )
+                if multi:
+                    out = {"method": np.repeat(m, len(blobs)), **out}
+                yield pd.DataFrame(out)
 
-    return df.select("doc_id", "media").mapInPandas(
-        run, "doc_id long, pixels array<float>, width int, height int"
-    )
+    schema = "doc_id long, pixels array<float>, width int, height int"
+    if multi:
+        schema = "method string, " + schema
+    return df.select("doc_id", "media").mapInPandas(run, schema)
 
 
 def media_stats(df: DataFrame) -> DataFrame:

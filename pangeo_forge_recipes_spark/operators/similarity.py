@@ -194,24 +194,39 @@ def lsh_buckets(
     vec_col: str = "embedding",
     nbits: int = 8,
     seed: int = 42,
+    carry_vec: bool = False,
 ) -> DataFrame:
     """Random-hyperplane LSH: sign pattern of ``nbits`` projections →
-    integer bucket key. One scan, no shuffle."""
-    dim = len(df.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, nbits, seed)
-    spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(planes)
+    integer bucket key. One scan, no shuffle.
+
+    r12 (guide §1.2/§4.5): the hyperplanes are a pure function of
+    ``(dim, nbits, seed)``, so each task derives them from its first
+    batch — the former ``df.first()`` dim-probe job and the driver
+    broadcast are gone. ``carry_vec=True`` emits the vector alongside
+    the bucket so callers (``lsh_ann_topk``) need no join back to the
+    corpus to recover it."""
+    weights = (1 << np.arange(nbits)).astype(np.int64)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        p = bc.value
-        weights = (1 << np.arange(p.shape[0])).astype(np.int64)
+        p = None
         for pdf in batches:
+            if not len(pdf):
+                continue
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if p is None:
+                p = _hyperplanes(mat.shape[1], nbits, seed)
             bits = (mat @ p.T) > 0
             buckets = (bits.astype(np.int64) * weights).sum(axis=1)
-            yield pd.DataFrame({id_col: pdf[id_col], "bucket": buckets})
+            out = {id_col: pdf[id_col], "bucket": buckets}
+            if carry_vec:
+                out[vec_col] = pdf[vec_col]
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(assign, f"{id_col} long, bucket long")
+    vec_t = dict(df.select(vec_col).dtypes)[vec_col]
+    schema = f"{id_col} long, bucket long" + (
+        f", {vec_col} {vec_t}" if carry_vec else ""
+    )
+    return df.select(id_col, vec_col).mapInPandas(assign, schema)
 
 
 def lsh_ann_topk(
@@ -238,8 +253,16 @@ def lsh_ann_topk(
     the same key the join needs, so no extra exchange is introduced."""
     from pyspark.sql.window import Window
 
-    buckets = lsh_buckets(df, id_col, vec_col, nbits)
-    vecs = df.select(F.col(id_col), F.col(vec_col)).join(buckets, id_col)
+    # r12 (guide §2.4): the bucket assignment carries the vector through
+    # the Python scan, so the former corpus⋈buckets join on id (a full
+    # shuffle of both sides at scale) is gone — the only exchange left
+    # before scoring is the bucket-key one the window/join need anyway.
+    # The assignment is materialized once (eager localCheckpoint): the
+    # l/r sides are two plan branches and AQE does not reuse the shuffle
+    # stage across branches (measured — tools/check_reuse.py), so the
+    # Python scan would otherwise run twice.
+    vecs = lsh_buckets(df, id_col, vec_col, nbits, carry_vec=True)
+    vecs = vecs.localCheckpoint(eager=True)
     l = vecs.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v_a"), "bucket"
     )

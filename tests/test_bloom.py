@@ -95,3 +95,16 @@ def test_bloom_deterministic_across_builds(spark):
     b = build_bloom(ref.repartition(7), expected_items=100)
     np.testing.assert_array_equal(a[0], b[0])
     assert a[1:] == b[1:]
+
+
+def test_bloom_merge_levels_agree(spark):
+    """r12: the direct-collect small build and the executor-merged large
+    build (forced via a tiny driver_inbound_cap_bytes) produce the exact
+    same bitmap — the scale-adaptive level is a pure transport choice."""
+    ref = spark.createDataFrame(
+        [(f"doc {i}",) for i in range(500)], "text string"
+    ).repartition(6)
+    direct = build_bloom(ref, expected_items=500)
+    merged = build_bloom(ref, expected_items=500, driver_inbound_cap_bytes=1)
+    np.testing.assert_array_equal(direct[0], merged[0])
+    assert direct[1:] == merged[1:]

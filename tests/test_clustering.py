@@ -45,6 +45,17 @@ def test_kmeans_deterministic_and_normalized(spark):
     np.testing.assert_allclose(np.linalg.norm(c1, axis=1), 1.0, rtol=1e-9)
 
 
+def test_kmeans_partition_invariant_partial_merge(spark):
+    """r12: Lloyd partials are collected raw (≤ k rows per partition)
+    and merged on the driver — the centroid fit must not depend on how
+    the corpus is partitioned (different partial layouts, same sums up
+    to float addition order)."""
+    df, _ = _planted_df(spark)
+    c1 = kmeans_fit(df.repartition(1), k=4, n_iter=4)
+    c7 = kmeans_fit(df.repartition(7), k=4, n_iter=4)
+    np.testing.assert_allclose(c1, c7, rtol=1e-9, atol=1e-12)
+
+
 def test_kmeans_recovers_planted_blobs(spark):
     df, _ = _planted_df(spark)
     centroids = kmeans_fit(df, k=4, n_iter=5)

@@ -42,6 +42,28 @@ def _run(spark, edges):
     return {r["id"]: r["component"] for r in out}
 
 
+def test_large_star_output_already_canonical(spark):
+    """r12 invariant behind dropping the per-round _canonical_edges
+    pass: _large_star emits (u, v) with u > v strictly (v is a
+    neighborhood minimum, so v ≤ old-u < old-v = new-u), no self-loops,
+    no duplicates — re-canonicalizing it was a pure duplicate distinct."""
+    import random as _random
+
+    from pangeo_forge_recipes_spark.operators.components import (
+        _canonical_edges,
+        _large_star,
+    )
+
+    rng = _random.Random(11)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(150)]
+    e = _canonical_edges(
+        spark.createDataFrame(edges, ["src", "dst"]), "src", "dst"
+    )
+    rows = [(r["u"], r["v"]) for r in _large_star(e).collect()]
+    assert all(u > v for u, v in rows)
+    assert len(rows) == len(set(rows))
+
+
 def test_chain_collapses_logarithmically(spark):
     n = 64
     edges = [(i, i + 1) for i in range(n - 1)]

@@ -116,6 +116,8 @@ def test_importance_weights_plan_shape(spark):
         .executedPlan()
         .toString()
     )
-    # ratio table joins broadcast; the n-gram pipeline stays JVM-side
-    assert "BroadcastHashJoin" in plan
+    # r12: scoring is a pure map over a literal log-ratio array — no
+    # join, no exchange, and the n-gram pipeline stays JVM-side
+    assert "Join" not in plan
+    assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -196,6 +196,26 @@ def test_lsh_ann_hot_bucket_cap(spark):
     assert 101 in by_q.get(100, set()) or 100 in by_q.get(101, set())
 
 
+def test_lsh_ann_plan_carries_vector_no_id_join(vectors):
+    """r12: bucket assignment carries the vector through the Python
+    scan, so the plan has no corpus⋈buckets equi-join on the id — the
+    only join left is the bucket-keyed candidate meet."""
+    plan = (
+        similarity.lsh_ann_topk(vectors, k=2, nbits=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # exactly one join survives — the l⋈r bucket meet (keyed by bucket,
+    # the shuffle the candidate generation fundamentally needs); the
+    # former corpus⋈buckets id join is gone
+    n_joins = sum(
+        plan.count(j)
+        for j in ("BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin")
+    )
+    assert n_joins == 1
+
+
 def test_lsh_ann_cap_default_no_effect(vectors):
     # default cap (1000) must not change results on a normal corpus
     a = similarity.lsh_ann_topk(vectors, k=2, nbits=4).collect()
@@ -450,6 +470,56 @@ def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
     assert (10_000, 10_001) in {(r["id_a"], r["id_b"]) for r in pairs}
 
 
+def test_minhash_candidates_match_bruteforce_buckets(spark):
+    """r12 restructure guard: the window/collect_list candidate engine
+    must emit EXACTLY the pairs the bucket definition implies — for
+    every (band, band_hash) bucket, all ordered pairs when the bucket is
+    at or under the cap, the min-id star otherwise — deduped across
+    bands."""
+    rng = np.random.RandomState(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "spark", "query", "data"]
+    rows = [
+        (i, " ".join(rng.choice(vocab, size=8))) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    banded = dedup.minhash_band_hashes(df, num_perm=16, bands=4)
+    cap = 5
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(banded, bucket_cap=cap).collect()
+    }
+    buckets: dict = {}
+    for r in banded.collect():
+        buckets.setdefault((r["band"], r["band_hash"]), []).append(r["doc_id"])
+    want = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        if len(ids) <= cap:
+            want.update(
+                (a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]
+            )
+        else:
+            want.update((ids[0], b) for b in ids[1:])
+    assert got == want
+
+
+def test_minhash_candidates_plan_has_no_join(spark):
+    """r12: candidates come from one window + same-key groupBy over a
+    single (band, band_hash) exchange — never a self-join of the banded
+    table (the pre-r12 shape shuffled it three extra times)."""
+    df = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(30)], "doc_id long, text string"
+    )
+    banded = dedup.minhash_band_hashes(df, num_perm=16, bands=4)
+    plan = (
+        dedup.minhash_lsh_candidates(banded)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+
+
 def test_ivf_centroids_sampled_distributed(vectors):
     """Centroid selection must plan as a distributed partial top-k
     (TakeOrderedAndProject), never a full-corpus collect."""
@@ -558,6 +628,34 @@ def test_resize_images_bilinear_and_nearest(spark, docs):
             plane = ((doc_id * 31 + i * 7) % 256).reshape(8, 16).astype("float64")
             want = _resize_plane_batch(plane[None], 3, 5, method)[0] / 255.0
             np.testing.assert_allclose(got.reshape(3, 5), want, atol=1e-6)
+
+
+def test_resize_images_multi_method_one_pass_matches(spark, docs):
+    """r12: methods=(...) decodes once and must emit exactly the union
+    of the per-method outputs (same ids, same pixels, same dims)."""
+    import numpy as np
+
+    from pangeo_forge_recipes_spark.operators import multimodal
+
+    media = multimodal.attach_png_media(docs, width=16, height=8)
+    multi = multimodal.resize_images(
+        media, out_w=5, out_h=3, methods=("bilinear", "nearest")
+    ).collect()
+    assert multi and multi[0].__fields__[0] == "method"
+    got = {
+        (r["method"], r["doc_id"]): np.asarray(r["pixels"]) for r in multi
+    }
+    for method in ("bilinear", "nearest"):
+        single = multimodal.resize_images(
+            media, out_w=5, out_h=3, method=method
+        ).collect()
+        assert {r["doc_id"] for r in single} == {
+            d for m, d in got if m == method
+        }
+        for r in single:
+            np.testing.assert_array_equal(
+                got[(method, r["doc_id"])], np.asarray(r["pixels"])
+            )
 
 
 def test_resize_plane_batch_properties():
