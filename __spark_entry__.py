@@ -1455,6 +1455,12 @@ def _pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = spark.table("documents").withColumn(
         "token_count", F.expr(e.token_count()).cast("long")
     )
+    # r12 (guide §2.3, project before the exchange): pack_summary needs
+    # only (doc_id, token_count, seq_id) — dropping text here keeps the
+    # document bytes out of the bucket repartition and the Python scan
+    # stage (the opaque mapInPandas otherwise forces Spark to ship every
+    # column). Same packing, same summary.
+    counted = counted.select("doc_id", "token_count")
     return pack_summary(pack_sequences(counted, seq_len=_SEQ_LEN))
 
 
