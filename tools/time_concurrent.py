@@ -108,10 +108,13 @@ def main() -> None:
         print(f"ROUND {r} wall={wall:.2f}s", flush=True)
         print(f"POST round {r}: {jvm_stats()}", flush=True)
         if os.environ.get("TC_REST", "0") == "1":
+          try:  # best-effort: session default is spark.ui.enabled=false
             import json as _json
             import urllib.request as _rq
 
             base = spark.sparkContext.uiWebUrl
+            if not base:
+                raise RuntimeError("spark UI disabled (spark.ui.enabled)")
             apps = _json.load(
                 _rq.urlopen(f"{base}/api/v1/applications"))
             aid = apps[0]["id"]
@@ -154,6 +157,8 @@ def main() -> None:
                 f"wall*32={wall * 32:.0f}s",
                 flush=True,
             )
+          except Exception as exc:  # noqa: BLE001 — diagnostic only
+            print(f"REST round {r}: unavailable ({exc})", flush=True)
         for name, (s, e) in sorted(spans.items(), key=lambda kv: kv[1][1]):
             print(f"  {name:28s} start={s:7.2f} end={e:7.2f} "
                   f"dur={e - s:7.2f}", flush=True)
