@@ -7,15 +7,24 @@ exercises (reference usage: ``pangeo_forge_recipes/openers.py:207-254``,
 ``rechunking.py:122`` ``.isel``, ``rechunking.py:240`` ``combine_nested``,
 ``aggregation.py:20-37`` ``to_dict(data=False, encoding=True)``).
 
-Payloads cross Spark shuffle boundaries as pickled bytes (protocol 5 —
-numpy buffers are serialized out-of-band efficiently). Memory per fragment
-is bounded by the target chunk size, exactly as in the reference.
+Payloads cross Spark shuffle boundaries as raw-buffer frames (r13, guide
+§4.2): ``to_bytes`` emits a small pickled header plus each variable's
+C-contiguous buffer appended verbatim, so ``from_bytes`` reconstructs
+every array as a ZERO-COPY ``np.frombuffer`` view over the incoming
+buffer — an Arrow record-batch slice on the combine side of the rechunk
+shuffle deserializes without allocating or copying a single payload
+byte. (The pre-r13 format was a plain pickle, which re-allocated every
+fragment on load; datasets containing lazy or object-dtype variables
+still fall back to pickle, and ``from_bytes`` auto-detects both formats
+by magic.) Memory per fragment is bounded by the target chunk size,
+exactly as in the reference.
 """
 
 from __future__ import annotations
 
 import pickle
 import re
+import struct
 from dataclasses import dataclass, field
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
@@ -29,6 +38,9 @@ __all__ = [
     "combine_nested",
     "assert_equal",
 ]
+
+# raw-frame magic for NDDataset.to_bytes / from_bytes (see module docstring)
+_NDS_MAGIC = b"NDS1"
 
 
 class LazyArray:
@@ -314,11 +326,66 @@ class NDDataset:
         }
 
     def to_bytes(self) -> bytes:
-        return pickle.dumps(self, protocol=5)
+        """Raw-buffer frame: ``NDS1 | <u64 header len> | pickled header |
+        buffers...``. One copy total (the final join); the header carries
+        (role, name, dims, dtype, shape, attrs, encoding, offset, nbytes)
+        per variable. Lazy/object-dtype payloads fall back to pickle —
+        ``from_bytes`` dispatches on the magic either way."""
+        metas: list = []
+        bufs: list = []
+        offset = 0
+        for role, group in (("c", self.coords), ("d", self.data_vars)):
+            for name, var in group.items():
+                data = var.data
+                if not isinstance(data, np.ndarray) or data.dtype.hasobject:
+                    return pickle.dumps(self, protocol=5)
+                a = np.ascontiguousarray(data)
+                metas.append(
+                    (
+                        role,
+                        name,
+                        var.dims,
+                        a.dtype.str,
+                        a.shape,
+                        var.attrs,
+                        var.encoding,
+                        offset,
+                        a.nbytes,
+                    )
+                )
+                # datetime64/timedelta64 refuse buffer export directly;
+                # a flat uint8 view is a no-copy reinterpretation
+                bufs.append(a.reshape(-1).view(np.uint8))
+                offset += a.nbytes
+        header = pickle.dumps(
+            {"attrs": self.attrs, "dims": self._explicit_dims, "vars": metas},
+            protocol=5,
+        )
+        return b"".join(
+            [_NDS_MAGIC, struct.pack("<Q", len(header)), header] + bufs
+        )
 
     @staticmethod
-    def from_bytes(b: bytes) -> "NDDataset":
-        return pickle.loads(b)
+    def from_bytes(b) -> "NDDataset":
+        """Accepts bytes, memoryview, or any buffer-protocol object (e.g.
+        a ``pyarrow.Buffer`` sliced out of an Arrow record batch). Raw
+        frames reconstruct each array as a read-only zero-copy view over
+        ``b``; legacy pickle frames load as before."""
+        mv = memoryview(b)
+        if mv.nbytes < 12 or bytes(mv[:4]) != _NDS_MAGIC:
+            return pickle.loads(b)
+        (hlen,) = struct.unpack("<Q", mv[4:12])
+        meta = pickle.loads(mv[12 : 12 + hlen])
+        base = 12 + hlen
+        coords: Dict[str, Variable] = {}
+        data_vars: Dict[str, Variable] = {}
+        for role, name, dims, dt, shape, attrs, enc, off, nb in meta["vars"]:
+            arr = np.frombuffer(
+                mv[base + off : base + off + nb], dtype=np.dtype(dt)
+            ).reshape(shape)
+            target = coords if role == "c" else data_vars
+            target[name] = Variable(tuple(dims), arr, attrs, enc)
+        return NDDataset(data_vars, coords, meta["attrs"], meta["dims"])
 
     # -- convenience mutators (preprocessor surface, SURVEY §2.2) -------------
     def drop_vars(self, names: Iterable[str]) -> "NDDataset":

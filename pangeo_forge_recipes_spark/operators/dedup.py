@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.textexprs import TextExprs
-from ..parallel import spread
+from ..parallel import materialize_branch_input, spread
 
 # ---------------------------------------------------------------------------
 # exact dedup (hash groupBy)
@@ -207,10 +207,15 @@ def minhash_lsh_candidates(
     branches (measured — tools/check_reuse.py), so without it the
     CPU-bound signature ``mapInPandas`` would run once per branch (the
     pre-r12 shape persisted it for the same reason; the checkpoint has
-    no CacheManager entry to leak and its blocks free with the plan)."""
+    no CacheManager entry to leak and its blocks free with the plan).
+    100 TB caveat (r13): the default localCheckpoint trades lineage for
+    locality — its blocks are non-replicated, so an executor loss fails
+    the query instead of recomputing; set
+    ``SPARK_GRAFT_BRANCH_MATERIALIZE=persist`` on clusters with spot
+    kills / dynamic allocation (see ``parallel.materialize_branch_input``)."""
     from pyspark.sql.window import Window
 
-    banded = banded.localCheckpoint(eager=True)
+    banded = materialize_branch_input(banded)
     w = Window.partitionBy("band", "band_hash")
     marked = banded.select(
         "band",
@@ -251,45 +256,62 @@ def minhash_dedup(
     shingle_n: int = 5,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
-    exact-Jaccard verification on candidates only → pairs ≥ threshold."""
+    exact-Jaccard verification on candidates only → pairs ≥ threshold.
+
+    r13 verify restructure (guide §2.3/§3, r12 verdict #7): the exact-
+    Jaccard stage previously joined the TEXT table twice (once per pair
+    side) — two full passes over the corpus, with pair-expanded
+    ``text_a`` additionally riding the second join's exchange. Now ONE
+    semi-join pass computes each candidate doc's shingle-hash set
+    (sorted unique 64-bit FNV-1a — the same ``_shingle_hashes`` the
+    signatures use), bounded by the docs that appear in any candidate
+    pair, and the pair table joins that small signature table twice;
+    Jaccard is a JVM ``array_intersect`` size over the unique arrays —
+    bit-identical to the previous numpy ``intersect1d`` computation
+    (both are |A∩B| / (|A|+|B|−|A∩B|) in IEEE double). At 100 TB this
+    turns 2×corpus scan+shuffle into 1×scan + O(candidate-docs) bytes.
+    The tiny signature table is materialized once
+    (``parallel.materialize_branch_input``) because it feeds both join
+    branches and AQE does not reuse stages across branches."""
     banded = minhash_band_hashes(df, col, id_col, num_perm, bands, shingle_n)
-    candidates = minhash_lsh_candidates(banded, id_col)
-    texts = df.select(F.col(id_col), F.col(col))
-    # the candidate set is tiny in bytes, so AQE coalesces the post-join
-    # stage down to ~1 partition — but verification cost is per-PAIR Python
-    # work, not per-byte. Force a full-width repartition so the verify
-    # stage uses the whole cluster.
-    pairs = (
-        candidates.join(texts.withColumnRenamed(id_col, "id_a").withColumnRenamed(col, "text_a"), "id_a")
-        .join(texts.withColumnRenamed(id_col, "id_b").withColumnRenamed(col, "text_b"), "id_b")
-        .repartition(df.sparkSession.sparkContext.defaultParallelism, "id_a")
+    candidates = materialize_branch_input(minhash_lsh_candidates(banded, id_col))
+    need = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
+    docs = df.select(F.col(id_col), F.col(col)).join(need, id_col, "leftsemi")
 
-    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # docs recur across pairs (a bucket of m members yields m-1..m²/2
-        # pairs), so memoize shingle sets per doc id within the partition
-        cache: dict = {}
-
-        def sh(doc_id, text):
-            r = cache.get(doc_id)
-            if r is None:
-                r = cache[doc_id] = _shingle_hashes(text, shingle_n)
-            return r
-
+    def shingles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            jac = []
-            for ia, ib, ta, tb in zip(
-                pdf["id_a"], pdf["id_b"], pdf["text_a"], pdf["text_b"]
-            ):
-                ha, hb = sh(ia, ta), sh(ib, tb)
-                inter = np.intersect1d(ha, hb, assume_unique=True).size
-                union = ha.size + hb.size - inter
-                jac.append(inter / union if union else 1.0)
-            out = pdf[["id_a", "id_b"]].copy()
-            out["jaccard"] = jac
-            yield out
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sh": [
+                        _shingle_hashes(t, shingle_n).view(np.int64)
+                        for t in pdf[col]
+                    ],
+                }
+            )
 
-    verified = pairs.mapInPandas(verify, "id_a long, id_b long, jaccard double")
+    sig = materialize_branch_input(
+        docs.mapInPandas(shingles, f"{id_col} long, sh array<long>")
+    )
+    joined = candidates.join(
+        sig.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(
+        sig.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - F.col("__inter")
+    verified = (
+        joined.withColumn("__inter", inter)
+        .withColumn(
+            "jaccard",
+            F.when(union == 0, F.lit(1.0)).otherwise(F.col("__inter") / union),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
     return verified.filter(F.col("jaccard") >= threshold)
 
 
@@ -431,8 +453,13 @@ def hamming_near_dup(
     ``localCheckpoint`` — n×16-byte rows, the canonical tiny artifact
     of this pipeline — so decode+hash (image decode for pHash, WAV
     decode+FFT for audio fingerprints) run exactly once; blocks are
-    freed by the ContextCleaner when the plan is garbage-collected."""
-    sigs = sigs.localCheckpoint(eager=True)
+    freed by the ContextCleaner when the plan is garbage-collected.
+    100 TB caveat (r13): localCheckpoint blocks are non-replicated —
+    an executor loss fails the query instead of recomputing from
+    lineage; set ``SPARK_GRAFT_BRANCH_MATERIALIZE=persist`` on clusters
+    with spot kills / dynamic allocation (see
+    ``parallel.materialize_branch_input``)."""
+    sigs = materialize_branch_input(sigs)
     banded = banded_signature(sigs, sig_col, [id_col, sig_col], bands)
     from pyspark.sql.window import Window
 

@@ -15,6 +15,7 @@ Scale design (100 TB / billions of vectors):
 
 from __future__ import annotations
 
+import os
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
@@ -22,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..parallel import spread
+from ..parallel import materialize_branch_input, spread
 
 #: Default ceiling on the estimated driver-collected payload of the
 #: broadcast-exact tiers (bytes of the float64 matrix / PQ code table the
@@ -215,6 +216,17 @@ def lsh_buckets(
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             if p is None:
                 p = _hyperplanes(mat.shape[1], nbits, seed)
+            elif mat.shape[1] != p.shape[1]:
+                # r13 (r12 ADVICE): hyperplanes are derived from the first
+                # batch's dim — a ragged corpus (per-partition-uniform but
+                # globally mixed widths) would otherwise bucket against
+                # DIFFERENT plane sets per task, silently corrupting ANN
+                # candidates. Fail loudly instead.
+                raise ValueError(
+                    f"lsh_buckets: vector dim changed mid-task "
+                    f"({p.shape[1]} -> {mat.shape[1]}); mixed-dimension "
+                    f"corpora cannot share one hyperplane set"
+                )
             bits = (mat @ p.T) > 0
             buckets = (bits.astype(np.int64) * weights).sum(axis=1)
             out = {id_col: pdf[id_col], "bucket": buckets}
@@ -257,12 +269,17 @@ def lsh_ann_topk(
     # the Python scan, so the former corpus⋈buckets join on id (a full
     # shuffle of both sides at scale) is gone — the only exchange left
     # before scoring is the bucket-key one the window/join need anyway.
-    # The assignment is materialized once (eager localCheckpoint): the
-    # l/r sides are two plan branches and AQE does not reuse the shuffle
-    # stage across branches (measured — tools/check_reuse.py), so the
-    # Python scan would otherwise run twice.
-    vecs = lsh_buckets(df, id_col, vec_col, nbits, carry_vec=True)
-    vecs = vecs.localCheckpoint(eager=True)
+    # The assignment is materialized once
+    # (``parallel.materialize_branch_input`` — default eager
+    # localCheckpoint; 100 TB caveat: blocks are non-replicated, so an
+    # executor loss fails the query instead of recomputing — set
+    # SPARK_GRAFT_BRANCH_MATERIALIZE=persist on spot/dynamic clusters):
+    # the l/r sides are two plan branches and AQE does not reuse the
+    # shuffle stage across branches (measured — tools/check_reuse.py),
+    # so the Python scan would otherwise run twice.
+    vecs = materialize_branch_input(
+        lsh_buckets(df, id_col, vec_col, nbits, carry_vec=True)
+    )
     l = vecs.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v_a"), "bucket"
     )
@@ -274,6 +291,22 @@ def lsh_ann_topk(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_b"), "bucket"
         )
     )
+    # r13 (guide §3.1, r12 verdict #5): the remaining l⋈r bucket-meet
+    # join planned as a sort-merge that shuffled BOTH sides. The capped
+    # candidate side is ≤ the corpus (row_number ≤ bucket_cap per
+    # bucket); when the checkpointed assignment estimates under the
+    # broadcast gate, hint a broadcast so the probe side streams with no
+    # exchange at all. Above the gate (or on estimate failure) the hint
+    # is skipped and the planner keeps the shuffle join.
+    bound = int(
+        os.environ.get("SPARK_GRAFT_LSH_BROADCAST_BYTES", str(256 << 20))
+    )
+    try:
+        _, _, est = estimate_collect_bytes(vecs, vec_col)
+    except Exception:
+        est = bound + 1
+    if est <= bound:
+        r = F.broadcast(r)
     pairs = l.join(r, "bucket").filter(F.col("vec_id") != F.col("neighbor_id"))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

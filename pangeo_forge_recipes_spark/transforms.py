@@ -616,12 +616,16 @@ def rechunk_and_store(
     runtime, we fuse them structurally). Only tiny status rows return.
 
     The group crosses JVM→Python as ARROW data (``applyInArrow``), not
-    pandas: the MB-scale payload cells are unpickled straight from the
-    Arrow buffers (``BinaryScalar.as_buffer()`` — pickle reads the
-    buffer protocol, no per-cell ``bytes`` materialization and no pandas
-    block consolidation). This is the combine-side half of the payload
-    crossing r7's stage breakdown flagged; measured on the 800 MB
-    fixture it removes one full copy of every fragment byte."""
+    pandas: the MB-scale payload cells deserialize straight from the
+    Arrow buffers (``BinaryScalar.as_buffer()`` — no per-cell ``bytes``
+    materialization and no pandas block consolidation). r13 (guide
+    §4.2): with the NDS1 raw frame (``NDDataset.to_bytes``) the
+    deserialization is a ZERO-COPY ``np.frombuffer`` view over the Arrow
+    buffer — the only combine-side copy left per payload byte is the
+    assembly into the target chunk, where pre-r13 the pickle load
+    re-allocated every fragment first (one extra full copy of the
+    corpus, and the dominant combine cost when host page faults are
+    slow)."""
     import pyarrow as pa
 
     def combine_write(tbl: "pa.Table") -> "pa.Table":
@@ -633,7 +637,7 @@ def rechunk_and_store(
                 frags.append(
                     (
                         Index.from_json(chunk_i[i].as_py()),
-                        pickle.loads(chunk_p[i].as_buffer()),
+                        NDDataset.from_bytes(chunk_p[i].as_buffer()),
                     )
                 )
         index, ds = combine_fragments(None, frags)

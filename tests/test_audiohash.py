@@ -138,3 +138,25 @@ def test_fake_decode_payloads_hash_distinctly():
             )
             hashes.add(ah.fingerprint_bits(fake))
     assert len(hashes) == 3
+
+
+def test_fingerprint_batch_matches_scalar():
+    """r13 batched-FFT path: fingerprint_bits_batch groups clips by
+    length and runs one stacked rfft per group — bits must be identical
+    to the scalar pin above for every clip, across mixed lengths
+    (including sub-min_len fake-decode payloads and odd sizes)."""
+    rng = np.random.RandomState(7)
+    clips = []
+    for n in (7, 64, 128, 129, 200, 256, 256, 1000, 4096):
+        for _ in range(5):
+            clips.append(rng.standard_normal(n))
+    idx = np.arange(256)
+    for d in range(40):
+        period = 8 + d % 23
+        clips.append(
+            (np.abs((idx % period) * 2.0 / period - 1.0) * 2.0 - 1.0) * 0.5
+        )
+    single = np.array([ah.fingerprint_bits(c) for c in clips], dtype=np.uint64)
+    batch = ah.fingerprint_bits_batch(clips)
+    assert batch.dtype == np.uint64
+    assert (single == batch).all()

@@ -34,6 +34,7 @@ _EXAMPLES = [
 ]
 
 
+@pytest.mark.examples
 @pytest.mark.parametrize("script,marker", _EXAMPLES)
 def test_example_runs(script, marker):
     path = os.path.join(_ROOT, "examples", script)

@@ -881,3 +881,51 @@ def test_stratified_sample_exact_and_dual_engine(spark):
         F.count("*").alias("n")).collect()}
     for b, f in ((0, 0.1), (1, 0.2), (2, 0.3)):
         assert got_i[b] == math.ceil(round(f * sizes_i[b], 9))
+
+
+def test_minhash_verify_jaccard_matches_numpy(docs):
+    """r13 verify restructure: the exact-Jaccard stage now computes
+    |A∩B|/|A∪B| via JVM array_intersect over per-doc shingle-hash sets
+    built in ONE semi-joined text pass. Values must be bit-identical to
+    the straight numpy computation the old double-text-join path did."""
+    pairs = dedup.minhash_dedup(docs, threshold=0.0, bands=16, num_perm=64).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in pairs:
+        ha = dedup._shingle_hashes(texts[r["id_a"]], 5)
+        hb = dedup._shingle_hashes(texts[r["id_b"]], 5)
+        inter = np.intersect1d(ha, hb, assume_unique=True).size
+        union = ha.size + hb.size - inter
+        expect = inter / union if union else 1.0
+        assert r["jaccard"] == expect, (r["id_a"], r["id_b"])
+
+
+def test_minhash_verify_plan_single_text_pass(docs):
+    """r13 (guide §2.3/§3): the verify stage's final plan joins the tiny
+    checkpointed shingle-signature table twice — the TEXT table is
+    scanned once (inside the signature checkpoint job), so the executed
+    plan contains no text scan and no Python verify stage at all."""
+    plan = (
+        dedup.minhash_dedup(docs, threshold=0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+    # both verify inputs are materialized RDDs, not re-derived scans
+    assert "Scan parquet" not in plan and "Scan ExistingRDD" in plan
+
+
+def test_lsh_ann_plan_broadcasts_capped_side(vectors):
+    """r13 (guide §3.1): under the size gate the capped candidate side is
+    broadcast, so the bucket-meet join is a BroadcastHashJoin and the
+    probe side streams from the checkpointed assignment with no
+    exchange of its own."""
+    plan = (
+        similarity.lsh_ann_topk(vectors, k=2, nbits=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
