@@ -1043,6 +1043,20 @@ def _loadavg1() -> float | None:
 # so pool overflow only risks the LAST sections, never the query battery.
 _GATE_POOL = [float(os.environ.get("SPARK_GRAFT_GATE_POOL_S", "600"))]
 
+# r13 (r12 verdict #1): the fault-recovery wait gets its OWN budget,
+# separate from the load pool — the r12 capture exhausted the shared
+# 600 s pool waiting out a host page-fault stall and then timed the
+# whole battery inside the stall anyway (BENCH_DETAIL start/battery
+# gates fault_gbps 0.00/0.01, gate_pool_left_s 0.0). Stall phases
+# measured 60+ min, so even this pool can expire; when it does, the
+# artifact must say so — every gate records fault_satisfied, and the
+# emitted JSON carries a top-level "stall_phase": true whenever any
+# timed section started with first-touch throughput below the gate,
+# so PERF can discount a stall-phase capture instead of mistaking it
+# for a code regression.
+_FAULT_POOL = [float(os.environ.get("SPARK_GRAFT_FAULT_WAIT_S", "900"))]
+_STALL_SEEN = [False]
+
 
 def _fault_probe_gbps(mb: int = 128) -> float:
     """First-touch page-fault throughput (GB/s): allocate ``mb`` MB of
@@ -1086,25 +1100,39 @@ def _wait_for_quiet(threshold: float, max_wait_s: float) -> dict:
     while (_loadavg1() or 0.0) > threshold and waited < cap:
         time.sleep(5)
         waited += 5
+    _GATE_POOL[0] = max(0.0, _GATE_POOL[0] - waited)
     # r12: the load can be quiet while the HOST is in a page-fault stall
-    # phase (see _fault_probe_gbps) — also wait, bounded by the same
-    # pool, for first-touch throughput to recover, else every
-    # allocation-heavy wall in the section measures the host, not the
-    # engine. 0.5 GB/s separates the observed modes (stalls read
-    # 0.01-0.05, healthy 3-8).
+    # phase (see _fault_probe_gbps) — also wait for first-touch
+    # throughput to recover, else every allocation-heavy wall in the
+    # section measures the host, not the engine. 0.5 GB/s separates the
+    # observed modes (stalls read 0.01-0.05, healthy 3-8).
+    # r13 (r12 verdict #1): this wait draws from its OWN pool
+    # (_FAULT_POOL, $SPARK_GRAFT_FAULT_WAIT_S, default 900 s) instead of
+    # the load pool, and an unrecovered probe marks the gate
+    # fault_satisfied=false AND flips the artifact-wide stall_phase flag.
     t_probe = time.perf_counter()
     fault = _fault_probe_gbps()
     thresh_gbps = float(os.environ.get("SPARK_GRAFT_FAULT_GATE_GBPS", "0.5"))
-    while fault < thresh_gbps and waited < cap:
+    fwaited = 0.0
+    while fault < thresh_gbps and fwaited < _FAULT_POOL[0]:
         time.sleep(10)
         fault = _fault_probe_gbps()
-        waited += time.perf_counter() - t_probe
+        fwaited += time.perf_counter() - t_probe
         t_probe = time.perf_counter()
-    _GATE_POOL[0] = max(0.0, _GATE_POOL[0] - waited)
+    _FAULT_POOL[0] = max(0.0, _FAULT_POOL[0] - fwaited)
     gate["waited_s"] = round(waited, 1)
+    gate["fault_waited_s"] = round(fwaited, 1)
+    gate["fault_pool_left_s"] = round(_FAULT_POOL[0], 1)
     gate["load_after"] = _loadavg1()
-    gate["satisfied"] = (gate["load_after"] or 0.0) <= threshold
     gate["fault_gbps"] = fault
+    gate["fault_satisfied"] = fault >= thresh_gbps
+    # r12 ADVICE: satisfied must reflect BOTH conditions — a gate that
+    # timed out mid-stall must not read as healthy in the artifact
+    gate["satisfied"] = (
+        (gate["load_after"] or 0.0) <= threshold and gate["fault_satisfied"]
+    )
+    if not gate["fault_satisfied"]:
+        _STALL_SEEN[0] = True
     return gate
 
 
@@ -1353,6 +1381,14 @@ def main() -> None:
         bench_fns[n] = fn
         oracles[n] = osql
         matched.append(n)
+    # r13 (r12 verdict #3): perplexity_buckets rotated out of the graded
+    # 50 in the pre-r12 slot rotation (its slot went to audio_near_dup);
+    # keep the trigram-LM scoring wall cross-round comparable as a timed
+    # Spark-side extra. Its DuckDB oracle is a replication oracle (see
+    # replication_oracles above), so it deliberately does NOT join the
+    # matched apples-to-apples subset.
+    spark_only_extra = {"perplexity_buckets": entrymod._perplexity_buckets_q}
+    bench_fns.update(spark_only_extra)
 
     # per-query latency: sequential, best-of-2 (both runs recorded so
     # run-to-run variance — the worker-churn signature — is visible in
@@ -1379,7 +1415,7 @@ def main() -> None:
     timings = {}
     runs = {}
     per_query = {}
-    for name in list(HEADLINE) + list(extra_matched):
+    for name in list(HEADLINE) + list(extra_matched) + list(spark_only_extra):
         fn = bench_fns[name]
         load0 = _loadavg1()
         pair = []
@@ -1415,7 +1451,16 @@ def main() -> None:
     # ~16 concurrent jobs (measured 27s at 8 workers vs 18s at 16 for the
     # same warmed suite); beyond ~24 the gain flattens while python-worker
     # pressure grows
-    concurrent_fault_gbps = _fault_probe_gbps()
+    # r13 (r12 verdict #1): the concurrent suite is the headline metric
+    # and was the r12 stall victim (16 threads of fresh allocations all
+    # faulting at once) — gate it like the battery instead of merely
+    # recording the probe. The gate re-probes fault throughput
+    # (bounded by _FAULT_POOL) and flips stall_phase if it starts cold.
+    concurrent_gate = _wait_for_quiet(
+        float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4.0")),
+        float(os.environ.get("SPARK_GRAFT_CONCURRENT_WAIT_S", "120")),
+    )
+    concurrent_fault_gbps = concurrent_gate["fault_gbps"]
     t0 = time.perf_counter()
     with ThreadPoolExecutor(max_workers=16) as pool:
         list(
@@ -1513,6 +1558,9 @@ def main() -> None:
             "start_gate": start_gate,
             "battery_gate": battery_gate,
             "gate_pool_left_s": round(_GATE_POOL[0], 1),
+            "fault_pool_left_s": round(_FAULT_POOL[0], 1),
+            "stall_phase": _STALL_SEEN[0],
+            "concurrent_gate": concurrent_gate,
             "concurrent_fault_gbps": concurrent_fault_gbps,
             "section_walls": section_walls,
             "queries": timings,
@@ -1586,6 +1634,7 @@ def main() -> None:
                         "sharded_over_chunked"
                     ),
                     "stress_growth": (scale_stress or {}).get("growth"),
+                    "stall_phase": _STALL_SEEN[0],
                     "loadavg": loadavg,
                     "detail": "BENCH_DETAIL.json",
                     "sf": sf,
