@@ -325,12 +325,14 @@ class NDDataset:
             "dims": self.sizes,
         }
 
-    def to_bytes(self) -> bytes:
-        """Raw-buffer frame: ``NDS1 | <u64 header len> | pickled header |
-        buffers...``. One copy total (the final join); the header carries
-        (role, name, dims, dtype, shape, attrs, encoding, offset, nbytes)
-        per variable. Lazy/object-dtype payloads fall back to pickle —
-        ``from_bytes`` dispatches on the magic either way."""
+    def frame_parts(self) -> List:
+        """The NDS1 frame as a list of bytes-like parts (magic, length
+        prefix, pickled header, then each variable's raw buffer) — the
+        zero-join building blocks of :meth:`to_bytes`. Callers that
+        assemble many frames into ONE output buffer (the Arrow split
+        stage) write these parts directly into their buffer, so each
+        payload byte is copied exactly once end-to-end. Falls back to a
+        single-part pickle for lazy/object-dtype payloads."""
         metas: list = []
         bufs: list = []
         offset = 0
@@ -338,7 +340,7 @@ class NDDataset:
             for name, var in group.items():
                 data = var.data
                 if not isinstance(data, np.ndarray) or data.dtype.hasobject:
-                    return pickle.dumps(self, protocol=5)
+                    return [pickle.dumps(self, protocol=5)]
                 a = np.ascontiguousarray(data)
                 metas.append(
                     (
@@ -353,17 +355,26 @@ class NDDataset:
                         a.nbytes,
                     )
                 )
-                # datetime64/timedelta64 refuse buffer export directly;
-                # a flat uint8 view is a no-copy reinterpretation
-                bufs.append(a.reshape(-1).view(np.uint8))
+                # datetime64/timedelta64 refuse buffer export directly; a
+                # flat uint8 view is a no-copy reinterpretation. Exported
+                # as a memoryview so consumers' ``bytearray += part`` uses
+                # the buffer protocol (a raw ndarray part would be
+                # hijacked by numpy's broadcasting __radd__).
+                bufs.append(memoryview(a.reshape(-1).view(np.uint8)))
                 offset += a.nbytes
         header = pickle.dumps(
             {"attrs": self.attrs, "dims": self._explicit_dims, "vars": metas},
             protocol=5,
         )
-        return b"".join(
-            [_NDS_MAGIC, struct.pack("<Q", len(header)), header] + bufs
-        )
+        return [_NDS_MAGIC, struct.pack("<Q", len(header)), header] + bufs
+
+    def to_bytes(self) -> bytes:
+        """Raw-buffer frame: ``NDS1 | <u64 header len> | pickled header |
+        buffers...``. One copy total (the final join); the header carries
+        (role, name, dims, dtype, shape, attrs, encoding, offset, nbytes)
+        per variable. Lazy/object-dtype payloads fall back to pickle —
+        ``from_bytes`` dispatches on the magic either way."""
+        return b"".join(self.frame_parts())
 
     @staticmethod
     def from_bytes(b) -> "NDDataset":

@@ -490,12 +490,33 @@ def open_split_fragments_df(
     payloads — which the whole-fragment layout ships redundantly with every
     fragment — travel only from their designated owner (the write-side
     ownership rules of reference ``writers.py:57-69,110-122`` applied at
-    split time)."""
+    split time).
+
+    r13 (guide §4.2): the stage is ``mapInArrow`` and each output batch's
+    payload column is built directly over ONE accumulated data buffer
+    (``pa.Array.from_buffers`` with the NDS1 frame parts written straight
+    into a bytearray) — the pre-r13 pandas return re-copied every payload
+    byte a second time during the pandas→Arrow conversion. Combined with
+    the NDS1 frame, each payload byte now crosses the split stage with
+    exactly one Python-side copy."""
+    import pyarrow as pa
+
     ft = FileType(file_type) if isinstance(file_type, str) else file_type
 
-    def open_split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for idx_json, url in zip(pdf["index"], pdf["url"]):
+    def open_split(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        out_schema = pa.schema(
+            [
+                ("group_key", pa.string()),
+                ("index", pa.string()),
+                ("payload", pa.binary()),
+            ]
+        )
+        for batch in batches:
+            idx_col = batch.column("index")
+            url_col = batch.column("url")
+            for i in range(batch.num_rows):
+                idx_json = idx_col[i].as_py()
+                url = url_col[i].as_py()
                 ds = open_with_ndset(
                     url,
                     file_type=ft,
@@ -506,25 +527,43 @@ def open_split_fragments_df(
                 index = Index.from_json(idx_json)
                 if preprocess is not None:
                     index, ds = preprocess(index, ds)
-                keys, idxs, payloads = [], [], []
+                keys, idxs = [], []
+                data = bytearray()
+                offsets = [0]
+
+                def emit(key: str, idx_str: str, single: NDDataset) -> None:
+                    nonlocal data
+                    keys.append(key)
+                    idxs.append(idx_str)
+                    for part in single.frame_parts():
+                        data += part
+                    offsets.append(len(data))
+
                 for gk, (sub_idx, sub_ds) in split_fragment(
                     (index, ds), target_chunks=target_chunks, schema=schema
                 ):
                     gk_json = group_key_to_json(gk)
+                    sub_json = sub_idx.to_json()
                     if by_variable:
                         for suffix, single in _explode_by_variable(sub_idx, sub_ds):
-                            keys.append(f"{gk_json}|{suffix}")
-                            idxs.append(sub_idx.to_json())
-                            payloads.append(single.to_bytes())
+                            emit(f"{gk_json}|{suffix}", sub_json, single)
                     else:
-                        keys.append(gk_json)
-                        idxs.append(sub_idx.to_json())
-                        payloads.append(sub_ds.to_bytes())
-                yield pd.DataFrame(
-                    {"group_key": keys, "index": idxs, "payload": payloads}
+                        emit(gk_json, sub_json, sub_ds)
+                payload_arr = pa.Array.from_buffers(
+                    pa.binary(),
+                    len(keys),
+                    [
+                        None,
+                        pa.py_buffer(np.asarray(offsets, dtype=np.int32)),
+                        pa.py_buffer(data),
+                    ],
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(keys, pa.string()), pa.array(idxs, pa.string()), payload_arr],
+                    schema=out_schema,
                 )
 
-    return df.mapInPandas(open_split, SPLIT_SCHEMA)
+    return df.mapInArrow(open_split, SPLIT_SCHEMA)
 
 
 def open_split_store_df(
