@@ -3567,7 +3567,7 @@ def _grouped_wav_media(docs: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from pangeo_forge_recipes_spark.audioio import encode_wav
+    from pangeo_forge_recipes_spark.audioio import encode_wav_batch
 
     N = 512
 
@@ -3583,10 +3583,9 @@ def _grouped_wav_media(docs: DataFrame) -> DataFrame:
             h *= k2
             h ^= h >> np.uint64(29)
             x = (h % np.uint64(65536)).astype(np.float64) / 65536.0 - 0.5
-            media = [
-                bytearray(encode_wav(x[i], 8000, bits=16))
-                for i in range(len(ids))
-            ]
+            # one vectorized encode pass over the whole batch (r13,
+            # guide §4.2) — per-row bytes identical to per-clip encode_wav
+            media = [bytearray(b) for b in encode_wav_batch(x, 8000, bits=16)]
             yield pd.DataFrame({"doc_id": ids, "media": media})
 
     return docs.select("doc_id").mapInPandas(build, "doc_id long, media binary")

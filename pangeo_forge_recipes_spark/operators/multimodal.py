@@ -101,16 +101,20 @@ def attach_wav_media(
     doc-dependent period — a closed form tests can recompute — but the
     bytes on the wire are genuine RIFF/WAVE that ``decode_audio`` must
     really parse."""
-    from ..audioio import encode_wav
+    from ..audioio import encode_wav_batch
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = np.arange(n_samples, dtype=np.int64)
         for pdf in batches:
-            blobs = []
-            for d in pdf[id_col]:
-                period = 8 + int(d) % 23
-                tri = np.abs((idx % period) * 2.0 / period - 1.0) * 2.0 - 1.0
-                blobs.append(encode_wav(tri * 0.5, sample_rate, bits=16))
+            # whole-batch synthesis + ONE vectorized encode pass (r13,
+            # guide §4.2): same elementwise math per clip as the former
+            # per-doc loop, so the bytes on the wire are identical
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            periods = (8 + ids % 23)[:, None]
+            tri = (
+                np.abs((idx[None, :] % periods) * 2.0 / periods - 1.0) * 2.0 - 1.0
+            )
+            blobs = encode_wav_batch(tri * 0.5, sample_rate, bits=16)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -132,29 +136,47 @@ def decode_audio(df: DataFrame) -> DataFrame:
     sha256 fake (keeping non-audio rows flowing through the same plan)."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..audioio import decode_wav
+        from ..audioio import decode_wav, decode_wav_batch
 
         for pdf in batches:
-            samples, rates, chans = [], [], []
-            for blob in pdf["media"]:
-                blob = bytes(blob)
+            blobs = [bytes(b) for b in pdf["media"]]
+            samples: list = [None] * len(blobs)
+            rates = np.zeros(len(blobs), dtype="int32")
+            chans = np.zeros(len(blobs), dtype="int32")
+            # uniform-layout WAV corpora (the common case) decode as ONE
+            # frombuffer/astype pass (r13, guide §4.2); anything ragged
+            # falls through to the per-blob scalar decode below
+            wav_idx = [
+                i
+                for i, b in enumerate(blobs)
+                if b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+            ]
+            if wav_idx:
+                batch = decode_wav_batch([blobs[i] for i in wav_idx])
+                if batch is not None:
+                    mono, rate, ch = batch
+                    for j, i in enumerate(wav_idx):
+                        samples[i] = mono[j]
+                        rates[i] = rate
+                        chans[i] = ch
+            for i, blob in enumerate(blobs):
+                if samples[i] is not None:
+                    continue
                 if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
                     arr, rate = decode_wav(blob)
-                    samples.append(arr.mean(axis=1))  # downmix to mono
-                    rates.append(rate)
-                    chans.append(arr.shape[1])
+                    samples[i] = arr.mean(axis=1)  # downmix to mono
+                    rates[i] = rate
+                    chans[i] = arr.shape[1]
                 else:
                     digest = hashlib.sha256(blob).digest()
                     fake = np.frombuffer((digest * 2)[:64], dtype=np.uint8)
-                    samples.append(fake.astype("float32") / 255.0 - 0.5)
-                    rates.append(0)
-                    chans.append(0)
+                    samples[i] = fake.astype("float32") / 255.0 - 0.5
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "samples": samples,
-                    "sample_rate": np.array(rates, dtype="int32"),
-                    "channels": np.array(chans, dtype="int32"),
+                    "sample_rate": rates,
+                    "channels": chans,
                 }
             )
 

@@ -11,7 +11,12 @@ import wave
 import numpy as np
 import pytest
 
-from pangeo_forge_recipes_spark.audioio import decode_wav, encode_wav
+from pangeo_forge_recipes_spark.audioio import (
+    decode_wav,
+    decode_wav_batch,
+    encode_wav,
+    encode_wav_batch,
+)
 
 
 def _stdlib_wav(samples_i16: np.ndarray, rate: int, channels: int) -> bytes:
@@ -94,6 +99,97 @@ def test_gates():
     blob[20:22] = struct.pack("<H", 2)
     with pytest.raises(NotImplementedError, match="format code 2"):
         decode_wav(bytes(blob))
+
+
+@pytest.mark.parametrize("bits", [8, 16, 24, 32])
+def test_encode_wav_batch_matches_scalar(bits):
+    """The r13 vectorized batch encoder must emit byte-identical files
+    to per-clip encode_wav — including clipping extremes and the 8-bit
+    odd-length pad byte."""
+    rng = np.random.RandomState(7)
+    mat = rng.uniform(-1.2, 1.2, size=(9, 33))  # odd frames: exercises pad
+    mat[0, :3] = [-1.5, 0.0, 1.5]
+    batch = encode_wav_batch(mat, 22050, bits=bits)
+    for i in range(mat.shape[0]):
+        assert batch[i] == encode_wav(mat[i], 22050, bits=bits)
+
+
+@pytest.mark.parametrize("bits", [8, 16, 24, 32])
+def test_decode_wav_batch_matches_scalar(bits):
+    """The uniform-layout batch decoder must reproduce decode_wav +
+    mono downmix bit-exactly for every supported depth."""
+    rng = np.random.RandomState(bits)
+    mat = rng.uniform(-0.9, 0.9, size=(6, 40))
+    blobs = [encode_wav(mat[i], 16000, bits=bits) for i in range(6)]
+    out = decode_wav_batch(blobs)
+    assert out is not None
+    mono, rate, ch = out
+    assert (rate, ch) == (16000, 1)
+    for i, b in enumerate(blobs):
+        arr, _ = decode_wav(b)
+        np.testing.assert_array_equal(mono[i], arr.mean(axis=1))
+
+
+def test_decode_wav_batch_stereo_downmix_matches_scalar():
+    rng = np.random.RandomState(3)
+    clips = rng.uniform(-0.9, 0.9, size=(4, 25, 2))
+    blobs = [encode_wav(c, 44100, bits=16) for c in clips]
+    mono, rate, ch = decode_wav_batch(blobs)
+    assert (rate, ch) == (44100, 2)
+    for i, b in enumerate(blobs):
+        arr, _ = decode_wav(b)
+        np.testing.assert_array_equal(mono[i], arr.mean(axis=1))
+
+
+def test_decode_wav_batch_ragged_returns_none():
+    """Any layout deviation — different length, different header, a
+    spliced extra chunk — must reject the batch (the caller's scalar
+    fallback decodes it), never decode inconsistently."""
+    a = encode_wav(np.zeros(10) + 0.25, 8000, bits=16)
+    b = encode_wav(np.zeros(11) + 0.25, 8000, bits=16)  # length differs
+    c = encode_wav(np.zeros(10) + 0.25, 16000, bits=16)  # header differs
+    spliced = bytearray(a)
+    extra = b"LIST" + struct.pack("<I", 6) + b"INFOab"
+    spliced = bytes(spliced[:36]) + extra + bytes(spliced[36:])
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert decode_wav_batch([a, b]) is None
+    assert decode_wav_batch([a, c]) is None
+    assert decode_wav_batch([a, spliced]) is None
+    assert decode_wav_batch([]) is None
+    # uniform set still batches
+    assert decode_wav_batch([a, bytes(a)]) is not None
+
+
+def test_spark_decode_audio_mixed_corpus(spark):
+    """decode_audio over a corpus mixing two WAV layouts + a non-audio
+    blob: the batch fast path covers the uniform majority, the scalar
+    fallback the rest, and every row must match a straight per-blob
+    decode."""
+    import pandas as pd
+
+    from pangeo_forge_recipes_spark.operators.multimodal import decode_audio
+
+    long_clip = encode_wav(np.linspace(-0.5, 0.5, 96), 8000, bits=16)
+    short_clip = encode_wav(np.linspace(-0.25, 0.25, 32), 8000, bits=16)
+    fake = b"not audio at all"
+    rows = [(0, long_clip), (1, short_clip), (2, bytearray(long_clip)), (3, fake)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [r[0] for r in rows], "media": [r[1] for r in rows]})
+    )
+    got = {r["doc_id"]: r for r in decode_audio(df).collect()}
+    assert len(got) == 4
+    for d, blob in rows:
+        if bytes(blob)[:4] == b"RIFF":
+            arr, rate = decode_wav(bytes(blob))
+            np.testing.assert_array_equal(
+                np.asarray(got[d]["samples"], dtype=np.float32), arr.mean(axis=1)
+            )
+            assert got[d]["sample_rate"] == rate
+            assert got[d]["channels"] == 1
+        else:
+            assert got[d]["sample_rate"] == 0
+            assert got[d]["channels"] == 0
+            assert len(got[d]["samples"]) == 64
 
 
 def test_spark_decode_audio_and_features(spark):
