@@ -1066,15 +1066,30 @@ def _fault_probe_gbps(mb: int = 128) -> float:
     vs 8+ GB/s healthy minutes later, with loadavg ~0, zero steal, zero
     guest-visible major faults/compaction stalls) — phases last minutes
     and invisibly inflate every allocation-heavy wall. Loadavg gates
-    cannot see it, so each gate records this probe alongside the load."""
+    cannot see it, so each gate records this probe alongside the load.
+
+    r13 calibration fix: the probe is TWO back-to-back allocations and
+    reports the max. Measured on this host, the FIRST allocation after
+    any >= 2 s gap reads 0.25-0.45 GB/s even when an immediate second
+    one reads 4.5+ (a per-burst reclaim/compaction artifact on freshly
+    returned pages), while the genuine stall mode is slow on repeats
+    too (sustained 0.01-0.05). A single-shot probe inside the 10 s gate
+    loop therefore ALWAYS sees the after-gap artifact and can read a
+    healthy box as stalled forever — the r13 capture-2 start gate
+    burned its full 900 s pool at "0.18 GB/s" while the battery it then
+    ran recorded the best walls of any round. Max-of-two measures what
+    sustained allocation actually gets."""
     import numpy as np
 
-    t0 = time.perf_counter()
-    a = np.empty(mb * 131072, dtype=np.float64)
-    a.fill(1.0)
-    dt = time.perf_counter() - t0
-    del a
-    return round(mb / 1024.0 / dt, 2)
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        a = np.empty(mb * 131072, dtype=np.float64)
+        a.fill(1.0)
+        dt = time.perf_counter() - t0
+        del a
+        best = max(best, mb / 1024.0 / dt)
+    return round(best, 2)
 
 
 def _wait_for_quiet(threshold: float, max_wait_s: float) -> dict:
